@@ -1,0 +1,904 @@
+"""Dashboard executor: multi-statement SQL script → JSON render tree.
+
+Behavior parity with reference server/core/get_dashboard.go:38-400
+(QueryDashboard): strip comments → split statements → gate → rewrite
+(dialect + custom-type tags) → execute via ``spark.sql`` → classify
+(label / section / control / chart / table) → normalize values → emit a
+result tree of Sections → Queries → {Render, Columns, Rows}.
+
+Scale notes: each statement is one Catalyst-planned query; the 3000-row
+cap is applied as ``df.limit(3001)`` so it is pushed into the plan
+(CollectLimit) instead of truncating after a full materialization like
+the reference does client-side.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import json
+import re
+import time
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from . import sqltool
+from .normalize import map_wire_type, normalize_rows
+from .render import (
+    Column,
+    MarkLine,
+    RenderInfo,
+    can_start_section,
+    find_column_by_tag,
+    get_render_info,
+    interval_to_ms,
+    is_footer_link,
+    is_header_image,
+    is_label,
+    is_reload,
+    is_section_title,
+    map_tag,
+)
+from .rewrite import (
+    find_variable_refs,
+    rewrite_statement,
+    substitute_variables,
+)
+
+__all__ = ["query_dashboard", "GetResult", "Section", "Query", "QUERY_MAX_ROWS"]
+
+QUERY_MAX_ROWS = 3000
+
+_SET_VARIABLE_RE = re.compile(
+    r"^\s*SET\s+VARIABLE\s+(?:\"([^\"]+)\"|(\w+))\s*=\s*(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RESET_VARIABLE_RE = re.compile(
+    r"^\s*RESET\s+VARIABLE\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.IGNORECASE
+)
+_CREATE_MACRO_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP|TEMPORARY)\s+(?:MACRO|FUNCTION)\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_TEMP_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP|TEMPORARY)\s+TABLE\s+", re.IGNORECASE
+)
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+@dataclass
+class Query:
+    render: dict[str, Any] = field(default_factory=dict)
+    columns: list[Column] = field(default_factory=list)
+    rows: list[list[Any]] = field(default_factory=list)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "render": self.render,
+            "columns": [
+                {
+                    "name": c.name,
+                    "type": c.type,
+                    "nullable": c.nullable,
+                    "tag": c.tag,
+                }
+                for c in self.columns
+            ],
+            "rows": self.rows,
+        }
+
+
+@dataclass
+class Section:
+    type: str = "content"
+    title: str | None = None
+    queries: list[Query] = field(default_factory=list)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "type": self.type,
+            "title": self.title,
+            "queries": [q.to_dict() for q in self.queries],
+        }
+
+
+@dataclass
+class GetResult:
+    name: str = ""
+    sections: list[Section] = field(default_factory=list)
+    min_time_value: int | None = None
+    max_time_value: int | None = None
+    reload_at: int = 0
+    header_image: str | None = None
+    footer_link: str | None = None
+    unset_variables: list[str] = field(default_factory=list)
+
+    def to_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "name": self.name,
+            "sections": [s.to_dict() for s in self.sections],
+            "minTimeValue": self.min_time_value,
+            "maxTimeValue": self.max_time_value,
+            "reloadAt": self.reload_at,
+        }
+        if self.header_image:
+            d["headerImage"] = self.header_image
+        if self.footer_link:
+            d["footerLink"] = self.footer_link
+        if self.unset_variables:
+            d["unsetVariables"] = self.unset_variables
+        return d
+
+
+class DashboardError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# SQL macros (DuckDB CREATE TEMP MACRO → textual expansion)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Macro:
+    name: str
+    params: list[str]
+    defaults: dict[str, str]
+    body: str
+
+
+def _parse_macro(sql: str) -> _Macro | None:
+    m = _CREATE_MACRO_RE.match(sql)
+    if not m:
+        return None
+    name, paramlist, body = m.group(1), m.group(2), m.group(3).strip()
+    params: list[str] = []
+    defaults: dict[str, str] = {}
+    for p in paramlist.split(","):
+        p = p.strip()
+        if not p:
+            continue
+        if ":=" in p:
+            pname, dflt = p.split(":=", 1)
+            params.append(pname.strip())
+            defaults[pname.strip()] = dflt.strip()
+        else:
+            params.append(p)
+    return _Macro(name=name, params=params, defaults=defaults, body=body)
+
+
+def _expand_macros(sql: str, macros: dict[str, _Macro]) -> str:
+    """Inline macro calls textually (DuckDB evaluates macros lazily with
+    the same effect for scalar macros)."""
+    if not macros:
+        return sql
+    from .rewrite import _find_matching_close, _scan_states, _split_top_level_args
+
+    for _ in range(16):  # bounded nesting
+        states = _scan_states(sql)
+        replaced = False
+        for name, macro in macros.items():
+            for m in re.finditer(rf"\b{re.escape(name)}\s*\(", sql, re.IGNORECASE):
+                if states[m.start()] != 0:
+                    continue
+                open_pos = m.end() - 1
+                close_pos = _find_matching_close(sql, open_pos, states)
+                if close_pos < 0:
+                    continue
+                args = _split_top_level_args(sql[open_pos + 1 : close_pos])
+                binding = dict(macro.defaults)
+                positional = []
+                for a in args:
+                    am = re.match(r"([A-Za-z_]\w*)\s*:=\s*(.+)$", a, re.DOTALL)
+                    if am and am.group(1) in macro.params:
+                        binding[am.group(1)] = am.group(2).strip()
+                    else:
+                        positional.append(a)
+                for pname, a in zip(
+                    [p for p in macro.params if p not in binding], positional
+                ):
+                    binding[pname] = a
+                for pname, a in zip(macro.params, positional):
+                    binding.setdefault(pname, a)
+                body = macro.body
+                for pname, a in binding.items():
+                    body = re.sub(rf"\b{re.escape(pname)}\b", f"({a})", body)
+                sql = sql[: m.start()] + "(" + body + ")" + sql[close_pos + 1 :]
+                replaced = True
+                break
+            if replaced:
+                break
+        if not replaced:
+            return sql
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# SUMMARIZE
+# ---------------------------------------------------------------------------
+
+def _run_summarize(spark: SparkSession, sql: str):
+    """Emulate DuckDB ``SUMMARIZE`` with a single distributed aggregate
+    pass, reshaped to one output row per column on the driver."""
+    target = sql.strip()[len("SUMMARIZE"):].strip()
+    if target.upper().startswith(("SELECT", "FROM", "WITH", "VALUES")):
+        df = spark.sql(rewrite_statement(target).sql)
+    else:
+        df = spark.table(target)
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    numeric_prefixes = (
+        "double", "float", "int", "bigint", "smallint", "tinyint", "decimal",
+    )
+    cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    for i, (name, typ) in enumerate(cols):
+        c = F.col(name)
+        aggs.append(F.min(c).cast("string").alias(f"min_{i}"))
+        aggs.append(F.max(c).cast("string").alias(f"max_{i}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"uniq_{i}"))
+        aggs.append(F.count(c).alias(f"cnt_{i}"))
+        if typ.startswith(numeric_prefixes):
+            aggs.append(F.avg(c.cast("double")).alias(f"avg_{i}"))
+            aggs.append(F.stddev(c.cast("double")).alias(f"std_{i}"))
+            aggs.append(
+                F.percentile_approx(
+                    c.cast("double"), [0.25, 0.5, 0.75]
+                ).alias(f"q_{i}")
+            )
+    row = df.agg(*aggs).collect()[0].asDict()
+    total = row["__total"] or 0
+    out = []
+    for i, (name, typ) in enumerate(cols):
+        cnt = row[f"cnt_{i}"] or 0
+        q = row.get(f"q_{i}") or [None, None, None]
+        out.append(
+            (
+                name,
+                typ,
+                row[f"min_{i}"],
+                row[f"max_{i}"],
+                int(row[f"uniq_{i}"] or 0),
+                float(row[f"avg_{i}"]) if row.get(f"avg_{i}") is not None else None,
+                float(row[f"std_{i}"]) if row.get(f"std_{i}") is not None else None,
+                float(q[0]) if q[0] is not None else None,
+                float(q[1]) if q[1] is not None else None,
+                float(q[2]) if q[2] is not None else None,
+                int(total),
+                round(100.0 * (total - cnt) / total, 2) if total else 0.0,
+            )
+        )
+    schema = (
+        "column_name string, column_type string, min string, max string, "
+        "approx_unique bigint, avg double, std double, q25 double, "
+        "q50 double, q75 double, count bigint, null_percentage double"
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Variable state
+# ---------------------------------------------------------------------------
+
+class _VarState:
+    """Session variables: raw SQL literal expressions keyed by name.
+
+    ``raw`` values are spliced verbatim for getvariable() references;
+    ``lists`` become array(...) literals (reference:
+    server/core/app.go:574-595)."""
+
+    def __init__(self, protected: dict[str, Any] | None = None):
+        self.raw: dict[str, str] = {}
+        self.lists: dict[str, list[str]] = {}
+        self.protected: set[str] = set(protected or {})
+        for k, v in (protected or {}).items():
+            if isinstance(v, str):
+                self.raw[k] = "'" + sqltool.escape_sql_string(v) + "'"
+            elif isinstance(v, (list, tuple)):
+                self.lists[k] = [str(x) for x in v]
+
+    def defined(self) -> set[str]:
+        return set(self.raw) | set(self.lists)
+
+    def substitute(self, sql: str) -> str:
+        out = substitute_variables(sql, {}, self.lists)
+        # raw literals take precedence over the NULL fallback: re-run with
+        # direct replacement.
+        def repl(m: re.Match[str]) -> str:
+            name = m.group(1)
+            if name in self.lists:
+                items = ", ".join(
+                    "'" + sqltool.escape_sql_string(v) + "'" for v in self.lists[name]
+                )
+                return f"array({items})"
+            if name in self.raw:
+                return f"({self.raw[name]})"
+            return "NULL"
+
+        from .rewrite import _GETVAR_RE
+
+        return _GETVAR_RE.sub(repl, sql)
+
+
+def _eval_scalar(spark: SparkSession, expr: str) -> Any:
+    rows = spark.sql(f"SELECT {expr} AS v").collect()
+    return rows[0][0] if rows else None
+
+
+# ---------------------------------------------------------------------------
+# Mark lines
+# ---------------------------------------------------------------------------
+
+def _get_mark_lines(
+    columns: list[Column], rows: list[list[Any]]
+) -> tuple[list[MarkLine], bool]:
+    axis = ""
+    value_index = -1
+    i = find_column_by_tag(columns, "XLINE")
+    if i != -1:
+        axis, value_index = "x", i
+    else:
+        i = find_column_by_tag(columns, "YLINE")
+        if i != -1:
+            axis, value_index = "y", i
+    if not axis:
+        return [], False
+    label_index = find_column_by_tag(columns, "LABEL")
+    lines: list[MarkLine] = []
+    for row in rows:
+        if value_index >= len(row):
+            continue
+        v = row[value_index]
+        if v is None:
+            continue
+        from decimal import Decimal
+
+        line = MarkLine(is_yaxis=(axis == "y"))
+        if isinstance(v, Decimal):
+            v = float(v)
+        if isinstance(v, str):
+            line.value = v
+        elif isinstance(v, bool):
+            continue
+        elif isinstance(v, (int, float)):
+            import math
+
+            if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+                continue
+            line.value = v
+        elif isinstance(v, dt.datetime):
+            from .normalize import _unix_ms
+
+            line.value = _unix_ms(v)
+        elif isinstance(v, dt.date):
+            from .normalize import _unix_ms
+
+            line.value = _unix_ms(dt.datetime(v.year, v.month, v.day))
+        elif isinstance(v, dt.timedelta):
+            line.value = interval_to_ms(v)
+        else:
+            continue
+        if label_index != -1 and label_index < len(row):
+            lv = row[label_index]
+            if isinstance(lv, str):
+                line.label = lv
+        lines.append(line)
+    return lines, True
+
+
+def _get_schedule_time(rows: list[list[Any]]) -> int:
+    """RELOAD/SCHEDULE value → epoch ms; interval → now+Δ; 'init' → -1
+    (reference getScheduleTime, get_dashboard.go:2120-2148)."""
+    if not rows or not rows[0]:
+        return 0
+    val = rows[0][0]
+    if val is None:
+        return 0
+    if isinstance(val, dt.timedelta):
+        return int(time.time() * 1000) + interval_to_ms(val)
+    if isinstance(val, dt.datetime):
+        from .normalize import _unix_ms
+
+        return _unix_ms(val)
+    if isinstance(val, str) and val.lower() == "init":
+        return -1
+    return 0
+
+
+def _get_single_value(rows: list[list[Any]]) -> str:
+    if rows and rows[0] and isinstance(rows[0][0], str):
+        return rows[0][0]
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# Widget variable collection
+# ---------------------------------------------------------------------------
+
+def _collect_vars(
+    vars_: _VarState,
+    render_type: str,
+    params: dict[str, Any],
+    columns: list[Column],
+    rows: list[list[Any]],
+) -> None:
+    """Port of collectVars (get_dashboard.go:1511-1791): widget results
+    become variables for later statements; URL params override defaults;
+    protected (JWT) variables are never overridden."""
+
+    def get_param(name: str) -> str:
+        v = params.get(name)
+        if isinstance(v, list):
+            return v[0] if v else ""
+        return v or ""
+
+    if render_type == "dropdown":
+        idx = next((i for i, c in enumerate(columns) if c.tag == "value"), -1)
+        if idx == -1:
+            raise DashboardError("missing value column for dropdown")
+        name = columns[idx].name
+        if name in vars_.protected:
+            return
+        param = get_param(name)
+        if param:
+            if not any(row[idx] == param for row in rows):
+                param = ""
+        if not param:
+            if not rows:
+                return
+            v = rows[0][idx]
+            param = v if isinstance(v, str) else ""
+        vars_.raw[name] = "'" + sqltool.escape_sql_string(param) + "'"
+
+    elif render_type == "dropdownMulti":
+        idx = next((i for i, c in enumerate(columns) if c.tag == "value"), -1)
+        if idx == -1:
+            raise DashboardError("missing value column for dropdownMulti")
+        name = columns[idx].name
+        if name in vars_.protected:
+            return
+        provided = name in params
+        raw = params.get(name, [])
+        plist = list(raw) if isinstance(raw, list) else [raw]
+        if plist:
+            valid = {row[idx] for row in rows if isinstance(row[idx], str)}
+            plist = [p for p in plist if p in valid]
+        if not plist and not provided:
+            plist = [
+                row[idx] if isinstance(row[idx], str) else "" for row in rows
+            ]
+        vars_.lists[name] = plist
+
+    elif render_type == "datepicker":
+        if not rows:
+            return
+        idx = next((i for i, c in enumerate(columns) if c.tag == "default"), -1)
+        if idx == -1:
+            raise DashboardError("missing datepicker column")
+        name = columns[idx].name
+        if name in vars_.protected:
+            return
+        param = get_param(name)
+        if not param:
+            v = rows[0][idx]
+            if isinstance(v, (dt.date, dt.datetime)):
+                param = v.strftime("%Y-%m-%d")
+        elif not _DATE_RE.match(param):
+            raise DashboardError(f"invalid date for datepicker param {name!r}: {param}")
+        if param:
+            vars_.raw[name] = "DATE '" + sqltool.escape_sql_string(param) + "'"
+
+    elif render_type == "daterangePicker":
+        if not rows:
+            return
+        from_idx = next(
+            (i for i, c in enumerate(columns) if c.tag == "defaultFrom"), -1
+        )
+        to_idx = next(
+            (i for i, c in enumerate(columns) if c.tag == "defaultTo"), -1
+        )
+        if from_idx == -1:
+            raise DashboardError("missing DATEPICKER_FROM column")
+        if to_idx == -1:
+            raise DashboardError("missing DATEPICKER_TO column")
+        from_name, to_name = columns[from_idx].name, columns[to_idx].name
+        if from_name in vars_.protected or to_name in vars_.protected:
+            return
+        p = get_param(from_name)
+        if not p:
+            v = rows[0][from_idx]
+            if isinstance(v, (dt.date, dt.datetime)):
+                p = v.strftime("%Y-%m-%d")
+        elif not _DATE_RE.match(p):
+            raise DashboardError(f"invalid date for param {from_name!r}: {p}")
+        if p:
+            vars_.raw[from_name] = "TIMESTAMP '" + sqltool.escape_sql_string(p) + "'"
+        p = get_param(to_name)
+        if not p:
+            v = rows[0][to_idx]
+            if isinstance(v, (dt.date, dt.datetime)):
+                p = v.strftime("%Y-%m-%d")
+        elif not _DATE_RE.match(p):
+            raise DashboardError(f"invalid date for param {to_name!r}: {p}")
+        if p:
+            vars_.raw[to_name] = (
+                "TIMESTAMP '" + sqltool.escape_sql_string(p) + " 23:59:59.999999'"
+            )
+
+    elif render_type == "input":
+        idx = next((i for i, c in enumerate(columns) if c.tag == "hint"), -1)
+        if idx == -1:
+            raise DashboardError("missing hint column for input")
+        name = columns[idx].name
+        if name in vars_.protected:
+            return
+        param = get_param(name)
+        if param:
+            vars_.raw[name] = "'" + sqltool.escape_sql_string(param) + "'"
+
+
+# ---------------------------------------------------------------------------
+# Main executor
+# ---------------------------------------------------------------------------
+
+_HEADER_RENDER_TYPES = frozenset(
+    {"dropdown", "dropdownMulti", "button", "datepicker", "daterangePicker", "input"}
+)
+
+
+def query_dashboard(
+    spark: SparkSession,
+    content: str,
+    params: dict[str, Any] | None = None,
+    variables: dict[str, Any] | None = None,
+    dashboard_id: str = "",
+    max_rows: int = QUERY_MAX_ROWS,
+) -> GetResult:
+    """Execute a ``;``-separated dashboard script and build the render tree."""
+    params = params or {}
+    result = GetResult()
+    next_label = ""
+    hide_next_content_section = False
+    next_is_download = False
+    next_mark_lines: list[MarkLine] = []
+
+    clean = sqltool.strip_sql_comments(content)
+    statements = sqltool.split_sql_queries(clean)
+
+    vars_ = _VarState(variables)
+    defined_vars = vars_.defined()
+    unset_vars: list[str] = []
+    unset_seen: set[str] = set()
+    download_link_params: dict[str, Any] = {}
+    macros: dict[str, _Macro] = {}
+    header_image = ""
+    footer_link = ""
+    min_ms_all: int | None = None
+    max_ms_all: int | None = None
+
+    for query_index, sql_string in enumerate(statements):
+        sql_string = sql_string.strip()
+        if not sql_string:
+            continue
+
+        for var_name in find_variable_refs(sql_string):
+            if var_name not in defined_vars and var_name not in unset_seen:
+                unset_seen.add(var_name)
+                unset_vars.append(var_name)
+        m = _SET_VARIABLE_RE.match(sql_string)
+        if m:
+            defined_vars.add(m.group(1) or m.group(2))
+
+        if not sqltool.is_allowed_statement(sql_string):
+            raise DashboardError(
+                f"Disallowed SQL statement in query {query_index + 1}"
+            )
+        if next_is_download:
+            next_is_download = False
+            continue
+        if (
+            hide_next_content_section
+            and not sqltool.is_side_effect(sql_string)
+            and not can_start_section(sql_string)
+        ):
+            continue
+
+        if sqltool.is_side_effect(sql_string):
+            _execute_side_effect(spark, sql_string, vars_, macros)
+            continue
+
+        columns, rows = _run_query(
+            spark, sql_string, vars_, macros, max_rows
+        )
+
+        query = Query(rows=rows)
+
+        if is_label(columns, rows):
+            v = rows[0][0]
+            next_label = v if isinstance(v, str) else ""
+            continue
+
+        if is_section_title(columns, rows):
+            if (
+                not result.sections
+                or result.sections[-1].type != "header"
+                or result.sections[-1].title is not None
+            ):
+                result.sections.append(Section(type="header"))
+            hide_next_content_section = False
+            last = result.sections[-1]
+            if not rows:
+                hide_next_content_section = True
+                continue
+            v = rows[0][0]
+            last.title = v if isinstance(v, str) and v else None
+            continue
+
+        if is_reload(columns, rows):
+            if result.reload_at != 0:
+                raise DashboardError(
+                    f"Multiple RELOAD queries in dashboard {dashboard_id}"
+                )
+            result.reload_at = _get_schedule_time(rows)
+            continue
+
+        if is_header_image(columns, rows):
+            header_image = _get_single_value(rows)
+            continue
+        if is_footer_link(columns, rows):
+            footer_link = _get_single_value(rows)
+            continue
+
+        lines, ok = _get_mark_lines(columns, rows)
+        if ok:
+            next_mark_lines.extend(lines)
+            continue
+
+        rinfo = get_render_info(columns, rows, next_label, next_mark_lines)
+        query.render = _render_to_dict(rinfo)
+        if rinfo.download in ("csv", "xlsx", "json"):
+            next_is_download = True
+
+        for ci, col in enumerate(columns):
+            col.tag = map_tag(ci, rinfo)
+            col.type = map_wire_type(col, rows, ci)
+        query.columns = columns
+
+        _build_download_links(
+            query, rinfo, dashboard_id, query_index, params, download_link_params
+        )
+
+        _collect_vars(vars_, rinfo.type, params, columns, rows)
+        defined_vars |= vars_.defined()
+        _collect_download_link_params(
+            download_link_params, rinfo.type, params, columns, rows
+        )
+
+        mn, mx = normalize_rows(columns, rows)
+        if mn is not None and (min_ms_all is None or mn < min_ms_all):
+            min_ms_all = mn
+        if mx is not None and (max_ms_all is None or mx > max_ms_all):
+            max_ms_all = mx
+
+        wanted = "header" if rinfo.type in _HEADER_RENDER_TYPES else "content"
+        if result.sections and result.sections[-1].type == wanted:
+            result.sections[-1].queries.append(query)
+        else:
+            if not hide_next_content_section or wanted != "content":
+                result.sections.append(Section(type=wanted, queries=[query]))
+            if wanted == "header":
+                hide_next_content_section = False
+
+        next_label = ""
+        next_mark_lines = []
+
+    if result.sections and result.sections[0].title:
+        result.name = result.sections[0].title
+    result.min_time_value = min_ms_all
+    result.max_time_value = max_ms_all
+    result.header_image = header_image or None
+    result.footer_link = footer_link or None
+    result.unset_variables = unset_vars
+    return result
+
+
+def _render_to_dict(r: RenderInfo) -> dict[str, Any]:
+    d: dict[str, Any] = {"type": r.type}
+    if r.label is not None:
+        d["label"] = r.label
+    if r.gauge_categories:
+        d["gaugeCategories"] = [g.to_dict() for g in r.gauge_categories]
+    if r.mark_lines:
+        d["markLines"] = [m.to_dict() for m in r.mark_lines]
+    return d
+
+
+def _execute_side_effect(
+    spark: SparkSession,
+    sql_string: str,
+    vars_: _VarState,
+    macros: dict[str, _Macro],
+) -> None:
+    upper = sql_string.upper().strip()
+    m = _SET_VARIABLE_RE.match(sql_string)
+    if m:
+        name = m.group(1) or m.group(2)
+        expr = vars_.substitute(m.group(3).strip())
+        expr = _expand_macros(expr, macros)
+        value = _eval_scalar(spark, rewrite_statement("SELECT " + expr).sql[7:])
+        if isinstance(value, list):
+            vars_.lists[name] = [str(v) for v in value]
+            vars_.raw.pop(name, None)
+        elif isinstance(value, str):
+            vars_.raw[name] = "'" + sqltool.escape_sql_string(value) + "'"
+            vars_.lists.pop(name, None)
+        elif isinstance(value, bool):
+            vars_.raw[name] = "TRUE" if value else "FALSE"
+        elif isinstance(value, (int, float)):
+            vars_.raw[name] = repr(value)
+            vars_.lists.pop(name, None)
+        elif isinstance(value, dt.datetime):
+            vars_.raw[name] = "TIMESTAMP '" + value.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+        elif isinstance(value, dt.date):
+            vars_.raw[name] = "DATE '" + value.strftime("%Y-%m-%d") + "'"
+        elif value is None:
+            vars_.raw[name] = "NULL"
+        return
+    m = _RESET_VARIABLE_RE.match(sql_string)
+    if m:
+        name = m.group(1) or m.group(2)
+        vars_.raw.pop(name, None)
+        vars_.lists.pop(name, None)
+        return
+    macro = _parse_macro(sql_string)
+    if macro:
+        macros[macro.name] = macro
+        return
+    if upper.startswith(("BEGIN", "COMMIT", "ROLLBACK", "ABORT", "ATTACH")):
+        return  # no transactions on Spark; per-statement atomicity only
+    if _CREATE_TEMP_TABLE_RE.match(sql_string):
+        # Spark has no temp tables — a temp view gives the same
+        # statement-scoped namespace (lazily recomputed; CACHE TABLE would
+        # materialize it if a dashboard needs it hot).
+        sql_string = _CREATE_TEMP_TABLE_RE.sub(
+            lambda m2: "CREATE OR REPLACE TEMPORARY VIEW ", sql_string
+        )
+        rewritten = rewrite_statement(vars_.substitute(sql_string)).sql
+        spark.sql(rewritten)
+        return
+    # USE / CALL / CREATE TEMP VIEW — run through Spark directly.
+    rewritten = rewrite_statement(vars_.substitute(sql_string)).sql
+    rewritten = _expand_macros(rewritten, macros)
+    spark.sql(rewritten)
+
+
+def _run_query(
+    spark: SparkSession,
+    sql_string: str,
+    vars_: _VarState,
+    macros: dict[str, _Macro],
+    max_rows: int,
+) -> tuple[list[Column], list[list[Any]]]:
+    upper = sql_string.upper().strip()
+    if upper.startswith("SUMMARIZE"):
+        df = _run_summarize(spark, vars_.substitute(sql_string))
+        tags: dict[int, str] = {}
+    else:
+        sub = vars_.substitute(sql_string)
+        sub = _expand_macros(sub, macros)
+        rw = rewrite_statement(sub)
+        df = spark.sql(rw.sql)
+        tags = rw.column_tags
+    limited = df.limit(max_rows + 1)
+    collected = limited.collect()
+    truncated = collected[:max_rows]
+    columns = [
+        Column(
+            name=f.name,
+            nullable=f.nullable,
+            custom_type=tags.get(i),
+            spark_type=f.dataType.simpleString(),
+        )
+        for i, f in enumerate(df.schema.fields)
+    ]
+    rows = [list(r) for r in truncated]
+    return columns, rows
+
+
+def _build_download_links(
+    query: Query,
+    rinfo: RenderInfo,
+    dashboard_id: str,
+    query_index: int,
+    params: dict[str, Any],
+    download_link_params: dict[str, Any],
+) -> None:
+    if not rinfo.download or not query.rows:
+        return
+    for ci, col in enumerate(query.columns):
+        if col.tag != "download":
+            continue
+        v = query.rows[0][ci]
+        filename = v if isinstance(v, str) else ""
+        link_params: dict[str, Any] = {}
+        if rinfo.download == "pdf":
+            if params:
+                link_params["vars"] = base64.standard_b64encode(
+                    json.dumps(params).encode()
+                ).decode()
+        else:
+            link_params["vars"] = base64.standard_b64encode(
+                json.dumps(download_link_params).encode()
+            ).decode()
+            link_params["query_id"] = str(query_index + 1)
+        qs = "?" + urllib.parse.urlencode(link_params) if link_params else ""
+        target_id = dashboard_id
+        if rinfo.download == "pdf" and rinfo.download_id_index is not None:
+            idv = query.rows[0][rinfo.download_id_index]
+            target_id = idv if isinstance(idv, str) else ""
+        query.rows[0][ci] = (
+            f"api/dashboards/{target_id}/download/"
+            f"{urllib.parse.quote(filename)}.{rinfo.download}{qs}"
+        )
+
+
+def _collect_download_link_params(
+    link_params: dict[str, Any],
+    render_type: str,
+    params: dict[str, Any],
+    columns: list[Column],
+    rows: list[list[Any]],
+) -> None:
+    """Like _collect_vars but writes plain strings destined for download
+    URLs (reference collectDownloadLinkParams, get_dashboard.go:1794-2058)."""
+
+    def get_param(name: str) -> str:
+        v = params.get(name)
+        if isinstance(v, list):
+            return v[0] if v else ""
+        return v or ""
+
+    if render_type == "dropdown":
+        idx = next((i for i, c in enumerate(columns) if c.tag == "value"), -1)
+        if idx == -1:
+            return
+        name = columns[idx].name
+        param = get_param(name)
+        if param and not any(row[idx] == param for row in rows):
+            param = ""
+        if not param and rows and isinstance(rows[0][idx], str):
+            param = rows[0][idx]
+        if param:
+            link_params[name] = param
+    elif render_type == "dropdownMulti":
+        idx = next((i for i, c in enumerate(columns) if c.tag == "value"), -1)
+        if idx == -1:
+            return
+        name = columns[idx].name
+        provided = name in params
+        raw = params.get(name, [])
+        plist = list(raw) if isinstance(raw, list) else [raw]
+        if plist:
+            valid = {row[idx] for row in rows if isinstance(row[idx], str)}
+            plist = [p for p in plist if p in valid]
+        if not plist and not provided:
+            plist = [row[idx] for row in rows if isinstance(row[idx], str)]
+        link_params[name] = plist
+    elif render_type in ("datepicker", "daterangePicker", "input"):
+        for i, c in enumerate(columns):
+            if c.tag in ("default", "defaultFrom", "defaultTo"):
+                name = c.name
+                param = get_param(name)
+                if not param and rows:
+                    v = rows[0][i]
+                    if isinstance(v, (dt.date, dt.datetime)):
+                        param = v.strftime("%Y-%m-%d")
+                if param:
+                    link_params[name] = param
+            elif c.tag == "hint":
+                param = get_param(c.name)
+                if param:
+                    link_params[c.name] = param

@@ -1,0 +1,336 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (the point of this module):
+
+* Exact dedup is a single hash aggregate — one shuffle on the content
+  hash, map-side partial aggregation for free.
+* Jaccard / MinHash avoid the O(n²) all-pairs comparison: candidate pairs
+  come from a *posting-list self-join* (shingle → docs) or *LSH band
+  buckets* (band-hash → docs). The shuffle key is the shingle/bucket, so
+  work scales with Σ bucket² not n². Hot shingles are dropped via a
+  document-frequency cap (`max_df`) — the classic stop-shingle
+  optimization that keeps the join skew-free at 100 TB.
+* All hashing is md5-based and engine-portable, so a DuckDB oracle can
+  reproduce signatures bit-for-bit (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "exact_duplicates",
+    "dedup_exact",
+    "shingle_tokens",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "simhash_near_dups",
+    "embedding_near_dups",
+]
+
+
+def exact_duplicates(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Groups of byte-identical rows: (content_hash, n_docs, doc_ids).
+
+    One shuffle on the md5 of the concatenated columns; partial counts
+    combine map-side."""
+    cols = cols or df.columns
+    fingerprint = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    return (
+        df.select(fingerprint.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per content group (deterministic winner).
+
+    Expressed as min-by aggregate, not a window over the whole table —
+    a single shuffle on the content key and no per-group sort."""
+    fingerprint = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    )
+    winners = (
+        df.withColumn("__h", fingerprint)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def shingle_tokens(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Built from split + transform (JVM-side higher-order functions, no
+    Python UDF): shingle i = words[i..i+k-1]."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def _df_capped(postings: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles appearing in more than max_df documents (stop-shingle
+    pruning — they generate O(df²) pairs and carry no signal)."""
+    if max_df is None:
+        return postings
+    hot = (
+        postings.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return postings.join(hot, "shingle", "left_anti")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from a posting-list
+    self-join: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+
+    |A∩B| falls out of the join group-count; |A∪B| = |A|+|B|−|A∩B| from
+    per-doc shingle counts (broadcastable side table)."""
+    postings = _df_capped(shingle_tokens(df, id_col, text_col, k), max_df)
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("ca"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("cb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _portable_hash(col, seed: int):
+    """32-bit hash from md5 — reproducible in any engine with md5+conv.
+
+    xxhash64 would be faster JVM-side; md5 keeps the DuckDB oracle able
+    to replay signatures exactly. Swap via the `hash_fn` seam if parity
+    isn't needed."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MinHash signature per document: (id, sig array<bigint>).
+
+    One explode over shingles × num_hashes min-aggregates (all partial,
+    map-side combinable): sig[i] = min over shingles of H_i(shingle)."""
+    postings = _df_capped(shingle_tokens(df, id_col, text_col, k), max_df)
+    aggs = [
+        F.min(_portable_hash(F.col("shingle"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = postings.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a
+    candidate pair. Shuffle key = (band index, band hash) — pair count
+    scales with bucket sizes, never n²."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, max_df)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[i].cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint per document: (id, simhash bigint).
+
+    Token hash bits are md5-derived (portable); bit j of the fingerprint
+    is the sign of Σ_tokens (±1). Implemented as explode(tokens) ×
+    explode(bit index) → two-level aggregate — all JVM-side."""
+    tokens = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    # 32-bit token hash from md5 (fits comfortably in bigint arithmetic).
+    hashed = tokens.withColumn(
+        "th",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
+    )
+    bit = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.col("th"),
+    ).withColumn(
+        "contrib",
+        F.when(F.shiftright(F.col("th"), F.col("j")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+    bitsum = bit.groupBy("id", "j").agg(F.sum("contrib").alias("s"))
+    return bitsum.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("j"))).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation blocks on bit-chunks (pigeonhole: two hashes
+    within distance d share at least one of d+1 chunks untouched), so the
+    join key is (chunk index, chunk value) — no all-pairs comparison."""
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    sh = simhash(df, id_col, text_col, bits)
+    mask = (1 << chunk_bits) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("ci"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("cv"),
+        )
+        for c in range(chunks)
+    ]
+    blocked = sh.select(
+        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("ch")
+    ).select("id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity ≥ threshold.
+
+    Brute-force O(n²) kernel, JVM-side (zip_with + aggregate, no Python).
+    At real scale, feed candidate pairs from similarity.lsh_buckets
+    instead of the cross join — the kernel itself is unchanged."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm.alias("n"),
+    )
+    a = side.alias("a")
+    b = side.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", dot / (F.col("a.n") * F.col("b.n")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -286,6 +286,55 @@ _FN_RENAMES = {
 }
 
 _COUNT_EMPTY_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+
+# Keywords after which a '[' must be a list literal, not array indexing.
+_PRE_LITERAL_KEYWORDS = frozenset(
+    "SELECT FROM WHERE AND OR NOT IN WHEN THEN ELSE END AS ON BY HAVING "
+    "LIMIT OFFSET UNION ALL DISTINCT CASE RETURN VALUES SET ARRAY THEN "
+    "BETWEEN LIKE ILIKE IS EXCEPT INTERSECT".split()
+)
+
+
+def _rewrite_bracket_literals(sql: str) -> str:
+    """DuckDB list literals ``[a, b, c]`` → Spark ``array(a, b, c)``.
+
+    A ``[`` directly following an identifier or ``)``/``]`` is array
+    indexing and is left alone; anything else opens a literal."""
+    states = _scan_states(sql)
+    out: list[str] = []
+    # Stack entries: True if the matching ']' belongs to a literal.
+    stack: list[bool] = []
+    for i, c in enumerate(sql):
+        if states[i] != 0:
+            out.append(c)
+            continue
+        if c == "[":
+            j = i - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            is_literal = True
+            if j >= 0:
+                prev = sql[j]
+                if prev in (")", "]") or (states[j] == 2 and prev == '"'):
+                    is_literal = False
+                elif _IDENT_CHARS.match(prev):
+                    # Take the whole previous word; keywords → literal.
+                    k = j
+                    while k >= 0 and _IDENT_CHARS.match(sql[k]):
+                        k -= 1
+                    word = sql[k + 1 : j + 1].upper()
+                    is_literal = word in _PRE_LITERAL_KEYWORDS
+            stack.append(is_literal)
+            out.append("array(" if is_literal else "[")
+            continue
+        if c == "]":
+            if stack and stack.pop():
+                out.append(")")
+            else:
+                out.append("]")
+            continue
+        out.append(c)
+    return "".join(out)
 _FETCH_RE = re.compile(
     r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE
 )
@@ -468,6 +517,9 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # count() → count(*)
     sql = _COUNT_EMPTY_RE.sub("count(*)", sql)
+
+    # [a, b] list literals → array(a, b)
+    sql = _rewrite_bracket_literals(sql)
 
     # FETCH FIRST n ROWS ONLY → LIMIT n
     sql = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", sql)

@@ -47,6 +47,10 @@ def get_spark(app_name: str = "shaper_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # The synthetic test parquet uses TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as int64 nanos and convert in
+        # register_sf_tables.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,4 +67,35 @@ def register_sf_tables(spark: SparkSession, sf_dir: str) -> None:
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_parquet(spark, path).createOrReplaceTempView(name)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (read by Spark as int64
+    under nanosAsLong)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    out = []
+    for field_ in schema:
+        t = field_.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field_.name)
+    return out
+
+
+def load_parquet(spark: SparkSession, path: str):
+    """Read a parquet file, converting nano-timestamp columns back to
+    TimestampType (micros). At real scale this conversion would be a
+    one-time ETL rewrite; the view-level cast keeps tests exact."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_columns(path):
+        df = df.withColumn(
+            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+        )
+    return df
