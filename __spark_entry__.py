@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship dashboard query at sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (core SQL surface + dialect rewrite path) and the
+training-data pipeline extras (dedup / text / similarity);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the differential
+correctness gate. Column names/aliases match pairwise; doubles are
+rounded in both engines to absorb summation-order noise.
 """
 
 from __future__ import annotations
@@ -13,26 +15,752 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
+    from shaper_spark.session import register_sf_tables
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_sf_tables(spark, sf_dir)
+    _REGISTERED.add(key)
+
+
+def _sql(text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark, sf_dir)
+        return spark.sql(text)
+
+    return run
+
+
+def _dialect(text: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Run DuckDB-dialect SQL through the engine's rewrite layer
+    (custom-type casts, count(), GROUP BY ALL, list literals, …)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from shaper_spark.rewrite import rewrite_statement
+
+        _prep(spark, sf_dir)
+        return spark.sql(rewrite_statement(text).sql)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Core SQL surface (same text runs on Spark and DuckDB unless split below)
+# ---------------------------------------------------------------------------
+
+Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+Q3_SHIPPING = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+Q5_REGION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+Q6_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend,
+       count(*) AS n_orders
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+"""
+
+MONTHLY_REVENUE = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+STATUS_PIVOT = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+NATIONS_INTERSECT = """
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+INTERSECT
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+NATIONS_EXCEPT = """
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+EXCEPT
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+PERCENTILES_SPARK = """
+SELECT l_returnflag,
+       round(percentile(l_extendedprice, 0.25), 4) AS p25,
+       round(percentile(l_extendedprice, 0.5), 4) AS p50,
+       round(percentile(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+PERCENTILES_DUCK = PERCENTILES_SPARK.replace("percentile(", "quantile_cont(")
+
+BOXPLOT_SPARK = """
+WITH q AS (
+  SELECT l_returnflag,
+         percentile(l_quantity, 0.25) AS q1,
+         percentile(l_quantity, 0.5) AS q2,
+         percentile(l_quantity, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT q.l_returnflag,
+       round(q.q1, 6) AS q1, round(q.q2, 6) AS q2, round(q.q3, 6) AS q3,
+       round(min(l.l_quantity) FILTER (WHERE l.l_quantity >= q.q1 - 1.5 * (q.q3 - q.q1)), 6) AS lo_whisker,
+       round(max(l.l_quantity) FILTER (WHERE l.l_quantity <= q.q3 + 1.5 * (q.q3 - q.q1)), 6) AS hi_whisker,
+       CAST(count(*) FILTER (WHERE l.l_quantity < q.q1 - 1.5 * (q.q3 - q.q1)
+                                OR l.l_quantity > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT) AS n_outliers
+FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+GROUP BY q.l_returnflag, q.q1, q.q2, q.q3
+ORDER BY q.l_returnflag
+"""
+BOXPLOT_DUCK = BOXPLOT_SPARK.replace("percentile(", "quantile_cont(")
+
+CUSTOMER_RANK = """
+SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT n_name, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+) t
+WHERE rnk <= 3 ORDER BY n_name, rnk
+"""
+
+CUMULATIVE_REVENUE = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       round(sum(rev) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+FROM m ORDER BY month
+"""
+
+MOVING_AVG = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, sum(value) AS v FROM events GROUP BY 1
+)
+SELECT day,
+       round(avg(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM d ORDER BY day
+"""
+
+ORDERS_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+CUSTOMERS_WITH_ORDERS = """
+SELECT count(*) AS n_customers FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+PARTS_ABOVE_BRAND_AVG = """
+SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+ORDER BY p_partkey
+"""
+
+EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+EVENTS_JSON_SPARK = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(get_json_object(props, '$.k') AS INT)), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+EVENTS_JSON_DUCK = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+SESSIONIZE_SPARK = """
+WITH w AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev IS NULL
+                       OR unix_timestamp(ts) - unix_timestamp(prev) > 1800
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+SESSIONIZE_DUCK = SESSIONIZE_SPARK.replace("unix_timestamp(", "epoch(")
+
+VALUE_BUCKETS = """
+SELECT CASE WHEN value < 10 THEN 'low'
+            WHEN value < 100 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+BIG_CUSTOMERS_HAVING = """
+SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey HAVING count(*) >= 5 ORDER BY o_custkey
+"""
+
+CTE_RECURSIVE_STYLE = """
+WITH seg AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1),
+     tot AS (SELECT sum(n) AS t FROM seg)
+SELECT s.c_mktsegment, CAST(s.n AS BIGINT) AS n,
+       round(s.n * 100.0 / t.t, 4) AS pct
+FROM seg s CROSS JOIN tot t ORDER BY s.c_mktsegment
+"""
+
+# Dialect-rewrite path (DuckDB-flavored SQL through shaper_spark.rewrite).
+DASHBOARD_WEEKLY_DIALECT = """
+SELECT date_trunc('week', ts)::XAXIS AS week, event_type::CATEGORY AS category,
+       count()::BARCHART_STACKED AS n
+FROM events GROUP BY ALL ORDER BY ALL
+"""
+DASHBOARD_WEEKLY_DUCK = """
+SELECT date_trunc('week', ts) AS week, event_type AS category, count(*) AS n
+FROM events GROUP BY ALL ORDER BY ALL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (Spark = shaper_spark.operators;
+# oracle = the same algorithm spelled in DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shaper_spark.operators.dedup import exact_duplicates
+
+    _prep(spark, sf_dir)
+    df = spark.table("documents").select("lang", "source")
+    return exact_duplicates(df, ["lang", "source"]).orderBy("content_hash")
+
+
+DEDUP_EXACT_DUCK = """
+SELECT md5(concat_ws(chr(31), CAST(lang AS VARCHAR), CAST(source AS VARCHAR))) AS content_hash,
+       count(*) AS n_docs
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1
+"""
+
+
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shaper_spark.operators.dedup import jaccard_pairs
+
+    _prep(spark, sf_dir)
+    df = spark.table("documents")
+    return jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+JACCARD_DUCK = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (ca.c + cb.c - inter), 6) AS jaccard
+FROM pairs
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE inter * 1.0 / (ca.c + cb.c - inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shaper_spark.operators.dedup import lsh_candidate_pairs
+
+    _prep(spark, sf_dir)
+    df = spark.table("documents")
+    return lsh_candidate_pairs(
+        df, "doc_id", "text", k=3, num_hashes=8, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+_MINHASH_MINS = ",\n  ".join(
+    f"min(('0x' || substr(md5('{i}:' || shingle), 1, 8))::BIGINT) AS h{i}"
+    for i in range(8)
+)
+_MINHASH_BANDS = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{2*b} || ',' || h{2*b+1}) AS bucket FROM sig"
+    for b in range(4)
+)
+MINHASH_LSH_DUCK = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+sig AS (
+  SELECT doc_id,
+  {_MINHASH_MINS}
+  FROM sh2 GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shaper_spark.operators.dedup import simhash
+
+    _prep(spark, sf_dir)
+    df = spark.table("documents").filter("doc_id < 100")
+    return (
+        simhash(df, "doc_id", "text", bits=32)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SIMHASH_DUCK = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 100
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM tok WHERE len(tok) > 0
+),
+bits AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN CAST(floor(h / pow(2, j.j)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT range AS j FROM range(32)) j
+  GROUP BY doc_id, j.j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.text import token_stats
+
+    _prep(spark, sf_dir)
+    stats = token_stats(spark.table("documents"), "doc_id", "text")
+    docs = spark.table("documents").select("doc_id", "lang")
+    return (
+        stats.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_STATS_DUCK = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+       round(avg(length(text)), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shaper_spark.operators.text import quality_score
+
+    _prep(spark, sf_dir)
+    return quality_score(spark.table("documents"), "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+QUALITY_DUCK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stop AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE lower(w) IN
+           ('the','and','of','to','a','in','is','that','for','it')) AS hits
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) AS nw,
+         greatest(len(string_split(d.text, ' ')), 1) AS nw1,
+         greatest(length(d.text), 1) AS nc1,
+         length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+         coalesce(s.hits, 0) AS hits
+  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
+)
+SELECT doc_id,
+       round(least(nw / 50.0, 1.0), 6) AS length_score,
+       round(punct * 1.0 / nc1, 6) AS punct_ratio,
+       round(hits * 1.0 / nw1, 6) AS stopword_ratio,
+       round(least(nw / 50.0, 1.0) * 0.4
+             + least(hits * 1.0 / nw1 * 5, 1.0) * 0.4
+             + (1 - least(punct * 1.0 / nc1 * 10, 1.0)) * 0.2, 6) AS quality
+FROM base ORDER BY doc_id
+"""
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.text import language_id
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    pred = language_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _lang_filter_sql(lang: str) -> str:
+    from shaper_spark.operators.text import LANG_STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"count(*) FILTER (WHERE w IN ({words})) AS score_{lang}"
+
+
+def _lang_id_duck() -> str:
+    scores = ",\n         ".join(_lang_filter_sql(lang) for lang in _LANGS)
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+    cases = "\n           ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in _LANGS
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS w FROM documents
+),
+sc AS (
+  SELECT doc_id,
+         {scores}
+  FROM tok GROUP BY doc_id
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN {greatest} = 0 THEN 'und'
+           {cases}
+         END AS lang_pred
+  FROM sc
+)
+SELECT d.lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shaper_spark.operators.text import doc_fingerprint
+
+    _prep(spark, sf_dir)
+    return (
+        doc_fingerprint(spark.table("documents"), "doc_id", "text", k=5, sketch=4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_DUCK = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 4),
+                i -> array_to_string(w[i+1:i+5], ' ')))) AS shingle
+  FROM words
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+  FROM sh WHERE len(shingle) > 0
+)
+SELECT doc_id, array_to_string(list_sort(list(h))[1:4], '-') AS fingerprint
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_embedding_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.similarity import cosine_topk
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 20")
+    return (
+        cosine_topk(emb, queries, "vec_id", "embedding", k=1)
+        .select("query_id", "neighbor_id", "cosine")
+        .orderBy("query_id")
+    )
+
+
+EMBEDDING_TOP1_DUCK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+FROM r WHERE rn = 1 ORDER BY query_id
+"""
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.dedup import embedding_near_dups
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+EMBEDDING_NEARDUP_DUCK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — numpy-seeded hyperplanes, not SQL-expressible;
+    rows-only check (no oracle entry)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.similarity import lsh_topk
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 20")
+    return lsh_topk(emb, queries, "vec_id", "embedding", k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZE emulation — dialect statement handler; output shape is
+    engine-defined, so rows-only check (no oracle)."""
+    from shaper_spark.engine import _run_summarize
+
+    _prep(spark, sf_dir)
+    return _run_summarize(spark, "SUMMARIZE nation")
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the README dashboard query through the dialect rewriter."""
+    return _dialect(DASHBOARD_WEEKLY_DIALECT)(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _sql(Q1_PRICING),
+        "q3_shipping_priority": _sql(Q3_SHIPPING),
+        "q5_region_revenue": _sql(Q5_REGION_REVENUE),
+        "q6_revenue_filter": _sql(Q6_REVENUE),
+        "top_customers": _sql(TOP_CUSTOMERS),
+        "monthly_revenue": _sql(MONTHLY_REVENUE),
+        "status_pivot": _sql(STATUS_PIVOT),
+        "nations_intersect": _sql(NATIONS_INTERSECT),
+        "nations_except": _sql(NATIONS_EXCEPT),
+        "percentiles": _sql(PERCENTILES_SPARK),
+        "boxplot_whiskers": _sql(BOXPLOT_SPARK),
+        "customer_rank_topk": _sql(CUSTOMER_RANK),
+        "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
+        "moving_avg_7d": _sql(MOVING_AVG),
+        "orders_rollup": _sql(ORDERS_ROLLUP),
+        "customers_no_orders": _sql(CUSTOMERS_NO_ORDERS),
+        "customers_with_orders": _sql(CUSTOMERS_WITH_ORDERS),
+        "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
+        "events_hourly": _sql(EVENTS_HOURLY),
+        "events_json_props": _sql(EVENTS_JSON_SPARK),
+        "events_sessionize": _sql(SESSIONIZE_SPARK),
+        "value_buckets": _sql(VALUE_BUCKETS),
+        "distinct_users": _sql(DISTINCT_USERS),
+        "big_customers_having": _sql(BIG_CUSTOMERS_HAVING),
+        "cte_share_pct": _sql(CTE_RECURSIVE_STYLE),
+        "dashboard_weekly": _dialect(DASHBOARD_WEEKLY_DIALECT),
+        "dedup_exact_groups": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "text_token_stats": _q_token_stats,
+        "text_quality": _q_quality,
+        "text_lang_id": _q_lang_id,
+        "text_fingerprint": _q_fingerprint,
+        "embedding_top1": _q_embedding_top1,
+        "embedding_neardup": _q_embedding_neardup,
+        "similarity_lsh_topk": _q_lsh_topk,
+        "summarize_table": _q_summarize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_PRICING,
+        "q3_shipping_priority": Q3_SHIPPING,
+        "q5_region_revenue": Q5_REGION_REVENUE,
+        "q6_revenue_filter": Q6_REVENUE,
+        "top_customers": TOP_CUSTOMERS,
+        "monthly_revenue": MONTHLY_REVENUE,
+        "status_pivot": STATUS_PIVOT,
+        "nations_intersect": NATIONS_INTERSECT,
+        "nations_except": NATIONS_EXCEPT,
+        "percentiles": PERCENTILES_DUCK,
+        "boxplot_whiskers": BOXPLOT_DUCK,
+        "customer_rank_topk": CUSTOMER_RANK,
+        "cumulative_revenue": CUMULATIVE_REVENUE,
+        "moving_avg_7d": MOVING_AVG,
+        "orders_rollup": ORDERS_ROLLUP,
+        "customers_no_orders": CUSTOMERS_NO_ORDERS,
+        "customers_with_orders": CUSTOMERS_WITH_ORDERS,
+        "parts_above_brand_avg": PARTS_ABOVE_BRAND_AVG,
+        "events_hourly": EVENTS_HOURLY,
+        "events_json_props": EVENTS_JSON_DUCK,
+        "events_sessionize": SESSIONIZE_DUCK,
+        "value_buckets": VALUE_BUCKETS,
+        "distinct_users": DISTINCT_USERS,
+        "big_customers_having": BIG_CUSTOMERS_HAVING,
+        "cte_share_pct": CTE_RECURSIVE_STYLE,
+        "dashboard_weekly": DASHBOARD_WEEKLY_DUCK,
+        "dedup_exact_groups": DEDUP_EXACT_DUCK,
+        "dedup_jaccard_pairs": JACCARD_DUCK,
+        "dedup_minhash_lsh": MINHASH_LSH_DUCK,
+        "dedup_simhash": SIMHASH_DUCK,
+        "text_token_stats": TOKEN_STATS_DUCK,
+        "text_quality": QUALITY_DUCK,
+        "text_lang_id": _lang_id_duck(),
+        "text_fingerprint": FINGERPRINT_DUCK,
+        "embedding_top1": EMBEDDING_TOP1_DUCK,
+        "embedding_neardup": EMBEDDING_NEARDUP_DUCK,
+        # similarity_lsh_topk, summarize_table: rows-only (see docstrings)
+    }

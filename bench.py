@@ -1,0 +1,91 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing excludes session startup (a long-lived engine amortizes it — the
+reference keeps DuckDB warm the same way) but includes full execution +
+collect of each query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "top_customers",
+    "monthly_revenue",
+    "customer_rank_topk",
+    "cumulative_revenue",
+    "orders_rollup",
+    "events_hourly",
+    "events_sessionize",
+    "distinct_users",
+    "dashboard_weekly",
+    "dedup_exact_groups",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "text_quality",
+    "embedding_top1",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from shaper_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None)
+
+    queries = entrymod.queries()
+    # Warm the session + parquet footers once (not timed): tiny action.
+    from shaper_spark.session import register_sf_tables
+
+    register_sf_tables(spark, sf_dir)
+    spark.sql("SELECT count(*) FROM region").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            rows = fn(spark, sf_dir).collect()
+            _ = len(rows)
+        except Exception as e:  # a failed query counts as missing, loudly
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        dt_ = round(time.perf_counter() - t0, 4)
+        timings[name] = dt_
+        total += dt_
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

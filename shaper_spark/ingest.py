@@ -1,0 +1,348 @@
+"""JSON ingestion with schema inference, evolution, and micro-batched
+appends — the Spark rebuild of the reference's NATS/DuckDB ingest path
+(reference: server/ingest/ingest.go).
+
+Semantics preserved:
+  * type inference per column from sampled values: BOOLEAN / DOUBLE (any
+    number) / TIMESTAMP / DATE (string-format sniffing) / VARCHAR / JSON
+    (mixed or nested) — ingest.go:346-497. Spark's own JSON inference is
+    NOT used (it infers long vs double and no date sniffing).
+  * mandatory ``_id`` VARCHAR (supplied or generated) and ``_ts``
+    TIMESTAMP (payload value, else arrival time) first — ingest.go:46-47.
+  * auto CREATE TABLE preserving JSON key order; auto ALTER TABLE ADD
+    COLUMN for new fields; NO type widening — ingest.go:9,531-618.
+  * batching: ≤3000 messages or 2s timeout — ingest.go:41-44.
+
+Scale: each flush is one ``spark.createDataFrame`` (Arrow) + one
+columnar append to a catalog parquet table — no per-row inserts. On a
+cluster the same ``IngestBuffer.flush`` body runs inside
+``foreachBatch`` of a Structured Streaming query (see streaming/).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import re
+import secrets
+import threading
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession, functions as F, types as T
+
+__all__ = [
+    "determine_column_type",
+    "detect_schema_from_batch",
+    "IngestBuffer",
+    "validate_table_name",
+    "BATCH_SIZE",
+    "BATCH_TIMEOUT_S",
+]
+
+BATCH_SIZE = 3000
+BATCH_TIMEOUT_S = 2.0
+ID_COLUMN = "_id"
+TS_COLUMN = "_ts"
+
+_TABLE_PART_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9_]{0,127}$")
+
+# String formats sniffed for TIMESTAMP/DATE (ingest.go:57-68). Formats
+# containing a time component classify as TIMESTAMP, the rest as DATE.
+_TS_FORMATS = [
+    ("%Y-%m-%dT%H:%M:%S%z", True),
+    ("%Y-%m-%dT%H:%M:%S.%f%z", True),
+    ("%Y-%m-%d %H:%M:%S", True),
+    ("%Y-%m-%dT%H:%M:%S", True),
+    ("%Y-%m-%dT%H:%M:%S.%f", True),
+    ("%Y-%m-%d %H:%M:%S.%f%z", True),
+    ("%Y-%m-%d %H:%M:%S.%f", True),
+    ("%Y-%m-%d", False),
+    ("%m/%d/%Y", False),
+    ("%d/%m/%Y", False),
+    ("%d.%m.%Y", False),
+]
+
+
+def _parse_string_temporal(value: str) -> tuple[dt.datetime | None, bool]:
+    """(parsed, has_time_component) — first matching format wins."""
+    for fmt, has_time in _TS_FORMATS:
+        try:
+            return dt.datetime.strptime(value, fmt), has_time
+        except ValueError:
+            continue
+    return None, False
+
+
+def is_timestamp_string(value: str) -> bool:
+    parsed, has_time = _parse_string_temporal(value)
+    return parsed is not None and has_time
+
+
+def is_date_string(value: str) -> bool:
+    parsed, has_time = _parse_string_temporal(value)
+    return parsed is not None and not has_time
+
+
+def determine_column_type(samples: list[Any]) -> str:
+    """BOOLEAN | DOUBLE | TIMESTAMP | DATE | VARCHAR | JSON
+    (port of ingest.go:434-497; bool is checked before number because
+    Python bool is an int subtype)."""
+    if not samples:
+        return "JSON"
+    has_ts = has_date = has_string = has_number = has_bool = has_complex = False
+    for s in samples:
+        if s is None:
+            continue
+        if isinstance(s, bool):
+            has_bool = True
+        elif isinstance(s, (int, float)):
+            has_number = True
+        elif isinstance(s, str):
+            has_string = True
+            if is_timestamp_string(s):
+                has_ts = True
+            elif is_date_string(s):
+                has_date = True
+        elif isinstance(s, (dict, list)):
+            has_complex = True
+    if has_bool and not (has_string or has_number or has_complex):
+        return "BOOLEAN"
+    if has_number and not (has_string or has_bool or has_complex):
+        return "DOUBLE"
+    if has_string and not (has_number or has_bool or has_complex):
+        if has_ts and not has_date:
+            return "TIMESTAMP"
+        if has_date and not has_ts:
+            return "DATE"
+        return "VARCHAR"
+    return "JSON"
+
+
+def detect_schema_from_batch(
+    messages: list[dict[str, Any]],
+) -> tuple[dict[str, str], list[str]]:
+    """(column → SQL type, ordered column names); ``_id``/``_ts`` first,
+    then fields in first-appearance order (key order preserved — Python
+    dicts are ordered, matching the reference's OrderedJSON)."""
+    if not messages:
+        raise ValueError("cannot detect schema from empty batch")
+    samples: dict[str, list[Any]] = {ID_COLUMN: [], TS_COLUMN: []}
+    ordered = [ID_COLUMN, TS_COLUMN]
+    seen = {ID_COLUMN, TS_COLUMN}
+    for msg in messages:
+        samples[ID_COLUMN].append(msg.get(ID_COLUMN, "placeholder_for_cuid"))
+        samples[TS_COLUMN].append(msg.get(TS_COLUMN, dt.datetime.now()))
+        for field, value in msg.items():
+            if field in (ID_COLUMN, TS_COLUMN):
+                continue
+            if field not in seen:
+                seen.add(field)
+                ordered.append(field)
+                samples[field] = []
+            samples[field].append(value)
+    types = {ID_COLUMN: "VARCHAR", TS_COLUMN: "TIMESTAMP"}
+    for field, vals in samples.items():
+        if field in (ID_COLUMN, TS_COLUMN):
+            continue
+        types[field] = determine_column_type(vals)
+    return types, ordered
+
+
+def validate_table_name(name: str) -> bool:
+    """≤3 dot-separated parts, each [a-zA-Z][a-zA-Z0-9_]{0,127}
+    (reference server/core/events.go:20-31)."""
+    parts = name.split(".")
+    if not 1 <= len(parts) <= 3:
+        return False
+    return all(_TABLE_PART_RE.match(p) for p in parts)
+
+
+_SQL_TO_SPARK = {
+    "BOOLEAN": T.BooleanType(),
+    "DOUBLE": T.DoubleType(),
+    "TIMESTAMP": T.TimestampType(),
+    "DATE": T.DateType(),
+    "VARCHAR": T.StringType(),
+    # No JSON type in Spark — stored as a JSON string column. The
+    # dashboard layer re-detects object-ness by sniffing (normalize.py).
+    "JSON": T.StringType(),
+}
+
+
+def _gen_id() -> str:
+    """cuid2-shaped unique id (lowercase letter + 23 base36 chars)."""
+    alphabet = "0123456789abcdefghijklmnopqrstuvwxyz"
+    return "c" + "".join(secrets.choice(alphabet) for _ in range(23))
+
+
+def _coerce(value: Any, sql_type: str, arrival: dt.datetime) -> Any:
+    if value is None:
+        return None
+    if sql_type == "BOOLEAN":
+        return bool(value) if isinstance(value, bool) else None
+    if sql_type == "DOUBLE":
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        return float(value)
+    if sql_type in ("TIMESTAMP", "DATE"):
+        parsed: dt.datetime | None = None
+        if isinstance(value, dt.datetime):
+            parsed = value
+        elif isinstance(value, (int, float)) and not isinstance(value, bool):
+            # Unix seconds, or milliseconds when too large (ingest.go:835-839)
+            parsed = (
+                dt.datetime.fromtimestamp(value / 1000.0, dt.timezone.utc)
+                if value > 1e11
+                else dt.datetime.fromtimestamp(float(value), dt.timezone.utc)
+            )
+        elif isinstance(value, str):
+            parsed, _ = _parse_string_temporal(value)
+        if parsed is None:
+            return None
+        if parsed.tzinfo is not None:
+            parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return parsed.date() if sql_type == "DATE" else parsed
+    if sql_type == "VARCHAR":
+        return value if isinstance(value, str) else json.dumps(value)
+    # JSON: store the serialized value
+    return value if isinstance(value, str) else json.dumps(value)
+
+
+class IngestBuffer:
+    """Micro-batch ingestion front end.
+
+    ``publish(table, payload)`` buffers; a flush happens at BATCH_SIZE
+    messages or BATCH_TIMEOUT_S seconds (whichever first), grouped by
+    table — mirroring the reference's JetStream consumer
+    (ingest.go:155-268) without the broker.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        batch_size: int = BATCH_SIZE,
+        batch_timeout_s: float = BATCH_TIMEOUT_S,
+    ):
+        self.spark = spark
+        self.batch_size = batch_size
+        self.batch_timeout_s = batch_timeout_s
+        self._buffer: list[tuple[str, dict[str, Any], dt.datetime]] = []
+        self._lock = threading.Lock()
+        self._last_flush = time.monotonic()
+        self._schema_cache: dict[str, dict[str, str]] = {}
+
+    # -- publishing --------------------------------------------------------
+
+    def publish(self, table: str, payload: dict[str, Any]) -> None:
+        if not validate_table_name(table):
+            raise ValueError(f"invalid table name: {table}")
+        with self._lock:
+            self._buffer.append((table, payload, dt.datetime.utcnow()))
+            should_flush = len(self._buffer) >= self.batch_size
+        if should_flush:
+            self.flush()
+
+    def maybe_flush(self) -> None:
+        if (
+            self._buffer
+            and time.monotonic() - self._last_flush >= self.batch_timeout_s
+        ):
+            self.flush()
+
+    # -- flushing ----------------------------------------------------------
+
+    def flush(self) -> None:
+        with self._lock:
+            batch = self._buffer
+            self._buffer = []
+            self._last_flush = time.monotonic()
+        by_table: dict[str, list[tuple[dict[str, Any], dt.datetime]]] = {}
+        for table, payload, arrival in batch:
+            by_table.setdefault(table, []).append((payload, arrival))
+        for table, msgs in by_table.items():
+            self._process_table_batch(table, msgs)
+
+    def _table_schema(self, table: str) -> dict[str, str] | None:
+        if table in self._schema_cache:
+            return self._schema_cache[table]
+        if not self.spark.catalog.tableExists(table):
+            return None
+        fields = self.spark.table(table).schema.fields
+        out: dict[str, str] = {}
+        for f in fields:
+            s = f.dataType.simpleString()
+            out[f.name] = {
+                "boolean": "BOOLEAN",
+                "double": "DOUBLE",
+                "timestamp": "TIMESTAMP",
+                "date": "DATE",
+                "string": "VARCHAR",
+            }.get(s, "VARCHAR")
+        self._schema_cache[table] = out
+        return out
+
+    def _process_table_batch(
+        self, table: str, msgs: list[tuple[dict[str, Any], dt.datetime]]
+    ) -> None:
+        payloads = [m[0] for m in msgs]
+        detected_types, ordered = detect_schema_from_batch(payloads)
+
+        existing = self._table_schema(table)
+        if existing is None:
+            cols_sql = ", ".join(
+                f"`{c}` {_spark_ddl(detected_types[c])}" for c in ordered
+            )
+            self.spark.sql(f"CREATE TABLE IF NOT EXISTS {table} ({cols_sql}) USING PARQUET")
+            existing = dict.fromkeys(ordered)
+            for c in ordered:
+                existing[c] = detected_types[c]
+            self._schema_cache[table] = existing
+        else:
+            # Schema evolution: add new columns, never change types
+            # (ingest.go:9,601-618).
+            new_cols = [c for c in ordered if c not in existing]
+            if new_cols:
+                add_sql = ", ".join(
+                    f"`{c}` {_spark_ddl(detected_types[c])}" for c in new_cols
+                )
+                self.spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({add_sql})")
+                for c in new_cols:
+                    existing[c] = detected_types[c]
+
+        table_cols = list(existing.keys())
+        rows = []
+        for payload, arrival in msgs:
+            row = []
+            for c in table_cols:
+                sql_type = existing[c]
+                if c == ID_COLUMN:
+                    v = payload.get(ID_COLUMN) or _gen_id()
+                elif c == TS_COLUMN:
+                    v = _coerce(payload.get(TS_COLUMN), "TIMESTAMP", arrival)
+                    if v is None:
+                        v = arrival
+                else:
+                    v = _coerce(payload.get(c), sql_type, arrival)
+                row.append(v)
+            rows.append(tuple(rows_val for rows_val in row))
+
+        schema = T.StructType(
+            [
+                T.StructField(c, _SQL_TO_SPARK[existing[c]], True)
+                for c in table_cols
+            ]
+        )
+        df = self.spark.createDataFrame(rows, schema=schema)
+        df.write.mode("append").insertInto(table)
+
+
+def _spark_ddl(sql_type: str) -> str:
+    return {
+        "BOOLEAN": "BOOLEAN",
+        "DOUBLE": "DOUBLE",
+        "TIMESTAMP": "TIMESTAMP",
+        "DATE": "DATE",
+        "VARCHAR": "STRING",
+        "JSON": "STRING",
+    }[sql_type]

@@ -73,7 +73,10 @@ def shingle_tokens(
     Python UDF): shingle i = words[i..i+k-1]."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # Documents shorter than k words produce no shingles.
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
     )
@@ -235,18 +238,27 @@ def simhash(
         "th",
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
     )
+    # Bit extraction via floor(h / 2^j) % 2 instead of shift-by-column:
+    # exact in double up to 2^52 (h is 32-bit) and — unlike engine-native
+    # casts — identical across Spark (truncating cast) and DuckDB
+    # (rounding cast), so an oracle can replay the fingerprints.
     bit = hashed.select(
         "id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
         F.col("th"),
     ).withColumn(
         "contrib",
-        F.when(F.shiftright(F.col("th"), F.col("j")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        F.when(
+            F.floor(F.col("th") / F.pow(F.lit(2.0), F.col("j"))).cast("bigint") % 2 == 1,
+            1,
+        ).otherwise(-1),
     )
     bitsum = bit.groupBy("id", "j").agg(F.sum("contrib").alias("s"))
     return bitsum.groupBy("id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("j"))).otherwise(0)
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )
 

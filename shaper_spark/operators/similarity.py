@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k, the correctness baseline.
+  JVM-side arithmetic (zip_with + aggregate); the join is a broadcast of
+  the query side, so the big corpus side streams without a shuffle.
+* ``lsh_topk`` — random-hyperplane LSH bucketing as the scale path:
+  corpus is bucketed once (shuffle on bucket id), queries probe only
+  their bucket (and optionally neighboring bands), turning O(n·q) into
+  O(q·bucket). Hyperplanes are seeded numpy, broadcast as literals.
+
+At 100 TB the corpus side would additionally be written bucketed
+(``bucketBy``) so repeated query batches skip the bucketing shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["cosine_topk", "lsh_topk"]
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(ca, cb):
+    return F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
+    by neighbor id for determinism. The query side is broadcast — the
+    corpus scan never shuffles."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Sign pattern over `planes` seeded hyperplanes → bucket id; candidates
+    share the bucket; exact cosine re-rank inside the bucket. Recall
+    improves with fewer planes / multiple tables; this single-table
+    variant is the skeleton the multi-probe version reuses."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    hyper = rng.standard_normal((planes, dim)).tolist()
+
+    def bucket_expr(vec):
+        bits = []
+        for p in range(planes):
+            plane = F.array(*[F.lit(float(x)) for x in hyper[p]])
+            proj = _dot(vec, plane)
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

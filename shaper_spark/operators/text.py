@@ -22,7 +22,7 @@ __all__ = [
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document token statistics: n_tokens (whitespace), n_chars,
     n_words_bpe (BPE-ish regex: word pieces + punctuation), avg_word_len."""
-    words = F.split(F.col(text_col), " +")
+    words = F.split(F.col(text_col), " ")
     bpe_ish = F.expr(
         f"size(regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
     )
@@ -53,7 +53,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality in [0,1] from length, punctuation ratio
     and stopword ratio (the standard pretraining-filter trio)."""
     text = F.col(text_col)
-    words = F.split(text, " +")
+    words = F.split(text, " ")
     n_words = F.greatest(F.size(words), F.lit(1))
     n_chars = F.greatest(F.length(text), F.lit(1))
     punct = F.expr(
@@ -84,7 +84,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """N-gram-free language ID: count stopword hits per language, take the
     argmax (ties break by language code order). Score columns included so
     downstream filters can threshold confidence."""
-    words = F.transform(F.split(F.col(text_col), " +"), F.lower)
+    words = F.transform(F.split(F.col(text_col), " "), F.lower)
     out = df.select(F.col(id_col), words.alias("__w"))
     langs = sorted(LANG_STOPWORDS)
     for lang in langs:
