@@ -64,11 +64,19 @@ _TS_FORMATS = [
 ]
 
 
+_FRACTION_RE = re.compile(r"(\.\d{1,9})")
+
+
 def _parse_string_temporal(value: str) -> tuple[dt.datetime | None, bool]:
-    """(parsed, has_time_component) — first matching format wins."""
+    """(parsed, has_time_component) — first matching format wins.
+
+    RFC3339Nano allows up to 9 fractional digits (reference
+    ingest.go:57-68 uses Go's RFC3339Nano); Python's %f takes at most 6,
+    so fractions are truncated to micros before matching."""
+    normalized = _FRACTION_RE.sub(lambda m: m.group(1)[:7], value)
     for fmt, has_time in _TS_FORMATS:
         try:
-            return dt.datetime.strptime(value, fmt), has_time
+            return dt.datetime.strptime(normalized, fmt), has_time
         except ValueError:
             continue
     return None, False

@@ -1,0 +1,296 @@
+"""Ingest pipeline tests — ports of the reference suite's semantics
+(reference server/ingest/ingest_test.go:137-1817; 27 table-driven tests
+against embedded NATS+DuckDB, re-expressed against IngestBuffer+Spark).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from shaper_spark.ingest import (
+    IngestBuffer,
+    detect_schema_from_batch,
+    determine_column_type,
+    is_date_string,
+    is_timestamp_string,
+    validate_table_name,
+)
+
+
+# ---------------------------------------------------------------------------
+# Pure-function tests (no Spark)
+# ---------------------------------------------------------------------------
+
+
+class TestDetermineColumnType:
+    # ingest_test.go:173-232
+    @pytest.mark.parametrize(
+        "samples,expected",
+        [
+            ([True, False, True, None], "BOOLEAN"),
+            ([1, 2, 3, None], "DOUBLE"),
+            ([1.1, 2.2, 3.3, None], "DOUBLE"),
+            (["abc", "def", "ghi", None], "VARCHAR"),
+            (["2023-01-01", "2023-02-15", None], "DATE"),
+            (["2023-01-01T12:30:45Z", "2023-02-15T08:15:30Z", None], "TIMESTAMP"),
+            ([[1, 2, 3], ["a", "b", "c"], None], "JSON"),
+            ([{"a": 1}, {"b": 2}, None], "JSON"),
+            (["abc", 123, True, None], "JSON"),  # mixed → JSON
+        ],
+    )
+    def test_cases(self, samples, expected):
+        assert determine_column_type(samples) == expected
+
+    def test_mixed_date_and_timestamp_strings_fall_back_to_varchar(self):
+        assert determine_column_type(["2023-01-01", "2023-01-01T10:00:00Z"]) == "VARCHAR"
+
+    def test_date_strings_mixed_with_plain_strings_stay_date(self):
+        # ingest.go:485-494: non-date strings don't veto DATE — only a
+        # timestamp sighting does (hasDate && !hasTimestamp → DATE).
+        assert determine_column_type(["2023-01-01", "hello"]) == "DATE"
+
+
+class TestTimestampAndDateDetection:
+    # ingest_test.go:234-289
+    @pytest.mark.parametrize(
+        "value,expected",
+        [
+            ("2023-01-01T12:30:45Z", True),
+            ("2023-01-01 12:30:45", True),
+            ("2023-01-01T12:30:45.123Z", True),
+            ("2023-01-01", False),
+            ("01/02/2023", False),
+            ("not a timestamp", False),
+        ],
+    )
+    def test_is_timestamp(self, value, expected):
+        assert is_timestamp_string(value) is expected
+
+    @pytest.mark.parametrize(
+        "value,expected",
+        [
+            ("2023-01-01T12:30:45Z", False),
+            ("2023-01-01 12:30:45", False),
+            ("2023-01-01", True),
+            ("01/02/2023", True),
+            ("15.03.2023", True),  # DD.MM.YYYY
+            ("not a date", False),
+        ],
+    )
+    def test_is_date(self, value, expected):
+        assert is_date_string(value) is expected
+
+    def test_seven_decimal_timestamps(self):
+        # ingest_test.go:1674-1756 (RFC3339Nano, 7 fractional digits)
+        for v in [
+            "2024-11-08T09:34:25.5785161+01:00",
+            "2006-01-02T15:04:05.0000000+07:00",
+            "2023-12-25T23:59:59.9999999-05:00",
+            "2024-01-01T00:00:00.1234567Z",
+        ]:
+            assert is_timestamp_string(v), v
+
+
+class TestDetectSchemaFromBatch:
+    # ingest_test.go:137-171
+    def test_mixed_batch(self):
+        batch = [
+            {
+                "id": 1,
+                "name": "John Doe",
+                "is_active": True,
+                "created": "2023-01-15T10:30:45Z",
+                "tags": ["tag1", "tag2"],
+                "metadata": {"key": "value"},
+            },
+            {
+                "id": 2,
+                "name": "Jane Smith",
+                "is_active": False,
+                "created": "2023-02-20T14:15:30Z",
+                "score": 95.5,
+                "birth_date": "1990-05-15",
+            },
+        ]
+        types, ordered = detect_schema_from_batch(batch)
+        assert types["id"] == "DOUBLE"
+        assert types["name"] == "VARCHAR"
+        assert types["is_active"] == "BOOLEAN"
+        assert types["created"] == "TIMESTAMP"
+        assert types["tags"] == "JSON"
+        assert types["metadata"] == "JSON"
+        assert types["score"] == "DOUBLE"
+        assert types["birth_date"] == "DATE"
+
+    def test_id_ts_first_and_key_order_preserved(self):
+        # ingest_test.go:1248-1378, 1515-1551
+        batch = [{"zebra": 1, "apple": 2, "mango": 3}]
+        _, ordered = detect_schema_from_batch(batch)
+        assert ordered[:2] == ["_id", "_ts"]
+        assert ordered[2:] == ["zebra", "apple", "mango"]
+
+    def test_empty_batch_raises(self):
+        # ingest_test.go:1092-1106
+        with pytest.raises(ValueError):
+            detect_schema_from_batch([])
+
+
+class TestValidateTableName:
+    # server/core/events.go:20-31
+    @pytest.mark.parametrize(
+        "name,ok",
+        [
+            ("users", True),
+            ("test.users", True),
+            ("cat.schema.users", True),
+            ("a.b.c.d", False),
+            ("1users", False),
+            ("us-ers", False),
+            ("", False),
+            ("a" * 128, True),
+            ("a" * 129, False),
+        ],
+    )
+    def test_cases(self, name, ok):
+        assert validate_table_name(name) is ok
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed batch processing
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def buffer(spark):
+    return IngestBuffer(spark, batch_size=1000, batch_timeout_s=0.01)
+
+
+def _rows(spark, table):
+    return [r.asDict() for r in spark.table(table).collect()]
+
+
+class TestProcessBatch:
+    def test_basic_create_and_append(self, spark, buffer):
+        # ingest_test.go:290-362
+        spark.sql("DROP TABLE IF EXISTS ing_users")
+        buffer.publish("ing_users", {"name": "alice", "age": 31, "active": True})
+        buffer.publish("ing_users", {"name": "bob", "age": 25, "active": False})
+        buffer.flush()
+        rows = _rows(spark, "ing_users")
+        assert len(rows) == 2
+        by_name = {r["name"]: r for r in rows}
+        assert by_name["alice"]["age"] == 31.0
+        assert by_name["bob"]["active"] is False
+        for r in rows:
+            assert r["_id"] and isinstance(r["_id"], str)
+            assert isinstance(r["_ts"], dt.datetime)
+
+    def test_multiple_tables_one_flush(self, spark, buffer):
+        # ingest_test.go:364-420
+        spark.sql("DROP TABLE IF EXISTS ing_a")
+        spark.sql("DROP TABLE IF EXISTS ing_b")
+        buffer.publish("ing_a", {"x": 1})
+        buffer.publish("ing_b", {"y": "two"})
+        buffer.publish("ing_a", {"x": 3})
+        buffer.flush()
+        assert len(_rows(spark, "ing_a")) == 2
+        assert len(_rows(spark, "ing_b")) == 1
+
+    def test_schema_evolution_add_column(self, spark, buffer):
+        # ingest_test.go:592-657
+        spark.sql("DROP TABLE IF EXISTS ing_evo")
+        buffer.publish("ing_evo", {"a": 1})
+        buffer.flush()
+        buffer.publish("ing_evo", {"a": 2, "b": "new"})
+        buffer.flush()
+        rows = _rows(spark, "ing_evo")
+        assert len(rows) == 2
+        cols = set(rows[0].keys())
+        assert {"_id", "_ts", "a", "b"} == cols
+        by_a = {r["a"]: r for r in rows}
+        assert by_a[1.0]["b"] is None
+        assert by_a[2.0]["b"] == "new"
+
+    def test_removed_columns_become_null(self, spark, buffer):
+        # ingest_test.go:1148-1204: later messages missing a column → NULL
+        spark.sql("DROP TABLE IF EXISTS ing_rm")
+        buffer.publish("ing_rm", {"keep": 1, "gone": "x"})
+        buffer.flush()
+        buffer.publish("ing_rm", {"keep": 2})
+        buffer.flush()
+        by_keep = {r["keep"]: r for r in _rows(spark, "ing_rm")}
+        assert by_keep[2.0]["gone"] is None
+
+    def test_no_type_widening(self, spark, buffer):
+        # ingest.go:9 — types never change; non-conforming values → NULL
+        spark.sql("DROP TABLE IF EXISTS ing_widen")
+        buffer.publish("ing_widen", {"v": 1})
+        buffer.flush()
+        buffer.publish("ing_widen", {"v": "not a number"})
+        buffer.flush()
+        vals = sorted(
+            (r["v"] for r in _rows(spark, "ing_widen")),
+            key=lambda x: (x is None, x),
+        )
+        assert vals == [1.0, None]
+
+    def test_supplied_id_and_ts(self, spark, buffer):
+        # ingest_test.go:1427-1513
+        spark.sql("DROP TABLE IF EXISTS ing_idts")
+        buffer.publish(
+            "ing_idts", {"_id": "custom-id", "_ts": "2023-05-01T10:00:00Z", "v": 1}
+        )
+        buffer.flush()
+        (row,) = _rows(spark, "ing_idts")
+        assert row["_id"] == "custom-id"
+        assert row["_ts"] == dt.datetime(2023, 5, 1, 10, 0, 0)
+
+    def test_unix_seconds_and_millis_ts(self, spark, buffer):
+        # ingest.go:835-839 — >1e11 means milliseconds
+        spark.sql("DROP TABLE IF EXISTS ing_unix")
+        buffer.publish("ing_unix", {"_ts": 1700000000, "v": 1})
+        buffer.publish("ing_unix", {"_ts": 1700000000000, "v": 2})
+        buffer.flush()
+        by_v = {r["v"]: r for r in _rows(spark, "ing_unix")}
+        assert by_v[1.0]["_ts"] == by_v[2.0]["_ts"] == dt.datetime(
+            2023, 11, 14, 22, 13, 20
+        )
+
+    def test_nested_json_stored_as_string(self, spark, buffer):
+        # ingest_test.go:514-590
+        spark.sql("DROP TABLE IF EXISTS ing_nested")
+        buffer.publish(
+            "ing_nested",
+            {"user": {"name": "x", "roles": ["a", "b"]}, "counts": [1, 2, 3]},
+        )
+        buffer.flush()
+        (row,) = _rows(spark, "ing_nested")
+        import json
+
+        assert json.loads(row["user"]) == {"name": "x", "roles": ["a", "b"]}
+        assert json.loads(row["counts"]) == [1, 2, 3]
+
+    def test_generated_ids_unique(self, spark, buffer):
+        # ingest_test.go:1553-1597
+        spark.sql("DROP TABLE IF EXISTS ing_ids")
+        for i in range(20):
+            buffer.publish("ing_ids", {"i": i})
+        buffer.flush()
+        ids = [r["_id"] for r in _rows(spark, "ing_ids")]
+        assert len(set(ids)) == 20
+        assert all(i[0] == "c" and len(i) == 24 for i in ids)
+
+    def test_invalid_table_name_rejected(self, buffer):
+        with pytest.raises(ValueError):
+            buffer.publish("bad-name!", {"v": 1})
+
+    def test_batch_size_triggers_flush(self, spark):
+        buf = IngestBuffer(spark, batch_size=3, batch_timeout_s=60)
+        spark.sql("DROP TABLE IF EXISTS ing_auto")
+        buf.publish("ing_auto", {"v": 1})
+        buf.publish("ing_auto", {"v": 2})
+        assert not spark.catalog.tableExists("ing_auto")
+        buf.publish("ing_auto", {"v": 3})  # hits batch_size → flush
+        assert len(_rows(spark, "ing_auto")) == 3
