@@ -167,6 +167,18 @@ def buffer(spark):
     return IngestBuffer(spark, batch_size=1000, batch_timeout_s=0.01)
 
 
+def _fresh(spark, table):
+    """Drop the table AND its warehouse directory — the in-memory catalog
+    resets per session while managed-table files persist on disk, so a
+    plain DROP IF EXISTS can leave LOCATION_ALREADY_EXISTS behind."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.split('.')[-1]}", ignore_errors=True)
+
+
 def _rows(spark, table):
     return [r.asDict() for r in spark.table(table).collect()]
 
@@ -174,7 +186,7 @@ def _rows(spark, table):
 class TestProcessBatch:
     def test_basic_create_and_append(self, spark, buffer):
         # ingest_test.go:290-362
-        spark.sql("DROP TABLE IF EXISTS ing_users")
+        _fresh(spark, "ing_users")
         buffer.publish("ing_users", {"name": "alice", "age": 31, "active": True})
         buffer.publish("ing_users", {"name": "bob", "age": 25, "active": False})
         buffer.flush()
@@ -189,8 +201,8 @@ class TestProcessBatch:
 
     def test_multiple_tables_one_flush(self, spark, buffer):
         # ingest_test.go:364-420
-        spark.sql("DROP TABLE IF EXISTS ing_a")
-        spark.sql("DROP TABLE IF EXISTS ing_b")
+        _fresh(spark, "ing_a")
+        _fresh(spark, "ing_b")
         buffer.publish("ing_a", {"x": 1})
         buffer.publish("ing_b", {"y": "two"})
         buffer.publish("ing_a", {"x": 3})
@@ -200,7 +212,7 @@ class TestProcessBatch:
 
     def test_schema_evolution_add_column(self, spark, buffer):
         # ingest_test.go:592-657
-        spark.sql("DROP TABLE IF EXISTS ing_evo")
+        _fresh(spark, "ing_evo")
         buffer.publish("ing_evo", {"a": 1})
         buffer.flush()
         buffer.publish("ing_evo", {"a": 2, "b": "new"})
@@ -215,7 +227,7 @@ class TestProcessBatch:
 
     def test_removed_columns_become_null(self, spark, buffer):
         # ingest_test.go:1148-1204: later messages missing a column → NULL
-        spark.sql("DROP TABLE IF EXISTS ing_rm")
+        _fresh(spark, "ing_rm")
         buffer.publish("ing_rm", {"keep": 1, "gone": "x"})
         buffer.flush()
         buffer.publish("ing_rm", {"keep": 2})
@@ -225,7 +237,7 @@ class TestProcessBatch:
 
     def test_no_type_widening(self, spark, buffer):
         # ingest.go:9 — types never change; non-conforming values → NULL
-        spark.sql("DROP TABLE IF EXISTS ing_widen")
+        _fresh(spark, "ing_widen")
         buffer.publish("ing_widen", {"v": 1})
         buffer.flush()
         buffer.publish("ing_widen", {"v": "not a number"})
@@ -238,7 +250,7 @@ class TestProcessBatch:
 
     def test_supplied_id_and_ts(self, spark, buffer):
         # ingest_test.go:1427-1513
-        spark.sql("DROP TABLE IF EXISTS ing_idts")
+        _fresh(spark, "ing_idts")
         buffer.publish(
             "ing_idts", {"_id": "custom-id", "_ts": "2023-05-01T10:00:00Z", "v": 1}
         )
@@ -249,7 +261,7 @@ class TestProcessBatch:
 
     def test_unix_seconds_and_millis_ts(self, spark, buffer):
         # ingest.go:835-839 — >1e11 means milliseconds
-        spark.sql("DROP TABLE IF EXISTS ing_unix")
+        _fresh(spark, "ing_unix")
         buffer.publish("ing_unix", {"_ts": 1700000000, "v": 1})
         buffer.publish("ing_unix", {"_ts": 1700000000000, "v": 2})
         buffer.flush()
@@ -260,7 +272,7 @@ class TestProcessBatch:
 
     def test_nested_json_stored_as_string(self, spark, buffer):
         # ingest_test.go:514-590
-        spark.sql("DROP TABLE IF EXISTS ing_nested")
+        _fresh(spark, "ing_nested")
         buffer.publish(
             "ing_nested",
             {"user": {"name": "x", "roles": ["a", "b"]}, "counts": [1, 2, 3]},
@@ -274,7 +286,7 @@ class TestProcessBatch:
 
     def test_generated_ids_unique(self, spark, buffer):
         # ingest_test.go:1553-1597
-        spark.sql("DROP TABLE IF EXISTS ing_ids")
+        _fresh(spark, "ing_ids")
         for i in range(20):
             buffer.publish("ing_ids", {"i": i})
         buffer.flush()
@@ -288,7 +300,7 @@ class TestProcessBatch:
 
     def test_batch_size_triggers_flush(self, spark):
         buf = IngestBuffer(spark, batch_size=3, batch_timeout_s=60)
-        spark.sql("DROP TABLE IF EXISTS ing_auto")
+        _fresh(spark, "ing_auto")
         buf.publish("ing_auto", {"v": 1})
         buf.publish("ing_auto", {"v": 2})
         assert not spark.catalog.tableExists("ing_auto")
