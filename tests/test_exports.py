@@ -1,0 +1,199 @@
+"""Export tests — golden-string ports of the reference export suite
+(server/core/stream_query_test.go) plus formatting unit tests
+(stream_query.go:653-730 semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import json
+
+import pytest
+
+from shaper_spark.exports import (
+    format_value,
+    interval_to_days,
+    interval_to_string,
+    resolve_download_query_id,
+    stream_csv,
+    stream_dashboard_export,
+    stream_json,
+    write_xlsx,
+)
+
+
+class TestResolveDownloadQueryID:
+    # stream_query_test.go:72-140
+    def test_single_matching_download_type(self):
+        sqls = [
+            "SELECT 'Shaper Demo Dashboard'::SECTION",
+            "SELECT ('sessions-' || today())::DOWNLOAD_CSV AS CSV",
+            "SELECT * FROM dataset",
+        ]
+        assert resolve_download_query_id(sqls, "csv") == 2
+
+    def test_single_matching_json(self):
+        sqls = [
+            "SELECT 'S'::SECTION",
+            "SELECT 'f'::DOWNLOAD_JSON AS J",
+            "SELECT * FROM dataset",
+        ]
+        assert resolve_download_query_id(sqls, "json") == 2
+
+    def test_single_data_query(self):
+        sqls = ["SELECT 'Label'::LABEL", "SELECT 'Hello World'"]
+        assert resolve_download_query_id(sqls, "csv") == 1
+
+    def test_multiple_download_markers_fail(self):
+        sqls = [
+            "SELECT 'f'::DOWNLOAD_CSV",
+            "SELECT * FROM t",
+            "SELECT 'g'::DOWNLOAD_CSV",
+            "SELECT * FROM t",
+        ]
+        with pytest.raises(ValueError):
+            resolve_download_query_id(sqls, "csv")
+
+    def test_multiple_data_queries_fail(self):
+        with pytest.raises(ValueError):
+            resolve_download_query_id(["SELECT 1 as id", "SELECT 2 as id"], "csv")
+
+    def test_labels_plural_is_fine(self):
+        # \bLABEL\b must not match LABELS (stream_query_test.go:126-135)
+        sqls = [
+            "SELECT 'GAUGE with RANGE, LABELS and COLORS'::LABEL",
+            "SELECT 75::GAUGE, [0, 33, 66, 100]::RANGE, ['Bad', 'Okay', 'Good']::LABELS",
+        ]
+        assert resolve_download_query_id(sqls, "csv") == 1
+
+
+class TestFormatValue:
+    def test_basics(self):
+        assert format_value(None) == ""
+        assert format_value(1) == "1"
+        assert format_value("x") == "x"
+        assert format_value(True) == "true"
+        assert format_value(False) == "false"
+        assert format_value(1.5) == "1.5"
+
+    def test_timestamp_rfc3339(self):
+        assert (
+            format_value(dt.datetime(2023, 1, 2, 10, 30, 45))
+            == "2023-01-02T10:30:45Z"
+        )
+
+    def test_interval_string(self):
+        # "10d 5h 30m 15.068s" (stream_query.go:698)
+        td = dt.timedelta(days=10, hours=5, minutes=30, seconds=15, milliseconds=68)
+        assert interval_to_string(td) == "10d 5h 30m 15.068s"
+
+    def test_interval_zero(self):
+        assert interval_to_string(dt.timedelta()) == "0.000s"
+
+    def test_interval_subparts_skipped(self):
+        assert interval_to_string(dt.timedelta(hours=2)) == "2h"
+        assert interval_to_string(dt.timedelta(seconds=5)) == "5.000s"
+
+    def test_interval_to_days(self):
+        assert interval_to_days(dt.timedelta(hours=12)) == 0.5
+
+    def test_uuid_bytes(self):
+        b = bytes(range(16))
+        assert format_value(b) == "00010203-0405-0607-0809-0a0b0c0d0e0f"
+
+    def test_list_joined(self):
+        assert format_value(["a", "b", 3]) == "a, b, 3"
+
+
+class TestStreamers:
+    def test_csv_golden(self, spark):
+        # stream_query_test.go:15-37 golden: "id,name\n1,hello\n2,world\n"
+        df = spark.sql("SELECT 1 as id, 'hello' as name UNION ALL SELECT 2, 'world'")
+        buf = io.StringIO()
+        n = stream_csv(df.orderBy("id"), buf)
+        assert n == 2
+        assert buf.getvalue() == "id,name\n1,hello\n2,world\n"
+
+    def test_json_golden(self, spark):
+        df = spark.sql("SELECT 1 as id, 'hello' as name UNION ALL SELECT 2, 'world'")
+        buf = io.StringIO()
+        n = stream_json(df.orderBy("id"), buf)
+        assert n == 2
+        parsed = json.loads(buf.getvalue())
+        assert parsed == [{"id": 1, "name": "hello"}, {"id": 2, "name": "world"}]
+
+    def test_csv_formats_temporals_and_arrays(self, spark):
+        df = spark.sql(
+            "SELECT TIMESTAMP '2023-01-02 10:30:45' AS ts, "
+            "array('a','b') AS arr, DATE '2023-05-01' AS d"
+        )
+        buf = io.StringIO()
+        stream_csv(df, buf)
+        lines = buf.getvalue().splitlines()
+        assert lines[0] == "ts,arr,d"
+        assert lines[1] == '2023-01-02T10:30:45Z,"a, b",2023-05-01'
+
+    def test_json_interval(self, spark):
+        df = spark.sql("SELECT INTERVAL '1 02:00:00' DAY TO SECOND AS dur")
+        buf = io.StringIO()
+        stream_json(df, buf)
+        assert json.loads(buf.getvalue()) == [{"dur": "1d 2h"}]
+
+    def test_xlsx_roundtrip(self, spark):
+        pytest.importorskip("openpyxl")
+        from openpyxl import load_workbook
+
+        df = spark.sql(
+            "SELECT 1 AS id, 'alpha' AS name, TIMESTAMP '2023-01-02 10:30:45' AS ts"
+        )
+        buf = io.BytesIO()
+        n = write_xlsx(df, buf)
+        assert n == 1
+        wb = load_workbook(io.BytesIO(buf.getvalue()))
+        ws = wb.active
+        assert [c.value for c in ws[1]] == ["id", "name", "ts"]
+        assert ws.cell(row=2, column=1).value == 1
+        assert ws.cell(row=2, column=2).value == "alpha"
+        assert ws.cell(row=2, column=3).value == dt.datetime(2023, 1, 2, 10, 30, 45)
+        assert ws.freeze_panes == "A2"
+
+
+class TestDashboardExport:
+    def test_export_with_download_marker(self, spark):
+        content = """
+        SELECT 'My Dash'::SECTION;
+        SELECT 'export-file'::DOWNLOAD_CSV AS f;
+        SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y';
+        """
+        buf = io.StringIO()
+        n = stream_dashboard_export(spark, content, "csv", buf)
+        assert n == 2
+        assert buf.getvalue().splitlines()[0] == "a,b"
+
+    def test_export_replays_variables(self, spark):
+        # A dropdown earlier in the script parameterizes the download query;
+        # the URL param picks the option (getVarPrefix replay semantics).
+        content = """
+        SELECT x::DROPDOWN AS pick FROM (VALUES ('aa'), ('bb')) t(x) ORDER BY 1;
+        SELECT getvariable('pick') AS chosen;
+        """
+        buf = io.StringIO()
+        stream_dashboard_export(
+            spark, content, "csv", buf, query_id=1, params={"pick": "bb"}
+        )
+        assert buf.getvalue() == "chosen\nbb\n"
+
+    def test_export_default_dropdown_value(self, spark):
+        content = """
+        SELECT x::DROPDOWN AS pick FROM (VALUES ('aa'), ('bb')) t(x) ORDER BY 1;
+        SELECT getvariable('pick') AS chosen;
+        """
+        buf = io.StringIO()
+        stream_dashboard_export(spark, content, "csv", buf, query_id=1)
+        assert buf.getvalue() == "chosen\naa\n"
+
+    def test_disallowed_statement_rejected(self, spark):
+        with pytest.raises(ValueError):
+            stream_dashboard_export(
+                spark, "DROP TABLE x", "csv", io.StringIO(), query_id=0
+            )
