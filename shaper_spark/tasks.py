@@ -1,0 +1,338 @@
+"""Scheduled SQL tasks (ELT jobs): executor, SCHEDULE computation, and a
+single-process scheduler.
+
+Reference semantics being re-expressed (not copied):
+  * executeTaskOnDB       — server/core/run_task.go:67-258
+  * getScheduleColumn     — server/core/run_task.go:36-47
+  * needsNoTransaction    — server/core/run_task.go:49-65
+  * isScheduleQueryCandidate / getNextTaskRun
+                          — server/core/schedule_task.go:65-142
+  * init-SQL + getenv()   — server/core/app.go:238-334, server/util/duckdb.go:14-57
+
+Documented divergences from the reference:
+  * No multi-statement transactions — Spark has per-statement atomicity
+    only (per-table for file formats). The reference itself skips the
+    transaction when ATTACH/INSTALL/LOAD/CREATE SECRET appear
+    (run_task.go:49-65); here every task runs in that mode.
+  * Single-process scheduler — the reference dedupes timer firings
+    across nodes via a NATS work-queue stream with MsgID
+    (schedule_task.go:215-237). On Spark the natural unit is one driver;
+    multi-driver dedupe would sit in front of this module, not inside it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from . import sqltool
+from .engine import _get_schedule_time, _Macro, _run_query, _VarState
+from .render import Column
+
+__all__ = [
+    "TaskQueryResult",
+    "TaskResult",
+    "execute_task",
+    "get_next_task_run",
+    "needs_no_transaction",
+    "is_schedule_query_candidate",
+    "TaskScheduler",
+    "run_init_sql",
+]
+
+TASK_MAX_ROWS = 3000
+
+
+@dataclass
+class TaskQueryResult:
+    sql: str
+    duration_ms: int = 0
+    result_columns: list[str] = field(default_factory=list)
+    result_rows: list[list[Any]] = field(default_factory=list)
+    error: str | None = None
+    stop_execution: bool = False
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "sql": self.sql,
+            "duration": self.duration_ms,
+            "resultColumns": self.result_columns,
+            "resultRows": self.result_rows,
+            "error": self.error,
+            "stopExecution": self.stop_execution,
+        }
+
+
+@dataclass
+class TaskResult:
+    started_at: int = 0
+    success: bool = False
+    queries: list[TaskQueryResult] = field(default_factory=list)
+    total_queries: int = 0
+    next_run_at: int = 0  # epoch ms; 0 = none, -1 = 'init'
+    schedule_type: str = ""  # "single" | "all"
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "startedAt": self.started_at,
+            "success": self.success,
+            "queries": [q.to_dict() for q in self.queries],
+            "totalQueries": self.total_queries,
+            "nextRunAt": self.next_run_at,
+            "scheduleType": self.schedule_type,
+        }
+
+
+def needs_no_transaction(sql: str) -> bool:
+    """Statements DuckDB refuses inside a transaction; retained for parity
+    and surfaced in results even though Spark never opens one
+    (run_task.go:49-65)."""
+    upper = sql.strip().upper()
+    if upper.startswith(("ATTACH", "DETACH", "INSTALL", "LOAD")):
+        return True
+    parts = upper.split()
+    return len(parts) >= 2 and parts[0] == "CREATE" and parts[1] == "SECRET"
+
+
+def _get_schedule_column(
+    columns: list[Column], rows: list[list[Any]]
+) -> tuple[str, bool]:
+    """("single"|"all", is_schedule) — run_task.go:36-47: a SCHEDULE(_ALL)
+    column counts only when the result is empty or exactly 1×1."""
+    schedule_type = "single"
+    idx = next((i for i, c in enumerate(columns) if c.custom_type == "SCHEDULE"), -1)
+    if idx == -1:
+        idx = next(
+            (i for i, c in enumerate(columns) if c.custom_type == "SCHEDULE_ALL"), -1
+        )
+        if idx == -1:
+            return "", False
+        schedule_type = "all"
+    ok = len(rows) == 0 or (len(rows) == 1 and len(rows[0]) == 1)
+    return schedule_type, ok
+
+
+def execute_task(
+    spark: SparkSession,
+    content: str,
+    variables: dict[str, Any] | None = None,
+    max_rows: int = TASK_MAX_ROWS,
+) -> TaskResult:
+    """Run a task script: ordered statements, per-statement timing and
+    results, stop on error or on a single 1×1 ``false`` result, extract
+    the SCHEDULE column into next_run_at (run_task.go:67-258)."""
+    result = TaskResult(started_at=int(time.time() * 1000))
+    clean = sqltool.strip_sql_comments(content)
+    statements = sqltool.split_sql_queries(clean)
+    result.total_queries = len(statements)
+
+    vars_ = _VarState(variables)
+    macros: dict[str, _Macro] = {}
+    success = True
+
+    for sql_string in statements:
+        sql_string = sql_string.strip()
+        if not sql_string:
+            continue
+        qres = TaskQueryResult(sql=sql_string)
+
+        if not sqltool.is_allowed_task_statement(sql_string):
+            qres.error = (
+                "Statement not allowed in tasks (e.g., PRAGMA, SET configuration)"
+            )
+            success = False
+            result.queries.append(qres)
+            break
+
+        start = time.monotonic()
+        try:
+            if sqltool.is_side_effect(sql_string):
+                from .engine import _execute_side_effect
+
+                _execute_side_effect(spark, sql_string, vars_, macros)
+                columns: list[Column] = []
+                rows: list[list[Any]] = []
+            else:
+                columns, rows = _run_query(spark, sql_string, vars_, macros, max_rows)
+        except Exception as e:  # surface engine errors per-query, stop the task
+            qres.duration_ms = int((time.monotonic() - start) * 1000)
+            qres.error = str(e)
+            success = False
+            result.queries.append(qres)
+            break
+        qres.duration_ms = int((time.monotonic() - start) * 1000)
+        qres.result_columns = [c.name for c in columns]
+        qres.result_rows = rows
+
+        # Early termination: single 1×1 boolean false (run_task.go:195-199)
+        if len(rows) == 1 and len(rows[0]) == 1 and rows[0][0] is False:
+            qres.stop_execution = True
+
+        schedule_type, is_schedule = _get_schedule_column(columns, rows)
+        if is_schedule:
+            if result.next_run_at != 0:
+                qres.error = "Multiple SCHEDULE queries in task"
+                success = False
+                result.queries.append(qres)
+            else:
+                time_val = _get_schedule_time(rows)
+                if time_val == -1:
+                    schedule_type = "all"
+                result.next_run_at = time_val
+                result.schedule_type = schedule_type
+                result.total_queries = len(statements) - 1
+        else:
+            result.queries.append(qres)
+
+        if not success or qres.stop_execution:
+            break
+
+    result.success = success
+    return result
+
+
+def is_schedule_query_candidate(sql: str) -> bool:
+    """schedule_task.go:65-72."""
+    upper = sql.strip().upper()
+    if "SCHEDULE" not in upper:
+        return False
+    return upper.startswith(("SELECT", "WITH", "("))
+
+
+def get_next_task_run(
+    spark: SparkSession, content: str
+) -> tuple[dt.datetime | None, str]:
+    """(next_run, schedule_type): execute the task's SCHEDULE-candidate
+    statements and read the schedule value (schedule_task.go:74-142).
+    schedule_type is "single" (one node), "all", or "init"."""
+    clean = sqltool.strip_sql_comments(content)
+    statements = sqltool.split_sql_queries(clean)
+    candidates = [s.strip() for s in statements if is_schedule_query_candidate(s)]
+    if not candidates:
+        return None, "single"
+    vars_ = _VarState(None)
+    for sql_string in candidates:
+        try:
+            columns, rows = _run_query(spark, sql_string, vars_, {}, TASK_MAX_ROWS)
+        except Exception:
+            continue
+        schedule_type, is_schedule = _get_schedule_column(columns, rows)
+        if is_schedule:
+            value = _get_schedule_time(rows)
+            if value == -1:
+                return None, "init"
+            if value <= 0:
+                return None, schedule_type
+            return dt.datetime.fromtimestamp(value / 1000.0, dt.timezone.utc), schedule_type
+    return None, "single"
+
+
+class TaskScheduler:
+    """Single-process timer scheduler: arms one ``threading.Timer`` per
+    task, re-computes the next run from each execution's SCHEDULE result,
+    and runs 'init' tasks immediately on registration — the semantics of
+    schedule_task.go:215-237 minus the NATS work-queue hop."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        on_result: Callable[[str, TaskResult], None] | None = None,
+    ):
+        self.spark = spark
+        self.on_result = on_result
+        self._timers: dict[str, threading.Timer] = {}
+        self._contents: dict[str, str] = {}
+        self._lock = threading.Lock()
+        self.results: dict[str, list[TaskResult]] = {}
+
+    def register(self, task_id: str, content: str) -> tuple[dt.datetime | None, str]:
+        self.unregister(task_id)
+        with self._lock:
+            self._contents[task_id] = content
+        next_run, schedule_type = get_next_task_run(self.spark, content)
+        if schedule_type == "init":
+            self._fire(task_id)
+            return None, schedule_type
+        if next_run is not None:
+            delay = max(0.0, next_run.timestamp() - time.time())
+            self._arm(task_id, delay)
+        return next_run, schedule_type
+
+    def unregister(self, task_id: str) -> None:
+        with self._lock:
+            t = self._timers.pop(task_id, None)
+            self._contents.pop(task_id, None)
+        if t:
+            t.cancel()
+
+    def _arm(self, task_id: str, delay_s: float) -> None:
+        timer = threading.Timer(delay_s, self._fire, args=(task_id,))
+        timer.daemon = True
+        with self._lock:
+            old = self._timers.pop(task_id, None)
+            self._timers[task_id] = timer
+        if old:
+            old.cancel()
+        timer.start()
+
+    def _fire(self, task_id: str) -> None:
+        with self._lock:
+            content = self._contents.get(task_id)
+        if content is None:
+            return
+        result = execute_task(self.spark, content)
+        self.results.setdefault(task_id, []).append(result)
+        if self.on_result:
+            self.on_result(task_id, result)
+        if result.success and result.next_run_at > 0:
+            delay = max(0.0, result.next_run_at / 1000.0 - time.time())
+            self._arm(task_id, delay)
+
+    def shutdown(self) -> None:
+        with self._lock:
+            timers = list(self._timers.values())
+            self._timers.clear()
+            self._contents.clear()
+        for t in timers:
+            t.cancel()
+
+
+# ---------------------------------------------------------------------------
+# Init SQL (reference --init-sql with getenv(); app.go:238-334)
+# ---------------------------------------------------------------------------
+
+_GETENV_RE = re.compile(r"getenv\(\s*'([^']*)'\s*\)", re.IGNORECASE)
+_ENVVAR_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def run_init_sql(
+    spark: SparkSession,
+    init_sql: str,
+    env: dict[str, str] | None = None,
+) -> None:
+    """Run startup SQL once per session. ``getenv('X')`` and ``${X}``
+    become string literals from the environment — the reference registers
+    a getenv() scalar UDF gated to init-time only (duckdb.go:14-57);
+    resolving at substitution time gives the same gate for free."""
+    from .rewrite import rewrite_statement
+
+    lookup = dict(os.environ)
+    if env:
+        lookup.update(env)
+
+    def env_literal(name: str) -> str:
+        return "'" + sqltool.escape_sql_string(lookup.get(name, "")) + "'"
+
+    substituted = _GETENV_RE.sub(lambda m: env_literal(m.group(1)), init_sql)
+    substituted = _ENVVAR_RE.sub(lambda m: env_literal(m.group(1))[1:-1], substituted)
+    for statement in sqltool.split_sql_queries(sqltool.strip_sql_comments(substituted)):
+        statement = statement.strip()
+        if statement:
+            spark.sql(rewrite_statement(statement).sql)

@@ -1,0 +1,258 @@
+"""Task executor / scheduler tests (reference server/core/run_task.go and
+task_init_test.go:61-232 semantics)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+
+from shaper_spark.tasks import (
+    TaskScheduler,
+    execute_task,
+    get_next_task_run,
+    is_schedule_query_candidate,
+    needs_no_transaction,
+    run_init_sql,
+)
+
+
+class TestNeedsNoTransaction:
+    @pytest.mark.parametrize(
+        "sql,expected",
+        [
+            ("ATTACH 'x.db'", True),
+            ("DETACH db", True),
+            ("INSTALL httpfs", True),
+            ("LOAD httpfs", True),
+            ("CREATE SECRET s (TYPE S3)", True),
+            ("CREATE SECRETIVE_TABLE t (x INT)", False),
+            ("SELECT 1", False),
+            ("INSERT INTO t VALUES (1)", False),
+        ],
+    )
+    def test_cases(self, sql, expected):
+        assert needs_no_transaction(sql) is expected
+
+
+class TestIsScheduleCandidate:
+    @pytest.mark.parametrize(
+        "sql,expected",
+        [
+            ("SELECT INTERVAL 1 HOUR AS s::SCHEDULE", True),
+            ("WITH x AS (SELECT 1) SELECT INTERVAL 1 HOUR::SCHEDULE FROM x", True),
+            ("(SELECT INTERVAL 1 HOUR::SCHEDULE)", True),
+            ("SELECT 1", False),
+            ("INSERT INTO t SELECT now()::SCHEDULE", False),
+        ],
+    )
+    def test_cases(self, sql, expected):
+        assert is_schedule_query_candidate(sql) is expected
+
+
+def _fresh(spark, table):
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+
+
+class TestExecuteTask:
+    def test_simple_ctas_and_select(self, spark):
+        _fresh(spark, "task_out")
+        r = execute_task(
+            spark,
+            """
+            CREATE TABLE task_out AS SELECT 1 AS v UNION ALL SELECT 2;
+            SELECT count(*) AS n FROM task_out;
+            """,
+        )
+        assert r.success is True
+        assert r.total_queries == 2
+        assert r.queries[-1].result_rows == [[2]]
+        assert r.queries[-1].result_columns == ["n"]
+        assert r.queries[-1].duration_ms >= 0
+
+    def test_early_stop_on_false(self, spark):
+        # run_task.go:195-199: a 1×1 boolean false stops execution
+        _fresh(spark, "task_never")
+        r = execute_task(
+            spark,
+            """
+            SELECT 1 = 2;
+            CREATE TABLE task_never AS SELECT 1 AS v;
+            """,
+        )
+        assert r.success is True
+        assert r.queries[0].stop_execution is True
+        assert len(r.queries) == 1
+        assert not spark.catalog.tableExists("task_never")
+
+    def test_stop_on_error(self, spark):
+        r = execute_task(
+            spark,
+            """
+            SELECT * FROM nonexistent_table_xyz;
+            SELECT 1;
+            """,
+        )
+        assert r.success is False
+        assert r.queries[0].error
+        assert len(r.queries) == 1
+
+    def test_disallowed_statement(self, spark):
+        r = execute_task(spark, "PRAGMA database_list")
+        assert r.success is False
+        assert "not allowed" in (r.queries[0].error or "")
+
+    def test_schedule_interval_extracted(self, spark):
+        r = execute_task(
+            spark,
+            """
+            SELECT INTERVAL 1 HOUR AS sched::SCHEDULE;
+            SELECT 1 AS v;
+            """,
+        )
+        assert r.success is True
+        now_ms = int(time.time() * 1000)
+        assert now_ms + 3500_000 < r.next_run_at < now_ms + 3700_000
+        assert r.schedule_type == "single"
+        # schedule query hidden from results; total reduced by one
+        assert r.total_queries == 1
+        assert len(r.queries) == 1
+
+    def test_schedule_all(self, spark):
+        r = execute_task(spark, "SELECT (now() + INTERVAL 2 HOUR)::SCHEDULE_ALL AS s")
+        assert r.schedule_type == "all"
+        assert r.next_run_at > int(time.time() * 1000)
+
+    def test_schedule_init(self, spark):
+        r = execute_task(spark, "SELECT 'init'::SCHEDULE AS s")
+        assert r.next_run_at == -1
+        assert r.schedule_type == "all"  # init broadcasts (run_task.go:208-212)
+
+    def test_multiple_schedules_error(self, spark):
+        r = execute_task(
+            spark,
+            """
+            SELECT INTERVAL 1 HOUR AS a::SCHEDULE;
+            SELECT INTERVAL 2 HOUR AS b::SCHEDULE;
+            """,
+        )
+        assert r.success is False
+        assert "Multiple SCHEDULE" in (r.queries[-1].error or "")
+
+    def test_insert_update_delete_roundtrip(self, spark):
+        # Task-only DML surface (sql_validation.go:179-275). Spark parquet
+        # tables support INSERT; UPDATE/DELETE need Delta — covered by the
+        # allowlist but not executable on parquet (documented divergence).
+        _fresh(spark, "task_dml")
+        r = execute_task(
+            spark,
+            """
+            CREATE TABLE task_dml (v INT);
+            INSERT INTO task_dml VALUES (1), (2), (3);
+            SELECT sum(v) AS s FROM task_dml;
+            """,
+        )
+        assert r.success is True
+        assert r.queries[-1].result_rows == [[6]]
+
+
+class TestGetNextTaskRun:
+    def test_interval_schedule(self, spark):
+        next_run, stype = get_next_task_run(
+            spark, "SELECT INTERVAL 1 HOUR AS s::SCHEDULE; SELECT 1;"
+        )
+        assert stype == "single"
+        delta = next_run - dt.datetime.now(dt.timezone.utc)
+        assert dt.timedelta(minutes=59) < delta < dt.timedelta(minutes=61)
+
+    def test_init_schedule(self, spark):
+        next_run, stype = get_next_task_run(spark, "SELECT 'init'::SCHEDULE AS s")
+        assert next_run is None
+        assert stype == "init"
+
+    def test_no_schedule(self, spark):
+        next_run, stype = get_next_task_run(spark, "SELECT 1 AS v")
+        assert next_run is None
+        assert stype == "single"
+
+
+class TestScheduler:
+    def test_init_task_runs_immediately(self, spark):
+        _fresh(spark, "sched_init_out")
+        sched = TaskScheduler(spark)
+        try:
+            _, stype = sched.register(
+                "t1",
+                """
+                SELECT 'init'::SCHEDULE AS s;
+                CREATE TABLE sched_init_out AS SELECT 42 AS v;
+                """,
+            )
+            assert stype == "init"
+            assert [r.v for r in spark.table("sched_init_out").collect()] == [42]
+            assert sched.results["t1"][0].success
+        finally:
+            sched.shutdown()
+
+    def test_timer_fires_and_reschedules(self, spark):
+        _fresh(spark, "sched_tick")
+        spark.sql("CREATE TABLE sched_tick (t TIMESTAMP)")
+        sched = TaskScheduler(spark)
+        try:
+            next_run, stype = sched.register(
+                "t2",
+                """
+                SELECT (now() + INTERVAL 1 SECOND)::SCHEDULE AS s;
+                INSERT INTO sched_tick VALUES (now());
+                """,
+            )
+            assert stype == "single"
+            assert next_run is not None
+            deadline = time.time() + 15
+            while time.time() < deadline:
+                if spark.table("sched_tick").count() >= 2:
+                    break
+                time.sleep(0.5)
+            assert spark.table("sched_tick").count() >= 2  # fired + rescheduled
+        finally:
+            sched.shutdown()
+
+    def test_unregister_cancels(self, spark):
+        sched = TaskScheduler(spark)
+        try:
+            sched.register(
+                "t3", "SELECT (now() + INTERVAL 1 HOUR)::SCHEDULE AS s; SELECT 1;"
+            )
+            sched.unregister("t3")
+            assert "t3" not in sched._timers
+        finally:
+            sched.shutdown()
+
+
+class TestInitSQL:
+    def test_getenv_and_envvar_substitution(self, spark, monkeypatch):
+        monkeypatch.setenv("SHAPER_TEST_VAL", "hello-env")
+        run_init_sql(
+            spark,
+            """
+            CREATE OR REPLACE TEMPORARY VIEW init_env AS
+            SELECT getenv('SHAPER_TEST_VAL') AS a, '${SHAPER_TEST_VAL}' AS b;
+            """,
+        )
+        row = spark.table("init_env").collect()[0]
+        assert row.a == "hello-env"
+        assert row.b == "hello-env"
+
+    def test_missing_env_is_empty_string(self, spark):
+        run_init_sql(
+            spark,
+            "CREATE OR REPLACE TEMPORARY VIEW init_env2 AS "
+            "SELECT getenv('DOES_NOT_EXIST_XYZ') AS a",
+        )
+        assert spark.table("init_env2").collect()[0].a == ""
