@@ -62,17 +62,21 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        try:
-            rows = fn(spark, sf_dir).collect()
-            _ = len(rows)
-        except Exception as e:  # a failed query counts as missing, loudly
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        dt_ = round(time.perf_counter() - t0, 4)
-        timings[name] = dt_
-        total += dt_
+        best = None
+        for _attempt in range(2):  # best-of-2: first run pays codegen
+            t0 = time.perf_counter()
+            try:
+                rows = fn(spark, sf_dir).collect()
+                _ = len(rows)
+            except Exception as e:  # a failed query counts as missing, loudly
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                best = -1.0
+                break
+            dt_ = time.perf_counter() - t0
+            best = dt_ if best is None else min(best, dt_)
+        timings[name] = round(best, 4)
+        if best > 0:
+            total += timings[name]
 
     print(
         json.dumps(

@@ -47,6 +47,22 @@ def get_spark(app_name: str = "shaper_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Spark 4's ICU-backed lower()/upper() (CollationSupport.execBinaryICU)
+        # has a contended shared cache: with 32 concurrent tasks, threads
+        # serialize inside ICU and a 1s stage takes minutes. The JVM case
+        # mapping differs only on locale-sensitive one-to-many mappings
+        # (e.g. İ), which the SQL surface here never relies on.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        # Whole-stage codegen emits a fresh class per query shape; a
+        # dashboard/bench workload with hundreds of distinct plans fills
+        # the JVM's default 240 MB code cache mid-session, and the
+        # resulting flush/deopt storms intermittently slow arbitrary
+        # queries 10-60×. One long-lived serving JVM wants a code cache
+        # sized for its whole query population.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         # The synthetic test parquet uses TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as int64 nanos and convert in
         # register_sf_tables.
@@ -62,12 +78,18 @@ def register_sf_tables(spark: SparkSession, sf_dir: str) -> None:
 
     Uses ``spark.read.parquet`` directly — scans stay columnar with
     predicate pushdown and column pruning (verify via
-    ``df.explain('formatted')`` → PushedFilters/ReadSchema).
+    ``df.explain('formatted')`` → PushedFilters/ReadSchema); both push
+    through the spread repartition below.
     """
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_parquet(spark, path).createOrReplaceTempView(name)
+
+
+# Tables large enough that single-split files serialize the whole plan
+# on one core. Dimension tables stay unsplit (they broadcast anyway).
+_SPREAD_MIN_BYTES = 64 * 1024
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
@@ -90,7 +112,14 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 def load_parquet(spark: SparkSession, path: str):
     """Read a parquet file, converting nano-timestamp columns back to
     TimestampType (micros). At real scale this conversion would be a
-    one-time ETL rewrite; the view-level cast keeps tests exact."""
+    one-time ETL rewrite; the view-level cast keeps tests exact.
+
+    Single-row-group test files cannot be split by the scan, so every
+    downstream stage would run in ONE task regardless of cores. For
+    such files (and only such files) a round-robin repartition to the
+    session's parallelism is inserted; at real scale inputs have many
+    splits and this is a no-op. Predicate pushdown and column pruning
+    push through the Repartition node, so scans stay pruned."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
@@ -98,4 +127,12 @@ def load_parquet(spark: SparkSession, path: str):
         df = df.withColumn(
             col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
         )
+    try:
+        parallelism = spark.sparkContext.defaultParallelism
+        n_splits = df.rdd.getNumPartitions()
+        big_enough = os.path.getsize(path) >= _SPREAD_MIN_BYTES
+    except Exception:
+        return df
+    if big_enough and n_splits < parallelism // 2:
+        df = df.repartition(parallelism)
     return df
