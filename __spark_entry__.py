@@ -673,6 +673,173 @@ def _q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extended SQL-surface coverage (SURVEY §2A lines not yet exercised)
+# ---------------------------------------------------------------------------
+
+# Standard UNPIVOT syntax runs unchanged on both engines (SURVEY §2A:
+# sql_validation.go:53-54).
+ORDERS_UNPIVOT = """
+SELECT o_orderpriority, metric, round(val, 2) AS val
+FROM (
+  SELECT o_orderpriority,
+         round(sum(o_totalprice), 2) AS total_price,
+         round(avg(o_totalprice), 2) AS avg_price,
+         CAST(count(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+) UNPIVOT (val FOR metric IN (total_price, avg_price, n_orders))
+ORDER BY o_orderpriority, metric
+"""
+
+# WITH RECURSIVE (sql_validation.go:285-288); Spark 4 executes it natively.
+RECURSIVE_SERIES = """
+WITH RECURSIVE fib(n, a, b) AS (
+  SELECT 1, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT n + 1, b, a + b FROM fib WHERE n < 20
+)
+SELECT n, a AS fib_n FROM fib ORDER BY n
+"""
+
+# GROUPING SETS + grouping() markers.
+GROUPING_SETS_REVENUE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       grouping(o_orderstatus) AS g_status,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+"""
+
+# Time-RANGE window frame (interval-based sliding aggregate).
+RANGE_FRAME_REVENUE = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, sum(value) AS v FROM events GROUP BY 1
+)
+SELECT day,
+       round(sum(v) OVER (ORDER BY day
+         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 4) AS rev_7d
+FROM d ORDER BY day
+"""
+
+VALUES_INLINE = """
+SELECT t.id, t.name, upper(t.name) AS uname
+FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)
+ORDER BY t.id
+"""
+
+# count(*) FILTER (WHERE …) — exercised by the BOXPLOT macro too
+# (custom_types.go:104-128); same text runs on both engines.
+COUNT_FILTER_ORDERS = """
+SELECT o_orderpriority,
+       count(*) AS n,
+       count(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# DuckDB FROM-first sugar (sql_validation.go:46) through the rewriter.
+FROM_FIRST = "FROM region ORDER BY r_regionkey"
+
+# DuckDB QUALIFY through the rewriter (window filter sugar).
+QUALIFY_TOP_PARTS = """
+SELECT p_brand, p_partkey, p_retailprice
+FROM part
+QUALIFY row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) <= 3
+ORDER BY p_brand, p_retailprice DESC, p_partkey
+"""
+
+
+def _q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ', ') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """
+    )
+
+
+STRING_AGG_DUCK = """
+SELECT n_regionkey, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shaper_spark.operators.dedup import simhash_near_dups
+
+    _prep(spark, sf_dir)
+    df = spark.table("documents").filter("doc_id < 100")
+    return simhash_near_dups(
+        df, "doc_id", "text", bits=32, max_hamming=16, chunks=4
+    ).orderBy("id_a", "id_b")
+
+
+SIMHASH_PAIRS_DUCK = f"""
+WITH sig AS ({SIMHASH_DUCK.replace("ORDER BY doc_id", "")}),
+chunks AS (
+  SELECT doc_id, simhash, c.c AS ci,
+         CAST(floor(simhash / pow(2, c.c * 8)) AS BIGINT) % 256 AS cv
+  FROM sig CROSS JOIN (SELECT range AS c FROM range(4)) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 16
+ORDER BY id_a, id_b
+"""
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column → Arrow-batched
+    mapInPandas feature extraction (decode stubbed deterministically —
+    see shaper_spark.operators.multimodal)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_image_features,
+    )
+
+    _prep(spark, sf_dir)
+    media = (
+        spark.table("documents")
+        .filter("doc_id < 200")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    feats = extract_image_features(media)
+    meta = attach_media_metadata(media).select("media_id", "content_md5")
+    return (
+        feats.join(meta, "media_id")
+        .select(
+            "media_id",
+            "n_bytes",
+            F.round("fake_brightness", 6).alias("brightness"),
+            "content_md5",
+        )
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_META_DUCK = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       round(('0x' || substr(md5(text), 1, 2))::INT / 255.0, 6) AS brightness,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
 
@@ -721,6 +888,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "similarity_lsh_topk": _q_lsh_topk,
         "summarize_table": _q_summarize,
+        "orders_unpivot": _sql(ORDERS_UNPIVOT),
+        "recursive_series": _sql(RECURSIVE_SERIES),
+        "grouping_sets_revenue": _sql(GROUPING_SETS_REVENUE),
+        "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
+        "values_inline": _sql(VALUES_INLINE),
+        "count_filter_orders": _sql(COUNT_FILTER_ORDERS),
+        "from_first": _dialect(FROM_FIRST),
+        "qualify_top_parts": _dialect(QUALIFY_TOP_PARTS),
+        "string_agg_nations": _q_string_agg,
+        "simhash_near_pairs": _q_simhash_pairs,
+        "multimodal_meta": _q_multimodal_meta,
     }
 
 
@@ -763,4 +941,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_top1": EMBEDDING_TOP1_DUCK,
         "embedding_neardup": EMBEDDING_NEARDUP_DUCK,
         # similarity_lsh_topk, summarize_table: rows-only (see docstrings)
+        "orders_unpivot": ORDERS_UNPIVOT,
+        "recursive_series": RECURSIVE_SERIES,
+        "grouping_sets_revenue": GROUPING_SETS_REVENUE,
+        "range_frame_revenue": RANGE_FRAME_REVENUE,
+        "values_inline": VALUES_INLINE,
+        "count_filter_orders": COUNT_FILTER_ORDERS,
+        "from_first": FROM_FIRST,
+        "qualify_top_parts": QUALIFY_TOP_PARTS,
+        "string_agg_nations": STRING_AGG_DUCK,
+        "simhash_near_pairs": SIMHASH_PAIRS_DUCK,
+        "multimodal_meta": MULTIMODAL_META_DUCK,
     }

@@ -271,14 +271,23 @@ def simhash(
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation blocks on bit-chunks (pigeonhole: two hashes
-    within distance d share at least one of d+1 chunks untouched), so the
-    join key is (chunk index, chunk value) — no all-pairs comparison."""
-    chunks = max_hamming + 1
+    Candidate generation blocks on bit-chunks; with the default
+    ``chunks = max_hamming + 1`` the pigeonhole principle makes the
+    blocking exact (two hashes within distance d share at least one of
+    d+1 chunks untouched). Passing fewer chunks trades recall for fewer
+    candidates — the join key stays (chunk index, chunk value), never
+    all-pairs."""
+    if chunks is None:
+        chunks = max_hamming + 1
     chunk_bits = bits // chunks
     sh = simhash(df, id_col, text_col, bits)
     mask = (1 << chunk_bits) - 1

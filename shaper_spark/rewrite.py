@@ -462,6 +462,69 @@ def _expand_boxplot(sql: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# QUALIFY (DuckDB/Snowflake clause; Spark has no equivalent)
+# ---------------------------------------------------------------------------
+
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_TAIL_RE = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+
+
+def _depth0_matches(sql: str, pattern: re.Pattern[str]) -> list[re.Match[str]]:
+    states = _scan_states(sql)
+    depth = 0
+    out = []
+    starts: dict[int, int] = {}
+    for i, c in enumerate(sql):
+        if states[i] != 0:
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        starts[i] = depth
+    for m in pattern.finditer(sql):
+        if states[m.start()] == 0 and starts.get(m.start(), 0) == 0:
+            out.append(m)
+    return out
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``… QUALIFY <pred> [ORDER BY …]`` → filter over a subquery.
+
+    If the predicate calls a window function inline, it is first injected
+    into the select list (windows can't appear in WHERE); predicates that
+    reference select-list aliases work through the subquery wrap alone.
+    Both paths drop the helper column via ``SELECT * EXCEPT``."""
+    matches = _depth0_matches(sql, _QUALIFY_RE)
+    if not matches:
+        return sql
+    m = matches[0]
+    body = sql[: m.start()].rstrip()
+    rest = sql[m.end() :]
+    tails = _depth0_matches(rest, _TAIL_RE)
+    if tails:
+        pred = rest[: tails[0].start()].strip()
+        tail = " " + rest[tails[0].start() :].strip()
+    else:
+        pred, tail = rest.strip(), ""
+    if re.search(r"\bOVER\b", pred, re.IGNORECASE):
+        froms = _depth0_matches(body, re.compile(r"\bFROM\b", re.IGNORECASE))
+        if not froms:
+            return sql
+        f = froms[0]
+        inner = (
+            body[: f.start()].rstrip()
+            + f", ({pred}) AS __qualify__ "
+            + body[f.start() :]
+        )
+        return (
+            f"SELECT * EXCEPT (__qualify__) FROM ({inner}) __qualify_sub "
+            f"WHERE __qualify__{tail}"
+        )
+    return f"SELECT * FROM ({body}) __qualify_sub WHERE {pred}{tail}"
+
+
+# ---------------------------------------------------------------------------
 # Variables
 # ---------------------------------------------------------------------------
 
@@ -523,6 +586,9 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # FETCH FIRST n ROWS ONLY → LIMIT n
     sql = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", sql)
+
+    # QUALIFY → subquery filter.
+    sql = _rewrite_qualify(sql)
 
     # BOXPLOT macro.
     sql = _expand_boxplot(sql)

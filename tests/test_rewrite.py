@@ -96,3 +96,35 @@ def test_with_statement_tags():
         "WITH x AS (SELECT a, b FROM t) SELECT a::XAXIS, sum(b)::LINECHART FROM x GROUP BY 1"
     )
     assert r.column_tags == {0: "XAXIS", 1: "LINECHART"}
+
+
+class TestQualifyRewrite:
+    """QUALIFY (DuckDB window-filter sugar) → subquery rewrite."""
+
+    def test_inline_window_predicate(self, spark):
+        from shaper_spark.rewrite import rewrite_statement
+
+        sql = rewrite_statement(
+            "SELECT n_regionkey, n_name FROM nation "
+            "QUALIFY row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) <= 2 "
+            "ORDER BY n_regionkey, n_name"
+        ).sql
+        assert "__qualify__" in sql
+        df = spark.sql(sql)
+        assert df.columns == ["n_regionkey", "n_name"]
+        assert df.count() == 10  # 2 per region x 5 regions
+
+    def test_alias_predicate(self, spark):
+        from shaper_spark.rewrite import rewrite_statement
+
+        sql = rewrite_statement(
+            "SELECT n_regionkey, row_number() OVER (ORDER BY n_name) AS rn "
+            "FROM nation QUALIFY rn <= 3"
+        ).sql
+        assert spark.sql(sql).count() == 3
+
+    def test_no_qualify_untouched(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        sql = "SELECT 'QUALIFY' AS word"
+        assert rewrite_statement(sql).sql == sql
