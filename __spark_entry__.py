@@ -839,6 +839,55 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event: the latest click at-or-before it by the
+    same user (DuckDB ASOF JOIN; Spark union+window operator —
+    shaper_spark.operators.asof)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.asof import asof_join
+
+    _prep(spark, sf_dir)
+    events = spark.table("events")
+    purchases = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    return (
+        asof_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["click_id", "value"],
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "click_id",
+            F.round("value", 6).alias("click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_DUCK = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, event_id AS click_id, value FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, c.click_id, round(c.value, 6) AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -899,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_agg_nations": _q_string_agg,
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
+        "asof_last_click": _q_asof,
     }
 
 
@@ -952,4 +1002,5 @@ def oracle_sql() -> dict[str, str]:
         "string_agg_nations": STRING_AGG_DUCK,
         "simhash_near_pairs": SIMHASH_PAIRS_DUCK,
         "multimodal_meta": MULTIMODAL_META_DUCK,
+        "asof_last_click": ASOF_DUCK,
     }
