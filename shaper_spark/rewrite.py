@@ -245,9 +245,9 @@ def _outer_select_item_spans(sql: str) -> list[tuple[int, int]] | None:
             i += 1
             continue
         c = stripped[i]
-        if c == "(":
+        if c in "([":  # brackets nest too: [0.0, 0.5]::RANGE is one item
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         elif depth == 0:
             if c == ",":
@@ -286,6 +286,96 @@ _FN_RENAMES = {
 }
 
 _COUNT_EMPTY_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+
+# DuckDB type names → Spark type names, applied to ``::TYPE`` and
+# ``CAST(x AS TYPE)`` (reference type surface: get_dashboard.go:615-695).
+_TYPE_RENAMES = {
+    "TIMESTAMPTZ": "TIMESTAMP",  # session tz is pinned to UTC
+    "TIMESTAMP_S": "TIMESTAMP",
+    "TIMESTAMP_MS": "TIMESTAMP",
+    "TIMESTAMP_NS": "TIMESTAMP",
+    "DATETIME": "TIMESTAMP",
+    "VARCHAR": "STRING",
+    "TEXT": "STRING",
+    "BPCHAR": "STRING",
+    "JSON": "STRING",
+    "BLOB": "BINARY",
+    "BYTEA": "BINARY",
+    "REAL": "FLOAT",
+    "FLOAT4": "FLOAT",
+    "FLOAT8": "DOUBLE",
+    "INT1": "TINYINT",
+    "INT2": "SMALLINT",
+    "INT4": "INT",
+    "INT8": "BIGINT",
+    "SIGNED": "BIGINT",
+    "UTINYINT": "SMALLINT",
+    "USMALLINT": "INT",
+    "UINTEGER": "BIGINT",
+    "UBIGINT": "DECIMAL(20,0)",
+    "HUGEINT": "DECIMAL(38,0)",
+    "UHUGEINT": "DECIMAL(38,0)",
+    "UUID": "STRING",
+    # No TIME type in Spark (SURVEY §1.3): string keeps the value visible;
+    # the wire layer serializes ms-since-midnight.
+    "TIME": "STRING",
+    "TIMETZ": "STRING",
+}
+
+_COLONCOLON_TYPE_RE = re.compile(
+    r"(::\s*)(" + "|".join(_TYPE_RENAMES) + r")\b(?!\s*\()",
+    re.IGNORECASE,
+)
+# Inside a CAST(... AS TYPE) span only — a bare "AS text" elsewhere is an
+# alias, never a type.
+_CAST_AS_TYPE_RE = re.compile(
+    r"(\bAS\s+)(" + "|".join(_TYPE_RENAMES) + r")(\s*(?:\[\s*\])?\s*\))",
+    re.IGNORECASE,
+)
+_ARRAY_SUFFIX_RE = re.compile(
+    r"(::\s*)([A-Za-z]+(?:\(\d+(?:\s*,\s*\d+)?\))?)\s*\[\s*\]"
+)
+
+
+def _rename_types(sql: str) -> str:
+    states = _scan_states(sql)
+
+    def repl(m: re.Match[str]) -> str:
+        if states[m.start()] != 0:
+            return m.group(0)
+        return m.group(1) + _TYPE_RENAMES[m.group(2).upper()] + (
+            m.group(3) if m.lastindex and m.lastindex >= 3 else ""
+        )
+
+    sql = _COLONCOLON_TYPE_RE.sub(repl, sql)
+
+    # CAST(expr AS TYPE) / TRY_CAST: rename only within the cast's span.
+    out = []
+    last = 0
+    states = _scan_states(sql)
+    for m in _CAST_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        open_pos = m.end() - 1
+        close = _find_matching_close(sql, open_pos, states)
+        if close == -1 or close < last:
+            continue
+        span = sql[m.start() : close + 1]
+        renamed = _CAST_AS_TYPE_RE.sub(
+            lambda mm: mm.group(1)
+            + _TYPE_RENAMES[mm.group(2).upper()]
+            + mm.group(3),
+            span,
+        )
+        out.append(sql[last : m.start()])
+        out.append(renamed)
+        last = close + 1
+    out.append(sql[last:])
+    sql = "".join(out)
+
+    # DuckDB array-type suffix: ::STRING[] → ::ARRAY<STRING>
+    sql = _ARRAY_SUFFIX_RE.sub(lambda m: f"{m.group(1)}ARRAY<{m.group(2)}>", sql)
+    return sql
 
 # Keywords after which a '[' must be a list literal, not array indexing.
 _PRE_LITERAL_KEYWORDS = frozenset(
@@ -575,8 +665,20 @@ def rewrite_statement(sql: str) -> RewriteResult:
     if sql.upper().startswith("FROM"):
         sql = "SELECT * " + sql
 
-    # Custom-type casts → tags.
+    # Custom-type casts → tags. Tag char positions are resolved to
+    # select-item indexes HERE, before later passes (type renames,
+    # bracket literals, QUALIFY) shift string offsets.
     sql, raw_tags = _extract_custom_casts(sql)
+    spans = _outer_select_item_spans(sql)
+    indexed_tags: list[tuple[int | None, str]] = []
+    for pos, name in raw_tags:
+        idx = None
+        if spans:
+            for j, (s, e) in enumerate(spans):
+                if s <= pos <= e:
+                    idx = j
+                    break
+        indexed_tags.append((idx, name))
 
     # count() → count(*)
     sql = _COUNT_EMPTY_RE.sub("count(*)", sql)
@@ -596,16 +698,11 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # Function renames.
     sql = _rename_functions(sql)
 
-    # Map tag offsets to outer select items.
+    # Type renames (::TIMESTAMPTZ, CAST(x AS VARCHAR), …).
+    sql = _rename_types(sql)
+
     result = RewriteResult(sql=sql)
-    spans = _outer_select_item_spans(sql)
-    for pos, name in raw_tags:
-        idx = None
-        if spans:
-            for j, (s, e) in enumerate(spans):
-                if s <= pos <= e:
-                    idx = j
-                    break
+    for idx, name in indexed_tags:
         if idx is not None and idx not in result.column_tags:
             result.column_tags[idx] = name
         else:

@@ -295,3 +295,156 @@ def test_interval_duration_ms(spark):
     q = r.sections[0].queries[0]
     assert q.columns[0].type == "duration"
     assert q.rows[0][0] == 90 * 60 * 1000
+
+
+# --- ports of remaining reference subtests (get_dashboard_test.go) -------
+
+
+def test_scatterplot_tags(spark):
+    # get_dashboard_test.go:131-154
+    r = query_dashboard(
+        spark,
+        """
+        SELECT
+            '2026-01-01'::TIMESTAMP::XAXIS AS ts,
+            10.0::SCATTERPLOT AS val,
+            'my-category'::SCATTERPLOT_CATEGORY AS cat,
+            '#ff0000'::SCATTERPLOT_COLOR AS col
+        """,
+    )
+    q = r.sections[0].queries[0]
+    assert q.render["type"] == "scatterplot"
+    assert [c.tag for c in q.columns] == ["index", "value", "category", "color"]
+
+
+def test_query_with_jwt_variables(spark):
+    # get_dashboard_test.go:156-164
+    r = query_dashboard(
+        spark,
+        "SELECT getvariable('myvar') AS val",
+        variables={"myvar": "hello"},
+    )
+    assert r.sections[0].queries[0].rows == [["hello"]]
+
+
+def test_protected_variable_not_overridable(spark):
+    # get_dashboard_test.go:166-190: a query param must NOT overwrite a
+    # JWT-protected variable.
+    r = query_dashboard(
+        spark,
+        """
+        SELECT 'secure_val'::DROPDOWN AS myvar, 'Secure'::LABEL AS label
+        UNION ALL SELECT 'malicious_val', 'Malicious';
+        SELECT getvariable('myvar') AS val;
+        """,
+        params={"myvar": "malicious_val"},
+        variables={"myvar": "secure_val"},
+    )
+    assert r.sections[-1].queries[0].rows == [["secure_val"]]
+
+
+def test_normal_param_override_works(spark):
+    # get_dashboard_test.go:192-212
+    r = query_dashboard(
+        spark,
+        """
+        SELECT 'val1'::DROPDOWN AS myvar, 'Val 1'::LABEL AS label
+        UNION ALL SELECT 'val2', 'Val 2';
+        SELECT getvariable('myvar') AS val;
+        """,
+        params={"myvar": "val2"},
+    )
+    assert r.sections[-1].queries[0].rows == [["val2"]]
+
+
+def test_unset_variables_detected_in_order(spark):
+    # get_dashboard_test.go:214-228
+    r = query_dashboard(
+        spark,
+        """
+        SELECT getvariable('already_set') AS v1, getvariable('missing_var1') AS v2;
+        SET VARIABLE local_var = 'foo';
+        SELECT getvariable('local_var') AS v3, getvariable('missing_var2') AS v4;
+        """,
+        variables={"already_set": "hello"},
+    )
+    assert r.unset_variables == ["missing_var1", "missing_var2"]
+
+
+def test_timestamptz_in_custom_types(spark):
+    # get_dashboard_test.go:230-260 (subset: XLINE + XAXIS linechart)
+    r = query_dashboard(
+        spark,
+        """
+        SELECT '2026-08-04 10:00:00+00'::TIMESTAMPTZ::XLINE;
+        SELECT
+            '2026-08-04 12:00:00+00'::TIMESTAMPTZ::XAXIS AS ts_xaxis,
+            10.0::LINECHART AS val;
+        """,
+    )
+    q = r.sections[0].queries[0]
+    assert q.render["type"] == "linechart"
+    assert q.columns[0].type == "timestamp"
+    marks = q.render.get("markLines", [])
+    assert len(marks) == 1
+    assert marks[0].get("isYaxis") in (False, None)
+    # XLINE value serialized as unix ms (2026-08-04 10:00:00 UTC)
+    assert marks[0]["value"] == 1785837600000
+
+
+def test_dropdown_multi_defaults_all(spark):
+    # collectVars dropdownMulti semantics (get_dashboard.go:1596-1677):
+    # default = all options when no param given.
+    r = query_dashboard(
+        spark,
+        """
+        SELECT x::DROPDOWN_MULTI AS picks FROM (VALUES ('a'), ('b'), ('c')) t(x) ORDER BY 1;
+        SELECT array_join(array_sort(getvariable('picks')), ',') AS joined;
+        """,
+    )
+    assert r.sections[-1].queries[0].rows == [["a,b,c"]]
+
+
+def test_dropdown_multi_filters_invalid(spark):
+    r = query_dashboard(
+        spark,
+        """
+        SELECT x::DROPDOWN_MULTI AS picks FROM (VALUES ('a'), ('b'), ('c')) t(x) ORDER BY 1;
+        SELECT array_join(array_sort(getvariable('picks')), ',') AS joined;
+        """,
+        params={"picks": ["b", "zzz"]},
+    )
+    assert r.sections[-1].queries[0].rows == [["b"]]
+
+
+def test_datepicker_default_from_row(spark):
+    # datepicker defaults come from the widget's own first row
+    # (get_dashboard.go:1679-1791)
+    r = query_dashboard(
+        spark,
+        """
+        SELECT DATE '2024-03-01'::DATEPICKER_FROM AS f, DATE '2024-03-31'::DATEPICKER_TO AS t;
+        SELECT CAST(getvariable('f') AS STRING) AS f2, CAST(getvariable('t') AS STRING) AS t2;
+        """,
+    )
+    rows = r.sections[-1].queries[0].rows
+    assert rows[0][0].startswith("2024-03-01")
+    # 'to' gets end-of-day added (get_dashboard.go:1758-1762)
+    assert rows[0][1].startswith("2024-03-31 23:59:59")
+
+
+def test_trend_column_in_table(spark):
+    r = query_dashboard(
+        spark,
+        "SELECT 'a' AS name, 5.0::TREND AS trend, 1 AS v "
+        "UNION ALL SELECT 'b', -2.0, 2 ORDER BY name",
+    )
+    q = r.sections[0].queries[0]
+    assert q.render["type"] == "table"
+    assert q.columns[1].tag == "trend"
+
+
+def test_text_size_value(spark):
+    r = query_dashboard(spark, "SELECT 'Big Number'::TEXT_LARGE AS v")
+    q = r.sections[0].queries[0]
+    assert q.render["type"] in ("value", "valueLarge", "text")

@@ -29,9 +29,25 @@ def test_cast_syntax():
 
 
 def test_non_custom_cast_untouched():
+    # plain SQL casts keep no tags; DuckDB-only type names map to Spark's
     r = rewrite_statement("SELECT x::INT, y::VARCHAR FROM t")
-    assert r.sql == "SELECT x::INT, y::VARCHAR FROM t"
+    assert r.sql == "SELECT x::INT, y::STRING FROM t"
     assert r.column_tags == {}
+
+
+def test_duckdb_type_renames():
+    r = rewrite_statement("SELECT a::TIMESTAMPTZ, CAST(b AS HUGEINT) FROM t")
+    assert r.sql == "SELECT a::TIMESTAMP, CAST(b AS DECIMAL(38,0)) FROM t"
+
+
+def test_alias_named_like_type_untouched():
+    sql = "SELECT x AS text, y AS time FROM t"
+    assert rewrite_statement(sql).sql == sql
+
+
+def test_array_type_suffix():
+    r = rewrite_statement("SELECT ['a','b']::VARCHAR[] AS arr")
+    assert r.sql == "SELECT array('a','b')::ARRAY<STRING> AS arr"
 
 
 def test_cast_inside_string_untouched():
