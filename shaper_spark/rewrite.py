@@ -271,19 +271,110 @@ def _outer_select_item_spans(sql: str) -> list[tuple[int, int]] | None:
 # DuckDB → Spark function renames (whole-word, code regions only).
 _FN_RENAMES = {
     "quantile_cont": "percentile",
+    "quantile_disc": "percentile_approx",
     "list_max": "array_max",
     "list_min": "array_min",
     "list_sum": "aggregate_sum_",  # handled below if ever needed
     "list_unique": "array_distinct",
+    "list_distinct": "array_distinct",
+    "list_transform": "transform",
+    "list_filter": "filter",
+    "list_sort": "array_sort",
+    "list_append": "array_append",
+    "list_concat": "concat",
+    "list_value": "array",
+    "list_extract": "element_at",
+    "array_extract": "element_at",
     "len": "length",
-    "strftime": "date_format",
+    "strftime": "date_format",  # format codes converted below
     "epoch_ms": "unix_millis",
-    "string_split": "split",
+    "epoch": "unix_timestamp",
+    "today": "current_date",
+    "datepart": "date_part",
+    "string_split": "split",  # NB: Spark split is regex-based
+    "str_split": "split",
+    "string_to_array": "split",
+    "array_to_string": "array_join",
     "list_contains": "array_contains",
     "regexp_matches": "rlike",
     "json_extract_string": "get_json_object",
     "to_timestamp": "timestamp_seconds",
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "list": "collect_list",
+    "group_concat": "listagg",
+    "string_agg": "listagg",
+    "unnest": "explode",
+    "printf": "format_string",
 }
+
+# DuckDB strftime %-codes → Java datetime pattern letters (applied to
+# literal format arguments of date_format after the rename).
+_STRFTIME_CODES = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%g": "SSS",
+    "%p": "a",
+    "%j": "DDD",
+    "%a": "EEE",
+    "%A": "EEEE",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%%": "%",
+}
+
+_DATE_FORMAT_CALL_RE = re.compile(r"\bdate_format\s*\(", re.IGNORECASE)
+_REGEXP_REPLACE_CALL_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
+
+
+def _convert_strftime_literals(sql: str) -> str:
+    """Rewrite %-style format literals inside date_format(...) calls."""
+    states = _scan_states(sql)
+    out = []
+    last = 0
+    for m in _DATE_FORMAT_CALL_RE.finditer(sql):
+        if states[m.start()] != 0 or m.start() < last:
+            continue
+        close = _find_matching_close(sql, m.end() - 1, states)
+        if close == -1:
+            continue
+        span = sql[m.end() : close]
+        if "%" in span:
+            for code, java in _STRFTIME_CODES.items():
+                span = span.replace(code, java)
+        out.append(sql[last : m.end()])
+        out.append(span)
+        last = close
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _drop_regexp_replace_gflag(sql: str) -> str:
+    """DuckDB ``regexp_replace(x, p, r, 'g')`` replaces all matches; Spark
+    always does and takes no flag — drop it."""
+    states = _scan_states(sql)
+    out = []
+    last = 0
+    for m in _REGEXP_REPLACE_CALL_RE.finditer(sql):
+        if states[m.start()] != 0 or m.start() < last:
+            continue
+        close = _find_matching_close(sql, m.end() - 1, states)
+        if close == -1:
+            continue
+        args = _split_top_level_args(sql[m.end() : close])
+        if len(args) == 4 and args[3].strip().lower() in ("'g'", "'gi'", "'ig'"):
+            out.append(sql[last : m.end()])
+            out.append(", ".join(args[:3]))
+            last = close
+    out.append(sql[last:])
+    return "".join(out)
 
 _COUNT_EMPTY_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 
@@ -697,6 +788,10 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # Function renames.
     sql = _rename_functions(sql)
+
+    # strftime %-codes inside date_format literals; regexp_replace 'g' flag.
+    sql = _convert_strftime_literals(sql)
+    sql = _drop_regexp_replace_gflag(sql)
 
     # Type renames (::TIMESTAMPTZ, CAST(x AS VARCHAR), …).
     sql = _rename_types(sql)

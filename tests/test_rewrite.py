@@ -1,3 +1,5 @@
+import pytest
+
 from shaper_spark.rewrite import (
     find_variable_refs,
     rewrite_statement,
@@ -143,4 +145,37 @@ class TestQualifyRewrite:
         from shaper_spark.rewrite import rewrite_statement
 
         sql = "SELECT 'QUALIFY' AS word"
+        assert rewrite_statement(sql).sql == sql
+
+
+class TestFunctionRenames:
+    """DuckDB → Spark function mapping (dialect surface)."""
+
+    @pytest.mark.parametrize(
+        "duck,spark_sql",
+        [
+            ("SELECT strftime(ts, '%Y-%m-%d %H:%M') FROM t",
+             "SELECT date_format(ts, 'yyyy-MM-dd HH:mm') FROM t"),
+            ("SELECT regexp_replace(x, '[0-9]', '', 'g') FROM t",
+             "SELECT regexp_replace(x, '[0-9]', '') FROM t"),
+            ("SELECT today() AS d", "SELECT current_date() AS d"),
+            ("SELECT arg_max(x, y) FROM t", "SELECT max_by(x, y) FROM t"),
+            ("SELECT list(x) FROM t", "SELECT collect_list(x) FROM t"),
+            ("SELECT unnest([1,2]) AS v", "SELECT explode(array(1,2)) AS v"),
+            ("SELECT array_to_string(l, ',') FROM t",
+             "SELECT array_join(l, ',') FROM t"),
+            ("SELECT epoch(ts) FROM t", "SELECT unix_timestamp(ts) FROM t"),
+            ("SELECT string_agg(x, ', ') FROM t", "SELECT listagg(x, ', ') FROM t"),
+            ("SELECT list_extract(l, 1) FROM t", "SELECT element_at(l, 1) FROM t"),
+        ],
+    )
+    def test_renames(self, duck, spark_sql):
+        assert rewrite_statement(duck).sql == spark_sql
+
+    def test_length_not_renamed_from_len_prefix(self):
+        sql = "SELECT length(x) FROM t"
+        assert rewrite_statement(sql).sql == sql
+
+    def test_strftime_in_string_untouched(self):
+        sql = "SELECT '%Y-%m' AS fmt"
         assert rewrite_statement(sql).sql == sql
