@@ -1,0 +1,301 @@
+"""HTTP API façade: the reference's data-facing routes over the Spark
+engine, using only the Python standard library (no web framework in
+this environment).
+
+Routes re-expressed (reference server/web/routes.go:157-198):
+  GET  /health                                  → liveness
+  POST /api/sql            {"sql": "..."}       → CSV stream (single stmt)
+  POST /api/data/<table>   JSON body            → ingest buffer publish
+  GET  /api/schema                              → introspection tree JSON
+  POST /api/validate       {"sql": "..."}       → statement-gate verdict
+  POST /api/dashboards     {"id","content"}     → store dashboard
+  GET  /api/dashboards/<id>?vars…               → render tree JSON
+  GET  /api/dashboards/<id>/download/<file>.csv|json|xlsx → export stream
+  POST /api/tasks          {"id","content"}     → register scheduled task
+  GET  /api/tasks/<id>/runs                     → task run results
+
+Out of scope by design (operational plumbing, SURVEY §0.7): auth/JWT
+users, invites, NATS event sourcing, React UI, PDF rendering. The
+`variables` parameter that JWT claims would carry is accepted as a
+constructor argument so embedding applications can inject their own
+auth layer in front.
+
+Scale note: the server holds no query state — every request drives the
+shared long-lived SparkSession; exports stream via toLocalIterator so
+an unbounded download never materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import SparkSession
+
+from . import sqltool
+from .engine import query_dashboard
+from .exports import stream_csv, stream_dashboard_export
+from .ingest import IngestBuffer
+from .introspect import get_schema
+from .rewrite import rewrite_statement
+from .tasks import TaskScheduler
+
+__all__ = ["ShaperServer"]
+
+
+class ShaperServer:
+    """Embeddable API server around one SparkSession."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        variables: dict[str, Any] | None = None,
+    ):
+        self.spark = spark
+        self.variables = variables or {}
+        self.dashboards: dict[str, str] = {}
+        self.ingest = IngestBuffer(spark)
+        self.scheduler = TaskScheduler(spark)
+        self._flusher_stop = threading.Event()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            daemon_threads = True
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            # -- helpers ---------------------------------------------------
+            def _json(self, code: int, payload: Any) -> None:
+                body = json.dumps(payload, default=str).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _read_body(self) -> bytes:
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n) if n else b""
+
+            # -- routes ----------------------------------------------------
+            def do_GET(self):
+                url = urlparse(self.path)
+                parts = [unquote(p) for p in url.path.strip("/").split("/")]
+                try:
+                    if parts == ["health"]:
+                        return self._json(200, {"status": "ok"})
+                    if parts == ["api", "schema"]:
+                        return self._json(200, get_schema(outer.spark).to_dict())
+                    if len(parts) == 3 and parts[:2] == ["api", "dashboards"]:
+                        return self._dashboard(parts[2], url)
+                    if (
+                        len(parts) == 5
+                        and parts[:2] == ["api", "dashboards"]
+                        and parts[3] == "download"
+                    ):
+                        return self._download(parts[2], parts[4], url)
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "tasks"]
+                        and parts[3] == "runs"
+                    ):
+                        runs = outer.scheduler.results.get(parts[2], [])
+                        return self._json(200, [r.to_dict() for r in runs])
+                    self._json(404, {"error": "not found"})
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                parts = [unquote(p) for p in url.path.strip("/").split("/")]
+                try:
+                    if parts == ["api", "sql"]:
+                        return self._sql()
+                    if len(parts) == 3 and parts[:2] == ["api", "data"]:
+                        return self._ingest(parts[2])
+                    if parts == ["api", "validate"]:
+                        return self._validate()
+                    if parts == ["api", "dashboards"]:
+                        body = json.loads(self._read_body() or b"{}")
+                        did = str(body.get("id") or "")
+                        content = str(body.get("content") or "")
+                        if not did or not content:
+                            return self._json(400, {"error": "id and content required"})
+                        outer.dashboards[did] = content
+                        return self._json(200, {"id": did})
+                    if parts == ["api", "tasks"]:
+                        body = json.loads(self._read_body() or b"{}")
+                        tid = str(body.get("id") or "")
+                        content = str(body.get("content") or "")
+                        if not tid or not content:
+                            return self._json(400, {"error": "id and content required"})
+                        next_run, stype = outer.scheduler.register(tid, content)
+                        return self._json(
+                            200,
+                            {"id": tid, "nextRunAt": next_run, "scheduleType": stype},
+                        )
+                    self._json(404, {"error": "not found"})
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+
+            # -- route bodies ----------------------------------------------
+            def _sql(self):
+                """POST /api/sql: exactly one read-only statement → CSV
+                (reference server/web/handler/sql.go:44-76)."""
+                body = json.loads(self._read_body() or b"{}")
+                sql = str(body.get("sql") or "")
+                statements = [
+                    s
+                    for s in sqltool.split_sql_queries(
+                        sqltool.strip_sql_comments(sql)
+                    )
+                    if s.strip()
+                ]
+                if len(statements) != 1:
+                    return self._json(
+                        400, {"error": "exactly one SQL statement required"}
+                    )
+                if not sqltool.is_allowed_statement(statements[0]):
+                    return self._json(403, {"error": "statement not allowed"})
+                df = outer.spark.sql(rewrite_statement(statements[0]).sql)
+                buf = io.StringIO()
+                stream_csv(df, buf)
+                data = buf.getvalue().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/csv")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _ingest(self, table: str):
+                """POST /api/data/<table> (reference
+                server/web/handler/events.go:27-80): single JSON object or
+                array of objects."""
+                body = json.loads(self._read_body() or b"{}")
+                payloads = body if isinstance(body, list) else [body]
+                for p in payloads:
+                    if not isinstance(p, dict):
+                        return self._json(400, {"error": "JSON object(s) required"})
+                    outer.ingest.publish(table, p)
+                outer.ingest.flush()
+                return self._json(200, {"ingested": len(payloads)})
+
+            def _validate(self):
+                """POST /api/validate: per-statement gate verdicts."""
+                body = json.loads(self._read_body() or b"{}")
+                sql = str(body.get("sql") or "")
+                kind = str(body.get("type") or "dashboard")
+                try:
+                    statements = sqltool.split_sql_queries(
+                        sqltool.strip_sql_comments(sql)
+                    )
+                except Exception as e:
+                    return self._json(200, {"valid": False, "error": str(e)})
+                gate = (
+                    sqltool.is_allowed_task_statement
+                    if kind == "task"
+                    else sqltool.is_allowed_statement
+                )
+                bad = [
+                    i + 1
+                    for i, s in enumerate(statements)
+                    if s.strip() and not gate(s)
+                ]
+                return self._json(200, {"valid": not bad, "invalidStatements": bad})
+
+            def _dashboard(self, did: str, url):
+                content = outer.dashboards.get(did)
+                if content is None:
+                    return self._json(404, {"error": f"no dashboard {did}"})
+                params = {
+                    k: v if len(v) > 1 else v[0]
+                    for k, v in parse_qs(url.query).items()
+                }
+                result = query_dashboard(
+                    outer.spark,
+                    content,
+                    params=params,
+                    variables=outer.variables,
+                    dashboard_id=did,
+                )
+                return self._json(200, result.to_dict())
+
+            def _download(self, did: str, filename: str, url):
+                content = outer.dashboards.get(did)
+                if content is None:
+                    return self._json(404, {"error": f"no dashboard {did}"})
+                fmt = filename.rsplit(".", 1)[-1].lower()
+                if fmt not in ("csv", "json", "xlsx"):
+                    return self._json(400, {"error": f"unsupported format {fmt}"})
+                params = {
+                    k: v if len(v) > 1 else v[0]
+                    for k, v in parse_qs(url.query).items()
+                }
+                qid = int(params.pop("query_id", -1))
+                if fmt == "xlsx":
+                    out: Any = io.BytesIO()
+                else:
+                    out = io.StringIO()
+                stream_dashboard_export(
+                    outer.spark,
+                    content,
+                    fmt,
+                    out,
+                    query_id=qid,
+                    params=params,
+                    variables=outer.variables,
+                )
+                data = out.getvalue()
+                if isinstance(data, str):
+                    data = data.encode()
+                ctype = {
+                    "csv": "text/csv",
+                    "json": "application/json",
+                    "xlsx": "application/vnd.openxmlformats-officedocument"
+                    ".spreadsheetml.sheet",
+                }[fmt]
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header(
+                    "Content-Disposition", f'attachment; filename="{filename}"'
+                )
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> "ShaperServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        # Background flusher mirrors the reference's 2s batch timeout.
+        def flush_loop():
+            while not self._flusher_stop.wait(self.ingest.batch_timeout_s):
+                try:
+                    self.ingest.maybe_flush()
+                except Exception:
+                    pass
+
+        threading.Thread(target=flush_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        self._flusher_stop.set()
+        self.scheduler.shutdown()
+        self._server.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,0 +1,170 @@
+"""HTTP façade tests: reference route contracts over the stdlib server
+(reference server/web/handler/{sql,validate}_test.go semantics)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from shaper_spark.api import ShaperServer
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = ShaperServer(spark, variables={"org": "acme"}).start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _post(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+class TestRoutes:
+    def test_health(self, server):
+        status, body = _get(server, "/health")
+        assert status == 200
+        assert json.loads(body) == {"status": "ok"}
+
+    def test_sql_csv(self, server):
+        status, body = _post(
+            server,
+            "/api/sql",
+            {"sql": "SELECT 1 as id, 'hello' as name UNION ALL SELECT 2, 'world' ORDER BY id"},
+        )
+        assert status == 200
+        assert body.decode() == "id,name\n1,hello\n2,world\n"
+
+    def test_sql_rejects_multiple_statements(self, server):
+        status, body = _post(server, "/api/sql", {"sql": "SELECT 1; SELECT 2"})
+        assert status == 400
+
+    def test_sql_rejects_ddl(self, server):
+        status, _ = _post(server, "/api/sql", {"sql": "DROP TABLE x"})
+        assert status == 403
+
+    def test_validate(self, server):
+        status, body = _post(
+            server, "/api/validate", {"sql": "SELECT 1; DROP TABLE x;"}
+        )
+        assert status == 200
+        v = json.loads(body)
+        assert v["valid"] is False
+        assert v["invalidStatements"] == [2]
+
+    def test_validate_task_allows_ddl(self, server):
+        status, body = _post(
+            server,
+            "/api/validate",
+            {"sql": "CREATE TABLE t AS SELECT 1;", "type": "task"},
+        )
+        assert json.loads(body)["valid"] is True
+
+    def test_ingest_and_query(self, server, spark):
+        spark.sql("DROP TABLE IF EXISTS api_ingest")
+        import shutil
+        shutil.rmtree("spark-warehouse/api_ingest", ignore_errors=True)
+        status, body = _post(
+            server,
+            "/api/data/api_ingest",
+            [{"name": "a", "v": 1}, {"name": "b", "v": 2}],
+        )
+        assert status == 200
+        assert json.loads(body)["ingested"] == 2
+        status, body = _post(
+            server, "/api/sql", {"sql": "SELECT name, v FROM api_ingest ORDER BY name"}
+        )
+        assert body.decode().splitlines()[1:] == ["a,1.0", "b,2.0"]
+
+    def test_dashboard_roundtrip(self, server):
+        content = """
+        SELECT 'API Dash'::SECTION;
+        SELECT 2 + 2 AS four;
+        """
+        status, _ = _post(server, "/api/dashboards", {"id": "d1", "content": content})
+        assert status == 200
+        status, body = _get(server, "/api/dashboards/d1")
+        assert status == 200
+        tree = json.loads(body)
+        assert tree["name"] == "API Dash"
+        rows = tree["sections"][-1]["queries"][0]["rows"]
+        assert rows == [[4]]
+
+    def test_dashboard_jwt_variable(self, server):
+        _post(
+            server,
+            "/api/dashboards",
+            {"id": "d2", "content": "SELECT getvariable('org') AS org"},
+        )
+        _, body = _get(server, "/api/dashboards/d2")
+        assert json.loads(body)["sections"][0]["queries"][0]["rows"] == [["acme"]]
+
+    def test_dashboard_download_csv(self, server):
+        content = """
+        SELECT 'file'::DOWNLOAD_CSV AS f;
+        SELECT 10 AS a, 'x' AS b;
+        """
+        _post(server, "/api/dashboards", {"id": "d3", "content": content})
+        status, body = _get(server, "/api/dashboards/d3/download/data.csv")
+        assert status == 200
+        assert body.decode() == "a,b\n10,x\n"
+
+    def test_dashboard_download_json(self, server):
+        _post(
+            server,
+            "/api/dashboards",
+            {"id": "d4", "content": "SELECT 5 AS n"},
+        )
+        status, body = _get(server, "/api/dashboards/d4/download/data.json")
+        assert json.loads(body) == [{"n": 5}]
+
+    def test_missing_dashboard_404(self, server):
+        status, _ = _get(server, "/api/dashboards/nope")
+        assert status == 404
+
+    def test_schema_tree(self, server):
+        status, body = _get(server, "/api/schema")
+        assert status == 200
+        tree = json.loads(body)
+        assert tree["databases"][0]["name"] == "spark_catalog"
+
+    def test_task_register_and_run(self, server, spark):
+        spark.sql("DROP TABLE IF EXISTS api_task_out")
+        import shutil
+        shutil.rmtree("spark-warehouse/api_task_out", ignore_errors=True)
+        content = """
+        SELECT 'init'::SCHEDULE AS s;
+        CREATE TABLE api_task_out AS SELECT 7 AS v;
+        """
+        status, body = _post(server, "/api/tasks", {"id": "t1", "content": content})
+        assert status == 200
+        assert json.loads(body)["scheduleType"] == "init"
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            status, body = _get(server, "/api/tasks/t1/runs")
+            runs = json.loads(body)
+            if runs:
+                break
+            time.sleep(0.5)
+        assert runs and runs[0]["success"] is True
