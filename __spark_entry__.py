@@ -888,6 +888,55 @@ ORDER BY p.event_id
 """
 
 
+def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's session_window aggregate on the batch events table —
+    identical operator body serves the streaming path
+    (shaper_spark.streaming.session_aggregate_stream)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.streaming import session_aggregate_stream
+
+    _prep(spark, sf_dir)
+    return (
+        session_aggregate_stream(
+            spark.table("events"), gap="30 minutes"
+        )
+        .select(
+            "user",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        .orderBy("user", "session_start")
+    )
+
+
+SESSION_WINDOW_DUCK = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+)
+SELECT user_id AS user,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM g GROUP BY user_id, grp ORDER BY user, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -949,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
         "asof_last_click": _q_asof,
+        "session_window_agg": _q_session_window,
     }
 
 
@@ -1003,4 +1053,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": SIMHASH_PAIRS_DUCK,
         "multimodal_meta": MULTIMODAL_META_DUCK,
         "asof_last_click": ASOF_DUCK,
+        "session_window_agg": SESSION_WINDOW_DUCK,
     }

@@ -124,8 +124,10 @@ def load_parquet(spark: SparkSession, path: str):
 
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_columns(path):
+        # Integer division: nanos exceed 2^53, so a float intermediate
+        # (col / 1000) silently loses the last microsecond digit.
         df = df.withColumn(
-            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
     try:
         parallelism = spark.sparkContext.defaultParallelism

@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .ingest import IngestBuffer, validate_table_name
 
-__all__ = ["start_json_ingest_stream", "ingest_microbatch"]
+__all__ = [
+    "start_json_ingest_stream",
+    "ingest_microbatch",
+    "session_aggregate_stream",
+    "threshold_alert_stream",
+]
 
 SCHEMA_SAMPLE = 3000
 
@@ -112,3 +117,118 @@ def start_json_ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Stream analytics beyond the reference (SURVEY §2B note: the reference
+# has no watermarks/stream windows — these are the Spark-native
+# capabilities a training-data pipeline would add on top).
+# ---------------------------------------------------------------------------
+
+
+def session_aggregate_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sessionization as a *streaming* aggregate: Spark's built-in
+    ``session_window`` merges events closer than ``gap`` per user, the
+    watermark bounds state for late data. Works identically on a batch
+    DataFrame (the windows just close immediately).
+
+    Returns (user, session_start, session_end, n_events, total_value).
+    """
+    with_wm = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    return (
+        with_wm.groupBy(
+            F.col(user_col).alias("user"),
+            F.session_window(F.col(ts_col), gap),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col)).alias("total_value"),
+        )
+        .select(
+            "user",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_ALERT_SCHEMA = "user_id long, total double, crossed_at timestamp"
+_ALERT_STATE_SCHEMA = "total double"
+
+
+def threshold_alert_stream(
+    events: DataFrame,
+    threshold: float,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    state_timeout_ms: int | None = None,
+):
+    """Custom stateful operator: emit one row the first time a user's
+    *cumulative* value crosses ``threshold`` — semantics no built-in
+    aggregate expresses (emit-once-on-crossing), so this is the
+    ``applyInPandasWithState`` escape hatch done the intended way:
+    Arrow-batched per-group state, no row-at-a-time Python in the
+    shuffle path.
+
+    ``state_timeout_ms`` turns on processing-time state expiry for
+    long-running streams (idle users' state is GC'd). Leave it None for
+    ``availableNow`` backfills: pending timeouts force the engine to keep
+    scheduling no-data micro-batches, so a drain-and-stop run with
+    timeouts never terminates.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["user_id", "total", "crossed_at"])
+            return
+        (total,) = state.get if state.exists else (0.0,)
+        crossed = total >= threshold
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                total += float(row[value_col] or 0.0)
+                if not crossed and total >= threshold:
+                    crossed = True
+                    out.append(
+                        {
+                            "user_id": user_id,
+                            "total": total,
+                            "crossed_at": row[ts_col],
+                        }
+                    )
+        state.update((total,))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(out, columns=["user_id", "total", "crossed_at"])
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=_ALERT_SCHEMA,
+        stateStructType=_ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -125,3 +125,98 @@ class TestJsonIngestStream:
             assert spark.table("stream_live").count() == 2
         finally:
             q.stop()
+
+
+class TestSessionAggregateStream:
+    def test_streaming_session_window(self, spark, tmp_path):
+        src = tmp_path / "sess_src"
+        src.mkdir()
+        _write_jsonl(
+            src / "e.jsonl",
+            [
+                {"user_id": 1, "ts": "2024-01-01T10:00:00", "value": 5.0},
+                {"user_id": 1, "ts": "2024-01-01T10:10:00", "value": 3.0},
+                {"user_id": 1, "ts": "2024-01-01T12:00:00", "value": 7.0},  # new session
+                {"user_id": 2, "ts": "2024-01-01T10:05:00", "value": 1.0},
+            ],
+        )
+        from shaper_spark.streaming import session_aggregate_stream
+
+        events = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .json(str(src))
+        )
+        sessions = session_aggregate_stream(events, gap="30 minutes")
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            (r["user"], r["session_start"].isoformat()): r
+            for r in spark.table("sess_out").collect()
+        }
+        assert len(rows) == 3
+        first = rows[(1, "2024-01-01T10:00:00")]
+        assert first["n_events"] == 2
+        assert first["total_value"] == 8.0
+        # session_window end = last event + gap
+        assert first["session_end"].isoformat() == "2024-01-01T10:40:00"
+
+    def test_batch_equivalence(self, spark):
+        # Same operator body works on a batch frame (windows close at once)
+        import datetime as dt
+
+        from shaper_spark.streaming import session_aggregate_stream
+
+        df = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 10, 0), 5.0),
+                (1, dt.datetime(2024, 1, 1, 10, 10), 3.0),
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        out = session_aggregate_stream(df, gap="30 minutes").collect()
+        assert len(out) == 1
+        assert out[0]["n_events"] == 2
+
+
+class TestThresholdAlertStream:
+    def test_emits_once_on_crossing(self, spark, tmp_path):
+        src = tmp_path / "alert_src"
+        src.mkdir()
+        _write_jsonl(
+            src / "a.jsonl",
+            [
+                {"user_id": 1, "ts": "2024-01-01T10:00:00", "value": 40.0},
+                {"user_id": 1, "ts": "2024-01-01T10:01:00", "value": 40.0},
+                {"user_id": 1, "ts": "2024-01-01T10:02:00", "value": 40.0},  # crosses 100 here
+                {"user_id": 2, "ts": "2024-01-01T10:00:00", "value": 10.0},  # never crosses
+            ],
+        )
+        from shaper_spark.streaming import threshold_alert_stream
+
+        events = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .json(str(src))
+        )
+        alerts = threshold_alert_stream(events, threshold=100.0)
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("alerts_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "stream did not drain in time"
+        finally:
+            q.stop()
+        rows = spark.table("alerts_out").collect()
+        assert len(rows) == 1
+        assert rows[0]["user_id"] == 1
+        assert rows[0]["total"] == 120.0
+        assert rows[0]["crossed_at"].isoformat() == "2024-01-01T10:02:00"
