@@ -888,6 +888,62 @@ ORDER BY p.event_id
 """
 
 
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation — result is identical to the plain
+    GROUP BY (the oracle), only the shuffle shape differs
+    (shaper_spark.operators.skew)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.skew import salted_agg
+
+    _prep(spark, sf_dir)
+    out = salted_agg(
+        spark.table("lineitem"),
+        ["l_returnflag"],
+        {
+            "total_qty": ("sum", "l_quantity"),
+            "n": ("count", "l_quantity"),
+            "max_price": ("max", "l_extendedprice"),
+            "avg_disc": ("avg", "l_discount"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("total_qty", 2).alias("total_qty"),
+        "n",
+        F.round("max_price", 2).alias("max_price"),
+        F.round("avg_disc", 6).alias("avg_disc"),
+    ).orderBy("l_returnflag")
+
+
+SALTED_AGG_DUCK = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS total_qty,
+       count(l_quantity) AS n,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN — numpy-trained coarse quantizer, not
+    SQL-expressible; rows-only check (no oracle entry)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.similarity import ivf_topk
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 20")
+    return ivf_topk(emb, queries, k=3, n_cells=8, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's session_window aggregate on the batch events table —
     identical operator body serves the streaming path
@@ -999,6 +1055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "asof_last_click": _q_asof,
         "session_window_agg": _q_session_window,
+        "salted_agg_lineitem": _q_salted_agg,
+        "similarity_ivf_topk": _q_ivf_topk,
     }
 
 
@@ -1054,4 +1112,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": MULTIMODAL_META_DUCK,
         "asof_last_click": ASOF_DUCK,
         "session_window_agg": SESSION_WINDOW_DUCK,
+        "salted_agg_lineitem": SALTED_AGG_DUCK,
+        # similarity_ivf_topk: rows-only (see docstring)
     }

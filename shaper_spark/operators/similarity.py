@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["cosine_topk", "lsh_topk"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk"]
 
 
 def _norm(col):
@@ -116,6 +116,113 @@ def lsh_topk(
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    sample: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    partitions the corpus into cells; each query probes only its
+    ``n_probe`` nearest cells, then exact cosine re-ranks inside them.
+
+    Spark shape of the classic FAISS-IVF recipe:
+      * quantizer training is a driver-side numpy k-means over a bounded
+        seeded sample (tiny — centroids are the model, not the data);
+      * cell assignment is an Arrow-batched pandas UDF (one numpy matmul
+        per batch — the sanctioned vectorized path, NOT a row-at-a-time
+        UDF);
+      * the probe is an equi-join on cell id, so pair work scales with
+        corpus/n_cells × n_probe, never n².
+    At 100 TB the corpus side would be written bucketed by cell id so
+    repeated query batches skip the assignment scan.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    sampled = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .limit(sample)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sampled, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sampled / norms
+    centroids = unit[rng.choice(len(unit), size=min(n_cells, len(unit)), replace=False)]
+    for _ in range(iters):
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    cent = centroids  # closed over by the UDFs below (broadcast via pickle)
+
+    @pandas_udf("int")
+    def nearest_cell(vs):
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series((mat / n @ cent.T).argmax(axis=1))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs):
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = mat / n @ cent.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        nearest_cell(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))

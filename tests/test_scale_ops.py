@@ -1,0 +1,109 @@
+"""Scale-path operators: salted aggregation/join equivalence and IVF ANN
+recall against the exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaper_spark.operators.skew import salted_agg, salted_join
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90%) + long tail
+    return spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+
+
+class TestSaltedAgg:
+    def test_matches_plain_groupby(self, spark, skewed):
+        plain = {
+            r["k"]: r
+            for r in skewed.groupBy("k")
+            .agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+                F.avg("v").alias("a"),
+            )
+            .collect()
+        }
+        salted = {
+            r["k"]: r
+            for r in salted_agg(
+                skewed,
+                ["k"],
+                {
+                    "s": ("sum", "v"),
+                    "c": ("count", "v"),
+                    "mn": ("min", "v"),
+                    "mx": ("max", "v"),
+                    "a": ("avg", "v"),
+                },
+                salt=16,
+            ).collect()
+        }
+        assert set(plain) == set(salted)
+        for k in plain:
+            assert plain[k]["s"] == salted[k]["s"]
+            assert plain[k]["c"] == salted[k]["c"]
+            assert plain[k]["mn"] == salted[k]["mn"]
+            assert plain[k]["mx"] == salted[k]["mx"]
+            assert abs(plain[k]["a"] - salted[k]["a"]) < 1e-9
+
+    def test_unsupported_fn_raises(self, skewed):
+        with pytest.raises(ValueError):
+            salted_agg(skewed, ["k"], {"x": ("median", "v")})
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark, skewed):
+        dim = spark.createDataFrame(
+            [("hot", "H"), ("k1", "A"), ("k2", "B")], "k string, label string"
+        )
+        plain = sorted(
+            (r["k"], r["label"], r["v"])
+            for r in skewed.join(dim, "k").collect()
+        )
+        salted = sorted(
+            (r["k"], r["label"], r["v"])
+            for r in salted_join(skewed, dim, "k", salt=8).collect()
+        )
+        assert plain == salted
+
+    def test_left_join_preserves_unmatched(self, spark, skewed):
+        dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+        plain = skewed.join(dim, "k", "left").count()
+        salted = salted_join(skewed, dim, "k", salt=8, how="left").count()
+        assert plain == salted == skewed.count()
+
+
+class TestIvfTopk:
+    def test_recall_against_exact(self, spark):
+        from shaper_spark.session import register_sf_tables
+        from shaper_spark.operators.similarity import cosine_topk, ivf_topk
+
+        register_sf_tables(spark, "/root/testdata/sf0.001")
+        emb = spark.table("embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        queries = emb.filter("vec_id < 10")
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, queries, k=3).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, queries, k=3, n_cells=4, n_probe=2).collect()
+        }
+        # approximate: require decent overlap with exact neighbors
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
+        # every query got k results
+        assert len(approx) == len(exact)
