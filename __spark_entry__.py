@@ -888,6 +888,38 @@ ORDER BY p.event_id
 """
 
 
+# SQL-standard PIVOT — identical text on both engines (SURVEY §2A).
+PIVOT_STD = """
+SELECT o_orderpriority,
+       round(o, 2) AS open_total, round(f, 2) AS finished_total,
+       round(p, 2) AS pending_total
+FROM (
+  SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+) PIVOT (
+  sum(o_totalprice) FOR o_orderstatus IN ('O' AS o, 'F' AS f, 'P' AS p)
+) ORDER BY o_orderpriority
+"""
+
+
+def _q_pivot_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB's simplified PIVOT sugar through the engine handler
+    (values auto-discovered from data, like DuckDB's macro expansion)."""
+    from shaper_spark.engine import _run_duck_pivot
+
+    _prep(spark, sf_dir)
+    return _run_duck_pivot(
+        spark,
+        "PIVOT orders ON o_orderstatus USING count(*) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+
+
+PIVOT_SUGAR_DUCK = """
+PIVOT orders ON o_orderstatus USING count(*)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation — result is identical to the plain
     GROUP BY (the oracle), only the shuffle shape differs
@@ -1057,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": _q_session_window,
         "salted_agg_lineitem": _q_salted_agg,
         "similarity_ivf_topk": _q_ivf_topk,
+        "pivot_std": _sql(PIVOT_STD),
+        "pivot_duck_sugar": _q_pivot_sugar,
     }
 
 
@@ -1114,4 +1148,6 @@ def oracle_sql() -> dict[str, str]:
         "session_window_agg": SESSION_WINDOW_DUCK,
         "salted_agg_lineitem": SALTED_AGG_DUCK,
         # similarity_ivf_topk: rows-only (see docstring)
+        "pivot_std": PIVOT_STD,
+        "pivot_duck_sugar": PIVOT_SUGAR_DUCK,
     }

@@ -220,6 +220,54 @@ def _expand_macros(sql: str, macros: dict[str, _Macro]) -> str:
 # SUMMARIZE
 # ---------------------------------------------------------------------------
 
+_DUCK_PIVOT_RE = re.compile(
+    r"^PIVOT\s+(?P<table>[A-Za-z_][\w.]*)\s+ON\s+(?P<on>[A-Za-z_]\w*)"
+    r"(?:\s+USING\s+(?P<using>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<group>[\w\s,]+?))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>[\w\s,]+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_duck_pivot(spark: SparkSession, sql: str):
+    """DuckDB's simplified ``PIVOT t ON col [USING agg] [GROUP BY …]``
+    (SURVEY §2A gap): pivot values are auto-discovered from the data —
+    exactly what DuckDB's macro expansion does — then executed as a
+    DataFrame groupBy().pivot(values).agg(). Returns None if the text
+    isn't the sugar form (standard PIVOT runs through spark.sql)."""
+    from pyspark.sql import functions as F
+
+    m = _DUCK_PIVOT_RE.match(sql.strip().rstrip(";"))
+    if not m:
+        return None
+    table, on = m.group("table"), m.group("on")
+    using = (m.group("using") or "count(*)").strip()
+    df = spark.table(table)
+    values = [
+        r[0]
+        for r in df.select(on).distinct().dropna().orderBy(on).limit(1000).collect()
+    ]
+    if m.group("group"):
+        group_cols = [c.strip() for c in m.group("group").split(",")]
+    else:
+        # DuckDB semantics: group by every remaining column not consumed
+        # by the ON column or the aggregate expression.
+        used = {on.lower()}
+        for ident in re.findall(r"[A-Za-z_]\w*", using):
+            used.add(ident.lower())
+        group_cols = [c for c in df.columns if c.lower() not in used]
+    out = df.groupBy(*group_cols).pivot(on, values).agg(F.expr(using))
+    if using.lower().startswith("count"):
+        # DuckDB's pivot fills empty count cells with 0, Spark with NULL.
+        out = out.fillna(0, subset=[c for c in out.columns if c not in group_cols])
+    if m.group("order"):
+        out = out.orderBy(*[c.strip() for c in m.group("order").split(",")])
+    if m.group("limit"):
+        out = out.limit(int(m.group("limit")))
+    return out
+
+
 def _run_summarize(spark: SparkSession, sql: str):
     """Emulate DuckDB ``SUMMARIZE`` with a single distributed aggregate
     pass, reshaped to one output row per column on the driver."""
@@ -786,6 +834,10 @@ def _run_query(
     if upper.startswith("SUMMARIZE"):
         df = _run_summarize(spark, vars_.substitute(sql_string))
         tags: dict[int, str] = {}
+    elif upper.startswith("PIVOT") and (
+        df := _run_duck_pivot(spark, vars_.substitute(sql_string))
+    ) is not None:
+        tags = {}
     else:
         sub = vars_.substitute(sql_string)
         sub = _expand_macros(sub, macros)

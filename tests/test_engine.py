@@ -448,3 +448,26 @@ def test_text_size_value(spark):
     r = query_dashboard(spark, "SELECT 'Big Number'::TEXT_LARGE AS v")
     q = r.sections[0].queries[0]
     assert q.render["type"] in ("value", "valueLarge", "text")
+
+
+def test_duck_pivot_sugar(spark):
+    # DuckDB simplified PIVOT (sql_validation.go:53): values discovered
+    # from data, executed as groupBy().pivot()
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pivot_src AS "
+        "SELECT * FROM VALUES ('a','x',1.0),('a','y',2.0),('b','x',3.0) v(g, c, n)"
+    )
+    r = query_dashboard(spark, "PIVOT pivot_src ON c USING sum(n) GROUP BY g ORDER BY g")
+    q = r.sections[0].queries[0]
+    assert [c.name for c in q.columns] == ["g", "x", "y"]
+    assert q.rows == [["a", 1.0, 2.0], ["b", 3.0, None]]
+
+
+def test_duck_pivot_sugar_default_count(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pivot_src2 AS "
+        "SELECT * FROM VALUES ('a','x'),('a','x'),('b','y') v(g, c)"
+    )
+    r = query_dashboard(spark, "PIVOT pivot_src2 ON c ORDER BY g")
+    q = r.sections[0].queries[0]
+    assert q.rows == [["a", 2, 0], ["b", 0, 1]]
