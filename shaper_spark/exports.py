@@ -41,6 +41,7 @@ from .render import get_render_info, is_label, is_section_title, map_tag
 
 __all__ = [
     "resolve_download_query_id",
+    "validate_dashboard_download",
     "replay_var_state",
     "format_value",
     "interval_to_string",
@@ -129,6 +130,55 @@ def replay_var_state(
             col.tag = map_tag(ci, rinfo)
         _collect_vars(vars_, rinfo.type, params, columns, rows)
     return vars_
+
+
+def validate_dashboard_download(
+    spark: SparkSession,
+    content: str,
+    target_dashboard_id: str,
+    source_dashboard_id: str = "",
+    params: dict[str, Any] | None = None,
+    variables: dict[str, Any] | None = None,
+) -> bool:
+    """Does this dashboard contain a PDF-download button pointing at
+    ``target_dashboard_id``? (reference ValidateDashboardDownload,
+    get_dashboard.go:402-519 — gates minting download JWTs for other
+    dashboards). A DOWNLOAD_PDF with an ``::ID`` column targets that id;
+    without one it targets the source dashboard itself."""
+    params = params or {}
+    vars_ = _VarState(variables)
+    macros: dict[str, _Macro] = {}
+    next_is_download = False
+    clean = sqltool.strip_sql_comments(content)
+    for query_index, sql_string in enumerate(sqltool.split_sql_queries(clean)):
+        sql_string = sql_string.strip()
+        if not sql_string:
+            continue
+        if not sqltool.is_allowed_statement(sql_string):
+            raise ValueError(f"disallowed SQL statement in query {query_index + 1}")
+        if next_is_download:
+            next_is_download = False
+            continue
+        if sqltool.is_side_effect(sql_string):
+            _execute_side_effect(spark, sql_string, vars_, macros)
+            continue
+        columns, rows = _run_query(spark, sql_string, vars_, macros, 3000)
+        if is_label(columns, rows) or is_section_title(columns, rows):
+            continue
+        rinfo = get_render_info(columns, rows, "", [])
+        if rinfo.download == "pdf":
+            target = source_dashboard_id
+            if rinfo.download_id_index is not None and rows:
+                v = rows[0][rinfo.download_id_index]
+                target = v if isinstance(v, str) else ""
+            if target == target_dashboard_id:
+                return True
+        if rinfo.download in ("csv", "xlsx", "json"):
+            next_is_download = True
+        for ci, col in enumerate(columns):
+            col.tag = map_tag(ci, rinfo)
+        _collect_vars(vars_, rinfo.type, params, columns, rows)
+    return False
 
 
 # ---------------------------------------------------------------------------

@@ -197,3 +197,41 @@ class TestDashboardExport:
             stream_dashboard_export(
                 spark, "DROP TABLE x", "csv", io.StringIO(), query_id=0
             )
+
+
+class TestValidateDashboardDownload:
+    # get_dashboard_test.go:17-70
+    def test_valid_reference(self, spark):
+        from shaper_spark.exports import validate_dashboard_download
+
+        content = "SELECT 'target-dash'::ID, 'Download'::DOWNLOAD_PDF"
+        assert validate_dashboard_download(spark, content, "target-dash") is True
+
+    def test_invalid_reference(self, spark):
+        from shaper_spark.exports import validate_dashboard_download
+
+        content = "SELECT 'target-dash'::ID, 'Download'::DOWNLOAD_PDF"
+        assert validate_dashboard_download(spark, content, "other-dash") is False
+
+    def test_variable_reference(self, spark):
+        from shaper_spark.exports import validate_dashboard_download
+
+        content = "SELECT getvariable('target_id')::ID, 'Download'::DOWNLOAD_PDF"
+        assert (
+            validate_dashboard_download(
+                spark, content, "target-dash",
+                variables={"target_id": "target-dash"},
+            )
+            is True
+        )
+
+    def test_pdf_without_id_targets_source(self, spark):
+        from shaper_spark.exports import validate_dashboard_download
+
+        content = "SELECT 'Download'::DOWNLOAD_PDF"
+        assert (
+            validate_dashboard_download(
+                spark, content, "self-dash", source_dashboard_id="self-dash"
+            )
+            is True
+        )
