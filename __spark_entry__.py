@@ -920,6 +920,27 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def _q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE TABLE (sql_validation.go:49-50) — engine-defined output
+    shape, rows-only check."""
+    _prep(spark, sf_dir)
+    return spark.sql("DESCRIBE TABLE nation")
+
+
+def _q_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES (sql_validation.go:51-52) — rows-only check."""
+    _prep(spark, sf_dir)
+    return spark.sql("SHOW TABLES").select("tableName")
+
+
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN <q> (sql_validation.go:55,158-171) — rows-only check."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        "EXPLAIN SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey"
+    )
+
+
 def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation — result is identical to the plain
     GROUP BY (the oracle), only the shuffle shape differs
@@ -1091,6 +1112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": _q_ivf_topk,
         "pivot_std": _sql(PIVOT_STD),
         "pivot_duck_sugar": _q_pivot_sugar,
+        "describe_table": _q_describe,
+        "show_tables": _q_show_tables,
+        "explain_plan": _q_explain,
     }
 
 

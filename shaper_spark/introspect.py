@@ -163,6 +163,7 @@ def get_schema(
         res.databases = []
         return res
 
+    current_db = spark.catalog.currentDatabase()
     for ns in spark.catalog.listDatabases():
         if should_ignore(catalog_name, ns.name, "", ignore):
             continue
@@ -170,8 +171,12 @@ def get_schema(
         for t in spark.catalog.listTables(ns.name):
             if should_ignore(catalog_name, ns.name, t.name, ignore):
                 continue
-            if t.isTemporary and not include_temporary:
-                continue
+            if t.isTemporary:
+                # Temp views are session-global: listTables returns them
+                # for EVERY database. Attribute them once, to the current
+                # database, so they don't multiply across namespaces.
+                if not include_temporary or ns.name != current_db:
+                    continue
             qualified = (
                 t.name if t.isTemporary else f"`{ns.name}`.`{t.name}`"
             )

@@ -306,3 +306,34 @@ class TestProcessBatch:
         assert not spark.catalog.tableExists("ing_auto")
         buf.publish("ing_auto", {"v": 3})  # hits batch_size → flush
         assert len(_rows(spark, "ing_auto")) == 3
+
+
+class TestMultiPartTableNames:
+    def test_two_part_name_with_precreated_database(self, spark, buffer):
+        # ingest_test.go:422-466: schemas are not auto-created — the
+        # caller pre-creates them (same contract here)
+        spark.sql("CREATE DATABASE IF NOT EXISTS custom_schema")
+        _fresh(spark, "custom_schema.users")
+        import shutil
+        shutil.rmtree("spark-warehouse/custom_schema.db/users", ignore_errors=True)
+        buffer.publish("custom_schema.users", {"id": 1, "name": "John Doe"})
+        buffer.flush()
+        rows = spark.table("custom_schema.users").collect()
+        assert len(rows) == 1
+        assert rows[0]["name"] == "John Doe"
+
+    def test_three_part_name(self, spark, buffer):
+        spark.sql("CREATE DATABASE IF NOT EXISTS cat3")
+        spark.sql("DROP TABLE IF EXISTS spark_catalog.cat3.users3")
+        import shutil
+        shutil.rmtree("spark-warehouse/cat3.db/users3", ignore_errors=True)
+        buffer.publish("spark_catalog.cat3.users3", {"id": 2})
+        buffer.flush()
+        assert spark.table("spark_catalog.cat3.users3").count() == 1
+
+    def test_missing_schema_errors(self, spark, buffer):
+        import pytest as _pytest
+
+        buffer.publish("no_such_schema_xyz.t", {"id": 1})
+        with _pytest.raises(Exception):
+            buffer.flush()
