@@ -318,17 +318,15 @@ def write_xlsx(df: DataFrame, out: IO[bytes] | str, sheet_name: str = "Sheet1") 
     m/d/yy h:mm datetimes, [h]:mm:ss intervals (stored as fractional
     days), fitted column widths (reference stream_query.go:406-651).
 
-    openpyxl is optional in this environment — ImportError is raised
-    eagerly with a clear message if it's absent."""
+    Uses openpyxl when available; otherwise falls back to the built-in
+    stdlib SpreadsheetML writer (shaper_spark.xlsx) with the same
+    styling."""
     try:
         from openpyxl import Workbook
         from openpyxl.styles import Alignment, Font
         from openpyxl.utils import get_column_letter
-    except ImportError as e:  # pragma: no cover - env without openpyxl
-        raise ImportError(
-            "XLSX export requires openpyxl (CSV/JSON exports have no "
-            "extra dependency)"
-        ) from e
+    except ImportError:
+        return _write_xlsx_stdlib(df, out, sheet_name)
 
     wb = Workbook(write_only=False)
     ws = wb.active
@@ -389,6 +387,60 @@ def write_xlsx(df: DataFrame, out: IO[bytes] | str, sheet_name: str = "Sheet1") 
         buf = io.BytesIO()
         wb.save(buf)
         out.write(buf.getvalue())
+    return n
+
+
+def _write_xlsx_stdlib(
+    df: DataFrame, out: IO[bytes] | str, sheet_name: str = "Sheet1"
+) -> int:
+    """openpyxl-free XLSX path (shaper_spark.xlsx MiniWorkbook)."""
+    from .xlsx import (
+        DATETIME_STYLE,
+        DURATION_STYLE,
+        HEADER_STYLE,
+        NUMBER_STYLE,
+        TEXT_STYLE,
+        MiniWorkbook,
+    )
+
+    wb = MiniWorkbook(sheet_name)
+    cols = df.columns
+    widths = [len(c) for c in cols]
+    wb.add_row([(c, HEADER_STYLE) for c in cols])
+    n = 0
+    for row in df.toLocalIterator():
+        n += 1
+        cells: list[tuple[Any, int]] = []
+        for j, v in enumerate(row):
+            if v is None:
+                cells.append((None, 0))
+                continue
+            if isinstance(v, dt.timedelta):
+                cells.append((interval_to_days(v), DURATION_STYLE))
+                text_len = 8
+            elif isinstance(v, dt.datetime):
+                cells.append((v, DATETIME_STYLE))
+                text_len = 14
+            elif isinstance(v, bool):
+                cells.append((v, 0))
+                text_len = 5
+            elif isinstance(v, (int, float, Decimal)):
+                if isinstance(v, Decimal):
+                    v = float(v)
+                if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+                    cells.append((None, 0))
+                    continue
+                cells.append((v, NUMBER_STYLE))
+                text_len = len(str(v))
+            else:
+                s = format_value(v)
+                cells.append((s, TEXT_STYLE))
+                text_len = len(s)
+            if text_len > widths[j]:
+                widths[j] = text_len
+        wb.add_row(cells)
+    wb.widths = [min(w + 2, 60) for w in widths]
+    wb.save(out)
     return n
 
 
