@@ -1,0 +1,114 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, bucketed co-location) asserted
+against actual executed plans so they can't silently regress."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaper_spark.session import register_sf_tables
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _tables(spark):
+    register_sf_tables(spark, "/root/testdata/sf0.01")
+
+
+def _executed(df) -> str:
+    # formatted explain: full PushedFilters/ReadSchema (toString truncates)
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+class TestPushdownAndPruning:
+    def test_filter_pushed_to_parquet(self, spark):
+        df = spark.sql(
+            "SELECT l_extendedprice FROM lineitem "
+            "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        )
+        plan = _executed(df)
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+        assert "LessThan(l_quantity,24.0)" in plan
+
+    def test_timestamp_filter_pushed_through_view(self, spark):
+        # the nanos-conversion + spread-repartition view must not block
+        # pushdown of plain timestamp predicates on non-converted columns
+        df = spark.sql(
+            "SELECT l_orderkey FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"
+        )
+        assert "LessThanOrEqual(l_shipdate," in _executed(df)
+
+    def test_column_pruning_reaches_scan(self, spark):
+        df = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem")
+        plan = _executed(df)
+        schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+        assert "l_comment" not in schema_line  # untouched columns not read
+
+    def test_limit_pushdown(self, spark):
+        plan = _executed(spark.sql("SELECT * FROM lineitem LIMIT 5"))
+        assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
+class TestJoinStrategies:
+    def test_small_dims_broadcast(self, spark):
+        df = spark.sql(
+            """
+            SELECT n_name, count(*) AS n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            """
+        )
+        plan = _executed(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_aggregate_is_partial_before_exchange(self, spark):
+        df = spark.sql(
+            "SELECT l_returnflag, sum(l_quantity) FROM lineitem GROUP BY 1"
+        )
+        plan = _executed(df)
+        assert "partial_sum" in plan  # map-side combine
+
+
+class TestBucketedJoins:
+    def test_bucketed_join_no_shuffle(self, spark):
+        import shutil
+        from urllib.parse import urlparse
+
+        from shaper_spark.operators.bucketing import (
+            bucketed_join_plan_has_no_shuffle,
+            write_bucketed,
+        )
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in ("bkt_orders", "bkt_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+        write_bucketed(
+            spark.table("orders").select("o_orderkey", "o_totalprice"),
+            "bkt_orders",
+            ["o_orderkey"],
+            n_buckets=8,
+        )
+        write_bucketed(
+            spark.table("lineitem")
+            .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+            "bkt_lineitem",
+            ["o_orderkey"],
+            n_buckets=8,
+        )
+        assert bucketed_join_plan_has_no_shuffle(
+            spark, "bkt_orders", "bkt_lineitem", "o_orderkey"
+        )
+        # and the same join on non-bucketed views DOES shuffle
+        plain = spark.table("orders").join(
+            spark.table("lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        assert "Exchange" in _executed(plain) or "Broadcast" in _executed(plain)
