@@ -608,10 +608,6 @@ def query_dashboard(
     """Execute a ``;``-separated dashboard script and build the render tree."""
     params = params or {}
     result = GetResult()
-    next_label = ""
-    hide_next_content_section = False
-    next_is_download = False
-    next_mark_lines: list[MarkLine] = []
 
     clean = sqltool.strip_sql_comments(content)
     statements = sqltool.split_sql_queries(clean)
@@ -622,10 +618,52 @@ def query_dashboard(
     unset_seen: set[str] = set()
     download_link_params: dict[str, Any] = {}
     macros: dict[str, _Macro] = {}
-    header_image = ""
-    footer_link = ""
     min_ms_all: int | None = None
     max_ms_all: int | None = None
+    # Temp views a dashboard creates are session-scoped and would leak
+    # into later renders on the shared session (the reference gets
+    # isolation from per-connection/per-request DuckDB instances,
+    # app.go:238-334); dropping them afterwards restores that contract.
+    created_views: list[str] = []
+
+    try:
+        return _query_dashboard_loop(
+            spark, statements, params, dashboard_id, max_rows, result,
+            vars_, defined_vars, unset_vars, unset_seen,
+            download_link_params, macros, min_ms_all, max_ms_all,
+            created_views,
+        )
+    finally:
+        for view in created_views:
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:
+                pass
+
+
+def _query_dashboard_loop(
+    spark: SparkSession,
+    statements: list[str],
+    params: dict[str, Any],
+    dashboard_id: str,
+    max_rows: int,
+    result: GetResult,
+    vars_: _VarState,
+    defined_vars: set[str],
+    unset_vars: list[str],
+    unset_seen: set[str],
+    download_link_params: dict[str, Any],
+    macros: dict[str, _Macro],
+    min_ms_all: int | None,
+    max_ms_all: int | None,
+    created_views: list[str],
+) -> GetResult:
+    next_label = ""
+    hide_next_content_section = False
+    next_is_download = False
+    next_mark_lines: list[MarkLine] = []
+    header_image = ""
+    footer_link = ""
 
     for query_index, sql_string in enumerate(statements):
         sql_string = sql_string.strip()
@@ -655,7 +693,9 @@ def query_dashboard(
             continue
 
         if sqltool.is_side_effect(sql_string):
-            _execute_side_effect(spark, sql_string, vars_, macros)
+            _execute_side_effect(
+                spark, sql_string, vars_, macros, created_views
+            )
             continue
 
         columns, rows = _run_query(
@@ -764,12 +804,24 @@ def _render_to_dict(r: RenderInfo) -> dict[str, Any]:
     return d
 
 
+_TEMP_VIEW_NAME_RE = re.compile(
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+(?:VIEW|TABLE)\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w]*|\"[^\"]+\"|`[^`]+`)",
+    re.IGNORECASE,
+)
+
+
 def _execute_side_effect(
     spark: SparkSession,
     sql_string: str,
     vars_: _VarState,
     macros: dict[str, _Macro],
+    created_views: list[str] | None = None,
 ) -> None:
+    if created_views is not None:
+        vm = _TEMP_VIEW_NAME_RE.match(sql_string.strip())
+        if vm:
+            created_views.append(vm.group(1).strip('"`'))
     upper = sql_string.upper().strip()
     m = _SET_VARIABLE_RE.match(sql_string)
     if m:

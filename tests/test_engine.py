@@ -471,3 +471,29 @@ def test_duck_pivot_sugar_default_count(spark):
     r = query_dashboard(spark, "PIVOT pivot_src2 ON c ORDER BY g")
     q = r.sections[0].queries[0]
     assert q.rows == [["a", 2, 0], ["b", 0, 1]]
+
+
+def test_temp_views_cleaned_up_after_render(spark):
+    # Dashboards get per-render isolation on the shared session: temp
+    # views created by side effects are dropped afterwards (the
+    # reference isolates via per-request DuckDB, app.go:238-334)
+    query_dashboard(
+        spark,
+        """
+        CREATE TEMP TABLE leak_check AS SELECT 1 AS v;
+        SELECT v FROM leak_check;
+        """,
+    )
+    assert not spark.catalog.tableExists("leak_check")
+
+
+def test_temp_view_cleanup_on_error(spark):
+    with pytest.raises(Exception):
+        query_dashboard(
+            spark,
+            """
+            CREATE OR REPLACE TEMPORARY VIEW leak_err AS SELECT 1 AS v;
+            SELECT * FROM table_that_does_not_exist_xyz;
+            """,
+        )
+    assert not spark.catalog.tableExists("leak_err")
