@@ -56,27 +56,30 @@ def main() -> None:
     register_sf_tables(spark, sf_dir)
     spark.sql("SELECT count(*) FROM region").collect()
 
+    # Two full passes, per-query min. Separated passes (rather than
+    # back-to-back retries) because host-level noise comes in multi-
+    # second windows: a query's two attempts should not share one.
+    # Pass 1 also pays whole-stage-codegen compilation.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        best = None
-        for _attempt in range(2):  # best-of-2: first run pays codegen
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
             t0 = time.perf_counter()
             try:
                 rows = fn(spark, sf_dir).collect()
                 _ = len(rows)
             except Exception as e:  # a failed query counts as missing, loudly
                 print(f"bench error in {name}: {e}", file=sys.stderr)
-                best = -1.0
-                break
+                timings[name] = -1.0
+                continue
             dt_ = time.perf_counter() - t0
-            best = dt_ if best is None else min(best, dt_)
-        timings[name] = round(best, 4)
-        if best > 0:
-            total += timings[name]
+            prev = timings.get(name)
+            if prev is None or (prev > 0 and dt_ < prev):
+                timings[name] = dt_
+    timings = {k: round(v, 4) for k, v in timings.items()}
+    total = sum(v for v in timings.values() if v > 0)
 
     print(
         json.dumps(
