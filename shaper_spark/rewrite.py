@@ -756,6 +756,11 @@ def rewrite_statement(sql: str) -> RewriteResult:
     if sql.upper().startswith("FROM"):
         sql = "SELECT * " + sql
 
+    # DuckDB's SHOW ALL TABLES (sql_validation.go:52) — Spark's SHOW
+    # TABLES is the all-tables form already.
+    if re.fullmatch(r"SHOW\s+ALL\s+TABLES\s*;?", sql, re.IGNORECASE):
+        sql = "SHOW TABLES"
+
     # Custom-type casts → tags. Tag char positions are resolved to
     # select-item indexes HERE, before later passes (type renames,
     # bracket literals, QUALIFY) shift string offsets.

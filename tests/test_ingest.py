@@ -337,3 +337,73 @@ class TestMultiPartTableNames:
         buffer.publish("no_such_schema_xyz.t", {"id": 1})
         with _pytest.raises(Exception):
             buffer.flush()
+
+
+class TestTimestampHandling:
+    # ingest_test.go:863-1003
+    UNIX = 1686838245  # 2023-06-15 14:10:45 UTC
+
+    def test_formats_in_one_batch(self, spark, buffer):
+        _fresh(spark, "ing_ts_formats")
+        buffer.publish(
+            "ing_ts_formats",
+            {
+                "id": 1,
+                "ts1": "2023-06-15T14:10:45Z",             # RFC3339
+                "ts2": "2023-06-15 14:10:45",              # SQL format
+                "ts3": self.UNIX,                          # unix seconds → DOUBLE
+                "ts4": self.UNIX * 1000,                   # unix millis → DOUBLE
+                "ts5": "2023-06-15T14:10:45.123456Z",      # fractional
+                "ts6": "2023-06-15T16:10:45.0001000+02:00",  # 7 decimals + tz
+            },
+        )
+        buffer.flush()
+        (row,) = _rows(spark, "ing_ts_formats")
+        # string timestamps become TIMESTAMP columns, normalized to UTC
+        for col in ("ts1", "ts2", "ts5", "ts6"):
+            assert isinstance(row[col], dt.datetime), col
+            assert (row[col].year, row[col].month, row[col].day) == (2023, 6, 15)
+            assert row[col].hour == 14
+        # numeric payloads in regular columns stay numbers — only _ts
+        # applies the unix-seconds/millis heuristic (ingest.go:835-839)
+        assert row["ts3"] == float(self.UNIX)
+        assert row["ts4"] == float(self.UNIX * 1000)
+
+
+class TestLargeAndMixedPayloads:
+    def test_large_message(self, spark, buffer):
+        # ingest_test.go:1108-1146 (~30KB field)
+        _fresh(spark, "ing_large")
+        desc = "This is a test of a large field value. " * 1000
+        buffer.publish("ing_large", {"id": 1, "name": "Large record", "description": desc})
+        buffer.flush()
+        (row,) = _rows(spark, "ing_large")
+        assert row["description"] == desc
+        assert len(row["description"]) > 30000
+
+    def test_mixed_types_in_column_become_json(self, spark, buffer):
+        # ingest_test.go:780-861: one column, many types → JSON strings
+        _fresh(spark, "ing_mixed")
+        buffer.publish("ing_mixed", {"v": 42})
+        buffer.publish("ing_mixed", {"v": "text"})
+        buffer.publish("ing_mixed", {"v": {"nested": True}})
+        buffer.flush()
+        rows = _rows(spark, "ing_mixed")
+        assert len(rows) == 3
+        import json as _json
+
+        vals = {r["v"] for r in rows}
+        assert "text" in vals
+        assert any(v == "42" or v == 42.0 for v in vals)
+        assert any(isinstance(v, str) and _json.loads(v) == {"nested": True}
+                   for v in vals if isinstance(v, str) and v.startswith("{"))
+
+    def test_special_characters_in_column_names(self, spark, buffer):
+        # ingest_test.go:1027-1090: unusual-but-legal JSON keys
+        _fresh(spark, "ing_special")
+        buffer.publish("ing_special", {"user name": "x", "a-b": 1, "größe": 2})
+        buffer.flush()
+        (row,) = _rows(spark, "ing_special")
+        assert row["user name"] == "x"
+        assert row["a-b"] == 1.0
+        assert row["größe"] == 2.0

@@ -179,3 +179,9 @@ class TestFunctionRenames:
     def test_strftime_in_string_untouched(self):
         sql = "SELECT '%Y-%m' AS fmt"
         assert rewrite_statement(sql).sql == sql
+
+
+def test_show_all_tables():
+    assert rewrite_statement("SHOW ALL TABLES").sql == "SHOW TABLES"
+    # but SHOW TABLES and other SHOW forms pass through
+    assert rewrite_statement("SHOW TABLES").sql == "SHOW TABLES"
