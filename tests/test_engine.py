@@ -497,3 +497,17 @@ def test_temp_view_cleanup_on_error(spark):
             """,
         )
     assert not spark.catalog.tableExists("leak_err")
+
+
+def test_hint_column_on_dropdown_multi(spark):
+    # HINT is wired to DROPDOWN_MULTI only — matching the reference
+    # cascade exactly (get_dashboard.go:1048-1063; plain DROPDOWN takes
+    # LABEL but not HINT)
+    r = query_dashboard(
+        spark,
+        "SELECT x::DROPDOWN_MULTI AS opt, h::HINT AS hint "
+        "FROM (VALUES ('a', 'first option'), ('b', 'second')) t(x, h) ORDER BY 1;",
+    )
+    q = r.sections[0].queries[0]
+    assert q.render["type"] == "dropdownMulti"
+    assert [c.tag for c in q.columns] == ["value", "hint"]
