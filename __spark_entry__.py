@@ -25,9 +25,13 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     key = (id(spark), sf_dir)
     if key in _REGISTERED:
         return
-    from shaper_spark.session import register_sf_tables
+    from shaper_spark.session import configure_runtime, register_sf_tables
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver passes its own vanilla SparkSession; apply every
+    # runtime-settable conf the engine depends on (UTC timestamps, the
+    # nanos-parquet reader flag for events.parquet, Arrow UDF transfer).
+    # load_parquet additionally has a config-independent pyarrow fallback.
+    configure_runtime(spark)
     register_sf_tables(spark, sf_dir)
     _REGISTERED.add(key)
 
