@@ -625,6 +625,13 @@ FROM r WHERE rn = 1 ORDER BY query_id
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-default near-dup detection at threshold 0.95.
+
+    The fixture's max pairwise cosine is ~0.51, so true near-dups are
+    planted SQL-reproducibly: corpus = embeddings ∪ a copy with +0.05
+    added to every element (cosine(v, v+0.02·1) ≈ 0.987 for these
+    vectors). The oracle brute-forces the same derived corpus, proving
+    the bucketed plan loses no qualifying pair."""
     from pyspark.sql import functions as F
 
     from shaper_spark.operators.dedup import embedding_near_dups
@@ -633,12 +640,51 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return embedding_near_dups(emb, "vec_id", "embedding", threshold=0.4).orderBy(
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_near_dups(corpus, "vec_id", "embedding", threshold=0.95).orderBy(
         "id_a", "id_b"
     )
 
 
 EMBEDDING_NEARDUP_DUCK = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corp AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02) FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM corp a JOIN corp b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+def _q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-threshold similarity *pair enumeration* (threshold 0.4 —
+    below the LSH regime; output is Ω(n²) by definition), via the
+    explicit ``exact=True`` escape hatch."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.dedup import embedding_near_dups
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.4, exact=True
+    ).orderBy("id_a", "id_b")
+
+
+EMBEDDING_PAIRS_EXACT_DUCK = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
@@ -1097,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "embedding_top1": _q_embedding_top1,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_pairs_exact": _q_embedding_pairs_exact,
         "similarity_lsh_topk": _q_lsh_topk,
         "summarize_table": _q_summarize,
         "orders_unpivot": _sql(ORDERS_UNPIVOT),
@@ -1160,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": FINGERPRINT_DUCK,
         "embedding_top1": EMBEDDING_TOP1_DUCK,
         "embedding_neardup": EMBEDDING_NEARDUP_DUCK,
+        "embedding_pairs_exact": EMBEDDING_PAIRS_EXACT_DUCK,
         # similarity_lsh_topk, summarize_table: rows-only (see docstrings)
         "orders_unpivot": ORDERS_UNPIVOT,
         "recursive_series": RECURSIVE_SERIES,

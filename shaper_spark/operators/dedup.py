@@ -351,32 +351,74 @@ def embedding_near_dups(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    exact: bool = False,
+    planes: int = 8,
+    tables: int = 12,
+    seed: int = 42,
+    persist: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine similarity ≥ threshold.
+    """Near-duplicate pairs by embedding cosine similarity ≥ threshold:
+    (id_a, id_b, cosine) with id_a < id_b.
 
-    Brute-force O(n²) kernel, JVM-side (zip_with + aggregate, no Python).
-    At real scale, feed candidate pairs from similarity.lsh_buckets
-    instead of the cross join — the kernel itself is unchanged."""
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
-    side = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm.alias("n"),
-    )
-    a = side.alias("a")
-    b = side.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", dot / (F.col("a.n") * F.col("b.n")))
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("cosine", 6).alias("cosine"),
+    Default path is multi-table random-hyperplane LSH: each vector gets
+    one bucket per hash table (single Arrow-batch matmul for all
+    tables), candidates are pairs sharing a (table, bucket) key, and the
+    exact cosine kernel re-scores only candidates. Shuffle key =
+    (table, bucket), so pair work scales with Σ bucket² per table —
+    never n². Miss probability per qualifying pair is
+    (1 − a^planes)^tables with a = 1 − θ/π; the 8×12 default puts it
+    ~1e-3 at cosine 0.95 and ~1e-10 at 0.99 (tests pin LSH ≡ brute
+    force on the fixtures). Random (cos≈0) pairs collide in ≥1 table
+    with prob ≈ 1−(1−2^-planes)^tables ≈ 4.6% — the pruning factor.
+
+    LSH candidate pruning only exists in the high-similarity regime:
+    below threshold ~0.7 the per-plane agreement probability approaches
+    1/2 and recall collapses (any parameter choice restoring it
+    generates ≥ all-pairs candidates). For low-threshold *pair
+    enumeration* — whose output is itself Ω(n²) — pass ``exact=True``:
+    brute-force all-pairs (id_a < id_b range join) with the same
+    kernel, the correctness baseline for small frames."""
+    from .veckernel import hyperplane_buckets, pair_cosine
+
+    side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.withColumn("cosine", pair_cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         )
+
+    if exact:
+        a = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        return score(a.join(b, F.col("id_a") < F.col("id_b")))
+
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    stack = rng.standard_normal((tables * planes, dim))
+    buckets = side.select(
+        "id", F.posexplode(hyperplane_buckets(F.col("v"), stack, tables)).alias("t", "b")
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        # Both sides of the self-join recompute the UDF otherwise.
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return score(cand.join(va, "id_a").join(vb, "id_b"))

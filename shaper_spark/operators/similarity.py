@@ -1,12 +1,17 @@
 """Similarity search over embedding columns (array<float>).
 
 * ``cosine_topk`` — exact brute-force top-k, the correctness baseline.
-  JVM-side arithmetic (zip_with + aggregate); the join is a broadcast of
-  the query side, so the big corpus side streams without a shuffle.
+  The join is a broadcast of the query side, so the big corpus side
+  streams without a shuffle.
 * ``lsh_topk`` — random-hyperplane LSH bucketing as the scale path:
   corpus is bucketed once (shuffle on bucket id), queries probe only
   their bucket (and optionally neighboring bands), turning O(n·q) into
-  O(q·bucket). Hyperplanes are seeded numpy, broadcast as literals.
+  O(q·bucket). Hyperplanes are seeded numpy, closed over by the UDF.
+
+All vector arithmetic goes through ``veckernel`` — Arrow-batched numpy
+matmuls. The previous ``F.aggregate``/``F.zip_with`` formulation ran on
+Spark's interpreted HOF path (~100× per-core penalty; seconds for
+milliseconds of math at sf0.1).
 
 At 100 TB the corpus side would additionally be written bucketed
 (``bucketBy``) so repeated query batches skip the bucketing shuffle.
@@ -16,15 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .veckernel import hyperplane_bucket, pair_dot, vec_norm
+
 __all__ = ["cosine_topk", "lsh_topk", "ivf_topk"]
 
-
-def _norm(col):
-    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-
-
-def _dot(ca, cb):
-    return F.aggregate(F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+_norm = vec_norm
+_dot = pair_dot
 
 
 def cosine_topk(
@@ -89,18 +91,10 @@ def lsh_topk(
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    hyper = rng.standard_normal((planes, dim)).tolist()
+    hyper = rng.standard_normal((planes, dim))
 
     def bucket_expr(vec):
-        bits = []
-        for p in range(planes):
-            plane = F.array(*[F.lit(float(x)) for x in hyper[p]])
-            proj = _dot(vec, plane)
-            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+        return hyperplane_bucket(vec, hyper)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

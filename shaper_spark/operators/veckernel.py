@@ -17,7 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["vec_norm", "pair_dot", "pair_cosine", "hyperplane_bucket"]
+__all__ = [
+    "vec_norm",
+    "pair_dot",
+    "pair_cosine",
+    "hyperplane_bucket",
+    "hyperplane_buckets",
+]
 
 
 def _mat(series):
@@ -98,3 +104,27 @@ def hyperplane_bucket(col, hyperplanes):
         return pd.Series((bits @ powers).astype("int32"))
 
     return _bucket(col)
+
+
+def hyperplane_buckets(col, hyperplane_stack, tables: int):
+    """One bucket id per hash table (array<int>, length ``tables``).
+
+    ``hyperplane_stack`` is (tables·planes, dim); one matmul per Arrow
+    batch covers every table, then the bit matrix reshapes to
+    (rows, tables, planes) and collapses to per-table bucket ids."""
+    import numpy as np
+
+    H = np.asarray(hyperplane_stack, dtype=np.float64)
+    planes = H.shape[0] // tables
+    powers = (2 ** np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(vs):
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        bits = ((_mat(vs) @ H.T) >= 0).reshape(len(vs), tables, planes)
+        return pd.Series(list((bits @ powers).astype("int32")))
+
+    return _buckets(col)

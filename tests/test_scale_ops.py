@@ -107,3 +107,62 @@ class TestIvfTopk:
         assert recall >= 0.5, f"IVF recall too low: {recall}"
         # every query got k results
         assert len(approx) == len(exact)
+
+
+class TestEmbeddingNearDups:
+    """LSH is the default candidate path; brute force is opt-in only."""
+
+    def _corpus(self, spark):
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, "/root/testdata/sf0.001")
+        emb = spark.table("embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        planted = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+        )
+        return emb.unionByName(planted)
+
+    def test_lsh_equals_exact_on_fixture(self, spark):
+        from shaper_spark.operators.dedup import embedding_near_dups
+
+        corpus = self._corpus(spark)
+        lsh = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dups(
+                corpus, "vec_id", "embedding", threshold=0.95
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dups(
+                corpus, "vec_id", "embedding", threshold=0.95, exact=True
+            ).collect()
+        }
+        assert lsh == exact
+        assert len(exact) >= 500  # one planted near-dup per base vector
+
+    def test_default_plan_has_no_cross_join(self, spark):
+        from shaper_spark.operators.dedup import embedding_near_dups
+
+        plan = (
+            embedding_near_dups(self._corpus(spark), "vec_id", "embedding")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_exact_escape_hatch_is_cross_join(self, spark):
+        from shaper_spark.operators.dedup import embedding_near_dups
+
+        plan = (
+            embedding_near_dups(self._corpus(spark), "vec_id", "embedding", exact=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
