@@ -8,10 +8,12 @@ Routes re-expressed (reference server/web/routes.go:157-198):
   POST /api/data/<table>   JSON body            → ingest buffer publish
   GET  /api/schema                              → introspection tree JSON
   POST /api/validate       {"sql": "..."}       → statement-gate verdict
-  POST /api/dashboards     {"id","content"}     → store dashboard
+  POST /api/dashboards     {"id","content"}     → persist dashboard
+  GET  /api/dashboards                          → list dashboards
   GET  /api/dashboards/<id>?vars…               → render tree JSON
   GET  /api/dashboards/<id>/download/<file>.csv|json|xlsx → export stream
-  POST /api/tasks          {"id","content"}     → register scheduled task
+  POST /api/tasks          {"id","content"}     → persist + schedule task
+  GET  /api/tasks                               → list tasks + last run
   GET  /api/tasks/<id>/runs                     → task run results
 
 Out of scope by design (operational plumbing, SURVEY §0.7): auth/JWT
@@ -41,6 +43,7 @@ from .engine import query_dashboard
 from .exports import stream_csv, stream_dashboard_export
 from .ingest import IngestBuffer
 from .introspect import get_schema
+from .metastore import Metastore
 from .rewrite import rewrite_statement
 from .tasks import TaskScheduler
 
@@ -48,7 +51,14 @@ __all__ = ["ShaperServer"]
 
 
 class ShaperServer:
-    """Embeddable API server around one SparkSession."""
+    """Embeddable API server around one SparkSession.
+
+    Metadata (dashboards, tasks, task-run state) lives in a
+    :class:`Metastore` — pass ``db_path`` for restart durability
+    (reference behavior: SQLite at ``server/core/db_schema.go:13-166``,
+    reloaded through ``state.go:29-163``). On construction, stored
+    tasks are re-registered with the scheduler, so schedules survive a
+    process restart exactly like the reference's."""
 
     def __init__(
         self,
@@ -56,12 +66,13 @@ class ShaperServer:
         host: str = "127.0.0.1",
         port: int = 0,
         variables: dict[str, Any] | None = None,
+        db_path: str | None = None,
     ):
         self.spark = spark
         self.variables = variables or {}
-        self.dashboards: dict[str, str] = {}
+        self.store = Metastore(db_path)
         self.ingest = IngestBuffer(spark)
-        self.scheduler = TaskScheduler(spark)
+        self.scheduler = TaskScheduler(spark, on_result=self._on_task_result)
         self._flusher_stop = threading.Event()
         outer = self
 
@@ -93,6 +104,25 @@ class ShaperServer:
                         return self._json(200, {"status": "ok"})
                     if parts == ["api", "schema"]:
                         return self._json(200, get_schema(outer.spark).to_dict())
+                    if parts == ["api", "dashboards"]:
+                        return self._json(
+                            200,
+                            [
+                                {k: a[k] for k in ("id", "name", "updated_at")}
+                                for a in outer.store.list_apps("dashboard")
+                            ],
+                        )
+                    if parts == ["api", "tasks"]:
+                        return self._json(
+                            200,
+                            [
+                                {
+                                    **{k: a[k] for k in ("id", "name", "updated_at")},
+                                    "lastRun": outer.store.get_task_run(a["id"]),
+                                }
+                                for a in outer.store.list_apps("task")
+                            ],
+                        )
                     if len(parts) == 3 and parts[:2] == ["api", "dashboards"]:
                         return self._dashboard(parts[2], url)
                     if (
@@ -128,7 +158,10 @@ class ShaperServer:
                         content = str(body.get("content") or "")
                         if not did or not content:
                             return self._json(400, {"error": "id and content required"})
-                        outer.dashboards[did] = content
+                        outer.store.record(
+                            "create_dashboard",
+                            {"id": did, "content": content, "name": body.get("name")},
+                        )
                         return self._json(200, {"id": did})
                     if parts == ["api", "tasks"]:
                         body = json.loads(self._read_body() or b"{}")
@@ -136,6 +169,10 @@ class ShaperServer:
                         content = str(body.get("content") or "")
                         if not tid or not content:
                             return self._json(400, {"error": "id and content required"})
+                        outer.store.record(
+                            "create_task",
+                            {"id": tid, "content": content, "name": body.get("name")},
+                        )
                         next_run, stype = outer.scheduler.register(tid, content)
                         return self._json(
                             200,
@@ -211,7 +248,7 @@ class ShaperServer:
                 return self._json(200, {"valid": not bad, "invalidStatements": bad})
 
             def _dashboard(self, did: str, url):
-                content = outer.dashboards.get(did)
+                content = outer._dashboard_content(did)
                 if content is None:
                     return self._json(404, {"error": f"no dashboard {did}"})
                 params = {
@@ -228,7 +265,7 @@ class ShaperServer:
                 return self._json(200, result.to_dict())
 
             def _download(self, did: str, filename: str, url):
-                content = outer.dashboards.get(did)
+                content = outer._dashboard_content(did)
                 if content is None:
                     return self._json(404, {"error": f"no dashboard {did}"})
                 fmt = filename.rsplit(".", 1)[-1].lower()
@@ -272,6 +309,47 @@ class ShaperServer:
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
+        # Restart recovery: stored tasks re-arm their schedules
+        # (reference re-derives schedules on boot, schedule_task.go).
+        for app in self.store.list_apps("task"):
+            try:
+                self.scheduler.register(app["id"], app["content"])
+            except Exception:
+                pass
+
+    def _dashboard_content(self, did: str) -> str | None:
+        app = self.store.get_app(did)
+        if app is None or app["type"] != "dashboard":
+            return None
+        return app["content"]
+
+    def _on_task_result(self, task_id: str, result) -> None:
+        import datetime as _dt
+
+        try:
+            self.store.record(
+                "record_task_run",
+                {
+                    "task_id": task_id,
+                    "last_run_at": _dt.datetime.fromtimestamp(
+                        result.started_at / 1000.0, _dt.timezone.utc
+                    ).isoformat()
+                    if result.started_at
+                    else None,
+                    "last_run_success": result.success,
+                    "last_run_duration": sum(
+                        q.duration_ms for q in result.queries
+                    ),
+                    "next_run_at": _dt.datetime.fromtimestamp(
+                        result.next_run_at / 1000.0, _dt.timezone.utc
+                    ).isoformat()
+                    if result.next_run_at > 0
+                    else None,
+                    "next_run_type": result.schedule_type or "single",
+                },
+            )
+        except Exception:
+            pass
 
     @property
     def port(self) -> int:
@@ -299,3 +377,4 @@ class ShaperServer:
         self._server.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        self.store.close()

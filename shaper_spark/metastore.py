@@ -1,0 +1,228 @@
+"""Durable metadata store: dashboards, tasks, task-run state.
+
+Mirrors the reference's persistence semantics (event-sourced SQLite;
+``/root/reference/server/core/state.go:22-163`` routes every state
+change through an append-only event stream whose idempotent handlers
+materialize into the SQLite tables created in
+``server/core/db_schema.go:13-166``). Here the stdlib ``sqlite3``
+module plays both roles: ``record(event, data)`` appends to an
+``events`` log *and* applies the matching handler in one transaction,
+so the materialized tables can always be rebuilt by replay
+(``rebuild()``) — the reference's restore-from-partial-state property
+without a NATS dependency.
+
+Out-of-scope reference tables (users/sessions/invites/api_keys/folders
+— auth plumbing per SURVEY §0.7) are not mirrored; ``apps`` carries
+dashboards and tasks exactly as the reference does (``apps.type``).
+
+Scale note: metadata is driver-local and tiny (thousands of rows); the
+100 TB concern is the warehouse data, never this store. Multi-instance
+deployments would replace this module with the same event log on a
+shared bus — the handler layer is already shaped for that.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import sqlite3
+import threading
+from typing import Any
+
+__all__ = ["Metastore"]
+
+
+def _now() -> str:
+    return dt.datetime.now(dt.timezone.utc).isoformat()
+
+
+class Metastore:
+    """Event-sourced metadata store over stdlib sqlite3.
+
+    ``db_path=None`` keeps everything in ``:memory:`` (tests, demos);
+    pass a filesystem path for restart durability."""
+
+    def __init__(self, db_path: str | None = None):
+        self._lock = threading.Lock()
+        self._db = sqlite3.connect(db_path or ":memory:", check_same_thread=False)
+        self._db.row_factory = sqlite3.Row
+        with self._lock, self._db:
+            if db_path:
+                # Reference pragmas (db_schema.go:15-21); WAL needs a real file.
+                self._db.execute("PRAGMA journal_mode = WAL")
+                self._db.execute("PRAGMA synchronous = NORMAL")
+                self._db.execute("PRAGMA busy_timeout = 5000")
+            self._init_schema()
+
+    def _init_schema(self) -> None:
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS events (
+                 seq INTEGER PRIMARY KEY AUTOINCREMENT,
+                 event TEXT NOT NULL,
+                 data TEXT NOT NULL,
+                 created_at TEXT NOT NULL
+               )"""
+        )
+        # apps: reference db_schema.go:44-62 (minus auth/folder columns).
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS apps (
+                 id TEXT PRIMARY KEY,
+                 name TEXT NOT NULL,
+                 content TEXT NOT NULL,
+                 type TEXT NOT NULL,
+                 visibility TEXT,
+                 created_at TEXT NOT NULL,
+                 updated_at TEXT NOT NULL
+               )"""
+        )
+        # task_runs: reference db_schema.go:139-151.
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS task_runs (
+                 task_id TEXT PRIMARY KEY NOT NULL,
+                 last_run_at TEXT,
+                 last_run_success INTEGER,
+                 last_run_duration INTEGER,
+                 next_run_at TEXT,
+                 next_run_type TEXT NOT NULL DEFAULT 'single'
+               )"""
+        )
+
+    # -- event submission (reference SubmitState, state.go:130-163) -----
+
+    def record(self, event: str, data: dict[str, Any]) -> None:
+        """Append the event and apply its handler atomically.
+
+        Handlers are idempotent (INSERT OR REPLACE / keyed UPDATE), the
+        same contract the reference states for its NATS consumers."""
+        handler = _HANDLERS.get(event)
+        if handler is None:
+            raise ValueError(f"unknown state event: {event}")
+        with self._lock, self._db:
+            self._db.execute(
+                "INSERT INTO events (event, data, created_at) VALUES (?, ?, ?)",
+                (event, json.dumps(data), _now()),
+            )
+            handler(self._db, data)
+
+    def rebuild(self) -> None:
+        """Drop materialized tables and replay the event log — the
+        reference's restore-from-partial-state path."""
+        with self._lock, self._db:
+            self._db.execute("DELETE FROM apps")
+            self._db.execute("DELETE FROM task_runs")
+            for row in self._db.execute(
+                "SELECT event, data FROM events ORDER BY seq"
+            ).fetchall():
+                handler = _HANDLERS.get(row["event"])
+                if handler is not None:
+                    handler(self._db, json.loads(row["data"]))
+
+    # -- reads ----------------------------------------------------------
+
+    def get_app(self, app_id: str) -> dict[str, Any] | None:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT * FROM apps WHERE id = ?", (app_id,)
+            ).fetchone()
+        return dict(row) if row else None
+
+    def list_apps(self, app_type: str | None = None) -> list[dict[str, Any]]:
+        q = "SELECT * FROM apps"
+        args: tuple = ()
+        if app_type:
+            q += " WHERE type = ?"
+            args = (app_type,)
+        with self._lock:
+            rows = self._db.execute(q + " ORDER BY id", args).fetchall()
+        return [dict(r) for r in rows]
+
+    def get_task_run(self, task_id: str) -> dict[str, Any] | None:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT * FROM task_runs WHERE task_id = ?", (task_id,)
+            ).fetchone()
+        return dict(row) if row else None
+
+    def close(self) -> None:
+        with self._lock:
+            self._db.close()
+
+
+# -- idempotent handlers (reference state handlers, state.go:41-93) -----
+
+
+def _upsert_app(db, data: dict[str, Any], app_type: str) -> None:
+    now = _now()
+    db.execute(
+        """INSERT INTO apps (id, name, content, type, visibility, created_at, updated_at)
+           VALUES (?, ?, ?, ?, ?, ?, ?)
+           ON CONFLICT(id) DO UPDATE SET
+             name = excluded.name, content = excluded.content,
+             visibility = excluded.visibility, updated_at = excluded.updated_at""",
+        (
+            data["id"],
+            data.get("name") or data["id"],
+            data["content"],
+            app_type,
+            data.get("visibility"),
+            now,
+            now,
+        ),
+    )
+
+
+def _update_content(db, data: dict[str, Any]) -> None:
+    db.execute(
+        "UPDATE apps SET content = ?, updated_at = ? WHERE id = ?",
+        (data["content"], _now(), data["id"]),
+    )
+
+
+def _update_name(db, data: dict[str, Any]) -> None:
+    db.execute(
+        "UPDATE apps SET name = ?, updated_at = ? WHERE id = ?",
+        (data["name"], _now(), data["id"]),
+    )
+
+
+def _delete_app(db, data: dict[str, Any]) -> None:
+    db.execute("DELETE FROM apps WHERE id = ?", (data["id"],))
+    db.execute("DELETE FROM task_runs WHERE task_id = ?", (data["id"],))
+
+
+def _record_task_run(db, data: dict[str, Any]) -> None:
+    db.execute(
+        """INSERT INTO task_runs
+             (task_id, last_run_at, last_run_success, last_run_duration,
+              next_run_at, next_run_type)
+           VALUES (?, ?, ?, ?, ?, ?)
+           ON CONFLICT(task_id) DO UPDATE SET
+             last_run_at = excluded.last_run_at,
+             last_run_success = excluded.last_run_success,
+             last_run_duration = excluded.last_run_duration,
+             next_run_at = excluded.next_run_at,
+             next_run_type = excluded.next_run_type""",
+        (
+            data["task_id"],
+            data.get("last_run_at"),
+            None
+            if data.get("last_run_success") is None
+            else int(bool(data["last_run_success"])),
+            data.get("last_run_duration"),
+            data.get("next_run_at"),
+            data.get("next_run_type") or "single",
+        ),
+    )
+
+
+_HANDLERS = {
+    "create_dashboard": lambda db, d: _upsert_app(db, d, "dashboard"),
+    "update_dashboard_content": _update_content,
+    "update_dashboard_name": _update_name,
+    "delete_dashboard": _delete_app,
+    "create_task": lambda db, d: _upsert_app(db, d, "task"),
+    "update_task_content": _update_content,
+    "update_task_name": _update_name,
+    "delete_task": _delete_app,
+    "record_task_run": _record_task_run,
+}

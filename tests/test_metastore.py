@@ -1,0 +1,140 @@
+"""Metastore durability + event-sourcing semantics (reference:
+server/core/db_schema.go:13-166 materialized tables, state.go:29-163
+idempotent event handlers and replay)."""
+
+import json
+import urllib.request
+
+import pytest
+
+from shaper_spark.metastore import Metastore
+
+
+class TestMetastore:
+    def test_create_and_get_dashboard(self):
+        m = Metastore()
+        m.record("create_dashboard", {"id": "d1", "content": "SELECT 1", "name": "One"})
+        app = m.get_app("d1")
+        assert app["content"] == "SELECT 1"
+        assert app["name"] == "One"
+        assert app["type"] == "dashboard"
+
+    def test_handlers_are_idempotent(self):
+        m = Metastore()
+        for _ in range(3):
+            m.record("create_dashboard", {"id": "d1", "content": "SELECT 1"})
+        assert len(m.list_apps()) == 1
+
+    def test_update_and_delete(self):
+        m = Metastore()
+        m.record("create_task", {"id": "t1", "content": "SELECT 1"})
+        m.record("update_task_content", {"id": "t1", "content": "SELECT 2"})
+        assert m.get_app("t1")["content"] == "SELECT 2"
+        m.record("delete_task", {"id": "t1"})
+        assert m.get_app("t1") is None
+
+    def test_task_run_upsert(self):
+        m = Metastore()
+        m.record("record_task_run", {"task_id": "t1", "last_run_success": True})
+        m.record("record_task_run", {"task_id": "t1", "last_run_success": False})
+        run = m.get_task_run("t1")
+        assert run["last_run_success"] == 0
+        assert run["next_run_type"] == "single"
+
+    def test_durability_across_instances(self, tmp_path):
+        db = str(tmp_path / "meta.db")
+        m1 = Metastore(db)
+        m1.record("create_dashboard", {"id": "d1", "content": "SELECT 1"})
+        m1.close()
+        m2 = Metastore(db)
+        assert m2.get_app("d1")["content"] == "SELECT 1"
+        m2.close()
+
+    def test_rebuild_replays_event_log(self, tmp_path):
+        db = str(tmp_path / "meta.db")
+        m = Metastore(db)
+        m.record("create_dashboard", {"id": "d1", "content": "SELECT 1"})
+        m.record("update_dashboard_content", {"id": "d1", "content": "SELECT 2"})
+        m.record("create_task", {"id": "t1", "content": "SELECT 3"})
+        m.record("delete_task", {"id": "t1"})
+        # Corrupt the materialized state, then replay the log.
+        m._db.execute("DELETE FROM apps")
+        m.rebuild()
+        assert m.get_app("d1")["content"] == "SELECT 2"
+        assert m.get_app("t1") is None
+        m.close()
+
+    def test_unknown_event_rejected(self):
+        with pytest.raises(ValueError):
+            Metastore().record("drop_everything", {})
+
+
+class TestServerRestart:
+    """Reference behavior: metadata survives a process restart."""
+
+    @pytest.fixture()
+    def _servers(self, spark, tmp_path):
+        from shaper_spark.api import ShaperServer
+
+        db = str(tmp_path / "meta.db")
+        first = ShaperServer(spark, db_path=db).start()
+        yield first, db
+        first.stop()
+
+    def test_dashboard_survives_restart(self, spark, _servers):
+        from shaper_spark.api import ShaperServer
+
+        first, db = _servers
+        body = json.dumps(
+            {"id": "d1", "content": "SELECT 42 AS answer"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{first.port}/api/dashboards",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        assert urllib.request.urlopen(req).status == 200
+        first.stop()
+
+        second = ShaperServer(spark, db_path=db).start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{second.port}/api/dashboards/d1"
+            ) as resp:
+                assert resp.status == 200
+                tree = json.loads(resp.read())
+            assert tree["sections"]
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{second.port}/api/dashboards"
+            ) as resp:
+                listed = json.loads(resp.read())
+            assert [d["id"] for d in listed] == ["d1"]
+        finally:
+            second.stop()
+
+    def test_task_reregistered_on_restart(self, spark, tmp_path):
+        from shaper_spark.api import ShaperServer
+
+        db = str(tmp_path / "meta2.db")
+        first = ShaperServer(spark, db_path=db).start()
+        body = json.dumps(
+            {"id": "t1", "content": "SELECT 1 AS x"}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{first.port}/api/tasks",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        assert urllib.request.urlopen(req).status == 200
+        first.stop()
+
+        second = ShaperServer(spark, db_path=db).start()
+        try:
+            assert "t1" in second.scheduler._contents
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{second.port}/api/tasks"
+            ) as resp:
+                listed = json.loads(resp.read())
+            assert [t["id"] for t in listed] == ["t1"]
+        finally:
+            second.stop()
