@@ -1096,6 +1096,44 @@ FROM g GROUP BY user_id, grp ORDER BY user, session_start
 """
 
 
+def _q_attach_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTACH maps a parquet directory to a catalog database of views
+    (shaper_spark/attach.py; reference sql_validation.go:247-249), so
+    queries join across the attached database and the session views.
+    The oracle runs the same join on the base views — the attached data
+    is byte-identical."""
+    from shaper_spark.attach import try_execute_attach
+
+    _prep(spark, sf_dir)
+    try_execute_attach(spark, f"ATTACH '{sf_dir}' AS ext_sf")
+    return spark.sql(
+        """
+        SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(sum(coalesce(s.s_cnt, 0)) AS BIGINT) AS n_suppliers
+        FROM ext_sf.nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        LEFT JOIN (
+          SELECT s_nationkey, count(*) AS s_cnt
+          FROM ext_sf.supplier GROUP BY s_nationkey
+        ) s ON s.s_nationkey = n.n_nationkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    )
+
+
+ATTACH_FEDERATION_DUCK = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(coalesce(s.s_cnt, 0)) AS BIGINT) AS n_suppliers
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN (
+  SELECT s_nationkey, count(*) AS s_cnt
+  FROM supplier GROUP BY s_nationkey
+) s ON s.s_nationkey = n.n_nationkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1166,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_table": _q_describe,
         "show_tables": _q_show_tables,
         "explain_plan": _q_explain,
+        "attach_federation": _q_attach_federation,
     }
 
 
@@ -1226,4 +1265,5 @@ def oracle_sql() -> dict[str, str]:
         # similarity_ivf_topk: rows-only (see docstring)
         "pivot_std": PIVOT_STD,
         "pivot_duck_sugar": PIVOT_SUGAR_DUCK,
+        "attach_federation": ATTACH_FEDERATION_DUCK,
     }

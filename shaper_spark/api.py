@@ -269,6 +269,19 @@ class ShaperServer:
                 if content is None:
                     return self._json(404, {"error": f"no dashboard {did}"})
                 fmt = filename.rsplit(".", 1)[-1].lower()
+                if fmt == "pdf":
+                    # Reference renders PDFs by driving headless Chrome
+                    # over the dashboard URL (server/pdf/pdf.go:33-133);
+                    # no browser exists in this build — descoped
+                    # explicitly (README) rather than dead-ending.
+                    return self._json(
+                        501,
+                        {
+                            "error": "PDF rendering requires a headless "
+                            "browser and is not available in this build; "
+                            "use csv/json/xlsx exports"
+                        },
+                    )
                 if fmt not in ("csv", "json", "xlsx"):
                     return self._json(400, {"error": f"unsupported format {fmt}"})
                 params = {

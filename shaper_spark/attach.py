@@ -1,0 +1,107 @@
+"""ATTACH / DETACH — external data as a Spark catalog database.
+
+The reference attaches external DuckDB/postgres databases so queries
+can address ``db.table`` across sources (tasks may ATTACH/DETACH
+freely, ``server/core/sql_validation.go:247-249``; memory-mode treats
+ATTACH as a side-effect statement, ``sql_validation.go:64-68``). The
+Spark-native mapping: ``ATTACH '<path>' AS name`` creates a catalog
+database ``name`` holding one view per parquet table found at the
+path, so ``name.table`` works in any subsequent query with full
+predicate pushdown (views inline into the scan).
+
+Supported paths: a directory containing ``<table>.parquet`` files or
+directories, or a single ``.parquet`` file (one table named after the
+file stem). Other engines' native files (.duckdb/.sqlite) have no
+in-process Spark reader; on a cluster those become JDBC catalog
+entries — rejected here with that pointer rather than silently
+no-op'd.
+
+DETACH drops the database. Views carry no data, so the external files
+are never touched — matching DuckDB detach semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import SparkSession
+
+from .session import _nanos_timestamp_columns
+
+__all__ = ["try_execute_attach"]
+
+_ATTACH_RE = re.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'"
+    r"\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)"
+    r"\s*(?:\(\s*READ_?ONLY\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+(?:DATABASE\s+)?(?:IF\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _table_paths(path: str) -> dict[str, str]:
+    """Map table name → parquet path for an attach target."""
+    if os.path.isfile(path) or path.endswith(".parquet") and os.path.exists(path):
+        stem = os.path.basename(path)
+        if stem.endswith(".parquet"):
+            stem = stem[: -len(".parquet")]
+        return {stem: path}
+    if os.path.isdir(path):
+        out = {}
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                out[entry[: -len(".parquet")]] = os.path.join(path, entry)
+        return out
+    return {}
+
+
+def _view_sql(db: str, table: str, path: str) -> str:
+    """A view over the parquet file; nano-timestamp columns convert to
+    micros exactly like session.load_parquet (integer div — a float
+    intermediate would lose the last microsecond digit)."""
+    nanos = set(_nanos_timestamp_columns(path))
+    if not nanos:
+        select = "*"
+    else:
+        import pyarrow.parquet as pq
+
+        names = pq.read_schema(path).names
+        parts = [
+            f"timestamp_micros(`{c}` div 1000) AS `{c}`" if c in nanos else f"`{c}`"
+            for c in names
+        ]
+        select = ", ".join(parts)
+    return (
+        f"CREATE OR REPLACE VIEW `{db}`.`{table}` AS "
+        f"SELECT {select} FROM parquet.`{path}`"
+    )
+
+
+def try_execute_attach(spark: SparkSession, sql_string: str) -> bool:
+    """Execute ATTACH/DETACH; return True if the statement was one."""
+    m = _ATTACH_RE.match(sql_string)
+    if m:
+        path, name = m.group(1), m.group(2).strip("`")
+        lower = path.lower()
+        if lower.endswith((".db", ".duckdb", ".sqlite", ".sqlite3")):
+            raise ValueError(
+                f"ATTACH: no in-process Spark reader for {path!r}; map it as "
+                "a JDBC catalog (spark.sql.catalog.<name>) on a cluster"
+            )
+        tables = _table_paths(path)
+        if not tables:
+            raise ValueError(f"ATTACH: no parquet tables found at {path!r}")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+        for table, tpath in tables.items():
+            spark.sql(_view_sql(name, table, tpath))
+        return True
+    m = _DETACH_RE.match(sql_string)
+    if m:
+        name = m.group(1).strip("`")
+        spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+        return True
+    return False

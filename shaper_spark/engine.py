@@ -857,7 +857,13 @@ def _execute_side_effect(
     if macro:
         macros[macro.name] = macro
         return
-    if upper.startswith(("BEGIN", "COMMIT", "ROLLBACK", "ABORT", "ATTACH")):
+    if upper.startswith(("ATTACH", "DETACH")):
+        from .attach import try_execute_attach
+
+        if try_execute_attach(spark, vars_.substitute(sql_string)):
+            return
+        raise ValueError(f"Unsupported ATTACH/DETACH syntax: {sql_string!r}")
+    if upper.startswith(("BEGIN", "COMMIT", "ROLLBACK", "ABORT")):
         return  # no transactions on Spark; per-statement atomicity only
     if _CREATE_TEMP_TABLE_RE.match(sql_string):
         # Spark has no temp tables — a temp view gives the same
@@ -883,6 +889,28 @@ def _run_query(
     max_rows: int,
 ) -> tuple[list[Column], list[list[Any]]]:
     upper = sql_string.upper().strip()
+    if upper.startswith(("ATTACH", "DETACH")):
+        # Tasks run ATTACH/DETACH as ordinary statements with empty
+        # results (reference run_task.go:51 marks them no-tx and
+        # executes them directly).
+        from .attach import try_execute_attach
+
+        if try_execute_attach(spark, vars_.substitute(sql_string)):
+            return [], []
+        raise ValueError(f"Unsupported ATTACH/DETACH syntax: {sql_string!r}")
+    if upper.startswith(("UPDATE", "DELETE")):
+        # Task DML on warehouse tables — copy-on-write rewrite (the
+        # statement gate already confines these to tasks; reference
+        # tasks run arbitrary DML, run_task.go:67-258).
+        from .dml import try_execute_dml
+
+        dml_result = try_execute_dml(spark, vars_.substitute(sql_string))
+        if dml_result is not None:
+            names, rows = dml_result
+            return [
+                Column(name=n, nullable=False, spark_type="bigint")
+                for n in names
+            ], rows
     if upper.startswith("SUMMARIZE"):
         df = _run_summarize(spark, vars_.substitute(sql_string))
         tags: dict[int, str] = {}

@@ -37,7 +37,13 @@ from .engine import (
     _run_query,
     _VarState,
 )
-from .render import get_render_info, is_label, is_section_title, map_tag
+from .render import (
+    can_start_section,
+    get_render_info,
+    is_label,
+    is_section_title,
+    map_tag,
+)
 
 __all__ = [
     "resolve_download_query_id",
@@ -108,6 +114,7 @@ def replay_var_state(
     vars_ = _VarState(variables)
     macros: dict[str, _Macro] = {}
     next_is_download = False
+    hide_next_content_section = False
     for query_index, sql_string in enumerate(statements):
         sql_string = sql_string.strip()
         if not sql_string:
@@ -117,11 +124,23 @@ def replay_var_state(
         if next_is_download:
             next_is_download = False
             continue
+        # Queries under an empty SECTION TITLE never run in the
+        # reference (get_dashboard.go:443-467) — their variables must
+        # not be collected here either.
+        if (
+            hide_next_content_section
+            and not sqltool.is_side_effect(sql_string)
+            and not can_start_section(sql_string)
+        ):
+            continue
         if sqltool.is_side_effect(sql_string):
             _execute_side_effect(spark, sql_string, vars_, macros)
             continue
         columns, rows = _run_query(spark, sql_string, vars_, macros, max_rows)
-        if is_label(columns, rows) or is_section_title(columns, rows):
+        if is_label(columns, rows):
+            continue
+        if is_section_title(columns, rows):
+            hide_next_content_section = len(rows) == 0
             continue
         rinfo = get_render_info(columns, rows, "", [])
         if rinfo.download:
@@ -149,6 +168,7 @@ def validate_dashboard_download(
     vars_ = _VarState(variables)
     macros: dict[str, _Macro] = {}
     next_is_download = False
+    hide_next_content_section = False
     clean = sqltool.strip_sql_comments(content)
     for query_index, sql_string in enumerate(sqltool.split_sql_queries(clean)):
         sql_string = sql_string.strip()
@@ -159,11 +179,23 @@ def validate_dashboard_download(
         if next_is_download:
             next_is_download = False
             continue
+        # A DOWNLOAD_PDF inside a hidden (empty-SECTION-TITLE) section is
+        # never rendered by the reference, so it must not validate as a
+        # download target either (get_dashboard.go:443-467).
+        if (
+            hide_next_content_section
+            and not sqltool.is_side_effect(sql_string)
+            and not can_start_section(sql_string)
+        ):
+            continue
         if sqltool.is_side_effect(sql_string):
             _execute_side_effect(spark, sql_string, vars_, macros)
             continue
         columns, rows = _run_query(spark, sql_string, vars_, macros, 3000)
-        if is_label(columns, rows) or is_section_title(columns, rows):
+        if is_label(columns, rows):
+            continue
+        if is_section_title(columns, rows):
+            hide_next_content_section = len(rows) == 0
             continue
         rinfo = get_render_info(columns, rows, "", [])
         if rinfo.download == "pdf":

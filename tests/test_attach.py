@@ -1,0 +1,85 @@
+"""ATTACH/DETACH federation (reference: sql_validation.go:64-68
+memory-mode side effect, :247-249 task allowance; Spark mapping =
+catalog database of parquet-backed views)."""
+
+import pytest
+
+from shaper_spark.attach import try_execute_attach
+from shaper_spark.tasks import execute_task
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestAttach:
+    def test_attach_directory_creates_database(self, spark):
+        try:
+            assert try_execute_attach(spark, f"ATTACH '{SF}' AS extdb")
+            rows = spark.sql(
+                "SELECT count(*) AS n FROM extdb.nation"
+            ).collect()
+            assert rows[0]["n"] == 25
+            # nano-timestamp table converts to proper timestamps
+            assert (
+                dict(spark.table("extdb.events").dtypes)["ts"] == "timestamp"
+            )
+        finally:
+            try_execute_attach(spark, "DETACH extdb")
+
+    def test_cross_database_join(self, spark, sf_dir):
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        try:
+            try_execute_attach(spark, f"ATTACH '{SF}' AS extdb")
+            rows = spark.sql(
+                """SELECT r.r_name, count(*) AS n
+                   FROM extdb.nation n JOIN region r
+                     ON n.n_regionkey = r.r_regionkey
+                   GROUP BY r.r_name ORDER BY r.r_name"""
+            ).collect()
+            assert len(rows) == 5
+            assert sum(r["n"] for r in rows) == 25
+        finally:
+            try_execute_attach(spark, "DETACH extdb")
+
+    def test_attach_single_file(self, spark):
+        try:
+            assert try_execute_attach(
+                spark, f"ATTACH '{SF}/region.parquet' AS onetbl"
+            )
+            assert spark.sql("SELECT count(*) AS n FROM onetbl.region").collect()[
+                0
+            ]["n"] == 5
+        finally:
+            try_execute_attach(spark, "DETACH DATABASE IF EXISTS onetbl")
+
+    def test_detach_leaves_files(self, spark, tmp_path):
+        import os
+
+        try_execute_attach(spark, f"ATTACH '{SF}' AS extdb2")
+        try_execute_attach(spark, "DETACH extdb2")
+        assert os.path.exists(f"{SF}/nation.parquet")
+        assert "extdb2" not in [d.name for d in spark.catalog.listDatabases()]
+
+    def test_unsupported_native_file_rejected(self, spark):
+        with pytest.raises(ValueError, match="JDBC catalog"):
+            try_execute_attach(spark, "ATTACH '/tmp/x.duckdb' AS ddb")
+
+    def test_missing_path_rejected(self, spark):
+        with pytest.raises(ValueError, match="no parquet tables"):
+            try_execute_attach(spark, "ATTACH '/nonexistent/dir' AS nodb")
+
+    def test_non_attach_returns_false(self, spark):
+        assert try_execute_attach(spark, "SELECT 1") is False
+
+    def test_task_can_attach_and_query(self, spark):
+        r = execute_task(
+            spark,
+            f"""
+            ATTACH '{SF}' AS taskdb;
+            SELECT count(*) AS n FROM taskdb.supplier;
+            DETACH taskdb;
+            """,
+        )
+        assert r.success is True
+        assert r.queries[1].result_rows[0][0] > 0

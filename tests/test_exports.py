@@ -306,3 +306,80 @@ class TestStdlibXlsx:
         _write_xlsx_stdlib(df, buf)
         sheet, strings, ns, _ = self._sheet_and_strings(buf.getvalue())
         assert '<b>&"quoted"</b>' in strings
+
+class TestHiddenSectionSkipping:
+    """Statements under an empty SECTION TITLE are skipped before
+    execution unless they are side effects or can start a section
+    (hideNextContentSection + canStartSection, get_dashboard.go:443-467,
+    762-769). Widget statements (SECTION/DROPDOWN/DOWNLOAD_/INPUT in
+    text) can start a section, so they are never hidden — reference
+    semantics, pinned here."""
+
+    def test_hidden_content_query_not_executed(self, spark):
+        from shaper_spark.exports import validate_dashboard_download
+
+        # The bogus query would raise if executed; the reference skips
+        # it (no section-starting keyword), so validation completes.
+        content = """
+        SELECT 'Hidden'::SECTION WHERE 1 = 0;
+        SELECT * FROM table_that_does_not_exist;
+        """
+        assert (
+            validate_dashboard_download(spark, content, "any-dash") is False
+        )
+
+    def test_replay_skips_hidden_content_query(self, spark):
+        from shaper_spark import sqltool
+        from shaper_spark.exports import replay_var_state
+
+        content = """
+        SELECT 'Hidden'::SECTION WHERE 1 = 0;
+        SELECT * FROM table_that_does_not_exist;
+        SELECT 'Visible'::SECTION;
+        SELECT DISTINCT 'open'::DROPDOWN AS shown_var;
+        """
+        statements = sqltool.split_sql_queries(
+            sqltool.strip_sql_comments(content)
+        )
+        vars_ = replay_var_state(spark, statements)
+        assert "shown_var" in vars_.raw
+
+    def test_download_pdf_can_start_section_so_still_validates(self, spark):
+        from shaper_spark.exports import validate_dashboard_download
+
+        # DOWNLOAD_ text can start a section (canStartSection), so a PDF
+        # button after an empty section title is NOT hidden — reference
+        # behavior, verified against get_dashboard.go:762-769.
+        content = """
+        SELECT 'Hidden'::SECTION WHERE 1 = 0;
+        SELECT 'target-dash'::ID, 'Download'::DOWNLOAD_PDF;
+        """
+        assert (
+            validate_dashboard_download(spark, content, "target-dash") is True
+        )
+
+    def test_new_section_unhides(self, spark):
+        from shaper_spark.exports import validate_dashboard_download
+
+        content = """
+        SELECT 'Hidden'::SECTION WHERE 1 = 0;
+        SELECT 'Visible again'::SECTION;
+        SELECT 'target-dash'::ID, 'Download'::DOWNLOAD_PDF;
+        """
+        assert (
+            validate_dashboard_download(spark, content, "target-dash") is True
+        )
+
+    def test_side_effects_still_run_while_hidden(self, spark):
+        from shaper_spark import sqltool
+        from shaper_spark.exports import replay_var_state
+
+        content = """
+        SELECT 'Hidden'::SECTION WHERE 1 = 0;
+        SET VARIABLE sv = 7;
+        """
+        statements = sqltool.split_sql_queries(
+            sqltool.strip_sql_comments(content)
+        )
+        vars_ = replay_var_state(spark, statements)
+        assert vars_.raw.get("sv") == "7"

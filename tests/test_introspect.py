@@ -67,3 +67,33 @@ class TestGetSchema:
             for db in d["databases"]
             for s in db["schemas"]
         )
+
+
+class TestResponseShapeParity:
+    """UI-shape parity with the reference response
+    (server/core/duckdb_schema.go:31-35 initializes Databases,
+    Extensions, Secrets even when empty; schemas carry enums)."""
+
+    def test_top_level_keys(self, spark):
+        d = get_schema(spark).to_dict()
+        assert set(d.keys()) == {"databases", "extensions", "secrets"}
+        assert d["extensions"] == []
+        assert d["secrets"] == []
+
+    def test_schema_level_keys(self, spark):
+        d = get_schema(spark).to_dict()
+        schema = d["databases"][0]["schemas"][0]
+        assert set(schema.keys()) == {"name", "tables", "views", "enums"}
+        assert schema["enums"] == []
+
+    def test_column_keys(self, spark, sf_dir):
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        d = get_schema(spark).to_dict()
+        tables = {
+            t["name"]: t
+            for s in d["databases"][0]["schemas"]
+            for t in s["tables"] + s["views"]
+        }
+        assert "region" in tables

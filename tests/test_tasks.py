@@ -146,20 +146,61 @@ class TestExecuteTask:
         assert "Multiple SCHEDULE" in (r.queries[-1].error or "")
 
     def test_insert_update_delete_roundtrip(self, spark):
-        # Task-only DML surface (sql_validation.go:179-275). Spark parquet
-        # tables support INSERT; UPDATE/DELETE need Delta — covered by the
-        # allowlist but not executable on parquet (documented divergence).
+        # Task-only DML surface (sql_validation.go:179-275; reference
+        # tasks run arbitrary DML on DuckDB, run_task.go:67-258).
+        # UPDATE/DELETE execute via the copy-on-write rewrite in dml.py.
         _fresh(spark, "task_dml")
         r = execute_task(
             spark,
             """
-            CREATE TABLE task_dml (v INT);
-            INSERT INTO task_dml VALUES (1), (2), (3);
-            SELECT sum(v) AS s FROM task_dml;
+            CREATE TABLE task_dml (v INT, tag STRING);
+            INSERT INTO task_dml VALUES (1, 'a'), (2, 'b'), (3, 'c');
+            UPDATE task_dml SET v = v * 10 WHERE tag <> 'a';
+            DELETE FROM task_dml WHERE v = 30;
+            SELECT sum(v) AS s, count(*) AS n FROM task_dml;
             """,
         )
         assert r.success is True
-        assert r.queries[-1].result_rows == [[6]]
+        # UPDATE reports 2 affected, DELETE reports 1 affected
+        assert r.queries[2].result_columns == ["Count"]
+        assert r.queries[2].result_rows == [[2]]
+        assert r.queries[3].result_rows == [[1]]
+        # survivors: v=1 (untouched) and v=20 (updated)
+        assert r.queries[-1].result_rows == [[21, 2]]
+
+    def test_update_without_where_and_full_delete(self, spark):
+        _fresh(spark, "task_dml2")
+        r = execute_task(
+            spark,
+            """
+            CREATE TABLE task_dml2 (v INT);
+            INSERT INTO task_dml2 VALUES (1), (2);
+            UPDATE task_dml2 SET v = v + 1;
+            SELECT sum(v) AS s FROM task_dml2;
+            DELETE FROM task_dml2;
+            SELECT count(*) AS n FROM task_dml2;
+            """,
+        )
+        assert r.success is True
+        assert r.queries[3].result_rows == [[5]]
+        assert r.queries[4].result_rows == [[2]]
+        assert r.queries[5].result_rows == [[0]]
+
+    def test_update_expression_with_commas_and_null_where(self, spark):
+        _fresh(spark, "task_dml3")
+        r = execute_task(
+            spark,
+            """
+            CREATE TABLE task_dml3 (v INT, w INT);
+            INSERT INTO task_dml3 VALUES (1, NULL), (2, 5);
+            UPDATE task_dml3 SET v = greatest(v, 10, coalesce(w, 0)), w = 0 WHERE w > 3;
+            SELECT v, w FROM task_dml3 ORDER BY v;
+            """,
+        )
+        assert r.success is True
+        # NULL where-condition rows are untouched (NOT NULL → kept as-is)
+        assert r.queries[2].result_rows == [[1]]
+        assert r.queries[-1].result_rows == [[1, None], [10, 0]]
 
 
 class TestGetNextTaskRun:
