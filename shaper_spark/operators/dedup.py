@@ -394,13 +394,11 @@ def embedding_near_dups(
         b = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         return score(a.join(b, F.col("id_a") < F.col("id_b")))
 
-    import numpy as np
-
-    dim = len(df.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    stack = rng.standard_normal((tables * planes, dim))
     buckets = side.select(
-        "id", F.posexplode(hyperplane_buckets(F.col("v"), stack, tables)).alias("t", "b")
+        "id",
+        F.posexplode(
+            hyperplane_buckets(F.col("v"), tables, planes, seed)
+        ).alias("t", "b"),
     )
     if persist:
         from pyspark import StorageLevel

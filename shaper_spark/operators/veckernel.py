@@ -106,17 +106,26 @@ def hyperplane_bucket(col, hyperplanes):
     return _bucket(col)
 
 
-def hyperplane_buckets(col, hyperplane_stack, tables: int):
+def hyperplane_buckets(col, tables: int, planes: int, seed: int):
     """One bucket id per hash table (array<int>, length ``tables``).
 
-    ``hyperplane_stack`` is (tables·planes, dim); one matmul per Arrow
-    batch covers every table, then the bit matrix reshapes to
-    (rows, tables, planes) and collapses to per-table bucket ids."""
+    The (tables·planes, dim) hyperplane stack is generated *inside* the
+    UDF from (seed, observed dim) — deterministic across executors and
+    batches, and it spares the driver a blocking first()-row probe just
+    to learn the dimensionality. One matmul per Arrow batch covers every
+    table; the bit matrix reshapes to (rows, tables, planes) and
+    collapses to per-table bucket ids."""
     import numpy as np
 
-    H = np.asarray(hyperplane_stack, dtype=np.float64)
-    planes = H.shape[0] // tables
     powers = (2 ** np.arange(planes)).astype(np.int64)
+    cache: dict[int, object] = {}
+
+    def _stack(dim: int):
+        H = cache.get(dim)
+        if H is None:
+            rng = np.random.RandomState(seed)
+            H = cache[dim] = rng.standard_normal((tables * planes, dim))
+        return H
 
     @pandas_udf("array<int>")
     def _buckets(vs):
@@ -124,7 +133,10 @@ def hyperplane_buckets(col, hyperplane_stack, tables: int):
 
         if len(vs) == 0:
             return pd.Series([], dtype="object")
-        bits = ((_mat(vs) @ H.T) >= 0).reshape(len(vs), tables, planes)
+        mat = _mat(vs)
+        bits = ((mat @ _stack(mat.shape[1]).T) >= 0).reshape(
+            len(mat), tables, planes
+        )
         return pd.Series(list((bits @ powers).astype("int32")))
 
     return _buckets(col)

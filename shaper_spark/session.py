@@ -104,8 +104,7 @@ def register_sf_tables(spark: SparkSession, sf_dir: str) -> None:
 
     Uses ``spark.read.parquet`` directly — scans stay columnar with
     predicate pushdown and column pruning (verify via
-    ``df.explain('formatted')`` → PushedFilters/ReadSchema); both push
-    through the spread repartition below.
+    ``df.explain('formatted')`` → PushedFilters/ReadSchema).
     """
     for name in TPCH_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -113,8 +112,8 @@ def register_sf_tables(spark: SparkSession, sf_dir: str) -> None:
             load_parquet(spark, path).createOrReplaceTempView(name)
 
 
-# Tables large enough that single-split files serialize the whole plan
-# on one core. Dimension tables stay unsplit (they broadcast anyway).
+# Threshold for the opt-in spread (see _spread): below this a
+# repartition is never worth a shuffle.
 _SPREAD_MIN_BYTES = 64 * 1024
 
 
@@ -135,17 +134,20 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     return out
 
 
-def load_parquet(spark: SparkSession, path: str):
+def load_parquet(spark: SparkSession, path: str, spread: bool = False):
     """Read a parquet file, converting nano-timestamp columns back to
     TimestampType (micros). At real scale this conversion would be a
     one-time ETL rewrite; the view-level cast keeps tests exact.
 
-    Single-row-group test files cannot be split by the scan, so every
-    downstream stage would run in ONE task regardless of cores. For
-    such files (and only such files) a round-robin repartition to the
-    session's parallelism is inserted; at real scale inputs have many
-    splits and this is a no-op. Predicate pushdown and column pruning
-    push through the Repartition node, so scans stay pruned."""
+    ``spread=False`` (default): the single-row-group test fixtures keep
+    the *map side* (scan + filters + partial agg) in one task, but every
+    stage after a shuffle parallelizes across spark.sql.shuffle
+    partitions regardless — and measurements at sf0.1 showed the forced
+    round-robin repartition's extra full shuffle costs 2-4× more than
+    the single-task map side it parallelizes. At real scale inputs have
+    many splits and the question disappears. ``spread=True`` re-inserts
+    the repartition for workloads whose map side is genuinely heavy
+    (e.g. an expensive per-row UDF over an unsplittable file)."""
     from pyspark.sql import functions as F
 
     nanos_cols = _nanos_timestamp_columns(path)
@@ -156,7 +158,7 @@ def load_parquet(spark: SparkSession, path: str):
         # via pyarrow into a cache dir keyed by path+mtime and read the
         # copy. At real scale this is the one-time ETL normalization pass.
         df = spark.read.parquet(_ns_to_us_cached(path))
-        return _spread(spark, df, path)
+        return _spread(spark, df, path) if spread else df
     df = spark.read.parquet(path)
     for col in nanos_cols:
         # Integer division: nanos exceed 2^53, so a float intermediate
@@ -164,7 +166,7 @@ def load_parquet(spark: SparkSession, path: str):
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
-    return _spread(spark, df, path)
+    return _spread(spark, df, path) if spread else df
 
 
 def _spread(spark: SparkSession, df, path: str):
