@@ -72,7 +72,10 @@ class ShaperServer:
         self.variables = variables or {}
         self.store = Metastore(db_path)
         self.ingest = IngestBuffer(spark)
-        self.scheduler = TaskScheduler(spark, on_result=self._on_task_result)
+        # The scheduler records runs and claims scheduled fires through
+        # the shared store — multiple server instances on one metastore
+        # dedupe runs like the reference's NATS work queue.
+        self.scheduler = TaskScheduler(spark, store=self.store)
         self._flusher_stop = threading.Event()
         outer = self
 
@@ -335,34 +338,6 @@ class ShaperServer:
         if app is None or app["type"] != "dashboard":
             return None
         return app["content"]
-
-    def _on_task_result(self, task_id: str, result) -> None:
-        import datetime as _dt
-
-        try:
-            self.store.record(
-                "record_task_run",
-                {
-                    "task_id": task_id,
-                    "last_run_at": _dt.datetime.fromtimestamp(
-                        result.started_at / 1000.0, _dt.timezone.utc
-                    ).isoformat()
-                    if result.started_at
-                    else None,
-                    "last_run_success": result.success,
-                    "last_run_duration": sum(
-                        q.duration_ms for q in result.queries
-                    ),
-                    "next_run_at": _dt.datetime.fromtimestamp(
-                        result.next_run_at / 1000.0, _dt.timezone.utc
-                    ).isoformat()
-                    if result.next_run_at > 0
-                    else None,
-                    "next_run_type": result.schedule_type or "single",
-                },
-            )
-        except Exception:
-            pass
 
     @property
     def port(self) -> int:

@@ -86,6 +86,18 @@ class Metastore:
                  next_run_type TEXT NOT NULL DEFAULT 'single'
                )"""
         )
+        # task_claims: transport-level run dedupe, the SQLite stand-in for
+        # the reference's NATS MsgID window (schedule_task.go:215-237 —
+        # every node schedules, the message id "taskID-runAtMillis"
+        # guarantees one executor). Not event-sourced: claims are
+        # coordination, not state.
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS task_claims (
+                 run_key TEXT PRIMARY KEY,
+                 claimed_by TEXT,
+                 claimed_at TEXT NOT NULL
+               )"""
+        )
 
     # -- event submission (reference SubmitState, state.go:130-163) -----
 
@@ -116,6 +128,50 @@ class Metastore:
                 handler = _HANDLERS.get(row["event"])
                 if handler is not None:
                     handler(self._db, json.loads(row["data"]))
+
+    def schedule_next_run(
+        self, task_id: str, next_run_at: str, next_run_type: str = "single"
+    ) -> str:
+        """Publish a computed next-run time; returns the *effective* one.
+
+        Every instance computes its own candidate (its clock, its
+        schedule-query evaluation — reference schedule_task.go:195-207
+        writes it to SQLite the same way); the first write for a cycle
+        wins and later instances arm to the winner's time, so the
+        claim keys (taskId-runAtMillis) agree across instances. The
+        stored value is only replaced once it is in the past. Direct
+        coordination, not event-sourced (like try_claim)."""
+        now = _now()
+        with self._lock, self._db:
+            self._db.execute(
+                """INSERT INTO task_runs (task_id, next_run_at, next_run_type)
+                   VALUES (?, ?, ?)
+                   ON CONFLICT(task_id) DO UPDATE SET
+                     next_run_at = excluded.next_run_at,
+                     next_run_type = excluded.next_run_type
+                   WHERE task_runs.next_run_at IS NULL
+                      OR task_runs.next_run_at <= ?""",
+                (task_id, next_run_at, next_run_type, now),
+            )
+            row = self._db.execute(
+                "SELECT next_run_at FROM task_runs WHERE task_id = ?",
+                (task_id,),
+            ).fetchone()
+        return row["next_run_at"] if row and row["next_run_at"] else next_run_at
+
+    def try_claim(self, run_key: str, claimed_by: str = "") -> bool:
+        """Atomically claim a scheduled run; True iff this caller won.
+
+        ``INSERT OR IGNORE`` on the primary key is the whole protocol —
+        the same all-nodes-publish / first-write-wins semantics as the
+        reference's NATS MsgID dedupe."""
+        with self._lock, self._db:
+            cur = self._db.execute(
+                "INSERT OR IGNORE INTO task_claims (run_key, claimed_by, claimed_at)"
+                " VALUES (?, ?, ?)",
+                (run_key, claimed_by, _now()),
+            )
+            return cur.rowcount == 1
 
     # -- reads ----------------------------------------------------------
 

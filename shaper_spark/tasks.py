@@ -235,20 +235,34 @@ def get_next_task_run(
 
 
 class TaskScheduler:
-    """Single-process timer scheduler: arms one ``threading.Timer`` per
-    task, re-computes the next run from each execution's SCHEDULE result,
-    and runs 'init' tasks immediately on registration — the semantics of
-    schedule_task.go:215-237 minus the NATS work-queue hop."""
+    """Timer scheduler with optional multi-instance run dedupe.
+
+    Mirrors schedule_task.go:211-237: *every* instance arms a timer for
+    every task (nodes can come and go); at fire time a ``single``-type
+    run is claimed through the shared metastore (``try_claim`` with key
+    ``taskId-runAtMillis`` — the NATS MsgID dedupe re-expressed on
+    SQLite) so exactly one instance executes. ``all``/``init`` runs
+    execute on every instance, as in the reference. Without a store the
+    scheduler degrades to the single-process behavior."""
+
+    #: how long a claim loser waits before reading the winner's recorded
+    #: next_run_at to re-arm its own timer
+    FOLLOW_DELAY_S = 2.0
 
     def __init__(
         self,
         spark: SparkSession,
         on_result: Callable[[str, TaskResult], None] | None = None,
+        store=None,
+        instance_id: str = "",
     ):
         self.spark = spark
         self.on_result = on_result
+        self.store = store
+        self.instance_id = instance_id or f"pid-{os.getpid()}-{id(self):x}"
         self._timers: dict[str, threading.Timer] = {}
         self._contents: dict[str, str] = {}
+        self._types: dict[str, str] = {}
         self._lock = threading.Lock()
         self.results: dict[str, list[TaskResult]] = {}
 
@@ -257,23 +271,34 @@ class TaskScheduler:
         with self._lock:
             self._contents[task_id] = content
         next_run, schedule_type = get_next_task_run(self.spark, content)
+        with self._lock:
+            self._types[task_id] = schedule_type
         if schedule_type == "init":
-            self._fire(task_id)
+            self._fire(task_id, None)
             return None, schedule_type
         if next_run is not None:
-            delay = max(0.0, next_run.timestamp() - time.time())
-            self._arm(task_id, delay)
+            if self.store is not None and schedule_type == "single":
+                # Converge on one shared runAt across instances so the
+                # claim keys agree (each instance's own clock/schedule
+                # evaluation differs by milliseconds).
+                effective = self.store.schedule_next_run(
+                    task_id, next_run.isoformat(), schedule_type
+                )
+                next_run = dt.datetime.fromisoformat(effective)
+            run_at_ms = int(next_run.timestamp() * 1000)
+            self._arm(task_id, max(0.0, next_run.timestamp() - time.time()), run_at_ms)
         return next_run, schedule_type
 
     def unregister(self, task_id: str) -> None:
         with self._lock:
             t = self._timers.pop(task_id, None)
             self._contents.pop(task_id, None)
+            self._types.pop(task_id, None)
         if t:
             t.cancel()
 
-    def _arm(self, task_id: str, delay_s: float) -> None:
-        timer = threading.Timer(delay_s, self._fire, args=(task_id,))
+    def _arm(self, task_id: str, delay_s: float, run_at_ms: int | None) -> None:
+        timer = threading.Timer(delay_s, self._fire, args=(task_id, run_at_ms))
         timer.daemon = True
         with self._lock:
             old = self._timers.pop(task_id, None)
@@ -282,24 +307,88 @@ class TaskScheduler:
             old.cancel()
         timer.start()
 
-    def _fire(self, task_id: str) -> None:
+    def _fire(self, task_id: str, run_at_ms: int | None) -> None:
         with self._lock:
             content = self._contents.get(task_id)
+            schedule_type = self._types.get(task_id, "single")
         if content is None:
             return
+        if (
+            self.store is not None
+            and run_at_ms is not None
+            and schedule_type == "single"
+        ):
+            run_key = f"{task_id}-{run_at_ms}"
+            if not self.store.try_claim(run_key, self.instance_id):
+                # Another instance won this run; follow its recorded
+                # next_run_at so this instance keeps a timer armed.
+                self._arm_follow(task_id)
+                return
         result = execute_task(self.spark, content)
         self.results.setdefault(task_id, []).append(result)
+        if self.store is not None:
+            self._record_run(task_id, result)
         if self.on_result:
             self.on_result(task_id, result)
         if result.success and result.next_run_at > 0:
             delay = max(0.0, result.next_run_at / 1000.0 - time.time())
-            self._arm(task_id, delay)
+            self._arm(task_id, delay, result.next_run_at)
+
+    def _arm_follow(self, task_id: str) -> None:
+        def follow():
+            with self._lock:
+                if task_id not in self._contents:
+                    return
+            run = self.store.get_task_run(task_id) if self.store else None
+            nra = (run or {}).get("next_run_at")
+            when = dt.datetime.fromisoformat(nra) if nra else None
+            if when is None or when.timestamp() <= time.time():
+                # Winner hasn't recorded the new cycle yet (still
+                # executing) — keep following.
+                self._arm_follow(task_id)
+                return
+            self._arm(
+                task_id,
+                max(0.0, when.timestamp() - time.time()),
+                int(when.timestamp() * 1000),
+            )
+
+        timer = threading.Timer(self.FOLLOW_DELAY_S, follow)
+        timer.daemon = True
+        with self._lock:
+            old = self._timers.pop(task_id, None)
+            self._timers[task_id] = timer
+        if old:
+            old.cancel()
+        timer.start()
+
+    def _record_run(self, task_id: str, result: TaskResult) -> None:
+        def iso(ms: int) -> str | None:
+            if not ms or ms <= 0:
+                return None
+            return dt.datetime.fromtimestamp(ms / 1000.0, dt.timezone.utc).isoformat()
+
+        try:
+            self.store.record(
+                "record_task_run",
+                {
+                    "task_id": task_id,
+                    "last_run_at": iso(result.started_at),
+                    "last_run_success": result.success,
+                    "last_run_duration": sum(q.duration_ms for q in result.queries),
+                    "next_run_at": iso(result.next_run_at),
+                    "next_run_type": result.schedule_type or "single",
+                },
+            )
+        except Exception:
+            pass
 
     def shutdown(self) -> None:
         with self._lock:
             timers = list(self._timers.values())
             self._timers.clear()
             self._contents.clear()
+            self._types.clear()
         for t in timers:
             t.cancel()
 

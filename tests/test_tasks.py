@@ -297,3 +297,88 @@ class TestInitSQL:
             "SELECT getenv('DOES_NOT_EXIST_XYZ') AS a",
         )
         assert spark.table("init_env2").collect()[0].a == ""
+
+
+class TestMultiInstanceDedupe:
+    """All instances schedule every task; a shared-metastore claim with
+    key taskId-runAtMillis dedupes 'single' runs to one executor —
+    the reference's NATS MsgID semantics (schedule_task.go:211-237)."""
+
+    def test_single_run_claimed_once(self, spark, tmp_path):
+        from shaper_spark.metastore import Metastore
+
+        _fresh(spark, "dedupe_tick")
+        spark.sql("CREATE TABLE dedupe_tick (t TIMESTAMP)")
+        store = Metastore(str(tmp_path / "meta.db"))
+        content = """
+        SELECT (now() + INTERVAL 2 SECOND)::SCHEDULE AS s;
+        INSERT INTO dedupe_tick VALUES (now());
+        """
+        a = TaskScheduler(spark, store=store, instance_id="a")
+        b = TaskScheduler(spark, store=store, instance_id="b")
+        try:
+            ra, sa = a.register("dt", content)
+            rb, sb = b.register("dt", content)
+            assert sa == sb == "single"
+            # wait for the first scheduled fire on both instances
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                if spark.table("dedupe_tick").count() >= 1:
+                    break
+                time.sleep(0.5)
+            time.sleep(2.0)  # give the loser time to (wrongly) fire too
+            n_rows = spark.table("dedupe_tick").count()
+            total_runs = len(a.results.get("dt", [])) + len(
+                b.results.get("dt", [])
+            )
+            # However many cycles elapsed, rows == executed runs — and
+            # each scheduled time executed exactly once across instances.
+            assert n_rows == total_runs >= 1
+            claims = store._db.execute(
+                "SELECT count(*) FROM task_claims"
+            ).fetchone()[0]
+            assert claims == n_rows
+        finally:
+            a.shutdown()
+            b.shutdown()
+            store.close()
+
+    def test_claim_is_first_write_wins(self, tmp_path):
+        from shaper_spark.metastore import Metastore
+
+        store = Metastore(str(tmp_path / "claims.db"))
+        assert store.try_claim("t1-1000", "a") is True
+        assert store.try_claim("t1-1000", "b") is False
+        assert store.try_claim("t1-2000", "b") is True
+        store.close()
+
+    def test_loser_follows_winner_schedule(self, spark, tmp_path):
+        from shaper_spark.metastore import Metastore
+
+        _fresh(spark, "follow_tick")
+        spark.sql("CREATE TABLE follow_tick (t TIMESTAMP)")
+        store = Metastore(str(tmp_path / "meta2.db"))
+        content = """
+        SELECT (now() + INTERVAL 1 SECOND)::SCHEDULE AS s;
+        INSERT INTO follow_tick VALUES (now());
+        """
+        a = TaskScheduler(spark, store=store, instance_id="a")
+        b = TaskScheduler(spark, store=store, instance_id="b")
+        a.FOLLOW_DELAY_S = 0.5
+        b.FOLLOW_DELAY_S = 0.5
+        try:
+            a.register("ft", content)
+            b.register("ft", content)
+            deadline = time.time() + 25
+            while time.time() < deadline:
+                if spark.table("follow_tick").count() >= 3:
+                    break
+                time.sleep(0.5)
+            # at least 3 cycles ran; both instances stayed armed the
+            # whole time (a timer exists on each)
+            assert spark.table("follow_tick").count() >= 3
+            assert "ft" in a._timers and "ft" in b._timers
+        finally:
+            a.shutdown()
+            b.shutdown()
+            store.close()
