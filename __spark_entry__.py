@@ -697,8 +697,10 @@ ORDER BY id_a, id_b
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN — numpy-seeded hyperplanes, not SQL-expressible;
-    rows-only check (no oracle entry)."""
+    """Approximate ANN via seeded hyperplane LSH. The hyperplanes are
+    data-independent (RandomState(42) only), so the oracle replays the
+    exact bucketing in DuckDB with the same values as SQL literals —
+    a full differential, not a rows-only check."""
     from pyspark.sql import functions as F
 
     from shaper_spark.operators.similarity import lsh_topk
@@ -711,6 +713,41 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, "vec_id", "embedding", k=3).orderBy(
         "query_id", "rank"
     )
+
+
+def _lsh_topk_duck(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 3) -> str:
+    """DuckDB replay of lsh_topk: identical hyperplanes as literals
+    (repr round-trips float64 exactly), identical bucket arithmetic."""
+    import numpy as np
+
+    hyper = np.random.RandomState(seed).standard_normal((planes, dim))
+    terms = []
+    for p in range(planes):
+        lits = ", ".join(repr(x) for x in hyper[p])
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q JOIN c USING (bucket) WHERE query_id != neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= {k} ORDER BY query_id, rank
+"""
 
 
 def _q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1247,7 +1284,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_top1": EMBEDDING_TOP1_DUCK,
         "embedding_neardup": EMBEDDING_NEARDUP_DUCK,
         "embedding_pairs_exact": EMBEDDING_PAIRS_EXACT_DUCK,
-        # similarity_lsh_topk, summarize_table: rows-only (see docstrings)
+        "similarity_lsh_topk": _lsh_topk_duck(),
+        # summarize_table: rows-only (see docstring)
         "orders_unpivot": ORDERS_UNPIVOT,
         "recursive_series": RECURSIVE_SERIES,
         "grouping_sets_revenue": GROUPING_SETS_REVENUE,

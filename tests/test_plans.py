@@ -112,3 +112,63 @@ class TestBucketedJoins:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         assert "Exchange" in _executed(plain) or "Broadcast" in _executed(plain)
+
+
+class TestAttachViewPushdown:
+    def test_filter_pushes_through_attached_view(self, spark):
+        from shaper_spark.attach import try_execute_attach
+
+        try:
+            try_execute_attach(spark, "ATTACH '/root/testdata/sf0.01' AS pext")
+            df = spark.sql(
+                "SELECT l_orderkey FROM pext.lineitem WHERE l_quantity < 10"
+            )
+            plan = _executed(df)
+            assert "PushedFilters" in plan
+            assert "LessThan(l_quantity,10.0)" in plan
+            schema_line = next(
+                l for l in plan.splitlines() if "ReadSchema" in l
+            )
+            assert "l_comment" not in schema_line
+        finally:
+            try_execute_attach(spark, "DETACH pext")
+
+    def test_nanos_converted_view_still_prunes_columns(self, spark):
+        from shaper_spark.attach import try_execute_attach
+
+        try:
+            try_execute_attach(spark, "ATTACH '/root/testdata/sf0.01' AS pext2")
+            df = spark.sql("SELECT event_id FROM pext2.events")
+            schema_line = next(
+                l for l in _executed(df).splitlines() if "ReadSchema" in l
+            )
+            assert "event_id" in schema_line
+            assert "props" not in schema_line
+        finally:
+            try_execute_attach(spark, "DETACH pext2")
+
+
+class TestDmlPlans:
+    def test_update_filter_not_full_scan_of_updated_expr(self, spark):
+        """Copy-on-write UPDATE keeps the scan columnar and the staging
+        write partitioned — the projected plan is a plain select over the
+        full schema (no shuffle before the write)."""
+        import shutil
+        from urllib.parse import urlparse
+
+        from shaper_spark.dml import try_execute_dml
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in ("dmlplan", "dmlplan__dml_staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        spark.sql("CREATE TABLE dmlplan AS SELECT id AS v FROM range(100)")
+        cols, rows = try_execute_dml(
+            spark, "UPDATE dmlplan SET v = v + 1 WHERE v < 50"
+        )
+        assert rows == [[50]]
+        assert spark.sql("SELECT sum(v) FROM dmlplan").collect()[0][0] == sum(
+            x + 1 if x < 50 else x for x in range(100)
+        )
+        # staging table cleaned up
+        assert not spark.catalog.tableExists("dmlplan__dml_staging")
