@@ -1133,6 +1133,17 @@ FROM g GROUP BY user_id, grp ORDER BY user, session_start
 """
 
 
+# SURVEY §2A: ORDER BY / OFFSET / FETCH applied to a whole set-op chain
+# (sql_validation.go:143-145). Spark lacks FETCH — the dialect rewriter
+# turns it into LIMIT (rewrite.py); DuckDB runs the original text.
+SETOP_FETCH_DUCK = """
+SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+UNION
+SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+ORDER BY n_name OFFSET 3 FETCH FIRST 5 ROWS ONLY
+"""
+
+
 def _q_attach_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ATTACH maps a parquet directory to a catalog database of views
     (shaper_spark/attach.py; reference sql_validation.go:247-249), so
@@ -1242,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "show_tables": _q_show_tables,
         "explain_plan": _q_explain,
         "attach_federation": _q_attach_federation,
+        "setop_fetch": _dialect(SETOP_FETCH_DUCK),
     }
 
 
@@ -1304,4 +1316,5 @@ def oracle_sql() -> dict[str, str]:
         "pivot_std": PIVOT_STD,
         "pivot_duck_sugar": PIVOT_SUGAR_DUCK,
         "attach_federation": ATTACH_FEDERATION_DUCK,
+        "setop_fetch": SETOP_FETCH_DUCK,
     }

@@ -519,6 +519,9 @@ def _rewrite_bracket_literals(sql: str) -> str:
 _FETCH_RE = re.compile(
     r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b", re.IGNORECASE
 )
+_OFFSET_LIMIT_RE = re.compile(
+    r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b", re.IGNORECASE
+)
 
 
 def _rename_functions(sql: str) -> str:
@@ -784,6 +787,10 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # FETCH FIRST n ROWS ONLY → LIMIT n
     sql = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", sql)
+    # DuckDB/postgres accept "OFFSET m LIMIT n" (and OFFSET before
+    # FETCH, which the rewrite above turns into this); Spark's grammar
+    # only parses "LIMIT n OFFSET m" — swap the clause order.
+    sql = _OFFSET_LIMIT_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
 
     # QUALIFY → subquery filter.
     sql = _rewrite_qualify(sql)

@@ -372,7 +372,8 @@ def test_unset_variables_detected_in_order(spark):
 
 
 def test_timestamptz_in_custom_types(spark):
-    # get_dashboard_test.go:230-260 (subset: XLINE + XAXIS linechart)
+    # get_dashboard_test.go:230-320 (full case: XLINE+linechart,
+    # YLINE+barchartVertical, standalone TIMESTAMPTZ, DATEPICKER, RELOAD)
     r = query_dashboard(
         spark,
         """
@@ -380,16 +381,43 @@ def test_timestamptz_in_custom_types(spark):
         SELECT
             '2026-08-04 12:00:00+00'::TIMESTAMPTZ::XAXIS AS ts_xaxis,
             10.0::LINECHART AS val;
+        SELECT '2026-08-04 10:00:00+00'::TIMESTAMPTZ::YLINE;
+        SELECT
+            5.0::BARCHART AS bval,
+            '2026-08-04 12:00:00+00'::TIMESTAMPTZ::YAXIS AS ts_yaxis;
+        SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ AS standalone_tz;
+        SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ::DATEPICKER AS dp;
+        SELECT '2026-08-04 12:00:00+00'::TIMESTAMPTZ::RELOAD;
         """,
     )
-    q = r.sections[0].queries[0]
-    assert q.render["type"] == "linechart"
-    assert q.columns[0].type == "timestamp"
-    marks = q.render.get("markLines", [])
+    q1 = r.sections[0].queries[0]
+    assert q1.render["type"] == "linechart"
+    assert q1.columns[0].type == "timestamp"
+    marks = q1.render.get("markLines", [])
     assert len(marks) == 1
     assert marks[0].get("isYaxis") in (False, None)
     # XLINE value serialized as unix ms (2026-08-04 10:00:00 UTC)
     assert marks[0]["value"] == 1785837600000
+
+    q2 = r.sections[0].queries[1]
+    assert q2.render["type"] == "barchartVertical"
+    assert q2.columns[1].type == "timestamp"
+    marks2 = q2.render.get("markLines", [])
+    assert len(marks2) == 1 and marks2[0].get("isYaxis") is True
+
+    q3 = r.sections[0].queries[2]
+    assert q3.columns[0].type == "timestamp"
+
+    header_queries = [
+        q
+        for s in r.sections
+        for q in s.queries
+        if q.render["type"] == "datepicker"
+    ]
+    assert len(header_queries) == 1
+
+    # RELOAD: 2026-08-04 12:00:00 UTC = 1785844800000 ms
+    assert r.reload_at == 1785844800000
 
 
 def test_dropdown_multi_defaults_all(spark):

@@ -185,3 +185,28 @@ def test_show_all_tables():
     assert rewrite_statement("SHOW ALL TABLES").sql == "SHOW TABLES"
     # but SHOW TABLES and other SHOW forms pass through
     assert rewrite_statement("SHOW TABLES").sql == "SHOW TABLES"
+
+
+class TestOffsetLimitOrder:
+    """DuckDB/postgres accept OFFSET-before-LIMIT (and OFFSET before
+    FETCH); Spark's grammar requires LIMIT n OFFSET m."""
+
+    def test_offset_fetch_swapped(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement(
+            "SELECT 1 ORDER BY 1 OFFSET 3 FETCH FIRST 5 ROWS ONLY"
+        ).sql
+        assert "LIMIT 5 OFFSET 3" in out
+
+    def test_offset_limit_swapped(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement("SELECT 1 ORDER BY 1 OFFSET 2 LIMIT 4").sql
+        assert "LIMIT 4 OFFSET 2" in out
+
+    def test_normal_order_untouched(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement("SELECT 1 ORDER BY 1 LIMIT 4 OFFSET 2").sql
+        assert "LIMIT 4 OFFSET 2" in out
