@@ -98,6 +98,24 @@ class ShaperServer:
                 n = int(self.headers.get("Content-Length") or 0)
                 return self.rfile.read(n) if n else b""
 
+            def _list_opts(self, url) -> dict[str, Any]:
+                """?q= &sort= &order= &limit= &offset= (list_apps.go)."""
+                qs = parse_qs(url.query)
+
+                def one(k, default=""):
+                    return qs.get(k, [default])[0]
+
+                opts: dict[str, Any] = {
+                    "query": one("q"),
+                    "sort": one("sort", "id"),
+                    "order": one("order", "asc"),
+                }
+                if one("limit"):
+                    opts["limit"] = int(one("limit"))
+                if one("offset"):
+                    opts["offset"] = int(one("offset"))
+                return opts
+
             # -- routes ----------------------------------------------------
             def do_GET(self):
                 url = urlparse(self.path)
@@ -112,7 +130,9 @@ class ShaperServer:
                             200,
                             [
                                 {k: a[k] for k in ("id", "name", "updated_at")}
-                                for a in outer.store.list_apps("dashboard")
+                                for a in outer.store.list_apps(
+                                    "dashboard", **self._list_opts(url)
+                                )
                             ],
                         )
                     if parts == ["api", "tasks"]:
@@ -123,7 +143,9 @@ class ShaperServer:
                                     **{k: a[k] for k in ("id", "name", "updated_at")},
                                     "lastRun": outer.store.get_task_run(a["id"]),
                                 }
-                                for a in outer.store.list_apps("task")
+                                for a in outer.store.list_apps(
+                                    "task", **self._list_opts(url)
+                                )
                             ],
                         )
                     if len(parts) == 3 and parts[:2] == ["api", "dashboards"]:

@@ -182,14 +182,49 @@ class Metastore:
             ).fetchone()
         return dict(row) if row else None
 
-    def list_apps(self, app_type: str | None = None) -> list[dict[str, Any]]:
-        q = "SELECT * FROM apps"
-        args: tuple = ()
+    def list_apps(
+        self,
+        app_type: str | None = None,
+        query: str = "",
+        sort: str = "id",
+        order: str = "asc",
+        limit: int | None = None,
+        offset: int = 0,
+    ) -> list[dict[str, Any]]:
+        """List apps with the reference's filter semantics
+        (server/core/list_apps.go:141-212): case-insensitive substring
+        match on name; when a query is present, results rank exact
+        match < prefix < contains before the column sort; limit/offset
+        pagination."""
+        conds, args = [], []
         if app_type:
-            q += " WHERE type = ?"
-            args = (app_type,)
+            conds.append("type = ?")
+            args.append(app_type)
+        if query:
+            conds.append("LOWER(name) LIKE ?")
+            args.append(f"%{query.lower()}%")
+        sql = "SELECT * FROM apps"
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+        sort_col = sort if sort in ("id", "name", "updated_at") else "id"
+        direction = "DESC" if order.lower() == "desc" else "ASC"
+        if query:
+            sql += (
+                " ORDER BY CASE WHEN LOWER(name) = ? THEN 1"
+                " WHEN LOWER(name) LIKE ? THEN 2 ELSE 3 END,"
+                f" {sort_col} {direction}"
+            )
+            args += [query.lower(), f"{query.lower()}%"]
+        else:
+            sql += f" ORDER BY {sort_col} {direction}"
+        if limit is not None:
+            sql += " LIMIT ? OFFSET ?"
+            args += [limit, offset]
+        elif offset:
+            sql += " LIMIT -1 OFFSET ?"
+            args.append(offset)
         with self._lock:
-            rows = self._db.execute(q + " ORDER BY id", args).fetchall()
+            rows = self._db.execute(sql, args).fetchall()
         return [dict(r) for r in rows]
 
     def get_task_run(self, task_id: str) -> dict[str, Any] | None:

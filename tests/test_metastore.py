@@ -138,3 +138,54 @@ class TestServerRestart:
             assert [t["id"] for t in listed] == ["t1"]
         finally:
             second.stop()
+
+
+class TestListAppsFilters:
+    """Reference list semantics (list_apps.go:141-212 +
+    list_apps_test.go:156-215): query filter with relevance ranking,
+    sort, pagination."""
+
+    def _store(self):
+        m = Metastore()
+        for i, name in enumerate(
+            ["Root Dashboard", "Folder A Dashboard", "Folder B Dashboard",
+             "Alpha", "beta"]
+        ):
+            m.record(
+                "create_dashboard",
+                {"id": f"d{i}", "content": "SELECT 1", "name": name},
+            )
+        return m
+
+    def test_query_filter_case_insensitive(self):
+        m = self._store()
+        hits = m.list_apps("dashboard", query="folder a")
+        assert [h["name"] for h in hits] == ["Folder A Dashboard"]
+
+    def test_query_relevance_exact_prefix_contains(self):
+        m = Metastore()
+        for i, name in enumerate(["xyz alpha", "alpha xyz", "alpha"]):
+            m.record(
+                "create_dashboard",
+                {"id": f"r{i}", "content": "SELECT 1", "name": name},
+            )
+        hits = m.list_apps("dashboard", query="alpha")
+        assert [h["name"] for h in hits] == ["alpha", "alpha xyz", "xyz alpha"]
+
+    def test_pagination_with_name_sort(self):
+        m = self._store()
+        # name ASC (binary collation): Alpha, Folder A, Folder B, Root, beta
+        page = m.list_apps("dashboard", sort="name", limit=2, offset=3)
+        assert [p["name"] for p in page] == ["Root Dashboard", "beta"]
+
+    def test_sort_desc(self):
+        m = self._store()
+        names = [a["name"] for a in m.list_apps("dashboard", sort="name", order="desc")]
+        assert names == sorted(names, reverse=True)
+
+    def test_sort_column_whitelisted(self):
+        m = self._store()
+        # unknown sort falls back to id rather than injecting SQL
+        assert [a["id"] for a in m.list_apps("dashboard", sort="1; DROP TABLE apps")] == [
+            "d0", "d1", "d2", "d3", "d4"
+        ]

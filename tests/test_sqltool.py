@@ -130,3 +130,30 @@ def test_split_with():
 
 def test_escape():
     assert escape_sql_string("o'brien\nx") == "o''brien x"
+
+
+@pytest.mark.parametrize(
+    "sql,ok",
+    [
+        # remaining reference cases (sql_validation_test.go:13-77)
+        ("EXPLAIN", True),
+        ("EXPLAIN ANALYZE", True),
+        ("EXPLAIN DROP TABLE x", False),
+        ("EXPLAIN ANALYZE DROP TABLE x", False),
+        ('SELECT "DROP" FROM t', True),
+        ('WITH "my table" AS (SELECT 1) SELECT * FROM "my table"', True),
+        ("WITH t(a, b) AS (SELECT 1, 2) SELECT * FROM t", True),
+        ("WITH t1 AS (SELECT 1), t2 AS (SELECT 2) SELECT * FROM t1, t2", True),
+        ("WITH t AS (SELECT 1) DROP TABLE x", False),
+        ("(SELECT 1) UNION (DROP TABLE x)", False),
+        ("((SELECT 1) UNION (SELECT 2))", True),
+        ("(DROP TABLE x)", False),
+        ("ATTACH 'file.db' AS other", False),  # dashboards: not memory mode
+        ("SETTINGS", False),  # keyword-prefix false match
+        ("   ", True),
+    ],
+)
+def test_reference_gate_parity(sql, ok):
+    from shaper_spark import sqltool
+
+    assert sqltool.is_allowed_statement(sql) is ok

@@ -382,3 +382,35 @@ class TestMultiInstanceDedupe:
             a.shutdown()
             b.shutdown()
             store.close()
+
+
+class TestGetNextTaskRunSideEffects:
+    """task_init_test.go:154-188 — schedule probing must not execute the
+    task's non-schedule statements."""
+
+    def test_does_not_execute_non_schedule_statements(self, spark):
+        _fresh(spark, "side_effect_check")
+        next_run, stype = get_next_task_run(
+            spark,
+            """
+            CREATE TABLE side_effect_check (val INT);
+            INSERT INTO side_effect_check VALUES (99);
+            """,
+        )
+        assert next_run is None
+        assert stype == "single"
+        assert not spark.catalog.tableExists("side_effect_check")
+
+    def test_finds_schedule_not_first_statement(self, spark):
+        _fresh(spark, "dummy_table")
+        next_run, stype = get_next_task_run(
+            spark,
+            """
+            CREATE TABLE dummy_table (val INT);
+            SELECT 'init'::SCHEDULE;
+            INSERT INTO dummy_table VALUES (1);
+            """,
+        )
+        assert next_run is None
+        assert stype == "init"
+        assert not spark.catalog.tableExists("dummy_table")
