@@ -172,3 +172,48 @@ class TestDmlPlans:
         )
         # staging table cleaned up
         assert not spark.catalog.tableExists("dmlplan__dml_staging")
+
+
+class TestDedupPlanShapes:
+    """Candidate generation must never degenerate to all-pairs: every
+    dedup self-join keys on a posting/bucket/chunk column."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_jaccard_no_cartesian(self, spark):
+        from shaper_spark.operators.dedup import jaccard_pairs
+
+        df = jaccard_pairs(
+            spark.table("documents"), "doc_id", "text", persist=False
+        )
+        plan = self._plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_minhash_lsh_no_cartesian(self, spark):
+        from shaper_spark.operators.dedup import lsh_candidate_pairs
+
+        df = lsh_candidate_pairs(
+            spark.table("documents"), "doc_id", "text", persist=False
+        )
+        plan = self._plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_simhash_blocking_no_cartesian(self, spark):
+        from shaper_spark.operators.dedup import simhash_near_dups
+
+        df = simhash_near_dups(spark.table("documents"), "doc_id", "text")
+        plan = self._plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_exact_dedup_single_shuffle(self, spark):
+        from shaper_spark.operators.dedup import exact_duplicates
+
+        df = exact_duplicates(spark.table("documents"), ["text"])
+        plan = _executed(df)
+        # one exchange for the hash aggregate, with a partial before it
+        assert plan.count("Exchange") <= 2  # agg + AQE final read
+        assert "partial_count" in plan or "partial" in plan
