@@ -926,6 +926,52 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-clip featurization plumbing (mapInPandas over binary
+    content + typed metadata; decode stubbed deterministically so the
+    DuckDB oracle can replay it from md5 bytes)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.multimodal import extract_audio_features
+
+    _prep(spark, sf_dir)
+    media = (
+        spark.table("documents")
+        .filter("doc_id < 200")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("content"),
+            F.struct(
+                F.lit("audio/wav").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                (F.col("doc_id") * 40).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        )
+    )
+    return (
+        extract_audio_features(media)
+        .select(
+            "media_id",
+            "n_bytes",
+            "fake_sample_rate",
+            F.round("fake_rms", 6).alias("rms"),
+            "fake_duration_ms",
+        )
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_AUDIO_DUCK = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       CAST(8000 + (('0x' || substr(md5(text), 5, 2))::INT % 5) * 8000 AS INT) AS fake_sample_rate,
+       round(('0x' || substr(md5(text), 7, 2))::INT / 255.0, 6) AS rms,
+       CAST(doc_id * 40 AS BIGINT) AS fake_duration_ms
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
 def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event: the latest click at-or-before it by the
     same user (DuckDB ASOF JOIN; Spark union+window operator —
@@ -1243,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_agg_nations": _q_string_agg,
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_audio": _q_multimodal_audio,
         "asof_last_click": _q_asof,
         "session_window_agg": _q_session_window,
         "salted_agg_lineitem": _q_salted_agg,
@@ -1309,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "string_agg_nations": STRING_AGG_DUCK,
         "simhash_near_pairs": SIMHASH_PAIRS_DUCK,
         "multimodal_meta": MULTIMODAL_META_DUCK,
+        "multimodal_audio": MULTIMODAL_AUDIO_DUCK,
         "asof_last_click": ASOF_DUCK,
         "session_window_agg": SESSION_WINDOW_DUCK,
         "salted_agg_lineitem": SALTED_AGG_DUCK,

@@ -20,6 +20,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "extract_image_features",
+    "extract_audio_features",
     "sample_video_frames",
     "decode_image_stub",
 ]
@@ -103,6 +104,62 @@ def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(op, _FEATURE_SCHEMA)
 
 
+_AUDIO_SCHEMA = (
+    "media_id long, n_bytes int, fake_sample_rate int, "
+    "fake_rms double, fake_duration_ms long"
+)
+
+
+def extract_audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-clip audio features via mapInPandas (same Arrow-batched shape
+    as images). STUB: sample-rate/RMS are md5-derived and duration comes
+    from metadata; a real implementation swaps in librosa/soundfile —
+    the batch iteration, schema, and partitioning stay identical."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, content, duration in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                if strict:
+                    raise NotImplementedError(
+                        "audio decode requires librosa/soundfile; "
+                        "not in this environment"
+                    )
+                data = bytes(content) if content is not None else b""
+                h = hashlib.md5(data).digest()
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": len(data),
+                        "fake_sample_rate": 8000 + (h[2] % 5) * 8000,
+                        "fake_rms": h[3] / 255.0,
+                        # nullable longs arrive as float NaN in pandas
+                        "fake_duration_ms": 0
+                        if pd.isna(duration)
+                        else int(duration),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_bytes",
+                    "fake_sample_rate",
+                    "fake_rms",
+                    "fake_duration_ms",
+                ],
+            )
+
+    flat = df.select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return flat.mapInPandas(op, _AUDIO_SCHEMA)
+
+
 _FRAME_SCHEMA = "media_id long, frame_idx int, frame_md5 string"
 
 
@@ -126,7 +183,7 @@ def sample_video_frames(
             ):
                 if strict:
                     raise NotImplementedError("video decode requires ffmpeg")
-                if content is None or duration is None:
+                if content is None or pd.isna(duration):
                     continue
                 data = bytes(content)
                 n_frames = max(int(duration) // every_ms, 1)
