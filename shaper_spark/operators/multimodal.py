@@ -21,6 +21,7 @@ __all__ = [
     "attach_media_metadata",
     "extract_image_features",
     "extract_audio_features",
+    "resize_images",
     "sample_video_frames",
     "decode_image_stub",
 ]
@@ -102,6 +103,51 @@ def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(op, _FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = (
+    "media_id long, width int, height int, thumb binary, thumb_md5 string"
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, strict: bool = False
+) -> DataFrame:
+    """Thumbnail plumbing: binary in → smaller binary out, one row per
+    image. STUB: the 'thumbnail' is a deterministic byte slice sized
+    like a real w×h×3 buffer cap; a real implementation swaps in
+    PIL.Image.resize — the Arrow batch shape, output schema, and the
+    property that output bytes ≤ input bytes stay identical."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cap = width * height * 3
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if strict:
+                    raise NotImplementedError(
+                        "image resize requires PIL; not in this environment"
+                    )
+                if content is None:
+                    continue
+                data = bytes(content)[:cap]
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": width,
+                        "height": height,
+                        "thumb": data,
+                        "thumb_md5": hashlib.md5(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "thumb", "thumb_md5"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(op, _RESIZE_SCHEMA)
 
 
 _AUDIO_SCHEMA = (

@@ -89,3 +89,22 @@ class TestVideoFrames:
     def test_strict_mode_raises(self, spark, media):
         with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
             sample_video_frames(media, strict=True).collect()
+
+
+class TestResize:
+    def test_output_bounded_and_deterministic(self, spark, media):
+        from shaper_spark.operators.multimodal import resize_images
+
+        out = resize_images(media, width=4, height=4).orderBy("media_id").collect()
+        assert [r["media_id"] for r in out] == [1, 2, 3]  # null content dropped
+        for r in out:
+            assert len(r["thumb"]) <= 4 * 4 * 3
+            assert (r["width"], r["height"]) == (4, 4)
+        again = resize_images(media, width=4, height=4).orderBy("media_id").collect()
+        assert [r["thumb_md5"] for r in out] == [r["thumb_md5"] for r in again]
+
+    def test_strict_mode_raises(self, spark, media):
+        from shaper_spark.operators.multimodal import resize_images
+
+        with pytest.raises(Exception, match="PIL|NotImplemented"):
+            resize_images(media, strict=True).collect()
