@@ -11,9 +11,19 @@ Routes re-expressed (reference server/web/routes.go:157-198):
   POST /api/dashboards     {"id","content"}     → persist dashboard
   GET  /api/dashboards                          → list dashboards
   GET  /api/dashboards/<id>?vars…               → render tree JSON
+  GET  /api/dashboards/<id>/info                → metadata + content
+  POST /api/dashboards/<id>/query {"content"}   → update content
+  POST /api/dashboards/<id>/name  {"name"}      → rename
+  DELETE /api/dashboards/<id>                   → delete
   GET  /api/dashboards/<id>/download/<file>.csv|json|xlsx → export stream
+  POST /api/download/<file>.csv|json|xlsx {"sql"} → ad-hoc SQL download
   POST /api/tasks          {"id","content"}     → persist + schedule task
   GET  /api/tasks                               → list tasks + last run
+  GET  /api/tasks/<id>                          → metadata + content + run
+  POST /api/tasks/<id>/content {"content"}      → update + reschedule
+  POST /api/tasks/<id>/name {"name"}            → rename
+  DELETE /api/tasks/<id>                        → delete + unschedule
+  POST /api/run/task       {"id"}               → execute now, return result
   GET  /api/tasks/<id>/runs                     → task run results
 
 Out of scope by design (operational plumbing, SURVEY §0.7): auth/JWT
@@ -148,6 +158,26 @@ class ShaperServer:
                                 )
                             ],
                         )
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "dashboards"]
+                        and parts[3] == "info"
+                    ):
+                        app = outer.store.get_app(parts[2])
+                        if app is None or app["type"] != "dashboard":
+                            return self._json(404, {"error": "not found"})
+                        return self._json(200, app)
+                    if (
+                        len(parts) == 3
+                        and parts[:2] == ["api", "tasks"]
+                    ):
+                        app = outer.store.get_app(parts[2])
+                        if app is None or app["type"] != "task":
+                            return self._json(404, {"error": "not found"})
+                        return self._json(
+                            200,
+                            {**app, "lastRun": outer.store.get_task_run(parts[2])},
+                        )
                     if len(parts) == 3 and parts[:2] == ["api", "dashboards"]:
                         return self._dashboard(parts[2], url)
                     if (
@@ -203,11 +233,132 @@ class ShaperServer:
                             200,
                             {"id": tid, "nextRunAt": next_run, "scheduleType": stype},
                         )
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "dashboards"]
+                        and parts[3] in ("query", "name")
+                    ):
+                        return self._update_app(
+                            "dashboard", parts[2], parts[3]
+                        )
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "tasks"]
+                        and parts[3] in ("content", "name")
+                    ):
+                        return self._update_app("task", parts[2], parts[3])
+                    if parts == ["api", "run", "task"]:
+                        body = json.loads(self._read_body() or b"{}")
+                        tid = str(body.get("id") or "")
+                        app = outer.store.get_app(tid)
+                        if app is None or app["type"] != "task":
+                            return self._json(404, {"error": f"no task {tid}"})
+                        from .tasks import execute_task
+
+                        result = execute_task(
+                            outer.spark, app["content"], variables=outer.variables
+                        )
+                        outer.scheduler._record_run(tid, result)
+                        return self._json(200, result.to_dict())
+                    if len(parts) == 3 and parts[:2] == ["api", "download"]:
+                        return self._adhoc_download(parts[2])
+                    self._json(404, {"error": "not found"})
+                except Exception as e:
+                    self._json(500, {"error": str(e)})
+
+            def do_DELETE(self):
+                url = urlparse(self.path)
+                parts = [unquote(p) for p in url.path.strip("/").split("/")]
+                try:
+                    if len(parts) == 3 and parts[:2] == ["api", "dashboards"]:
+                        if outer.store.get_app(parts[2]) is None:
+                            return self._json(404, {"error": "not found"})
+                        outer.store.record("delete_dashboard", {"id": parts[2]})
+                        return self._json(200, {"id": parts[2]})
+                    if len(parts) == 3 and parts[:2] == ["api", "tasks"]:
+                        if outer.store.get_app(parts[2]) is None:
+                            return self._json(404, {"error": "not found"})
+                        outer.scheduler.unregister(parts[2])
+                        outer.store.record("delete_task", {"id": parts[2]})
+                        return self._json(200, {"id": parts[2]})
                     self._json(404, {"error": "not found"})
                 except Exception as e:
                     self._json(500, {"error": str(e)})
 
             # -- route bodies ----------------------------------------------
+            def _update_app(self, app_type: str, app_id: str, field_: str):
+                """POST :id/query|content|name (reference
+                SaveDashboardQuery/SaveTaskContent/..., routes.go:192-204)."""
+                body = json.loads(self._read_body() or b"{}")
+                app = outer.store.get_app(app_id)
+                if app is None or app["type"] != app_type:
+                    return self._json(404, {"error": "not found"})
+                if field_ == "name":
+                    value = str(body.get("name") or "")
+                    if not value:
+                        return self._json(400, {"error": "name required"})
+                    outer.store.record(
+                        f"update_{app_type}_name", {"id": app_id, "name": value}
+                    )
+                else:
+                    value = str(body.get("content") or "")
+                    if not value:
+                        return self._json(400, {"error": "content required"})
+                    outer.store.record(
+                        f"update_{app_type}_content",
+                        {"id": app_id, "content": value},
+                    )
+                    if app_type == "task":
+                        outer.scheduler.register(app_id, value)
+                return self._json(200, {"id": app_id})
+
+            def _adhoc_download(self, filename: str):
+                """POST /api/download/<file>: one read-only statement
+                streamed in the format named by the extension (reference
+                DownloadSQL, routes.go:178)."""
+                body = json.loads(self._read_body() or b"{}")
+                sql = str(body.get("sql") or "")
+                fmt = filename.rsplit(".", 1)[-1].lower()
+                if fmt not in ("csv", "json", "xlsx"):
+                    return self._json(400, {"error": f"unsupported format {fmt}"})
+                statements = [
+                    s
+                    for s in sqltool.split_sql_queries(
+                        sqltool.strip_sql_comments(sql)
+                    )
+                    if s.strip()
+                ]
+                if len(statements) != 1:
+                    return self._json(
+                        400, {"error": "exactly one SQL statement required"}
+                    )
+                if not sqltool.is_allowed_statement(statements[0]):
+                    return self._json(403, {"error": "statement not allowed"})
+                from .exports import stream_json, write_xlsx
+
+                df = outer.spark.sql(rewrite_statement(statements[0]).sql)
+                out: Any = io.BytesIO() if fmt == "xlsx" else io.StringIO()
+                {"csv": stream_csv, "json": stream_json, "xlsx": write_xlsx}[
+                    fmt
+                ](df, out)
+                data = out.getvalue()
+                if isinstance(data, str):
+                    data = data.encode()
+                ctype = {
+                    "csv": "text/csv",
+                    "json": "application/json",
+                    "xlsx": "application/vnd.openxmlformats-officedocument"
+                    ".spreadsheetml.sheet",
+                }[fmt]
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header(
+                    "Content-Disposition", f'attachment; filename="{filename}"'
+                )
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def _sql(self):
                 """POST /api/sql: exactly one read-only statement → CSV
                 (reference server/web/handler/sql.go:44-76)."""

@@ -168,3 +168,82 @@ class TestRoutes:
                 break
             time.sleep(0.5)
         assert runs and runs[0]["success"] is True
+
+
+def _delete(srv, path):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", method="DELETE"
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+class TestCrudRoutes:
+    """CRUD parity with reference routes.go:187-205."""
+
+    def test_dashboard_info_update_delete(self, server):
+        _post(server, "/api/dashboards", {"id": "crud1", "content": "SELECT 1 AS v", "name": "First"})
+        status, body = _get(server, "/api/dashboards/crud1/info")
+        assert status == 200
+        info = json.loads(body)
+        assert info["content"] == "SELECT 1 AS v"
+        assert info["name"] == "First"
+
+        status, _ = _post(server, "/api/dashboards/crud1/query", {"content": "SELECT 2 AS v"})
+        assert status == 200
+        status, _ = _post(server, "/api/dashboards/crud1/name", {"name": "Renamed"})
+        assert status == 200
+        info = json.loads(_get(server, "/api/dashboards/crud1/info")[1])
+        assert info["content"] == "SELECT 2 AS v"
+        assert info["name"] == "Renamed"
+
+        status, _ = _delete(server, "/api/dashboards/crud1")
+        assert status == 200
+        assert _get(server, "/api/dashboards/crud1/info")[0] == 404
+
+    def test_task_crud_and_run_now(self, server):
+        _post(server, "/api/tasks", {"id": "tcrud", "content": "SELECT 41 AS x"})
+        status, body = _get(server, "/api/tasks/tcrud")
+        assert status == 200
+        assert json.loads(body)["content"] == "SELECT 41 AS x"
+
+        status, _ = _post(server, "/api/tasks/tcrud/content", {"content": "SELECT 42 AS x"})
+        assert status == 200
+        status, body = _post(server, "/api/run/task", {"id": "tcrud"})
+        assert status == 200
+        result = json.loads(body)
+        assert result["success"] is True
+        assert result["queries"][0]["resultRows"] == [[42]]
+        # run recorded in the store
+        run = json.loads(_get(server, "/api/tasks/tcrud")[1])["lastRun"]
+        assert run and run["last_run_success"] == 1
+
+        status, _ = _delete(server, "/api/tasks/tcrud")
+        assert status == 200
+        assert _get(server, "/api/tasks/tcrud")[0] == 404
+        assert "tcrud" not in server.scheduler._contents
+
+    def test_run_unknown_task_404(self, server):
+        assert _post(server, "/api/run/task", {"id": "ghost"})[0] == 404
+
+    def test_adhoc_download_csv_and_json(self, server):
+        status, body = _post(
+            server, "/api/download/out.csv",
+            {"sql": "SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y' ORDER BY a"},
+        )
+        assert status == 200
+        assert body.decode().strip().splitlines() == ["a,b", "1,x", "2,y"]
+
+        status, body = _post(
+            server, "/api/download/out.json", {"sql": "SELECT 7 AS n"}
+        )
+        assert status == 200
+        assert json.loads(body) == [{"n": 7}]
+
+    def test_adhoc_download_gated(self, server):
+        assert _post(server, "/api/download/x.csv", {"sql": "DROP TABLE t"})[0] == 403
+        assert _post(server, "/api/download/x.csv", {"sql": "SELECT 1; SELECT 2"})[0] == 400
+        assert _post(server, "/api/download/x.exe", {"sql": "SELECT 1"})[0] == 400
