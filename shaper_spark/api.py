@@ -247,6 +247,8 @@ class ShaperServer:
                         and parts[3] in ("content", "name")
                     ):
                         return self._update_app("task", parts[2], parts[3])
+                    if parts == ["api", "deploy"]:
+                        return self._deploy()
                     if parts == ["api", "run", "task"]:
                         body = json.loads(self._read_body() or b"{}")
                         tid = str(body.get("id") or "")
@@ -311,6 +313,97 @@ class ShaperServer:
                     if app_type == "task":
                         outer.scheduler.register(app_id, value)
                 return self._json(200, {"id": app_id})
+
+            def _deploy(self):
+                """POST /api/deploy: bulk create/update/delete of
+                dashboards and tasks — the CI deployment path (reference
+                server/web/handler/deploy.go:26-131; the `path` folder
+                field is accepted but folders are descoped). Any invalid
+                operation fails the whole request with 400, matching the
+                reference."""
+                from .ingest import _gen_id
+
+                body = json.loads(self._read_body() or b"{}")
+                apps = body.get("apps")
+                if not isinstance(apps, list) or not apps:
+                    return self._json(400, {"error": "apps array is required"})
+                results = []
+                for idx, item in enumerate(apps):
+                    app_type = str(item.get("type") or "").strip().lower()
+                    op = str(item.get("operation") or "").strip().lower()
+                    data = item.get("data") or {}
+                    if app_type not in ("dashboard", "task"):
+                        return self._json(
+                            400,
+                            {"error": f"apps[{idx}]: unsupported type {app_type!r}"},
+                        )
+                    if op == "create":
+                        name = str(data.get("name") or "").strip()
+                        content = data.get("content")
+                        if not name or not content:
+                            return self._json(
+                                400,
+                                {
+                                    "error": f"apps[{idx}]: name and content "
+                                    "required for create"
+                                },
+                            )
+                        app_id = str(data.get("id") or "").strip() or _gen_id()
+                        outer.store.record(
+                            f"create_{app_type}",
+                            {"id": app_id, "content": content, "name": name},
+                        )
+                        if app_type == "task":
+                            outer.scheduler.register(app_id, content)
+                        status = "created"
+                    elif op == "update":
+                        app_id = str(data.get("id") or "").strip()
+                        existing = outer.store.get_app(app_id)
+                        if existing is None or existing["type"] != app_type:
+                            return self._json(
+                                400,
+                                {"error": f"apps[{idx}]: no {app_type} {app_id!r}"},
+                            )
+                        if data.get("content") is not None:
+                            outer.store.record(
+                                f"update_{app_type}_content",
+                                {"id": app_id, "content": data["content"]},
+                            )
+                            if app_type == "task":
+                                outer.scheduler.register(app_id, data["content"])
+                        if data.get("name"):
+                            outer.store.record(
+                                f"update_{app_type}_name",
+                                {"id": app_id, "name": data["name"]},
+                            )
+                        status = "updated"
+                    elif op == "delete":
+                        app_id = str(data.get("id") or "").strip()
+                        if outer.store.get_app(app_id) is None:
+                            return self._json(
+                                400,
+                                {"error": f"apps[{idx}]: no {app_type} {app_id!r}"},
+                            )
+                        if app_type == "task":
+                            outer.scheduler.unregister(app_id)
+                        outer.store.record(f"delete_{app_type}", {"id": app_id})
+                        status = "deleted"
+                    else:
+                        return self._json(
+                            400,
+                            {
+                                "error": f"apps[{idx}]: unsupported operation {op!r}"
+                            },
+                        )
+                    results.append(
+                        {
+                            "operation": op,
+                            "type": app_type,
+                            "id": app_id,
+                            "status": status,
+                        }
+                    )
+                return self._json(200, {"results": results})
 
             def _adhoc_download(self, filename: str):
                 """POST /api/download/<file>: one read-only statement

@@ -247,3 +247,51 @@ class TestCrudRoutes:
         assert _post(server, "/api/download/x.csv", {"sql": "DROP TABLE t"})[0] == 403
         assert _post(server, "/api/download/x.csv", {"sql": "SELECT 1; SELECT 2"})[0] == 400
         assert _post(server, "/api/download/x.exe", {"sql": "SELECT 1"})[0] == 400
+
+
+class TestDeploy:
+    """POST /api/deploy bulk operations (deploy.go:26-131)."""
+
+    def test_create_update_delete_cycle(self, server):
+        status, body = _post(server, "/api/deploy", {"apps": [
+            {"type": "dashboard", "operation": "create",
+             "data": {"id": "dep1", "name": "Dep One", "path": "/", "content": "SELECT 1 AS v"}},
+            {"type": "task", "operation": "create",
+             "data": {"name": "Dep Task", "path": "/", "content": "SELECT 2 AS v"}},
+        ]})
+        assert status == 200
+        results = json.loads(body)["results"]
+        assert [r["status"] for r in results] == ["created", "created"]
+        task_id = results[1]["id"]
+        assert task_id in server.scheduler._contents
+
+        status, body = _post(server, "/api/deploy", {"apps": [
+            {"type": "dashboard", "operation": "update",
+             "data": {"id": "dep1", "content": "SELECT 9 AS v", "name": "Renamed"}},
+            {"type": "task", "operation": "delete", "data": {"id": task_id}},
+        ]})
+        assert status == 200
+        info = json.loads(_get(server, "/api/dashboards/dep1/info")[1])
+        assert info["content"] == "SELECT 9 AS v" and info["name"] == "Renamed"
+        assert task_id not in server.scheduler._contents
+        _delete(server, "/api/dashboards/dep1")
+
+    def test_generated_id_is_cuid_shaped(self, server):
+        status, body = _post(server, "/api/deploy", {"apps": [
+            {"type": "dashboard", "operation": "create",
+             "data": {"name": "NoId", "path": "/", "content": "SELECT 1"}},
+        ]})
+        rid = json.loads(body)["results"][0]["id"]
+        assert len(rid) == 24 and rid[0] == "c"
+        _delete(server, f"/api/dashboards/{rid}")
+
+    def test_invalid_operations_fail_whole_request(self, server):
+        assert _post(server, "/api/deploy", {"apps": []})[0] == 400
+        assert _post(server, "/api/deploy", {"apps": [
+            {"type": "folder", "operation": "create", "data": {}}]})[0] == 400
+        assert _post(server, "/api/deploy", {"apps": [
+            {"type": "dashboard", "operation": "upsert", "data": {}}]})[0] == 400
+        assert _post(server, "/api/deploy", {"apps": [
+            {"type": "dashboard", "operation": "update", "data": {"id": "missing"}}]})[0] == 400
+        assert _post(server, "/api/deploy", {"apps": [
+            {"type": "dashboard", "operation": "create", "data": {"name": "X"}}]})[0] == 400
