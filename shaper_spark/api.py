@@ -236,7 +236,7 @@ class ShaperServer:
                     if (
                         len(parts) == 4
                         and parts[:2] == ["api", "dashboards"]
-                        and parts[3] in ("query", "name")
+                        and parts[3] in ("query", "name", "visibility")
                     ):
                         return self._update_app(
                             "dashboard", parts[2], parts[3]
@@ -301,6 +301,11 @@ class ShaperServer:
                         return self._json(400, {"error": "name required"})
                     outer.store.record(
                         f"update_{app_type}_name", {"id": app_id, "name": value}
+                    )
+                elif field_ == "visibility":
+                    outer.store.record(
+                        "update_dashboard_visibility",
+                        {"id": app_id, "visibility": body.get("visibility")},
                     )
                 else:
                     value = str(body.get("content") or "")

@@ -276,6 +276,13 @@ def _update_name(db, data: dict[str, Any]) -> None:
     )
 
 
+def _update_visibility(db, data: dict[str, Any]) -> None:
+    db.execute(
+        "UPDATE apps SET visibility = ?, updated_at = ? WHERE id = ?",
+        (data.get("visibility"), _now(), data["id"]),
+    )
+
+
 def _delete_app(db, data: dict[str, Any]) -> None:
     db.execute("DELETE FROM apps WHERE id = ?", (data["id"],))
     db.execute("DELETE FROM task_runs WHERE task_id = ?", (data["id"],))
@@ -310,6 +317,7 @@ _HANDLERS = {
     "create_dashboard": lambda db, d: _upsert_app(db, d, "dashboard"),
     "update_dashboard_content": _update_content,
     "update_dashboard_name": _update_name,
+    "update_dashboard_visibility": _update_visibility,
     "delete_dashboard": _delete_app,
     "create_task": lambda db, d: _upsert_app(db, d, "task"),
     "update_task_content": _update_content,

@@ -295,3 +295,15 @@ class TestDeploy:
             {"type": "dashboard", "operation": "update", "data": {"id": "missing"}}]})[0] == 400
         assert _post(server, "/api/deploy", {"apps": [
             {"type": "dashboard", "operation": "create", "data": {"name": "X"}}]})[0] == 400
+
+
+class TestVisibility:
+    def test_visibility_update(self, server):
+        _post(server, "/api/dashboards", {"id": "vis1", "content": "SELECT 1"})
+        status, _ = _post(
+            server, "/api/dashboards/vis1/visibility", {"visibility": "public"}
+        )
+        assert status == 200
+        info = json.loads(_get(server, "/api/dashboards/vis1/info")[1])
+        assert info["visibility"] == "public"
+        _delete(server, "/api/dashboards/vis1")
