@@ -377,6 +377,12 @@ def _drop_regexp_replace_gflag(sql: str) -> str:
     return "".join(out)
 
 _COUNT_EMPTY_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+# DuckDB's query_table('t') TVF (used by the reference's ingest path,
+# server/ingest/ingest.go:270) has no Spark equivalent for the constant-
+# string case other than the table reference itself.
+_QUERY_TABLE_RE = re.compile(
+    r"\bquery_table\s*\(\s*'([A-Za-z_][\w.]*)'\s*\)", re.IGNORECASE
+)
 
 # DuckDB type names → Spark type names, applied to ``::TYPE`` and
 # ``CAST(x AS TYPE)`` (reference type surface: get_dashboard.go:615-695).
@@ -781,6 +787,11 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # count() → count(*)
     sql = _COUNT_EMPTY_RE.sub("count(*)", sql)
+
+    # query_table('t') → `t`
+    sql = _QUERY_TABLE_RE.sub(
+        lambda m: "`" + "`.`".join(m.group(1).split(".")) + "`", sql
+    )
 
     # [a, b] list literals → array(a, b)
     sql = _rewrite_bracket_literals(sql)

@@ -210,3 +210,30 @@ class TestOffsetLimitOrder:
 
         out = rewrite_statement("SELECT 1 ORDER BY 1 LIMIT 4 OFFSET 2").sql
         assert "LIMIT 4 OFFSET 2" in out
+
+
+class TestQueryTable:
+    """DuckDB query_table('t') TVF → plain table reference
+    (reference ingest.go:270 uses it for dynamic table reads)."""
+
+    def test_simple(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement("SELECT * FROM query_table('region')").sql
+        assert "`region`" in out and "query_table" not in out
+
+    def test_qualified(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement("SELECT * FROM query_table('db.t')").sql
+        assert "`db`.`t`" in out
+
+    def test_executes(self, spark, sf_dir):
+        from shaper_spark.session import register_sf_tables
+        from shaper_spark.rewrite import rewrite_statement
+
+        register_sf_tables(spark, sf_dir)
+        rows = spark.sql(
+            rewrite_statement("SELECT count(*) AS n FROM query_table('region')").sql
+        ).collect()
+        assert rows[0]["n"] == 5
