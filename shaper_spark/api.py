@@ -42,6 +42,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 from urllib.parse import parse_qs, unquote, urlparse
@@ -191,8 +192,21 @@ class ShaperServer:
                         and parts[:2] == ["api", "tasks"]
                         and parts[3] == "runs"
                     ):
+                        # ?after=N&wait=S long-polls for runs beyond the
+                        # first N — the stdlib-server stand-in for the
+                        # reference's WebSocket task events
+                        # (server/web/handler/task.go).
+                        qs = parse_qs(url.query)
+                        after = int(qs.get("after", ["0"])[0] or 0)
+                        wait = min(float(qs.get("wait", ["0"])[0] or 0), 30.0)
+                        deadline = time.monotonic() + wait
                         runs = outer.scheduler.results.get(parts[2], [])
-                        return self._json(200, [r.to_dict() for r in runs])
+                        while len(runs) <= after and time.monotonic() < deadline:
+                            time.sleep(0.1)
+                            runs = outer.scheduler.results.get(parts[2], [])
+                        return self._json(
+                            200, [r.to_dict() for r in runs[after:]]
+                        )
                     self._json(404, {"error": "not found"})
                 except Exception as e:
                     self._json(500, {"error": str(e)})
@@ -259,6 +273,10 @@ class ShaperServer:
 
                         result = execute_task(
                             outer.spark, app["content"], variables=outer.variables
+                        )
+                        # visible to GET :id/runs and its long-poll
+                        outer.scheduler.results.setdefault(tid, []).append(
+                            result
                         )
                         outer.scheduler._record_run(tid, result)
                         return self._json(200, result.to_dict())

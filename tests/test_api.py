@@ -307,3 +307,48 @@ class TestVisibility:
         info = json.loads(_get(server, "/api/dashboards/vis1/info")[1])
         assert info["visibility"] == "public"
         _delete(server, "/api/dashboards/vis1")
+
+
+class TestRunsLongPoll:
+    """?after/&wait long-poll — stand-in for the reference's WebSocket
+    task events (server/web/handler/task.go)."""
+
+    def test_returns_immediately_when_runs_exist(self, server):
+        _post(server, "/api/tasks", {"id": "lp1", "content": "SELECT 'init'::SCHEDULE AS s; SELECT 1 AS v"})
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            status, body = _get(server, "/api/tasks/lp1/runs")
+            if json.loads(body):
+                break
+            time.sleep(0.2)
+        runs = json.loads(body)
+        assert runs and runs[0]["success"] is True
+
+    def test_after_skips_known_runs(self, server):
+        status, body = _get(server, "/api/tasks/lp1/runs?after=999&wait=0.3")
+        assert status == 200
+        assert json.loads(body) == []
+
+    def test_wait_blocks_until_new_run(self, server):
+        import threading as _t
+
+        n_before = len(json.loads(_get(server, "/api/tasks/lp1/runs")[1]))
+        got = {}
+
+        def poll():
+            status, body = _get(
+                server, f"/api/tasks/lp1/runs?after={n_before}&wait=15"
+            )
+            got["runs"] = json.loads(body)
+
+        t = _t.Thread(target=poll)
+        t.start()
+        time.sleep(0.3)
+        _post(server, "/api/run/task", {"id": "lp1"})
+        t.join(timeout=20)
+        assert not t.is_alive()
+        # run-now appends to the same run log, so the long-poll unblocks
+        # with exactly the new run
+        assert len(got["runs"]) == 1
+        assert got["runs"][0]["success"] is True
+        _delete(server, "/api/tasks/lp1")
