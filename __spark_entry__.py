@@ -926,6 +926,46 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 """
 
 
+def _q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints — positional window-argmin over the
+    k-gram hash stream (operators/text.py:winnow_fingerprints); the
+    oracle replays the identical min_by window selection in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.text import winnow_fingerprints
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").filter("doc_id < 500")
+    return winnow_fingerprints(docs, "doc_id", "text").orderBy("id", "pos")
+
+
+TEXT_WINNOW_DUCK = """
+WITH words AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 500
+),
+grams AS (
+  SELECT id, unnest(range(len(w) - 4)) AS pos, w
+  FROM words WHERE len(w) >= 5
+),
+g2 AS (
+  SELECT id, CAST(pos AS INT) AS pos,
+         md5(array_to_string(w[pos+1:pos+5], ' ')) AS h
+  FROM grams
+),
+sel AS (
+  SELECT id, min_by(pos, h) OVER win AS sel_pos, count(*) OVER win AS n
+  FROM g2
+  WINDOW win AS (PARTITION BY id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+),
+picked AS (SELECT DISTINCT id, sel_pos AS pos FROM sel WHERE n = 4)
+SELECT p.id AS id, p.pos AS pos, g.h AS fp_hash
+FROM picked p JOIN g2 g ON g.id = p.id AND g.pos = p.pos
+ORDER BY id, pos
+"""
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-clip featurization plumbing (mapInPandas over binary
     content + typed metadata; decode stubbed deterministically so the
@@ -1273,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
+        "text_winnow": _q_text_winnow,
         "embedding_top1": _q_embedding_top1,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_pairs_exact": _q_embedding_pairs_exact,
@@ -1340,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": QUALITY_DUCK,
         "text_lang_id": _lang_id_duck(),
         "text_fingerprint": FINGERPRINT_DUCK,
+        "text_winnow": TEXT_WINNOW_DUCK,
         "embedding_top1": EMBEDDING_TOP1_DUCK,
         "embedding_neardup": EMBEDDING_NEARDUP_DUCK,
         "embedding_pairs_exact": EMBEDDING_PAIRS_EXACT_DUCK,

@@ -18,6 +18,7 @@ __all__ = [
     "quality_score",
     "language_id",
     "doc_fingerprint",
+    "winnow_fingerprints",
     "LANG_STOPWORDS",
 ]
 
@@ -147,4 +148,56 @@ def doc_fingerprint(
             "id",
             F.concat_ws("-", F.slice("hs", 1, sketch)).alias("fingerprint"),
         )
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., the MOSS algorithm):
+    per document, hash every k-gram in position order, slide a window of
+    ``window`` consecutive hashes, and select the position of each
+    window's minimum. Guarantees any shared run of ≥ window+k−1 tokens
+    between two documents shares at least one fingerprint — the
+    positional guarantee bottom-k sketches (doc_fingerprint) lack.
+
+    Spark shape: posexplode + lead() builds the ordered k-gram stream,
+    ``min_by(pos, hash)`` over a row-frame window finds each window's
+    argmin, and a distinct collapses overlapping windows that picked the
+    same position. One shuffle on the document id (windows are per-doc);
+    everything codegen/native — no Python in the path. Hashes are full
+    md5 hex strings, so argmin ties are ~impossible and the DuckDB
+    oracle replays the selection bit-for-bit.
+
+    Returns (id, pos, fp_hash), one row per selected fingerprint."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w_seq = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w_seq) for i in range(1, k)]
+    grams = (
+        toks.select(
+            "id",
+            "pos",
+            parts[-1].alias("__last"),
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "pos", "h")
+    )
+    w_win = (
+        Window.partitionBy("id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    )
+    picked = (
+        grams.withColumn("sel_pos", F.expr("min_by(pos, h)").over(w_win))
+        .withColumn("n_in_win", F.count(F.lit(1)).over(w_win))
+        .filter(F.col("n_in_win") == window)  # full windows only
+        .select("id", F.col("sel_pos").alias("pos"))
+        .distinct()
+    )
+    return picked.join(grams, ["id", "pos"]).select(
+        "id", "pos", F.col("h").alias("fp_hash")
     )

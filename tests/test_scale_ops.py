@@ -166,3 +166,53 @@ class TestEmbeddingNearDups:
             .toString()
         )
         assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (MOSS): positional guarantee + plan shape."""
+
+    def test_shared_run_shares_a_fingerprint(self, spark):
+        from shaper_spark.operators.text import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, "one two " + shared + " three four five six seven"),
+                (2, "nine ten eleven " + shared + " twelve thirteen"),
+            ],
+            "doc_id long, text string",
+        )
+        fp = winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+        by_doc = {}
+        for r in fp.collect():
+            by_doc.setdefault(r["id"], set()).add(r["fp_hash"])
+        # shared 8-token run ≥ window+k-1 = 8 → guaranteed common print
+        assert by_doc[1] & by_doc[2]
+
+    def test_density_below_one(self, spark):
+        from shaper_spark.session import register_sf_tables
+        from shaper_spark.operators.text import winnow_fingerprints
+
+        register_sf_tables(spark, "/root/testdata/sf0.001")
+        docs = spark.table("documents")
+        n_prints = winnow_fingerprints(docs, "doc_id", "text").count()
+        n_grams = (
+            docs.selectExpr("size(split(text, ' ')) - 4 AS g")
+            .selectExpr("sum(greatest(g, 0)) AS s")
+            .collect()[0]["s"]
+        )
+        # expected density ~ 2/(window+1) = 0.4; assert well under 1
+        assert 0 < n_prints < 0.6 * n_grams
+
+    def test_no_python_in_plan(self, spark):
+        from shaper_spark.session import register_sf_tables
+        from shaper_spark.operators.text import winnow_fingerprints
+
+        register_sf_tables(spark, "/root/testdata/sf0.001")
+        plan = (
+            winnow_fingerprints(spark.table("documents"), "doc_id", "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
