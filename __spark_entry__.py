@@ -284,7 +284,7 @@ CTE_RECURSIVE_STYLE = """
 WITH seg AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1),
      tot AS (SELECT sum(n) AS t FROM seg)
 SELECT s.c_mktsegment, CAST(s.n AS BIGINT) AS n,
-       round(s.n * 100.0 / t.t, 4) AS pct
+       CAST(round(s.n * 100.0 / t.t, 4) AS DOUBLE) AS pct
 FROM seg s CROSS JOIN tot t ORDER BY s.c_mktsegment
 """
 
@@ -751,12 +751,36 @@ FROM r WHERE rn <= {k} ORDER BY query_id, rank
 
 
 def _q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUMMARIZE emulation — dialect statement handler; output shape is
-    engine-defined, so rows-only check (no oracle)."""
+    """SUMMARIZE emulation — dialect statement handler (engine.py
+    ``_run_summarize``).  For the differential gate we project the
+    deterministic column subset shared with DuckDB's native SUMMARIZE:
+    approx_unique (HLL vs DuckDB's sketch) and q25/q50/q75
+    (percentile_approx vs quantile_cont) are approximation-specific by
+    design and are excluded; min/max/avg/count/null_percentage are exact
+    on both engines."""
+    from pyspark.sql import functions as F
+
     from shaper_spark.engine import _run_summarize
 
     _prep(spark, sf_dir)
-    return _run_summarize(spark, "SUMMARIZE nation")
+    df = _run_summarize(spark, "SUMMARIZE nation")
+    return df.select(
+        "column_name",
+        "min",
+        "max",
+        F.round("avg", 3).alias("avg"),
+        "count",
+        "null_percentage",
+    ).orderBy("column_name")
+
+
+SUMMARIZE_DUCK = """
+SELECT column_name, min, max,
+       round(CAST(avg AS DOUBLE), 3) AS avg,
+       count,
+       CAST(null_percentage AS DOUBLE) AS null_percentage
+FROM (SUMMARIZE nation) ORDER BY column_name
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1386,7 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": EMBEDDING_NEARDUP_DUCK,
         "embedding_pairs_exact": EMBEDDING_PAIRS_EXACT_DUCK,
         "similarity_lsh_topk": _lsh_topk_duck(),
-        # summarize_table: rows-only (see docstring)
+        "summarize_table": SUMMARIZE_DUCK,
         "orders_unpivot": ORDERS_UNPIVOT,
         "recursive_series": RECURSIVE_SERIES,
         "grouping_sets_revenue": GROUPING_SETS_REVENUE,
