@@ -32,15 +32,24 @@ from .session import _nanos_timestamp_columns
 __all__ = ["try_execute_attach"]
 
 _ATTACH_RE = re.compile(
-    r"^\s*ATTACH\s+(?:DATABASE\s+)?(?:IF\s+NOT\s+EXISTS\s+)?'([^']+)'"
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?(?P<ine>IF\s+NOT\s+EXISTS\s+)?'([^']+)'"
     r"\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)"
     r"\s*(?:\(\s*READ_?ONLY\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _DETACH_RE = re.compile(
-    r"^\s*DETACH\s+(?:DATABASE\s+)?(?:IF\s+EXISTS\s+)?(`[^`]+`|[A-Za-z_]\w*)\s*;?\s*$",
+    r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<ie>IF\s+EXISTS\s+)?"
+    r"(`[^`]+`|[A-Za-z_]\w*)\s*;?\s*$",
     re.IGNORECASE,
 )
+
+# Databases created by try_execute_attach.  Spark databases live in the
+# metastore shared by every newSession(), so one process-wide registry.
+# DETACH only disconnects catalogs this module attached — a DETACH naming
+# a regular Spark database (typo/collision) must error, not CASCADE-drop
+# managed tables; likewise ATTACH refuses to merge into an existing
+# un-attached database (DuckDB errors on duplicate catalog names).
+_ATTACHED: set[str] = set()
 
 
 def _table_paths(path: str) -> dict[str, str]:
@@ -85,7 +94,14 @@ def try_execute_attach(spark: SparkSession, sql_string: str) -> bool:
     """Execute ATTACH/DETACH; return True if the statement was one."""
     m = _ATTACH_RE.match(sql_string)
     if m:
-        path, name = m.group(1), m.group(2).strip("`")
+        path, name = m.group(2), m.group(3).strip("`")
+        if spark.catalog.databaseExists(name) and name not in _ATTACHED:
+            if m.group("ine"):
+                return True
+            raise ValueError(
+                f"ATTACH: database {name!r} already exists and was not "
+                "created by ATTACH; pick another alias or DROP it first"
+            )
         lower = path.lower()
         if lower.endswith((".db", ".duckdb", ".sqlite", ".sqlite3")):
             raise ValueError(
@@ -98,10 +114,18 @@ def try_execute_attach(spark: SparkSession, sql_string: str) -> bool:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
         for table, tpath in tables.items():
             spark.sql(_view_sql(name, table, tpath))
+        _ATTACHED.add(name)
         return True
     m = _DETACH_RE.match(sql_string)
     if m:
-        name = m.group(1).strip("`")
+        name = m.group(2).strip("`")
+        if name not in _ATTACHED:
+            if m.group("ie"):
+                return True
+            raise ValueError(
+                f"DETACH: {name!r} is not an attached database"
+            )
         spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+        _ATTACHED.discard(name)
         return True
     return False

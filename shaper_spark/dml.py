@@ -97,7 +97,15 @@ def _swap_in(spark: SparkSession, table: str, df) -> None:
 
     Two steps on purpose: the staging write is the expensive, failable
     part and completes before any destructive change to the target."""
-    staging = f"{table}__dml_staging"
+    # The regex may capture a backtick-quoted target (UPDATE `my table`):
+    # derive the staging name from the bare identifier and re-quote, so
+    # the suffix lands inside the quotes.  Unquoted (possibly dotted)
+    # names take the suffix verbatim — the staging table stays in the
+    # target's database.
+    if table.startswith("`"):
+        staging = f"`{table.strip('`')}__dml_staging`"
+    else:
+        staging = f"{table}__dml_staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     df.write.saveAsTable(staging)
     try:

@@ -109,12 +109,13 @@ class Metastore:
         handler = _HANDLERS.get(event)
         if handler is None:
             raise ValueError(f"unknown state event: {event}")
+        at = _now()
         with self._lock, self._db:
             self._db.execute(
                 "INSERT INTO events (event, data, created_at) VALUES (?, ?, ?)",
-                (event, json.dumps(data), _now()),
+                (event, json.dumps(data), at),
             )
-            handler(self._db, data)
+            handler(self._db, data, at)
 
     def rebuild(self) -> None:
         """Drop materialized tables and replay the event log — the
@@ -122,12 +123,15 @@ class Metastore:
         with self._lock, self._db:
             self._db.execute("DELETE FROM apps")
             self._db.execute("DELETE FROM task_runs")
+            # Each handler receives the event's original timestamp so
+            # replay is a faithful restore: created_at/updated_at come
+            # back identical, not stamped at rebuild time.
             for row in self._db.execute(
-                "SELECT event, data FROM events ORDER BY seq"
+                "SELECT event, data, created_at FROM events ORDER BY seq"
             ).fetchall():
                 handler = _HANDLERS.get(row["event"])
                 if handler is not None:
-                    handler(self._db, json.loads(row["data"]))
+                    handler(self._db, json.loads(row["data"]), row["created_at"])
 
     def schedule_next_run(
         self, task_id: str, next_run_at: str, next_run_type: str = "single"
@@ -242,8 +246,7 @@ class Metastore:
 # -- idempotent handlers (reference state handlers, state.go:41-93) -----
 
 
-def _upsert_app(db, data: dict[str, Any], app_type: str) -> None:
-    now = _now()
+def _upsert_app(db, data: dict[str, Any], app_type: str, at: str) -> None:
     db.execute(
         """INSERT INTO apps (id, name, content, type, visibility, created_at, updated_at)
            VALUES (?, ?, ?, ?, ?, ?, ?)
@@ -256,39 +259,39 @@ def _upsert_app(db, data: dict[str, Any], app_type: str) -> None:
             data["content"],
             app_type,
             data.get("visibility"),
-            now,
-            now,
+            at,
+            at,
         ),
     )
 
 
-def _update_content(db, data: dict[str, Any]) -> None:
+def _update_content(db, data: dict[str, Any], at: str) -> None:
     db.execute(
         "UPDATE apps SET content = ?, updated_at = ? WHERE id = ?",
-        (data["content"], _now(), data["id"]),
+        (data["content"], at, data["id"]),
     )
 
 
-def _update_name(db, data: dict[str, Any]) -> None:
+def _update_name(db, data: dict[str, Any], at: str) -> None:
     db.execute(
         "UPDATE apps SET name = ?, updated_at = ? WHERE id = ?",
-        (data["name"], _now(), data["id"]),
+        (data["name"], at, data["id"]),
     )
 
 
-def _update_visibility(db, data: dict[str, Any]) -> None:
+def _update_visibility(db, data: dict[str, Any], at: str) -> None:
     db.execute(
         "UPDATE apps SET visibility = ?, updated_at = ? WHERE id = ?",
-        (data.get("visibility"), _now(), data["id"]),
+        (data.get("visibility"), at, data["id"]),
     )
 
 
-def _delete_app(db, data: dict[str, Any]) -> None:
+def _delete_app(db, data: dict[str, Any], at: str) -> None:
     db.execute("DELETE FROM apps WHERE id = ?", (data["id"],))
     db.execute("DELETE FROM task_runs WHERE task_id = ?", (data["id"],))
 
 
-def _record_task_run(db, data: dict[str, Any]) -> None:
+def _record_task_run(db, data: dict[str, Any], at: str) -> None:
     db.execute(
         """INSERT INTO task_runs
              (task_id, last_run_at, last_run_success, last_run_duration,
@@ -314,12 +317,12 @@ def _record_task_run(db, data: dict[str, Any]) -> None:
 
 
 _HANDLERS = {
-    "create_dashboard": lambda db, d: _upsert_app(db, d, "dashboard"),
+    "create_dashboard": lambda db, d, at: _upsert_app(db, d, "dashboard", at),
     "update_dashboard_content": _update_content,
     "update_dashboard_name": _update_name,
     "update_dashboard_visibility": _update_visibility,
     "delete_dashboard": _delete_app,
-    "create_task": lambda db, d: _upsert_app(db, d, "task"),
+    "create_task": lambda db, d, at: _upsert_app(db, d, "task", at),
     "update_task_content": _update_content,
     "update_task_name": _update_name,
     "delete_task": _delete_app,

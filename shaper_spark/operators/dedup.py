@@ -417,6 +417,19 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if persist:
+        # Materialize the candidate pairs now so the (tables × n)-row
+        # bucket cache can be released immediately instead of living for
+        # the rest of the session; repeated calls no longer accumulate
+        # bucket partitions. What stays cached is only the candidate ID
+        # pairs (two ints per row) backing the returned lazy frame —
+        # callers that are done with the result may `.unpersist()` it via
+        # the frame's `_cand` attribute.
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        cand.count()
+        buckets.unpersist()
     va = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return score(cand.join(va, "id_a").join(vb, "id_b"))
+    out = score(cand.join(va, "id_a").join(vb, "id_b"))
+    out._cand = cand
+    return out

@@ -22,6 +22,11 @@ __all__ = ["get_spark", "configure_runtime", "register_sf_tables", "TPCH_TABLES"
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Testdata timestamps are naive parquet µs (isAdjustedToUTC=false);
+    # read them as session-tz TIMESTAMP (LTZ) like every prior round
+    # instead of inferring TIMESTAMP_NTZ, so downstream dtype contracts
+    # (render typing, unix-ms normalization, attach views) see one type.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -93,6 +98,9 @@ def get_spark(app_name: str = "shaper_spark", cpus: int | None = None) -> SparkS
         # vectorized reader rejects; read as int64 nanos and convert in
         # register_sf_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet µs timestamps read as LTZ, not NTZ (see
+        # _RUNTIME_CONFS).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

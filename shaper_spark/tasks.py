@@ -334,7 +334,7 @@ class TaskScheduler:
             delay = max(0.0, result.next_run_at / 1000.0 - time.time())
             self._arm(task_id, delay, result.next_run_at)
 
-    def _arm_follow(self, task_id: str) -> None:
+    def _arm_follow(self, task_id: str, attempt: int = 0) -> None:
         def follow():
             with self._lock:
                 if task_id not in self._contents:
@@ -343,9 +343,18 @@ class TaskScheduler:
             nra = (run or {}).get("next_run_at")
             when = dt.datetime.fromisoformat(nra) if nra else None
             if when is None or when.timestamp() <= time.time():
+                if run and run.get("last_run_at") and not nra:
+                    # The winner recorded a completed cycle with no next
+                    # run — a one-shot 'single' task is done; nothing to
+                    # follow, drop the timer instead of polling forever.
+                    with self._lock:
+                        self._timers.pop(task_id, None)
+                    return
                 # Winner hasn't recorded the new cycle yet (still
-                # executing) — keep following.
-                self._arm_follow(task_id)
+                # executing, or died mid-run) — keep following with
+                # exponential backoff so a dead winner doesn't pin a
+                # 2-second timer per task indefinitely.
+                self._arm_follow(task_id, attempt + 1)
                 return
             self._arm(
                 task_id,
@@ -353,7 +362,8 @@ class TaskScheduler:
                 int(when.timestamp() * 1000),
             )
 
-        timer = threading.Timer(self.FOLLOW_DELAY_S, follow)
+        delay = min(self.FOLLOW_DELAY_S * (2 ** min(attempt, 5)), 60.0)
+        timer = threading.Timer(delay, follow)
         timer.daemon = True
         with self._lock:
             old = self._timers.pop(task_id, None)

@@ -83,3 +83,32 @@ class TestAttach:
         )
         assert r.success is True
         assert r.queries[1].result_rows[0][0] > 0
+
+    def test_detach_unknown_name_errors(self, spark):
+        """DETACH must not CASCADE-drop a regular Spark database it did
+        not attach (DuckDB errors on unknown catalog names too)."""
+        spark.sql("CREATE DATABASE IF NOT EXISTS real_db")
+        try:
+            with pytest.raises(ValueError, match="not an attached"):
+                try_execute_attach(spark, "DETACH real_db")
+            assert "real_db" in [d.name for d in spark.catalog.listDatabases()]
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS real_db")
+
+    def test_detach_if_exists_unknown_is_noop(self, spark):
+        assert try_execute_attach(spark, "DETACH IF EXISTS never_attached")
+
+    def test_attach_over_existing_database_errors(self, spark):
+        """ATTACH must not silently merge views into an existing
+        un-attached database."""
+        spark.sql("CREATE DATABASE IF NOT EXISTS owned_db")
+        try:
+            with pytest.raises(ValueError, match="already exists"):
+                try_execute_attach(spark, f"ATTACH '{SF}' AS owned_db")
+            # IF NOT EXISTS form: no-op instead of error, like DuckDB.
+            assert try_execute_attach(
+                spark, f"ATTACH IF NOT EXISTS '{SF}' AS owned_db"
+            )
+            assert not spark.catalog.tableExists("owned_db.nation")
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS owned_db")

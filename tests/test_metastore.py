@@ -189,3 +189,21 @@ class TestListAppsFilters:
         assert [a["id"] for a in m.list_apps("dashboard", sort="1; DROP TABLE apps")] == [
             "d0", "d1", "d2", "d3", "d4"
         ]
+
+
+class TestReplayTimestamps:
+    def test_rebuild_preserves_event_times(self, tmp_path):
+        """Replay is a faithful restore: created_at/updated_at come back
+        identical to the original event times, not the rebuild time."""
+        from shaper_spark.metastore import Metastore
+
+        db = str(tmp_path / "meta_ts.db")
+        m = Metastore(db)
+        m.record("create_dashboard", {"id": "d1", "content": "SELECT 1"})
+        m.record("update_dashboard_content", {"id": "d1", "content": "SELECT 2"})
+        before = m.get_app("d1")
+        m.rebuild()
+        after = m.get_app("d1")
+        assert after["created_at"] == before["created_at"]
+        assert after["updated_at"] == before["updated_at"]
+        m.close()

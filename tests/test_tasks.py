@@ -4,6 +4,7 @@ task_init_test.go:61-232 semantics)."""
 from __future__ import annotations
 
 import datetime as dt
+import threading
 import time
 
 import pytest
@@ -414,3 +415,80 @@ class TestGetNextTaskRunSideEffects:
         assert next_run is None
         assert stype == "init"
         assert not spark.catalog.tableExists("dummy_table")
+
+
+class TestFollowStops:
+    """ADVICE: a claim loser must not poll forever once the winner
+    records a completed one-shot cycle with no next run."""
+
+    def test_follow_drops_timer_after_completed_oneshot(self, tmp_path):
+        from shaper_spark.metastore import Metastore
+
+        store = Metastore(str(tmp_path / "meta3.db"))
+        sched = TaskScheduler.__new__(TaskScheduler)
+        sched.store = store
+        sched.FOLLOW_DELAY_S = 0.1
+        sched._lock = threading.Lock()
+        sched._contents = {"os": "SELECT 1"}
+        sched._types = {"os": "single"}
+        sched._timers = {}
+        # Winner recorded a completed cycle: last_run_at set, no next run.
+        store.record(
+            "record_task_run",
+            {"task_id": "os", "last_run_at": "2026-01-01T00:00:00+00:00",
+             "last_run_success": True, "next_run_at": None},
+        )
+        sched._arm_follow("os")
+        deadline = time.time() + 5
+        while time.time() < deadline and "os" in sched._timers:
+            time.sleep(0.05)
+        # The follow timer fired once, saw the completed cycle, and did
+        # NOT re-arm — no permanent polling loop.
+        time.sleep(0.3)
+        assert "os" not in sched._timers
+        store.close()
+
+    def test_follow_backs_off_while_winner_executing(self, tmp_path):
+        from shaper_spark.metastore import Metastore
+
+        store = Metastore(str(tmp_path / "meta4.db"))
+        sched = TaskScheduler.__new__(TaskScheduler)
+        sched.store = store
+        sched.FOLLOW_DELAY_S = 0.05
+        sched._lock = threading.Lock()
+        sched._contents = {"ex": "SELECT 1"}
+        sched._types = {"ex": "single"}
+        sched._timers = {}
+        # No run record at all: winner still executing — follow re-arms
+        # (with backoff), keeping a timer alive.
+        sched._arm_follow("ex")
+        time.sleep(0.5)
+        assert "ex" in sched._timers
+        # Timer interval grows with attempts (exponential backoff).
+        t = sched._timers["ex"]
+        assert t.interval > sched.FOLLOW_DELAY_S
+        t.cancel()
+        store.close()
+
+
+class TestDmlQuotedTarget:
+    def test_update_delete_on_backtick_quoted_table(self, spark):
+        """ADVICE: staging-name derivation must strip the backticks so
+        `t`__dml_staging never appears as a malformed identifier.  (The
+        catalog only permits [A-Za-z0-9_] names, so the quoted form of a
+        plain name is the reachable case.)"""
+        _fresh(spark, "dml_quoted")
+        r = execute_task(
+            spark,
+            """
+            CREATE TABLE dml_quoted (v INT);
+            INSERT INTO dml_quoted VALUES (1), (2), (3);
+            UPDATE `dml_quoted` SET v = v * 10 WHERE v > 1;
+            DELETE FROM `dml_quoted` WHERE v = 30;
+            SELECT sum(v) AS s, count(*) AS n FROM dml_quoted;
+            """,
+        )
+        assert r.success is True, [q.to_dict() for q in r.queries]
+        assert r.queries[2].result_rows == [[2]]
+        assert r.queries[3].result_rows == [[1]]
+        assert r.queries[-1].result_rows == [[21, 2]]
