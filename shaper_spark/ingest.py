@@ -290,10 +290,13 @@ class IngestBuffer:
         self._schema_cache[table] = out
         return out
 
-    def _process_table_batch(
-        self, table: str, msgs: list[tuple[dict[str, Any], dt.datetime]]
-    ) -> None:
-        payloads = [m[0] for m in msgs]
+    def ensure_table_schema(
+        self, table: str, payloads: list[dict[str, Any]]
+    ) -> dict[str, str]:
+        """Create or evolve ``table`` for a batch of payloads and return
+        the effective column → SQL-type mapping (insertion-ordered).
+        Pure metadata work — safe to drive from a bounded sample while
+        the data itself stays on executors (streaming path)."""
         detected_types, ordered = detect_schema_from_batch(payloads)
 
         existing = self._table_schema(table)
@@ -317,7 +320,13 @@ class IngestBuffer:
                 self.spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({add_sql})")
                 for c in new_cols:
                     existing[c] = detected_types[c]
+        return existing
 
+    def _process_table_batch(
+        self, table: str, msgs: list[tuple[dict[str, Any], dt.datetime]]
+    ) -> None:
+        payloads = [m[0] for m in msgs]
+        existing = self.ensure_table_schema(table, payloads)
         table_cols = list(existing.keys())
         rows = []
         for payload, arrival in msgs:

@@ -47,12 +47,25 @@ def ingest_microbatch(
 ) -> int:
     """Append one micro-batch of raw JSON strings (column ``value``) to
     ``table`` with the ingest path's inference/evolution rules. Returns
-    appended row count."""
+    appended row count.
+
+    Scale shape: only a bounded SCHEMA_SAMPLE-row prefix is collected to
+    the driver, and only to run the schema inference/evolution rules
+    (pure metadata).  The full batch is parsed and coerced on executors
+    by an Arrow-batched ``mapInPandas`` running the *same* Python rules
+    (``_coerce``/``_gen_id``), so a backfill micro-batch of any size
+    never materializes on the driver.  Fields that first appear after
+    the sample prefix are dropped this batch and picked up by evolution
+    on the next batch containing them — the documented trade-off for a
+    driver-unbounded path."""
+    from .ingest import _SQL_TO_SPARK, _coerce, _gen_id, ID_COLUMN, TS_COLUMN
+
     if not validate_table_name(table):
         raise ValueError(f"invalid table name: {table}")
-    raw = [r[0] for r in batch_df.select("value").collect()]
+    values = batch_df.select("value")
+    sample = [r[0] for r in values.limit(SCHEMA_SAMPLE).collect()]
     payloads: list[dict[str, Any]] = []
-    for line in raw:
+    for line in sample:
         try:
             obj = json.loads(line)
         except (TypeError, ValueError):
@@ -61,24 +74,60 @@ def ingest_microbatch(
             payloads.append(obj)
     if not payloads:
         return 0
-    if dedupe_ids:
-        ids = [p.get("_id") for p in payloads if p.get("_id")]
-        if ids and spark.catalog.tableExists(table):
-            existing = {
-                r[0]
-                for r in spark.table(table)
-                .select("_id")
-                .filter(F.col("_id").isin(ids))
-                .collect()
-            }
-            payloads = [p for p in payloads if p.get("_id") not in existing]
-            if not payloads:
-                return 0
-    buf = IngestBuffer(spark, batch_size=len(payloads) + 1, batch_timeout_s=3600)
+    table_existed = spark.catalog.tableExists(table)
+    buf = IngestBuffer(spark)
+    types = dict(buf.ensure_table_schema(table, payloads))
+    table_cols = list(types.keys())
     arrival = dt.datetime.utcnow()
-    by_table = [(p, arrival) for p in payloads]
-    buf._process_table_batch(table, by_table)
-    return len(payloads)
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField(c, _SQL_TO_SPARK[types[c]], True) for c in table_cols]
+    )
+
+    def parse_partition(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            rows = []
+            for line in pdf["value"]:
+                try:
+                    obj = json.loads(line)
+                except (TypeError, ValueError):
+                    continue
+                if not isinstance(obj, dict):
+                    continue
+                row = {}
+                for c in table_cols:
+                    if c == ID_COLUMN:
+                        row[c] = obj.get(ID_COLUMN) or _gen_id()
+                    elif c == TS_COLUMN:
+                        v = _coerce(obj.get(TS_COLUMN), "TIMESTAMP", arrival)
+                        row[c] = arrival if v is None else v
+                    else:
+                        row[c] = _coerce(obj.get(c), types[c], arrival)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=table_cols)
+
+    parsed = values.mapInPandas(parse_partition, schema=out_schema)
+    if dedupe_ids and table_existed:
+        parsed = parsed.join(
+            spark.table(table).select(ID_COLUMN), on=ID_COLUMN, how="left_anti"
+        ).select(*table_cols)
+    parsed = parsed.persist()
+    try:
+        n = parsed.count()
+        if n:
+            parsed.write.mode("append").insertInto(table)
+            # The write executes on the micro-batch's cloned session
+            # (structured streaming isolates each batch), whose commit
+            # only refreshes the clone's relation cache — invalidate the
+            # caller session's so concurrent readers see the new rows.
+            spark.catalog.refreshTable(table)
+    finally:
+        parsed.unpersist()
+    return n
 
 
 def start_json_ingest_stream(
