@@ -563,17 +563,36 @@ class ShaperServer:
                 fmt = filename.rsplit(".", 1)[-1].lower()
                 if fmt == "pdf":
                     # Reference renders PDFs by driving headless Chrome
-                    # over the dashboard URL (server/pdf/pdf.go:33-133);
-                    # no browser exists in this build — descoped
-                    # explicitly (README) rather than dead-ending.
-                    return self._json(
-                        501,
-                        {
-                            "error": "PDF rendering requires a headless "
-                            "browser and is not available in this build; "
-                            "use csv/json/xlsx exports"
-                        },
+                    # over the dashboard URL (server/pdf/pdf.go:33-133).
+                    # No browser exists in this build, so DOWNLOAD_PDF
+                    # serves the same dashboard as a self-contained
+                    # printable HTML document instead (documented
+                    # divergence, MIGRATION.md): every section, chart
+                    # (inline SVG) and table — content-type text/html.
+                    from .htmlreport import render_dashboard_html
+
+                    params = {
+                        k: v if len(v) > 1 else v[0]
+                        for k, v in parse_qs(url.query).items()
+                    }
+                    result = query_dashboard(
+                        outer.spark,
+                        content,
+                        params=params,
+                        variables=outer.variables,
+                        dashboard_id=did,
                     )
+                    page = render_dashboard_html(result.to_dict())
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header(
+                        "Content-Disposition", "inline; filename=dashboard.html"
+                    )
+                    body = page.encode()
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
                 if fmt not in ("csv", "json", "xlsx"):
                     return self._json(400, {"error": f"unsupported format {fmt}"})
                 params = {

@@ -1,0 +1,173 @@
+"""Static HTML rendering of a dashboard result tree — the printable
+stand-in for the reference's PDF export.
+
+The reference renders dashboards to PDF by driving headless Chrome over
+the dashboard URL (``server/pdf/pdf.go:33-133``). No browser exists in
+this build, so ``DOWNLOAD_PDF`` buttons resolve to a self-contained
+static HTML document of the same GetResult tree instead: every section,
+query, chart (as inline SVG) and table, with no external assets — it
+prints from any browser, which is what the PDF was for. The divergence
+is documented (MIGRATION.md): content-type is text/html.
+
+Only the stdlib is used; charts are deliberately minimal (bars, lines,
+stat values) — enough to make the exported document faithful to the
+dashboard's structure and data, not a pixel-accurate clone of the UI.
+"""
+
+from __future__ import annotations
+
+import html
+from typing import Any
+
+__all__ = ["render_dashboard_html"]
+
+_MAX_TABLE_ROWS = 200
+_SVG_W, _SVG_H, _PAD = 560, 180, 28
+
+_CSS = """
+body{font-family:system-ui,sans-serif;margin:24px;color:#1a1a2e}
+h1{font-size:22px;border-bottom:2px solid #1a1a2e;padding-bottom:6px}
+h2{font-size:17px;margin-top:28px}
+table{border-collapse:collapse;margin:10px 0;font-size:13px}
+th,td{border:1px solid #c5c5d2;padding:3px 9px;text-align:left}
+th{background:#ececf4}
+.stat{font-size:34px;font-weight:700;margin:8px 0}
+.query{margin:14px 0}.truncated{color:#888;font-size:12px}
+svg{background:#fafafc;border:1px solid #e2e2ea}
+.bar{fill:#4464ad}.line{stroke:#4464ad;stroke-width:2;fill:none}
+"""
+
+
+def _esc(v: Any) -> str:
+    return html.escape("" if v is None else str(v))
+
+
+def _numeric_series(columns: list[dict], rows: list[list]) -> tuple[int, int]:
+    """(x_index, y_index) — first index/xaxis-tagged column (else 0) and
+    first value-tagged numeric column (else last numeric)."""
+    xi, yi = 0, -1
+    for i, c in enumerate(columns):
+        if c.get("tag") in ("index", "xaxis") and xi == 0:
+            xi = i
+    for i, c in enumerate(columns):
+        if c.get("type") == "number" and c.get("tag") == "value":
+            yi = i
+            break
+    if yi < 0:
+        for i, c in enumerate(columns):
+            if c.get("type") == "number" and i != xi:
+                yi = i
+    return xi, yi
+
+
+def _svg_chart(kind: str, columns: list[dict], rows: list[list]) -> str:
+    """Inline SVG bar/line chart of (x, y) pairs; returns '' when no
+    numeric series can be extracted (caller falls back to a table)."""
+    xi, yi = _numeric_series(columns, rows)
+    if yi < 0 or not rows:
+        return ""
+    pts = [(r[xi], r[yi]) for r in rows if r[yi] is not None][: 2 * _SVG_W]
+    if not pts:
+        return ""
+    vals = [float(p[1]) for p in pts]
+    vmax = max(max(vals), 0.0) or 1.0
+    vmin = min(min(vals), 0.0)
+    span = (vmax - vmin) or 1.0
+    iw = _SVG_W - 2 * _PAD
+    ih = _SVG_H - 2 * _PAD
+
+    def ypix(v: float) -> float:
+        return _PAD + ih * (1 - (v - vmin) / span)
+
+    parts = [
+        f'<svg viewBox="0 0 {_SVG_W} {_SVG_H}" width="{_SVG_W}" '
+        f'height="{_SVG_H}" role="img">'
+    ]
+    n = len(pts)
+    if kind == "bar":
+        bw = max(1.0, iw / n - 2)
+        for i, (_, v) in enumerate(pts):
+            x = _PAD + i * iw / n
+            y = ypix(float(v))
+            h = ypix(vmin if vmin < 0 else 0.0) - y
+            if h < 0:
+                y, h = y + h, -h
+            parts.append(
+                f'<rect class="bar" x="{x:.1f}" y="{y:.1f}" '
+                f'width="{bw:.1f}" height="{max(h, 0.5):.1f}"/>'
+            )
+    else:
+        coords = " ".join(
+            f"{_PAD + i * iw / max(n - 1, 1):.1f},{ypix(float(v)):.1f}"
+            for i, (_, v) in enumerate(pts)
+        )
+        parts.append(f'<polyline class="line" points="{coords}"/>')
+    parts.append(
+        f'<text x="{_PAD}" y="14" font-size="11">'
+        f"{_esc(columns[yi]['name'])} — {n} points, "
+        f"min {vmin:g}, max {vmax:g}</text>"
+    )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _table(columns: list[dict], rows: list[list]) -> str:
+    head = "".join(f"<th>{_esc(c['name'])}</th>" for c in columns)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{_esc(v)}</td>" for v in r) + "</tr>"
+        for r in rows[:_MAX_TABLE_ROWS]
+    )
+    note = (
+        f'<div class="truncated">{len(rows) - _MAX_TABLE_ROWS} more rows '
+        "not shown</div>"
+        if len(rows) > _MAX_TABLE_ROWS
+        else ""
+    )
+    return f"<table><tr>{head}</tr>{body}</table>{note}"
+
+
+def _render_query(q: dict) -> str:
+    rtype = (q.get("render") or {}).get("type") or "table"
+    columns = q.get("columns") or []
+    rows = q.get("rows") or []
+    inner = ""
+    low = rtype.lower()
+    if low in ("value", "stat"):
+        v = rows[0][0] if rows and rows[0] else None
+        inner = f'<div class="stat">{_esc(v)}</div>'
+    elif "barchart" in low:
+        inner = _svg_chart("bar", columns, rows)
+    elif "linechart" in low or "areachart" in low:
+        inner = _svg_chart("line", columns, rows)
+    elif low in ("dropdown", "multiselect", "buttongroup"):
+        opts = "".join(
+            f"<li>{_esc(r[0] if r else None)}</li>" for r in rows[:50]
+        )
+        inner = f"<ul>{opts}</ul>"
+    if not inner:
+        inner = _table(columns, rows)
+    return (
+        f'<div class="query" data-render-type="{_esc(rtype)}">{inner}</div>'
+    )
+
+
+def render_dashboard_html(result: dict, title: str | None = None) -> str:
+    """Render a ``GetResult.to_dict()`` tree to one self-contained HTML
+    document (sections → h2, queries → chart/table/stat)."""
+    name = title or result.get("name") or "Dashboard"
+    out = [
+        "<!DOCTYPE html><html><head><meta charset='utf-8'>",
+        f"<title>{_esc(name)}</title><style>{_CSS}</style></head><body>",
+        f"<h1>{_esc(name)}</h1>",
+    ]
+    for section in result.get("sections") or []:
+        stype = section.get("type") or "content"
+        stitle = section.get("title")
+        out.append(f'<section data-section-type="{_esc(stype)}">')
+        if stitle:
+            out.append(f"<h2>{_esc(stitle)}</h2>")
+        for q in section.get("queries") or []:
+            out.append(_render_query(q))
+        out.append("</section>")
+    out.append("</body></html>")
+    return "".join(out)

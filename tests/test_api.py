@@ -352,3 +352,18 @@ class TestRunsLongPoll:
         assert len(got["runs"]) == 1
         assert got["runs"][0]["success"] is True
         _delete(server, "/api/tasks/lp1")
+
+
+class TestPdfDownloadServesHtml:
+    def test_pdf_download_returns_printable_html(self, server):
+        content = """
+        SELECT 'report'::DOWNLOAD_PDF AS f;
+        SELECT 'Numbers'::SECTION;
+        SELECT 1 AS a UNION ALL SELECT 2;
+        """
+        _post(server, "/api/dashboards", {"id": "dpdf", "content": content})
+        status, body = _get(server, "/api/dashboards/dpdf/download/report.pdf")
+        assert status == 200
+        text = body.decode()
+        assert text.startswith("<!DOCTYPE html>")
+        assert "Numbers" in text and "<table>" in text

@@ -383,3 +383,53 @@ class TestHiddenSectionSkipping:
         )
         vars_ = replay_var_state(spark, statements)
         assert vars_.raw.get("sv") == "7"
+
+
+class TestHtmlReport:
+    """DOWNLOAD_PDF stand-in: the GetResult tree renders to one
+    self-contained HTML document (reference pdf.go:33-133 drives Chrome;
+    this build serves printable HTML instead, MIGRATION.md)."""
+
+    def test_roundtrip_dashboard_with_charts(self, spark):
+        from shaper_spark.engine import query_dashboard
+        from shaper_spark.htmlreport import render_dashboard_html
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, "/root/testdata/sf0.001")
+        r = query_dashboard(
+            spark,
+            """
+            SELECT 'Weekly Report'::SECTION;
+            SELECT date_trunc('week', ts)::XAXIS AS week,
+                   count()::LINECHART AS n
+            FROM events GROUP BY ALL ORDER BY ALL;
+            SELECT 'Breakdown'::SECTION;
+            SELECT event_type, count(*) AS n
+            FROM events GROUP BY 1 ORDER BY 1;
+            """,
+            dashboard_id="html1",
+        )
+        page = render_dashboard_html(r.to_dict())
+        assert page.startswith("<!DOCTYPE html>")
+        # section structure preserved
+        assert "Weekly Report" in page and "Breakdown" in page
+        # chart query rendered as inline SVG, table query as a table
+        assert "<svg" in page and "polyline" in page
+        assert "<table>" in page and "event_type" in page
+        # render types stamped for inspection
+        assert 'data-render-type="linechart"' in page
+        # no external assets — self-contained
+        assert "http://" not in page and "https://" not in page
+
+    def test_value_and_escape(self, spark):
+        from shaper_spark.engine import query_dashboard
+        from shaper_spark.htmlreport import render_dashboard_html
+
+        r = query_dashboard(
+            spark,
+            "SELECT '<b>&'::TEXT_LARGE AS v;",
+            dashboard_id="html2",
+        )
+        page = render_dashboard_html(r.to_dict(), title="T<i>tle")
+        assert "&lt;b&gt;&amp;" in page
+        assert "T&lt;i&gt;tle" in page
