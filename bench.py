@@ -85,8 +85,9 @@ def main() -> None:
     total = sum(v for v in timings.values() if v > 0)
 
     # Per-query DuckDB reference times on the identical oracle SQL and
-    # parquet (best of 2) — so the record carries its own baseline and a
-    # stalled host can't silently masquerade as a slow plan.
+    # parquet (best of 3, matching the Spark min-of-3) — so the record
+    # carries its own baseline and a stalled host can't silently
+    # masquerade as a slow plan.
     duck = _duckdb_reference(entrymod, sf_dir)
 
     print(
@@ -127,7 +128,7 @@ def _duckdb_reference(entrymod, sf_dir: str) -> dict[str, float]:
         if sql is None:
             continue
         best = -1.0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()

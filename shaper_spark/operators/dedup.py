@@ -78,7 +78,9 @@ def shingle_tokens(
     document id — embarrassingly parallel, no skew (docs are bounded)."""
     from pyspark.sql import Window
 
-    toks = df.select(
+    from ..session import spread_for_compute
+
+    toks = spread_for_compute(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
@@ -251,8 +253,11 @@ def simhash(
     Token hash bits are md5-derived (portable); bit j of the fingerprint
     is the sign of Σ_tokens (±1). Implemented as explode(tokens) ×
     explode(bit index) → two-level aggregate — all JVM-side."""
+    from ..session import spread_for_compute
+
     tokens = (
-        df.select(
+        spread_for_compute(df)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
         )
@@ -380,7 +385,11 @@ def embedding_near_dups(
     kernel, the correctness baseline for small frames."""
     from .veckernel import hyperplane_buckets, pair_cosine
 
-    side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from ..session import spread_for_compute
+
+    side = spread_for_compute(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
 
     def score(pairs: DataFrame) -> DataFrame:
         return (
@@ -394,42 +403,104 @@ def embedding_near_dups(
         b = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         return score(a.join(b, F.col("id_a") < F.col("id_b")))
 
+    # Re-score strategy probe. The join formulation Arrow-transfers BOTH
+    # 64-double vectors per candidate pair into the cosine kernel —
+    # hundreds of MB for ~10^6 candidates, the dominant cost. When the
+    # corpus is small enough to hold per-task (the same regime where the
+    # vector joins would broadcast anyway), ship the normalized corpus
+    # matrix inside a mapInPandas closure instead and send only the ID
+    # pairs through Arrow: one einsum per batch, no vector shuffle at
+    # all. Above the cutoff (≈100 MB of vectors) fall back to the
+    # shuffle-join + pair kernel, which scales without a driver-side
+    # matrix. The probe is a CollectLimit — at petabyte scale it stops
+    # after the first ~200k rows instead of scanning the corpus.
+    _CUTOFF = 200_000
+    side_pdf = side.limit(_CUTOFF + 1).toPandas() if not exact else None
+    small = side_pdf is not None and len(side_pdf) <= _CUTOFF
+
     buckets = side.select(
         "id",
         F.posexplode(
             hyperplane_buckets(F.col("v"), tables, planes, seed)
         ).alias("t", "b"),
     )
-    if persist:
+    if persist and not small:
         from pyspark import StorageLevel
 
-        # Both sides of the self-join recompute the UDF otherwise.
+        # Both sides of the self-join recompute the UDF otherwise. (In
+        # the small-corpus path the double UDF evaluation is one tiny
+        # matmul — cheaper than managing a cache lifecycle for it.)
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    # No .distinct() here: pairs colliding in several tables are rare for
+    # the pruning regime (≈2^-planes per extra table), so the full-width
+    # dedup shuffle would remove almost nothing while costing the largest
+    # exchange of the plan. Duplicates instead dedupe AFTER the threshold
+    # filter, when only the near-dup pairs remain (broadcast path), or in
+    # the pre-join distinct of the shuffle fallback below.
+    cand = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     if persist:
-        # Materialize the candidate pairs now so the (tables × n)-row
-        # bucket cache can be released immediately instead of living for
-        # the rest of the session; repeated calls no longer accumulate
-        # bucket partitions. What stays cached is only the candidate ID
-        # pairs (two ints per row) backing the returned lazy frame —
-        # callers that are done with the result may `.unpersist()` it via
-        # the frame's `_cand` attribute.
+        from pyspark import StorageLevel
+
+        # Materialize the candidate pairs now so no bucket cache has to
+        # outlive this call; repeated calls don't accumulate cached
+        # partitions. What stays cached is only the candidate ID pairs
+        # (two ints per row) backing the returned lazy frame — callers
+        # that are done with the result may `.unpersist()` it via the
+        # frame's `_cand` attribute.
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         cand.count()
-        buckets.unpersist()
+        if not small:
+            buckets.unpersist()
+
+    if small:
+        import numpy as np
+
+        ids = side_pdf["id"].to_numpy()
+        M = np.vstack(side_pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = np.nan
+        Mn = M / norms
+        index = {i: pos for pos, i in enumerate(ids)}
+        id_t = dict(side.dtypes)["id"]
+        thr = threshold
+
+        def rescore(pdf_iter):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                ia = pdf["id_a"].map(index).to_numpy()
+                ib = pdf["id_b"].map(index).to_numpy()
+                cos = np.einsum("ij,ij->i", Mn[ia], Mn[ib])
+                keep = cos >= thr
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                        "cosine": cos[keep],
+                    }
+                )
+
+        out = (
+            cand.mapInPandas(
+                rescore, schema=f"id_a {id_t}, id_b {id_t}, cosine double"
+            )
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            .distinct()  # cross-table duplicates; tiny post-filter set
+        )
+        out._cand = cand
+        return out
+
     va = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    out = score(cand.join(va, "id_a").join(vb, "id_b"))
+    out = score(cand.distinct().join(va, "id_a").join(vb, "id_b"))
     out._cand = cand
     return out

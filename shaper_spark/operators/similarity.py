@@ -36,26 +36,69 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
-    by neighbor id for determinism. The query side is broadcast — the
-    corpus scan never shuffles."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    by neighbor id for determinism.
+
+    Shape: the query matrix (assumed small — it was broadcast in the
+    join formulation too) ships once inside a ``mapInPandas`` closure;
+    each corpus partition computes one normalized matmul against it and
+    emits only its local top-k per query, so corpus vectors cross the
+    Arrow boundary exactly once and no (corpus × queries) pair rows are
+    ever materialized (the join formulation transferred both vectors per
+    pair — the dominant cost). A final window over the
+    partitions × |q| × k candidate rows produces the global ranking.
+    Zero-norm vectors have no defined cosine and never rank."""
+    import numpy as np
+
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qid_t = dict(queries.dtypes)[id_col]
+    cid_t = dict(corpus.dtypes)[id_col]
+    out_schema = f"query_id {qid_t}, neighbor_id {cid_t}, cosine double"
+    spark = corpus.sparkSession
+    if qpdf.empty:
+        empty = spark.createDataFrame([], out_schema + ", rank int")
+        return empty
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = np.nan
+    Qn = Q / qn[:, None]
+    qids = qpdf[id_col].to_numpy()
+    kk = k
+
+    def local_topk(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0] = np.nan
+            with np.errstate(invalid="ignore"):
+                S = (C / cn[:, None]) @ Qn.T  # (rows, queries)
+            cids = pdf[id_col].to_numpy()
+            S[cids[:, None] == qids[None, :]] = -np.inf  # self-pairs out
+            S[~np.isfinite(S)] = -np.inf  # zero-norm rows out
+            m = min(kk, S.shape[0])
+            out_q, out_id, out_cos = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                order = np.lexsort((cids, -col))[:m]  # (-cos, id) ties
+                keep = order[col[order] > -np.inf]
+                out_q.extend([qids[j]] * len(keep))
+                out_id.extend(cids[keep])
+                out_cos.extend(col[keep])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_id, "cosine": out_cos}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, schema=out_schema
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    # One fused Arrow kernel per joined batch: recomputing each norm
-    # alongside the dot costs ~1.5x the flops of a precomputed-norm
-    # scheme but removes two ArrowEvalPython stages, and flops are
-    # negligible next to the Arrow transfer of the vectors themselves.
-    scored = c.join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("cosine", pair_cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

@@ -31,10 +31,13 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     avg_word_len uses the identity Σ len(word) = len(text) − (n−1) for a
     single-space split — O(1) arithmetic instead of an interpreted
     aggregate() over the words array."""
+    from ..session import spread_for_compute
+
+    df = spread_for_compute(df)
     words = F.split(F.col(text_col), " ")
     n_tokens = F.size(words)
     bpe_ish = F.expr(
-        f"size(regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
+        f"regexp_count({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]')"
     )
     sum_word_len = F.length(text_col) - (n_tokens - F.lit(1))
     return df.select(
@@ -64,7 +67,9 @@ def _stopword_hits(text_col: str, stopwords: list[str]) -> Column:
     identical semantics to filtering split(text,' ') by membership, but
     one codegen'd regex pass: a match must be flanked by a space (or
     string edge), the trailing flank via lookahead so consecutive
-    stopwords all match."""
+    stopwords all match.  ``regexp_count`` counts matches directly —
+    no per-row match-array materialization like
+    size(regexp_extract_all(...))."""
     import re as _re
 
     alternation = "|".join(_re.escape(w) for w in stopwords)
@@ -72,28 +77,40 @@ def _stopword_hits(text_col: str, stopwords: list[str]) -> Column:
     # and avoids Spark 4's contended ICU lower() in the hot path.
     pattern = f"(?iu)(?:^| )(?:{alternation})(?= |$)"
     escaped = pattern.replace("\\", "\\\\").replace("'", "\\'")
-    return F.expr(f"size(regexp_extract_all({text_col}, '{escaped}', 0))")
+    return F.expr(f"regexp_count({text_col}, '{escaped}')")
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality in [0,1] from length, punctuation ratio
     and stopword ratio (the standard pretraining-filter trio)."""
-    text = F.col(text_col)
-    n_words = F.greatest(F.size(F.split(text, " ")), F.lit(1))
-    n_chars = F.greatest(F.length(text), F.lit(1))
-    punct = F.expr(
-        f"size(regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0))"
+    from ..session import spread_for_compute
+
+    # Stage the shared scans once (split for the word count, two
+    # regexp_count passes) so each expression runs a single time per row
+    # — the ratio/score arithmetic below reuses the staged columns
+    # instead of re-deriving the splits/regexes per output column.
+    staged = spread_for_compute(df).select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("__nw"),
+        F.length(text_col).alias("__nc"),
+        F.expr(f"regexp_count({text_col}, '[^A-Za-z0-9\\\\s]')").alias(
+            "__punct"
+        ),
+        _stopword_hits(text_col, LANG_STOPWORDS["en"]).alias("__stop"),
     )
-    stop_hits = _stopword_hits(text_col, LANG_STOPWORDS["en"])
-    length_score = F.least(F.size(F.split(text, " ")) / F.lit(50.0), F.lit(1.0))
-    punct_ratio = punct.cast("double") / n_chars
-    stop_ratio = stop_hits.cast("double") / n_words
+    length_score = F.least(F.col("__nw") / F.lit(50.0), F.lit(1.0))
+    punct_ratio = F.col("__punct").cast("double") / F.greatest(
+        F.col("__nc"), F.lit(1)
+    )
+    stop_ratio = F.col("__stop").cast("double") / F.greatest(
+        F.col("__nw"), F.lit(1)
+    )
     score = (
         length_score * 0.4
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.4
         + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.round(length_score, 6).alias("length_score"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -106,8 +123,10 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-voting language ID: count stopword hits per language,
     take the argmax (ties break by language code order). Score columns
     included so downstream filters can threshold confidence."""
+    from ..session import spread_for_compute
+
     langs = sorted(LANG_STOPWORDS)
-    out = df.select(
+    out = spread_for_compute(df).select(
         F.col(id_col),
         *[
             _stopword_hits(text_col, LANG_STOPWORDS[lang]).alias(f"score_{lang}")

@@ -12,7 +12,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "configure_runtime", "register_sf_tables", "TPCH_TABLES"]
+__all__ = [
+    "get_spark",
+    "configure_runtime",
+    "register_sf_tables",
+    "spread_for_compute",
+    "TPCH_TABLES",
+]
 
 # Confs the engine depends on that are runtime-settable, so they can be
 # applied to an externally constructed SparkSession (the correctness
@@ -175,6 +181,28 @@ def load_parquet(spark: SparkSession, path: str, spread: bool = False):
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
     return _spread(spark, df, path) if spread else df
+
+
+def spread_for_compute(df):
+    """Ensure map-side parallelism for CPU-heavy per-row operators
+    (regex scans, shingling, vector kernels).
+
+    Parquet splits at row-group granularity, so a single-row-group file
+    runs its entire map side in ONE task no matter how many cores exist
+    — measured: 3 regex passes over the documents fixture pinned one
+    core while 31 idled. A round-robin repartition costs one shuffle of
+    the input but divides the per-row compute by the core count; for
+    operators whose per-row work dominates scan cost that trade wins by
+    an order of magnitude. On a real cluster inputs have ≥ parallelism
+    splits and this is a no-op."""
+    try:
+        spark = df.sparkSession
+        parallelism = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+            return df.repartition(parallelism)
+    except Exception:
+        pass
+    return df
 
 
 def _spread(spark: SparkSession, df, path: str):
