@@ -49,7 +49,62 @@ _DETACH_RE = re.compile(
 # a regular Spark database (typo/collision) must error, not CASCADE-drop
 # managed tables; likewise ATTACH refuses to merge into an existing
 # un-attached database (DuckDB errors on duplicate catalog names).
-_ATTACHED: set[str] = set()
+# Values record the attach kind: "views" (parquet) or "jdbc" (catalog).
+_ATTACHED: dict[str, str] = {}
+
+# JDBC scheme → driver class, for the ``ATTACH 'jdbc:...' AS name``
+# extension seam. The reference attaches any DuckDB-readable database
+# (sql_validation.go:64-68,247-249); the Spark-native equivalent for
+# other engines is a JDBCTableCatalog entry, which needs the engine's
+# driver jar on the classpath (spark.jars / --jars).
+_JDBC_DRIVERS = {
+    "postgresql": "org.postgresql.Driver",
+    "mysql": "com.mysql.cj.jdbc.Driver",
+    "sqlite": "org.sqlite.JDBC",
+    "duckdb": "org.duckdb.DuckDBDriver",
+    "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    "oracle": "oracle.jdbc.OracleDriver",
+}
+
+
+def _jdbc_driver_available(spark: SparkSession, cls: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def _attach_jdbc(spark: SparkSession, url: str, name: str) -> None:
+    """Register ``name`` as a Spark JDBCTableCatalog over ``url`` so
+    ``name.schema.table`` resolves through the remote engine with
+    predicate pushdown. Errors helpfully when the driver jar is absent
+    instead of failing later at first table resolution."""
+    scheme = url.split(":", 2)[1].lower() if url.count(":") >= 2 else ""
+    driver = _JDBC_DRIVERS.get(scheme)
+    if driver is None or not _jdbc_driver_available(spark, driver):
+        hint = driver or "<engine JDBC driver>"
+        raise ValueError(
+            f"ATTACH: JDBC driver for {scheme or url!r} ({hint}) is not on "
+            "the classpath; start the session with the driver jar "
+            "(spark.jars=/path/to/driver.jar or --jars) and re-run ATTACH"
+        )
+    prefix = f"spark.sql.catalog.{name}"
+    spark.conf.set(
+        prefix,
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set(f"{prefix}.url", url)
+    spark.conf.set(f"{prefix}.driver", driver)
+
+
+def _detach_jdbc(spark: SparkSession, name: str) -> None:
+    prefix = f"spark.sql.catalog.{name}"
+    for key in (prefix, f"{prefix}.url", f"{prefix}.driver"):
+        try:
+            spark.conf.unset(key)
+        except Exception:
+            pass
 
 
 def _table_paths(path: str) -> dict[str, str]:
@@ -103,10 +158,15 @@ def try_execute_attach(spark: SparkSession, sql_string: str) -> bool:
                 "created by ATTACH; pick another alias or DROP it first"
             )
         lower = path.lower()
+        if lower.startswith("jdbc:"):
+            _attach_jdbc(spark, path, name)
+            _ATTACHED[name] = "jdbc"
+            return True
         if lower.endswith((".db", ".duckdb", ".sqlite", ".sqlite3")):
             raise ValueError(
-                f"ATTACH: no in-process Spark reader for {path!r}; map it as "
-                "a JDBC catalog (spark.sql.catalog.<name>) on a cluster"
+                f"ATTACH: no in-process Spark reader for {path!r}; expose "
+                "the engine over JDBC and ATTACH 'jdbc:<engine>://...' "
+                "with its driver jar on the classpath"
             )
         tables = _table_paths(path)
         if not tables:
@@ -114,7 +174,7 @@ def try_execute_attach(spark: SparkSession, sql_string: str) -> bool:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
         for table, tpath in tables.items():
             spark.sql(_view_sql(name, table, tpath))
-        _ATTACHED.add(name)
+        _ATTACHED[name] = "views"
         return True
     m = _DETACH_RE.match(sql_string)
     if m:
@@ -125,7 +185,10 @@ def try_execute_attach(spark: SparkSession, sql_string: str) -> bool:
             raise ValueError(
                 f"DETACH: {name!r} is not an attached database"
             )
-        spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
-        _ATTACHED.discard(name)
+        if _ATTACHED.get(name) == "jdbc":
+            _detach_jdbc(spark, name)
+        else:
+            spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+        _ATTACHED.pop(name, None)
         return True
     return False

@@ -74,12 +74,26 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 _FEATURE_SCHEMA = (
     "media_id long, n_bytes int, fake_brightness double, fake_entropy double"
 )
+_REAL_FEATURE_SCHEMA = (
+    "media_id long, n_bytes int, brightness double, entropy double"
+)
 
 
-def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
+def extract_image_features(
+    df: DataFrame, strict: bool = False, decoder=None
+) -> DataFrame:
     """Per-image features via mapInPandas: Arrow-batched, one Python
     process per core, no per-row serde. `strict=True` raises instead of
-    faking, marking where the real codec belongs."""
+    faking, marking where the real codec belongs.
+
+    ``decoder`` is the real-codec adapter seam: a picklable callable
+    ``bytes -> {"n_bytes": int, "brightness": float, "entropy": float}``
+    (e.g. wrapping PIL on a cluster that has it). When provided, the
+    output columns are the real names (``brightness``/``entropy``); the
+    default stub keeps the ``fake_`` prefix so nobody mistakes md5-fakes
+    for decoded features. The Spark plumbing (batching, schema,
+    partitioning) is identical either way — installing codecs requires
+    no code change here, just passing the callable."""
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -87,11 +101,23 @@ def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                if decoder is not None:
+                    feats = decoder(data)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "n_bytes": feats["n_bytes"],
+                            "brightness": feats["brightness"],
+                            "entropy": feats["entropy"],
+                        }
+                    )
+                    continue
                 if strict:
                     raise NotImplementedError(
                         "image decode requires PIL; not in this environment"
                     )
-                feats = decode_image_stub(bytes(content) if content is not None else b"")
+                feats = decode_image_stub(data)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -102,7 +128,8 @@ def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.select("media_id", "content").mapInPandas(op, _FEATURE_SCHEMA)
+    schema = _REAL_FEATURE_SCHEMA if decoder is not None else _FEATURE_SCHEMA
+    return df.select("media_id", "content").mapInPandas(op, schema)
 
 
 _RESIZE_SCHEMA = (

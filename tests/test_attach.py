@@ -62,7 +62,7 @@ class TestAttach:
         assert "extdb2" not in [d.name for d in spark.catalog.listDatabases()]
 
     def test_unsupported_native_file_rejected(self, spark):
-        with pytest.raises(ValueError, match="JDBC catalog"):
+        with pytest.raises(ValueError, match="JDBC"):
             try_execute_attach(spark, "ATTACH '/tmp/x.duckdb' AS ddb")
 
     def test_missing_path_rejected(self, spark):
@@ -112,3 +112,41 @@ class TestAttach:
             assert not spark.catalog.tableExists("owned_db.nation")
         finally:
             spark.sql("DROP DATABASE IF EXISTS owned_db")
+
+
+class TestJdbcAttach:
+    """ATTACH 'jdbc:...' AS name — JDBCTableCatalog seam. No driver jars
+    exist in this environment, so success is exercised by stubbing the
+    availability probe; the real-world failure mode (no jar) must raise
+    a ValueError that says how to fix it."""
+
+    def test_missing_driver_errors_helpfully(self, spark):
+        with pytest.raises(ValueError, match="driver.*classpath|classpath"):
+            try_execute_attach(
+                spark, "ATTACH 'jdbc:postgresql://db.example/warehouse' AS pg"
+            )
+
+    def test_unknown_scheme_errors(self, spark):
+        with pytest.raises(ValueError, match="JDBC driver"):
+            try_execute_attach(spark, "ATTACH 'jdbc:weirddb://x' AS w")
+
+    def test_attach_detach_sets_and_clears_catalog_confs(self, spark, monkeypatch):
+        from shaper_spark import attach as attach_mod
+
+        monkeypatch.setattr(
+            attach_mod, "_jdbc_driver_available", lambda s, c: True
+        )
+        assert try_execute_attach(
+            spark, "ATTACH 'jdbc:postgresql://db.example/warehouse' AS pgc"
+        )
+        assert (
+            spark.conf.get("spark.sql.catalog.pgc")
+            == "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog"
+        )
+        assert (
+            spark.conf.get("spark.sql.catalog.pgc.url")
+            == "jdbc:postgresql://db.example/warehouse"
+        )
+        assert try_execute_attach(spark, "DETACH pgc")
+        with pytest.raises(Exception):
+            spark.conf.get("spark.sql.catalog.pgc")

@@ -108,3 +108,32 @@ class TestResize:
 
         with pytest.raises(Exception, match="PIL|NotImplemented"):
             resize_images(media, strict=True).collect()
+
+
+class TestDecoderInjection:
+    """Real-codec adapter seam: a cluster with PIL passes a decoder
+    callable; the stub (fake_* columns) stays the default."""
+
+    def test_injected_decoder_produces_real_columns(self, spark, media):
+        from shaper_spark.operators.multimodal import extract_image_features
+
+        def fake_real_decoder(data: bytes) -> dict:
+            return {
+                "n_bytes": len(data),
+                "brightness": (data[0] if data else 0) / 255.0,
+                "entropy": 0.5,
+            }
+
+        out = extract_image_features(media, decoder=fake_real_decoder)
+        assert out.columns == ["media_id", "n_bytes", "brightness", "entropy"]
+        rows = {r["media_id"]: r.asDict() for r in out.collect()}
+        assert all(r["entropy"] == 0.5 for r in rows.values())
+        first = media.orderBy("media_id").first()
+        expected = (bytes(first["content"])[0]) / 255.0
+        assert abs(rows[first["media_id"]]["brightness"] - expected) < 1e-9
+
+    def test_default_stays_stubbed(self, spark, media):
+        from shaper_spark.operators.multimodal import extract_image_features
+
+        out = extract_image_features(media)
+        assert "fake_brightness" in out.columns
