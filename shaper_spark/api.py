@@ -25,6 +25,9 @@ Routes re-expressed (reference server/web/routes.go:157-198):
   DELETE /api/tasks/<id>                        → delete + unschedule
   POST /api/run/task       {"id"}               → execute now, return result
   GET  /api/tasks/<id>/runs                     → task run results
+                                                  (?after=N&wait=S long-poll)
+  GET  /api/tasks/<id>/events                   → WebSocket result push
+                                                  (RFC6455, shaper_spark.ws)
 
 Out of scope by design (operational plumbing, SURVEY §0.7): auth/JWT
 users, invites, NATS event sourcing, React UI, PDF rendering. The
@@ -109,6 +112,50 @@ class ShaperServer:
                 n = int(self.headers.get("Content-Length") or 0)
                 return self.rfile.read(n) if n else b""
 
+            def _ws_task_events(self, task_id: str, _ws) -> None:
+                """RFC 6455 upgrade + one JSON text frame per task run
+                (reference: server/web/handler/task.go pushes results
+                over WS). Push-only: client frames are only inspected
+                for CLOSE; the connection also ends on server stop."""
+                key = self.headers.get("Sec-WebSocket-Key") or ""
+                self.send_response(101, "Switching Protocols")
+                self.send_header("Upgrade", "websocket")
+                self.send_header("Connection", "Upgrade")
+                self.send_header("Sec-WebSocket-Accept", _ws.accept_key(key))
+                self.end_headers()
+                self.wfile.flush()
+                import select as _select
+
+                sent = 0
+                try:
+                    while not outer._flusher_stop.is_set():
+                        runs = outer.scheduler.results.get(task_id, [])
+                        while sent < len(runs):
+                            frame = _ws.encode_text_frame(
+                                json.dumps(runs[sent].to_dict(), default=str)
+                            )
+                            self.wfile.write(frame)
+                            self.wfile.flush()
+                            sent += 1
+                        readable, _, _ = _select.select(
+                            [self.connection], [], [], 0.2
+                        )
+                        if not readable:
+                            continue
+                        head = self.rfile.read(2)
+                        if not head:
+                            break  # client went away
+                        opcode, _, length = _ws.decode_frame_header(head)
+                        if opcode == _ws.CLOSE_OPCODE:
+                            break
+                        # drain and ignore any other client frame payload
+                        # (mask key + data)
+                        self.rfile.read(4 + length)
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass
+                finally:
+                    self.close_connection = True
+
             def _list_opts(self, url) -> dict[str, Any]:
                 """?q= &sort= &order= &limit= &offset= (list_apps.go)."""
                 qs = parse_qs(url.query)
@@ -190,10 +237,32 @@ class ShaperServer:
                     if (
                         len(parts) == 4
                         and parts[:2] == ["api", "tasks"]
+                        and parts[3] == "events"
+                    ):
+                        # WebSocket task-result push, matching the
+                        # reference's WS events endpoint
+                        # (server/web/handler/task.go; gobwas/ws).
+                        # Non-upgrade requests get a pointer to the
+                        # long-poll runs endpoint.
+                        from . import ws as _ws
+
+                        if not _ws.is_upgrade_request(self.headers):
+                            return self._json(
+                                426,
+                                {
+                                    "error": "WebSocket upgrade required; "
+                                    "or long-poll GET "
+                                    f"/api/tasks/{parts[2]}/runs?after=N&wait=S"
+                                },
+                            )
+                        return self._ws_task_events(parts[2], _ws)
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "tasks"]
                         and parts[3] == "runs"
                     ):
                         # ?after=N&wait=S long-polls for runs beyond the
-                        # first N — the stdlib-server stand-in for the
+                        # first N — the polling fallback for the
                         # reference's WebSocket task events
                         # (server/web/handler/task.go).
                         qs = parse_qs(url.query)

@@ -367,3 +367,72 @@ class TestPdfDownloadServesHtml:
         text = body.decode()
         assert text.startswith("<!DOCTYPE html>")
         assert "Numbers" in text and "<table>" in text
+
+
+class TestWebSocketTaskEvents:
+    """Reference pushes task results over a WebSocket
+    (server/web/handler/task.go); minimal RFC6455 server push."""
+
+    def _handshake(self, srv, task_id):
+        import base64
+        import os
+        import socket
+
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        key = base64.b64encode(os.urandom(16)).decode()
+        req = (
+            f"GET /api/tasks/{task_id}/events HTTP/1.1\r\n"
+            f"Host: 127.0.0.1:{srv.port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        )
+        s.sendall(req.encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            resp += s.recv(4096)
+        head, rest = resp.split(b"\r\n\r\n", 1)
+        return s, key, head.decode(), rest
+
+    def _read_frame(self, s, buf):
+        import struct
+
+        while len(buf) < 2:
+            buf += s.recv(4096)
+        length = buf[1] & 0x7F
+        offset = 2
+        if length == 126:
+            while len(buf) < 4:
+                buf += s.recv(4096)
+            (length,) = struct.unpack("!H", buf[2:4])
+            offset = 4
+        while len(buf) < offset + length:
+            buf += s.recv(4096)
+        payload = buf[offset : offset + length]
+        return payload, buf[offset + length :]
+
+    def test_upgrade_and_result_push(self, server):
+        import json as _json
+
+        from shaper_spark.ws import accept_key
+
+        _post(server, "/api/tasks", {"id": "wst", "content": "SELECT 1 AS v"})
+        s, key, head, buf = self._handshake(server, "wst")
+        try:
+            assert "101" in head.splitlines()[0]
+            assert accept_key(key) in head
+            # trigger a run; its result must arrive as a WS text frame
+            _post(server, "/api/run/task", {"id": "wst"})
+            s.settimeout(15)
+            payload, buf = self._read_frame(s, buf)
+            run = _json.loads(payload)
+            assert run["success"] is True
+            assert run["queries"][0]["resultRows"] == [[1]]
+            # client close frame ends the loop server-side
+            s.sendall(b"\x88\x80\x00\x00\x00\x00")
+        finally:
+            s.close()
+
+    def test_non_upgrade_gets_426_pointer(self, server):
+        status, body = _get(server, "/api/tasks/whatever/events")
+        assert status == 426
+        assert b"runs?after" in body

@@ -217,3 +217,44 @@ class TestDedupPlanShapes:
         # one exchange for the hash aggregate, with a partial before it
         assert plan.count("Exchange") <= 2  # agg + AQE final read
         assert "partial_count" in plan or "partial" in plan
+
+
+class TestVectorKernelPlanShapes:
+    """The embedding operators must never materialize (corpus × queries)
+    pair rows: top-k is a per-partition mapInPandas against a closed-over
+    query matrix, and near-dup re-scoring sends only candidate ID pairs
+    through Arrow in the small-corpus path."""
+
+    def _emb(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.table("embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+
+    def test_cosine_topk_no_pair_join(self, spark):
+        from shaper_spark.operators.similarity import cosine_topk
+
+        emb = self._emb(spark)
+        df = cosine_topk(emb, emb.filter("vec_id < 5"), k=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # no join of any kind before the re-rank window — candidates come
+        # from a single Arrow map stage over the corpus
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "MapInPandas" in plan
+
+    def test_neardup_small_corpus_rescore_is_arrow_map(self, spark):
+        from shaper_spark.operators.dedup import embedding_near_dups
+
+        emb = self._emb(spark)
+        df = embedding_near_dups(emb, "vec_id", "embedding", threshold=0.9)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # re-score runs as mapInPandas over ID pairs — the vectors are
+        # in the closure, not in a join
+        assert "MapInPandas" in plan
+        if hasattr(df, "_cand"):
+            df._cand.unpersist()
