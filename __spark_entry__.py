@@ -1330,6 +1330,50 @@ ORDER BY n_name OFFSET 3 FETCH FIRST 5 ROWS ONLY
 """
 
 
+_RANGE_WINDOWS = """
+VALUES ('w1', TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-04 23:59:59'),
+       ('w2', TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-12 18:00:00'),
+       ('w3', TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-01-25 00:00:00'),
+       ('w4', TIMESTAMP '2024-01-20 12:00:00', TIMESTAMP '2024-01-22 12:00:00')
+"""
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via time-bin blocking
+    (shaper_spark/operators/rangejoin.py): events fall into overlapping
+    promo windows — w3/w4 overlap, so rows match multiple intervals.
+    The naive BETWEEN join is a BroadcastNestedLoopJoin; the operator
+    turns it into an equi-join on day bins (plan-asserted in tests)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.rangejoin import interval_join
+
+    _prep(spark, sf_dir)
+    windows = spark.sql(
+        f"SELECT * FROM ({_RANGE_WINDOWS}) AS t(win_id, win_start, win_end)"
+    )
+    pts = spark.table("events").select("event_id", "ts", "value")
+    joined = interval_join(
+        pts, windows, "ts", "win_start", "win_end", bin_seconds=86400
+    )
+    return (
+        joined.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("win_id")
+    )
+
+
+RANGE_JOIN_DUCK = f"""
+WITH w(win_id, win_start, win_end) AS ({_RANGE_WINDOWS})
+SELECT win_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events e JOIN w ON e.ts BETWEEN w.win_start AND w.win_end
+GROUP BY win_id ORDER BY win_id
+"""
+
+
 def _q_attach_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ATTACH maps a parquet directory to a catalog database of views
     (shaper_spark/attach.py; reference sql_validation.go:247-249), so
@@ -1391,7 +1435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "q6_revenue_filter": _sql(Q6_REVENUE),
         "nations_intersect": _sql(NATIONS_INTERSECT),
-        "percentiles": _sql(PERCENTILES_SPARK),
         "boxplot_whiskers": _sql(BOXPLOT_SPARK),
         "customer_rank_topk": _sql(CUSTOMER_RANK),
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
@@ -1436,7 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "show_tables": _q_show_tables,
         "attach_federation": _q_attach_federation,
         "setop_fetch": _dialect(SETOP_FETCH_DUCK),
+        "range_join_windows": _q_range_join,
         # -- tail: surface covered above; oracle = identical SQL string --
+        "percentiles": _sql(PERCENTILES_SPARK),
         "top_customers": _sql(TOP_CUSTOMERS),
         "monthly_revenue": _sql(MONTHLY_REVENUE),
         "status_pivot": _sql(STATUS_PIVOT),
@@ -1517,4 +1562,5 @@ def oracle_sql() -> dict[str, str]:
         "show_tables": SHOW_TABLES_DUCK,
         "attach_federation": ATTACH_FEDERATION_DUCK,
         "setop_fetch": SETOP_FETCH_DUCK,
+        "range_join_windows": RANGE_JOIN_DUCK,
     }
