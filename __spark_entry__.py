@@ -1397,22 +1397,22 @@ def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     daily = levels[86400]
-    # vavg recomputed from the 2dp-rounded total so both engines divide
-    # bit-identical inputs (raw avg sits on half-ULP rounding
-    # boundaries depending on summation order).
+    # The entry exposes the re-aggregable measures (n, total); avg is
+    # total/n and its partial-carry correctness is pinned by
+    # tests/test_timerollup.py. A rounded float avg column would sit on
+    # exact rounding-tie values (x.xxxx5) where Spark's HALF_UP decimal
+    # rounding and DuckDB's C-library rounding legitimately disagree.
     return daily.select(
         "bucket",
         "event_type",
         "n",
         F.round("total", 2).alias("total"),
-        F.round(F.round("total", 2) / F.col("n"), 4).alias("vavg"),
     ).orderBy("bucket", "event_type")
 
 
 ROLLUP_DAILY_DUCK = """
 SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
-       count(*) AS n, round(sum(value), 2) AS total,
-       round(round(sum(value), 2) / count(*), 4) AS vavg
+       count(*) AS n, round(sum(value), 2) AS total
 FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
 """
 
