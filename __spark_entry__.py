@@ -1330,6 +1330,73 @@ ORDER BY n_name OFFSET 3 FETCH FIRST 5 ROWS ONLY
 """
 
 
+def _q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val/test split
+    (shaper_spark/operators/sampling.py): md5-keyed on doc_id, so the
+    assignment is stable across runs/engines/cluster sizes and the
+    oracle replays it bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.sampling import hash_split
+
+    _prep(spark, sf_dir)
+    out = hash_split(
+        spark.table("documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+DOC_SPLIT_DUCK = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM h GROUP BY 1 ORDER BY split
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum sampling: 7 docs per language, winners chosen
+    by (md5 hash, id) order — exact counts (unlike Bernoulli sampleBy)
+    and a bit-replayable winner set."""
+    from shaper_spark.operators.sampling import stratified_exact_sample
+
+    _prep(spark, sf_dir)
+    return (
+        stratified_exact_sample(spark.table("documents"), ["lang"], 7, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_DUCK = """
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) <= 7
+ORDER BY lang, doc_id
+"""
+
+
 _RANGE_WINDOWS = """
 VALUES ('w1', TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-04 23:59:59'),
        ('w2', TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-12 18:00:00'),
@@ -1479,7 +1546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_filter": _sql(Q6_REVENUE),
         "nations_intersect": _sql(NATIONS_INTERSECT),
         "boxplot_whiskers": _sql(BOXPLOT_SPARK),
-        "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
         "customers_no_orders": _sql(CUSTOMERS_NO_ORDERS),
         "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
         "events_json_props": _sql(EVENTS_JSON_SPARK),
@@ -1523,7 +1589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_fetch": _dialect(SETOP_FETCH_DUCK),
         "range_join_windows": _q_range_join,
         "rollup_daily_cascade": _q_rollup_daily,
+        "doc_split_counts": _q_doc_split,
         # -- tail: surface covered above; oracle = identical SQL string --
+        "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
+        "stratified_sample_docs": _q_stratified_sample,
         "customer_rank_topk": _sql(CUSTOMER_RANK),
         "percentiles": _sql(PERCENTILES_SPARK),
         "top_customers": _sql(TOP_CUSTOMERS),
@@ -1608,4 +1677,6 @@ def oracle_sql() -> dict[str, str]:
         "setop_fetch": SETOP_FETCH_DUCK,
         "range_join_windows": RANGE_JOIN_DUCK,
         "rollup_daily_cascade": ROLLUP_DAILY_DUCK,
+        "doc_split_counts": DOC_SPLIT_DUCK,
+        "stratified_sample_docs": STRATIFIED_SAMPLE_DUCK,
     }

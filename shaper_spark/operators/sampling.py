@@ -1,0 +1,81 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+* ``hash_split`` — train/val/test assignment by hashing a key column:
+  stable across runs, engines, and cluster sizes (no RNG state), and
+  leakage-safe when keyed on a *group* column (URL/domain/document id):
+  every row of a group lands in the same split. One narrow projection,
+  no shuffle.
+* ``stratified_exact_sample`` — exactly n rows per stratum, chosen by
+  hash order (not ``sampleBy``, whose Bernoulli draw gives approximate
+  counts and varies with partitioning). One window shuffle on the
+  strata key; deterministic winner set.
+
+Hashes are md5-derived like the dedup family, so a DuckDB oracle
+replays assignments bit-for-bit (md5 + conv exist in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["hash_split", "stratified_exact_sample"]
+
+
+def _hash_unit(col, seed: str):
+    """Deterministic uniform [0, 1) from md5(seed:value) — first 8 hex
+    digits as a 32-bit integer over 2^32."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(float(1 << 32))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Append ``split_col`` assigning each row to a named split with the
+    given fractions (must sum to ~1). Keyed on ``key_col``: all rows
+    sharing a key get the same split — pick the grouping key (domain,
+    document id) to prevent train/eval leakage."""
+    total = sum(fractions.values())
+    if not fractions or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"hash_split: fractions must sum to 1, got {total}")
+    u = _hash_unit(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    *head, (last_name, _) = list(fractions.items())
+    for name, frac in head:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn(split_col, expr)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str,
+    seed: str = "sample",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, deterministically:
+    rows ranked by (hash, id) within each stratum, the first n win. One
+    shuffle on the strata key; ties impossible (id breaks them)."""
+    if n_per_stratum <= 0:
+        raise ValueError("stratified_exact_sample: n_per_stratum must be > 0")
+    u = _hash_unit(F.col(id_col), seed)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        u.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
