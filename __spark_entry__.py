@@ -1397,6 +1397,50 @@ ORDER BY lang, doc_id
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing
+    (shaper_spark/operators/packing.py): parallel across languages,
+    sequential within (the packing dependency), one Arrow applyInPandas
+    per group. The oracle replays the greedy rule with a recursive CTE
+    — full per-document chunk assignment is compared."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.packing import pack_sequences
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tokens"),
+    )
+    return (
+        pack_sequences(docs, ["lang"], "doc_id", "tokens", budget=2000)
+        .select("lang", "doc_id", "tokens", "chunk")
+        .orderBy("lang", "doc_id")
+    )
+
+
+PACK_SEQUENCES_DUCK = """
+WITH RECURSIVE t AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+  FROM documents
+),
+p AS (
+  SELECT lang, doc_id, tokens, rn, tokens AS cum, CAST(0 AS INT) AS chunk
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.lang, t.doc_id, t.tokens, t.rn,
+         CASE WHEN p.cum + t.tokens > 2000 THEN t.tokens
+              ELSE p.cum + t.tokens END,
+         CAST(CASE WHEN p.cum + t.tokens > 2000 THEN p.chunk + 1
+                   ELSE p.chunk END AS INT)
+  FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1
+)
+SELECT lang, doc_id, tokens, chunk FROM p ORDER BY lang, doc_id
+"""
+
+
 _RANGE_WINDOWS = """
 VALUES ('w1', TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-04 23:59:59'),
        ('w2', TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-12 18:00:00'),
@@ -1593,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: surface covered above; oracle = identical SQL string --
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
+        "pack_sequences_budget": _q_pack_sequences,
         "customer_rank_topk": _sql(CUSTOMER_RANK),
         "percentiles": _sql(PERCENTILES_SPARK),
         "top_customers": _sql(TOP_CUSTOMERS),
@@ -1679,4 +1724,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_daily_cascade": ROLLUP_DAILY_DUCK,
         "doc_split_counts": DOC_SPLIT_DUCK,
         "stratified_sample_docs": STRATIFIED_SAMPLE_DUCK,
+        "pack_sequences_budget": PACK_SEQUENCES_DUCK,
     }
