@@ -237,9 +237,10 @@ class TestVectorKernelPlanShapes:
 
         emb = self._emb(spark)
         df = cosine_topk(emb, emb.filter("vec_id < 5"), k=2)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        # no join of any kind before the re-rank window — candidates come
-        # from a single Arrow map stage over the corpus
+        # the distributed scoring pass: a single Arrow map stage over
+        # the corpus, no join of any kind (the final merge is a bounded
+        # driver-side step over partitions × q × k candidate rows)
+        plan = df._scoring_plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "SortMergeJoin" not in plan
