@@ -1441,6 +1441,45 @@ SELECT lang, doc_id, tokens, chunk FROM p ORDER BY lang, doc_id
 """
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (shaper_spark/operators/chunking.py):
+    64-token windows, stride 48 — native split/sequence/slice, no
+    shuffle. Chunk text replayed as md5 so the differential stays
+    row-per-chunk without megabytes of text."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.chunking import chunk_documents
+
+    _prep(spark, sf_dir)
+    out = chunk_documents(
+        spark.table("documents"), "doc_id", "text", size=64, stride=48
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+CHUNK_DOCS_DUCK = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ws,
+         unnest(range(1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT))) AS chunk_id
+  FROM w
+)
+SELECT doc_id, chunk_id,
+       len(ws[chunk_id*48 + 1 : chunk_id*48 + 64]) AS n_tokens,
+       md5(array_to_string(ws[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 _RANGE_WINDOWS = """
 VALUES ('w1', TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-04 23:59:59'),
        ('w2', TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-12 18:00:00'),
@@ -1638,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
         "pack_sequences_budget": _q_pack_sequences,
+        "chunk_docs_sliding": _q_chunk_docs,
         "customer_rank_topk": _sql(CUSTOMER_RANK),
         "percentiles": _sql(PERCENTILES_SPARK),
         "top_customers": _sql(TOP_CUSTOMERS),
@@ -1725,4 +1765,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_counts": DOC_SPLIT_DUCK,
         "stratified_sample_docs": STRATIFIED_SAMPLE_DUCK,
         "pack_sequences_budget": PACK_SEQUENCES_DUCK,
+        "chunk_docs_sliding": CHUNK_DOCS_DUCK,
     }
