@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pipeline operators whose
+semantics are easiest to get subtly wrong: greedy packing and the
+interval join. Spark execution is compared against tiny pure-Python
+reference implementations on randomized inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from shaper_spark.operators.packing import pack_sequences
+from shaper_spark.operators.rangejoin import interval_join
+
+
+def _ref_pack(tokens: list[int], budget: int) -> list[int]:
+    chunks, chunk, cum = [], 0, 0
+    for t in tokens:
+        if cum and cum + t > budget:
+            chunk += 1
+            cum = 0
+        cum += t
+        chunks.append(chunk)
+    return chunks
+
+
+class TestPackingProperties:
+    @given(
+        st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=30),
+        st.integers(min_value=1, max_value=120),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_reference_greedy(self, spark, tokens, budget):
+        df = spark.createDataFrame(
+            [("g", i, t) for i, t in enumerate(tokens)],
+            "grp string, doc long, tokens long",
+        )
+        got = {
+            r["doc"]: r["chunk"]
+            for r in pack_sequences(df, ["grp"], "doc", "tokens", budget).collect()
+        }
+        want = dict(enumerate(_ref_pack(tokens, budget)))
+        assert got == want
+
+
+def _ref_interval(points, intervals):
+    return {
+        (pid, iid)
+        for pid, ts in points
+        for iid, s, e in intervals
+        if s <= ts <= e
+    }
+
+
+_base = dt.datetime(2024, 1, 1)
+_ts = st.integers(min_value=0, max_value=14 * 86400).map(
+    lambda s: _base + dt.timedelta(seconds=s)
+)
+
+
+class TestIntervalJoinProperties:
+    @given(
+        st.lists(_ts, min_size=1, max_size=15),
+        st.lists(st.tuples(_ts, st.integers(min_value=0, max_value=3 * 86400)),
+                 min_size=1, max_size=8),
+        st.sampled_from([60, 3600, 86400]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_reference_join(self, spark, point_times, iv_specs, bin_s):
+        points = [(i, t) for i, t in enumerate(point_times)]
+        intervals = [
+            (f"i{j}", s, s + dt.timedelta(seconds=d))
+            for j, (s, d) in enumerate(iv_specs)
+        ]
+        pdf = spark.createDataFrame(points, "pid long, ts timestamp")
+        idf = spark.createDataFrame(
+            intervals, "iid string, s timestamp, e timestamp"
+        )
+        got = {
+            (r["pid"], r["iid"])
+            for r in interval_join(pdf, idf, "ts", "s", "e", bin_s).collect()
+        }
+        assert got == _ref_interval(points, intervals)
