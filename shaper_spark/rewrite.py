@@ -530,6 +530,42 @@ _OFFSET_LIMIT_RE = re.compile(
 )
 
 
+_DEC_LITERAL_RE = re.compile(r"(?<![\w.])(\d+\.\d+|\.\d+)(?![\w.])")
+
+
+def _double_mul_div_literals(sql: str) -> str:
+    """Decimal literals participating in ``*`` / ``/`` become double
+    literals (``100.0`` → ``100.0D``).
+
+    DuckDB's ``/`` is float division, so ``x * 100.0 / y`` comes back
+    DOUBLE (``20.2``); Spark types the literal DECIMAL(4,1) and
+    propagates decimal through the arithmetic, yielding
+    DecimalType(29,4) (``20.2000``) — numerically equal, serialized
+    differently, and every migrated percentage dashboard hits it. Only
+    literals textually adjacent to ``*`` or ``/`` are converted:
+    additive contexts keep Spark's exact decimal semantics (DuckDB's
+    ``0.1 + 0.2`` is decimal 0.3 — converting those would diverge the
+    other way)."""
+    states = _scan_states(sql)
+    out = []
+    last = 0
+    for m in _DEC_LITERAL_RE.finditer(sql):
+        s, e = m.span(1)
+        if states[s] != 0:
+            continue
+        lit = m.group(1)
+        if "e" in lit or "E" in lit:
+            continue  # exponent literals are already double
+        before = sql[:s].rstrip()[-1:] if sql[:s].rstrip() else ""
+        after = sql[e:].lstrip()[:1] if sql[e:].lstrip() else ""
+        if before in ("*", "/") or after in ("*", "/"):
+            out.append(sql[last:e])
+            out.append("D")
+            last = e
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _rename_functions(sql: str) -> str:
     states = _scan_states(sql)
     out: list[str] = []
@@ -811,6 +847,10 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # Function renames.
     sql = _rename_functions(sql)
+
+    # Decimal literals in * / arithmetic → double (DuckDB float-division
+    # result typing).
+    sql = _double_mul_div_literals(sql)
 
     # strftime %-codes inside date_format literals; regexp_replace 'g' flag.
     sql = _convert_strftime_literals(sql)

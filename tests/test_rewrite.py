@@ -237,3 +237,44 @@ class TestQueryTable:
             rewrite_statement("SELECT count(*) AS n FROM query_table('region')").sql
         ).collect()
         assert rows[0]["n"] == 5
+
+
+class TestDecimalDivisionLiterals:
+    """x * 100.0 / y must come back DOUBLE like DuckDB (float division),
+    not DecimalType(29,4) — the round-2 cte_share_pct hash skew."""
+
+    def test_mul_div_adjacent_literal_suffixed(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement("SELECT n * 100.0 / t AS pct FROM x").sql
+        assert "100.0D" in out
+
+    def test_divisor_literal_suffixed(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement("SELECT total / 2.5 AS half FROM x").sql
+        assert "2.5D" in out
+
+    def test_additive_literal_untouched(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement("SELECT price + 0.1 AS p, 1.5 AS v FROM x").sql
+        assert "0.1D" not in out and "1.5D" not in out
+
+    def test_string_and_suffixed_untouched(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement("SELECT 'a*1.5' AS s, 2.0D * n AS d FROM x").sql
+        assert "a*1.5" in out
+        assert "2.0DD" not in out
+
+    def test_executes_as_double(self, spark):
+        from shaper_spark.rewrite import rewrite_statement
+
+        df = spark.sql(
+            rewrite_statement(
+                "SELECT round(5 * 100.0 / 3, 4) AS pct"
+            ).sql
+        )
+        assert dict(df.dtypes)["pct"] == "double"
+        assert abs(df.first()["pct"] - 166.6667) < 1e-9
