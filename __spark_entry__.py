@@ -280,11 +280,15 @@ SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
 FROM orders GROUP BY o_custkey HAVING count(*) >= 5 ORDER BY o_custkey
 """
 
+# Deliberately NO explicit double cast on pct: the dialect rewriter's
+# decimal-literal rule (rewrite.py _double_mul_div_literals) must make
+# Spark's result DOUBLE exactly like DuckDB's float division — the
+# round-2 hash skew, fixed at the engine layer rather than per-query.
 CTE_RECURSIVE_STYLE = """
 WITH seg AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY 1),
      tot AS (SELECT sum(n) AS t FROM seg)
 SELECT s.c_mktsegment, CAST(s.n AS BIGINT) AS n,
-       CAST(round(s.n * 100.0 / t.t, 4) AS DOUBLE) AS pct
+       round(s.n * 100.0 / t.t, 4) AS pct
 FROM seg s CROSS JOIN tot t ORDER BY s.c_mktsegment
 """
 
@@ -1632,7 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": _sql(CUSTOMERS_NO_ORDERS),
         "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
         "events_json_props": _sql(EVENTS_JSON_SPARK),
-        "cte_share_pct": _sql(CTE_RECURSIVE_STYLE),
+        "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
         "dashboard_weekly": _dialect(DASHBOARD_WEEKLY_DIALECT),
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_jaccard,
