@@ -1484,6 +1484,40 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+# Vocabulary extraction (BPE-prep): token frequencies with document
+# frequency, min_df-filtered, deterministic rank. Pure codegen SQL —
+# explode + two-level aggregate, one shuffle on the token.
+VOCAB_TOP_TERMS = """
+WITH tok AS (
+  SELECT doc_id, tok FROM documents
+  LATERAL VIEW explode(split(text, ' ')) AS tok
+  WHERE length(tok) > 0
+),
+stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY tok
+)
+SELECT tok, tf, df FROM stats
+WHERE df >= 3
+ORDER BY tf DESC, tok LIMIT 30
+"""
+
+VOCAB_TOP_TERMS_DUCK = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+t2 AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
+stats AS (
+  SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM t2 GROUP BY tok
+)
+SELECT tok, tf, df FROM stats
+WHERE df >= 3
+ORDER BY tf DESC, tok LIMIT 30
+"""
+
+
 _RANGE_WINDOWS = """
 VALUES ('w1', TIMESTAMP '2024-01-02 00:00:00', TIMESTAMP '2024-01-04 23:59:59'),
        ('w2', TIMESTAMP '2024-01-10 06:00:00', TIMESTAMP '2024-01-12 18:00:00'),
@@ -1682,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": _q_stratified_sample,
         "pack_sequences_budget": _q_pack_sequences,
         "chunk_docs_sliding": _q_chunk_docs,
+        "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
         "customer_rank_topk": _sql(CUSTOMER_RANK),
         "percentiles": _sql(PERCENTILES_SPARK),
         "top_customers": _sql(TOP_CUSTOMERS),
@@ -1770,4 +1805,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": STRATIFIED_SAMPLE_DUCK,
         "pack_sequences_budget": PACK_SEQUENCES_DUCK,
         "chunk_docs_sliding": CHUNK_DOCS_DUCK,
+        "vocab_top_terms": VOCAB_TOP_TERMS_DUCK,
     }
