@@ -149,7 +149,19 @@ class ShaperServer:
                         if opcode == _ws.CLOSE_OPCODE:
                             break
                         # drain and ignore any other client frame payload
-                        # (mask key + data)
+                        # (extended length field, mask key, data)
+                        if length == 126:
+                            import struct as _struct
+
+                            (length,) = _struct.unpack(
+                                "!H", self.rfile.read(2)
+                            )
+                        elif length == 127:
+                            import struct as _struct
+
+                            (length,) = _struct.unpack(
+                                "!Q", self.rfile.read(8)
+                            )
                         self.rfile.read(4 + length)
                 except (BrokenPipeError, ConnectionResetError, OSError):
                     pass
