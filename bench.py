@@ -18,6 +18,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Round-3 pipeline operators, measured separately so the headline series
+# stays comparable across rounds.
+EXTRAS = [
+    "range_join_windows",
+    "rollup_daily_cascade",
+    "doc_split_counts",
+    "stratified_sample_docs",
+    "pack_sequences_budget",
+    "chunk_docs_sliding",
+    "vocab_top_terms",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -64,8 +76,11 @@ def main() -> None:
     # also pays whole-stage-codegen compilation.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
+    extra_timings: dict[str, float] = {}
     for _pass in range(passes):
-        for name in HEADLINE:
+        for name, sink in [(n, timings) for n in HEADLINE] + [
+            (n, extra_timings) for n in EXTRAS
+        ]:
             fn = queries.get(name)
             if fn is None:
                 continue
@@ -75,13 +90,14 @@ def main() -> None:
                 _ = len(rows)
             except Exception as e:  # a failed query counts as missing, loudly
                 print(f"bench error in {name}: {e}", file=sys.stderr)
-                timings[name] = -1.0
+                sink[name] = -1.0
                 continue
             dt_ = time.perf_counter() - t0
-            prev = timings.get(name)
+            prev = sink.get(name)
             if prev is None or (prev > 0 and dt_ < prev):
-                timings[name] = dt_
+                sink[name] = dt_
     timings = {k: round(v, 4) for k, v in timings.items()}
+    extra_timings = {k: round(v, 4) for k, v in extra_timings.items()}
     total = sum(v for v in timings.values() if v > 0)
 
     # Per-query DuckDB reference times on the identical oracle SQL and
@@ -97,6 +113,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra_timings,
+                "extra_duckdb": _duckdb_reference(entrymod, sf_dir, EXTRAS),
                 "duckdb_ref": duck,
                 "duckdb_total": round(
                     sum(v for v in duck.values() if v > 0), 4
@@ -107,7 +125,9 @@ def main() -> None:
     )
 
 
-def _duckdb_reference(entrymod, sf_dir: str) -> dict[str, float]:
+def _duckdb_reference(
+    entrymod, sf_dir: str, names: list[str] | None = None
+) -> dict[str, float]:
     try:
         import duckdb
     except Exception:
@@ -123,7 +143,7 @@ def _duckdb_reference(entrymod, sf_dir: str) -> dict[str, float]:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     out: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names if names is not None else HEADLINE:
         sql = oracles.get(name)
         if sql is None:
             continue
