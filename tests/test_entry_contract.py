@@ -61,5 +61,5 @@ def test_bench_headline_names_exist():
     import bench
 
     q = set(entry.queries())
-    missing = [n for n in bench.HEADLINE if n not in q]
+    missing = [n for n in bench.HEADLINE + bench.EXTRAS if n not in q]
     assert not missing, missing
