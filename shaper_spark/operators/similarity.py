@@ -44,8 +44,8 @@ def cosine_topk(
     emits only its local top-k per query, so corpus vectors cross the
     Arrow boundary exactly once and no (corpus × queries) pair rows are
     ever materialized (the join formulation transferred both vectors per
-    pair — the dominant cost). A final window over the
-    partitions × |q| × k candidate rows produces the global ranking.
+    pair — the dominant cost). The bounded partitions × |q| × k
+    candidate set then merges driver-side into the global ranking.
     Zero-norm vectors have no defined cosine and never rank."""
     import numpy as np
 
