@@ -181,13 +181,24 @@ _AUDIO_SCHEMA = (
     "media_id long, n_bytes int, fake_sample_rate int, "
     "fake_rms double, fake_duration_ms long"
 )
+_REAL_AUDIO_SCHEMA = (
+    "media_id long, n_bytes int, sample_rate int, "
+    "rms double, duration_ms long"
+)
 
 
-def extract_audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
+def extract_audio_features(
+    df: DataFrame, strict: bool = False, decoder=None
+) -> DataFrame:
     """Per-clip audio features via mapInPandas (same Arrow-batched shape
     as images). STUB: sample-rate/RMS are md5-derived and duration comes
     from metadata; a real implementation swaps in librosa/soundfile —
-    the batch iteration, schema, and partitioning stay identical."""
+    the batch iteration, schema, and partitioning stay identical.
+
+    ``decoder`` mirrors the image seam: a picklable callable
+    ``bytes -> {"n_bytes", "sample_rate", "rms"}`` producing real
+    features (columns lose the ``fake_`` prefix); the stub stays the
+    default."""
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -197,12 +208,26 @@ def extract_audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
             for media_id, content, duration in zip(
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
+                data = bytes(content) if content is not None else b""
+                if decoder is not None:
+                    feats = decoder(data)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "n_bytes": feats["n_bytes"],
+                            "sample_rate": feats["sample_rate"],
+                            "rms": feats["rms"],
+                            "duration_ms": 0
+                            if pd.isna(duration)
+                            else int(duration),
+                        }
+                    )
+                    continue
                 if strict:
                     raise NotImplementedError(
                         "audio decode requires librosa/soundfile; "
                         "not in this environment"
                     )
-                data = bytes(content) if content is not None else b""
                 h = hashlib.md5(data).digest()
                 rows.append(
                     {
@@ -218,19 +243,24 @@ def extract_audio_features(df: DataFrame, strict: bool = False) -> DataFrame:
                 )
             yield pd.DataFrame(
                 rows,
-                columns=[
-                    "media_id",
-                    "n_bytes",
-                    "fake_sample_rate",
-                    "fake_rms",
-                    "fake_duration_ms",
-                ],
+                columns=(
+                    ["media_id", "n_bytes", "sample_rate", "rms", "duration_ms"]
+                    if decoder is not None
+                    else [
+                        "media_id",
+                        "n_bytes",
+                        "fake_sample_rate",
+                        "fake_rms",
+                        "fake_duration_ms",
+                    ]
+                ),
             )
 
     flat = df.select(
         "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     )
-    return flat.mapInPandas(op, _AUDIO_SCHEMA)
+    schema = _REAL_AUDIO_SCHEMA if decoder is not None else _AUDIO_SCHEMA
+    return flat.mapInPandas(op, schema)
 
 
 _FRAME_SCHEMA = "media_id long, frame_idx int, frame_md5 string"

@@ -137,3 +137,17 @@ class TestDecoderInjection:
 
         out = extract_image_features(media)
         assert "fake_brightness" in out.columns
+
+    def test_injected_audio_decoder(self, spark, media):
+        from shaper_spark.operators.multimodal import extract_audio_features
+
+        def fake_real(data: bytes) -> dict:
+            return {"n_bytes": len(data), "sample_rate": 16000, "rms": 0.25}
+
+        out = extract_audio_features(media, decoder=fake_real)
+        assert out.columns == [
+            "media_id", "n_bytes", "sample_rate", "rms", "duration_ms",
+        ]
+        rows = {r["media_id"]: r.asDict() for r in out.collect()}
+        assert all(r["sample_rate"] == 16000 for r in rows.values())
+        assert rows[2]["duration_ms"] == 2500
