@@ -1369,7 +1369,7 @@ WITH h AS (
 SELECT CASE WHEN u < 0.8 THEN 'train'
             WHEN u < 0.9 THEN 'val'
             ELSE 'test' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM h GROUP BY 1 ORDER BY split
 """
 
@@ -1477,8 +1477,8 @@ c AS (
          unnest(range(1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT))) AS chunk_id
   FROM w
 )
-SELECT doc_id, chunk_id,
-       len(ws[chunk_id*48 + 1 : chunk_id*48 + 64]) AS n_tokens,
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(ws[chunk_id*48 + 1 : chunk_id*48 + 64]) AS INT) AS n_tokens,
        md5(array_to_string(ws[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')) AS chunk_md5
 FROM c ORDER BY doc_id, chunk_id
 """
@@ -1653,19 +1653,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 63 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 70 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
-    CORRECTNESS gate checks a bounded prefix (50 in round 2).  The tail
-    holds entries whose surface is redundantly covered by a prefix entry
-    (e.g. ``moving_avg_7d`` by ``range_frame_revenue``/
-    ``cumulative_revenue``) and whose oracle is the identical SQL string
-    run on both engines — lowest marginal information."""
+    CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
+    Rotation policy (also documented in README): every *new* operator
+    enters the first-50 prefix immediately, displacing the oldest
+    identical-SQL-string entry that has passed the official gate in at
+    least two prior rounds (those carry the lowest marginal information
+    — the same SQL text runs on both engines).  Round 4 rotated
+    ``nations_intersect``/``values_inline``/``count_filter_orders``/
+    ``orders_unpivot`` (green in r02+r03) out for the four round-3
+    pipeline operators that had no official row."""
     return {
         "q1_pricing_summary": _sql(Q1_PRICING),
         "q3_shipping_priority": _sql(Q3_SHIPPING),
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "q6_revenue_filter": _sql(Q6_REVENUE),
-        "nations_intersect": _sql(NATIONS_INTERSECT),
+        "stratified_sample_docs": _q_stratified_sample,
         "boxplot_whiskers": _sql(BOXPLOT_SPARK),
         "customers_no_orders": _sql(CUSTOMERS_NO_ORDERS),
         "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
@@ -1686,12 +1690,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": _q_embedding_pairs_exact,
         "similarity_lsh_topk": _q_lsh_topk,
         "summarize_table": _q_summarize,
-        "orders_unpivot": _sql(ORDERS_UNPIVOT),
+        "pack_sequences_budget": _q_pack_sequences,
         "recursive_series": _sql(RECURSIVE_SERIES),
         "grouping_sets_revenue": _sql(GROUPING_SETS_REVENUE),
         "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
-        "values_inline": _sql(VALUES_INLINE),
-        "count_filter_orders": _sql(COUNT_FILTER_ORDERS),
+        "chunk_docs_sliding": _q_chunk_docs,
+        "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
         "from_first": _dialect(FROM_FIRST),
         "qualify_top_parts": _dialect(QUALIFY_TOP_PARTS),
         "string_agg_nations": _q_string_agg,
@@ -1711,12 +1715,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": _q_range_join,
         "rollup_daily_cascade": _q_rollup_daily,
         "doc_split_counts": _q_doc_split,
-        # -- tail: surface covered above; oracle = identical SQL string --
+        # -- tail: surface covered by a prefix entry; every entry here has
+        # passed the official gate in a prior round (r02/r03) or is
+        # rows-only by nature (explain_plan) --
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
-        "stratified_sample_docs": _q_stratified_sample,
-        "pack_sequences_budget": _q_pack_sequences,
-        "chunk_docs_sliding": _q_chunk_docs,
-        "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
+        "nations_intersect": _sql(NATIONS_INTERSECT),
+        "values_inline": _sql(VALUES_INLINE),
+        "count_filter_orders": _sql(COUNT_FILTER_ORDERS),
+        "orders_unpivot": _sql(ORDERS_UNPIVOT),
         "customer_rank_topk": _sql(CUSTOMER_RANK),
         "percentiles": _sql(PERCENTILES_SPARK),
         "top_customers": _sql(TOP_CUSTOMERS),
