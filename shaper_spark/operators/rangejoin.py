@@ -52,7 +52,14 @@ def interval_join(
     s_bin = (F.unix_timestamp(F.col(start_col)) / bin_s).cast("bigint")
     e_bin = (F.unix_timestamp(F.col(end_col)) / bin_s).cast("bigint")
 
-    p = points.withColumn("__bin", p_bin)
+    # Surrogate row id so the LEFT path can identify unmatched points by
+    # identity, not row equality: NULL-bearing rows never equal
+    # themselves under null-unsafe equality, and exact-duplicate rows
+    # must each keep their own matched/unmatched status. The id is
+    # (partition << 33 | offset) — stable across the two subtrees
+    # because the scan's partition layout is deterministic.
+    p0 = points.withColumn("__rj_id", F.monotonically_increasing_id())
+    p = p0.withColumn("__bin", p_bin)
     # One posting row per bin the interval overlaps. sequence() here is
     # a native (codegen'd) generator, not a lambda HOF.
     iv = intervals.withColumn(
@@ -65,15 +72,14 @@ def interval_join(
     ]
     joined = p.join(iv, cond, "inner").drop("__bin")
     if how == "inner":
-        return joined
+        return joined.drop("__rj_id")
     # LEFT: events in empty bins never reach the equi-join, so recover
-    # unmatched points with an anti-join and null interval columns.
-    matched_keys = joined.select(*[p[c] for c in points.columns])
-    unmatched = p.drop("__bin").join(
-        matched_keys, on=list(points.columns), how="left_anti"
-    )
+    # unmatched points with an anti-join on the surrogate id and null
+    # interval columns.
+    matched_ids = joined.select(p["__rj_id"])
+    unmatched = p0.join(matched_ids, on="__rj_id", how="left_anti")
     for c in intervals.columns:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
-    return joined.unionByName(unmatched)
+    return joined.unionByName(unmatched).drop("__rj_id")

@@ -81,3 +81,51 @@ class TestIntervalJoinProperties:
             for r in interval_join(pdf, idf, "ts", "s", "e", bin_s).collect()
         }
         assert got == _ref_interval(points, intervals)
+
+    @given(
+        st.lists(
+            st.tuples(_ts, st.one_of(st.none(), st.floats(0, 100)),
+                      st.booleans()),  # (ts, nullable payload, duplicate?)
+            min_size=1, max_size=10,
+        ),
+        st.lists(st.tuples(_ts, st.integers(min_value=0, max_value=3 * 86400)),
+                 min_size=1, max_size=6),
+        st.sampled_from([3600, 86400]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_left_join_row_identity_with_nulls_and_dups(
+        self, spark, point_specs, iv_specs, bin_s
+    ):
+        """Every physical point row yields exactly its matched interval
+        ids, or a single NULL row — regardless of NULL payloads or
+        exact-duplicate rows (row identity, not row equality)."""
+        points = []
+        for i, (t, payload, dup) in enumerate(point_specs):
+            points.append((i, t, payload))
+            if dup:
+                points.append((i, t, payload))
+        intervals = [
+            (f"i{j}", s, s + dt.timedelta(seconds=d))
+            for j, (s, d) in enumerate(iv_specs)
+        ]
+        pdf = spark.createDataFrame(points, "pid long, ts timestamp, v double")
+        idf = spark.createDataFrame(
+            intervals, "iid string, s timestamp, e timestamp"
+        )
+        out = interval_join(
+            pdf, idf, "ts", "s", "e", bin_s, how="left"
+        ).collect()
+        got: dict[int, list] = {}
+        for r in out:
+            got.setdefault(r["pid"], []).append(r["iid"])
+        n_copies = {pid: sum(1 for p, _, _ in points if p == pid)
+                    for pid, _, _ in points}
+        matches = _ref_interval(
+            [(pid, t) for pid, t, _ in points], intervals
+        )
+        for pid, _, _ in points:
+            ivs = sorted(i for p, i in matches if p == pid)
+            want = (ivs or [None]) * n_copies[pid]
+            assert sorted(got[pid], key=lambda x: (x is None, x)) == sorted(
+                want, key=lambda x: (x is None, x)
+            ), f"pid={pid}"

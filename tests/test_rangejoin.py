@@ -97,6 +97,63 @@ class TestIntervalJoin:
             or "CartesianProduct" in naive_plan
         )
 
+    def test_left_join_null_and_duplicate_point_rows(self, spark, data):
+        """Row identity, not row equality: a matched point row with a
+        NULL column must not also be emitted unmatched (NULL != NULL
+        under null-unsafe equality), and exact-duplicate point rows must
+        each keep their own matched/unmatched row."""
+        _, intervals = data
+        ts = dt.datetime.fromisoformat
+        points = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 05:00:00"), None),  # matched a+b, NULL col
+                (4, ts("2024-01-05 00:00:00"), None),  # unmatched, NULL col
+                (7, ts("2024-01-06 00:00:00"), 70.0),  # unmatched dup ×2
+                (7, ts("2024-01-06 00:00:00"), 70.0),
+            ],
+            "event_id long, ts timestamp, value double",
+        )
+        out = interval_join(
+            points, intervals, "ts", "win_start", "win_end", 3600, how="left"
+        ).collect()
+        assert "__rj_id" not in interval_join(
+            points, intervals, "ts", "win_start", "win_end", 3600, how="left"
+        ).columns
+        by_event = {}
+        for r in out:
+            by_event.setdefault(r["event_id"], []).append(r["win_id"])
+        # event 1 matched both overlapping intervals a/b — and is NOT
+        # also emitted with a NULL win_id
+        assert sorted(by_event[1]) == ["a", "b"]
+        # unmatched NULL-bearing row appears exactly once
+        assert by_event[4] == [None]
+        # both duplicate unmatched rows survive
+        assert by_event[7] == [None, None]
+
+    def test_inner_matches_naive_with_nulls(self, spark, data):
+        _, intervals = data
+        ts = dt.datetime.fromisoformat
+        points = spark.createDataFrame(
+            [
+                (1, ts("2024-01-01 00:30:00"), None),
+                (1, ts("2024-01-01 00:30:00"), None),  # duplicate
+                (3, ts("2024-01-02 12:00:00"), 30.0),
+            ],
+            "event_id long, ts timestamp, value double",
+        )
+        got = interval_join(
+            points, intervals, "ts", "win_start", "win_end", 3600
+        )
+        assert "__rj_id" not in got.columns
+        pairs = sorted(
+            (r["event_id"], r["win_id"]) for r in got.collect()
+        )
+        want = sorted(
+            (r["event_id"], r["win_id"])
+            for r in self._naive(points, intervals).collect()
+        )
+        assert pairs == want
+
     def test_invalid_args(self, spark, data):
         points, intervals = data
         with pytest.raises(ValueError):
