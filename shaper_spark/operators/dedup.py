@@ -404,19 +404,25 @@ def embedding_near_dups(
         return score(a.join(b, F.col("id_a") < F.col("id_b")))
 
     # Re-score strategy probe. The join formulation Arrow-transfers BOTH
-    # 64-double vectors per candidate pair into the cosine kernel —
-    # hundreds of MB for ~10^6 candidates, the dominant cost. When the
-    # corpus is small enough to hold per-task (the same regime where the
-    # vector joins would broadcast anyway), ship the normalized corpus
-    # matrix inside a mapInPandas closure instead and send only the ID
-    # pairs through Arrow: one einsum per batch, no vector shuffle at
-    # all. Above the cutoff (≈100 MB of vectors) fall back to the
-    # shuffle-join + pair kernel, which scales without a driver-side
-    # matrix. The probe is a CollectLimit — at petabyte scale it stops
-    # after the first ~200k rows instead of scanning the corpus.
-    _CUTOFF = 200_000
-    side_pdf = side.limit(_CUTOFF + 1).toPandas() if not exact else None
-    small = side_pdf is not None and len(side_pdf) <= _CUTOFF
+    # full vectors per candidate pair into the cosine kernel — hundreds
+    # of MB for ~10^6 candidates, the dominant cost. When the corpus is
+    # small enough to hold per-task (the same regime where the vector
+    # joins would broadcast anyway), ship the normalized corpus matrix
+    # inside a mapInPandas closure instead and send only the ID pairs
+    # through Arrow: one einsum per batch, no vector shuffle at all.
+    # Above the cutoff fall back to the shuffle-join + pair kernel,
+    # which scales without a driver-side matrix. The cutoff is derived
+    # from actual bytes (rows × dim × 8), not a fixed row count — 200k
+    # rows of 1024-dim vectors would be ~1.6 GB on the driver. Dim is
+    # probed with a single-row job; the collect itself is a CollectLimit
+    # that stops after max_rows+1 rows, never a corpus scan.
+    _BYTES_BUDGET = 100 << 20  # ~100 MB of corpus matrix per executor task
+    _ROW_CAP = 200_000
+    head = side.select(F.size("v").alias("d")).first()
+    dim = head["d"] if head is not None and head["d"] else 0
+    max_rows = min(_ROW_CAP, _BYTES_BUDGET // (dim * 8)) if dim > 0 else 0
+    side_pdf = side.limit(max_rows + 1).toPandas() if max_rows else None
+    small = side_pdf is not None and len(side_pdf) <= max_rows
 
     buckets = side.select(
         "id",
