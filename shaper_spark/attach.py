@@ -11,10 +11,14 @@ predicate pushdown (views inline into the scan).
 
 Supported paths: a directory containing ``<table>.parquet`` files or
 directories, or a single ``.parquet`` file (one table named after the
-file stem). Other engines' native files (.duckdb/.sqlite) have no
-in-process Spark reader; on a cluster those become JDBC catalog
-entries — rejected here with that pointer rather than silently
-no-op'd.
+file stem). Native ``.duckdb``/``.sqlite`` files have no in-process
+Spark reader; when the ``duckdb``/``sqlite3`` Python modules are
+available the file's tables are exported once to a temporary parquet
+directory and attached as views — the same materialization shape the
+reference's snapshot path uses (``EXPORT DATABASE ... (FORMAT
+parquet)``, ``server/snapshots/snapshots.go:233``). Without the
+module, the statement errors with the cluster-native pointer: expose
+the engine over JDBC and ``ATTACH 'jdbc:...'`` (JDBCTableCatalog).
 
 DETACH drops the database. Views carry no data, so the external files
 are never touched — matching DuckDB detach semantics.
@@ -49,8 +53,9 @@ _DETACH_RE = re.compile(
 # a regular Spark database (typo/collision) must error, not CASCADE-drop
 # managed tables; likewise ATTACH refuses to merge into an existing
 # un-attached database (DuckDB errors on duplicate catalog names).
-# Values record the attach kind: "views" (parquet) or "jdbc" (catalog).
-_ATTACHED: dict[str, str] = {}
+# Values record the attach kind ("views" or "jdbc") and, for native-file
+# attaches, the temporary parquet export directory DETACH must remove.
+_ATTACHED: dict[str, tuple[str, str | None]] = {}
 
 # JDBC scheme → driver class, for the ``ATTACH 'jdbc:...' AS name``
 # extension seam. The reference attaches any DuckDB-readable database
@@ -107,6 +112,104 @@ def _detach_jdbc(spark: SparkSession, name: str) -> None:
             pass
 
 
+def _export_duckdb(path: str, out_dir: str) -> dict[str, str]:
+    """Export every main-schema table/view of a DuckDB file to
+    ``out_dir/<table>.parquet``; returns table → parquet path."""
+    import duckdb
+
+    con = duckdb.connect(path, read_only=True)
+    try:
+        names = [
+            r[0]
+            for r in con.execute(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'main' "
+                "AND table_type IN ('BASE TABLE', 'VIEW') ORDER BY 1"
+            ).fetchall()
+        ]
+        out = {}
+        for t in names:
+            dest = os.path.join(out_dir, f"{t}.parquet")
+            q = t.replace('"', '""')
+            d = dest.replace("'", "''")
+            con.execute(
+                f'COPY (SELECT * FROM "{q}") TO \'{d}\' (FORMAT parquet)'
+            )
+            out[t] = dest
+        return out
+    finally:
+        con.close()
+
+
+def _export_sqlite(path: str, out_dir: str) -> dict[str, str]:
+    """Export every table of a SQLite file to parquet via Arrow. A
+    single-file SQLite database is inherently single-node data, so the
+    driver-side pass-through mirrors what any reader must do."""
+    import sqlite3
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        names = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type IN "
+                "('table', 'view') AND name NOT LIKE 'sqlite_%' ORDER BY 1"
+            )
+        ]
+        out = {}
+        for t in names:
+            q = t.replace('"', '""')
+            cur = con.execute(f'SELECT * FROM "{q}"')
+            cols = [d[0] for d in cur.description]
+            rows = cur.fetchall()
+            table = pa.table(
+                {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+            )
+            dest = os.path.join(out_dir, f"{t}.parquet")
+            pq.write_table(table, dest)
+            out[t] = dest
+        return out
+    finally:
+        con.close()
+
+
+def _export_native(path: str, name: str) -> tuple[dict[str, str], str]:
+    """Materialize a native .duckdb/.sqlite file as parquet in a fresh
+    temp dir. ``.db`` is tried as DuckDB first, then SQLite (both
+    engines use the extension in the wild)."""
+    import shutil
+    import tempfile
+
+    lower = path.lower()
+    attempts = (
+        [_export_duckdb, _export_sqlite]
+        if lower.endswith((".db", ".duckdb"))
+        else [_export_sqlite, _export_duckdb]
+    )
+    out_dir = tempfile.mkdtemp(prefix=f"shaper_attach_{name}_")
+    errors = []
+    for exporter in attempts:
+        try:
+            tables = exporter(path, out_dir)
+            if tables:
+                return tables, out_dir
+            errors.append(f"{exporter.__name__}: no tables")
+        except ImportError as exc:
+            errors.append(f"{exporter.__name__}: module missing ({exc})")
+        except Exception as exc:  # wrong format / corrupt file
+            errors.append(f"{exporter.__name__}: {exc}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    raise ValueError(
+        f"ATTACH: could not read {path!r} in-process "
+        f"({'; '.join(errors)}); alternatively expose the engine over "
+        "JDBC and ATTACH 'jdbc:<engine>://...' with its driver jar on "
+        "the classpath"
+    )
+
+
 def _table_paths(path: str) -> dict[str, str]:
     """Map table name → parquet path for an attach target."""
     if os.path.isfile(path) or path.endswith(".parquet") and os.path.exists(path):
@@ -160,21 +263,21 @@ def try_execute_attach(spark: SparkSession, sql_string: str) -> bool:
         lower = path.lower()
         if lower.startswith("jdbc:"):
             _attach_jdbc(spark, path, name)
-            _ATTACHED[name] = "jdbc"
+            _ATTACHED[name] = ("jdbc", None)
             return True
+        tmpdir = None
         if lower.endswith((".db", ".duckdb", ".sqlite", ".sqlite3")):
-            raise ValueError(
-                f"ATTACH: no in-process Spark reader for {path!r}; expose "
-                "the engine over JDBC and ATTACH 'jdbc:<engine>://...' "
-                "with its driver jar on the classpath"
-            )
-        tables = _table_paths(path)
+            if not os.path.exists(path):
+                raise ValueError(f"ATTACH: {path!r} does not exist")
+            tables, tmpdir = _export_native(path, name)
+        else:
+            tables = _table_paths(path)
         if not tables:
             raise ValueError(f"ATTACH: no parquet tables found at {path!r}")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
         for table, tpath in tables.items():
             spark.sql(_view_sql(name, table, tpath))
-        _ATTACHED[name] = "views"
+        _ATTACHED[name] = ("views", tmpdir)
         return True
     m = _DETACH_RE.match(sql_string)
     if m:
@@ -185,10 +288,15 @@ def try_execute_attach(spark: SparkSession, sql_string: str) -> bool:
             raise ValueError(
                 f"DETACH: {name!r} is not an attached database"
             )
-        if _ATTACHED.get(name) == "jdbc":
+        kind, tmpdir = _ATTACHED[name]
+        if kind == "jdbc":
             _detach_jdbc(spark, name)
         else:
             spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+        if tmpdir:
+            import shutil
+
+            shutil.rmtree(tmpdir, ignore_errors=True)
         _ATTACHED.pop(name, None)
         return True
     return False

@@ -2,6 +2,8 @@
 memory-mode side effect, :247-249 task allowance; Spark mapping =
 catalog database of parquet-backed views)."""
 
+import os
+
 import pytest
 
 from shaper_spark.attach import try_execute_attach
@@ -61,9 +63,61 @@ class TestAttach:
         assert os.path.exists(f"{SF}/nation.parquet")
         assert "extdb2" not in [d.name for d in spark.catalog.listDatabases()]
 
-    def test_unsupported_native_file_rejected(self, spark):
-        with pytest.raises(ValueError, match="JDBC"):
-            try_execute_attach(spark, "ATTACH '/tmp/x.duckdb' AS ddb")
+    def test_missing_native_file_rejected(self, spark):
+        with pytest.raises(ValueError, match="does not exist"):
+            try_execute_attach(spark, "ATTACH '/tmp/nope_x.duckdb' AS ddb")
+
+    def test_attach_native_duckdb_file(self, spark, tmp_path):
+        """A real .duckdb file attaches via the export-to-parquet
+        fallback (reference shape: EXPORT DATABASE (FORMAT parquet),
+        snapshots.go:233) and its tables are queryable as db.table."""
+        import duckdb
+
+        dbfile = str(tmp_path / "ext.duckdb")
+        con = duckdb.connect(dbfile)
+        con.execute("CREATE TABLE colors (id INTEGER, name VARCHAR)")
+        con.execute(
+            "INSERT INTO colors VALUES (1,'red'), (2,'green'), (3,'blue')"
+        )
+        con.execute("CREATE TABLE nums AS SELECT range AS n FROM range(10)")
+        con.close()
+        from shaper_spark.attach import _ATTACHED
+
+        try:
+            assert try_execute_attach(spark, f"ATTACH '{dbfile}' AS ddbf")
+            rows = spark.sql(
+                "SELECT name FROM ddbf.colors ORDER BY id"
+            ).collect()
+            assert [r["name"] for r in rows] == ["red", "green", "blue"]
+            assert (
+                spark.sql("SELECT sum(n) AS s FROM ddbf.nums").collect()[0]["s"]
+                == 45
+            )
+            tmpdir = _ATTACHED["ddbf"][1]
+            assert tmpdir is not None and os.path.isdir(tmpdir)
+        finally:
+            try_execute_attach(spark, "DETACH IF EXISTS ddbf")
+        # DETACH removes the temporary export, not the source file
+        assert not os.path.exists(tmpdir)
+        assert os.path.exists(dbfile)
+
+    def test_attach_native_sqlite_file(self, spark, tmp_path):
+        import sqlite3
+
+        dbfile = str(tmp_path / "ext.sqlite")
+        con = sqlite3.connect(dbfile)
+        con.execute("CREATE TABLE pets (id INTEGER, name TEXT)")
+        con.executemany(
+            "INSERT INTO pets VALUES (?, ?)", [(1, "cat"), (2, "dog")]
+        )
+        con.commit()
+        con.close()
+        try:
+            assert try_execute_attach(spark, f"ATTACH '{dbfile}' AS sqlf")
+            rows = spark.sql("SELECT name FROM sqlf.pets ORDER BY id").collect()
+            assert [r["name"] for r in rows] == ["cat", "dog"]
+        finally:
+            try_execute_attach(spark, "DETACH IF EXISTS sqlf")
 
     def test_missing_path_rejected(self, spark):
         with pytest.raises(ValueError, match="no parquet tables"):
