@@ -663,11 +663,15 @@ class ShaperServer:
                         variables=outer.variables,
                         dashboard_id=did,
                     )
-                    page = render_dashboard_html(result.to_dict())
+                    stem = filename.rsplit(".", 1)[0] or "dashboard"
+                    page = render_dashboard_html(
+                        result.to_dict(), title=stem
+                    )
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html; charset=utf-8")
                     self.send_header(
-                        "Content-Disposition", "inline; filename=dashboard.html"
+                        "Content-Disposition",
+                        f'inline; filename="{stem}.html"',
                     )
                     body = page.encode()
                     self.send_header("Content-Length", str(len(body)))

@@ -16,6 +16,7 @@ dashboard's structure and data, not a pixel-accurate clone of the UI.
 
 from __future__ import annotations
 
+import datetime as _dt
 import html
 from typing import Any
 
@@ -23,6 +24,10 @@ __all__ = ["render_dashboard_html"]
 
 _MAX_TABLE_ROWS = 200
 _SVG_W, _SVG_H, _PAD = 560, 180, 28
+
+# Default date format mirrors the reference's --pdf-date-format default
+# "02.01.2006" (Go layout, day.month.year — main.go:417).
+_DATE_FORMAT = "%d.%m.%Y"
 
 _CSS = """
 body{font-family:system-ui,sans-serif;margin:24px;color:#1a1a2e}
@@ -35,7 +40,21 @@ th{background:#ececf4}
 .query{margin:14px 0}.truncated{color:#888;font-size:12px}
 svg{background:#fafafc;border:1px solid #e2e2ea}
 .bar{fill:#4464ad}.line{stroke:#4464ad;stroke-width:2;fill:none}
+.report-header img{max-height:40px;margin-left:35px;object-fit:contain}
+.report-footer{display:flex;justify-content:space-between;color:#6b6b7b;
+font-size:9px;margin:24px 35px 0}
+.report-footer a{color:#6b6b7b;text-decoration:none}
+@page{size:A4;margin:12mm}
+@media print{
+body{margin:0}
+.query,table{break-inside:avoid}
+.report-footer{position:fixed;bottom:0;left:0;right:0}
+}
 """
+
+# Reference adds @page{margin-top:20mm} only when a HEADER_IMAGE is set,
+# so the printed header never overlaps content (pdf.go:92-99).
+_HEADER_PAGE_CSS = "@page{margin-top:20mm}"
 
 
 def _esc(v: Any) -> str:
@@ -151,15 +170,48 @@ def _render_query(q: dict) -> str:
     )
 
 
-def render_dashboard_html(result: dict, title: str | None = None) -> str:
+def _strip_scheme(link: str) -> str:
+    for prefix in ("http://", "https://", "mailto:"):
+        if link.startswith(prefix):
+            return link[len(prefix):]
+    return link
+
+
+def render_dashboard_html(
+    result: dict,
+    title: str | None = None,
+    date_format: str = _DATE_FORMAT,
+    now: _dt.datetime | None = None,
+) -> str:
     """Render a ``GetResult.to_dict()`` tree to one self-contained HTML
-    document (sections → h2, queries → chart/table/stat)."""
+    document (sections → h2, queries → chart/table/stat).
+
+    Page layout follows the reference's PDF template
+    (``server/pdf/pdf.go:259-270`` header, ``:324-340`` footer): the
+    dashboard's HEADER_IMAGE renders at the top (max-height 40px),
+    the footer carries the render date (``date_format``, default
+    day.month.year like the reference's ``--pdf-date-format``) on the
+    left and the FOOTER_LINK — scheme stripped for display, kept in
+    href — on the right; ``@page`` CSS sets A4 with extra top margin
+    when a header image is present, so "print to PDF" output matches
+    the reference's page intent. Chrome's pageNumber/totalPages
+    counters need the print engine itself, so they are the one
+    divergence."""
     name = title or result.get("name") or "Dashboard"
+    header_image = result.get("headerImage") or ""
+    footer_link = result.get("footerLink") or ""
+    stamp = (now or _dt.datetime.now()).strftime(date_format)
+    css = _CSS + (_HEADER_PAGE_CSS if header_image else "")
     out = [
         "<!DOCTYPE html><html><head><meta charset='utf-8'>",
-        f"<title>{_esc(name)}</title><style>{_CSS}</style></head><body>",
-        f"<h1>{_esc(name)}</h1>",
+        f"<title>{_esc(name)}</title><style>{css}</style></head><body>",
     ]
+    if header_image:
+        out.append(
+            f'<div class="report-header"><img src="{_esc(header_image)}" '
+            'alt=""/></div>'
+        )
+    out.append(f"<h1>{_esc(name)}</h1>")
     for section in result.get("sections") or []:
         stype = section.get("type") or "content"
         stitle = section.get("title")
@@ -169,5 +221,14 @@ def render_dashboard_html(result: dict, title: str | None = None) -> str:
         for q in section.get("queries") or []:
             out.append(_render_query(q))
         out.append("</section>")
+    link = (
+        f'<a href="{_esc(footer_link)}">{_esc(_strip_scheme(footer_link))}</a>'
+        if footer_link
+        else ""
+    )
+    out.append(
+        f'<footer class="report-footer"><span>{_esc(stamp)}</span>{link}'
+        "</footer>"
+    )
     out.append("</body></html>")
     return "".join(out)

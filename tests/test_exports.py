@@ -433,3 +433,46 @@ class TestHtmlReport:
         page = render_dashboard_html(r.to_dict(), title="T<i>tle")
         assert "&lt;b&gt;&amp;" in page
         assert "T&lt;i&gt;tle" in page
+
+    def test_print_header_footer_contract(self, spark):
+        """Page intent matches the reference PDF template: HEADER_IMAGE
+        at top (max-height 40px, extra @page top margin), footer with
+        formatted date + scheme-stripped FOOTER_LINK (pdf.go:259-340)."""
+        import datetime as dt
+
+        from shaper_spark.engine import query_dashboard
+        from shaper_spark.htmlreport import render_dashboard_html
+
+        r = query_dashboard(
+            spark,
+            """
+            SELECT 'data:image/png;base64,iVBORw0KGgo='::HEADER_IMAGE;
+            SELECT 'https://example.com/dash'::FOOTER_LINK;
+            SELECT 42::TEXT_LARGE AS v;
+            """,
+            dashboard_id="html3",
+        )
+        page = render_dashboard_html(
+            r.to_dict(),
+            now=dt.datetime(2026, 8, 14),
+        )
+        assert '<img src="data:image/png;base64,iVBORw0KGgo=' in page
+        assert "max-height:40px" in page
+        assert "@page{margin-top:20mm}" in page
+        # footer: default date format mirrors the reference default
+        # "02.01.2006" → day.month.year
+        assert "<span>14.08.2026</span>" in page
+        # link display drops the scheme, href keeps it
+        assert 'href="https://example.com/dash">example.com/dash</a>' in page
+        assert "@media print" in page
+
+    def test_no_header_image_no_extra_page_margin(self, spark):
+        from shaper_spark.engine import query_dashboard
+        from shaper_spark.htmlreport import render_dashboard_html
+
+        r = query_dashboard(
+            spark, "SELECT 1::TEXT_LARGE AS v;", dashboard_id="html4"
+        )
+        page = render_dashboard_html(r.to_dict())
+        assert "@page{margin-top:20mm}" not in page
+        assert "report-footer" in page
