@@ -432,6 +432,34 @@ class TestWebSocketTaskEvents:
         finally:
             s.close()
 
+    def test_scheduled_run_pushes_to_connected_client(self, server):
+        """RELOAD loop end-to-end: the client is already connected when
+        the task is registered with an 'init' SCHEDULE; the scheduler
+        fires on its own and the run result arrives as a WS frame with
+        no explicit /api/run/task (reference: schedule_task.go arms the
+        timer, task.go pushes results)."""
+        import json as _json
+
+        s, key, head, buf = self._handshake(server, "wsched")
+        try:
+            assert "101" in head.splitlines()[0]
+            _post(
+                server,
+                "/api/tasks",
+                {
+                    "id": "wsched",
+                    "content": "SELECT 'init'::SCHEDULE AS s; SELECT 7 AS v",
+                },
+            )
+            s.settimeout(20)
+            payload, buf = self._read_frame(s, buf)
+            run = _json.loads(payload)
+            assert run["success"] is True
+            assert run["queries"][-1]["resultRows"] == [[7]]
+            s.sendall(b"\x88\x80\x00\x00\x00\x00")
+        finally:
+            s.close()
+
     def test_non_upgrade_gets_426_pointer(self, server):
         status, body = _get(server, "/api/tasks/whatever/events")
         assert status == 426
