@@ -31,6 +31,15 @@ __all__ = [
     "embedding_near_dups",
 ]
 
+# Small-corpus strategy cutoff for embedding_near_dups: take the
+# driver-local path only when the whole corpus matrix fits in
+# NEARDUP_BYTES_BUDGET (rows × dim × 8 bytes) and under the row cap —
+# the broadcast regime, where even a distributed plan would ship the
+# matrix whole into every task. Module-level so tests can force the
+# distributed path on small fixtures.
+NEARDUP_BYTES_BUDGET = 100 << 20
+NEARDUP_ROW_CAP = 200_000
+
 
 def exact_duplicates(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Groups of byte-identical rows: (content_hash, n_docs, doc_ids).
@@ -416,13 +425,81 @@ def embedding_near_dups(
     # rows of 1024-dim vectors would be ~1.6 GB on the driver. Dim is
     # probed with a single-row job; the collect itself is a CollectLimit
     # that stops after max_rows+1 rows, never a corpus scan.
-    _BYTES_BUDGET = 100 << 20  # ~100 MB of corpus matrix per executor task
-    _ROW_CAP = 200_000
     head = side.select(F.size("v").alias("d")).first()
     dim = head["d"] if head is not None and head["d"] else 0
-    max_rows = min(_ROW_CAP, _BYTES_BUDGET // (dim * 8)) if dim > 0 else 0
+    max_rows = (
+        min(NEARDUP_ROW_CAP, NEARDUP_BYTES_BUDGET // (dim * 8))
+        if dim > 0
+        else 0
+    )
     side_pdf = side.limit(max_rows + 1).toPandas() if max_rows else None
     small = side_pdf is not None and len(side_pdf) <= max_rows
+
+    if small:
+        # The probe already holds the entire (≤100 MB by construction)
+        # corpus, so run the identical LSH recipe — same seeded
+        # hyperplane stack as veckernel.hyperplane_buckets, same
+        # (table, bucket) candidate rule, same float64 cosine — in one
+        # driver-side numpy pass and skip four Spark jobs (bucket UDF
+        # on both join sides, candidate persist/count, Arrow re-score).
+        # This is the broadcast regime: even the distributed plan would
+        # ship this matrix whole into every task closure. Per-bucket
+        # Gram matrices are strip-blocked so memory stays bounded even
+        # for degenerate all-identical-vector buckets (the same Σ
+        # bucket² work the distributed self-join would do).
+        import numpy as np
+        import pandas as pd
+
+        ids = side_pdf["id"].to_numpy()
+        M = np.vstack(side_pdf["v"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, M = ids[order], M[order]
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = np.nan
+        Mn = M / norms
+        rng = np.random.RandomState(seed)
+        H = rng.standard_normal((tables * planes, M.shape[1]))
+        powers = (2 ** np.arange(planes)).astype(np.int64)
+        bits = ((M @ H.T) >= 0).reshape(len(M), tables, planes)
+        tb = (bits @ powers).astype(np.int64)  # (rows, tables)
+        _BLOCK = 4096
+        found: dict[tuple, float] = {}
+        for t in range(tables):
+            buckets_t: dict[int, list[int]] = {}
+            for pos, bkt in enumerate(tb[:, t]):
+                buckets_t.setdefault(int(bkt), []).append(pos)
+            for members in buckets_t.values():
+                m = len(members)
+                if m < 2:
+                    continue
+                idx = np.asarray(members)  # ascending id order (sorted)
+                for i0 in range(0, m, _BLOCK):
+                    ia = idx[i0 : i0 + _BLOCK]
+                    for j0 in range(i0, m, _BLOCK):
+                        jb = idx[j0 : j0 + _BLOCK]
+                        with np.errstate(invalid="ignore"):
+                            S = Mn[ia] @ Mn[jb].T
+                        mask = (S >= threshold) & (
+                            ids[ia][:, None] < ids[jb][None, :]
+                        )
+                        for pi, pj in zip(*np.nonzero(mask)):
+                            key = (ids[ia[pi]], ids[jb[pj]])
+                            if key not in found:
+                                found[key] = float(S[pi, pj])
+        id_t = dict(side.dtypes)["id"]
+        schema = f"id_a {id_t}, id_b {id_t}, cosine double"
+        spark = df.sparkSession
+        if not found:
+            return spark.createDataFrame([], schema)
+        pairs = sorted(found.items())
+        out_pdf = pd.DataFrame(
+            {
+                "id_a": [k[0] for k, _ in pairs],
+                "id_b": [k[1] for k, _ in pairs],
+                "cosine": [round(c, 6) for _, c in pairs],
+            }
+        )
+        return spark.createDataFrame(out_pdf, schema=schema)
 
     buckets = side.select(
         "id",
@@ -430,21 +507,18 @@ def embedding_near_dups(
             hyperplane_buckets(F.col("v"), tables, planes, seed)
         ).alias("t", "b"),
     )
-    if persist and not small:
+    if persist:
         from pyspark import StorageLevel
 
-        # Both sides of the self-join recompute the UDF otherwise. (In
-        # the small-corpus path the double UDF evaluation is one tiny
-        # matmul — cheaper than managing a cache lifecycle for it.)
+        # Both sides of the self-join recompute the UDF otherwise.
         buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.alias("a")
     b = buckets.alias("b")
     # No .distinct() here: pairs colliding in several tables are rare for
     # the pruning regime (≈2^-planes per extra table), so the full-width
     # dedup shuffle would remove almost nothing while costing the largest
-    # exchange of the plan. Duplicates instead dedupe AFTER the threshold
-    # filter, when only the near-dup pairs remain (broadcast path), or in
-    # the pre-join distinct of the shuffle fallback below.
+    # exchange of the plan. Duplicates instead dedupe in the pre-join
+    # distinct below, when only candidate ID pairs (two ints) remain.
     cand = a.join(
         b,
         (F.col("a.t") == F.col("b.t"))
@@ -462,48 +536,7 @@ def embedding_near_dups(
         # frame's `_cand` attribute.
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         cand.count()
-        if not small:
-            buckets.unpersist()
-
-    if small:
-        import numpy as np
-
-        ids = side_pdf["id"].to_numpy()
-        M = np.vstack(side_pdf["v"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        norms[norms == 0] = np.nan
-        Mn = M / norms
-        index = {i: pos for pos, i in enumerate(ids)}
-        id_t = dict(side.dtypes)["id"]
-        thr = threshold
-
-        def rescore(pdf_iter):
-            import pandas as pd
-
-            for pdf in pdf_iter:
-                if not len(pdf):
-                    continue
-                ia = pdf["id_a"].map(index).to_numpy()
-                ib = pdf["id_b"].map(index).to_numpy()
-                cos = np.einsum("ij,ij->i", Mn[ia], Mn[ib])
-                keep = cos >= thr
-                yield pd.DataFrame(
-                    {
-                        "id_a": pdf["id_a"].to_numpy()[keep],
-                        "id_b": pdf["id_b"].to_numpy()[keep],
-                        "cosine": cos[keep],
-                    }
-                )
-
-        out = (
-            cand.mapInPandas(
-                rescore, schema=f"id_a {id_t}, id_b {id_t}, cosine double"
-            )
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-            .distinct()  # cross-table duplicates; tiny post-filter set
-        )
-        out._cand = cand
-        return out
+        buckets.unpersist()
 
     va = side.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = side.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))

@@ -25,6 +25,14 @@ from .veckernel import hyperplane_bucket, pair_cosine
 
 __all__ = ["cosine_topk", "lsh_topk", "ivf_topk"]
 
+# Driver-local strategy cutoff for cosine_topk, mirroring
+# dedup.NEARDUP_BYTES_BUDGET: when the whole corpus matrix fits in this
+# many bytes (rows × dim × 8), score it in one numpy pass on the driver
+# instead of spinning a Python-worker stage — the broadcast regime.
+# Module-level so tests can force the distributed path.
+TOPK_BYTES_BUDGET = 100 << 20
+TOPK_ROW_CAP = 200_000
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -64,6 +72,46 @@ def cosine_topk(
     qids = qpdf[id_col].to_numpy()
     kk = k
 
+    # Driver-local path: the query frame already told us the dimension
+    # (no probe job needed); when the corpus matrix fits the byte budget
+    # collect it once (CollectLimit — stops at max_rows+1, never a full
+    # scan at petabyte scale) and do the matmul + top-k here. Saves the
+    # Python-worker stage spin-up that dominates at this size; above the
+    # cutoff the distributed per-partition local-top-k path below runs.
+    dim = len(Q[0]) if Q.size else 0
+    max_rows = (
+        min(TOPK_ROW_CAP, TOPK_BYTES_BUDGET // (dim * 8)) if dim else 0
+    )
+    cpdf = (
+        corpus.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+        if max_rows
+        else None
+    )
+    if cpdf is not None and len(cpdf) <= max_rows and len(cpdf):
+        C = np.vstack(cpdf[vec_col].to_numpy()).astype(np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = np.nan
+        cids = cpdf[id_col].to_numpy()
+        candidates = []
+        _STRIP = 16384
+        for s0 in range(0, len(C), _STRIP):
+            Cs = C[s0 : s0 + _STRIP]
+            cns = cn[s0 : s0 + _STRIP]
+            cs_ids = cids[s0 : s0 + _STRIP]
+            with np.errstate(invalid="ignore"):
+                S = (Cs / cns[:, None]) @ Qn.T
+            S[cs_ids[:, None] == qids[None, :]] = -np.inf
+            S[~np.isfinite(S)] = -np.inf
+            m = min(kk, S.shape[0])
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                order = np.lexsort((cs_ids, -col))[:m]
+                keep = order[col[order] > -np.inf]
+                candidates.extend(
+                    (qids[j], cs_ids[i], col[i]) for i in keep
+                )
+        return _merge_topk(spark, candidates, k, out_schema)
+
     def local_topk(pdf_iter):
         import pandas as pd
 
@@ -102,21 +150,41 @@ def cosine_topk(
     # distributed.
     scoring_plan = cand._jdf.queryExecution().executedPlan().toString()
     rows = cand.collect()
+    out = _merge_topk(
+        spark,
+        [(r["query_id"], r["neighbor_id"], r["cosine"]) for r in rows],
+        k,
+        out_schema,
+    )
+    # plan of the distributed scoring pass, for plan-shape tests
+    out._scoring_plan = scoring_plan
+    return out
+
+
+def _merge_topk(spark, candidates, k, out_schema):
+    """Bounded driver-side merge of (query_id, neighbor_id, cosine)
+    candidates into the global per-query top-k ranking."""
     per_query: dict = {}
-    for r in rows:
-        per_query.setdefault(r["query_id"], []).append(
-            (r["neighbor_id"], r["cosine"])
-        )
+    for qid, nid, cos in candidates:
+        per_query.setdefault(qid, []).append((nid, cos))
     merged = []
     for qid, items in per_query.items():
         items.sort(key=lambda t: (-t[1], t[0]))
         for rank, (nid, cos) in enumerate(items[:k], start=1):
-            merged.append((qid, nid, round(cos, 6), rank))
+            merged.append((qid, nid, round(float(cos), 6), rank))
     merged.sort(key=lambda t: (t[0], t[3]))
-    out = spark.createDataFrame(merged, out_schema + ", rank int")
-    # plan of the distributed scoring pass, for plan-shape tests
-    out._scoring_plan = scoring_plan
-    return out
+    full_schema = out_schema + ", rank int"
+    if not merged:
+        return spark.createDataFrame([], full_schema)
+    # Hand the merged rows back as a pandas frame: createDataFrame from
+    # Python tuples takes the RDD conversion path (~0.9 s of driver
+    # overhead even for 20 rows); the pandas path goes through Arrow.
+    import pandas as pd
+
+    mpdf = pd.DataFrame(
+        merged, columns=["query_id", "neighbor_id", "cosine", "rank"]
+    )
+    return spark.createDataFrame(mpdf, schema=full_schema)
 
 
 def lsh_topk(

