@@ -69,12 +69,16 @@ def main() -> None:
     register_sf_tables(spark, sf_dir)
     spark.sql("SELECT count(*) FROM region").collect()
 
-    # Three full passes, per-query min. Separated passes (rather than
-    # back-to-back retries) because host-level noise comes in multi-
-    # second windows (r1 recorded 18-25 s on queries that re-measure at
-    # 1-3 s): a query's attempts should not share one window. Pass 1
-    # also pays whole-stage-codegen compilation.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # Five full passes, per-query min, symmetric with the DuckDB side.
+    # Separated passes (rather than back-to-back retries) because
+    # host-level noise comes in multi-second windows (r1 recorded
+    # 18-25 s on queries that re-measure at 1-3 s): a query's attempts
+    # should not share one window. Spark needs several executions of a
+    # plan shape to reach steady state (C2 JIT of generated code:
+    # measured 12.1 -> 2.9 -> 1.5 -> 0.87 s across runs of the same
+    # query) — a long-lived serving JVM answers at the warm speed, the
+    # same way the reference keeps one DuckDB instance hot.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
     for _pass in range(passes):
@@ -106,6 +110,21 @@ def main() -> None:
     # masquerade as a slow plan.
     duck = _duckdb_reference(entrymod, sf_dir)
 
+    # Itemized floor decomposition: Spark's fixed per-query cost
+    # (plan + schedule + 1-shuffle job on a warm session) measured
+    # directly, plus the per-query ratio table restricted to queries
+    # where DuckDB itself does real work (>=0.5 s) — below that the
+    # comparison measures the two engines' dispatch floors, not plans.
+    floor = _measure_floor(spark)
+    heavy_ratios = {
+        k: round(timings[k] / duck[k], 3)
+        for k in timings
+        if duck.get(k, 0) >= 0.5 and timings[k] > 0
+    }
+    light_residual = round(
+        sum(v for k, v in timings.items() if 0 < duck.get(k, 1) < 0.5), 4
+    )
+
     print(
         json.dumps(
             {
@@ -119,10 +138,29 @@ def main() -> None:
                 "duckdb_total": round(
                     sum(v for v in duck.values() if v > 0), 4
                 ),
+                "floor_query_sec": floor,
+                "heavy_ratios": heavy_ratios,
+                "light_residual_sec": light_residual,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def _measure_floor(spark) -> float:
+    """Best-of-5 latency of a minimal 1-shuffle aggregate on a warm
+    session — the irreducible per-query cost every headline number
+    carries (Py4J round-trip, planning, DAG scheduling, task launch)."""
+    best = -1.0
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.sql(
+            "SELECT r_regionkey, count(*) AS c FROM region GROUP BY 1"
+        ).collect()
+        dt_ = time.perf_counter() - t0
+        if best < 0 or dt_ < best:
+            best = dt_
+    return round(best, 4)
 
 
 def _duckdb_reference(
@@ -148,7 +186,7 @@ def _duckdb_reference(
         if sql is None:
             continue
         best = -1.0
-        for _ in range(3):
+        for _ in range(5):  # min-of-5, symmetric with the Spark side
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
@@ -159,7 +197,7 @@ def _duckdb_reference(
             if best < 0 or dt_ < best:
                 best = dt_
             if dt_ > 5.0:
-                break  # long queries: one sample, don't triple the wall
+                break  # long queries: one sample, don't 5x the wall
         out[name] = round(best, 4)
     return out
 
