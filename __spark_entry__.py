@@ -1401,6 +1401,210 @@ ORDER BY lang, doc_id
 """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (shaper_spark/operators/text.py
+    repetition_stats): duplicate-word fraction + most-frequent-bigram
+    fraction per document — one explode, shuffles on doc id only."""
+    _prep(spark, sf_dir)
+    from shaper_spark.operators.text import repetition_stats
+
+    return repetition_stats(spark.table("documents"), "doc_id", "text").orderBy(
+        "id"
+    )
+
+
+REPETITION_DUCK = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM words),
+wa AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT tok) AS n_distinct
+       FROM tok GROUP BY 1),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                i -> array_to_string(w[i+1:i+2], ' '))) AS bigram
+  FROM words WHERE len(w) >= 2
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2),
+ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(max(c) AS BIGINT) AS top_bigram_n
+       FROM bc GROUP BY 1)
+SELECT wa.doc_id AS id, n_words,
+       round(1 - n_distinct * 1.0 / n_words, 6) AS dup_word_frac,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       round(top_bigram_n * 1.0 / greatest(coalesce(n_bigrams, 1), 1), 6)
+         AS top_bigram_frac
+FROM wa LEFT JOIN ba USING (doc_id)
+ORDER BY id
+"""
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram (shaper_spark/operators/text.py
+    length_histogram): one hash-agg over ≤64 buckets."""
+    _prep(spark, sf_dir)
+    from shaper_spark.operators.text import length_histogram
+
+    return length_histogram(spark.table("documents"), "n_chars")
+
+
+LENGTH_HISTOGRAM_DUCK = """
+SELECT CAST(pow(2, floor(log2(n_chars))) AS BIGINT) AS bucket_lo,
+       count(*) AS n, min(n_chars) AS min_v, max(n_chars) AS max_v
+FROM documents WHERE n_chars > 0
+GROUP BY 1 ORDER BY bucket_lo
+"""
+
+
+# Deterministic PII-bearing blob per customer (the synthetic customer
+# table carries no contact columns): one email, one dash-phone, one IPv4
+# derived from the key. Written in the SQL dialect intersection so Spark
+# and DuckDB build byte-identical text.
+_PII_BLOB_SQL = (
+    "concat_ws(' ', c_name, 'mail', lower(c_name) || '@example.com', "
+    "'tel', lpad(CAST(10 + c_custkey % 90 AS STRING), 2, '0') || '-' || "
+    "lpad(CAST(c_custkey % 1000 AS STRING), 3, '0') || '-741-' || "
+    "lpad(CAST(c_custkey % 10000 AS STRING), 4, '0'), "
+    "'host', CAST(1 + c_custkey % 223 AS STRING) || '.0.' || "
+    "CAST(c_custkey % 256 AS STRING) || '.7', c_mktsegment)"
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (shaper_spark/operators/pii.py): email/IPv4/phone
+    counts + redaction over synthesized contact blobs, aggregated per
+    nation. Regexes are Java∩RE2 syntax so the oracle replays exactly."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.pii import pii_scrub
+
+    _prep(spark, sf_dir)
+    base = spark.table("customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.expr(_PII_BLOB_SQL).alias("blob"),
+    )
+    scr = pii_scrub(base, "c_custkey", "blob")
+    return (
+        scr.join(
+            base.select(F.col("c_custkey").alias("id"), "c_nationkey"), "id"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_ip").alias("n_ips"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("n_chars_clean").alias("total_clean_chars"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def _pii_scrub_duck() -> str:
+    """Oracle generated from pii.PII_PATTERNS so both engines always
+    scan/replace the exact same regex stack in the same order."""
+    from shaper_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(b, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "b"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH blob AS (
+  SELECT c_custkey, c_nationkey,
+         {_PII_BLOB_SQL} AS b
+  FROM customer
+),
+scr AS (
+  SELECT c_custkey, c_nationkey,
+         {counts},
+         length({clean}) AS n_chars_clean
+  FROM blob
+)
+SELECT c_nationkey, count(*) AS n_rows,
+       CAST(sum(n_email) AS BIGINT) AS n_emails,
+       CAST(sum(n_ip) AS BIGINT) AS n_ips,
+       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+       CAST(sum(n_chars_clean) AS BIGINT) AS total_clean_chars
+FROM scr GROUP BY 1 ORDER BY c_nationkey
+"""
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (shaper_spark/operators/decontam.py):
+    8-gram overlap between the hash-split train and test corpora —
+    posting-list equi-join with a train-side df cap, never n²."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.decontam import ngram_decontaminate
+    from shaper_spark.operators.sampling import hash_split
+
+    _prep(spark, sf_dir)
+    docs = hash_split(
+        spark.table("documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return ngram_decontaminate(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "test"),
+        "doc_id",
+        "text",
+        n=8,
+        max_df=50,
+    ).orderBy("eval_id")
+
+
+DECONTAM_DUCK = """
+WITH h AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+lab AS (SELECT doc_id, text,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM h),
+words AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM lab),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(range(len(w) - 7),
+                i -> array_to_string(w[i+1:i+8], ' ')))) AS g
+  FROM words WHERE len(w) >= 8
+),
+tr AS (SELECT doc_id AS train_id, g FROM sh WHERE split = 'train'),
+trk AS (SELECT g FROM tr GROUP BY g HAVING count(DISTINCT train_id) <= 50),
+tr2 AS (SELECT train_id, tr.g FROM tr JOIN trk ON tr.g = trk.g),
+ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE split = 'test')
+SELECT eval_id, count(DISTINCT ev.g) AS n_shared_grams,
+       count(DISTINCT train_id) AS n_train_docs
+FROM ev JOIN tr2 ON ev.g = tr2.g
+GROUP BY 1 ORDER BY eval_id
+"""
+
+
+def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights
+    (shaper_spark/operators/sampling.py source_mix_weights): count^0.7
+    normalized — broadcast normalizer, no partitionless window."""
+    _prep(spark, sf_dir)
+    from shaper_spark.operators.sampling import source_mix_weights
+
+    return source_mix_weights(spark.table("documents"), "source", alpha=0.7)
+
+
+SOURCE_MIX_DUCK = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT source, n_docs,
+       round(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER (), 6) AS weight
+FROM c ORDER BY source
+"""
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing
     (shaper_spark/operators/packing.py): parallel across languages,
@@ -1653,7 +1857,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 70 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 75 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -1661,9 +1865,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     identical-SQL-string entry that has passed the official gate in at
     least two prior rounds (those carry the lowest marginal information
     — the same SQL text runs on both engines).  Round 4 rotated
-    ``nations_intersect``/``values_inline``/``count_filter_orders``/
-    ``orders_unpivot`` (green in r02+r03) out for the four round-3
-    pipeline operators that had no official row."""
+    ``from_first``/``string_agg_nations``/``pivot_std``/
+    ``pivot_duck_sugar``/``describe_table``/``setop_fetch`` (green in
+    r02+r03) out for the five new pipeline operators (repetition, PII
+    scrub, decontamination, source mix, length histogram) plus
+    ``explain_plan`` (rows-only by nature, never officially recorded)."""
     return {
         "q1_pricing_summary": _sql(Q1_PRICING),
         "q3_shipping_priority": _sql(Q3_SHIPPING),
@@ -1696,9 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
         "chunk_docs_sliding": _q_chunk_docs,
         "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
-        "from_first": _dialect(FROM_FIRST),
         "qualify_top_parts": _dialect(QUALIFY_TOP_PARTS),
-        "string_agg_nations": _q_string_agg,
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_audio": _q_multimodal_audio,
@@ -1706,19 +1910,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": _q_session_window,
         "salted_agg_lineitem": _q_salted_agg,
         "similarity_ivf_topk": _q_ivf_topk,
-        "pivot_std": _sql(PIVOT_STD),
-        "pivot_duck_sugar": _q_pivot_sugar,
-        "describe_table": _q_describe,
         "show_tables": _q_show_tables,
         "attach_federation": _q_attach_federation,
-        "setop_fetch": _dialect(SETOP_FETCH_DUCK),
         "range_join_windows": _q_range_join,
         "rollup_daily_cascade": _q_rollup_daily,
         "doc_split_counts": _q_doc_split,
-        # -- tail: surface covered by a prefix entry; every entry here has
-        # passed the official gate in a prior round (r02/r03) or is
-        # rows-only by nature (explain_plan) --
+        "text_repetition": _q_repetition,
+        "pii_scrub_customers": _q_pii_scrub,
+        "decontam_ngrams": _q_decontam,
+        "source_mix_weights": _q_source_mix,
+        "doc_length_histogram": _q_length_histogram,
+        "explain_plan": _q_explain,
+        # -- tail (entries 51+, outside the driver's official 50-entry
+        # window but still checked by tests/oracle_check.py): every entry
+        # here has passed the official gate in a prior round (r02/r03) --
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
+        "from_first": _dialect(FROM_FIRST),
+        "string_agg_nations": _q_string_agg,
+        "pivot_std": _sql(PIVOT_STD),
+        "pivot_duck_sugar": _q_pivot_sugar,
+        "describe_table": _q_describe,
+        "setop_fetch": _dialect(SETOP_FETCH_DUCK),
         "nations_intersect": _sql(NATIONS_INTERSECT),
         "values_inline": _sql(VALUES_INLINE),
         "count_filter_orders": _sql(COUNT_FILTER_ORDERS),
@@ -1737,7 +1949,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": _sql(DISTINCT_USERS),
         "big_customers_having": _sql(BIG_CUSTOMERS_HAVING),
         "events_sessionize": _sql(SESSIONIZE_SPARK),
-        "explain_plan": _q_explain,
     }
 
 
@@ -1808,6 +2019,11 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": RANGE_JOIN_DUCK,
         "rollup_daily_cascade": ROLLUP_DAILY_DUCK,
         "doc_split_counts": DOC_SPLIT_DUCK,
+        "text_repetition": REPETITION_DUCK,
+        "pii_scrub_customers": _pii_scrub_duck(),
+        "decontam_ngrams": DECONTAM_DUCK,
+        "source_mix_weights": SOURCE_MIX_DUCK,
+        "doc_length_histogram": LENGTH_HISTOGRAM_DUCK,
         "stratified_sample_docs": STRATIFIED_SAMPLE_DUCK,
         "pack_sequences_budget": PACK_SEQUENCES_DUCK,
         "chunk_docs_sliding": CHUNK_DOCS_DUCK,

@@ -28,6 +28,12 @@ EXTRAS = [
     "pack_sequences_budget",
     "chunk_docs_sliding",
     "vocab_top_terms",
+    # round 4
+    "text_repetition",
+    "pii_scrub_customers",
+    "decontam_ngrams",
+    "source_mix_weights",
+    "doc_length_histogram",
 ]
 
 HEADLINE = [

@@ -1,0 +1,64 @@
+"""Benchmark decontamination: flag eval documents sharing word n-grams
+with the training corpus (the GPT-3/PaLM-style 8-gram overlap rule).
+
+Scale shape: both sides reduce to distinct (doc, n-gram) posting lists
+(reusing the dedup family's codegen'd shingler), the overlap is one
+equi-join on the n-gram key, and an optional ``max_df`` cap drops
+stop-grams whose training-side document frequency explodes the join —
+the same Σdf² bound that keeps ``jaccard_pairs`` off the n² cliff.
+No Python, no cartesian anywhere; the join key is content-hashable so
+at 100 TB it shuffles on the n-gram hash like any big-data join.
+
+Reference parity note: the reference has no decontamination operator —
+§2C training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["ngram_decontaminate"]
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Per eval document: how many distinct word n-grams it shares with
+    the training set, and how many distinct training documents share at
+    least one. Returns (eval_id, n_shared_grams, n_train_docs) for
+    contaminated docs only (inner semantics — clean docs drop out).
+
+    ``max_df`` (training-side document frequency cap) drops n-grams
+    present in more than that many training docs before the join:
+    boilerplate grams ("all rights reserved …") dominate cost and carry
+    no contamination signal. Capped grams are excluded from BOTH
+    counts, so results remain deterministic and oracle-replayable."""
+    from .dedup import shingle_tokens
+
+    tr = shingle_tokens(train, id_col, text_col, n).withColumnRenamed(
+        "id", "train_id"
+    )
+    ev = shingle_tokens(eval_df, id_col, text_col, n).withColumnRenamed(
+        "id", "eval_id"
+    )
+    if max_df is not None:
+        keep = (
+            tr.groupBy("shingle")
+            .agg(F.countDistinct("train_id").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        tr = tr.join(keep, "shingle")
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+        )
+    )

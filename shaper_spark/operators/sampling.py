@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "stratified_exact_sample"]
+__all__ = ["hash_split", "stratified_exact_sample", "source_mix_weights"]
 
 
 def _hash_unit(col, seed: str):
@@ -56,6 +56,31 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn(split_col, expr)
+
+
+def source_mix_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled sampling weights per source/domain:
+    weight ∝ count^α, normalized to sum 1 (α<1 upweights small sources —
+    the multilingual/data-mixing rule from mT5/XLM-R). Returns
+    (group, n_docs, weight).
+
+    One hash-agg shuffle over the corpus; the normalizer joins back via
+    a broadcast of the single-row total, not a partitionless window —
+    the per-group frame stays distributed however many groups exist."""
+    counts = df.groupBy(F.col(group_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.withColumn("__p", F.pow(F.col("n_docs"), F.lit(alpha)))
+    total = powed.agg(F.sum("__p").alias("__tot"))
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .select(
+            F.col(group_col),
+            "n_docs",
+            F.round(F.col("__p") / F.col("__tot"), 6).alias("weight"),
+        )
+        .orderBy(group_col)
+    )
 
 
 def stratified_exact_sample(

@@ -19,6 +19,8 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "winnow_fingerprints",
+    "repetition_stats",
+    "length_histogram",
     "LANG_STOPWORDS",
 ]
 
@@ -142,6 +144,82 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         pred.alias("lang_pred"),
         *[F.col(f"score_{lang}") for lang in langs],
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021
+    §A1.1 filters): ``dup_word_frac`` (1 − distinct/total words — the
+    duplicate-token share) and ``top_bigram_frac`` (occurrences of the
+    most frequent word bigram over all bigrams). High values flag
+    boilerplate/spam for pretraining filters.
+
+    Spark shape: one posexplode of the word stream feeds both a per-doc
+    word aggregate and a lead(1) bigram stream; bigram counts aggregate
+    twice (per (doc,bigram), then per doc with sum/max). Everything
+    shuffles on the document id only — embarrassingly parallel, no
+    skew (documents are bounded), codegen end-to-end, no Python."""
+    from pyspark.sql import Window
+
+    from ..session import spread_for_compute
+
+    toks = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    words = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "id",
+            F.lead("tok", 1).over(w).alias("__next"),
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias(
+                "bigram"
+            ),
+        )
+        .filter(F.col("__next").isNotNull())
+        .groupBy("id", "bigram")
+        .count()
+        .groupBy("id")
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_bigram_n"),
+        )
+    )
+    return words.join(bigrams, "id", "left").select(
+        "id",
+        "n_words",
+        F.round(
+            1 - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round(
+            F.col("top_bigram_n").cast("double")
+            / F.greatest(F.col("n_bigrams"), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """Power-of-two histogram of a positive numeric column (document
+    lengths, token counts): bucket_lo = 2^⌊log₂ v⌋, with per-bucket
+    count/min/max. One hash-agg shuffle over ≤64 buckets — the shape
+    of every "token length distribution" report at corpus scale."""
+    v = F.col(value_col)
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2(v))).cast("long")
+    return (
+        df.filter(v > 0)
+        .groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+        .orderBy("bucket_lo")
     )
 
 

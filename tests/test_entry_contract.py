@@ -26,10 +26,13 @@ def test_prefix_50_covers_the_diverse_surface():
         # previously-unchecked entries the round-2 verdict flagged
         "multimodal_meta", "multimodal_audio", "asof_last_click",
         "session_window_agg", "salted_agg_lineitem", "similarity_ivf_topk",
-        "pivot_std", "pivot_duck_sugar", "describe_table", "show_tables",
-        "attach_federation", "setop_fetch", "summarize_table",
+        "show_tables", "attach_federation", "summarize_table",
         # round-3 first-class operators
         "range_join_windows", "rollup_daily_cascade", "doc_split_counts",
+        # round-4 first-class operators (rotated in per the README
+        # window policy, displacing 2x-passed SQL-string entries)
+        "text_repetition", "pii_scrub_customers", "decontam_ngrams",
+        "source_mix_weights", "doc_length_histogram", "explain_plan",
         # core families
         "q1_pricing_summary", "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_top1", "embedding_neardup", "text_quality", "text_winnow",

@@ -1,0 +1,150 @@
+"""Round-4 training-pipeline operators: repetition stats, length
+histogram, PII scrub, n-gram decontamination, source mix weights."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaper_spark.operators.decontam import ngram_decontaminate
+from shaper_spark.operators.pii import pii_scrub
+from shaper_spark.operators.sampling import source_mix_weights
+from shaper_spark.operators.text import length_histogram, repetition_stats
+
+
+class TestRepetitionStats:
+    def rows(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+        )
+        return {
+            r["id"]: r.asDict()
+            for r in repetition_stats(df, "id", "text").collect()
+        }
+
+    def test_all_same_word(self, spark):
+        out = self.rows(spark, ["a a a a"])[0]
+        assert out["n_words"] == 4
+        assert out["dup_word_frac"] == pytest.approx(0.75)
+        assert out["n_bigrams"] == 3
+        assert out["top_bigram_frac"] == pytest.approx(1.0)
+
+    def test_all_distinct(self, spark):
+        out = self.rows(spark, ["a b c d"])[0]
+        assert out["dup_word_frac"] == 0.0
+        assert out["n_bigrams"] == 3
+        assert out["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_single_word_doc_has_no_bigrams(self, spark):
+        out = self.rows(spark, ["solo"])[0]
+        assert out["n_words"] == 1
+        assert out["dup_word_frac"] == 0.0
+        assert out["n_bigrams"] == 0
+        assert out["top_bigram_frac"] is None
+
+    def test_repeated_bigram_dominates(self, spark):
+        # "x y" occurs 3 times of 5 bigrams
+        out = self.rows(spark, ["x y x y x y"])[0]
+        assert out["n_bigrams"] == 5
+        assert out["top_bigram_frac"] == pytest.approx(0.6)
+
+
+class TestLengthHistogram:
+    def test_power_of_two_buckets(self, spark):
+        df = spark.createDataFrame(
+            [(v,) for v in [1, 2, 3, 4, 5, 8, 9, 0, -3]], ["n"]
+        )
+        rows = {
+            r["bucket_lo"]: r.asDict()
+            for r in length_histogram(df, "n").collect()
+        }
+        assert set(rows) == {1, 2, 4, 8}  # non-positive filtered out
+        assert rows[2]["n"] == 2 and rows[2]["min_v"] == 2 and rows[2]["max_v"] == 3
+        assert rows[8]["n"] == 2 and rows[8]["max_v"] == 9
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail john.doe@x.org ip 10.0.0.1 tel 12-345-678-9012"),
+                (2, "nothing personal here"),
+            ],
+            ["id", "t"],
+        )
+        rows = {r["id"]: r.asDict() for r in pii_scrub(df, "id", "t").collect()}
+        r1 = rows[1]
+        assert (r1["n_email"], r1["n_ip"], r1["n_phone"]) == (1, 1, 1)
+        assert r1["clean_text"] == "mail [EMAIL] ip [IP] tel [PHONE]"
+        assert r1["n_chars_clean"] == len(r1["clean_text"])
+        r2 = rows[2]
+        assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (0, 0, 0)
+        assert r2["clean_text"] == "nothing personal here"
+
+    def test_email_host_dots_not_double_counted_as_ip(self, spark):
+        # the email is redacted before the IP pass runs, and the IP
+        # count (on the original text) needs all-numeric octets
+        df = spark.createDataFrame([(1, "a1@b2.cc more")], ["id", "t"])
+        r = pii_scrub(df, "id", "t").collect()[0]
+        assert r["n_email"] == 1 and r["n_ip"] == 0
+        assert r["clean_text"] == "[EMAIL] more"
+
+
+class TestDecontam:
+    def mk(self, spark, rows):
+        return spark.createDataFrame(rows, ["id", "text"])
+
+    def test_shared_ngrams_counted(self, spark):
+        train = self.mk(
+            spark,
+            [(10, "the quick brown fox jumps"), (11, "lazy dog sleeps all day")],
+        )
+        ev = self.mk(
+            spark,
+            [(1, "see the quick brown fox run"), (2, "completely clean text here")],
+        )
+        out = {
+            r["eval_id"]: r.asDict()
+            for r in ngram_decontaminate(train, ev, "id", "text", n=3).collect()
+        }
+        # eval 1 shares "the quick brown" and "quick brown fox" with train 10
+        assert out[1]["n_shared_grams"] == 2
+        assert out[1]["n_train_docs"] == 1
+        assert 2 not in out  # clean doc drops out (inner semantics)
+
+    def test_max_df_drops_boilerplate_grams(self, spark):
+        boiler = "all rights reserved worldwide"
+        train = self.mk(spark, [(i, boiler) for i in range(5)])
+        ev = self.mk(spark, [(1, boiler)])
+        assert (
+            ngram_decontaminate(train, ev, "id", "text", n=3, max_df=4).count()
+            == 0
+        )
+        hit = ngram_decontaminate(train, ev, "id", "text", n=3, max_df=5)
+        assert hit.collect()[0]["n_train_docs"] == 5
+
+
+class TestSourceMixWeights:
+    def test_alpha_tempering(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 1 + [("b",)] * 4, ["src"]
+        )
+        rows = {
+            r["src"]: r.asDict()
+            for r in source_mix_weights(df, "src", alpha=0.5).collect()
+        }
+        # sqrt weighting: 1 vs 2 -> 1/3, 2/3
+        assert rows["a"]["weight"] == pytest.approx(1 / 3, abs=1e-6)
+        assert rows["b"]["weight"] == pytest.approx(2 / 3, abs=1e-6)
+        assert rows["a"]["n_docs"] == 1 and rows["b"]["n_docs"] == 4
+
+    def test_weights_sum_to_one(self, spark):
+        df = spark.createDataFrame(
+            [(f"s{i % 7}",) for i in range(100)], ["src"]
+        )
+        total = (
+            source_mix_weights(df, "src")
+            .agg(F.sum("weight").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert total == pytest.approx(1.0, abs=1e-4)
