@@ -78,7 +78,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 Q3_SHIPPING = """
-SELECT l_orderkey,
+SELECT /*+ BROADCAST(customer, orders) */ l_orderkey,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
@@ -93,7 +93,7 @@ LIMIT 10
 """
 
 Q5_REGION_REVENUE = """
-SELECT r_name, n_name,
+SELECT /*+ BROADCAST(region, nation, customer, orders) */ r_name, n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM region
 JOIN nation ON n_regionkey = r_regionkey
@@ -1587,6 +1587,62 @@ GROUP BY 1 ORDER BY eval_id
 """
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (shaper_spark/operators/graph.py):
+    jaccard near-dup pairs → alternating large-star/small-star
+    connected components → one canonical keep-id per cluster. The
+    oracle replays the closure with a recursive CTE over the identical
+    pair list."""
+    from shaper_spark.operators.dedup import jaccard_pairs
+    from shaper_spark.operators.graph import dedup_clusters
+
+    _prep(spark, sf_dir)
+    pairs = jaccard_pairs(
+        spark.table("documents"), "doc_id", "text", k=3, threshold=0.5
+    )
+    return dedup_clusters(pairs, "id_a", "id_b").orderBy("component")
+
+
+DEDUP_CLUSTERS_DUCK = """
+WITH RECURSIVE
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE inter * 1.0 / (ca.c + cb.c - inter) >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION SELECT id_b, id_a FROM edges
+  UNION SELECT id_a, id_a FROM edges
+  UNION SELECT id_b, id_b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT min(b) AS component, count(DISTINCT a) AS n_members,
+       min(b) AS keep_id
+FROM (SELECT a, min(b) AS b FROM reach GROUP BY a) lab
+GROUP BY lab.b ORDER BY component
+"""
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing weights
     (shaper_spark/operators/sampling.py source_mix_weights): count^0.7
@@ -1902,7 +1958,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
         "chunk_docs_sliding": _q_chunk_docs,
         "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
-        "qualify_top_parts": _dialect(QUALIFY_TOP_PARTS),
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_audio": _q_multimodal_audio,
@@ -1918,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "pii_scrub_customers": _q_pii_scrub,
         "decontam_ngrams": _q_decontam,
+        "dedup_clusters": _q_dedup_clusters,
         "source_mix_weights": _q_source_mix,
         "doc_length_histogram": _q_length_histogram,
         "explain_plan": _q_explain,
@@ -1925,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round (r02/r03) --
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
+        "qualify_top_parts": _dialect(QUALIFY_TOP_PARTS),
         "from_first": _dialect(FROM_FIRST),
         "string_agg_nations": _q_string_agg,
         "pivot_std": _sql(PIVOT_STD),
@@ -2022,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": REPETITION_DUCK,
         "pii_scrub_customers": _pii_scrub_duck(),
         "decontam_ngrams": DECONTAM_DUCK,
+        "dedup_clusters": DEDUP_CLUSTERS_DUCK,
         "source_mix_weights": SOURCE_MIX_DUCK,
         "doc_length_histogram": LENGTH_HISTOGRAM_DUCK,
         "stratified_sample_docs": STRATIFIED_SAMPLE_DUCK,

@@ -32,6 +32,7 @@ EXTRAS = [
     "text_repetition",
     "pii_scrub_customers",
     "decontam_ngrams",
+    "dedup_clusters",
     "source_mix_weights",
     "doc_length_histogram",
 ]

@@ -1,0 +1,114 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+The dedup family (jaccard_pairs / minhash / simhash / embedding
+near-dup) emits *pairs*; turning pairs into clusters — so one canonical
+document per duplicate group survives — is a connected-components
+problem. This implements the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014): converges in O(log² n) rounds independent of
+component diameter, each round two hash-shuffles — the formulation that
+survives 100 TB edge lists, unlike label propagation whose round count
+grows with the longest duplicate chain.
+
+Every round materializes with persist + count and truncates lineage
+(``localCheckpoint``) so the iterative plan doesn't stack — the classic
+Spark iterative-algorithm footgun.
+
+Reference parity note: the reference has no graph/cluster operator —
+§2C training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the
+    minimum of N(u) ∪ {u}."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct every edge high→low, then for each node u connect u and
+    all its (≤) neighbors to the minimum neighbor."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    lo = (
+        directed.join(m, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    hi = m.select(F.col("src"), F.col("m").alias("dst"))
+    return lo.union(hi).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = smallest node id in the node's connected component.
+    Undirected interpretation; self-loops and duplicate edges are fine.
+
+    Converges when an alternation round leaves the (node → min
+    neighbor) map unchanged — checked with one count per round on a
+    checksum-joined frame, not a collect."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # Fixed point: identical edge sets (both are distinct frames).
+        changed = (
+            e2.join(e, ["src", "dst"], "left_anti").limit(1).count() > 0
+            or e.join(e2, ["src", "dst"], "left_anti").limit(1).count() > 0
+        )
+        e = e2
+        if not changed:
+            break
+    # At the fixed point the edge set is a star forest: every edge is
+    # (member, root) with member ≠ root. Roots — and nodes isolated by
+    # self-loop-only input, which the star steps drop entirely — are
+    # exactly the nodes absent from the member side; they are their own
+    # component minimum.
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    rest = all_nodes.join(members.select("node"), "node", "left_anti")
+    return members.union(rest.select("node", F.col("node").alias("component")))
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Duplicate-cluster summary from a near-dup pair list:
+    (component, n_members, keep_id) — ``keep_id`` is the canonical
+    (minimum-id) member, the standard keep-first dedup rule."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("keep_id"),
+    )

@@ -32,7 +32,8 @@ def test_prefix_50_covers_the_diverse_surface():
         # round-4 first-class operators (rotated in per the README
         # window policy, displacing 2x-passed SQL-string entries)
         "text_repetition", "pii_scrub_customers", "decontam_ngrams",
-        "source_mix_weights", "doc_length_histogram", "explain_plan",
+        "dedup_clusters", "source_mix_weights", "doc_length_histogram",
+        "explain_plan",
         # core families
         "q1_pricing_summary", "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_top1", "embedding_neardup", "text_quality", "text_winnow",

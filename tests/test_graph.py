@@ -1,0 +1,85 @@
+"""Connected components (large-star/small-star) and cluster resolution."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from shaper_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_single_chain_collapses_to_min(spark):
+    # a long path is the worst case for label propagation; the star
+    # algorithm still converges in O(log^2 n) alternations
+    out = _cc(spark, [(i, i + 1) for i in range(1, 30)])
+    assert set(out.values()) == {1}
+    assert set(out) == set(range(1, 31))
+
+
+def test_two_components(spark):
+    out = _cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12] == 10
+
+
+def test_self_loops_and_duplicates(spark):
+    out = _cc(spark, [(5, 5), (1, 2), (2, 1), (1, 2)])
+    assert out[5] == 5
+    assert out[1] == out[2] == 1
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randint(1, 60), rng.randint(1, 60)) for _ in range(80)]
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for n in (a, b):
+            want[n] = find(n)
+    # normalize: component label = min member
+    comp_min = {}
+    for n, c in want.items():
+        comp_min.setdefault(c, n)
+        comp_min[c] = min(comp_min[c], n)
+    want = {n: comp_min[c] for n, c in want.items()}
+    assert _cc(spark, edges) == want
+
+
+def test_dedup_clusters_summary(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+    )
+    rows = {
+        r["component"]: r.asDict()
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert rows[1]["n_members"] == 3 and rows[1]["keep_id"] == 1
+    assert rows[7]["n_members"] == 2 and rows[7]["keep_id"] == 7
+
+
+def test_output_has_each_node_once(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 4)], ["src", "dst"])
+    out = connected_components(df)
+    assert out.groupBy("node").count().filter(F.col("count") > 1).count() == 0
