@@ -1643,6 +1643,73 @@ GROUP BY lab.b ORDER BY component
 """
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement
+    (shaper_spark/operators/sampling.py weighted_sample): the
+    Efraimidis–Spirakis A-ES key u^(1/w) with deterministic md5
+    uniforms — Spark plans the selection as TakeOrderedAndProject
+    (per-partition top-n + driver merge, no global sort shuffle)."""
+    from shaper_spark.operators.sampling import weighted_sample
+
+    _prep(spark, sf_dir)
+    return (
+        weighted_sample(
+            spark.table("documents").select("doc_id", "n_chars"),
+            "doc_id",
+            "n_chars",
+            25,
+        )
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_SAMPLE_DUCK = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         greatest(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0, 1e-10) AS u
+  FROM documents WHERE n_chars > 0
+),
+win AS (
+  SELECT doc_id, n_chars FROM h
+  ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 25
+)
+SELECT doc_id, n_chars FROM win ORDER BY doc_id
+"""
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (shaper_spark/operators/text.py
+    tfidf_top_terms, smoothed scikit-learn idf): three high-cardinality
+    shuffles (doc+term, term, doc), N broadcast."""
+    from shaper_spark.operators.text import tfidf_top_terms
+
+    _prep(spark, sf_dir)
+    return tfidf_top_terms(spark.table("documents"), "doc_id", "text").orderBy(
+        "id", "rank"
+    )
+
+
+TFIDF_DUCK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+scored AS (
+  SELECT doc_id AS id, tfc.term, tf, df,
+         round(tf * (ln((nd + 1) / (df + 1)) + 1.0), 6) AS tfidf
+  FROM tfc JOIN dfq ON tfc.term = dfq.term CROSS JOIN n
+)
+SELECT id, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term)
+           AS rank
+  FROM scored
+) ranked WHERE rank <= 3 ORDER BY id, rank
+"""
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing weights
     (shaper_spark/operators/sampling.py source_mix_weights): count^0.7
@@ -1954,8 +2021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_table": _q_summarize,
         "pack_sequences_budget": _q_pack_sequences,
         "recursive_series": _sql(RECURSIVE_SERIES),
-        "grouping_sets_revenue": _sql(GROUPING_SETS_REVENUE),
-        "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
+        "weighted_sample_docs": _q_weighted_sample,
+        "tfidf_top_terms": _q_tfidf,
         "chunk_docs_sliding": _q_chunk_docs,
         "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
         "simhash_near_pairs": _q_simhash_pairs,
@@ -1981,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round (r02/r03) --
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
+        "grouping_sets_revenue": _sql(GROUPING_SETS_REVENUE),
+        "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
         "qualify_top_parts": _dialect(QUALIFY_TOP_PARTS),
         "from_first": _dialect(FROM_FIRST),
         "string_agg_nations": _q_string_agg,
@@ -2080,6 +2149,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_customers": _pii_scrub_duck(),
         "decontam_ngrams": DECONTAM_DUCK,
         "dedup_clusters": DEDUP_CLUSTERS_DUCK,
+        "weighted_sample_docs": WEIGHTED_SAMPLE_DUCK,
+        "tfidf_top_terms": TFIDF_DUCK,
         "source_mix_weights": SOURCE_MIX_DUCK,
         "doc_length_histogram": LENGTH_HISTOGRAM_DUCK,
         "stratified_sample_docs": STRATIFIED_SAMPLE_DUCK,

@@ -35,6 +35,8 @@ EXTRAS = [
     "dedup_clusters",
     "source_mix_weights",
     "doc_length_histogram",
+    "weighted_sample_docs",
+    "tfidf_top_terms",
 ]
 
 HEADLINE = [

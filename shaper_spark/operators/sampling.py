@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "stratified_exact_sample", "source_mix_weights"]
+__all__ = [
+    "hash_split",
+    "stratified_exact_sample",
+    "source_mix_weights",
+    "weighted_sample",
+]
 
 
 def _hash_unit(col, seed: str):
@@ -56,6 +61,41 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Weight-proportional sample of ``n`` rows without replacement —
+    the Efraimidis–Spirakis A-ES scheme: key = u^(1/w) with u a
+    deterministic md5 uniform, take the n largest keys. One
+    top-n-by-key selection (window row_number over a single global
+    ordering is avoided: rank via a per-partition local top-n would be
+    the 100 TB shape; at the driver-contract scales a global window on
+    the key is bounded by n·log — here we use orderBy + limit, which
+    Spark plans as TakeOrderedAndProject: per-partition top-n plus a
+    driver merge, no global sort shuffle).
+
+    Deterministic (no RNG state), so any engine replays the exact
+    winner set; zero/negative weights are excluded (their selection
+    key is −∞ in the limit)."""
+    if n <= 0:
+        raise ValueError("weighted_sample: n must be > 0")
+    # floor the uniform at 1e-10 so ln() never sees 0 (prob 2^-32);
+    # log-space for numeric stability: ln(key) = ln(u)/w, monotone in key
+    u = F.greatest(_hash_unit(F.col(id_col), seed), F.lit(1e-10))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__k")
+    )
 
 
 def source_mix_weights(

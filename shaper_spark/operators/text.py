@@ -21,6 +21,7 @@ __all__ = [
     "winnow_fingerprints",
     "repetition_stats",
     "length_histogram",
+    "tfidf_top_terms",
     "LANG_STOPWORDS",
 ]
 
@@ -220,6 +221,54 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf × (ln((N+1)/(df+1)) + 1)
+    (smoothed idf, the scikit-learn formulation). Returns
+    (id, term, tf, df, tfidf, rank).
+
+    Shape: one explode → per-(doc,term) counts (shuffle on doc+term) →
+    document frequency per term (shuffle on term) joined back → per-doc
+    top-k window (shuffle on doc). N rides in as a broadcast single-row
+    frame. All three shuffles key on high-cardinality columns — no
+    driver bottleneck at corpus scale."""
+    from pyspark.sql import Window
+
+    from ..session import spread_for_compute
+
+    toks = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("id", "term", "tf", "df", "tfidf", "rank")
     )
 
 

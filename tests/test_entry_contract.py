@@ -33,7 +33,7 @@ def test_prefix_50_covers_the_diverse_surface():
         # window policy, displacing 2x-passed SQL-string entries)
         "text_repetition", "pii_scrub_customers", "decontam_ngrams",
         "dedup_clusters", "source_mix_weights", "doc_length_histogram",
-        "explain_plan",
+        "weighted_sample_docs", "tfidf_top_terms", "explain_plan",
         # core families
         "q1_pricing_summary", "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_top1", "embedding_neardup", "text_quality", "text_winnow",

@@ -124,6 +124,85 @@ class TestDecontam:
         assert hit.collect()[0]["n_train_docs"] == 5
 
 
+class TestWeightedSample:
+    def test_matches_python_reference(self, spark):
+        import hashlib
+        import math
+
+        from shaper_spark.operators.sampling import weighted_sample
+
+        rows = [(i, (i * 37) % 100 + 1) for i in range(1, 200)]
+        df = spark.createDataFrame(rows, ["id", "w"])
+        got = sorted(
+            r["id"] for r in weighted_sample(df, "id", "w", 10).collect()
+        )
+
+        def key(i, w):
+            h = hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8]
+            u = max(int(h, 16) / 2**32, 1e-10)
+            return math.log(u) / w
+
+        want = sorted(
+            sorted(rows, key=lambda r: (-key(*r), r[0]))[:10]
+        )
+        assert got == [i for i, _ in want]
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from shaper_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -2)], ["id", "w"]
+        )
+        got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+        assert got == {1}
+
+    def test_take_ordered_plan(self, spark):
+        from shaper_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame([(i, i + 1) for i in range(50)], ["id", "w"])
+        plan = (
+            weighted_sample(df, "id", "w", 5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan  # no global sort shuffle
+
+
+class TestTfidf:
+    def test_known_values(self, spark):
+        import math
+
+        from shaper_spark.operators.text import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], ["id", "text"]
+        )
+        rows = {
+            (r["id"], r["term"]): r.asDict()
+            for r in tfidf_top_terms(df, "id", "text", top_k=3).collect()
+        }
+        a = rows[(1, "a")]
+        assert a["tf"] == 2 and a["df"] == 1
+        assert a["tfidf"] == pytest.approx(
+            round(2 * (math.log(3 / 2) + 1), 6)
+        )
+        assert a["rank"] == 1  # highest tfidf in doc 1
+        b2 = rows[(2, "b")]
+        assert b2["df"] == 2
+        # shared term scores ln(1)+1 = 1.0 per occurrence
+        assert b2["tfidf"] == pytest.approx(1.0)
+
+    def test_top_k_limit_and_tiebreak(self, spark):
+        from shaper_spark.operators.text import tfidf_top_terms
+
+        df = spark.createDataFrame([(1, "x y z w v")], ["id", "text"])
+        out = tfidf_top_terms(df, "id", "text", top_k=2).collect()
+        assert len(out) == 2
+        # all terms tie (tf=1, df=1): alphabetical tiebreak
+        assert sorted(r["term"] for r in out) == ["v", "w"]
+
+
 class TestSourceMixWeights:
     def test_alpha_tempering(self, spark):
         df = spark.createDataFrame(
