@@ -1710,6 +1710,31 @@ SELECT id, term, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def _q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count rollup
+    (shaper_spark/operators/sketches.py): per-(event_type, day)
+    sketches merged up to event_type without rescanning raw events —
+    the re-aggregable COUNT(DISTINCT) the timerollup cascade can't
+    carry. Rows-only check: estimates are engine-specific (DuckDB's
+    approx_count_distinct is a different HLL implementation); the
+    union-equals-direct and error-bound contracts are pytest-verified
+    (tests/test_sketches.py)."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.sketches import hll_merge, hll_rollup
+
+    _prep(spark, sf_dir)
+    events = spark.table("events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = hll_rollup(events, "user_id", ["event_type", "day"])
+    return (
+        hll_merge(daily, ["event_type"], "approx_users")
+        .select("event_type", F.col("approx_users").cast("bigint").alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 def _q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing weights
     (shaper_spark/operators/sampling.py source_mix_weights): count^0.7
@@ -2000,7 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_filter": _sql(Q6_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
         "boxplot_whiskers": _sql(BOXPLOT_SPARK),
-        "customers_no_orders": _sql(CUSTOMERS_NO_ORDERS),
+        "hll_distinct_users": _q_hll_users,
         "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
         "events_json_props": _sql(EVENTS_JSON_SPARK),
         "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
@@ -2075,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": _sql(DISTINCT_USERS),
         "big_customers_having": _sql(BIG_CUSTOMERS_HAVING),
         "events_sessionize": _sql(SESSIONIZE_SPARK),
+        "customers_no_orders": _sql(CUSTOMERS_NO_ORDERS),
     }
 
 

@@ -37,6 +37,7 @@ EXTRAS = [
     "doc_length_histogram",
     "weighted_sample_docs",
     "tfidf_top_terms",
+    "hll_distinct_users",
 ]
 
 HEADLINE = [

@@ -1,0 +1,62 @@
+"""HLL sketch rollups: mergeability and error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shaper_spark.operators.sketches import hll_merge, hll_rollup
+
+
+@pytest.fixture(scope="module")
+def users(spark):
+    # 4000 distinct users spread over 10 days, many repeats
+    rows = [
+        (f"d{(i * 7) % 10}", f"u{i % 4000}") for i in range(20_000)
+    ]
+    return spark.createDataFrame(rows, ["day", "user"])
+
+
+def test_estimate_within_hll_error(users):
+    daily = hll_rollup(users, "user", ["day"])
+    total = hll_merge(daily, []).collect()[0]["approx_distinct"]
+    assert abs(total - 4000) / 4000 < 0.05  # lg_k=12 ~1.6% rse
+
+
+def test_union_of_partials_equals_direct_sketch(users):
+    # the re-aggregability contract: merging per-day sketches gives the
+    # same estimate as sketching the whole column in one pass
+    via_rollup = hll_merge(hll_rollup(users, "user", ["day"]), []).collect()[
+        0
+    ]["approx_distinct"]
+    direct = users.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user"), F.lit(12))
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert via_rollup == direct
+
+
+def test_partial_merge_to_intermediate_grain(users):
+    with_week = users.withColumn(
+        "week", F.when(F.col("day").isin("d0", "d1", "d2", "d3", "d4"), "w0")
+        .otherwise("w1")
+    )
+    daily = hll_rollup(with_week, "user", ["week", "day"])
+    weekly = hll_merge(daily, ["week"])
+    rows = {r["week"]: r["approx_distinct"] for r in weekly.collect()}
+    assert set(rows) == {"w0", "w1"}
+    exact = {
+        r["week"]: r["n"]
+        for r in with_week.groupBy("week")
+        .agg(F.countDistinct("user").alias("n"))
+        .collect()
+    }
+    for w in exact:
+        assert abs(rows[w] - exact[w]) / exact[w] < 0.05
+
+
+def test_sketches_are_compact(users):
+    daily = hll_rollup(users, "user", ["day"], lg_k=12)
+    sizes = daily.select(F.octet_length("hll").alias("b")).collect()
+    assert all(r["b"] <= 6000 for r in sizes)  # ~4KiB + header
