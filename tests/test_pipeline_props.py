@@ -129,3 +129,71 @@ class TestIntervalJoinProperties:
             assert sorted(got[pid], key=lambda x: (x is None, x)) == sorted(
                 want, key=lambda x: (x is None, x)
             ), f"pid={pid}"
+
+
+def _ref_repetition(words: list[str]) -> tuple[float, int, float | None]:
+    n = len(words)
+    dup = round(1 - len(set(words)) / n, 6)
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    if not bigrams:
+        return dup, 0, None
+    top = max(bigrams.count(g) for g in set(bigrams))
+    return dup, len(bigrams), round(top / len(bigrams), 6)
+
+
+class TestRepetitionProperties:
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e"]),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_reference(self, spark, words):
+        from shaper_spark.operators.text import repetition_stats
+
+        df = spark.createDataFrame([(1, " ".join(words))], ["id", "text"])
+        r = repetition_stats(df, "id", "text").collect()[0]
+        dup, n_big, top = _ref_repetition(words)
+        assert r["n_words"] == len(words)
+        assert r["dup_word_frac"] == dup
+        assert r["n_bigrams"] == n_big
+        assert r["top_bigram_frac"] == top
+
+
+class TestTfidfProperties:
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=8
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_reference(self, spark, docs):
+        import math
+
+        from shaper_spark.operators.text import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)], ["id", "text"]
+        )
+        got = {
+            (r["id"], r["term"]): (r["tf"], r["df"], r["tfidf"])
+            for r in tfidf_top_terms(df, "id", "text", top_k=99).collect()
+        }
+        n_docs = len(docs)
+        dfreq: dict[str, int] = {}
+        for ws in docs:
+            for t in set(ws):
+                dfreq[t] = dfreq.get(t, 0) + 1
+        for i, ws in enumerate(docs):
+            for t in set(ws):
+                tf = ws.count(t)
+                tfidf = round(
+                    tf * (math.log((n_docs + 1) / (dfreq[t] + 1)) + 1), 6
+                )
+                assert got[(i, t)] == (tf, dfreq[t], tfidf)
