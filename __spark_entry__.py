@@ -1995,6 +1995,127 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-gram span statistics per source
+    (shaper_spark/operators/dupspans.py) — the diagnostic half of
+    exact-substring dedup (Lee et al. 2022). No reference counterpart;
+    §2C training-pipeline surface."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.dupspans import duplicated_span_stats
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    st = duplicated_span_stats(docs, "doc_id", "text", k=8)
+    return (
+        st.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_dup_grams").alias("dup_grams"),
+        )
+        .select(
+            "source",
+            "total_grams",
+            "dup_grams",
+            F.round(
+                F.col("dup_grams").cast("double") / F.col("total_grams"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+DUP_SPANS_DUCK = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, source, unnest(range(1, greatest(len(ws) - 6, 1))) AS i, ws FROM w),
+gr AS (SELECT doc_id, source, md5(array_to_string(ws[i : i + 7], ' ')) AS gh FROM g),
+d AS (SELECT gh FROM gr GROUP BY gh HAVING count(DISTINCT doc_id) > 1)
+SELECT source, CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(sum(CASE WHEN gh IN (SELECT gh FROM d) THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+       round(sum(CASE WHEN gh IN (SELECT gh FROM d) THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_frac
+FROM gr GROUP BY source ORDER BY source
+"""
+
+
+def _q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM bits-per-token quality scores, summarized per source
+    (shaper_spark/operators/text.py unigram_lm_scores) — the cheap end
+    of CCNet's perplexity filter. No reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.text import unigram_lm_scores
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    lm = unigram_lm_scores(docs, "doc_id", "text")
+    return (
+        lm.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("bits_per_token"), 6).alias("avg_bits"),
+            F.round(F.min("bits_per_token"), 6).alias("min_bits"),
+            F.round(F.max("bits_per_token"), 6).alias("max_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+LM_SCORES_DUCK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+vocab AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+tot AS (SELECT sum(tf) AS total FROM vocab),
+probs AS (SELECT tok, tf::DOUBLE / (SELECT total FROM tot) AS p FROM vocab),
+per_doc AS (
+  SELECT doc_id, round(avg(-log2(p)), 6) AS bits_per_token
+  FROM tk JOIN probs USING (tok) GROUP BY doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(bits_per_token), 6) AS avg_bits,
+       round(min(bits_per_token), 6) AS min_bits,
+       round(max(bits_per_token), 6) AS max_bits
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
+def _q_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way training-shard assignment with balance
+    stats (shaper_spark/operators/sampling.py shard_assign). No
+    reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.sampling import shard_assign
+
+    _prep(spark, sf_dir)
+    return (
+        shard_assign(spark.table("documents"), "doc_id", 16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_COUNTS_DUCK = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 16 AS INT) AS shard,
+         n_chars
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM h GROUP BY shard ORDER BY shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2005,7 +2126,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 75 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 82 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2017,17 +2138,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``pivot_duck_sugar``/``describe_table``/``setop_fetch`` (green in
     r02+r03) out for the five new pipeline operators (repetition, PII
     scrub, decontamination, source mix, length histogram) plus
-    ``explain_plan`` (rows-only by nature, never officially recorded)."""
+    ``explain_plan`` (rows-only by nature, never officially recorded);
+    later in round 4, ``boxplot_whiskers``/``parts_above_brand_avg``/
+    ``events_json_props`` (green r02+r03) rotated out for
+    ``dup_span_stats``/``doc_lm_scores``/``shard_assign_counts``."""
     return {
         "q1_pricing_summary": _sql(Q1_PRICING),
         "q3_shipping_priority": _sql(Q3_SHIPPING),
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "q6_revenue_filter": _sql(Q6_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
-        "boxplot_whiskers": _sql(BOXPLOT_SPARK),
+        "dup_span_stats": _q_dup_spans,
         "hll_distinct_users": _q_hll_users,
-        "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
-        "events_json_props": _sql(EVENTS_JSON_SPARK),
+        "doc_lm_scores": _q_lm_scores,
+        "shard_assign_counts": _q_shard_counts,
         "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
         "dashboard_weekly": _dialect(DASHBOARD_WEEKLY_DIALECT),
         "dedup_exact_groups": _q_dedup_exact,
@@ -2101,6 +2225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_customers_having": _sql(BIG_CUSTOMERS_HAVING),
         "events_sessionize": _sql(SESSIONIZE_SPARK),
         "customers_no_orders": _sql(CUSTOMERS_NO_ORDERS),
+        "boxplot_whiskers": _sql(BOXPLOT_SPARK),
+        "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
+        "events_json_props": _sql(EVENTS_JSON_SPARK),
     }
 
 
@@ -2183,4 +2310,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_budget": PACK_SEQUENCES_DUCK,
         "chunk_docs_sliding": CHUNK_DOCS_DUCK,
         "vocab_top_terms": VOCAB_TOP_TERMS_DUCK,
+        "dup_span_stats": DUP_SPANS_DUCK,
+        "doc_lm_scores": LM_SCORES_DUCK,
+        "shard_assign_counts": SHARD_COUNTS_DUCK,
     }

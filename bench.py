@@ -38,6 +38,9 @@ EXTRAS = [
     "weighted_sample_docs",
     "tfidf_top_terms",
     "hll_distinct_users",
+    "dup_span_stats",
+    "doc_lm_scores",
+    "shard_assign_counts",
 ]
 
 HEADLINE = [

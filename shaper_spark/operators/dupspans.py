@@ -1,0 +1,87 @@
+"""Cross-document duplicated-span statistics — the diagnostic half of
+exact-substring deduplication (Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better"): for every position in every
+document, does the k-gram starting there also occur in at least one
+OTHER document? The per-document duplicated fraction drives span-removal
+or doc-dropping decisions in pretraining pipelines.
+
+This complements the existing family: ``repetition_stats`` is
+WITHIN-doc duplication, ``ngram_decontaminate`` is train-vs-eval
+overlap; this is corpus-internal CROSS-doc overlap with positional
+(span) granularity rather than distinct-shingle granularity.
+
+Scale shape (100 TB): positional k-grams are md5-hashed to a fixed-width
+key before any shuffle, so the wide gram string never crosses the wire.
+The gram-frequency aggregate is one hash-agg with map-side partials; the
+flag-back is a posting-list equi-join on the hash (never a pairs join),
+so cost is Σ(dup-gram postings), not n². Everything else shuffles on the
+document id — embarrassingly parallel, codegen end-to-end, no Python.
+
+Reference parity note: the reference has no such operator — §2C
+training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["duplicated_span_stats"]
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per document: total k-gram positions, positions whose k-gram
+    appears in ≥1 other document, and the duplicated fraction.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac) — one row per document
+    that has at least one k-gram (docs shorter than k words drop out,
+    matching the oracle). ``dup_frac`` is rounded to 6 dp so the value
+    replays bit-identically in any engine."""
+    from pyspark.sql import Window
+
+    from ..session import spread_for_compute
+
+    toks = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    grams = (
+        toks.select(
+            "id",
+            parts[-1].alias("__last"),
+            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "h")
+    )
+    # Corpus-wide: which gram hashes occur in more than one document?
+    # Hash-agg with map-side partials; the filter keeps only dup grams,
+    # so the join below is a posting-list join bounded by dup postings.
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("id").alias("__df"))
+        .filter(F.col("__df") > 1)
+        .select("h")
+    )
+    per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc_dup = (
+        grams.join(dup, "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        per_doc.join(per_doc_dup, "id", "left")
+        .select(
+            "id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -23,6 +23,7 @@ __all__ = [
     "stratified_exact_sample",
     "source_mix_weights",
     "weighted_sample",
+    "shard_assign",
 ]
 
 
@@ -61,6 +62,39 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn(split_col, expr)
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Append ``shard_col`` ∈ [0, n_shards): the deterministic output
+    shard for training-data writes. md5-keyed like ``hash_split`` so the
+    assignment is stable across runs, engines, and cluster sizes — a
+    re-run of the pipeline reproduces byte-identical shard contents,
+    which is what makes training-data builds auditable.
+
+    Narrow projection, no shuffle: the shard id is computed where the
+    row already lives. The write side then does ONE
+    ``repartition(n_shards, shard_col)`` (or ``partitionBy`` on the
+    writer) so each shard lands as one output stream — the hash keeps
+    shard sizes balanced to within sampling noise, so no shard becomes
+    a straggler at 100 TB."""
+    if n_shards <= 0:
+        raise ValueError("shard_assign: n_shards must be > 0")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(shard_col, (h % n_shards).cast("int"))
 
 
 def weighted_sample(

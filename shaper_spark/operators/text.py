@@ -22,6 +22,7 @@ __all__ = [
     "repetition_stats",
     "length_histogram",
     "tfidf_top_terms",
+    "unigram_lm_scores",
     "LANG_STOPWORDS",
 ]
 
@@ -221,6 +222,41 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram language-model score: mean −log₂ p(token)
+    under the corpus's own MLE unigram distribution — "bits per token".
+    The cheap end of the perplexity-based quality-filter family (CCNet's
+    KenLM step, Wenzek et al. 2020): outlier-high scores flag gibberish
+    and rare-token noise, outlier-low scores flag boilerplate.
+
+    Spark shape: one explode feeds (a) the corpus vocabulary aggregate
+    (hash-agg with map-side partials — one shuffle on the token) and
+    (b) the per-doc token stream; probabilities join back via a
+    posting-list equi-join on the token, and the single-row corpus
+    total broadcasts. Per-doc mean shuffles on the doc id. No Python,
+    no window, no n² anywhere — at 100 TB the vocabulary join is a
+    plain keyed shuffle that AQE can convert to broadcast when the
+    vocab side is small. Returns (id, n_tokens, bits_per_token)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("__total"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.col("tf").cast("double") / F.col("__total")).alias("__p"),
+    )
+    return (
+        toks.join(probs, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log2("__p")), 6).alias("bits_per_token"),
+        )
     )
 
 
