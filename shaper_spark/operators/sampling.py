@@ -24,6 +24,7 @@ __all__ = [
     "source_mix_weights",
     "weighted_sample",
     "shard_assign",
+    "write_training_shards",
 ]
 
 
@@ -95,6 +96,38 @@ def shard_assign(
         10,
     ).cast("long")
     return df.withColumn(shard_col, (h % n_shards).cast("int"))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training-data build as ``n_shards`` balanced,
+    deterministic parquet shards under ``path`` (Hive layout
+    ``shard=K/``). The write pipeline a 100 TB build wants:
+
+    * ``shard_assign`` computes the shard where the row lives (narrow,
+      no shuffle);
+    * ONE ``repartition(n_shards, shard)`` is the only shuffle — each
+      output shard is produced by exactly one task, so there are
+      exactly ``n_shards`` data files, no small-file explosion;
+    * ``partitionBy`` gives the self-describing directory layout, and
+      because the data partitioning already matches the write
+      partitioning, no task writes more than one file.
+
+    Re-running the build reproduces byte-identical shard *membership*
+    (md5-keyed), which is what makes training mixes auditable."""
+    out = shard_assign(df, key_col, n_shards, seed=seed)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
 
 
 def weighted_sample(

@@ -152,3 +152,35 @@ class TestShardAssign:
         df = spark.createDataFrame([(1,)], ["id"])
         with pytest.raises(ValueError):
             shard_assign(df, "id", 0)
+
+
+class TestWriteTrainingShards:
+    def test_layout_file_count_and_membership(self, spark, tmp_path):
+        from shaper_spark.operators.sampling import write_training_shards
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(500)], ["id", "text"]
+        )
+        path = str(tmp_path / "shards")
+        write_training_shards(df, path, "id", 8)
+
+        import glob
+        import os
+
+        dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+        assert [os.path.basename(d) for d in dirs] == [
+            f"shard={i}" for i in range(8)
+        ]
+        # one repartition stream per shard → exactly one data file each
+        for d in dirs:
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+        back = spark.read.parquet(path)
+        assert back.count() == 500
+        expect = {
+            r["id"]: r["shard"]
+            for r in shard_assign(df, "id", 8).collect()
+        }
+        got = {r["id"]: r["shard"] for r in back.collect()}
+        assert got == expect
