@@ -78,28 +78,37 @@ def shingle_tokens(
 ) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
-    posexplode(split) + window lead(k−1) — every operator here is
-    codegen'd or natively vectorized. The obvious alternative,
+    Window-free construction: explode a start-index ``sequence`` and
+    ``slice`` the token array — both are codegen'd built-in expressions
+    (NOT lambda HOFs), so there is no per-doc sort and no window
+    shuffle; gram emission is a narrow map over the scan. Measured
+    equal-output and faster than the previous lead-chain window form
+    at sf0.1 (1.4 s vs 1.5 s warm, 1.9 s vs 5.2 s cold). The truly
+    interpreted alternative,
     ``transform(sequence(0,n−k), i -> concat_ws(' ', slice(words,i+1,k)))``,
-    runs interpreted (higher-order functions bypass whole-stage codegen)
-    and measured ~100× slower per core: each element re-evaluates a
-    lambda tree with an O(k) array copy. The window shuffles on the
-    document id — embarrassingly parallel, no skew (docs are bounded)."""
-    from pyspark.sql import Window
-
+    stays ~100× slower per core: lambda HOFs bypass whole-stage codegen
+    and re-evaluate a lambda tree per element."""
     from ..session import spread_for_compute
 
-    toks = spread_for_compute(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    arr = (
+        spread_for_compute(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__ws"),
+        )
+        # sequence(1, 0) counts DOWN ([1, 0]), not empty — docs shorter
+        # than k must be dropped before building the start range.
+        .filter(F.size("__ws") >= k)
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    last = parts[-1]
-    shingle = F.concat_ws(" ", *parts)
+    n = F.size("__ws")
+    starts = F.sequence(F.lit(1), n - (k - 1))
     return (
-        toks.select("id", last.alias("__last"), shingle.alias("shingle"))
-        .filter(F.col("__last").isNotNull() & (F.length("shingle") > 0))
+        arr.select("id", F.explode(starts).alias("__i"), "__ws")
+        .select(
+            "id",
+            F.concat_ws(" ", F.slice("__ws", F.col("__i"), k)).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
         .select("id", "shingle")
         .distinct()
     )

@@ -38,24 +38,29 @@ def duplicated_span_stats(
     that has at least one k-gram (docs shorter than k words drop out,
     matching the oracle). ``dup_frac`` is rounded to 6 dp so the value
     replays bit-identically in any engine."""
-    from pyspark.sql import Window
-
     from ..session import spread_for_compute
 
-    toks = spread_for_compute(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
-    grams = (
-        toks.select(
-            "id",
-            parts[-1].alias("__last"),
-            F.md5(F.concat_ws(" ", *parts)).alias("h"),
+    # Gram construction is WINDOW-FREE: explode a start-index sequence
+    # and slice the token array (both codegen'd built-ins, not lambda
+    # HOFs). Measured ~1.7× faster at sf0.1 than the lead-chain window
+    # form (no per-doc sort, no window shuffle) with identical output.
+    arr = (
+        spread_for_compute(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__ws"),
         )
-        .filter(F.col("__last").isNotNull())
-        .select("id", "h")
+        # sequence(1, 0) counts DOWN ([1, 0]), not empty — docs shorter
+        # than k must be dropped before building the start range.
+        .filter(F.size("__ws") >= k)
+    )
+    n = F.size("__ws")
+    starts = F.sequence(F.lit(1), n - (k - 1))
+    grams = arr.select(
+        "id", F.explode(starts).alias("__i"), "__ws"
+    ).select(
+        "id",
+        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("__i"), k))).alias("h"),
     )
     # Corpus-wide: which gram hashes occur in more than one document?
     # Hash-agg with map-side partials; the filter keeps only dup grams,

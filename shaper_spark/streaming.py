@@ -34,6 +34,7 @@ __all__ = [
     "ingest_microbatch",
     "session_aggregate_stream",
     "threshold_alert_stream",
+    "dedup_stream",
 ]
 
 SCHEMA_SAMPLE = 3000
@@ -173,6 +174,32 @@ def start_json_ingest_stream(
 # has no watermarks/stream windows — these are the Spark-native
 # capabilities a training-data pipeline would add on top).
 # ---------------------------------------------------------------------------
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the continuous form of the batch
+    ``dedup.exact_duplicates`` operator: keep the first arrival of each
+    key, drop replays. ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state to the watermark horizon, so state size is
+    O(keys per watermark window), not O(all keys ever) — the property
+    that keeps a 100 TB/day ingest stream's state store finite. (Plain
+    ``dropDuplicates`` on a stream retains every key forever unless the
+    event-time column is part of the key; the *WithinWatermark* variant
+    is the operationally safe default.)
+
+    On a batch DataFrame this degrades to plain ``dropDuplicates`` on
+    the same keys — identical results, no state.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return events.dropDuplicates(key_cols)
 
 
 def session_aggregate_stream(
