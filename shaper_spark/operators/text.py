@@ -156,33 +156,34 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     most frequent word bigram over all bigrams). High values flag
     boilerplate/spam for pretraining filters.
 
-    Spark shape: one posexplode of the word stream feeds both a per-doc
-    word aggregate and a lead(1) bigram stream; bigram counts aggregate
-    twice (per (doc,bigram), then per doc with sum/max). Everything
-    shuffles on the document id only — embarrassingly parallel, no
-    skew (documents are bounded), codegen end-to-end, no Python."""
-    from pyspark.sql import Window
-
+    Spark shape: one token-array projection feeds both a per-doc word
+    aggregate and a window-free bigram stream (explode a start-index
+    ``sequence`` + ``slice`` — codegen'd built-ins, no per-doc sort, no
+    window shuffle); bigram counts aggregate twice (per (doc,bigram),
+    then per doc with sum/max). Everything shuffles on the document id
+    only — embarrassingly parallel, no skew (documents are bounded),
+    codegen end-to-end, no Python."""
     from ..session import spread_for_compute
 
-    toks = spread_for_compute(df).select(
+    arr = spread_for_compute(df).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        F.split(F.col(text_col), " ").alias("__ws"),
     )
+    toks = arr.select("id", F.explode("__ws").alias("tok"))
     words = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_words"),
         F.countDistinct("tok").alias("n_distinct"),
     )
-    w = Window.partitionBy("id").orderBy("pos")
+    # sequence(1, 0) counts DOWN ([1, 0]), not empty — single-word docs
+    # must be dropped before building the bigram start range.
+    n = F.size("__ws")
     bigrams = (
-        toks.select(
+        arr.filter(n >= 2)
+        .select("id", F.explode(F.sequence(F.lit(1), n - 1)).alias("__i"), "__ws")
+        .select(
             "id",
-            F.lead("tok", 1).over(w).alias("__next"),
-            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias(
-                "bigram"
-            ),
+            F.concat_ws(" ", F.slice("__ws", F.col("__i"), 2)).alias("bigram"),
         )
-        .filter(F.col("__next").isNotNull())
         .groupBy("id", "bigram")
         .count()
         .groupBy("id")
