@@ -2084,6 +2084,65 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation over languages
+    (shaper_spark/operators/sampling.py token_budget_allocation):
+    budget = half the corpus tokens, epoch cap 2. The closed-form
+    water-filling replays in ANSI SQL, so the oracle reproduces the
+    allocation bit-for-bit. No reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.sampling import token_budget_allocation
+
+    _prep(spark, sf_dir)
+    counts = (
+        spark.table("documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("n_toks"))
+    )
+    # single-row bounded collect: the budget scalar (half the corpus)
+    total = counts.agg(F.sum("n_toks")).collect()[0][0]
+    return token_budget_allocation(
+        counts, "lang", "n_toks", 0.5 * float(total), 2.0
+    ).withColumnRenamed("group", "lang")
+
+
+TOKEN_BUDGET_DUCK = """
+WITH c AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS n_toks
+  FROM documents GROUP BY lang
+),
+p AS (SELECT 0.5 * sum(n_toks) AS b FROM c),
+r AS (
+  SELECT lang, n_toks, n_toks * 2.0 AS cap,
+         row_number() OVER (ORDER BY n_toks * 2.0, lang) AS rn,
+         sum(n_toks * 2.0) OVER (ORDER BY n_toks * 2.0, lang
+                                 ROWS UNBOUNDED PRECEDING) AS prefix,
+         count(*) OVER () AS L
+  FROM c
+),
+k AS (
+  SELECT *, cap * (L - rn + 1) <= (SELECT b FROM p) - (prefix - cap) AS capped
+  FROM r
+),
+lvl AS (
+  SELECT coalesce(max(CASE WHEN capped THEN rn END), 0) AS j,
+         coalesce(max(CASE WHEN capped THEN prefix END), 0.0) AS pj,
+         max(L) AS L2
+  FROM k
+)
+SELECT k.lang, CAST(n_toks AS BIGINT) AS n_tokens, CAST(cap AS BIGINT) AS cap,
+       round(CASE WHEN capped THEN cap
+                  WHEN L2 > j THEN ((SELECT b FROM p) - pj) / (L2 - j)
+                  ELSE 0.0 END, 6) AS alloc,
+       round(CASE WHEN capped THEN cap
+                  WHEN L2 > j THEN ((SELECT b FROM p) - pj) / (L2 - j)
+                  ELSE 0.0 END / (SELECT b FROM p), 6) AS weight,
+       capped
+FROM k, lvl ORDER BY k.lang
+"""
+
+
 def _q_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 16-way training-shard assignment with balance
     stats (shaper_spark/operators/sampling.py shard_assign). No
@@ -2126,7 +2185,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 82 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 83 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2140,8 +2199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scrub, decontamination, source mix, length histogram) plus
     ``explain_plan`` (rows-only by nature, never officially recorded);
     later in round 4, ``boxplot_whiskers``/``parts_above_brand_avg``/
-    ``events_json_props`` (green r02+r03) rotated out for
-    ``dup_span_stats``/``doc_lm_scores``/``shard_assign_counts``."""
+    ``events_json_props``/``show_tables`` (green r02+r03) rotated out
+    for ``dup_span_stats``/``doc_lm_scores``/``shard_assign_counts``/
+    ``token_budget_alloc``."""
     return {
         "q1_pricing_summary": _sql(Q1_PRICING),
         "q3_shipping_priority": _sql(Q3_SHIPPING),
@@ -2181,7 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": _q_session_window,
         "salted_agg_lineitem": _q_salted_agg,
         "similarity_ivf_topk": _q_ivf_topk,
-        "show_tables": _q_show_tables,
+        "token_budget_alloc": _q_token_budget,
         "attach_federation": _q_attach_federation,
         "range_join_windows": _q_range_join,
         "rollup_daily_cascade": _q_rollup_daily,
@@ -2228,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boxplot_whiskers": _sql(BOXPLOT_SPARK),
         "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
         "events_json_props": _sql(EVENTS_JSON_SPARK),
+        "show_tables": _q_show_tables,
     }
 
 
@@ -2313,4 +2374,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": DUP_SPANS_DUCK,
         "doc_lm_scores": LM_SCORES_DUCK,
         "shard_assign_counts": SHARD_COUNTS_DUCK,
+        "token_budget_alloc": TOKEN_BUDGET_DUCK,
     }

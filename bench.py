@@ -41,6 +41,7 @@ EXTRAS = [
     "dup_span_stats",
     "doc_lm_scores",
     "shard_assign_counts",
+    "token_budget_alloc",
 ]
 
 HEADLINE = [

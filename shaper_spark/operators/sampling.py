@@ -25,6 +25,7 @@ __all__ = [
     "weighted_sample",
     "shard_assign",
     "write_training_shards",
+    "token_budget_allocation",
 ]
 
 
@@ -187,6 +188,101 @@ def source_mix_weights(
             F.round(F.col("__p") / F.col("__tot"), 6).alias("weight"),
         )
         .orderBy(group_col)
+    )
+
+
+def token_budget_allocation(
+    counts: DataFrame,
+    group_col: str,
+    count_col: str,
+    budget: float,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """UniMax-style token-budget allocation (Chung et al. 2023): spread
+    ``budget`` tokens as uniformly as possible across groups (languages,
+    sources), capping each group at ``max_epochs`` passes over its own
+    ``count_col`` tokens. Low-resource groups get their full cap; the
+    remaining budget water-fills equally over the rest.
+
+    Closed form instead of the paper's iterative loop: sort groups by
+    cap ascending; with prefix sums, group l (rank rn of L) is capped
+    iff ``cap_l * (L - rn + 1) <= budget - prefix_{l-1}`` — feasibility
+    of giving every remaining group at least ``cap_l``. Because caps
+    are sorted, the capped set is a prefix, and the water level is
+    ``τ = (budget - prefix_j) / (L - j)`` for the largest capped rank
+    j. That makes the whole allocation two window functions plus an
+    aggregate — no driver loop, and an ANSI-SQL oracle replays it.
+
+    The window runs over ONE partition of L rows — L is the number of
+    groups (languages/sources), bounded at any corpus scale, so the
+    single-partition window is benign (same argument as the dashboard
+    month-frame windows). The only corpus-sized work is the upstream
+    count aggregate the caller provides.
+
+    Returns (group, n_tokens, cap, alloc, weight, capped) — ``alloc``
+    and the budget-normalized ``weight`` rounded to 6 dp. If the budget
+    exceeds all caps combined, every group is capped and weights sum
+    below 1 (the corpus simply cannot fill the budget at this epoch
+    cap)."""
+    if budget <= 0:
+        raise ValueError("token_budget_allocation: budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("token_budget_allocation: max_epochs must be > 0")
+    g = counts.select(
+        F.col(group_col).alias("group"),
+        F.col(count_col).cast("double").alias("n_tokens"),
+    ).withColumn("cap", F.col("n_tokens") * F.lit(float(max_epochs)))
+    w = Window.orderBy(F.col("cap").asc(), F.col("group").asc())
+    ranked = g.select(
+        "group",
+        "n_tokens",
+        "cap",
+        F.row_number().over(w).alias("__rn"),
+        F.sum("cap").over(w).alias("__prefix"),  # inclusive prefix sum
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__L"),
+    )
+    B = F.lit(float(budget))
+    capped = (
+        F.col("cap") * (F.col("__L") - F.col("__rn") + 1)
+        <= B - (F.col("__prefix") - F.col("cap"))
+    )
+    ranked = ranked.withColumn("capped", capped)
+    # Water level from the largest capped rank (0 capped → τ = B / L).
+    level = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("capped"), F.col("__rn"))), F.lit(0)
+        ).alias("__j"),
+        F.coalesce(
+            F.max(F.when(F.col("capped"), F.col("__prefix"))), F.lit(0.0)
+        ).alias("__pj"),
+        F.first("__L").alias("__L2"),
+    ).select(
+        F.when(F.col("__L2") > F.col("__j"), (B - F.col("__pj")) / (F.col("__L2") - F.col("__j")))
+        .otherwise(F.lit(0.0))
+        .alias("__tau")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(level))
+        .select(
+            "group",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cap").cast("long").alias("cap"),
+            F.round(
+                F.when(F.col("capped"), F.col("cap")).otherwise(F.col("__tau")),
+                6,
+            ).alias("alloc"),
+            F.round(
+                F.when(F.col("capped"), F.col("cap")).otherwise(F.col("__tau"))
+                / B,
+                6,
+            ).alias("weight"),
+            "capped",
+        )
+        .orderBy("group")
     )
 
 

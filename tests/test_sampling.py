@@ -72,3 +72,76 @@ class TestStratifiedExactSample:
         a = {r["doc_id"] for r in stratified_exact_sample(docs, ["lang"], 5, "doc_id", seed="s1").collect()}
         b = {r["doc_id"] for r in stratified_exact_sample(docs, ["lang"], 5, "doc_id", seed="s2").collect()}
         assert a != b
+
+
+class TestTokenBudgetAllocation:
+    @staticmethod
+    def _ref_unimax(caps: dict, budget: float) -> dict:
+        """Iterative water-filling (the UniMax paper's loop): give every
+        group an equal share; groups whose cap is below the share are
+        frozen at their cap and the remainder is re-shared."""
+        alloc, todo, remaining = {}, set(caps), budget
+        while todo:
+            share = remaining / len(todo)
+            newly = [g for g in todo if caps[g] <= share]
+            if not newly:
+                for g in todo:
+                    alloc[g] = share
+                break
+            for g in newly:
+                alloc[g] = caps[g]
+                remaining -= caps[g]
+                todo.discard(g)
+        return alloc
+
+    def _run(self, spark, counts, budget, epochs):
+        from shaper_spark.operators.sampling import token_budget_allocation
+
+        df = spark.createDataFrame(list(counts.items()), ["g", "n"])
+        return {
+            r["group"]: r.asDict()
+            for r in token_budget_allocation(df, "g", "n", budget, epochs).collect()
+        }
+
+    def test_matches_iterative_reference(self, spark):
+        import random
+
+        rnd = random.Random(11)
+        for _ in range(8):
+            counts = {
+                f"g{i}": rnd.randint(1, 1000)
+                for i in range(rnd.randint(1, 9))
+            }
+            epochs = rnd.choice([1.0, 2.0, 3.0])
+            budget = float(rnd.randint(100, 5000))
+            want = self._ref_unimax(
+                {g: c * epochs for g, c in counts.items()}, budget
+            )
+            got = self._run(spark, counts, budget, epochs)
+            for g in counts:
+                assert got[g]["alloc"] == pytest.approx(want[g], abs=1e-4), (
+                    counts, budget, epochs, g)
+
+    def test_low_resource_capped_high_resource_waterfilled(self, spark):
+        got = self._run(spark, {"small": 10, "big": 1000}, 500.0, 1.0)
+        assert got["small"]["capped"] and got["small"]["alloc"] == 10.0
+        assert not got["big"]["capped"] and got["big"]["alloc"] == 490.0
+
+    def test_budget_exceeding_all_caps(self, spark):
+        got = self._run(spark, {"a": 10, "b": 20}, 1000.0, 2.0)
+        assert got["a"]["alloc"] == 20.0 and got["b"]["alloc"] == 40.0
+        assert all(v["capped"] for v in got.values())
+        assert sum(v["weight"] for v in got.values()) < 1.0
+
+    def test_allocations_sum_to_budget_when_feasible(self, spark):
+        got = self._run(spark, {"a": 100, "b": 200, "c": 400}, 600.0, 1.0)
+        assert sum(v["alloc"] for v in got.values()) == pytest.approx(600.0, abs=1e-3)
+
+    def test_rejects_bad_args(self, spark):
+        from shaper_spark.operators.sampling import token_budget_allocation
+
+        df = spark.createDataFrame([("a", 1)], ["g", "n"])
+        with pytest.raises(ValueError):
+            token_budget_allocation(df, "g", "n", 0.0)
+        with pytest.raises(ValueError):
+            token_budget_allocation(df, "g", "n", 10.0, max_epochs=0.0)
