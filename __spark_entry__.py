@@ -2084,6 +2084,75 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 composite quality filter, reported per source
+    (shaper_spark/operators/text.py gopher_quality_filter). No
+    reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.text import gopher_quality_filter
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    verdicts = gopher_quality_filter(docs, "doc_id", "text")
+    return (
+        verdicts.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum(
+                F.array_contains("reasons", "word_count").cast("long")
+            ).alias("n_word_count"),
+            F.sum(
+                F.array_contains("reasons", "avg_word_len").cast("long")
+            ).alias("n_avg_word_len"),
+            F.sum(
+                F.array_contains("reasons", "dup_words").cast("long")
+            ).alias("n_dup_words"),
+            F.sum(
+                F.array_contains("reasons", "top_bigram").cast("long")
+            ).alias("n_top_bigram"),
+        )
+        .orderBy("source")
+    )
+
+
+GOPHER_FILTER_DUCK = """
+WITH words AS (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM words),
+wa AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT tok) AS n_distinct
+       FROM tok GROUP BY 1),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                i -> array_to_string(w[i+1:i+2], ' '))) AS bigram
+  FROM words WHERE len(w) >= 2
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2),
+ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n FROM bc GROUP BY 1),
+v AS (
+  SELECT words.doc_id, source,
+         n_words < 50 OR n_words > 100000 AS r_wc,
+         round((len(text) - (n_words - 1)) * 1.0 / greatest(n_words, 1), 6) < 3.0
+           OR round((len(text) - (n_words - 1)) * 1.0 / greatest(n_words, 1), 6) > 10.0 AS r_awl,
+         round(1 - n_distinct * 1.0 / n_words, 6) > 0.9 AS r_dup,
+         coalesce(round(top_bigram_n * 1.0 / greatest(coalesce(n_bigrams, 1), 1), 6) > 0.5,
+                  FALSE) AS r_big
+  FROM words JOIN wa USING (doc_id) LEFT JOIN ba ON ba.doc_id = words.doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT (r_wc OR r_awl OR r_dup OR r_big) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count,
+       CAST(sum(CASE WHEN r_awl THEN 1 ELSE 0 END) AS BIGINT) AS n_avg_word_len,
+       CAST(sum(CASE WHEN r_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_words,
+       CAST(sum(CASE WHEN r_big THEN 1 ELSE 0 END) AS BIGINT) AS n_top_bigram
+FROM v GROUP BY source ORDER BY source
+"""
+
+
 def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax token-budget allocation over languages
     (shaper_spark/operators/sampling.py token_budget_allocation):
@@ -2185,7 +2254,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 83 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 84 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2199,9 +2268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scrub, decontamination, source mix, length histogram) plus
     ``explain_plan`` (rows-only by nature, never officially recorded);
     later in round 4, ``boxplot_whiskers``/``parts_above_brand_avg``/
-    ``events_json_props``/``show_tables`` (green r02+r03) rotated out
+    ``events_json_props``/``show_tables``/``dashboard_weekly`` (green
+    r02+r03) rotated out
     for ``dup_span_stats``/``doc_lm_scores``/``shard_assign_counts``/
-    ``token_budget_alloc``."""
+    ``token_budget_alloc``/``gopher_filter_report``."""
     return {
         "q1_pricing_summary": _sql(Q1_PRICING),
         "q3_shipping_priority": _sql(Q3_SHIPPING),
@@ -2213,7 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_scores": _q_lm_scores,
         "shard_assign_counts": _q_shard_counts,
         "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
-        "dashboard_weekly": _dialect(DASHBOARD_WEEKLY_DIALECT),
+        "gopher_filter_report": _q_gopher_filter,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -2289,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_above_brand_avg": _sql(PARTS_ABOVE_BRAND_AVG),
         "events_json_props": _sql(EVENTS_JSON_SPARK),
         "show_tables": _q_show_tables,
+        "dashboard_weekly": _dialect(DASHBOARD_WEEKLY_DIALECT),
     }
 
 
@@ -2375,4 +2446,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_scores": LM_SCORES_DUCK,
         "shard_assign_counts": SHARD_COUNTS_DUCK,
         "token_budget_alloc": TOKEN_BUDGET_DUCK,
+        "gopher_filter_report": GOPHER_FILTER_DUCK,
     }

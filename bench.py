@@ -42,6 +42,7 @@ EXTRAS = [
     "doc_lm_scores",
     "shard_assign_counts",
     "token_budget_alloc",
+    "gopher_filter_report",
 ]
 
 HEADLINE = [

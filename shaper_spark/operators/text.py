@@ -23,6 +23,7 @@ __all__ = [
     "length_histogram",
     "tfidf_top_terms",
     "unigram_lm_scores",
+    "gopher_quality_filter",
     "LANG_STOPWORDS",
 ]
 
@@ -223,6 +224,78 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_dup_word_frac: float = 0.9,
+    max_top_bigram_frac: float = 0.5,
+) -> DataFrame:
+    """Composite pretraining document filter: the Gopher §A1.1 rule set
+    (Rae et al. 2021) as one verdict per document — the operator a
+    pipeline actually runs, composed from the primitive stats above.
+
+    Rules (each contributes a reason string when violated):
+      word_count     n_words outside [min_words, max_words]
+      avg_word_len   mean word length outside [min, max]
+      dup_words      dup_word_frac > max_dup_word_frac
+      top_bigram     top_bigram_frac > max_top_bigram_frac
+
+    Returns (id, n_words, keep, reasons) where ``reasons`` is a sorted
+    array of violated-rule names (empty when keep). Spark shape: one
+    ``repetition_stats`` pass (doc-id shuffles only) plus O(1)
+    arithmetic for the length rules — no new corpus-sized work beyond
+    the stats it reuses. Thresholds are parameters because real
+    pipelines tune them per corpus; defaults here are loosened from the
+    paper's web-text values so they exercise both outcomes on synthetic
+    word-soup data."""
+    words = F.split(F.col(text_col), " ")
+    n_tokens = F.size(words)
+    sum_word_len = F.length(text_col) - (n_tokens - F.lit(1))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.round(
+            sum_word_len.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("avg_word_len"),
+    )
+    rep = repetition_stats(df, id_col, text_col)
+    joined = rep.join(base, "id")
+    reasons = F.array_sort(
+        F.array_compact(
+            F.array(
+                F.when(
+                    (F.col("n_words") < min_words)
+                    | (F.col("n_words") > max_words),
+                    F.lit("word_count"),
+                ),
+                F.when(
+                    (F.col("avg_word_len") < min_avg_word_len)
+                    | (F.col("avg_word_len") > max_avg_word_len),
+                    F.lit("avg_word_len"),
+                ),
+                F.when(
+                    F.col("dup_word_frac") > max_dup_word_frac,
+                    F.lit("dup_words"),
+                ),
+                F.when(
+                    F.col("top_bigram_frac") > max_top_bigram_frac,
+                    F.lit("top_bigram"),
+                ),
+            )
+        )
+    )
+    return joined.select(
+        "id",
+        "n_words",
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
     )
 
 

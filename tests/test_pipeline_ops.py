@@ -227,3 +227,43 @@ class TestSourceMixWeights:
             .collect()[0]["s"]
         )
         assert total == pytest.approx(1.0, abs=1e-4)
+
+
+class TestGopherQualityFilter:
+    def verdicts(self, spark, texts, **kw):
+        from shaper_spark.operators.text import gopher_quality_filter
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+        )
+        return {
+            r["id"]: r.asDict()
+            for r in gopher_quality_filter(df, "id", "text", **kw).collect()
+        }
+
+    def test_short_doc_fails_word_count(self, spark):
+        out = self.verdicts(spark, ["aaa bbb ccc"], min_words=5)
+        assert not out[0]["keep"]
+        assert out[0]["reasons"] == ["word_count"]
+
+    def test_clean_doc_keeps(self, spark):
+        text = " ".join(f"word{i}" for i in range(60))
+        out = self.verdicts(spark, [text])
+        assert out[0]["keep"] and out[0]["reasons"] == []
+
+    def test_repeated_doc_fails_dup_and_bigram(self, spark):
+        text = "spam " * 59 + "spam"
+        out = self.verdicts(spark, [text.strip()], min_words=5)
+        assert not out[0]["keep"]
+        assert "dup_words" in out[0]["reasons"]
+        assert "top_bigram" in out[0]["reasons"]
+
+    def test_long_words_fail_avg_word_len(self, spark):
+        text = " ".join("x" * 20 for _ in range(60))
+        out = self.verdicts(spark, [text])
+        assert "avg_word_len" in out[0]["reasons"]
+
+    def test_multiple_reasons_sorted(self, spark):
+        out = self.verdicts(spark, ["a a a a"], min_words=50)
+        assert out[0]["reasons"] == sorted(out[0]["reasons"])
+        assert "word_count" in out[0]["reasons"]
