@@ -2,11 +2,17 @@
 typed metadata, processed via Arrow-batched pandas over mapInPandas.
 
 The Spark-side plumbing (schemas, partitioning, batch iteration, UDF
-signatures) is real and tested; the actual media decode is STUBBED —
-codec libraries (PIL/ffmpeg/librosa) are not in this container. Each stub
-either raises NotImplementedError (strict mode) or produces a
-deterministic fake derived from the bytes, so pipelines are testable
-end-to-end without codecs.
+signatures) is real and tested. Decode has three tiers:
+
+* REAL for stdlib-parsable formats: inject ``codecs.decode_bmp_features``
+  / ``codecs.decode_wav_features`` via the ``decoder`` seam — genuine
+  BMP/WAV decode end-to-end, zero third-party dependencies.
+* The same seam accepts PIL/ffmpeg/librosa adapters on a codec-equipped
+  cluster (those libraries are not in this container).
+* Default without a decoder: STUB — raises NotImplementedError (strict
+  mode) or produces a deterministic ``fake_``-prefixed value derived
+  from the bytes, so pipelines stay testable without codecs and nobody
+  mistakes fakes for decoded features.
 """
 
 from __future__ import annotations
