@@ -2084,6 +2084,43 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup survivors per source
+    (shaper_spark/operators/dedup.py dedup_exact_normalized): exact
+    dedup after lowercase/punct-strip/whitespace-collapse. No reference
+    counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.dedup import dedup_exact_normalized
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    return (
+        dedup_exact_normalized(docs, "text", "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_NORMALIZED_DUCK = """
+WITH n AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS h
+  FROM documents
+),
+w AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY h)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       min(n.doc_id) AS first_doc
+FROM n JOIN w USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher §A1.1 composite quality filter, reported per source
     (shaper_spark/operators/text.py gopher_quality_filter). No
@@ -2254,7 +2291,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 84 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 85 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2268,15 +2305,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scrub, decontamination, source mix, length histogram) plus
     ``explain_plan`` (rows-only by nature, never officially recorded);
     later in round 4, ``boxplot_whiskers``/``parts_above_brand_avg``/
-    ``events_json_props``/``show_tables``/``dashboard_weekly`` (green
-    r02+r03) rotated out
+    ``events_json_props``/``show_tables``/``dashboard_weekly``/
+    ``nations_intersect``/``q6_revenue_filter`` (green r02+r03) rotated out
     for ``dup_span_stats``/``doc_lm_scores``/``shard_assign_counts``/
-    ``token_budget_alloc``/``gopher_filter_report``."""
+    ``token_budget_alloc``/``gopher_filter_report``/``dedup_normalized``."""
     return {
         "q1_pricing_summary": _sql(Q1_PRICING),
         "q3_shipping_priority": _sql(Q3_SHIPPING),
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
-        "q6_revenue_filter": _sql(Q6_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
         "dup_span_stats": _q_dup_spans,
         "hll_distinct_users": _q_hll_users,
@@ -2285,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
         "gopher_filter_report": _q_gopher_filter,
         "dedup_exact_groups": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
@@ -2336,7 +2373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_duck_sugar": _q_pivot_sugar,
         "describe_table": _q_describe,
         "setop_fetch": _dialect(SETOP_FETCH_DUCK),
-        "nations_intersect": _sql(NATIONS_INTERSECT),
         "values_inline": _sql(VALUES_INLINE),
         "count_filter_orders": _sql(COUNT_FILTER_ORDERS),
         "orders_unpivot": _sql(ORDERS_UNPIVOT),
@@ -2360,6 +2396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": _sql(EVENTS_JSON_SPARK),
         "show_tables": _q_show_tables,
         "dashboard_weekly": _dialect(DASHBOARD_WEEKLY_DIALECT),
+        "nations_intersect": _sql(NATIONS_INTERSECT),
+        "q6_revenue_filter": _sql(Q6_REVENUE),
     }
 
 
@@ -2447,4 +2485,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign_counts": SHARD_COUNTS_DUCK,
         "token_budget_alloc": TOKEN_BUDGET_DUCK,
         "gopher_filter_report": GOPHER_FILTER_DUCK,
+        "dedup_normalized": DEDUP_NORMALIZED_DUCK,
     }

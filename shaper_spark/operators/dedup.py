@@ -29,6 +29,8 @@ __all__ = [
     "simhash",
     "simhash_near_dups",
     "embedding_near_dups",
+    "normalize_text_expr",
+    "dedup_exact_normalized",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -56,6 +58,35 @@ def exact_duplicates(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def normalize_text_expr(col) -> "F.Column":
+    """Canonical text-normalization expression for fuzzy-ish exact
+    dedup (the CCNet/C4 pre-dedup step): ASCII-lowercase, strip
+    non-[a-z0-9 space], collapse whitespace runs, trim. Pure codegen'd
+    built-ins; every regex here means the same thing in Java regex and
+    RE2, so a DuckDB oracle replays it (with the 'g' flag — DuckDB's
+    regexp_replace is first-match-only by default, Spark's is global)."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", "")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)
+
+
+def dedup_exact_normalized(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Keep the lowest-id row per NORMALIZED-content group: exact dedup
+    made robust to case/punctuation/whitespace variants. Same
+    single-shuffle min-by shape as ``dedup_exact``; the normalization
+    runs inside the scan projection, so it adds no pass."""
+    winners = (
+        df.withColumn("__h", F.md5(normalize_text_expr(F.col(text_col))))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
 def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per content group (deterministic winner).
 
@@ -78,37 +109,37 @@ def shingle_tokens(
 ) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
-    Window-free construction: explode a start-index ``sequence`` and
-    ``slice`` the token array — both are codegen'd built-in expressions
-    (NOT lambda HOFs), so there is no per-doc sort and no window
-    shuffle; gram emission is a narrow map over the scan. Measured
-    equal-output and faster than the previous lead-chain window form
-    at sf0.1 (1.4 s vs 1.5 s warm, 1.9 s vs 5.2 s cold). The truly
-    interpreted alternative,
-    ``transform(sequence(0,n−k), i -> concat_ws(' ', slice(words,i+1,k)))``,
-    stays ~100× slower per core: lambda HOFs bypass whole-stage codegen
-    and re-evaluate a lambda tree per element."""
+    posexplode(split) + window lead(k−1) — every operator here is
+    codegen'd or natively vectorized. Two alternatives were measured
+    and rejected at sf0.1:
+
+    * lambda-HOF ``transform(sequence(...), i -> ...)``: ~100× slower
+      per core — HOFs bypass whole-stage codegen and re-evaluate a
+      lambda tree with an O(k) array copy per element.
+    * window-free ``explode(sequence) + slice(words, i, k)``: faster as
+      a standalone single-use stream (and used for that shape in
+      dupspans.py / repetition bigrams), but 3.5× SLOWER end-to-end
+      inside ``jaccard_pairs``'s persist + posting-list self-join
+      (steady-state 2.25 s vs 0.63 s, identical output and cache hits
+      both ways) — A/B in-place before changing this function.
+
+    The window shuffles on the document id — embarrassingly parallel,
+    no skew (docs are bounded)."""
+    from pyspark.sql import Window
+
     from ..session import spread_for_compute
 
-    arr = (
-        spread_for_compute(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.split(F.col(text_col), " ").alias("__ws"),
-        )
-        # sequence(1, 0) counts DOWN ([1, 0]), not empty — docs shorter
-        # than k must be dropped before building the start range.
-        .filter(F.size("__ws") >= k)
+    toks = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
-    n = F.size("__ws")
-    starts = F.sequence(F.lit(1), n - (k - 1))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    last = parts[-1]
+    shingle = F.concat_ws(" ", *parts)
     return (
-        arr.select("id", F.explode(starts).alias("__i"), "__ws")
-        .select(
-            "id",
-            F.concat_ws(" ", F.slice("__ws", F.col("__i"), k)).alias("shingle"),
-        )
-        .filter(F.length("shingle") > 0)
+        toks.select("id", last.alias("__last"), shingle.alias("shingle"))
+        .filter(F.col("__last").isNotNull() & (F.length("shingle") > 0))
         .select("id", "shingle")
         .distinct()
     )

@@ -184,3 +184,31 @@ class TestWriteTrainingShards:
         }
         got = {r["id"]: r["shard"] for r in back.collect()}
         assert got == expect
+
+
+class TestDedupExactNormalized:
+    def test_case_punct_whitespace_variants_collapse(self, spark):
+        from shaper_spark.operators.dedup import dedup_exact_normalized
+
+        df = spark.createDataFrame(
+            [
+                (1, "Hello,   World!"),
+                (2, "hello world"),
+                (3, "HELLO  WORLD."),
+                (4, "another doc"),
+            ],
+            ["id", "text"],
+        )
+        out = sorted(
+            r["id"] for r in dedup_exact_normalized(df, "text", "id").collect()
+        )
+        assert out == [1, 4]  # lowest id per normalized group survives
+
+    def test_normalization_expr(self, spark):
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators.dedup import normalize_text_expr
+
+        df = spark.createDataFrame([("  MiXed!!  case?  x9 ",)], ["t"])
+        got = df.select(normalize_text_expr(F.col("t")).alias("n")).collect()
+        assert got[0]["n"] == "mixed case x9"
