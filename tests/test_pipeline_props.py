@@ -197,3 +197,85 @@ class TestTfidfProperties:
                     tf * (math.log((n_docs + 1) / (dfreq[t] + 1)) + 1), 6
                 )
                 assert got[(i, t)] == (tf, dfreq[t], tfidf)
+
+
+def _ref_dup_spans(texts: list[str], k: int) -> dict[int, tuple[int, int]]:
+    """Pure-Python reference: per doc index → (n_grams, n_dup_grams).
+
+    Tokenization is split-on-single-space (NOT whitespace-split): like
+    Spark's ``split(text, ' ')`` and DuckDB's ``string_split``, an empty
+    text yields one empty token — the operator is defined on
+    single-space-separated word streams, and all three agree."""
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    grams = {
+        i: [tuple(ts[j : j + k]) for j in range(len(ts) - k + 1)]
+        for i, ts in toks.items()
+    }
+    docs_of = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            docs_of.setdefault(g, set()).add(i)
+    return {
+        i: (len(gs), sum(1 for g in gs if len(docs_of[g]) > 1))
+        for i, gs in grams.items()
+        if gs
+    }
+
+
+class TestDupSpanProperties:
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["x", "y", "z"]), min_size=0, max_size=12
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_reference(self, spark, texts, k):
+        from shaper_spark.operators.dupspans import duplicated_span_stats
+
+        df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+        got = {
+            r["id"]: (r["n_grams"], r["n_dup_grams"])
+            for r in duplicated_span_stats(df, "id", "text", k=k).collect()
+        }
+        # reference splits on whitespace; Spark splits on the single
+        # space — equal for these inputs (no doubled spaces generated)
+        want = _ref_dup_spans(texts, k)
+        assert got == want
+
+
+class TestNormalizedDedupProperties:
+    @given(
+        st.lists(
+            st.text(
+                alphabet="aAbB !?.,09", min_size=0, max_size=15
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_winner_set_matches_reference(self, spark, texts):
+        import re
+
+        from shaper_spark.operators.dedup import dedup_exact_normalized
+
+        def norm(t):
+            t = re.sub(r"[^a-z0-9 ]", "", t.lower())
+            return re.sub(r" +", " ", t).strip()
+
+        winners = {}
+        for i, t in enumerate(texts):
+            key = norm(t)
+            winners.setdefault(key, i)
+        want = sorted(winners.values())
+
+        df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+        got = sorted(
+            r["id"] for r in dedup_exact_normalized(df, "text", "id").collect()
+        )
+        assert got == want
