@@ -27,7 +27,9 @@ def test_prefix_50_covers_the_diverse_surface():
         # previously-unchecked entries the round-2 verdict flagged
         "multimodal_meta", "multimodal_audio", "asof_last_click",
         "session_window_agg", "salted_agg_lineitem", "similarity_ivf_topk",
-        "show_tables", "attach_federation", "summarize_table",
+        "attach_federation", "summarize_table",
+        # (show_tables earned 2 green rounds by r03 and rotated out
+        # mid-round-4 for token_budget_alloc, per the README policy)
         # round-3 first-class operators
         "range_join_windows", "rollup_daily_cascade", "doc_split_counts",
         # round-4 first-class operators (rotated in per the README
@@ -36,6 +38,9 @@ def test_prefix_50_covers_the_diverse_surface():
         "dedup_clusters", "source_mix_weights", "doc_length_histogram",
         "weighted_sample_docs", "tfidf_top_terms", "hll_distinct_users",
         "explain_plan",
+        # round-4 late additions (this session)
+        "dup_span_stats", "doc_lm_scores", "shard_assign_counts",
+        "token_budget_alloc", "gopher_filter_report", "dedup_normalized",
         # core families
         "q1_pricing_summary", "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_top1", "embedding_neardup", "text_quality", "text_winnow",

@@ -326,3 +326,58 @@ class TestVectorKernelPlanShapes:
         }
         big_df._cand.unpersist()
         assert small == big and small
+
+
+class TestRound4OperatorPlans:
+    """Plan-shape pins for the round-4 pipeline operators: the scale
+    properties argued in their docstrings, asserted against executed
+    plans."""
+
+    def test_dup_span_stats_no_cartesian_no_window(self, spark):
+        from shaper_spark.operators.dupspans import duplicated_span_stats
+
+        docs = spark.table("documents")
+        plan = _executed(duplicated_span_stats(docs, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" not in plan  # window-free gram construction
+
+    def test_unigram_lm_no_window_broadcast_total(self, spark):
+        from shaper_spark.operators.text import unigram_lm_scores
+
+        docs = spark.table("documents")
+        plan = _executed(unigram_lm_scores(docs, "doc_id", "text"))
+        assert "Window" not in plan
+        # the single-row corpus total must broadcast, not shuffle-join
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_token_budget_single_partition_window_is_bounded(self, spark):
+        from shaper_spark.operators.sampling import token_budget_allocation
+
+        counts = (
+            spark.table("documents")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _executed(token_budget_allocation(counts, "lang", "n", 1000.0))
+        # windows exist (by design, over the bounded group frame) but the
+        # corpus-sized side never cartesians and the level broadcasts
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+
+    def test_gopher_filter_reuses_single_stats_pass(self, spark):
+        from shaper_spark.operators.text import gopher_quality_filter
+
+        docs = spark.table("documents")
+        plan = _executed(gopher_quality_filter(docs, "doc_id", "text"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_normalized_dedup_is_semi_join_aggregate(self, spark):
+        from shaper_spark.operators.dedup import dedup_exact_normalized
+
+        docs = spark.table("documents")
+        plan = _executed(dedup_exact_normalized(docs, "text", "doc_id"))
+        assert "LeftSemi" in plan
+        assert "Window" not in plan  # min-by aggregate, not a window
