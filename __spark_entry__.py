@@ -2084,6 +2084,33 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the corpus vocabulary
+    (shaper_spark/operators/text.py zipf_slope) — regr_slope/regr_r2
+    are ANSI aggregates, so the oracle replays exactly. No reference
+    counterpart; §2C."""
+    from shaper_spark.operators.text import zipf_slope
+
+    _prep(spark, sf_dir)
+    return zipf_slope(spark.table("documents"), "text", min_tf=2)
+
+
+ZIPF_SLOPE_DUCK = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tk AS (SELECT tok FROM toks WHERE len(tok) > 0),
+vocab AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok HAVING count(*) >= 2),
+ranked AS (
+  SELECT ln(tf::DOUBLE) AS log_tf,
+         ln((row_number() OVER (ORDER BY tf DESC, tok ASC))::DOUBLE) AS log_rank
+  FROM vocab
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(log_tf, log_rank), 6) AS slope,
+       round(regr_r2(log_tf, log_rank), 6) AS r2
+FROM ranked
+"""
+
+
 def _q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized exact dedup survivors per source
     (shaper_spark/operators/dedup.py dedup_exact_normalized): exact
@@ -2291,7 +2318,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 85 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 86 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2311,7 +2338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``token_budget_alloc``/``gopher_filter_report``/``dedup_normalized``."""
     return {
         "q1_pricing_summary": _sql(Q1_PRICING),
-        "q3_shipping_priority": _sql(Q3_SHIPPING),
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
         "dup_span_stats": _q_dup_spans,
@@ -2322,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_report": _q_gopher_filter,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
+        "zipf_slope": _q_zipf_slope,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
@@ -2398,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dashboard_weekly": _dialect(DASHBOARD_WEEKLY_DIALECT),
         "nations_intersect": _sql(NATIONS_INTERSECT),
         "q6_revenue_filter": _sql(Q6_REVENUE),
+        "q3_shipping_priority": _sql(Q3_SHIPPING),
     }
 
 
@@ -2486,4 +2514,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_alloc": TOKEN_BUDGET_DUCK,
         "gopher_filter_report": GOPHER_FILTER_DUCK,
         "dedup_normalized": DEDUP_NORMALIZED_DUCK,
+        "zipf_slope": ZIPF_SLOPE_DUCK,
     }

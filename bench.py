@@ -43,6 +43,8 @@ EXTRAS = [
     "shard_assign_counts",
     "token_budget_alloc",
     "gopher_filter_report",
+    "dedup_normalized",
+    "zipf_slope",
 ]
 
 HEADLINE = [

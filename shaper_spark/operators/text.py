@@ -24,6 +24,7 @@ __all__ = [
     "tfidf_top_terms",
     "unigram_lm_scores",
     "gopher_quality_filter",
+    "zipf_slope",
     "LANG_STOPWORDS",
 ]
 
@@ -224,6 +225,42 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def zipf_slope(df: DataFrame, text_col: str, min_tf: int = 1) -> DataFrame:
+    """Corpus-health diagnostic: the Zipf rank-frequency slope. A
+    natural-language corpus fits log(tf) ≈ a + s·log(rank) with
+    s ≈ −1; machine-generated or template-heavy corpora bend away from
+    it, so the slope (and fit r²) is a cheap one-number drift alarm for
+    a training-data build.
+
+    Returns one row: (n_terms, slope, r2). Spark shape: one token
+    explode + vocabulary hash-agg; ranking is a single window over the
+    VOCABULARY (bounded by distinct terms, not corpus size — and
+    ``min_tf`` trims the hapax tail that both bloats the frame and
+    distorts the fit); the regression is ``regr_slope``/``regr_r2``,
+    both native aggregates with map-side partials in Spark AND ANSI
+    SQL, so the oracle replays bit-for-bit."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= min_tf)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    ranked = vocab.select(
+        F.log(F.col("tf").cast("double")).alias("log_tf"),
+        F.log(F.row_number().over(w).cast("double")).alias("log_rank"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(log_tf, log_rank)"), 6).alias("slope"),
+        F.round(F.expr("regr_r2(log_tf, log_rank)"), 6).alias("r2"),
     )
 
 

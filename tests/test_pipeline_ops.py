@@ -267,3 +267,45 @@ class TestGopherQualityFilter:
         out = self.verdicts(spark, ["a a a a"], min_words=50)
         assert out[0]["reasons"] == sorted(out[0]["reasons"])
         assert "word_count" in out[0]["reasons"]
+
+
+class TestZipfSlope:
+    def test_matches_numpy_least_squares(self, spark):
+        import math
+
+        import numpy as np
+
+        from shaper_spark.operators.text import zipf_slope
+
+        texts = [
+            "a a a a a a b b b c c d",
+            "a a b b c d e e e a b a",
+            "f g a b a c b a d e a b",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+        )
+        row = zipf_slope(df, "text", min_tf=1).collect()[0]
+
+        from collections import Counter
+
+        tf = Counter(t for s in texts for t in s.split())
+        ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+        y = np.log(np.array([c for _, c in ranked], dtype=float))
+        slope, _ = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert row["n_terms"] == len(ranked)
+        assert row["slope"] == pytest.approx(slope, abs=1e-5)
+        assert row["r2"] == pytest.approx(r * r, abs=1e-5)
+        # a frequency-sorted vocabulary always slopes downward
+        assert row["slope"] < 0
+
+    def test_min_tf_trims_hapax(self, spark):
+        from shaper_spark.operators.text import zipf_slope
+
+        df = spark.createDataFrame(
+            [(0, "x x x y y once")], ["id", "text"]
+        )
+        row = zipf_slope(df, "text", min_tf=2).collect()[0]
+        assert row["n_terms"] == 2  # 'once' trimmed
