@@ -35,6 +35,7 @@ __all__ = [
     "session_aggregate_stream",
     "threshold_alert_stream",
     "dedup_stream",
+    "rollup_stream",
 ]
 
 SCHEMA_SAMPLE = 3000
@@ -174,6 +175,53 @@ def start_json_ingest_stream(
 # has no watermarks/stream windows — these are the Spark-native
 # capabilities a training-data pipeline would add on top).
 # ---------------------------------------------------------------------------
+
+
+def rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    grain: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuously-maintained time-bucket rollup — the streaming twin
+    of ``operators/timerollup.py``'s batch cascade. Tumbling windows of
+    ``grain`` per key; the watermark closes buckets once late data can
+    no longer arrive, so append-mode sinks receive each bucket exactly
+    once and state stays bounded to the watermark horizon.
+
+    Emits the same MERGEABLE partials the batch cascade carries
+    (n / total / vmin / vmax): a coarser grain (hour → day → month)
+    re-aggregates these outputs without touching raw events — sum of
+    sums, min of mins — which is what makes a 100 TB/day rollup
+    pipeline single-scan end-to-end, batch or streaming.
+
+    On a batch frame the same body computes the identical rollup with
+    no watermark/state (windows close immediately)."""
+    with_wm = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    keys = [F.col(c) for c in (key_cols or [])]
+    return (
+        with_wm.groupBy(*keys, F.window(F.col(ts_col), grain).alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col)).alias("total"),
+            F.min(F.col(value_col)).alias("vmin"),
+            F.max(F.col(value_col)).alias("vmax"),
+        )
+        .select(
+            *(key_cols or []),
+            F.col("__w.start").alias("bucket"),
+            "n",
+            "total",
+            "vmin",
+            "vmax",
+        )
+    )
 
 
 def dedup_stream(

@@ -333,14 +333,17 @@ class TestRound4OperatorPlans:
     properties argued in their docstrings, asserted against executed
     plans."""
 
-    def test_dup_span_stats_no_cartesian_no_window(self, spark):
+    def test_dup_span_stats_no_cartesian_no_join(self, spark):
         from shaper_spark.operators.dupspans import duplicated_span_stats
 
         docs = spark.table("documents")
         plan = _executed(duplicated_span_stats(docs, "doc_id", "text"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        assert "Window" not in plan  # window-free gram construction
+        # two-level aggregate shape: the df window replaces the
+        # flag-back join entirely — no join operator at all
+        assert "Join" not in plan
+        assert "Window" in plan  # keyed by gram hash, not global
 
     def test_unigram_lm_no_window_broadcast_total(self, spark):
         from shaper_spark.operators.text import unigram_lm_scores

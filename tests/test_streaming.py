@@ -338,3 +338,78 @@ class TestDedupStream:
         )
         out = dedup_stream(df, ["k"])
         assert out.count() == 2
+
+
+class TestRollupStream:
+    def test_streaming_buckets_match_batch(self, spark, tmp_path):
+        from shaper_spark.streaming import rollup_stream
+
+        src = tmp_path / "ru_src"
+        src.mkdir()
+        recs = [
+            {"k": "a", "ts": "2024-01-01T10:05:00", "v": 1.0},
+            {"k": "a", "ts": "2024-01-01T10:55:00", "v": 2.0},
+            {"k": "a", "ts": "2024-01-01T11:05:00", "v": 4.0},
+            {"k": "b", "ts": "2024-01-01T10:30:00", "v": 8.0},
+        ]
+        _write_jsonl(src / "a.jsonl", recs)
+        schema = "k string, ts timestamp, v double"
+        stream = spark.readStream.schema(schema).json(str(src))
+        out = rollup_stream(
+            stream, ts_col="ts", value_col="v", key_cols=["k"], grain="1 hour"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ru_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["k"], r["bucket"].isoformat()): (r["n"], r["total"], r["vmin"], r["vmax"])
+            for r in spark.table("ru_out").collect()
+        }
+        assert got[("a", "2024-01-01T10:00:00")] == (2, 3.0, 1.0, 2.0)
+        assert got[("a", "2024-01-01T11:00:00")] == (1, 4.0, 4.0, 4.0)
+        assert got[("b", "2024-01-01T10:00:00")] == (1, 8.0, 8.0, 8.0)
+
+        # batch frame through the same body → identical rollup
+        batch = spark.read.schema(schema).json(str(src))
+        brows = {
+            (r["k"], r["bucket"].isoformat()): (r["n"], r["total"], r["vmin"], r["vmax"])
+            for r in rollup_stream(
+                batch, ts_col="ts", value_col="v", key_cols=["k"], grain="1 hour"
+            ).collect()
+        }
+        assert brows == got
+
+    def test_partials_reaggregate_to_coarser_grain(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from shaper_spark.streaming import rollup_stream
+
+        src = tmp_path / "ru2_src"
+        src.mkdir()
+        recs = [
+            {"ts": f"2024-01-01T{h:02d}:{m:02d}:00", "v": float(h * 60 + m)}
+            for h in (0, 1, 2)
+            for m in (1, 31)
+        ]
+        _write_jsonl(src / "a.jsonl", recs)
+        batch = spark.read.schema("ts timestamp, v double").json(str(src))
+        hourly = rollup_stream(batch, value_col="v", grain="1 hour")
+        daily = (
+            hourly.groupBy(F.date_trunc("day", "bucket").alias("day"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("total").alias("total"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+            .collect()[0]
+        )
+        vals = [r["v"] for r in batch.collect()]
+        assert daily["n"] == len(vals)
+        assert daily["total"] == sum(vals)
+        assert daily["vmin"] == min(vals) and daily["vmax"] == max(vals)
