@@ -45,6 +45,7 @@ EXTRAS = [
     "gopher_filter_report",
     "dedup_normalized",
     "zipf_slope",
+    "remove_dup_spans",
 ]
 
 HEADLINE = [

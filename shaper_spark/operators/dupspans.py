@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["duplicated_span_stats"]
+__all__ = ["duplicated_span_stats", "remove_duplicated_spans"]
 
 
 def duplicated_span_stats(
@@ -90,4 +90,90 @@ def duplicated_span_stats(
         F.round(
             F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
         ).alias("dup_frac"),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """The ACTION half of exact-substring dedup (Lee et al. 2022): drop
+    every token position covered by at least one k-gram that also
+    occurs in another document, and reassemble the surviving text.
+
+    Returns (id, clean_text, n_kept, n_removed) — one row per input
+    document (docs with no duplicated spans pass through unchanged;
+    docs shorter than k words are never touched; a fully-duplicated
+    doc comes back with empty clean_text).
+
+    Spark shape: positions and gram hashes come from the same
+    window-free sequence+slice construction as the stats operator; gram
+    document-frequency is a window over the hash; covered positions
+    explode to (doc, token-index) pairs and an anti-join removes them
+    from the token stream. Reassembly is a per-document
+    sort-by-position aggregate — the only lambda HOF (``transform`` to
+    project struct fields after ``array_sort``) runs once per document
+    over a bounded token array, not per token, so it stays off the
+    hot path. Every shuffle is keyed (id, h, or (id, pos)); nothing is
+    ever n²."""
+    from pyspark.sql import Window
+
+    from ..session import spread_for_compute
+
+    base = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+    arr = base.filter(F.size("__ws") >= k)
+    n = F.size("__ws")
+    grams = arr.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), n - (k - 1))).alias("i"),
+        "__ws",
+    ).select(
+        "id",
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("i"), k))).alias("h"),
+    )
+    # df per gram via the same two-level shape as the stats operator
+    idh = grams.select("id", "h").distinct()
+    dup_h = (
+        idh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("__df") > 1)
+        .select("id", "h")
+        .distinct()
+    )
+    covered = (
+        grams.join(dup_h, ["id", "h"])
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "id", F.posexplode("__ws").alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    survivors = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = survivors.groupBy("id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
+            " s -> s.tok), ' ')"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select("id", F.size("__ws").alias("__n"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__n") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
     )

@@ -212,3 +212,47 @@ class TestDedupExactNormalized:
         df = spark.createDataFrame([("  MiXed!!  case?  x9 ",)], ["t"])
         got = df.select(normalize_text_expr(F.col("t")).alias("n")).collect()
         assert got[0]["n"] == "mixed case x9"
+
+
+class TestRemoveDuplicatedSpans:
+    def rows(self, spark, texts, k=3):
+        from shaper_spark.operators.dupspans import remove_duplicated_spans
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+        )
+        return {
+            r["id"]: r.asDict()
+            for r in remove_duplicated_spans(df, "id", "text", k=k).collect()
+        }
+
+    def test_no_dups_pass_through(self, spark):
+        out = self.rows(spark, ["a b c d", "e f g h"])
+        assert out[0]["clean_text"] == "a b c d"
+        assert out[0]["n_removed"] == 0
+        assert out[1]["clean_text"] == "e f g h"
+
+    def test_shared_span_removed_from_both(self, spark):
+        out = self.rows(spark, ["p q r a b c", "x y z a b c"])
+        # trigram "a b c" shared → positions 4-6 removed in both
+        assert out[0]["clean_text"] == "p q r"
+        assert out[0]["n_removed"] == 3
+        assert out[1]["clean_text"] == "x y z"
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        out = self.rows(spark, ["m n o", "m n o"])
+        for i in (0, 1):
+            assert out[i]["clean_text"] == ""
+            assert out[i]["n_kept"] == 0
+            assert out[i]["n_removed"] == 3
+
+    def test_overlapping_spans_merge(self, spark):
+        # both docs share "a b c" and "b c d": covered 1-4 in doc0
+        out = self.rows(spark, ["a b c d e", "a b c d x"])
+        assert out[0]["clean_text"] == "e"
+        assert out[0]["n_removed"] == 4
+
+    def test_short_doc_untouched(self, spark):
+        out = self.rows(spark, ["a b", "a b c d"])
+        assert out[0]["clean_text"] == "a b"
+        assert out[0]["n_removed"] == 0
