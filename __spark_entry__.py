@@ -2084,6 +2084,36 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid cosine matrix
+    (shaper_spark/operators/similarity.py centroid_similarity). No
+    reference counterpart; §2C."""
+    from shaper_spark.operators.similarity import centroid_similarity
+
+    _prep(spark, sf_dir)
+    return centroid_similarity(spark.table("embeddings"), "label")
+
+
+CENTROID_SIM_DUCK = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+cent AS (SELECT label AS g, dim, avg(v::DOUBLE) AS c FROM e GROUP BY 1, 2),
+norms AS (SELECT g, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY g),
+dots AS (
+  SELECT a.g AS group_a, b.g AS group_b, sum(a.c * b.c) AS dot
+  FROM cent a JOIN cent b USING (dim) WHERE a.g <= b.g GROUP BY 1, 2
+)
+SELECT group_a, group_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.g = group_a
+JOIN norms nb ON nb.g = group_b
+ORDER BY group_a, group_b
+"""
+
+
 def _q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span REMOVAL (shaper_spark/operators/dupspans.py
     remove_duplicated_spans): the action half of Lee et al. 2022 —
@@ -2367,7 +2397,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 87 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 88 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2399,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": _q_dedup_normalized,
         "zipf_slope": _q_zipf_slope,
         "remove_dup_spans": _q_remove_dup_spans,
+        "embedding_centroid_sim": _q_centroid_sim,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
@@ -2421,7 +2452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_audio": _q_multimodal_audio,
-        "asof_last_click": _q_asof,
         "session_window_agg": _q_session_window,
         "similarity_ivf_topk": _q_ivf_topk,
         "token_budget_alloc": _q_token_budget,
@@ -2476,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_filter": _sql(Q6_REVENUE),
         "q3_shipping_priority": _sql(Q3_SHIPPING),
         "salted_agg_lineitem": _q_salted_agg,
+        "asof_last_click": _q_asof,
     }
 
 
@@ -2566,4 +2597,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": DEDUP_NORMALIZED_DUCK,
         "zipf_slope": ZIPF_SLOPE_DUCK,
         "remove_dup_spans": REMOVE_DUP_SPANS_DUCK,
+        "embedding_centroid_sim": CENTROID_SIM_DUCK,
     }

@@ -46,6 +46,7 @@ EXTRAS = [
     "dedup_normalized",
     "zipf_slope",
     "remove_dup_spans",
+    "embedding_centroid_sim",
 ]
 
 HEADLINE = [

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .veckernel import hyperplane_bucket, pair_cosine
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk"]
+__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "centroid_similarity"]
 
 # Driver-local strategy cutoff for cosine_topk, mirroring
 # dedup.NEARDUP_BYTES_BUDGET: when the whole corpus matrix fits in this
@@ -341,4 +341,63 @@ def ivf_topk(
             F.round("cosine", 6).alias("cosine"),
             "rank",
         )
+    )
+
+
+def centroid_similarity(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-space diagnostics: the cosine-similarity matrix between
+    per-group centroid vectors (mean embedding per source/language).
+    High off-diagonal similarity flags near-duplicate sources or a
+    collapsed embedding model — the corpus-level drift alarm for the
+    vector column, the way ``zipf_slope`` is for text.
+
+    Returns (group_a, group_b, cosine) for a ≤ b, cosine rounded to
+    6 dp. Spark shape: one ``posexplode`` of the vector feeds a
+    (group, dim) mean — the only corpus-sized shuffle, with map-side
+    partials; centroids are |groups|×dim rows, so the dim-keyed
+    self-join and the norm join are bounded frames with broadcast
+    hints. Everything is built-in expressions (no HOF lambdas, no
+    Python), and the whole computation replays in ANSI SQL."""
+    cent = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .groupBy("g", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    norms = cent.groupBy("g").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cent.select(
+        F.col("g").alias("group_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("g").alias("group_b"), "dim", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("group_a") <= F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = F.broadcast(
+        norms.select(F.col("g").alias("group_a"), F.col("nrm").alias("na"))
+    )
+    nb = F.broadcast(
+        norms.select(F.col("g").alias("group_b"), F.col("nrm").alias("nb"))
+    )
+    return (
+        dots.join(na, "group_a")
+        .join(nb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("group_a", "group_b")
     )

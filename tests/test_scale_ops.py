@@ -216,3 +216,47 @@ class TestWinnowing:
             .toString()
         )
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestCentroidSimilarity:
+    def test_identical_groups_cosine_one_orthogonal_zero(self, spark):
+        from shaper_spark.operators.similarity import centroid_similarity
+
+        rows = [
+            (1, [1.0, 0.0], "a"),
+            (2, [1.0, 0.0], "a"),   # centroid a = (1, 0)
+            (3, [0.0, 2.0], "b"),   # centroid b = (0, 2)
+            (4, [1.0, 0.0], "c"),   # centroid c = (1, 0) == a
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, embedding array<double>, g string"
+        )
+        out = {
+            (r["group_a"], r["group_b"]): r["cosine"]
+            for r in centroid_similarity(df, "g", "embedding").collect()
+        }
+        assert out[("a", "a")] == 1.0
+        assert out[("a", "b")] == 0.0
+        assert out[("a", "c")] == 1.0
+        assert out[("b", "c")] == 0.0
+        # upper triangle only
+        assert ("b", "a") not in out
+
+    def test_mean_pooling(self, spark):
+        import math
+
+        from shaper_spark.operators.similarity import centroid_similarity
+
+        rows = [
+            (1, [2.0, 0.0], "a"),
+            (2, [0.0, 2.0], "a"),   # centroid a = (1, 1)
+            (3, [1.0, 0.0], "b"),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, embedding array<double>, g string"
+        )
+        out = {
+            (r["group_a"], r["group_b"]): r["cosine"]
+            for r in centroid_similarity(df, "g", "embedding").collect()
+        }
+        assert out[("a", "b")] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
