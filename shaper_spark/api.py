@@ -642,16 +642,15 @@ class ShaperServer:
                 if content is None:
                     return self._json(404, {"error": f"no dashboard {did}"})
                 fmt = filename.rsplit(".", 1)[-1].lower()
-                if fmt == "pdf":
+                if fmt in ("pdf", "html"):
                     # Reference renders PDFs by driving headless Chrome
                     # over the dashboard URL (server/pdf/pdf.go:33-133).
                     # No browser exists in this build, so DOWNLOAD_PDF
-                    # serves the same dashboard as a self-contained
-                    # printable HTML document instead (documented
-                    # divergence, MIGRATION.md): every section, chart
-                    # (inline SVG) and table — content-type text/html.
-                    from .htmlreport import render_dashboard_html
-
+                    # serves REAL application/pdf bytes from the pure-
+                    # stdlib writer (pdfreport.py: vector charts,
+                    # tables, reference header/footer template with
+                    # true page counters); ``.html`` keeps the
+                    # printable HTML variant (htmlreport.py).
                     params = {
                         k: v if len(v) > 1 else v[0]
                         for k, v in parse_qs(url.query).items()
@@ -664,16 +663,25 @@ class ShaperServer:
                         dashboard_id=did,
                     )
                     stem = filename.rsplit(".", 1)[0] or "dashboard"
-                    page = render_dashboard_html(
-                        result.to_dict(), title=stem
-                    )
+                    if fmt == "pdf":
+                        from .pdfreport import render_dashboard_pdf
+
+                        body = render_dashboard_pdf(
+                            result.to_dict(), title=stem
+                        )
+                        ctype = "application/pdf"
+                        disp = f'inline; filename="{stem}.pdf"'
+                    else:
+                        from .htmlreport import render_dashboard_html
+
+                        body = render_dashboard_html(
+                            result.to_dict(), title=stem
+                        ).encode()
+                        ctype = "text/html; charset=utf-8"
+                        disp = f'inline; filename="{stem}.html"'
                     self.send_response(200)
-                    self.send_header("Content-Type", "text/html; charset=utf-8")
-                    self.send_header(
-                        "Content-Disposition",
-                        f'inline; filename="{stem}.html"',
-                    )
-                    body = page.encode()
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Disposition", disp)
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)

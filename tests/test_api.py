@@ -354,15 +354,24 @@ class TestRunsLongPoll:
         _delete(server, "/api/tasks/lp1")
 
 
-class TestPdfDownloadServesHtml:
-    def test_pdf_download_returns_printable_html(self, server):
-        content = """
+class TestPdfDownload:
+    CONTENT = """
         SELECT 'report'::DOWNLOAD_PDF AS f;
         SELECT 'Numbers'::SECTION;
         SELECT 1 AS a UNION ALL SELECT 2;
         """
-        _post(server, "/api/dashboards", {"id": "dpdf", "content": content})
+
+    def test_pdf_download_returns_real_pdf_bytes(self, server):
+        _post(server, "/api/dashboards", {"id": "dpdf", "content": self.CONTENT})
         status, body = _get(server, "/api/dashboards/dpdf/download/report.pdf")
+        assert status == 200
+        assert body.startswith(b"%PDF-1.4")
+        assert body.rstrip().endswith(b"%%EOF")
+        assert b"Numbers" in body  # section heading in the content stream
+
+    def test_html_variant_still_served(self, server):
+        _post(server, "/api/dashboards", {"id": "dph", "content": self.CONTENT})
+        status, body = _get(server, "/api/dashboards/dph/download/report.html")
         assert status == 200
         text = body.decode()
         assert text.startswith("<!DOCTYPE html>")
