@@ -642,15 +642,17 @@ class ShaperServer:
                 if content is None:
                     return self._json(404, {"error": f"no dashboard {did}"})
                 fmt = filename.rsplit(".", 1)[-1].lower()
-                if fmt in ("pdf", "html"):
+                if fmt in ("pdf", "html", "png"):
                     # Reference renders PDFs by driving headless Chrome
                     # over the dashboard URL (server/pdf/pdf.go:33-133).
                     # No browser exists in this build, so DOWNLOAD_PDF
                     # serves REAL application/pdf bytes from the pure-
                     # stdlib writer (pdfreport.py: vector charts,
                     # tables, reference header/footer template with
-                    # true page counters); ``.html`` keeps the
-                    # printable HTML variant (htmlreport.py).
+                    # true page counters); ``.png`` rasterizes the same
+                    # tree to a real image/png snapshot (pngreport.py,
+                    # mirroring StreamDashboardPng); ``.html`` keeps
+                    # the printable HTML variant (htmlreport.py).
                     params = {
                         k: v if len(v) > 1 else v[0]
                         for k, v in parse_qs(url.query).items()
@@ -671,6 +673,14 @@ class ShaperServer:
                         )
                         ctype = "application/pdf"
                         disp = f'inline; filename="{stem}.pdf"'
+                    elif fmt == "png":
+                        from .pngreport import render_dashboard_png
+
+                        body = render_dashboard_png(
+                            result.to_dict(), title=stem
+                        )
+                        ctype = "image/png"
+                        disp = f'inline; filename="{stem}.png"'
                     else:
                         from .htmlreport import render_dashboard_html
 

@@ -369,6 +369,13 @@ class TestPdfDownload:
         assert body.rstrip().endswith(b"%%EOF")
         assert b"Numbers" in body  # section heading in the content stream
 
+    def test_png_download_returns_real_png_bytes(self, server):
+        _post(server, "/api/dashboards", {"id": "dpng", "content": self.CONTENT})
+        status, body = _get(server, "/api/dashboards/dpng/download/report.png")
+        assert status == 200
+        assert body.startswith(b"\x89PNG\r\n\x1a\n")
+        assert b"IHDR" in body and body.rstrip().endswith(b"IEND\xaeB`\x82")
+
     def test_html_variant_still_served(self, server):
         _post(server, "/api/dashboards", {"id": "dph", "content": self.CONTENT})
         status, body = _get(server, "/api/dashboards/dph/download/report.html")
