@@ -2084,6 +2084,32 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens via two-pass Misra-Gries sketch-then-verify
+    (shaper_spark/operators/sketches.py exact_heavy_hitters): output is
+    provably identical to the naive full groupBy the oracle runs. No
+    reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.sketches import exact_heavy_hitters
+
+    _prep(spark, sf_dir)
+    toks = spark.table("documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return exact_heavy_hitters(toks, "tok", min_frac=0.002, sketch_k=1024)
+
+
+HEAVY_HITTERS_DUCK = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS v FROM documents),
+tot AS (SELECT count(*) AS total FROM t)
+SELECT v AS value, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY v
+HAVING count(*) > (SELECT total FROM tot) * 0.002
+ORDER BY n DESC, value
+"""
+
+
 def _q_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-centroid cosine matrix
     (shaper_spark/operators/similarity.py centroid_similarity). No
@@ -2397,7 +2423,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 88 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 89 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2430,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": _q_zipf_slope,
         "remove_dup_spans": _q_remove_dup_spans,
         "embedding_centroid_sim": _q_centroid_sim,
+        "heavy_hitter_tokens": _q_heavy_hitters,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
@@ -2452,7 +2479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_audio": _q_multimodal_audio,
-        "session_window_agg": _q_session_window,
         "similarity_ivf_topk": _q_ivf_topk,
         "token_budget_alloc": _q_token_budget,
         "attach_federation": _q_attach_federation,
@@ -2507,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": _sql(Q3_SHIPPING),
         "salted_agg_lineitem": _q_salted_agg,
         "asof_last_click": _q_asof,
+        "session_window_agg": _q_session_window,
     }
 
 
@@ -2598,4 +2625,5 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": ZIPF_SLOPE_DUCK,
         "remove_dup_spans": REMOVE_DUP_SPANS_DUCK,
         "embedding_centroid_sim": CENTROID_SIM_DUCK,
+        "heavy_hitter_tokens": HEAVY_HITTERS_DUCK,
     }

@@ -47,6 +47,7 @@ EXTRAS = [
     "zipf_slope",
     "remove_dup_spans",
     "embedding_centroid_sim",
+    "heavy_hitter_tokens",
 ]
 
 HEADLINE = [

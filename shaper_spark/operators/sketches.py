@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["hll_rollup", "hll_merge"]
+__all__ = ["hll_rollup", "hll_merge", "exact_heavy_hitters"]
 
 
 def hll_rollup(
@@ -61,3 +61,68 @@ def hll_merge(
     return merged.withColumn(
         estimate_col, F.hll_sketch_estimate("hll")
     ).drop("hll")
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_frac: float = 0.002,
+    sketch_k: int = 256,
+) -> DataFrame:
+    """Exact frequent items above ``min_frac`` of the rows, found with
+    bounded memory: the classic two-pass sketch-then-verify shape.
+
+    Pass 1 runs a Misra-Gries summary per partition inside
+    ``mapInPandas`` (per-batch ``value_counts`` at C speed merged into
+    a ≤``sketch_k``-entry dict, decrement-by-(k+1)th on overflow). The
+    mergeable-summaries guarantee makes the union of per-partition
+    candidates a SUPERSET of every value with global frequency
+    > n/(sketch_k+1): if count(x) > Σ n_p/(k+1) then some partition has
+    count_p(x) > n_p/(k+1), and MG keeps it there. Pass 2 computes
+    EXACT counts for the candidate set only (a broadcast semi-join —
+    candidates are ≤ partitions × sketch_k rows) and applies the real
+    threshold, so the final output is deterministic, exact, and
+    independent of partitioning — identical to the naive full groupBy,
+    but the full-cardinality aggregation state never exists anywhere.
+
+    Requires ``min_frac ≥ 1/(sketch_k+1)`` (checked) — otherwise the
+    superset guarantee would not cover the threshold.
+
+    Returns (value, n) for values with n > min_frac × total rows,
+    ordered by (n desc, value)."""
+    if min_frac < 1.0 / (sketch_k + 1):
+        raise ValueError(
+            f"exact_heavy_hitters: min_frac={min_frac} below the "
+            f"1/(sketch_k+1)={1.0 / (sketch_k + 1):.6f} guarantee bound"
+        )
+
+    src = df.select(F.col(value_col).cast("string").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for val, c in pdf["v"].value_counts().items():
+                counts[val] = counts.get(val, 0) + int(c)
+            if len(counts) > sketch_k:
+                ordered = sorted(counts.values(), reverse=True)
+                thresh = ordered[sketch_k]
+                counts = {
+                    k: c - thresh for k, c in counts.items() if c > thresh
+                }
+        yield pd.DataFrame({"v": list(counts.keys())})
+
+    candidates = src.mapInPandas(mg_partition, "v string").distinct()
+    total = src.count()  # one cheap count job; the scalar threshold
+    exact = (
+        src.join(F.broadcast(candidates), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > F.lit(float(total) * min_frac))
+    )
+    return exact.select(F.col("v").alias("value"), "n").orderBy(
+        F.col("n").desc(), "value"
+    )

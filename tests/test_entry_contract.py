@@ -25,12 +25,11 @@ def test_prefix_50_covers_the_diverse_surface():
     keys = list(entry.queries())[:50]
     must_have = {
         # previously-unchecked entries the round-2 verdict flagged
-        "multimodal_meta", "multimodal_audio",
-        "session_window_agg", "similarity_ivf_topk",
+        "multimodal_meta", "multimodal_audio", "similarity_ivf_topk",
         "attach_federation", "summarize_table",
-        # (show_tables/asof_last_click/salted_agg_lineitem earned 2 green
-        # rounds by r03 and rotated out mid-round-4 for the new
-        # operators, per the README policy)
+        # (show_tables/asof_last_click/salted_agg_lineitem/
+        # session_window_agg earned 2 green rounds by r03 and rotated
+        # out mid-round-4 for the new operators, per the README policy)
         # round-3 first-class operators
         "range_join_windows", "rollup_daily_cascade", "doc_split_counts",
         # round-4 first-class operators (rotated in per the README
@@ -43,6 +42,7 @@ def test_prefix_50_covers_the_diverse_surface():
         "dup_span_stats", "doc_lm_scores", "shard_assign_counts",
         "token_budget_alloc", "gopher_filter_report", "dedup_normalized",
         "zipf_slope", "remove_dup_spans", "embedding_centroid_sim",
+        "heavy_hitter_tokens",
         # core families
         "q1_pricing_summary", "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_top1", "embedding_neardup", "text_quality", "text_winnow",

@@ -60,3 +60,49 @@ def test_sketches_are_compact(users):
     daily = hll_rollup(users, "user", ["day"], lg_k=12)
     sizes = daily.select(F.octet_length("hll").alias("b")).collect()
     assert all(r["b"] <= 6000 for r in sizes)  # ~4KiB + header
+
+
+class TestExactHeavyHitters:
+    def test_equals_naive_groupby(self, spark):
+        import random
+
+        from shaper_spark.operators.sketches import exact_heavy_hitters
+
+        rnd = random.Random(3)
+        # zipf-ish: few hot values + long tail
+        vals = (
+            ["hot_a"] * 400 + ["hot_b"] * 250 + ["warm"] * 60
+            + [f"tail{i}" for i in range(800)]
+        )
+        rnd.shuffle(vals)
+        df = spark.createDataFrame([(v,) for v in vals], ["x"]).repartition(7)
+        got = [
+            (r["value"], r["n"])
+            for r in exact_heavy_hitters(df, "x", min_frac=0.02, sketch_k=64).collect()
+        ]
+        from collections import Counter
+
+        c = Counter(vals)
+        want = sorted(
+            ((v, n) for v, n in c.items() if n > len(vals) * 0.02),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == want
+        assert [v for v, _ in got] == ["hot_a", "hot_b", "warm"]
+
+    def test_partitioning_invariance(self, spark):
+        from shaper_spark.operators.sketches import exact_heavy_hitters
+
+        vals = ["a"] * 50 + ["b"] * 30 + [f"t{i}" for i in range(200)]
+        df1 = spark.createDataFrame([(v,) for v in vals], ["x"]).repartition(2)
+        df2 = spark.createDataFrame([(v,) for v in vals], ["x"]).repartition(13)
+        r1 = [tuple(r) for r in exact_heavy_hitters(df1, "x", 0.05, 32).collect()]
+        r2 = [tuple(r) for r in exact_heavy_hitters(df2, "x", 0.05, 32).collect()]
+        assert r1 == r2 != []
+
+    def test_guard_on_threshold_below_guarantee(self, spark):
+        from shaper_spark.operators.sketches import exact_heavy_hitters
+
+        df = spark.createDataFrame([("a",)], ["x"])
+        with pytest.raises(ValueError):
+            exact_heavy_hitters(df, "x", min_frac=0.0001, sketch_k=100)
