@@ -79,6 +79,17 @@ def _numeric_series(columns: list[dict], rows: list[list]) -> tuple[int, int]:
     return xi, yi
 
 
+def _chart_scale(vals: list[float]) -> tuple[float, float, float]:
+    """Shared bar/line axis scale (html/pdf/png renderers): the axis
+    always includes zero; a zero span (constant series) falls back to 1
+    so division is safe. vmax is NOT falsy-promoted — an all-negative
+    series must not draw phantom headroom up to +1."""
+    vmax = max(max(vals), 0.0)
+    vmin = min(min(vals), 0.0)
+    span = (vmax - vmin) or 1.0
+    return vmin, vmax, span
+
+
 def _svg_chart(kind: str, columns: list[dict], rows: list[list]) -> str:
     """Inline SVG bar/line chart of (x, y) pairs; returns '' when no
     numeric series can be extracted (caller falls back to a table)."""
@@ -89,9 +100,7 @@ def _svg_chart(kind: str, columns: list[dict], rows: list[list]) -> str:
     if not pts:
         return ""
     vals = [float(p[1]) for p in pts]
-    vmax = max(max(vals), 0.0) or 1.0
-    vmin = min(min(vals), 0.0)
-    span = (vmax - vmin) or 1.0
+    vmin, vmax, span = _chart_scale(vals)
     iw = _SVG_W - 2 * _PAD
     ih = _SVG_H - 2 * _PAD
 

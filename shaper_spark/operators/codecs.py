@@ -61,13 +61,27 @@ def decode_bmp(content: bytes) -> dict:
     bytes_per_px = bpp // 8
     row_bytes = width * bytes_per_px
     stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    palette = None
+    if bpp == 8:
+        # 8-bit BMPs are palettized: indices mean nothing without the
+        # BGRX color table between the info header and the pixel data.
+        table = content[14 + header_size : data_offset]
+        if len(table) < 4:
+            raise ValueError("8-bit BMP missing color palette")
+        palette = [table[i : i + 3] for i in range(0, len(table) - 3, 4)]
     pixels = bytearray()
     for r in range(abs_h):
         start = data_offset + r * stride
         row = content[start : start + row_bytes]
         if len(row) < row_bytes:
             raise ValueError("truncated BMP pixel data")
-        pixels += row
+        if palette is not None:
+            for idx in row:
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                pixels += palette[idx]  # indices → real BGR intensities
+        else:
+            pixels += row
     return {
         "width": width,
         "height": abs_h,

@@ -29,22 +29,16 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["duplicated_span_stats", "remove_duplicated_spans"]
 
 
-def duplicated_span_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
-) -> DataFrame:
-    """Per document: total k-gram positions, positions whose k-gram
-    appears in ≥1 other document, and the duplicated fraction.
-
-    Returns (id, n_grams, n_dup_grams, dup_frac) — one row per document
-    that has at least one k-gram (docs shorter than k words drop out,
-    matching the oracle). ``dup_frac`` is rounded to 6 dp so the value
-    replays bit-identically in any engine."""
+def _positional_grams(df: DataFrame, id_col: str, text_col: str, k: int):
+    """(id, i, h): md5 hash of the k-gram starting at 1-based token
+    position i, for every document with ≥ k tokens. Window-free
+    construction: explode a start-index ``sequence`` and ``slice`` the
+    token array (codegen'd built-ins, no per-doc sort, no window
+    shuffle; measured ~1.7× faster at sf0.1 than a lead-chain window
+    for this single-use positional stream). Shared by the stats and
+    removal operators so gram semantics cannot drift between them."""
     from ..session import spread_for_compute
 
-    # Gram construction is WINDOW-FREE: explode a start-index sequence
-    # and slice the token array (both codegen'd built-ins, not lambda
-    # HOFs). Measured ~1.7× faster at sf0.1 than the lead-chain window
-    # form (no per-doc sort, no window shuffle) with identical output.
     arr = (
         spread_for_compute(df)
         .select(
@@ -56,13 +50,30 @@ def duplicated_span_stats(
         .filter(F.size("__ws") >= k)
     )
     n = F.size("__ws")
-    starts = F.sequence(F.lit(1), n - (k - 1))
-    grams = arr.select(
-        "id", F.explode(starts).alias("__i"), "__ws"
+    return arr.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), n - (k - 1))).alias("i"),
+        "__ws",
     ).select(
         "id",
-        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("__i"), k))).alias("h"),
+        "i",
+        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("i"), k))).alias("h"),
     )
+
+
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per document: total k-gram positions, positions whose k-gram
+    appears in ≥1 other document, and the duplicated fraction.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac) — one row per document
+    that has at least one k-gram (docs shorter than k words drop out,
+    matching the oracle). ``dup_frac`` is rounded to 6 dp so the value
+    replays bit-identically in any engine."""
+    grams = _positional_grams(df, id_col, text_col, k).select("id", "h")
     # Two-level aggregate, no flag-back join: pre-aggregate positional
     # counts per (doc, gram) — one shuffle on (id, h) that also dedups
     # within-doc repeats — then a window count over the gram hash gives
@@ -123,18 +134,10 @@ def remove_duplicated_spans(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("__ws"),
     )
-    arr = base.filter(F.size("__ws") >= k)
-    n = F.size("__ws")
-    grams = arr.select(
-        "id",
-        F.explode(F.sequence(F.lit(1), n - (k - 1))).alias("i"),
-        "__ws",
-    ).select(
-        "id",
-        "i",
-        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("i"), k))).alias("h"),
-    )
-    # df per gram via the same two-level shape as the stats operator
+    grams = _positional_grams(df, id_col, text_col, k)
+    # df per gram via the same two-level shape as the stats operator;
+    # idh is already distinct on (id, h), and the filter preserves
+    # distinctness, so no re-distinct after it
     idh = grams.select("id", "h").distinct()
     dup_h = (
         idh.withColumn(
@@ -142,7 +145,6 @@ def remove_duplicated_spans(
         )
         .filter(F.col("__df") > 1)
         .select("id", "h")
-        .distinct()
     )
     covered = (
         grams.join(dup_h, ["id", "h"])

@@ -96,8 +96,15 @@ def exact_heavy_hitters(
             f"1/(sketch_k+1)={1.0 / (sketch_k + 1):.6f} guarantee bound"
         )
 
-    src = df.select(F.col(value_col).cast("string").alias("v")).filter(
-        F.col("v").isNotNull()
+    from pyspark import StorageLevel
+
+    # Three passes read src (MG candidates, the total, the exact
+    # recount) — persist it once like jaccard_pairs persists its
+    # postings, so the corpus is scanned from source a single time.
+    src = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def mg_partition(batches):

@@ -33,7 +33,7 @@ from __future__ import annotations
 import datetime as _dt
 from typing import Any
 
-from .htmlreport import _numeric_series
+from .htmlreport import _chart_scale, _numeric_series
 
 __all__ = ["render_dashboard_pdf"]
 
@@ -50,7 +50,9 @@ _CHART_W, _CHART_H = 420.0, 140.0
 
 
 def _pdf_escape(s: str) -> bytes:
-    out = s.encode("latin-1", "replace")
+    # WinAnsiEncoding is cp1252: keeps the clip ellipsis (0x85) and the
+    # other Windows-1252 punctuation latin-1 lacks
+    out = s.encode("cp1252", "replace")
     return out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
@@ -156,17 +158,24 @@ class _Doc:
         cw = USABLE_W / len(cols)
         row_h = 14.0
         self.need(row_h * 2)
-        # header band
-        self.y -= row_h
-        self.page.rect(MARGIN, self.y - 3, USABLE_W, row_h, gray=0.92)
-        for i, c in enumerate(cols):
-            self.page.text(
-                MARGIN + 3 + i * cw, self.y, _clip(str(c.get("name", "")), 9, cw - 6),
-                9, bold=True,
-            )
+        def header_band() -> None:
+            self.y -= row_h
+            self.page.rect(MARGIN, self.y - 3, USABLE_W, row_h, gray=0.92)
+            for i, c in enumerate(cols):
+                self.page.text(
+                    MARGIN + 3 + i * cw,
+                    self.y,
+                    _clip(str(c.get("name", "")), 9, cw - 6),
+                    9,
+                    bold=True,
+                )
+
+        header_band()
         shown = rows[:_MAX_TABLE_ROWS]
         for r in shown:
-            self.need(row_h)
+            if self.y - row_h < BOTTOM:
+                self.new_page()
+                header_band()  # continuation pages keep column labels
             self.y -= row_h
             for i in range(len(cols)):
                 v = r[i] if i < len(r) else None
@@ -192,9 +201,7 @@ class _Doc:
         if not pts:
             return False
         vals = [float(p[1]) for p in pts]
-        vmax = max(max(vals), 0.0) or 1.0
-        vmin = min(min(vals), 0.0)
-        span = (vmax - vmin) or 1.0
+        vmin, vmax, span = _chart_scale(vals)
         box_h = _CHART_H + 18
         self.need(box_h)
         self.y -= box_h
@@ -324,7 +331,8 @@ def render_dashboard_pdf(
             columns = q.get("columns") or []
             rows = q.get("rows") or []
             if rtype in ("value", "stat"):
-                doc.stat(rows[0][0] if rows and rows[0] else "")
+                v = rows[0][0] if rows and rows[0] else None
+                doc.stat("" if v is None else v)
             elif "barchart" in rtype and doc.chart("bar", columns, rows):
                 pass
             elif (

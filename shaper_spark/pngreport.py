@@ -22,7 +22,7 @@ from typing import Any
 
 import numpy as np
 
-from .htmlreport import _numeric_series
+from .htmlreport import _chart_scale, _numeric_series
 
 __all__ = ["render_dashboard_png"]
 
@@ -221,9 +221,7 @@ def render_dashboard_png(result: dict, title: str | None = None) -> bytes:
         elif k == "chart":
             _, kind, pts, label = it
             cv.rect(MARGIN, y, _CHART_W, _CHART_H, (250, 250, 252))
-            vmax = max(max(pts), 0.0) or 1.0
-            vmin = min(min(pts), 0.0)
-            span = (vmax - vmin) or 1.0
+            vmin, vmax, span = _chart_scale(pts)
             n = len(pts)
 
             def ypix(v: float) -> int:

@@ -112,3 +112,48 @@ class TestSeamIntegration:
         }
         assert out[1]["sample_rate"] == 16000 and out[1]["rms"] == 0.0
         assert out[2]["sample_rate"] == 22050 and out[2]["rms"] > 0.9
+
+
+class TestPalettizedBmp:
+    @staticmethod
+    def _bmp8(width, height, indices, palette):
+        import struct as st
+
+        table = b"".join(bytes(bgr) + b"\x00" for bgr in palette)
+        row_bytes = width
+        stride = (row_bytes + 3) & ~3
+        pad = b"\x00" * (stride - row_bytes)
+        body = b"".join(
+            bytes(indices[r * width : (r + 1) * width]) + pad
+            for r in range(height)
+        )
+        data_offset = 14 + 40 + len(table)
+        header = st.pack(
+            "<2sIHHI", b"BM", data_offset + len(body), 0, 0, data_offset
+        )
+        info = st.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(body),
+            2835, 2835, len(palette), 0,
+        )
+        return header + info + table + body
+
+    def test_palette_applied_not_indices(self):
+        # index 0 → white, index 1 → black: an all-index-0 image must be
+        # BRIGHT even though its index bytes are all zero
+        palette = [(255, 255, 255), (0, 0, 0)]
+        white_img = self._bmp8(4, 2, [0] * 8, palette)
+        black_img = self._bmp8(4, 2, [1] * 8, palette)
+        fw = decode_bmp_features(white_img)
+        fb = decode_bmp_features(black_img)
+        assert fw["brightness"] == 1.0
+        assert fb["brightness"] == 0.0
+
+    def test_missing_palette_rejected(self):
+        import struct as st
+
+        header = st.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54)
+        info = st.pack(
+            "<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, 4, 2835, 2835, 0, 0
+        )
+        with pytest.raises(ValueError):
+            decode_bmp(header + info + b"\x00\x00\x00\x00")
