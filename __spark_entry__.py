@@ -2084,6 +2084,80 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus funnel stage counts
+    (shaper_spark/operators/pipeline.py training_corpus_stages):
+    normalize-dedup → Gopher filter → hash split → 8-gram
+    decontamination, each stage an oracle-replayable primitive. No
+    reference counterpart; §2C."""
+    from shaper_spark.operators.pipeline import training_corpus_stages
+
+    _prep(spark, sf_dir)
+    return training_corpus_stages(spark.table("documents"))
+
+
+PIPELINE_STAGES_DUCK = """
+WITH norm AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS h
+  FROM documents
+),
+winners AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN winners USING (doc_id)),
+words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM s1),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM words),
+wa AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT tok) AS n_distinct
+       FROM tok GROUP BY 1),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                i -> array_to_string(w[i+1:i+2], ' '))) AS bigram
+  FROM words WHERE len(w) >= 2
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2),
+ba AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n FROM bc GROUP BY 1),
+s2 AS (
+  SELECT words.doc_id, text
+  FROM words JOIN wa USING (doc_id) LEFT JOIN ba ON ba.doc_id = words.doc_id
+  WHERE NOT (n_words < 50 OR n_words > 100000)
+    AND NOT (round((len(text) - (n_words - 1)) * 1.0 / greatest(n_words, 1), 6) < 3.0
+             OR round((len(text) - (n_words - 1)) * 1.0 / greatest(n_words, 1), 6) > 10.0)
+    AND NOT (round(1 - n_distinct * 1.0 / n_words, 6) > 0.9)
+    AND NOT coalesce(round(top_bigram_n * 1.0 / greatest(coalesce(n_bigrams, 1), 1), 6) > 0.5,
+                     FALSE)
+),
+sp AS (
+  SELECT doc_id, text,
+         CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.9
+              THEN 'train' ELSE 'test' END AS split
+  FROM s2
+),
+tr AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+te AS (SELECT doc_id, text FROM sp WHERE split = 'test'),
+trw AS (SELECT doc_id, string_split(text, ' ') AS w FROM tr WHERE len(string_split(text, ' ')) >= 8),
+tew AS (SELECT doc_id, string_split(text, ' ') AS w FROM te WHERE len(string_split(text, ' ')) >= 8),
+trg AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM trw) t
+),
+teg AS (
+  SELECT DISTINCT array_to_string(w[i : i + 7], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM tew) t
+),
+contam AS (SELECT DISTINCT trg.doc_id FROM trg JOIN teg USING (g)),
+s4 AS (SELECT tr.doc_id FROM tr LEFT JOIN contam USING (doc_id)
+       WHERE contam.doc_id IS NULL)
+SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT '1_normalized_dedup', CAST(count(*) AS BIGINT) FROM s1
+UNION ALL SELECT '2_quality', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT '3_train_split', CAST(count(*) AS BIGINT) FROM tr
+UNION ALL SELECT '4_decontaminated', CAST(count(*) AS BIGINT) FROM s4
+ORDER BY stage
+"""
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact frequent tokens via two-pass Misra-Gries sketch-then-verify
     (shaper_spark/operators/sketches.py exact_heavy_hitters): output is
@@ -2423,7 +2497,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 89 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 90 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2442,7 +2516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for ``dup_span_stats``/``doc_lm_scores``/``shard_assign_counts``/
     ``token_budget_alloc``/``gopher_filter_report``/``dedup_normalized``."""
     return {
-        "q1_pricing_summary": _sql(Q1_PRICING),
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
         "dup_span_stats": _q_dup_spans,
@@ -2457,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": _q_remove_dup_spans,
         "embedding_centroid_sim": _q_centroid_sim,
         "heavy_hitter_tokens": _q_heavy_hitters,
+        "pipeline_stage_counts": _q_pipeline_stages,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
@@ -2534,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_lineitem": _q_salted_agg,
         "asof_last_click": _q_asof,
         "session_window_agg": _q_session_window,
+        "q1_pricing_summary": _sql(Q1_PRICING),
     }
 
 
@@ -2626,4 +2701,5 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans": REMOVE_DUP_SPANS_DUCK,
         "embedding_centroid_sim": CENTROID_SIM_DUCK,
         "heavy_hitter_tokens": HEAVY_HITTERS_DUCK,
+        "pipeline_stage_counts": PIPELINE_STAGES_DUCK,
     }

@@ -48,6 +48,7 @@ EXTRAS = [
     "remove_dup_spans",
     "embedding_centroid_sim",
     "heavy_hitter_tokens",
+    "pipeline_stage_counts",
 ]
 
 HEADLINE = [

@@ -309,3 +309,32 @@ class TestZipfSlope:
         )
         row = zipf_slope(df, "text", min_tf=2).collect()[0]
         assert row["n_terms"] == 2  # 'once' trimmed
+
+
+class TestTrainingCorpusStages:
+    def test_funnel_monotone_and_consistent(self, spark):
+        from shaper_spark.operators.pipeline import training_corpus_stages
+
+        texts = {
+            # near-duplicate pair (case/punct variants) → one survives
+            1: " ".join(f"word{i}" for i in range(60)),
+            2: " ".join(f"WORD{i}!" for i in range(60)),
+            # too short → quality drop
+            3: "short doc only",
+            # clean unique docs
+            **{i: " ".join(f"t{i}x{j}" for j in range(70)) for i in range(4, 20)},
+        }
+        df = spark.createDataFrame(
+            [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+        )
+        out = {
+            r["stage"]: r["n_docs"]
+            for r in training_corpus_stages(df).collect()
+        }
+        assert out["0_raw"] == len(texts)
+        assert out["1_normalized_dedup"] == len(texts) - 1  # dup collapsed
+        assert out["2_quality"] == out["1_normalized_dedup"] - 1  # short dropped
+        # split partitions the quality set
+        assert 0 < out["3_train_split"] <= out["2_quality"]
+        # decontamination can only shrink the train side
+        assert 0 <= out["4_decontaminated"] <= out["3_train_split"]
