@@ -2510,11 +2510,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r02+r03) out for the five new pipeline operators (repetition, PII
     scrub, decontamination, source mix, length histogram) plus
     ``explain_plan`` (rows-only by nature, never officially recorded);
-    later in round 4, ``boxplot_whiskers``/``parts_above_brand_avg``/
-    ``events_json_props``/``show_tables``/``dashboard_weekly``/
-    ``nations_intersect``/``q6_revenue_filter`` (green r02+r03) rotated out
-    for ``dup_span_stats``/``doc_lm_scores``/``shard_assign_counts``/
-    ``token_budget_alloc``/``gopher_filter_report``/``dedup_normalized``."""
+    later in round 4, twelve entries with ≥2 green official rounds
+    (``boxplot_whiskers``/``parts_above_brand_avg``/``events_json_props``/
+    ``show_tables``/``dashboard_weekly``/``nations_intersect``/
+    ``q6_revenue_filter``/``q3_shipping_priority``/``asof_last_click``/
+    ``salted_agg_lineitem``/``session_window_agg``/``q1_pricing_summary``)
+    rotated out for the twelve new operators
+    (``dup_span_stats``/``doc_lm_scores``/``shard_assign_counts``/
+    ``token_budget_alloc``/``gopher_filter_report``/``dedup_normalized``/
+    ``zipf_slope``/``remove_dup_spans``/``embedding_centroid_sim``/
+    ``heavy_hitter_tokens``/``pipeline_stage_counts`` and the restored
+    ``explain_plan``)."""
     return {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,

@@ -44,14 +44,24 @@ def training_corpus_stages(
     from .sampling import hash_split
     from .text import gopher_quality_filter
 
-    s1 = dedup_exact_normalized(docs, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # The five stage counts are separate branches of one lineage; without
+    # a persist each branch would recompute its whole prefix (the dedup
+    # min-by, the Gopher aggregates, the shingle join) — measured ~4× the
+    # funnel's real work. Persist the two frames every later stage reads.
+    s1 = dedup_exact_normalized(docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     keep_ids = (
         gopher_quality_filter(s1, id_col, text_col)
         .filter(F.col("keep"))
         .select(F.col("id").alias(id_col))
     )
     s2 = s1.join(keep_ids, id_col, "left_semi")
-    sp = hash_split(s2, id_col, {"train": 0.9, "test": 0.1})
+    sp = hash_split(s2, id_col, {"train": 0.9, "test": 0.1}).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     train = sp.filter(F.col("split") == "train")
     test = sp.filter(F.col("split") == "test")
     contaminated = ngram_decontaminate(
