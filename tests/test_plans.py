@@ -384,3 +384,24 @@ class TestRound4OperatorPlans:
         plan = _executed(dedup_exact_normalized(docs, "text", "doc_id"))
         assert "LeftSemi" in plan
         assert "Window" not in plan  # min-by aggregate, not a window
+
+    def test_pipeline_funnel_no_cartesian(self, spark):
+        from shaper_spark.operators.pipeline import training_corpus_stages
+
+        plan = _executed(training_corpus_stages(spark.table("documents")))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_heavy_hitters_candidate_join_broadcasts(self, spark):
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators.sketches import exact_heavy_hitters
+
+        toks = spark.table("documents").select(
+            F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        plan = _executed(
+            exact_heavy_hitters(toks, "tok", min_frac=0.01, sketch_k=128)
+        )
+        assert "BroadcastExchange" in plan  # candidate side broadcasts
+        assert "CartesianProduct" not in plan
