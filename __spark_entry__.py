@@ -2084,6 +2084,69 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM bits-per-token, summarized per source
+    (shaper_spark/operators/text.py bigram_lm_scores, λ=0.7). No
+    reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.text import bigram_lm_scores
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    lm = bigram_lm_scores(docs, "doc_id", "text", lam=0.7)
+    return (
+        lm.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("bits_per_token"), 6).alias("avg_bits"),
+            F.round(F.min("bits_per_token"), 6).alias("min_bits"),
+            F.round(F.max("bits_per_token"), 6).alias("max_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+# 0.30000000000000004 is literally Python's 1.0 - 0.7 — the exact double
+# the Spark side folds into its expression; a bare 0.3 here would be a
+# different double and could flip the 6-dp rounding on a knife edge.
+BIGRAM_LM_DUCK = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tk AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos FROM w
+  ) t WHERE len(tok) > 0
+),
+uni AS (SELECT tok, count(*) AS uc FROM tk GROUP BY tok),
+tot AS (SELECT sum(uc) AS total FROM uni),
+pu AS (SELECT tok, uc::DOUBLE / (SELECT total FROM tot) AS pu FROM uni),
+pr AS (
+  SELECT doc_id, ws[i] AS prev, ws[i + 1] AS tok
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w) t
+  WHERE len(ws[i]) > 0 AND len(ws[i + 1]) > 0
+),
+bc AS (SELECT prev, tok, count(*) AS bcnt FROM pr GROUP BY 1, 2),
+pb AS (SELECT bc.prev, bc.tok, bc.bcnt::DOUBLE / uni.uc AS pb
+       FROM bc JOIN uni ON uni.tok = bc.prev),
+firstb AS (SELECT doc_id, -log2(pu.pu) AS bits
+           FROM tk JOIN pu USING (tok) WHERE pos = 1),
+restb AS (SELECT pr.doc_id, -log2(0.7 * pb.pb + 0.30000000000000004 * pu.pu) AS bits
+          FROM pr JOIN pb ON pb.prev = pr.prev AND pb.tok = pr.tok
+          JOIN pu ON pu.tok = pr.tok),
+per_doc AS (
+  SELECT doc_id, round(avg(bits), 6) AS bits_per_token
+  FROM (SELECT * FROM firstb UNION ALL SELECT * FROM restb) u GROUP BY doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(bits_per_token), 6) AS avg_bits,
+       round(min(bits_per_token), 6) AS min_bits,
+       round(max(bits_per_token), 6) AS max_bits
+FROM per_doc JOIN documents USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 def _q_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus funnel stage counts
     (shaper_spark/operators/pipeline.py training_corpus_stages):
@@ -2497,7 +2560,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 90 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 91 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2537,9 +2600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroid_sim": _q_centroid_sim,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "pipeline_stage_counts": _q_pipeline_stages,
+        "bigram_lm_scores": _q_bigram_lm,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2615,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_click": _q_asof,
         "session_window_agg": _q_session_window,
         "q1_pricing_summary": _sql(Q1_PRICING),
+        "dedup_simhash": _q_simhash,
     }
 
 
@@ -2708,4 +2772,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroid_sim": CENTROID_SIM_DUCK,
         "heavy_hitter_tokens": HEAVY_HITTERS_DUCK,
         "pipeline_stage_counts": PIPELINE_STAGES_DUCK,
+        "bigram_lm_scores": BIGRAM_LM_DUCK,
     }

@@ -49,6 +49,7 @@ EXTRAS = [
     "embedding_centroid_sim",
     "heavy_hitter_tokens",
     "pipeline_stage_counts",
+    "bigram_lm_scores",
 ]
 
 HEADLINE = [

@@ -23,6 +23,7 @@ __all__ = [
     "length_histogram",
     "tfidf_top_terms",
     "unigram_lm_scores",
+    "bigram_lm_scores",
     "gopher_quality_filter",
     "zipf_slope",
     "LANG_STOPWORDS",
@@ -261,6 +262,83 @@ def zipf_slope(df: DataFrame, text_col: str, min_tf: int = 1) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.round(F.expr("regr_slope(log_tf, log_rank)"), 6).alias("slope"),
         F.round(F.expr("regr_r2(log_tf, log_rank)"), 6).alias("r2"),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Interpolated bigram language-model score per document: mean
+    −log₂( λ·p(wᵢ|wᵢ₋₁) + (1−λ)·p(wᵢ) ) — Jelinek-Mercer smoothing over
+    the corpus's own MLE counts, one step closer to CCNet's KenLM
+    filter than ``unigram_lm_scores`` (document-initial tokens score by
+    the unigram term alone). Low = predictable/boilerplate, high =
+    rare-token noise.
+
+    Spark shape: one positional bigram stream (window-free
+    sequence+slice) and one token stream feed three hash-aggregates
+    (bigram counts, unigram counts, corpus total — all map-side
+    partial); probabilities come back via keyed equi-joins on the
+    bigram/token, and the per-doc mean shuffles on the doc id. No
+    Python, no windows, nothing n². Returns
+    (id, n_tokens, bits_per_token) with bits rounded to 6 dp."""
+    if not (0.0 < lam < 1.0):
+        raise ValueError("bigram_lm_scores: lam must be in (0, 1)")
+    arr = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+    toks = arr.select(
+        "id", F.posexplode("__ws").alias("pos0", "tok")
+    ).filter(F.length("tok") > 0)
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    total = uni.agg(F.sum("uc").alias("__total"))
+    p_uni = uni.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("uc").cast("double") / F.col("__total")).alias("pu")
+    )
+    n = F.size("__ws")
+    pairs = (
+        arr.filter(n >= 2)
+        .select(
+            "id", F.explode(F.sequence(F.lit(1), n - 1)).alias("__i"), "__ws"
+        )
+        .select(
+            "id",
+            F.element_at("__ws", F.col("__i")).alias("prev"),
+            F.element_at("__ws", F.col("__i") + 1).alias("tok"),
+        )
+        .filter((F.length("prev") > 0) & (F.length("tok") > 0))
+    )
+    bc = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bc"))
+    ctx = uni.select(F.col("tok").alias("prev"), F.col("uc").alias("cc"))
+    p_bi = bc.join(ctx, "prev").select(
+        "prev", "tok", (F.col("bc").cast("double") / F.col("cc")).alias("pb")
+    )
+    first_bits = (
+        toks.filter(F.col("pos0") == 0)
+        .join(p_uni, "tok")
+        .select("id", (-F.log2("pu")).alias("bits"))
+    )
+    rest_bits = (
+        pairs.join(p_bi, ["prev", "tok"])
+        .join(p_uni, "tok")
+        .select(
+            "id",
+            (
+                -F.log2(
+                    F.lit(float(lam)) * F.col("pb")
+                    + F.lit(1.0 - float(lam)) * F.col("pu")
+                )
+            ).alias("bits"),
+        )
+    )
+    return (
+        first_bits.unionAll(rest_bits)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("bits"), 6).alias("bits_per_token"),
+        )
     )
 
 

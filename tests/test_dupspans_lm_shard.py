@@ -256,3 +256,62 @@ class TestRemoveDuplicatedSpans:
         out = self.rows(spark, ["a b", "a b c d"])
         assert out[0]["clean_text"] == "a b"
         assert out[0]["n_removed"] == 0
+
+
+class TestBigramLmScores:
+    def test_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from shaper_spark.operators.text import bigram_lm_scores
+
+        texts = ["a b a b c", "b a b", "c a b a", "a a b b"]
+        lam = 0.7
+        df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+        got = {
+            r["id"]: (r["n_tokens"], r["bits_per_token"])
+            for r in bigram_lm_scores(df, "id", "text", lam=lam).collect()
+        }
+        toks = [t for s in texts for t in s.split()]
+        uni = Counter(toks)
+        total = len(toks)
+        bi = Counter(
+            (w[i], w[i + 1])
+            for s in texts
+            for w in [s.split()]
+            for i in range(len(w) - 1)
+        )
+        for i, s in enumerate(texts):
+            w = s.split()
+            bits = [-math.log2(uni[w[0]] / total)]
+            for a, b in zip(w, w[1:]):
+                pb = bi[(a, b)] / uni[a]
+                pu = uni[b] / total
+                bits.append(-math.log2(lam * pb + (1 - lam) * pu))
+            want = sum(bits) / len(bits)
+            assert got[i][0] == len(w)
+            assert got[i][1] == pytest.approx(want, abs=1e-6), (i, s)
+
+    def test_boilerplate_scores_fewer_bits_than_noise(self, spark):
+        from shaper_spark.operators.text import bigram_lm_scores
+
+        texts = {
+            0: "the cat sat " * 20,       # repeated, predictable bigrams
+            1: " ".join(f"z{i}q" for i in range(60)),  # all-rare tokens
+        }
+        df = spark.createDataFrame(
+            [(k, v.strip()) for k, v in texts.items()], ["id", "text"]
+        )
+        out = {
+            r["id"]: r["bits_per_token"]
+            for r in bigram_lm_scores(df, "id", "text").collect()
+        }
+        assert out[0] < out[1]
+
+    def test_rejects_bad_lambda(self, spark):
+        from shaper_spark.operators.text import bigram_lm_scores
+
+        df = spark.createDataFrame([(1, "a b")], ["id", "text"])
+        for bad in (0.0, 1.0, -1.0):
+            with pytest.raises(ValueError):
+                bigram_lm_scores(df, "id", "text", lam=bad)
