@@ -37,6 +37,7 @@ __all__ = [
     "decode_wav_features",
     "encode_bmp",
     "encode_wav",
+    "resize_bmp",
 ]
 
 
@@ -186,3 +187,27 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
     return buf.getvalue()
+
+
+def resize_bmp(content: bytes, width: int, height: int) -> bytes:
+    """REAL image resize with zero dependencies: nearest-neighbor
+    resample of an uncompressed BMP to ``width``×``height``, returned
+    as a 24-bit BMP (palettized inputs come out expanded — decode_bmp
+    already applies the color table). The ``resizer`` seam contract for
+    ``multimodal.resize_images``: bytes in → smaller bytes out, still a
+    decodable image."""
+    img = decode_bmp(content)
+    sw, sh = img["width"], img["height"]
+    if sw <= 0 or sh <= 0:
+        raise ValueError("degenerate source dimensions")
+    src = img["pixels"]
+    bpp = 3 if len(src) == sw * sh * 3 else 4
+    out = bytearray()
+    for r in range(height):
+        sr = r * sh // height
+        row_off = sr * sw * bpp
+        for c in range(width):
+            sc = c * sw // width
+            px = src[row_off + sc * bpp : row_off + sc * bpp + 3]
+            out += px
+    return encode_bmp(width, height, bytes(out))

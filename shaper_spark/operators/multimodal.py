@@ -144,13 +144,20 @@ _RESIZE_SCHEMA = (
 
 
 def resize_images(
-    df: DataFrame, width: int = 64, height: int = 64, strict: bool = False
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    strict: bool = False,
+    resizer=None,
 ) -> DataFrame:
     """Thumbnail plumbing: binary in → smaller binary out, one row per
-    image. STUB: the 'thumbnail' is a deterministic byte slice sized
-    like a real w×h×3 buffer cap; a real implementation swaps in
-    PIL.Image.resize — the Arrow batch shape, output schema, and the
-    property that output bytes ≤ input bytes stay identical."""
+    image. ``resizer`` is the real-codec seam: a picklable callable
+    ``(bytes, width, height) -> bytes`` producing a genuinely resized
+    image — ``codecs.resize_bmp`` does this with zero dependencies for
+    BMPs, PIL.Image.resize covers the rest on a codec-equipped cluster.
+    Default without a resizer: STUB — a deterministic byte slice sized
+    like a real w×h×3 buffer cap, keeping the Arrow batch shape, output
+    schema, and the output-bytes ≤ input-bytes property testable."""
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -159,12 +166,24 @@ def resize_images(
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                if resizer is not None:
+                    data = resizer(bytes(content), width, height)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "width": width,
+                            "height": height,
+                            "thumb": data,
+                            "thumb_md5": hashlib.md5(data).hexdigest(),
+                        }
+                    )
+                    continue
                 if strict:
                     raise NotImplementedError(
                         "image resize requires PIL; not in this environment"
                     )
-                if content is None:
-                    continue
                 data = bytes(content)[:cap]
                 rows.append(
                     {

@@ -157,3 +157,37 @@ class TestPalettizedBmp:
         )
         with pytest.raises(ValueError):
             decode_bmp(header + info + b"\x00\x00\x00\x00")
+
+
+class TestResizeBmp:
+    def test_downsample_quadrants(self):
+        from shaper_spark.operators.codecs import decode_bmp, resize_bmp
+
+        # 4x4 image: left half black, right half white → 2x2 thumb keeps it
+        px = bytearray()
+        for r in range(4):
+            for c in range(4):
+                v = 255 if c >= 2 else 0
+                px += bytes([v, v, v])
+        small = resize_bmp(encode_bmp(4, 4, bytes(px)), 2, 2)
+        img = decode_bmp(small)
+        assert (img["width"], img["height"]) == (2, 2)
+        p = img["pixels"]
+        rows = [p[i * 6 : (i + 1) * 6] for i in range(2)]
+        for row in rows:
+            assert row[:3] == b"\x00\x00\x00"   # left stays black
+            assert row[3:6] == b"\xff\xff\xff"  # right stays white
+
+    def test_through_spark_resizer_seam(self, spark):
+        from shaper_spark.operators.codecs import decode_bmp, resize_bmp
+        from shaper_spark.operators.multimodal import resize_images
+
+        rows = [
+            (1, bytearray(encode_bmp(8, 8, bytes([200] * 8 * 8 * 3)))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        out = resize_images(df, width=4, height=4, resizer=resize_bmp).collect()
+        assert len(out) == 1
+        thumb = decode_bmp(bytes(out[0]["thumb"]))
+        assert (thumb["width"], thumb["height"]) == (4, 4)
+        assert set(thumb["pixels"]) == {200}  # real pixels, not a byte slice
