@@ -1539,7 +1539,7 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list equi-join with a train-side df cap, never n²."""
     from pyspark.sql import functions as F
 
-    from shaper_spark.operators.decontam import ngram_decontaminate
+    from shaper_spark.operators.decontam import ngram_decontaminate_presplit
     from shaper_spark.operators.sampling import hash_split
 
     _prep(spark, sf_dir)
@@ -1548,13 +1548,8 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         {"train": 0.8, "val": 0.1, "test": 0.1},
     )
-    return ngram_decontaminate(
-        docs.filter(F.col("split") == "train"),
-        docs.filter(F.col("split") == "test"),
-        "doc_id",
-        "text",
-        n=8,
-        max_df=50,
+    return ngram_decontaminate_presplit(
+        docs, "split", "train", "test", "doc_id", "text", n=8, max_df=50
     ).orderBy("eval_id")
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ngram_decontaminate"]
+__all__ = ["ngram_decontaminate", "ngram_decontaminate_presplit"]
 
 
 def ngram_decontaminate(
@@ -45,6 +45,53 @@ def ngram_decontaminate(
     )
     ev = shingle_tokens(eval_df, id_col, text_col, n).withColumnRenamed(
         "id", "eval_id"
+    )
+    if max_df is not None:
+        keep = (
+            tr.groupBy("shingle")
+            .agg(F.countDistinct("train_id").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        tr = tr.join(keep, "shingle")
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+        )
+    )
+
+
+def ngram_decontaminate_presplit(
+    docs: DataFrame,
+    split_col: str,
+    train_value: str,
+    eval_value: str,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """``ngram_decontaminate`` for a corpus that already carries its
+    split column (the common case after ``hash_split``): shingle the
+    train+eval rows in ONE pass and branch the posting lists by split,
+    instead of running the shingle pipeline once per side. Identical
+    output (pytest-asserted); at 100 TB this halves the corpus scans —
+    the dominant cost — and the branch filter is a cheap predicate on
+    the already-materialized postings."""
+    from .dedup import shingle_tokens
+
+    both = docs.filter(F.col(split_col).isin(train_value, eval_value))
+    postings = shingle_tokens(both, id_col, text_col, n).join(
+        both.select(F.col(id_col).alias("id"), split_col), "id"
+    )
+    tr = postings.filter(F.col(split_col) == train_value).select(
+        F.col("id").alias("train_id"), "shingle"
+    )
+    ev = postings.filter(F.col(split_col) == eval_value).select(
+        F.col("id").alias("eval_id"), "shingle"
     )
     if max_df is not None:
         keep = (

@@ -338,3 +338,66 @@ class TestTrainingCorpusStages:
         assert 0 < out["3_train_split"] <= out["2_quality"]
         # decontamination can only shrink the train side
         assert 0 <= out["4_decontaminated"] <= out["3_train_split"]
+
+
+class TestDecontamPresplit:
+    def test_identical_to_two_frame_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators.decontam import (
+            ngram_decontaminate,
+            ngram_decontaminate_presplit,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps high", "train"),
+            (2, "lazy dog sleeps all day long", "train"),
+            (3, "see the quick brown fox jumps", "test"),
+            (4, "totally clean evaluation text here", "test"),
+            (5, "ignored validation row entirely", "val"),
+        ]
+        docs = spark.createDataFrame(rows, ["id", "text", "split"])
+        a = sorted(
+            tuple(r)
+            for r in ngram_decontaminate(
+                docs.filter(F.col("split") == "train"),
+                docs.filter(F.col("split") == "test"),
+                "id", "text", n=3,
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ngram_decontaminate_presplit(
+                docs, "split", "train", "test", "id", "text", n=3
+            ).collect()
+        )
+        assert a == b
+        assert a and a[0][0] == 3  # doc 3 shares trigrams with train doc 1
+
+    def test_max_df_equivalence(self, spark):
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators.decontam import (
+            ngram_decontaminate,
+            ngram_decontaminate_presplit,
+        )
+
+        boiler = "all rights reserved worldwide inc"
+        rows = [(i, boiler, "train") for i in range(5)] + [(99, boiler, "test")]
+        docs = spark.createDataFrame(rows, ["id", "text", "split"])
+        for cap in (4, 5):
+            a = sorted(
+                tuple(r)
+                for r in ngram_decontaminate(
+                    docs.filter(F.col("split") == "train"),
+                    docs.filter(F.col("split") == "test"),
+                    "id", "text", n=3, max_df=cap,
+                ).collect()
+            )
+            b = sorted(
+                tuple(r)
+                for r in ngram_decontaminate_presplit(
+                    docs, "split", "train", "test", "id", "text", n=3, max_df=cap
+                ).collect()
+            )
+            assert a == b
