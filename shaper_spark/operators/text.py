@@ -470,7 +470,10 @@ def tfidf_top_terms(
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    # tf is unique on (id, term), so a plain count per term IS the
+    # document frequency — countDistinct here would add a whole
+    # dedup-expand aggregate phase for the same number
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("__n"))
     scored = (
         tf.join(dfreq, "term")
