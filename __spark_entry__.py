@@ -2079,6 +2079,54 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phases over unigram-LM difficulty
+    (shaper_spark/operators/sampling.py curriculum_phases composed with
+    text.unigram_lm_scores): easy-first quartiles with per-phase score
+    ranges. No reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.sampling import curriculum_phases
+    from shaper_spark.operators.text import unigram_lm_scores
+
+    _prep(spark, sf_dir)
+    scored = unigram_lm_scores(spark.table("documents"), "doc_id", "text")
+    return (
+        curriculum_phases(scored, "id", "bits_per_token", n_phases=4)
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("phase")
+    )
+
+
+CURRICULUM_DUCK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+vocab AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+tot AS (SELECT sum(tf) AS total FROM vocab),
+probs AS (SELECT tok, tf::DOUBLE / (SELECT total FROM tot) AS p FROM vocab),
+per_doc AS (
+  SELECT doc_id, round(avg(-log2(p)), 6) AS score
+  FROM tk JOIN probs USING (tok) GROUP BY doc_id
+),
+phased AS (
+  SELECT doc_id, score,
+         ntile(4) OVER (ORDER BY score ASC, doc_id ASC) AS phase
+  FROM per_doc
+)
+SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score
+FROM phased GROUP BY phase ORDER BY phase
+"""
+
+
 def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM bits-per-token, summarized per source
     (shaper_spark/operators/text.py bigram_lm_scores, λ=0.7). No
@@ -2555,7 +2603,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All 91 entries are verified by ``tests/oracle_check.py``; the dict
+    """All 92 entries are verified by ``tests/oracle_check.py``; the dict
     is ordered for operator-surface diversity because the driver's
     CORRECTNESS gate checks a bounded prefix (50 in rounds 2 and 3).
     Rotation policy (also documented in README): every *new* operator
@@ -2596,9 +2644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_tokens": _q_heavy_hitters,
         "pipeline_stage_counts": _q_pipeline_stages,
         "bigram_lm_scores": _q_bigram_lm,
+        "curriculum_phases": _q_curriculum,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
-        "text_token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -2674,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": _q_session_window,
         "q1_pricing_summary": _sql(Q1_PRICING),
         "dedup_simhash": _q_simhash,
+        "text_token_stats": _q_token_stats,
     }
 
 
@@ -2768,4 +2817,5 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_tokens": HEAVY_HITTERS_DUCK,
         "pipeline_stage_counts": PIPELINE_STAGES_DUCK,
         "bigram_lm_scores": BIGRAM_LM_DUCK,
+        "curriculum_phases": CURRICULUM_DUCK,
     }

@@ -50,6 +50,7 @@ EXTRAS = [
     "heavy_hitter_tokens",
     "pipeline_stage_counts",
     "bigram_lm_scores",
+    "curriculum_phases",
 ]
 
 HEADLINE = [

@@ -26,6 +26,7 @@ __all__ = [
     "shard_assign",
     "write_training_shards",
     "token_budget_allocation",
+    "curriculum_phases",
 ]
 
 
@@ -283,6 +284,39 @@ def token_budget_allocation(
             "capped",
         )
         .orderBy("group")
+    )
+
+
+def curriculum_phases(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_phases: int = 4,
+    seed: str = "curriculum",
+) -> DataFrame:
+    """Curriculum-learning phase assignment: rank documents by a
+    difficulty score (easy → hard) and cut the ranking into
+    ``n_phases`` equal-size phases with ``ntile`` — the standard
+    easy-first schedule (Bengio et al. 2009) driven by any of the §2C
+    quality/LM scores. Within a phase, ``order_key`` gives a
+    deterministic md5 shuffle so training order is reproducible but not
+    score-sorted (intra-phase order should not leak difficulty).
+
+    Returns (id, score, phase, order_key). One global window over the
+    ranking — ntile needs a total order, so like every global-sort
+    operator this is a range-partitioned sort shuffle at scale, not a
+    single-partition collapse; ties break by id for engine-stable
+    output."""
+    if n_phases <= 0:
+        raise ValueError("curriculum_phases: n_phases must be > 0")
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return scored.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("score"),
+        F.ntile(n_phases).over(w).alias("phase"),
+        F.md5(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        ).alias("order_key"),
     )
 
 

@@ -42,7 +42,7 @@ def test_prefix_50_covers_the_diverse_surface():
         "dup_span_stats", "doc_lm_scores", "shard_assign_counts",
         "token_budget_alloc", "gopher_filter_report", "dedup_normalized",
         "zipf_slope", "remove_dup_spans", "embedding_centroid_sim",
-        "heavy_hitter_tokens", "pipeline_stage_counts", "bigram_lm_scores",
+        "heavy_hitter_tokens", "pipeline_stage_counts", "bigram_lm_scores", "curriculum_phases",
         # core families (q1 earned 3 green rounds and rotated out
         # for pipeline_stage_counts)
         "q5_region_revenue", "dedup_jaccard_pairs", "dedup_minhash_lsh",

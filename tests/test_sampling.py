@@ -145,3 +145,40 @@ class TestTokenBudgetAllocation:
             token_budget_allocation(df, "g", "n", 0.0)
         with pytest.raises(ValueError):
             token_budget_allocation(df, "g", "n", 10.0, max_epochs=0.0)
+
+
+class TestCurriculumPhases:
+    def test_phases_ordered_by_difficulty(self, spark):
+        from shaper_spark.operators.sampling import curriculum_phases
+
+        rows = [(i, float(i)) for i in range(40)]
+        df = spark.createDataFrame(rows, ["id", "difficulty"])
+        out = curriculum_phases(df, "id", "difficulty", n_phases=4).collect()
+        by_phase = {}
+        for r in out:
+            by_phase.setdefault(r["phase"], []).append(r["score"])
+        assert set(by_phase) == {1, 2, 3, 4}
+        assert all(len(v) == 10 for v in by_phase.values())  # equal cuts
+        # easy phases strictly below harder ones
+        assert max(by_phase[1]) < min(by_phase[2])
+        assert max(by_phase[3]) < min(by_phase[4])
+
+    def test_order_key_deterministic_not_score_sorted(self, spark):
+        from shaper_spark.operators.sampling import curriculum_phases
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], ["id", "d"]
+        )
+        a = {r["id"]: r["order_key"] for r in curriculum_phases(df, "id", "d").collect()}
+        b = {r["id"]: r["order_key"] for r in curriculum_phases(df, "id", "d").collect()}
+        assert a == b
+        # within phase 1 (ids 0..7ish), md5 order != id order
+        keys = [a[i] for i in range(8)]
+        assert keys != sorted(keys)
+
+    def test_rejects_bad_phase_count(self, spark):
+        from shaper_spark.operators.sampling import curriculum_phases
+
+        df = spark.createDataFrame([(1, 1.0)], ["id", "d"])
+        with pytest.raises(ValueError):
+            curriculum_phases(df, "id", "d", n_phases=0)
