@@ -1,0 +1,103 @@
+"""Byte-pair-encoding vocabulary learning from a corpus (Sennrich et
+al. 2016) — the tokenizer-training step of a pretraining pipeline.
+
+Scale split, the way fastBPE/sentencepiece do it: the CORPUS-sized work
+is one hash-aggregate (distinct word → frequency), which Spark shuffles
+on the word with map-side partials; the merge loop then runs
+driver-local over that bounded frequency table (vocabulary size is
+orders of magnitude below corpus size — and ``max_words`` caps it
+explicitly, keeping the driver safe on adversarial corpora: dropping
+rare words barely moves pair counts). Each merge is O(vocab), not
+O(corpus); no per-merge cluster pass.
+
+Determinism: ties in pair frequency break lexicographically, so the
+merge list is a pure function of the word-frequency table — any engine
+that reproduces the frequencies reproduces the tokenizer.
+
+Reference parity note: no counterpart in the reference — §2C
+training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["learn_bpe", "bpe_encode"]
+
+_EOW = "</w>"
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the merge
+    list in application order. Words are whitespace tokens with an
+    end-of-word marker, per the original formulation."""
+    if n_merges <= 0:
+        raise ValueError("learn_bpe: n_merges must be > 0")
+    # Corpus-scale reduction: distinct word -> frequency, truncated to
+    # the max_words most frequent (ties by word for determinism).
+    rows = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]) + (_EOW,): r["n"] for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # deterministic argmax: highest count, then lexicographically
+        # smallest pair
+        pair = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a learned merge list to one word (greedy, in merge order —
+    the standard BPE encoder). Returns the symbol sequence including
+    the end-of-word marker."""
+    sym = list(word) + [_EOW]
+    for pair in merges:
+        merged = pair[0] + pair[1]
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
