@@ -293,30 +293,101 @@ def curriculum_phases(
     score_col: str,
     n_phases: int = 4,
     seed: str = "curriculum",
+    rank_partitions: int | None = None,
 ) -> DataFrame:
     """Curriculum-learning phase assignment: rank documents by a
     difficulty score (easy → hard) and cut the ranking into
-    ``n_phases`` equal-size phases with ``ntile`` — the standard
-    easy-first schedule (Bengio et al. 2009) driven by any of the §2C
-    quality/LM scores. Within a phase, ``order_key`` gives a
-    deterministic md5 shuffle so training order is reproducible but not
-    score-sorted (intra-phase order should not leak difficulty).
+    ``n_phases`` equal-size phases — the standard easy-first schedule
+    (Bengio et al. 2009) driven by any of the §2C quality/LM scores.
+    Within a phase, ``order_key`` gives a deterministic md5 shuffle so
+    training order is reproducible but not score-sorted (intra-phase
+    order should not leak difficulty).
 
-    Returns (id, score, phase, order_key). One global window over the
-    ranking — ntile needs a total order, so like every global-sort
-    operator this is a range-partitioned sort shuffle at scale, not a
-    single-partition collapse; ties break by id for engine-stable
-    output."""
+    Returns (id, score, phase, order_key) with ``phase`` EXACTLY equal
+    to ANSI ``ntile(n_phases) OVER (ORDER BY score, id)`` — but computed
+    WITHOUT a partitionless window.  Spark's WindowExec moves every row
+    to ONE partition when the window has no PARTITION BY (the
+    "No Partition Defined" warning), which dies at corpus scale.
+    Instead this does the classic distributed exact ranking:
+
+      1. ``repartitionByRange`` on (score, id) — ordered, contiguous
+         range partitions (a real range-partitioned sort shuffle);
+      2. per-partition row counts → driver (bounded by the partition
+         COUNT, never row count) → broadcast cumulative offsets;
+      3. global rank = partition offset + per-partition ``row_number``
+         (a window PARTITIONED by the range-partition id);
+      4. ntile arithmetic on the rank: with n rows and k phases the
+         first ``n mod k`` phases get ``⌈n/k⌉`` rows, the rest
+         ``⌊n/k⌋`` — bit-identical to the SQL ``ntile``.
+
+    The only driver materialization is one count per range partition."""
     if n_phases <= 0:
         raise ValueError("curriculum_phases: n_phases must be > 0")
-    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-    return scored.select(
+    spark = scored.sparkSession
+    base = scored.select(
         F.col(id_col).alias("id"),
         F.col(score_col).alias("score"),
-        F.ntile(n_phases).over(w).alias("phase"),
         F.md5(
             F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
         ).alias("order_key"),
+    )
+    nparts = rank_partitions or max(
+        2, spark.sparkContext.defaultParallelism
+    )
+    ranged = base.repartitionByRange(
+        nparts, F.col("score").asc(), F.col("id").asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    # Persist so the partition-count pass and the ranking pass see the
+    # SAME physical partitioning (range boundaries come from sampling).
+    # Persist so the count pass and the ranking pass see the same
+    # physical partitioning (range boundaries come from sampling; they
+    # ARE deterministic for a deterministic source, so the persist is a
+    # recompute-saver, not a correctness requirement — at extreme scale
+    # callers may pass rank_partitions and skip caching pressure since
+    # MEMORY_AND_DISK spills rather than OOMs).
+    ranged = ranged.persist()
+    counts = {
+        r["__pid"]: r["c"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    if n_total == 0:
+        return ranged.select(
+            "id", "score", F.lit(1).cast("int").alias("phase"), "order_key"
+        ).limit(0)
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __off long")
+    )
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("score").asc(), F.col("id").asc()
+    )
+    rank = (F.row_number().over(w) + F.col("__off")).alias("__rank")
+    small, rem = divmod(n_total, n_phases)
+    big = small + 1
+    cut = rem * big  # ranks 1..cut live in the ⌈n/k⌉-sized phases
+    r = F.col("__rank")
+    phase = (
+        F.when(r <= F.lit(cut), ((r - 1) / F.lit(big)).cast("long") + 1)
+        .otherwise(
+            # past the cut every phase has ⌊n/k⌋ rows (small ≥ 1
+            # whenever any rank exceeds cut, since cut = rem·(small+1)
+            # < n_total forces small > 0)
+            F.lit(rem)
+            + ((r - 1 - F.lit(cut)) / F.lit(max(small, 1))).cast("long")
+            + 1
+        )
+        .cast("int")
+    )
+    return (
+        ranged.join(off_df, "__pid")
+        .select("id", "score", rank, "order_key")
+        .select("id", "score", phase.alias("phase"), "order_key")
     )
 
 

@@ -237,14 +237,35 @@ def zipf_slope(df: DataFrame, text_col: str, min_tf: int = 1) -> DataFrame:
     a training-data build.
 
     Returns one row: (n_terms, slope, r2). Spark shape: one token
-    explode + vocabulary hash-agg; ranking is a single window over the
-    VOCABULARY (bounded by distinct terms, not corpus size — and
-    ``min_tf`` trims the hapax tail that both bloats the frame and
-    distorts the fit); the regression is ``regr_slope``/``regr_r2``,
-    both native aggregates with map-side partials in Spark AND ANSI
-    SQL, so the oracle replays bit-for-bit."""
+    explode + vocabulary hash-agg; the rank is computed WITHOUT any
+    window over the vocabulary (WindowExec with no PARTITION BY moves
+    the whole frame to one partition — at web scale the vocabulary is
+    10⁸⁺ "terms" of typo/hash noise, so a vocab-wide ranking window is
+    a scale-killer; a window PARTITIONED by tf is no better, because
+    the lowest-tf group holds most of the vocabulary).
+
+    Key identity: the regression consumes the MULTISET of
+    (log tf, log rank) pairs, and which same-tf term gets which rank
+    within its tf group cannot change that multiset.  So the whole fit
+    is a pure function of the tf HISTOGRAM:
+
+      * histogram rows d are bounded BY CONSTRUCTION — d distinct tf
+        values require ≥ 1+2+…+d tokens, so d ≤ √(2·corpus_tokens)
+        (a few million at 100 TB, not 10⁹);
+      * per-tf rank offsets = cumulative histogram (the only
+        partitionless window, over that provably-small frame);
+      * each group's ranks off+1 … off+m regenerate by an explode that
+        is CHUNKED and round-robin-repartitioned between the chunk and
+        rank explodes, so a 10⁸-term tf group becomes 10⁸/4096 balanced
+        tasks instead of one monster row — zero skew by construction.
+
+    ``min_tf`` additionally trims the hapax tail that both bloats the
+    frame and distorts the fit; the regression is ``regr_slope``/
+    ``regr_r2``, both native aggregates with map-side partials in Spark
+    AND ANSI SQL, so the oracle replays bit-for-bit."""
     from pyspark.sql import Window
 
+    chunk = 4096
     toks = df.select(
         F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -253,11 +274,35 @@ def zipf_slope(df: DataFrame, text_col: str, min_tf: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .filter(F.col("tf") >= min_tf)
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
-    ranked = vocab.select(
-        F.log(F.col("tf").cast("double")).alias("log_tf"),
-        F.log(F.row_number().over(w).cast("double")).alias("log_rank"),
+    hist = vocab.groupBy("tf").agg(F.count(F.lit(1)).alias("__m"))
+    w_hist = (
+        Window.orderBy(F.col("tf").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    offsets = hist.select(
+        "tf",
+        "__m",
+        F.coalesce(F.sum("__m").over(w_hist), F.lit(0)).alias("__off"),
+    )
+    chunks = offsets.select(
+        "tf",
+        "__m",
+        "__off",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.ceil(F.col("__m") / F.lit(chunk)).cast("long") - 1
+            )
+        ).alias("__ci"),
+    ).repartition(max(2, df.sparkSession.sparkContext.defaultParallelism))
+    lo = F.col("__off") + F.col("__ci") * chunk + 1
+    hi = F.least(
+        F.col("__off") + (F.col("__ci") + 1) * chunk,
+        F.col("__off") + F.col("__m"),
+    )
+    ranked = chunks.select(
+        F.log(F.col("tf").cast("double")).alias("log_tf"),
+        F.explode(F.sequence(lo, hi)).alias("__rank"),
+    ).select("log_tf", F.log(F.col("__rank").cast("double")).alias("log_rank"))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.round(F.expr("regr_slope(log_tf, log_rank)"), 6).alias("slope"),

