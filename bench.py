@@ -148,26 +148,41 @@ def main() -> None:
         sum(v for k, v in timings.items() if 0 < duck.get(k, 1) < 0.5), 4
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra_timings,
-                "extra_duckdb": _duckdb_reference(entrymod, sf_dir, EXTRAS),
-                "duckdb_ref": duck,
-                "duckdb_total": round(
-                    sum(v for v in duck.values() if v > 0), 4
-                ),
-                "floor_query_sec": floor,
-                "heavy_ratios": heavy_ratios,
-                "light_residual_sec": light_residual,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The official record is ONE COMPACT line: round 4's record was lost
+    # ("parsed": null) because the per-query dicts made the line so long
+    # the driver's tail capture truncated it mid-dict. Headline fields +
+    # the 20 headline per-query timings fit in well under 2 KB; every
+    # other per-query table goes to BENCH_DETAIL.json next to this
+    # script (and, for human eyes, to stderr).
+    extra_duck = _duckdb_reference(entrymod, sf_dir, EXTRAS)
+    record = {
+        "metric": "headline_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "duckdb_total": round(sum(v for v in duck.values() if v > 0), 4),
+        "floor_query_sec": floor,
+        "heavy_ratios": heavy_ratios,
+        "light_residual_sec": light_residual,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    detail = dict(
+        record,
+        duckdb_ref=duck,
+        extra_queries=extra_timings,
+        extra_duckdb=extra_duck,
     )
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:
+        print(f"bench: could not write BENCH_DETAIL.json: {e}", file=sys.stderr)
+    print(json.dumps(detail, indent=1), file=sys.stderr)
+    print(json.dumps(record))
 
 
 def _measure_floor(spark) -> float:

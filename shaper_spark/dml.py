@@ -112,6 +112,9 @@ def _swap_in(spark: SparkSession, table: str, df) -> None:
         spark.table(staging).write.insertInto(table, overwrite=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        from .plancache import bump
+
+        bump()  # table data changed: flush memoized analyzed plans
 
 
 def try_execute_dml(

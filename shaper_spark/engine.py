@@ -59,6 +59,14 @@ _SET_VARIABLE_RE = re.compile(
 _RESET_VARIABLE_RE = re.compile(
     r"^\s*RESET\s+VARIABLE\s+(?:\"([^\"]+)\"|(\w+))\s*$", re.IGNORECASE
 )
+# DuckDB-style session search path (reference: app.go:560 prepends
+# SET search_path = 'main,"<internal>".main,system' to every query)
+_SET_SEARCH_PATH_RE = re.compile(
+    r"^\s*SET\s+search_path\s*=\s*'([^']*)'\s*;?\s*$", re.IGNORECASE
+)
+_RESET_SEARCH_PATH_RE = re.compile(
+    r"^\s*RESET\s+search_path\s*;?\s*$", re.IGNORECASE
+)
 _CREATE_MACRO_RE = re.compile(
     r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP|TEMPORARY)\s+(?:MACRO|FUNCTION)\s+"
     r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+)$",
@@ -68,6 +76,14 @@ _CREATE_TEMP_TABLE_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP|TEMPORARY)\s+TABLE\s+", re.IGNORECASE
 )
 _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+# Statements whose leading keyword guarantees read-only semantics in
+# Spark SQL — the only ones the analyzed-plan cache may memoize (any
+# command statement executes eagerly inside spark.sql()).
+_READONLY_HEADS = frozenset(
+    {"SELECT", "WITH", "FROM", "VALUES", "TABLE", "DESC", "DESCRIBE",
+     "SHOW", "EXPLAIN"}
+)
 
 
 @dataclass
@@ -341,6 +357,10 @@ class _VarState:
     def __init__(self, protected: dict[str, Any] | None = None):
         self.raw: dict[str, str] = {}
         self.lists: dict[str, list[str]] = {}
+        # DuckDB-style schema search path ("main,\"db\".main,system"),
+        # consulted when an unqualified table fails to resolve in the
+        # current namespace (reference: app.go:546-561)
+        self.search_path: list[str] = []
         self.protected: set[str] = set(protected or {})
         for k, v in (protected or {}).items():
             if isinstance(v, str):
@@ -823,6 +843,13 @@ def _execute_side_effect(
         if vm:
             created_views.append(vm.group(1).strip('"`'))
     upper = sql_string.upper().strip()
+    m = _SET_SEARCH_PATH_RE.match(sql_string)
+    if m:
+        vars_.search_path = _parse_search_path(m.group(1))
+        return
+    if _RESET_SEARCH_PATH_RE.match(sql_string):
+        vars_.search_path = []
+        return
     m = _SET_VARIABLE_RE.match(sql_string)
     if m:
         name = m.group(1) or m.group(2)
@@ -859,12 +886,16 @@ def _execute_side_effect(
         return
     if upper.startswith(("ATTACH", "DETACH")):
         from .attach import try_execute_attach
+        from .plancache import bump as _bump_attach
 
         if try_execute_attach(spark, vars_.substitute(sql_string)):
+            _bump_attach()  # new/removed catalog entries
             return
         raise ValueError(f"Unsupported ATTACH/DETACH syntax: {sql_string!r}")
     if upper.startswith(("BEGIN", "COMMIT", "ROLLBACK", "ABORT")):
         return  # no transactions on Spark; per-statement atomicity only
+    from .plancache import bump
+
     if _CREATE_TEMP_TABLE_RE.match(sql_string):
         # Spark has no temp tables — a temp view gives the same
         # statement-scoped namespace (lazily recomputed; CACHE TABLE would
@@ -874,11 +905,57 @@ def _execute_side_effect(
         )
         rewritten = rewrite_statement(vars_.substitute(sql_string)).sql
         spark.sql(rewritten)
+        bump()  # catalog changed: memoized analyzed plans are stale
         return
     # USE / CALL / CREATE TEMP VIEW — run through Spark directly.
     rewritten = rewrite_statement(vars_.substitute(sql_string)).sql
     rewritten = _expand_macros(rewritten, macros)
     spark.sql(rewritten)
+    bump()  # side-effect statement: flush memoized analyzed plans
+
+
+def _parse_search_path(raw: str) -> list[str]:
+    """'main,"mydb".main,system' → Spark database candidates in order.
+    DuckDB's ``main`` = the current namespace (kept as the sentinel
+    ``None`` meaning "no switch"), ``system`` has no Spark counterpart
+    (dropped), and ``"db".main`` / ``db.main`` / ``db`` all name the
+    Spark database ``db``."""
+    out: list[str] = []
+    for entry in raw.split(","):
+        e = entry.strip()
+        if not e:
+            continue
+        if e.lower() in ("main", "system"):
+            continue
+        first = e.split(".", 1)[0].strip().strip('"')
+        if first and first not in out:
+            out.append(first)
+    return out
+
+
+def _sql_with_search_path(spark: SparkSession, sql: str, path: list[str]):
+    """Run ``sql``; when an unqualified table fails to resolve, retry
+    the analysis with each search-path database as the current
+    namespace, in order — first schema that resolves wins (the DuckDB
+    search_path rule at schema granularity).  The current database is
+    always restored."""
+    try:
+        return spark.sql(sql)
+    except Exception as e:
+        if "TABLE_OR_VIEW_NOT_FOUND" not in str(e) or not path:
+            raise
+        current = spark.catalog.currentDatabase()
+        for db in path:
+            if db == current or not spark.catalog.databaseExists(db):
+                continue
+            try:
+                spark.catalog.setCurrentDatabase(db)
+                return spark.sql(sql)
+            except Exception:
+                continue
+            finally:
+                spark.catalog.setCurrentDatabase(current)
+        raise
 
 
 def _run_query(
@@ -894,8 +971,10 @@ def _run_query(
         # results (reference run_task.go:51 marks them no-tx and
         # executes them directly).
         from .attach import try_execute_attach
+        from .plancache import bump as _bump_attach
 
         if try_execute_attach(spark, vars_.substitute(sql_string)):
+            _bump_attach()
             return [], []
         raise ValueError(f"Unsupported ATTACH/DETACH syntax: {sql_string!r}")
     if upper.startswith(("UPDATE", "DELETE")):
@@ -921,8 +1000,33 @@ def _run_query(
     else:
         sub = vars_.substitute(sql_string)
         sub = _expand_macros(sub, macros)
+        from .tablefuncs import expand_table_functions
+
+        sub, used_tablefuncs = expand_table_functions(spark, sub)
         rw = rewrite_statement(sub)
-        df = spark.sql(rw.sql)
+        # Memoized analysis: dashboards re-serve identical statement
+        # text every render; the cache returns the already-analyzed
+        # lazy DataFrame (execution still runs fully on collect) and
+        # every mutation path bump()s it. ONLY read-only statements are
+        # cacheable — Spark runs commands (INSERT/CREATE/…, which tasks
+        # route through here) eagerly inside spark.sql(), so a cache
+        # hit would silently skip re-executing them — and duckdb_*()
+        # catalog snapshots re-materialize per call, so they bypass the
+        # cache too. See plancache.
+        from .plancache import analyzed, bump
+
+        head = rw.sql.lstrip("( \n\t").split(None, 1)
+        if vars_.search_path:
+            # resolution depends on session state the cache key doesn't
+            # carry — bypass the cache while a search path is active
+            df = _sql_with_search_path(spark, rw.sql, vars_.search_path)
+        elif used_tablefuncs:
+            df = spark.sql(rw.sql)
+        elif head and head[0].upper() in _READONLY_HEADS:
+            df = analyzed(spark, rw.sql)
+        else:
+            df = spark.sql(rw.sql)
+            bump()  # command statement: executed eagerly, mutates state
         tags = rw.column_tags
     limited = df.limit(max_rows + 1)
     collected = limited.collect()

@@ -352,6 +352,9 @@ class IngestBuffer:
         )
         df = self.spark.createDataFrame(rows, schema=schema)
         df.write.mode("append").insertInto(table)
+        from .plancache import bump
+
+        bump()  # appended rows: memoized plans pin old file listings
 
 
 def _spark_ddl(sql_type: str) -> str:

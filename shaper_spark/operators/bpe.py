@@ -24,9 +24,61 @@ from collections import Counter
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["learn_bpe", "bpe_encode"]
+__all__ = ["learn_bpe", "bpe_encode", "bpe_pair_frequencies"]
 
 _EOW = "</w>"
+
+
+def bpe_pair_frequencies(
+    df: DataFrame, text_col: str, top_k: int | None = None
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair frequencies for the FIRST BPE
+    iteration — the distributed primitive a cluster-scale BPE trainer
+    runs per merge step (here over the initial character alphabet; the
+    argmax row IS the first merge ``learn_bpe`` picks when max_words
+    doesn't truncate).
+
+    Returns (left_sym, right_sym, pair_count), weighted by word
+    frequency, with the end-of-word marker as the final right symbol —
+    ordered by (count desc, pair asc) like the merge argmax, optionally
+    truncated to ``top_k``.
+
+    Spark shape: one word hash-agg (map-side partials) then a
+    position-explode over the WORD TABLE (bounded by distinct words,
+    not corpus size) and a second hash-agg over pairs — fully codegen,
+    no Python, no windows. ANSI-replayable, so the oracle hash-checks
+    it."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pos = words.select(
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+    )
+    pairs = pos.select(
+        F.substring(F.col("w"), F.col("i"), 1).alias("left_sym"),
+        F.when(
+            F.col("i") < F.length("w"),
+            F.substring(F.col("w"), F.col("i") + 1, 1),
+        )
+        .otherwise(F.lit(_EOW))
+        .alias("right_sym"),
+        "n",
+    )
+    out = (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(
+            F.col("pair_count").desc(),
+            F.col("left_sym").asc(),
+            F.col("right_sym").asc(),
+        )
+    )
+    return out.limit(top_k) if top_k else out
 
 
 def learn_bpe(

@@ -88,6 +88,10 @@ def decode_bmp(content: bytes) -> dict:
         "height": abs_h,
         "bpp": bpp,
         "planes": planes,
+        # negative biHeight = rows stored TOP-DOWN; consumers that
+        # re-encode (always bottom-up, positive height) must reverse
+        # row order first or the image flips vertically
+        "top_down": height < 0,
         "pixels": bytes(pixels),
     }
 
@@ -202,6 +206,13 @@ def resize_bmp(content: bytes, width: int, height: int) -> bytes:
         raise ValueError("degenerate source dimensions")
     src = img["pixels"]
     bpp = 3 if len(src) == sw * sh * 3 else 4
+    if img["top_down"]:
+        # encode_bmp writes bottom-up; reverse top-down rows so the
+        # output renders the same way up as the input
+        rb = sw * bpp
+        src = b"".join(
+            src[r * rb : (r + 1) * rb] for r in range(sh - 1, -1, -1)
+        )
     out = bytearray()
     for r in range(height):
         sr = r * sh // height

@@ -6,21 +6,34 @@ Funnel (the C4/RefinedWeb shape):
 
   0_raw                 input documents
   1_normalized_dedup    exact dedup after lowercase/punct/space
-                        normalization (dedup_exact_normalized)
+                        normalization (dedup_exact_normalized's min-by
+                        winner rule)
   2_quality             Gopher §A1.1 composite filter keeps
                         (gopher_quality_filter)
   3_train_split         leakage-safe hash split, train side
                         (hash_split, 90/10)
   4_decontaminated      train docs sharing an 8-gram with the held-out
-                        test split dropped (ngram_decontaminate run in
-                        the train-cleaning direction)
+                        test split dropped (the ngram_decontaminate
+                        overlap rule, reduced to a semi-join because
+                        only membership matters for the drop)
 
-Scale shape: each stage is the documented shuffle plan of its operator;
-the funnel never collects anything to the driver — the five stage
-counts are one lazy union of single-row aggregates, so Spark runs the
-whole build as one job graph and shares the scan. The composite exists
-because pipelines ship compositions, not operator menus: this is the
-integration test that the pieces actually fit.
+Scale shape: every funnel decision is carried as a NARROW id set, never
+a persisted copy of the corpus — the winner rule is one min-by
+aggregate producing ids, the Gopher verdict is (id, keep), the split is
+a pure hash expression over ids, and contamination is a LEFT SEMI join
+on the positional 8-gram stream (multiplicity is irrelevant to a semi
+join, so no per-doc distinct pass and no (eval, train) pair blowup).
+Only the two reused id frames persist (kilobytes per million docs); the
+five counts run as ONE job (a union of single-row aggregates, so Spark
+shares scans and runs independent branches concurrently), are collected
+INSIDE the operator — five ints, the only driver materialization — and
+both persists are released before returning, so a long-lived server
+never accumulates cached blocks across calls.
+
+The composite exists because pipelines ship compositions, not operator
+menus: this is the integration test that the pieces actually fit —
+tests/test_pipeline.py pins its counts against running the §2C
+operators one by one.
 """
 
 from __future__ import annotations
@@ -30,6 +43,83 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["training_corpus_stages"]
 
 
+def _funnel_lazy(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Build the funnel's five-count union WITHOUT executing it.
+    Returns (lazy_counts, persisted_frames) — the public operator
+    collects the counts and releases the persists; tests pin the plan
+    of the lazy frame directly."""
+    from ..session import spread_for_compute
+    from .dedup import normalize_text_expr
+    from .sampling import hash_split
+    from .text import gopher_quality_filter
+    winner_ids = (
+        docs.withColumn("__h", F.md5(normalize_text_expr(F.col(text_col))))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .persist()
+    )
+    keep_ids = (
+        gopher_quality_filter(docs, id_col, text_col)
+        .filter(F.col("keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    s2_ids = winner_ids.join(keep_ids, id_col, "left_semi")
+    sp_ids = hash_split(
+        s2_ids, id_col, {"train": 0.9, "test": 0.1}
+    ).persist()
+    train_ids = sp_ids.filter(F.col("split") == "train").select(id_col)
+    test_ids = sp_ids.filter(F.col("split") == "test").select(id_col)
+
+    def grams8(ids: DataFrame) -> DataFrame:
+        arr = (
+            spread_for_compute(docs.join(ids, id_col, "left_semi"))
+            .select(
+                F.col(id_col).alias("id"),
+                F.split(F.col(text_col), " ").alias("__ws"),
+            )
+            .filter(F.size("__ws") >= 8)
+        )
+        n = F.size("__ws")
+        return (
+            arr.select(
+                "id",
+                F.explode(F.sequence(F.lit(1), n - 7)).alias("__i"),
+                "__ws",
+            )
+            .select(
+                "id",
+                F.concat_ws(
+                    " ", F.slice("__ws", F.col("__i"), 8)
+                ).alias("shingle"),
+            )
+            .filter(F.length("shingle") > 0)
+        )
+
+    contaminated = (
+        grams8(train_ids)
+        .join(grams8(test_ids).select("shingle"), "shingle", "left_semi")
+        .select("id")
+        .distinct()
+    )
+
+    def cnt(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    lazy = (
+        cnt("0_raw", docs)
+        .unionAll(cnt("1_normalized_dedup", winner_ids))
+        .unionAll(cnt("2_quality", s2_ids))
+        .unionAll(cnt("3_train_split", train_ids))
+        .unionAll(cnt("__contaminated", contaminated))
+    )
+    return lazy, [winner_ids, sp_ids]
+
+
 def training_corpus_stages(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -37,48 +127,21 @@ def training_corpus_stages(
 
     Thresholds are the operator defaults (documented there); the split
     is 90/10 train/test keyed on ``id_col``; decontamination drops
-    TRAIN documents that share any 8-gram with the test split (the
-    train-cleaning direction of ngram_decontaminate)."""
-    from .decontam import ngram_decontaminate
-    from .dedup import dedup_exact_normalized
-    from .sampling import hash_split
-    from .text import gopher_quality_filter
-
-    from pyspark import StorageLevel
-
-    # The five stage counts are separate branches of one lineage; without
-    # a persist each branch would recompute its whole prefix (the dedup
-    # min-by, the Gopher aggregates, the shingle join) — measured ~4× the
-    # funnel's real work. Persist the two frames every later stage reads.
-    s1 = dedup_exact_normalized(docs, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    TRAIN documents that share any 8-gram with the test split.  Stage
+    semantics are identical to chaining dedup_exact_normalized →
+    gopher_quality_filter → hash_split → ngram_decontaminate (the
+    Gopher verdict is a per-document function, so computing it on the
+    raw corpus instead of the deduped one cannot change any flag;
+    tests/test_pipeline_ops.py pins the counts against that explicit
+    chain)."""
+    spark = docs.sparkSession
+    lazy, persisted = _funnel_lazy(docs, id_col, text_col)
+    counts = {r["stage"]: r["n_docs"] for r in lazy.collect()}
+    for p in persisted:
+        p.unpersist()
+    counts["4_decontaminated"] = counts["3_train_split"] - counts.pop(
+        "__contaminated"
     )
-    keep_ids = (
-        gopher_quality_filter(s1, id_col, text_col)
-        .filter(F.col("keep"))
-        .select(F.col("id").alias(id_col))
-    )
-    s2 = s1.join(keep_ids, id_col, "left_semi")
-    sp = hash_split(s2, id_col, {"train": 0.9, "test": 0.1}).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    train = sp.filter(F.col("split") == "train")
-    test = sp.filter(F.col("split") == "test")
-    contaminated = ngram_decontaminate(
-        test, train, id_col, text_col, n=8
-    ).select(F.col("eval_id").alias(id_col))
-    s4 = train.join(contaminated, id_col, "left_anti")
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
-        )
-
-    return (
-        stage("0_raw", docs)
-        .unionAll(stage("1_normalized_dedup", s1))
-        .unionAll(stage("2_quality", s2))
-        .unionAll(stage("3_train_split", train))
-        .unionAll(stage("4_decontaminated", s4))
-        .orderBy("stage")
-    )
+    return spark.createDataFrame(
+        sorted(counts.items()), "stage string, n_docs long"
+    ).orderBy("stage")

@@ -395,9 +395,15 @@ def centroid_similarity(
         .select(
             "group_a",
             "group_b",
-            F.round(
-                F.col("dot") / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
+            # zero-norm guard: a group whose centroid is the zero
+            # vector (all-zero or perfectly symmetric embeddings) has
+            # no defined direction — NULL, not NaN/±Inf
+            F.when(
+                (F.col("na") * F.col("nb")) > 0,
+                F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6),
+            )
+            .otherwise(F.lit(None))
+            .alias("cosine"),
         )
         .orderBy("group_a", "group_b")
     )

@@ -63,39 +63,16 @@ def hll_merge(
     ).drop("hll")
 
 
-def exact_heavy_hitters(
+def _heavy_hitters_lazy(
     df: DataFrame,
     value_col: str,
-    min_frac: float = 0.002,
-    sketch_k: int = 256,
-) -> DataFrame:
-    """Exact frequent items above ``min_frac`` of the rows, found with
-    bounded memory: the classic two-pass sketch-then-verify shape.
-
-    Pass 1 runs a Misra-Gries summary per partition inside
-    ``mapInPandas`` (per-batch ``value_counts`` at C speed merged into
-    a ≤``sketch_k``-entry dict, decrement-by-(k+1)th on overflow). The
-    mergeable-summaries guarantee makes the union of per-partition
-    candidates a SUPERSET of every value with global frequency
-    > n/(sketch_k+1): if count(x) > Σ n_p/(k+1) then some partition has
-    count_p(x) > n_p/(k+1), and MG keeps it there. Pass 2 computes
-    EXACT counts for the candidate set only (a broadcast semi-join —
-    candidates are ≤ partitions × sketch_k rows) and applies the real
-    threshold, so the final output is deterministic, exact, and
-    independent of partitioning — identical to the naive full groupBy,
-    but the full-cardinality aggregation state never exists anywhere.
-
-    Requires ``min_frac ≥ 1/(sketch_k+1)`` (checked) — otherwise the
-    superset guarantee would not cover the threshold.
-
-    Returns (value, n) for values with n > min_frac × total rows,
-    ordered by (n desc, value)."""
-    if min_frac < 1.0 / (sketch_k + 1):
-        raise ValueError(
-            f"exact_heavy_hitters: min_frac={min_frac} below the "
-            f"1/(sketch_k+1)={1.0 / (sketch_k + 1):.6f} guarantee bound"
-        )
-
+    min_frac: float,
+    sketch_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two-pass plan without executing the final recount.
+    Returns (exact, src_persisted) — the public operator collects the
+    bounded result and releases the persist; tests pin the recount's
+    broadcast plan on the lazy frame."""
     from pyspark import StorageLevel
 
     # Three passes read src (MG candidates, the total, the exact
@@ -111,15 +88,31 @@ def exact_heavy_hitters(
         import pandas as pd
 
         counts: dict[str, int] = {}
-        for pdf in batches:
-            for val, c in pdf["v"].value_counts().items():
-                counts[val] = counts.get(val, 0) + int(c)
+        # Compact whenever the dict outgrows a small multiple of
+        # sketch_k — INSIDE the absorb loop, so transient state is
+        # O(cap), not O(batch distinct values).  The generalized MG
+        # step (subtract the (k+1)-th largest from everyone, drop ≤0)
+        # keeps the superset guarantee: the threshold t has ≥ k+1
+        # counters ≥ t, so each compaction removes ≥ (k+1)·t of
+        # absorbed mass and Σt ≤ n_p/(k+1) still bounds the decrement
+        # any one value can suffer.
+        cap = 8 * sketch_k
+
+        def compact() -> None:
+            nonlocal counts
             if len(counts) > sketch_k:
                 ordered = sorted(counts.values(), reverse=True)
                 thresh = ordered[sketch_k]
                 counts = {
                     k: c - thresh for k, c in counts.items() if c > thresh
                 }
+
+        for pdf in batches:
+            for val, c in pdf["v"].value_counts().items():
+                counts[val] = counts.get(val, 0) + int(c)
+                if len(counts) > cap:
+                    compact()
+            compact()
         yield pd.DataFrame({"v": list(counts.keys())})
 
     candidates = src.mapInPandas(mg_partition, "v string").distinct()
@@ -129,7 +122,52 @@ def exact_heavy_hitters(
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > F.lit(float(total) * min_frac))
+        .select(F.col("v").alias("value"), "n")
+        .orderBy(F.col("n").desc(), "value")
     )
-    return exact.select(F.col("v").alias("value"), "n").orderBy(
+    return exact, src
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_frac: float = 0.002,
+    sketch_k: int = 256,
+) -> DataFrame:
+    """Exact frequent items above ``min_frac`` of the rows, found with
+    bounded memory: the classic two-pass sketch-then-verify shape.
+
+    Pass 1 runs a Misra-Gries summary per partition inside
+    ``mapInPandas`` (per-batch ``value_counts`` at C speed merged into
+    a ≤``sketch_k``-entry dict, compacted by the generalized MG step
+    whenever transient state exceeds 8×sketch_k). The
+    mergeable-summaries guarantee makes the union of per-partition
+    candidates a SUPERSET of every value with global frequency
+    > n/(sketch_k+1): if count(x) > Σ n_p/(k+1) then some partition has
+    count_p(x) > n_p/(k+1), and MG keeps it there. Pass 2 computes
+    EXACT counts for the candidate set only (a broadcast semi-join —
+    candidates are ≤ partitions × sketch_k rows) and applies the real
+    threshold, so the final output is deterministic, exact, and
+    independent of partitioning — identical to the naive full groupBy,
+    but the full-cardinality aggregation state never exists anywhere.
+
+    Requires ``min_frac ≥ 1/(sketch_k+1)`` (checked) — otherwise the
+    superset guarantee would not cover the threshold.
+
+    Returns (value, n) for values with n > min_frac × total rows,
+    ordered by (n desc, value).  The result is ≤ 1/min_frac rows BY
+    DEFINITION (each survivor owns > min_frac of the corpus), so it is
+    materialized eagerly inside the operator and the persisted scan is
+    released before returning — no cached blocks outlive the call."""
+    if min_frac < 1.0 / (sketch_k + 1):
+        raise ValueError(
+            f"exact_heavy_hitters: min_frac={min_frac} below the "
+            f"1/(sketch_k+1)={1.0 / (sketch_k + 1):.6f} guarantee bound"
+        )
+    spark = df.sparkSession
+    exact, src = _heavy_hitters_lazy(df, value_col, min_frac, sketch_k)
+    rows = [(r["value"], r["n"]) for r in exact.collect()]
+    src.unpersist()
+    return spark.createDataFrame(rows, "value string, n long").orderBy(
         F.col("n").desc(), "value"
     )

@@ -159,12 +159,16 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     most frequent word bigram over all bigrams). High values flag
     boilerplate/spam for pretraining filters.
 
-    Spark shape: one token-array projection feeds both a per-doc word
-    aggregate and a window-free bigram stream (explode a start-index
-    ``sequence`` + ``slice`` — codegen'd built-ins, no per-doc sort, no
-    window shuffle); bigram counts aggregate twice (per (doc,bigram),
-    then per doc with sum/max). Everything shuffles on the document id
-    only — embarrassingly parallel, no skew (documents are bounded),
+    Spark shape: the word-level stats (count, distinct count) are
+    PER-ROW array expressions (``size``/``array_distinct`` — codegen'd
+    built-ins, no HOF lambdas), so they never shuffle at all; they ride
+    through the bigram aggregation as ``first()``s.  The bigram stream
+    is window-free (explode a start-index ``sequence`` + ``slice``),
+    with index 0 as a per-doc sentinel row (bigram NULL) so single-word
+    documents survive without a join; counts aggregate twice (per
+    (doc,bigram), then per doc with sum/max over the non-sentinel
+    rows).  Two doc-keyed shuffles total, no join, no countDistinct
+    expand — embarrassingly parallel, no skew (documents are bounded),
     codegen end-to-end, no Python."""
     from ..session import spread_for_compute
 
@@ -172,38 +176,51 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("__ws"),
     )
-    toks = arr.select("id", F.explode("__ws").alias("tok"))
-    words = toks.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_words"),
-        F.countDistinct("tok").alias("n_distinct"),
-    )
-    # sequence(1, 0) counts DOWN ([1, 0]), not empty — single-word docs
-    # must be dropped before building the bigram start range.
     n = F.size("__ws")
-    bigrams = (
-        arr.filter(n >= 2)
-        .select("id", F.explode(F.sequence(F.lit(1), n - 1)).alias("__i"), "__ws")
-        .select(
-            "id",
-            F.concat_ws(" ", F.slice("__ws", F.col("__i"), 2)).alias("bigram"),
-        )
-        .groupBy("id", "bigram")
-        .count()
-        .groupBy("id")
-        .agg(
-            F.sum("count").alias("n_bigrams"),
-            F.max("count").alias("top_bigram_n"),
-        )
+    # index 0 = sentinel (carries the per-row word stats for EVERY doc);
+    # indices 1..n-1 = bigram start positions (empty for n < 2)
+    stream = arr.select(
+        "id",
+        n.alias("__n"),
+        F.size(F.array_distinct("__ws")).alias("__nd"),
+        F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))).alias(
+            "__i"
+        ),
+        "__ws",
+    ).select(
+        "id",
+        "__n",
+        "__nd",
+        F.when(
+            F.col("__i") > 0,
+            F.concat_ws(" ", F.slice("__ws", F.col("__i"), 2)),
+        ).alias("bigram"),
     )
-    return words.join(bigrams, "id", "left").select(
+    per_bigram = stream.groupBy("id", "bigram").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.first("__n").alias("__n"),
+        F.first("__nd").alias("__nd"),
+    )
+    per_doc = per_bigram.groupBy("id").agg(
+        F.first("__n").alias("n_words"),
+        F.first("__nd").alias("__nd"),
+        F.coalesce(
+            F.sum(F.when(F.col("bigram").isNotNull(), F.col("__c"))),
+            F.lit(0),
+        ).alias("n_bigrams"),
+        F.max(
+            F.when(F.col("bigram").isNotNull(), F.col("__c"))
+        ).alias("__top"),
+    )
+    return per_doc.select(
         "id",
         "n_words",
         F.round(
-            1 - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+            1 - F.col("__nd").cast("double") / F.col("n_words"), 6
         ).alias("dup_word_frac"),
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "n_bigrams",
         F.round(
-            F.col("top_bigram_n").cast("double")
+            F.col("__top").cast("double")
             / F.greatest(F.col("n_bigrams"), F.lit(1)),
             6,
         ).alias("top_bigram_frac"),

@@ -134,6 +134,9 @@ def register_sf_tables(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_parquet(spark, path).createOrReplaceTempView(name)
+    from .plancache import bump
+
+    bump()  # view targets may have changed: flush memoized plans
 
 
 # Threshold for the opt-in spread (see _spread): below this a

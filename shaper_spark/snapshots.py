@@ -67,4 +67,7 @@ def restore_database(
         df = spark.read.parquet(os.path.join(source, name))
         df.write.saveAsTable(qualified)
         restored.append(name)
+    from .plancache import bump
+
+    bump()  # restored tables invalidate memoized analyzed plans
     return restored

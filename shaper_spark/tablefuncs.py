@@ -1,0 +1,164 @@
+"""SQL-callable DuckDB catalog table functions.
+
+The reference's schema handler queries ``duckdb_databases()``,
+``duckdb_schemas()``, ``duckdb_tables()``, ``duckdb_columns()``,
+``duckdb_views()``, ``duckdb_types()``, ``duckdb_constraints()``,
+``duckdb_extensions()`` and ``duckdb_secrets()`` as ordinary FROM-able
+table functions (reference: server/core/duckdb_schema.go:21-287), and
+users paste the same queries into dashboards.  Spark has no Python API
+for registering table functions, so the engine expands each call
+textually to a per-call temp view (``duckdb_tables()`` →
+``__duckdb_tables``) materialized fresh from the session catalog —
+metadata-only (spark.catalog list* calls, never data), tiny frames,
+rebuilt on every statement that mentions one so the snapshot is always
+current.  Statements that use them bypass the analyzed-plan cache for
+the same reason.
+
+Catalog mapping: DuckDB's database → the current Spark catalog name;
+DuckDB's schema → the Spark database (namespace); temp views belong to
+the current namespace, mirroring introspect.get_schema.  ``types``/
+``constraints``/``extensions``/``secrets`` exist with the reference's
+column shapes but are empty — Spark has no enum types, table
+constraints, loadable extensions, or secret store (documented in
+MIGRATION.md; the reference handler tolerates empty result sets).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+__all__ = ["expand_table_functions", "TABLE_FUNCTIONS"]
+
+TABLE_FUNCTIONS = (
+    "databases",
+    "schemas",
+    "tables",
+    "columns",
+    "views",
+    "types",
+    "constraints",
+    "extensions",
+    "secrets",
+)
+
+_CALL_RE = re.compile(
+    r"\bduckdb_(" + "|".join(TABLE_FUNCTIONS) + r")\s*\(\s*\)",
+    re.IGNORECASE,
+)
+
+_EMPTY_SCHEMAS = {
+    "types": (
+        "database_name string, schema_name string, type_name string, "
+        "logical_type string, internal boolean"
+    ),
+    "constraints": (
+        "database_name string, schema_name string, table_name string, "
+        "constraint_type string, constraint_column_names array<string>"
+    ),
+    "extensions": (
+        "extension_name string, description string, loaded boolean, "
+        "installed boolean"
+    ),
+    "secrets": "name string, type string, provider string, scope string",
+}
+
+
+def expand_table_functions(spark: SparkSession, sql: str) -> tuple[str, bool]:
+    """Replace ``duckdb_<fn>()`` calls with freshly materialized
+    ``__duckdb_<fn>`` temp views.  Returns (rewritten_sql, used) —
+    ``used`` tells the caller to skip the analyzed-plan cache (the
+    views are per-call snapshots)."""
+    names = {m.group(1).lower() for m in _CALL_RE.finditer(sql)}
+    if not names:
+        return sql, False
+    for name in names:
+        _materialize(spark, name)
+    return (
+        _CALL_RE.sub(lambda m: f"__duckdb_{m.group(1).lower()}", sql),
+        True,
+    )
+
+
+def _materialize(spark: SparkSession, name: str) -> None:
+    if name in _EMPTY_SCHEMAS:
+        spark.createDataFrame(
+            [], _EMPTY_SCHEMAS[name]
+        ).createOrReplaceTempView(f"__duckdb_{name}")
+        return
+    from .introspect import get_schema
+
+    tree = get_schema(spark)
+    rows: list[tuple] = []
+    if name == "databases":
+        rows = [(d.name, False) for d in tree.databases]
+        schema = "database_name string, internal boolean"
+    elif name == "schemas":
+        rows = [
+            (d.name, s.name, False)
+            for d in tree.databases
+            for s in d.schemas
+        ]
+        schema = "database_name string, schema_name string, internal boolean"
+    elif name == "tables":
+        rows = [
+            (
+                d.name,
+                s.name,
+                t.name,
+                False,
+                t.is_temporary,
+                t.comment or None,
+                len(t.columns),
+            )
+            for d in tree.databases
+            for s in d.schemas
+            for t in s.tables
+        ]
+        schema = (
+            "database_name string, schema_name string, table_name string, "
+            "internal boolean, temporary boolean, comment string, "
+            "column_count int"
+        )
+    elif name == "views":
+        rows = [
+            (d.name, s.name, v.name, False, v.definition, v.comment or None)
+            for d in tree.databases
+            for s in d.schemas
+            for v in s.views
+        ]
+        schema = (
+            "database_name string, schema_name string, view_name string, "
+            "internal boolean, sql string, comment string"
+        )
+    elif name == "columns":
+        rows = [
+            (
+                d.name,
+                s.name,
+                t.name,
+                c.name,
+                i,
+                False,
+                c.type,
+                c.nullable,
+                c.default,
+                c.comment or None,
+            )
+            for d in tree.databases
+            for s in d.schemas
+            for t in s.tables
+            for i, c in enumerate(t.columns, start=1)
+        ]
+        schema = (
+            "database_name string, schema_name string, table_name string, "
+            "column_name string, column_index int, internal boolean, "
+            "data_type string, is_nullable boolean, column_default string, "
+            "comment string"
+        )
+    else:  # pragma: no cover — regex restricts names
+        raise ValueError(f"unknown duckdb table function {name!r}")
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        f"__duckdb_{name}"
+    )

@@ -431,7 +431,13 @@ def run_init_sql(
 
     substituted = _GETENV_RE.sub(lambda m: env_literal(m.group(1)), init_sql)
     substituted = _ENVVAR_RE.sub(lambda m: env_literal(m.group(1))[1:-1], substituted)
+    ran_any = False
     for statement in sqltool.split_sql_queries(sqltool.strip_sql_comments(substituted)):
         statement = statement.strip()
         if statement:
             spark.sql(rewrite_statement(statement).sql)
+            ran_any = True
+    if ran_any:
+        from .plancache import bump
+
+        bump()  # init SQL is DDL by nature: flush memoized plans

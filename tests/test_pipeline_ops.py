@@ -339,6 +339,44 @@ class TestTrainingCorpusStages:
         # decontamination can only shrink the train side
         assert 0 <= out["4_decontaminated"] <= out["3_train_split"]
 
+    def test_funnel_matches_explicit_operator_chain(self, spark):
+        """The narrow-id funnel must produce the exact counts of
+        chaining the §2C operators one by one (the docstring's claim)."""
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators.decontam import ngram_decontaminate
+        from shaper_spark.operators.dedup import dedup_exact_normalized
+        from shaper_spark.operators.pipeline import training_corpus_stages
+        from shaper_spark.operators.sampling import hash_split
+        from shaper_spark.operators.text import gopher_quality_filter
+
+        df = spark.table("documents").limit(400)
+        out = {
+            r["stage"]: r["n_docs"]
+            for r in training_corpus_stages(df).collect()
+        }
+        s1 = dedup_exact_normalized(df, "text", "doc_id")
+        keep = (
+            gopher_quality_filter(s1, "doc_id", "text")
+            .filter(F.col("keep"))
+            .select(F.col("id").alias("doc_id"))
+        )
+        s2 = s1.join(keep, "doc_id", "left_semi")
+        sp = hash_split(s2, "doc_id", {"train": 0.9, "test": 0.1})
+        train = sp.filter(F.col("split") == "train")
+        test = sp.filter(F.col("split") == "test")
+        contaminated = ngram_decontaminate(
+            test, train, "doc_id", "text", n=8
+        ).select(F.col("eval_id").alias("doc_id"))
+        s4 = train.join(contaminated, "doc_id", "left_anti")
+        assert out == {
+            "0_raw": df.count(),
+            "1_normalized_dedup": s1.count(),
+            "2_quality": s2.count(),
+            "3_train_split": train.count(),
+            "4_decontaminated": s4.count(),
+        }
+
 
 class TestDecontamPresplit:
     def test_identical_to_two_frame_form(self, spark):

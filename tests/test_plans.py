@@ -387,25 +387,36 @@ class TestRound4OperatorPlans:
         assert "Window" not in plan  # min-by aggregate, not a window
 
     def test_pipeline_funnel_no_cartesian(self, spark):
-        from shaper_spark.operators.pipeline import training_corpus_stages
+        from shaper_spark.operators.pipeline import _funnel_lazy
 
-        plan = _executed(training_corpus_stages(spark.table("documents")))
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        lazy, persisted = _funnel_lazy(
+            spark.table("documents"), "doc_id", "text"
+        )
+        try:
+            plan = _executed(lazy)
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+        finally:
+            for p in persisted:
+                p.unpersist()
 
     def test_heavy_hitters_candidate_join_broadcasts(self, spark):
         from pyspark.sql import functions as F
 
-        from shaper_spark.operators.sketches import exact_heavy_hitters
+        from shaper_spark.operators.sketches import _heavy_hitters_lazy
 
         toks = spark.table("documents").select(
             F.explode(F.split(F.col("text"), " ")).alias("tok")
         )
-        plan = _executed(
-            exact_heavy_hitters(toks, "tok", min_frac=0.01, sketch_k=128)
+        exact, src = _heavy_hitters_lazy(
+            toks, "tok", min_frac=0.01, sketch_k=128
         )
-        assert "BroadcastExchange" in plan  # candidate side broadcasts
-        assert "CartesianProduct" not in plan
+        try:
+            plan = _executed(exact)
+            assert "BroadcastExchange" in plan  # candidate side broadcasts
+            assert "CartesianProduct" not in plan
+        finally:
+            src.unpersist()
 
 
 class TestRound5OperatorPlans:

@@ -1,0 +1,95 @@
+"""SQL-callable duckdb_*() catalog table functions — the reference's
+schema queries (server/core/duckdb_schema.go:21-287) run verbatim
+through the engine."""
+
+from shaper_spark.engine import _run_query, _VarState
+
+
+def _q(spark, sql):
+    cols, rows = _run_query(spark, sql, _VarState(), {}, 3000)
+    return [c.name for c in cols], rows
+
+
+class TestDuckdbTableFunctions:
+    def test_databases_shape(self, spark):
+        cols, rows = _q(
+            spark,
+            "SELECT database_name FROM duckdb_databases() "
+            "WHERE NOT internal ORDER BY database_name",
+        )
+        assert cols == ["database_name"]
+        assert [r[0] for r in rows] == [spark.catalog.currentCatalog()]
+
+    def test_schemas_filtered_like_reference(self, spark):
+        cols, rows = _q(
+            spark,
+            "SELECT schema_name FROM duckdb_schemas() "
+            "WHERE schema_name NOT IN ('information_schema', 'pg_catalog') "
+            "ORDER BY schema_name",
+        )
+        names = [r[0] for r in rows]
+        assert spark.catalog.currentDatabase() in names
+
+    def test_tables_lists_registered_views(self, spark):
+        spark.range(3).createOrReplaceTempView("tf_probe")
+        cols, rows = _q(
+            spark,
+            "SELECT table_name FROM duckdb_tables() "
+            "WHERE NOT internal ORDER BY table_name",
+        )
+        assert "tf_probe" in [r[0] for r in rows]
+
+    def test_columns_match_reference_projection(self, spark):
+        spark.sql(
+            "SELECT CAST(1 AS INT) AS a, CAST('x' AS STRING) AS b"
+        ).createOrReplaceTempView("tf_cols")
+        cols, rows = _q(
+            spark,
+            "SELECT column_name, data_type, is_nullable, column_default "
+            "FROM duckdb_columns() WHERE table_name = 'tf_cols' "
+            "ORDER BY column_index",
+        )
+        assert cols == [
+            "column_name",
+            "data_type",
+            "is_nullable",
+            "column_default",
+        ]
+        assert [r[0] for r in rows] == ["a", "b"]
+        assert rows[0][1].lower() in ("int", "integer")
+
+    def test_snapshot_is_fresh_per_call(self, spark):
+        sql = (
+            "SELECT count(*) AS n FROM duckdb_tables() "
+            "WHERE table_name = 'tf_fresh'"
+        )
+        _, rows = _q(spark, sql)
+        assert rows[0][0] == 0
+        spark.range(1).createOrReplaceTempView("tf_fresh")
+        _, rows = _q(spark, sql)
+        assert rows[0][0] == 1
+        spark.catalog.dropTempView("tf_fresh")
+        _, rows = _q(spark, sql)
+        assert rows[0][0] == 0
+
+    def test_empty_but_shaped_families(self, spark):
+        for fn, col in [
+            ("duckdb_extensions()", "extension_name"),
+            ("duckdb_secrets()", "name"),
+            ("duckdb_types()", "type_name"),
+            ("duckdb_constraints()", "constraint_type"),
+        ]:
+            cols, rows = _q(spark, f"SELECT {col} FROM {fn}")
+            assert cols == [col]
+            assert rows == []
+
+    def test_reference_loaded_installed_predicate_runs(self, spark):
+        # the exact extension query the reference issues
+        _, rows = _q(
+            spark,
+            "SELECT extension_name, description FROM duckdb_extensions() "
+            "WHERE loaded AND installed AND extension_name NOT IN "
+            "('autocomplete', 'core_functions', 'icu', 'jemalloc', "
+            "'json', 'parquet') ORDER BY extension_name",
+        )
+        assert rows == []
