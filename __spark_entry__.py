@@ -70,45 +70,6 @@ def _dialect(text: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
-_PLAN_MEMO: dict = {}
-
-
-def _lazy(fn: Callable[[SparkSession, str], DataFrame]):
-    """Memoize a PURE-LAZY builder's resolved DataFrame per
-    (builder, session, sf_dir, catalog generation) — the DataFrame-API
-    counterpart of the engine's analyzed-plan cache (_sql/_dialect):
-    a long-lived server constructs the operator plan once and re-runs
-    it per request.  Execution still runs fully on every collect.
-
-    ONLY apply to builders whose whole call path is lazy: no persist
-    (a cached persisted frame would let later collects read cached
-    blocks instead of recomputing), no checkpoint, no driver-side
-    collect (that work would be skipped on reuse).  The plancache
-    generation in the key invalidates memos whenever any mutation path
-    bump()s the engine cache."""
-
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from shaper_spark import plancache
-
-        key = (
-            fn.__name__,
-            id(spark),
-            sf_dir,
-            plancache.stats()["generation"],
-        )
-        df = _PLAN_MEMO.get(key)
-        if df is None:
-            df = fn(spark, sf_dir)
-            if len(_PLAN_MEMO) > 256:
-                _PLAN_MEMO.clear()
-            _PLAN_MEMO[key] = df
-        return df
-
-    run.__name__ = fn.__name__
-    run.__doc__ = fn.__doc__
-    return run
-
-
 # ---------------------------------------------------------------------------
 # Core SQL surface (same text runs on Spark and DuckDB unless split below)
 # ---------------------------------------------------------------------------
@@ -2053,24 +2014,16 @@ def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark, sf_dir)
     docs = spark.table("documents")
-    st = duplicated_span_stats(docs, "doc_id", "text", k=8)
-    return (
-        st.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
-        .groupBy("source")
-        .agg(
-            F.sum("n_grams").alias("total_grams"),
-            F.sum("n_dup_grams").alias("dup_grams"),
-        )
-        .select(
-            "source",
-            "total_grams",
-            "dup_grams",
-            F.round(
-                F.col("dup_grams").cast("double") / F.col("total_grams"), 6
-            ).alias("dup_frac"),
-        )
-        .orderBy("source")
-    )
+    # by="source": the rollup dimension rides the gram projection, so
+    # the per-source report needs no per-doc intermediate and no join
+    # back to the corpus (cross-doc dup judgement is unchanged)
+    st = duplicated_span_stats(docs, "doc_id", "text", k=8, by="source")
+    return st.select(
+        "source",
+        F.col("n_grams").alias("total_grams"),
+        F.col("n_dup_grams").alias("dup_grams"),
+        "dup_frac",
+    ).orderBy("source")
 
 
 DUP_SPANS_DUCK = """
@@ -2742,7 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
-        "dup_span_stats": _lazy(_q_dup_spans),
+        "dup_span_stats": _q_dup_spans,
         "hll_distinct_users": _q_hll_users,
         "doc_lm_scores": _q_lm_scores,
         "shard_assign_counts": _q_shard_counts,
@@ -2751,7 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_normalized": _q_dedup_normalized,
         "zipf_slope": _q_zipf_slope,
-        "remove_dup_spans": _lazy(_q_remove_dup_spans),
+        "remove_dup_spans": _q_remove_dup_spans,
         "embedding_centroid_sim": _q_centroid_sim,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "pipeline_stage_counts": _q_pipeline_stages,
@@ -2785,7 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": _q_doc_split,
         "text_repetition": _q_repetition,
         "pii_scrub_customers": _q_pii_scrub,
-        "decontam_ngrams": _lazy(_q_decontam),
+        "decontam_ngrams": _q_decontam,
         "dedup_clusters": _q_dedup_clusters,
         "source_mix_weights": _q_source_mix,
         "doc_length_histogram": _q_length_histogram,

@@ -16,9 +16,20 @@ Out-of-scope reference tables (users/sessions/invites/api_keys/folders
 dashboards and tasks exactly as the reference does (``apps.type``).
 
 Scale note: metadata is driver-local and tiny (thousands of rows); the
-100 TB concern is the warehouse data, never this store. Multi-instance
-deployments would replace this module with the same event log on a
-shared bus — the handler layer is already shaped for that.
+100 TB concern is the warehouse data, never this store.
+
+Multi-host deployment: point every instance's ``db_path`` at ONE file
+on shared storage — ``try_claim``'s INSERT OR IGNORE rides SQLite's own
+file locking (WAL + busy_timeout pragmas below), so the first-write-wins
+dedupe holds across PROCESSES and HOSTS, not just threads
+(tests/test_multihost_dispatch.py races 6 OS processes over one file and
+asserts exactly one winner per run key — the same semantics as the
+reference's NATS MsgID dedupe, schedule_task.go:215-237). Caveats: WAL
+requires a coherent shared filesystem (local disk, EBS-style block
+storage, or one host exporting the path); classic NFS breaks SQLite
+locking — put the file on a real shared DB host there, or swap this
+module for the same event log on a shared bus (the handler layer is
+already shaped for that).
 """
 
 from __future__ import annotations

@@ -33,20 +33,30 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["duplicated_span_stats", "remove_duplicated_spans"]
 
 
-def _positional_grams(df: DataFrame, id_col: str, text_col: str, k: int):
-    """(id, i, h): md5 hash of the k-gram starting at 1-based token
-    position i, for every document with ≥ k tokens. Window-free
-    construction: explode a start-index ``sequence`` and ``slice`` the
-    token array (codegen'd built-ins, no per-doc sort, no window
-    shuffle; measured ~1.7× faster at sf0.1 than a lead-chain window
-    for this single-use positional stream). Shared by the stats and
-    removal operators so gram semantics cannot drift between them."""
+def _positional_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    extra_cols: tuple[str, ...] = (),
+):
+    """(id, [extras...], i, h): md5 hash of the k-gram starting at
+    1-based token position i, for every document with ≥ k tokens.
+    Window-free construction: explode a start-index ``sequence`` and
+    ``slice`` the token array (codegen'd built-ins, no per-doc sort, no
+    window shuffle; measured ~1.7× faster at sf0.1 than a lead-chain
+    window for this single-use positional stream). ``extra_cols`` ride
+    the projection for free (same source row, pre-explode) so rollup
+    dimensions never need a join back to the corpus. Shared by the
+    stats and removal operators so gram semantics cannot drift between
+    them."""
     from ..session import spread_for_compute
 
     arr = (
         spread_for_compute(df)
         .select(
             F.col(id_col).alias("id"),
+            *[F.col(c) for c in extra_cols],
             F.split(F.col(text_col), " ").alias("__ws"),
         )
         # sequence(1, 0) counts DOWN ([1, 0]), not empty — docs shorter
@@ -56,10 +66,12 @@ def _positional_grams(df: DataFrame, id_col: str, text_col: str, k: int):
     n = F.size("__ws")
     return arr.select(
         "id",
+        *extra_cols,
         F.explode(F.sequence(F.lit(1), n - (k - 1))).alias("i"),
         "__ws",
     ).select(
         "id",
+        *extra_cols,
         "i",
         F.md5(F.concat_ws(" ", F.slice("__ws", F.col("i"), k))).alias("h"),
     )
@@ -68,7 +80,11 @@ def _positional_grams(df: DataFrame, id_col: str, text_col: str, k: int):
 
 
 def duplicated_span_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    by: str | None = None,
 ) -> DataFrame:
     """Per document: total k-gram positions, positions whose k-gram
     appears in ≥1 other document, and the duplicated fraction.
@@ -76,8 +92,18 @@ def duplicated_span_stats(
     Returns (id, n_grams, n_dup_grams, dup_frac) — one row per document
     that has at least one k-gram (docs shorter than k words drop out,
     matching the oracle). ``dup_frac`` is rounded to 6 dp so the value
-    replays bit-identically in any engine."""
-    grams = _positional_grams(df, id_col, text_col, k).select("id", "h")
+    replays bit-identically in any engine.
+
+    ``by`` rolls up per that column instead of per document (the
+    corpus/source-level dup-rate report Lee et al. pipelines emit):
+    duplication is still judged ACROSS DOCUMENTS (min/max of the doc
+    id), only the final rollup key changes — and the dimension rides
+    the gram projection, so no join back to the corpus."""
+    key = by or "id"
+    keep = ["id"] + ([by] if by else [])
+    grams = _positional_grams(
+        df, id_col, text_col, k, extra_cols=(by,) if by else ()
+    ).select(*keep, "h")
     # TWO corpus shuffles, zero windows: "gram h occurs in >1 document"
     # is exactly min(id) != max(id) over its occurrences, so the dup
     # flag comes from ONE groupBy(h) with min/max aggregates — map-side
@@ -97,13 +123,13 @@ def duplicated_span_stats(
         .select("h", F.lit(True).alias("__dup"))
     )
     flagged = grams.join(dup_set, "h", "left")
-    return flagged.groupBy("id").agg(
+    return flagged.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(
             F.when(F.col("__dup"), F.lit(1)).otherwise(F.lit(0))
         ).alias("n_dup_grams"),
     ).select(
-        "id",
+        key,
         "n_grams",
         "n_dup_grams",
         F.round(

@@ -294,6 +294,7 @@ def curriculum_phases(
     n_phases: int = 4,
     seed: str = "curriculum",
     rank_partitions: int | None = None,
+    cache: bool = False,
 ) -> DataFrame:
     """Curriculum-learning phase assignment: rank documents by a
     difficulty score (easy → hard) and cut the ranking into
@@ -339,13 +340,20 @@ def curriculum_phases(
     ).withColumn("__pid", F.spark_partition_id())
     # Persist so the partition-count pass and the ranking pass see the
     # SAME physical partitioning (range boundaries come from sampling).
-    # Persist so the count pass and the ranking pass see the same
-    # physical partitioning (range boundaries come from sampling; they
-    # ARE deterministic for a deterministic source, so the persist is a
-    # recompute-saver, not a correctness requirement — at extreme scale
-    # callers may pass rank_partitions and skip caching pressure since
-    # MEMORY_AND_DISK spills rather than OOMs).
-    ranged = ranged.persist()
+    # Default is NO persist: the count pass and the ranking pass
+    # recompute the same range shuffle, and RangePartitioner's
+    # reservoir sampling is seeded per partition index (byteswap32), so
+    # both passes see IDENTICAL boundaries and partition ids for a
+    # deterministic source (verified empirically: two jobs over the
+    # same repartitionByRange agree on every (row, pid) assignment).
+    # ``cache=True`` persists the ranged frame instead — correct when
+    # the upstream lineage is expensive (an LM-scoring pipeline) or
+    # nondeterministic, but the CALLER owns the release (the returned
+    # frame reads the cache; unpersist via spark.catalog.clearCache()
+    # or by persisting upstream yourself) — the leak class the r4
+    # advice flagged is why it is opt-in.
+    if cache:
+        ranged = ranged.persist()
     counts = {
         r["__pid"]: r["c"]
         for r in ranged.groupBy("__pid")
