@@ -105,9 +105,17 @@ def dedup_exact(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def shingle_tokens(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle).
+    """Distinct k-word shingles per document: (id, [extras...], shingle).
+
+    ``extra_cols`` (columns functionally dependent on the document id,
+    e.g. a split label) ride the projection for free — same source row,
+    pre-explode — so consumers never join back to the corpus for them.
 
     posexplode(split) + window lead(k−1) — every operator here is
     codegen'd or natively vectorized. Two alternatives were measured
@@ -135,11 +143,13 @@ def shingle_tokens(
 
     from ..session import spread_for_compute
 
+    extras = list(extra_cols)
     if k >= 5:
         arr = (
             spread_for_compute(df)
             .select(
                 F.col(id_col).alias("id"),
+                *[F.col(c) for c in extras],
                 F.split(F.col(text_col), " ").alias("__ws"),
             )
             .filter(F.size("__ws") >= k)
@@ -148,11 +158,13 @@ def shingle_tokens(
         return (
             arr.select(
                 "id",
+                *extras,
                 F.explode(F.sequence(F.lit(1), n - (k - 1))).alias("__i"),
                 "__ws",
             )
             .select(
                 "id",
+                *extras,
                 F.concat_ws(
                     " ", F.slice("__ws", F.col("__i"), k)
                 ).alias("shingle"),
@@ -163,6 +175,7 @@ def shingle_tokens(
 
     toks = spread_for_compute(df).select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extras],
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     )
     w = Window.partitionBy("id").orderBy("pos")
@@ -170,9 +183,11 @@ def shingle_tokens(
     last = parts[-1]
     shingle = F.concat_ws(" ", *parts)
     return (
-        toks.select("id", last.alias("__last"), shingle.alias("shingle"))
+        toks.select(
+            "id", *extras, last.alias("__last"), shingle.alias("shingle")
+        )
         .filter(F.col("__last").isNotNull() & (F.length("shingle") > 0))
-        .select("id", "shingle")
+        .select("id", *extras, "shingle")
         .distinct()
     )
 
