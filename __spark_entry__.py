@@ -2653,6 +2653,78 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization quality per label
+    (shaper_spark/operators/quantize.py quantization_report): symmetric
+    per-vector scalar quantization — the 100 TB vector-store memory
+    lever — with exact-integer fidelity stats so the oracle compares
+    bit-for-bit. No reference counterpart; §2C."""
+    from shaper_spark.operators.quantize import quantization_report
+
+    _prep(spark, sf_dir)
+    return quantization_report(spark.table("embeddings"), "embedding", "label")
+
+
+QUANT_REPORT_DUCK = """
+WITH s AS (
+  SELECT CAST(label AS VARCHAR) AS label,
+         list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+),
+q AS (
+  SELECT label, scale,
+         CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                     x -> CAST(floor(x / scale + 0.5) AS BIGINT)) END AS qv
+  FROM s
+),
+per AS (
+  SELECT label, scale,
+         list_aggregate(list_transform(qv, a -> abs(a)), 'sum') AS l1,
+         list_aggregate(list_transform(qv, a -> a * a), 'sum') AS sq,
+         len(list_filter(qv, a -> abs(a) = 127)) AS sat
+  FROM q
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(l1) AS BIGINT) AS sum_q_l1,
+       CAST(sum(sq) AS BIGINT) AS sum_q_sq,
+       CAST(sum(sat) AS BIGINT) AS n_saturated,
+       round(avg(scale), 6) AS avg_scale
+FROM per GROUP BY label ORDER BY label
+"""
+
+
+def _q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic uniform sample of 100 documents
+    (shaper_spark/operators/sampling.py uniform_sample_exact): md5
+    hash-order top-k — stable across runs/engines/cluster sizes, unlike
+    Bernoulli df.sample. Planned as TakeOrderedAndProject (no global
+    sort). No reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.sampling import uniform_sample_exact
+
+    _prep(spark, sf_dir)
+    return (
+        uniform_sample_exact(spark.table("documents"), "doc_id", 100)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+UNIFORM_SAMPLE_DUCK = """
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars,
+         ('0x' || substr(md5('usample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+win AS (SELECT * FROM h ORDER BY u ASC, doc_id ASC LIMIT 100)
+SELECT doc_id, lang, source, n_chars FROM win ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2691,7 +2763,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green the r4 verdict asked to wait for) for the two new BPE entries
     (``bpe_pair_counts``, hash-checked; ``bpe_merges``, rows-only by
     design — the merge loop is driver-local over the bounded word-freq
-    table and pytest-pinned)."""
+    table and pytest-pinned), and ``recursive_series`` (the
+    recursive-CTE family keeps ``cte_share_pct``) plus
+    ``embedding_pairs_exact`` (the embedding family keeps top1/neardup/
+    lsh/ivf) — both green r03+r04 — out for the two new round-5
+    operators ``quant_report`` (int8 embedding quantization,
+    exact-integer stats) and ``uniform_sample_docs`` (deterministic
+    hash-order uniform sampling)."""
     return {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -2718,11 +2796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": _q_text_winnow,
         "embedding_top1": _q_embedding_top1,
         "embedding_neardup": _q_embedding_neardup,
-        "embedding_pairs_exact": _q_embedding_pairs_exact,
+        "quant_report": _q_quant_report,
         "similarity_lsh_topk": _q_lsh_topk,
         "bpe_pair_counts": _q_bpe_pairs,
         "pack_sequences_budget": _q_pack_sequences,
-        "recursive_series": _sql(RECURSIVE_SERIES),
+        "uniform_sample_docs": _q_uniform_sample,
         "weighted_sample_docs": _q_weighted_sample,
         "tfidf_top_terms": _q_tfidf,
         "chunk_docs_sliding": _q_chunk_docs,
@@ -2748,6 +2826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # here has passed the official gate in a prior round (r02/r03) --
         "summarize_table": _q_summarize,
         "attach_federation": _q_attach_federation,
+        "recursive_series": _sql(RECURSIVE_SERIES),
+        "embedding_pairs_exact": _q_embedding_pairs_exact,
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
         "grouping_sets_revenue": _sql(GROUPING_SETS_REVENUE),
         "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
@@ -2886,4 +2966,6 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_scores": BIGRAM_LM_DUCK,
         "curriculum_phases": CURRICULUM_DUCK,
         "bpe_pair_counts": BPE_PAIRS_DUCK,
+        "quant_report": QUANT_REPORT_DUCK,
+        "uniform_sample_docs": UNIFORM_SAMPLE_DUCK,
     }

@@ -51,6 +51,10 @@ EXTRAS = [
     "pipeline_stage_counts",
     "bigram_lm_scores",
     "curriculum_phases",
+    # round 5
+    "bpe_pair_counts",
+    "quant_report",
+    "uniform_sample_docs",
 ]
 
 HEADLINE = [

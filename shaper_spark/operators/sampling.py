@@ -27,6 +27,7 @@ __all__ = [
     "write_training_shards",
     "token_budget_allocation",
     "curriculum_phases",
+    "uniform_sample_exact",
 ]
 
 
@@ -396,6 +397,28 @@ def curriculum_phases(
         ranged.join(off_df, "__pid")
         .select("id", "score", rank, "order_key")
         .select("id", "score", phase.alias("phase"), "order_key")
+    )
+
+
+def uniform_sample_exact(
+    df: DataFrame, id_col: str, k: int, seed: str = "usample"
+) -> DataFrame:
+    """Exactly ``min(k, n)`` rows chosen uniformly and DETERMINISTICALLY:
+    rank every row by md5-hash order (ties broken by id) and keep the
+    first k — the distributed replacement for reservoir sampling when
+    the sample must be stable across runs, engines, and cluster sizes
+    (``df.sample`` is Bernoulli: approximate counts, partitioning-
+    dependent). Spark plans ``orderBy + limit`` as
+    TakeOrderedAndProject: per-partition top-k then a k-bounded merge —
+    no global sort, no single-partition collapse."""
+    if k <= 0:
+        raise ValueError("uniform_sample_exact: k must be > 0")
+    u = _hash_unit(F.col(id_col), seed)
+    return (
+        df.withColumn("__u", u)
+        .orderBy(F.col("__u").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__u")
     )
 
 

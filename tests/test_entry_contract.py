@@ -31,8 +31,11 @@ def test_prefix_50_covers_the_diverse_surface():
         "multimodal_meta", "multimodal_audio", "similarity_ivf_topk",
         # (attach_federation/summarize_table earned their second green
         # round in r04 and rotated out in round 5 for the two BPE
-        # entries — the deferred rotation the r4 verdict asked for)
+        # entries — the deferred rotation the r4 verdict asked for;
+        # recursive_series/embedding_pairs_exact, also 2x green,
+        # rotated out for the round-5 operators below)
         "bpe_pair_counts", "bpe_merges",
+        "quant_report", "uniform_sample_docs",
         # (show_tables/asof_last_click/salted_agg_lineitem/
         # session_window_agg earned 2 green rounds by r03 and rotated
         # out mid-round-4 for the new operators, per the README policy)
