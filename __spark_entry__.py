@@ -1651,6 +1651,69 @@ GROUP BY lab.b ORDER BY component
 """
 
 
+def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal applied to the corpus
+    (shaper_spark/operators/graph.py apply_dedup): jaccard pairs →
+    connected components → keep-lowest-id survivors, reported per
+    source. The action step that closes the dedup loop; oracle replays
+    the closure with the same recursive CTE as ``dedup_clusters``."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.dedup import jaccard_pairs
+    from shaper_spark.operators.graph import apply_dedup
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return (
+        apply_dedup(docs, pairs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+DEDUP_APPLY_DUCK = """
+WITH RECURSIVE
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE inter * 1.0 / (ca.c + cb.c - inter) >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION SELECT id_b, id_a FROM edges
+  UNION SELECT id_a, id_a FROM edges
+  UNION SELECT id_b, id_b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+lab AS (SELECT a, min(b) AS comp FROM reach GROUP BY a),
+dropped AS (SELECT a FROM lab WHERE a <> comp)
+SELECT source, count(*) AS n_docs
+FROM documents WHERE doc_id NOT IN (SELECT a FROM dropped)
+GROUP BY source ORDER BY source
+"""
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional sampling without replacement
     (shaper_spark/operators/sampling.py weighted_sample): the
@@ -2769,7 +2832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh/ivf) — both green r03+r04 — out for the two new round-5
     operators ``quant_report`` (int8 embedding quantization,
     exact-integer stats) and ``uniform_sample_docs`` (deterministic
-    hash-order uniform sampling)."""
+    hash-order uniform sampling); ``text_fingerprint`` (green r03+r04;
+    ``text_winnow`` keeps the fingerprint family in the prefix) out for
+    ``dedup_apply_counts`` (the near-dup removal action step)."""
     return {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -2792,7 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
-        "text_fingerprint": _q_fingerprint,
+        "dedup_apply_counts": _q_dedup_apply,
         "text_winnow": _q_text_winnow,
         "embedding_top1": _q_embedding_top1,
         "embedding_neardup": _q_embedding_neardup,
@@ -2828,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attach_federation": _q_attach_federation,
         "recursive_series": _sql(RECURSIVE_SERIES),
         "embedding_pairs_exact": _q_embedding_pairs_exact,
+        "text_fingerprint": _q_fingerprint,
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
         "grouping_sets_revenue": _sql(GROUPING_SETS_REVENUE),
         "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
@@ -2968,4 +3034,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": BPE_PAIRS_DUCK,
         "quant_report": QUANT_REPORT_DUCK,
         "uniform_sample_docs": UNIFORM_SAMPLE_DUCK,
+        "dedup_apply_counts": DEDUP_APPLY_DUCK,
     }

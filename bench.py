@@ -55,6 +55,7 @@ EXTRAS = [
     "bpe_pair_counts",
     "quant_report",
     "uniform_sample_docs",
+    "dedup_apply_counts",
 ]
 
 HEADLINE = [

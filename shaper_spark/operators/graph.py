@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "apply_dedup"]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -112,3 +112,29 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("keep_id"),
     )
+
+
+def apply_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The ACTION step that closes the near-dup loop: candidate pairs →
+    connected components → the CLEANED CORPUS. Keeps every document
+    that is not a non-canonical member of a duplicate cluster
+    (keep-lowest-id rule — the same canonical ``dedup_clusters``
+    reports). Documents that appear in no pair pass through untouched.
+
+    Spark shape: the drop set is ``component ≠ node`` rows of the
+    O(log² n) large-star/small-star labeling (bounded by documents that
+    occur in ANY candidate pair, not the corpus), removed with one
+    anti-join on the id — broadcast when the drop set is small, keyed
+    shuffle otherwise."""
+    drop = (
+        connected_components(pairs, id_a, id_b)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -35,7 +35,7 @@ def test_prefix_50_covers_the_diverse_surface():
         # recursive_series/embedding_pairs_exact, also 2x green,
         # rotated out for the round-5 operators below)
         "bpe_pair_counts", "bpe_merges",
-        "quant_report", "uniform_sample_docs",
+        "quant_report", "uniform_sample_docs", "dedup_apply_counts",
         # (show_tables/asof_last_click/salted_agg_lineitem/
         # session_window_agg earned 2 green rounds by r03 and rotated
         # out mid-round-4 for the new operators, per the README policy)
@@ -55,7 +55,7 @@ def test_prefix_50_covers_the_diverse_surface():
         # core families (q1 earned 3 green rounds and rotated out
         # for pipeline_stage_counts)
         "q5_region_revenue", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "embedding_top1", "embedding_neardup", "text_quality", "text_winnow",
+        "embedding_top1", "embedding_neardup", "text_quality", "text_winnow",  # fingerprint rotated out r5; winnow keeps the family
     }
     missing = must_have - set(keys)
     assert not missing, f"prefix-50 lost entries: {missing}"

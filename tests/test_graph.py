@@ -83,3 +83,40 @@ def test_output_has_each_node_once(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 4)], ["src", "dst"])
     out = connected_components(df)
     assert out.groupBy("node").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_apply_dedup_keeps_canonicals_and_untouched(spark):
+    from shaper_spark.operators.graph import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 11)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in apply_dedup(docs, pairs, "doc_id").collect()
+    )
+    # clusters {1,2,3} -> keep 1; {7,9} -> keep 7; everyone else untouched
+    assert kept == [1, 4, 5, 6, 7, 8, 10]
+
+
+def test_apply_dedup_agrees_with_cluster_keep_ids(spark):
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.dedup import jaccard_pairs
+    from shaper_spark.operators.graph import apply_dedup, dedup_clusters
+
+    docs = spark.table("documents").limit(300)
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    kept = {r["doc_id"] for r in apply_dedup(docs, pairs, "doc_id").collect()}
+    clusters = dedup_clusters(pairs).collect()
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    in_cluster = {
+        r["node"]
+        for r in __import__(
+            "shaper_spark.operators.graph", fromlist=["connected_components"]
+        ).connected_components(pairs, "id_a", "id_b").collect()
+    }
+    expected = (all_ids - in_cluster) | {r["keep_id"] for r in clusters}
+    assert kept == expected
