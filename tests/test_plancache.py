@@ -113,3 +113,30 @@ class TestEngineIntegration:
         _, rows = _run_query(spark, sel, _vars(), {}, 100)
         assert rows[0][0] == 9
         spark.sql("DROP TABLE pc_dml")
+
+
+class TestConcurrency:
+    def test_threaded_dashboard_renders_share_the_cache(self, spark):
+        import threading
+
+        sql = "SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1"
+        plancache.bump()
+        results, errors = [], []
+
+        def render():
+            try:
+                _, rows = _run_query(spark, sql, _vars(), {}, 100)
+                results.append(sorted(tuple(r) for r in rows))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=render) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len({str(r) for r in results}) == 1  # all identical
+        st = plancache.stats()
+        assert st["size"] >= 1
+        assert st["hits"] + st["misses"] >= 8
