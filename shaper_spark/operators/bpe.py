@@ -24,7 +24,7 @@ from collections import Counter
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["learn_bpe", "bpe_encode", "bpe_pair_frequencies"]
+__all__ = ["learn_bpe", "bpe_encode", "bpe_encode_corpus", "bpe_pair_frequencies"]
 
 _EOW = "</w>"
 
@@ -133,6 +133,71 @@ def learn_bpe(
             new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
         vocab = new_vocab
     return merges
+
+
+def bpe_encode_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned merge list to the WHOLE corpus — the tokenize
+    step that feeds token-count-driven operators (sequence packing,
+    UniMax budgets, token-level dedup). Returns
+    (id, n_words, n_tokens, tokens_per_word) per document.
+
+    Spark shape: the merge list broadcasts inside the ``mapInPandas``
+    closure (tokenizers are KBs; the corpus never moves for it); each
+    Arrow batch encodes every DISTINCT word once through a per-batch
+    memo dict — Zipf's law makes the word working set per batch tiny
+    relative to the token stream, so the Python cost is per distinct
+    word, not per token. No shuffle at all: tokenization is a map.
+
+    Greedy in merge order, matching ``bpe_encode`` exactly
+    (pytest-pinned); documents are never materialized as token arrays
+    here — emit counts, and compose with ``chunking``/``packing`` when
+    sequences are needed."""
+    out_schema = f"{id_col} long, n_words long, n_tokens long"
+    merges_local = list(merges)
+
+    def batches(it):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def n_toks(word: str) -> int:
+            got = memo.get(word)
+            if got is None:
+                got = len(bpe_encode(word, merges_local))
+                memo[word] = got
+            return got
+
+        for pdf in it:
+            ids, nw, nt = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in text.split(" ") if w]
+                ids.append(i)
+                nw.append(len(words))
+                nt.append(sum(n_toks(w) for w in words))
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": nw, "n_tokens": nt}
+            )
+
+    from ..session import spread_for_compute
+
+    out = spread_for_compute(df.select(id_col, text_col)).mapInPandas(
+        batches, out_schema
+    )
+    return out.select(
+        id_col,
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens")
+            / F.greatest(F.col("n_words").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("tokens_per_word"),
+    )
 
 
 def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:

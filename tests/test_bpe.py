@@ -54,3 +54,47 @@ class TestLearnBpe:
         df = spark.createDataFrame([("a b",)], ["text"])
         with pytest.raises(ValueError):
             learn_bpe(df, "text", 0)
+
+
+class TestEncodeCorpus:
+    def test_counts_match_driver_encoder(self, spark):
+        from shaper_spark.operators.bpe import (
+            bpe_encode,
+            bpe_encode_corpus,
+            learn_bpe,
+        )
+
+        docs = spark.table("documents").limit(40)
+        merges = learn_bpe(docs, "text", n_merges=15)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"])
+            for r in bpe_encode_corpus(docs, "doc_id", "text", merges).collect()
+        }
+        for row in docs.select("doc_id", "text").collect():
+            words = [w for w in row["text"].split(" ") if w]
+            expect = (
+                len(words),
+                sum(len(bpe_encode(w, merges)) for w in words),
+            )
+            assert got[row["doc_id"]] == expect
+
+    def test_empty_merges_yield_char_counts(self, spark):
+        from shaper_spark.operators.bpe import bpe_encode_corpus
+
+        df = spark.createDataFrame([(1, "ab c")], ["doc_id", "text"])
+        row = bpe_encode_corpus(df, "doc_id", "text", []).collect()[0]
+        # 'ab' -> a,b,</w> (3); 'c' -> c,</w> (2)
+        assert (row["n_words"], row["n_tokens"]) == (2, 5)
+        assert row["tokens_per_word"] == 2.5
+
+    def test_no_shuffle_in_plan(self, spark):
+        from shaper_spark.operators.bpe import bpe_encode_corpus
+
+        df = bpe_encode_corpus(
+            spark.table("documents"), "doc_id", "text", [("a", "b")]
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # tokenization is a map: the only exchange allowed is the
+        # spread_for_compute round-robin of a single-split input
+        assert "hashpartitioning" not in plan.lower()
+        assert "SortMergeJoin" not in plan
