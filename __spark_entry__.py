@@ -11,6 +11,7 @@ rounded in both engines to absorb summation-order noise.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2798,6 +2799,68 @@ SELECT doc_id, lang, source, n_chars FROM win ORDER BY doc_id
 """
 
 
+def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-bucket rollup computed by a REAL Structured Streaming
+    query (shaper_spark/streaming.py rollup_stream): readStream file
+    source over events.parquet → tumbling-window aggregate → memory
+    sink, ``availableNow`` + complete mode, awaited to termination. On
+    a finite source the final table equals the batch rollup exactly, so
+    the streaming family gets a full hash-checked oracle instead of the
+    pytest-only coverage it had through round 4. (Streams with
+    watermark-dependent emission — session windows in append mode —
+    remain pytest-only by nature: their output depends on batch
+    boundaries.)"""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.session import _nanos_timestamp_columns
+    from shaper_spark.streaming import rollup_stream
+
+    _prep(spark, sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _nanos_timestamp_columns(path):
+        stream = stream.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    out = rollup_stream(
+        stream, "ts", "value", key_cols=["event_type"], grain="1 day"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("__stream_rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("__stream_rollup")
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            F.round("total", 4).alias("total"),
+            F.round("vmin", 4).alias("vmin"),
+            F.round("vmax", 4).alias("vmax"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+STREAM_ROLLUP_DUCK = """
+SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS n,
+       round(sum(value), 4) AS total, round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY event_type, date_trunc('day', ts)
+ORDER BY event_type, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -2866,7 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "text_quality": _q_quality,
-        "text_lang_id": _q_lang_id,
+        "stream_rollup_daily": _q_stream_rollup,
         "dedup_apply_counts": _q_dedup_apply,
         "text_winnow": _q_text_winnow,
         "embedding_top1": _q_embedding_top1,
@@ -2904,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_series": _sql(RECURSIVE_SERIES),
         "embedding_pairs_exact": _q_embedding_pairs_exact,
         "text_fingerprint": _q_fingerprint,
+        "text_lang_id": _q_lang_id,
         "cumulative_revenue": _sql(CUMULATIVE_REVENUE),
         "grouping_sets_revenue": _sql(GROUPING_SETS_REVENUE),
         "range_frame_revenue": _sql(RANGE_FRAME_REVENUE),
@@ -3045,4 +3109,5 @@ def oracle_sql() -> dict[str, str]:
         "quant_report": QUANT_REPORT_DUCK,
         "uniform_sample_docs": UNIFORM_SAMPLE_DUCK,
         "dedup_apply_counts": DEDUP_APPLY_DUCK,
+        "stream_rollup_daily": STREAM_ROLLUP_DUCK,
     }
