@@ -40,12 +40,16 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
 def _sql(text: str) -> Callable[[SparkSession, str], DataFrame]:
     """Plain-SQL entry.  Routed through the engine's analyzed-plan
     cache (shaper_spark/plancache.py) — the exact path a long-lived
-    dashboard server takes for repeated statement text.  Safe here by
-    construction: every wrapped text is a read-only query (each one is
-    oracle-differentially verified), the returned DataFrame is lazy, so
-    EXECUTION still runs fully on every collect; only re-analysis is
-    skipped, and register_sf_tables bump()s the cache whenever view
-    targets change (e.g. a different sf_dir)."""
+    dashboard server takes for repeated statement text.  A cache hit
+    memoizes only the ANALYZED LOGICAL PLAN and builds a fresh Dataset
+    per call (``classic.Dataset.ofRows`` — new QueryExecution, new
+    shuffle IDs), so every job, shuffle and scan re-executes on every
+    collect; only parse + analysis is skipped.  It never returns the
+    same DataFrame object twice, so no computed shuffle stages can be
+    reused across calls (bench.py's ``serving`` protocol measures that
+    stage-reuse behavior separately and labels it).
+    register_sf_tables bump()s the cache whenever view targets change
+    (e.g. a different sf_dir)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from shaper_spark.plancache import analyzed

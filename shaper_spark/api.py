@@ -85,6 +85,21 @@ class ShaperServer:
         self.spark = spark
         self.variables = variables or {}
         self.store = Metastore(db_path)
+        self.db_path = db_path
+        if db_path:
+            # Multi-host deployments share one metastore file: poll its
+            # data generation per render so another host's ingest/DML
+            # invalidates this host's analyzed plans, and broadcast our
+            # own mutations back (r5 verdict: staleness was
+            # process-local).
+            from . import plancache
+
+            plancache.set_staleness_probe(
+                db_path, self.store.data_generation
+            )
+            plancache.add_bump_broadcaster(
+                db_path, self.store.bump_data_generation
+            )
         self.ingest = IngestBuffer(spark)
         # The scheduler records runs and claims scheduled fires through
         # the shared store — multiple server instances on one metastore
@@ -776,4 +791,8 @@ class ShaperServer:
         self._server.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        if self.db_path:
+            from . import plancache
+
+            plancache.remove_probe(self.db_path)
         self.store.close()

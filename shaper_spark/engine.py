@@ -1013,17 +1013,29 @@ def _run_query(
         # hit would silently skip re-executing them — and duckdb_*()
         # catalog snapshots re-materialize per call, so they bypass the
         # cache too. See plancache.
-        from .plancache import analyzed, bump
+        from .plancache import analyzed, bump, plan_is_command
 
         head = rw.sql.lstrip("( \n\t").split(None, 1)
+        readonly_head = bool(head) and head[0].upper() in _READONLY_HEADS
         if vars_.search_path:
             # resolution depends on session state the cache key doesn't
             # carry — bypass the cache while a search path is active
             df = _sql_with_search_path(spark, rw.sql, vars_.search_path)
+            if not readonly_head:
+                bump()  # command executed eagerly under the search path
         elif used_tablefuncs:
             df = spark.sql(rw.sql)
-        elif head and head[0].upper() in _READONLY_HEADS:
+            if not readonly_head:
+                bump()
+        elif readonly_head:
             df = analyzed(spark, rw.sql)
+            # 'WITH cte AS (...) INSERT/MERGE ...' is valid SQL whose
+            # leading keyword looks read-only: the analyzer is the
+            # authority. analyzed() never memoizes command plans (each
+            # call re-executes), but the mutation must still flush
+            # previously cached plans.
+            if head[0].upper() == "WITH" and plan_is_command(df):
+                bump()
         else:
             df = spark.sql(rw.sql)
             bump()  # command statement: executed eagerly, mutates state

@@ -188,6 +188,27 @@ class Metastore:
             )
             return cur.rowcount == 1
 
+    # -- cross-host cache staleness -------------------------------------
+
+    def bump_data_generation(self) -> None:
+        """Record that THIS host mutated warehouse data or the catalog.
+        Wired as a plancache bump-broadcaster so every local ``bump()``
+        is visible to other hosts sharing this store."""
+        self.record("data_bump", {})
+
+    def data_generation(self) -> int:
+        """Monotone token of data/catalog mutations recorded by ANY
+        host on this store (max event seq of ``data_bump`` markers).
+        plancache polls it per render (``set_staleness_probe``) and
+        flushes its analyzed plans when the token moves — the
+        multi-host staleness gap the r5 verdict flagged."""
+        with self._lock:
+            row = self._db.execute(
+                "SELECT coalesce(max(seq), 0) AS g FROM events"
+                " WHERE event = 'data_bump'"
+            ).fetchone()
+        return row["g"]
+
     # -- reads ----------------------------------------------------------
 
     def get_app(self, app_id: str) -> dict[str, Any] | None:
@@ -338,4 +359,9 @@ _HANDLERS = {
     "update_task_name": _update_name,
     "delete_task": _delete_app,
     "record_task_run": _record_task_run,
+    # Pure generation marker — no materialized state.  One host's data
+    # mutation (ingest append, DML, DDL) records it; other hosts poll
+    # data_generation() per render (plancache staleness probe) so their
+    # memoized analyzed plans never serve pre-mutation file listings.
+    "data_bump": lambda db, d, at: None,
 }

@@ -347,12 +347,21 @@ def curriculum_phases(
     # both passes see IDENTICAL boundaries and partition ids for a
     # deterministic source (verified empirically: two jobs over the
     # same repartitionByRange agree on every (row, pid) assignment).
-    # ``cache=True`` persists the ranged frame instead — correct when
-    # the upstream lineage is expensive (an LM-scoring pipeline) or
-    # nondeterministic, but the CALLER owns the release (the returned
-    # frame reads the cache; unpersist via spark.catalog.clearCache()
-    # or by persisting upstream yourself) — the leak class the r4
-    # advice flagged is why it is opt-in.
+    # That argument is VOID for nondeterministic upstream lineage
+    # (rand()/sample()/unordered limit — r5 advice): the two passes
+    # would see different rows and silently assign wrong phases, so
+    # such lineage is detected on the analyzed plan (views inlined) and
+    # auto-upgraded to the persisted path.  ``cache=True`` persists the
+    # ranged frame; the persist is released when the RETURNED DataFrame
+    # is garbage-collected (weakref finalizer) — callers that hold the
+    # result keep the cache, callers that drop it leak nothing (the r4
+    # advice's leak class).
+    release_on_gc = False
+    if not cache and _plan_is_nondeterministic(scored):
+        cache = True
+        release_on_gc = True
+    elif cache:
+        release_on_gc = True
     if cache:
         ranged = ranged.persist()
     counts = {
@@ -393,11 +402,53 @@ def curriculum_phases(
         )
         .cast("int")
     )
-    return (
+    result = (
         ranged.join(off_df, "__pid")
         .select("id", "score", rank, "order_key")
         .select("id", "score", phase.alias("phase"), "order_key")
     )
+    if release_on_gc:
+        import weakref
+
+        cached = ranged
+
+        def _release(frame=cached):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+        weakref.finalize(result, _release)
+    return result
+
+
+_NONDET_RE = None
+
+
+def _plan_is_nondeterministic(df: DataFrame) -> bool:
+    """Heuristic lineage check on the analyzed plan's tree string:
+    seeded expressions (``rand(seed)``/``uuid()``/``shuffle(...)``/
+    ``monotonically_increasing_id()``) and ``Sample`` nodes make two
+    executions of the same lineage diverge — exactly the case where
+    curriculum_phases' two passes MUST read one persisted
+    materialization.  False negatives only cost correctness for exotic
+    nondeterminism (Python UDFs with hidden state); false positives
+    only cost one persist."""
+    global _NONDET_RE
+    if _NONDET_RE is None:
+        import re
+
+        _NONDET_RE = re.compile(
+            r"\b(?:rand|randn|uuid|shuffle)\("
+            r"|^[\s+:|-]*Sample\s"
+            r"|monotonically_increasing_id\(",
+            re.MULTILINE,
+        )
+    try:
+        tree = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True  # cannot inspect → take the safe (persisted) path
+    return bool(_NONDET_RE.search(tree))
 
 
 def uniform_sample_exact(

@@ -65,20 +65,57 @@ _EMPTY_SCHEMAS = {
 }
 
 
+def _quoted_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted string literals (with ''
+    escaping) — matches inside them are literal text, not calls."""
+    spans: list[tuple[int, int]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
 def expand_table_functions(spark: SparkSession, sql: str) -> tuple[str, bool]:
     """Replace ``duckdb_<fn>()`` calls with freshly materialized
     ``__duckdb_<fn>`` temp views.  Returns (rewritten_sql, used) —
     ``used`` tells the caller to skip the analyzed-plan cache (the
-    views are per-call snapshots)."""
-    names = {m.group(1).lower() for m in _CALL_RE.finditer(sql)}
+    views are per-call snapshots).  Occurrences inside single-quoted
+    string literals are left untouched (``SELECT 'duckdb_tables()'``
+    is data, not a call — r5 advice)."""
+    spans = _quoted_spans(sql)
+
+    def literal(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
+    names: set[str] = set()
+    out: list[str] = []
+    last = 0
+    for m in _CALL_RE.finditer(sql):
+        if literal(m.start()):
+            continue
+        name = m.group(1).lower()
+        names.add(name)
+        out.append(sql[last : m.start()])
+        out.append(f"__duckdb_{name}")
+        last = m.end()
     if not names:
         return sql, False
+    out.append(sql[last:])
     for name in names:
         _materialize(spark, name)
-    return (
-        _CALL_RE.sub(lambda m: f"__duckdb_{m.group(1).lower()}", sql),
-        True,
-    )
+    return "".join(out), True
 
 
 def _materialize(spark: SparkSession, name: str) -> None:

@@ -182,3 +182,43 @@ class TestCurriculumPhases:
         df = spark.createDataFrame([(1, 1.0)], ["id", "d"])
         with pytest.raises(ValueError):
             curriculum_phases(df, "id", "d", n_phases=0)
+
+    def test_nondeterministic_lineage_auto_persists(self, spark):
+        # r5 advice: with the default cache=False, a rand()-scored
+        # source would give the count pass and the ranking pass
+        # DIFFERENT rows. The guard must detect the lineage and persist,
+        # keeping phase sizes exact and every id assigned exactly once.
+        from shaper_spark.operators.sampling import (
+            _plan_is_nondeterministic,
+            curriculum_phases,
+        )
+
+        df = spark.range(40).selectExpr("id", "rand() AS d")
+        assert _plan_is_nondeterministic(df)
+        out = curriculum_phases(df, "id", "d", n_phases=4).collect()
+        assert sorted(r["id"] for r in out) == list(range(40))
+        sizes = {}
+        for r in out:
+            sizes[r["phase"]] = sizes.get(r["phase"], 0) + 1
+        assert sizes == {1: 10, 2: 10, 3: 10, 4: 10}
+
+    def test_deterministic_lineage_not_flagged(self, spark):
+        from shaper_spark.operators.sampling import _plan_is_nondeterministic
+
+        df = spark.range(10).selectExpr("id", "cast(id AS double) AS d")
+        assert not _plan_is_nondeterministic(df)
+
+    def test_persist_released_when_result_dropped(self, spark):
+        import gc
+
+        from shaper_spark.operators.sampling import curriculum_phases
+
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        df = spark.range(30).selectExpr("id", "rand() AS d")
+        out = curriculum_phases(df, "id", "d", n_phases=3)
+        assert jsc.getPersistentRDDs().size() > before  # guard persisted
+        out.collect()
+        del out
+        gc.collect()
+        assert jsc.getPersistentRDDs().size() == before  # finalizer ran

@@ -93,3 +93,34 @@ class TestDuckdbTableFunctions:
             "'json', 'parquet') ORDER BY extension_name",
         )
         assert rows == []
+
+    def test_call_inside_string_literal_untouched(self, spark):
+        # r5 advice: 'duckdb_tables()' as DATA must not be rewritten
+        # (and must not bypass the plan cache)
+        from shaper_spark.tablefuncs import expand_table_functions
+
+        sql = "SELECT 'duckdb_tables()' AS hint"
+        rewritten, used = expand_table_functions(spark, sql)
+        assert rewritten == sql
+        assert used is False
+        _, rows = _q(spark, sql)
+        assert rows[0][0] == "duckdb_tables()"
+
+    def test_literal_and_real_call_mixed(self, spark):
+        from shaper_spark.tablefuncs import expand_table_functions
+
+        sql = (
+            "SELECT 'see duckdb_tables() docs' AS hint, count(*) AS n "
+            "FROM duckdb_tables()"
+        )
+        rewritten, used = expand_table_functions(spark, sql)
+        assert used is True
+        assert "'see duckdb_tables() docs'" in rewritten
+        assert "FROM __duckdb_tables" in rewritten
+
+    def test_escaped_quote_literal(self, spark):
+        from shaper_spark.tablefuncs import expand_table_functions
+
+        sql = "SELECT 'it''s duckdb_views() here' AS s"
+        rewritten, used = expand_table_functions(spark, sql)
+        assert rewritten == sql and used is False
