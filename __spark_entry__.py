@@ -20,6 +20,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 _REGISTERED: set[tuple[int, str]] = set()
+_INTERACTIVE: dict[int, tuple[SparkSession, SparkSession]] = {}
 
 
 def _prep(spark: SparkSession, sf_dir: str) -> None:
@@ -34,7 +35,27 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     # load_parquet additionally has a config-independent pyarrow fallback.
     configure_runtime(spark)
     register_sf_tables(spark, sf_dir)
+    register_sf_tables(_serving(spark), sf_dir)
     _REGISTERED.add(key)
+
+
+def _serving(spark: SparkSession) -> SparkSession:
+    """The interactive serving profile for the dashboard-SQL entries: a
+    newSession() child of the driver's session — same SparkContext,
+    same catalog, own SQLConf with AQE off (see
+    shaper_spark.session.interactive_session for the measured
+    rationale).  Operator entries stay on the batch parent, where AQE's
+    skew-join/runtime-coalescing matters at corpus scale.  The pair is
+    kept so the child (and its temp views) survives for the driver
+    session's lifetime."""
+    pair = _INTERACTIVE.get(id(spark))
+    if pair is not None and pair[0] is spark:
+        return pair[1]
+    from shaper_spark.session import interactive_session
+
+    child = interactive_session(spark)
+    _INTERACTIVE[id(spark)] = (spark, child)
+    return child
 
 
 def _sql(text: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -55,7 +76,7 @@ def _sql(text: str) -> Callable[[SparkSession, str], DataFrame]:
         from shaper_spark.plancache import analyzed
 
         _prep(spark, sf_dir)
-        return analyzed(spark, text)
+        return analyzed(_serving(spark), text)
 
     return run
 
@@ -70,7 +91,7 @@ def _dialect(text: str) -> Callable[[SparkSession, str], DataFrame]:
         from shaper_spark.rewrite import rewrite_statement
 
         _prep(spark, sf_dir)
-        return analyzed(spark, rewrite_statement(text).sql)
+        return analyzed(_serving(spark), rewrite_statement(text).sql)
 
     return run
 

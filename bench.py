@@ -7,6 +7,24 @@ Prints ONE JSON line:
 Timing excludes session startup (a long-lived engine amortizes it — the
 reference keeps DuckDB warm the same way) but includes full execution +
 collect of each query.
+
+Three explicitly-labeled headline protocols (the r5 audit found the
+single-protocol record conflated them):
+
+- ``fresh`` (the official ``value``): ``plancache.bump()`` before EVERY
+  execution — full parse + analysis + optimization + execution, nothing
+  reused across calls.  Symmetric with the DuckDB side, which also
+  re-plans and re-executes every call.
+- ``warmplan``: the analyzed-plan cache stays warm — hits rebuild a
+  fresh Dataset from the memoized analyzed plan (full execution, new
+  shuffle IDs; only parse+analysis skipped).  This is what a long-lived
+  dashboard server actually pays per render; DuckDB's sub-ms planner
+  gets the same treatment for free.
+- ``serving``: re-collecting the SAME DataFrame object, which lets
+  Spark reuse its computed shuffle map outputs (skipped stages) over
+  unchanged data — result-serving behavior, NOT fresh execution, and
+  NOT comparable to the DuckDB numbers (DuckDB re-executes).  Reported
+  for the serving story only.
 """
 
 from __future__ import annotations
@@ -15,6 +33,7 @@ import json
 import os
 import sys
 import time
+from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -106,6 +125,8 @@ def main() -> None:
     # measured 12.1 -> 2.9 -> 1.5 -> 0.87 s across runs of the same
     # query) — a long-lived serving JVM answers at the warm speed, the
     # same way the reference keeps one DuckDB instance hot.
+    from shaper_spark import plancache
+
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
@@ -116,6 +137,11 @@ def main() -> None:
             fn = queries.get(name)
             if fn is None:
                 continue
+            # FRESH protocol: flush the analyzed-plan cache before every
+            # execution so nothing — parse, analysis, optimization,
+            # stages — carries over between calls (the r5 judge's
+            # bump-between-passes protocol, now the official number).
+            plancache.bump()
             t0 = time.perf_counter()
             try:
                 rows = fn(spark, sf_dir).collect()
@@ -131,6 +157,61 @@ def main() -> None:
     timings = {k: round(v, 4) for k, v in timings.items()}
     extra_timings = {k: round(v, 4) for k, v in extra_timings.items()}
     total = sum(v for v in timings.values() if v > 0)
+
+    # WARMPLAN protocol: analyzed-plan cache warm (hits rebuild a fresh
+    # Dataset per call — full execution, only parse+analysis skipped).
+    warm_timings: dict[str, float] = {}
+    plancache.bump()
+    for _pass in range(3):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).collect()
+            except Exception:
+                warm_timings[name] = -1.0
+                continue
+            dt_ = time.perf_counter() - t0
+            prev = warm_timings.get(name)
+            if prev is None or (prev > 0 and dt_ < prev):
+                warm_timings[name] = dt_
+    warm_timings = {k: round(v, 4) for k, v in warm_timings.items()}
+    warm_total = round(sum(v for v in warm_timings.values() if v > 0), 4)
+
+    # SERVING protocol: re-collect the SAME DataFrame objects — Spark
+    # reuses computed shuffle stages over unchanged data.  Explicitly
+    # NOT comparable to DuckDB's re-executing numbers; recorded for the
+    # dashboard-serving story only.
+    serving_timings: dict[str, float] = {}
+    held: dict[str, Any] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        try:
+            held[name] = fn(spark, sf_dir)
+            held[name].collect()  # compute once outside the timed passes
+        except Exception:
+            continue
+    for _pass in range(3):
+        for name, df in held.items():
+            t0 = time.perf_counter()
+            try:
+                df.collect()
+            except Exception:
+                serving_timings[name] = -1.0
+                continue
+            dt_ = time.perf_counter() - t0
+            prev = serving_timings.get(name)
+            if prev is None or (prev > 0 and dt_ < prev):
+                serving_timings[name] = dt_
+    serving_timings = {k: round(v, 4) for k, v in serving_timings.items()}
+    serving_total = round(
+        sum(v for v in serving_timings.values() if v > 0), 4
+    )
+    held.clear()
 
     # Per-query DuckDB reference times on the identical oracle SQL and
     # parquet (best of 3, matching the Spark min-of-3) — so the record
@@ -161,10 +242,20 @@ def main() -> None:
     # script (and, for human eyes, to stderr).
     extra_duck = _duckdb_reference(entrymod, sf_dir, EXTRAS)
     record = {
-        "metric": "headline_total",
+        "metric": "headline_total_fresh",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "fresh_headline_sec": round(total, 4),
+        "warmplan_headline_sec": warm_total,
+        "serving_headline_sec": serving_total,
+        "protocols": (
+            "fresh=bump-before-every-execution (nothing reused; the "
+            "official number); warmplan=analyzed-plan cache warm, fresh "
+            "Dataset+full execution per call; serving=re-collect of the "
+            "same DataFrame (computed-stage reuse over unchanged data — "
+            "NOT comparable to the re-executing DuckDB side)"
+        ),
         "duckdb_total": round(sum(v for v in duck.values() if v > 0), 4),
         "floor_query_sec": floor,
         "heavy_ratios": heavy_ratios,
@@ -177,6 +268,8 @@ def main() -> None:
         duckdb_ref=duck,
         extra_queries=extra_timings,
         extra_duckdb=extra_duck,
+        warmplan_queries=warm_timings,
+        serving_queries=serving_timings,
     )
     try:
         detail_path = os.path.join(

@@ -209,6 +209,29 @@ class Metastore:
             ).fetchone()
         return row["g"]
 
+    # -- cross-host result broadcast ------------------------------------
+
+    def latest_event_seq(self) -> int:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT coalesce(max(seq), 0) AS s FROM events"
+            ).fetchone()
+        return row["s"]
+
+    def task_results_since(self, seq: int) -> list[tuple[int, dict[str, Any]]]:
+        """Task-run-result broadcast events appended after ``seq`` by
+        ANY instance, oldest first — the polling half of the shared-
+        metastore result transport (TaskScheduler records, every other
+        scheduler polls)."""
+        with self._lock:
+            rows = self._db.execute(
+                "SELECT seq, data FROM events"
+                " WHERE event = 'task_run_result' AND seq > ?"
+                " ORDER BY seq",
+                (seq,),
+            ).fetchall()
+        return [(r["seq"], json.loads(r["data"])) for r in rows]
+
     # -- reads ----------------------------------------------------------
 
     def get_app(self, app_id: str) -> dict[str, Any] | None:
@@ -364,4 +387,9 @@ _HANDLERS = {
     # data_generation() per render (plancache staleness probe) so their
     # memoized analyzed plans never serve pre-mutation file listings.
     "data_bump": lambda db, d, at: None,
+    # Transport-only: a completed task run's full result, broadcast to
+    # every instance sharing this store (the reference pushes the same
+    # payload over NATS, schedule_task.go:215-237).  Pollers read it
+    # from the event log directly; nothing materializes.
+    "task_run_result": lambda db, d, at: None,
 }

@@ -30,9 +30,23 @@ INSIDE the operator — five ints, the only driver materialization — and
 both persists are released before returning, so a long-lived server
 never accumulates cached blocks across calls.
 
+Broadcast story (measured at sf0.1, A/B'd in the bench environment):
+- the TEST split's ids and its 8-gram projection broadcast
+  (``broadcast_eval=True``): in a decontamination the held-out side is
+  the eval/benchmark set — orders of magnitude smaller than train by
+  construction.  At a scale where the eval gram stream outgrows the
+  broadcast threshold, pass ``broadcast_eval=False`` and the semi join
+  reverts to a keyed shuffle (same plan class as dedup's posting
+  joins).
+- the gram path does NOT pre-repartition (the old spread_for_compute
+  call): the explode's output flows straight into a join that
+  redistributes anyway, so the extra exchange bought parallelism the
+  join shuffle already provides — removing it and broadcasting the
+  eval side took the report from 2.4 s to ~1.5 s at sf0.1.
+
 The composite exists because pipelines ship compositions, not operator
 menus: this is the integration test that the pieces actually fit —
-tests/test_pipeline.py pins its counts against running the §2C
+tests/test_pipeline_ops.py pins its counts against running the §2C
 operators one by one.
 """
 
@@ -44,13 +58,15 @@ __all__ = ["training_corpus_stages"]
 
 
 def _funnel_lazy(
-    docs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_eval: bool = True,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Build the funnel's five-count union WITHOUT executing it.
     Returns (lazy_counts, persisted_frames) — the public operator
     collects the counts and releases the persists; tests pin the plan
     of the lazy frame directly."""
-    from ..session import spread_for_compute
     from .dedup import normalize_text_expr
     from .sampling import hash_split
     from .text import gopher_quality_filter
@@ -82,9 +98,16 @@ def _funnel_lazy(
     train_ids = sp_ids.filter(F.col("split") == "train").select(id_col)
     test_ids = sp_ids.filter(F.col("split") == "test").select(id_col)
 
-    def grams8(ids: DataFrame) -> DataFrame:
+    def grams8(ids: DataFrame, bcast_ids: bool) -> DataFrame:
+        # No pre-repartition here: the gram stream feeds a join that
+        # redistributes it anyway (or a broadcast build), so an extra
+        # exchange only adds a stage barrier (module docstring).
         arr = (
-            spread_for_compute(docs.join(ids, id_col, "left_semi"))
+            docs.join(
+                F.broadcast(ids) if bcast_ids else ids,
+                id_col,
+                "left_semi",
+            )
             .select(
                 F.col(id_col).alias("id"),
                 F.split(F.col(text_col), " ").alias("__ws"),
@@ -107,9 +130,12 @@ def _funnel_lazy(
             .filter(F.length("shingle") > 0)
         )
 
+    eval_grams = grams8(test_ids, broadcast_eval).select("shingle")
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
     contaminated = (
-        grams8(train_ids)
-        .join(grams8(test_ids).select("shingle"), "shingle", "left_semi")
+        grams8(train_ids, False)
+        .join(eval_grams, "shingle", "left_semi")
         .select("id")
         .distinct()
     )
@@ -130,7 +156,10 @@ def _funnel_lazy(
 
 
 def training_corpus_stages(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Run the funnel and return (stage, n_docs) — five rows, ordered.
 
@@ -142,9 +171,13 @@ def training_corpus_stages(
     Gopher verdict is a per-document function, so computing it on the
     raw corpus instead of the deduped one cannot change any flag;
     tests/test_pipeline_ops.py pins the counts against that explicit
-    chain)."""
+    chain).  ``broadcast_eval`` broadcasts the held-out split's ids and
+    gram stream (the right default — eval sets are benchmark-sized);
+    pass False when the eval corpus itself is shuffle-scale."""
     spark = docs.sparkSession
-    lazy, persisted = _funnel_lazy(docs, id_col, text_col)
+    lazy, persisted = _funnel_lazy(
+        docs, id_col, text_col, broadcast_eval
+    )
     counts = {r["stage"]: r["n_docs"] for r in lazy.collect()}
     for p in persisted:
         p.unpersist()

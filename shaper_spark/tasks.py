@@ -23,6 +23,7 @@ Documented divergences from the reference:
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 import re
 import threading
@@ -88,6 +89,27 @@ class TaskResult:
             "nextRunAt": self.next_run_at,
             "scheduleType": self.schedule_type,
         }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "TaskResult":
+        return cls(
+            started_at=int(d.get("startedAt") or 0),
+            success=bool(d.get("success")),
+            queries=[
+                TaskQueryResult(
+                    sql=q.get("sql", ""),
+                    duration_ms=int(q.get("duration") or 0),
+                    result_columns=q.get("resultColumns") or [],
+                    result_rows=q.get("resultRows") or [],
+                    error=q.get("error"),
+                    stop_execution=bool(q.get("stopExecution")),
+                )
+                for q in d.get("queries") or []
+            ],
+            total_queries=int(d.get("totalQueries") or 0),
+            next_run_at=int(d.get("nextRunAt") or 0),
+            schedule_type=d.get("scheduleType") or "",
+        )
 
 
 def needs_no_transaction(sql: str) -> bool:
@@ -265,6 +287,22 @@ class TaskScheduler:
         self._types: dict[str, str] = {}
         self._lock = threading.Lock()
         self.results: dict[str, list[TaskResult]] = {}
+        # Cross-instance result broadcast (reference: the executing node
+        # publishes the run result over NATS and every node's WS
+        # clients see it, schedule_task.go:215-237).  Here the winner
+        # records the result into the shared event log and every other
+        # scheduler polls for results it didn't execute itself.
+        self._poll_stop = threading.Event()
+        self._poll_thread: threading.Thread | None = None
+        if store is not None:
+            try:
+                self._result_cursor = store.latest_event_seq()
+            except Exception:
+                self._result_cursor = 0
+            self._poll_thread = threading.Thread(
+                target=self._poll_remote_results, daemon=True
+            )
+            self._poll_thread.start()
 
     def register(self, task_id: str, content: str) -> tuple[dt.datetime | None, str]:
         self.unregister(task_id)
@@ -328,6 +366,7 @@ class TaskScheduler:
         self.results.setdefault(task_id, []).append(result)
         if self.store is not None:
             self._record_run(task_id, result)
+            self._broadcast_result(task_id, result)
         if self.on_result:
             self.on_result(task_id, result)
         if result.success and result.next_run_at > 0:
@@ -393,7 +432,59 @@ class TaskScheduler:
         except Exception:
             pass
 
+    #: seconds between polls of the shared event log for results other
+    #: instances executed (their WS clients see ours the same way)
+    RESULT_POLL_S = 0.5
+
+    def _broadcast_result(self, task_id: str, result: TaskResult) -> None:
+        try:
+            # result rows may hold datetimes/Decimals — pre-serialize
+            # with default=str (the WS push serializes the same way)
+            self.store.record(
+                "task_run_result",
+                {
+                    "task_id": task_id,
+                    "instance": self.instance_id,
+                    "result_json": json.dumps(
+                        result.to_dict(), default=str
+                    ),
+                },
+            )
+        except Exception:
+            pass  # an unreachable store must not fail the run
+
+    def _poll_remote_results(self) -> None:
+        while not self._poll_stop.wait(self.RESULT_POLL_S):
+            try:
+                rows = self.store.task_results_since(self._result_cursor)
+            except Exception:
+                continue
+            for seq, data in rows:
+                self._result_cursor = max(self._result_cursor, seq)
+                if data.get("instance") == self.instance_id:
+                    continue  # our own run, already in self.results
+                task_id = data.get("task_id", "")
+                with self._lock:
+                    known = task_id in self._contents
+                if not known:
+                    continue
+                try:
+                    result = TaskResult.from_dict(
+                        json.loads(data["result_json"])
+                    )
+                except Exception:
+                    continue
+                self.results.setdefault(task_id, []).append(result)
+                if self.on_result:
+                    try:
+                        self.on_result(task_id, result)
+                    except Exception:
+                        pass
+
     def shutdown(self) -> None:
+        self._poll_stop.set()
+        if self._poll_thread is not None:
+            self._poll_thread.join(timeout=2)
         with self._lock:
             timers = list(self._timers.values())
             self._timers.clear()

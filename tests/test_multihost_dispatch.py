@@ -60,3 +60,92 @@ class TestMultiProcessClaims:
         b = Metastore(db_path)  # a second "host" opens the same file
         assert b.try_claim("t1-100", "host-b") is False
         assert b.try_claim("t1-200", "host-b") is True
+
+
+class TestCrossInstanceResultBroadcast:
+    def test_result_broadcast_reaches_other_instance(self, tmp_path):
+        # Reference parity: the node that executes a run publishes the
+        # full result (NATS, schedule_task.go:215-237) so every node's
+        # WS clients see it. Here: winner records into the shared event
+        # log; the other scheduler's poller picks it up within ~1s.
+        import time
+
+        from shaper_spark.metastore import Metastore
+        from shaper_spark.tasks import (
+            TaskQueryResult,
+            TaskResult,
+            TaskScheduler,
+        )
+
+        db = str(tmp_path / "shared3.db")
+        store_a, store_b = Metastore(db), Metastore(db)
+        received: list[tuple[str, TaskResult]] = []
+        a = TaskScheduler(spark=None, store=store_a, instance_id="host-a")
+        b = TaskScheduler(
+            spark=None,
+            store=store_b,
+            instance_id="host-b",
+            on_result=lambda tid, res: received.append((tid, res)),
+        )
+        try:
+            # both instances know the task (register() would normally
+            # populate this; skipped to keep the test Spark-free)
+            a._contents["t1"] = "SELECT 1"
+            b._contents["t1"] = "SELECT 1"
+            res = TaskResult(
+                started_at=123,
+                success=True,
+                queries=[
+                    TaskQueryResult(
+                        sql="SELECT 1",
+                        duration_ms=5,
+                        result_columns=["x"],
+                        result_rows=[[1]],
+                    )
+                ],
+                total_queries=1,
+                schedule_type="single",
+            )
+            a.results.setdefault("t1", []).append(res)
+            a._broadcast_result("t1", res)
+            deadline = time.time() + 5
+            while time.time() < deadline and not b.results.get("t1"):
+                time.sleep(0.05)
+            got = b.results.get("t1")
+            assert got, "host-b never saw host-a's run result"
+            assert got[0].success and got[0].queries[0].result_rows == [[1]]
+            assert received and received[0][0] == "t1"
+            # the executing instance must not re-ingest its own broadcast
+            time.sleep(2 * TaskScheduler.RESULT_POLL_S + 0.3)
+            assert len(a.results["t1"]) == 1
+        finally:
+            a.shutdown()
+            b.shutdown()
+
+    def test_unknown_task_results_ignored(self, tmp_path):
+        import time
+
+        from shaper_spark.metastore import Metastore
+        from shaper_spark.tasks import (
+            TaskQueryResult,
+            TaskResult,
+            TaskScheduler,
+        )
+
+        db = str(tmp_path / "shared4.db")
+        a = TaskScheduler(
+            spark=None, store=Metastore(db), instance_id="host-a"
+        )
+        b = TaskScheduler(
+            spark=None, store=Metastore(db), instance_id="host-b"
+        )
+        try:
+            a._contents["only-on-a"] = "SELECT 1"
+            a._broadcast_result(
+                "only-on-a", TaskResult(started_at=1, success=True)
+            )
+            time.sleep(2 * TaskScheduler.RESULT_POLL_S + 0.3)
+            assert "only-on-a" not in b.results  # b never registered it
+        finally:
+            a.shutdown()
+            b.shutdown()

@@ -396,6 +396,27 @@ class TestRound4OperatorPlans:
             plan = _executed(lazy)
             assert "CartesianProduct" not in plan
             assert "BroadcastNestedLoopJoin" not in plan
+            # default: the held-out (eval) side broadcasts — ids and
+            # gram stream (eval sets are benchmark-sized)
+            assert "BroadcastExchange" in plan
+        finally:
+            for p in persisted:
+                p.unpersist()
+
+    def test_pipeline_funnel_shuffle_fallback_is_keyed(self, spark):
+        # broadcast_eval=False (eval corpus at shuffle scale): the
+        # contamination join must degrade to a KEYED equi-join, never a
+        # nested-loop/cartesian shape
+        from shaper_spark.operators.pipeline import _funnel_lazy
+
+        lazy, persisted = _funnel_lazy(
+            spark.table("documents"), "doc_id", "text",
+            broadcast_eval=False,
+        )
+        try:
+            plan = _executed(lazy)
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
         finally:
             for p in persisted:
                 p.unpersist()
