@@ -1621,6 +1621,97 @@ GROUP BY 1 ORDER BY eval_id
 """
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (shaper_spark/operators/text.py):
+    token-occurrence share covered by the top-V tokens, V in the
+    standard cutoff ladder — ranking via the distributed exact rank
+    (no partitionless window)."""
+    from shaper_spark.operators.text import vocab_coverage_curve
+
+    _prep(spark, sf_dir)
+    return vocab_coverage_curve(spark.table("documents"), "text")
+
+
+VOCAB_COVERAGE_DUCK = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), t AS (
+  SELECT token, count(*) AS cnt FROM tok WHERE len(token) > 0 GROUP BY token
+), r AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM t
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM t
+)
+SELECT c.cutoff,
+       CAST(tot.vocab AS BIGINT) AS vocab_size,
+       CAST(coalesce((SELECT sum(cnt) FROM r WHERE rank <= c.cutoff), 0) AS BIGINT)
+         AS covered_tokens,
+       tot.total AS total_tokens,
+       round(CAST(coalesce((SELECT sum(cnt) FROM r WHERE rank <= c.cutoff), 0) AS DOUBLE)
+             / tot.total, 6) AS coverage
+FROM (VALUES (1),(5),(10),(20),(50),(100)) c(cutoff), tot
+ORDER BY c.cutoff
+"""
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix
+    (shaper_spark/operators/decontam.py): distinct (source, shingle)
+    posting lists self-joined on the shingle — provenance audit before
+    source mixing."""
+    from shaper_spark.operators.decontam import source_overlap_matrix
+
+    _prep(spark, sf_dir)
+    return source_overlap_matrix(
+        spark.table("documents"), "doc_id", "text", "source", n=8, max_df=50
+    )
+
+
+SOURCE_OVERLAP_DUCK = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(len(w) - 7),
+                i -> array_to_string(w[i+1:i+8], ' ')))) AS shingle
+  FROM w WHERE len(w) >= 8
+), keep AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(DISTINCT doc_id) <= 50
+), sg AS (
+  SELECT DISTINCT source, shingle FROM sh JOIN keep USING (shingle)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(DISTINCT a.shingle) AS BIGINT) AS n_shared_grams
+FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (shaper_spark/operators/linalg.py):
+    per-partition numpy X^T·X partials over Arrow batches, keyed
+    combine of the partials — the rows×d² explode the oracle runs is
+    exactly what the operator avoids."""
+    from shaper_spark.operators.linalg import embedding_covariance
+
+    _prep(spark, sf_dir)
+    return embedding_covariance(spark.table("embeddings"), "embedding", 64)
+
+
+EMBEDDING_COV_DUCK = """
+WITH idx AS (SELECT i FROM generate_series(1, 64) t(i)),
+x AS (
+  SELECT a.i AS i, b.i AS j,
+         e.embedding[a.i]::DOUBLE AS xi, e.embedding[b.i]::DOUBLE AS xj
+  FROM embeddings e, idx a, idx b WHERE a.i <= b.i
+)
+SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+       round(avg(xi * xj) - avg(xi) * avg(xj), 6) AS cov
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution (shaper_spark/operators/graph.py):
     jaccard near-dup pairs → alternating large-star/small-star
@@ -2932,7 +3023,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact-integer stats) and ``uniform_sample_docs`` (deterministic
     hash-order uniform sampling); ``text_fingerprint`` (green r03+r04;
     ``text_winnow`` keeps the fingerprint family in the prefix) out for
-    ``dedup_apply_counts`` (the near-dup removal action step)."""
+    ``dedup_apply_counts`` (the near-dup removal action step).
+    Round 6 rotated ``source_mix_weights`` and ``doc_length_histogram``
+    (green r04+r05) plus ``explain_plan`` (rows-only by nature, never
+    value-checked) out for the three new round-6 operators:
+    ``vocab_coverage_curve`` (token-coverage-vs-vocab-size report on
+    the distributed exact ranking), ``source_overlap_matrix``
+    (pairwise cross-source shared-n-gram audit, posting-list join) and
+    ``embedding_covariance`` (d×d covariance via per-partition numpy
+    partials in mapInPandas).  The five round-5 entries stay in the
+    prefix for their second official green round, per the r5 verdict."""
     return {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -2981,12 +3081,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_customers": _q_pii_scrub,
         "decontam_ngrams": _q_decontam,
         "dedup_clusters": _q_dedup_clusters,
+        "vocab_coverage_curve": _q_vocab_coverage,
+        "source_overlap_matrix": _q_source_overlap,
+        "embedding_covariance": _q_embedding_cov,
+        # -- tail (entries 51+, outside the driver's official 50-entry
+        # window but still checked by tests/oracle_check.py): every entry
+        # here has passed the official gate in a prior round --
         "source_mix_weights": _q_source_mix,
         "doc_length_histogram": _q_length_histogram,
         "explain_plan": _q_explain,
-        # -- tail (entries 51+, outside the driver's official 50-entry
-        # window but still checked by tests/oracle_check.py): every entry
-        # here has passed the official gate in a prior round (r02/r03) --
         "summarize_table": _q_summarize,
         "attach_federation": _q_attach_federation,
         "recursive_series": _sql(RECURSIVE_SERIES),
@@ -3109,6 +3212,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_customers": _pii_scrub_duck(),
         "decontam_ngrams": DECONTAM_DUCK,
         "dedup_clusters": DEDUP_CLUSTERS_DUCK,
+        "vocab_coverage_curve": VOCAB_COVERAGE_DUCK,
+        "source_overlap_matrix": SOURCE_OVERLAP_DUCK,
+        "embedding_covariance": EMBEDDING_COV_DUCK,
         "weighted_sample_docs": WEIGHTED_SAMPLE_DUCK,
         "tfidf_top_terms": TFIDF_DUCK,
         "source_mix_weights": SOURCE_MIX_DUCK,

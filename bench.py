@@ -75,6 +75,10 @@ EXTRAS = [
     "quant_report",
     "uniform_sample_docs",
     "dedup_apply_counts",
+    # round 6
+    "vocab_coverage_curve",
+    "source_overlap_matrix",
+    "embedding_covariance",
 ]
 
 HEADLINE = [

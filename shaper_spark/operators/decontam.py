@@ -17,7 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ngram_decontaminate", "ngram_decontaminate_presplit"]
+__all__ = [
+    "ngram_decontaminate",
+    "ngram_decontaminate_presplit",
+    "source_overlap_matrix",
+]
 
 
 def ngram_decontaminate(
@@ -110,4 +114,58 @@ def ngram_decontaminate_presplit(
             F.countDistinct("shingle").alias("n_shared_grams"),
             F.countDistinct("train_id").alias("n_train_docs"),
         )
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    n: int = 8,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Pairwise cross-source n-gram overlap: for every unordered source
+    pair (a < b), how many distinct word n-grams appear in BOTH — the
+    provenance-audit matrix a corpus curator reads before mixing
+    sources (mirrored content between crawls shows up as a hot cell).
+
+    Returns (source_a, source_b, n_shared_grams), inner semantics
+    (pairs with zero overlap drop out), ordered.
+
+    Scale shape: reduce each side to DISTINCT (source, shingle) posting
+    rows first — the self-join then emits at most C(s,2) pairs per
+    shingle where s ≤ the number of SOURCES carrying it (sources are a
+    bounded dimension, so no n² blowup in the corpus size; the same
+    posting-list argument as jaccard_pairs with the df role played by
+    the source count).  ``max_df`` additionally drops boilerplate
+    shingles whose per-source document frequency is unbounded cost but
+    zero signal, BEFORE the distinct — the Σdf² cap.  The shingle
+    projection reuses the dedup family's codegen'd shingler with the
+    source column riding pre-explode (no corpus join-back)."""
+    from .dedup import shingle_tokens
+
+    postings = shingle_tokens(
+        docs, id_col, text_col, n, extra_cols=(source_col,)
+    )
+    if max_df is not None:
+        keep = (
+            postings.groupBy("shingle")
+            .agg(F.countDistinct("id").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        postings = postings.join(keep, "shingle")
+    src_grams = postings.select(
+        F.col(source_col).alias("source_a"), "shingle"
+    ).distinct()
+    other = src_grams.select(
+        F.col("source_a").alias("source_b"), "shingle"
+    )
+    return (
+        src_grams.join(other, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("shingle").alias("n_shared_grams"))
+        .orderBy("source_a", "source_b")
     )

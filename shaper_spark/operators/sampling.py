@@ -451,6 +451,58 @@ def _plan_is_nondeterministic(df: DataFrame) -> bool:
     return bool(_NONDET_RE.search(tree))
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "rank",
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """Exact dense 1-based global rank by ``order_cols`` WITHOUT a
+    partitionless window — the same textbook construction as
+    curriculum_phases (range-partition sort shuffle → per-partition
+    ``row_number`` → broadcast cumulative offsets), factored out for
+    any operator that needs a total order at corpus scale (e.g. the
+    vocabulary coverage curve ranks token counts).  The only driver
+    materialization is one count per range partition.
+
+    ``order_cols``: list of Column expressions (with asc/desc already
+    applied) defining the total order; make it a TOTAL order (include a
+    tiebreaker) or equal rows receive an arbitrary but deterministic
+    relative rank.  Deterministic input lineage is required for the
+    default no-persist two-pass (see curriculum_phases' determinism
+    note); aggregated/grouped inputs — the common case — qualify."""
+    spark = df.sparkSession
+    nparts = rank_partitions or max(
+        2, spark.sparkContext.defaultParallelism
+    )
+    ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    if not counts:
+        return df.withColumn(rank_name, F.lit(1).cast("long")).limit(0)
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __off long")
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.join(off_df, "__pid")
+        .withColumn(
+            rank_name, F.row_number().over(w) + F.col("__off")
+        )
+        .drop("__pid", "__off")
+    )
+
+
 def uniform_sample_exact(
     df: DataFrame, id_col: str, k: int, seed: str = "usample"
 ) -> DataFrame:

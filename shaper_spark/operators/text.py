@@ -26,6 +26,7 @@ __all__ = [
     "bigram_lm_scores",
     "gopher_quality_filter",
     "zipf_slope",
+    "vocab_coverage_curve",
     "LANG_STOPWORDS",
 ]
 
@@ -642,4 +643,83 @@ def winnow_fingerprints(
     )
     return picked.join(grams, ["id", "pos"]).select(
         "id", "pos", F.col("h").alias("fp_hash")
+    )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str,
+    cutoffs: tuple[int, ...] = (1, 5, 10, 20, 50, 100),
+) -> DataFrame:
+    """Tokenizer-sizing report: for each vocabulary cutoff V, the share
+    of all token OCCURRENCES covered by the V most frequent tokens —
+    the curve a tokenizer/vocab-truncation decision reads (what OOV
+    rate does a 32k vs 64k vocab buy?).
+
+    Returns (cutoff, vocab_size, covered_tokens, total_tokens,
+    coverage), one row per cutoff, ordered.  ``coverage`` is rounded to
+    6 dp so it replays bit-identically in the oracle.
+
+    Scale shape: token counts are a vocabulary-sized frame (≪ corpus),
+    but a vocabulary can still be hundreds of millions of entries at
+    100 TB (typos, unicode junk), so ranking by frequency must NOT be a
+    partitionless window — this uses :func:`sampling.global_rank`
+    (range-partition sort shuffle + per-partition row_number +
+    broadcast offsets; determinism holds because the input is an
+    aggregate).  The curve itself is ONE aggregate over the ranked
+    vocab (a conditional sum per cutoff), so adding cutoffs costs
+    nothing."""
+    from .sampling import global_rank
+
+    if not cutoffs or any(c <= 0 for c in cutoffs):
+        raise ValueError("vocab_coverage_curve: cutoffs must be > 0")
+    cuts = sorted(set(int(c) for c in cutoffs))
+    tokens = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = global_rank(
+        counts,
+        [F.col("cnt").desc(), F.col("token").asc()],
+        rank_name="rank",
+    )
+    agg = ranked.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__vocab"),
+        *[
+            F.sum(
+                F.when(F.col("rank") <= v, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"__c{v}")
+            for v in cuts
+        ],
+    )
+    curve = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("cutoff"),
+                F.col(f"__c{v}").alias("covered_tokens"),
+            )
+            for v in cuts
+        ]
+    )
+    return (
+        agg.select(
+            F.explode(curve).alias("__s"), "__total", "__vocab"
+        )
+        .select(
+            F.col("__s.cutoff").alias("cutoff"),
+            F.col("__vocab").alias("vocab_size"),
+            F.col("__s.covered_tokens").alias("covered_tokens"),
+            F.col("__total").alias("total_tokens"),
+            F.round(
+                F.col("__s.covered_tokens").cast("double")
+                / F.col("__total"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("cutoff")
     )

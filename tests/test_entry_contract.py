@@ -42,11 +42,16 @@ def test_prefix_50_covers_the_diverse_surface():
         # round-3 first-class operators
         "range_join_windows", "rollup_daily_cascade", "doc_split_counts",
         # round-4 first-class operators (rotated in per the README
-        # window policy, displacing 2x-passed SQL-string entries)
+        # window policy, displacing 2x-passed SQL-string entries;
+        # source_mix_weights/doc_length_histogram earned 2 green rounds
+        # by r05 and rotated out in round 6 with explain_plan
+        # (rows-only by nature) for the round-6 operators below)
         "text_repetition", "pii_scrub_customers", "decontam_ngrams",
-        "dedup_clusters", "source_mix_weights", "doc_length_histogram",
+        "dedup_clusters",
         "weighted_sample_docs", "tfidf_top_terms", "hll_distinct_users",
-        "explain_plan",
+        # round-6 first-class operators
+        "vocab_coverage_curve", "source_overlap_matrix",
+        "embedding_covariance",
         # round-4 late additions (this session)
         "dup_span_stats", "doc_lm_scores", "shard_assign_counts",
         "token_budget_alloc", "gopher_filter_report", "dedup_normalized",

@@ -1,0 +1,134 @@
+"""Round-6 operators: embedding covariance (mapInPandas partials),
+vocabulary coverage curve (distributed rank), source overlap matrix
+(posting-list self-join)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy_population_covariance(self, spark):
+        from shaper_spark.operators.linalg import embedding_covariance
+
+        rows = [(i, [float(i % 5), float(i % 3), float(i)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "id long, v array<float>")
+        out = embedding_covariance(df, "v", 3).collect()
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        C = (X.T @ X) / len(X) - np.outer(X.mean(0), X.mean(0))
+        assert len(out) == 6  # upper triangle of 3x3
+        for r in out:
+            assert r["i"] <= r["j"]
+            assert abs(C[r["i"], r["j"]] - r["cov"]) < 1e-5
+
+    def test_single_row_zero_covariance(self, spark):
+        from shaper_spark.operators.linalg import embedding_covariance
+
+        df = spark.createDataFrame([(1, [2.0, 3.0])], "id long, v array<float>")
+        out = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(df, "v", 2).collect()}
+        assert out == {(0, 0): 0.0, (0, 1): 0.0, (1, 1): 0.0}
+
+    def test_rejects_bad_dim(self, spark):
+        from shaper_spark.operators.linalg import embedding_covariance
+
+        with pytest.raises(ValueError):
+            embedding_covariance(spark.range(1), "v", 0)
+
+    def test_plan_has_no_rowwise_explode(self, spark):
+        # the whole point: partials cross Arrow once per partition; the
+        # only explodes in the plan are over the d/d^2-sized PARTIAL
+        # arrays, after the Python stage — assert the Python crossing
+        # sits directly on the projected input (no Expand/Generate
+        # between scan and mapInPandas)
+        from shaper_spark.operators.linalg import embedding_covariance
+
+        df = spark.table("embeddings")
+        plan = (
+            embedding_covariance(df, "embedding", 64)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        before_python = plan.split("MapInPandas")[-1]
+        assert "Generate" not in before_python  # nothing explodes pre-Python
+
+
+class TestVocabCoverageCurve:
+    def test_small_corpus_exact(self, spark):
+        from shaper_spark.operators.text import vocab_coverage_curve
+
+        df = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b d")], "id long, text string"
+        )
+        out = {r["cutoff"]: r for r in vocab_coverage_curve(df, "text", (1, 2, 4)).collect()}
+        # counts: a=4, b=3, c=1, d=1 (total 9, vocab 4)
+        assert out[1]["covered_tokens"] == 4
+        assert out[2]["covered_tokens"] == 7
+        assert out[4]["covered_tokens"] == 9
+        assert out[4]["coverage"] == 1.0
+        assert all(r["vocab_size"] == 4 and r["total_tokens"] == 9 for r in out.values())
+
+    def test_tie_break_deterministic(self, spark):
+        from shaper_spark.operators.text import vocab_coverage_curve
+
+        # c and d tie at count 1: rank orders by (cnt desc, token asc),
+        # so cutoff 3 covers a,b,c — deterministic across runs
+        df = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b d")], "id long, text string"
+        )
+        a = vocab_coverage_curve(df, "text", (3,)).collect()[0]
+        b = vocab_coverage_curve(df, "text", (3,)).collect()[0]
+        assert a["covered_tokens"] == b["covered_tokens"] == 8
+
+    def test_rejects_bad_cutoffs(self, spark):
+        from shaper_spark.operators.text import vocab_coverage_curve
+
+        with pytest.raises(ValueError):
+            vocab_coverage_curve(spark.range(1), "text", (0,))
+
+    def test_no_partitionless_window(self, spark):
+        from shaper_spark.operators.text import vocab_coverage_curve
+
+        plan = (
+            vocab_coverage_curve(spark.table("documents"), "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "No Partition Defined" not in plan
+
+
+class TestSourceOverlapMatrix:
+    def test_shared_grams_counted_once_per_pair(self, spark):
+        from shaper_spark.operators.decontam import source_overlap_matrix
+
+        text = "w1 w2 w3 w4 w5 w6 w7 w8"
+        df = spark.createDataFrame(
+            [
+                (1, text, "s1"),
+                (2, text, "s2"),
+                (3, text, "s2"),  # same source twice: still ONE pair row
+                (4, "x1 x2 x3 x4 x5 x6 x7 x8", "s3"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = source_overlap_matrix(df, "doc_id", "text", "source").collect()
+        assert [(r["source_a"], r["source_b"], r["n_shared_grams"]) for r in out] == [
+            ("s1", "s2", 1)
+        ]
+
+    def test_max_df_drops_boilerplate(self, spark):
+        from shaper_spark.operators.decontam import source_overlap_matrix
+
+        text = "w1 w2 w3 w4 w5 w6 w7 w8"
+        rows = [(i, text, f"s{i % 2}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        # the gram appears in 10 docs; cap at 5 removes it entirely
+        assert source_overlap_matrix(df, "doc_id", "text", "source", max_df=5).count() == 0
+        assert source_overlap_matrix(df, "doc_id", "text", "source", max_df=None).count() == 1
+
+    def test_no_cartesian_in_plan(self, spark):
+        from shaper_spark.operators.decontam import source_overlap_matrix
+
+        plan = (
+            source_overlap_matrix(spark.table("documents"), "doc_id", "text", "source")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
