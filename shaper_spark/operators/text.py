@@ -663,13 +663,15 @@ def vocab_coverage_curve(
     Scale shape: token counts are a vocabulary-sized frame (≪ corpus),
     but a vocabulary can still be hundreds of millions of entries at
     100 TB (typos, unicode junk), so ranking by frequency must NOT be a
-    partitionless window — this uses :func:`sampling.global_rank`
-    (range-partition sort shuffle + per-partition row_number +
-    broadcast offsets; determinism holds because the input is an
-    aggregate).  The curve itself is ONE aggregate over the ranked
-    vocab (a conditional sum per cutoff), so adding cutoffs costs
-    nothing."""
-    from .sampling import global_rank
+    partitionless window over the vocab.  Only the top ``max(cutoffs)``
+    tokens matter, and cutoffs are small constants — so the ranking is
+    ``orderBy().limit(max_cutoff)`` (Spark plans TakeOrderedAndProject:
+    per-partition top-k then a k-bounded merge, no global sort) and the
+    row_number window runs over that ≤ max_cutoff-row frame — bounded
+    by construction, like UniMax's group frame.  Both the top-k and the
+    vocab totals re-read the SAME token-count aggregate, whose exchange
+    Spark reuses (ReuseExchange) — one corpus pass, one job."""
+    from pyspark.sql import Window
 
     if not cutoffs or any(c <= 0 for c in cutoffs):
         raise ValueError("vocab_coverage_curve: cutoffs must be > 0")
@@ -680,23 +682,32 @@ def vocab_coverage_curve(
     counts = tokens.groupBy("token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    ranked = global_rank(
-        counts,
-        [F.col("cnt").desc(), F.col("token").asc()],
-        rank_name="rank",
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    top = counts.orderBy(*order).limit(cuts[-1])
+    ranked = top.withColumn(
+        # Window over ≤ max(cutoffs) rows (the limit above) — bounded
+        # by construction; never the full vocabulary.
+        "rank",
+        F.row_number().over(Window.orderBy(*order)),
     )
-    agg = ranked.agg(
-        F.sum("cnt").alias("__total"),
-        F.count(F.lit(1)).alias("__vocab"),
+    cov = ranked.agg(
         *[
-            F.sum(
-                F.when(F.col("rank") <= v, F.col("cnt")).otherwise(
-                    F.lit(0)
-                )
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("rank") <= v, F.col("cnt")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0).cast("long"),
             ).alias(f"__c{v}")
             for v in cuts
-        ],
+        ]
     )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    agg = cov.crossJoin(F.broadcast(totals))
     curve = F.array(
         *[
             F.struct(

@@ -84,14 +84,49 @@ class TestVocabCoverageCurve:
         with pytest.raises(ValueError):
             vocab_coverage_curve(spark.range(1), "text", (0,))
 
-    def test_no_partitionless_window(self, spark):
+    def test_topk_is_bounded_no_global_sort(self, spark):
+        # the ranking must be TakeOrderedAndProject (per-partition top-k
+        # + k-bounded merge) — the row_number window then runs over a
+        # ≤ max(cutoffs)-row frame, bounded by construction; the full
+        # vocabulary never passes through a sort or a window
         from shaper_spark.operators.text import vocab_coverage_curve
 
         plan = (
             vocab_coverage_curve(spark.table("documents"), "text")
             ._jdf.queryExecution().executedPlan().toString()
         )
-        assert "No Partition Defined" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestGlobalRank:
+    def test_matches_row_number_semantics(self, spark):
+        from pyspark.sql import Window
+
+        from shaper_spark.operators.sampling import global_rank
+
+        df = spark.range(200).selectExpr(
+            "id", "cast(id % 7 as double) AS score"
+        )
+        order = [F.col("score").desc(), F.col("id").asc()]
+        got = {
+            r["id"]: r["rk"]
+            for r in global_rank(df, order, rank_name="rk").collect()
+        }
+        want = {
+            r["id"]: r["rk"]
+            for r in df.withColumn(
+                "rk", F.row_number().over(Window.orderBy(*order))
+            ).collect()
+        }
+        assert got == want
+
+    def test_empty_input(self, spark):
+        from shaper_spark.operators.sampling import global_rank
+
+        df = spark.range(0).selectExpr("id", "id AS score")
+        assert (
+            global_rank(df, [F.col("score").asc()], "rk").count() == 0
+        )
 
 
 class TestSourceOverlapMatrix:
