@@ -1712,6 +1712,90 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (shaper_spark/operators/dedup.py):
+    hash-split the corpus 80/20 into existing/new, then classify every
+    new doc — exact hash vs corpus, exact hash vs earlier batch doc,
+    or posting-list Jaccard >= 0.5 vs any corpus doc."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.dedup import incremental_dedup
+    from shaper_spark.operators.sampling import hash_split
+
+    _prep(spark, sf_dir)
+    docs = hash_split(
+        spark.table("documents"), "doc_id", {"corpus": 0.8, "batch": 0.2},
+        seed="inc",
+    )
+    return incremental_dedup(
+        docs.filter(F.col("split") == "corpus"),
+        docs.filter(F.col("split") == "batch"),
+        "doc_id",
+        "text",
+        k=3,
+        threshold=0.5,
+        max_df=50,
+    )
+
+
+INCREMENTAL_DEDUP_DUCK = """
+WITH u AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+lab AS (SELECT doc_id, text,
+               CASE WHEN u < 0.8 THEN 'corpus' ELSE 'batch' END AS split
+        FROM u),
+norm AS (
+  SELECT doc_id, split,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+  FROM lab
+),
+bh AS (SELECT doc_id, h FROM norm WHERE split = 'batch'),
+ch AS (SELECT DISTINCT h FROM norm WHERE split = 'corpus'),
+ec AS (SELECT doc_id FROM bh WHERE h IN (SELECT h FROM ch)),
+bw AS (SELECT h, min(doc_id) AS w FROM bh GROUP BY h),
+eb AS (SELECT bh.doc_id FROM bh JOIN bw USING (h) WHERE bh.doc_id <> bw.w),
+words AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM lab),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, split, shingle FROM sh WHERE len(shingle) > 0),
+bp AS (SELECT doc_id, shingle FROM sh2 WHERE split = 'batch'),
+cp0 AS (SELECT doc_id, shingle FROM sh2 WHERE split = 'corpus'),
+hot AS (SELECT shingle FROM cp0 GROUP BY shingle HAVING count(*) > 50),
+cp AS (SELECT * FROM cp0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+bs AS (SELECT doc_id, count(*) AS nb FROM bp GROUP BY doc_id),
+cs AS (SELECT doc_id, count(*) AS nc FROM cp GROUP BY doc_id),
+inter AS (
+  SELECT bp.doc_id AS bid, cp.doc_id AS cid, count(*) AS i
+  FROM bp JOIN cp ON bp.shingle = cp.shingle GROUP BY 1, 2
+),
+nearc AS (
+  SELECT DISTINCT bid AS doc_id
+  FROM inter JOIN bs ON bs.doc_id = inter.bid
+             JOIN cs ON cs.doc_id = inter.cid
+  WHERE i * 1.0 / (nb + nc - i) >= 0.5
+)
+SELECT b.doc_id AS id,
+       (b.doc_id NOT IN (SELECT doc_id FROM ec)
+        AND b.doc_id NOT IN (SELECT doc_id FROM eb)
+        AND b.doc_id NOT IN (SELECT doc_id FROM nearc)) AS keep,
+       CASE WHEN b.doc_id IN (SELECT doc_id FROM ec) THEN 'exact_corpus'
+            WHEN b.doc_id IN (SELECT doc_id FROM eb) THEN 'exact_batch'
+            WHEN b.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_corpus'
+       END AS reason
+FROM (SELECT doc_id FROM lab WHERE split = 'batch') b
+ORDER BY id
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution (shaper_spark/operators/graph.py):
     jaccard near-dup pairs → alternating large-star/small-star
@@ -3031,7 +3115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the distributed exact ranking), ``source_overlap_matrix``
     (pairwise cross-source shared-n-gram audit, posting-list join) and
     ``embedding_covariance`` (d×d covariance via per-partition numpy
-    partials in mapInPandas).  The five round-5 entries stay in the
+    partials in mapInPandas).  ``vocab_top_terms`` (identical-SQL
+    entry, green r03–r05) rotated out for
+    ``dedup_incremental_report`` (new-batch-vs-corpus dedup with
+    keep/reason verdicts).  The five round-5 entries stay in the
     prefix for their second official green round, per the r5 verdict."""
     return {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
@@ -3067,7 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": _q_weighted_sample,
         "tfidf_top_terms": _q_tfidf,
         "chunk_docs_sliding": _q_chunk_docs,
-        "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
+        "dedup_incremental_report": _q_incremental_dedup,
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_audio": _q_multimodal_audio,
@@ -3087,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
+        "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
         "source_mix_weights": _q_source_mix,
         "doc_length_histogram": _q_length_histogram,
         "explain_plan": _q_explain,
@@ -3213,6 +3301,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_ngrams": DECONTAM_DUCK,
         "dedup_clusters": DEDUP_CLUSTERS_DUCK,
         "vocab_coverage_curve": VOCAB_COVERAGE_DUCK,
+        "dedup_incremental_report": INCREMENTAL_DEDUP_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,
         "embedding_covariance": EMBEDDING_COV_DUCK,
         "weighted_sample_docs": WEIGHTED_SAMPLE_DUCK,

@@ -79,6 +79,7 @@ EXTRAS = [
     "vocab_coverage_curve",
     "source_overlap_matrix",
     "embedding_covariance",
+    "dedup_incremental_report",
 ]
 
 HEADLINE = [
@@ -280,6 +281,22 @@ def main() -> None:
             "NOT comparable to the re-executing DuckDB side)"
         ),
         "duckdb_total": round(sum(v for v in duck.values() if v > 0), 4),
+        # Symmetric serving-mode comparison: one "render" = all headline
+        # results served once. Spark serves from its computed-stage
+        # cache over unchanged data; the reference architecture
+        # re-executes DuckDB per render (it has no result cache) — that
+        # asymmetry is the SERVING story, stated as such, not smuggled
+        # into the execution headline above.
+        "serving_renders_per_sec": (
+            round(1.0 / serving_total, 2) if serving_total > 0 else None
+        ),
+        "duckdb_renders_per_sec": (
+            round(
+                1.0 / sum(v for v in duck.values() if v > 0), 2
+            )
+            if any(v > 0 for v in duck.values())
+            else None
+        ),
         "floor_query_sec": floor,
         "heavy_ratios": heavy_ratios,
         "light_residual_sec": light_residual,

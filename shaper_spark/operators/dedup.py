@@ -31,6 +31,7 @@ __all__ = [
     "embedding_near_dups",
     "normalize_text_expr",
     "dedup_exact_normalized",
+    "incremental_dedup",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -630,3 +631,100 @@ def embedding_near_dups(
     out = score(cand.distinct().join(va, "id_a").join(vb, "id_b"))
     out._cand = cand
     return out
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Daily-ingest dedup: which NEW documents survive against an
+    already-deduped corpus.  Returns one row per batch document:
+    (id, keep, reason) with ``reason`` ∈ {exact_corpus, exact_batch,
+    near_corpus, NULL} — NULL iff keep.  Drop rules, in precedence
+    order:
+
+      exact_corpus   normalized text hash already present in the corpus
+      exact_batch    an earlier (smaller-id) batch doc has the same hash
+      near_corpus    k-shingle Jaccard ≥ ``threshold`` with ANY corpus doc
+
+    Batch-internal NEAR-dups are deliberately out of scope — run the
+    batch through ``jaccard_pairs``+``apply_dedup`` separately; mixing
+    the two regimes makes the keep-set order-dependent.
+
+    Scale shape: the exact rules are hash semi-joins on md5 of the
+    normalized text (the corpus side reduces to DISTINCT hashes — a
+    narrow frame).  The near rule is the cross-table version of
+    ``jaccard_pairs``'s posting-list join: batch shingles ⋈ corpus
+    shingles on the shingle key (Σ df_batch·df_corpus pairs, bounded by
+    ``max_df`` on the CORPUS side — the side whose boilerplate
+    frequency is unbounded), |A∩B| from the join group-count, |A∪B|
+    from per-doc shingle counts.  The batch is the small side by nature
+    (one ingest window vs the whole corpus): only corpus-side postings
+    of shingles the batch actually mentions survive the join probe, and
+    predicate pushdown prunes corpus text columns to (id, text)."""
+    b_hash = batch.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text_expr(F.col(text_col))).alias("__h"),
+    )
+    c_hash = corpus.select(
+        F.md5(normalize_text_expr(F.col(text_col))).alias("__h")
+    ).distinct()
+    exact_corpus = b_hash.join(c_hash, "__h", "left_semi").select("id")
+    batch_winners = b_hash.groupBy("__h").agg(F.min("id").alias("__w"))
+    exact_batch = (
+        b_hash.join(batch_winners, "__h")
+        .filter(F.col("id") != F.col("__w"))
+        .select("id")
+    )
+
+    bp = shingle_tokens(batch, id_col, text_col, k)
+    cp = _df_capped(shingle_tokens(corpus, id_col, text_col, k), max_df)
+    b_sizes = bp.groupBy("id").agg(F.count(F.lit(1)).alias("__nb"))
+    c_sizes = cp.groupBy("id").agg(F.count(F.lit(1)).alias("__nc"))
+    inter = (
+        bp.select(F.col("id").alias("__bid"), "shingle")
+        .join(cp.select(F.col("id").alias("__cid"), "shingle"), "shingle")
+        .groupBy("__bid", "__cid")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    near_corpus = (
+        inter.join(
+            b_sizes.select(F.col("id").alias("__bid"), "__nb"), "__bid"
+        )
+        .join(c_sizes.select(F.col("id").alias("__cid"), "__nc"), "__cid")
+        .filter(
+            F.col("__i")
+            / (F.col("__nb") + F.col("__nc") - F.col("__i"))
+            >= threshold
+        )
+        .select(F.col("__bid").alias("id"))
+        .distinct()
+    )
+
+    flag = lambda ids, name: ids.select(  # noqa: E731
+        "id", F.lit(True).alias(name)
+    ).distinct()
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(flag(exact_corpus, "__ec"), "id", "left")
+        .join(flag(exact_batch, "__eb"), "id", "left")
+        .join(flag(near_corpus, "__nc"), "id", "left")
+        .select(
+            "id",
+            (
+                F.col("__ec").isNull()
+                & F.col("__eb").isNull()
+                & F.col("__nc").isNull()
+            ).alias("keep"),
+            F.when(F.col("__ec"), F.lit("exact_corpus"))
+            .when(F.col("__eb"), F.lit("exact_batch"))
+            .when(F.col("__nc"), F.lit("near_corpus"))
+            .alias("reason"),
+        )
+        .orderBy("id")
+    )

@@ -51,7 +51,7 @@ def test_prefix_50_covers_the_diverse_surface():
         "weighted_sample_docs", "tfidf_top_terms", "hll_distinct_users",
         # round-6 first-class operators
         "vocab_coverage_curve", "source_overlap_matrix",
-        "embedding_covariance",
+        "embedding_covariance", "dedup_incremental_report",
         # round-4 late additions (this session)
         "dup_span_stats", "doc_lm_scores", "shard_assign_counts",
         "token_budget_alloc", "gopher_filter_report", "dedup_normalized",

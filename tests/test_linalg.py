@@ -167,3 +167,88 @@ class TestSourceOverlapMatrix:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIncrementalDedup:
+    def test_all_three_drop_reasons(self, spark):
+        from shaper_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog and then runs home"),
+                (2, "completely different corpus content here now"),
+            ],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                # exact vs corpus (normalization catches case/punct)
+                (10, "The QUICK brown fox jumps over the lazy dog and then runs home!"),
+                # near-dup vs corpus doc 1 (only the LAST word changed:
+                # 10 of 11 trigrams shared -> jaccard 10/12 >= 0.5)
+                (11, "the quick brown fox jumps over the lazy dog and then runs away"),
+                # fresh content, duplicated inside the batch
+                (12, "novel words that match nothing else at all"),
+                (13, "novel words that match nothing else at all"),
+                # genuinely new
+                (14, "entirely new unrelated document body text"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: (r["keep"], r["reason"])
+            for r in incremental_dedup(
+                corpus, batch, "doc_id", "text", k=3, threshold=0.5
+            ).collect()
+        }
+        assert out[10] == (False, "exact_corpus")
+        assert out[11] == (False, "near_corpus")
+        assert out[12] == (True, None)  # batch winner (lowest id)
+        assert out[13] == (False, "exact_batch")
+        assert out[14] == (True, None)
+
+    def test_exact_corpus_takes_precedence(self, spark):
+        from shaper_spark.operators.dedup import incremental_dedup
+
+        txt = "alpha beta gamma delta epsilon zeta"
+        corpus = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(10, txt), (11, txt)], "doc_id long, text string"
+        )
+        out = {
+            r["id"]: r["reason"]
+            for r in incremental_dedup(
+                corpus, batch, "doc_id", "text"
+            ).collect()
+        }
+        # both match the corpus exactly — corpus reason wins over batch
+        assert out == {10: "exact_corpus", 11: "exact_corpus"}
+
+    def test_max_df_caps_corpus_side(self, spark):
+        from shaper_spark.operators.dedup import incremental_dedup
+
+        txt = "common shingle text repeated in every document"
+        corpus = spark.createDataFrame(
+            [(i, txt + f" tail{i} x y z w") for i in range(20)],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, txt + " tailnew a b c d")], "doc_id long, text string"
+        )
+        # with the hot shingles capped away, nothing clears the bar
+        capped = incremental_dedup(
+            corpus, batch, "doc_id", "text", k=3, threshold=0.5, max_df=5
+        ).collect()
+        assert capped[0]["keep"] is True
+
+    def test_no_cartesian_in_plan(self, spark):
+        from shaper_spark.operators.dedup import incremental_dedup
+
+        corpus = spark.table("documents").limit(50)
+        batch = spark.table("documents").limit(10)
+        plan = (
+            incremental_dedup(corpus, batch, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
