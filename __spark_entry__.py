@@ -117,7 +117,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 Q3_SHIPPING = """
-SELECT /*+ BROADCAST(customer, orders) */ l_orderkey,
+SELECT l_orderkey,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
@@ -132,7 +132,7 @@ LIMIT 10
 """
 
 Q5_REGION_REVENUE = """
-SELECT /*+ BROADCAST(region, nation, customer, orders) */ r_name, n_name,
+SELECT r_name, n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM region
 JOIN nation ON n_regionkey = r_regionkey

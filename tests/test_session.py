@@ -68,3 +68,27 @@ def test_prep_on_vanilla_like_session(spark, sf_dir):
     df = entry.queries()["events_hourly"](clone, sf_dir)
     assert df.count() > 0
     assert clone.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
+class TestInteractiveProfile:
+    def test_child_shares_context_own_conf(self, spark):
+        from shaper_spark.session import interactive_session
+
+        child = interactive_session(spark)
+        assert child is not spark
+        assert child.sparkContext is spark.sparkContext
+        assert child.conf.get("spark.sql.adaptive.enabled") == "false"
+        # the batch parent keeps AQE (the 100 TB skew story)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        # engine-required runtime confs propagated to the child
+        assert child.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    def test_child_plans_without_aqe(self, spark):
+        from shaper_spark.session import interactive_session
+
+        child = interactive_session(spark)
+        plan = (
+            child.sql("SELECT id % 3 AS k, count(*) c FROM range(100) GROUP BY 1")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "AdaptiveSparkPlan" not in plan
