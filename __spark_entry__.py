@@ -794,6 +794,79 @@ FROM r WHERE rn <= {k} ORDER BY query_id, rank
 """
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@k audit (shaper_spark/operators/similarity.py):
+    LSH top-5 vs exact brute-force top-5 per query — the
+    calibration readout a pipeline runs before trusting an ANN index.
+    Fully deterministic (seeded hyperplanes, id tiebreaks), so the
+    report replays end-to-end in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.similarity import ann_recall
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter("vec_id < 20")
+    return ann_recall(emb, queries, "vec_id", "embedding", k=5)
+
+
+def _ann_recall_duck(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    """DuckDB replay of ann_recall: exact top-k via cross join +
+    row_number, LSH side with the identical hyperplane literals as
+    _lsh_topk_duck, recall rollup from the (query, neighbor) overlap."""
+    import numpy as np
+
+    hyper = np.random.RandomState(seed).standard_normal((planes, dim))
+    terms = []
+    for p in range(planes):
+        lits = ", ".join(repr(x) for x in hyper[p])
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    cos = (
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) "
+        "* sqrt(list_dot_product(cv, cv)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+allc AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY {cos} DESC, neighbor_id) AS rn
+    FROM q0 CROSS JOIN allc WHERE query_id != neighbor_id)
+  WHERE rn <= {k}
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+cb AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY {cos} DESC, neighbor_id) AS rn
+    FROM qb JOIN cb USING (bucket) WHERE query_id != neighbor_id)
+  WHERE rn <= {k}
+),
+ne AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+nh AS (SELECT ex.query_id, count(*) AS n_hit
+       FROM ex JOIN ap ON ex.query_id = ap.query_id
+                      AND ex.neighbor_id = ap.neighbor_id
+       GROUP BY 1)
+SELECT ne.query_id, {k} AS k,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(n_hit, 0) * 1.0 / n_exact, 6) AS recall
+FROM ne LEFT JOIN nh USING (query_id) ORDER BY ne.query_id
+"""
+
+
 def _q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SUMMARIZE emulation — dialect statement handler (engine.py
     ``_run_summarize``).  For the differential gate we project the
@@ -3118,8 +3191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     partials in mapInPandas).  ``vocab_top_terms`` (identical-SQL
     entry, green r03–r05) rotated out for
     ``dedup_incremental_report`` (new-batch-vs-corpus dedup with
-    keep/reason verdicts).  The five round-5 entries stay in the
-    prefix for their second official green round, per the r5 verdict."""
+    keep/reason verdicts), and ``rollup_daily_cascade`` (green
+    r03–r05; ``stream_rollup_daily`` keeps the time-rollup family in
+    the prefix) out for ``ann_recall_report`` (LSH-vs-exact recall@k
+    audit, fully oracle-replayable).  The five round-5 entries stay in
+    the prefix for their second official green round, per the r5
+    verdict."""
     return {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -3162,7 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_alloc": _q_token_budget,
         "bpe_merges": _q_bpe_merges,
         "range_join_windows": _q_range_join,
-        "rollup_daily_cascade": _q_rollup_daily,
+        "ann_recall_report": _q_ann_recall,
         "doc_split_counts": _q_doc_split,
         "text_repetition": _q_repetition,
         "pii_scrub_customers": _q_pii_scrub,
@@ -3175,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
         "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
+        "rollup_daily_cascade": _q_rollup_daily,
         "source_mix_weights": _q_source_mix,
         "doc_length_histogram": _q_length_histogram,
         "explain_plan": _q_explain,
@@ -3302,6 +3380,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": DEDUP_CLUSTERS_DUCK,
         "vocab_coverage_curve": VOCAB_COVERAGE_DUCK,
         "dedup_incremental_report": INCREMENTAL_DEDUP_DUCK,
+        "ann_recall_report": _ann_recall_duck(),
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,
         "embedding_covariance": EMBEDDING_COV_DUCK,
         "weighted_sample_docs": WEIGHTED_SAMPLE_DUCK,

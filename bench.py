@@ -80,6 +80,7 @@ EXTRAS = [
     "source_overlap_matrix",
     "embedding_covariance",
     "dedup_incremental_report",
+    "ann_recall_report",
 ]
 
 HEADLINE = [

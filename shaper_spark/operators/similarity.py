@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .veckernel import hyperplane_bucket, pair_cosine
 
-__all__ = ["cosine_topk", "lsh_topk", "ivf_topk", "centroid_similarity"]
+__all__ = [
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "centroid_similarity",
+    "ann_recall",
+]
 
 # Driver-local strategy cutoff for cosine_topk, mirroring
 # dedup.NEARDUP_BYTES_BUDGET: when the whole corpus matrix fits in this
@@ -406,4 +412,64 @@ def centroid_similarity(
             .alias("cosine"),
         )
         .orderBy("group_a", "group_b")
+    )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Recall@k audit of the LSH ANN against exact brute-force cosine:
+    per query, how many of the TRUE top-k neighbors the approximate
+    index returned.  (query_id, k, n_exact, n_hit, recall) — ``n_exact``
+    can fall below k on tiny corpora; ``recall`` = n_hit / n_exact,
+    rounded to 6 dp.  This is the operator a pipeline runs before
+    trusting an ANN index for near-dup sweeps — the standard
+    recall-vs-cost calibration readout.
+
+    Scale shape: both sides reuse the existing operators (exact =
+    ``cosine_topk``'s per-partition matmul top-k with broadcast
+    queries; approx = ``lsh_topk``'s bucket equi-join), the overlap is
+    a LEFT SEMI join on (query_id, neighbor_id) — query-count-sized
+    frames, trivially broadcastable — and the rollup groups by query.
+    Deterministic end-to-end (seeded hyperplanes, id tiebreaks), so the
+    whole report replays in the DuckDB oracle."""
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = lsh_topk(
+        corpus, queries, id_col, vec_col, k=k,
+        planes=planes, dim=dim, seed=seed,
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(
+        approx, ["query_id", "neighbor_id"], "left_semi"
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(k).alias("k"),
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias(
+                "n_hit"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
     )

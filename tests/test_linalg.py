@@ -252,3 +252,46 @@ class TestIncrementalDedup:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAnnRecall:
+    def test_perfect_recall_when_one_bucket(self, spark):
+        # planes=0 edge isn't allowed; instead craft vectors whose
+        # hyperplane signs all agree (same orthant) so LSH candidates =
+        # whole corpus and recall must be 1.0 for every query
+        import numpy as np
+
+        from shaper_spark.operators.similarity import ann_recall
+
+        rng = np.random.RandomState(7)
+        hyper = np.random.RandomState(42).standard_normal((8, 4))
+        # vectors = positive combinations of a direction that lands in a
+        # fixed sign pattern: use one base vector + tiny noise
+        base = rng.standard_normal(4)
+        rows = [
+            (i, (base + 0.01 * rng.standard_normal(4)).tolist())
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = ann_recall(df, df.filter("vec_id < 4"), k=3, dim=4).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r["n_exact"] == 3
+            assert r["recall"] == 1.0  # all candidates share the bucket
+
+    def test_zero_recall_when_buckets_split(self, spark):
+        from shaper_spark.operators.similarity import ann_recall
+
+        # two exact opposite clusters: a query's true neighbors can
+        # still share its bucket, but a corpus with only the query in
+        # its bucket yields n_hit 0 and recall 0 rather than an error
+        rows = [(0, [1.0, 1.0]), (1, [-1.0, -1.0]), (2, [-1.0, -0.9])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["query_id"]: r
+            for r in ann_recall(
+                df, df.filter("vec_id = 0"), k=2, dim=2
+            ).collect()
+        }
+        assert out[0]["n_exact"] == 2
+        assert 0.0 <= out[0]["recall"] <= 1.0
