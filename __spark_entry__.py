@@ -796,10 +796,12 @@ FROM r WHERE rn <= {k} ORDER BY query_id, rank
 
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall@k audit (shaper_spark/operators/similarity.py):
-    LSH top-5 vs exact brute-force top-5 per query — the
-    calibration readout a pipeline runs before trusting an ANN index.
-    Fully deterministic (seeded hyperplanes, id tiebreaks), so the
-    report replays end-to-end in DuckDB."""
+    LSH top-5 vs exact brute-force top-5 per query, for a single-table
+    AND a 3-table index side by side — the calibration readout a
+    pipeline runs before choosing an ANN configuration (recall rises
+    1-(1-p^planes)^L with table count).  Fully deterministic (seeded
+    hyperplanes, id tiebreaks), so both reports replay end-to-end in
+    DuckDB."""
     from pyspark.sql import functions as F
 
     from shaper_spark.operators.similarity import ann_recall
@@ -809,27 +811,48 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter("vec_id < 20")
-    return ann_recall(emb, queries, "vec_id", "embedding", k=5)
+    out = None
+    for n_tables in (1, 3):
+        r = ann_recall(
+            emb, queries, "vec_id", "embedding", k=5, planes=4,
+            tables=n_tables,
+        ).select(F.lit(n_tables).alias("tables"), "*")
+        out = r if out is None else out.unionAll(r)
+    return out.orderBy("tables", "query_id")
 
 
-def _ann_recall_duck(planes: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
-    """DuckDB replay of ann_recall: exact top-k via cross join +
-    row_number, LSH side with the identical hyperplane literals as
-    _lsh_topk_duck, recall rollup from the (query, neighbor) overlap."""
+def _ann_recall_duck_one(
+    tables: int, planes: int = 4, dim: int = 64, seed: int = 42, k: int = 5
+) -> str:
+    """DuckDB replay of ann_recall for one table count: exact top-k via
+    cross join + row_number; candidates = DISTINCT union of per-table
+    bucket joins with the identical hyperplane literals (table t seeded
+    seed+t, matching lsh_topk); recall rollup from the overlap."""
     import numpy as np
 
-    hyper = np.random.RandomState(seed).standard_normal((planes, dim))
-    terms = []
-    for p in range(planes):
-        lits = ", ".join(repr(x) for x in hyper[p])
-        terms.append(
-            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
-            f"THEN {2 ** p} ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
     cos = (
         "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) "
         "* sqrt(list_dot_product(cv, cv)))"
+    )
+    buckets = []
+    for t in range(tables):
+        hyper = np.random.RandomState(seed + t).standard_normal(
+            (planes, dim)
+        )
+        terms = []
+        for p in range(planes):
+            lits = ", ".join(repr(x) for x in hyper[p])
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                f"THEN {2 ** p} ELSE 0 END)"
+            )
+        buckets.append(" + ".join(terms))
+    cand_unions = "\n    UNION ALL\n    ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+        f"    FROM (SELECT vec_id, {bk} AS bucket FROM e) q\n"
+        f"    JOIN (SELECT vec_id, {bk} AS bucket FROM e) c USING (bucket)\n"
+        f"    WHERE q.vec_id < 20 AND q.vec_id != c.vec_id"
+        for bk in buckets
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -843,15 +866,25 @@ ex AS (
     FROM q0 CROSS JOIN allc WHERE query_id != neighbor_id)
   WHERE rn <= {k}
 ),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
-qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
-cb AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM (
+    {cand_unions}
+  )
+),
+sc AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(qq.v, cc.v)
+           / (sqrt(list_dot_product(qq.v, qq.v))
+              * sqrt(list_dot_product(cc.v, cc.v))) AS cosd
+  FROM cand JOIN e qq ON qq.vec_id = cand.query_id
+            JOIN e cc ON cc.vec_id = cand.neighbor_id
+),
 ap AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (PARTITION BY query_id
-             ORDER BY {cos} DESC, neighbor_id) AS rn
-    FROM qb JOIN cb USING (bucket) WHERE query_id != neighbor_id)
+             ORDER BY cosd DESC, neighbor_id) AS rn
+    FROM sc)
   WHERE rn <= {k}
 ),
 ne AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
@@ -859,12 +892,22 @@ nh AS (SELECT ex.query_id, count(*) AS n_hit
        FROM ex JOIN ap ON ex.query_id = ap.query_id
                       AND ex.neighbor_id = ap.neighbor_id
        GROUP BY 1)
-SELECT ne.query_id, {k} AS k,
+SELECT {tables} AS tables, ne.query_id, {k} AS k,
        CAST(n_exact AS BIGINT) AS n_exact,
        CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
        round(coalesce(n_hit, 0) * 1.0 / n_exact, 6) AS recall
-FROM ne LEFT JOIN nh USING (query_id) ORDER BY ne.query_id
+FROM ne LEFT JOIN nh USING (query_id)
 """
+
+
+def _ann_recall_duck() -> str:
+    return (
+        "SELECT * FROM ("
+        + _ann_recall_duck_one(1)
+        + ") UNION ALL SELECT * FROM ("
+        + _ann_recall_duck_one(3)
+        + ") ORDER BY tables, query_id"
+    )
 
 
 def _q_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -202,35 +202,67 @@ def lsh_topk(
     planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
-    Sign pattern over `planes` seeded hyperplanes → bucket id; candidates
-    share the bucket; exact cosine re-rank inside the bucket. Recall
-    improves with fewer planes / multiple tables; this single-table
-    variant is the skeleton the multi-probe version reuses."""
+    Sign pattern over `planes` seeded hyperplanes → bucket id;
+    candidates share the bucket; exact cosine re-rank inside the
+    bucket.  ``tables`` > 1 is the standard recall lever: each table
+    gets an independent seeded hyperplane set (seed, seed+1, …), a
+    pair is a candidate when it collides in ANY table, and duplicate
+    collisions dedupe BEFORE the cosine re-rank (one scoring per
+    distinct pair).  Scale shape is unchanged — each row emits one
+    (table, bucket) key per table (a ×L fan-out of narrow key rows,
+    not of vectors' scoring work), the probe stays a bucket equi-join
+    with the broadcast query side, and recall rises as 1-(1-p^planes)^L.
+    Table 0 uses ``seed`` exactly, so tables=1 is bit-identical to the
+    historical single-table operator (oracle compatibility)."""
     import numpy as np
 
-    rng = np.random.RandomState(seed)
-    hyper = rng.standard_normal((planes, dim))
+    if tables <= 0:
+        raise ValueError("lsh_topk: tables must be >= 1")
+    hypers = [
+        np.random.RandomState(seed + t).standard_normal((planes, dim))
+        for t in range(tables)
+    ]
 
-    def bucket_expr(vec):
-        return hyperplane_bucket(vec, hyper)
+    def keyed(df, out_id):
+        base = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("__v")
+        )
+        tb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        hyperplane_bucket(F.col("__v"), hypers[t]).alias(
+                            "b"
+                        ),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("__tb")
+        return base.select(out_id, "__v", tb).select(
+            out_id,
+            "__v",
+            F.col("__tb.t").alias("__t"),
+            F.col("__tb.b").alias("bucket"),
+        )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), ["bucket"])
+    c = keyed(corpus, "neighbor_id").withColumnRenamed("__v", "cv")
+    q = keyed(queries, "query_id").withColumnRenamed("__v", "qv")
+    pairs = (
+        c.join(F.broadcast(q), ["__t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", pair_cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "qv", "cv")
+    )
+    if tables > 1:
+        # a pair colliding in several tables scores once
+        pairs = pairs.distinct()
+    scored = pairs.withColumn(
+        "cosine", pair_cosine(F.col("qv"), F.col("cv"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -424,6 +456,7 @@ def ann_recall(
     planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    tables: int = 1,
 ) -> DataFrame:
     """Recall@k audit of the LSH ANN against exact brute-force cosine:
     per query, how many of the TRUE top-k neighbors the approximate
@@ -445,7 +478,7 @@ def ann_recall(
     )
     approx = lsh_topk(
         corpus, queries, id_col, vec_col, k=k,
-        planes=planes, dim=dim, seed=seed,
+        planes=planes, dim=dim, seed=seed, tables=tables,
     ).select("query_id", "neighbor_id")
     hits = exact.join(
         approx, ["query_id", "neighbor_id"], "left_semi"

@@ -295,3 +295,28 @@ class TestAnnRecall:
         }
         assert out[0]["n_exact"] == 2
         assert 0.0 <= out[0]["recall"] <= 1.0
+
+    def test_multi_table_recall_dominates_single(self, spark):
+        import numpy as np
+
+        from shaper_spark.operators.similarity import ann_recall
+
+        rng = np.random.RandomState(3)
+        rows = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = df.filter("vec_id < 10")
+
+        def avg_recall(tables):
+            rs = ann_recall(
+                df, q, k=5, planes=4, dim=16, tables=tables
+            ).collect()
+            return sum(r["recall"] for r in rs) / len(rs)
+
+        # more tables can only ADD candidate pairs → recall is monotone
+        assert avg_recall(3) >= avg_recall(1)
+
+    def test_tables_param_validated(self, spark):
+        from shaper_spark.operators.similarity import lsh_topk
+
+        with pytest.raises(ValueError):
+            lsh_topk(spark.range(1), spark.range(1), tables=0)
