@@ -440,6 +440,71 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate-vs-exact calibration
+    (shaper_spark/operators/dedup.py): per LSH candidate pair, the
+    signature-based Jaccard estimate, the exact posting-list Jaccard,
+    and the absolute error — the readout that sizes num_hashes."""
+    from shaper_spark.operators.dedup import minhash_estimate_report
+
+    _prep(spark, sf_dir)
+    return minhash_estimate_report(
+        spark.table("documents"), "doc_id", "text",
+        k=3, num_hashes=8, bands=4,
+    )
+
+
+_MINHASH_EST_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+MINHASH_EST_DUCK = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+sig AS (
+  SELECT doc_id,
+  {_MINHASH_MINS}
+  FROM sh2 GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT id_a, id_b, ({_MINHASH_EST_MATCHES}) / 8.0 AS e
+  FROM cand JOIN sig sa ON sa.doc_id = id_a
+            JOIN sig sb ON sb.doc_id = id_b
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT id_a, id_b,
+         round(i * 1.0 / (ca.c + cb.c - i), 6) AS j
+  FROM inter JOIN cnt ca ON ca.doc_id = id_a
+             JOIN cnt cb ON cb.doc_id = id_b
+)
+SELECT est.id_a, est.id_b,
+       round(e, 6) AS est_jaccard,
+       round(coalesce(j, 0), 6) AS exact_jaccard,
+       round(abs(e - coalesce(j, 0)), 6) AS abs_err
+FROM est LEFT JOIN ex ON est.id_a = ex.id_a AND est.id_b = ex.id_b
+ORDER BY est.id_a, est.id_b
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shaper_spark.operators.dedup import simhash
 
@@ -3237,9 +3302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keep/reason verdicts), and ``rollup_daily_cascade`` (green
     r03–r05; ``stream_rollup_daily`` keeps the time-rollup family in
     the prefix) out for ``ann_recall_report`` (LSH-vs-exact recall@k
-    audit, fully oracle-replayable).  The five round-5 entries stay in
-    the prefix for their second official green round, per the r5
-    verdict."""
+    audit, fully oracle-replayable), and ``doc_split_counts`` (green
+    r04+r05; the sampling family keeps stratified/uniform/weighted in
+    the prefix) out for ``minhash_est_error`` (signature-estimate
+    calibration).  The five round-5 entries stay in the prefix for
+    their second official green round, per the r5 verdict."""
     return {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -3283,7 +3350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "range_join_windows": _q_range_join,
         "ann_recall_report": _q_ann_recall,
-        "doc_split_counts": _q_doc_split,
+        "minhash_est_error": _q_minhash_est,
         "text_repetition": _q_repetition,
         "pii_scrub_customers": _q_pii_scrub,
         "decontam_ngrams": _q_decontam,
@@ -3296,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # here has passed the official gate in a prior round --
         "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
         "rollup_daily_cascade": _q_rollup_daily,
+        "doc_split_counts": _q_doc_split,
         "source_mix_weights": _q_source_mix,
         "doc_length_histogram": _q_length_histogram,
         "explain_plan": _q_explain,
@@ -3424,6 +3492,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_curve": VOCAB_COVERAGE_DUCK,
         "dedup_incremental_report": INCREMENTAL_DEDUP_DUCK,
         "ann_recall_report": _ann_recall_duck(),
+        "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,
         "embedding_covariance": EMBEDDING_COV_DUCK,
         "weighted_sample_docs": WEIGHTED_SAMPLE_DUCK,

@@ -81,6 +81,7 @@ EXTRAS = [
     "embedding_covariance",
     "dedup_incremental_report",
     "ann_recall_report",
+    "minhash_est_error",
 ]
 
 HEADLINE = [

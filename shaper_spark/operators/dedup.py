@@ -32,6 +32,7 @@ __all__ = [
     "normalize_text_expr",
     "dedup_exact_normalized",
     "incremental_dedup",
+    "minhash_estimate_report",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -734,4 +735,71 @@ def incremental_dedup(
             .alias("reason"),
         )
         .orderBy("id")
+    )
+
+
+def minhash_estimate_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Calibration of the MinHash Jaccard ESTIMATE against the exact
+    value, over the LSH candidate pairs: (id_a, id_b, est_jaccard,
+    exact_jaccard, abs_err), ordered.  The companion to ann_recall —
+    run it before trusting a signature length: est error shrinks as
+    1/√num_hashes, and this report measures it on YOUR corpus instead
+    of assuming the bound.
+
+    est = (matching signature positions) / num_hashes — a static sum of
+    ``num_hashes`` codegen'd comparisons, no interpreted HOF.  exact
+    comes from the posting-list join (``jaccard_pairs`` at threshold 0)
+    LEFT-joined so band-collision false positives (candidates sharing
+    no shingle) report exact 0 instead of dropping out.  Everything is
+    md5-derived and deterministic, so the whole report replays in the
+    DuckDB oracle."""
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, k, num_hashes, bands, max_df
+    )
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, max_df)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
+    matches = None
+    for i in range(num_hashes):
+        term = F.when(
+            F.col("__sa")[i] == F.col("__sb")[i], F.lit(1)
+        ).otherwise(F.lit(0))
+        matches = term if matches is None else matches + term
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(num_hashes)).alias("__est"),
+        )
+    )
+    exact = jaccard_pairs(
+        df, id_col, text_col, k, threshold=0.0, max_df=max_df
+    ).select("id_a", "id_b", F.col("jaccard").alias("__ex"))
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("__est", 6).alias("est_jaccard"),
+            F.round(F.coalesce(F.col("__ex"), F.lit(0.0)), 6).alias(
+                "exact_jaccard"
+            ),
+            F.round(
+                F.abs(
+                    F.col("__est") - F.coalesce(F.col("__ex"), F.lit(0.0))
+                ),
+                6,
+            ).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
     )

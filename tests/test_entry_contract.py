@@ -40,7 +40,7 @@ def test_prefix_50_covers_the_diverse_surface():
         # session_window_agg earned 2 green rounds by r03 and rotated
         # out mid-round-4 for the new operators, per the README policy)
         # round-3 first-class operators
-        "range_join_windows", "doc_split_counts",
+        "range_join_windows",
         # round-4 first-class operators (rotated in per the README
         # window policy, displacing 2x-passed SQL-string entries;
         # source_mix_weights/doc_length_histogram earned 2 green rounds
@@ -52,7 +52,7 @@ def test_prefix_50_covers_the_diverse_surface():
         # round-6 first-class operators
         "vocab_coverage_curve", "source_overlap_matrix",
         "embedding_covariance", "dedup_incremental_report",
-        "ann_recall_report",
+        "ann_recall_report", "minhash_est_error",
         # round-4 late additions (this session)
         "dup_span_stats", "doc_lm_scores", "shard_assign_counts",
         "token_budget_alloc", "gopher_filter_report", "dedup_normalized",

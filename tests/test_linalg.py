@@ -320,3 +320,29 @@ class TestAnnRecall:
 
         with pytest.raises(ValueError):
             lsh_topk(spark.range(1), spark.range(1), tables=0)
+
+
+class TestMinhashEstimateReport:
+    def test_identical_docs_estimate_and_exact_one(self, spark):
+        from shaper_spark.operators.dedup import minhash_estimate_report
+
+        txt = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        df = spark.createDataFrame(
+            [(1, txt), (2, txt), (3, "q1 q2 q3 q4 q5 q6 q7 q8")],
+            "doc_id long, text string",
+        )
+        out = minhash_estimate_report(df, "doc_id", "text").collect()
+        row = [r for r in out if (r["id_a"], r["id_b"]) == (1, 2)]
+        assert row and row[0]["est_jaccard"] == 1.0
+        assert row[0]["exact_jaccard"] == 1.0
+        assert row[0]["abs_err"] == 0.0
+
+    def test_error_bounded_by_construction(self, spark):
+        from shaper_spark.operators.dedup import minhash_estimate_report
+
+        docs = spark.table("documents").limit(200)
+        out = minhash_estimate_report(docs, "doc_id", "text").collect()
+        for r in out:
+            assert 0.0 <= r["est_jaccard"] <= 1.0
+            assert 0.0 <= r["exact_jaccard"] <= 1.0
+            assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 2e-6
