@@ -17,7 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["embedding_covariance"]
+__all__ = [
+    "embedding_covariance",
+    "embedding_pca",
+    "embedding_pca_project",
+]
 
 
 def embedding_covariance(
@@ -104,3 +108,79 @@ def embedding_covariance(
         )
         .orderBy("i", "j")
     )
+
+
+def embedding_pca(
+    df: DataFrame, vec_col: str, dim: int, n_components: int
+):
+    """Fit PCA over an embedding column: returns ``(components,
+    explained_variance)`` — a (n_components × dim) float64 numpy matrix
+    of orthonormal principal axes (rows), eigenvalue-descending, and
+    the matching variance list.
+
+    Distribution boundary, stated precisely: the COVARIANCE is computed
+    distributed (:func:`embedding_covariance` — one pass of
+    per-partition matmul partials), and only the d×d matrix crosses to
+    the driver — bounded by the embedding dimension squared (64² =
+    4096 doubles here), never by the row count.  The eigendecomposition
+    of a d×d symmetric matrix is microseconds of driver numpy; shipping
+    it to the cluster would be pure overhead.  Sign convention: each
+    component's largest-|coordinate| entry is made positive, so the fit
+    is deterministic run-to-run (eigenvectors are otherwise only
+    defined up to sign)."""
+    import numpy as np
+
+    if not (0 < n_components <= dim):
+        raise ValueError(
+            "embedding_pca: need 0 < n_components <= dim"
+        )
+    cov = np.zeros((dim, dim), dtype=np.float64)
+    for r in embedding_covariance(df, vec_col, dim).collect():
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T.copy()
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    return comps, vals[order].tolist()
+
+
+def embedding_pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_components: int,
+) -> DataFrame:
+    """Project every embedding onto the corpus' top principal axes:
+    (id, proj array<double> of length n_components).  Fit is
+    :func:`embedding_pca` (distributed covariance, driver eig of the
+    bounded d×d matrix); the projection ships the small component
+    matrix inside the ``mapInPandas`` closure — one numpy matmul per
+    Arrow batch, no per-row Python, no join.  The dimensionality
+    reduction that precedes ANN indexing / near-dup sweeps when raw
+    embeddings are wider than the signal."""
+    import numpy as np
+
+    comps, _ = embedding_pca(df, vec_col, dim, n_components)
+
+    def project(batches):
+        import pandas as pd
+
+        w = comps.T  # dim × k
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            yield pd.DataFrame(
+                {"id": pdf["id"], "proj": list((x @ w))}
+            )
+
+    out = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(project, "id long, proj array<double>")
+    return out

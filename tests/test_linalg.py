@@ -346,3 +346,68 @@ class TestMinhashEstimateReport:
             assert 0.0 <= r["est_jaccard"] <= 1.0
             assert 0.0 <= r["exact_jaccard"] <= 1.0
             assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 2e-6
+
+
+class TestPca:
+    def test_components_orthonormal_and_variance_ordered(self, spark):
+        import numpy as np
+
+        from shaper_spark.operators.linalg import embedding_pca
+
+        rng = np.random.RandomState(0)
+        # anisotropic cloud: strong first axis
+        base = rng.standard_normal((300, 4)) * np.array([5.0, 2.0, 1.0, 0.1])
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(base)],
+            "id long, v array<double>",
+        )
+        comps, var = embedding_pca(df, "v", 4, 3)
+        assert comps.shape == (3, 4)
+        np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-6)
+        assert var[0] >= var[1] >= var[2] > 0
+        # first axis dominated by coordinate 0 (the 5.0 direction)
+        assert abs(comps[0][0]) > 0.9
+
+    def test_projection_matches_numpy(self, spark):
+        import numpy as np
+
+        from shaper_spark.operators.linalg import (
+            embedding_pca,
+            embedding_pca_project,
+        )
+
+        rng = np.random.RandomState(1)
+        X = rng.standard_normal((100, 5))
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(X)],
+            "id long, v array<double>",
+        )
+        comps, _ = embedding_pca(df, "v", 5, 2)
+        got = {
+            r["id"]: np.array(r["proj"])
+            for r in embedding_pca_project(df, "id", "v", 5, 2).collect()
+        }
+        want = X @ comps.T
+        for i in range(100):
+            np.testing.assert_allclose(got[i], want[i], atol=1e-6)
+
+    def test_fit_deterministic(self, spark):
+        import numpy as np
+
+        from shaper_spark.operators.linalg import embedding_pca
+
+        df = spark.table("embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        a, va = embedding_pca(df, "v", 64, 4)
+        b, vb = embedding_pca(df, "v", 64, 4)
+        np.testing.assert_allclose(a, b, atol=1e-9)
+        assert va == vb
+
+    def test_rejects_bad_components(self, spark):
+        from shaper_spark.operators.linalg import embedding_pca
+
+        with pytest.raises(ValueError):
+            embedding_pca(spark.range(1), "v", 4, 0)
+        with pytest.raises(ValueError):
+            embedding_pca(spark.range(1), "v", 4, 5)
