@@ -153,6 +153,7 @@ def embedding_pca_project(
     vec_col: str,
     dim: int,
     n_components: int,
+    whiten: bool = False,
 ) -> DataFrame:
     """Project every embedding onto the corpus' top principal axes:
     (id, proj array<double> of length n_components).  Fit is
@@ -161,10 +162,19 @@ def embedding_pca_project(
     matrix inside the ``mapInPandas`` closure — one numpy matmul per
     Arrow batch, no per-row Python, no join.  The dimensionality
     reduction that precedes ANN indexing / near-dup sweeps when raw
-    embeddings are wider than the signal."""
+    embeddings are wider than the signal.  ``whiten=True`` additionally
+    scales each axis by 1/√variance so the projected cloud is unit-
+    variance per component — the usual preprocessing before cosine/L2
+    indexes that assume isotropy (axes with ~zero variance are left
+    unscaled rather than exploded)."""
     import numpy as np
 
-    comps, _ = embedding_pca(df, vec_col, dim, n_components)
+    comps, variances = embedding_pca(df, vec_col, dim, n_components)
+    if whiten:
+        scale = np.array(
+            [1.0 / np.sqrt(v) if v > 1e-12 else 1.0 for v in variances]
+        )
+        comps = comps * scale[:, None]
 
     def project(batches):
         import pandas as pd

@@ -411,3 +411,23 @@ class TestPca:
             embedding_pca(spark.range(1), "v", 4, 0)
         with pytest.raises(ValueError):
             embedding_pca(spark.range(1), "v", 4, 5)
+
+    def test_whitened_projection_unit_variance(self, spark):
+        import numpy as np
+
+        from shaper_spark.operators.linalg import embedding_pca_project
+
+        rng = np.random.RandomState(5)
+        X = rng.standard_normal((400, 4)) * np.array([6.0, 3.0, 1.0, 0.5])
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(X)],
+            "id long, v array<double>",
+        )
+        proj = np.vstack([
+            r["proj"]
+            for r in embedding_pca_project(
+                df, "id", "v", 4, 3, whiten=True
+            ).collect()
+        ])
+        var = proj.var(axis=0)
+        np.testing.assert_allclose(var, np.ones(3), rtol=0.05)

@@ -279,3 +279,111 @@ class TestNormalizedDedupProperties:
             r["id"] for r in dedup_exact_normalized(df, "text", "id").collect()
         )
         assert got == want
+
+
+def _ref_coverage(texts: list[str], cutoffs: list[int]):
+    from collections import Counter
+
+    counts = Counter(
+        tok for t in texts for tok in t.split(" ") if tok
+    )
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    out = {}
+    for v in cutoffs:
+        covered = sum(c for _, c in ranked[:v])
+        out[v] = (len(counts), covered, total)
+    return out
+
+
+class TestVocabCoverageProperties:
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "dd", "ee", "fff"]),
+                min_size=1,
+                max_size=12,
+            ).map(" ".join),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_pure_python_reference(self, spark, texts):
+        from shaper_spark.operators.text import vocab_coverage_curve
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "id long, text string"
+        )
+        cutoffs = (1, 2, 4, 8)
+        got = {
+            r["cutoff"]: (
+                r["vocab_size"],
+                r["covered_tokens"],
+                r["total_tokens"],
+            )
+            for r in vocab_coverage_curve(df, "text", cutoffs).collect()
+        }
+        want = _ref_coverage(texts, list(cutoffs))
+        assert got == want
+
+
+def _ref_incremental(corpus: list[tuple[int, str]], batch: list[tuple[int, str]]):
+    """Exact-rule reference (near rule needs shingles; exercised with
+    k-gram-free short texts so near never fires)."""
+    import hashlib
+    import re
+
+    def norm(t):
+        t = re.sub(r"[^a-z0-9 ]", "", t.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    ch = {hashlib.md5(norm(t).encode()).hexdigest() for _, t in corpus}
+    out = {}
+    seen: dict[str, int] = {}
+    for i, t in sorted(batch):
+        h = hashlib.md5(norm(t).encode()).hexdigest()
+        if h in ch:
+            out[i] = "exact_corpus"
+        elif h in seen:
+            out[i] = "exact_batch"
+        else:
+            out[i] = None
+        seen.setdefault(h, i)
+    return out
+
+
+class TestIncrementalDedupProperties:
+    @given(
+        st.lists(
+            st.sampled_from(["alpha", "beta gamma", "Delta!", "epsilon zeta"]),
+            min_size=0,
+            max_size=6,
+        ),
+        st.lists(
+            st.sampled_from(["alpha", "beta gamma", "delta", "NEW thing"]),
+            min_size=1,
+            max_size=6,
+        ),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_exact_rules_match_reference(self, spark, ctexts, btexts):
+        from shaper_spark.operators.dedup import incremental_dedup
+
+        corpus = [(i, t) for i, t in enumerate(ctexts)]
+        batch = [(100 + i, t) for i, t in enumerate(btexts)]
+        cdf = spark.createDataFrame(
+            corpus or [(0, "placeholder")], "doc_id long, text string"
+        )
+        if not corpus:
+            cdf = cdf.limit(0)
+        bdf = spark.createDataFrame(batch, "doc_id long, text string")
+        # texts are < 3 words or unrelated → near_corpus cannot fire at
+        # the defaults (k=3 shingles need ≥3 words AND ≥0.5 jaccard)
+        got = {
+            r["id"]: r["reason"]
+            for r in incremental_dedup(
+                cdf, bdf, "doc_id", "text"
+            ).collect()
+        }
+        assert got == _ref_incremental(corpus, batch)
