@@ -36,6 +36,7 @@ __all__ = [
     "threshold_alert_stream",
     "dedup_stream",
     "rollup_stream",
+    "start_corpus_dedup_stream",
 ]
 
 SCHEMA_SAMPLE = 3000
@@ -356,3 +357,81 @@ def threshold_alert_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def start_corpus_dedup_stream(
+    stream_df: DataFrame,
+    corpus_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 50,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+    rejects_table: str | None = None,
+):
+    """Continuous corpus building with dedup-on-arrival: every
+    micro-batch of new documents is classified against the CURRENT
+    corpus table with :func:`operators.dedup.incremental_dedup` (exact
+    hash vs corpus, exact hash vs earlier-in-batch, k-gram Jaccard ≥
+    ``threshold`` vs corpus), survivors are appended to
+    ``corpus_table``, and (optionally) the dropped docs land in
+    ``rejects_table`` with their reason — the audit trail a curation
+    pipeline keeps.
+
+    ``foreachBatch`` on purpose: the batch body IS the batch operator
+    (one code path, the engine's streaming convention), each batch sees
+    the corpus as-of its start (batch-internal dups handled by the
+    exact_batch rule), and the append + plan-cache bump happen once per
+    batch.  The per-batch cost profile matches ``incremental_dedup``'s
+    broadcast-batch regime: a micro-batch is small by construction, so
+    the corpus gram stream is probed map-side and never shuffles.
+
+    Returns the StreamingQuery.  Exactly-once note: the appends are
+    idempotent per batch only if the checkpoint survives — reuse
+    ``checkpoint`` across restarts like every other sink here."""
+    from .operators.dedup import incremental_dedup
+    from .plancache import bump
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        corpus = spark.table(corpus_table)
+        # MATERIALIZE the verdict before mutating the corpus: the frame
+        # is lazy, and a post-append recomputation would classify
+        # against the corpus-plus-this-batch (an exact_batch dup of a
+        # kept doc would re-resolve to exact_corpus, and worse, a kept
+        # doc would suddenly look like a dup of itself).  The persist is
+        # micro-batch-sized (id, keep, reason — never text).
+        verdict = incremental_dedup(
+            corpus,
+            batch_df,
+            id_col,
+            text_col,
+            k=k,
+            threshold=threshold,
+            max_df=max_df,
+        ).persist()
+        try:
+            verdict.count()  # pin pre-mutation results
+            keep_ids = verdict.filter(F.col("keep")).select(
+                F.col("id").alias(id_col)
+            )
+            kept = batch_df.join(keep_ids, id_col, "left_semi")
+            if rejects_table is not None:
+                verdict.filter(~F.col("keep")).select(
+                    F.col("id").alias(id_col), "reason"
+                ).write.mode("append").insertInto(rejects_table)
+            kept.write.mode("append").insertInto(corpus_table)
+        finally:
+            verdict.unpersist()
+        bump()  # corpus mutated: flush memoized analyzed plans
+
+    writer = stream_df.writeStream.foreachBatch(body).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -413,3 +413,62 @@ class TestRollupStream:
         assert daily["n"] == len(vals)
         assert daily["total"] == sum(vals)
         assert daily["vmin"] == min(vals) and daily["vmax"] == max(vals)
+
+
+class TestCorpusDedupStream:
+    def test_dedup_on_arrival_builds_clean_corpus(self, spark, tmp_path):
+        import shutil
+        from urllib.parse import urlparse
+
+        from shaper_spark.streaming import start_corpus_dedup_stream
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in ("sc_corpus", "sc_rejects"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        spark.sql(
+            "CREATE TABLE sc_corpus (doc_id BIGINT, text STRING) USING parquet"
+        )
+        spark.sql(
+            "CREATE TABLE sc_rejects (doc_id BIGINT, reason STRING) USING parquet"
+        )
+        seed_txt = "the quick brown fox jumps over the lazy dog and then runs home"
+        spark.createDataFrame(
+            [(1, seed_txt)], "doc_id long, text string"
+        ).write.mode("append").insertInto("sc_corpus")
+
+        src = tmp_path / "incoming"
+        src.mkdir()
+        batch = [
+            (10, seed_txt),  # exact vs corpus
+            (11, "fresh words that appear nowhere else at all today"),
+            (12, "fresh words that appear nowhere else at all today"),  # exact vs 11
+            (13, "totally different new document body for the corpus"),
+        ]
+        spark.createDataFrame(
+            batch, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(str(src / "b1"))
+        q = start_corpus_dedup_stream(
+            stream,
+            "sc_corpus",
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger_available_now=True,
+            rejects_table="sc_rejects",
+        )
+        assert q.awaitTermination(120), "stream did not drain in time"
+
+        kept = sorted(
+            r["doc_id"] for r in spark.table("sc_corpus").collect()
+        )
+        assert kept == [1, 11, 13]  # 10 exact_corpus, 12 exact_batch
+        rejects = {
+            r["doc_id"]: r["reason"]
+            for r in spark.table("sc_rejects").collect()
+        }
+        assert rejects == {10: "exact_corpus", 12: "exact_batch"}
+        spark.sql("DROP TABLE sc_corpus")
+        spark.sql("DROP TABLE sc_rejects")
