@@ -977,6 +977,47 @@ def _run_query(
             _bump_attach()
             return [], []
         raise ValueError(f"Unsupported ATTACH/DETACH syntax: {sql_string!r}")
+    if upper.startswith("CHECKPOINT"):
+        # DuckDB CHECKPOINT flushes the WAL into the single database
+        # file (reference restore.go:229 issues it after IMPORT).  A
+        # Spark warehouse has no WAL; storage hygiene is explicit
+        # compaction (COMPACT TABLE below) — bare CHECKPOINT succeeds
+        # as a no-op for script parity.
+        return [], []
+    if upper.startswith("COMPACT TABLE"):
+        # Dialect extension (documented in MIGRATION.md): the
+        # small-files maintenance the reference never needs (single
+        # DuckDB file) but a parquet warehouse does.  Task-scope only —
+        # the read-only dashboard gate does not allow it.
+        from .compaction import compact_table
+
+        target = (
+            vars_.substitute(sql_string)
+            .strip()[len("COMPACT TABLE"):]
+            .strip()
+            .rstrip(";")
+            .strip()
+        )
+        report = compact_table(spark, target)
+        names_types = [
+            ("compacted", "boolean"),
+            ("n_files_before", "bigint"),
+            ("n_files_after", "bigint"),
+            ("total_bytes", "bigint"),
+            ("n_target_files", "bigint"),
+        ]
+        return [
+            Column(name=n, nullable=False, spark_type=t)
+            for n, t in names_types
+        ], [
+            [
+                report["compacted"],
+                report["n_files"],
+                report["after"]["n_files"],
+                report["total_bytes"],
+                report["n_target_files"],
+            ]
+        ]
     if upper.startswith(("UPDATE", "DELETE")):
         # Task DML on warehouse tables — copy-on-write rewrite (the
         # statement gate already confines these to tasks; reference

@@ -71,3 +71,52 @@ class TestCompaction:
     def test_rejects_bad_target(self, spark):
         with pytest.raises(ValueError):
             compact_table(spark, "whatever", target_file_bytes=0)
+
+
+class TestCompactTaskStatement:
+    def test_task_runs_compact_table(self, spark):
+        import shutil
+        from urllib.parse import urlparse
+
+        from shaper_spark.tasks import execute_task
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        spark.sql("DROP TABLE IF EXISTS cmp_task")
+        shutil.rmtree(f"{warehouse}/cmp_task", ignore_errors=True)
+        spark.sql("CREATE TABLE cmp_task (v BIGINT) USING parquet")
+        for i in range(6):
+            spark.range(4).toDF("v").coalesce(1).write.mode(
+                "append"
+            ).insertInto("cmp_task")
+
+        result = execute_task(spark, "COMPACT TABLE cmp_task;")
+        assert result.success, [q.error for q in result.queries]
+        q = result.queries[0]
+        assert q.result_columns == [
+            "compacted",
+            "n_files_before",
+            "n_files_after",
+            "total_bytes",
+            "n_target_files",
+        ]
+        row = q.result_rows[0]
+        assert row[0] is True and row[1] >= 6 and row[2] == 1
+        assert spark.table("cmp_task").count() == 24
+        spark.sql("DROP TABLE cmp_task")
+
+    def test_checkpoint_is_noop(self, spark):
+        from shaper_spark.tasks import execute_task
+
+        result = execute_task(spark, "CHECKPOINT;")
+        assert result.success
+        assert result.queries[0].result_rows == []
+
+    def test_dashboard_gate_rejects_compact(self, spark):
+        from shaper_spark.sqltool import (
+            is_allowed_statement,
+            is_allowed_task_statement,
+        )
+
+        assert not is_allowed_statement("COMPACT TABLE t")
+        assert is_allowed_task_statement("COMPACT TABLE t")
+        assert is_allowed_task_statement("CHECKPOINT")
