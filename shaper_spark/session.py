@@ -146,11 +146,23 @@ def interactive_session(spark: SparkSession) -> SparkSession:
     """
     child = spark.newSession()
     configure_runtime(child)
+    try:
+        cores = child.sparkContext.defaultParallelism
+    except Exception:
+        cores = 32
     for k, v in {
         "spark.sql.adaptive.enabled": "false",
-        # Without AQE there is no runtime coalescing: size the static
-        # shuffle partitioning to the core count (the engine's own
-        # default), which the parent builder already chose.
+        # Without AQE there is no runtime coalescing, so the static
+        # shuffle partitioning must fit the workload.  Serving
+        # statements aggregate to dashboard-sized results (the engine
+        # caps renders at 3000 rows), where exchange payloads are a few
+        # MB: cores/4 partitions cut per-stage task-launch count 4×
+        # with zero spill risk.  Interleaved same-process A/B at sf0.1,
+        # min-of-4, 32 cores: jaccard 1.00→0.82 s, events_hourly
+        # 0.50→0.26 s, sessionize 0.57→0.39 s, no query slower.  The
+        # batch parent keeps the full core count + AQE coalescing for
+        # the corpus operators.
+        "spark.sql.shuffle.partitions": str(max(8, cores // 4)),
     }.items():
         try:
             child.conf.set(k, v)
@@ -232,7 +244,7 @@ def load_parquet(spark: SparkSession, path: str, spread: bool = False):
     return _spread(spark, df, path) if spread else df
 
 
-def spread_for_compute(df):
+def spread_for_compute(df, min_bytes: int = 4 * 1024 * 1024):
     """Ensure map-side parallelism for CPU-heavy per-row operators
     (regex scans, shingling, vector kernels).
 
@@ -243,11 +255,32 @@ def spread_for_compute(df):
     the input but divides the per-row compute by the core count; for
     operators whose per-row work dominates scan cost that trade wins by
     an order of magnitude. On a real cluster inputs have ≥ parallelism
-    splits and this is a no-op."""
+    splits and this is a no-op.
+
+    Size-gated: below ``min_bytes`` (Catalyst's sizeInBytes estimate,
+    i.e. file bytes for a parquet scan) the per-row work is milliseconds
+    and the exchange is pure overhead — interleaved A/B at sf0.1
+    (594 KB documents): token_stats 0.45→0.29 s, quality 0.40→0.33 s
+    without the repartition, while the genuinely heavy ops were flat.
+    Inputs big enough for the serial map side to matter clear 4 MB by
+    orders of magnitude."""
     try:
         spark = df.sparkSession
         parallelism = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, parallelism // 2):
+        if df.rdd.getNumPartitions() >= max(2, parallelism // 2):
+            return df
+        try:
+            est = int(
+                str(
+                    df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            est = min_bytes  # unknown size: keep the historical spread
+        if est >= min_bytes:
             return df.repartition(parallelism)
     except Exception:
         pass
