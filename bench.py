@@ -251,6 +251,7 @@ def main() -> None:
     # where DuckDB itself does real work (>=0.5 s) — below that the
     # comparison measures the two engines' dispatch floors, not plans.
     floor = _measure_floor(spark)
+    scan_floor = _measure_scan_floor(spark)
     heavy_ratios = {
         k: round(timings[k] / duck[k], 3)
         for k in timings
@@ -300,6 +301,14 @@ def main() -> None:
             else None
         ),
         "floor_query_sec": floor,
+        # The test parquet is written as ONE row group per file, and
+        # parquet splits at row-group granularity: every Spark scan
+        # stage here is a single task regardless of config, while
+        # DuckDB parallelizes inside a row group. This field measures
+        # that serial map side directly (full 3-column lineitem
+        # scan+aggregate, best-of-5). Deployment-scale files carry many
+        # row groups and the scan stage parallelizes normally.
+        "serial_scan_floor_sec": scan_floor,
         "heavy_ratios": heavy_ratios,
         "light_residual_sec": light_residual,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -334,6 +343,24 @@ def _measure_floor(spark) -> float:
         t0 = time.perf_counter()
         spark.sql(
             "SELECT r_regionkey, count(*) AS c FROM region GROUP BY 1"
+        ).collect()
+        dt_ = time.perf_counter() - t0
+        if best < 0 or dt_ < best:
+            best = dt_
+    return round(best, 4)
+
+
+def _measure_scan_floor(spark) -> float:
+    """Best-of-5 of a full single-table scan+aggregate over the widest
+    fact table: with single-row-group test files this runs as ONE map
+    task (parquet splits at row-group granularity), so it bounds every
+    scan-side stage below from a serial read DuckDB does in parallel."""
+    best = -1.0
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.sql(
+            "SELECT sum(l_extendedprice * (1 - l_discount)) AS s,"
+            " count(*) AS c FROM lineitem"
         ).collect()
         dt_ = time.perf_counter() - t0
         if best < 0 or dt_ < best:
