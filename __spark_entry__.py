@@ -754,7 +754,7 @@ r AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
   FROM s
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+SELECT query_id, neighbor_id, round(cos, 6) + 0 AS cosine
 FROM r WHERE rn = 1 ORDER BY query_id
 """
 
@@ -880,7 +880,7 @@ r AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
   FROM s
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rn AS INTEGER) AS rank
+SELECT query_id, neighbor_id, round(cos, 6) + 0 AS cosine, CAST(rn AS INTEGER) AS rank
 FROM r WHERE rn <= {k} ORDER BY query_id, rank
 """
 
@@ -1515,7 +1515,7 @@ r AS (
          CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
   FROM s
 )
-SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank
+SELECT query_id, neighbor_id, round(cos, 6) + 0 AS cosine, rank
 FROM r WHERE rank <= 3 ORDER BY query_id, rank
 """
 
@@ -1914,7 +1914,7 @@ x AS (
   FROM embeddings e, idx a, idx b WHERE a.i <= b.i
 )
 SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
-       round(avg(xi * xj) - avg(xi) * avg(xj), 6) AS cov
+       round(avg(xi * xj) - avg(xi) * avg(xj), 6) + 0 AS cov
 FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -2788,7 +2788,7 @@ dots AS (
   SELECT a.g AS group_a, b.g AS group_b, sum(a.c * b.c) AS dot
   FROM cent a JOIN cent b USING (dim) WHERE a.g <= b.g GROUP BY 1, 2
 )
-SELECT group_a, group_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+SELECT group_a, group_b, round(dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
 FROM dots
 JOIN norms na ON na.g = group_a
 JOIN norms nb ON nb.g = group_b

@@ -99,11 +99,16 @@ def embedding_covariance(
         .select(
             "i",
             "j",
-            F.round(
-                F.col("so") / F.col("N")
-                - (F.col("__ssi") / F.col("N"))
-                * (F.col("__ssj") / F.col("N")),
-                6,
+            # + 0.0 canonicalizes -0.0 to 0.0 after rounding so the
+            # value hashes identically to the SQL oracle's round(...)+0.
+            (
+                F.round(
+                    F.col("so") / F.col("N")
+                    - (F.col("__ssi") / F.col("N"))
+                    * (F.col("__ssj") / F.col("N")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
         .orderBy("i", "j")

@@ -177,7 +177,8 @@ def _merge_topk(spark, candidates, k, out_schema):
     for qid, items in per_query.items():
         items.sort(key=lambda t: (-t[1], t[0]))
         for rank, (nid, cos) in enumerate(items[:k], start=1):
-            merged.append((qid, nid, round(float(cos), 6), rank))
+            # + 0.0 canonicalizes -0.0 after rounding (oracle parity)
+            merged.append((qid, nid, round(float(cos), 6) + 0.0, rank))
     merged.sort(key=lambda t: (t[0], t[3]))
     full_schema = out_schema + ", rank int"
     if not merged:
@@ -273,7 +274,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
+            (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
             "rank",
         )
     )
@@ -376,7 +377,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
+            (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
             "rank",
         )
     )
@@ -438,7 +439,8 @@ def centroid_similarity(
             # no defined direction — NULL, not NaN/±Inf
             F.when(
                 (F.col("na") * F.col("nb")) > 0,
-                F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6),
+                F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                + F.lit(0.0),
             )
             .otherwise(F.lit(None))
             .alias("cosine"),
