@@ -92,3 +92,19 @@ class TestInteractiveProfile:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "AdaptiveSparkPlan" not in plan
+
+    def test_operator_entry_serves_from_interactive_profile(
+        self, spark, sf_dir
+    ):
+        """A wrapped operator queries() entry (not _sql/_dialect) must
+        execute on the AQE-off serving child: its session is a child,
+        its executed plan has no AdaptiveSparkPlan node, and _prep on
+        the child must not have re-enabled AQE."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["text_token_stats"](spark, sf_dir)
+        sess = df.sparkSession
+        assert id(sess) in entry._CHILD_IDS
+        assert sess.conf.get("spark.sql.adaptive.enabled") == "false"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan" not in plan
