@@ -144,7 +144,8 @@ class ShaperServer:
                 sent = 0
                 try:
                     while not outer._flusher_stop.is_set():
-                        runs = outer.scheduler.results.get(task_id, [])
+                        # snapshot: the poll thread appends concurrently
+                        runs = list(outer.scheduler.results.get(task_id, []))
                         while sent < len(runs):
                             frame = _ws.encode_text_frame(
                                 json.dumps(runs[sent].to_dict(), default=str)
@@ -296,10 +297,12 @@ class ShaperServer:
                         after = int(qs.get("after", ["0"])[0] or 0)
                         wait = min(float(qs.get("wait", ["0"])[0] or 0), 30.0)
                         deadline = time.monotonic() + wait
-                        runs = outer.scheduler.results.get(parts[2], [])
+                        runs = list(outer.scheduler.results.get(parts[2], []))
                         while len(runs) <= after and time.monotonic() < deadline:
                             time.sleep(0.1)
-                            runs = outer.scheduler.results.get(parts[2], [])
+                            runs = list(
+                                outer.scheduler.results.get(parts[2], [])
+                            )
                         return self._json(
                             200, [r.to_dict() for r in runs[after:]]
                         )
@@ -371,9 +374,10 @@ class ShaperServer:
                             outer.spark, app["content"], variables=outer.variables
                         )
                         # visible to GET :id/runs and its long-poll
-                        outer.scheduler.results.setdefault(tid, []).append(
-                            result
-                        )
+                        with outer.scheduler._lock:
+                            outer.scheduler.results.setdefault(
+                                tid, []
+                            ).append(result)
                         outer.scheduler._record_run(tid, result)
                         return self._json(200, result.to_dict())
                     if len(parts) == 3 and parts[:2] == ["api", "download"]:

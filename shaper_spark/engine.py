@@ -1062,11 +1062,15 @@ def _run_query(
             # resolution depends on session state the cache key doesn't
             # carry — bypass the cache while a search path is active
             df = _sql_with_search_path(spark, rw.sql, vars_.search_path)
-            if not readonly_head:
+            if not readonly_head or (
+                head[0].upper() == "WITH" and plan_is_command(df)
+            ):
                 bump()  # command executed eagerly under the search path
         elif used_tablefuncs:
             df = spark.sql(rw.sql)
-            if not readonly_head:
+            if not readonly_head or (
+                head[0].upper() == "WITH" and plan_is_command(df)
+            ):
                 bump()
         elif readonly_head:
             df = analyzed(spark, rw.sql)

@@ -352,10 +352,10 @@ def curriculum_phases(
     # would see different rows and silently assign wrong phases, so
     # such lineage is detected on the analyzed plan (views inlined) and
     # auto-upgraded to the persisted path.  ``cache=True`` persists the
-    # ranged frame; the persist is released when the RETURNED DataFrame
-    # is garbage-collected (weakref finalizer) — callers that hold the
-    # result keep the cache, callers that drop it leak nothing (the r4
-    # advice's leak class).
+    # ranged frame; the cached frame rides on the returned DataFrame as
+    # ``result._cached`` so derived frames can't outlive the persist —
+    # release it explicitly (``result._cached.unpersist()``) after the
+    # last action, or let it live until session stop.
     release_on_gc = False
     if not cache and _plan_is_nondeterministic(scored):
         cache = True
@@ -408,17 +408,17 @@ def curriculum_phases(
         .select("id", "score", phase.alias("phase"), "order_key")
     )
     if release_on_gc:
-        import weakref
-
-        cached = ranged
-
-        def _release(frame=cached):
-            try:
-                frame.unpersist()
-            except Exception:
-                pass  # session already stopped
-
-        weakref.finalize(result, _release)
+        # Tie the persisted frame's lifetime to the returned frame with
+        # a STRONG reference (the embedding_near_dups `_cand` pattern) —
+        # NOT a weakref finalizer: a caller that immediately derives
+        # (curriculum_phases(df).filter(...)) drops the wrapper, and a
+        # finalizer would unpersist while the derived lineage still
+        # reads the cache; for nondeterministic input the re-execution
+        # would see different rows than the broadcast offsets were
+        # computed from and silently mis-phase. Callers wanting the
+        # memory back call result._cached.unpersist() after their last
+        # action; otherwise the cache lives until session stop.
+        result._cached = ranged
     return result
 
 

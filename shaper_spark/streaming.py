@@ -399,13 +399,17 @@ def start_corpus_dedup_stream(
             return
         spark = batch_df.sparkSession
         corpus = spark.table(corpus_table)
-        # MATERIALIZE the verdict before mutating the corpus: the frame
-        # is lazy, and a post-append recomputation would classify
-        # against the corpus-plus-this-batch (an exact_batch dup of a
-        # kept doc would re-resolve to exact_corpus, and worse, a kept
-        # doc would suddenly look like a dup of itself).  The persist is
-        # micro-batch-sized (id, keep, reason — never text).
-        verdict = incremental_dedup(
+        # MATERIALIZE the verdict before mutating the corpus, and pin it
+        # OFF the corpus lineage entirely: appending to corpus_table
+        # invalidates every cached plan that scans it (CacheManager
+        # refresh), so a persist() would silently recompute post-append
+        # and classify against the corpus-plus-this-batch (an
+        # exact_batch dup of a kept doc would re-resolve to
+        # exact_corpus, and a kept doc would look like a dup of
+        # itself).  The verdict is micro-batch-sized and 3 narrow
+        # columns (id, keep, reason — never text) by construction, so a
+        # driver-side pin is bounded.
+        verdict_df = incremental_dedup(
             corpus,
             batch_df,
             id_col,
@@ -413,20 +417,32 @@ def start_corpus_dedup_stream(
             k=k,
             threshold=threshold,
             max_df=max_df,
-        ).persist()
-        try:
-            verdict.count()  # pin pre-mutation results
-            keep_ids = verdict.filter(F.col("keep")).select(
-                F.col("id").alias(id_col)
-            )
-            kept = batch_df.join(keep_ids, id_col, "left_semi")
-            if rejects_table is not None:
-                verdict.filter(~F.col("keep")).select(
-                    F.col("id").alias(id_col), "reason"
-                ).write.mode("append").insertInto(rejects_table)
-            kept.write.mode("append").insertInto(corpus_table)
-        finally:
-            verdict.unpersist()
+        )
+        verdict = spark.createDataFrame(
+            verdict_df.collect(), schema=verdict_df.schema
+        )
+        keep_ids = verdict.filter(F.col("keep")).select(
+            F.col("id").alias(id_col)
+        )
+        kept = batch_df.join(keep_ids, id_col, "left_semi")
+        # insertInto matches POSITIONALLY: project into the target
+        # table's column order so a stream whose columns arrive in a
+        # different order can't be silently misaligned.
+        kept.select(*spark.table(corpus_table).columns).write.mode(
+            "append"
+        ).insertInto(corpus_table)
+        # Rejects AFTER the corpus append: if the batch dies between
+        # the two writes, the checkpoint retry reclassifies against the
+        # corpus-including-kept-rows, so the corpus append is naturally
+        # idempotent — whereas rejects-first would duplicate audit rows
+        # on every such retry.  The pinned verdict can't be affected by
+        # the append (local data, no corpus lineage).
+        if rejects_table is not None:
+            verdict.filter(~F.col("keep")).select(
+                F.col("id").alias(id_col), "reason"
+            ).select(
+                *spark.table(rejects_table).columns
+            ).write.mode("append").insertInto(rejects_table)
         bump()  # corpus mutated: flush memoized analyzed plans
 
     writer = stream_df.writeStream.foreachBatch(body).outputMode("append")

@@ -363,7 +363,8 @@ class TaskScheduler:
                 self._arm_follow(task_id)
                 return
         result = execute_task(self.spark, content)
-        self.results.setdefault(task_id, []).append(result)
+        with self._lock:
+            self.results.setdefault(task_id, []).append(result)
         if self.store is not None:
             self._record_run(task_id, result)
             self._broadcast_result(task_id, result)
@@ -460,7 +461,10 @@ class TaskScheduler:
             except Exception:
                 continue
             for seq, data in rows:
-                self._result_cursor = max(self._result_cursor, seq)
+                # cursor and results are shared with run()'s timer
+                # threads and external readers — mutate under the lock
+                with self._lock:
+                    self._result_cursor = max(self._result_cursor, seq)
                 if data.get("instance") == self.instance_id:
                     continue  # our own run, already in self.results
                 task_id = data.get("task_id", "")
@@ -474,7 +478,8 @@ class TaskScheduler:
                     )
                 except Exception:
                     continue
-                self.results.setdefault(task_id, []).append(result)
+                with self._lock:
+                    self.results.setdefault(task_id, []).append(result)
                 if self.on_result:
                     try:
                         self.on_result(task_id, result)

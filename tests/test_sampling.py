@@ -208,7 +208,10 @@ class TestCurriculumPhases:
         df = spark.range(10).selectExpr("id", "cast(id AS double) AS d")
         assert not _plan_is_nondeterministic(df)
 
-    def test_persist_released_when_result_dropped(self, spark):
+    def test_persist_survives_wrapper_drop_then_releases(self, spark):
+        """The cache must outlive the returned wrapper (a derived frame
+        like curriculum_phases(df).filter(...) still reads it — r6
+        advice), and release explicitly via result._cached.unpersist()."""
         import gc
 
         from shaper_spark.operators.sampling import curriculum_phases
@@ -218,7 +221,12 @@ class TestCurriculumPhases:
         df = spark.range(30).selectExpr("id", "rand() AS d")
         out = curriculum_phases(df, "id", "d", n_phases=3)
         assert jsc.getPersistentRDDs().size() > before  # guard persisted
-        out.collect()
+        derived = out.filter("phase = 1")
+        cached = out._cached
         del out
         gc.collect()
-        assert jsc.getPersistentRDDs().size() == before  # finalizer ran
+        # dropping the wrapper must NOT unpersist under the derived frame
+        assert jsc.getPersistentRDDs().size() > before
+        assert derived.count() == 10
+        cached.unpersist()
+        assert jsc.getPersistentRDDs().size() == before
