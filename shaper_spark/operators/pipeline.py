@@ -43,6 +43,16 @@ Broadcast story (measured at sf0.1, A/B'd in the bench environment):
   redistributes anyway, so the extra exchange bought parallelism the
   join shuffle already provides — removing it and broadcasting the
   eval side took the report from 2.4 s to ~1.5 s at sf0.1.
+- r7 measured-and-rejected (FLOOR.md has the table): single-scan
+  gram variants — shingle once with the split label riding, then
+  (a) repartition("shingle") + ReuseExchange for both sides, or
+  (b) persist the gram stream and branch — and 16-byte
+  unhex(md5(gram)) join keys. All slower (2.0–2.9 s vs 1.84–1.98 s
+  interleaved, identical counts): the two gram branches explode
+  DISJOINT row sets (train/test partition the corpus), so "one scan"
+  saves only a page-cached parquet re-read while adding a
+  full-corpus gram shuffle or a persist write. The funnel's residual
+  vs DuckDB is the 15-shuffle-stage floor, not the gram path.
 
 The composite exists because pipelines ship compositions, not operator
 menus: this is the integration test that the pieces actually fit —
