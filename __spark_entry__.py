@@ -2013,6 +2013,114 @@ ORDER BY id
 """
 
 
+def _q_sig_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-store incremental dedup
+    (shaper_spark/operators/dedup.py incremental_sig_dedup): hash-split
+    the corpus 80/20, build the narrow (id, h, sig) signature store
+    from the corpus split (signature_records — the record
+    streaming.bootstrap_signature_table persists), then classify every
+    batch doc against the STORE ONLY: exact hash vs store h, exact vs
+    earlier-in-batch, MinHash-estimate ≥ 0.5 over LSH band collisions.
+    The steady-state ingest regime where corpus text is never re-read;
+    streaming.start_corpus_sig_dedup_stream maintains the store
+    per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.dedup import (
+        incremental_sig_dedup,
+        signature_records,
+    )
+    from shaper_spark.operators.sampling import hash_split
+
+    _prep(spark, sf_dir)
+    docs = hash_split(
+        spark.table("documents"), "doc_id", {"corpus": 0.8, "batch": 0.2},
+        seed="sig",
+    )
+    store = signature_records(
+        docs.filter(F.col("split") == "corpus"), "doc_id", "text",
+        k=3, num_hashes=8,
+    )
+    return incremental_sig_dedup(
+        store,
+        docs.filter(F.col("split") == "batch"),
+        "doc_id",
+        "text",
+        k=3,
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+_SIG_INC_MATCH = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+_SIG_INC_BANDS = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, split, {b} AS band, md5(h{2*b} || ',' || h{2*b+1}) AS bucket FROM sig"
+    for b in range(4)
+)
+SIG_INCREMENTAL_DUCK = f"""
+WITH u AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5('sig:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+lab AS (SELECT doc_id, text,
+               CASE WHEN u < 0.8 THEN 'corpus' ELSE 'batch' END AS split
+        FROM u),
+norm AS (
+  SELECT doc_id, split,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+  FROM lab
+),
+bh AS (SELECT doc_id, h FROM norm WHERE split = 'batch'),
+ch AS (SELECT DISTINCT h FROM norm WHERE split = 'corpus'),
+ec AS (SELECT doc_id FROM bh WHERE h IN (SELECT h FROM ch)),
+bw AS (SELECT h, min(doc_id) AS w FROM bh GROUP BY h),
+eb AS (SELECT bh.doc_id FROM bh JOIN bw USING (h) WHERE bh.doc_id <> bw.w),
+words AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM lab),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, split, shingle FROM sh WHERE len(shingle) > 0),
+sig AS (
+  SELECT doc_id, split,
+  {_MINHASH_MINS}
+  FROM sh2 GROUP BY doc_id, split
+),
+bands AS (
+  {_SIG_INC_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.split = 'batch' AND b.split = 'corpus'
+),
+est AS (
+  SELECT bid, ({_SIG_INC_MATCH}) AS m
+  FROM cand JOIN sig sa ON sa.doc_id = bid
+            JOIN sig sb ON sb.doc_id = cid
+),
+nearc AS (SELECT DISTINCT bid AS doc_id FROM est WHERE m / 8.0 >= 0.5)
+SELECT b.doc_id AS id,
+       (b.doc_id NOT IN (SELECT doc_id FROM ec)
+        AND b.doc_id NOT IN (SELECT doc_id FROM eb)
+        AND b.doc_id NOT IN (SELECT doc_id FROM nearc)) AS keep,
+       CASE WHEN b.doc_id IN (SELECT doc_id FROM ec) THEN 'exact_corpus'
+            WHEN b.doc_id IN (SELECT doc_id FROM eb) THEN 'exact_batch'
+            WHEN b.doc_id IN (SELECT doc_id FROM nearc) THEN 'near_corpus'
+       END AS reason
+FROM (SELECT doc_id FROM lab WHERE split = 'batch') b
+ORDER BY id
+"""
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution (shaper_spark/operators/graph.py):
     jaccard near-dup pairs → alternating large-star/small-star
@@ -3451,6 +3559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _sql(Q1_PRICING),
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
+        # r7 new operator, tail-first per the rotation policy (enters
+        # the official window once the six r6 prefix entries earn their
+        # second green): signature-store incremental dedup — the
+        # steady-state ingest regime
+        "dedup_sig_incremental": _q_sig_incremental,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -3536,6 +3649,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": DEDUP_CLUSTERS_DUCK,
         "vocab_coverage_curve": VOCAB_COVERAGE_DUCK,
         "dedup_incremental_report": INCREMENTAL_DEDUP_DUCK,
+        "dedup_sig_incremental": SIG_INCREMENTAL_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

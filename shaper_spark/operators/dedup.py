@@ -33,6 +33,8 @@ __all__ = [
     "dedup_exact_normalized",
     "incremental_dedup",
     "minhash_estimate_report",
+    "signature_records",
+    "incremental_sig_dedup",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -289,28 +291,19 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
-    max_df: int | None = None,
-    persist: bool = True,
+def _sig_band_buckets(
+    sig_df: DataFrame,
+    num_hashes: int,
+    bands: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """LSH banding: docs agreeing on all rows of any band become a
-    candidate pair. Shuffle key = (band index, band hash) — pair count
-    scales with bucket sizes, never n². Signatures are cached across the
-    bucket self-join (see jaccard_pairs on why)."""
+    """Explode a (id, sig, [carry...]) frame into LSH band buckets:
+    (id, [carry...], band, bucket) with bucket = md5 of the band's
+    signature slice — the oracle-replayable banding every MinHash
+    consumer here shares.  ``carry`` columns ride the explode (e.g. the
+    signature itself, so a bucket join can estimate Jaccard without a
+    second scan of the signature store)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, max_df)
-    if persist:
-        from pyspark import StorageLevel
-
-        # Both sides of the bucket self-join derive from sig; without a
-        # cache the whole shingle+minhash pipeline runs twice.
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -326,9 +319,38 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return sig_df.select(
+        "id", *carry, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "id",
+        *carry,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_df: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a
+    candidate pair. Shuffle key = (band index, band hash) — pair count
+    scales with bucket sizes, never n². Signatures are cached across the
+    bucket self-join (see jaccard_pairs on why)."""
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, max_df)
+    if persist:
+        from pyspark import StorageLevel
+
+        # Both sides of the bucket self-join derive from sig; without a
+        # cache the whole shingle+minhash pipeline runs twice.
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = _sig_band_buckets(sig, num_hashes, bands)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (
@@ -710,6 +732,144 @@ def incremental_dedup(
             / (F.col("__nb") + F.col("__nc") - F.col("__i"))
             >= threshold
         )
+        .select(F.col("__bid").alias("id"))
+        .distinct()
+    )
+
+    flag = lambda ids, name: maybe_b(  # noqa: E731
+        ids.select("id", F.lit(True).alias(name)).distinct()
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(flag(exact_corpus, "__ec"), "id", "left")
+        .join(flag(exact_batch, "__eb"), "id", "left")
+        .join(flag(near_corpus, "__nc"), "id", "left")
+        .select(
+            "id",
+            (
+                F.col("__ec").isNull()
+                & F.col("__eb").isNull()
+                & F.col("__nc").isNull()
+            ).alias("keep"),
+            F.when(F.col("__ec"), F.lit("exact_corpus"))
+            .when(F.col("__eb"), F.lit("exact_batch"))
+            .when(F.col("__nc"), F.lit("near_corpus"))
+            .alias("reason"),
+        )
+        .orderBy("id")
+    )
+
+
+def signature_records(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The narrow per-document dedup record an incremental ingest
+    pipeline PERSISTS so steady-state dedup never re-reads corpus text:
+    (id, h, sig) — ``h`` = md5 of the normalized text (the exact-dup
+    key), ``sig`` = MinHash signature (the near-dup key; NULL for docs
+    with fewer than ``k`` words, which have no shingles and therefore
+    no near-dup surface).
+
+    At 100 TB this is the whole point: a 1B-doc corpus reduces to a
+    ~(16 + 8·num_hashes)-byte row per document — a table two orders of
+    magnitude narrower than the text — and every future ingest batch
+    joins against THIS, not the corpus."""
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, max_df)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalize_text_expr(F.col(text_col))).alias("h"),
+        )
+        .join(sig, "id", "left")
+    )
+
+
+def incremental_sig_dedup(
+    sig_store: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """:func:`incremental_dedup` against a persisted SIGNATURE store
+    instead of the corpus text: classify every batch document as
+    (id, keep, reason), reason ∈ {exact_corpus, exact_batch,
+    near_corpus, NULL} — same contract, but the corpus side is the
+    narrow (id, h, sig) frame :func:`signature_records` maintains, so
+    the per-batch cost is batch-sized text work plus scans of a table
+    ~100× narrower than the corpus. This is the steady-state ingest
+    regime at 100 TB; the trade is that ``near_corpus`` is the MinHash
+    ESTIMATE (matching signature positions / num_hashes ≥ threshold
+    over LSH band-collision candidates) rather than exact posting-list
+    Jaccard — error shrinks as 1/√num_hashes and is measured on-corpus
+    by :func:`minhash_estimate_report`.
+
+    Plan shape: batch records broadcast (an ingest window is small by
+    nature); exact rule = one hash join against the store's ``h``
+    column; near rule = band-bucket join with the signatures RIDING the
+    bucket explode, so the estimate is computed in the same join —
+    exactly one scan of the store per rule and zero corpus-text reads.
+    Pass ``broadcast_batch=False`` if a single window is itself
+    shuffle-scale."""
+    recs = signature_records(
+        batch, id_col, text_col, k, num_hashes, max_df
+    )
+    maybe_b = F.broadcast if broadcast_batch else (lambda d: d)
+
+    exact_corpus = (
+        maybe_b(recs.select("id", "h"))
+        .join(sig_store.select("h"), "h")
+        .select("id")
+        .distinct()
+    )
+    winners = recs.groupBy("h").agg(F.min("id").alias("__w"))
+    exact_batch = (
+        recs.join(winners, "h")
+        .filter(F.col("id") != F.col("__w"))
+        .select("id")
+    )
+
+    bb = _sig_band_buckets(
+        recs.filter(F.col("sig").isNotNull()),
+        num_hashes,
+        bands,
+        carry=("sig",),
+    ).select(
+        F.col("id").alias("__bid"),
+        F.col("sig").alias("__bsig"),
+        "band",
+        "bucket",
+    )
+    sb = _sig_band_buckets(
+        sig_store.filter(F.col("sig").isNotNull()),
+        num_hashes,
+        bands,
+        carry=("sig",),
+    ).select(
+        F.col("id").alias("__cid"),
+        F.col("sig").alias("__csig"),
+        "band",
+        "bucket",
+    )
+    # static codegen'd signature agreement — no interpreted HOF
+    est = sum(
+        (F.col("__bsig")[i] == F.col("__csig")[i]).cast("int")
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    near_corpus = (
+        maybe_b(bb)
+        .join(sb, ["band", "bucket"])
+        .filter(est >= threshold)
         .select(F.col("__bid").alias("id"))
         .distinct()
     )

@@ -37,6 +37,8 @@ __all__ = [
     "dedup_stream",
     "rollup_stream",
     "start_corpus_dedup_stream",
+    "bootstrap_signature_table",
+    "start_corpus_sig_dedup_stream",
 ]
 
 SCHEMA_SAMPLE = 3000
@@ -394,6 +396,8 @@ def start_corpus_dedup_stream(
     from .operators.dedup import incremental_dedup
     from .plancache import bump
 
+    caller = stream_df.sparkSession
+
     def body(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -443,7 +447,150 @@ def start_corpus_dedup_stream(
             ).select(
                 *spark.table(rejects_table).columns
             ).write.mode("append").insertInto(rejects_table)
+        # The appends commit on the micro-batch's CLONED session; the
+        # caller session's relation cache still lists the old files —
+        # refresh it (the ingest_microbatch rule) so its readers see
+        # the new rows.
+        for s in (spark, caller):
+            for t in filter(None, (corpus_table, rejects_table)):
+                try:
+                    s.catalog.refreshTable(t)
+                except Exception:
+                    pass
         bump()  # corpus mutated: flush memoized analyzed plans
+
+    writer = stream_df.writeStream.foreachBatch(body).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bootstrap_signature_table(
+    spark: SparkSession,
+    corpus_table: str,
+    sig_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    max_df: int | None = None,
+) -> int:
+    """One-time build of the (id, h, sig) signature store for an
+    existing corpus (:func:`operators.dedup.signature_records`) — the
+    last full-corpus text scan the ingest pipeline ever performs;
+    afterwards :func:`start_corpus_sig_dedup_stream` maintains the
+    store incrementally.  Returns the row count written."""
+    from .operators.dedup import signature_records
+    from .plancache import bump
+
+    recs = signature_records(
+        spark.table(corpus_table), id_col, text_col, k, num_hashes, max_df
+    )
+    recs.write.mode("overwrite").saveAsTable(sig_table)
+    bump()
+    return spark.table(sig_table).count()
+
+
+def start_corpus_sig_dedup_stream(
+    stream_df: DataFrame,
+    corpus_table: str,
+    sig_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+    rejects_table: str | None = None,
+):
+    """Steady-state continuous corpus building: like
+    :func:`start_corpus_dedup_stream`, but the near-dup check runs
+    against the incrementally-maintained SIGNATURE table instead of
+    re-shingling the whole corpus every micro-batch — the missing
+    piece of the 100 TB ingest story.  Per batch:
+
+    1. classify the batch with
+       :func:`operators.dedup.incremental_sig_dedup` (exact hash vs
+       store ``h``; exact vs earlier-in-batch; MinHash-estimate ≥
+       ``threshold`` over LSH band collisions vs store ``sig``),
+    2. append survivors to ``corpus_table``,
+    3. append the survivors' (id, h, sig) records to ``sig_table`` —
+       signatures are computed from BATCH text only, so the store
+       stays consistent without a corpus scan,
+    4. optionally append dropped docs to ``rejects_table`` with their
+       reason.
+
+    Steady-state cost per batch: batch-sized shingling + joins against
+    a store ~100× narrower than the corpus; corpus TEXT is never read
+    after :func:`bootstrap_signature_table`.  The near rule is the
+    signature ESTIMATE (see incremental_sig_dedup's docstring for the
+    exactness trade).  Write ordering and the driver-side verdict pin
+    follow start_corpus_dedup_stream (append-idempotent on checkpoint
+    retry; rejects last)."""
+    from .operators.dedup import incremental_sig_dedup, signature_records
+    from .plancache import bump
+
+    caller = stream_df.sparkSession
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        store = spark.table(sig_table)
+        verdict_df = incremental_sig_dedup(
+            store,
+            batch_df,
+            id_col,
+            text_col,
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            max_df=max_df,
+        )
+        # pin driver-side: appending to sig_table/corpus_table below
+        # invalidates cached plans scanning them (see
+        # start_corpus_dedup_stream) — the verdict must not recompute
+        verdict = spark.createDataFrame(
+            verdict_df.collect(), schema=verdict_df.schema
+        )
+        keep_ids = verdict.filter(F.col("keep")).select(
+            F.col("id").alias(id_col)
+        )
+        kept = batch_df.join(keep_ids, id_col, "left_semi")
+        kept.select(*spark.table(corpus_table).columns).write.mode(
+            "append"
+        ).insertInto(corpus_table)
+        # maintain the store: batch-text-only work, no corpus lineage
+        signature_records(
+            kept, id_col, text_col, k, num_hashes, max_df
+        ).select(*spark.table(sig_table).columns).write.mode(
+            "append"
+        ).insertInto(sig_table)
+        if rejects_table is not None:
+            verdict.filter(~F.col("keep")).select(
+                F.col("id").alias(id_col), "reason"
+            ).select(
+                *spark.table(rejects_table).columns
+            ).write.mode("append").insertInto(rejects_table)
+        # Refresh the relation caches on BOTH sessions: the clone's so
+        # the next micro-batch's store/corpus reads see this batch's
+        # appends, the caller's so its readers do (ingest_microbatch
+        # rule — the clone's commit only refreshes the clone).
+        for s in (spark, caller):
+            for t in filter(
+                None, (corpus_table, sig_table, rejects_table)
+            ):
+                try:
+                    s.catalog.refreshTable(t)
+                except Exception:
+                    pass
+        bump()  # corpus + store mutated: flush memoized analyzed plans
 
     writer = stream_df.writeStream.foreachBatch(body).outputMode("append")
     if checkpoint:
