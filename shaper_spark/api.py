@@ -53,7 +53,9 @@ from urllib.parse import parse_qs, unquote, urlparse
 from pyspark.sql import SparkSession
 
 from . import sqltool
+from .auth import Actor, AuthError, AuthService
 from .engine import query_dashboard
+from .folders import FolderService
 from .exports import stream_csv, stream_dashboard_export
 from .ingest import IngestBuffer
 from .introspect import get_schema
@@ -100,6 +102,8 @@ class ShaperServer:
             plancache.add_bump_broadcaster(
                 db_path, self.store.bump_data_generation
             )
+        self.auth = AuthService(self.store)
+        self.folders = FolderService(self.store)
         self.ingest = IngestBuffer(spark)
         # The scheduler records runs and claims scheduled fires through
         # the shared store — multiple server instances on one metastore
@@ -126,6 +130,50 @@ class ShaperServer:
             def _read_body(self) -> bytes:
                 n = int(self.headers.get("Content-Length") or 0)
                 return self.rfile.read(n) if n else b""
+
+            # -- auth middleware (reference routes.go:115-133 JWT/session
+            # middleware + keys.go permission checks) ----------------------
+            def _bearer(self) -> str:
+                h = self.headers.get("Authorization") or ""
+                if h.lower().startswith("bearer "):
+                    return h[7:].strip()
+                return self.headers.get("X-Shaper-Token") or ""
+
+            def _gate(self, permission: str | None = None):
+                """AuthInfo if the request may proceed, else respond
+                401/403 and return None. Until the first user exists
+                the server runs in no-auth mode (auth.go:342-346), so
+                pre-auth deployments keep their exact old behavior."""
+                info = outer.auth.valid_token(self._bearer())
+                if not info.valid:
+                    self._json(401, {"error": "unauthorized"})
+                    return None
+                if permission and not outer.auth.has_permission(
+                    info, permission
+                ):
+                    self._json(403, {"error": "forbidden"})
+                    return None
+                return info
+
+            def _mgmt(self):
+                """Management endpoints (users/invites/keys/folders):
+                user sessions only — API keys can't administer the
+                instance (reference: admin routes sit behind the user
+                session middleware)."""
+                info = self._gate()
+                if info is None:
+                    return None
+                if info.api_key_id:
+                    self._json(403, {"error": "forbidden"})
+                    return None
+                return info
+
+            def _actor(self, info) -> Actor:
+                if info.is_user:
+                    return Actor("user", info.user_id)
+                if info.api_key_id:
+                    return Actor("api_key", info.api_key_id)
+                return Actor("no_auth")
 
             def _ws_task_events(self, task_id: str, _ws) -> None:
                 """RFC 6455 upgrade + one JSON text frame per task run
@@ -209,8 +257,60 @@ class ShaperServer:
                 try:
                     if parts == ["health"]:
                         return self._json(200, {"status": "ok"})
+                    if parts == ["api", "auth", "info"]:
+                        # public: tells a client whether login is needed
+                        return self._json(
+                            200,
+                            {"loginRequired": outer.auth.login_required()},
+                        )
+                    if parts == ["api", "auth", "me"]:
+                        info = self._gate()
+                        if info is None:
+                            return
+                        return self._json(
+                            200,
+                            {
+                                "isUser": info.is_user,
+                                "userId": info.user_id,
+                                "email": info.user_email,
+                                "name": info.user_name,
+                                "apiKeyId": info.api_key_id,
+                                "apiKeyName": info.api_key_name,
+                            },
+                        )
+                    if parts == ["api", "users"]:
+                        if self._mgmt() is None:
+                            return
+                        qs = parse_qs(url.query)
+                        return self._json(
+                            200,
+                            outer.auth.list_users(
+                                sort=qs.get("sort", [""])[0],
+                                order=qs.get("order", ["desc"])[0],
+                            ),
+                        )
+                    if parts == ["api", "keys"]:
+                        if self._mgmt() is None:
+                            return
+                        return self._json(
+                            200, {"keys": outer.auth.list_api_keys()}
+                        )
+                    if parts == ["api", "folders"]:
+                        if self._mgmt() is None:
+                            return
+                        path = parse_qs(url.query).get("path", ["/"])[0]
+                        return self._json(
+                            200, outer.folders.list_folder(path)
+                        )
                     if parts == ["api", "schema"]:
+                        if self._gate("schema:read") is None:
+                            return
                         return self._json(200, get_schema(outer.spark).to_dict())
+                    # every remaining GET surface is dashboard/task reads
+                    if parts[:1] == ["api"] and self._gate(
+                        "dashboard:read"
+                    ) is None:
+                        return
                     if parts == ["api", "dashboards"]:
                         return self._json(
                             200,
@@ -314,12 +414,192 @@ class ShaperServer:
                 url = urlparse(self.path)
                 parts = [unquote(p) for p in url.path.strip("/").split("/")]
                 try:
+                    # -- public auth endpoints (setup works only while
+                    # no user exists; login/claim authenticate) --------
+                    if parts == ["api", "auth", "setup"]:
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            uid = outer.auth.create_user(
+                                str(body.get("email") or ""),
+                                str(body.get("password") or ""),
+                                str(body.get("name") or ""),
+                            )
+                        except AuthError as e:
+                            return self._json(409, {"error": str(e)})
+                        return self._json(200, {"id": uid})
+                    if parts == ["api", "auth", "login"]:
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            token = outer.auth.login(
+                                str(body.get("email") or ""),
+                                str(body.get("password") or ""),
+                            )
+                        except AuthError:
+                            # uniform error: never reveal which of
+                            # email/password failed
+                            return self._json(
+                                401, {"error": "invalid credentials"}
+                            )
+                        return self._json(200, {"token": token})
+                    if parts == ["api", "invites", "claim"]:
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            token = outer.auth.claim_invite(
+                                str(body.get("code") or ""),
+                                str(body.get("name") or ""),
+                                str(body.get("password") or ""),
+                            )
+                        except AuthError as e:
+                            return self._json(400, {"error": str(e)})
+                        return self._json(200, {"token": token})
+                    if parts == ["api", "auth", "logout"]:
+                        info = self._gate()
+                        if info is None:
+                            return
+                        if info.session_id:
+                            outer.auth.logout(info.session_id)
+                        return self._json(200, {"ok": True})
+                    # -- management (user sessions only) ---------------
+                    if parts == ["api", "invites"]:
+                        info = self._mgmt()
+                        if info is None:
+                            return
+                        body = json.loads(self._read_body() or b"{}")
+                        return self._json(
+                            200,
+                            outer.auth.create_invite(
+                                str(body.get("email") or ""),
+                                self._actor(info),
+                            ),
+                        )
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "users"]
+                        and parts[3] in ("password", "name")
+                    ):
+                        info = self._mgmt()
+                        if info is None:
+                            return
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            if parts[3] == "password":
+                                outer.auth.update_user_password(
+                                    parts[2],
+                                    str(body.get("currentPassword") or ""),
+                                    str(body.get("newPassword") or ""),
+                                    self._actor(info),
+                                    exclude_session_id=info.session_id,
+                                )
+                            else:
+                                outer.auth.update_user_name(
+                                    parts[2],
+                                    str(body.get("name") or ""),
+                                    self._actor(info),
+                                )
+                        except AuthError as e:
+                            return self._json(400, {"error": str(e)})
+                        return self._json(200, {"ok": True})
+                    if parts == ["api", "keys"]:
+                        info = self._mgmt()
+                        if info is None:
+                            return
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            kid, token = outer.auth.create_api_key(
+                                str(body.get("name") or ""),
+                                list(body.get("permissions") or []),
+                                self._actor(info),
+                            )
+                        except AuthError as e:
+                            return self._json(400, {"error": str(e)})
+                        return self._json(200, {"id": kid, "key": token})
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "keys"]
+                        and parts[3] == "permissions"
+                    ):
+                        info = self._mgmt()
+                        if info is None:
+                            return
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            outer.auth.update_api_key_permissions(
+                                parts[2],
+                                list(body.get("permissions") or []),
+                                self._actor(info),
+                            )
+                        except AuthError as e:
+                            return self._json(400, {"error": str(e)})
+                        return self._json(200, {"ok": True})
+                    if parts == ["api", "folders"]:
+                        info = self._mgmt()
+                        if info is None:
+                            return
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            return self._json(
+                                200,
+                                outer.folders.create_folder(
+                                    str(body.get("name") or ""),
+                                    str(body.get("path") or "/"),
+                                    self._actor(info),
+                                ),
+                            )
+                        except AuthError as e:
+                            return self._json(400, {"error": str(e)})
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "folders"]
+                        and parts[3] == "rename"
+                    ):
+                        info = self._mgmt()
+                        if info is None:
+                            return
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            outer.folders.rename_folder(
+                                parts[2],
+                                str(body.get("name") or ""),
+                                self._actor(info),
+                            )
+                        except AuthError as e:
+                            return self._json(400, {"error": str(e)})
+                        return self._json(200, {"ok": True})
+                    if parts == ["api", "move"]:
+                        info = self._mgmt()
+                        if info is None:
+                            return
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            outer.folders.move_items(
+                                list(body.get("apps") or []),
+                                list(body.get("folders") or []),
+                                str(body.get("path") or "/"),
+                                self._actor(info),
+                            )
+                        except AuthError as e:
+                            return self._json(400, {"error": str(e)})
+                        return self._json(200, {"ok": True})
+                    # -- data/deploy surface (API-key permissions) -----
                     if parts == ["api", "sql"]:
+                        if self._gate("data:query") is None:
+                            return
                         return self._sql()
                     if len(parts) == 3 and parts[:2] == ["api", "data"]:
+                        if self._gate("data:ingest") is None:
+                            return
                         return self._ingest(parts[2])
                     if parts == ["api", "validate"]:
+                        if self._gate("data:query") is None:
+                            return
                         return self._validate()
+                    if len(parts) == 3 and parts[:2] == ["api", "download"]:
+                        if self._gate("data:query") is None:
+                            return
+                        return self._adhoc_download(parts[2])
+                    # every remaining POST mutates dashboards/tasks
+                    if parts[:1] == ["api"] and self._gate("deploy") is None:
+                        return
                     if parts == ["api", "dashboards"]:
                         body = json.loads(self._read_body() or b"{}")
                         did = str(body.get("id") or "")
@@ -380,8 +660,6 @@ class ShaperServer:
                             ).append(result)
                         outer.scheduler._record_run(tid, result)
                         return self._json(200, result.to_dict())
-                    if len(parts) == 3 and parts[:2] == ["api", "download"]:
-                        return self._adhoc_download(parts[2])
                     self._json(404, {"error": "not found"})
                 except Exception as e:
                     self._json(500, {"error": str(e)})
@@ -390,6 +668,31 @@ class ShaperServer:
                 url = urlparse(self.path)
                 parts = [unquote(p) for p in url.path.strip("/").split("/")]
                 try:
+                    if len(parts) == 3 and parts[:2] in (
+                        ["api", "users"],
+                        ["api", "invites"],
+                        ["api", "keys"],
+                        ["api", "folders"],
+                    ):
+                        info = self._mgmt()
+                        if info is None:
+                            return
+                        actor = self._actor(info)
+                        try:
+                            kind = parts[1]
+                            if kind == "users":
+                                outer.auth.delete_user(parts[2], actor)
+                            elif kind == "invites":
+                                outer.auth.delete_invite(parts[2], actor)
+                            elif kind == "keys":
+                                outer.auth.delete_api_key(parts[2], actor)
+                            else:
+                                outer.folders.delete_folder(parts[2], actor)
+                        except AuthError as e:
+                            return self._json(400, {"error": str(e)})
+                        return self._json(200, {"ok": True})
+                    if parts[:1] == ["api"] and self._gate("deploy") is None:
+                        return
                     if len(parts) == 3 and parts[:2] == ["api", "dashboards"]:
                         if outer.store.get_app(parts[2]) is None:
                             return self._json(404, {"error": "not found"})

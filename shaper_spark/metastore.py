@@ -11,9 +11,12 @@ so the materialized tables can always be rebuilt by replay
 (``rebuild()``) — the reference's restore-from-partial-state property
 without a NATS dependency.
 
-Out-of-scope reference tables (users/sessions/invites/api_keys/folders
-— auth plumbing per SURVEY §0.7) are not mirrored; ``apps`` carries
-dashboards and tasks exactly as the reference does (``apps.type``).
+``apps`` carries dashboards and tasks exactly as the reference does
+(``apps.type``); since r7 the auth tables
+(users/sessions/invites/api_keys) and the folder tree are mirrored too
+— same event-sourced contract, with the validating layers in
+``auth.py`` / ``folders.py`` (reference: users.go / auth.go / keys.go /
+folder.go).
 
 Scale note: metadata is driver-local and tiny (thousands of rows); the
 100 TB concern is the warehouse data, never this store.
@@ -97,6 +100,71 @@ class Metastore:
                  next_run_type TEXT NOT NULL DEFAULT 'single'
                )"""
         )
+        # users/sessions/invites/api_keys: reference db_schema.go auth
+        # tables (users.go / auth.go / keys.go), event-sourced like apps.
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS users (
+                 id TEXT PRIMARY KEY,
+                 email TEXT NOT NULL,
+                 name TEXT NOT NULL,
+                 password_hash TEXT NOT NULL,
+                 created_at TEXT NOT NULL,
+                 updated_at TEXT NOT NULL,
+                 deleted_at TEXT,
+                 created_by TEXT,
+                 updated_by TEXT,
+                 deleted_by TEXT
+               )"""
+        )
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS sessions (
+                 id TEXT PRIMARY KEY,
+                 user_id TEXT NOT NULL,
+                 hash TEXT NOT NULL,
+                 salt TEXT NOT NULL,
+                 created_at TEXT NOT NULL
+               )"""
+        )
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS invites (
+                 code TEXT PRIMARY KEY,
+                 email TEXT NOT NULL,
+                 created_at TEXT NOT NULL
+               )"""
+        )
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS api_keys (
+                 id TEXT PRIMARY KEY,
+                 hash TEXT NOT NULL,
+                 salt TEXT NOT NULL,
+                 name TEXT NOT NULL,
+                 permissions TEXT,
+                 created_at TEXT NOT NULL,
+                 updated_at TEXT NOT NULL,
+                 created_by TEXT,
+                 updated_by TEXT
+               )"""
+        )
+        # folders + apps.folder_id: reference db_schema.go:26-64. The
+        # reference leans on FK ON DELETE CASCADE; handlers here cascade
+        # explicitly (recursive CTE) so replay order can't trip FKs.
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS folders (
+                 id TEXT PRIMARY KEY,
+                 parent_folder_id TEXT,
+                 name TEXT NOT NULL,
+                 created_at TEXT NOT NULL,
+                 updated_at TEXT NOT NULL,
+                 created_by TEXT,
+                 updated_by TEXT
+               )"""
+        )
+        cols = {
+            r["name"]
+            for r in self._db.execute("PRAGMA table_info(apps)").fetchall()
+        }
+        if cols and "folder_id" not in cols:
+            self._db.execute("ALTER TABLE apps ADD COLUMN folder_id TEXT")
         # task_claims: transport-level run dedupe, the SQLite stand-in for
         # the reference's NATS MsgID window (schedule_task.go:215-237 —
         # every node schedules, the message id "taskID-runAtMillis"
@@ -132,8 +200,16 @@ class Metastore:
         """Drop materialized tables and replay the event log — the
         reference's restore-from-partial-state path."""
         with self._lock, self._db:
-            self._db.execute("DELETE FROM apps")
-            self._db.execute("DELETE FROM task_runs")
+            for table in (
+                "apps",
+                "task_runs",
+                "users",
+                "sessions",
+                "invites",
+                "api_keys",
+                "folders",
+            ):
+                self._db.execute(f"DELETE FROM {table}")
             # Each handler receives the event's original timestamp so
             # replay is a faithful restore: created_at/updated_at come
             # back identical, not stamped at rebuild time.
@@ -286,6 +362,13 @@ class Metastore:
             rows = self._db.execute(sql, args).fetchall()
         return [dict(r) for r in rows]
 
+    def query(self, sql: str, args: tuple = ()) -> list[dict[str, Any]]:
+        """Read-only helper for the validating layers (auth.py,
+        folders.py) — all WRITES go through record()."""
+        with self._lock:
+            rows = self._db.execute(sql, args).fetchall()
+        return [dict(r) for r in rows]
+
     def get_task_run(self, task_id: str) -> dict[str, Any] | None:
         with self._lock:
             row = self._db.execute(
@@ -303,17 +386,21 @@ class Metastore:
 
 def _upsert_app(db, data: dict[str, Any], app_type: str, at: str) -> None:
     db.execute(
-        """INSERT INTO apps (id, name, content, type, visibility, created_at, updated_at)
-           VALUES (?, ?, ?, ?, ?, ?, ?)
+        """INSERT INTO apps (id, name, content, type, visibility, folder_id,
+                             created_at, updated_at)
+           VALUES (?, ?, ?, ?, ?, ?, ?, ?)
            ON CONFLICT(id) DO UPDATE SET
              name = excluded.name, content = excluded.content,
-             visibility = excluded.visibility, updated_at = excluded.updated_at""",
+             visibility = excluded.visibility,
+             folder_id = excluded.folder_id,
+             updated_at = excluded.updated_at""",
         (
             data["id"],
             data.get("name") or data["id"],
             data["content"],
             app_type,
             data.get("visibility"),
+            data.get("folder_id"),
             at,
             at,
         ),
@@ -371,6 +458,216 @@ def _record_task_run(db, data: dict[str, Any], at: str) -> None:
     )
 
 
+def _create_user(db, data: dict[str, Any], at: str) -> None:
+    # reference users.go:88-116 (INSERT OR IGNORE keyed on id)
+    db.execute(
+        """INSERT OR IGNORE INTO users
+             (id, email, name, password_hash, created_at, updated_at,
+              created_by, updated_by)
+           VALUES (?, ?, ?, ?, ?, ?, ?, ?)""",
+        (
+            data["id"],
+            data["email"],
+            data["name"],
+            data["password_hash"],
+            data.get("timestamp") or at,
+            data.get("timestamp") or at,
+            data.get("created_by"),
+            data.get("created_by"),
+        ),
+    )
+
+
+def _delete_user(db, data: dict[str, Any], at: str) -> None:
+    # soft delete + hard-delete sessions (users.go:402-446)
+    db.execute("DELETE FROM sessions WHERE user_id = ?", (data["id"],))
+    db.execute(
+        "UPDATE users SET deleted_at = ?, deleted_by = ? WHERE id = ?",
+        (data.get("timestamp") or at, data.get("deleted_by"), data["id"]),
+    )
+
+
+def _update_user_password(db, data: dict[str, Any], at: str) -> None:
+    # update hash + invalidate the user's OTHER sessions (users.go:222-265)
+    db.execute(
+        "UPDATE users SET password_hash = ?, updated_at = ?, updated_by = ?"
+        " WHERE id = ?",
+        (
+            data["password_hash"],
+            data.get("timestamp") or at,
+            data.get("updated_by"),
+            data["user_id"],
+        ),
+    )
+    if data.get("exclude_session_id"):
+        db.execute(
+            "DELETE FROM sessions WHERE user_id = ? AND id != ?",
+            (data["user_id"], data["exclude_session_id"]),
+        )
+    else:
+        db.execute(
+            "DELETE FROM sessions WHERE user_id = ?", (data["user_id"],)
+        )
+
+
+def _update_user_name(db, data: dict[str, Any], at: str) -> None:
+    db.execute(
+        "UPDATE users SET name = ?, updated_at = ?, updated_by = ?"
+        " WHERE id = ?",
+        (
+            data["name"],
+            data.get("timestamp") or at,
+            data.get("updated_by"),
+            data["user_id"],
+        ),
+    )
+
+
+def _create_session(db, data: dict[str, Any], at: str) -> None:
+    db.execute(
+        """INSERT OR IGNORE INTO sessions (id, user_id, hash, salt, created_at)
+           VALUES (?, ?, ?, ?, ?)""",
+        (
+            data["id"],
+            data["user_id"],
+            data["hash"],
+            data["salt"],
+            data.get("timestamp") or at,
+        ),
+    )
+
+
+def _delete_session(db, data: dict[str, Any], at: str) -> None:
+    db.execute("DELETE FROM sessions WHERE id = ?", (data["id"],))
+
+
+def _create_invite(db, data: dict[str, Any], at: str) -> None:
+    db.execute(
+        "INSERT OR IGNORE INTO invites (code, email, created_at)"
+        " VALUES (?, ?, ?)",
+        (data["code"], data["email"], data.get("timestamp") or at),
+    )
+
+
+def _delete_invite(db, data: dict[str, Any], at: str) -> None:
+    db.execute("DELETE FROM invites WHERE code = ?", (data["code"],))
+
+
+def _claim_invite(db, data: dict[str, Any], at: str) -> None:
+    # create the user AND consume the invite in one event (users.go:642-687)
+    _create_user(db, data, at)
+    db.execute("DELETE FROM invites WHERE code = ?", (data["code"],))
+
+
+def _create_api_key(db, data: dict[str, Any], at: str) -> None:
+    db.execute(
+        """INSERT OR IGNORE INTO api_keys
+             (id, hash, salt, name, permissions, created_at, updated_at,
+              created_by, updated_by)
+           VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""",
+        (
+            data["id"],
+            data["hash"],
+            data["salt"],
+            data["name"],
+            json.dumps(data.get("permissions") or []),
+            data.get("timestamp") or at,
+            data.get("timestamp") or at,
+            data.get("created_by"),
+            data.get("created_by"),
+        ),
+    )
+
+
+def _delete_api_key(db, data: dict[str, Any], at: str) -> None:
+    db.execute("DELETE FROM api_keys WHERE id = ?", (data["id"],))
+
+
+def _update_api_key_permissions(db, data: dict[str, Any], at: str) -> None:
+    db.execute(
+        "UPDATE api_keys SET permissions = ?, updated_at = ?, updated_by = ?"
+        " WHERE id = ?",
+        (
+            json.dumps(data.get("permissions") or []),
+            data.get("timestamp") or at,
+            data.get("updated_by"),
+            data["id"],
+        ),
+    )
+
+
+def _create_folder(db, data: dict[str, Any], at: str) -> None:
+    db.execute(
+        """INSERT OR IGNORE INTO folders
+             (id, parent_folder_id, name, created_at, updated_at,
+              created_by, updated_by)
+           VALUES (?, ?, ?, ?, ?, ?, ?)""",
+        (
+            data["id"],
+            data.get("parent_folder_id"),
+            data["name"],
+            data.get("timestamp") or at,
+            data.get("timestamp") or at,
+            data.get("created_by"),
+            data.get("created_by"),
+        ),
+    )
+
+
+def _delete_folder(db, data: dict[str, Any], at: str) -> None:
+    # explicit recursive cascade (the reference delegates to SQLite FK
+    # ON DELETE CASCADE, folder.go:435-461): subtree folders, their
+    # apps, and the apps' task_runs all go
+    rows = db.execute(
+        """WITH RECURSIVE subtree(id) AS (
+             SELECT id FROM folders WHERE id = ?
+             UNION ALL
+             SELECT f.id FROM folders f JOIN subtree s
+               ON f.parent_folder_id = s.id
+           ) SELECT id FROM subtree""",
+        (data["id"],),
+    ).fetchall()
+    ids = [r["id"] for r in rows]
+    if not ids:
+        return
+    marks = ",".join("?" for _ in ids)
+    db.execute(
+        f"DELETE FROM task_runs WHERE task_id IN"
+        f" (SELECT id FROM apps WHERE folder_id IN ({marks}))",
+        ids,
+    )
+    db.execute(f"DELETE FROM apps WHERE folder_id IN ({marks})", ids)
+    db.execute(f"DELETE FROM folders WHERE id IN ({marks})", ids)
+
+
+def _move_items(db, data: dict[str, Any], at: str) -> None:
+    to_id = data.get("to_folder_id")
+    for app_id in data.get("apps") or []:
+        db.execute(
+            "UPDATE apps SET folder_id = ?, updated_at = ? WHERE id = ?",
+            (to_id, data.get("timestamp") or at, app_id),
+        )
+    for folder_id in data.get("folders") or []:
+        db.execute(
+            "UPDATE folders SET parent_folder_id = ?, updated_at = ?"
+            " WHERE id = ?",
+            (to_id, data.get("timestamp") or at, folder_id),
+        )
+
+
+def _rename_folder(db, data: dict[str, Any], at: str) -> None:
+    db.execute(
+        "UPDATE folders SET name = ?, updated_at = ?, updated_by = ?"
+        " WHERE id = ?",
+        (
+            data["name"],
+            data.get("timestamp") or at,
+            data.get("updated_by"),
+            data["id"],
+        ),
+    )
+
+
 _HANDLERS = {
     "create_dashboard": lambda db, d, at: _upsert_app(db, d, "dashboard", at),
     "update_dashboard_content": _update_content,
@@ -392,4 +689,22 @@ _HANDLERS = {
     # payload over NATS, schedule_task.go:215-237).  Pollers read it
     # from the event log directly; nothing materializes.
     "task_run_result": lambda db, d, at: None,
+    # auth + folders (reference state.go handler registry routes the
+    # same event names; auth.py / folders.py are the validating layer)
+    "create_user": _create_user,
+    "delete_user": _delete_user,
+    "update_user_password": _update_user_password,
+    "update_user_name": _update_user_name,
+    "create_session": _create_session,
+    "delete_session": _delete_session,
+    "create_invite": _create_invite,
+    "delete_invite": _delete_invite,
+    "claim_invite": _claim_invite,
+    "create_api_key": _create_api_key,
+    "delete_api_key": _delete_api_key,
+    "update_api_key_permissions": _update_api_key_permissions,
+    "create_folder": _create_folder,
+    "delete_folder": _delete_folder,
+    "move_items": _move_items,
+    "rename_folder": _rename_folder,
 }

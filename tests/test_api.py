@@ -480,3 +480,126 @@ class TestWebSocketTaskEvents:
         status, body = _get(server, "/api/tasks/whatever/events")
         assert status == 426
         assert b"runs?after" in body
+
+
+class TestAuthRoutes:
+    """Auth middleware + user/invite/key/folder endpoints over HTTP.
+
+    Uses its OWN server so flipping login_required (first user created)
+    can't leak into the module-scoped no-auth server above."""
+
+    @pytest.fixture()
+    def asrv(self, spark):
+        srv = ShaperServer(spark).start()
+        yield srv
+        srv.stop()
+
+    def _req(self, srv, method, path, payload=None, token=""):
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers=headers,
+            method=method,
+        )
+        def parse(raw):
+            try:
+                return json.loads(raw or b"{}")
+            except ValueError:
+                return raw  # CSV bodies (/api/sql)
+
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, parse(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, parse(e.read())
+
+    def test_full_auth_flow(self, asrv):
+        # no-auth mode: everything open
+        s, b = self._req(asrv, "GET", "/api/auth/info")
+        assert (s, b) == (200, {"loginRequired": False})
+        s, _ = self._req(asrv, "GET", "/api/dashboards")
+        assert s == 200
+
+        # setup first user -> login required everywhere
+        s, _ = self._req(
+            asrv, "POST", "/api/auth/setup",
+            {"email": "a@b.c", "password": "pw12345678", "name": "Alice"},
+        )
+        assert s == 200
+        s, _ = self._req(
+            asrv, "POST", "/api/auth/setup",
+            {"email": "x@y.z", "password": "pw12345678"},
+        )
+        assert s == 409  # setup-only first user
+        s, _ = self._req(asrv, "GET", "/api/dashboards")
+        assert s == 401
+
+        # login, use token
+        s, b = self._req(
+            asrv, "POST", "/api/auth/login",
+            {"email": "a@b.c", "password": "wrong"},
+        )
+        assert s == 401
+        s, b = self._req(
+            asrv, "POST", "/api/auth/login",
+            {"email": "a@b.c", "password": "pw12345678"},
+        )
+        assert s == 200
+        token = b["token"]
+        s, me = self._req(asrv, "GET", "/api/auth/me", token=token)
+        assert s == 200 and me["isUser"] and me["email"] == "a@b.c"
+        s, _ = self._req(asrv, "GET", "/api/dashboards", token=token)
+        assert s == 200
+
+        # API key: only granted permission works
+        s, b = self._req(
+            asrv, "POST", "/api/keys",
+            {"name": "ci", "permissions": ["data:query"]}, token=token,
+        )
+        assert s == 200
+        key = b["key"]
+        s, _ = self._req(
+            asrv, "POST", "/api/sql", {"sql": "SELECT 1 AS one"},
+            token=key,
+        )
+        assert s == 200
+        s, _ = self._req(asrv, "GET", "/api/dashboards", token=key)
+        assert s == 403  # no dashboard:read
+        s, _ = self._req(asrv, "GET", "/api/users", token=key)
+        assert s == 403  # keys never administer
+
+        # invites
+        s, b = self._req(
+            asrv, "POST", "/api/invites", {"email": "n@b.c"}, token=token
+        )
+        assert s == 200
+        s, b2 = self._req(
+            asrv, "POST", "/api/invites/claim",
+            {"code": b["code"], "name": "N", "password": "pw212345678"},
+        )
+        assert s == 200 and b2["token"]
+
+        # folders over HTTP
+        s, f = self._req(
+            asrv, "POST", "/api/folders",
+            {"name": "Marketing", "path": "/"}, token=token,
+        )
+        assert s == 200
+        s, listing = self._req(
+            asrv, "GET", "/api/folders?path=/", token=token
+        )
+        assert s == 200
+        assert [x["name"] for x in listing["folders"]] == ["Marketing"]
+        s, _ = self._req(
+            asrv, "DELETE", f"/api/folders/{f['id']}", token=token
+        )
+        assert s == 200
+
+        # logout invalidates the session token
+        s, _ = self._req(asrv, "POST", "/api/auth/logout", {}, token=token)
+        assert s == 200
+        s, _ = self._req(asrv, "GET", "/api/dashboards", token=token)
+        assert s == 401
