@@ -884,6 +884,11 @@ def _execute_side_effect(
     if macro:
         macros[macro.name] = macro
         return
+    if "SECRET" in upper.split(None, 5)[:5]:
+        from .secrets import try_execute_secret
+
+        if try_execute_secret(spark, vars_.substitute(sql_string)):
+            return
     if upper.startswith(("ATTACH", "DETACH")):
         from .attach import try_execute_attach
         from .plancache import bump as _bump_attach

@@ -223,4 +223,16 @@ def get_schema(
                 )
         db.schemas.append(schema)
     res.databases.append(db)
+    # live secret/extension surface (reference duckdb_schema.go:38-87
+    # fills the same two lists; redacted projection only)
+    from .secrets import list_secrets
+
+    res.secrets = [
+        {"name": n, "type": t, "provider": p, "scope": s.split(";") if s else []}
+        for n, t, p, s in list_secrets()
+    ]
+    res.extensions = [
+        {"name": ds, "description": f"core {ds} data source"}
+        for ds in ("parquet", "json", "csv", "orc", "text", "jdbc")
+    ]
     return res

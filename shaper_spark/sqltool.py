@@ -169,6 +169,17 @@ SIDE_EFFECT_STATEMENTS: list[list[str]] = [
     ["ABORT"],
     ["CALL"],
     ["RESET", "VARIABLE"],
+    # DuckDB secret store (engine-level credentials; secrets.py maps
+    # them to Hadoop/s3a confs)
+    ["CREATE", "SECRET"],
+    ["CREATE", "OR", "REPLACE", "SECRET"],
+    ["CREATE", "PERSISTENT", "SECRET"],
+    ["CREATE", "TEMPORARY", "SECRET"],
+    ["CREATE", "TEMP", "SECRET"],
+    ["DROP", "SECRET"],
+    ["DROP", "PERSISTENT", "SECRET"],
+    ["DROP", "TEMPORARY", "SECRET"],
+    ["DROP", "TEMP", "SECRET"],
 ]
 # CREATE TEMP/TEMPORARY TABLE/VIEW/MACRO/FUNCTION with optional OR REPLACE /
 # IF NOT EXISTS combinations.

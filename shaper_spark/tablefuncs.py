@@ -17,10 +17,13 @@ the same reason.
 Catalog mapping: DuckDB's database → the current Spark catalog name;
 DuckDB's schema → the Spark database (namespace); temp views belong to
 the current namespace, mirroring introspect.get_schema.  ``types``/
-``constraints``/``extensions``/``secrets`` exist with the reference's
-column shapes but are empty — Spark has no enum types, table
-constraints, loadable extensions, or secret store (documented in
+``constraints`` exist with the reference's column shapes but are
+empty — Spark has no enum types or table constraints (documented in
 MIGRATION.md; the reference handler tolerates empty result sets).
+``secrets`` serves the live redacted registry from ``secrets.py``
+(CREATE SECRET → Hadoop/s3a credentials), and ``extensions`` reports
+the session's real extension surface (core data sources +
+``spark.sql.extensions`` classes).
 """
 
 from __future__ import annotations
@@ -57,11 +60,6 @@ _EMPTY_SCHEMAS = {
         "database_name string, schema_name string, table_name string, "
         "constraint_type string, constraint_column_names array<string>"
     ),
-    "extensions": (
-        "extension_name string, description string, loaded boolean, "
-        "installed boolean"
-    ),
-    "secrets": "name string, type string, provider string, scope string",
 }
 
 
@@ -122,6 +120,41 @@ def _materialize(spark: SparkSession, name: str) -> None:
     if name in _EMPTY_SCHEMAS:
         spark.createDataFrame(
             [], _EMPTY_SCHEMAS[name]
+        ).createOrReplaceTempView(f"__duckdb_{name}")
+        return
+    if name == "secrets":
+        # live redacted view of the engine secret store (secrets.py) —
+        # the projection the reference reads (duckdb_schema.go:55-87)
+        from .secrets import list_secrets
+
+        spark.createDataFrame(
+            list_secrets(),
+            "name string, type string, provider string, scope string",
+        ).createOrReplaceTempView(f"__duckdb_{name}")
+        return
+    if name == "extensions":
+        # Spark's extension surface, honestly reported: the always-on
+        # core data sources (DuckDB lists its core extensions the same
+        # way) plus any spark.sql.extensions classes wired into this
+        # session (loaded by definition — Spark has no install-but-not-
+        # load state).
+        rows = [
+            (ds, f"core {ds} data source", True, True)
+            for ds in ("parquet", "json", "csv", "orc", "text", "jdbc")
+        ]
+        try:
+            ext = spark.conf.get("spark.sql.extensions") or ""
+        except Exception:
+            ext = ""
+        rows += [
+            (cls.strip(), "SparkSessionExtensions class", True, True)
+            for cls in ext.split(",")
+            if cls.strip()
+        ]
+        spark.createDataFrame(
+            rows,
+            "extension_name string, description string, loaded boolean, "
+            "installed boolean",
         ).createOrReplaceTempView(f"__duckdb_{name}")
         return
     from .introspect import get_schema

@@ -75,9 +75,14 @@ class TestResponseShapeParity:
     Extensions, Secrets even when empty; schemas carry enums)."""
 
     def test_top_level_keys(self, spark):
+        from shaper_spark.secrets import clear_secrets
+
+        clear_secrets(spark)
         d = get_schema(spark).to_dict()
         assert set(d.keys()) == {"databases", "extensions", "secrets"}
-        assert d["extensions"] == []
+        # r7: extensions report the session's real core sources;
+        # secrets mirror the (empty until CREATE SECRET) registry
+        assert {e["name"] for e in d["extensions"]} >= {"parquet", "json"}
         assert d["secrets"] == []
 
     def test_schema_level_keys(self, spark):

@@ -73,8 +73,9 @@ class TestDuckdbTableFunctions:
         assert rows[0][0] == 0
 
     def test_empty_but_shaped_families(self, spark):
+        # types/constraints: no Spark counterpart, empty but shaped;
+        # secrets: live registry, empty until a CREATE SECRET runs
         for fn, col in [
-            ("duckdb_extensions()", "extension_name"),
             ("duckdb_secrets()", "name"),
             ("duckdb_types()", "type_name"),
             ("duckdb_constraints()", "constraint_type"),
@@ -84,7 +85,10 @@ class TestDuckdbTableFunctions:
             assert rows == []
 
     def test_reference_loaded_installed_predicate_runs(self, spark):
-        # the exact extension query the reference issues
+        # the exact extension query the reference issues; since r7 the
+        # view reports Spark's real core data sources, so the rows
+        # surviving the reference's core-name exclusions are Spark's
+        # additional built-ins
         _, rows = _q(
             spark,
             "SELECT extension_name, description FROM duckdb_extensions() "
@@ -92,7 +96,7 @@ class TestDuckdbTableFunctions:
             "('autocomplete', 'core_functions', 'icu', 'jemalloc', "
             "'json', 'parquet') ORDER BY extension_name",
         )
-        assert rows == []
+        assert [r[0] for r in rows] == ["csv", "jdbc", "orc", "text"]
 
     def test_call_inside_string_literal_untouched(self, spark):
         # r5 advice: 'duckdb_tables()' as DATA must not be rewritten
