@@ -414,6 +414,20 @@ class ShaperServer:
                 url = urlparse(self.path)
                 parts = [unquote(p) for p in url.path.strip("/").split("/")]
                 try:
+                    if parts == ["api", "internal", "task-result"]:
+                        # push half of the cross-instance result
+                        # transport. Shared-metastore peers form the
+                        # trust domain: only instances heartbeating in
+                        # the store are accepted (no tokens between
+                        # peers, like the reference's NATS mesh).
+                        body = json.loads(self._read_body() or b"{}")
+                        sender = str(body.get("instance") or "")
+                        if not outer.db_path or not sender or not (
+                            outer.store.is_registered_instance(sender)
+                        ):
+                            return self._json(403, {"error": "forbidden"})
+                        applied = outer.scheduler.receive_push(body)
+                        return self._json(200, {"applied": applied})
                     # -- public auth endpoints (setup works only while
                     # no user exists; login/claim authenticate) --------
                     if parts == ["api", "auth", "setup"]:
@@ -659,6 +673,9 @@ class ShaperServer:
                                 tid, []
                             ).append(result)
                         outer.scheduler._record_run(tid, result)
+                        # manual runs propagate to peers like scheduled
+                        # ones (record + push)
+                        outer.scheduler._broadcast_result(tid, result)
                         return self._json(200, result.to_dict())
                     self._json(404, {"error": "not found"})
                 except Exception as e:
@@ -1081,6 +1098,12 @@ class ShaperServer:
             target=self._server.serve_forever, daemon=True
         )
         self._thread.start()
+        if self.db_path:
+            # multi-instance deployment (shared metastore): announce our
+            # address so peers push task results instead of waiting out
+            # the poll interval (the NATS-publish half of the transport)
+            addr = self._server.server_address
+            self.scheduler.enable_push(f"http://{addr[0]}:{addr[1]}")
         # Background flusher mirrors the reference's 2s batch timeout.
         def flush_loop():
             while not self._flusher_stop.wait(self.ingest.batch_timeout_s):

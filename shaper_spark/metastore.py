@@ -177,11 +177,22 @@ class Metastore:
                  claimed_at TEXT NOT NULL
                )"""
         )
+        # instances: live-peer registry for the push result transport
+        # (the stand-in for NATS's implicit subscriber set). Direct
+        # coordination like task_claims — heartbeats, not state.
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS instances (
+                 instance_id TEXT PRIMARY KEY,
+                 base_url TEXT NOT NULL,
+                 last_seen TEXT NOT NULL
+               )"""
+        )
 
     # -- event submission (reference SubmitState, state.go:130-163) -----
 
-    def record(self, event: str, data: dict[str, Any]) -> None:
-        """Append the event and apply its handler atomically.
+    def record(self, event: str, data: dict[str, Any]) -> int:
+        """Append the event and apply its handler atomically; returns
+        the event's log sequence number.
 
         Handlers are idempotent (INSERT OR REPLACE / keyed UPDATE), the
         same contract the reference states for its NATS consumers."""
@@ -190,11 +201,12 @@ class Metastore:
             raise ValueError(f"unknown state event: {event}")
         at = _now()
         with self._lock, self._db:
-            self._db.execute(
+            cur = self._db.execute(
                 "INSERT INTO events (event, data, created_at) VALUES (?, ?, ?)",
                 (event, json.dumps(data), at),
             )
             handler(self._db, data, at)
+            return int(cur.lastrowid)
 
     def rebuild(self) -> None:
         """Drop materialized tables and replay the event log — the
@@ -284,6 +296,43 @@ class Metastore:
                 " WHERE event = 'data_bump'"
             ).fetchone()
         return row["g"]
+
+    # -- live-instance registry (push transport peers) ------------------
+
+    def announce_instance(self, instance_id: str, base_url: str) -> None:
+        """Heartbeat this instance's HTTP address for peers to push to."""
+        with self._lock, self._db:
+            self._db.execute(
+                """INSERT INTO instances (instance_id, base_url, last_seen)
+                   VALUES (?, ?, ?)
+                   ON CONFLICT(instance_id) DO UPDATE SET
+                     base_url = excluded.base_url,
+                     last_seen = excluded.last_seen""",
+                (instance_id, base_url, _now()),
+            )
+
+    def live_instances(
+        self, ttl_s: float = 10.0, exclude: str = ""
+    ) -> list[tuple[str, str]]:
+        """(instance_id, base_url) of peers heartbeated within ttl_s."""
+        cutoff = (
+            dt.datetime.now(dt.timezone.utc) - dt.timedelta(seconds=ttl_s)
+        ).isoformat()
+        with self._lock:
+            rows = self._db.execute(
+                "SELECT instance_id, base_url FROM instances"
+                " WHERE last_seen >= ? AND instance_id != ?",
+                (cutoff, exclude),
+            ).fetchall()
+        return [(r["instance_id"], r["base_url"]) for r in rows]
+
+    def is_registered_instance(self, instance_id: str) -> bool:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT 1 FROM instances WHERE instance_id = ?",
+                (instance_id,),
+            ).fetchone()
+        return row is not None
 
     # -- cross-host result broadcast ------------------------------------
 

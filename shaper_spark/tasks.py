@@ -265,7 +265,15 @@ class TaskScheduler:
     ``taskId-runAtMillis`` — the NATS MsgID dedupe re-expressed on
     SQLite) so exactly one instance executes. ``all``/``init`` runs
     execute on every instance, as in the reference. Without a store the
-    scheduler degrades to the single-process behavior."""
+    scheduler degrades to the single-process behavior.
+
+    Result transport: the winner records the run into the shared event
+    log AND (when ``enable_push`` announced an HTTP address, as
+    ShaperServer.start does) POSTs it straight to every live peer —
+    the NATS-publish half of schedule_task.go:215-237. The log poll
+    remains the catch-up path, so a failed push costs latency, never
+    loss; pushed sequence numbers are remembered so the poll doesn't
+    double-deliver."""
 
     #: how long a claim loser waits before reading the winner's recorded
     #: next_run_at to re-arm its own timer
@@ -294,6 +302,8 @@ class TaskScheduler:
         # scheduler polls for results it didn't execute itself.
         self._poll_stop = threading.Event()
         self._poll_thread: threading.Thread | None = None
+        self._base_url: str = ""
+        self._seen_push_seqs: set[int] = set()
         if store is not None:
             try:
                 self._result_cursor = store.latest_event_seq()
@@ -441,21 +451,99 @@ class TaskScheduler:
         try:
             # result rows may hold datetimes/Decimals — pre-serialize
             # with default=str (the WS push serializes the same way)
-            self.store.record(
-                "task_run_result",
-                {
-                    "task_id": task_id,
-                    "instance": self.instance_id,
-                    "result_json": json.dumps(
-                        result.to_dict(), default=str
-                    ),
-                },
-            )
+            payload = {
+                "task_id": task_id,
+                "instance": self.instance_id,
+                "result_json": json.dumps(result.to_dict(), default=str),
+            }
+            seq = self.store.record("task_run_result", payload)
         except Exception:
-            pass  # an unreachable store must not fail the run
+            return  # an unreachable store must not fail the run
+        if self._base_url:
+            # push transport: deliver immediately to live peers (the
+            # NATS publish of schedule_task.go:215-237); the shared-log
+            # poll remains the catch-up/fallback path, so a missed or
+            # failed push is only latency, never loss
+            threading.Thread(
+                target=self._push_to_peers,
+                args=(seq, payload),
+                daemon=True,
+            ).start()
+
+    # -- push transport -------------------------------------------------
+
+    def enable_push(self, base_url: str) -> None:
+        """Announce this instance's HTTP address so peers sharing the
+        metastore POST results here instead of waiting out the poll
+        interval. Heartbeats refresh from the poll loop."""
+        self._base_url = base_url
+        try:
+            self.store.announce_instance(self.instance_id, base_url)
+        except Exception:
+            pass
+
+    def _push_to_peers(self, seq: int, payload: dict) -> None:
+        import urllib.request
+
+        try:
+            peers = self.store.live_instances(exclude=self.instance_id)
+        except Exception:
+            return
+        body = json.dumps({"seq": seq, **payload}).encode()
+        for _pid, url in peers:
+            try:
+                req = urllib.request.Request(
+                    url.rstrip("/") + "/api/internal/task-result",
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                urllib.request.urlopen(req, timeout=2).read()
+            except Exception:
+                continue  # best-effort; the poll catches up
+
+    def receive_push(self, data: dict) -> bool:
+        """Apply a peer-pushed result (the receiving half of the push
+        transport). Returns True if applied; duplicates from the poll
+        are suppressed via the seen-seq set."""
+        seq = int(data.get("seq") or 0)
+        with self._lock:
+            if seq and seq in self._seen_push_seqs:
+                return False
+            if seq:
+                self._seen_push_seqs.add(seq)
+        return self._apply_remote(data)
+
+    def _apply_remote(self, data: dict) -> bool:
+        if data.get("instance") == self.instance_id:
+            return False  # our own run, already in self.results
+        task_id = data.get("task_id", "")
+        with self._lock:
+            known = task_id in self._contents
+        if not known:
+            return False
+        try:
+            result = TaskResult.from_dict(json.loads(data["result_json"]))
+        except Exception:
+            return False
+        with self._lock:
+            self.results.setdefault(task_id, []).append(result)
+        if self.on_result:
+            try:
+                self.on_result(task_id, result)
+            except Exception:
+                pass
+        return True
 
     def _poll_remote_results(self) -> None:
         while not self._poll_stop.wait(self.RESULT_POLL_S):
+            if self._base_url:
+                try:  # keep the live-peer heartbeat fresh
+                    self.store.announce_instance(
+                        self.instance_id, self._base_url
+                    )
+                except Exception:
+                    pass
             try:
                 rows = self.store.task_results_since(self._result_cursor)
             except Exception:
@@ -465,26 +553,10 @@ class TaskScheduler:
                 # threads and external readers — mutate under the lock
                 with self._lock:
                     self._result_cursor = max(self._result_cursor, seq)
-                if data.get("instance") == self.instance_id:
-                    continue  # our own run, already in self.results
-                task_id = data.get("task_id", "")
-                with self._lock:
-                    known = task_id in self._contents
-                if not known:
-                    continue
-                try:
-                    result = TaskResult.from_dict(
-                        json.loads(data["result_json"])
-                    )
-                except Exception:
-                    continue
-                with self._lock:
-                    self.results.setdefault(task_id, []).append(result)
-                if self.on_result:
-                    try:
-                        self.on_result(task_id, result)
-                    except Exception:
-                        pass
+                    if seq in self._seen_push_seqs:
+                        self._seen_push_seqs.discard(seq)
+                        continue  # already delivered by push
+                self._apply_remote(data)
 
     def shutdown(self) -> None:
         self._poll_stop.set()

@@ -1,0 +1,98 @@
+"""Push half of the cross-instance task-result transport: the
+executing instance POSTs results to live peers registered in the
+shared metastore (the NATS-publish analogue), with the shared-log poll
+as catch-up. The poll thread on the receiver is STOPPED in these tests
+so only the push path can deliver."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from shaper_spark.api import ShaperServer
+from shaper_spark.tasks import TaskResult
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    db = str(tmp_path / "meta.sqlite")
+    a = ShaperServer(spark, db_path=db).start()
+    b = ShaperServer(spark, db_path=db).start()
+    yield a, b
+    a.stop()
+    b.stop()
+
+
+def _result(tid="pt1"):
+    return TaskResult(
+        started_at=1, success=True, total_queries=1,
+        next_run_at=0, schedule_type="single",
+    )
+
+
+class TestPushTransport:
+    def test_instances_registered(self, pair):
+        a, b = pair
+        live = a.store.live_instances(exclude=a.scheduler.instance_id)
+        assert any(
+            iid == b.scheduler.instance_id and url.startswith("http://")
+            for iid, url in live
+        )
+
+    def test_result_pushed_without_polling(self, pair):
+        a, b = pair
+        # receiver's poll thread off: push is the only delivery path
+        b.scheduler._poll_stop.set()
+        b.scheduler._poll_thread.join(timeout=3)
+        tid = "pt1"
+        content = "SELECT 1 AS x;"
+        for srv in (a, b):
+            srv.store.record(
+                "create_task", {"id": tid, "content": content}
+            )
+            srv.scheduler._contents[tid] = content
+        res = _result(tid)
+        a.scheduler.results.setdefault(tid, []).append(res)
+        a.scheduler._broadcast_result(tid, res)
+        deadline = time.time() + 5
+        while time.time() < deadline and not b.scheduler.results.get(tid):
+            time.sleep(0.05)
+        got = b.scheduler.results.get(tid)
+        assert got and got[0].success and got[0].total_queries == 1
+
+    def test_poll_skips_pushed_seq(self, pair):
+        a, b = pair
+        tid = "pt2"
+        content = "SELECT 1 AS x;"
+        for srv in (a, b):
+            srv.scheduler._contents[tid] = content
+        res = _result(tid)
+        a.scheduler._broadcast_result(tid, res)
+        # wait for push delivery, then give the poll a full interval to
+        # (wrongly) double-apply
+        deadline = time.time() + 5
+        while time.time() < deadline and not b.scheduler.results.get(tid):
+            time.sleep(0.05)
+        time.sleep(1.2)
+        assert len(b.scheduler.results.get(tid, [])) == 1
+
+    def test_unregistered_sender_rejected(self, pair):
+        a, b = pair
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{b.port}/api/internal/task-result",
+            data=json.dumps(
+                {"instance": "ghost", "task_id": "x", "seq": 999,
+                 "result_json": "{}"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 403
