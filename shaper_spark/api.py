@@ -29,11 +29,13 @@ Routes re-expressed (reference server/web/routes.go:157-198):
   GET  /api/tasks/<id>/events                   → WebSocket result push
                                                   (RFC6455, shaper_spark.ws)
 
-Out of scope by design (operational plumbing, SURVEY §0.7): auth/JWT
-users, invites, NATS event sourcing, React UI, PDF rendering. The
-`variables` parameter that JWT claims would carry is accepted as a
-constructor argument so embedding applications can inject their own
-auth layer in front.
+Since r7 the auth surface is in scope too: session/API-key tokens
+with per-route permissions (auth.py), user/invite/key/folder
+management routes, and the JWT dashboard-embed flow — POST /api/jwt
+mints a variables-carrying HS256 token (web/handler/auth.go:163-230)
+which the render/download routes honor (claims merge over the
+constructor ``variables``; dashboardId-scoped tokens are restricted
+to that dashboard). Only the React UI remains out of scope.
 
 Scale note: the server holds no query state — every request drives the
 shared long-lived SparkSession; exports stream via toLocalIterator so
@@ -53,7 +55,7 @@ from urllib.parse import parse_qs, unquote, urlparse
 from pyspark.sql import SparkSession
 
 from . import sqltool
-from .auth import Actor, AuthError, AuthService
+from .auth import Actor, AuthError, AuthInfo, AuthService
 from .engine import query_dashboard
 from .folders import FolderService
 from .exports import stream_csv, stream_dashboard_export
@@ -143,8 +145,49 @@ class ShaperServer:
                 """AuthInfo if the request may proceed, else respond
                 401/403 and return None. Until the first user exists
                 the server runs in no-auth mode (auth.go:342-346), so
-                pre-auth deployments keep their exact old behavior."""
-                info = outer.auth.valid_token(self._bearer())
+                pre-auth deployments keep their exact old behavior.
+
+                Besides session/API-key tokens, a signed JWT is
+                accepted (the dashboard-embed flow, routes.go:115-133):
+                a user-claim JWT acts as that user; a dashboard-scoped
+                JWT grants dashboard:read only, and its claims
+                (variables, dashboardId) ride on self._jwt_claims for
+                the render handlers."""
+                self._jwt_claims = None
+                token = self._bearer()
+                if (
+                    token.count(".") == 2
+                    and not token.startswith(
+                        ("shapersession.", "shaperkey.")
+                    )
+                ):
+                    claims = outer.auth.verify_jwt(token)
+                    if claims is not None:
+                        self._jwt_claims = claims
+                        if claims.get("userId"):
+                            info = AuthInfo(
+                                valid=True,
+                                is_user=True,
+                                user_id=str(claims["userId"]),
+                                session_id=str(
+                                    claims.get("sessionId") or ""
+                                ),
+                            )
+                        else:
+                            info = AuthInfo(
+                                valid=True,
+                                api_key_id=str(
+                                    claims.get("apiKeyId") or "jwt-embed"
+                                ),
+                                permissions=["dashboard:read"],
+                            )
+                        if permission and not outer.auth.has_permission(
+                            info, permission
+                        ):
+                            self._json(403, {"error": "forbidden"})
+                            return None
+                        return info
+                info = outer.auth.valid_token(token)
                 if not info.valid:
                     self._json(401, {"error": "unauthorized"})
                     return None
@@ -594,6 +637,35 @@ class ShaperServer:
                         except AuthError as e:
                             return self._json(400, {"error": str(e)})
                         return self._json(200, {"ok": True})
+                    if parts == ["api", "jwt"]:
+                        # dashboard-embed token minting
+                        # (web/handler/auth.go:163-230 TokenAuth; API
+                        # keys need the 'jwt' permission)
+                        info = self._gate()
+                        if info is None:
+                            return
+                        body = json.loads(self._read_body() or b"{}")
+                        try:
+                            token = outer.auth.generate_dashboard_jwt(
+                                info,
+                                dashboard_id=str(
+                                    body.get("dashboardId") or ""
+                                ),
+                                variables=body.get("variables") or {},
+                                exp_s=(
+                                    30 * 24 * 3600
+                                    if body.get("longLived")
+                                    else None
+                                ),
+                            )
+                        except AuthError as e:
+                            code = (
+                                403
+                                if "permission" in str(e)
+                                else 400
+                            )
+                            return self._json(code, {"error": str(e)})
+                        return self._json(200, {"jwt": token})
                     # -- data/deploy surface (API-key permissions) -----
                     if parts == ["api", "sql"]:
                         if self._gate("data:query") is None:
@@ -959,10 +1031,27 @@ class ShaperServer:
                 ]
                 return self._json(200, {"valid": not bad, "invalidStatements": bad})
 
+            def _jwt_variables(self, did: str):
+                """(variables, error_sent): merge JWT claim variables
+                over the server defaults (claims written at token-mint
+                time, web/handler/auth.go:212-220) and enforce the
+                dashboardId scope of embed tokens."""
+                claims = getattr(self, "_jwt_claims", None) or {}
+                scope = claims.get("dashboardId")
+                if scope and scope != did:
+                    self._json(403, {"error": "forbidden"})
+                    return None, True
+                merged = dict(outer.variables)
+                merged.update(claims.get("variables") or {})
+                return merged, False
+
             def _dashboard(self, did: str, url):
                 content = outer._dashboard_content(did)
                 if content is None:
                     return self._json(404, {"error": f"no dashboard {did}"})
+                variables, err = self._jwt_variables(did)
+                if err:
+                    return
                 params = {
                     k: v if len(v) > 1 else v[0]
                     for k, v in parse_qs(url.query).items()
@@ -971,7 +1060,7 @@ class ShaperServer:
                     outer.spark,
                     content,
                     params=params,
-                    variables=outer.variables,
+                    variables=variables,
                     dashboard_id=did,
                 )
                 return self._json(200, result.to_dict())
@@ -980,6 +1069,9 @@ class ShaperServer:
                 content = outer._dashboard_content(did)
                 if content is None:
                     return self._json(404, {"error": f"no dashboard {did}"})
+                jwt_vars, err = self._jwt_variables(did)
+                if err:
+                    return
                 fmt = filename.rsplit(".", 1)[-1].lower()
                 if fmt in ("pdf", "html", "png"):
                     # Reference renders PDFs by driving headless Chrome
@@ -1000,7 +1092,7 @@ class ShaperServer:
                         outer.spark,
                         content,
                         params=params,
-                        variables=outer.variables,
+                        variables=jwt_vars,
                         dashboard_id=did,
                     )
                     stem = filename.rsplit(".", 1)[0] or "dashboard"
@@ -1053,7 +1145,7 @@ class ShaperServer:
                     out,
                     query_id=qid,
                     params=params,
-                    variables=outer.variables,
+                    variables=jwt_vars,
                 )
                 data = out.getvalue()
                 if isinstance(data, str):

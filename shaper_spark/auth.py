@@ -70,6 +70,8 @@ ALL_PERMISSIONS = [
 
 SESSION_EXP_S = 30 * 24 * 3600  # main.go:433 --sessionexp default
 INVITE_EXP_S = 7 * 24 * 3600  # main.go:434 --inviteexp default
+JWT_EXP_S = 15 * 60  # main.go:430 --jwtexp default
+CONFIG_KEY_JWT_SECRET = "jwt_secret"
 
 
 class AuthError(Exception):
@@ -475,6 +477,104 @@ class AuthService:
         self.store.record(
             "delete_api_key", {"id": key_id, "deleted_by": str(actor)}
         )
+
+    # -- JWTs (dashboard embedding; web/handler/auth.go:163-230) --------
+
+    def jwt_secret(self) -> bytes:
+        """Shared HS256 signing secret, created on first use and stored
+        in the metastore's config KV (reference LoadJWTSecret/
+        ResetJWTSecret over the NATS config bucket, auth.go:401-430)."""
+        val = self.store.config_get(CONFIG_KEY_JWT_SECRET)
+        if val is None:
+            val = secrets.token_hex(32)
+            self.store.config_put(CONFIG_KEY_JWT_SECRET, val)
+        return val.encode()
+
+    def mint_jwt(self, claims: dict[str, Any], exp_s: float | None = None) -> str:
+        import base64
+        import time
+
+        payload = dict(claims)
+        payload["exp"] = int(time.time() + (exp_s or JWT_EXP_S))
+
+        def b64(b: bytes) -> bytes:
+            return base64.urlsafe_b64encode(b).rstrip(b"=")
+
+        head = b64(json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+        body = b64(json.dumps(payload, separators=(",", ":")).encode())
+        signing = head + b"." + body
+        sig = b64(
+            hmac.new(self.jwt_secret(), signing, hashlib.sha256).digest()
+        )
+        return (signing + b"." + sig).decode()
+
+    def verify_jwt(self, token: str) -> dict[str, Any] | None:
+        """Claims dict if signature and expiry check out, else None."""
+        import base64
+        import time
+
+        parts = token.split(".")
+        if len(parts) != 3:
+            return None
+
+        def unb64(s: str) -> bytes:
+            return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+        signing = (parts[0] + "." + parts[1]).encode()
+        expect = base64.urlsafe_b64encode(
+            hmac.new(self.jwt_secret(), signing, hashlib.sha256).digest()
+        ).rstrip(b"=")
+        if not hmac.compare_digest(expect.decode(), parts[2]):
+            return None
+        try:
+            head = json.loads(unb64(parts[0]))
+            claims = json.loads(unb64(parts[1]))
+        except Exception:
+            return None
+        if head.get("alg") != "HS256":
+            return None  # reference rejects non-HMAC methods
+        exp = claims.get("exp")
+        if exp is not None and time.time() > float(exp):
+            return None
+        return claims
+
+    def generate_dashboard_jwt(
+        self,
+        info: AuthInfo,
+        dashboard_id: str = "",
+        variables: dict[str, Any] | None = None,
+        exp_s: float | None = None,
+    ) -> str:
+        """web/handler/auth.go:163-230 TokenAuth: a JWT carrying the
+        caller's identity, an optional dashboard scope, and render
+        variables (string or list-of-string values only)."""
+        variables = variables or {}
+        for k, v in variables.items():
+            if isinstance(v, str):
+                continue
+            if isinstance(v, list) and all(isinstance(x, str) for x in v):
+                continue
+            raise AuthError(f"unsupported type for key {k}")
+        if info.api_key_id and not self.has_permission(
+            info, PERMISSION_GENERATE_JWT
+        ):
+            raise AuthError(
+                "Missing required permission: " + PERMISSION_GENERATE_JWT
+            )
+        claims: dict[str, Any] = {}
+        if info.is_user:
+            claims["userId"] = info.user_id
+            claims["sessionId"] = info.session_id
+        elif info.api_key_id:
+            claims["apiKeyId"] = info.api_key_id
+            claims["apiKeyName"] = info.api_key_name
+            if not dashboard_id:
+                raise AuthError("Missing dashboardId")
+        if dashboard_id:
+            claims["dashboardId"] = dashboard_id
+        if variables:
+            claims["variables"] = variables
+        return self.mint_jwt(claims, exp_s)
 
     def update_api_key_permissions(
         self, key_id: str, permissions: list[str], actor: Actor

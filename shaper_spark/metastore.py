@@ -177,6 +177,15 @@ class Metastore:
                  claimed_at TEXT NOT NULL
                )"""
         )
+        # config_kv: small shared config values (JWT signing secret —
+        # the reference keeps it in a NATS KV bucket, auth.go:408-430).
+        # Coordination, not event-sourced.
+        self._db.execute(
+            """CREATE TABLE IF NOT EXISTS config_kv (
+                 key TEXT PRIMARY KEY,
+                 value TEXT NOT NULL
+               )"""
+        )
         # instances: live-peer registry for the push result transport
         # (the stand-in for NATS's implicit subscriber set). Direct
         # coordination like task_claims — heartbeats, not state.
@@ -296,6 +305,23 @@ class Metastore:
                 " WHERE event = 'data_bump'"
             ).fetchone()
         return row["g"]
+
+    # -- shared config KV ------------------------------------------------
+
+    def config_get(self, key: str) -> str | None:
+        with self._lock:
+            row = self._db.execute(
+                "SELECT value FROM config_kv WHERE key = ?", (key,)
+            ).fetchone()
+        return row["value"] if row else None
+
+    def config_put(self, key: str, value: str) -> None:
+        with self._lock, self._db:
+            self._db.execute(
+                "INSERT INTO config_kv (key, value) VALUES (?, ?)"
+                " ON CONFLICT(key) DO UPDATE SET value = excluded.value",
+                (key, value),
+            )
 
     # -- live-instance registry (push transport peers) ------------------
 

@@ -603,3 +603,112 @@ class TestAuthRoutes:
         assert s == 200
         s, _ = self._req(asrv, "GET", "/api/dashboards", token=token)
         assert s == 401
+
+
+class TestJwtFlow:
+    """JWT dashboard-embed flow: mint with variables, render honors the
+    claims, dashboard scoping enforced, API keys need the jwt grant."""
+
+    @pytest.fixture()
+    def jsrv(self, spark):
+        srv = ShaperServer(spark, variables={"org": "acme"}).start()
+        yield srv
+        srv.stop()
+
+    def _req(self, srv, method, path, payload=None, token=""):
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers=headers,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read() or b"{}")
+
+    def test_embed_jwt_variables_and_scope(self, jsrv):
+        s, _ = self._req(
+            jsrv, "POST", "/api/dashboards",
+            {"id": "jd", "content":
+             "SELECT getvariable('who') AS who;"},
+        )
+        assert s == 200
+        self._req(
+            jsrv, "POST", "/api/dashboards",
+            {"id": "other", "content": "SELECT 1 AS x;"},
+        )
+        # mint (no-auth mode: any caller may mint)
+        s, b = self._req(
+            jsrv, "POST", "/api/jwt",
+            {"dashboardId": "jd", "variables": {"who": "embedded"}},
+        )
+        assert s == 200
+        tok = b["jwt"]
+        assert tok.count(".") == 2
+        # render with the token: variables claim reaches the SQL
+        s, d = self._req(jsrv, "GET", "/api/dashboards/jd", token=tok)
+        assert s == 200
+        rows = d["sections"][-1]["queries"][-1]["rows"]
+        assert rows == [["embedded"]]
+        # scope: the token cannot render a different dashboard
+        s, _ = self._req(jsrv, "GET", "/api/dashboards/other", token=tok)
+        assert s == 403
+        # invalid variable shapes rejected at mint time
+        s, _ = self._req(
+            jsrv, "POST", "/api/jwt",
+            {"dashboardId": "jd", "variables": {"n": 7}},
+        )
+        assert s == 400
+
+    def test_tampered_and_expired_jwt_rejected(self, jsrv):
+        jsrv.auth.create_user("j@b.c", "pw12345678")
+        login = self._req(
+            jsrv, "POST", "/api/auth/login",
+            {"email": "j@b.c", "password": "pw12345678"},
+        )[1]["token"]
+        s, b = self._req(
+            jsrv, "POST", "/api/jwt", {"dashboardId": "jd"}, token=login
+        )
+        assert s == 200
+        tok = b["jwt"]
+        bad = tok[:-2] + ("AA" if not tok.endswith("AA") else "BB")
+        s, _ = self._req(jsrv, "GET", "/api/dashboards/jd", token=bad)
+        assert s == 401
+        expired = jsrv.auth.mint_jwt({"dashboardId": "jd"}, exp_s=-5)
+        s, _ = self._req(jsrv, "GET", "/api/dashboards/jd", token=expired)
+        assert s == 401
+
+    def test_api_key_needs_jwt_permission(self, jsrv):
+        jsrv.auth.create_user("k@b.c", "pw12345678")
+        login = self._req(
+            jsrv, "POST", "/api/auth/login",
+            {"email": "k@b.c", "password": "pw12345678"},
+        )[1]["token"]
+        _, kb = self._req(
+            jsrv, "POST", "/api/keys",
+            {"name": "nojwt", "permissions": ["data:query"]}, token=login,
+        )
+        s, _ = self._req(
+            jsrv, "POST", "/api/jwt", {"dashboardId": "jd"},
+            token=kb["key"],
+        )
+        assert s == 403
+        _, kb2 = self._req(
+            jsrv, "POST", "/api/keys",
+            {"name": "canjwt", "permissions": ["jwt"]}, token=login,
+        )
+        s, b = self._req(
+            jsrv, "POST", "/api/jwt", {"dashboardId": "jd"},
+            token=kb2["key"],
+        )
+        assert s == 200 and b["jwt"]
+        # an api-key embed JWT without dashboardId is rejected
+        s, _ = self._req(
+            jsrv, "POST", "/api/jwt", {}, token=kb2["key"]
+        )
+        assert s == 400
