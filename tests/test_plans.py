@@ -514,3 +514,30 @@ class TestRound5OperatorPlans:
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_incremental_sig_dedup_broadcasts_batch_no_cartesian(
+        self, spark
+    ):
+        # steady-state ingest plan: the batch side (records + band
+        # buckets) broadcasts, every join is keyed, the store is never
+        # cartesian-joined, and no corpus text column reaches the plan
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators.dedup import (
+            incremental_sig_dedup,
+            signature_records,
+        )
+
+        docs = spark.table("documents")
+        store = signature_records(
+            docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text",
+            num_hashes=8,
+        )
+        batch = docs.filter(F.col("doc_id") % 5 == 0).limit(50)
+        out = incremental_sig_dedup(
+            store, batch, "doc_id", "text", num_hashes=8
+        )
+        plan = _executed(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastExchange" in plan  # batch side broadcast
