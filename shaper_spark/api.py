@@ -498,6 +498,25 @@ class ShaperServer:
                                 401, {"error": "invalid credentials"}
                             )
                         return self._json(200, {"token": token})
+                    if parts == ["api", "auth", "public"]:
+                        # PublicAuth (web/handler/auth.go:233-300):
+                        # public/password-protected dashboards mint a
+                        # dashboard-scoped embed JWT without a login
+                        body = json.loads(self._read_body() or b"{}")
+                        did = str(body.get("dashboardId") or "")
+                        if not did:
+                            return self._json(
+                                400, {"error": "Missing dashboardId"}
+                            )
+                        try:
+                            token = outer.auth.public_dashboard_jwt(
+                                did, str(body.get("password") or "")
+                            )
+                        except AuthError as e:
+                            msg = str(e)
+                            code = 404 if msg == "not found" else 401
+                            return self._json(code, {"error": msg})
+                        return self._json(200, {"jwt": token})
                     if parts == ["api", "invites", "claim"]:
                         body = json.loads(self._read_body() or b"{}")
                         try:
@@ -715,7 +734,7 @@ class ShaperServer:
                     if (
                         len(parts) == 4
                         and parts[:2] == ["api", "dashboards"]
-                        and parts[3] in ("query", "name", "visibility")
+                        and parts[3] in ("query", "name", "visibility", "password")
                     ):
                         return self._update_app(
                             "dashboard", parts[2], parts[3]
@@ -816,6 +835,14 @@ class ShaperServer:
                     outer.store.record(
                         "update_dashboard_visibility",
                         {"id": app_id, "visibility": body.get("visibility")},
+                    )
+                elif field_ == "password":
+                    # share password for password-protected visibility
+                    # (empty clears); stored as a scrypt hash
+                    outer.auth.set_dashboard_password(
+                        app_id,
+                        str(body.get("password") or ""),
+                        Actor("no_auth"),
                     )
                 else:
                     value = str(body.get("content") or "")

@@ -576,6 +576,60 @@ class AuthService:
             claims["variables"] = variables
         return self.mint_jwt(claims, exp_s)
 
+    # -- public dashboard sharing (web/handler/auth.go:233-300) ---------
+
+    def set_dashboard_password(
+        self, dashboard_id: str, password: str, actor: Actor
+    ) -> None:
+        """Set (or clear, with an empty password) the share password
+        for a password-protected dashboard (edit_dashboard.go:350)."""
+        app = self.store.get_app(dashboard_id)
+        if app is None or app["type"] != "dashboard":
+            raise AuthError("dashboard not found")
+        self.store.record(
+            "update_dashboard_password",
+            {
+                "id": dashboard_id,
+                "password_hash": _hash_password(password)
+                if password
+                else None,
+                "updated_by": str(actor),
+            },
+        )
+
+    def verify_dashboard_password(
+        self, dashboard_id: str, password: str
+    ) -> bool:
+        app = self.store.get_app(dashboard_id)
+        if app is None or not app.get("password_hash"):
+            return False
+        return _check_password(password, app["password_hash"])
+
+    def public_dashboard_jwt(
+        self, dashboard_id: str, password: str = ""
+    ) -> str:
+        """PublicAuth: a dashboard whose visibility is ``public`` (or
+        ``password-protected`` with the right password) yields a
+        dashboard-scoped embed JWT; private/unset visibility is
+        indistinguishable from a missing dashboard (the reference's
+        404-for-private rule)."""
+        app = self.store.get_app(dashboard_id)
+        visibility = (app or {}).get("visibility")
+        if (
+            app is None
+            or app["type"] != "dashboard"
+            or visibility not in ("public", "password-protected")
+        ):
+            raise AuthError("not found")
+        if visibility == "password-protected":
+            if not password:
+                raise AuthError("Password required")
+            if not self.verify_dashboard_password(dashboard_id, password):
+                raise AuthError("Invalid password")
+        return self.mint_jwt(
+            {"dashboardId": dashboard_id, "public": visibility}
+        )
+
     def update_api_key_permissions(
         self, key_id: str, permissions: list[str], actor: Actor
     ) -> None:

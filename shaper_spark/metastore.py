@@ -165,6 +165,11 @@ class Metastore:
         }
         if cols and "folder_id" not in cols:
             self._db.execute("ALTER TABLE apps ADD COLUMN folder_id TEXT")
+        # password-protected sharing (reference edit_dashboard.go:354)
+        if cols and "password_hash" not in cols:
+            self._db.execute(
+                "ALTER TABLE apps ADD COLUMN password_hash TEXT"
+            )
         # task_claims: transport-level run dedupe, the SQLite stand-in for
         # the reference's NATS MsgID window (schedule_task.go:215-237 —
         # every node schedules, the message id "taskID-runAtMillis"
@@ -503,6 +508,14 @@ def _update_visibility(db, data: dict[str, Any], at: str) -> None:
     )
 
 
+def _update_dashboard_password(db, data: dict[str, Any], at: str) -> None:
+    # reference edit_dashboard.go:350-360; NULL clears the protection
+    db.execute(
+        "UPDATE apps SET password_hash = ?, updated_at = ? WHERE id = ?",
+        (data.get("password_hash"), at, data["id"]),
+    )
+
+
 def _delete_app(db, data: dict[str, Any], at: str) -> None:
     db.execute("DELETE FROM apps WHERE id = ?", (data["id"],))
     db.execute("DELETE FROM task_runs WHERE task_id = ?", (data["id"],))
@@ -748,6 +761,7 @@ _HANDLERS = {
     "update_dashboard_content": _update_content,
     "update_dashboard_name": _update_name,
     "update_dashboard_visibility": _update_visibility,
+    "update_dashboard_password": _update_dashboard_password,
     "delete_dashboard": _delete_app,
     "create_task": lambda db, d, at: _upsert_app(db, d, "task", at),
     "update_task_content": _update_content,

@@ -712,3 +712,91 @@ class TestJwtFlow:
             jsrv, "POST", "/api/jwt", {}, token=kb2["key"]
         )
         assert s == 400
+
+
+class TestPublicSharing:
+    """PublicAuth flow (web/handler/auth.go:233-300): public and
+    password-protected dashboards mint embed JWTs without login;
+    private visibility is indistinguishable from missing."""
+
+    @pytest.fixture()
+    def psrv(self, spark):
+        srv = ShaperServer(spark).start()
+        yield srv
+        srv.stop()
+
+    def _req(self, srv, method, path, payload=None, token=""):
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers=headers,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read() or b"{}")
+
+    def test_public_and_password_protected(self, psrv):
+        self._req(
+            psrv, "POST", "/api/dashboards",
+            {"id": "pub1", "content": "SELECT 1 AS one;"},
+        )
+        # private (default visibility): 404, like a missing dashboard
+        s, _ = self._req(
+            psrv, "POST", "/api/auth/public", {"dashboardId": "pub1"}
+        )
+        assert s == 404
+        self._req(
+            psrv, "POST", "/api/dashboards/pub1/visibility",
+            {"visibility": "public"},
+        )
+        s, b = self._req(
+            psrv, "POST", "/api/auth/public", {"dashboardId": "pub1"}
+        )
+        assert s == 200
+        # create a user so auth is enforced, then render via the token
+        psrv.auth.create_user("p@b.c", "pw12345678")
+        s, d = self._req(
+            psrv, "GET", "/api/dashboards/pub1", token=b["jwt"]
+        )
+        assert s == 200
+        assert d["sections"][-1]["queries"][-1]["rows"] == [[1]]
+
+        # password-protected (auth is on now — mutations need the user)
+        login = self._req(
+            psrv, "POST", "/api/auth/login",
+            {"email": "p@b.c", "password": "pw12345678"},
+        )[1]["token"]
+        s, _ = self._req(
+            psrv, "POST", "/api/dashboards/pub1/visibility",
+            {"visibility": "password-protected"}, token=login,
+        )
+        assert s == 200
+        s, _ = self._req(
+            psrv, "POST", "/api/dashboards/pub1/password",
+            {"password": "sharepw"}, token=login,
+        )
+        assert s == 200
+        s, _ = self._req(
+            psrv, "POST", "/api/auth/public", {"dashboardId": "pub1"}
+        )
+        assert s == 401  # password required
+        s, _ = self._req(
+            psrv, "POST", "/api/auth/public",
+            {"dashboardId": "pub1", "password": "wrong"},
+        )
+        assert s == 401
+        s, b = self._req(
+            psrv, "POST", "/api/auth/public",
+            {"dashboardId": "pub1", "password": "sharepw"},
+        )
+        assert s == 200
+        s, _ = self._req(
+            psrv, "GET", "/api/dashboards/pub1", token=b["jwt"]
+        )
+        assert s == 200
