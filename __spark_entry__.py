@@ -2177,6 +2177,123 @@ GROUP BY lab.b ORDER BY component
 """
 
 
+def _q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KL divergence between per-source smoothed unigram
+    distributions (shaper_spark/operators/text.py source_kl_matrix,
+    add-0.5 smoothing over the global vocabulary) — the dataset-shift
+    audit for data mixing. The full-vocab sum reduces to per-source
+    closed forms + one word-keyed join, so absent words never
+    materialize. No reference counterpart; §2C."""
+    from shaper_spark.operators.text import source_kl_matrix
+
+    _prep(spark, sf_dir)
+    return source_kl_matrix(spark.table("documents"), "text")
+
+
+SOURCE_KL_DUCK = """
+WITH toks AS (SELECT source AS src, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+tk AS (SELECT src, tok FROM toks WHERE len(tok) > 0),
+counts AS (SELECT src, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+totals AS (SELECT src, sum(c) AS n, count(*) AS vs FROM counts GROUP BY 1),
+voc AS (SELECT count(DISTINCT tok) AS V FROM counts),
+pl AS (SELECT src, tok,
+              (c + 0.5) / (n + 0.5 * V) AS p,
+              ln((c + 0.5) / (n + 0.5 * V)) AS lnp
+       FROM counts JOIN totals USING (src) CROSS JOIN voc),
+per AS (SELECT src, sum(p * lnp) AS s1, sum(p) AS sp, sum(lnp) AS sl
+        FROM pl GROUP BY 1),
+stats AS (SELECT t.src, t.vs, voc.V, per.s1, per.sp, per.sl,
+                 0.5 / (t.n + 0.5 * voc.V) AS p0,
+                 ln(0.5 / (t.n + 0.5 * voc.V)) AS lnp0
+          FROM totals t CROSS JOIN voc JOIN per ON per.src = t.src),
+pairj AS (SELECT a.src AS src_a, b.src AS src_b,
+                 sum(a.p * b.lnp) AS j_palb, sum(a.p) AS j_pa,
+                 sum(b.lnp) AS j_lb, count(*) AS j_cnt
+          FROM pl a JOIN pl b ON a.tok = b.tok AND a.src != b.src
+          GROUP BY 1, 2)
+SELECT sa.src AS source_a, sb.src AS source_b,
+       round((sa.s1 + (sa.V - sa.vs) * sa.p0 * sa.lnp0)
+           - (coalesce(j.j_palb, 0)
+              + (sa.sp - coalesce(j.j_pa, 0)) * sb.lnp0
+              + sa.p0 * (sb.sl - coalesce(j.j_lb, 0))
+              + (sa.V - sa.vs - sb.vs + coalesce(j.j_cnt, 0))
+                * sa.p0 * sb.lnp0), 6) + 0 AS kl_nats
+FROM stats sa JOIN stats sb ON sa.src != sb.src
+LEFT JOIN pairj j ON j.src_a = sa.src AND j.src_b = sb.src
+ORDER BY 1, 2
+"""
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (shaper_spark/operators/semdedup.py): within-cluster
+    cosine dedup (Abbas 2023) in stored-cluster mode — the embeddings
+    table's ``label`` column IS the cluster id (the production case:
+    cluster assignments computed once and stored). Near-dups are
+    planted SQL-reproducibly like embedding_neardup: corpus =
+    embeddings ∪ a +0.02-shifted copy sharing the label, so every
+    original/copy pair is a within-cluster duplicate; verdict =
+    (id, cluster, keep) with transitive groups and min-id canonicals.
+    No reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.semdedup import semantic_dedup
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup(
+        corpus, "vec_id", "embedding", cluster_col="label",
+        threshold=0.95,
+    ).withColumnRenamed("id", "vec_id")
+
+
+SEMDEDUP_DUCK = """
+WITH RECURSIVE
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+corp AS (
+  SELECT vec_id, v, label FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x + 0.02), label FROM base
+),
+edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corp a JOIN corp b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.95
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION SELECT id_b, id_a FROM edges
+  UNION SELECT id_a, id_a FROM edges
+  UNION SELECT id_b, id_b FROM edges
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)
+SELECT corp.vec_id, CAST(corp.label AS INT) AS cluster,
+       (comp.vec_id IS NULL OR comp.component = corp.vec_id) AS keep
+FROM corp LEFT JOIN comp ON comp.vec_id = corp.vec_id
+ORDER BY corp.vec_id
+"""
+
+
 def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup removal applied to the corpus
     (shaper_spark/operators/graph.py apply_dedup): jaccard pairs →
@@ -3564,6 +3681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # second green): signature-store incremental dedup — the
         # steady-state ingest regime
         "dedup_sig_incremental": _q_sig_incremental,
+        "semdedup_report": _q_semdedup,
+        "source_kl_matrix": _q_source_kl,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -3650,6 +3769,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage_curve": VOCAB_COVERAGE_DUCK,
         "dedup_incremental_report": INCREMENTAL_DEDUP_DUCK,
         "dedup_sig_incremental": SIG_INCREMENTAL_DUCK,
+        "semdedup_report": SEMDEDUP_DUCK,
+        "source_kl_matrix": SOURCE_KL_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

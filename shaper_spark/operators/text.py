@@ -27,6 +27,7 @@ __all__ = [
     "gopher_quality_filter",
     "zipf_slope",
     "vocab_coverage_curve",
+    "source_kl_matrix",
     "LANG_STOPWORDS",
 ]
 
@@ -480,6 +481,134 @@ def gopher_quality_filter(
         "n_words",
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
+    )
+
+
+def source_kl_matrix(
+    df: DataFrame,
+    text_col: str,
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Pairwise KL divergence between per-source smoothed unigram
+    distributions: (source_a, source_b, kl_nats) for every ordered
+    pair a ≠ b — the dataset-shift / provenance-drift audit that tells
+    a data-mixing pipeline HOW DIFFERENT two sources' token
+    distributions are (complementing source_overlap_matrix's verbatim
+    n-gram sharing and zipf_slope's shape diagnostic).
+
+    P_s(w) = (c_sw + α) / (n_s + α·V) with add-α smoothing over the
+    GLOBAL vocabulary V, so KL is finite even for disjoint sources.
+
+    Spark shape: one token explode → per-(source, word) counts (the
+    only vocab-scale shuffle) → the full-vocabulary sum splits into
+    closed-form pieces so absent words are NEVER materialized:
+    per-source aggregates (Σ P ln P, Σ P, Σ ln P over present words)
+    plus one counts⋈counts equi-join on the word for the a∩b terms,
+    and the (V − |a∪b|) remainder is O(1) arithmetic. Source count is
+    small by nature, so the stats frames broadcast; nothing scales
+    with vocab × pairs."""
+    toks = df.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("src").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("vs")
+    )
+    vocab = counts.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("V")
+    )
+    tot = totals.crossJoin(F.broadcast(vocab))
+    a_ = F.lit(float(alpha))
+    pl = (
+        counts.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "tok",
+            (
+                (F.col("c") + a_)
+                / (F.col("n") + a_ * F.col("V"))
+            ).alias("p"),
+        )
+        .withColumn("lnp", F.log("p"))
+    )
+    per = pl.groupBy("src").agg(
+        F.sum(F.col("p") * F.col("lnp")).alias("s1"),
+        F.sum("p").alias("sp"),
+        F.sum("lnp").alias("sl"),
+    )
+    stats = (
+        tot.join(per, "src")
+        .withColumn("p0", a_ / (F.col("n") + a_ * F.col("V")))
+        .withColumn("lnp0", F.log("p0"))
+    )
+    pairj = (
+        pl.select(
+            F.col("src").alias("src_a"),
+            "tok",
+            F.col("p").alias("pa"),
+        )
+        .join(
+            pl.select(
+                F.col("src").alias("src_b"),
+                "tok",
+                F.col("lnp").alias("lnpb"),
+            ),
+            "tok",
+        )
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("pa") * F.col("lnpb")).alias("j_palb"),
+            F.sum("pa").alias("j_pa"),
+            F.sum("lnpb").alias("j_lb"),
+            F.count(F.lit(1)).alias("j_cnt"),
+        )
+    )
+    sa = stats.select(
+        F.col("src").alias("src_a"),
+        F.col("vs").alias("va"),
+        "V",
+        F.col("s1").alias("s1a"),
+        F.col("sp").alias("spa"),
+        F.col("p0").alias("p0a"),
+        F.col("lnp0").alias("lnp0a"),
+    )
+    sb = stats.select(
+        F.col("src").alias("src_b"),
+        F.col("vs").alias("vb"),
+        F.col("sl").alias("slb"),
+        F.col("lnp0").alias("lnp0b"),
+    )
+    z = F.lit(0.0)
+    kl = (
+        F.col("s1a")
+        + (F.col("V") - F.col("va")) * F.col("p0a") * F.col("lnp0a")
+    ) - (
+        F.coalesce(F.col("j_palb"), z)
+        + (F.col("spa") - F.coalesce(F.col("j_pa"), z)) * F.col("lnp0b")
+        + F.col("p0a") * (F.col("slb") - F.coalesce(F.col("j_lb"), z))
+        + (
+            F.col("V")
+            - F.col("va")
+            - F.col("vb")
+            + F.coalesce(F.col("j_cnt"), F.lit(0))
+        )
+        * F.col("p0a")
+        * F.col("lnp0b")
+    )
+    return (
+        F.broadcast(sa)
+        .join(F.broadcast(sb), F.col("src_a") != F.col("src_b"))
+        .join(pairj, ["src_a", "src_b"], "left")
+        .select(
+            F.col("src_a").alias("source_a"),
+            F.col("src_b").alias("source_b"),
+            # +0.0 canonicalizes a rounded -0.0 (a≈b pairs straddle 0)
+            (F.round(kl, 6) + F.lit(0.0)).alias("kl_nats"),
+        )
+        .orderBy("source_a", "source_b")
     )
 
 

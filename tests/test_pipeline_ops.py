@@ -439,3 +439,56 @@ class TestDecontamPresplit:
                 ).collect()
             )
             assert a == b
+
+
+class TestSourceKLMatrix:
+    def test_matches_naive_full_vocab_kl(self, spark):
+        import math
+        from collections import Counter
+
+        from shaper_spark.operators.text import source_kl_matrix
+
+        rows = [
+            (1, "a b c a", "s1"), (2, "a b d", "s1"),
+            (3, "x y z", "s2"), (4, "a x", "s2"),
+            (5, "a b c", "s3"),
+        ]
+        df = spark.createDataFrame(rows, "id int, text string, source string")
+        got = {
+            (r[0], r[1]): r[2]
+            for r in source_kl_matrix(df, "text").collect()
+        }
+        docs: dict = {}
+        for _, t, s in rows:
+            docs.setdefault(s, []).extend(t.split())
+        vocab = sorted({w for ws in docs.values() for w in ws})
+        V, alpha = len(vocab), 0.5
+
+        def P(s):
+            c = Counter(docs[s])
+            n = sum(c.values())
+            return {
+                w: (c.get(w, 0) + alpha) / (n + alpha * V) for w in vocab
+            }
+
+        for a in docs:
+            for b in docs:
+                if a == b:
+                    continue
+                pa, pb = P(a), P(b)
+                exp = sum(
+                    pa[w] * math.log(pa[w] / pb[w]) for w in vocab
+                )
+                assert abs(got[(a, b)] - round(exp, 6)) < 1e-9
+        # KL is asymmetric and non-negative
+        assert got[("s1", "s2")] != got[("s2", "s1")]
+        assert all(v >= 0 for v in got.values())
+
+    def test_identical_distributions_zero(self, spark):
+        from shaper_spark.operators.text import source_kl_matrix
+
+        rows = [(1, "a b c", "x"), (2, "a b c", "y")]
+        df = spark.createDataFrame(rows, "id int, text string, source string")
+        out = {tuple(r[:2]): r[2] for r in source_kl_matrix(df, "text").collect()}
+        assert out[("x", "y")] == 0.0 and out[("y", "x")] == 0.0
+        assert repr(out[("x", "y")]) == "0.0"  # never -0.0
