@@ -195,7 +195,7 @@ LIMIT 10
 """
 
 MONTHLY_REVENUE = """
-SELECT date_trunc('month', o_orderdate) AS month,
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
        round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
 FROM orders GROUP BY 1 ORDER BY 1
 """
@@ -263,7 +263,7 @@ WHERE rnk <= 3 ORDER BY n_name, rnk
 
 CUMULATIVE_REVENUE = """
 WITH m AS (
-  SELECT date_trunc('month', o_orderdate) AS month, sum(o_totalprice) AS rev
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, sum(o_totalprice) AS rev
   FROM orders GROUP BY 1
 )
 SELECT month,
@@ -273,7 +273,7 @@ FROM m ORDER BY month
 
 MOVING_AVG = """
 WITH d AS (
-  SELECT date_trunc('day', ts) AS day, sum(value) AS v FROM events GROUP BY 1
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(value) AS v FROM events GROUP BY 1
 )
 SELECT day,
        round(avg(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
@@ -374,7 +374,7 @@ SELECT date_trunc('week', ts)::XAXIS AS week, event_type::CATEGORY AS category,
 FROM events GROUP BY ALL ORDER BY ALL
 """
 DASHBOARD_WEEKLY_DUCK = """
-SELECT date_trunc('week', ts) AS week, event_type AS category, count(*) AS n
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type AS category, count(*) AS n
 FROM events GROUP BY ALL ORDER BY ALL
 """
 
@@ -1086,7 +1086,7 @@ ORDER BY status, priority
 # Time-RANGE window frame (interval-based sliding aggregate).
 RANGE_FRAME_REVENUE = """
 WITH d AS (
-  SELECT date_trunc('day', ts) AS day, sum(value) AS v FROM events GROUP BY 1
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(value) AS v FROM events GROUP BY 1
 )
 SELECT day,
        round(sum(v) OVER (ORDER BY day
@@ -3495,7 +3495,7 @@ def _q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_ROLLUP_DUCK = """
-SELECT event_type, date_trunc('day', ts) AS bucket, count(*) AS n,
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, count(*) AS n,
        round(sum(value), 4) AS total, round(min(value), 4) AS vmin,
        round(max(value), 4) AS vmax
 FROM events GROUP BY event_type, date_trunc('day', ts)
