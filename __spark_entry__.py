@@ -3567,7 +3567,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r04+r05; the sampling family keeps stratified/uniform/weighted in
     the prefix) out for ``minhash_est_error`` (signature-estimate
     calibration).  The five round-5 entries stay in the prefix for
-    their second official green round, per the r5 verdict."""
+    their second official green round, per the r5 verdict.
+    Round 7 performs NO prefix rotation: the six round-6 entries
+    (``vocab_coverage_curve``/``source_overlap_matrix``/
+    ``embedding_covariance``/``dedup_incremental_report``/
+    ``minhash_est_error`` + the covariance fix) need their second
+    official green round first.  The three new round-7 operators —
+    ``dedup_sig_incremental`` (signature-store ingest dedup),
+    ``semdedup_report`` (SemDeDup) and ``source_kl_matrix``
+    (per-source KL drift) — enter at the TAIL (oracle-checked locally
+    at sf0.001+sf0.01, hash- and repr-green) and rotate into the
+    official window in round 8 once the prefix frees up."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
