@@ -2177,6 +2177,107 @@ GROUP BY lab.b ORDER BY component
 """
 
 
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-outlier triage
+    (shaper_spark/operators/similarity.py embedding_outlier_report):
+    each vector's cosine to its own label centroid, summarized with a
+    2-sigma below-mean outlier count — the mislabeled/noisy-vector
+    detector run before trusting a label column. No reference
+    counterpart; §2C."""
+    from shaper_spark.operators.similarity import embedding_outlier_report
+
+    _prep(spark, sf_dir)
+    return embedding_outlier_report(
+        spark.table("embeddings"), "vec_id", "embedding", "label"
+    )
+
+
+EMBEDDING_OUTLIERS_DUCK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+ex AS (SELECT vec_id, label, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       FROM e),
+cent AS (SELECT label, dim, avg(x) AS c FROM ex GROUP BY 1, 2),
+pv AS (
+  SELECT ex.label, ex.vec_id,
+         sum(ex.x * cent.c) AS dot,
+         sqrt(sum(ex.x * ex.x)) AS nv,
+         sqrt(sum(cent.c * cent.c)) AS nc
+  FROM ex JOIN cent ON cent.label = ex.label AND cent.dim = ex.dim
+  GROUP BY 1, 2
+),
+cosv AS (SELECT label, vec_id,
+                CASE WHEN nv * nc > 0 THEN dot / (nv * nc) END AS cos
+         FROM pv),
+st AS (SELECT label, count(*) AS n_vecs, avg(cos) AS a,
+              stddev_pop(cos) AS s, min(cos) AS m
+       FROM cosv GROUP BY 1),
+fl AS (SELECT c.label,
+              sum(CASE WHEN c.cos < st.a - 2 * st.s THEN 1 ELSE 0 END)
+                AS n_outliers
+       FROM cosv c JOIN st ON st.label = c.label GROUP BY 1)
+SELECT st.label, CAST(st.n_vecs AS BIGINT) AS n_vecs,
+       round(st.a, 6) + 0 AS avg_cos, round(st.s, 6) + 0 AS std_cos,
+       round(st.m, 6) + 0 AS min_cos,
+       CAST(fl.n_outliers AS BIGINT) AS n_outliers
+FROM st JOIN fl USING (label) ORDER BY st.label
+"""
+
+
+def _q_quality_lm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source agreement of the two quality-filter families
+    (shaper_spark/operators/text.py quality_lm_correlation): Pearson
+    corr between the heuristic composite and unigram-LM bits/token —
+    the calibration readout before trusting either filter alone. No
+    reference counterpart; §2C."""
+    from shaper_spark.operators.text import quality_lm_correlation
+
+    _prep(spark, sf_dir)
+    return quality_lm_correlation(
+        spark.table("documents"), "doc_id", "text"
+    )
+
+
+QUALITY_LM_CORR_DUCK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stop AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE lower(w) IN
+           ('the','and','of','to','a','in','is','that','for','it')) AS hits
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) AS nw,
+         greatest(len(string_split(d.text, ' ')), 1) AS nw1,
+         greatest(length(d.text), 1) AS nc1,
+         length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
+         coalesce(s.hits, 0) AS hits
+  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
+),
+q AS (
+  SELECT doc_id,
+         round(least(nw / 50.0, 1.0) * 0.4
+               + least(hits * 1.0 / nw1 * 5, 1.0) * 0.4
+               + (1 - least(punct * 1.0 / nc1 * 10, 1.0)) * 0.2, 6) AS quality
+  FROM base
+),
+tk AS (SELECT doc_id, w AS tok FROM tok WHERE len(w) > 0),
+vocab AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+tot AS (SELECT sum(tf) AS total FROM vocab),
+probs AS (SELECT tok, tf::DOUBLE / (SELECT total FROM tot) AS p FROM vocab),
+per_doc AS (
+  SELECT doc_id, round(avg(-log2(p)), 6) AS bits_per_token
+  FROM tk JOIN probs USING (tok) GROUP BY doc_id
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(corr(q.quality, pd.bits_per_token), 6) + 0 AS corr_quality_bits,
+       round(avg(q.quality), 6) + 0 AS avg_quality,
+       round(avg(pd.bits_per_token), 6) AS avg_bits
+FROM documents d JOIN q USING (doc_id) JOIN per_doc pd USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 def _q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise KL divergence between per-source smoothed unigram
     distributions (shaper_spark/operators/text.py source_kl_matrix,
@@ -3574,10 +3675,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``minhash_est_error`` + the covariance fix) need their second
     official green round first.  The three new round-7 operators —
     ``dedup_sig_incremental`` (signature-store ingest dedup),
-    ``semdedup_report`` (SemDeDup) and ``source_kl_matrix``
-    (per-source KL drift) — enter at the TAIL (oracle-checked locally
-    at sf0.001+sf0.01, hash- and repr-green) and rotate into the
-    official window in round 8 once the prefix frees up."""
+    ``semdedup_report`` (SemDeDup), ``source_kl_matrix`` (per-source
+    KL drift), ``embedding_outlier_report`` (per-label centroid-cosine
+    z-triage) and ``quality_lm_correlation`` (filter calibration) —
+    enter at the TAIL (oracle-checked locally at sf0.001+sf0.01, hash-
+    and repr-green) and rotate into the official window in round 8
+    once the prefix frees up."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -3693,6 +3796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sig_incremental": _q_sig_incremental,
         "semdedup_report": _q_semdedup,
         "source_kl_matrix": _q_source_kl,
+        "embedding_outlier_report": _q_embedding_outliers,
+        "quality_lm_correlation": _q_quality_lm_corr,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -3781,6 +3886,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_sig_incremental": SIG_INCREMENTAL_DUCK,
         "semdedup_report": SEMDEDUP_DUCK,
         "source_kl_matrix": SOURCE_KL_DUCK,
+        "embedding_outlier_report": EMBEDDING_OUTLIERS_DUCK,
+        "quality_lm_correlation": QUALITY_LM_CORR_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

@@ -28,6 +28,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "centroid_similarity",
+    "embedding_outlier_report",
     "ann_recall",
 ]
 
@@ -446,6 +447,87 @@ def centroid_similarity(
             .alias("cosine"),
         )
         .orderBy("group_a", "group_b")
+    )
+
+
+def embedding_outlier_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    k_sigma: float = 2.0,
+) -> DataFrame:
+    """Per-group embedding-outlier triage: each vector's cosine to its
+    OWN group centroid, summarized as (group, n_vecs, avg_cos,
+    std_cos, min_cos, n_outliers) with outlier = cosine more than
+    ``k_sigma`` standard deviations BELOW the group mean — the
+    mislabeled/noisy-vector detector a pipeline runs before trusting a
+    label column (the per-member complement of
+    :func:`centroid_similarity`'s between-group matrix).
+
+    Spark shape: one posexplode feeds BOTH the (group, dim) centroid
+    mean and the per-vector dot/norm terms; the centroid frame is
+    |groups|×dim and broadcasts back onto the exploded stream, so the
+    per-vector cosine is two keyed aggregations with map-side partials
+    — no Python, no window, and the whole computation (population
+    stddev, the z-threshold comparison) replays in ANSI SQL."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = ex.groupBy("g", "dim").agg(F.avg("x").alias("c"))
+    per_vec = (
+        ex.join(F.broadcast(cent), ["g", "dim"])
+        .groupBy("g", "id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+        .select(
+            "g",
+            "id",
+            F.when(
+                (F.col("nv") * F.col("nc")) > 0,
+                F.col("dot") / (F.col("nv") * F.col("nc")),
+            ).alias("cos"),
+        )
+    )
+    stats = per_vec.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("cos").alias("__avg"),
+        # population stddev: deterministic, both-engine-native
+        F.expr("stddev_pop(cos)").alias("__std"),
+        F.min("cos").alias("__min"),
+    )
+    flagged = (
+        per_vec.join(
+            F.broadcast(stats.select("g", "__avg", "__std")), "g"
+        )
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cos")
+                    < F.col("__avg")
+                    - F.lit(float(k_sigma)) * F.col("__std"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        stats.join(flagged, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_vecs",
+            (F.round("__avg", 6) + F.lit(0.0)).alias("avg_cos"),
+            (F.round("__std", 6) + F.lit(0.0)).alias("std_cos"),
+            (F.round("__min", 6) + F.lit(0.0)).alias("min_cos"),
+            "n_outliers",
+        )
+        .orderBy(group_col)
     )
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "zipf_slope",
     "vocab_coverage_curve",
     "source_kl_matrix",
+    "quality_lm_correlation",
     "LANG_STOPWORDS",
 ]
 
@@ -481,6 +482,53 @@ def gopher_quality_filter(
         "n_words",
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
+    )
+
+
+def quality_lm_correlation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source agreement between the two quality-filter families:
+    the heuristic composite (:func:`quality_score`) vs unigram-LM
+    bits-per-token (:func:`unigram_lm_scores`) — (source, n_docs,
+    corr_quality_bits, avg_quality, avg_bits), ordered.  Strongly
+    negative correlation (heuristic-good ↔ LM-predictable) is the
+    healthy state; a source where the two filters DISAGREE is where a
+    cut-off threshold silently selects different documents than
+    intended — the calibration readout to run before trusting either
+    filter alone.
+
+    Spark shape: both scorers are existing single-pass aggregates; one
+    doc-id equi-join lines them up and a per-source ``corr`` aggregate
+    (native, mergeable partials) reduces to source-count rows."""
+    q = quality_score(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), F.col("quality")
+    )
+    lm = unigram_lm_scores(df, id_col, text_col).select(
+        "id", "bits_per_token"
+    )
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(source_col).alias("source")
+    )
+    joined = src.join(q, "id").join(lm, "id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # correlation straddles zero: canonicalize a rounded -0.0
+            (
+                F.round(F.corr("quality", "bits_per_token"), 6)
+                + F.lit(0.0)
+            ).alias("corr_quality_bits"),
+            (F.round(F.avg("quality"), 6) + F.lit(0.0)).alias(
+                "avg_quality"
+            ),
+            F.round(F.avg("bits_per_token"), 6).alias("avg_bits"),
+        )
+        .orderBy("source")
     )
 
 

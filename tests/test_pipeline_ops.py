@@ -492,3 +492,73 @@ class TestSourceKLMatrix:
         out = {tuple(r[:2]): r[2] for r in source_kl_matrix(df, "text").collect()}
         assert out[("x", "y")] == 0.0 and out[("y", "x")] == 0.0
         assert repr(out[("x", "y")]) == "0.0"  # never -0.0
+
+
+class TestEmbeddingOutliers:
+    def test_matches_numpy_z_report(self, spark):
+        import numpy as np
+
+        from shaper_spark.operators.similarity import (
+            embedding_outlier_report,
+        )
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for g in (0, 1):
+            base = rng.randn(8)
+            for i in range(10):
+                v = base + 0.1 * rng.randn(8)
+                rows.append((g * 100 + i, g, [float(x) for x in v]))
+            rows.append((g * 100 + 99, g, [float(x) for x in -base]))
+        df = spark.createDataFrame(rows, "id int, label int, v array<double>")
+        got = {
+            r["label"]: r
+            for r in embedding_outlier_report(
+                df, "id", "v", "label"
+            ).collect()
+        }
+        for g in (0, 1):
+            m = np.array([r[2] for r in rows if r[1] == g])
+            cent = m.mean(axis=0)
+            cos = m @ cent / (
+                np.linalg.norm(m, axis=1) * np.linalg.norm(cent)
+            )
+            thr = cos.mean() - 2 * cos.std()
+            r = got[g]
+            assert r["n_vecs"] == len(m)
+            assert abs(r["avg_cos"] - round(cos.mean(), 6)) < 1e-9
+            assert abs(r["std_cos"] - round(cos.std(), 6)) < 1e-9
+            assert abs(r["min_cos"] - round(cos.min(), 6)) < 1e-9
+            assert r["n_outliers"] == int((cos < thr).sum()) == 1
+
+
+class TestQualityLmCorrelation:
+    def test_matches_manual_pearson(self, spark):
+        import statistics
+
+        from shaper_spark.operators.text import (
+            quality_lm_correlation,
+            quality_score,
+            unigram_lm_scores,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today", "s1"),
+            (2, "zz qq xx vv kk jj pp ww", "s1"),
+            (3, "the cat and the dog and the bird in the tree", "s1"),
+            (4, "a b c d e f g h i j k l m n o p", "s2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+        out = {
+            r["source"]: r
+            for r in quality_lm_correlation(df, "doc_id", "text").collect()
+        }
+        q = {r["doc_id"]: r["quality"] for r in quality_score(df, "doc_id", "text").collect()}
+        b = {r["id"]: r["bits_per_token"] for r in unigram_lm_scores(df, "doc_id", "text").collect()}
+        xs = [q[i] for i in (1, 2, 3)]
+        ys = [b[i] for i in (1, 2, 3)]
+        exp = statistics.correlation(xs, ys)
+        assert abs(out["s1"]["corr_quality_bits"] - round(exp, 6)) < 1e-6
+        assert out["s1"]["n_docs"] == 3
+        # single-doc source: corr undefined -> NULL, not NaN
+        assert out["s2"]["corr_quality_bits"] is None
