@@ -541,3 +541,29 @@ class TestRound5OperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastExchange" in plan  # batch side broadcast
+
+    def test_source_kl_no_cartesian_pair_join_keyed(self, spark):
+        # the a-b cross of per-source stats is sources² (tiny) via a
+        # nested-loop on the inequality — fine; the WORD join (the only
+        # vocab-scale work) must be a keyed equi-join
+        from shaper_spark.operators.text import source_kl_matrix
+
+        out = source_kl_matrix(spark.table("documents"), "text")
+        plan = _executed(out)
+        assert "CartesianProduct" not in plan
+        # vocab-scale join keyed on tok: the equi-join appears as a
+        # hash or sort-merge join in the plan
+        assert "Join" in plan
+
+    def test_embedding_outliers_centroid_broadcasts(self, spark):
+        from shaper_spark.operators.similarity import (
+            embedding_outlier_report,
+        )
+
+        out = embedding_outlier_report(
+            spark.table("embeddings"), "vec_id", "embedding", "label"
+        )
+        plan = _executed(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastExchange" in plan  # |groups|×dim centroid
