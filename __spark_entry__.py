@@ -2177,6 +2177,56 @@ GROUP BY lab.b ORDER BY component
 """
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (shaper_spark/operators/pipeline.py
+    corpus_diff_report): two overlapping versions are derived
+    deterministically — v1 = doc_id % 10 < 8, v2 = doc_id % 10 >= 2
+    with every doc_id % 7 == 0 text amended — and every id classifies
+    as added/removed/changed/unchanged. The release-to-release audit a
+    training-data pipeline publishes per corpus version. No reference
+    counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.pipeline import corpus_diff_report
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    v1 = docs.filter(F.col("doc_id") % 10 < 8)
+    v2 = docs.filter(F.col("doc_id") % 10 >= 2).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" amended in v2")),
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff_report(v1, v2, "doc_id", "text")
+
+
+CORPUS_DIFF_DUCK = """
+WITH v1 AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+  FROM documents WHERE doc_id % 10 < 8
+),
+v2 AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(
+              CASE WHEN doc_id % 7 = 0 THEN text || ' amended in v2'
+                   ELSE text END),
+              '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+  FROM documents WHERE doc_id % 10 >= 2
+)
+SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.h = v2.h THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       count(*) AS n_docs
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-outlier triage
     (shaper_spark/operators/similarity.py embedding_outlier_report):
@@ -3677,7 +3727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``dedup_sig_incremental`` (signature-store ingest dedup),
     ``semdedup_report`` (SemDeDup), ``source_kl_matrix`` (per-source
     KL drift), ``embedding_outlier_report`` (per-label centroid-cosine
-    z-triage) and ``quality_lm_correlation`` (filter calibration) —
+    z-triage) and ``quality_lm_correlation`` (filter calibration) and
+    ``corpus_diff_report`` (snapshot versioning audit) —
     enter at the TAIL (oracle-checked locally at sf0.001+sf0.01, hash-
     and repr-green) and rotate into the official window in round 8
     once the prefix frees up."""
@@ -3798,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl_matrix": _q_source_kl,
         "embedding_outlier_report": _q_embedding_outliers,
         "quality_lm_correlation": _q_quality_lm_corr,
+        "corpus_diff_report": _q_corpus_diff,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -3888,6 +3940,7 @@ def oracle_sql() -> dict[str, str]:
         "source_kl_matrix": SOURCE_KL_DUCK,
         "embedding_outlier_report": EMBEDDING_OUTLIERS_DUCK,
         "quality_lm_correlation": QUALITY_LM_CORR_DUCK,
+        "corpus_diff_report": CORPUS_DIFF_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

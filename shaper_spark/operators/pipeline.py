@@ -64,7 +64,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["training_corpus_stages"]
+__all__ = ["training_corpus_stages", "corpus_diff_report"]
 
 
 def _funnel_lazy(
@@ -197,3 +197,46 @@ def training_corpus_stages(
     return spark.createDataFrame(
         sorted(counts.items()), "stage string, n_docs long"
     ).orderBy("stage")
+
+
+def corpus_diff_report(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Dataset-versioning audit between two corpus snapshots: every
+    document id classified as ``added`` (new only), ``removed`` (old
+    only), ``changed`` (both, different normalized-text hash) or
+    ``unchanged`` — returned as (status, n_docs), four rows, ordered.
+    The release-to-release readout a training-data pipeline publishes
+    with each corpus version (what changed since the data the last
+    model saw).
+
+    Scale shape: each side reduces to a narrow (id, hash) projection
+    inside its scan — md5 of the SAME normalization the exact-dedup
+    family keys on — and the comparison is one full-outer equi-join on
+    the id followed by a four-row aggregate. Nothing is ever wider
+    than two hashes per id; at 100 TB this is two scans and one keyed
+    shuffle."""
+    from .dedup import normalize_text_expr
+
+    def side(df: DataFrame, h: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalize_text_expr(F.col(text_col))).alias(h),
+        )
+
+    joined = side(old, "__ho").join(side(new, "__hn"), "id", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )

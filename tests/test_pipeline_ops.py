@@ -562,3 +562,35 @@ class TestQualityLmCorrelation:
         assert out["s1"]["n_docs"] == 3
         # single-doc source: corr undefined -> NULL, not NaN
         assert out["s2"]["corr_quality_bits"] is None
+
+
+class TestCorpusDiff:
+    def test_four_way_classification(self, spark):
+        from shaper_spark.operators.pipeline import corpus_diff_report
+
+        v1 = spark.createDataFrame(
+            [(1, "same text"), (2, "will change"), (3, "goes away")],
+            "id int, text string",
+        )
+        v2 = spark.createDataFrame(
+            [(1, "same text"), (2, "did change"), (4, "brand new")],
+            "id int, text string",
+        )
+        out = {
+            r["status"]: r["n_docs"]
+            for r in corpus_diff_report(v1, v2, "id", "text").collect()
+        }
+        assert out == {
+            "added": 1, "removed": 1, "changed": 1, "unchanged": 1
+        }
+
+    def test_normalization_equates_case_punct(self, spark):
+        from shaper_spark.operators.pipeline import corpus_diff_report
+
+        v1 = spark.createDataFrame([(1, "Hello, World!")], "id int, text string")
+        v2 = spark.createDataFrame([(1, "hello world")], "id int, text string")
+        out = {
+            r["status"]: r["n_docs"]
+            for r in corpus_diff_report(v1, v2, "id", "text").collect()
+        }
+        assert out == {"unchanged": 1}
