@@ -82,6 +82,13 @@ EXTRAS = [
     "dedup_incremental_report",
     "ann_recall_report",
     "minhash_est_error",
+    # round 7
+    "dedup_sig_incremental",
+    "semdedup_report",
+    "source_kl_matrix",
+    "embedding_outlier_report",
+    "quality_lm_correlation",
+    "corpus_diff_report",
 ]
 
 HEADLINE = [

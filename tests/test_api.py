@@ -800,3 +800,39 @@ class TestPublicSharing:
             psrv, "GET", "/api/dashboards/pub1", token=b["jwt"]
         )
         assert s == 200
+
+
+class TestJwtProtectedVariables:
+    """Reference rule (get_dashboard.go:1526-1528 etc.): JWT-carried
+    variables are protected — URL params must not override them."""
+
+    @pytest.fixture()
+    def vsrv(self, spark):
+        srv = ShaperServer(spark).start()
+        yield srv
+        srv.stop()
+
+    def test_url_param_cannot_override_jwt_variable(self, vsrv):
+        content = """
+        SELECT getvariable('who') AS who, 'x'::DROPDOWN AS pick;
+        SELECT getvariable('who') AS who;
+        """
+        _post(
+            vsrv, "/api/dashboards",
+            {"id": "vp", "content": "SELECT getvariable('who') AS who;"},
+        )
+        import urllib.request as _u
+
+        s, b = _post(
+            vsrv, "/api/jwt",
+            {"dashboardId": "vp", "variables": {"who": "jwt-owner"}},
+        )
+        tok = json.loads(b)["jwt"]
+        req = _u.Request(
+            f"http://127.0.0.1:{vsrv.port}/api/dashboards/vp?who=attacker",
+            headers={"Authorization": f"Bearer {tok}"},
+        )
+        with _u.urlopen(req) as r:
+            tree = json.loads(r.read())
+        rows = tree["sections"][-1]["queries"][-1]["rows"]
+        assert rows == [["jwt-owner"]]
