@@ -24,6 +24,17 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["connected_components", "dedup_clusters", "apply_dedup"]
 
+# Driver fast-path cutoff: candidate pair lists are post-threshold and
+# typically ORDERS OF MAGNITUDE smaller than the corpus, so when the
+# edge list fits comfortably on the driver a single union-find pass
+# replaces the whole iterative alternation (each distributed round is
+# 4+ jobs of fixed scheduling cost — the dominant term at dashboard
+# scale). Output is identical (component = min node id). Above the cap
+# the large-star/small-star loop takes over — the 100 TB path. Same
+# bounded-strategy pattern as dedup.NEARDUP_BYTES_BUDGET; module-level
+# so tests can force the distributed path.
+CC_DRIVER_EDGE_CAP = 2_000_000
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the
@@ -68,10 +79,50 @@ def connected_components(
 
     Converges when an alternation round leaves the (node → min
     neighbor) map unchanged — checked with one count per round on a
-    checksum-joined frame, not a collect."""
+    checksum-joined frame, not a collect.
+
+    Edge lists up to :data:`CC_DRIVER_EDGE_CAP` resolve in one driver
+    union-find pass instead (identical output; see the cutoff's
+    comment)."""
+    probe = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    head = probe.limit(CC_DRIVER_EDGE_CAP + 1).collect()
+    if len(head) <= CC_DRIVER_EDGE_CAP:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in head:
+            a, b = r[0], r[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # larger root points to smaller: every root stays the
+                # minimum of its merged set, so final root = component
+                # minimum (each node started as its own root)
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        field = edges.schema[src].dataType.simpleString()
+        schema = f"node {field}, component {field}"
+        if not out:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(out, schema)
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        probe
         .distinct()
         .localCheckpoint()
     )

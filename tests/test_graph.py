@@ -120,3 +120,27 @@ def test_apply_dedup_agrees_with_cluster_keep_ids(spark):
     }
     expected = (all_ids - in_cluster) | {r["keep_id"] for r in clusters}
     assert kept == expected
+
+
+def test_distributed_path_matches_driver_fast_path(spark, monkeypatch):
+    """Force the large-star/small-star loop (the 100 TB path) and pin it
+    to the driver union-find's output on a random graph."""
+    import random
+
+    from shaper_spark.operators import graph
+
+    rng = random.Random(13)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(df).collect()
+    }
+    monkeypatch.setattr(graph, "CC_DRIVER_EDGE_CAP", 0)
+    dist = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(df).collect()
+    }
+    assert fast == dist
