@@ -91,6 +91,7 @@ def semantic_dedup(
     cluster_col: str | None = None,
     n_clusters: int = 16,
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-document SemDeDup verdict: (id, cluster, keep) — ``keep`` is
     False for every non-canonical member of a within-cluster duplicate
@@ -99,7 +100,12 @@ def semantic_dedup(
 
     ``cluster_col`` uses a stored cluster id (deterministic,
     oracle-replayable); otherwise k-means assigns one
-    (:func:`assign_clusters`)."""
+    (:func:`assign_clusters`).  Pass ``dim`` (≤ 128) to evaluate the
+    pair cosine as a STATIC whole-stage-codegen sum of indexed terms —
+    all-JVM, no Python worker in the hot path (the minhash
+    signature-match trick); wider vectors fall back to the Arrow numpy
+    kernel, whose batch matmul wins once the expression tree would
+    outgrow codegen."""
     from .graph import connected_components
     from .veckernel import pair_cosine
 
@@ -116,6 +122,15 @@ def semantic_dedup(
     )
     a = side.alias("a")
     b = side.alias("b")
+    if dim is not None and dim <= 128:
+        dot = sum(
+            F.col("a.v")[i] * F.col("b.v")[i] for i in range(dim)
+        )
+        na = F.sqrt(sum(F.col("a.v")[i] ** 2 for i in range(dim)))
+        nb = F.sqrt(sum(F.col("b.v")[i] ** 2 for i in range(dim)))
+        cos = F.when((na * nb) > 0, dot / (na * nb))
+    else:
+        cos = pair_cosine(F.col("a.v"), F.col("b.v"))
     pairs = (
         a.join(
             b,
@@ -125,7 +140,7 @@ def semantic_dedup(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            pair_cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+            cos.alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")

@@ -76,3 +76,28 @@ class TestSemanticDedup:
             _vecs(spark, rows), "id", "v", cluster_col="cluster"
         )
         assert all(r["keep"] for r in out.collect())
+
+    def test_static_dim_path_matches_udf_path(self, spark):
+        from shaper_spark.operators.semdedup import semantic_dedup
+
+        rows = [
+            (1, 0, [1.0, 0.0, 0.0]),
+            (2, 0, [0.999, 0.04, 0.0]),
+            (3, 0, [0.0, 1.0, 0.0]),
+            (4, 1, [0.0, 0.0, 1.0]),
+            (5, 1, [0.0, 0.03, 0.999]),
+        ]
+        df = _vecs(spark, rows)
+        udf_path = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                df, "id", "v", cluster_col="cluster"
+            ).collect()
+        )
+        static_path = sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                df, "id", "v", cluster_col="cluster", dim=3
+            ).collect()
+        )
+        assert udf_path == static_path
