@@ -2396,11 +2396,18 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("embedding"),
         "label",
     )
+    # static array(...) construction instead of an interpreted
+    # transform() HOF: SimplifyExtractValueOps folds the static-dim
+    # cosine's v[i] indexings straight to embedding[i] + 0.02, keeping
+    # the whole pair pipeline inside whole-stage codegen (a HOF here
+    # re-evaluates the lambda under every indexing after inlining —
+    # measured 40x slower)
+    shifted = F.array(
+        *[F.col("embedding")[i] + F.lit(0.02) for i in range(64)]
+    )
     planted = emb.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x + F.lit(0.02)).alias(
-            "embedding"
-        ),
+        shifted.alias("embedding"),
         "label",
     )
     corpus = emb.unionByName(planted)
