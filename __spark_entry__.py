@@ -2413,7 +2413,7 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(planted)
     return semantic_dedup(
         corpus, "vec_id", "embedding", cluster_col="label",
-        threshold=0.95, dim=64,
+        threshold=0.95,
     ).withColumnRenamed("id", "vec_id")
 
 

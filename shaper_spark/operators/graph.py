@@ -84,11 +84,20 @@ def connected_components(
     Edge lists up to :data:`CC_DRIVER_EDGE_CAP` resolve in one driver
     union-find pass instead (identical output; see the cutoff's
     comment)."""
+    from pyspark import StorageLevel
+
     probe = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    head = probe.limit(CC_DRIVER_EDGE_CAP + 1).collect()
-    if len(head) <= CC_DRIVER_EDGE_CAP:
+    # persist before sizing: a bare limit(cap).collect() would re-run
+    # the (often expensive) upstream pair pipeline through Spark's
+    # incremental-limit partition scaling, and the distributed loop
+    # would re-run it again per round. One execution either way.
+    probe = probe.persist(StorageLevel.MEMORY_AND_DISK)
+    n_edges = probe.count()
+    if n_edges <= CC_DRIVER_EDGE_CAP:
+        head = probe.collect()
+        probe.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -126,6 +135,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    probe.unpersist()  # localCheckpoint materialized its own copy
     all_nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -77,27 +77,44 @@ class TestSemanticDedup:
         )
         assert all(r["keep"] for r in out.collect())
 
-    def test_static_dim_path_matches_udf_path(self, spark):
-        from shaper_spark.operators.semdedup import semantic_dedup
+    def test_chunked_scoring_matches_unchunked(self, spark, monkeypatch):
+        """Force SCORE_CHUNK below the cluster size so pairs span chunk
+        boundaries; the verdict must be identical."""
+        from shaper_spark.operators import semdedup as S
 
         rows = [
             (1, 0, [1.0, 0.0, 0.0]),
             (2, 0, [0.999, 0.04, 0.0]),
             (3, 0, [0.0, 1.0, 0.0]),
-            (4, 1, [0.0, 0.0, 1.0]),
-            (5, 1, [0.0, 0.03, 0.999]),
+            (4, 0, [0.995, 0.09, 0.0]),
+            (5, 1, [0.0, 0.0, 1.0]),
+            (6, 1, [0.0, 0.03, 0.999]),
         ]
         df = _vecs(spark, rows)
-        udf_path = sorted(
+        full = sorted(
             tuple(r)
-            for r in semantic_dedup(
+            for r in S.semantic_dedup(
                 df, "id", "v", cluster_col="cluster"
             ).collect()
         )
-        static_path = sorted(
+        monkeypatch.setattr(S, "SCORE_CHUNK", 2)
+        chunked = sorted(
             tuple(r)
-            for r in semantic_dedup(
-                df, "id", "v", cluster_col="cluster", dim=3
+            for r in S.semantic_dedup(
+                df, "id", "v", cluster_col="cluster"
             ).collect()
         )
-        assert udf_path == static_path
+        assert full == chunked
+        verdict = dict((t[0], t[2]) for t in full)
+        assert verdict == {
+            1: True, 2: False, 3: True, 4: False, 5: True, 6: False
+        }
+
+    def test_zero_threshold_rejected(self, spark):
+        from shaper_spark.operators.semdedup import semantic_dedup
+
+        with pytest.raises(ValueError, match="threshold"):
+            semantic_dedup(
+                _vecs(spark, [(1, 0, [1.0])]), "id", "v",
+                cluster_col="cluster", threshold=0.0,
+            )
