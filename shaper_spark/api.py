@@ -54,7 +54,7 @@ from urllib.parse import parse_qs, unquote, urlparse
 
 from pyspark.sql import SparkSession
 
-from . import sqltool
+from . import sqltool, ui
 from .auth import Actor, AuthError, AuthInfo, AuthService
 from .engine import query_dashboard
 from .folders import FolderService
@@ -300,6 +300,20 @@ class ShaperServer:
                 try:
                     if parts == ["health"]:
                         return self._json(200, {"status": "ok"})
+                    if parts[:1] != ["api"] and ui.is_ui_path(url.path):
+                        # SPA fallback: the reference serves the built
+                        # React bundle for every non-/api route
+                        # (server/web/routes.go static handler); here
+                        # the bundle is the self-contained ui.shell().
+                        body = ui.shell()
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "text/html; charset=utf-8"
+                        )
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     if parts == ["api", "auth", "info"]:
                         # public: tells a client whether login is needed
                         return self._json(
