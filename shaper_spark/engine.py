@@ -1046,9 +1046,12 @@ def _run_query(
     else:
         sub = vars_.substitute(sql_string)
         sub = _expand_macros(sub, macros)
+        from .filefuncs import expand_file_functions
         from .tablefuncs import expand_table_functions
 
         sub, used_tablefuncs = expand_table_functions(spark, sub)
+        sub, used_filefuncs = expand_file_functions(spark, sub)
+        used_tablefuncs = used_tablefuncs or used_filefuncs
         rw = rewrite_statement(sub)
         # Memoized analysis: dashboards re-serve identical statement
         # text every render; the cache returns the already-analyzed

@@ -797,9 +797,32 @@ def rewrite_statement(sql: str) -> RewriteResult:
     """Rewrite one DuckDB-dialect statement into Spark SQL + column tags."""
     sql = sql.strip()
 
-    # FROM-first sugar.
+    # FROM-first sugar. DuckDB admits both the bare form (``FROM t
+    # [WHERE …]`` ≡ ``SELECT * FROM t …``) and the projected form
+    # (``FROM t SELECT cols [WHERE …]`` ≡ ``SELECT cols FROM t …`` —
+    # the table ref is everything between FROM and the first top-level
+    # SELECT; trailing clauses stay in normal order).
     if sql.upper().startswith("FROM"):
-        sql = "SELECT * " + sql
+        sel = _depth0_matches(
+            sql, re.compile(r"\bSELECT\b", re.IGNORECASE)
+        )
+        if sel:
+            table_ref = sql[4 : sel[0].start()].strip().rstrip(";")
+            sql = sql[sel[0].start() :].rstrip("; \n\t")
+            first_kw = _depth0_matches(
+                sql,
+                re.compile(
+                    r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|WINDOW|"
+                    r"QUALIFY|UNION|INTERSECT|EXCEPT)\b",
+                    re.IGNORECASE,
+                ),
+            )
+            cut = first_kw[0].start() if first_kw else len(sql)
+            sql = (
+                sql[:cut].rstrip() + f" FROM {table_ref} " + sql[cut:]
+            ).rstrip()
+        else:
+            sql = "SELECT * " + sql
 
     # DuckDB's SHOW ALL TABLES (sql_validation.go:52) — Spark's SHOW
     # TABLES is the all-tables form already.

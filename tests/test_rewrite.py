@@ -63,6 +63,25 @@ def test_from_first():
     assert r.sql == "SELECT * FROM lineitem"
 
 
+def test_from_first_with_projection():
+    r = rewrite_statement("FROM lineitem SELECT l_orderkey WHERE l_orderkey > 3 ORDER BY 1")
+    assert (
+        r.sql
+        == "SELECT l_orderkey FROM lineitem WHERE l_orderkey > 3 ORDER BY 1"
+    )
+
+
+def test_from_first_projection_with_aggregate():
+    r = rewrite_statement("FROM t SELECT s, count() AS n GROUP BY s")
+    assert r.sql == "SELECT s, count(*) AS n FROM t GROUP BY s"
+
+
+def test_from_first_subquery_select_not_split():
+    # SELECT inside parens is not the top-level projection
+    r = rewrite_statement("FROM (SELECT 1 AS x) sub")
+    assert r.sql == "SELECT * FROM (SELECT 1 AS x) sub"
+
+
 def test_fetch_rewrite():
     r = rewrite_statement("SELECT * FROM t ORDER BY 1 FETCH FIRST 5 ROWS ONLY")
     assert "LIMIT 5" in r.sql
