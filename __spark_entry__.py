@@ -2227,6 +2227,113 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (shaper_spark/operators/sampling.py
+    dsir_importance_weights — Xie et al. 2023): every document scored
+    by Σ_b c[b]·(ln p̂_target[b] − ln p̂_raw[b]) over md5-hashed
+    unigram+bigram buckets, target = source 'src0'. One gram scan, one
+    (doc, bucket) shuffle; the ≤64-row bucket LMs broadcast back. The
+    data-selection step a targeted-pretraining pipeline runs before
+    sampling. No reference counterpart; §2C."""
+    from shaper_spark.operators.sampling import dsir_importance_weights
+
+    _prep(spark, sf_dir)
+    return dsir_importance_weights(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        "source",
+        "src0",
+        n_buckets=64,
+    )
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resampling (shaper_spark/operators/sampling.py
+    dsir_select): 50 docs drawn without replacement ∝ softmax of the
+    DSIR log-weights, Gumbel noise from md5 uniforms so the winner set
+    is deterministic and engine-replayable. Plans as
+    TakeOrderedAndProject — per-partition top-k, no global sort. No
+    reference counterpart; §2C."""
+    from shaper_spark.operators.sampling import (
+        dsir_importance_weights,
+        dsir_select,
+    )
+
+    _prep(spark, sf_dir)
+    w = dsir_importance_weights(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        "source",
+        "src0",
+        n_buckets=64,
+    )
+    return dsir_select(w, "doc_id", 50)
+
+
+# Shared CTE prefix: hashed-gram bucket counts + smoothed target/raw
+# bucket LMs, replaying sampling.py's md5 bucketing bit-for-bit.
+_DSIR_BASE_DUCK = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+uni AS (
+  SELECT doc_id, source, unnest(ws) AS gram FROM w
+),
+big AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(len(ws) - 1),
+                i -> array_to_string(ws[i+1:i+2], ' '))) AS gram
+  FROM w WHERE len(ws) >= 2
+),
+grams AS (
+  SELECT doc_id, source, gram FROM uni WHERE length(gram) > 0
+  UNION ALL
+  SELECT doc_id, source, gram FROM big
+  WHERE NOT regexp_matches(gram, '^ | $|^$')
+),
+db AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('dsir:' || gram), 1, 8))::BIGINT % 64 AS b,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2, 3
+),
+bt AS (
+  SELECT b, sum(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS ct,
+         sum(c) AS cr
+  FROM db GROUP BY 1
+),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM bt),
+lr AS (
+  SELECT b, ln((ct + 0.5) / (nt + 32.0)) - ln((cr + 0.5) / (nr + 32.0)) AS lr
+  FROM bt CROSS JOIN tot
+),
+wts AS (
+  SELECT db.doc_id, db.source, CAST(sum(c) AS BIGINT) AS n_grams,
+         round(sum(c * lr.lr), 6) + 0.0 AS log_weight
+  FROM db JOIN lr USING (b) GROUP BY 1, 2
+)
+"""
+
+DSIR_WEIGHTS_DUCK = (
+    _DSIR_BASE_DUCK
+    + "SELECT doc_id, source, n_grams, log_weight FROM wts ORDER BY doc_id"
+)
+
+DSIR_SELECT_DUCK = (
+    _DSIR_BASE_DUCK
+    + """
+SELECT doc_id, source, n_grams, log_weight FROM wts
+ORDER BY log_weight / 1.0 - ln(-ln(greatest(
+          ('0x' || substr(md5('dsir-sel:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0, 1e-10))) DESC,
+         doc_id ASC
+LIMIT 50
+"""
+)
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-outlier triage
     (shaper_spark/operators/similarity.py embedding_outlier_report):
@@ -3735,7 +3842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``semdedup_report`` (SemDeDup), ``source_kl_matrix`` (per-source
     KL drift), ``embedding_outlier_report`` (per-label centroid-cosine
     z-triage) and ``quality_lm_correlation`` (filter calibration) and
-    ``corpus_diff_report`` (snapshot versioning audit) —
+    ``corpus_diff_report`` (snapshot versioning audit), plus the
+    late-r7 ``dsir_weights``/``dsir_select`` (DSIR importance
+    resampling, Xie 2023) —
     enter at the TAIL (oracle-checked locally at sf0.001+sf0.01, hash-
     and repr-green) and rotate into the official window in round 8
     once the prefix frees up."""
@@ -3857,6 +3966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outlier_report": _q_embedding_outliers,
         "quality_lm_correlation": _q_quality_lm_corr,
         "corpus_diff_report": _q_corpus_diff,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -3948,6 +4059,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outlier_report": EMBEDDING_OUTLIERS_DUCK,
         "quality_lm_correlation": QUALITY_LM_CORR_DUCK,
         "corpus_diff_report": CORPUS_DIFF_DUCK,
+        "dsir_weights": DSIR_WEIGHTS_DUCK,
+        "dsir_select": DSIR_SELECT_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

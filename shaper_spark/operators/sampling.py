@@ -28,6 +28,8 @@ __all__ = [
     "token_budget_allocation",
     "curriculum_phases",
     "uniform_sample_exact",
+    "dsir_importance_weights",
+    "dsir_select",
 ]
 
 
@@ -545,4 +547,142 @@ def stratified_exact_sample(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    target_group: str,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every document by how target-like its hashed n-gram
+    profile is. Features are unigrams + word bigrams hashed into
+    ``n_buckets`` buckets; two smoothed bucket LMs are fit — p̂_target
+    over the rows whose ``group_col`` equals ``target_group``, p̂_raw
+    over the whole pool — and each document's log importance weight is
+    Σ_b c_doc[b]·(ln p̂_target[b] − ln p̂_raw[b]). High = looks like
+    the target domain; feed into ``dsir_select`` to resample.
+
+    Spark shape: ONE gram scan (posexplode unigrams + sequence-slice
+    bigrams, both window-free) → one (doc, bucket) hash-agg — the only
+    document-scale shuffle; the bucket-level target/raw LMs re-aggregate
+    from those partials (≤ n_buckets rows) and broadcast back, so the
+    per-doc weight is a broadcast join + doc-keyed agg. Buckets are
+    md5-derived, so any engine replays the exact scores.
+    Returns (id, group, n_grams, log_weight)."""
+    if n_buckets <= 0:
+        raise ValueError("dsir_importance_weights: n_buckets must be > 0")
+    arr = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+    uni = arr.select(
+        "id", "grp", F.explode("__ws").alias("gram")
+    ).filter(F.length("gram") > 0)
+    n = F.size("__ws")
+    big = (
+        arr.filter(n >= 2)
+        .select(
+            "id",
+            "grp",
+            F.explode(F.sequence(F.lit(1), n - 1)).alias("__i"),
+            "__ws",
+        )
+        .select(
+            "id",
+            "grp",
+            F.concat_ws(
+                " ",
+                F.element_at("__ws", F.col("__i")),
+                F.element_at("__ws", F.col("__i") + 1),
+            ).alias("gram"),
+        )
+        .filter(~F.col("gram").rlike("^ | $|^$"))
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("gram"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    per_doc = (
+        uni.unionAll(big)
+        .select("id", "grp", bucket.alias("b"))
+        .groupBy("id", "grp", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_t = F.col("grp") == F.lit(target_group)
+    buckets = per_doc.groupBy("b").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0))).alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    totals = buckets.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    a_ = F.lit(float(alpha))
+    bmass = F.lit(float(alpha * n_buckets))
+    lratio = buckets.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + a_) / (F.col("nt") + bmass))
+            - F.log((F.col("cr") + a_) / (F.col("nr") + bmass))
+        ).alias("lr"),
+    )
+    return (
+        per_doc.join(F.broadcast(lratio), "b")
+        .groupBy("id", "grp")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            # +0.0 canonicalizes a rounded -0.0 (weights straddle 0)
+            (F.round(F.sum(F.col("c") * F.col("lr")), 6) + F.lit(0.0)).alias(
+                "log_weight"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_grams",
+            "log_weight",
+        )
+    )
+
+
+def dsir_select(
+    weights: DataFrame,
+    id_col: str,
+    n: int,
+    temperature: float = 1.0,
+    seed: str = "dsir-sel",
+) -> DataFrame:
+    """Resample ``n`` documents from DSIR log-weights without
+    replacement via deterministic Gumbel-top-k: key = log_weight/T +
+    Gumbel(0,1) with the Gumbel drawn from an md5 uniform, take the n
+    largest. Gumbel-top-k without replacement is distributionally the
+    softmax-weighted draw DSIR prescribes; md5 noise makes the winner
+    set engine-replayable. Plans as TakeOrderedAndProject (per-partition
+    top-n + n-bounded driver merge — no global sort)."""
+    if n <= 0:
+        raise ValueError("dsir_select: n must be > 0")
+    if temperature <= 0:
+        raise ValueError("dsir_select: temperature must be > 0")
+    u = F.greatest(_hash_unit(F.col(id_col), seed), F.lit(1e-10))
+    key = F.col("log_weight") / F.lit(float(temperature)) - F.log(
+        -F.log(u)
+    )
+    return (
+        weights.withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__k")
     )

@@ -230,3 +230,125 @@ class TestCurriculumPhases:
         assert derived.count() == 10
         cached.unpersist()
         assert jsc.getPersistentRDDs().size() == before
+
+
+class TestDsir:
+    def _toy(self, spark):
+        # target docs (grp=t) speak "ml"; raw pool also has "web" spam
+        rows = [
+            (1, "t", "model training data model training"),
+            (2, "t", "training data quality model"),
+            (3, "r", "buy cheap pills buy cheap pills"),
+            (4, "r", "model training quality data"),
+            (5, "r", "cheap pills spam spam spam"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, grp string, text string")
+
+    def test_targetlike_docs_score_higher(self, spark):
+        from shaper_spark.operators.sampling import dsir_importance_weights
+
+        w = dsir_importance_weights(
+            self._toy(spark), "doc_id", "text", "grp", "t", n_buckets=64
+        )
+        got = {r.doc_id: r.log_weight for r in w.collect()}
+        # doc 4 shares the target vocabulary, docs 3/5 do not
+        assert got[4] > got[3] and got[4] > got[5]
+        assert got[1] > got[5] and got[2] > got[5]
+
+    def test_matches_hand_computation(self, spark):
+        import hashlib
+        import math
+        from collections import Counter
+
+        from shaper_spark.operators.sampling import dsir_importance_weights
+
+        B, A = 32, 0.5
+        rows = [(1, "t", "a b a"), (2, "r", "b c"), (3, "r", "a b a")]
+        df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+        w = dsir_importance_weights(
+            df, "doc_id", "text", "grp", "t", n_buckets=B
+        )
+        got = {r.doc_id: (r.n_grams, r.log_weight) for r in w.collect()}
+
+        def bucket(g):
+            return int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:8], 16) % B
+
+        def grams(t):
+            ws = t.split(" ")
+            return ws + [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+
+        ct, cr, per = Counter(), Counter(), {}
+        for did, grp, text in rows:
+            bs = Counter(bucket(g) for g in grams(text))
+            per[did] = bs
+            for b, c in bs.items():
+                cr[b] += c
+                if grp == "t":
+                    ct[b] += c
+        nt, nr = sum(ct.values()), sum(cr.values())
+        for did, bs in per.items():
+            lw = sum(
+                c
+                * (
+                    math.log((ct[b] + A) / (nt + A * B))
+                    - math.log((cr[b] + A) / (nr + A * B))
+                )
+                for b, c in bs.items()
+            )
+            assert got[did][0] == sum(bs.values())
+            assert abs(got[did][1] - round(lw, 6)) < 1e-6
+
+    def test_identical_docs_get_identical_weights(self, spark):
+        from shaper_spark.operators.sampling import dsir_importance_weights
+
+        w = dsir_importance_weights(
+            self._toy(spark), "doc_id", "text", "grp", "t", n_buckets=64
+        )
+        got = {r.doc_id: r.log_weight for r in w.collect()}
+        assert len(got) == 5  # every doc scored exactly once
+
+    def test_select_deterministic_topk(self, spark):
+        from shaper_spark.operators.sampling import (
+            dsir_importance_weights,
+            dsir_select,
+        )
+
+        w = dsir_importance_weights(
+            self._toy(spark), "doc_id", "text", "grp", "t", n_buckets=64
+        )
+        a = sorted(r.doc_id for r in dsir_select(w, "doc_id", 3).collect())
+        b = sorted(r.doc_id for r in dsir_select(w, "doc_id", 3).collect())
+        assert a == b and len(a) == 3
+
+    def test_select_plans_as_take_ordered(self, spark):
+        from shaper_spark.operators.sampling import (
+            dsir_importance_weights,
+            dsir_select,
+        )
+
+        w = dsir_importance_weights(
+            self._toy(spark), "doc_id", "text", "grp", "t", n_buckets=64
+        )
+        plan = (
+            dsir_select(w, "doc_id", 2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan  # no global sort shuffle
+
+    def test_validation(self, spark):
+        from shaper_spark.operators.sampling import (
+            dsir_importance_weights,
+            dsir_select,
+        )
+
+        df = self._toy(spark)
+        with pytest.raises(ValueError):
+            dsir_importance_weights(df, "doc_id", "text", "grp", "t", n_buckets=0)
+        w = dsir_importance_weights(df, "doc_id", "text", "grp", "t")
+        with pytest.raises(ValueError):
+            dsir_select(w, "doc_id", 0)
+        with pytest.raises(ValueError):
+            dsir_select(w, "doc_id", 2, temperature=0)
