@@ -2227,6 +2227,26 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# Date-spine zero-fill — THE dashboard idiom generate_series exists
+# for (reference users paste this shape constantly: a continuous time
+# axis with gap days at 0). Identical text runs on both engines: the
+# rewriter expands the series table function to explode(sequence(...))
+# (rewrite.py _rewrite_series_tablefuncs) and the per-day counts
+# pre-aggregate BEFORE the join, so Spark broadcasts a ~35-row frame
+# against a ~31-row spine — the scale shape (never events ⋈ spine raw).
+DATE_SPINE_DUCK = """
+WITH per_day AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT d.generate_series AS day, coalesce(p.n, 0) AS n_events
+FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-04',
+                     INTERVAL 1 DAY) d
+LEFT JOIN per_day p ON p.day = d.generate_series
+ORDER BY 1
+"""
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (shaper_spark/operators/sampling.py
     dsir_importance_weights — Xie et al. 2023): every document scored
@@ -3968,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff_report": _q_corpus_diff,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
+        "date_spine_fill": _dialect(DATE_SPINE_DUCK),
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4061,6 +4082,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff_report": CORPUS_DIFF_DUCK,
         "dsir_weights": DSIR_WEIGHTS_DUCK,
         "dsir_select": DSIR_SELECT_DUCK,
+        "date_spine_fill": DATE_SPINE_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

@@ -306,6 +306,11 @@ _FN_RENAMES = {
     "string_agg": "listagg",
     "unnest": "explode",
     "printf": "format_string",
+    # scalar (list-returning) form; the FROM-position table form is
+    # consumed earlier by _rewrite_series_tablefuncs. Both are
+    # inclusive of the stop. Scalar range() is NOT renamed (exclusive
+    # stop has no one-call Spark equivalent).
+    "generate_series": "sequence",
 }
 
 # DuckDB strftime %-codes → Java datetime pattern letters (applied to
@@ -635,6 +640,70 @@ def _boxplot_expansion(val: str, outlier_info: str | None) -> str:
 _BOXPLOT_RE = re.compile(r"\bBOXPLOT\s*\(", re.IGNORECASE)
 
 
+_SERIES_TF_RE = re.compile(
+    r"\b(FROM|JOIN)\s+(generate_series|range)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_series_tablefuncs(sql: str) -> str:
+    """DuckDB's lazy series *table* functions in FROM position →
+    ``explode(sequence(...))`` derived tables (Spark has no SQL table
+    functions beyond VALUES):
+
+    * ``generate_series(a, b[, s])`` — inclusive of ``b`` → plain
+      ``sequence`` (same bounds semantics).
+    * ``range(a, b[, s])`` and both 1-arg forms — exclusive of the
+      stop → sequence + a ``<> stop`` filter (``sequence`` only emits
+      the stop when the step lands on it exactly, so dropping it is
+      precise; empty ranges like ``range(0)`` come out empty).
+
+    The output column keeps DuckDB's name (``generate_series`` /
+    ``range``), and a trailing ``t`` / ``t(x)`` alias applies to the
+    derived table unchanged. Timestamps + INTERVAL steps pass through
+    (Spark's sequence accepts them). Known edge: a descending 2-arg
+    call like ``generate_series(5, 1)`` is empty in DuckDB but an
+    error in Spark's sequence (step is pinned to +1, matching
+    DuckDB's default)."""
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                m
+                for m in _SERIES_TF_RE.finditer(sql)
+                if states[m.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        open_pos = sql.index("(", m.end(2))
+        close = _find_matching_close(sql, open_pos, states)
+        if close == -1:
+            return sql
+        fn = m.group(2).lower()
+        args = _split_top_level_args(sql[open_pos + 1 : close])
+        exclusive = fn == "range" or len(args) == 1
+        if len(args) == 1:
+            a, b, s = "0", args[0].strip(), "1"
+        elif len(args) == 2:
+            a, b, s = args[0].strip(), args[1].strip(), "1"
+        else:
+            a, b, s = (x.strip() for x in args[:3])
+        seq = f"explode(sequence({a}, {b}, {s})) AS `{fn}`"
+        if exclusive:
+            repl = (
+                f"(SELECT `{fn}` FROM (SELECT {seq}) "
+                f"WHERE `{fn}` <> ({b}))"
+            )
+        else:
+            repl = f"(SELECT {seq})"
+        sql = (
+            sql[: m.start()]
+            + f"{m.group(1)} {repl}"
+            + sql[close + 1 :]
+        )
+
+
 def _split_top_level_args(arglist: str) -> list[str]:
     states = _scan_states(arglist)
     args: list[str] = []
@@ -861,6 +930,9 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # FETCH, which the rewrite above turns into this); Spark's grammar
     # only parses "LIMIT n OFFSET m" — swap the clause order.
     sql = _OFFSET_LIMIT_RE.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+
+    # generate_series()/range() in FROM position → explode(sequence()).
+    sql = _rewrite_series_tablefuncs(sql)
 
     # QUALIFY → subquery filter.
     sql = _rewrite_qualify(sql)

@@ -297,3 +297,46 @@ class TestDecimalDivisionLiterals:
         )
         assert dict(df.dtypes)["pct"] == "double"
         assert abs(df.first()["pct"] - 166.6667) < 1e-9
+
+
+class TestSeriesTableFunctions:
+    def test_generate_series_inclusive(self):
+        r = rewrite_statement("FROM generate_series(1, 5)")
+        assert (
+            r.sql
+            == "SELECT * FROM (SELECT explode(sequence(1, 5, 1)) AS `generate_series`)"
+        )
+
+    def test_range_exclusive_one_arg(self):
+        r = rewrite_statement("FROM range(5)")
+        assert "sequence(0, 5, 1)" in r.sql and "<> (5)" in r.sql
+
+    def test_range_exclusive_two_args_alias_kept(self):
+        r = rewrite_statement("SELECT * FROM range(1, 5) r")
+        assert r.sql.endswith(") r") and "<> (5)" in r.sql
+
+    def test_column_list_alias_kept(self):
+        r = rewrite_statement("SELECT gs.x FROM generate_series(1,3) gs(x)")
+        assert "gs(x)" in r.sql
+
+    def test_timestamp_step_passthrough(self):
+        r = rewrite_statement(
+            "SELECT * FROM generate_series(TIMESTAMP '2024-01-01', "
+            "TIMESTAMP '2024-01-04', INTERVAL 1 DAY)"
+        )
+        assert (
+            "sequence(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-04', "
+            "INTERVAL 1 DAY)" in r.sql
+        )
+
+    def test_scalar_generate_series_renamed(self):
+        r = rewrite_statement("SELECT generate_series(1,4) AS l")
+        assert r.sql == "SELECT sequence(1,4) AS l"
+
+    def test_scalar_range_untouched(self):
+        r = rewrite_statement("SELECT range(1,4) AS l")
+        assert "range(1,4)" in r.sql
+
+    def test_quoted_literal_untouched(self):
+        q = "SELECT 'FROM range(3)' AS s"
+        assert rewrite_statement(q).sql == q
