@@ -306,6 +306,10 @@ _FN_RENAMES = {
     "string_agg": "listagg",
     "unnest": "explode",
     "printf": "format_string",
+    "list_sort": "array_sort",
+    # NB: DuckDB's element order is unspecified (hash-based); Spark's
+    # is first-occurrence. Set-equal, order may differ.
+    "list_distinct": "array_distinct",
     # scalar (list-returning) form; the FROM-position table form is
     # consumed earlier by _rewrite_series_tablefuncs. Both are
     # inclusive of the stop. Scalar range() is NOT renamed (exclusive
@@ -640,6 +644,76 @@ def _boxplot_expansion(val: str, outlier_info: str | None) -> str:
 _BOXPLOT_RE = re.compile(r"\bBOXPLOT\s*\(", re.IGNORECASE)
 
 
+_EXCLUDE_RE = re.compile(r"(\*\s*)EXCLUDE(\s*\()", re.IGNORECASE)
+
+_DATE_DIFF_RE = re.compile(r"\b(date_diff|datediff)\s*\(", re.IGNORECASE)
+
+# DuckDB date part names → Spark timestampdiff unit keywords
+_DATE_PARTS = {
+    "year": "YEAR", "years": "YEAR", "y": "YEAR", "yr": "YEAR",
+    "quarter": "QUARTER", "quarters": "QUARTER",
+    "month": "MONTH", "months": "MONTH", "mon": "MONTH",
+    "week": "WEEK", "weeks": "WEEK", "w": "WEEK",
+    "day": "DAY", "days": "DAY", "d": "DAY",
+    "hour": "HOUR", "hours": "HOUR", "h": "HOUR",
+    "minute": "MINUTE", "minutes": "MINUTE", "min": "MINUTE",
+    "second": "SECOND", "seconds": "SECOND", "s": "SECOND",
+}
+
+
+def _rewrite_exclude_star(sql: str) -> str:
+    """DuckDB's ``SELECT * EXCLUDE (cols)`` → Spark's ``* EXCEPT``
+    (same semantics, different keyword)."""
+    states = _scan_states(sql)
+    return _EXCLUDE_RE.sub(
+        lambda m: m.group(0)
+        if states[m.start()] != 0
+        else f"{m.group(1)}EXCEPT{m.group(2)}",
+        sql,
+    )
+
+
+def _rewrite_date_diff(sql: str) -> str:
+    """DuckDB ``date_diff('part', a, b)`` counts partition BOUNDARIES
+    crossed; Spark's ``timestampdiff(PART, a, b)`` counts COMPLETE
+    elapsed units. Truncating both operands to the part first makes
+    Spark count boundaries too:
+    ``timestampdiff(PART, date_trunc('part', a), date_trunc('part', b))``.
+    Calls whose first argument isn't a recognized part literal are
+    left untouched (Spark's own 2-arg datediff stays valid)."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _DATE_DIFF_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            open_pos = sql.index("(", m.end() - 1)
+            close = _find_matching_close(sql, open_pos, states)
+            if close == -1:
+                return sql
+            args = _split_top_level_args(sql[open_pos + 1 : close])
+            if len(args) != 3:
+                continue
+            part = args[0].strip().strip("'\"").lower()
+            unit = _DATE_PARTS.get(part)
+            if unit is None or not re.fullmatch(
+                r"['\"]\w+['\"]", args[0].strip()
+            ):
+                continue
+            hit = (m.start(), close, unit, args[1].strip(), args[2].strip())
+            break
+        if hit is None:
+            return sql
+        start, close, unit, a, b = hit
+        lpart = unit.lower()
+        sql = (
+            sql[:start]
+            + f"timestampdiff({unit}, date_trunc('{lpart}', {a}), "
+            f"date_trunc('{lpart}', {b}))"
+            + sql[close + 1 :]
+        )
+
+
 _SERIES_TF_RE = re.compile(
     r"\b(FROM|JOIN)\s+(generate_series|range)\s*\(", re.IGNORECASE
 )
@@ -933,6 +1007,10 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # generate_series()/range() in FROM position → explode(sequence()).
     sql = _rewrite_series_tablefuncs(sql)
+
+    # * EXCLUDE (cols) → * EXCEPT (cols); boundary-counting date_diff.
+    sql = _rewrite_exclude_star(sql)
+    sql = _rewrite_date_diff(sql)
 
     # QUALIFY → subquery filter.
     sql = _rewrite_qualify(sql)

@@ -340,3 +340,49 @@ class TestSeriesTableFunctions:
     def test_quoted_literal_untouched(self):
         q = "SELECT 'FROM range(3)' AS s"
         assert rewrite_statement(q).sql == q
+
+
+class TestExcludeAndDateDiff:
+    def test_exclude_star_to_except(self):
+        r = rewrite_statement("SELECT * EXCLUDE (b, c) FROM t")
+        assert r.sql == "SELECT * EXCEPT (b, c) FROM t"
+
+    def test_exclude_in_string_untouched(self):
+        q = "SELECT '* EXCLUDE (x)' AS s"
+        assert rewrite_statement(q).sql == q
+
+    def test_date_diff_boundary_rewrite(self):
+        r = rewrite_statement("SELECT date_diff('day', a, b) FROM t")
+        assert (
+            r.sql
+            == "SELECT timestampdiff(DAY, date_trunc('day', a), "
+            "date_trunc('day', b)) FROM t"
+        )
+
+    def test_datediff_plural_part(self):
+        r = rewrite_statement("SELECT datediff('months', a, b) FROM t")
+        assert "timestampdiff(MONTH," in r.sql
+
+    def test_two_arg_datediff_untouched(self):
+        q = "SELECT datediff(a, b) FROM t"
+        assert rewrite_statement(q).sql == q
+
+    def test_unknown_part_untouched(self):
+        q = "SELECT date_diff('fortnight', a, b) FROM t"
+        assert rewrite_statement(q).sql == q
+
+    def test_nested_call_args(self):
+        r = rewrite_statement(
+            "SELECT date_diff('day', least(a, b), greatest(a, b)) FROM t"
+        )
+        assert "date_trunc('day', least(a, b))" in r.sql
+
+    def test_list_renames(self):
+        assert (
+            rewrite_statement("SELECT list_sort(l) FROM t").sql
+            == "SELECT array_sort(l) FROM t"
+        )
+        assert (
+            rewrite_statement("SELECT list_distinct(l) FROM t").sql
+            == "SELECT array_distinct(l) FROM t"
+        )
