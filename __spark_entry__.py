@@ -2247,6 +2247,43 @@ ORDER BY 1
 """
 
 
+def _q_psi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise PSI drift matrix over doc-length buckets
+    (shaper_spark/operators/text.py psi_drift_matrix): the standard
+    model-monitoring drift score between every pair of sources, over
+    the same power-of-two buckets as the length histogram. One
+    corpus-scale (group, bucket) hash-agg; everything downstream is
+    bounded by groups × ≤64 bins. No reference counterpart; §2C."""
+    from shaper_spark.operators.text import psi_drift_matrix
+
+    _prep(spark, sf_dir)
+    return psi_drift_matrix(spark.table("documents"), "n_chars", "source")
+
+
+PSI_MATRIX_DUCK = """
+WITH counts AS (
+  SELECT source AS grp,
+         CAST(power(2, floor(log2(n_chars))) AS BIGINT) AS b,
+         count(*) AS c
+  FROM documents WHERE n_chars > 0 GROUP BY 1, 2
+),
+bins AS (SELECT DISTINCT b FROM counts),
+nb AS (SELECT count(*) AS nb FROM bins),
+groups AS (SELECT grp, sum(c) AS n FROM counts GROUP BY 1),
+dense AS (
+  SELECT g.grp, bins.b,
+         (coalesce(c.c, 0) + 0.5) / (g.n + 0.5 * nb.nb) AS p
+  FROM groups g CROSS JOIN bins
+  LEFT JOIN counts c ON c.grp = g.grp AND c.b = bins.b
+  CROSS JOIN nb
+)
+SELECT a.grp AS group_a, b2.grp AS group_b,
+       round(sum((a.p - b2.p) * (ln(a.p) - ln(b2.p))), 6) + 0.0 AS psi
+FROM dense a JOIN dense b2 ON a.b = b2.b AND a.grp < b2.grp
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (shaper_spark/operators/sampling.py
     dsir_importance_weights — Xie et al. 2023): every document scored
@@ -3989,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "date_spine_fill": _dialect(DATE_SPINE_DUCK),
+        "psi_drift_matrix": _q_psi_matrix,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4083,6 +4121,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": DSIR_WEIGHTS_DUCK,
         "dsir_select": DSIR_SELECT_DUCK,
         "date_spine_fill": DATE_SPINE_DUCK,
+        "psi_drift_matrix": PSI_MATRIX_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

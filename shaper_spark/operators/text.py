@@ -21,6 +21,7 @@ __all__ = [
     "winnow_fingerprints",
     "repetition_stats",
     "length_histogram",
+    "psi_drift_matrix",
     "tfidf_top_terms",
     "unigram_lm_scores",
     "bigram_lm_scores",
@@ -252,6 +253,77 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def psi_drift_matrix(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Pairwise Population Stability Index between per-group
+    distributions of a positive numeric column, over the same
+    power-of-two buckets as ``length_histogram``:
+    PSI(a,b) = Σ_bins (p_a − p_b)·ln(p_a / p_b) with add-α smoothing
+    over the union of observed bins so empty bins stay finite.
+    Symmetric; the standard model-monitoring drift score (PSI < 0.1
+    stable, 0.1–0.25 moderate, > 0.25 major shift). Complements
+    ``source_kl_matrix`` (token distributions) with the cheap
+    numeric-column view (doc length, token count, quality score).
+
+    Spark shape: ONE corpus-scale hash-agg to (group, bucket) counts;
+    everything after is bounded by groups × ≤64 bins — the dense
+    grid is a broadcast cross join of two tiny frames, and the pair
+    matrix joins on the bucket. Returns
+    (group_a, group_b, psi) for ordered pairs a < b."""
+    v = F.col(value_col)
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2(v))).cast("long")
+    counts = (
+        df.filter(v > 0)
+        .groupBy(F.col(group_col).alias("grp"), bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bins = counts.select("b").distinct()
+    groups = counts.groupBy("grp").agg(F.sum("c").alias("n"))
+    nbins = bins.agg(F.count(F.lit(1)).alias("nb"))
+    a_ = F.lit(float(alpha))
+    dense = (
+        groups.crossJoin(F.broadcast(bins))
+        .join(counts, ["grp", "b"], "left")
+        .crossJoin(F.broadcast(nbins))
+        .select(
+            "grp",
+            "b",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + a_)
+                / (F.col("n") + a_ * F.col("nb"))
+            ).alias("p"),
+        )
+    )
+    lhs = dense.select(
+        F.col("grp").alias("group_a"), "b", F.col("p").alias("pa")
+    )
+    rhs = dense.select(
+        F.col("grp").alias("group_b"), "b", F.col("p").alias("pb")
+    )
+    return (
+        lhs.join(rhs, "b")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        (F.col("pa") - F.col("pb"))
+                        * (F.log("pa") - F.log("pb"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("psi")
+        )
+        .orderBy("group_a", "group_b")
     )
 
 

@@ -594,3 +594,82 @@ class TestCorpusDiff:
             for r in corpus_diff_report(v1, v2, "id", "text").collect()
         }
         assert out == {"unchanged": 1}
+
+
+class TestPsiDriftMatrix:
+    def test_identical_distributions_zero(self, spark):
+        from shaper_spark.operators.text import psi_drift_matrix
+
+        rows = [(g, v) for g in ("a", "b") for v in (3, 9, 40, 40, 700)]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        out = psi_drift_matrix(df, "v", "grp").collect()
+        assert len(out) == 1
+        assert out[0].group_a == "a" and out[0].group_b == "b"
+        assert out[0].psi == 0.0
+        # canonicalized: never -0.0
+        assert str(out[0].psi) == "0.0"
+
+    def test_shifted_distribution_scores_high(self, spark):
+        from shaper_spark.operators.text import psi_drift_matrix
+
+        rows = [("a", v) for v in (2, 3, 2, 3, 2)] + [
+            ("b", v) for v in (500, 600, 700, 800, 900)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        (r,) = psi_drift_matrix(df, "v", "grp").collect()
+        assert r.psi > 0.25  # "major shift" threshold
+
+    def test_symmetry_invariant_under_group_swap(self, spark):
+        from shaper_spark.operators.text import psi_drift_matrix
+
+        rows = [("a", 2), ("a", 9), ("b", 2), ("b", 600)]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        swapped = df.replace({"a": "b", "b": "a"}, subset=["grp"])
+        (r1,) = psi_drift_matrix(df, "v", "grp").collect()
+        (r2,) = psi_drift_matrix(swapped, "v", "grp").collect()
+        assert r1.psi == r2.psi  # PSI is symmetric in (a, b)
+
+    def test_nonpositive_values_excluded(self, spark):
+        from shaper_spark.operators.text import psi_drift_matrix
+
+        rows = [("a", 0), ("a", -5), ("a", 4), ("b", 4)]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        (r,) = psi_drift_matrix(df, "v", "grp").collect()
+        assert r.psi == 0.0  # only the v=4 rows count; identical dists
+
+    def test_matches_python_reference(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        from shaper_spark.operators.text import psi_drift_matrix
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        docs = spark.table("documents")
+        got = {
+            (r.group_a, r.group_b): r.psi
+            for r in psi_drift_matrix(docs, "n_chars", "source").collect()
+        }
+        data = docs.select("source", "n_chars").collect()
+        cnt = Counter()
+        for r in data:
+            if r.n_chars > 0:
+                cnt[(r.source, 2 ** math.floor(math.log2(r.n_chars)))] += 1
+        bins = sorted({b for _, b in cnt})
+        groups = sorted({g for g, _ in cnt})
+        tot = {
+            g: sum(c for (gg, _), c in cnt.items() if gg == g) for g in groups
+        }
+        p = {
+            (g, b): (cnt.get((g, b), 0) + 0.5) / (tot[g] + 0.5 * len(bins))
+            for g in groups
+            for b in bins
+        }
+        for i, a in enumerate(groups):
+            for b2 in groups[i + 1 :]:
+                psi = sum(
+                    (p[(a, bb)] - p[(b2, bb)])
+                    * (math.log(p[(a, bb)]) - math.log(p[(b2, bb)]))
+                    for bb in bins
+                )
+                assert abs(got[(a, b2)] - round(psi, 6)) < 1e-6
