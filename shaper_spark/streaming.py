@@ -39,6 +39,7 @@ __all__ = [
     "start_corpus_dedup_stream",
     "bootstrap_signature_table",
     "start_corpus_sig_dedup_stream",
+    "start_drift_monitor_stream",
 ]
 
 SCHEMA_SAMPLE = 3000
@@ -591,6 +592,100 @@ def start_corpus_sig_dedup_stream(
                 except Exception:
                     pass
         bump()  # corpus + store mutated: flush memoized analyzed plans
+
+    writer = stream_df.writeStream.foreachBatch(body).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_drift_monitor_stream(
+    stream_df: DataFrame,
+    reference_df: DataFrame,
+    value_col: str,
+    alerts_table: str,
+    alpha: float = 0.5,
+    psi_threshold: float = 0.25,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Continuous distribution-drift monitoring: every micro-batch's
+    distribution of ``value_col`` is scored against a REFERENCE
+    distribution with the same smoothed PSI as
+    :func:`operators.text.psi_drift_matrix` (power-of-two buckets,
+    add-α over the union of bins), and one audit row
+    (batch_id, n_rows, psi, drifted) is appended to ``alerts_table``
+    — the ingest-time alarm that a source changed shape (new crawler,
+    encoding regression, spam wave) BEFORE the data lands in the
+    corpus.
+
+    Scale shape: the reference histogram is computed ONCE at stream
+    start (one hash-agg over ≤64 buckets — bounded collect by
+    construction) and closed over; each micro-batch pays one ≤64-row
+    hash-agg, and the PSI itself is O(bins) driver arithmetic on two
+    bounded histograms.  No per-row Python, no state store — the
+    monitor is stateless across batches on purpose (each batch is
+    scored independently against the fixed reference; a drifting
+    reference would mask slow drift).
+
+    Returns the StreamingQuery."""
+    if psi_threshold <= 0:
+        raise ValueError("start_drift_monitor_stream: psi_threshold must be > 0")
+
+    def _hist(df: DataFrame) -> dict[int, int]:
+        v = F.col(value_col)
+        bucket = F.pow(F.lit(2.0), F.floor(F.log2(v))).cast("long")
+        return {
+            r["b"]: r["c"]
+            for r in df.filter(v > 0)
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    ref = _hist(reference_df)
+    if not ref:
+        raise ValueError(
+            "start_drift_monitor_stream: reference has no positive "
+            f"{value_col!r} values"
+        )
+    caller = stream_df.sparkSession
+
+    def _psi(batch: dict[int, int]) -> float:
+        import math
+
+        bins = sorted(set(ref) | set(batch))
+        nb = len(bins)
+        n_ref = sum(ref.values())
+        n_new = sum(batch.values())
+        total = 0.0
+        for b in bins:
+            pa = (ref.get(b, 0) + alpha) / (n_ref + alpha * nb)
+            pb = (batch.get(b, 0) + alpha) / (n_new + alpha * nb)
+            total += (pa - pb) * (math.log(pa) - math.log(pb))
+        return total
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hist = _hist(batch_df)
+        n_rows = sum(hist.values())
+        psi = _psi(hist) if hist else float("inf")
+        row_df = spark.createDataFrame(
+            [(int(batch_id), int(n_rows), float(psi), psi >= psi_threshold)],
+            "batch_id BIGINT, n_rows BIGINT, psi DOUBLE, drifted BOOLEAN",
+        )
+        row_df.select(*spark.table(alerts_table).columns).write.mode(
+            "append"
+        ).insertInto(alerts_table)
+        for s in (spark, caller):
+            try:
+                s.catalog.refreshTable(alerts_table)
+            except Exception:
+                pass
 
     writer = stream_df.writeStream.foreachBatch(body).outputMode("append")
     if checkpoint:

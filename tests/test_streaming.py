@@ -472,3 +472,86 @@ class TestCorpusDedupStream:
         assert rejects == {10: "exact_corpus", 12: "exact_batch"}
         spark.sql("DROP TABLE sc_corpus")
         spark.sql("DROP TABLE sc_rejects")
+
+
+class TestDriftMonitorStream:
+    def _setup_alerts(self, spark, name):
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        spark.sql(
+            f"CREATE TABLE {name} (batch_id BIGINT, n_rows BIGINT, "
+            "psi DOUBLE, drifted BOOLEAN) USING parquet"
+        )
+
+    def _run(self, spark, tmp_path, values, reference_vals, name):
+        from shaper_spark.streaming import start_drift_monitor_stream
+
+        self._setup_alerts(spark, name)
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "batch.jsonl").write_text(
+            "\n".join(f'{{"v": {v}}}' for v in values)
+        )
+        ref = spark.createDataFrame([(v,) for v in reference_vals], "v long")
+        stream = (
+            spark.readStream.schema("v long").json(str(src))
+        )
+        q = start_drift_monitor_stream(
+            stream,
+            ref,
+            "v",
+            name,
+            checkpoint=str(tmp_path / "ckpt"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return spark.table(name).collect()
+
+    def test_same_distribution_not_drifted(self, spark, tmp_path):
+        vals = [3, 9, 40, 40, 700] * 4
+        rows = self._run(spark, tmp_path, vals, vals, "drift_alerts_same")
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.n_rows == 20 and r.psi == 0.0 and not r.drifted
+
+    def test_shifted_distribution_flags(self, spark, tmp_path):
+        rows = self._run(
+            spark,
+            tmp_path,
+            [500, 600, 700, 800, 900] * 4,
+            [2, 3, 2, 3, 2] * 4,
+            "drift_alerts_shift",
+        )
+        assert len(rows) == 1
+        assert rows[0].drifted and rows[0].psi > 0.25
+
+    def test_psi_matches_batch_operator(self, spark, tmp_path):
+        # the stream's per-batch PSI equals psi_drift_matrix on the
+        # union frame labeled by side
+        from shaper_spark.operators.text import psi_drift_matrix
+
+        batch_vals = [2, 9, 40, 700, 40] * 3
+        ref_vals = [3, 9, 30, 600, 2000] * 3
+        rows = self._run(
+            spark, tmp_path, batch_vals, ref_vals, "drift_alerts_eq"
+        )
+        both = spark.createDataFrame(
+            [("ref", v) for v in ref_vals] + [("new", v) for v in batch_vals],
+            "grp string, v long",
+        )
+        (expected,) = psi_drift_matrix(both, "v", "grp").collect()
+        assert abs(rows[0].psi - expected.psi) < 1e-6
+
+    def test_empty_reference_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from shaper_spark.streaming import start_drift_monitor_stream
+
+        ref = spark.createDataFrame([(0,), (-1,)], "v long")
+        stream = spark.readStream.schema("v long").json(str(tmp_path))
+        with _pytest.raises(ValueError, match="no positive"):
+            start_drift_monitor_stream(stream, ref, "v", "t")
