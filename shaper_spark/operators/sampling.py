@@ -616,9 +616,16 @@ def dsir_importance_weights(
         ).cast("bigint"),
         F.lit(n_buckets),
     )
+    # The isNotNull(b) filter is stated HERE even though b can never be
+    # null (md5 of a non-null gram): the downstream broadcast join
+    # pushes exactly this predicate into ITS copy of the subtree, and
+    # only canonically-identical subtrees share one exchange via
+    # ReuseExchange — without it the bucket-LM branches rescan the
+    # corpus (plan-pinned in tests/test_sampling.py).
     per_doc = (
         uni.unionAll(big)
         .select("id", "grp", bucket.alias("b"))
+        .filter(F.col("b").isNotNull())
         .groupBy("id", "grp", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )

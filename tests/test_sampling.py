@@ -352,3 +352,22 @@ class TestDsir:
             dsir_select(w, "doc_id", 0)
         with pytest.raises(ValueError):
             dsir_select(w, "doc_id", 2, temperature=0)
+
+    def test_gram_scan_shared_across_lm_branches(self, spark, sf_dir):
+        # the (id, grp, bucket) exchange must be REUSED by the bucket-LM
+        # and totals branches (one corpus scan pair at execution), not
+        # recomputed — guarded by the explicit isNotNull(b) filter in
+        # per_doc (join pushdown otherwise breaks canonical equality)
+        from shaper_spark.operators.sampling import dsir_importance_weights
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        w = dsir_importance_weights(
+            spark.table("documents"), "doc_id", "text", "source", "src0",
+            n_buckets=64,
+        )
+        w.collect()
+        plan = w._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert final.count("ReusedExchange") >= 2
+        assert final.count("FileScan parquet") == 2  # uni + bigram arms
