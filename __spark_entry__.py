@@ -2247,6 +2247,63 @@ ORDER BY 1
 """
 
 
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter survival curve per source
+    (shaper_spark/operators/text.py filter_threshold_sweep): docs
+    surviving quality >= t for a grid of thresholds, as conditional
+    sums over ONE hash-agg (no corpus × grid explode). The
+    pick-the-cutoff readout run before trusting a filter. No reference
+    counterpart; §2C."""
+    from shaper_spark.operators.text import filter_threshold_sweep
+
+    _prep(spark, sf_dir)
+    return filter_threshold_sweep(
+        spark.table("documents"), "doc_id", "text", "source"
+    )
+
+
+THRESHOLD_SWEEP_DUCK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stop AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE lower(w) IN
+           ('the','and','of','to','a','in','is','that','for','it')) AS hits
+  FROM tok GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id, d.source,
+         round(least(len(string_split(d.text, ' ')) / 50.0, 1.0) * 0.4
+               + least(coalesce(s.hits, 0) * 1.0
+                       / greatest(len(string_split(d.text, ' ')), 1) * 5,
+                       1.0) * 0.4
+               + (1 - least(length(regexp_replace(d.text,
+                                    '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+                            / greatest(length(d.text), 1) * 10, 1.0)) * 0.2,
+               6) AS quality
+  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
+),
+wide AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN quality >= 0.2 THEN 1 ELSE 0 END) AS s0,
+         sum(CASE WHEN quality >= 0.3 THEN 1 ELSE 0 END) AS s1,
+         sum(CASE WHEN quality >= 0.4 THEN 1 ELSE 0 END) AS s2,
+         sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS s3,
+         sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS s4
+  FROM q GROUP BY source
+)
+SELECT source, threshold, n_docs, n_survive,
+       round(n_survive * 1.0 / n_docs, 6) AS survive_frac
+FROM (
+  SELECT source, 0.2::DOUBLE AS threshold, n_docs, s0 AS n_survive FROM wide
+  UNION ALL SELECT source, 0.3::DOUBLE, n_docs, s1 FROM wide
+  UNION ALL SELECT source, 0.4::DOUBLE, n_docs, s2 FROM wide
+  UNION ALL SELECT source, 0.5::DOUBLE, n_docs, s3 FROM wide
+  UNION ALL SELECT source, 0.6::DOUBLE, n_docs, s4 FROM wide
+)
+ORDER BY source, threshold
+"""
+
+
 def _q_psi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise PSI drift matrix over doc-length buckets
     (shaper_spark/operators/text.py psi_drift_matrix): the standard
@@ -4027,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "date_spine_fill": _dialect(DATE_SPINE_DUCK),
         "psi_drift_matrix": _q_psi_matrix,
+        "filter_threshold_sweep": _q_threshold_sweep,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4122,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": DSIR_SELECT_DUCK,
         "date_spine_fill": DATE_SPINE_DUCK,
         "psi_drift_matrix": PSI_MATRIX_DUCK,
+        "filter_threshold_sweep": THRESHOLD_SWEEP_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

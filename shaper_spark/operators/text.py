@@ -22,6 +22,7 @@ __all__ = [
     "repetition_stats",
     "length_histogram",
     "psi_drift_matrix",
+    "filter_threshold_sweep",
     "tfidf_top_terms",
     "unigram_lm_scores",
     "bigram_lm_scores",
@@ -253,6 +254,66 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def filter_threshold_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    thresholds: tuple[float, ...] = (0.2, 0.3, 0.4, 0.5, 0.6),
+) -> DataFrame:
+    """Survival curve for the heuristic quality filter: for every
+    (group, threshold) pair, how many documents would survive
+    ``quality >= t`` and what fraction that is — the readout a pipeline
+    studies BEFORE committing to a cut-off (a threshold that keeps 80 %
+    of one source and 5 % of another is a provenance rebalance, not a
+    quality filter). Thresholds compare against the 6-dp-rounded
+    score, so any engine replaying the score replays the verdicts.
+
+    Spark shape: one :func:`quality_score` pass + one doc-id join for
+    the group, then ONE hash-agg computing every threshold as a
+    conditional sum over the same exchange (never a corpus × grid
+    explode); the wide row unstacks with ``stack`` — output is bounded
+    by groups × len(thresholds). Returns
+    (group, threshold, n_docs, n_survive, survive_frac), ordered."""
+    if not thresholds:
+        raise ValueError("filter_threshold_sweep: thresholds must be non-empty")
+    q = quality_score(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), "quality"
+    )
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(
+            F.when(F.col("quality") >= F.lit(float(t)), 1).otherwise(0)
+        ).alias(f"__s{i}")
+        for i, t in enumerate(thresholds)
+    ]
+    wide = src.join(q, "id").groupBy("grp").agg(*aggs)
+    stack = ", ".join(
+        f"CAST({float(t)} AS DOUBLE), __s{i}" for i, t in enumerate(thresholds)
+    )
+    return (
+        wide.select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.expr(
+                f"stack({len(thresholds)}, {stack}) AS (threshold, n_survive)"
+            ),
+        )
+        .select(
+            group_col,
+            "threshold",
+            "n_docs",
+            "n_survive",
+            F.round(
+                F.col("n_survive") / F.col("n_docs").cast("double"), 6
+            ).alias("survive_frac"),
+        )
+        .orderBy(group_col, "threshold")
     )
 
 

@@ -673,3 +673,61 @@ class TestPsiDriftMatrix:
                     for bb in bins
                 )
                 assert abs(got[(a, b2)] - round(psi, 6)) < 1e-6
+
+
+class TestFilterThresholdSweep:
+    def test_monotone_and_bounded(self, spark, sf_dir):
+        from shaper_spark.operators.text import filter_threshold_sweep
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        out = filter_threshold_sweep(
+            spark.table("documents"), "doc_id", "text", "source"
+        ).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        for rows in by_src.values():
+            rows.sort(key=lambda r: r.threshold)
+            survives = [r.n_survive for r in rows]
+            # survival is non-increasing in the threshold
+            assert survives == sorted(survives, reverse=True)
+            for r in rows:
+                assert 0 <= r.n_survive <= r.n_docs
+                assert abs(r.survive_frac - r.n_survive / r.n_docs) < 1e-6
+
+    def test_threshold_zero_keeps_everything(self, spark):
+        from shaper_spark.operators.text import filter_threshold_sweep
+
+        df = spark.createDataFrame(
+            [(1, "a b c", "s"), (2, "d e", "s")],
+            "doc_id long, text string, source string",
+        )
+        (r,) = filter_threshold_sweep(
+            df, "doc_id", "text", "source", thresholds=(0.0,)
+        ).collect()
+        assert r.n_survive == r.n_docs == 2 and r.survive_frac == 1.0
+
+    def test_single_hash_agg_no_grid_explode(self, spark, sf_dir):
+        from shaper_spark.operators.text import filter_threshold_sweep
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        df = filter_threshold_sweep(
+            spark.table("documents"), "doc_id", "text", "source"
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # thresholds are conditional sums in one aggregate — the grid
+        # never multiplies corpus rows before the shuffle
+        assert final.count("Generate explode") <= 1  # stack() only
+
+    def test_empty_thresholds_rejected(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.text import filter_threshold_sweep
+
+        df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+        with _pytest.raises(ValueError):
+            filter_threshold_sweep(df, "doc_id", "text", "source", thresholds=())
