@@ -89,6 +89,12 @@ EXTRAS = [
     "embedding_outlier_report",
     "quality_lm_correlation",
     "corpus_diff_report",
+    # round 7, late additions
+    "dsir_weights",
+    "dsir_select",
+    "date_spine_fill",
+    "psi_drift_matrix",
+    "filter_threshold_sweep",
 ]
 
 HEADLINE = [

@@ -578,6 +578,15 @@ def dsir_importance_weights(
     Returns (id, group, n_grams, log_weight)."""
     if n_buckets <= 0:
         raise ValueError("dsir_importance_weights: n_buckets must be > 0")
+    from ..session import spread_for_compute
+
+    # The gram explode + ~2·words md5 calls per document is an order
+    # of magnitude heavier per input byte than the regex ops the
+    # default 4 MB spread gate was calibrated on, so the gate drops to
+    # 64 KB here: a single-row-group file would otherwise run the
+    # whole hash stage on 1-2 scan tasks (interleaved A/B at sf0.1,
+    # serving profile: 4.3 s pinned → 1.6-2.0 s spread).
+    df = spread_for_compute(df, min_bytes=64 * 1024)
     arr = df.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),

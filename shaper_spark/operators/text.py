@@ -92,9 +92,18 @@ def _stopword_hits(text_col: str, stopwords: list[str]) -> Column:
     return F.expr(f"regexp_count({text_col}, '{escaped}')")
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic document quality in [0,1] from length, punctuation ratio
-    and stopword ratio (the standard pretraining-filter trio)."""
+    and stopword ratio (the standard pretraining-filter trio).
+
+    ``keep_cols`` ride the projection unchanged so group-level
+    consumers (threshold sweep, per-source calibration) avoid a doc-id
+    join back to the source frame."""
     from ..session import spread_for_compute
 
     # Stage the shared scans once (split for the word count, two
@@ -103,6 +112,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # instead of re-deriving the splits/regexes per output column.
     staged = spread_for_compute(df).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.size(F.split(F.col(text_col), " ")).alias("__nw"),
         F.length(text_col).alias("__nc"),
         F.expr(f"regexp_count({text_col}, '[^A-Za-z0-9\\\\s]')").alias(
@@ -124,6 +134,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.round(length_score, 6).alias("length_score"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -280,11 +291,10 @@ def filter_threshold_sweep(
     (group, threshold, n_docs, n_survive, survive_frac), ordered."""
     if not thresholds:
         raise ValueError("filter_threshold_sweep: thresholds must be non-empty")
-    q = quality_score(df, id_col, text_col).select(
-        F.col(id_col).alias("id"), "quality"
-    )
-    src = df.select(
-        F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+    # the group rides the quality projection (keep_cols) — no doc-id
+    # join back to the source frame, the sweep is scan → agg
+    q = quality_score(df, id_col, text_col, keep_cols=(group_col,)).select(
+        F.col(group_col).alias("grp"), "quality"
     )
     aggs = [F.count(F.lit(1)).alias("n_docs")] + [
         F.sum(
@@ -292,7 +302,7 @@ def filter_threshold_sweep(
         ).alias(f"__s{i}")
         for i, t in enumerate(thresholds)
     ]
-    wide = src.join(q, "id").groupBy("grp").agg(*aggs)
+    wide = q.groupBy("grp").agg(*aggs)
     stack = ", ".join(
         f"CAST({float(t)} AS DOUBLE), __s{i}" for i, t in enumerate(thresholds)
     )
