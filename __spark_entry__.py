@@ -2247,6 +2247,48 @@ ORDER BY 1
 """
 
 
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate gram report (shaper_spark/operators/text.py
+    boilerplate_grams): top 4-grams by document reach with source
+    breadth — what an exact-substring cleaner targets first. Hash-keyed
+    counting + TakeOrderedAndProject; gram TEXT re-derived only for the
+    ≤20 winners via broadcast semi-join, so wide grams never shuffle.
+    No reference counterpart; §2C."""
+    from shaper_spark.operators.text import boilerplate_grams
+
+    _prep(spark, sf_dir)
+    return boilerplate_grams(spark.table("documents"), "doc_id", "text")
+
+
+BOILERPLATE_DUCK = """
+WITH base AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws
+  FROM documents WHERE len(string_split(text, ' ')) >= 4
+),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(len(ws) - 3),
+                i -> array_to_string(ws[i+1:i+4], ' '))) AS gram
+  FROM base
+),
+winners AS (
+  SELECT md5(gram) AS h, count(DISTINCT doc_id) AS n_docs,
+         count(DISTINCT source) AS n_sources
+  FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+  ORDER BY n_docs DESC, h ASC LIMIT 20
+),
+texts AS (
+  SELECT DISTINCT md5(gram) AS h, gram FROM g
+  WHERE md5(gram) IN (SELECT h FROM winners)
+),
+total AS (SELECT count(DISTINCT doc_id) AS t FROM documents)
+SELECT texts.gram, winners.n_docs, winners.n_sources,
+       round(winners.n_docs * 1.0 / total.t, 6) AS coverage
+FROM winners JOIN texts USING (h) CROSS JOIN total
+ORDER BY winners.n_docs DESC, texts.gram ASC
+"""
+
+
 def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter survival curve per source
     (shaper_spark/operators/text.py filter_threshold_sweep): docs
@@ -4085,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_spine_fill": _dialect(DATE_SPINE_DUCK),
         "psi_drift_matrix": _q_psi_matrix,
         "filter_threshold_sweep": _q_threshold_sweep,
+        "boilerplate_grams": _q_boilerplate,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4181,6 +4224,7 @@ def oracle_sql() -> dict[str, str]:
         "date_spine_fill": DATE_SPINE_DUCK,
         "psi_drift_matrix": PSI_MATRIX_DUCK,
         "filter_threshold_sweep": THRESHOLD_SWEEP_DUCK,
+        "boilerplate_grams": BOILERPLATE_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

@@ -23,6 +23,7 @@ __all__ = [
     "length_histogram",
     "psi_drift_matrix",
     "filter_threshold_sweep",
+    "boilerplate_grams",
     "tfidf_top_terms",
     "unigram_lm_scores",
     "bigram_lm_scores",
@@ -265,6 +266,81 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def boilerplate_grams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    k: int = 4,
+    top_n: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate candidates: the ``top_n`` k-word grams shared by the
+    most DOCUMENTS (headers, footers, license blurbs, navigation
+    chrome) — what an exact-substring cleaner should look at first.
+    Returns (gram, n_docs, n_sources, coverage) ordered by reach;
+    ``coverage`` = n_docs / corpus size, ``n_sources`` tells template
+    (one source) from idiom (everywhere).
+
+    Spark shape — the dupspans doctrine, wide grams never shuffle:
+    phase 1 counts per-gram doc/source reach over md5 HASHES (one
+    hash-keyed agg with countDistinct partials) and takes the top_n via
+    TakeOrderedAndProject (per-partition top-n + bounded merge, no
+    global sort); phase 2 re-derives gram TEXT only for the ≤top_n
+    winners through a broadcast join on the hash. Two scans, but the
+    string column stays inside scan stages at any corpus size."""
+    if top_n <= 0:
+        raise ValueError("boilerplate_grams: top_n must be > 0")
+    words = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src"),
+        words.alias("__ws"),
+    ).filter(F.size("__ws") >= k)
+    grams_txt = base.select(
+        "id",
+        "src",
+        F.explode(F.sequence(F.lit(1), F.size("__ws") - k + 1)).alias("__i"),
+        "__ws",
+    ).select(
+        "id",
+        "src",
+        F.array_join(F.slice("__ws", F.col("__i"), k), " ").alias("gram"),
+    )
+    hashed = grams_txt.select("id", "src", F.md5("gram").alias("h"))
+    winners = (
+        hashed.groupBy("h")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.countDistinct("src").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("h").asc())
+        .limit(top_n)
+    )
+    total = df.select(
+        F.countDistinct(F.col(id_col)).alias("__total")
+    )
+    texts = (
+        grams_txt.select(F.md5("gram").alias("h"), "gram")
+        .join(F.broadcast(winners.select("h")), "h", "left_semi")
+        .distinct()
+    )
+    return (
+        winners.join(texts, "h")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "n_docs",
+            "n_sources",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__total"), 6
+            ).alias("coverage"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
     )
 
 

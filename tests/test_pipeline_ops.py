@@ -731,3 +731,62 @@ class TestFilterThresholdSweep:
         df = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
         with _pytest.raises(ValueError):
             filter_threshold_sweep(df, "doc_id", "text", "source", thresholds=())
+
+
+class TestBoilerplateGrams:
+    def test_planted_boilerplate_dominates(self, spark):
+        from shaper_spark.operators.text import boilerplate_grams
+
+        footer = "all rights reserved worldwide"
+        rows = [
+            (i, f"doc {i} unique words here {footer}", f"s{i % 3}")
+            for i in range(10)
+        ] + [(100, "totally unrelated text body content", "s0")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = boilerplate_grams(df, "doc_id", "text", k=4, top_n=5).collect()
+        assert out[0].gram == footer
+        assert out[0].n_docs == 10 and out[0].n_sources == 3
+        assert abs(out[0].coverage - 10 / 11) < 1e-6
+
+    def test_min_docs_excludes_singletons(self, spark):
+        from shaper_spark.operators.text import boilerplate_grams
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "s"), (2, "e f g h", "s")],
+            "doc_id long, text string, source string",
+        )
+        assert boilerplate_grams(df, "doc_id", "text", k=4).count() == 0
+
+    def test_wide_grams_only_shuffle_after_winner_dedup(self, spark, sf_dir):
+        # the doctrine: the corpus-scale counting exchanges carry only
+        # md5 hashes; a gram STRING may cross the wire solely in the
+        # winners-side distinct, whose keys are (h, gram) — its partial
+        # HashAggregate collapses each mapper to <= top_n rows before
+        # the exchange (dupspans.py rationale)
+        from shaper_spark.operators.text import boilerplate_grams
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        df = boilerplate_grams(spark.table("documents"), "doc_id", "text")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        for line in final.splitlines():
+            if "Exchange hashpartitioning" in line:
+                keys = line.split("hashpartitioning(")[1]
+                if "gram" in keys.split(")")[0]:
+                    # only the (h, gram) distinct — never a count shuffle
+                    assert keys.split(")")[0].startswith("h#")
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.text import boilerplate_grams
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "s")], "doc_id long, text string, source string"
+        )
+        with _pytest.raises(ValueError):
+            boilerplate_grams(df, "doc_id", "text", top_n=0)
