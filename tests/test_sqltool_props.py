@@ -76,3 +76,48 @@ class TestGateTotality:
         sqltool.is_allowed_statement(s)
         sqltool.is_allowed_task_statement(s)
         sqltool.is_side_effect(s)
+
+
+class TestRewritePassProperties:
+    """The r7 rewrite passes (series table functions, EXCLUDE,
+    date_diff) must never touch content inside string literals and
+    must preserve statements they don't target."""
+
+    @given(plain)
+    @settings(max_examples=150, deadline=None)
+    def test_series_keywords_inside_literals_untouched(self, s):
+        from shaper_spark.rewrite import rewrite_statement
+
+        sql = f"SELECT '{s} FROM generate_series(1, 3) {s}' AS v"
+        assert rewrite_statement(sql).sql == sql
+
+    @given(plain)
+    @settings(max_examples=150, deadline=None)
+    def test_date_diff_inside_literals_untouched(self, s):
+        from shaper_spark.rewrite import rewrite_statement
+
+        sql = f"SELECT '{s} date_diff(''day'', a, b)' AS v"
+        assert rewrite_statement(sql).sql == sql
+
+    @given(st.integers(min_value=-50, max_value=50),
+           st.integers(min_value=-50, max_value=50))
+    @settings(max_examples=100, deadline=None)
+    def test_series_rewrite_always_parses(self, a, b):
+        # whatever integer bounds appear, the rewritten SQL is
+        # syntactically valid sequence sugar (no unbalanced parens)
+        from shaper_spark.rewrite import rewrite_statement
+
+        out = rewrite_statement(f"FROM generate_series({a}, {b})").sql
+        assert out.count("(") == out.count(")")
+        assert "generate_series(" not in out.lower().replace(
+            "as `generate_series`", ""
+        )
+
+    @given(plain)
+    @settings(max_examples=100, deadline=None)
+    def test_exclude_word_not_followed_by_paren_untouched(self, s):
+        from shaper_spark.rewrite import rewrite_statement
+
+        # EXCLUDE as a plain identifier/alias is not the star modifier
+        sql = f"SELECT a AS exclude FROM t WHERE b = '{s}'"
+        assert rewrite_statement(sql).sql == sql
