@@ -4000,7 +4000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     z-triage) and ``quality_lm_correlation`` (filter calibration) and
     ``corpus_diff_report`` (snapshot versioning audit), plus the
     late-r7 ``dsir_weights``/``dsir_select`` (DSIR importance
-    resampling, Xie 2023) —
+    resampling, Xie 2023), ``date_spine_fill`` (generate_series
+    dialect), ``psi_drift_matrix``, ``filter_threshold_sweep`` and
+    ``boilerplate_grams`` —
     enter at the TAIL (oracle-checked locally at sf0.001+sf0.01, hash-
     and repr-green) and rotate into the official window in round 8
     once the prefix frees up."""
