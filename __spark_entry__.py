@@ -2247,6 +2247,34 @@ ORDER BY 1
 """
 
 
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (shaper_spark/operators/skew.py
+    key_skew_report) on the events user_id — the advisory a pipeline
+    runs before committing a join/agg key at 100 TB (vs_uniform ≈
+    heaviest-partition work multiplier; >10× ⇒ salt or AQE skew-split).
+    One skew-proof hash-agg + broadcast totals + TakeOrdered. No
+    reference counterpart; §2C."""
+    from shaper_spark.operators.skew import key_skew_report
+
+    _prep(spark, sf_dir)
+    return key_skew_report(spark.table("events"), "user_id", top_n=15)
+
+
+KEY_SKEW_DUCK = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS t, count(*) AS k FROM counts)
+SELECT key, n_rows,
+       round(n_rows * 1.0 / tot.t, 6) AS share,
+       round(n_rows * 1.0 * tot.k / tot.t, 6) AS vs_uniform
+FROM counts CROSS JOIN tot
+ORDER BY n_rows DESC, key ASC
+LIMIT 15
+"""
+
+
 def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate gram report (shaper_spark/operators/text.py
     boilerplate_grams): top 4-grams by document reach with source
@@ -4130,6 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_matrix": _q_psi_matrix,
         "filter_threshold_sweep": _q_threshold_sweep,
         "boilerplate_grams": _q_boilerplate,
+        "key_skew_report": _q_key_skew,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4227,6 +4256,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift_matrix": PSI_MATRIX_DUCK,
         "filter_threshold_sweep": THRESHOLD_SWEEP_DUCK,
         "boilerplate_grams": BOILERPLATE_DUCK,
+        "key_skew_report": KEY_SKEW_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "key_skew_report"]
 
 # Aggregates that compose as partial → final over the same function.
 _MERGEABLE = {
@@ -77,3 +77,51 @@ def salted_join(
     replicated_right = right.withColumn("__salt", salts)
     out = salted_left.join(replicated_right, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic — the "should I salt this?"
+    advisory run BEFORE committing a join/agg key at scale. For the
+    ``top_n`` heaviest keys: row count, share of the corpus, and the
+    ratio to a perfectly uniform key (share × distinct-keys — >10×
+    means the heaviest shuffle partition does 10× the average work and
+    AQE skew-split or :func:`salted_agg`/:func:`salted_join` is
+    warranted). NULL keys are reported like any other value (they are
+    a classic skew source).
+
+    Spark shape: ONE groupBy(key) hash-agg (map-side partials — the
+    same collapse that makes the report itself skew-proof), a two-row
+    broadcast of the global totals, and TakeOrderedAndProject for the
+    top-n (no global sort). Returns
+    (key, n_rows, share, vs_uniform), heaviest first."""
+    if top_n <= 0:
+        raise ValueError("key_skew_report: top_n must be > 0")
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("__total"), 6
+            ).alias("share"),
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.col("__nkeys")
+                / F.col("__total"),
+                6,
+            ).alias("vs_uniform"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_n)
+    )

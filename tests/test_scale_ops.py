@@ -260,3 +260,45 @@ class TestCentroidSimilarity:
             for r in centroid_similarity(df, "g", "embedding").collect()
         }
         assert out[("a", "b")] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+
+
+class TestKeySkewReport:
+    def test_planted_hot_key_flagged(self, spark):
+        from shaper_spark.operators.skew import key_skew_report
+
+        rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+        df = spark.createDataFrame(rows, "k string")
+        out = key_skew_report(df, "k", top_n=3).collect()
+        assert out[0].key == "hot" and out[0].n_rows == 90
+        assert abs(out[0].share - 0.9) < 1e-6
+        # 11 distinct keys, uniform would be 100/11 rows each
+        assert abs(out[0].vs_uniform - 90 * 11 / 100) < 1e-6
+
+    def test_null_key_reported(self, spark):
+        from shaper_spark.operators.skew import key_skew_report
+
+        df = spark.createDataFrame(
+            [(None,), (None,), ("a",)], "k string"
+        )
+        out = key_skew_report(df, "k", top_n=2).collect()
+        assert out[0].key is None and out[0].n_rows == 2
+
+    def test_take_ordered_no_global_sort(self, spark, sf_dir):
+        from shaper_spark.operators.skew import key_skew_report
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        df = key_skew_report(spark.table("events"), "user_id", top_n=15)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert "TakeOrderedAndProject" in final
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.skew import key_skew_report
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError):
+            key_skew_report(df, "k", top_n=0)
