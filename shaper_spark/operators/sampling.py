@@ -643,16 +643,21 @@ def dsir_importance_weights(
         F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0))).alias("ct"),
         F.sum("c").alias("cr"),
     )
-    totals = buckets.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
-    )
     a_ = F.lit(float(alpha))
     bmass = F.lit(float(alpha * n_buckets))
-    lratio = buckets.crossJoin(F.broadcast(totals)).select(
+    # nt/nr fold into a partitionless window over the BUCKET frame —
+    # bounded to ≤ n_buckets rows by construction, so the single
+    # partition is ≤64 rows, not a corpus-sized sort; this removes the
+    # separate totals aggregate + its broadcast (two stages off the
+    # fresh critical path, measured on the serving profile).
+    _all = Window.partitionBy()
+    nt = F.sum("ct").over(_all)
+    nr = F.sum("cr").over(_all)
+    lratio = buckets.select(
         "b",
         (
-            F.log((F.col("ct") + a_) / (F.col("nt") + bmass))
-            - F.log((F.col("cr") + a_) / (F.col("nr") + bmass))
+            F.log((F.col("ct") + a_) / (nt + bmass))
+            - F.log((F.col("cr") + a_) / (nr + bmass))
         ).alias("lr"),
     )
     return (

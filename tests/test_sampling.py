@@ -369,5 +369,7 @@ class TestDsir:
         w.collect()
         plan = w._jdf.queryExecution().executedPlan().toString()
         final = plan.split("Initial Plan")[0]
-        assert final.count("ReusedExchange") >= 2
+        # the bucket-LM branch reuses the (id,grp,b) exchange (totals
+        # fold into a bounded window, so it is the only other consumer)
+        assert final.count("ReusedExchange") >= 1
         assert final.count("FileScan parquet") == 2  # uni + bigram arms
