@@ -644,6 +644,66 @@ def _boxplot_expansion(val: str, outlier_info: str | None) -> str:
 _BOXPLOT_RE = re.compile(r"\bBOXPLOT\s*\(", re.IGNORECASE)
 
 
+def _rewrite_brace_literals(sql: str) -> str:
+    """DuckDB struct literals ``{'a': 1, 'b': x}`` → Spark
+    ``named_struct('a', 1, 'b', x)``; ``MAP {'k': v}`` → ``map('k', v)``.
+    Keys must be single-quoted literals (DuckDB's rule). Nested
+    literals convert innermost-first. A brace pair whose contents
+    don't parse as ``'key': value`` pairs is left untouched."""
+    rejected: set[int] = set()  # '{' positions judged not-a-literal
+    while True:
+        states = _scan_states(sql)
+        # innermost candidate: a '{' whose matching '}' contains no
+        # unprocessed '{'
+        target = None
+        depth_stack: list[int] = []
+        for i, c in enumerate(sql):
+            if states[i] != 0:
+                continue
+            if c == "{" and i not in rejected:
+                depth_stack.append(i)
+            elif c == "}" and depth_stack:
+                target = (depth_stack.pop(), i)
+                break
+        if target is None:
+            return sql
+        open_pos, close_pos = target
+        inner = sql[open_pos + 1 : close_pos]
+        parts = _split_top_level_args(inner) if inner.strip() else []
+        kv: list[tuple[str, str]] = []
+        ok = bool(parts)
+        for part in parts:
+            m = re.match(r"\s*('(?:[^']|'')*')\s*:\s*(.+)\s*$", part, re.DOTALL)
+            if not m:
+                ok = False
+                break
+            kv.append((m.group(1), m.group(2).strip()))
+        if not ok:
+            rejected.add(open_pos)
+            continue
+        j = open_pos - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        is_map = j >= 2 and sql[j - 2 : j + 1].upper() == "MAP" and (
+            j - 3 < 0 or not _IDENT_CHARS.match(sql[j - 3])
+        )
+        args = ", ".join(f"{k}, {v}" for k, v in kv)
+        if is_map:
+            start = j - 2
+            repl = f"map({args})"
+        else:
+            start = open_pos
+            repl = f"named_struct({args})"
+        delta = len(repl) - (close_pos + 1 - start)
+        rejected = {
+            p + delta if p > close_pos else p
+            for p in rejected
+            if p < start or p > close_pos
+        }
+        sql = sql[:start] + repl + sql[close_pos + 1 :]
+    return sql
+
+
 _EXCLUDE_RE = re.compile(r"(\*\s*)EXCLUDE(\s*\()", re.IGNORECASE)
 
 _DATE_DIFF_RE = re.compile(r"\b(date_diff|datediff)\s*\(", re.IGNORECASE)
@@ -1011,6 +1071,9 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # * EXCLUDE (cols) → * EXCEPT (cols); boundary-counting date_diff.
     sql = _rewrite_exclude_star(sql)
     sql = _rewrite_date_diff(sql)
+
+    # {'a': 1} struct / MAP {'k': v} literals → named_struct()/map().
+    sql = _rewrite_brace_literals(sql)
 
     # QUALIFY → subquery filter.
     sql = _rewrite_qualify(sql)

@@ -386,3 +386,41 @@ class TestExcludeAndDateDiff:
             rewrite_statement("SELECT list_distinct(l) FROM t").sql
             == "SELECT array_distinct(l) FROM t"
         )
+
+
+class TestBraceLiterals:
+    def test_struct_literal(self):
+        r = rewrite_statement("SELECT {'a': 1, 'b': 'x'} AS s")
+        assert r.sql == "SELECT named_struct('a', 1, 'b', 'x') AS s"
+
+    def test_map_literal(self):
+        r = rewrite_statement("SELECT MAP {'k': 5, 'j': 7} AS m")
+        assert r.sql == "SELECT map('k', 5, 'j', 7) AS m"
+
+    def test_nested_struct(self):
+        r = rewrite_statement("SELECT {'o': {'i': 3}} AS s")
+        assert (
+            r.sql
+            == "SELECT named_struct('o', named_struct('i', 3)) AS s"
+        )
+
+    def test_expression_values(self):
+        r = rewrite_statement("SELECT {'a': 1 + 2, 'b': upper(c)} AS s FROM t")
+        assert "named_struct('a', 1 + 2, 'b', upper(c))" in r.sql
+
+    def test_cast_value_keeps_double_colon_safe(self):
+        r = rewrite_statement("SELECT {'c': x::INT} AS s FROM t")
+        assert "named_struct('c', x::INT)" in r.sql
+
+    def test_escaped_quote_key_value(self):
+        r = rewrite_statement("SELECT {'q': 'it''s'} AS s")
+        assert r.sql == "SELECT named_struct('q', 'it''s') AS s"
+
+    def test_non_struct_braces_untouched(self):
+        q = "SELECT '{not: a struct}' AS s"
+        assert rewrite_statement(q).sql == q
+
+    def test_unquoted_key_braces_untouched(self):
+        # DuckDB requires quoted keys; leave anything else alone
+        q = "SELECT a FROM t WHERE b = 'x {y: z} w'"
+        assert rewrite_statement(q).sql == q

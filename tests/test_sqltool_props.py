@@ -121,3 +121,15 @@ class TestRewritePassProperties:
         # EXCLUDE as a plain identifier/alias is not the star modifier
         sql = f"SELECT a AS exclude FROM t WHERE b = '{s}'"
         assert rewrite_statement(sql).sql == sql
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=150, deadline=None)
+    def test_brace_content_inside_literals_untouched(self, s):
+        # ANY character content inside a string literal survives the
+        # brace-literal pass byte-for-byte (incl. control characters —
+        # a regression guard for in-band masking)
+        from shaper_spark.rewrite import rewrite_statement
+
+        lit = s.replace("'", "''")
+        sql = f"SELECT '{{{lit}}}' AS v"
+        assert rewrite_statement(sql).sql == sql
