@@ -1003,7 +1003,15 @@ def _run_query(
             .rstrip(";")
             .strip()
         )
-        report = compact_table(spark, target)
+        # optional clustering clause: COMPACT TABLE t ORDER BY a, b
+        sort_by = None
+        m_order = re.search(r"\sORDER\s+BY\s+(.+)$", target, re.IGNORECASE)
+        if m_order:
+            sort_by = [
+                c.strip() for c in m_order.group(1).split(",") if c.strip()
+            ]
+            target = target[: m_order.start()].strip()
+        report = compact_table(spark, target, sort_by=sort_by)
         names_types = [
             ("compacted", "boolean"),
             ("n_files_before", "bigint"),

@@ -120,3 +120,60 @@ class TestCompactTaskStatement:
         assert not is_allowed_statement("COMPACT TABLE t")
         assert is_allowed_task_statement("COMPACT TABLE t")
         assert is_allowed_task_statement("CHECKPOINT")
+
+
+def _fresh_dir(spark, name):
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
+class TestClusteringCompaction:
+    def test_sort_by_clusters_and_preserves_contents(self, spark):
+        _fresh_dir(spark, "cmp_s")
+        spark.sql("CREATE TABLE cmp_s (ts BIGINT, v BIGINT) USING parquet")
+        # interleaved appends: every file spans the whole ts range
+        for i in range(6):
+            spark.createDataFrame(
+                [(t, i) for t in range(0, 600, 6)], "ts long, v long"
+            ).coalesce(1).write.mode("append").insertInto("cmp_s")
+        report = compact_table(
+            spark, "cmp_s", target_file_bytes=4096, sort_by=["ts"]
+        )
+        assert report["compacted"] is True
+        assert spark.table("cmp_s").count() == 600
+        # clustering: each output file covers a DISJOINT ts range
+        files = spark.table("cmp_s").inputFiles()
+        if len(files) > 1:
+            import pyarrow.parquet as pq
+            from urllib.parse import urlparse
+
+            ranges = []
+            for f in files:
+                t = pq.read_table(urlparse(f).path, columns=["ts"])
+                col = t.column("ts").to_pylist()
+                ranges.append((min(col), max(col)))
+            ranges.sort()
+            for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+                assert hi1 <= lo2  # no overlap -> min/max skipping works
+        _fresh_dir(spark, "cmp_s")
+
+    def test_compact_statement_order_by(self, spark):
+        from shaper_spark.tasks import execute_task
+
+        _fresh_dir(spark, "cmp_o")
+        spark.sql("CREATE TABLE cmp_o (ts BIGINT) USING parquet")
+        for i in range(4):
+            spark.range(100).selectExpr("id AS ts").coalesce(1).write.mode(
+                "append"
+            ).insertInto("cmp_o")
+        result = execute_task(spark, "COMPACT TABLE cmp_o ORDER BY ts;")
+        assert result.success, [q.error for q in result.queries]
+        q = result.queries[0]
+        assert q.result_columns[0] == "compacted"
+        assert q.result_rows[0][0] is True
+        assert spark.table("cmp_o").count() == 400
+        _fresh_dir(spark, "cmp_o")
