@@ -1031,6 +1031,36 @@ def _run_query(
                 report["n_target_files"],
             ]
         ]
+    if upper.startswith(("EXPORT DATABASE", "IMPORT DATABASE")):
+        # DuckDB snapshot statements (reference snapshots.go:233 issues
+        # EXPORT DATABASE '<s3>' (FORMAT parquet, ...); restore.go runs
+        # IMPORT DATABASE) — task scripts written for the reference run
+        # unchanged.  Options in a trailing parenthesized list are
+        # accepted; only compression is meaningful for a parquet
+        # warehouse (FORMAT is always parquet here).
+        from .snapshots import export_database, restore_database
+
+        text = vars_.substitute(sql_string).strip().rstrip(";").strip()
+        is_export = upper.startswith("EXPORT")
+        m_path = re.search(r"'((?:[^']|'')*)'", text)
+        if not m_path:
+            raise DashboardError(
+                "EXPORT/IMPORT DATABASE needs a quoted target path"
+            )
+        path = m_path.group(1).replace("''", "'")
+        if is_export:
+            compression = "zstd"
+            m_comp = re.search(
+                r"COMPRESSION\s+'?(\w+)'?", text, re.IGNORECASE
+            )
+            if m_comp:
+                compression = m_comp.group(1).lower()
+            tables = export_database(spark, path, compression=compression)
+        else:
+            tables = restore_database(spark, path, overwrite=True)
+        return [
+            Column(name="table_name", nullable=False, spark_type="string")
+        ], [[t] for t in tables]
     if upper.startswith(("UPDATE", "DELETE")):
         # Task DML on warehouse tables — copy-on-write rewrite (the
         # statement gate already confines these to tasks; reference

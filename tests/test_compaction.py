@@ -177,3 +177,42 @@ class TestClusteringCompaction:
         assert q.result_rows[0][0] is True
         assert spark.table("cmp_o").count() == 400
         _fresh_dir(spark, "cmp_o")
+
+
+class TestExportImportDatabase:
+    def test_export_then_import_roundtrip(self, spark, tmp_path):
+        from shaper_spark.tasks import execute_task
+
+        spark.sql("CREATE DATABASE IF NOT EXISTS snap_db")
+        spark.sql("DROP TABLE IF EXISTS snap_db.snap_t")
+        spark.sql(
+            "CREATE TABLE snap_db.snap_t USING parquet AS "
+            "SELECT id AS v FROM range(25)"
+        )
+        target = str(tmp_path / "snap")
+        result = execute_task(
+            spark,
+            f"USE snap_db; EXPORT DATABASE '{target}' "
+            "(FORMAT parquet, COMPRESSION zstd);",
+        )
+        assert result.success, [q.error for q in result.queries]
+        exported = [r[0] for r in result.queries[-1].result_rows]
+        assert "snap_t" in exported
+        import os
+
+        assert os.path.isdir(os.path.join(target, "snap_t"))
+        assert os.path.exists(
+            os.path.join(target, "_shaper_manifest.json")
+        )
+
+        spark.sql("DROP TABLE snap_db.snap_t")
+        result2 = execute_task(spark, f"IMPORT DATABASE '{target}';")
+        assert result2.success, [q.error for q in result2.queries]
+        assert spark.table("snap_db.snap_t").count() == 25
+        spark.sql("DROP TABLE snap_db.snap_t")
+
+    def test_missing_path_is_error(self, spark):
+        from shaper_spark.tasks import execute_task
+
+        result = execute_task(spark, "EXPORT DATABASE;")
+        assert not result.success
