@@ -497,3 +497,84 @@ class TestDmlQuotedTarget:
         assert r.queries[2].result_rows == [[2]]
         assert r.queries[3].result_rows == [[1]]
         assert r.queries[-1].result_rows == [[21, 2]]
+
+
+class TestCopyTo:
+    def test_copy_table_to_parquet(self, spark, tmp_path):
+        from shaper_spark.tasks import execute_task
+
+        spark.sql("DROP TABLE IF EXISTS cp_src")
+        spark.sql(
+            "CREATE TABLE cp_src USING parquet AS "
+            "SELECT id AS v FROM range(7)"
+        )
+        path = str(tmp_path / "out.parquet")
+        result = execute_task(
+            spark, f"COPY cp_src TO '{path}' (FORMAT parquet);"
+        )
+        assert result.success, [q.error for q in result.queries]
+        q = result.queries[0]
+        assert q.result_columns == ["Count"] and q.result_rows == [[7]]
+        import os
+
+        assert os.path.isfile(path)  # a FILE at the exact path
+        assert spark.read.parquet(path).count() == 7
+        spark.sql("DROP TABLE cp_src")
+
+    def test_copy_query_to_csv_with_options(self, spark, tmp_path):
+        from shaper_spark.tasks import execute_task
+
+        path = str(tmp_path / "out.csv")
+        result = execute_task(
+            spark,
+            f"COPY (SELECT 1 AS a, 'x' AS b UNION ALL SELECT 2, 'y') "
+            f"TO '{path}' (FORMAT csv, HEADER, DELIMITER '|');",
+        )
+        assert result.success, [q.error for q in result.queries]
+        assert result.queries[0].result_rows == [[2]]
+        text = open(path).read()
+        assert text.splitlines()[0] == "a|b"
+        assert "1|x" in text and "2|y" in text
+
+    def test_copy_format_from_extension(self, spark, tmp_path):
+        from shaper_spark.tasks import execute_task
+
+        path = str(tmp_path / "rows.jsonl")
+        result = execute_task(
+            spark, f"COPY (SELECT 5 AS k) TO '{path}';"
+        )
+        assert result.success, [q.error for q in result.queries]
+        import json
+
+        assert json.loads(open(path).read().strip()) == {"k": 5}
+
+    def test_copy_dialect_query(self, spark, tmp_path):
+        # the inner query goes through the rewriter (count(), etc.)
+        from shaper_spark.tasks import execute_task
+
+        path = str(tmp_path / "agg.parquet")
+        result = execute_task(
+            spark,
+            "COPY (SELECT count() AS n FROM (VALUES (1), (2), (3)) v(x)) "
+            f"TO '{path}';",
+        )
+        assert result.success, [q.error for q in result.queries]
+        assert spark.read.parquet(path).first().n == 3
+
+    def test_dashboard_gate_rejects_copy(self, spark):
+        from shaper_spark.sqltool import (
+            is_allowed_statement,
+            is_allowed_task_statement,
+        )
+
+        assert not is_allowed_statement("COPY t TO 'f.parquet'")
+        assert is_allowed_task_statement("COPY t TO 'f.parquet'")
+
+    def test_bad_format_errors(self, spark, tmp_path):
+        from shaper_spark.tasks import execute_task
+
+        result = execute_task(
+            spark,
+            f"COPY (SELECT 1) TO '{tmp_path}/x.bin' (FORMAT avro);",
+        )
+        assert not result.success
