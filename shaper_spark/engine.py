@@ -1041,6 +1041,73 @@ def _run_copy_to(
     ], [[n]]
 
 
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+([\w.`\"]+)\s+FROM\s+'((?:[^']|'')*)'\s*"
+    r"(?:\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _run_copy_from(
+    spark: SparkSession, text: str
+) -> tuple[list[Column], list[list[Any]]]:
+    """COPY <table> FROM '<path>' (FORMAT …, HEADER …, DELIMITER …) —
+    append the file's rows into the table (DuckDB's load half).
+    Columns are matched BY NAME against the target table (the file
+    must carry them: parquet/json always do, csv needs HEADER), then
+    cast to the table's types by position via insertInto."""
+    m = _COPY_FROM_RE.match(text)
+    if not m:
+        raise DashboardError(
+            "COPY syntax: COPY <table> FROM '<path>' [(options)]"
+        )
+    table = m.group(1).strip().strip('`"')
+    path = m.group(2).replace("''", "'")
+    opts: dict[str, str] = {}
+    for part in (m.group(3) or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        bits = part.split(None, 1)
+        opts[bits[0].lower()] = (
+            bits[1].strip().strip("'\"") if len(bits) > 1 else "true"
+        )
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    fmt = opts.get("format", _COPY_EXT_FMT.get(ext, "parquet")).lower()
+    if fmt not in ("parquet", "csv", "json"):
+        raise DashboardError(f"COPY: unsupported FORMAT {fmt!r}")
+    reader = spark.read
+    if fmt == "csv":
+        header = opts.get("header", "true").lower() not in ("false", "0")
+        if not header:
+            raise DashboardError(
+                "COPY FROM csv requires HEADER (columns match by name)"
+            )
+        reader = reader.option("header", "true").option(
+            "inferSchema", "true"
+        )
+        delim = opts.get("delimiter") or opts.get("delim") or opts.get("sep")
+        if delim:
+            reader = reader.option("sep", delim)
+    df = getattr(reader, fmt)(path)
+    target_cols = spark.table(table).columns
+    missing = [c for c in target_cols if c not in df.columns]
+    if missing:
+        raise DashboardError(
+            f"COPY FROM: file lacks target columns {missing}"
+        )
+    df = df.select(*target_cols)
+    n = df.count()
+    df.write.mode("append").insertInto(table)
+    spark.catalog.refreshTable(table)
+    from .plancache import bump
+
+    bump()
+    return [
+        Column(name="Count", nullable=False, spark_type="bigint")
+    ], [[n]]
+
+
 def _run_query(
     spark: SparkSession,
     sql_string: str,
@@ -1109,6 +1176,11 @@ def _run_query(
                 report["n_target_files"],
             ]
         ]
+    if upper.startswith("COPY") and re.search(
+        r"\bFROM\s+'", sql_string, re.IGNORECASE
+    ):
+        # COPY <table> FROM '<path>' (options) — the file-load half.
+        return _run_copy_from(spark, vars_.substitute(sql_string))
     if upper.startswith("COPY") and re.search(
         r"\bTO\s+'", sql_string, re.IGNORECASE
     ):

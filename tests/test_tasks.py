@@ -578,3 +578,48 @@ class TestCopyTo:
             f"COPY (SELECT 1) TO '{tmp_path}/x.bin' (FORMAT avro);",
         )
         assert not result.success
+
+
+class TestCopyFrom:
+    def test_roundtrip_copy_to_then_from(self, spark, tmp_path):
+        from shaper_spark.tasks import execute_task
+
+        spark.sql("DROP TABLE IF EXISTS cpf_t")
+        spark.sql(
+            "CREATE TABLE cpf_t USING parquet AS "
+            "SELECT id AS v, CAST(id AS STRING) AS s FROM range(5)"
+        )
+        path = str(tmp_path / "dump.parquet")
+        r1 = execute_task(spark, f"COPY cpf_t TO '{path}';")
+        assert r1.success, [q.error for q in r1.queries]
+        r2 = execute_task(spark, f"COPY cpf_t FROM '{path}';")
+        assert r2.success, [q.error for q in r2.queries]
+        assert r2.queries[0].result_rows == [[5]]
+        assert spark.table("cpf_t").count() == 10
+        spark.sql("DROP TABLE cpf_t")
+
+    def test_csv_from_with_header(self, spark, tmp_path):
+        from shaper_spark.tasks import execute_task
+
+        spark.sql("DROP TABLE IF EXISTS cpf_c")
+        spark.sql("CREATE TABLE cpf_c (a INT, b STRING) USING parquet")
+        p = tmp_path / "in.csv"
+        p.write_text("b;a\nx;1\ny;2\n")  # shuffled column order
+        r = execute_task(
+            spark, f"COPY cpf_c FROM '{p}' (FORMAT csv, DELIMITER ';');"
+        )
+        assert r.success, [q.error for q in r.queries]
+        rows = sorted(tuple(x) for x in spark.table("cpf_c").collect())
+        assert rows == [(1, "x"), (2, "y")]  # matched BY NAME
+        spark.sql("DROP TABLE cpf_c")
+
+    def test_missing_column_errors(self, spark, tmp_path):
+        from shaper_spark.tasks import execute_task
+
+        spark.sql("DROP TABLE IF EXISTS cpf_m")
+        spark.sql("CREATE TABLE cpf_m (a INT, z INT) USING parquet")
+        p = tmp_path / "in2.csv"
+        p.write_text("a\n1\n")
+        r = execute_task(spark, f"COPY cpf_m FROM '{p}' (FORMAT csv);")
+        assert not r.success
+        spark.sql("DROP TABLE cpf_m")
