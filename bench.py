@@ -95,6 +95,8 @@ EXTRAS = [
     "date_spine_fill",
     "psi_drift_matrix",
     "filter_threshold_sweep",
+    "boilerplate_grams",
+    "key_skew_report",
 ]
 
 HEADLINE = [

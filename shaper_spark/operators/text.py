@@ -294,6 +294,11 @@ def boilerplate_grams(
     string column stays inside scan stages at any corpus size."""
     if top_n <= 0:
         raise ValueError("boilerplate_grams: top_n must be > 0")
+    from ..session import spread_for_compute
+
+    # per-gram md5 is the heavy stage — low spread gate, the DSIR rule
+    # (FLOOR.md: gate by bytes × per-byte work, not bytes)
+    df = spread_for_compute(df, min_bytes=64 * 1024)
     words = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("id"),
@@ -311,10 +316,16 @@ def boilerplate_grams(
         F.array_join(F.slice("__ws", F.col("__i"), k), " ").alias("gram"),
     )
     hashed = grams_txt.select("id", "src", F.md5("gram").alias("h"))
+    # two-level distinct instead of two countDistincts on the raw gram
+    # stream: Spark plans multi-column countDistinct as an EXPAND that
+    # doubles every gram row pre-shuffle; deduping (h, id) first (one
+    # doc has one source, so first(src) is exact) shrinks the frame to
+    # per-document reach before the single remaining countDistinct.
+    per_doc = hashed.groupBy("h", "id").agg(F.first("src").alias("src"))
     winners = (
-        hashed.groupBy("h")
+        per_doc.groupBy("h")
         .agg(
-            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("src").alias("n_sources"),
         )
         .filter(F.col("n_docs") >= min_docs)

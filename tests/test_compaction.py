@@ -190,26 +190,31 @@ class TestExportImportDatabase:
             "SELECT id AS v FROM range(25)"
         )
         target = str(tmp_path / "snap")
-        result = execute_task(
-            spark,
-            f"USE snap_db; EXPORT DATABASE '{target}' "
-            "(FORMAT parquet, COMPRESSION zstd);",
-        )
-        assert result.success, [q.error for q in result.queries]
-        exported = [r[0] for r in result.queries[-1].result_rows]
-        assert "snap_t" in exported
-        import os
+        try:
+            result = execute_task(
+                spark,
+                f"USE snap_db; EXPORT DATABASE '{target}' "
+                "(FORMAT parquet, COMPRESSION zstd);",
+            )
+            assert result.success, [q.error for q in result.queries]
+            exported = [r[0] for r in result.queries[-1].result_rows]
+            assert "snap_t" in exported
+            import os
 
-        assert os.path.isdir(os.path.join(target, "snap_t"))
-        assert os.path.exists(
-            os.path.join(target, "_shaper_manifest.json")
-        )
+            assert os.path.isdir(os.path.join(target, "snap_t"))
+            assert os.path.exists(
+                os.path.join(target, "_shaper_manifest.json")
+            )
 
-        spark.sql("DROP TABLE snap_db.snap_t")
-        result2 = execute_task(spark, f"IMPORT DATABASE '{target}';")
-        assert result2.success, [q.error for q in result2.queries]
-        assert spark.table("snap_db.snap_t").count() == 25
-        spark.sql("DROP TABLE snap_db.snap_t")
+            spark.sql("DROP TABLE snap_db.snap_t")
+            result2 = execute_task(spark, f"IMPORT DATABASE '{target}';")
+            assert result2.success, [q.error for q in result2.queries]
+            assert spark.table("snap_db.snap_t").count() == 25
+            spark.sql("DROP TABLE snap_db.snap_t")
+        finally:
+            # USE leaks to the shared test session like on a real
+            # server — restore so later tests resolve unqualified names
+            spark.sql("USE default")
 
     def test_missing_path_is_error(self, spark):
         from shaper_spark.tasks import execute_task
