@@ -40,6 +40,7 @@ __all__ = [
     "bootstrap_signature_table",
     "start_corpus_sig_dedup_stream",
     "start_drift_monitor_stream",
+    "attribution_join_stream",
 ]
 
 SCHEMA_SAMPLE = 3000
@@ -693,3 +694,55 @@ def start_drift_monitor_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def attribution_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — the attribution primitive: pair
+    each ``right`` event (e.g. a purchase) with every ``left`` event
+    (e.g. a click) by the SAME key that happened AT OR BEFORE it and
+    no more than ``within`` earlier. Watermarks on both sides bound
+    the join state (without them a stream-stream inner join buffers
+    forever — Spark refuses unwatermarked interval joins in append
+    mode for exactly that reason).
+
+    Works identically on batch frames (the interval condition is the
+    same range join; ``operators/rangejoin.py`` is the scale path when
+    both sides are static). Returns
+    (key, left_ts, right_ts, lag_seconds)."""
+    l_ = left.select(
+        F.col(key_col).alias("__k"),
+        F.col(left_ts).alias("__lts"),
+    )
+    r_ = right.select(
+        F.col(key_col).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+    )
+    if left.isStreaming:
+        l_ = l_.withWatermark("__lts", watermark)
+    if right.isStreaming:
+        r_ = r_.withWatermark("__rts", watermark)
+    joined = l_.join(
+        r_,
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("__lts") <= F.col("__rts"))
+        & (
+            F.col("__lts")
+            >= F.col("__rts") - F.expr(f"INTERVAL {within}")
+        ),
+    )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__lts").alias("left_ts"),
+        F.col("__rts").alias("right_ts"),
+        (
+            F.unix_timestamp("__rts") - F.unix_timestamp("__lts")
+        ).alias("lag_seconds"),
+    )

@@ -555,3 +555,88 @@ class TestDriftMonitorStream:
         stream = spark.readStream.schema("v long").json(str(tmp_path))
         with _pytest.raises(ValueError, match="no positive"):
             start_drift_monitor_stream(stream, ref, "v", "t")
+
+
+class TestAttributionJoinStream:
+    def _write_events(self, d, name, rows):
+        (d / name).write_text(
+            "\n".join(
+                f'{{"user_id": {u}, "ts": "{ts}"}}' for u, ts in rows
+            )
+        )
+
+    def test_streaming_matches_batch_semantics(self, spark, tmp_path):
+        from shaper_spark.streaming import attribution_join_stream
+
+        clicks_dir = tmp_path / "clicks"
+        buys_dir = tmp_path / "buys"
+        clicks_dir.mkdir(), buys_dir.mkdir()
+        self._write_events(
+            clicks_dir,
+            "c.jsonl",
+            [
+                (1, "2024-01-01 10:00:00"),
+                (1, "2024-01-01 10:20:00"),
+                (1, "2024-01-01 09:00:00"),  # too early (> 30 min)
+                (2, "2024-01-01 10:05:00"),
+            ],
+        )
+        self._write_events(
+            buys_dir,
+            "b.jsonl",
+            [(1, "2024-01-01 10:30:00"), (3, "2024-01-01 10:30:00")],
+        )
+        schema = "user_id long, ts timestamp"
+        out = attribution_join_stream(
+            spark.readStream.schema(schema).json(str(clicks_dir)),
+            spark.readStream.schema(schema).json(str(buys_dir)),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("attrib_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.user_id, r.lag_seconds)
+            for r in spark.table("attrib_out").collect()
+        )
+        # user 1: both in-window clicks pair with the purchase; the
+        # 09:00 click is outside `within`; user 2 has no purchase,
+        # user 3 no click
+        assert got == [(1, 600), (1, 1800)]
+
+        # batch path gives identical rows
+        clicks_b = spark.read.schema(schema).json(str(clicks_dir))
+        buys_b = spark.read.schema(schema).json(str(buys_dir))
+        batch = sorted(
+            (r.user_id, r.lag_seconds)
+            for r in attribution_join_stream(clicks_b, buys_b).collect()
+        )
+        assert batch == got
+
+    def test_unwatermarked_stream_join_is_guarded(self, spark, tmp_path):
+        # both sides get watermarks automatically — the query plans and
+        # runs in append mode (Spark would reject it otherwise)
+        from shaper_spark.streaming import attribution_join_stream
+
+        d = tmp_path / "e"
+        d.mkdir()
+        self._write_events(d, "x.jsonl", [(1, "2024-01-01 00:00:00")])
+        schema = "user_id long, ts timestamp"
+        s1 = spark.readStream.schema(schema).json(str(d))
+        s2 = spark.readStream.schema(schema).json(str(d))
+        out = attribution_join_stream(s1, s2)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("attrib_guard")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.table("attrib_guard").count() == 1  # self-pair
