@@ -2247,6 +2247,39 @@ ORDER BY 1
 """
 
 
+_CANARIES = ["batch batch", "spark window", "canary-absent-xyz"]
+
+
+def _q_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-canary / leak-needle audit (shaper_spark/operators/
+    text.py canary_scan): per planted string — containing-doc count,
+    total occurrences, first doc id. ONE scan, pure string arithmetic
+    (no regex/explode), single-row wide agg unstacked. No reference
+    counterpart; §2C."""
+    from shaper_spark.operators.text import canary_scan
+
+    _prep(spark, sf_dir)
+    return canary_scan(spark.table("documents"), "doc_id", "text", _CANARIES)
+
+
+def _canary_duck() -> str:
+    triples = []
+    for c in _CANARIES:
+        e = c.replace("'", "''")
+        occ = (
+            f"CAST((length(text) - length(replace(text, '{e}', ''))) "
+            f"/ {len(c)} AS BIGINT)"
+        )
+        triples.append(
+            f"SELECT '{e}' AS canary,\n"
+            f"       CAST(sum(CASE WHEN {occ} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,\n"
+            f"       CAST(sum({occ}) AS BIGINT) AS n_occurrences,\n"
+            f"       min(CASE WHEN {occ} > 0 THEN doc_id END) AS first_doc_id\n"
+            f"FROM documents"
+        )
+    return "\nUNION ALL\n".join(triples) + "\nORDER BY canary"
+
+
 def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostic (shaper_spark/operators/skew.py
     key_skew_report) on the events user_id — the advisory a pipeline
@@ -4159,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_threshold_sweep": _q_threshold_sweep,
         "boilerplate_grams": _q_boilerplate,
         "key_skew_report": _q_key_skew,
+        "canary_scan": _q_canary_scan,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4257,6 +4291,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_threshold_sweep": THRESHOLD_SWEEP_DUCK,
         "boilerplate_grams": BOILERPLATE_DUCK,
         "key_skew_report": KEY_SKEW_DUCK,
+        "canary_scan": _canary_duck(),
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

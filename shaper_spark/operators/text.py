@@ -24,6 +24,7 @@ __all__ = [
     "psi_drift_matrix",
     "filter_threshold_sweep",
     "boilerplate_grams",
+    "canary_scan",
     "tfidf_top_terms",
     "unigram_lm_scores",
     "bigram_lm_scores",
@@ -266,6 +267,64 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def canary_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    canaries: list[str],
+) -> DataFrame:
+    """Exact-substring canary audit: for every planted canary string
+    (the unique markers memorization studies seed into corpora, and
+    the leak-check needles a compliance pass runs), how many documents
+    contain it, how many times it occurs in total, and the first doc id
+    carrying it. A canary that should appear exactly once and shows
+    n_docs > 1 means the dedup stage leaked copies; one that shows 0
+    means the corpus build dropped it.
+
+    Spark shape: ONE corpus scan computes every canary's per-doc
+    occurrence count as pure string arithmetic
+    ((len(text) − len(replace(text, c))) / len(c) — codegen, no regex,
+    no explode); a single-row wide aggregate collects the bounded
+    |canaries| triples and unstacks with ``stack``. Output is
+    |canaries| rows. Returns (canary, n_docs, n_occurrences,
+    first_doc_id ─ NULL when absent), ordered by canary."""
+    if not canaries:
+        raise ValueError("canary_scan: canaries must be non-empty")
+    occ_cols = []
+    for i, c in enumerate(canaries):
+        occ = (
+            (
+                F.length(text_col)
+                - F.length(F.replace(F.col(text_col), F.lit(c)))
+            )
+            / F.lit(len(c))
+        ).cast("long")
+        occ_cols.append(occ.alias(f"__o{i}"))
+    staged = df.select(F.col(id_col).alias("__id"), *occ_cols)
+    aggs = []
+    for i in range(len(canaries)):
+        o = F.col(f"__o{i}")
+        aggs += [
+            F.sum(F.when(o > 0, 1).otherwise(0)).alias(f"__d{i}"),
+            F.sum(o).alias(f"__n{i}"),
+            F.min(F.when(o > 0, F.col("__id"))).alias(f"__f{i}"),
+        ]
+    wide = staged.agg(*aggs)
+    esc = [c.replace("'", "''") for c in canaries]
+    stack = ", ".join(
+        f"'{esc[i]}', __d{i}, __n{i}, __f{i}" for i in range(len(canaries))
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(canaries)}, {stack}) AS "
+                "(canary, n_docs, n_occurrences, first_doc_id)"
+            )
+        )
+        .orderBy("canary")
     )
 
 

@@ -790,3 +790,69 @@ class TestBoilerplateGrams:
         )
         with _pytest.raises(ValueError):
             boilerplate_grams(df, "doc_id", "text", top_n=0)
+
+
+class TestCanaryScan:
+    def test_counts_docs_occurrences_and_first_id(self, spark):
+        from shaper_spark.operators.text import canary_scan
+
+        df = spark.createDataFrame(
+            [
+                (1, "x CANARY-a y CANARY-a z"),
+                (2, "plain"),
+                (3, "CANARY-b once"),
+                (4, "CANARY-a again"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.canary: (r.n_docs, r.n_occurrences, r.first_doc_id)
+            for r in canary_scan(
+                df, "doc_id", "text", ["CANARY-a", "CANARY-b", "CANARY-c"]
+            ).collect()
+        }
+        assert out["CANARY-a"] == (2, 3, 1)
+        assert out["CANARY-b"] == (1, 1, 3)
+        assert out["CANARY-c"] == (0, 0, None)
+
+    def test_overlap_free_counting(self, spark):
+        # replace-arithmetic counts non-overlapping occurrences, like
+        # every engine's replace() — "aaa" contains "aa" once
+        from shaper_spark.operators.text import canary_scan
+
+        df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+        (r,) = canary_scan(df, "doc_id", "text", ["aa"]).collect()
+        assert r.n_occurrences == 1
+
+    def test_quote_in_canary(self, spark):
+        from shaper_spark.operators.text import canary_scan
+
+        df = spark.createDataFrame(
+            [(1, "it's here")], "doc_id long, text string"
+        )
+        (r,) = canary_scan(df, "doc_id", "text", ["it's"]).collect()
+        assert r.n_docs == 1
+
+    def test_empty_canaries_rejected(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.text import canary_scan
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            canary_scan(df, "doc_id", "text", [])
+
+    def test_single_scan_plan(self, spark, sf_dir):
+        from shaper_spark.operators.text import canary_scan
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        df = canary_scan(
+            spark.table("documents"), "doc_id", "text", ["a", "b", "c"]
+        )
+        df.collect()
+        final = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0]
+        )
+        assert final.count("FileScan parquet") == 1
