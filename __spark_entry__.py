@@ -2247,6 +2247,49 @@ ORDER BY 1
 """
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking against a 3-term domain query
+    (shaper_spark/operators/text.py bm25_scores — Lucene idf form):
+    the lexical pre-filter a targeted-curation pipeline runs before
+    model-based scoring. One filtered explode (non-query tokens never
+    leave the scan), bounded stats broadcast back, TakeOrdered top-k.
+    No reference counterpart; §2C."""
+    from shaper_spark.operators.text import bm25_scores
+
+    _prep(spark, sf_dir)
+    return bm25_scores(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        ["spark", "window", "hash"],
+        top_k=20,
+    )
+
+
+BM25_DUCK = """
+WITH lens AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents
+),
+stats AS (SELECT count(*) AS N, avg(len) AS avg_len FROM lens),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('hash', 'spark', 'window') GROUP BY 1, 2
+),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       round(sum(ln(1 + (N - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * len / avg_len))),
+             6) AS score
+FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 20
+"""
+
+
 _CANARIES = ["batch batch", "spark window", "canary-absent-xyz"]
 
 
@@ -4193,6 +4236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_grams": _q_boilerplate,
         "key_skew_report": _q_key_skew,
         "canary_scan": _q_canary_scan,
+        "bm25_relevance": _q_bm25,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4292,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_grams": BOILERPLATE_DUCK,
         "key_skew_report": KEY_SKEW_DUCK,
         "canary_scan": _canary_duck(),
+        "bm25_relevance": BM25_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

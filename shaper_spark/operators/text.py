@@ -25,6 +25,7 @@ __all__ = [
     "filter_threshold_sweep",
     "boilerplate_grams",
     "canary_scan",
+    "bm25_scores",
     "tfidf_top_terms",
     "unigram_lm_scores",
     "bigram_lm_scores",
@@ -267,6 +268,71 @@ def length_histogram(df: DataFrame, value_col: str) -> DataFrame:
             F.max(v).alias("max_v"),
         )
         .orderBy("bucket_lo")
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 relevance of every document to a bounded query-term set —
+    the lexical retrieval scorer (Robertson/Spärck Jones; Lucene's
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5))) and the cheap cousin of
+    DSIR for targeted curation: rank a raw corpus against a few domain
+    terms before paying for model-based scoring. Returns the ``top_k``
+    docs as (id, n_terms_hit, score), score to 6 dp.
+
+    Spark shape: one token explode filtered to the query terms (the
+    filter folds into the scan projection — non-query tokens never
+    leave the scan stage), one (doc, term) hash-agg; term df and the
+    corpus length stats are ≤|terms|+1 rows and broadcast back; the
+    final doc rollup TakeOrderedAndProjects the top_k. No regex, no
+    window, nothing corpus × terms."""
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    if top_k <= 0:
+        raise ValueError("bm25_scores: top_k must be > 0")
+    terms = sorted(set(query_terms))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    )
+    lens = base.select("id", F.size("__ws").alias("len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("len").alias("avg_len")
+    )
+    toks = (
+        base.select("id", F.explode("__ws").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    k1_, b_ = F.lit(float(k1)), F.lit(float(b))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1_ * (
+        F.lit(1.0) - b_ + b_ * F.col("len") / F.col("avg_len")
+    )
+    contrib = idf * F.col("tf") * (k1_ + F.lit(1.0)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+        .select(F.col("id").alias(id_col), "n_terms_hit", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
     )
 
 

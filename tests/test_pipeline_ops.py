@@ -856,3 +856,72 @@ class TestCanaryScan:
             .split("Initial Plan")[0]
         )
         assert final.count("FileScan parquet") == 1
+
+
+class TestBm25Scores:
+    def test_matches_python_reference(self, spark, sf_dir):
+        import math
+        from collections import Counter
+
+        from shaper_spark.operators.text import bm25_scores
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        docs = spark.table("documents")
+        TERMS = ["spark", "window", "hash"]
+        got = [
+            (r.doc_id, r.n_terms_hit, r.score)
+            for r in bm25_scores(docs, "doc_id", "text", TERMS).collect()
+        ]
+        data = docs.select("doc_id", "text").collect()
+        N = len(data)
+        lens = {r.doc_id: len(r.text.split(" ")) for r in data}
+        avg = sum(lens.values()) / N
+        tf = {}
+        for r in data:
+            c = Counter(w for w in r.text.split(" ") if w in TERMS)
+            if c:
+                tf[r.doc_id] = c
+        dfq = Counter()
+        for c in tf.values():
+            for t in c:
+                dfq[t] += 1
+
+        def score(d):
+            s = 0.0
+            for t, f in tf[d].items():
+                idf = math.log(1 + (N - dfq[t] + 0.5) / (dfq[t] + 0.5))
+                s += (
+                    idf * f * 2.2
+                    / (f + 1.2 * (0.25 + 0.75 * lens[d] / avg))
+                )
+            return round(s, 6)
+
+        want = sorted(
+            ((d, len(tf[d]), score(d)) for d in tf),
+            key=lambda x: (-x[2], x[0]),
+        )[:20]
+        assert [(d, s) for d, _, s in want] == [(d, s) for d, _, s in got]
+        assert [h for _, h, _ in want] == [h for _, h, _ in got]
+
+    def test_rare_term_outranks_common(self, spark):
+        from shaper_spark.operators.text import bm25_scores
+
+        rows = [(i, "common filler words here") for i in range(20)]
+        rows[0] = (0, "common rareterm filler")
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_scores(
+            df, "doc_id", "text", ["common", "rareterm"], top_k=3
+        ).collect()
+        assert out[0].doc_id == 0  # the rare-term doc wins
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.text import bm25_scores
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bm25_scores(df, "doc_id", "text", [])
+        with _pytest.raises(ValueError):
+            bm25_scores(df, "doc_id", "text", ["x"], top_k=0)
