@@ -310,6 +310,14 @@ _FN_RENAMES = {
     # NB: DuckDB's element order is unspecified (hash-based); Spark's
     # is first-occurrence. Set-equal, order may differ.
     "list_distinct": "array_distinct",
+    "array_length": "size",
+    "list_count": "size",
+    "string_split_regex": "split",
+    "regexp_split_to_array": "split",
+    # strptime(str, '%Y-…') → to_timestamp(str, 'yyyy-…'): the rename
+    # is single-pass (the produced to_timestamp is not re-mapped) and
+    # _convert_strftime_literals translates the %-codes afterwards.
+    "strptime": "to_timestamp",
     # scalar (list-returning) form; the FROM-position table form is
     # consumed earlier by _rewrite_series_tablefuncs. Both are
     # inclusive of the stop. Scalar range() is NOT renamed (exclusive
@@ -339,7 +347,9 @@ _STRFTIME_CODES = {
     "%%": "%",
 }
 
-_DATE_FORMAT_CALL_RE = re.compile(r"\bdate_format\s*\(", re.IGNORECASE)
+_DATE_FORMAT_CALL_RE = re.compile(
+    r"\b(?:date_format|to_timestamp|try_to_timestamp)\s*\(", re.IGNORECASE
+)
 _REGEXP_REPLACE_CALL_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
 
 
@@ -642,6 +652,86 @@ def _boxplot_expansion(val: str, outlier_info: str | None) -> str:
 
 
 _BOXPLOT_RE = re.compile(r"\bBOXPLOT\s*\(", re.IGNORECASE)
+
+
+def _escape_backslashes_in_literals(sql: str) -> str:
+    """DuckDB (like Postgres) treats backslash LITERALLY inside
+    ``'...'``; Spark's parser treats it as an escape. Doubling every
+    backslash inside single-quoted literals preserves DuckDB semantics
+    — ``'\\d+'`` reaches the regex engine as ``\\d+``, not ``d+``.
+    Runs LAST so literals the rewriter itself injects are covered
+    exactly once."""
+    if "\\" not in sql:
+        return sql
+    states = _scan_states(sql)
+    return "".join(
+        "\\\\" if c == "\\" and states[i] == 1 else c
+        for i, c in enumerate(sql)
+    )
+
+
+_DATE_ADD_RE = re.compile(r"\bdate_add\s*\(", re.IGNORECASE)
+
+_REGEXP_EXTRACT_RE = re.compile(r"\bregexp_extract\s*\(", re.IGNORECASE)
+
+_RANK_OVER_EMPTY_RE = re.compile(
+    r"\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile)"
+    r"(\s*\([^()]*\)\s+OVER\s*\()\s*(\))",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_misc_calls(sql: str) -> str:
+    """Small per-call fixups:
+
+    * ``date_add(x, INTERVAL …)`` (DuckDB's interval form) →
+      ``(x + INTERVAL …)``; Spark's own 2-arg day form passes through.
+    * 2-arg ``regexp_extract(s, p)`` → group 0 appended — DuckDB's
+      default is the WHOLE MATCH, Spark's is group 1.
+    * rank-family ``OVER ()`` → ``OVER (ORDER BY (SELECT NULL))`` —
+      DuckDB allows unordered ranking windows, Spark requires an
+      ORDER BY (aggregates over ``OVER ()`` are legal Spark and are
+      left alone: adding an ORDER BY would shrink their frame)."""
+    for regex, fixer in (
+        (_DATE_ADD_RE, _fix_date_add),
+        (_REGEXP_EXTRACT_RE, _fix_regexp_extract),
+    ):
+        while True:
+            states = _scan_states(sql)
+            changed = False
+            for m in regex.finditer(sql):
+                if states[m.start()] != 0:
+                    continue
+                close = _find_matching_close(sql, m.end() - 1, states)
+                if close == -1:
+                    break
+                new = fixer(_split_top_level_args(sql[m.end() : close]))
+                if new is None:
+                    continue
+                sql = sql[: m.start()] + new + sql[close + 1 :]
+                changed = True
+                break
+            if not changed:
+                break
+    states = _scan_states(sql)
+    return _RANK_OVER_EMPTY_RE.sub(
+        lambda m: m.group(0)
+        if states[m.start()] != 0
+        else f"{m.group(1)}{m.group(2)}ORDER BY (SELECT NULL){m.group(3)}",
+        sql,
+    )
+
+
+def _fix_date_add(args: list[str]) -> str | None:
+    if len(args) != 2 or not args[1].strip().upper().startswith("INTERVAL"):
+        return None
+    return f"({args[0].strip()} + {args[1].strip()})"
+
+
+def _fix_regexp_extract(args: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    return f"regexp_extract({args[0].strip()}, {args[1].strip()}, 0)"
 
 
 def _rewrite_brace_literals(sql: str) -> str:
@@ -1075,6 +1165,9 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # {'a': 1} struct / MAP {'k': v} literals → named_struct()/map().
     sql = _rewrite_brace_literals(sql)
 
+    # date_add interval form; 2-arg regexp_extract; rank OVER ().
+    sql = _rewrite_misc_calls(sql)
+
     # QUALIFY → subquery filter.
     sql = _rewrite_qualify(sql)
 
@@ -1094,6 +1187,11 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # Type renames (::TIMESTAMPTZ, CAST(x AS VARCHAR), …).
     sql = _rename_types(sql)
+
+    # DuckDB literals treat backslash literally; Spark's parser
+    # escapes it — double them (LAST, so injected literals are
+    # covered exactly once).
+    sql = _escape_backslashes_in_literals(sql)
 
     result = RewriteResult(sql=sql)
     for idx, name in indexed_tags:

@@ -424,3 +424,54 @@ class TestBraceLiterals:
         # DuckDB requires quoted keys; leave anything else alone
         q = "SELECT a FROM t WHERE b = 'x {y: z} w'"
         assert rewrite_statement(q).sql == q
+
+
+class TestBackslashAndMiscFixups:
+    def test_backslash_doubled_in_literals(self):
+        r = rewrite_statement(r"SELECT regexp_extract(x, '\d+') FROM t")
+        assert r"'\\d+'" in r.sql
+        # and the 2-arg form gets DuckDB's whole-match default
+        assert r.sql.endswith(", 0) FROM t")
+
+    def test_backslash_outside_literals_untouched(self):
+        # no literal → text unchanged (identifiers can't hold \ anyway)
+        q = "SELECT a FROM t"
+        assert rewrite_statement(q).sql == q
+
+    def test_three_arg_regexp_extract_untouched(self):
+        r = rewrite_statement("SELECT regexp_extract(x, 'p', 1) FROM t")
+        assert "regexp_extract(x, 'p', 1)" in r.sql
+
+    def test_date_add_interval_form(self):
+        r = rewrite_statement(
+            "SELECT date_add(d, INTERVAL 3 DAY) FROM t"
+        )
+        assert r.sql == "SELECT (d + INTERVAL 3 DAY) FROM t"
+
+    def test_date_add_day_count_form_untouched(self):
+        q = "SELECT date_add(d, 3) FROM t"
+        assert rewrite_statement(q).sql == q
+
+    def test_rank_over_empty_gets_order(self):
+        r = rewrite_statement("SELECT row_number() OVER () AS rn FROM t")
+        assert "OVER (ORDER BY (SELECT NULL))" in r.sql
+
+    def test_aggregate_over_empty_untouched(self):
+        q = "SELECT sum(x) OVER () AS s FROM t"
+        assert rewrite_statement(q).sql == q
+
+    def test_strptime_to_timestamp_with_format(self):
+        r = rewrite_statement(
+            "SELECT strptime(s, '%Y-%m-%d %H:%M') FROM t"
+        )
+        assert r.sql == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm') FROM t"
+
+    def test_new_list_renames(self):
+        assert (
+            rewrite_statement("SELECT array_length(l) FROM t").sql
+            == "SELECT size(l) FROM t"
+        )
+        assert (
+            rewrite_statement("SELECT string_split_regex(s, 'x') FROM t").sql
+            == "SELECT split(s, 'x') FROM t"
+        )

@@ -124,12 +124,15 @@ class TestRewritePassProperties:
 
     @given(st.text(max_size=40))
     @settings(max_examples=150, deadline=None)
-    def test_brace_content_inside_literals_untouched(self, s):
+    def test_brace_content_inside_literals_value_preserved(self, s):
         # ANY character content inside a string literal survives the
-        # brace-literal pass byte-for-byte (incl. control characters —
-        # a regression guard for in-band masking)
+        # rewrite with its VALUE intact (incl. control characters — a
+        # regression guard for in-band masking). The only permitted
+        # text change is the DuckDB→Spark backslash doubling, which
+        # preserves the value under Spark's escape rules.
         from shaper_spark.rewrite import rewrite_statement
 
         lit = s.replace("'", "''")
         sql = f"SELECT '{{{lit}}}' AS v"
-        assert rewrite_statement(sql).sql == sql
+        expected = f"SELECT '{{{lit.replace(chr(92), chr(92) * 2)}}}' AS v"
+        assert rewrite_statement(sql).sql == expected
