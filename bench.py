@@ -97,6 +97,8 @@ EXTRAS = [
     "filter_threshold_sweep",
     "boilerplate_grams",
     "key_skew_report",
+    "canary_scan",
+    "bm25_relevance",
 ]
 
 HEADLINE = [
