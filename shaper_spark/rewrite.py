@@ -654,6 +654,107 @@ def _boxplot_expansion(val: str, outlier_info: str | None) -> str:
 _BOXPLOT_RE = re.compile(r"\bBOXPLOT\s*\(", re.IGNORECASE)
 
 
+_ASOF_RE = re.compile(
+    r"\b([\w.`\"]+)(\s+(?:AS\s+)?(\w+))?\s+ASOF\s+(LEFT\s+)?JOIN\s+"
+    r"([\w.`\"]+)(\s+(?:AS\s+)?(\w+))?\s+ON\s+",
+    re.IGNORECASE,
+)
+
+_ASOF_TAIL_RE = re.compile(
+    r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|WINDOW|QUALIFY|UNION|"
+    r"INTERSECT|EXCEPT|JOIN|LEFT|RIGHT|FULL|INNER|CROSS|ASOF)\b",
+    re.IGNORECASE,
+)
+
+_INEQ_RE = re.compile(r"(>=|<=|>|<)")
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """DuckDB's ``ASOF [LEFT] JOIN`` SQL syntax → a Spark LATERAL
+    correlated subquery: for each left row, the single right row
+    extremizing the inequality column among the matches —
+    ``ON l.k = r.k AND l.ts >= r.ts`` becomes
+    ``JOIN LATERAL (SELECT * FROM r WHERE k = l.k AND ts <= l.ts
+    ORDER BY ts DESC LIMIT 1)``. Handles the simple form (named
+    tables, conjunctive ON with exactly one inequality); anything it
+    can't parse passes through untouched so Spark reports the original
+    text. The DataFrame operator (``operators/asof.py``, one window
+    shuffle) remains the scale path — the SQL form exists so pasted
+    DuckDB dashboards run."""
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                m
+                for m in _ASOF_RE.finditer(sql)
+                if states[m.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        left_tbl, lalias = m.group(1), m.group(3)
+        is_left = bool(m.group(4))
+        right_tbl, ralias = m.group(5), m.group(7)
+        r_name = ralias or right_tbl.split(".")[-1].strip('`"')
+        # the ON expression runs to the next top-level clause keyword
+        rest = sql[m.end() :]
+        rest_states = _scan_states(rest)
+        end = len(rest)
+        depth = 0
+        for t in _ASOF_TAIL_RE.finditer(rest):
+            if rest_states[t.start()] != 0:
+                continue
+            if rest[: t.start()].count("(") - rest[: t.start()].count(")"):
+                continue
+            end = t.start()
+            break
+        cond = rest[:end].strip()
+        conjuncts = re.split(r"\bAND\b", cond, flags=re.IGNORECASE)
+        ineq_idx = None
+        for i, c in enumerate(conjuncts):
+            if "<>" in c:
+                continue  # not-equals, not an asof inequality
+            if _INEQ_RE.search(c):
+                if ineq_idx is not None:
+                    return sql  # two inequalities — not the simple form
+                ineq_idx = i
+        if ineq_idx is None:
+            return sql
+        ineq = conjuncts[ineq_idx].strip()
+        mm = _INEQ_RE.search(ineq)
+        lhs, op, rhs = (
+            ineq[: mm.start()].strip(),
+            mm.group(1),
+            ineq[mm.end() :].strip(),
+        )
+        r_prefix = f"{r_name}."
+        if rhs.startswith(r_prefix):
+            right_expr, flipped = rhs, False
+        elif lhs.startswith(r_prefix):
+            right_expr, flipped = lhs, True
+        else:
+            return sql
+        # "l.ts >= r.ts" (or flipped "r.ts <= l.ts") → latest earlier
+        # right row (DESC); "<="/flipped ">=" → earliest later (ASC)
+        effective = {True: {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op],
+                     False: op}[flipped]
+        direction = "DESC" if effective in (">=", ">") else "ASC"
+        join_kw = "LEFT JOIN LATERAL" if is_left else "JOIN LATERAL"
+        lateral = (
+            f"{join_kw} (SELECT * FROM {right_tbl} AS {r_name} "
+            f"WHERE {cond} ORDER BY {right_expr} {direction} LIMIT 1) "
+            f"AS {r_name}"
+        )
+        left_part = left_tbl + (m.group(2) or "")
+        tail = rest[end:]
+        sql = (
+            sql[: m.start()]
+            + f"{left_part} {lateral}"
+            + (" " + tail if tail and not tail[0].isspace() else tail)
+        )
+
+
 def _escape_backslashes_in_literals(sql: str) -> str:
     """DuckDB (like Postgres) treats backslash LITERALLY inside
     ``'...'``; Spark's parser treats it as an escape. Doubling every
@@ -1167,6 +1268,9 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # date_add interval form; 2-arg regexp_extract; rank OVER ().
     sql = _rewrite_misc_calls(sql)
+
+    # ASOF [LEFT] JOIN → LATERAL top-1 subquery.
+    sql = _rewrite_asof_join(sql)
 
     # QUALIFY → subquery filter.
     sql = _rewrite_qualify(sql)

@@ -475,3 +475,40 @@ class TestBackslashAndMiscFixups:
             rewrite_statement("SELECT string_split_regex(s, 'x') FROM t").sql
             == "SELECT split(s, 'x') FROM t"
         )
+
+
+class TestAsofJoinSql:
+    def test_rewrites_to_lateral_top1(self):
+        r = rewrite_statement(
+            "SELECT t.k FROM trades t ASOF JOIN quotes q "
+            "ON t.k = q.k AND t.ts >= q.ts"
+        )
+        assert "JOIN LATERAL (SELECT * FROM quotes AS q" in r.sql
+        assert "ORDER BY q.ts DESC LIMIT 1" in r.sql
+        assert "ASOF" not in r.sql
+
+    def test_left_variant(self):
+        r = rewrite_statement(
+            "SELECT 1 FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.t >= b.t"
+        )
+        assert "LEFT JOIN LATERAL" in r.sql
+
+    def test_forward_direction(self):
+        r = rewrite_statement(
+            "SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t <= b.t"
+        )
+        assert "ORDER BY b.t ASC LIMIT 1" in r.sql
+
+    def test_flipped_operands(self):
+        r = rewrite_statement(
+            "SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND b.t <= a.t"
+        )
+        assert "ORDER BY b.t DESC LIMIT 1" in r.sql
+
+    def test_two_inequalities_left_untouched(self):
+        q = "SELECT 1 FROM a ASOF JOIN b ON a.t >= b.t AND a.u >= b.u"
+        assert "ASOF" in rewrite_statement(q).sql
+
+    def test_asof_in_string_untouched(self):
+        q = "SELECT 'x ASOF JOIN y ON 1=1 AND a.t >= b.t' AS s"
+        assert rewrite_statement(q).sql == q
