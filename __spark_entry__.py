@@ -2247,6 +2247,28 @@ ORDER BY 1
 """
 
 
+# DuckDB's ASOF JOIN syntax, verbatim on both engines — Spark runs it
+# via the LATERAL top-1 rewrite (rewrite.py _rewrite_asof_join); the
+# trailing aggregation keeps the result dashboard-sized. ts_ms avoids
+# TIMESTAMP repr differences (both engines emit identical BIGINTs).
+ASOF_SQL_DUCK = """
+WITH purchases AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(avg(c.value), 6) AS avg_last_click_value
+FROM purchases p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY p.user_id
+ORDER BY p.user_id
+LIMIT 50
+"""
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance ranking against a 3-term domain query
     (shaper_spark/operators/text.py bm25_scores — Lucene idf form):
@@ -4237,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": _q_key_skew,
         "canary_scan": _q_canary_scan,
         "bm25_relevance": _q_bm25,
+        "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4337,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_report": KEY_SKEW_DUCK,
         "canary_scan": _canary_duck(),
         "bm25_relevance": BM25_DUCK,
+        "asof_sql_syntax": ASOF_SQL_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,
