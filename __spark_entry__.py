@@ -2269,6 +2269,31 @@ LIMIT 50
 """
 
 
+def _q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF probe (shaper_spark/operators/similarity.py
+    build_ivf_index + ivf_index_probe): the index-once/probe-many ANN
+    steady state — centroids + cell-PARTITIONED assignments persist as
+    tables; probes prune to the probed cells' partitions via a literal
+    IN-list (PartitionFilters, plan-pinned in tests). Probing all
+    cells makes the result provably exact, so the oracle is plain
+    exact top-k. No reference counterpart; §2C."""
+    from shaper_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_probe,
+    )
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    build_ivf_index(emb, "ivfidx_entry", n_cells=8)
+    queries = emb.filter("vec_id < 20")
+    return ivf_index_probe(
+        emb, queries, "ivfidx_entry", k=3, n_probe=8
+    ).orderBy("query_id", "rank")
+
+
+IVF_INDEX_PROBE_DUCK = IVF_TOPK_DUCK
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance ranking against a 3-term domain query
     (shaper_spark/operators/text.py bm25_scores — Lucene idf form):
@@ -4260,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary_scan": _q_canary_scan,
         "bm25_relevance": _q_bm25,
         "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
+        "ivf_index_probe": _q_ivf_index_probe,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4361,6 +4387,7 @@ def oracle_sql() -> dict[str, str]:
         "canary_scan": _canary_duck(),
         "bm25_relevance": BM25_DUCK,
         "asof_sql_syntax": ASOF_SQL_DUCK,
+        "ivf_index_probe": IVF_INDEX_PROBE_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

@@ -30,6 +30,8 @@ __all__ = [
     "centroid_similarity",
     "embedding_outlier_report",
     "ann_recall",
+    "build_ivf_index",
+    "ivf_index_probe",
 ]
 
 # Driver-local strategy cutoff for cosine_topk, mirroring
@@ -589,4 +591,196 @@ def ann_recall(
             ).alias("recall"),
         )
         .orderBy("query_id")
+    )
+
+
+def _train_quantizer(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    sample: int,
+    iters: int,
+    seed: int,
+):
+    """Driver-side numpy k-means over a bounded seeded sample — the
+    FAISS-IVF coarse quantizer (centroids are the model, not the
+    data). Shared by ivf_topk and the persisted index."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    sampled = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample).collect()],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sampled, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = sampled / norms
+    centroids = unit[
+        rng.choice(len(unit), size=min(n_cells, len(unit)), replace=False)
+    ]
+    for _ in range(iters):
+        sims = unit @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = unit[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample: int = 2048,
+    iters: int = 5,
+    seed: int = 42,
+) -> dict:
+    """Persist an IVF index: ``<prefix>_centroids`` (cell, centroid)
+    and ``<prefix>_cells`` (id, cell) PARTITIONED BY cell — the
+    index-once / probe-many ANN regime (the similarity twin of the r7
+    signature store). Probes then touch only the probed cells'
+    partitions (directory-level pruning), so steady-state query cost
+    scales with corpus/n_cells × n_probe files read — the per-query
+    assignment scan ivf_topk pays disappears.
+
+    Returns {"n_cells", "n_vectors", "centroids_table", "cells_table"}.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    cent = _train_quantizer(corpus, vec_col, n_cells, sample, iters, seed)
+
+    @pandas_udf("int")
+    def nearest_cell(vs):
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series((mat / n @ cent.T).argmax(axis=1))
+
+    cent_table = f"{index_prefix}_centroids"
+    cells_table = f"{index_prefix}_cells"
+    for t in (cent_table, cells_table):
+        # A rebuild must also survive a STALE location (directory left
+        # by a previous process whose in-memory catalog entry is gone —
+        # saveAsTable(overwrite) refuses that case): drop the entry if
+        # registered, then remove the path either way.
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        try:
+            jvm = spark._jvm
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{t}")
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(path, True)
+        except Exception:
+            pass
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").format("parquet").saveAsTable(cent_table)
+    assigned = corpus.select(
+        F.col(id_col).alias("id"), nearest_cell(F.col(vec_col)).alias("cell")
+    )
+    (
+        assigned.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("cell")
+        .saveAsTable(cells_table)
+    )
+    from ..plancache import bump
+
+    bump()
+    n_vec = spark.table(cells_table).count()
+    return {
+        "n_cells": len(cent),
+        "n_vectors": n_vec,
+        "centroids_table": cent_table,
+        "cells_table": cells_table,
+    }
+
+
+def ivf_index_probe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    index_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe a persisted IVF index (see :func:`build_ivf_index`):
+    queries assign to their ``n_probe`` nearest stored centroids, the
+    candidate set comes from the cell-partitioned assignments table
+    (cell IN (...) prunes to the probed partitions — broadcast-sized
+    query batches make the IN-list a literal, so pruning happens at
+    planning time), vectors join back from the corpus by id, and exact
+    cosine re-ranks. Provably exact at ``n_probe >= n_cells``.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .veckernel import pair_cosine
+
+    spark = corpus.sparkSession
+    cent_rows = sorted(
+        spark.table(f"{index_prefix}_centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    n_probe = min(n_probe, len(cent))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs):
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = mat / n @ cent.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    # Materialize the probed cell ids (bounded: ≤ n_cells values — the
+    # query batch is broadcast-sized by contract) into a LITERAL
+    # IN-list so the partitioned assignments table prunes at PLANNING
+    # time (PartitionFilters on the scan, pytest-pinned) — Spark's
+    # dynamic pruning does not fire for a UDF-derived broadcast side.
+    probed = sorted(
+        {r["cell"] for r in q.select("cell").distinct().collect()}
+    )
+    cells = spark.table(f"{index_prefix}_cells").filter(
+        F.col("cell").isin(probed)
+    )
+    cand = cells.join(F.broadcast(q), "cell").filter(
+        F.col("query_id") != F.col("id")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("cv")
+    )
+    scored = cand.join(vecs, "id").withColumn(
+        "cosine", pair_cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
+            "rank",
+        )
     )

@@ -302,3 +302,89 @@ class TestKeySkewReport:
         df = spark.createDataFrame([("a",)], "k string")
         with _pytest.raises(ValueError):
             key_skew_report(df, "k", top_n=0)
+
+
+class TestIvfPersistedIndex:
+    def _clean(self, spark, prefix):
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (f"{prefix}_centroids", f"{prefix}_cells"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+    def test_full_probe_is_exact(self, spark, sf_dir):
+        from shaper_spark.operators.similarity import (
+            build_ivf_index,
+            cosine_topk,
+            ivf_index_probe,
+        )
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        emb = spark.table("embeddings")
+        self._clean(spark, "t_ivfp")
+        rep = build_ivf_index(emb, "t_ivfp", n_cells=8)
+        assert rep["n_cells"] == 8 and rep["n_vectors"] == emb.count()
+        q = emb.filter("vec_id < 10")
+        got = sorted(
+            tuple(r)
+            for r in ivf_index_probe(
+                emb, q, "t_ivfp", k=3, n_probe=8
+            ).collect()
+        )
+        exact = sorted(
+            tuple(r) for r in cosine_topk(emb, q, k=3).collect()
+        )
+        assert got == exact
+        self._clean(spark, "t_ivfp")
+
+    def test_probe_prunes_partitions_at_planning(self, spark, sf_dir):
+        import re
+
+        from shaper_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_index_probe,
+        )
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        emb = spark.table("embeddings")
+        self._clean(spark, "t_ivfq")
+        build_ivf_index(emb, "t_ivfq", n_cells=8)
+        df = ivf_index_probe(emb, emb.limit(3), "t_ivfq", k=2, n_probe=2)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan = next(
+            l for l in plan.splitlines()
+            if "t_ivfq_cells" in l and "FileScan" in l
+        )
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+        assert pf and " IN (" in pf.group(1)  # literal IN-list pruning
+        m = re.search(r"InMemoryFileIndex\((\d+) paths\)", scan)
+        assert m and int(m.group(1)) < 8  # fewer than all cells read
+        self._clean(spark, "t_ivfq")
+
+    def test_rebuild_survives_stale_location(self, spark, sf_dir):
+        import shutil
+        from urllib.parse import urlparse
+
+        from shaper_spark.operators.similarity import build_ivf_index
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        emb = spark.table("embeddings")
+        self._clean(spark, "t_ivfr")
+        build_ivf_index(emb, "t_ivfr", n_cells=4)
+        # simulate a fresh process: catalog entry gone, directory stays
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        spark.sql("DROP TABLE t_ivfr_centroids")
+        assert not spark.catalog.tableExists("t_ivfr_centroids")
+        # DROP removed the dir too in managed tables; recreate a stale one
+        import os
+
+        os.makedirs(f"{warehouse}/t_ivfr_centroids", exist_ok=True)
+        rep = build_ivf_index(emb, "t_ivfr", n_cells=4)
+        assert rep["n_cells"] == 4
+        self._clean(spark, "t_ivfr")
