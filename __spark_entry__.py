@@ -2253,10 +2253,12 @@ ORDER BY 1
 # TIMESTAMP repr differences (both engines emit identical BIGINTs).
 ASOF_SQL_DUCK = """
 WITH purchases AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id < 300
 ),
 clicks AS (
-  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+  SELECT user_id, ts, value FROM events
+  WHERE event_type = 'click' AND user_id < 300
 )
 SELECT p.user_id,
        CAST(count(*) AS BIGINT) AS n_purchases,

@@ -678,9 +678,17 @@ def _rewrite_asof_join(sql: str) -> str:
     ORDER BY ts DESC LIMIT 1)``. Handles the simple form (named
     tables, conjunctive ON with exactly one inequality); anything it
     can't parse passes through untouched so Spark reports the original
-    text. The DataFrame operator (``operators/asof.py``, one window
-    shuffle) remains the scale path — the SQL form exists so pasted
-    DuckDB dashboards run."""
+    text.
+
+    COMPATIBILITY PATH ONLY — measured scale caveat: Catalyst
+    decorrelates the non-equi LATERAL through a BroadcastNestedLoopJoin
+    (O(left × right) within the domain), measured 125 s on 60 k × 60 k
+    events where DuckDB's native ASOF takes 34 ms. Fine at
+    dashboard-render row counts (the 3000-row cap keeps pasted queries
+    small); for data-scale as-of joins use ``operators/asof.py``
+    (union + ONE window shuffle — linear) — a local text substitution
+    cannot reach that shape because the union+window form restructures
+    the whole statement, not just the join clause."""
     while True:
         states = _scan_states(sql)
         m = next(
