@@ -2271,6 +2271,55 @@ LIMIT 50
 """
 
 
+def _q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (shaper_spark/operators/pipeline.py dataset_card):
+    the per-release datasheet — volume, provenance breadth, shape and
+    normalized-dup hygiene as (metric, value) rows, every number
+    engine-reproducible. One staged projection + four separate small
+    aggregates (never a multi-countDistinct EXPAND). No reference
+    counterpart; §2C."""
+    from shaper_spark.operators.pipeline import dataset_card
+
+    _prep(spark, sf_dir)
+    return dataset_card(spark.table("documents"))
+
+
+DATASET_CARD_DUCK = """
+WITH staged AS (
+  SELECT len(string_split(text, ' ')) AS toks, length(text) AS chars,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h,
+         source AS src, lang AS lng
+  FROM documents
+),
+base AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(toks) AS DOUBLE) AS n_tokens,
+         CAST(sum(chars) AS DOUBLE) AS n_chars,
+         round(avg(toks), 6) + 0.0 AS avg_tokens,
+         round(median(toks), 6) + 0.0 AS median_tokens
+  FROM staged
+),
+ns AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n_sources FROM staged),
+nl AS (SELECT CAST(count(DISTINCT lng) AS DOUBLE) AS n_langs FROM staged),
+nh AS (SELECT CAST(count(DISTINCT h) AS DOUBLE) AS n_distinct FROM staged),
+wide AS (
+  SELECT base.*, ns.n_sources, nl.n_langs,
+         round(1.0 - nh.n_distinct / base.n_docs, 6) + 0.0 AS dup_frac
+  FROM base CROSS JOIN ns CROSS JOIN nl CROSS JOIN nh
+)
+SELECT 'avg_tokens_per_doc' AS metric, avg_tokens AS value FROM wide
+UNION ALL SELECT 'exact_dup_frac_normalized', dup_frac FROM wide
+UNION ALL SELECT 'median_tokens_per_doc', median_tokens FROM wide
+UNION ALL SELECT 'n_chars', n_chars FROM wide
+UNION ALL SELECT 'n_docs', n_docs FROM wide
+UNION ALL SELECT 'n_langs', n_langs FROM wide
+UNION ALL SELECT 'n_sources', n_sources FROM wide
+UNION ALL SELECT 'n_tokens', n_tokens FROM wide
+ORDER BY metric
+"""
+
+
 def _q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF probe (shaper_spark/operators/similarity.py
     build_ivf_index + ivf_index_probe): the index-once/probe-many ANN
@@ -4288,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_relevance": _q_bm25,
         "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
         "ivf_index_probe": _q_ivf_index_probe,
+        "dataset_card": _q_dataset_card,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4390,6 +4440,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_relevance": BM25_DUCK,
         "asof_sql_syntax": ASOF_SQL_DUCK,
         "ivf_index_probe": IVF_INDEX_PROBE_DUCK,
+        "dataset_card": DATASET_CARD_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,

@@ -64,7 +64,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["training_corpus_stages", "corpus_diff_report"]
+__all__ = ["training_corpus_stages", "corpus_diff_report", "dataset_card"]
 
 
 def _funnel_lazy(
@@ -240,3 +240,83 @@ def corpus_diff_report(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("status")
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Dataset card — the one-table summary a corpus release publishes
+    (datasheet/model-card practice): volume (docs/tokens/chars),
+    provenance breadth (sources, languages), shape (avg + median
+    tokens per doc) and hygiene (normalized exact-duplicate fraction,
+    via the same normalization as ``dedup_exact_normalized``).
+    Returns (metric, value) rows, ordered — every number is exactly
+    reproducible by any engine, so release cards can be re-audited.
+
+    Spark shape: one staged projection computes tokens/chars/norm-hash
+    per document; four small aggregates (plain stats; distinct
+    sources; distinct langs; distinct hashes — SEPARATE aggregates,
+    never one multi-countDistinct whose EXPAND would multiply the
+    corpus rows) cross-join their single rows and unstack with
+    ``stack``. The median is the only sort-based term and Spark runs
+    it as an approximate-free single-column aggregate."""
+    from ..operators.dedup import normalize_text_expr
+
+    staged = df.select(
+        F.size(F.split(F.col(text_col), " ")).alias("toks"),
+        F.length(text_col).alias("chars"),
+        F.md5(normalize_text_expr(F.col(text_col))).alias("h"),
+        F.col(source_col).alias("src"),
+        F.col(lang_col).alias("lng"),
+    )
+    base = staged.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("toks").cast("double").alias("n_tokens"),
+        F.sum("chars").cast("double").alias("n_chars"),
+        (F.round(F.avg("toks"), 6) + F.lit(0.0)).alias("avg_tokens"),
+        (F.round(F.median("toks"), 6) + F.lit(0.0)).alias("median_tokens"),
+    )
+    n_src = (
+        staged.groupBy("src").agg(F.lit(1))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_sources"))
+    )
+    n_lng = (
+        staged.groupBy("lng").agg(F.lit(1))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_langs"))
+    )
+    n_hash = (
+        staged.groupBy("h").agg(F.lit(1))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_distinct"))
+    )
+    wide = (
+        base.crossJoin(F.broadcast(n_src))
+        .crossJoin(F.broadcast(n_lng))
+        .crossJoin(F.broadcast(n_hash))
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"), 6
+            )
+            + F.lit(0.0),
+        )
+    )
+    stack = ", ".join(
+        f"'{m}', {c}"
+        for m, c in [
+            ("avg_tokens_per_doc", "avg_tokens"),
+            ("exact_dup_frac_normalized", "dup_frac"),
+            ("median_tokens_per_doc", "median_tokens"),
+            ("n_chars", "n_chars"),
+            ("n_docs", "n_docs"),
+            ("n_langs", "n_langs"),
+            ("n_sources", "n_sources"),
+            ("n_tokens", "n_tokens"),
+        ]
+    )
+    return wide.select(
+        F.expr(f"stack(8, {stack}) AS (metric, value)")
+    ).orderBy("metric")

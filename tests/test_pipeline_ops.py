@@ -925,3 +925,39 @@ class TestBm25Scores:
             bm25_scores(df, "doc_id", "text", [])
         with _pytest.raises(ValueError):
             bm25_scores(df, "doc_id", "text", ["x"], top_k=0)
+
+
+class TestDatasetCard:
+    def test_known_values(self, spark):
+        from shaper_spark.operators.pipeline import dataset_card
+
+        rows = [
+            (1, "a b c", "s1", "en"),
+            (2, "a b c", "s1", "en"),      # exact dup of 1
+            (3, "A, b ... c!", "s2", "fr"),  # normalized dup of 1
+            (4, "totally different words here", "s2", "en"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string, lang string"
+        )
+        card = {r.metric: r.value for r in dataset_card(df).collect()}
+        assert card["n_docs"] == 4.0
+        assert card["n_sources"] == 2.0 and card["n_langs"] == 2.0
+        assert card["n_tokens"] == 3 + 3 + 4 + 4
+        # 4 docs, 2 distinct normalized texts -> dup_frac = 0.5
+        assert card["exact_dup_frac_normalized"] == 0.5
+        assert card["avg_tokens_per_doc"] == 3.5
+        assert card["median_tokens_per_doc"] == 3.5
+
+    def test_no_multi_countdistinct_expand(self, spark, sf_dir):
+        from shaper_spark.operators.pipeline import dataset_card
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        df = dataset_card(spark.table("documents"))
+        df.collect()
+        final = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("Initial Plan")[0]
+        )
+        assert "Expand" not in final  # distincts are separate aggregates
