@@ -4203,8 +4203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``corpus_diff_report`` (snapshot versioning audit), plus the
     late-r7 ``dsir_weights``/``dsir_select`` (DSIR importance
     resampling, Xie 2023), ``date_spine_fill`` (generate_series
-    dialect), ``psi_drift_matrix``, ``filter_threshold_sweep`` and
-    ``boilerplate_grams`` —
+    dialect), ``psi_drift_matrix``, ``filter_threshold_sweep``,
+    ``boilerplate_grams``, ``key_skew_report``, ``canary_scan``,
+    ``bm25_relevance``, ``asof_sql_syntax`` (DuckDB ASOF JOIN text,
+    verbatim both engines), ``ivf_index_probe`` (persisted IVF,
+    exact at full probe) and ``dataset_card`` —
     enter at the TAIL (oracle-checked locally at sf0.001+sf0.01, hash-
     and repr-green) and rotate into the official window in round 8
     once the prefix frees up."""
