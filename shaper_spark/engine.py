@@ -288,6 +288,17 @@ def _run_summarize(spark: SparkSession, sql: str):
     """Emulate DuckDB ``SUMMARIZE`` with a single distributed aggregate
     pass, reshaped to one output row per column on the driver."""
     target = sql.strip()[len("SUMMARIZE"):].strip()
+    # SUMMARIZE read_parquet('…') / SUMMARIZE 'file.parquet' — expand
+    # the file surface first (DuckDB admits both forms).
+    from .filefuncs import _CALL_RE, expand_file_functions
+
+    if _CALL_RE.match(target) or (
+        target.startswith("'") and target.rstrip(";").endswith("'")
+    ):
+        expanded, used = expand_file_functions(
+            spark, f"FROM {target}" if target.startswith("'") else target
+        )
+        target = expanded[5:] if expanded.upper().startswith("FROM ") else expanded
     if target.upper().startswith(("SELECT", "FROM", "WITH", "VALUES")):
         df = spark.sql(rewrite_statement(target).sql)
     else:

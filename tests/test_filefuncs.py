@@ -173,3 +173,17 @@ class TestExpansionMechanics:
             + " WHERE o_orderkey = 1"
         )._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)" in plan
+
+
+class TestSummarizeFiles:
+    def test_summarize_read_parquet(self, spark, sf_dir):
+        p = os.path.join(sf_dir, "region.parquet")
+        cols, rows = _q(spark, f"SUMMARIZE read_parquet('{p}')")
+        names = [getattr(c, "name", c) for c in cols]
+        assert "column_name" in names
+        assert {r[0] for r in rows} == {"r_regionkey", "r_name"}
+
+    def test_summarize_bare_path(self, spark, sf_dir):
+        p = os.path.join(sf_dir, "nation.parquet")
+        _, rows = _q(spark, f"SUMMARIZE '{p}'")
+        assert len(rows) == 3  # nation's three columns
