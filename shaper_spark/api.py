@@ -35,7 +35,11 @@ management routes, and the JWT dashboard-embed flow — POST /api/jwt
 mints a variables-carrying HS256 token (web/handler/auth.go:163-230)
 which the render/download routes honor (claims merge over the
 constructor ``variables``; dashboardId-scoped tokens are restricted
-to that dashboard). Only the React UI remains out of scope.
+to that dashboard's render/download routes and never act as the
+minting user on any other route). The UI is served too — a
+self-contained vanilla-JS SPA (ui.py) re-expressing the reference's
+React app at the same routes; pixel parity with the React build is a
+documented non-goal (MIGRATION.md).
 
 Scale note: the server holds no query state — every request drives the
 shared long-lived SparkSession; exports stream via toLocalIterator so
@@ -164,7 +168,25 @@ class ShaperServer:
                     claims = outer.auth.verify_jwt(token)
                     if claims is not None:
                         self._jwt_claims = claims
-                        if claims.get("userId"):
+                        if claims.get("dashboardId"):
+                            # Embed token: render-only scope even when
+                            # the claims carry a userId (minted by a
+                            # user via POST /api/jwt). The reference
+                            # rejects dashboardId JWTs on every
+                            # non-render handler (dashboard.go:123-124,
+                            # apps.go, users.go, keys.go, folders.go,
+                            # schema.go); granting the minting user's
+                            # full identity here would let a token
+                            # handed to a third-party page manage the
+                            # instance.
+                            info = AuthInfo(
+                                valid=True,
+                                api_key_id=str(
+                                    claims.get("apiKeyId") or "jwt-embed"
+                                ),
+                                permissions=["dashboard:read"],
+                            )
+                        elif claims.get("userId"):
                             info = AuthInfo(
                                 valid=True,
                                 is_user=True,
@@ -210,6 +232,41 @@ class ShaperServer:
                     self._json(403, {"error": "forbidden"})
                     return None
                 return info
+
+            def _embed_scope_blocks(self, parts) -> bool:
+                """True (404 already sent) if the request carries a
+                dashboardId-scoped embed JWT and ``parts`` is not that
+                dashboard's render or download route. Mirrors the
+                reference's per-handler dashboardId rejection
+                (dashboard.go:123-124, apps.go, users.go, keys.go,
+                folders.go, schema.go): an embed token must not list
+                dashboards, read /info SQL content, or touch tasks,
+                runs, events, or schema — private content 404s."""
+                claims = getattr(self, "_jwt_claims", None) or {}
+                scope = str(claims.get("dashboardId") or "")
+                if not scope:
+                    return False
+                # render/download pass through — _jwt_variables 403s a
+                # dashboardId mismatch there; every other read is 404
+                allowed = parts[:2] == ["api", "dashboards"] and (
+                    len(parts) == 3
+                    or (len(parts) == 5 and parts[3] == "download")
+                )
+                if allowed:
+                    return False
+                self._json(404, {"error": "not found"})
+                return True
+
+            @staticmethod
+            def _app_public(app: dict) -> dict:
+                """App row with credential material stripped: the
+                share-password scrypt hash never leaves the server
+                (reference: users.go PasswordHash json:\"-\");
+                callers see only a hasPassword boolean."""
+                app = dict(app)
+                ph = app.pop("password_hash", None)
+                app["hasPassword"] = bool(ph)
+                return app
 
             def _actor(self, info) -> Actor:
                 if info.is_user:
@@ -368,6 +425,8 @@ class ShaperServer:
                         "dashboard:read"
                     ) is None:
                         return
+                    if self._embed_scope_blocks(parts):
+                        return
                     if parts == ["api", "dashboards"]:
                         return self._json(
                             200,
@@ -399,7 +458,7 @@ class ShaperServer:
                         app = outer.store.get_app(parts[2])
                         if app is None or app["type"] != "dashboard":
                             return self._json(404, {"error": "not found"})
-                        return self._json(200, app)
+                        return self._json(200, self._app_public(app))
                     if (
                         len(parts) == 3
                         and parts[:2] == ["api", "tasks"]
@@ -409,7 +468,10 @@ class ShaperServer:
                             return self._json(404, {"error": "not found"})
                         return self._json(
                             200,
-                            {**app, "lastRun": outer.store.get_task_run(parts[2])},
+                            {
+                                **self._app_public(app),
+                                "lastRun": outer.store.get_task_run(parts[2]),
+                            },
                         )
                     if len(parts) == 3 and parts[:2] == ["api", "dashboards"]:
                         return self._dashboard(parts[2], url)
@@ -474,12 +536,32 @@ class ShaperServer:
                     if parts == ["api", "internal", "task-result"]:
                         # push half of the cross-instance result
                         # transport. Shared-metastore peers form the
-                        # trust domain: only instances heartbeating in
-                        # the store are accepted (no tokens between
-                        # peers, like the reference's NATS mesh).
-                        body = json.loads(self._read_body() or b"{}")
+                        # trust domain; membership is PROVEN by an
+                        # HMAC over the body with the per-metastore
+                        # push secret (config KV), not by the instance
+                        # id — ids are broadcast in the clear, so a
+                        # matching id alone must not admit forged
+                        # results (the reference's NATS mesh is closed
+                        # to non-members the same way).
+                        raw = self._read_body() or b"{}"
+                        from .tasks import push_signature
+                        import hmac as _hmac
+
+                        sig = str(
+                            self.headers.get("X-Shaper-Push-Signature")
+                            or ""
+                        )
+                        if not outer.db_path or not sig:
+                            return self._json(403, {"error": "forbidden"})
+                        try:
+                            expect = push_signature(outer.store, raw)
+                        except Exception:
+                            return self._json(403, {"error": "forbidden"})
+                        if not _hmac.compare_digest(expect, sig):
+                            return self._json(403, {"error": "forbidden"})
+                        body = json.loads(raw)
                         sender = str(body.get("instance") or "")
-                        if not outer.db_path or not sender or not (
+                        if not sender or not (
                             outer.store.is_registered_instance(sender)
                         ):
                             return self._json(403, {"error": "forbidden"})

@@ -23,9 +23,12 @@ Documented divergences from the reference:
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
+import hmac
 import json
 import os
 import re
+import secrets as _secrets
 import threading
 import time
 from dataclasses import dataclass, field
@@ -256,6 +259,27 @@ def get_next_task_run(
     return None, "single"
 
 
+CONFIG_KEY_PUSH_SECRET = "push_secret"
+
+
+def push_secret(store) -> bytes:
+    """Shared per-metastore secret authenticating peer result pushes,
+    created on first use and stored in the config KV alongside
+    jwt_secret (auth.py). The instances table defines the trust
+    domain, but instance ids travel in cleartext — the HMAC proves the
+    sender actually shares the metastore, the way the reference's
+    NATS mesh is closed to outsiders (server/core/app.go:425-489)."""
+    val = store.config_get(CONFIG_KEY_PUSH_SECRET)
+    if val is None:
+        val = _secrets.token_hex(32)
+        store.config_put(CONFIG_KEY_PUSH_SECRET, val)
+    return val.encode()
+
+
+def push_signature(store, body: bytes) -> str:
+    return hmac.new(push_secret(store), body, hashlib.sha256).hexdigest()
+
+
 class TaskScheduler:
     """Timer scheduler with optional multi-instance run dedupe.
 
@@ -289,7 +313,11 @@ class TaskScheduler:
         self.spark = spark
         self.on_result = on_result
         self.store = store
-        self.instance_id = instance_id or f"pid-{os.getpid()}-{id(self):x}"
+        # Unpredictable id: peers authenticate pushes with an HMAC of
+        # the shared metastore secret, but the id itself must still not
+        # be guessable from observables like the pid (it doubles as the
+        # claim-key owner in the run-dedupe protocol).
+        self.instance_id = instance_id or f"inst-{_secrets.token_hex(8)}"
         self._timers: dict[str, threading.Timer] = {}
         self._contents: dict[str, str] = {}
         self._types: dict[str, str] = {}
@@ -490,12 +518,19 @@ class TaskScheduler:
         except Exception:
             return
         body = json.dumps({"seq": seq, **payload}).encode()
+        try:
+            sig = push_signature(self.store, body)
+        except Exception:
+            return
         for _pid, url in peers:
             try:
                 req = urllib.request.Request(
                     url.rstrip("/") + "/api/internal/task-result",
                     data=body,
-                    headers={"Content-Type": "application/json"},
+                    headers={
+                        "Content-Type": "application/json",
+                        "X-Shaper-Push-Signature": sig,
+                    },
                     method="POST",
                 )
                 urllib.request.urlopen(req, timeout=2).read()

@@ -836,3 +836,154 @@ class TestJwtProtectedVariables:
             tree = json.loads(r.read())
         rows = tree["sections"][-1]["queries"][-1]["rows"]
         assert rows == [["jwt-owner"]]
+
+
+class TestEmbedScopeLockdown:
+    """A dashboardId-scoped JWT is an embed credential, not a user:
+    the reference rejects it on every non-render handler
+    (dashboard.go:123-124, apps.go, users.go, keys.go, folders.go,
+    schema.go). Even when minted by a logged-in user (claims carry
+    userId), it must only render/download its one dashboard."""
+
+    @pytest.fixture()
+    def esrv(self, spark):
+        srv = ShaperServer(spark).start()
+        yield srv
+        srv.stop()
+
+    def _req(self, srv, method, path, payload=None, token=""):
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers=headers,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            body = e.read() or b"{}"
+            try:
+                return e.code, json.loads(body)
+            except Exception:
+                return e.code, {}
+
+    @pytest.fixture()
+    def embed(self, esrv):
+        """(server, embed_jwt minted by a real user, login token)."""
+        esrv.auth.create_user("scope@b.c", "pw12345678")
+        login = self._req(
+            esrv, "POST", "/api/auth/login",
+            {"email": "scope@b.c", "password": "pw12345678"},
+        )[1]["token"]
+        self._req(
+            esrv, "POST", "/api/dashboards",
+            {"id": "emb", "content": "SELECT 1 AS x;"}, token=login,
+        )
+        self._req(
+            esrv, "POST", "/api/tasks",
+            {"id": "embt", "content": "SELECT 2 AS y;"}, token=login,
+        )
+        tok = self._req(
+            esrv, "POST", "/api/jwt", {"dashboardId": "emb"}, token=login,
+        )[1]["jwt"]
+        return esrv, tok, login
+
+    def test_render_and_download_still_work(self, embed):
+        esrv, tok, _ = embed
+        s, d = self._req(esrv, "GET", "/api/dashboards/emb", token=tok)
+        assert s == 200
+        assert d["sections"][-1]["queries"][-1]["rows"] == [[1]]
+
+    def test_embed_jwt_is_not_management_credential(self, embed):
+        esrv, tok, _ = embed
+        for method, path in (
+            ("GET", "/api/users"),
+            ("GET", "/api/keys"),
+            ("GET", "/api/folders"),
+            ("POST", "/api/invites"),
+            ("DELETE", "/api/dashboards/emb"),
+        ):
+            s, _ = self._req(
+                esrv, method, path,
+                payload={} if method == "POST" else None, token=tok,
+            )
+            assert s in (401, 403), (method, path, s)
+
+    def test_embed_jwt_cannot_query_or_deploy(self, embed):
+        esrv, tok, _ = embed
+        s, _ = self._req(
+            esrv, "POST", "/api/sql", {"sql": "SELECT 1"}, token=tok
+        )
+        assert s == 403
+        s, _ = self._req(
+            esrv, "POST", "/api/dashboards",
+            {"id": "x2", "content": "SELECT 1 AS x;"}, token=tok,
+        )
+        assert s == 403
+
+    def test_embed_jwt_read_surface_is_404(self, embed):
+        esrv, tok, _ = embed
+        for path in (
+            "/api/dashboards",            # list
+            "/api/dashboards/emb/info",   # private SQL content
+            "/api/tasks",                 # list
+            "/api/tasks/embt",            # content
+            "/api/tasks/embt/runs",
+            "/api/tasks/embt/events",
+        ):
+            s, _ = self._req(esrv, "GET", path, token=tok)
+            assert s == 404, (path, s)
+        s, _ = self._req(esrv, "GET", "/api/schema", token=tok)
+        assert s in (403, 404)
+
+    def test_public_embed_jwt_same_lockdown(self, esrv):
+        """The no-login public/password flow mints the same scoped
+        token; it must not open lists/info/tasks either."""
+        esrv.auth.create_user("pub@b.c", "pw12345678")
+        login = self._req(
+            esrv, "POST", "/api/auth/login",
+            {"email": "pub@b.c", "password": "pw12345678"},
+        )[1]["token"]
+        self._req(
+            esrv, "POST", "/api/dashboards",
+            {"id": "pubd", "content": "SELECT 1 AS x;"}, token=login,
+        )
+        self._req(
+            esrv, "POST", "/api/dashboards/pubd/visibility",
+            {"visibility": "public"}, token=login,
+        )
+        s, b = self._req(
+            esrv, "POST", "/api/auth/public", {"dashboardId": "pubd"}
+        )
+        assert s == 200
+        tok = b["jwt"]
+        s, _ = self._req(esrv, "GET", "/api/dashboards/pubd", token=tok)
+        assert s == 200
+        for path in ("/api/dashboards", "/api/dashboards/pubd/info",
+                     "/api/tasks"):
+            s, _ = self._req(esrv, "GET", path, token=tok)
+            assert s == 404, (path, s)
+
+    def test_info_never_discloses_password_hash(self, embed):
+        esrv, _, login = embed
+        self._req(
+            esrv, "POST", "/api/dashboards/emb/visibility",
+            {"visibility": "password"}, token=login,
+        )
+        self._req(
+            esrv, "POST", "/api/dashboards/emb/password",
+            {"password": "sharepw"}, token=login,
+        )
+        s, d = self._req(
+            esrv, "GET", "/api/dashboards/emb/info", token=login
+        )
+        assert s == 200
+        assert "password_hash" not in d
+        assert d["hasPassword"] is True
+        s, d = self._req(esrv, "GET", "/api/tasks/embt", token=login)
+        assert s == 200
+        assert "password_hash" not in d

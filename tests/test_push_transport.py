@@ -96,3 +96,61 @@ class TestPushTransport:
         except urllib.error.HTTPError as e:
             code = e.code
         assert code == 403
+
+    def test_registered_sender_without_signature_rejected(self, pair):
+        """Instance ids are broadcast in the clear, so a matching id
+        alone must not admit a forged result: the HMAC over the body
+        (shared per-metastore push secret) is the trust proof."""
+        a, b = pair
+        payload = json.dumps(
+            {"instance": a.scheduler.instance_id, "task_id": "forge",
+             "seq": 998, "result_json": "{}"}
+        ).encode()
+        for headers in (
+            {"Content-Type": "application/json"},
+            {"Content-Type": "application/json",
+             "X-Shaper-Push-Signature": "00" * 32},
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{b.port}/api/internal/task-result",
+                data=payload, headers=headers, method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    code = r.status
+            except urllib.error.HTTPError as e:
+                code = e.code
+            assert code == 403
+        assert not b.scheduler.results.get("forge")
+
+    def test_signed_push_accepted(self, pair):
+        from shaper_spark.tasks import push_signature
+
+        a, b = pair
+        tid = "pt-signed"
+        content = "SELECT 1 AS x;"
+        b.scheduler._contents[tid] = content
+        res = _result(tid)
+        payload = json.dumps(
+            {"seq": 997, "instance": a.scheduler.instance_id,
+             "task_id": tid,
+             "result_json": json.dumps(res.to_dict(), default=str)}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{b.port}/api/internal/task-result",
+            data=payload,
+            headers={"Content-Type": "application/json",
+                     "X-Shaper-Push-Signature":
+                         push_signature(a.store, payload)},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert json.loads(r.read())["applied"] is True
+        assert b.scheduler.results.get(tid)
+
+    def test_instance_ids_unpredictable(self, pair):
+        a, b = pair
+        for srv in (a, b):
+            iid = srv.scheduler.instance_id
+            assert iid.startswith("inst-") and len(iid) == 5 + 16
