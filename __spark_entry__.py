@@ -4208,30 +4208,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``bm25_relevance``, ``asof_sql_syntax`` (DuckDB ASOF JOIN text,
     verbatim both engines), ``ivf_index_probe`` (persisted IVF,
     exact at full probe) and ``dataset_card`` —
-    enter at the TAIL (oracle-checked locally at sf0.001+sf0.01, hash-
-    and repr-green) and rotate into the official window in round 8
-    once the prefix frees up."""
+    entered at the TAIL (oracle-checked locally at sf0.001+sf0.01,
+    hash- and repr-green).  Round 8 made no rotation (the round's one
+    commit was the security lockdown).  Round 9 performs the rotation:
+    all 18 round-7 operators enter the official 50-window (each was
+    additionally re-verified by the round-8 judge via
+    ``tests/oracle_check.py``, 0 failures), displacing 18 entries that
+    each hold ≥2 official greens (most recently CORRECTNESS_r07+r08):
+    ``dup_span_stats`` (family kept via ``remove_dup_spans``),
+    ``hll_distinct_users`` and ``bpe_merges`` (both rows-only by
+    nature, never value-checked — the same reasoning that rotated
+    ``explain_plan`` out in round 6; ``bpe_pair_counts`` keeps the BPE
+    family hash-checked), ``doc_lm_scores`` (``bigram_lm_scores`` +
+    incoming ``quality_lm_correlation`` keep the LM-quality family),
+    ``shard_assign_counts``, ``gopher_filter_report`` (incoming
+    ``filter_threshold_sweep`` keeps the filter-calibration family),
+    ``dedup_exact_groups`` and ``dedup_normalized`` (the dedup family
+    keeps jaccard/minhash/simhash/apply/clusters/incremental + incoming
+    ``dedup_sig_incremental``), ``zipf_slope``,
+    ``embedding_centroid_sim`` (family keeps top1/neardup/covariance/
+    quant + incoming ``embedding_outlier_report``),
+    ``heavy_hitter_tokens``, ``curriculum_phases``, ``text_quality``,
+    ``uniform_sample_docs`` and ``weighted_sample_docs`` (sampling
+    family keeps ``stratified_sample_docs`` + incoming DSIR pair),
+    ``tfidf_top_terms`` (incoming ``bm25_relevance`` keeps the
+    relevance family), ``chunk_docs_sliding`` (``pack_sequences_budget``
+    keeps the packing family) and ``token_budget_alloc``.  All rotated
+    entries remain in the tail under ``tests/oracle_check.py``."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
-        "dup_span_stats": _q_dup_spans,
-        "hll_distinct_users": _q_hll_users,
-        "doc_lm_scores": _q_lm_scores,
-        "shard_assign_counts": _q_shard_counts,
         "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
-        "gopher_filter_report": _q_gopher_filter,
-        "dedup_exact_groups": _q_dedup_exact,
-        "dedup_normalized": _q_dedup_normalized,
-        "zipf_slope": _q_zipf_slope,
         "remove_dup_spans": _q_remove_dup_spans,
-        "embedding_centroid_sim": _q_centroid_sim,
-        "heavy_hitter_tokens": _q_heavy_hitters,
         "pipeline_stage_counts": _q_pipeline_stages,
         "bigram_lm_scores": _q_bigram_lm,
-        "curriculum_phases": _q_curriculum,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
-        "text_quality": _q_quality,
         "stream_rollup_daily": _q_stream_rollup,
         "dedup_apply_counts": _q_dedup_apply,
         "text_winnow": _q_text_winnow,
@@ -4241,17 +4253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_lsh_topk": _q_lsh_topk,
         "bpe_pair_counts": _q_bpe_pairs,
         "pack_sequences_budget": _q_pack_sequences,
-        "uniform_sample_docs": _q_uniform_sample,
-        "weighted_sample_docs": _q_weighted_sample,
-        "tfidf_top_terms": _q_tfidf,
-        "chunk_docs_sliding": _q_chunk_docs,
         "dedup_incremental_report": _q_incremental_dedup,
         "simhash_near_pairs": _q_simhash_pairs,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_audio": _q_multimodal_audio,
         "similarity_ivf_topk": _q_ivf_topk,
-        "token_budget_alloc": _q_token_budget,
-        "bpe_merges": _q_bpe_merges,
         "range_join_windows": _q_range_join,
         "ann_recall_report": _q_ann_recall,
         "minhash_est_error": _q_minhash_est,
@@ -4262,9 +4268,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": _q_vocab_coverage,
         "source_overlap_matrix": _q_source_overlap,
         "embedding_covariance": _q_embedding_cov,
+        # -- round-9 rotation: the 18 round-7 operators enter the
+        # official 50-window (each oracle-checked at sf0.001+sf0.01 and
+        # independently re-verified by the r8 judge, 0 failures) --
+        "dedup_sig_incremental": _q_sig_incremental,
+        "semdedup_report": _q_semdedup,
+        "source_kl_matrix": _q_source_kl,
+        "embedding_outlier_report": _q_embedding_outliers,
+        "quality_lm_correlation": _q_quality_lm_corr,
+        "corpus_diff_report": _q_corpus_diff,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "date_spine_fill": _dialect(DATE_SPINE_DUCK),
+        "psi_drift_matrix": _q_psi_matrix,
+        "filter_threshold_sweep": _q_threshold_sweep,
+        "boilerplate_grams": _q_boilerplate,
+        "key_skew_report": _q_key_skew,
+        "canary_scan": _q_canary_scan,
+        "bm25_relevance": _q_bm25,
+        "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
+        "ivf_index_probe": _q_ivf_index_probe,
+        "dataset_card": _q_dataset_card,
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
+        # round-9 rotated out (each ≥2 official greens; operator family
+        # keeps a hash-checked representative in the prefix):
+        "dup_span_stats": _q_dup_spans,
+        "hll_distinct_users": _q_hll_users,
+        "doc_lm_scores": _q_lm_scores,
+        "shard_assign_counts": _q_shard_counts,
+        "gopher_filter_report": _q_gopher_filter,
+        "dedup_exact_groups": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
+        "zipf_slope": _q_zipf_slope,
+        "embedding_centroid_sim": _q_centroid_sim,
+        "heavy_hitter_tokens": _q_heavy_hitters,
+        "curriculum_phases": _q_curriculum,
+        "text_quality": _q_quality,
+        "uniform_sample_docs": _q_uniform_sample,
+        "weighted_sample_docs": _q_weighted_sample,
+        "tfidf_top_terms": _q_tfidf,
+        "chunk_docs_sliding": _q_chunk_docs,
+        "token_budget_alloc": _q_token_budget,
+        "bpe_merges": _q_bpe_merges,
         "vocab_top_terms": _sql(VOCAB_TOP_TERMS),
         "rollup_daily_cascade": _q_rollup_daily,
         "doc_split_counts": _q_doc_split,
@@ -4319,28 +4366,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _sql(Q1_PRICING),
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
-        # r7 new operator, tail-first per the rotation policy (enters
-        # the official window once the six r6 prefix entries earn their
-        # second green): signature-store incremental dedup — the
-        # steady-state ingest regime
-        "dedup_sig_incremental": _q_sig_incremental,
-        "semdedup_report": _q_semdedup,
-        "source_kl_matrix": _q_source_kl,
-        "embedding_outlier_report": _q_embedding_outliers,
-        "quality_lm_correlation": _q_quality_lm_corr,
-        "corpus_diff_report": _q_corpus_diff,
-        "dsir_weights": _q_dsir_weights,
-        "dsir_select": _q_dsir_select,
-        "date_spine_fill": _dialect(DATE_SPINE_DUCK),
-        "psi_drift_matrix": _q_psi_matrix,
-        "filter_threshold_sweep": _q_threshold_sweep,
-        "boilerplate_grams": _q_boilerplate,
-        "key_skew_report": _q_key_skew,
-        "canary_scan": _q_canary_scan,
-        "bm25_relevance": _q_bm25,
-        "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
-        "ivf_index_probe": _q_ivf_index_probe,
-        "dataset_card": _q_dataset_card,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
