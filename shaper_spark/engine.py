@@ -835,6 +835,73 @@ def _render_to_dict(r: RenderInfo) -> dict[str, Any]:
     return d
 
 
+_ASOF_GUARD_DEFAULT_LIMIT = 10_000
+# (plan-cache generation, limit, statement text) → guard passed; the
+# underlying data only changes via paths that bump() the plan cache, so
+# a passed probe stays valid within a generation.
+_asof_guard_ok: dict[tuple[int, int, str], bool] = {}
+
+
+def _asof_quadratic_guard(spark: SparkSession, rw, vars_: "_VarState") -> None:
+    """Refuse the quadratic ASOF-compatibility plan on large inputs.
+
+    The ``ASOF JOIN`` SQL rewrite (rewrite._rewrite_asof_join) is a
+    compatibility path: Catalyst decorrelates the LATERAL top-1
+    subquery through a BroadcastNestedLoopJoin — O(left × right) pairs,
+    measured 125 s at 60 k × 60 k rows where DuckDB's native ASOF takes
+    34 ms (the reference runs DuckDB, so it has no such trap).  When
+    only ONE side is big the nested loop stays linear-ish (≤ limit ×
+    big pairs with the small side broadcast), so the guard probes BOTH
+    join inputs with a bounded count (``LIMIT limit+1`` subquery — two
+    tiny jobs; CTE names resolve through the statement's own WITH
+    prologue) and errors only when both exceed the limit, pointing at
+    the linear operator ``shaper_spark/operators/asof.py`` (union + one
+    window shuffle) instead of silently running for minutes.  Tune or
+    disable with ``SET VARIABLE asof_guard_limit = N`` (0 disables).
+    """
+    limit = _ASOF_GUARD_DEFAULT_LIMIT
+    raw = vars_.raw.get("asof_guard_limit")
+    if raw is not None:
+        try:
+            limit = int(float(raw.strip().strip("'")))
+        except (TypeError, ValueError):
+            pass
+    if limit <= 0:
+        return
+    from .plancache import stats as _pc_stats
+    from .rewrite import with_prologue
+
+    key = (_pc_stats()["generation"], limit, rw.sql)
+    if _asof_guard_ok.get(key):
+        return
+    prologue = with_prologue(rw.sql)
+    for left_name, right_name in rw.asof_joins:
+        counts = []
+        for name in (left_name, right_name):
+            probe = (
+                f"{prologue} SELECT count(*) AS c FROM "
+                f"(SELECT * FROM {name} LIMIT {limit + 1}) __asof_probe"
+            )
+            try:
+                counts.append(spark.sql(probe).collect()[0][0])
+            except Exception:
+                # not probe-able in isolation (e.g. a subquery alias) —
+                # fail open; the statement itself still runs
+                counts.append(0)
+        if counts[0] > limit and counts[1] > limit:
+            raise DashboardError(
+                f"ASOF JOIN inputs '{left_name}' and '{right_name}' both exceed "
+                f"{limit:,} rows; the SQL compatibility rewrite would run an "
+                f"O(left × right) nested-loop plan at this size. Use the linear "
+                f"as-of operator instead (shaper_spark/operators/asof.py: "
+                f"asof_join — union + one window shuffle), or adjust the guard "
+                f"with SET VARIABLE asof_guard_limit = N (0 disables)."
+            )
+    if len(_asof_guard_ok) > 512:
+        _asof_guard_ok.clear()
+    _asof_guard_ok[key] = True
+
+
 _TEMP_VIEW_NAME_RE = re.compile(
     r"CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+(?:VIEW|TABLE)\s+"
     r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w]*|\"[^\"]+\"|`[^`]+`)",
@@ -1264,6 +1331,8 @@ def _run_query(
         sub, used_filefuncs = expand_file_functions(spark, sub)
         used_tablefuncs = used_tablefuncs or used_filefuncs
         rw = rewrite_statement(sub)
+        if rw.asof_joins:
+            _asof_quadratic_guard(spark, rw, vars_)
         # Memoized analysis: dashboards re-serve identical statement
         # text every render; the cache returns the already-analyzed
         # lazy DataFrame (execution still runs fully on collect) and

@@ -39,6 +39,11 @@ class RewriteResult:
     column_tags: dict[int, str] = field(default_factory=dict)
     # tags found outside a recognizable outer select item (order preserved).
     loose_tags: list[str] = field(default_factory=list)
+    # (left, right) table/CTE names of each ASOF JOIN the compatibility
+    # rewrite turned into a LATERAL top-1 subquery — the engine's
+    # quadratic-plan guard probes their cardinalities before executing
+    # (see engine._asof_quadratic_guard and operators/asof.py).
+    asof_joins: list[tuple[str, str]] = field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -669,7 +674,7 @@ _ASOF_TAIL_RE = re.compile(
 _INEQ_RE = re.compile(r"(>=|<=|>|<)")
 
 
-def _rewrite_asof_join(sql: str) -> str:
+def _rewrite_asof_join(sql: str) -> tuple[str, list[tuple[str, str]]]:
     """DuckDB's ``ASOF [LEFT] JOIN`` SQL syntax → a Spark LATERAL
     correlated subquery: for each left row, the single right row
     extremizing the inequality column among the matches —
@@ -688,7 +693,14 @@ def _rewrite_asof_join(sql: str) -> str:
     small); for data-scale as-of joins use ``operators/asof.py``
     (union + ONE window shuffle — linear) — a local text substitution
     cannot reach that shape because the union+window form restructures
-    the whole statement, not just the join clause."""
+    the whole statement, not just the join clause.
+
+    Returns ``(sql, pairs)`` where ``pairs`` lists the (left, right)
+    table/CTE names of every join rewritten, so the engine's
+    cardinality guard (``engine._asof_quadratic_guard``) can refuse the
+    quadratic plan when BOTH inputs are large and point the user at
+    ``shaper_spark/operators/asof.py``."""
+    pairs: list[tuple[str, str]] = []
     while True:
         states = _scan_states(sql)
         m = next(
@@ -700,7 +712,7 @@ def _rewrite_asof_join(sql: str) -> str:
             None,
         )
         if m is None:
-            return sql
+            return sql, pairs
         left_tbl, lalias = m.group(1), m.group(3)
         is_left = bool(m.group(4))
         right_tbl, ralias = m.group(5), m.group(7)
@@ -725,10 +737,10 @@ def _rewrite_asof_join(sql: str) -> str:
                 continue  # not-equals, not an asof inequality
             if _INEQ_RE.search(c):
                 if ineq_idx is not None:
-                    return sql  # two inequalities — not the simple form
+                    return sql, pairs  # two inequalities — not the simple form
                 ineq_idx = i
         if ineq_idx is None:
-            return sql
+            return sql, pairs
         ineq = conjuncts[ineq_idx].strip()
         mm = _INEQ_RE.search(ineq)
         lhs, op, rhs = (
@@ -742,7 +754,7 @@ def _rewrite_asof_join(sql: str) -> str:
         elif lhs.startswith(r_prefix):
             right_expr, flipped = lhs, True
         else:
-            return sql
+            return sql, pairs
         # "l.ts >= r.ts" (or flipped "r.ts <= l.ts") → latest earlier
         # right row (DESC); "<="/flipped ">=" → earliest later (ASC)
         effective = {True: {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op],
@@ -756,11 +768,62 @@ def _rewrite_asof_join(sql: str) -> str:
         )
         left_part = left_tbl + (m.group(2) or "")
         tail = rest[end:]
+        # With no alias the greedy name group captures the preceding
+        # keyword ("FROM a ASOF …" → group1='FROM', group3='a'); the
+        # reconstruction above is unaffected, but the guard needs the
+        # real relation name.
+        l_name = left_tbl
+        if lalias and l_name.upper() in ("FROM", "JOIN", "LATERAL", "WHERE", "AND", "ON"):
+            l_name = lalias
+        pairs.append((l_name, right_tbl))
         sql = (
             sql[: m.start()]
             + f"{left_part} {lateral}"
             + (" " + tail if tail and not tail[0].isspace() else tail)
         )
+
+
+_WITH_HEAD_RE = re.compile(r"^\s*WITH\s+(RECURSIVE\s+)?", re.IGNORECASE)
+
+
+def with_prologue(sql: str) -> str:
+    """Return the leading ``WITH …`` CTE prologue of *sql* — through the
+    closing paren of the final CTE body — or ``""`` when the statement
+    has none.  Quote-aware via ``_scan_states``.  Used by the engine's
+    ASOF cardinality guard to build bounded ``COUNT`` probes that can
+    resolve the statement's own CTE names."""
+    m = _WITH_HEAD_RE.match(sql)
+    if not m:
+        return ""
+    states = _scan_states(sql)
+    depth = 0
+    i = m.end()
+    n = len(sql)
+    while i < n:
+        if states[i] == 0:
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    j = i + 1
+                    while j < n and sql[j].isspace():
+                        j += 1
+                    if j < n and sql[j] == ",":
+                        # next CTE definition follows
+                        i = j + 1
+                        continue
+                    if sql[j : j + 3].upper().rstrip().endswith("AS") and re.match(
+                        r"AS\b", sql[j : j + 3], re.IGNORECASE
+                    ):
+                        # "name (cols) AS (…)" — that paren group was a
+                        # column list, the body is still ahead
+                        i = j + 2
+                        continue
+                    return sql[: i + 1]
+        i += 1
+    return ""
 
 
 def _escape_backslashes_in_literals(sql: str) -> str:
@@ -1278,7 +1341,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
     sql = _rewrite_misc_calls(sql)
 
     # ASOF [LEFT] JOIN → LATERAL top-1 subquery.
-    sql = _rewrite_asof_join(sql)
+    sql, asof_pairs = _rewrite_asof_join(sql)
 
     # QUALIFY → subquery filter.
     sql = _rewrite_qualify(sql)
@@ -1305,7 +1368,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # covered exactly once).
     sql = _escape_backslashes_in_literals(sql)
 
-    result = RewriteResult(sql=sql)
+    result = RewriteResult(sql=sql, asof_joins=asof_pairs)
     for idx, name in indexed_tags:
         if idx is not None and idx not in result.column_tags:
             result.column_tags[idx] = name

@@ -71,3 +71,58 @@ class TestAsofJoin:
         got = {r["id"]: r["tag"] for r in out.collect()}
         assert got[1] == "b"  # tie: 0 back
         assert got[2] is None  # 30min back > 10min tolerance
+
+
+class TestAsofQuadraticGuard:
+    """engine._asof_quadratic_guard: the ASOF JOIN SQL compatibility
+    rewrite runs an O(left × right) nested-loop plan (rewrite.py
+    _rewrite_asof_join docstring: 125 s at 60k×60k where DuckDB's
+    native ASOF takes 34 ms); the guard refuses it when BOTH inputs
+    exceed the limit and points at the linear operator."""
+
+    GUARD_SQL = """
+    WITH l AS (SELECT range AS k, range AS t FROM range(200)),
+         r AS (SELECT range AS k, range AS t FROM range(200))
+    SELECT count(*) AS n FROM l ASOF JOIN r ON l.k = r.k AND l.t >= r.t;
+    """
+
+    def test_large_both_sides_errors_with_pointer(self, spark):
+        import pytest
+
+        from shaper_spark.engine import DashboardError, query_dashboard
+
+        with pytest.raises(DashboardError) as exc:
+            query_dashboard(
+                spark,
+                "SET VARIABLE asof_guard_limit = 50;" + self.GUARD_SQL,
+            )
+        msg = str(exc.value)
+        assert "operators/asof.py" in msg  # the linear-path pointer
+        assert "asof_guard_limit" in msg  # the override knob
+
+    def test_one_small_side_passes(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        sql = """
+        SET VARIABLE asof_guard_limit = 50;
+        WITH l AS (SELECT range AS k, range AS t FROM range(200)),
+             r AS (SELECT range AS k, range AS t FROM range(10))
+        SELECT count(*) AS n FROM l ASOF JOIN r ON l.k = r.k AND l.t >= r.t;
+        """
+        r = query_dashboard(spark, sql)
+        # inner ASOF: only the 10 left keys with a right match survive
+        assert r.sections[0].queries[0].rows[0][0] == 10
+
+    def test_guard_disabled_runs(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(
+            spark, "SET VARIABLE asof_guard_limit = 0;" + self.GUARD_SQL
+        )
+        assert r.sections[0].queries[0].rows[0][0] == 200
+
+    def test_default_limit_allows_small_inputs(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(spark, self.GUARD_SQL)
+        assert r.sections[0].queries[0].rows[0][0] == 200
