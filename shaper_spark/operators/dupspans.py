@@ -49,11 +49,18 @@ def _positional_grams(
     the projection for free (same source row, pre-explode) so rollup
     dimensions never need a join back to the corpus. Shared by the
     stats and removal operators so gram semantics cannot drift between
-    them."""
+    them.
+
+    Spread gate at 64 KB, not the default 4 MB: this op does one md5
+    over a k-word concat per token position (~n_tokens hashes per
+    document) — the same per-byte-work class as DSIR's bucket hashing,
+    where FLOOR.md measured the 4 MB regex-calibrated gate leaving the
+    hash stage pinned to the single row-group task (gate by
+    bytes × per-byte work, not bytes)."""
     from ..session import spread_for_compute
 
     arr = (
-        spread_for_compute(df)
+        spread_for_compute(df, min_bytes=64 * 1024)
         .select(
             F.col(id_col).alias("id"),
             *[F.col(c) for c in extra_cols],
@@ -157,19 +164,28 @@ def remove_duplicated_spans(
     whose per-gram partition is a hot-gram skew AQE cannot split — the
     r4 judge measured the window variant at 4.3× DuckDB, and no
     countDistinct, which expands to a two-key aggregate).  The heavy
-    explode→anti-join→reassemble path runs ONLY over AFFECTED documents
+    explode→merge→reassemble path runs ONLY over AFFECTED documents
     (those owning ≥1 duplicated position — typically a small fraction
     of a deduplicated corpus); clean documents pass through as a narrow
     projection, since rejoining an unmodified token split with the same
-    separator is the identity.  The anti-join's right side is the raw
-    covered-position stream WITHOUT a distinct pass (anti-join
-    semantics ignore right-side duplicates; the ≤k-fold overlap
-    inflation costs less than a full dedup shuffle).  Reassembly is a
+    separator is the identity.
+
+    The removal tail is ONE shuffle keyed by doc id (the r8 lever —
+    previously an anti-join on (id,pos) shuffling both sides, a
+    groupBy(id) reshuffle, and a join back to the corpus for token
+    totals = 4 exchanges): token rows and covered-position rows are
+    tagged and UNIONED, the union repartitions once on ``id``, and both
+    aggregates fuse onto that partitioning — hash(id) satisfies the
+    clustered distribution of groupBy(id,pos) AND groupBy(id), so
+    Catalyst inserts no further exchange.  The (id,pos) merge keeps a
+    position when no covered row landed on it (max of the tag), and the
+    per-doc rollup derives n_kept/n_removed from the same stream, so
+    the join back to the corpus disappears.  Reassembly is a
     per-document sort-by-position aggregate — the only lambda HOF
     (``transform`` to project struct fields after ``array_sort``) runs
     once per affected document over a bounded token array, not per
-    token, so it stays off the hot path. Every shuffle is keyed (h, id,
-    or (id, pos)); nothing is ever n²."""
+    token, so it stays off the hot path.  Every shuffle is keyed (h or
+    id); nothing is ever n²."""
     from ..session import spread_for_compute
 
     base = spread_for_compute(df).select(
@@ -191,28 +207,43 @@ def remove_duplicated_spans(
     )
     affected = covered.select("id").distinct()
     affected_base = base.join(affected, "id", "left_semi")
-    toks = affected_base.select(
-        "id", F.posexplode("__ws").alias("pos0", "tok")
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
-    survivors = toks.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = survivors.groupBy("id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(pos, tok))),"
-            " s -> s.tok), ' ')"
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # Positions ONLY cross the wire — token strings stay in the doc row
+    # and never shuffle (an (id,pos,tok) merge needs a string agg
+    # buffer, which HashAggregate can't hold: measured as a full
+    # per-partition SortAggregate of the union stream).  All-numeric
+    # rows keep both aggregates hash-based.
+    pos_rows = affected_base.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.size("__ws"))).alias("pos"),
+        F.lit(0).alias("cov"),
     )
-    affected_out = (
-        affected_base.select("id", F.size("__ws").alias("__n"))
-        .join(rebuilt, "id", "left")  # all-covered docs rebuild to ""
-        .select(
-            "id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+    cov_rows = covered.select("id", "pos", F.lit(1).alias("cov"))
+    # One exchange: hash(id) satisfies groupBy(id,pos) and groupBy(id).
+    per_doc = (
+        pos_rows.unionByName(cov_rows)
+        .repartition("id")
+        .groupBy("id", "pos")
+        .agg(F.max("cov").alias("cov"))
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("cov") == 0, F.col("pos")))
+            ).alias("keep_pos"),
+            F.sum("cov").cast("long").alias("n_removed"),
         )
+    )
+    # Reassembly: index the doc's own token array at the kept positions
+    # — one id-keyed join of two narrow one-row-per-doc sides (per_doc
+    # already hash(id)-partitioned), one lambda per doc over bounded
+    # arrays, no per-token Python, no string shuffle.
+    affected_out = affected_base.join(per_doc, "id").select(
+        "id",
+        F.expr(
+            "array_join(transform(keep_pos,"
+            " p -> element_at(__ws, CAST(p AS INT))), ' ')"
+        ).alias("clean_text"),
+        F.size("keep_pos").cast("long").alias("n_kept"),
+        "n_removed",
     )
     untouched = base.join(affected, "id", "left_anti").select(
         "id",
@@ -220,4 +251,4 @@ def remove_duplicated_spans(
         F.size("__ws").cast("long").alias("n_kept"),
         F.lit(0).cast("long").alias("n_removed"),
     )
-    return affected_out.unionAll(untouched)
+    return affected_out.select(*untouched.columns).unionAll(untouched)
