@@ -113,10 +113,23 @@ def semantic_dedup(
     oracle-replayable); otherwise k-means assigns one
     (:func:`assign_clusters`).  Scoring is one grouped numpy matmul per
     cluster (module docstring: why not a self-join + per-pair kernel,
-    and not per-index codegen)."""
-    import pandas as pd  # noqa: F401 (applyInPandas contract)
+    and not per-index codegen).
 
-    from .graph import connected_components
+    Duplicate groups CANNOT cross clusters (every scored pair is
+    within-cluster by construction), so transitive closure runs as a
+    per-cluster union-find INSIDE the same ``applyInPandas`` group —
+    O(pairs · α) per cluster, parallel across clusters — and each
+    group emits its members' verdicts directly.  The whole operator is
+    ONE shuffle on the cluster id; the previous shape routed the pair
+    stream through the global alternating-star connected-components
+    operator plus a verdict join-back, which spent 4-5 extra Spark
+    jobs (edge-count gate, star iterations, join) re-deriving
+    components that were cluster-local all along (measured 1.40 →
+    ~0.7 s fresh at sf0.1).  Cross-cluster dedup families (MinHash,
+    SimHash, embedding near-dup) still use
+    :func:`shaper_spark.operators.graph.connected_components` — their
+    bucket graphs genuinely span buckets."""
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
 
     if threshold <= 0:
         raise ValueError("semantic_dedup: threshold must be > 0")
@@ -133,7 +146,7 @@ def semantic_dedup(
     )
     tau = float(threshold)
 
-    def group_pairs(pdf):
+    def group_verdicts(pdf):
         import numpy as np
         import pandas as pd
 
@@ -142,41 +155,39 @@ def semantic_dedup(
         nrm = np.linalg.norm(x, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0  # zero vectors score 0 < tau everywhere
         u = x / nrm
-        out_a: list = []
-        out_b: list = []
-        for s0 in range(0, len(u), SCORE_CHUNK):
+        n = len(u)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:  # path compression
+                parent[i], i = root, parent[i]
+            return root
+
+        for s0 in range(0, n, SCORE_CHUNK):
             blk = u[s0 : s0 + SCORE_CHUNK]
             sim = blk @ u.T
             ia, ib = np.where(sim >= tau)
             ia = ia + s0
-            keep = ia != ib  # drop the diagonal, keep both triangles
-            a_ids, b_ids = ids[ia[keep]], ids[ib[keep]]
-            lo = np.minimum(a_ids, b_ids)
-            hi = np.maximum(a_ids, b_ids)
-            out_a.append(lo)
-            out_b.append(hi)
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            for a, b in zip(ia, ib):
+                if a >= b:  # diagonal + symmetric half
+                    continue
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    parent[rb] = ra
+        comp = np.fromiter((find(int(i)) for i in range(n)), dtype=np.int64, count=n)
+        s = pd.DataFrame({"comp": comp, "id": ids})
+        keep = s.groupby("comp")["id"].transform("min") == s["id"]
         return pd.DataFrame(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
-        ).drop_duplicates()
-
-    pairs = side.groupBy("cluster").applyInPandas(
-        group_pairs, "id_a long, id_b long"
-    )
-    cc = connected_components(pairs, "id_a", "id_b")
-    dropped = cc.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("id"), F.lit(False).alias("__drop")
-    )
-    # no broadcast hint: the dropped set scales with the dup fraction
-    # (statistics pick the strategy; at 100 TB this is a keyed join)
-    return (
-        side.select("id", "cluster")
-        .join(dropped, "id", "left")
-        .select(
-            "id",
-            "cluster",
-            F.col("__drop").isNull().alias("keep"),
+            {
+                "id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "keep": keep.to_numpy(),
+            }
         )
-        .orderBy("id")
+
+    return side.groupBy("cluster").applyInPandas(
+        group_verdicts, "id long, cluster int, keep boolean"
     )
