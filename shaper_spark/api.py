@@ -1158,23 +1158,29 @@ class ShaperServer:
                 """(variables, error_sent): merge JWT claim variables
                 over the server defaults (claims written at token-mint
                 time, web/handler/auth.go:212-220) and enforce the
-                dashboardId scope of embed tokens."""
+                dashboardId scope of embed tokens.  Scope mismatch
+                answers with the SAME 404 body as a missing dashboard
+                — and callers run this check BEFORE the existence
+                lookup — so a scoped token probing other ids cannot
+                distinguish private dashboards from absent ones (the
+                reference's GetDashboard rejects the claim mismatch
+                uniformly before any lookup, dashboard.go:329-334)."""
                 claims = getattr(self, "_jwt_claims", None) or {}
                 scope = claims.get("dashboardId")
                 if scope and scope != did:
-                    self._json(403, {"error": "forbidden"})
+                    self._json(404, {"error": f"no dashboard {did}"})
                     return None, True
                 merged = dict(outer.variables)
                 merged.update(claims.get("variables") or {})
                 return merged, False
 
             def _dashboard(self, did: str, url):
-                content = outer._dashboard_content(did)
-                if content is None:
-                    return self._json(404, {"error": f"no dashboard {did}"})
                 variables, err = self._jwt_variables(did)
                 if err:
                     return
+                content = outer._dashboard_content(did)
+                if content is None:
+                    return self._json(404, {"error": f"no dashboard {did}"})
                 params = {
                     k: v if len(v) > 1 else v[0]
                     for k, v in parse_qs(url.query).items()
@@ -1189,12 +1195,12 @@ class ShaperServer:
                 return self._json(200, result.to_dict())
 
             def _download(self, did: str, filename: str, url):
-                content = outer._dashboard_content(did)
-                if content is None:
-                    return self._json(404, {"error": f"no dashboard {did}"})
                 jwt_vars, err = self._jwt_variables(did)
                 if err:
                     return
+                content = outer._dashboard_content(did)
+                if content is None:
+                    return self._json(404, {"error": f"no dashboard {did}"})
                 fmt = filename.rsplit(".", 1)[-1].lower()
                 if fmt in ("pdf", "html", "png"):
                     # Reference renders PDFs by driving headless Chrome

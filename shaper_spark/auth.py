@@ -486,8 +486,13 @@ class AuthService:
         ResetJWTSecret over the NATS config bucket, auth.go:401-430)."""
         val = self.store.config_get(CONFIG_KEY_JWT_SECRET)
         if val is None:
-            val = secrets.token_hex(32)
-            self.store.config_put(CONFIG_KEY_JWT_SECRET, val)
+            # create-once: insert-if-absent then read back, so two
+            # instances racing on first use converge on one secret (a
+            # last-write-wins put left the loser minting tokens the
+            # winner's verifier rejects)
+            val = self.store.config_setdefault(
+                CONFIG_KEY_JWT_SECRET, secrets.token_hex(32)
+            )
         return val.encode()
 
     def mint_jwt(self, claims: dict[str, Any], exp_s: float | None = None) -> str:

@@ -328,6 +328,23 @@ class Metastore:
                 (key, value),
             )
 
+    def config_setdefault(self, key: str, value: str) -> str:
+        """Create-once put: insert-if-absent, then return the STORED
+        value — so two instances racing on first use both end up with
+        the same secret (last-write-wins config_put left the loser
+        holding an overwritten local value, 403-ing its pushes until
+        the next read)."""
+        with self._lock, self._db:
+            self._db.execute(
+                "INSERT INTO config_kv (key, value) VALUES (?, ?)"
+                " ON CONFLICT(key) DO NOTHING",
+                (key, value),
+            )
+            row = self._db.execute(
+                "SELECT value FROM config_kv WHERE key = ?", (key,)
+            ).fetchone()
+        return row["value"]
+
     # -- live-instance registry (push transport peers) ------------------
 
     def announce_instance(self, instance_id: str, base_url: str) -> None:

@@ -271,8 +271,11 @@ def push_secret(store) -> bytes:
     NATS mesh is closed to outsiders (server/core/app.go:425-489)."""
     val = store.config_get(CONFIG_KEY_PUSH_SECRET)
     if val is None:
-        val = _secrets.token_hex(32)
-        store.config_put(CONFIG_KEY_PUSH_SECRET, val)
+        # create-once: insert-if-absent then read back, so two
+        # instances racing on first use converge on one secret
+        val = store.config_setdefault(
+            CONFIG_KEY_PUSH_SECRET, _secrets.token_hex(32)
+        )
     return val.encode()
 
 
@@ -540,10 +543,21 @@ class TaskScheduler:
     def receive_push(self, data: dict) -> bool:
         """Apply a peer-pushed result (the receiving half of the push
         transport). Returns True if applied; duplicates from the poll
-        are suppressed via the seen-seq set."""
+        are suppressed via the seen-seq set.
+
+        Replays are also bounded across restarts: a push's seq is the
+        shared event-log sequence its result was recorded under, and
+        ``_result_cursor`` starts at ``latest_event_seq()`` — so a
+        captured signed body replayed after a receiver restart carries
+        a seq at or below the startup cursor and is dropped (the
+        in-memory seen-set alone forgot it).  Every event the poll has
+        applied is likewise at or below the cursor, so the check also
+        subsumes poll-side duplicates."""
         seq = int(data.get("seq") or 0)
         with self._lock:
-            if seq and seq in self._seen_push_seqs:
+            if seq and (
+                seq <= self._result_cursor or seq in self._seen_push_seqs
+            ):
                 return False
             if seq:
                 self._seen_push_seqs.add(seq)

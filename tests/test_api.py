@@ -655,9 +655,11 @@ class TestJwtFlow:
         assert s == 200
         rows = d["sections"][-1]["queries"][-1]["rows"]
         assert rows == [["embedded"]]
-        # scope: the token cannot render a different dashboard
+        # scope: the token cannot render a different dashboard (404,
+        # indistinguishable from a missing id — see
+        # TestEmbedScopeUniform404)
         s, _ = self._req(jsrv, "GET", "/api/dashboards/other", token=tok)
-        assert s == 403
+        assert s == 404
         # invalid variable shapes rejected at mint time
         s, _ = self._req(
             jsrv, "POST", "/api/jwt",
@@ -987,3 +989,77 @@ class TestEmbedScopeLockdown:
         s, d = self._req(esrv, "GET", "/api/tasks/embt", token=login)
         assert s == 200
         assert "password_hash" not in d
+
+
+class TestEmbedScopeUniform404:
+    """A dashboardId-scoped embed token probing OTHER ids must not be
+    able to distinguish an existing private dashboard from a missing
+    one: both answer the identical 404 body, and the scope check runs
+    before the existence lookup (reference dashboard.go:329-334 rejects
+    the claim mismatch uniformly)."""
+
+    @pytest.fixture()
+    def esrv(self, spark):
+        srv = ShaperServer(spark).start()
+        yield srv
+        srv.stop()
+
+    def _req(self, srv, method, path, payload=None, token=""):
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers=headers,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            body = e.read() or b"{}"
+            try:
+                return e.code, json.loads(body)
+            except Exception:
+                return e.code, {}
+
+    def test_existing_and_missing_indistinguishable(self, esrv):
+        esrv.auth.create_user("probe@b.c", "pw12345678")
+        login = self._req(
+            esrv, "POST", "/api/auth/login",
+            {"email": "probe@b.c", "password": "pw12345678"},
+        )[1]["token"]
+        for did in ("scoped-a", "private-b"):
+            self._req(
+                esrv, "POST", "/api/dashboards",
+                {"id": did, "content": "SELECT 1 AS x;"}, token=login,
+            )
+        tok = self._req(
+            esrv, "POST", "/api/jwt", {"dashboardId": "scoped-a"},
+            token=login,
+        )[1]["jwt"]
+        # in scope: renders
+        s, _ = self._req(esrv, "GET", "/api/dashboards/scoped-a", token=tok)
+        assert s == 200
+        # out of scope, EXISTING vs MISSING: identical status and body shape
+        s_exist, b_exist = self._req(
+            esrv, "GET", "/api/dashboards/private-b", token=tok
+        )
+        s_miss, b_miss = self._req(
+            esrv, "GET", "/api/dashboards/no-such-dash", token=tok
+        )
+        assert s_exist == s_miss == 404
+        assert b_exist["error"].replace("private-b", "X") == b_miss[
+            "error"
+        ].replace("no-such-dash", "X")
+        # downloads probe the same way
+        s_exist, _ = self._req(
+            esrv, "GET", "/api/dashboards/private-b/download/x.csv",
+            token=tok,
+        )
+        s_miss, _ = self._req(
+            esrv, "GET", "/api/dashboards/no-such-dash/download/x.csv",
+            token=tok,
+        )
+        assert s_exist == s_miss == 404

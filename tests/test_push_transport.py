@@ -154,3 +154,58 @@ class TestPushTransport:
         for srv in (a, b):
             iid = srv.scheduler.instance_id
             assert iid.startswith("inst-") and len(iid) == 5 + 16
+
+
+class TestPushReplayAfterRestart:
+    def test_replay_after_restart_rejected(self, spark, tmp_path):
+        """A captured signed body (valid HMAC, registered instance)
+        must not re-apply after a receiver restart: the push seq is the
+        event-log sequence of the recorded result, and a fresh
+        scheduler's cursor starts at latest_event_seq(), so replays of
+        anything already in the log are dropped even though the
+        in-memory seen-set died with the old process."""
+        from shaper_spark.tasks import push_signature
+
+        db = str(tmp_path / "replay.sqlite")
+        a = ShaperServer(spark, db_path=db).start()
+        tid = "pt-replay"
+        res = _result(tid)
+        payload_dict = {
+            "task_id": tid,
+            "instance": a.scheduler.instance_id,
+            "result_json": json.dumps(res.to_dict(), default=str),
+        }
+        seq = a.store.record("task_run_result", payload_dict)
+        body = json.dumps({"seq": seq, **payload_dict}).encode()
+        sig = push_signature(a.store, body)
+        # "restart": a new receiver on the same metastore, started
+        # AFTER the event was recorded
+        b = ShaperServer(spark, db_path=db).start()
+        b.scheduler._contents[tid] = "SELECT 1 AS x;"
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{b.port}/api/internal/task-result",
+                data=body,
+                headers={"Content-Type": "application/json",
+                         "X-Shaper-Push-Signature": sig},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                assert r.status == 200
+                assert json.loads(r.read())["applied"] is False
+            assert not b.scheduler.results.get(tid)
+        finally:
+            a.stop()
+            b.stop()
+
+    def test_secret_setdefault_is_create_once(self, spark, tmp_path):
+        """Two stores racing on first use converge on ONE push secret
+        (insert-if-absent + read-back, not last-write-wins)."""
+        from shaper_spark.metastore import Metastore
+
+        db = str(tmp_path / "race.sqlite")
+        s1 = Metastore(db)
+        s2 = Metastore(db)
+        v1 = s1.config_setdefault("race_key", "alpha")
+        v2 = s2.config_setdefault("race_key", "beta")
+        assert v1 == v2 == "alpha"
