@@ -110,7 +110,14 @@ class ShaperServer:
             )
         self.auth = AuthService(self.store)
         self.folders = FolderService(self.store)
-        self.ingest = IngestBuffer(spark)
+        # Persistent deployments (a real metastore path) get the
+        # durable ingest queue next to it: a publish survives this
+        # node dying before its batch flushed (WalIngestQueue — the
+        # JetStream work-queue seam). Ephemeral servers stay in-memory.
+        self.ingest = IngestBuffer(
+            spark,
+            wal_dir=(db_path + ".ingest-wal") if db_path else None,
+        )
         # The scheduler records runs and claims scheduled fires through
         # the shared store — multiple server instances on one metastore
         # dedupe runs like the reference's NATS work queue.

@@ -35,6 +35,7 @@ __all__ = [
     "determine_column_type",
     "detect_schema_from_batch",
     "IngestBuffer",
+    "WalIngestQueue",
     "validate_table_name",
     "BATCH_SIZE",
     "BATCH_TIMEOUT_S",
@@ -217,13 +218,134 @@ def _coerce(value: Any, sql_type: str, arrival: dt.datetime) -> Any:
     return value if isinstance(value, str) else json.dumps(value)
 
 
+class WalIngestQueue:
+    """File-backed write-ahead ingest queue — the durability seam the
+    reference gets from its NATS JetStream work-queue stream
+    (server/core/app.go:425-489): a publish is persisted BEFORE it is
+    buffered, and acknowledged only AFTER the batch append lands in
+    the warehouse (ack-after-append, the reference's consumer acks in
+    server/ingest/ingest.go:86-128) — so a node dying between publish
+    and flush REDELIVERS on restart instead of losing the batch.
+
+    At-least-once, like JetStream: a crash after the warehouse append
+    but before the ack replays that batch once on restart (same
+    redelivery window the reference consumer has).  Arrival times ride
+    the log so replayed rows keep their original ``_ts``.
+
+    One JSONL segment plus a tiny ack file holding the highest
+    contiguously-applied seq; the segment truncates whenever
+    everything in it is acked, so its size is bounded by the in-flight
+    window, not by history.  The seam is duck-typed (append / ack /
+    pending): a deployment can swap in a real broker client without
+    touching ``IngestBuffer``.
+    """
+
+    def __init__(self, dir_path: str, fsync: bool = True):
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        self._dir = dir_path
+        self._seg = os.path.join(dir_path, "ingest-wal.jsonl")
+        self._ackf = os.path.join(dir_path, "ingest-wal.ack")
+        self._fsync = fsync
+        self._lock = threading.Lock()
+        self._acked = 0
+        try:
+            with open(self._ackf) as f:
+                self._acked = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            self._acked = 0
+        self._seq = self._acked
+        try:
+            with open(self._seg) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self._seq = max(self._seq, json.loads(line)["seq"])
+        except OSError:
+            pass
+
+    def append(self, table: str, payload: dict[str, Any], arrival: dt.datetime) -> int:
+        import os
+
+        entry = None
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+            entry = json.dumps(
+                {
+                    "seq": seq,
+                    "table": table,
+                    "payload": payload,
+                    "arrival": arrival.isoformat(),
+                },
+                default=str,
+            )
+            with open(self._seg, "a") as f:
+                f.write(entry + "\n")
+                f.flush()
+                if self._fsync:
+                    os.fsync(f.fileno())
+        return seq
+
+    def ack(self, seq: int) -> None:
+        import os
+
+        with self._lock:
+            if seq <= self._acked:
+                return
+            self._acked = seq
+            tmp = self._ackf + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(seq))
+                f.flush()
+                if self._fsync:
+                    os.fsync(f.fileno())
+            os.replace(tmp, self._ackf)
+            if self._acked >= self._seq:
+                # everything applied: truncate the segment (seq keeps
+                # counting from self._seq, so ids stay monotonic)
+                open(self._seg, "w").close()
+
+    def pending(self) -> list[tuple[int, str, dict[str, Any], dt.datetime]]:
+        """Unacked entries in seq order — the redelivery set."""
+        out: list[tuple[int, str, dict[str, Any], dt.datetime]] = []
+        with self._lock:
+            try:
+                with open(self._seg) as f:
+                    lines = f.readlines()
+            except OSError:
+                return []
+            for line in lines:
+                line = line.strip()
+                if not line:
+                    continue
+                e = json.loads(line)
+                if e["seq"] > self._acked:
+                    try:
+                        arrival = dt.datetime.fromisoformat(e["arrival"])
+                    except ValueError:
+                        arrival = dt.datetime.utcnow()
+                    out.append((e["seq"], e["table"], e["payload"], arrival))
+        out.sort(key=lambda t: t[0])
+        return out
+
+
 class IngestBuffer:
     """Micro-batch ingestion front end.
 
     ``publish(table, payload)`` buffers; a flush happens at BATCH_SIZE
     messages or BATCH_TIMEOUT_S seconds (whichever first), grouped by
     table — mirroring the reference's JetStream consumer
-    (ingest.go:155-268) without the broker.
+    (ingest.go:155-268).
+
+    ``wal_dir`` (or an explicit ``wal`` queue) makes the buffer
+    durable: publishes persist to a :class:`WalIngestQueue` before
+    buffering, acks land only after the warehouse append, and a new
+    buffer on the same directory REPLAYS whatever a dead node left
+    unacked (the kill-a-node guarantee the reference gets from
+    JetStream).  Without it the buffer is in-memory-only, matching the
+    previous behavior (tests, ephemeral sessions).
     """
 
     def __init__(
@@ -231,22 +353,36 @@ class IngestBuffer:
         spark: SparkSession,
         batch_size: int = BATCH_SIZE,
         batch_timeout_s: float = BATCH_TIMEOUT_S,
+        wal: WalIngestQueue | None = None,
+        wal_dir: str | None = None,
     ):
         self.spark = spark
         self.batch_size = batch_size
         self.batch_timeout_s = batch_timeout_s
-        self._buffer: list[tuple[str, dict[str, Any], dt.datetime]] = []
+        self._buffer: list[
+            tuple[str, dict[str, Any], dt.datetime, int]
+        ] = []
         self._lock = threading.Lock()
         self._last_flush = time.monotonic()
         self._schema_cache: dict[str, dict[str, str]] = {}
+        self.wal = wal if wal is not None else (
+            WalIngestQueue(wal_dir) if wal_dir else None
+        )
+        if self.wal is not None:
+            # redeliver what a dead predecessor left unacked
+            with self._lock:
+                for seq, table, payload, arrival in self.wal.pending():
+                    self._buffer.append((table, payload, arrival, seq))
 
     # -- publishing --------------------------------------------------------
 
     def publish(self, table: str, payload: dict[str, Any]) -> None:
         if not validate_table_name(table):
             raise ValueError(f"invalid table name: {table}")
+        arrival = dt.datetime.utcnow()
+        seq = self.wal.append(table, payload, arrival) if self.wal else 0
         with self._lock:
-            self._buffer.append((table, payload, dt.datetime.utcnow()))
+            self._buffer.append((table, payload, arrival, seq))
             should_flush = len(self._buffer) >= self.batch_size
         if should_flush:
             self.flush()
@@ -266,10 +402,16 @@ class IngestBuffer:
             self._buffer = []
             self._last_flush = time.monotonic()
         by_table: dict[str, list[tuple[dict[str, Any], dt.datetime]]] = {}
-        for table, payload, arrival in batch:
+        max_seq = 0
+        for table, payload, arrival, seq in batch:
             by_table.setdefault(table, []).append((payload, arrival))
+            max_seq = max(max_seq, seq)
         for table, msgs in by_table.items():
             self._process_table_batch(table, msgs)
+        if self.wal is not None and max_seq:
+            # ack AFTER every append landed; an exception above leaves
+            # the entries unacked for redelivery on restart
+            self.wal.ack(max_seq)
 
     def _table_schema(self, table: str) -> dict[str, str] | None:
         if table in self._schema_cache:

@@ -407,3 +407,81 @@ class TestLargeAndMixedPayloads:
         assert row["user name"] == "x"
         assert row["a-b"] == 1.0
         assert row["größe"] == 2.0
+
+
+class TestWalDurability:
+    """Durable ingest queue (WalIngestQueue): the reference's JetStream
+    work-queue guarantee — a publish accepted by a node that dies
+    before flushing is redelivered on restart, and an acked batch is
+    never delivered twice (kill-a-node, r8 verdict task #7)."""
+
+    def test_kill_node_before_flush_loses_nothing(self, spark, tmp_path):
+        from shaper_spark.ingest import IngestBuffer
+
+        _fresh(spark, "ing_wal_t")
+        wal_dir = str(tmp_path / "wal")
+        node1 = IngestBuffer(spark, batch_size=1000, wal_dir=wal_dir)
+        node1.publish("ing_wal_t", {"name": "alice", "n": 1})
+        node1.publish("ing_wal_t", {"name": "bob", "n": 2})
+        # node1 dies here: no flush, in-memory buffer gone
+        del node1
+        node2 = IngestBuffer(spark, batch_size=1000, wal_dir=wal_dir)
+        node2.flush()  # replayed entries land in the warehouse
+        rows = _rows(spark, "ing_wal_t")
+        assert sorted(r["name"] for r in rows) == ["alice", "bob"]
+        assert all(isinstance(r["_ts"], dt.datetime) for r in rows)
+
+    def test_acked_batch_not_redelivered(self, spark, tmp_path):
+        from shaper_spark.ingest import IngestBuffer
+
+        _fresh(spark, "ing_wal_ack")
+        wal_dir = str(tmp_path / "wal2")
+        node1 = IngestBuffer(spark, batch_size=1000, wal_dir=wal_dir)
+        node1.publish("ing_wal_ack", {"name": "carol"})
+        node1.flush()
+        assert len(_rows(spark, "ing_wal_ack")) == 1
+        # restart: nothing unacked, so nothing replays
+        node2 = IngestBuffer(spark, batch_size=1000, wal_dir=wal_dir)
+        assert node2._buffer == []
+        node2.flush()
+        assert len(_rows(spark, "ing_wal_ack")) == 1
+
+    def test_segment_truncates_when_fully_acked(self, spark, tmp_path):
+        import os
+
+        from shaper_spark.ingest import WalIngestQueue
+
+        wal_dir = str(tmp_path / "wal3")
+        q = WalIngestQueue(wal_dir)
+        s1 = q.append("t", {"a": 1}, dt.datetime.utcnow())
+        s2 = q.append("t", {"a": 2}, dt.datetime.utcnow())
+        assert [e[0] for e in q.pending()] == [s1, s2]
+        q.ack(s2)
+        assert q.pending() == []
+        assert os.path.getsize(os.path.join(wal_dir, "ingest-wal.jsonl")) == 0
+        # seqs stay monotonic after truncation
+        s3 = q.append("t", {"a": 3}, dt.datetime.utcnow())
+        assert s3 > s2
+        assert [e[0] for e in q.pending()] == [s3]
+
+    def test_partial_ack_redelivers_tail_only(self, spark, tmp_path):
+        from shaper_spark.ingest import WalIngestQueue
+
+        wal_dir = str(tmp_path / "wal4")
+        q = WalIngestQueue(wal_dir)
+        s1 = q.append("t", {"a": 1}, dt.datetime.utcnow())
+        s2 = q.append("t", {"a": 2}, dt.datetime.utcnow())
+        q.ack(s1)
+        # new queue on the same dir (restart) sees only the tail
+        q2 = WalIngestQueue(wal_dir)
+        assert [e[0] for e in q2.pending()] == [s2]
+
+    def test_arrival_preserved_across_replay(self, spark, tmp_path):
+        from shaper_spark.ingest import WalIngestQueue
+
+        wal_dir = str(tmp_path / "wal5")
+        q = WalIngestQueue(wal_dir)
+        arrival = dt.datetime(2024, 3, 1, 12, 0, 0)
+        q.append("t", {"a": 1}, arrival)
+        q2 = WalIngestQueue(wal_dir)
+        assert q2.pending()[0][3] == arrival
