@@ -29,39 +29,32 @@ def test_prefix_50_covers_the_diverse_surface():
     must_have = {
         # previously-unchecked entries the round-2 verdict flagged
         "multimodal_meta", "multimodal_audio", "similarity_ivf_topk",
-        # (attach_federation/summarize_table earned their second green
-        # round in r04 and rotated out in round 5 for the two BPE
-        # entries — the deferred rotation the r4 verdict asked for;
-        # recursive_series/embedding_pairs_exact, also 2x green,
-        # rotated out for the round-5 operators below)
-        "bpe_pair_counts", "bpe_merges",
-        "quant_report", "uniform_sample_docs", "dedup_apply_counts",
-        # (show_tables/asof_last_click/salted_agg_lineitem/
-        # session_window_agg earned 2 green rounds by r03 and rotated
-        # out mid-round-4 for the new operators, per the README policy)
-        # round-3 first-class operators
-        "range_join_windows",
-        # round-4 first-class operators (rotated in per the README
-        # window policy, displacing 2x-passed SQL-string entries;
-        # source_mix_weights/doc_length_histogram earned 2 green rounds
-        # by r05 and rotated out in round 6 with explain_plan
-        # (rows-only by nature) for the round-6 operators below)
-        "text_repetition", "pii_scrub_customers", "decontam_ngrams",
-        "dedup_clusters",
-        "weighted_sample_docs", "tfidf_top_terms", "hll_distinct_users",
-        # round-6 first-class operators
+        # round-5/6 operators holding their window seats
+        "bpe_pair_counts", "quant_report", "dedup_apply_counts",
+        "range_join_windows", "text_repetition", "pii_scrub_customers",
+        "decontam_ngrams", "dedup_clusters",
         "vocab_coverage_curve", "source_overlap_matrix",
         "embedding_covariance", "dedup_incremental_report",
         "ann_recall_report", "minhash_est_error",
-        # round-4 late additions (this session)
-        "dup_span_stats", "doc_lm_scores", "shard_assign_counts",
-        "token_budget_alloc", "gopher_filter_report", "dedup_normalized",
-        "zipf_slope", "remove_dup_spans", "embedding_centroid_sim",
-        "heavy_hitter_tokens", "pipeline_stage_counts", "bigram_lm_scores", "curriculum_phases",
-        # core families (q1 earned 3 green rounds and rotated out
-        # for pipeline_stage_counts)
-        "q5_region_revenue", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "embedding_top1", "embedding_neardup", "text_quality", "text_winnow",  # fingerprint rotated out r5; winnow keeps the family
+        # round-9 rotation: ALL 18 round-7 operators entered the
+        # official window (they were judge-green only through r8; the
+        # displaced entries each held >=2 official greens and keep a
+        # hash-checked family representative in the prefix)
+        "dedup_sig_incremental", "semdedup_report", "source_kl_matrix",
+        "embedding_outlier_report", "quality_lm_correlation",
+        "corpus_diff_report", "dsir_weights", "dsir_select",
+        "date_spine_fill", "psi_drift_matrix", "filter_threshold_sweep",
+        "boilerplate_grams", "key_skew_report", "canary_scan",
+        "bm25_relevance", "asof_sql_syntax", "ivf_index_probe",
+        "dataset_card",
+        # perf-watch entries stay officially recorded while >2x
+        "remove_dup_spans", "pipeline_stage_counts",
+        # core families (one hash-checked representative each)
+        "q5_region_revenue", "cte_share_pct", "stratified_sample_docs",
+        "bigram_lm_scores", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+        "simhash_near_pairs", "embedding_top1", "embedding_neardup",
+        "text_winnow", "pack_sequences_budget", "stream_rollup_daily",
+        "similarity_lsh_topk",
     }
     missing = must_have - set(keys)
     assert not missing, f"prefix-50 lost entries: {missing}"
