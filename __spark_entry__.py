@@ -3413,6 +3413,103 @@ GROUP BY source ORDER BY source
 """
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source quality tertiles (shaper_spark/operators/
+    text.py ccnet_quality_buckets, Wenzek 2020): head/middle/tail split
+    of unigram-LM bits-per-token with exact percentile thresholds
+    (broadcast back — no per-source total-order window). No reference
+    counterpart; §2C."""
+    from shaper_spark.operators.text import ccnet_quality_buckets
+
+    _prep(spark, sf_dir)
+    return ccnet_quality_buckets(
+        spark.table("documents"), "doc_id", "text"
+    )
+
+
+CCNET_BUCKETS_DUCK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+vocab AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+tot AS (SELECT sum(tf) AS total FROM vocab),
+probs AS (SELECT tok, tf::DOUBLE / (SELECT total FROM tot) AS p FROM vocab),
+per_doc AS (
+  SELECT doc_id, round(avg(-log2(p)), 6) AS bits_per_token
+  FROM tk JOIN probs USING (tok) GROUP BY doc_id
+),
+j AS (
+  SELECT d.source, p.bits_per_token
+  FROM per_doc p JOIN documents d USING (doc_id)
+),
+thr AS (
+  SELECT source,
+         round(quantile_cont(bits_per_token, 0.33), 9) AS t1,
+         round(quantile_cont(bits_per_token, 0.67), 9) AS t2
+  FROM j GROUP BY source
+)
+SELECT j.source,
+       CASE WHEN bits_per_token <= t1 THEN '1_head'
+            WHEN bits_per_token <= t2 THEN '2_middle'
+            ELSE '3_tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(CAST(round(bits_per_token * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS avg_bits
+FROM j JOIN thr USING (source)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-freshness novelty curve (shaper_spark/operators/text.py
+    ngram_novelty_curve): distinct and first-seen 8-grams per ordered
+    corpus bucket (id-order eighths stand in for crawl snapshots in
+    this fixture; production passes an ingest-day column). No reference
+    counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.text import ngram_novelty_curve
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    mx = docs.agg(F.max("doc_id").alias("__mx"))
+    bucketed = docs.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "text",
+        F.expr("CAST((doc_id * 8) DIV (__mx + 1) AS INT)").alias("bucket"),
+    )
+    return ngram_novelty_curve(bucketed, "doc_id", "text", "bucket", k=8)
+
+
+NGRAM_NOVELTY_DUCK = """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+b AS (
+  SELECT doc_id, text, CAST((doc_id * 8) // (m + 1) AS INT) AS bucket
+  FROM documents, mx
+),
+w AS (SELECT bucket, string_split(text, ' ') AS ws FROM b),
+g AS (
+  SELECT bucket, unnest(range(1, greatest(len(ws) - 6, 1))) AS i, ws
+  FROM w
+),
+gr AS (
+  SELECT bucket, md5(array_to_string(ws[i : i + 7], ' ')) AS h FROM g
+),
+pb AS (SELECT bucket, h, count(*) AS occ FROM gr GROUP BY bucket, h),
+f AS (SELECT h, min(bucket) AS fb FROM pb GROUP BY h)
+SELECT bucket,
+       CAST(sum(occ) AS BIGINT) AS n_gram_occurrences,
+       CAST(count(*) AS BIGINT) AS n_distinct_grams,
+       CAST(sum(CASE WHEN bucket = fb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel_grams,
+       round(sum(CASE WHEN bucket = fb THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS novelty_rate
+FROM pb JOIN f USING (h)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum phases over unigram-LM difficulty
     (shaper_spark/operators/sampling.py curriculum_phases composed with
@@ -4234,7 +4331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``tfidf_top_terms`` (incoming ``bm25_relevance`` keeps the
     relevance family), ``chunk_docs_sliding`` (``pack_sequences_budget``
     keeps the packing family) and ``token_budget_alloc``.  All rotated
-    entries remain in the tail under ``tests/oracle_check.py``."""
+    entries remain in the tail under ``tests/oracle_check.py``.
+    Later in round 9, the two NEW operators ``ccnet_quality_buckets``
+    (per-source perplexity tertiles, Wenzek 2020) and
+    ``ngram_novelty_curve`` (first-seen gram rate per ordered corpus
+    bucket) enter the prefix immediately per the new-operator policy,
+    displacing ``quant_report`` (4 official greens) and
+    ``ann_recall_report`` (3 greens) to the tail — the embedding and
+    similarity families keep top1/neardup/covariance/outlier and
+    lsh_topk/ivf_topk/ivf_index_probe/minhash_est_error
+    respectively."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -4249,7 +4355,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow": _q_text_winnow,
         "embedding_top1": _q_embedding_top1,
         "embedding_neardup": _q_embedding_neardup,
-        "quant_report": _q_quant_report,
         "similarity_lsh_topk": _q_lsh_topk,
         "bpe_pair_counts": _q_bpe_pairs,
         "pack_sequences_budget": _q_pack_sequences,
@@ -4259,8 +4364,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": _q_multimodal_audio,
         "similarity_ivf_topk": _q_ivf_topk,
         "range_join_windows": _q_range_join,
-        "ann_recall_report": _q_ann_recall,
         "minhash_est_error": _q_minhash_est,
+        # -- round-9 NEW operators (enter the prefix immediately per
+        # the rotation policy, displacing quant_report (4 official
+        # greens; embedding family keeps top1/neardup/covariance/
+        # outlier/quantized-IVF) and ann_recall_report (3 greens;
+        # similarity family keeps lsh_topk/ivf_topk/ivf_index_probe/
+        # minhash_est_error) to the tail) --
+        "ccnet_quality_buckets": _q_ccnet_buckets,
+        "ngram_novelty_curve": _q_ngram_novelty,
         "text_repetition": _q_repetition,
         "pii_scrub_customers": _q_pii_scrub,
         "decontam_ngrams": _q_decontam,
@@ -4294,6 +4406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # here has passed the official gate in a prior round --
         # round-9 rotated out (each ≥2 official greens; operator family
         # keeps a hash-checked representative in the prefix):
+        "quant_report": _q_quant_report,
+        "ann_recall_report": _q_ann_recall,
         "dup_span_stats": _q_dup_spans,
         "hll_distinct_users": _q_hll_users,
         "doc_lm_scores": _q_lm_scores,
@@ -4471,6 +4585,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card": DATASET_CARD_DUCK,
         "ann_recall_report": _ann_recall_duck(),
         "minhash_est_error": MINHASH_EST_DUCK,
+        "ccnet_quality_buckets": CCNET_BUCKETS_DUCK,
+        "ngram_novelty_curve": NGRAM_NOVELTY_DUCK,
         "source_overlap_matrix": SOURCE_OVERLAP_DUCK,
         "embedding_covariance": EMBEDDING_COV_DUCK,
         "weighted_sample_docs": WEIGHTED_SAMPLE_DUCK,

@@ -99,6 +99,13 @@ EXTRAS = [
     "key_skew_report",
     "canary_scan",
     "bm25_relevance",
+    # round 9 (official-window entries that were missing here; NOT
+    # asof_sql_syntax — its SQL rewrite is a guarded compatibility
+    # path, operators/asof.py is the scale path)
+    "ivf_index_probe",
+    "dataset_card",
+    "ccnet_quality_buckets",
+    "ngram_novelty_curve",
 ]
 
 HEADLINE = [
@@ -201,6 +208,38 @@ def main() -> None:
     extra_timings = {k: round(v, 4) for k, v in extra_timings.items()}
     total = sum(v for v in timings.values() if v > 0)
 
+    # STEADY-STATE protocol for the extras (dual record, r8 verdict:
+    # the in-bench extras number lands mid-C2-warmup — ~80 plan shapes
+    # share one JIT code cache, so a query measured between 79 other
+    # shapes pays recurring re-JIT of its generated code; FLOOR.md
+    # measured a dedicated process answering 1.5-2x faster for the same
+    # query, e.g. dsir_weights 5.2x in-bench vs ~1.9x hot).  In-process
+    # approximation: min of 3 CONSECUTIVE executions with
+    # plancache.bump() before each — parse/analyze/optimize/execute are
+    # all still paid fresh (symmetric with the re-planning DuckDB
+    # side); only the generated-code JIT is hot, which is exactly what
+    # a long-lived serving JVM holds.  Recorded next to the in-bench
+    # number in BENCH_DETAIL; the in-bench number stays in
+    # extra_queries for series continuity.
+    extra_steady: dict[str, float] = {}
+    for name in EXTRAS:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        for _rep in range(3):
+            plancache.bump()
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).collect()
+            except Exception:
+                extra_steady[name] = -1.0
+                break
+            dt_ = time.perf_counter() - t0
+            prev = extra_steady.get(name)
+            if prev is None or (prev > 0 and dt_ < prev):
+                extra_steady[name] = dt_
+    extra_steady = {k: round(v, 4) for k, v in extra_steady.items()}
+
     # WARMPLAN protocol: analyzed-plan cache warm (hits rebuild a fresh
     # Dataset per call — full execution, only parse+analysis skipped).
     warm_timings: dict[str, float] = {}
@@ -298,7 +337,10 @@ def main() -> None:
             "official number); warmplan=analyzed-plan cache warm, fresh "
             "Dataset+full execution per call; serving=re-collect of the "
             "same DataFrame (computed-stage reuse over unchanged data — "
-            "NOT comparable to the re-executing DuckDB side)"
+            "NOT comparable to the re-executing DuckDB side); extras "
+            "additionally carry steady_state=min of 3 consecutive fresh "
+            "executions (JIT hot, plans re-built — see BENCH_DETAIL "
+            "extra_queries_steady)"
         ),
         "duckdb_total": round(sum(v for v in duck.values() if v > 0), 4),
         # Symmetric serving-mode comparison: one "render" = all headline
@@ -335,6 +377,14 @@ def main() -> None:
         record,
         duckdb_ref=duck,
         extra_queries=extra_timings,
+        # dual record (r8 verdict #3): in_bench = min over the 5
+        # interleaved fresh passes (mid-JIT-warmup, ~80 shapes sharing
+        # the code cache); steady_state = min of 3 consecutive fresh
+        # executions at the end (JIT hot, plans still re-built every
+        # call). Weak-entry triage should read steady_state; the
+        # in-bench series stays for round-over-round continuity.
+        extra_queries_in_bench=extra_timings,
+        extra_queries_steady=extra_steady,
         extra_duckdb=extra_duck,
         warmplan_queries=warm_timings,
         serving_queries=serving_timings,

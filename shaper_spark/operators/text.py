@@ -29,6 +29,8 @@ __all__ = [
     "tfidf_top_terms",
     "unigram_lm_scores",
     "bigram_lm_scores",
+    "ccnet_quality_buckets",
+    "ngram_novelty_curve",
     "gopher_quality_filter",
     "zipf_slope",
     "vocab_coverage_curve",
@@ -1047,6 +1049,138 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg(-F.log2("__p")), 6).alias("bits_per_token"),
         )
+    )
+
+
+def ccnet_quality_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): within each
+    source, split documents into head / middle / tail tertiles of
+    bits-per-token under the corpus unigram LM (head = most
+    predictable — CCNet keeps head+middle for pretraining and uses the
+    mix as the per-source quality dial).  Returns
+    (source, bucket, n_docs, avg_bits), ordered.
+
+    Spark shape — NO per-source global window: CCNet's thresholds are
+    percentiles, so the tertile boundaries come from one exact
+    ``percentile`` aggregate per source (a source-count-sized frame
+    that broadcasts back); bucketing is then a pure comparison
+    projection.  An ``ntile`` window would total-order every source
+    partition — a hot-source skew a 100 TB corpus cannot shuffle away.
+    Threshold comparisons replay cross-engine, which takes two
+    precautions (both measured to matter): the cut points are the
+    plain double literals 0.33 / 0.67 — a ``1.0/3`` expression routes
+    through DECIMAL division in Spark SQL (six-digit p) while DuckDB
+    snaps the resulting near-integer rank, flipping boundary documents
+    — and the interpolated thresholds round to 9 dp, which absorbs
+    ulp-level interpolation-formula differences while staying three
+    orders finer than any gap between distinct 6 dp bit values."""
+    bits = unigram_lm_scores(df, id_col, text_col).select(
+        "id", "bits_per_token"
+    )
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(source_col).alias("source")
+    )
+    j = src.join(bits, "id")
+    thr = j.groupBy("source").agg(
+        F.expr(
+            "round(percentile(bits_per_token, 0.33D), 9)"
+        ).alias("__t1"),
+        F.expr(
+            "round(percentile(bits_per_token, 0.67D), 9)"
+        ).alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col("bits_per_token") <= F.col("__t1"), F.lit("1_head"))
+        .when(F.col("bits_per_token") <= F.col("__t2"), F.lit("2_middle"))
+        .otherwise(F.lit("3_tail"))
+    )
+    return (
+        j.join(F.broadcast(thr), "source")
+        .select("source", bucket.alias("bucket"), "bits_per_token")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # integer micro-bits: summation of doubles is order-
+            # sensitive at the 6th decimal; summing round(bits·1e6)
+            # longs is exact and associative, so the mean replays
+            # bit-identically in any engine
+            F.round(
+                F.sum(
+                    F.expr(
+                        "CAST(round(bits_per_token * 1000000) AS BIGINT)"
+                    )
+                )
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("avg_bits"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+def ngram_novelty_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-freshness curve: per ordered corpus bucket (a crawl
+    snapshot, ingest day, or shard index in ``bucket_col``), how many
+    distinct k-grams appear, and how many are NOVEL — first seen in
+    that bucket, i.e. absent from every earlier one.  A collapsing
+    novelty rate is the standard saturation signal that additional
+    crawls are re-collecting the same text (diminishing data returns).
+    Returns (bucket, n_gram_occurrences, n_distinct_grams,
+    n_novel_grams, novelty_rate), ordered by bucket.
+
+    Spark shape: the positional gram stream reuses the dup-span
+    builder (md5 fixed-width keys, 64 KB spread gate — md5-per-position
+    work); per-(bucket, gram) occurrence counts reduce map-side before
+    the wire, the gram's first bucket is ONE ``groupBy(h)`` min — never
+    a window over the gram's occurrence list, which a boilerplate gram
+    would make a skew partition — and the final rollup shuffles on the
+    bucket id. Cost is Σ(gram postings); nothing is n²."""
+    from .dupspans import _positional_grams
+
+    grams = _positional_grams(
+        df, id_col, text_col, k, extra_cols=(bucket_col,)
+    )
+    per_bucket = grams.groupBy(bucket_col, "h").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    first = per_bucket.groupBy("h").agg(
+        F.min(bucket_col).alias("__first")
+    )
+    return (
+        per_bucket.join(first, "h")
+        .groupBy(bucket_col)
+        .agg(
+            F.sum("__occ").cast("long").alias("n_gram_occurrences"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col(bucket_col) == F.col("__first"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel_grams"),
+        )
+        .select(
+            bucket_col,
+            "n_gram_occurrences",
+            "n_distinct_grams",
+            "n_novel_grams",
+            F.round(
+                F.col("n_novel_grams").cast("double")
+                / F.col("n_distinct_grams"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy(bucket_col)
     )
 
 

@@ -30,12 +30,15 @@ def test_prefix_50_covers_the_diverse_surface():
         # previously-unchecked entries the round-2 verdict flagged
         "multimodal_meta", "multimodal_audio", "similarity_ivf_topk",
         # round-5/6 operators holding their window seats
-        "bpe_pair_counts", "quant_report", "dedup_apply_counts",
+        "bpe_pair_counts", "dedup_apply_counts",
         "range_join_windows", "text_repetition", "pii_scrub_customers",
         "decontam_ngrams", "dedup_clusters",
         "vocab_coverage_curve", "source_overlap_matrix",
         "embedding_covariance", "dedup_incremental_report",
-        "ann_recall_report", "minhash_est_error",
+        "minhash_est_error",
+        # round-9 NEW operators (enter immediately per policy,
+        # displacing quant_report / ann_recall_report, 4 and 3 greens)
+        "ccnet_quality_buckets", "ngram_novelty_curve",
         # round-9 rotation: ALL 18 round-7 operators entered the
         # official window (they were judge-green only through r8; the
         # displaced entries each held >=2 official greens and keep a

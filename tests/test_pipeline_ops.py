@@ -961,3 +961,72 @@ class TestDatasetCard:
             .split("Initial Plan")[0]
         )
         assert "Expand" not in final  # distincts are separate aggregates
+
+
+class TestCcnetQualityBuckets:
+    def test_tertiles_and_ordering(self, spark):
+        from shaper_spark.operators.text import ccnet_quality_buckets
+
+        rows = [
+            (i, "a b c " + ("rare%d " % i) * (i % 4), "s1") for i in range(12)
+        ] + [(100 + i, "a a a a", "s2") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = ccnet_quality_buckets(df, "doc_id", "text").collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        # every source splits into at most three buckets covering all docs
+        assert sum(r["n_docs"] for r in by_src["s1"]) == 12
+        assert sum(r["n_docs"] for r in by_src["s2"]) == 6
+        # identical docs (s2) all share one bucket: ties stay together
+        assert len(by_src["s2"]) == 1 and by_src["s2"][0]["bucket"] == "1_head"
+        # buckets are ordered labels
+        for r in out:
+            assert r["bucket"] in ("1_head", "2_middle", "3_tail")
+        # head has the lowest avg bits within a multi-bucket source
+        s1 = {r["bucket"]: r["avg_bits"] for r in by_src["s1"]}
+        if "3_tail" in s1 and "1_head" in s1:
+            assert s1["1_head"] <= s1["3_tail"]
+
+    def test_head_is_most_predictable(self, spark):
+        from shaper_spark.operators.text import ccnet_quality_buckets
+
+        # 6 predictable docs (common tokens) + 3 docs with rare tokens
+        rows = [(i, "the the the the the the the the", "s") for i in range(6)]
+        rows += [(10 + i, "zq%d xw%d vv%d uu%d tt%d ss%d rr%d qq%d" % ((i,) * 8), "s") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {(r["bucket"]): r for r in ccnet_quality_buckets(df, "doc_id", "text").collect()}
+        assert out["1_head"]["n_docs"] >= 6  # the predictable block is the head
+        assert out["1_head"]["avg_bits"] < out["3_tail"]["avg_bits"]
+
+
+class TestNgramNoveltyCurve:
+    def test_first_bucket_all_novel_and_copies_not(self, spark):
+        from shaper_spark.operators.text import ngram_novelty_curve
+
+        base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        rows = [
+            (1, base, 0),          # bucket 0: 3 grams, all novel
+            (2, base, 1),          # bucket 1: exact copy — nothing novel
+            (3, "n1 n2 n3 n4 n5 n6 n7 n8", 1),  # bucket 1: 1 new gram
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, bucket int")
+        out = {r["bucket"]: r for r in
+               ngram_novelty_curve(df, "doc_id", "text", "bucket", k=8).collect()}
+        assert out[0]["n_distinct_grams"] == 3
+        assert out[0]["n_novel_grams"] == 3
+        assert out[0]["novelty_rate"] == 1.0
+        assert out[1]["n_distinct_grams"] == 4  # 3 copies + 1 new
+        assert out[1]["n_novel_grams"] == 1
+        assert out[1]["novelty_rate"] == 0.25
+
+    def test_short_docs_drop(self, spark):
+        from shaper_spark.operators.text import ngram_novelty_curve
+
+        df = spark.createDataFrame(
+            [(1, "a b c", 0), (2, "a b c d e f g h", 1)],
+            "doc_id long, text string, bucket int",
+        )
+        out = ngram_novelty_curve(df, "doc_id", "text", "bucket", k=8).collect()
+        assert [r["bucket"] for r in out] == [1]
+        assert out[0]["n_gram_occurrences"] == 1
