@@ -1131,10 +1131,10 @@ class ShaperServer:
                 array of objects."""
                 body = json.loads(self._read_body() or b"{}")
                 payloads = body if isinstance(body, list) else [body]
-                for p in payloads:
-                    if not isinstance(p, dict):
-                        return self._json(400, {"error": "JSON object(s) required"})
-                    outer.ingest.publish(table, p)
+                if not all(isinstance(p, dict) for p in payloads):
+                    return self._json(400, {"error": "JSON object(s) required"})
+                # one WAL write+fsync for the whole array, not per row
+                outer.ingest.publish_many(table, payloads)
                 outer.ingest.flush()
                 return self._json(200, {"ingested": len(payloads)})
 

@@ -266,27 +266,40 @@ class WalIngestQueue:
             pass
 
     def append(self, table: str, payload: dict[str, Any], arrival: dt.datetime) -> int:
+        return self.append_many([(table, payload, arrival)])[0]
+
+    def append_many(
+        self, entries: list[tuple[str, dict[str, Any], dt.datetime]]
+    ) -> list[int]:
+        """Persist a batch of publishes with ONE write + fsync — the
+        bulk-ingest endpoint posts arrays, and one fsync per message
+        would put a disk round-trip inside every row of a 3000-row
+        batch (the broker analogue is a single publish batch ack)."""
         import os
 
-        entry = None
+        seqs: list[int] = []
         with self._lock:
-            self._seq += 1
-            seq = self._seq
-            entry = json.dumps(
-                {
-                    "seq": seq,
-                    "table": table,
-                    "payload": payload,
-                    "arrival": arrival.isoformat(),
-                },
-                default=str,
-            )
+            lines: list[str] = []
+            for table, payload, arrival in entries:
+                self._seq += 1
+                seqs.append(self._seq)
+                lines.append(
+                    json.dumps(
+                        {
+                            "seq": self._seq,
+                            "table": table,
+                            "payload": payload,
+                            "arrival": arrival.isoformat(),
+                        },
+                        default=str,
+                    )
+                )
             with open(self._seg, "a") as f:
-                f.write(entry + "\n")
+                f.write("\n".join(lines) + "\n")
                 f.flush()
                 if self._fsync:
                     os.fsync(f.fileno())
-        return seq
+        return seqs
 
     def ack(self, seq: int) -> None:
         import os
@@ -383,6 +396,29 @@ class IngestBuffer:
         seq = self.wal.append(table, payload, arrival) if self.wal else 0
         with self._lock:
             self._buffer.append((table, payload, arrival, seq))
+            should_flush = len(self._buffer) >= self.batch_size
+        if should_flush:
+            self.flush()
+
+    def publish_many(self, table: str, payloads: list[dict[str, Any]]) -> None:
+        """Bulk publish: one WAL write + fsync for the whole batch (the
+        /api/data array form; per-message fsync would serialize a disk
+        round-trip into every row)."""
+        if not validate_table_name(table):
+            raise ValueError(f"invalid table name: {table}")
+        if not payloads:
+            return
+        arrival = dt.datetime.utcnow()
+        if self.wal is not None:
+            seqs = self.wal.append_many(
+                [(table, p, arrival) for p in payloads]
+            )
+        else:
+            seqs = [0] * len(payloads)
+        with self._lock:
+            self._buffer.extend(
+                (table, p, arrival, s) for p, s in zip(payloads, seqs)
+            )
             should_flush = len(self._buffer) >= self.batch_size
         if should_flush:
             self.flush()

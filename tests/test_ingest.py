@@ -485,3 +485,18 @@ class TestWalDurability:
         q.append("t", {"a": 1}, arrival)
         q2 = WalIngestQueue(wal_dir)
         assert q2.pending()[0][3] == arrival
+
+    def test_publish_many_one_wal_write(self, spark, tmp_path):
+        from shaper_spark.ingest import IngestBuffer
+
+        _fresh(spark, "ing_wal_bulk")
+        wal_dir = str(tmp_path / "wal6")
+        node = IngestBuffer(spark, batch_size=1000, wal_dir=wal_dir)
+        node.publish_many(
+            "ing_wal_bulk", [{"name": f"u{i}", "n": i} for i in range(5)]
+        )
+        # all five persisted before any flush
+        assert len(node.wal.pending()) == 5
+        node2 = IngestBuffer(spark, batch_size=1000, wal_dir=wal_dir)
+        node2.flush()
+        assert len(_rows(spark, "ing_wal_bulk")) == 5
