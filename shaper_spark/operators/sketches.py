@@ -128,11 +128,25 @@ def _heavy_hitters_lazy(
     return exact, src
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for *df* (file bytes for parquet
+    scans), or None when unavailable."""
+    try:
+        return int(
+            str(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        )
+    except Exception:
+        return None
+
+
 def exact_heavy_hitters(
     df: DataFrame,
     value_col: str,
     min_frac: float = 0.002,
     sketch_k: int = 256,
+    small_input_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Exact frequent items above ``min_frac`` of the rows, found with
     bounded memory: the classic two-pass sketch-then-verify shape.
@@ -165,6 +179,25 @@ def exact_heavy_hitters(
             f"1/(sketch_k+1)={1.0 / (sketch_k + 1):.6f} guarantee bound"
         )
     spark = df.sparkSession
+    # Size-gated fast path (the connected-components pattern: keep the
+    # bounded-memory machinery for inputs that need it): when the
+    # source's plan-estimated bytes fit comfortably in one executor, a
+    # plain two-phase groupBy computes the IDENTICAL output in one pass
+    # with no Arrow crossing, no persist, and no sketch — the MG
+    # sketch exists to bound aggregation state the full-cardinality
+    # groupBy would need at corpus scale, not to beat it at megabytes.
+    est = _plan_size_bytes(df)
+    if est is not None and est < small_input_bytes:
+        counts = df.groupBy(F.col(value_col).alias("v")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        total = counts.agg(F.sum("n").alias("__t"))
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .filter(F.col("n") > F.col("__t") * F.lit(float(min_frac)))
+            .select(F.col("v").alias("value"), "n")
+            .orderBy(F.col("n").desc(), "value")
+        )
     exact, src = _heavy_hitters_lazy(df, value_col, min_frac, sketch_k)
     rows = [(r["value"], r["n"]) for r in exact.collect()]
     src.unpersist()

@@ -106,3 +106,21 @@ class TestExactHeavyHitters:
         df = spark.createDataFrame([("a",)], ["x"])
         with pytest.raises(ValueError):
             exact_heavy_hitters(df, "x", min_frac=0.0001, sketch_k=100)
+
+
+class TestHeavyHittersBothPaths:
+    """The size-gated fast path and the MG sketch path must agree
+    exactly (the gate changes the plan, never the output)."""
+
+    def test_sketch_path_equals_fast_path(self, spark):
+        from shaper_spark.operators.sketches import exact_heavy_hitters
+
+        vals = (["hot"] * 40 + ["warm"] * 25 + [f"cold{i}" for i in range(35)])
+        df = spark.createDataFrame([(v,) for v in vals], "x string")
+        fast = [tuple(r) for r in
+                exact_heavy_hitters(df, "x", 0.05, 32).collect()]
+        sketch = [tuple(r) for r in
+                  exact_heavy_hitters(df, "x", 0.05, 32,
+                                      small_input_bytes=0).collect()]
+        assert fast == sketch
+        assert fast[0] == ("hot", 40)
