@@ -290,6 +290,12 @@ _FN_RENAMES = {
     "list_value": "array",
     "list_extract": "element_at",
     "array_extract": "element_at",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "json_extract": "get_json_object",
+    "json_extract_string": "get_json_object",
+    "json_extract_path": "get_json_object",
+    "json_extract_path_text": "get_json_object",
     "len": "length",
     "strftime": "date_format",  # format codes converted below
     "epoch_ms": "unix_millis",
@@ -781,6 +787,447 @@ def _rewrite_asof_join(sql: str) -> tuple[str, list[tuple[str, str]]]:
             + f"{left_part} {lateral}"
             + (" " + tail if tail and not tail[0].isspace() else tail)
         )
+
+
+def _expr_start(sql: str, states: list[int], bracket: int) -> int:
+    """Start index of the primary expression ending just before
+    ``sql[bracket]`` (a ``[``): walks back over identifier chars
+    (including dots), backquoted identifiers, and balanced ``(...)`` /
+    ``[...]`` groups — ``foo(x)[1]``, ``a.b[1]``, ``(a+b)[1]``,
+    ``a[1][2]`` all capture correctly.  Returns ``bracket`` when
+    nothing precedes (not a subscript)."""
+    i = bracket - 1
+    while i >= 0:
+        c = sql[i]
+        if states[i] == 0 and c in ")]":
+            depth = 0
+            while i >= 0:
+                if states[i] == 0 and sql[i] in ")]":
+                    depth += 1
+                elif states[i] == 0 and sql[i] in "([":
+                    depth -= 1
+                    if depth == 0:
+                        i -= 1
+                        break
+                i -= 1
+            continue
+        if states[i] == 2 and c == '"':
+            i -= 1
+            while i >= 0 and not (states[i] == 2 and sql[i] == '"'):
+                i -= 1
+            i -= 1
+            continue
+        if c == "`":
+            i -= 1
+            while i >= 0 and sql[i] != "`":
+                i -= 1
+            i -= 1
+            continue
+        if _IDENT_CHARS.match(c) or c == ".":
+            i -= 1
+            continue
+        break
+    return i + 1
+
+
+_SQL_KEYWORD_TAIL = {
+    # a bare word right before '[' that is a KEYWORD means the bracket
+    # was a list literal the earlier pass already handled — never a
+    # subscript base (defense in depth; the literal pass rewrites these)
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "ON", "BY", "AS",
+    "WHEN", "THEN", "ELSE", "END", "FROM", "JOIN", "HAVING", "RETURN",
+    "RETURNS", "VALUES", "UNION", "ALL", "DISTINCT", "CASE", "ARRAY",
+}
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """DuckDB bracket subscripts → engine-identical Spark calls.
+
+    DuckDB's ``expr[i]`` is ONE-based with negative-from-end and NULL
+    out of bounds; Spark's ``[]`` is ZERO-based and (under ANSI) errors
+    out of bounds — a silent off-by-one for every ported dashboard.
+    ``try_element_at`` has exactly DuckDB's semantics for both arrays
+    (1-based, negatives, NULL OOB) and maps (key lookup, NULL missing),
+    so:
+
+    * ``expr[i]``  → ``try_element_at(expr, i)`` for any non-string
+      subscript (variables included).  String-literal subscripts stay
+      bracketed — Spark's ``map['k']``/``struct['field']`` already
+      match DuckDB, and ``try_element_at`` cannot address structs.
+    * ``expr[a:b]`` (integer-literal slice, 1-based inclusive) →
+      ``slice(expr, a, b-a+1)``; open ends: ``[:b]`` → from 1,
+      ``[a:]`` → ``slice(expr, a, greatest(size(expr)-(a)+1, 0))``
+      (the base repeats — subscript bases are cheap projections).
+
+    Runs AFTER _rewrite_bracket_literals, so every remaining state-0
+    ``[`` preceded by an expression is a subscript."""
+    while True:
+        states = _scan_states(sql)
+        target = None
+        for i, c in enumerate(sql):
+            if c != "[" or states[i] != 0:
+                continue
+            start = _expr_start(sql, states, i)
+            if start >= i:
+                continue
+            base = sql[start:i]
+            if not base.strip():
+                continue
+            if (
+                base.strip("`\"").upper() in _SQL_KEYWORD_TAIL
+                and base[-1] not in ")]`\""
+            ):
+                continue
+            # find the matching ']' and any top-level ':'
+            depth = 0
+            colon = None
+            end = None
+            for j in range(i, len(sql)):
+                if states[j] != 0:
+                    continue
+                cj = sql[j]
+                if cj == "[":
+                    depth += 1
+                elif cj == "]":
+                    depth -= 1
+                    if depth == 0:
+                        end = j
+                        break
+                elif cj == ":" and depth == 1:
+                    if j + 1 < len(sql) and sql[j + 1] == ":":
+                        break  # '::' cast inside — leave this bracket
+                    colon = j
+            if end is None:
+                continue
+            content = sql[i + 1 : end]
+            if not content.strip():
+                continue  # 'INT[]' array-type suffix
+            stripped = content.strip()
+            if stripped.startswith("'"):
+                continue  # string subscript: Spark brackets already match
+            if colon is not None:
+                lo = sql[i + 1 : colon].strip()
+                hi = sql[colon + 1 : end].strip()
+                if (lo and not _INT_LIT_RE.match(lo)) or (
+                    hi and not _INT_LIT_RE.match(hi)
+                ):
+                    continue  # non-literal slice bounds: leave as-is
+                if not lo and not hi:
+                    continue
+                target = (start, i, end, "slice", lo, hi, base)
+                break
+            target = (start, i, end, "idx", stripped, None, base)
+            break
+        if target is None:
+            return sql
+        start, i, end, kind, a, b, base = target
+        if kind == "idx":
+            repl = f"try_element_at({base}, {a})"
+        elif not a:  # [:b]
+            repl = f"slice({base}, 1, {b})"
+        elif not b:  # [a:]
+            repl = (
+                f"slice({base}, {a}, "
+                f"greatest(size({base}) - ({a}) + 1, 0))"
+            )
+        else:
+            repl = f"slice({base}, {a}, ({b}) - ({a}) + 1)"
+        sql = sql[:start] + repl + sql[end + 1 :]
+
+
+_INT_LIT_RE = re.compile(r"^-?\d+$")
+
+
+_MAP_CALL_RE = re.compile(r"(?<![\w.])map\s*\(", re.IGNORECASE)
+
+
+def _split_top_args(s: str) -> list[str] | None:
+    """Split a call-argument string on top-level commas (quote- and
+    paren-aware); None when unbalanced."""
+    states = _scan_states(s)
+    parts: list[str] = []
+    depth = 0
+    last = 0
+    for i, c in enumerate(s):
+        if states[i] != 0:
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth < 0:
+                return None
+        elif c == "," and depth == 0:
+            parts.append(s[last:i])
+            last = i + 1
+    if depth != 0:
+        return None
+    parts.append(s[last:])
+    return parts
+
+
+def _call_end(sql: str, states: list[int], open_paren: int) -> int | None:
+    """Index of the ')' matching ``sql[open_paren]`` ('('), or None."""
+    depth = 0
+    for j in range(open_paren, len(sql)):
+        if states[j] != 0:
+            continue
+        if sql[j] in "([":
+            depth += 1
+        elif sql[j] in ")]":
+            depth -= 1
+            if depth == 0:
+                return j
+    return None
+
+
+def _rewrite_map_two_arrays(sql: str) -> str:
+    """DuckDB's two-array ``map([k…], [v…])`` → Spark
+    ``map_from_arrays`` (Spark's ``map()`` is variadic key/value
+    pairs).  Only fires when BOTH top-level args are ``array(…)``
+    calls — the form the bracket-literal pass emits — so Spark-style
+    pair calls and the MAP{} literal expansion pass through."""
+    out = sql
+    pos = 0
+    while True:
+        m = _MAP_CALL_RE.search(out, pos)
+        if m is None:
+            return out
+        states = _scan_states(out)
+        if states[m.start()] != 0:
+            pos = m.end()
+            continue
+        open_paren = out.index("(", m.start())
+        end = _call_end(out, states, open_paren)
+        if end is None:
+            return out
+        args = _split_top_args(out[open_paren + 1 : end])
+        if (
+            args is not None
+            and len(args) == 2
+            and all(a.strip().lower().startswith("array(") for a in args)
+        ):
+            out = (
+                out[: m.start()]
+                + "map_from_arrays("
+                + out[open_paren + 1 :]
+            )
+            pos = m.start() + len("map_from_arrays(")
+        else:
+            pos = end + 1
+
+
+_SIMILAR_TO_RE = re.compile(
+    r"\b(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')", re.IGNORECASE
+)
+
+
+def _rewrite_similar_to(sql: str) -> str:
+    """``x [NOT] SIMILAR TO 'pat'`` → ``x [NOT] RLIKE '^(?:pat)$'`` —
+    DuckDB treats SIMILAR TO as an anchored regex match."""
+    states = _scan_states(sql)
+    out: list[str] = []
+    last = 0
+    for m in _SIMILAR_TO_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        lit = m.group(2)
+        inner = lit[1:-1]
+        out.append(sql[last : m.start()])
+        out.append(
+            ("NOT " if m.group(1) else "") + f"RLIKE '^(?:{inner})$'"
+        )
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_AGG_ORDER_RE = re.compile(
+    r"\b(string_agg|listagg|array_agg|list)\s*\(", re.IGNORECASE
+)
+
+_ORDER_BY_TAIL_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def _rewrite_agg_order_by(sql: str) -> str:
+    """Inline ``ORDER BY`` inside aggregate calls (DuckDB/Postgres) →
+    Spark equivalents:
+
+    * ``string_agg(x, sep ORDER BY k…)`` / ``listagg(…)`` →
+      ``listagg(x, sep) WITHIN GROUP (ORDER BY k…)`` (Spark 4 syntax).
+    * ``array_agg(x ORDER BY k [DESC])`` / ``list(…)`` (single sort
+      key) → ``transform(array_sort(collect_list(struct(k, x))),
+      s -> s.col2)`` — struct sort orders by the key field first;
+      ``reverse`` for DESC.  Self-ordered ``array_agg(x ORDER BY x)``
+      folds to ``sort_array(collect_list(x)[, False])``."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _AGG_ORDER_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            open_paren = sql.index("(", m.start())
+            end = _call_end(sql, states, open_paren)
+            if end is None:
+                continue
+            inner = sql[open_paren + 1 : end]
+            om = None
+            inner_states = _scan_states(inner)
+            depth = 0
+            for t in _ORDER_BY_TAIL_RE.finditer(inner):
+                if inner_states[t.start()] != 0:
+                    continue
+                if inner[: t.start()].count("(") - inner[: t.start()].count(
+                    ")"
+                ):
+                    continue
+                om = t
+                break
+            if om is None:
+                continue
+            hit = (m, open_paren, end, inner, om)
+            break
+        if hit is None:
+            return sql
+        m, open_paren, end, inner, om = hit
+        fn = m.group(1).lower()
+        head = inner[: om.start()].rstrip().rstrip(",")
+        order = inner[om.end() :].strip()
+        if fn in ("string_agg", "listagg"):
+            repl = (
+                f"listagg({head}) WITHIN GROUP (ORDER BY {order})"
+            )
+        else:
+            direction = ""
+            om2 = re.match(
+                r"(.*?)\s+(ASC|DESC)\s*$", order, re.IGNORECASE | re.DOTALL
+            )
+            key = order
+            if om2:
+                key = om2.group(1).strip()
+                direction = om2.group(2).upper()
+            if key == head.strip():
+                asc = "False" if direction == "DESC" else "True"
+                repl = f"sort_array(collect_list({head}), {asc})"
+            else:
+                base = (
+                    "transform(array_sort(collect_list("
+                    f"struct({key} AS __k, {head} AS __v))), s -> s.__v)"
+                )
+                repl = f"reverse({base})" if direction == "DESC" else base
+        sql = sql[: m.start()] + repl + sql[end + 1 :]
+
+
+_LIST_AGGREGATE_RE = re.compile(
+    r"\b(list_aggregate|array_aggregate|list_aggr)\s*\(", re.IGNORECASE
+)
+
+_LIST_AGG_FNS = {
+    "sum": "aggregate({l}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    "avg": (
+        "aggregate({l}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        " / size({l})"
+    ),
+    "mean": (
+        "aggregate({l}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        " / size({l})"
+    ),
+    "min": "array_min({l})",
+    "max": "array_max({l})",
+    "count": "size(filter({l}, x -> x IS NOT NULL))",
+}
+
+
+def _rewrite_list_aggregate(sql: str) -> str:
+    """DuckDB ``list_aggregate(l, 'name')`` → the matching Spark array
+    expression for the common reducers (sum/avg/min/max/count)."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _LIST_AGGREGATE_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            open_paren = sql.index("(", m.start())
+            end = _call_end(sql, states, open_paren)
+            if end is None:
+                continue
+            args = _split_top_args(sql[open_paren + 1 : end])
+            if args is None or len(args) != 2:
+                continue
+            fname = args[1].strip().strip("'\"").lower()
+            if fname not in _LIST_AGG_FNS:
+                continue
+            hit = (m.start(), end, args[0].strip(), fname)
+            break
+        if hit is None:
+            return sql
+        start, end, lst, fname = hit
+        sql = (
+            sql[:start]
+            + "(" + _LIST_AGG_FNS[fname].format(l=lst) + ")"
+            + sql[end + 1 :]
+        )
+
+
+_LIST_COMPREHENSION_RE = re.compile(
+    r"\[([^\[\]]+)\s+FOR\s+(\w+)\s+IN\s+", re.IGNORECASE
+)
+
+
+def _rewrite_list_comprehensions(sql: str) -> str:
+    """DuckDB list comprehensions → Spark HOFs:
+    ``[expr FOR x IN l]`` → ``transform(l, x -> expr)``;
+    ``[expr FOR x IN l IF cond]`` →
+    ``transform(filter(l, x -> cond), x -> expr)``.
+    Single-variable form, one level (no nesting).  Runs BEFORE the
+    bracket-literal pass (the comprehension bracket is neither a list
+    literal nor a subscript)."""
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                m
+                for m in _LIST_COMPREHENSION_RE.finditer(sql)
+                if states[m.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        expr, var = m.group(1).strip(), m.group(2)
+        # the list expression runs to the matching ']' (or a top-level IF)
+        depth = 1
+        j = m.end()
+        if_pos = None
+        end = None
+        while j < len(sql):
+            if states[j] == 0:
+                c = sql[j]
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                    if depth == 0:
+                        end = j
+                        break
+                elif depth == 1 and sql[j : j + 3].upper() == " IF" and (
+                    j + 3 >= len(sql) or not sql[j + 3].isalnum()
+                ):
+                    if_pos = j
+            j += 1
+        if end is None:
+            return sql
+        if if_pos is not None:
+            lst = sql[m.end() : if_pos].strip()
+            cond = sql[if_pos + 3 : end].strip()
+            repl = (
+                f"transform(filter({lst}, {var} -> {cond}), "
+                f"{var} -> {expr})"
+            )
+        else:
+            lst = sql[m.end() : end].strip()
+            repl = f"transform({lst}, {var} -> {expr})"
+        sql = sql[: m.start()] + repl + sql[end + 1 :]
 
 
 _WITH_HEAD_RE = re.compile(r"^\s*WITH\s+(RECURSIVE\s+)?", re.IGNORECASE)
@@ -1317,8 +1764,36 @@ def rewrite_statement(sql: str) -> RewriteResult:
         lambda m: "`" + "`.`".join(m.group(1).split(".")) + "`", sql
     )
 
+    # [expr FOR x IN l [IF cond]] comprehensions → transform/filter.
+    # BEFORE the literal passes (the comprehension bracket is neither
+    # a list literal nor a subscript).
+    sql = _rewrite_list_comprehensions(sql)
+
+    # {'a': 1} struct / MAP {'k': v} literals → named_struct()/map().
+    # BEFORE the bracket passes: a subscript on a struct literal
+    # ("{'a': 5}['a']") must see ')' as its preceding char, not '}'.
+    sql = _rewrite_brace_literals(sql)
+
     # [a, b] list literals → array(a, b)
     sql = _rewrite_bracket_literals(sql)
+
+    # expr[i] subscripts (DuckDB 1-based) → try_element_at; [a:b]
+    # slices → slice().  Must follow the literal pass.
+    sql = _rewrite_subscripts(sql)
+
+    # two-array map(array(…), array(…)) → map_from_arrays (after the
+    # bracket pass, which produces the array(…) form it keys on).
+    sql = _rewrite_map_two_arrays(sql)
+
+    # x [NOT] SIMILAR TO 'p' → anchored RLIKE.
+    sql = _rewrite_similar_to(sql)
+
+    # inline ORDER BY inside string_agg/listagg/array_agg/list calls
+    # → WITHIN GROUP / sorted collect_list (before function renames).
+    sql = _rewrite_agg_order_by(sql)
+
+    # list_aggregate(l, 'sum'|'avg'|…) → Spark array expressions.
+    sql = _rewrite_list_aggregate(sql)
 
     # FETCH FIRST n ROWS ONLY → LIMIT n
     sql = _FETCH_RE.sub(lambda m: f"LIMIT {m.group(1)}", sql)
@@ -1333,9 +1808,6 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # * EXCLUDE (cols) → * EXCEPT (cols); boundary-counting date_diff.
     sql = _rewrite_exclude_star(sql)
     sql = _rewrite_date_diff(sql)
-
-    # {'a': 1} struct / MAP {'k': v} literals → named_struct()/map().
-    sql = _rewrite_brace_literals(sql)
 
     # date_add interval form; 2-arg regexp_extract; rank OVER ().
     sql = _rewrite_misc_calls(sql)

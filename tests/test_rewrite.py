@@ -512,3 +512,113 @@ class TestAsofJoinSql:
     def test_asof_in_string_untouched(self):
         q = "SELECT 'x ASOF JOIN y ON 1=1 AND a.t >= b.t' AS s"
         assert rewrite_statement(q).sql == q
+
+
+class TestSubscriptsAndSlices:
+    """DuckDB bracket subscripts are ONE-based with negative-from-end
+    and NULL OOB; Spark's are zero-based and error OOB — the rewrite
+    maps them onto try_element_at/slice (differential-tested against
+    DuckDB in the builder probe)."""
+
+    def test_array_literal_one_based(self):
+        r = rewrite_statement("SELECT ([10,20,30])[1] AS v")
+        assert "try_element_at((array(10,20,30)), 1)" in r.sql
+
+    def test_negative_and_variable_index(self):
+        r = rewrite_statement("SELECT x[-1] AS v, x[i] AS w FROM t")
+        assert "try_element_at(x, -1)" in r.sql
+        assert "try_element_at(x, i)" in r.sql
+
+    def test_chained_subscripts(self):
+        r = rewrite_statement("SELECT m[1][2] AS v FROM t")
+        assert "try_element_at(try_element_at(m, 1), 2)" in r.sql
+
+    def test_string_subscript_left_alone(self):
+        # Spark's map['k'] / struct['field'] already match DuckDB
+        r = rewrite_statement("SELECT m['k'] AS v FROM t")
+        assert "m['k']" in r.sql
+
+    def test_struct_literal_subscript(self):
+        r = rewrite_statement("SELECT {'a': 5}['a'] AS v")
+        assert "named_struct('a', 5)['a']" in r.sql
+
+    def test_slices(self):
+        r = rewrite_statement("SELECT x[2:3] AS a, x[:2] AS b, x[3:] AS c FROM t")
+        assert "slice(x, 2, (3) - (2) + 1)" in r.sql
+        assert "slice(x, 1, 2)" in r.sql
+        assert "slice(x, 3, greatest(size(x) - (3) + 1, 0))" in r.sql
+
+    def test_double_colon_cast_not_a_slice(self):
+        r = rewrite_statement("SELECT (x)::VARCHAR AS v FROM t")
+        assert "slice" not in r.sql and "try_element_at" not in r.sql
+
+    def test_function_call_base(self):
+        r = rewrite_statement("SELECT string_split(s, ' ')[2] AS v FROM t")
+        assert "try_element_at(split(s, ' '), 2)" in r.sql
+
+
+class TestMapTwoArrays:
+    def test_two_array_map(self):
+        r = rewrite_statement("SELECT map(['a','b'], [1,2]) AS m")
+        assert "map_from_arrays(array('a','b'), array(1,2))" in r.sql
+
+    def test_pairwise_map_untouched(self):
+        r = rewrite_statement("SELECT map('k', 1) AS m")
+        assert "map('k', 1)" in r.sql
+
+
+class TestSimilarTo:
+    def test_anchored(self):
+        r = rewrite_statement("SELECT 1 WHERE s SIMILAR TO '[A-Z]+'")
+        assert "RLIKE '^(?:[A-Z]+)$'" in r.sql
+
+    def test_not_similar(self):
+        r = rewrite_statement("SELECT 1 WHERE s NOT SIMILAR TO 'a.*'")
+        assert "NOT RLIKE '^(?:a.*)$'" in r.sql
+
+
+class TestAggOrderBy:
+    def test_string_agg_within_group(self):
+        r = rewrite_statement("SELECT string_agg(x, ',' ORDER BY x) FROM t")
+        assert "listagg(x, ',') WITHIN GROUP (ORDER BY x)" in r.sql
+
+    def test_array_agg_self_order(self):
+        r = rewrite_statement("SELECT array_agg(x ORDER BY x) FROM t")
+        assert "sort_array(collect_list(x), True)" in r.sql
+
+    def test_array_agg_self_order_desc(self):
+        r = rewrite_statement("SELECT array_agg(x ORDER BY x DESC) FROM t")
+        assert "sort_array(collect_list(x), False)" in r.sql
+
+    def test_array_agg_key_order(self):
+        r = rewrite_statement("SELECT array_agg(x ORDER BY y) FROM t")
+        assert (
+            "transform(array_sort(collect_list(struct(y AS __k, x AS __v)))"
+            in r.sql
+        )
+
+    def test_plain_aggs_untouched(self):
+        r = rewrite_statement("SELECT array_agg(x) AS l FROM t")
+        assert "array_agg(x)" in r.sql
+
+
+class TestListAggregateAndComprehensions:
+    def test_list_aggregate_sum(self):
+        r = rewrite_statement("SELECT list_aggregate([1,2,3], 'sum') AS s")
+        assert "aggregate(array(1,2,3), CAST(0 AS DOUBLE)" in r.sql
+
+    def test_list_aggregate_unknown_fn_untouched(self):
+        r = rewrite_statement("SELECT list_aggregate(l, 'histogram') FROM t")
+        assert "list_aggregate(l, 'histogram')" in r.sql
+
+    def test_comprehension(self):
+        r = rewrite_statement("SELECT [x*2 FOR x IN [1,2,3]] AS l")
+        assert "transform(array(1,2,3), x -> x*2)" in r.sql
+
+    def test_comprehension_with_if(self):
+        r = rewrite_statement("SELECT [x*2 FOR x IN l IF x > 1] AS o FROM t")
+        assert "transform(filter(l, x -> x > 1), x -> x*2)" in r.sql
+
+    def test_json_extract_rename(self):
+        r = rewrite_statement("SELECT json_extract(j, '$.a.b') FROM t")
+        assert "get_json_object(j, '$.a.b')" in r.sql
