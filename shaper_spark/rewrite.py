@@ -292,6 +292,12 @@ _FN_RENAMES = {
     "array_extract": "element_at",
     "list_contains": "array_contains",
     "list_has": "array_contains",
+    "list_zip": "arrays_zip",
+    "list_position": "array_position",
+    "list_indexof": "array_position",
+    "list_reverse": "reverse",
+    "list_prepend": "array_prepend",
+    "array_reverse": "reverse",
     "json_extract": "get_json_object",
     "json_extract_string": "get_json_object",
     "json_extract_path": "get_json_object",
@@ -1230,6 +1236,444 @@ def _rewrite_list_comprehensions(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[end + 1 :]
 
 
+def _expr_end_fwd(sql: str, states: list[int], start: int) -> int:
+    """End index (exclusive) of the primary expression beginning at
+    ``sql[start]``: optional unary +/-, then an identifier (with dots,
+    possibly a function call), a quoted literal, a number, or a
+    parenthesized/bracketed group — the forward twin of _expr_start."""
+    n = len(sql)
+    i = start
+    while i < n and sql[i].isspace():
+        i += 1
+    if i < n and sql[i] in "+-":
+        i += 1
+        while i < n and sql[i].isspace():
+            i += 1
+    if i >= n:
+        return i
+    c = sql[i]
+    if c == "'":
+        i += 1
+        while i < n and not (states[i] == 1 and sql[i] == "'" and (i + 1 >= n or sql[i + 1] != "'")):
+            i += 1
+        return min(i + 1, n)
+    if c in "([":
+        depth = 0
+        while i < n:
+            if states[i] == 0:
+                if sql[i] in "([":
+                    depth += 1
+                elif sql[i] in ")]":
+                    depth -= 1
+                    if depth == 0:
+                        return i + 1
+            i += 1
+        return i
+    if c.isdigit():
+        while i < n and (sql[i].isdigit() or sql[i] in ".eE"):
+            i += 1
+        return i
+    if _IDENT_CHARS.match(c) or c == "`":
+        while i < n and (_IDENT_CHARS.match(sql[i]) or sql[i] in ".`"):
+            i += 1
+        j = i
+        while j < n and sql[j].isspace():
+            j += 1
+        if j < n and sql[j] == "(":
+            depth = 0
+            while j < n:
+                if states[j] == 0:
+                    if sql[j] in "([":
+                        depth += 1
+                    elif sql[j] in ")]":
+                        depth -= 1
+                        if depth == 0:
+                            return j + 1
+                j += 1
+        return i
+    return start
+
+
+_HOF_NAMES = {
+    "transform", "filter", "aggregate", "reduce", "exists", "forall",
+    "zip_with", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort", "list_transform", "list_filter",
+    "list_reduce", "list_aggregate", "list_sort",
+}
+
+
+def _enclosing_call_name(sql: str, states: list[int], pos: int) -> str:
+    """Lower-cased identifier of the innermost function call containing
+    ``pos`` (scan back to the unbalanced '('), or "" at top level."""
+    depth = 0
+    i = pos - 1
+    while i >= 0:
+        if states[i] == 0:
+            c = sql[i]
+            if c in ")]":
+                depth += 1
+            elif c in "([":
+                if depth == 0:
+                    j = i - 1
+                    while j >= 0 and sql[j].isspace():
+                        j -= 1
+                    k = j
+                    while k >= 0 and _IDENT_CHARS.match(sql[k]):
+                        k -= 1
+                    return sql[k + 1 : j + 1].lower()
+                depth -= 1
+        i -= 1
+    return ""
+
+
+def _rewrite_binary_op(
+    sql: str,
+    op_re: re.Pattern,
+    build: "Callable[[str, str, re.Match], str]",
+    rhs_string_only: bool = False,
+    skip_lambda_lhs: bool = False,
+) -> str:
+    """Generic binary-operator rewrite: capture the left primary
+    expression (backwards) and right primary expression (forwards)
+    around each state-0 match of ``op_re`` and splice in
+    ``build(left, right, match)``."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in op_re.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            # skip spaces back to the operand, then capture it — a
+            # quoted literal (walk to its opening quote) or a primary
+            # expression (_expr_start)
+            k = m.start() - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k < 0:
+                continue
+            if sql[k] == "'" and states[k] == 1:
+                j = k - 1
+                while j >= 0 and not (
+                    states[j] == 1
+                    and sql[j] == "'"
+                    and (j == 0 or states[j - 1] != 1)
+                ):
+                    j -= 1
+                lstart = j
+            else:
+                lstart = _expr_start(sql, states, k + 1)
+            left = sql[lstart : m.start()].strip()
+            if not left:
+                continue
+            if skip_lambda_lhs:
+                # a lambda's parameter list sits right after '(' or ','
+                # INSIDE a higher-order function call —
+                # "transform(l, x -> 'a')" must stay a lambda, not
+                # become a JSON extraction; a select-list item after a
+                # comma ("…, j -> 'a'") is real JSON syntax
+                p = lstart - 1
+                while p >= 0 and sql[p].isspace():
+                    p -= 1
+                if p >= 0 and sql[p] in "(," and _enclosing_call_name(
+                    sql, states, lstart
+                ) in _HOF_NAMES:
+                    continue
+            rend = _expr_end_fwd(sql, states, m.end())
+            right = sql[m.end() : rend].strip()
+            if not right:
+                continue
+            if rhs_string_only and not right.startswith("'"):
+                continue
+            hit = (lstart, rend, left, right, m)
+            break
+        if hit is None:
+            return sql
+        lstart, rend, left, right, m = hit
+        sql = sql[:lstart] + build(left, right, m) + sql[rend:]
+
+
+# '^' is POWER in DuckDB (xor is the xor() function) but bitwise XOR in
+# Spark — a silent wrong answer, not an error.  '**' is DuckDB's other
+# power spelling.  Exclude '^' that opens a regex anchor (inside
+# literals states handles it).
+_POWER_RE = re.compile(r"(?<![\^<>=!|*])(?:\^|\*\*)(?![\^=*])")
+# binary '~' / '!~' are DuckDB regex match / not-match (RHS must be a
+# string literal to avoid the unary bitwise form)
+_TILDE_RE = re.compile(r"(!?)~(?![~*])")
+_JSON_ARROW_RE = re.compile(r"->(>?)")
+_INT_DIV_RE = re.compile(r"(?<![/*])//(?![/*])")
+
+
+def _rewrite_duck_operators(sql: str) -> str:
+    """Operator spellings DuckDB has and Spark lacks (or silently
+    reinterprets):
+
+    * ``a ^ b`` / ``a ** b`` → ``power(a, b)`` — Spark's ``^`` is XOR.
+    * ``a // b`` → ``a DIV b`` (integer division; DuckDB truncates the
+      same way for positive operands — floor-vs-trunc differs on
+      negatives, documented).
+    * ``s ~ 'p'`` / ``s !~ 'p'`` → ``[NOT] RLIKE`` (RHS must be a
+      string literal, keeping unary bitwise ``~`` intact).
+    * ``j -> 'k'`` / ``j ->> 'k'`` → ``get_json_object(j, '$.k')``
+      ('$'-prefixed paths pass through; chained arrows nest through
+      the loop).  Both arrows return STRING here (Spark has one JSON
+      extractor); DuckDB's ``->`` returns a JSON value — same text for
+      scalars, a documented divergence for extracted objects.
+    """
+    # '->' first: '-' would otherwise parse as part of a number/minus
+    def _arrow(left: str, right: str, m: re.Match) -> str:
+        inner = right[1:-1]
+        path = inner if inner.startswith("$") else "$." + inner
+        return f"get_json_object({left}, '{path}')"
+
+    sql = _rewrite_binary_op(
+        sql, _JSON_ARROW_RE, _arrow, rhs_string_only=True,
+        skip_lambda_lhs=True,
+    )
+    sql = _rewrite_binary_op(
+        sql, _POWER_RE, lambda l, r, m: f"power({l}, {r})"
+    )
+    sql = _rewrite_binary_op(
+        sql,
+        _TILDE_RE,
+        lambda l, r, m: f"{l} {'NOT ' if m.group(1) else ''}RLIKE {r}",
+        rhs_string_only=True,
+    )
+    states = _scan_states(sql)
+    out = []
+    last = 0
+    for m in _INT_DIV_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(" DIV ")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_DISTINCT_ON_RE = re.compile(r"\bDISTINCT\s+ON\s*\(", re.IGNORECASE)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """Postgres/DuckDB ``SELECT DISTINCT ON (keys) …`` → a QUALIFY
+    ``row_number() = 1`` filter (the downstream QUALIFY pass turns it
+    into a subquery): one row per key set, chosen by the query's own
+    ORDER BY (DuckDB semantics) or arbitrarily when there is none.
+    Top-level queries only — the QUALIFY pass this feeds rewrites the
+    outermost query, so a DISTINCT ON inside a derived table still
+    errors (as it did before, with a different message)."""
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                m
+                for m in _DISTINCT_ON_RE.finditer(sql)
+                if states[m.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        open_paren = sql.index("(", m.start())
+        end = _call_end(sql, states, open_paren)
+        if end is None:
+            return sql
+        keys = sql[open_paren + 1 : end]
+        # find this SELECT's ORDER BY at the same depth (may be absent)
+        depth = 0
+        order_at = None
+        stop = len(sql)
+        j = end + 1  # start AFTER the ON (…) group's closing paren
+        while j < len(sql):
+            if states[j] == 0:
+                c = sql[j]
+                if c in "([":
+                    depth += 1
+                elif c in ")]":
+                    depth -= 1
+                    if depth < 0:
+                        stop = j
+                        break
+                elif depth == 0 and sql[j : j + 8].upper() == "ORDER BY":
+                    order_at = j
+                    break
+            j += 1
+        if order_at is not None:
+            ob_states = _scan_states(sql)
+            ob_end = stop
+            d2 = 0
+            k = order_at + 8
+            while k < len(sql):
+                if ob_states[k] == 0:
+                    c = sql[k]
+                    if c in "([":
+                        d2 += 1
+                    elif c in ")]":
+                        d2 -= 1
+                        if d2 < 0:
+                            ob_end = k
+                            break
+                    elif d2 == 0 and re.match(
+                        r"(LIMIT|OFFSET|FETCH)\b", sql[k:], re.IGNORECASE
+                    ):
+                        ob_end = k
+                        break
+                k += 1
+            order = sql[order_at + 8 : ob_end].strip()
+            qualify = (
+                f" QUALIFY row_number() OVER (PARTITION BY {keys} "
+                f"ORDER BY {order}) = 1 "
+            )
+            sql = (
+                sql[: m.start()]
+                + sql[end + 1 : order_at]
+                + qualify
+                + sql[order_at:]
+            )
+        else:
+            insert_at = stop
+            qualify = (
+                f" QUALIFY row_number() OVER (PARTITION BY {keys} "
+                f"ORDER BY (SELECT NULL)) = 1 "
+            )
+            sql = (
+                sql[: m.start()]
+                + sql[end + 1 : insert_at]
+                + qualify
+                + sql[insert_at:]
+            )
+
+
+_USING_SAMPLE_RE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(?:(?:bernoulli|system|reservoir)\s*\(\s*)?"
+    r"(\d+(?:\.\d+)?)\s*(%|PERCENT|ROWS)?\s*\)?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_using_sample(sql: str) -> str:
+    """DuckDB ``USING SAMPLE n% | n ROWS`` → Spark ``TABLESAMPLE``."""
+    states = _scan_states(sql)
+    out = []
+    last = 0
+    for m in _USING_SAMPLE_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        num = m.group(1)
+        unit = (m.group(2) or "ROWS").upper().replace("%", "PERCENT")
+        out.append(sql[last : m.start()])
+        out.append(f"TABLESAMPLE ({num} {unit})")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_STAR_REPLACE_RE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+
+
+def _rewrite_star_replace(sql: str) -> str:
+    """``* REPLACE (expr AS col, …)`` → ``* EXCEPT (col, …), expr AS
+    col, …`` — values identical; the replaced columns move to the end
+    of the row (Spark has no positional REPLACE; documented)."""
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                m
+                for m in _STAR_REPLACE_RE.finditer(sql)
+                if states[m.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        open_paren = sql.index("(", m.start() + 1)
+        end = _call_end(sql, states, open_paren)
+        if end is None:
+            return sql
+        items = _split_top_args(sql[open_paren + 1 : end]) or []
+        cols = []
+        for it in items:
+            am = re.search(r"\bAS\s+([\w`\"]+)\s*$", it.strip(), re.IGNORECASE)
+            if am is None:
+                return sql  # not the simple form; leave untouched
+            cols.append(am.group(1))
+        repl = (
+            "* EXCEPT (" + ", ".join(cols) + "), "
+            + ", ".join(it.strip() for it in items)
+        )
+        sql = sql[: m.start()] + repl + sql[end + 1 :]
+
+
+_ARRAY_SLICE_FN_RE = re.compile(
+    r"\b(array_slice|list_slice)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_array_slice_fn(sql: str) -> str:
+    """DuckDB ``array_slice(l, begin, end)`` (1-based INCLUSIVE end) →
+    Spark ``slice(l, begin, end-begin+1)`` (start + LENGTH)."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _ARRAY_SLICE_FN_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            open_paren = sql.index("(", m.start())
+            end = _call_end(sql, states, open_paren)
+            if end is None:
+                continue
+            args = _split_top_args(sql[open_paren + 1 : end])
+            if args is None or len(args) != 3:
+                continue
+            hit = (m.start(), end, [a.strip() for a in args])
+            break
+        if hit is None:
+            return sql
+        start, end, (l, a, b) = hit
+        sql = (
+            sql[:start]
+            + f"slice({l}, {a}, ({b}) - ({a}) + 1)"
+            + sql[end + 1 :]
+        )
+
+
+_TRIM2_RE = re.compile(r"\b(ltrim|rtrim)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_trim_two_arg(sql: str) -> str:
+    """DuckDB ``ltrim(str, chars)`` / ``rtrim`` → Spark's argument
+    order is REVERSED (``ltrim(trimStr, str)``) — a silent wrong
+    answer, not an error.  One-arg forms pass through."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _TRIM2_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            open_paren = sql.index("(", m.start())
+            end = _call_end(sql, states, open_paren)
+            if end is None:
+                continue
+            args = _split_top_args(sql[open_paren + 1 : end])
+            if args is None or len(args) != 2:
+                continue
+            # only swap once: detect the already-swapped marker
+            if args[1].strip().endswith("/*swapped*/"):
+                continue
+            hit = (m.start(), end, m.group(1).lower(), [a.strip() for a in args])
+            break
+        if hit is None:
+            return sql.replace("/*swapped*/", "")
+        start, end, fn, (s, chars) = hit
+        sql = (
+            sql[:start]
+            + f"{fn}({chars}, {s} /*swapped*/)"
+            + sql[end + 1 :]
+        )
+
+
 _WITH_HEAD_RE = re.compile(r"^\s*WITH\s+(RECURSIVE\s+)?", re.IGNORECASE)
 
 
@@ -1784,6 +2228,25 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # two-array map(array(…), array(…)) → map_from_arrays (after the
     # bracket pass, which produces the array(…) form it keys on).
     sql = _rewrite_map_two_arrays(sql)
+
+    # DuckDB operator spellings: ^/** power, // integer division,
+    # ~ / !~ regex match, -> / ->> JSON extraction.
+    sql = _rewrite_duck_operators(sql)
+
+    # SELECT DISTINCT ON (keys) → QUALIFY row_number() = 1 (the
+    # QUALIFY pass below turns it into a subquery filter).
+    sql = _rewrite_distinct_on(sql)
+
+    # USING SAMPLE n% / n ROWS → TABLESAMPLE.
+    sql = _rewrite_using_sample(sql)
+
+    # * REPLACE (expr AS col) → * EXCEPT (col), expr AS col.
+    sql = _rewrite_star_replace(sql)
+
+    # array_slice(l, a, b) inclusive-end → slice(l, a, len);
+    # 2-arg ltrim/rtrim argument order.
+    sql = _rewrite_array_slice_fn(sql)
+    sql = _rewrite_trim_two_arg(sql)
 
     # x [NOT] SIMILAR TO 'p' → anchored RLIKE.
     sql = _rewrite_similar_to(sql)

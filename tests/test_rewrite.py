@@ -622,3 +622,88 @@ class TestListAggregateAndComprehensions:
     def test_json_extract_rename(self):
         r = rewrite_statement("SELECT json_extract(j, '$.a.b') FROM t")
         assert "get_json_object(j, '$.a.b')" in r.sql
+
+
+class TestDuckOperators:
+    """DuckDB operator spellings — '^' is POWER there and XOR in Spark
+    (silent wrong answers), '//' DIV, '~'/'!~' regex, '->'/'->>' JSON
+    (all differential-tested against DuckDB in the builder probe)."""
+
+    def test_caret_power(self):
+        assert "power(2, 3)" in rewrite_statement("SELECT 2 ^ 3 AS v").sql
+
+    def test_double_star_power(self):
+        assert "power(2, 3)" in rewrite_statement("SELECT 2 ** 3 AS v").sql
+
+    def test_paren_operand(self):
+        assert "power((1+1), 3)" in rewrite_statement("SELECT (1+1) ^ 3").sql
+
+    def test_int_div(self):
+        assert "7  DIV  2" in rewrite_statement("SELECT 7 // 2 AS v").sql
+
+    def test_tilde_regex(self):
+        r = rewrite_statement("SELECT 1 WHERE s ~ 'a.c'")
+        assert "s RLIKE 'a.c'" in r.sql
+
+    def test_not_tilde(self):
+        r = rewrite_statement("SELECT 1 WHERE s !~ 'a.c'")
+        assert "s NOT RLIKE 'a.c'" in r.sql
+
+    def test_json_arrows(self):
+        r = rewrite_statement("SELECT j -> 'a' AS v, j ->> '$.b.c' AS w FROM t")
+        assert "get_json_object(j, '$.a')" in r.sql
+        assert "get_json_object(j, '$.b.c')" in r.sql
+
+    def test_json_arrow_chain(self):
+        r = rewrite_statement("SELECT j -> 'a' ->> 'b' AS v FROM t")
+        assert "get_json_object(get_json_object(j, '$.a'), '$.b')" in r.sql
+
+    def test_lambda_arrow_untouched(self):
+        r = rewrite_statement("SELECT list_transform(l, x -> 'a') FROM t")
+        assert "x -> 'a'" in r.sql
+        r2 = rewrite_statement("SELECT aggregate(l, 0, (acc, x) -> acc + x) FROM t")
+        assert "(acc, x) -> acc + x" in r2.sql
+
+    def test_caret_inside_literal_untouched(self):
+        r = rewrite_statement("SELECT regexp_matches(s, '^a') FROM t")
+        assert "'^a'" in r.sql
+
+
+class TestDistinctOnAndFriends:
+    def test_distinct_on_with_order(self):
+        r = rewrite_statement(
+            "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v"
+        )
+        assert "DISTINCT ON" not in r.sql.upper()
+        assert "PARTITION BY k ORDER BY k, v" in r.sql
+        assert "QUALIFY" not in r.sql.upper() or "row_number" in r.sql
+
+    def test_star_replace(self):
+        r = rewrite_statement("SELECT * REPLACE (k + 1 AS k) FROM t")
+        assert "* EXCEPT (k), k + 1 AS k" in r.sql
+
+    def test_using_sample_percent(self):
+        r = rewrite_statement("SELECT * FROM t USING SAMPLE 10%")
+        assert "TABLESAMPLE (10 PERCENT)" in r.sql
+
+    def test_array_slice_fn(self):
+        r = rewrite_statement("SELECT array_slice(l, 2, 3) FROM t")
+        assert "slice(l, 2, (3) - (2) + 1)" in r.sql
+
+    def test_trim_arg_swap(self):
+        r = rewrite_statement("SELECT ltrim(s, 'x'), rtrim(s, 'y') FROM t")
+        assert "ltrim('x', s )" in r.sql
+        assert "rtrim('y', s )" in r.sql
+        assert "/*swapped*/" not in r.sql
+
+    def test_trim_one_arg_untouched(self):
+        r = rewrite_statement("SELECT ltrim(s) FROM t")
+        assert "ltrim(s)" in r.sql
+
+    def test_list_renames(self):
+        r = rewrite_statement(
+            "SELECT list_zip(a, b), list_position(a, 1), list_reverse(a) FROM t"
+        )
+        assert "arrays_zip(a, b)" in r.sql
+        assert "array_position(a, 1)" in r.sql
+        assert "reverse(a)" in r.sql
