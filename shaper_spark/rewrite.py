@@ -277,6 +277,7 @@ def _outer_select_item_spans(sql: str) -> list[tuple[int, int]] | None:
 _FN_RENAMES = {
     "quantile_cont": "percentile",
     "quantile_disc": "percentile_approx",
+    "quantile": "percentile_approx",  # DuckDB: quantile == quantile_disc
     "list_max": "array_max",
     "list_min": "array_min",
     "list_sum": "aggregate_sum_",  # handled below if ever needed
@@ -1797,6 +1798,183 @@ def _fix_regexp_extract(args: list[str]) -> str | None:
     return f"regexp_extract({args[0].strip()}, {args[1].strip()}, 0)"
 
 
+_INTERVAL_LIT_RE = re.compile(
+    r"^INTERVAL\s+'?(\d+)'?\s+(SECOND|MINUTE|HOUR|DAY|WEEK)S?$",
+    re.IGNORECASE,
+)
+
+_UNIT_SECONDS = {
+    "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+    "WEEK": 604800,
+}
+
+#: time_bucket's alignment origin (TimescaleDB/DuckDB: 2000-01-03
+#: 00:00:00 UTC, a Monday, so week buckets start on Mondays)
+_TIME_BUCKET_ORIGIN = 946857600
+
+
+_EXTRACT_COMPAT_RE = re.compile(
+    r"\bextract\s*\(\s*(epoch|dow|isodow)\s+FROM\b", re.IGNORECASE
+)
+
+
+def _rewrite_fn_compat2(sql: str) -> str:
+    """Round-9 differential-sweep fixups (each form verified against
+    DuckDB):
+
+    * sample-statistics corrections — DuckDB's ``skewness``/
+      ``kurtosis`` are bias-corrected SAMPLE statistics, Spark's are
+      population: G1 = g1·√(n(n−1))/(n−2) and
+      G2 = (n−1)/((n−2)(n−3))·((n+1)·g2 + 6) splice in the correction
+      (silent numeric divergence before).
+    * ``extract(epoch|dow|isodow FROM e)`` — epoch → fractional
+      seconds via unix_micros; DuckDB's dow is 0=Sunday (Spark's is
+      1=Sunday), isodow is 1=Monday.
+    * 3-arg ``date_sub('part', a, b)`` → ``timestampdiff`` (complete
+      units, signed; Spark's own 2-arg date_sub passes through).
+    * ``time_bucket(INTERVAL n unit, ts)`` (fixed-width units) →
+      epoch arithmetic aligned to the 2000-01-03 origin (TimescaleDB
+      semantics; month-width buckets pass through).
+    * 2-arg ``regexp_extract_all`` → group 0 (DuckDB's whole-match
+      default; Spark's default group 1 errors on group-less patterns).
+    * ``format('{} …', args…)`` (plain ``{}`` slots only) →
+      ``format_string('%s …')``; ``to_base(a, b)`` → ``conv(a, 10, b)``.
+    """
+
+    def _fix_skew(args: list[str]) -> str | None:
+        if len(args) != 1 or args[0].rstrip().endswith("/*G1*/"):
+            return None
+        e = args[0].strip()
+        n = f"count({e})"
+        return (
+            f"(skewness({e} /*G1*/) * sqrt({n} * ({n} - 1)) / ({n} - 2))"
+        )
+
+    def _fix_kurt(args: list[str]) -> str | None:
+        if len(args) != 1 or args[0].rstrip().endswith("/*G2*/"):
+            return None
+        e = args[0].strip()
+        n = f"count({e})"
+        return (
+            f"((({n} - 1) / (({n} - 2) * ({n} - 3))) * "
+            f"(({n} + 1) * kurtosis({e} /*G2*/) + 6))"
+        )
+
+    def _fix_date_sub3(args: list[str]) -> str | None:
+        if len(args) != 3:
+            return None
+        part = args[0].strip()
+        if not (part.startswith("'") and part.endswith("'")):
+            return None
+        return (
+            f"timestampdiff({part[1:-1].upper()}, {args[1].strip()}, "
+            f"{args[2].strip()})"
+        )
+
+    def _fix_time_bucket(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        m = _INTERVAL_LIT_RE.match(args[0].strip())
+        if m is None:
+            return None
+        secs = int(m.group(1)) * _UNIT_SECONDS[m.group(2).upper()]
+        if secs <= 0:
+            return None
+        ts = args[1].strip()
+        o = _TIME_BUCKET_ORIGIN
+        return (
+            f"timestamp_seconds({o} + ((unix_timestamp({ts}) - {o}) "
+            f"DIV {secs}) * {secs})"
+        )
+
+    def _fix_rex_all(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return (
+            f"regexp_extract_all({args[0].strip()}, {args[1].strip()}, 0)"
+        )
+
+    def _fix_format(args: list[str]) -> str | None:
+        if not args:
+            return None
+        fmt = args[0].strip()
+        if not (fmt.startswith("'") and fmt.endswith("'")):
+            return None
+        inner = fmt[1:-1]
+        if re.search(r"\{[^}]", inner) or "%" in inner:
+            return None  # positional/spec'd slots: not the plain form
+        rest = ", ".join(a.strip() for a in args[1:])
+        converted = inner.replace("{}", "%s")
+        return (
+            f"format_string('{converted}'"
+            + (f", {rest}" if rest else "")
+            + ")"
+        )
+
+    def _fix_to_base(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return f"conv({args[0].strip()}, 10, {args[1].strip()})"
+
+    for regex, fixer in (
+        (re.compile(r"\bskewness\s*\(", re.IGNORECASE), _fix_skew),
+        (re.compile(r"\bkurtosis\s*\(", re.IGNORECASE), _fix_kurt),
+        (re.compile(r"\bdate_sub\s*\(", re.IGNORECASE), _fix_date_sub3),
+        (re.compile(r"\btime_bucket\s*\(", re.IGNORECASE), _fix_time_bucket),
+        (
+            re.compile(r"\bregexp_extract_all\s*\(", re.IGNORECASE),
+            _fix_rex_all,
+        ),
+        (re.compile(r"\bformat\s*\(", re.IGNORECASE), _fix_format),
+        (re.compile(r"\bto_base\s*\(", re.IGNORECASE), _fix_to_base),
+    ):
+        while True:
+            states = _scan_states(sql)
+            changed = False
+            for m in regex.finditer(sql):
+                if states[m.start()] != 0:
+                    continue
+                close = _find_matching_close(sql, m.end() - 1, states)
+                if close == -1:
+                    break
+                new = fixer(_split_top_level_args(sql[m.end() : close]))
+                if new is None:
+                    continue
+                sql = sql[: m.start()] + new + sql[close + 1 :]
+                changed = True
+                break
+            if not changed:
+                break
+    sql = sql.replace(" /*G1*/", "").replace(" /*G2*/", "")
+
+    # extract(epoch|dow|isodow FROM e)
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                m
+                for m in _EXTRACT_COMPAT_RE.finditer(sql)
+                if states[m.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        open_paren = sql.index("(", m.start())
+        close = _find_matching_close(sql, open_paren, states)
+        if close == -1:
+            return sql
+        e = sql[m.end() : close].strip()
+        field = m.group(1).lower()
+        if field == "epoch":
+            repl = f"(unix_micros(CAST({e} AS TIMESTAMP)) / 1000000.0)"
+        elif field == "dow":
+            repl = f"(dayofweek({e}) - 1)"
+        else:  # isodow
+            repl = f"(weekday({e}) + 1)"
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+
 def _rewrite_brace_literals(sql: str) -> str:
     """DuckDB struct literals ``{'a': 1, 'b': x}`` → Spark
     ``named_struct('a', 1, 'b', x)``; ``MAP {'k': v}`` → ``map('k', v)``.
@@ -2274,6 +2452,11 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # date_add interval form; 2-arg regexp_extract; rank OVER ().
     sql = _rewrite_misc_calls(sql)
+
+    # sample-stat skew/kurtosis corrections; extract(epoch|dow|isodow);
+    # 3-arg date_sub; time_bucket; 2-arg regexp_extract_all; format{};
+    # to_base.
+    sql = _rewrite_fn_compat2(sql)
 
     # ASOF [LEFT] JOIN → LATERAL top-1 subquery.
     sql, asof_pairs = _rewrite_asof_join(sql)

@@ -707,3 +707,69 @@ class TestDistinctOnAndFriends:
         assert "arrays_zip(a, b)" in r.sql
         assert "array_position(a, 1)" in r.sql
         assert "reverse(a)" in r.sql
+
+
+class TestFnCompat2:
+    """Batch-3 differential fixes (each verified against DuckDB):
+    sample-stat corrections, extract fields, date_sub, time_bucket,
+    regexp_extract_all group 0, format{}, to_base, quantile alias."""
+
+    def test_skewness_sample_correction(self):
+        r = rewrite_statement("SELECT skewness(x) FROM t")
+        assert "skewness(x) * sqrt(count(x) * (count(x) - 1)) / (count(x) - 2)" in r.sql
+        assert "/*G1*/" not in r.sql
+
+    def test_kurtosis_sample_correction(self):
+        r = rewrite_statement("SELECT kurtosis(x) FROM t")
+        assert "(count(x) + 1) * kurtosis(x) + 6" in r.sql
+
+    def test_extract_epoch_dow_isodow(self):
+        r = rewrite_statement(
+            "SELECT extract(epoch FROM ts), extract(dow FROM d), "
+            "extract(isodow FROM d) FROM t"
+        )
+        assert "unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0" in r.sql
+        assert "(dayofweek(d) - 1)" in r.sql
+        assert "(weekday(d) + 1)" in r.sql
+
+    def test_extract_year_untouched(self):
+        r = rewrite_statement("SELECT extract(year FROM d) FROM t")
+        assert "extract(year FROM d)" in r.sql
+
+    def test_date_sub_three_arg(self):
+        r = rewrite_statement("SELECT date_sub('day', a, b) FROM t")
+        assert "timestampdiff(DAY, a, b)" in r.sql
+
+    def test_date_sub_two_arg_untouched(self):
+        r = rewrite_statement("SELECT date_sub(d, 2) FROM t")
+        assert "date_sub(d, 2)" in r.sql
+
+    def test_time_bucket_fixed_width(self):
+        r = rewrite_statement(
+            "SELECT time_bucket(INTERVAL 15 MINUTE, ts) FROM t"
+        )
+        assert "DIV 900) * 900" in r.sql
+        assert "946857600" in r.sql  # the 2000-01-03 Monday origin
+
+    def test_time_bucket_month_untouched(self):
+        r = rewrite_statement(
+            "SELECT time_bucket(INTERVAL 1 MONTH, ts) FROM t"
+        )
+        assert "time_bucket(INTERVAL 1 MONTH, ts)" in r.sql
+
+    def test_regexp_extract_all_group0(self):
+        r = rewrite_statement("SELECT regexp_extract_all(s, '[0-9]') FROM t")
+        assert "regexp_extract_all(s, '[0-9]', 0)" in r.sql
+
+    def test_format_plain_slots(self):
+        r = rewrite_statement("SELECT format('{} + {}', 1, 2)")
+        assert "format_string('%s + %s', 1, 2)" in r.sql
+
+    def test_format_spec_slots_untouched(self):
+        r = rewrite_statement("SELECT format('{:.2f}', 1.5)")
+        assert "format('{:.2f}', 1.5)" in r.sql
+
+    def test_to_base_and_quantile(self):
+        r = rewrite_statement("SELECT to_base(255, 16), quantile(x, 0.5) FROM t")
+        assert "conv(255, 10, 16)" in r.sql
+        assert "percentile_approx(x, 0.5)" in r.sql
