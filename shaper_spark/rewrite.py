@@ -293,6 +293,16 @@ _FN_RENAMES = {
     "array_extract": "element_at",
     "list_contains": "array_contains",
     "list_has": "array_contains",
+    "list_intersect": "array_intersect",
+    "list_has_any": "arrays_overlap",
+    "array_has_any": "arrays_overlap",
+    "array_concat": "concat",
+    "strpos": "instr",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "prefix": "startswith",
+    "suffix": "endswith",
+    "gen_random_uuid": "uuid",
     "list_zip": "arrays_zip",
     "list_position": "array_position",
     "list_indexof": "array_position",
@@ -1916,6 +1926,43 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return None
         return f"conv({args[0].strip()}, 10, {args[1].strip()})"
 
+    def _fix_dayname(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"date_format({args[0].strip()}, 'EEEE')"
+
+    def _fix_monthname(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"date_format({args[0].strip()}, 'MMMM')"
+
+    def _fix_yearweek(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        # DuckDB: ISO year*100 + ISO week
+        return f"(extract(YEAROFWEEK FROM {e}) * 100 + weekofyear({e}))"
+
+    def _fix_list_has_all(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        l, sub = args[0].strip(), args[1].strip()
+        return f"(size(array_except({sub}, {l})) = 0)"
+
+    def _fix_struct_pack(args: list[str]) -> str | None:
+        pairs = []
+        for a in args:
+            pm = re.match(r"\s*(\w+)\s*:=\s*(.+)$", a, re.DOTALL)
+            if pm is None:
+                return None
+            pairs.append(f"'{pm.group(1)}', {pm.group(2).strip()}")
+        return "named_struct(" + ", ".join(pairs) + ")" if pairs else None
+
+    def _fix_struct_extract(args: list[str]) -> str | None:
+        if len(args) != 2 or not args[1].strip().startswith("'"):
+            return None
+        return f"({args[0].strip()})[{args[1].strip()}]"
+
     for regex, fixer in (
         (re.compile(r"\bskewness\s*\(", re.IGNORECASE), _fix_skew),
         (re.compile(r"\bkurtosis\s*\(", re.IGNORECASE), _fix_kurt),
@@ -1927,6 +1974,18 @@ def _rewrite_fn_compat2(sql: str) -> str:
         ),
         (re.compile(r"\bformat\s*\(", re.IGNORECASE), _fix_format),
         (re.compile(r"\bto_base\s*\(", re.IGNORECASE), _fix_to_base),
+        (re.compile(r"\bdayname\s*\(", re.IGNORECASE), _fix_dayname),
+        (re.compile(r"\bmonthname\s*\(", re.IGNORECASE), _fix_monthname),
+        (re.compile(r"\byearweek\s*\(", re.IGNORECASE), _fix_yearweek),
+        (
+            re.compile(r"\b(?:list|array)_has_all\s*\(", re.IGNORECASE),
+            _fix_list_has_all,
+        ),
+        (re.compile(r"\bstruct_pack\s*\(", re.IGNORECASE), _fix_struct_pack),
+        (
+            re.compile(r"\bstruct_extract\s*\(", re.IGNORECASE),
+            _fix_struct_extract,
+        ),
     ):
         while True:
             states = _scan_states(sql)

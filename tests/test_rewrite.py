@@ -773,3 +773,40 @@ class TestFnCompat2:
         r = rewrite_statement("SELECT to_base(255, 16), quantile(x, 0.5) FROM t")
         assert "conv(255, 10, 16)" in r.sql
         assert "percentile_approx(x, 0.5)" in r.sql
+
+
+class TestFnCompat3:
+    """Batch-4 sweep: string/list/date/struct function surface
+    (differential-tested against DuckDB)."""
+
+    def test_renames(self):
+        r = rewrite_statement(
+            "SELECT strpos(s,'x'), starts_with(s,'a'), ends_with(s,'b'), "
+            "prefix(s,'a'), suffix(s,'b'), list_intersect(l, m), "
+            "list_has_any(l, m), array_concat(l, m), gen_random_uuid() FROM t"
+        ).sql
+        for frag in ("instr(s,'x')", "startswith(s,'a')", "endswith(s,'b')",
+                     "startswith(s,'a')", "endswith(s,'b')",
+                     "array_intersect(l, m)", "arrays_overlap(l, m)",
+                     "concat(l, m)", "uuid()"):
+            assert frag in r, frag
+
+    def test_day_month_names(self):
+        r = rewrite_statement("SELECT dayname(d), monthname(d) FROM t").sql
+        assert "date_format(d, 'EEEE')" in r
+        assert "date_format(d, 'MMMM')" in r
+
+    def test_yearweek(self):
+        r = rewrite_statement("SELECT yearweek(d) FROM t").sql
+        assert "extract(YEAROFWEEK FROM d) * 100 + weekofyear(d)" in r
+
+    def test_list_has_all(self):
+        r = rewrite_statement("SELECT list_has_all(l, sub) FROM t").sql
+        assert "(size(array_except(sub, l)) = 0)" in r
+
+    def test_struct_pack_and_extract(self):
+        r = rewrite_statement(
+            "SELECT struct_pack(a := 1, b := 'x'), struct_extract(s, 'a') FROM t"
+        ).sql
+        assert "named_struct('a', 1, 'b', 'x')" in r
+        assert "(s)['a']" in r
