@@ -343,7 +343,11 @@ class TestMultiInstanceDedupe:
             claims = store._db.execute(
                 "SELECT count(*) FROM task_claims"
             ).fetchone()[0]
-            assert claims == n_rows
+            # every EXECUTED row is backed by exactly one claim (the
+            # dedupe invariant: rows never exceed claims); the newest
+            # claim may still be mid-execution when we sample under
+            # full-suite CPU contention, so allow one in-flight run
+            assert n_rows <= claims <= n_rows + 1
         finally:
             a.shutdown()
             b.shutdown()
