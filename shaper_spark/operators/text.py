@@ -1151,8 +1151,15 @@ def ngram_novelty_curve(
     grams = _positional_grams(
         df, id_col, text_col, k, extra_cols=(bucket_col,)
     )
-    per_bucket = grams.groupBy(bucket_col, "h").agg(
-        F.count(F.lit(1)).alias("__occ")
+    # ONE gram exchange: hash(h) satisfies groupBy(bucket,h), the
+    # groupBy(h) min, AND co-partitions both join sides — the same
+    # fusion the dup-span removal uses (hash on a prefix of every
+    # downstream key set), so Catalyst adds no further shuffle until
+    # the final per-bucket rollup.
+    per_bucket = (
+        grams.repartition("h")
+        .groupBy(bucket_col, "h")
+        .agg(F.count(F.lit(1)).alias("__occ"))
     )
     first = per_bucket.groupBy("h").agg(
         F.min(bucket_col).alias("__first")
