@@ -1685,6 +1685,127 @@ def _rewrite_trim_two_arg(sql: str) -> str:
         )
 
 
+_FILTER_OVER_RE = re.compile(
+    r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE
+)
+
+
+def _rewrite_filter_over_window(sql: str) -> str:
+    """``agg(e) FILTER (WHERE c) OVER (…)`` → ``agg(CASE WHEN c THEN e
+    END) OVER (…)`` — Spark rejects FILTER on window aggregates
+    (plain-aggregate FILTER is native and passes through).
+    ``count(*)`` counts a CASE'd 1."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _FILTER_OVER_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            open_paren = sql.index("(", m.start())
+            close = _find_matching_close(sql, open_paren, states)
+            if close == -1:
+                continue
+            # must be followed by OVER
+            after = close + 1
+            while after < len(sql) and sql[after].isspace():
+                after += 1
+            if sql[after : after + 4].upper() != "OVER":
+                continue
+            # the aggregate call precedes FILTER
+            k = m.start() - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k < 0 or sql[k] != ")":
+                continue
+            astart = _expr_start(sql, states, k + 1)
+            agg = sql[astart : k + 1]
+            am = re.match(r"([\w.]+)\s*\((.*)\)$", agg, re.DOTALL)
+            if am is None:
+                continue
+            wm = re.match(
+                r"\s*WHERE\b", sql[open_paren + 1 : close], re.IGNORECASE
+            )
+            cond = sql[open_paren + 1 + wm.end() : close].strip()
+            fn, arg = am.group(1), am.group(2).strip()
+            if arg in ("*", "1") and fn.lower() == "count":
+                new_agg = f"count(CASE WHEN {cond} THEN 1 END)"
+            else:
+                new_agg = f"{fn}(CASE WHEN {cond} THEN {arg} END)"
+            hit = (astart, close, new_agg)
+            break
+        if hit is None:
+            return sql
+        astart, close, new_agg = hit
+        sql = sql[:astart] + new_agg + sql[close + 1 :]
+
+
+_ANY_ALL_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_any_all_array(sql: str) -> str:
+    """DuckDB quantified comparisons over ARRAYS: ``x = ANY(arr)`` →
+    ``array_contains(arr, x)``; the general ``x <op> ANY|ALL(arr)`` →
+    ``exists``/``forall`` lambdas.  Subquery operands (``ANY(SELECT
+    …)``) pass through untouched."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _ANY_ALL_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            open_paren = sql.rindex("(", m.start(), m.end())
+            close = _find_matching_close(sql, open_paren, states)
+            if close == -1:
+                continue
+            inner = sql[open_paren + 1 : close].strip()
+            if re.match(r"SELECT\b", inner, re.IGNORECASE):
+                continue  # subquery form: not the array sugar
+            k = m.start() - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            lstart = _expr_start(sql, states, k + 1)
+            left = sql[lstart : k + 1].strip()
+            if not left:
+                continue
+            op = m.group(1)
+            kind = m.group(2).upper()
+            if op == "=" and kind == "ANY":
+                repl = f"array_contains({inner}, {left})"
+            else:
+                hof = "exists" if kind == "ANY" else "forall"
+                repl = f"{hof}({inner}, __e -> {left} {op} __e)"
+            hit = (lstart, close, repl)
+            break
+        if hit is None:
+            return sql
+        lstart, close, repl = hit
+        sql = sql[:lstart] + repl + sql[close + 1 :]
+
+
+_IGNORE_NULLS_IN_RE = re.compile(
+    r"\s+(IGNORE|RESPECT)\s+NULLS\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_ignore_nulls_position(sql: str) -> str:
+    """DuckDB puts ``IGNORE/RESPECT NULLS`` INSIDE the call parens
+    (``last_value(x IGNORE NULLS)``); Spark wants it outside —
+    move it across the closing paren."""
+    states = _scan_states(sql)
+    out = []
+    last = 0
+    for m in _IGNORE_NULLS_IN_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(f") {m.group(1).upper()} NULLS")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 _WITH_HEAD_RE = re.compile(r"^\s*WITH\s+(RECURSIVE\s+)?", re.IGNORECASE)
 
 
@@ -2487,6 +2608,12 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # x [NOT] SIMILAR TO 'p' → anchored RLIKE.
     sql = _rewrite_similar_to(sql)
+
+    # agg FILTER (WHERE c) OVER (…) → CASE'd agg; x = ANY(arr) etc;
+    # in-paren IGNORE/RESPECT NULLS.
+    sql = _rewrite_filter_over_window(sql)
+    sql = _rewrite_any_all_array(sql)
+    sql = _rewrite_ignore_nulls_position(sql)
 
     # inline ORDER BY inside string_agg/listagg/array_agg/list calls
     # → WITHIN GROUP / sorted collect_list (before function renames).

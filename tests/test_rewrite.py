@@ -810,3 +810,42 @@ class TestFnCompat3:
         ).sql
         assert "named_struct('a', 1, 'b', 'x')" in r
         assert "(s)['a']" in r
+
+
+class TestFilterOverAnyAllIgnoreNulls:
+    """Batch-5 sweep (differential-tested against DuckDB)."""
+
+    def test_filter_over_window(self):
+        r = rewrite_statement(
+            "SELECT count(*) FILTER (WHERE x > 1) OVER (ORDER BY x) FROM t"
+        ).sql
+        assert "count(CASE WHEN x > 1 THEN 1 END) OVER (ORDER BY x)" in r
+
+    def test_filter_over_sum(self):
+        r = rewrite_statement(
+            "SELECT sum(y) FILTER (WHERE x > 1) OVER (ORDER BY x) FROM t"
+        ).sql
+        assert "sum(CASE WHEN x > 1 THEN y END) OVER" in r
+
+    def test_filter_plain_agg_untouched(self):
+        r = rewrite_statement("SELECT count(*) FILTER (WHERE x > 1) FROM t").sql
+        assert "FILTER (WHERE x > 1)" in r
+
+    def test_any_eq_to_array_contains(self):
+        r = rewrite_statement("SELECT 2 = ANY(arr) FROM t").sql
+        assert "array_contains(arr, 2)" in r
+
+    def test_any_all_lambdas(self):
+        r = rewrite_statement("SELECT x < ANY(arr), x < ALL(arr) FROM t").sql
+        assert "exists(arr, __e -> x < __e)" in r
+        assert "forall(arr, __e -> x < __e)" in r
+
+    def test_any_subquery_untouched(self):
+        r = rewrite_statement("SELECT x = ANY(SELECT y FROM u) FROM t").sql
+        assert "ANY(SELECT y FROM u)" in r
+
+    def test_ignore_nulls_moves_out(self):
+        r = rewrite_statement(
+            "SELECT last_value(x IGNORE NULLS) OVER (ORDER BY i) FROM t"
+        ).sql
+        assert "last_value(x) IGNORE NULLS OVER" in r
