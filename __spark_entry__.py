@@ -2531,28 +2531,32 @@ stop AS (
   FROM tok GROUP BY doc_id
 ),
 q AS (
+  -- integer micro-units: round-to-INTEGER of score*1e6 is engine-
+  -- stable (a 6-dp DOUBLE round is not), so the >= t verdicts replay
+  -- bit-identically against the Spark operator
   SELECT d.doc_id, d.source,
-         round(least(len(string_split(d.text, ' ')) / 50.0, 1.0) * 0.4
+         CAST(round((least(len(string_split(d.text, ' ')) / 50.0, 1.0) * 0.4
                + least(coalesce(s.hits, 0) * 1.0
                        / greatest(len(string_split(d.text, ' ')), 1) * 5,
                        1.0) * 0.4
                + (1 - least(length(regexp_replace(d.text,
                                     '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-                            / greatest(length(d.text), 1) * 10, 1.0)) * 0.2,
-               6) AS quality
+                            / greatest(length(d.text), 1) * 10, 1.0)) * 0.2)
+               * 1000000) AS BIGINT) AS qmicro
   FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
 ),
 wide AS (
   SELECT source, count(*) AS n_docs,
-         sum(CASE WHEN quality >= 0.2 THEN 1 ELSE 0 END) AS s0,
-         sum(CASE WHEN quality >= 0.3 THEN 1 ELSE 0 END) AS s1,
-         sum(CASE WHEN quality >= 0.4 THEN 1 ELSE 0 END) AS s2,
-         sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS s3,
-         sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS s4
+         sum(CASE WHEN qmicro >= 200000 THEN 1 ELSE 0 END) AS s0,
+         sum(CASE WHEN qmicro >= 300000 THEN 1 ELSE 0 END) AS s1,
+         sum(CASE WHEN qmicro >= 400000 THEN 1 ELSE 0 END) AS s2,
+         sum(CASE WHEN qmicro >= 500000 THEN 1 ELSE 0 END) AS s3,
+         sum(CASE WHEN qmicro >= 600000 THEN 1 ELSE 0 END) AS s4
   FROM q GROUP BY source
 )
 SELECT source, threshold, n_docs, n_survive,
-       round(n_survive * 1.0 / n_docs, 6) AS survive_frac
+       ((n_survive * 2000000 + n_docs) // (2 * n_docs)) / 1000000.0
+         AS survive_frac
 FROM (
   SELECT source, 0.2::DOUBLE AS threshold, n_docs, s0 AS n_survive FROM wide
   UNION ALL SELECT source, 0.3::DOUBLE, n_docs, s1 FROM wide

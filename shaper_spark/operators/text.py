@@ -102,13 +102,24 @@ def quality_score(
     id_col: str,
     text_col: str,
     keep_cols: tuple[str, ...] = (),
+    micro_units: bool = False,
 ) -> DataFrame:
     """Heuristic document quality in [0,1] from length, punctuation ratio
     and stopword ratio (the standard pretraining-filter trio).
 
     ``keep_cols`` ride the projection unchanged so group-level
     consumers (threshold sweep, per-source calibration) avoid a doc-id
-    join back to the source frame."""
+    join back to the source frame.
+
+    ``micro_units`` appends ``quality_micro`` — the score as a BIGINT
+    in 1e-6 units, ``CAST(round(score * 1e6) AS BIGINT)``. Round-to-
+    INTEGER of a double is engine-stable (binary doubles are never
+    half-way except exact .5, where every engine rounds away from
+    zero), unlike ``round(score, 6)`` whose 6-dp DOUBLE result depends
+    on the engine's decimal algorithm (Spark goes through BigDecimal's
+    shortest repr, DuckDB multiplies/rounds/divides) — comparisons
+    against thresholds must use the micro column to replay
+    bit-identically across engines."""
     from ..session import spread_for_compute
 
     # Stage the shared scans once (split for the word count, two
@@ -137,13 +148,23 @@ def quality_score(
         + F.least(stop_ratio * 5, F.lit(1.0)) * 0.4
         + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
     )
-    return staged.select(
+    micro = (
+        [
+            F.expr("CAST(round(__score * 1000000) AS BIGINT)").alias(
+                "quality_micro"
+            )
+        ]
+        if micro_units
+        else []
+    )
+    return staged.withColumn("__score", score).select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.round(length_score, 6).alias("length_score"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
+        F.round(F.col("__score"), 6).alias("quality"),
+        *micro,
     )
 
 
@@ -494,8 +515,13 @@ def filter_threshold_sweep(
     ``quality >= t`` and what fraction that is — the readout a pipeline
     studies BEFORE committing to a cut-off (a threshold that keeps 80 %
     of one source and 5 % of another is a provenance rebalance, not a
-    quality filter). Thresholds compare against the 6-dp-rounded
-    score, so any engine replaying the score replays the verdicts.
+    quality filter). Thresholds compare in integer micro-units
+    (``round(score·1e6)`` as BIGINT vs ``round(t·1e6)``) and
+    ``survive_frac`` is a half-up INTEGER division re-scaled to
+    double — both engine-stable, so any engine replaying the score
+    replays the verdicts and the fractions bit-identically (a 6-dp
+    DOUBLE round is not: Spark's BigDecimal path and DuckDB's
+    multiply-round-divide disagree on half-way cases).
 
     Spark shape: one :func:`quality_score` pass + one doc-id join for
     the group, then ONE hash-agg computing every threshold as a
@@ -507,12 +533,15 @@ def filter_threshold_sweep(
         raise ValueError("filter_threshold_sweep: thresholds must be non-empty")
     # the group rides the quality projection (keep_cols) — no doc-id
     # join back to the source frame, the sweep is scan → agg
-    q = quality_score(df, id_col, text_col, keep_cols=(group_col,)).select(
-        F.col(group_col).alias("grp"), "quality"
-    )
+    q = quality_score(
+        df, id_col, text_col, keep_cols=(group_col,), micro_units=True
+    ).select(F.col(group_col).alias("grp"), "quality_micro")
     aggs = [F.count(F.lit(1)).alias("n_docs")] + [
         F.sum(
-            F.when(F.col("quality") >= F.lit(float(t)), 1).otherwise(0)
+            F.when(
+                F.col("quality_micro") >= F.lit(int(round(float(t) * 1e6))),
+                1,
+            ).otherwise(0)
         ).alias(f"__s{i}")
         for i, t in enumerate(thresholds)
     ]
@@ -533,8 +562,14 @@ def filter_threshold_sweep(
             "threshold",
             "n_docs",
             "n_survive",
-            F.round(
-                F.col("n_survive") / F.col("n_docs").cast("double"), 6
+            # half-up integer division in 1e-6 units, re-scaled: pure
+            # BIGINT arithmetic, so the double replays bit-identically
+            # in any engine (round(a/b, 6) does not)
+            (
+                F.expr(
+                    "(n_survive * 2000000L + n_docs) DIV (2L * n_docs)"
+                ).cast("double")
+                / F.lit(1000000.0)
             ).alias("survive_frac"),
         )
         .orderBy(group_col, "threshold")
