@@ -114,6 +114,10 @@ class ShaperServer:
         # durable ingest queue next to it: a publish survives this
         # node dying before its batch flushed (WalIngestQueue — the
         # JetStream work-queue seam). Ephemeral servers stay in-memory.
+        # The directory is SHARED by every instance on this metastore:
+        # each owns a private flock'd segment, and a starting instance
+        # adopts dead peers' unacked entries (redelivery-to-any-
+        # consumer, like the reference's work queue).
         self.ingest = IngestBuffer(
             spark,
             wal_dir=(db_path + ".ingest-wal") if db_path else None,
@@ -1349,6 +1353,9 @@ class ShaperServer:
         self._server.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        # release the WAL segment lock so the next instance on this
+        # directory adopts anything left unacked
+        self.ingest.close()
         if self.db_path:
             from . import plancache
 

@@ -232,12 +232,26 @@ class WalIngestQueue:
     redelivery window the reference consumer has).  Arrival times ride
     the log so replayed rows keep their original ``_ts``.
 
-    One JSONL segment plus a tiny ack file holding the highest
-    contiguously-applied seq; the segment truncates whenever
-    everything in it is acked, so its size is bounded by the in-flight
-    window, not by history.  The seam is duck-typed (append / ack /
-    pending): a deployment can swap in a real broker client without
-    touching ``IngestBuffer``.
+    Multi-writer safe: every queue owns a PRIVATE segment file
+    (``seg-<token>.jsonl`` + ``.ack`` watermark + held ``flock`` on a
+    ``.lock`` file), so any number of server instances can point at
+    the same WAL directory without interleaving appends, colliding
+    seqs, or truncating each other's entries.  On startup a queue
+    scans the directory and ADOPTS any segment whose lock it can take
+    (the owner is dead): the orphan's unacked entries are re-appended
+    to the new queue's own segment and the orphan's files removed —
+    the JetStream redelivery-to-any-consumer behavior.  A crash
+    mid-adoption only duplicates (at-least-once), never loses.
+
+    Acking is interval-based: :meth:`ack_range` marks a seq range
+    applied and the persisted watermark only advances over the
+    CONTIGUOUS applied prefix — a later batch that finishes first can
+    never push the watermark past an earlier batch that failed, so the
+    failed batch stays in the segment for redelivery.  The segment
+    truncates whenever everything in it is acked, so its size is
+    bounded by the in-flight window, not by history.  The seam is
+    duck-typed (append / ack / pending): a deployment can swap in a
+    real broker client without touching ``IngestBuffer``.
     """
 
     def __init__(self, dir_path: str, fsync: bool = True):
@@ -245,25 +259,107 @@ class WalIngestQueue:
 
         os.makedirs(dir_path, exist_ok=True)
         self._dir = dir_path
-        self._seg = os.path.join(dir_path, "ingest-wal.jsonl")
-        self._ackf = os.path.join(dir_path, "ingest-wal.ack")
         self._fsync = fsync
         self._lock = threading.Lock()
+        token = secrets.token_hex(8)
+        self._seg = os.path.join(dir_path, f"seg-{token}.jsonl")
+        self._ackf = os.path.join(dir_path, f"seg-{token}.ack")
+        self._lockf = os.path.join(dir_path, f"seg-{token}.jsonl.lock")
+        self._lock_fd = self._acquire_lock(self._lockf)
+        open(self._seg, "a").close()
         self._acked = 0
+        self._seq = 0
+        # applied-but-not-yet-contiguous seq intervals (sorted, merged)
+        self._applied: list[list[int]] = []
+        self._adopt_orphans()
+
+    # -- segment ownership -------------------------------------------------
+
+    @staticmethod
+    def _acquire_lock(path: str) -> int | None:
+        """Exclusive non-blocking flock; None when unavailable (either
+        the lock is held by a live owner, or the platform lacks
+        fcntl — then single-writer use is assumed, the pre-lock
+        behavior)."""
+        import os
+
         try:
-            with open(self._ackf) as f:
-                self._acked = int(f.read().strip() or 0)
-        except (OSError, ValueError):
-            self._acked = 0
-        self._seq = self._acked
+            import fcntl
+        except ImportError:  # non-POSIX: degrade to single-writer
+            return None
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
         try:
-            with open(self._seg) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        self._seq = max(self._seq, json.loads(line)["seq"])
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
+            os.close(fd)
+            raise _SegmentBusy(path)
+        return fd
+
+    def _adopt_orphans(self) -> None:
+        """Re-queue every dead writer's unacked entries into OUR
+        segment (then remove the orphan's files).  Segments whose lock
+        is held by a live process are skipped — their owner is still
+        responsible for them.  Covers the legacy single-segment name
+        (``ingest-wal.jsonl``) from before per-writer segments."""
+        import os
+
+        try:
+            names = sorted(os.listdir(self._dir))
+        except OSError:
+            return
+        for name in names:
+            if not name.endswith(".jsonl"):
+                continue
+            seg = os.path.join(self._dir, name)
+            if seg == self._seg:
+                continue
+            lockf = seg + ".lock"
+            try:
+                fd = self._acquire_lock(lockf)
+            except _SegmentBusy:
+                continue  # live owner
+            try:
+                ackf = seg[: -len(".jsonl")] + ".ack"
+                # legacy layout used ingest-wal.jsonl / ingest-wal.ack
+                acked = 0
+                try:
+                    with open(ackf) as f:
+                        acked = int(f.read().strip() or 0)
+                except (OSError, ValueError):
+                    acked = 0
+                entries = _read_segment(seg, min_seq_exclusive=acked)
+                if entries:
+                    self.append_many(
+                        [(t, p, a) for _seq, t, p, a in entries]
+                    )
+                for path in (seg, ackf, lockf):
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
+            finally:
+                if fd is not None:
+                    os.close(fd)
+
+    def close(self) -> None:
+        """Release segment ownership (node shutdown). Unacked entries
+        stay on disk for the next queue on this directory to adopt."""
+        import os
+
+        if getattr(self, "_lock_fd", None) is not None:
+            try:
+                os.close(self._lock_fd)
+            except OSError:
+                pass
+            self._lock_fd = None
+
+    def __del__(self):  # release the flock when the owner is collected
+        try:
+            self.close()
+        except Exception:
             pass
+
+    # -- log operations ----------------------------------------------------
 
     def append(self, table: str, payload: dict[str, Any], arrival: dt.datetime) -> int:
         return self.append_many([(table, payload, arrival)])[0]
@@ -302,47 +398,100 @@ class WalIngestQueue:
         return seqs
 
     def ack(self, seq: int) -> None:
-        import os
-
+        """Mark everything up to ``seq`` applied (single-flusher
+        convenience; concurrent flushers must use :meth:`ack_range` so
+        a fast later batch cannot ack past a failed earlier one)."""
         with self._lock:
             if seq <= self._acked:
                 return
-            self._acked = seq
-            tmp = self._ackf + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(seq))
-                f.flush()
-                if self._fsync:
-                    os.fsync(f.fileno())
-            os.replace(tmp, self._ackf)
-            if self._acked >= self._seq:
-                # everything applied: truncate the segment (seq keeps
-                # counting from self._seq, so ids stay monotonic)
-                open(self._seg, "w").close()
+            self._applied.insert(0, [self._acked + 1, seq])
+            self._advance_watermark()
+
+    def ack_range(self, lo: int, hi: int) -> None:
+        """Mark the seq interval [lo, hi] applied.  The persisted
+        watermark advances only over the contiguous applied prefix, so
+        out-of-order completions never release unapplied entries."""
+        if hi < lo:
+            return
+        with self._lock:
+            if hi <= self._acked:
+                return
+            self._applied.append([max(lo, self._acked + 1), hi])
+            self._applied.sort()
+            merged: list[list[int]] = []
+            for itv in self._applied:
+                if merged and itv[0] <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], itv[1])
+                else:
+                    merged.append(itv)
+            self._applied = merged
+            self._advance_watermark()
+
+    def _advance_watermark(self) -> None:
+        """Persist the highest contiguously-applied seq; truncate the
+        segment when everything in it is acked.  Caller holds _lock."""
+        import os
+
+        if not (self._applied and self._applied[0][0] == self._acked + 1):
+            return
+        self._acked = self._applied.pop(0)[1]
+        tmp = self._ackf + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self._acked))
+            f.flush()
+            if self._fsync:
+                os.fsync(f.fileno())
+        os.replace(tmp, self._ackf)
+        if self._acked >= self._seq:
+            # everything applied: truncate the segment (seq keeps
+            # counting from self._seq, so ids stay monotonic)
+            open(self._seg, "w").close()
 
     def pending(self) -> list[tuple[int, str, dict[str, Any], dt.datetime]]:
         """Unacked entries in seq order — the redelivery set."""
-        out: list[tuple[int, str, dict[str, Any], dt.datetime]] = []
         with self._lock:
-            try:
-                with open(self._seg) as f:
-                    lines = f.readlines()
-            except OSError:
-                return []
-            for line in lines:
-                line = line.strip()
-                if not line:
-                    continue
-                e = json.loads(line)
-                if e["seq"] > self._acked:
-                    try:
-                        arrival = dt.datetime.fromisoformat(e["arrival"])
-                    except ValueError:
-                        arrival = dt.datetime.utcnow()
-                    out.append((e["seq"], e["table"], e["payload"], arrival))
+            out = _read_segment(self._seg, min_seq_exclusive=self._acked)
         out.sort(key=lambda t: t[0])
         return out
 
+
+class _SegmentBusy(OSError):
+    """Another live process owns this WAL segment."""
+
+
+def _read_segment(
+    path: str, min_seq_exclusive: int = 0
+) -> list[tuple[int, str, dict[str, Any], dt.datetime]]:
+    """Parse a JSONL segment, tolerating a TORN final record: a crash
+    mid-append can leave a partial last line, and refusing to restart
+    on it would defeat the WAL's purpose.  A corrupt record is treated
+    as end-of-log — everything intact before it is kept."""
+    out: list[tuple[int, str, dict[str, Any], dt.datetime]] = []
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return []
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            e = json.loads(line)
+            seq = int(e["seq"])
+            table = e["table"]
+            payload = e["payload"]
+            raw_arrival = e["arrival"]
+        except (ValueError, KeyError, TypeError):
+            break  # torn tail: keep the intact prefix
+        if seq <= min_seq_exclusive:
+            continue
+        try:
+            arrival = dt.datetime.fromisoformat(raw_arrival)
+        except (ValueError, TypeError):
+            arrival = dt.datetime.utcnow()
+        out.append((seq, table, payload, arrival))
+    return out
 
 class IngestBuffer:
     """Micro-batch ingestion front end.
@@ -376,6 +525,10 @@ class IngestBuffer:
             tuple[str, dict[str, Any], dt.datetime, int]
         ] = []
         self._lock = threading.Lock()
+        # flushes are SERIALIZED: ThreadingHTTPServer can drive two
+        # concurrent flushes, and without this a later batch could
+        # finish (and ack) while an earlier one is still appending
+        self._flush_lock = threading.Lock()
         self._last_flush = time.monotonic()
         self._schema_cache: dict[str, dict[str, str]] = {}
         self.wal = wal if wal is not None else (
@@ -433,21 +586,43 @@ class IngestBuffer:
     # -- flushing ----------------------------------------------------------
 
     def flush(self) -> None:
-        with self._lock:
-            batch = self._buffer
-            self._buffer = []
-            self._last_flush = time.monotonic()
-        by_table: dict[str, list[tuple[dict[str, Any], dt.datetime]]] = {}
-        max_seq = 0
-        for table, payload, arrival, seq in batch:
-            by_table.setdefault(table, []).append((payload, arrival))
-            max_seq = max(max_seq, seq)
-        for table, msgs in by_table.items():
-            self._process_table_batch(table, msgs)
-        if self.wal is not None and max_seq:
-            # ack AFTER every append landed; an exception above leaves
-            # the entries unacked for redelivery on restart
-            self.wal.ack(max_seq)
+        # pop + process + ack under ONE flush lock: without it a later
+        # batch can complete and ack while an earlier batch is still
+        # appending, advancing the WAL watermark past unapplied rows
+        with self._flush_lock:
+            with self._lock:
+                batch = self._buffer
+                self._buffer = []
+                self._last_flush = time.monotonic()
+            by_table: dict[str, list[tuple[dict[str, Any], dt.datetime]]] = {}
+            min_seq = 0
+            max_seq = 0
+            for table, payload, arrival, seq in batch:
+                by_table.setdefault(table, []).append((payload, arrival))
+                max_seq = max(max_seq, seq)
+                if seq and (min_seq == 0 or seq < min_seq):
+                    min_seq = seq
+            try:
+                for table, msgs in by_table.items():
+                    self._process_table_batch(table, msgs)
+            except BaseException:
+                # re-queue at the front so the batch retries in order;
+                # the WAL entries stay unacked either way, so a crash
+                # before the retry still redelivers on restart
+                with self._lock:
+                    self._buffer[:0] = batch
+                raise
+            if self.wal is not None and max_seq:
+                # ack AFTER every append landed, as an INTERVAL: the
+                # watermark only moves over the contiguous applied
+                # prefix, never past another batch that failed
+                self.wal.ack_range(min_seq, max_seq)
+
+    def close(self) -> None:
+        """Release WAL segment ownership (node shutdown); a queue on
+        the same directory can then adopt any unacked entries."""
+        if self.wal is not None:
+            self.wal.close()
 
     def _table_schema(self, table: str) -> dict[str, str] | None:
         if table in self._schema_cache:

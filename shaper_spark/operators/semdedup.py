@@ -107,7 +107,9 @@ def semantic_dedup(
     """Per-document SemDeDup verdict: (id, cluster, keep) — ``keep`` is
     False for every non-canonical member of a within-cluster duplicate
     group (cosine ≥ ``threshold`` > 0, groups closed transitively,
-    canonical = minimum id).  Ordered by id.
+    canonical = minimum id).  Output order is UNSPECIFIED (the verdicts
+    stream out of a per-cluster ``applyInPandas``); callers that need
+    an order must sort, as the bench oracle does.
 
     ``cluster_col`` uses a stored cluster id (deterministic,
     oracle-replayable); otherwise k-means assigns one

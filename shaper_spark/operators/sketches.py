@@ -188,8 +188,14 @@ def exact_heavy_hitters(
     # groupBy would need at corpus scale, not to beat it at megabytes.
     est = _plan_size_bytes(df)
     if est is not None and est < small_input_bytes:
-        counts = df.groupBy(F.col(value_col).alias("v")).agg(
-            F.count(F.lit(1)).alias("n")
+        # same normalized source projection as the sketch path — cast
+        # to string and drop NULLs — so both paths return the same
+        # schema and never count a NULL group into the total
+        counts = (
+            df.select(F.col(value_col).cast("string").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
         )
         total = counts.agg(F.sum("n").alias("__t"))
         return (

@@ -458,7 +458,7 @@ class TestWalDurability:
         assert [e[0] for e in q.pending()] == [s1, s2]
         q.ack(s2)
         assert q.pending() == []
-        assert os.path.getsize(os.path.join(wal_dir, "ingest-wal.jsonl")) == 0
+        assert os.path.getsize(q._seg) == 0
         # seqs stay monotonic after truncation
         s3 = q.append("t", {"a": 3}, dt.datetime.utcnow())
         assert s3 > s2
@@ -470,11 +470,12 @@ class TestWalDurability:
         wal_dir = str(tmp_path / "wal4")
         q = WalIngestQueue(wal_dir)
         s1 = q.append("t", {"a": 1}, dt.datetime.utcnow())
-        s2 = q.append("t", {"a": 2}, dt.datetime.utcnow())
+        q.append("t", {"a": 2}, dt.datetime.utcnow())
         q.ack(s1)
-        # new queue on the same dir (restart) sees only the tail
+        q.close()  # node dies; its segment lock releases
+        # new queue on the same dir (restart) adopts only the tail
         q2 = WalIngestQueue(wal_dir)
-        assert [e[0] for e in q2.pending()] == [s2]
+        assert [e[1:3] for e in q2.pending()] == [("t", {"a": 2})]
 
     def test_arrival_preserved_across_replay(self, spark, tmp_path):
         from shaper_spark.ingest import WalIngestQueue
@@ -483,6 +484,7 @@ class TestWalDurability:
         q = WalIngestQueue(wal_dir)
         arrival = dt.datetime(2024, 3, 1, 12, 0, 0)
         q.append("t", {"a": 1}, arrival)
+        q.close()
         q2 = WalIngestQueue(wal_dir)
         assert q2.pending()[0][3] == arrival
 
@@ -497,6 +499,93 @@ class TestWalDurability:
         )
         # all five persisted before any flush
         assert len(node.wal.pending()) == 5
+        node.close()  # node dies without flushing
         node2 = IngestBuffer(spark, batch_size=1000, wal_dir=wal_dir)
         node2.flush()
         assert len(_rows(spark, "ing_wal_bulk")) == 5
+
+    def test_torn_trailing_record_tolerated(self, spark, tmp_path):
+        """A crash mid-append leaves a partial final JSONL line; the
+        next queue must still restart and keep the intact prefix."""
+        from shaper_spark.ingest import WalIngestQueue
+
+        wal_dir = str(tmp_path / "wal7")
+        q = WalIngestQueue(wal_dir)
+        q.append("t", {"a": 1}, dt.datetime.utcnow())
+        q.append("t", {"a": 2}, dt.datetime.utcnow())
+        with open(q._seg, "a") as f:
+            f.write('{"seq": 3, "table": "t", "payl')  # torn mid-write
+        assert [e[2] for e in q.pending()] == [{"a": 1}, {"a": 2}]
+        q.close()
+        q2 = WalIngestQueue(wal_dir)  # restart must not raise
+        assert [e[2] for e in q2.pending()] == [{"a": 1}, {"a": 2}]
+
+    def test_out_of_order_ack_never_passes_unapplied(self, tmp_path):
+        """A later batch finishing first must not advance the
+        watermark past an earlier batch that has not applied yet."""
+        from shaper_spark.ingest import WalIngestQueue
+
+        q = WalIngestQueue(str(tmp_path / "wal8"))
+        now = dt.datetime.utcnow()
+        seqs = [q.append("t", {"i": i}, now) for i in range(4)]
+        q.ack_range(seqs[2], seqs[3])  # later batch lands first
+        assert q._acked == 0  # watermark held back
+        assert [e[0] for e in q.pending()] == seqs  # nothing released
+        q.ack_range(seqs[0], seqs[1])  # earlier batch completes
+        assert q._acked == seqs[3]
+        assert q.pending() == []
+
+    def test_failed_flush_not_acked_past(self, spark, tmp_path, monkeypatch):
+        """Flush failure leaves its entries unacked AND re-queued; a
+        later successful flush must not truncate them away."""
+        from shaper_spark import ingest as ing
+
+        _fresh(spark, "ing_wal_fail")
+        node = ing.IngestBuffer(
+            spark, batch_size=1000, wal_dir=str(tmp_path / "wal9")
+        )
+        node.publish("ing_wal_fail", {"name": "early"})
+        real = ing.IngestBuffer._process_table_batch
+        calls = {"n": 0}
+
+        def boom(self, table, msgs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("executor lost")
+            return real(self, table, msgs)
+
+        monkeypatch.setattr(ing.IngestBuffer, "_process_table_batch", boom)
+        try:
+            node.flush()
+        except RuntimeError:
+            pass
+        assert node.wal._acked == 0  # failed batch still owed
+        node.publish("ing_wal_fail", {"name": "late"})
+        node.flush()  # retries the re-queued batch with the new one
+        rows = _rows(spark, "ing_wal_fail")
+        assert sorted(r["name"] for r in rows) == ["early", "late"]
+        assert node.wal.pending() == []  # everything applied -> acked
+
+    def test_two_live_instances_share_one_wal_dir(self, spark, tmp_path):
+        """Two server instances on one metastore share the WAL
+        directory without interleaving, seq collisions, or one
+        truncating the other's unflushed entries; a third instance
+        adopts both after they die."""
+        from shaper_spark.ingest import WalIngestQueue
+
+        wal_dir = str(tmp_path / "wal10")
+        a = WalIngestQueue(wal_dir)
+        b = WalIngestQueue(wal_dir)
+        assert a._seg != b._seg  # private segments
+        now = dt.datetime.utcnow()
+        sa = a.append("t", {"who": "a"}, now)
+        b.append("t", {"who": "b"}, now)
+        a.ack(sa)  # a fully acked + truncated; must not touch b's
+        assert a.pending() == []
+        assert [e[2] for e in b.pending()] == [{"who": "b"}]
+        b.append("t", {"who": "b2"}, now)
+        a.close()
+        b.close()
+        c = WalIngestQueue(wal_dir)
+        got = sorted(e[2]["who"] for e in c.pending())
+        assert got == ["b", "b2"]  # adopts the dead peers' unacked

@@ -124,3 +124,30 @@ class TestHeavyHittersBothPaths:
                                       small_input_bytes=0).collect()]
         assert fast == sketch
         assert fast[0] == ("hot", 40)
+
+    def test_fast_path_matches_sketch_path_on_nullable_ints(self, spark):
+        """The size-gated fast path must share the sketch path's
+        normalized source (cast to string, NULLs dropped): NULLs never
+        form a countable group or inflate the total, and the value
+        column is string on both paths (r9 ADVICE)."""
+        from shaper_spark.operators import sketches as sk
+
+        vals = [7] * 40 + [9] * 25 + [None] * 30 + list(range(100, 160))
+        df = spark.createDataFrame([(v,) for v in vals], "x int")
+        fast = sk.exact_heavy_hitters(df, "x", min_frac=0.1, sketch_k=32)
+        assert [f.dataType.simpleString() for f in fast.schema.fields] == [
+            "string",
+            "bigint",
+        ]
+        got_fast = [tuple(r) for r in fast.collect()]
+        # force the sketch path by making the size gate reject
+        slow = sk.exact_heavy_hitters(
+            df, "x", min_frac=0.1, sketch_k=32, small_input_bytes=0
+        )
+        got_slow = [tuple(r) for r in slow.collect()]
+        assert got_fast == got_slow
+        # 30 NULLs out of 125 rows: with NULLs dropped the total is 95,
+        # so 9 (25 hits) clears the 10% bar; with NULLs counted it would
+        # also appear as a heavy value — assert it does not
+        assert ("9", 25) in got_fast
+        assert all(v is not None for v, _ in got_fast)
