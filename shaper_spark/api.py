@@ -125,7 +125,13 @@ class ShaperServer:
         # The scheduler records runs and claims scheduled fires through
         # the shared store — multiple server instances on one metastore
         # dedupe runs like the reference's NATS work queue.
-        self.scheduler = TaskScheduler(spark, store=self.store)
+        self.scheduler = TaskScheduler(
+            spark,
+            store=self.store,
+            # results survive a node dying between executing a task and
+            # recording it (same adopt-on-start WAL as the ingest queue)
+            result_wal_dir=(db_path + ".results-wal") if db_path else None,
+        )
         self._flusher_stop = threading.Event()
         outer = self
 

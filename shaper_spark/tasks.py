@@ -31,6 +31,7 @@ import re
 import secrets as _secrets
 import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -312,6 +313,7 @@ class TaskScheduler:
         on_result: Callable[[str, TaskResult], None] | None = None,
         store=None,
         instance_id: str = "",
+        result_wal_dir: str | None = None,
     ):
         self.spark = spark
         self.on_result = on_result
@@ -335,6 +337,27 @@ class TaskScheduler:
         self._poll_thread: threading.Thread | None = None
         self._base_url: str = ""
         self._seen_push_seqs: set[int] = set()
+        # Outgoing-result WAL (same segment+ack design as the ingest
+        # queue): a run's result is persisted locally BEFORE the shared
+        # event-log record is attempted and acked only after it lands,
+        # so a node dying — or a transiently unreachable store —
+        # between executing a task and recording its result loses
+        # nothing: the restart (or any instance adopting the dead
+        # node's segment via this directory) replays the record.
+        # At-least-once: replays re-record under a fresh event seq, so
+        # receivers dedupe on the payload's result_uid.
+        self.result_wal = None
+        self._seen_result_uids: "OrderedDict[str, None]" = OrderedDict()
+        if result_wal_dir and store is not None:
+            from .ingest import WalIngestQueue
+
+            self.result_wal = WalIngestQueue(result_wal_dir)
+            for seq, _kind, payload, _arrival in self.result_wal.pending():
+                try:
+                    self.store.record("task_run_result", payload)
+                except Exception:
+                    break  # store still down: keep the tail for later
+                self.result_wal.ack_range(seq, seq)
         if store is not None:
             try:
                 self._result_cursor = store.latest_event_seq()
@@ -479,17 +502,37 @@ class TaskScheduler:
     RESULT_POLL_S = 0.5
 
     def _broadcast_result(self, task_id: str, result: TaskResult) -> None:
+        # result rows may hold datetimes/Decimals — pre-serialize
+        # with default=str (the WS push serializes the same way)
+        payload = {
+            "task_id": task_id,
+            "instance": self.instance_id,
+            # replay identity: a WAL redelivery re-records under a new
+            # event seq, so receivers dedupe on this uid instead
+            "result_uid": _secrets.token_hex(8),
+            "result_json": json.dumps(result.to_dict(), default=str),
+        }
+        wal_seq = 0
+        if self.result_wal is not None:
+            try:
+                # persist-before-record: a death (or store outage) after
+                # the run but before the event-log record redelivers on
+                # restart instead of losing the result
+                wal_seq = self.result_wal.append(
+                    "task_run_result", payload, dt.datetime.utcnow()
+                )
+            except Exception:
+                wal_seq = 0
         try:
-            # result rows may hold datetimes/Decimals — pre-serialize
-            # with default=str (the WS push serializes the same way)
-            payload = {
-                "task_id": task_id,
-                "instance": self.instance_id,
-                "result_json": json.dumps(result.to_dict(), default=str),
-            }
             seq = self.store.record("task_run_result", payload)
         except Exception:
-            return  # an unreachable store must not fail the run
+            return  # an unreachable store must not fail the run;
+            # the WAL entry stays unacked for replay
+        if self.result_wal is not None and wal_seq:
+            try:
+                self.result_wal.ack_range(wal_seq, wal_seq)
+            except Exception:
+                pass
         if self._base_url:
             # push transport: deliver immediately to live peers (the
             # NATS publish of schedule_task.go:215-237); the shared-log
@@ -567,8 +610,15 @@ class TaskScheduler:
         if data.get("instance") == self.instance_id:
             return False  # our own run, already in self.results
         task_id = data.get("task_id", "")
+        uid = data.get("result_uid")
         with self._lock:
             known = task_id in self._contents
+            if uid is not None:
+                if uid in self._seen_result_uids:
+                    return False  # WAL replay re-recorded it (new seq)
+                self._seen_result_uids[uid] = None
+                while len(self._seen_result_uids) > 4096:
+                    self._seen_result_uids.popitem(last=False)
         if not known:
             return False
         try:
@@ -611,6 +661,8 @@ class TaskScheduler:
         self._poll_stop.set()
         if self._poll_thread is not None:
             self._poll_thread.join(timeout=2)
+        if self.result_wal is not None:
+            self.result_wal.close()  # next instance adopts any tail
         with self._lock:
             timers = list(self._timers.values())
             self._timers.clear()
