@@ -374,6 +374,24 @@ class ShaperServer:
                 try:
                     if parts == ["health"]:
                         return self._json(200, {"status": "ok"})
+                    if parts == ["metrics"]:
+                        # Prometheus system gauges behind API-key auth +
+                        # the metrics permission (routes.go:163 wires
+                        # echoprometheus behind KeyAuth +
+                        # PermissionReadMetrics). Must precede the SPA
+                        # fallback — /metrics is a top-level route.
+                        from .auth import PERMISSION_READ_METRICS
+                        from .metrics import CONTENT_TYPE, render_prometheus
+
+                        if self._gate(PERMISSION_READ_METRICS) is None:
+                            return
+                        body = render_prometheus()
+                        self.send_response(200)
+                        self.send_header("Content-Type", CONTENT_TYPE)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     if parts[:1] != ["api"] and ui.is_ui_path(url.path):
                         # SPA fallback: the reference serves the built
                         # React bundle for every non-/api route

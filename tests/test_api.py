@@ -1063,3 +1063,115 @@ class TestEmbedScopeUniform404:
             token=tok,
         )
         assert s_exist == s_miss == 404
+
+
+class TestMetricsEndpoint:
+    """GET /metrics: Prometheus text-format system gauges behind
+    API-key auth + the metrics permission (reference routes.go:163 +
+    server/metrics/metrics.go gauge families)."""
+
+    @pytest.fixture()
+    def msrv(self, spark):
+        srv = ShaperServer(spark).start()
+        yield srv
+        srv.stop()
+
+    def _req(self, srv, method, path, payload=None, token=""):
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers=headers,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, r.read(), dict(r.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, e.read(), dict(e.headers)
+
+    def test_prometheus_format(self, msrv):
+        s, body, headers = self._req(msrv, "GET", "/metrics")
+        assert s == 200  # no-auth mode: open like every other route
+        assert headers["Content-Type"].startswith("text/plain; version=0.0.4")
+        text = body.decode()
+        for family, typ in [
+            ("system_disk_space_bytes", "gauge"),
+            ("system_memory_bytes", "gauge"),
+            ("system_cpu_usage_percent", "gauge"),
+        ]:
+            assert f"# HELP {family} " in text
+            assert f"# TYPE {family} {typ}" in text
+        samples = {}
+        for line in text.splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            name, val = line.rsplit(" ", 1)
+            samples[name] = float(val)
+        assert (
+            samples['system_disk_space_bytes{path="/",type="total"}']
+            >= samples['system_disk_space_bytes{path="/",type="used"}']
+            > 0
+        )
+        assert samples['system_memory_bytes{type="total"}'] > 0
+        assert (
+            samples['system_memory_bytes{type="used"}']
+            + samples['system_memory_bytes{type="available"}']
+            <= samples['system_memory_bytes{type="total"}'] * 1.01
+        )
+        assert 0.0 <= samples["system_cpu_usage_percent"] <= 100.0
+
+    def test_key_gating_and_permission(self, msrv):
+        # create the first user -> auth required everywhere
+        s, body, _ = self._req(
+            msrv, "POST", "/api/auth/setup",
+            {"email": "m@x.y", "password": "pw12345678", "name": "M"},
+        )
+        assert s == 200
+        s, _, _ = self._req(msrv, "GET", "/metrics")
+        assert s == 401  # no token
+        s, body, _ = self._req(
+            msrv, "POST", "/api/auth/login",
+            {"email": "m@x.y", "password": "pw12345678"},
+        )
+        user_token = json.loads(body)["token"]
+        # API key WITHOUT the metrics permission -> 403
+        s, body, _ = self._req(
+            msrv, "POST", "/api/keys",
+            {"name": "nometrics", "permissions": ["data:query"]},
+            token=user_token,
+        )
+        assert s == 200
+        s, _, _ = self._req(
+            msrv, "GET", "/metrics", token=json.loads(body)["key"]
+        )
+        assert s == 403
+        # API key WITH it -> 200
+        s, body, _ = self._req(
+            msrv, "POST", "/api/keys",
+            {"name": "scraper", "permissions": ["metrics"]},
+            token=user_token,
+        )
+        assert s == 200
+        s, body, _ = self._req(
+            msrv, "GET", "/metrics", token=json.loads(body)["key"]
+        )
+        assert s == 200 and b"system_cpu_usage_percent" in body
+        # users hold every permission (auth.go:44-69)
+        s, _, _ = self._req(msrv, "GET", "/metrics", token=user_token)
+        assert s == 200
+
+    def test_cpu_delta_between_scrapes(self, msrv):
+        from shaper_spark import metrics as m
+
+        first = m.render_prometheus().decode()
+        second = m.render_prometheus().decode()
+        for text in (first, second):
+            (line,) = [
+                ln
+                for ln in text.splitlines()
+                if ln.startswith("system_cpu_usage_percent ")
+            ]
+            assert 0.0 <= float(line.split()[-1]) <= 100.0
