@@ -79,34 +79,126 @@ def _funnel_lazy(
     of the lazy frame directly."""
     from .dedup import normalize_text_expr
     from .sampling import hash_split
-    from .text import gopher_quality_filter
-    winner_ids = (
-        docs.withColumn("__h", F.md5(normalize_text_expr(F.col(text_col))))
-        .groupBy("__h")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-        .persist()
+
+    # ONE corpus scan computes every per-document stage ingredient
+    # (r9 verdict task #4: stack the stage predicates into a single
+    # pass, stage membership as conditional aggs — the
+    # filter_threshold_sweep grid trick applied to the funnel).  The
+    # scan is repetition_stats' exchange-free bigram shape with the
+    # dedup hash, the avg-word-length sum, and the split key RIDING
+    # ALONG as first()s, so the old separate winner scan, gopher scan,
+    # and the (winner ⋈ keep) id join all disappear: text is decoded
+    # once for flags, and the only remaining exchanges are the one
+    # doc-id exchange (satisfies both bigram groupBys), one NARROW
+    # (id, hash, keep, split) window exchange for the winner rule, and
+    # the gram-path joins.  Rule arithmetic replicates
+    # gopher_quality_filter/repetition_stats expression-for-expression
+    # (same 6-dp rounds), so every verdict is identical —
+    # tests/test_pipeline_ops.py pins the counts against running the
+    # explicit operator chain.
+    par = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    words = F.split(F.col(text_col), " ")
+    n0 = F.size(words)
+    # the three cheap Gopher rules (word count, avg word length,
+    # dup-word fraction) are pure per-row expressions — only
+    # top_bigram_frac needs the bigram stream, so docs that already
+    # fail a cheap rule emit just their sentinel row (no bigrams):
+    # the corpus-scale explode shrinks by the cheap-fail fraction
+    nd0 = F.size(F.array_distinct(words))
+    swl0 = F.length(text_col) - (n0 - F.lit(1))
+    awl0 = F.round(
+        swl0.cast("double") / F.greatest(n0, F.lit(1)), 6
     )
-    # Quality flags are per-document, so gopher runs on the RAW corpus
-    # CONCURRENTLY with the winner aggregate (independent branches of
-    # the one count job) — A/B-measured faster at sf0.1 than
-    # restricting gopher to winners first, because that serializes the
-    # critical path behind the dedup shuffle. On a corpus whose dup
-    # fraction is large (common at 100 TB), flip the trade: seed gopher
-    # with docs.join(winner_ids, left_semi) to cut its token-level
-    # shuffles by the dup fraction — flags of surviving docs are
-    # identical either way.
-    keep_ids = (
-        gopher_quality_filter(docs, id_col, text_col)
-        .filter(F.col("keep"))
-        .select(F.col("id").alias(id_col))
+    dwf0 = F.round(1 - nd0.cast("double") / n0, 6)
+    cheap_violated = (
+        (n0 < 50)
+        | (n0 > 100_000)
+        | (awl0 < 3.0)
+        | (awl0 > 10.0)
+        | (dwf0 > 0.9)
     )
-    s2_ids = winner_ids.join(keep_ids, id_col, "left_semi")
-    sp_ids = hash_split(
-        s2_ids, id_col, {"train": 0.9, "test": 0.1}
+    arr = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text_expr(F.col(text_col))).alias("__h"),
+        n0.alias("__n"),
+        cheap_violated.alias("__cv"),
+        words.alias("__ws"),
+    )
+    stream = arr.select(
+        "id",
+        "__h",
+        "__n",
+        "__cv",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("__cv"), F.lit(0)).otherwise(
+                    F.greatest(F.col("__n") - 1, F.lit(0))
+                ),
+            )
+        ).alias("__i"),
+        "__ws",
+    ).select(
+        "id",
+        "__h",
+        "__n",
+        "__cv",
+        F.when(
+            F.col("__i") > 0,
+            F.concat_ws(" ", F.slice("__ws", F.col("__i"), 2)),
+        ).alias("bigram"),
+    )
+    per_bigram = stream.groupBy("id", "bigram").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.first("__n").alias("__n"),
+        F.first("__cv").alias("__cv"),
+        F.first("__h").alias("__h"),
+    )
+    per_doc = per_bigram.groupBy("id").agg(
+        F.first("__n").alias("n_words"),
+        F.first("__cv").alias("__cv"),
+        F.first("__h").alias("__h"),
+        F.coalesce(
+            F.sum(F.when(F.col("bigram").isNotNull(), F.col("__c"))),
+            F.lit(0),
+        ).alias("__nbg"),
+        F.max(
+            F.when(F.col("bigram").isNotNull(), F.col("__c"))
+        ).alias("__top"),
+    )
+    # full Gopher §A1.1 verdict: cheap rules + the bigram rule, same
+    # 6-dp rounds as gopher_quality_filter; a NULL bigram stat adds no
+    # violation, exactly like the reasons-array original
+    top_bigram_frac = F.round(
+        F.col("__top").cast("double")
+        / F.greatest(F.col("__nbg"), F.lit(1)),
+        6,
+    )
+    violated = F.col("__cv") | F.coalesce(
+        top_bigram_frac > 0.5, F.lit(False)
+    )
+    flags = hash_split(
+        per_doc.select("id", "__h", (~violated).alias("__keep")),
+        "id",
+        {"train": 0.9, "test": 0.1},
+    )
+    # winner rule as a partial-aggregable struct-min per normalized
+    # hash: min(struct(id, keep, split)) is lexicographic on the
+    # unique id, so the struct carries the WINNER's flags out of the
+    # group — skew-safe (map-side combine absorbs giant dup groups,
+    # which a window over __h would sort in one partition) and one
+    # stage cheaper than window + per-row flag
+    groups = flags.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.min(F.struct("id", "__keep", "split")).alias("__w"),
     ).persist()
-    train_ids = sp_ids.filter(F.col("split") == "train").select(id_col)
-    test_ids = sp_ids.filter(F.col("split") == "test").select(id_col)
+    survivor = F.col("__w.__keep")
+    train_ids = groups.filter(
+        survivor & (F.col("__w.split") == "train")
+    ).select(F.col("__w.id").alias(id_col))
+    test_ids = groups.filter(
+        survivor & (F.col("__w.split") == "test")
+    ).select(F.col("__w.id").alias(id_col))
 
     def grams8(ids: DataFrame, bcast_ids: bool) -> DataFrame:
         # No pre-repartition here: the gram stream feeds a join that
@@ -150,19 +242,29 @@ def _funnel_lazy(
         .distinct()
     )
 
-    def cnt(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
-        )
-
-    lazy = (
-        cnt("0_raw", docs)
-        .unionAll(cnt("1_normalized_dedup", winner_ids))
-        .unionAll(cnt("2_quality", s2_ids))
-        .unionAll(cnt("3_train_split", train_ids))
-        .unionAll(cnt("__contaminated", contaminated))
+    # the first four stages are conditional sums over ONE pass of the
+    # persisted per-hash-group frame (the threshold-sweep grid trick) —
+    # only the contamination count needs its own (gram-join) aggregate
+    b2l = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    wide = groups.agg(
+        F.sum("__sz").alias("c0"),
+        F.count(F.lit(1)).alias("c1"),
+        b2l(survivor).alias("c2"),
+        b2l(survivor & (F.col("__w.split") == "train")).alias("c3"),
     )
-    return lazy, [winner_ids, sp_ids]
+    stages4 = wide.select(
+        F.expr(
+            "stack(4, '0_raw', c0, '1_normalized_dedup', c1,"
+            " '2_quality', c2, '3_train_split', c3)"
+            " AS (stage, n_docs)"
+        )
+    )
+    lazy = stages4.unionAll(
+        contaminated.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit("__contaminated").alias("stage"), "n_docs"
+        )
+    )
+    return lazy, [groups]
 
 
 def training_corpus_stages(
