@@ -592,28 +592,46 @@ def dsir_importance_weights(
         F.col(group_col).alias("grp"),
         F.split(F.col(text_col), " ").alias("__ws"),
     )
-    uni = arr.select(
-        "id", "grp", F.explode("__ws").alias("gram")
-    ).filter(F.length("gram") > 0)
+    # unigrams and bigrams stream out of ONE explode over a combined
+    # index range (i ∈ [1, 2n−1]: i ≤ n indexes a unigram, i > n a
+    # bigram start at i−n) — one corpus scan and one Generate instead
+    # of a two-branch union that scanned the parquet twice (r10: the
+    # union shape re-decoded text per branch; same rows, same grams,
+    # same filters, measured faster at sf0.1)
     n = F.size("__ws")
-    big = (
-        arr.filter(n >= 2)
-        .select(
+    grams = (
+        arr.select(
             "id",
             "grp",
-            F.explode(F.sequence(F.lit(1), n - 1)).alias("__i"),
+            n.alias("__n"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(2 * n - 1, F.lit(1)))
+            ).alias("__i"),
             "__ws",
         )
         .select(
             "id",
             "grp",
-            F.concat_ws(
-                " ",
+            F.when(
+                F.col("__i") <= F.col("__n"),
                 F.element_at("__ws", F.col("__i")),
-                F.element_at("__ws", F.col("__i") + 1),
-            ).alias("gram"),
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.element_at("__ws", F.col("__i") - F.col("__n")),
+                    F.element_at(
+                        "__ws", F.col("__i") - F.col("__n") + 1
+                    ),
+                )
+            )
+            .alias("gram"),
+            (F.col("__i") <= F.col("__n")).alias("__isuni"),
         )
-        .filter(~F.col("gram").rlike("^ | $|^$"))
+        .filter(
+            (F.col("__isuni") & (F.length("gram") > 0))
+            | (~F.col("__isuni") & ~F.col("gram").rlike("^ | $|^$"))
+        )
     )
     bucket = F.pmod(
         F.conv(
@@ -632,7 +650,7 @@ def dsir_importance_weights(
     # ReuseExchange — without it the bucket-LM branches rescan the
     # corpus (plan-pinned in tests/test_sampling.py).
     per_doc = (
-        uni.unionAll(big)
+        grams
         .select("id", "grp", bucket.alias("b"))
         .filter(F.col("b").isNotNull())
         .groupBy("id", "grp", "b")

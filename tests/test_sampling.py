@@ -372,4 +372,7 @@ class TestDsir:
         # the bucket-LM branch reuses the (id,grp,b) exchange (totals
         # fold into a bounded window, so it is the only other consumer)
         assert final.count("ReusedExchange") >= 1
-        assert final.count("FileScan parquet") == 2  # uni + bigram arms
+        # unigrams + bigrams stream from ONE combined-index explode:
+        # the corpus parquet is decoded exactly once (r10; the old
+        # union shape scanned it per gram arm)
+        assert final.count("FileScan parquet") == 1
