@@ -39,6 +39,7 @@ def _positional_grams(
     text_col: str,
     k: int,
     extra_cols: tuple[str, ...] = (),
+    hash_fn: str = "md5",
 ):
     """(id, [extras...], i, h): md5 hash of the k-gram starting at
     1-based token position i, for every document with ≥ k tokens.
@@ -80,8 +81,25 @@ def _positional_grams(
         "id",
         *extra_cols,
         "i",
-        F.md5(F.concat_ws(" ", F.slice("__ws", F.col("i"), k))).alias("h"),
+        _gram_hash(
+            F.concat_ws(" ", F.slice("__ws", F.col("i"), k)), hash_fn
+        ).alias("h"),
     )
+
+
+def _gram_hash(gram, hash_fn: str):
+    """md5 (default): 128-bit, replays in any engine — required when
+    the hash itself crosses an engine boundary (dup-span replay).
+    xxhash64: JVM-native 64-bit, ~an order of magnitude cheaper per
+    byte and an 8-byte exchange key instead of a 32-char string — for
+    consumers whose OUTPUT is hash-agnostic counts (novelty curve),
+    where each engine may hash its own way and only collision-free
+    grouping matters."""
+    if hash_fn == "md5":
+        return F.md5(gram)
+    if hash_fn == "xxhash64":
+        return F.xxhash64(gram)
+    raise ValueError(f"_positional_grams: unknown hash_fn {hash_fn!r}")
 
 
 

@@ -1183,8 +1183,13 @@ def ngram_novelty_curve(
     bucket id. Cost is Σ(gram postings); nothing is n²."""
     from .dupspans import _positional_grams
 
+    # xxhash64, not md5: the curve's output is counts only — h never
+    # crosses an engine boundary, so the JVM-native 64-bit hash (an
+    # order of magnitude cheaper per byte, 8-byte exchange key vs a
+    # 32-char string) groups the same grams the oracle's md5 does
     grams = _positional_grams(
-        df, id_col, text_col, k, extra_cols=(bucket_col,)
+        df, id_col, text_col, k, extra_cols=(bucket_col,),
+        hash_fn="xxhash64",
     )
     # ONE gram exchange: hash(h) satisfies groupBy(bucket,h), the
     # groupBy(h) min, AND co-partitions both join sides — the same
