@@ -373,6 +373,17 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail_file": "BENCH_DETAIL.json",
     }
+    # engine versions ride every record (r9 verdict #10): the one
+    # driver-vs-local hash divergence seen so far was a DuckDB version
+    # ULP difference — make the next one diagnosable from artifacts
+    import duckdb as _duckdb
+
+    engines = {
+        "spark_version": spark.version,
+        "duckdb_version": _duckdb.__version__,
+        "python_version": sys.version.split()[0],
+    }
+    record["engines"] = engines
     detail = dict(
         record,
         duckdb_ref=duck,

@@ -1471,9 +1471,8 @@ def _rewrite_distinct_on(sql: str) -> str:
     ``row_number() = 1`` filter (the downstream QUALIFY pass turns it
     into a subquery): one row per key set, chosen by the query's own
     ORDER BY (DuckDB semantics) or arbitrarily when there is none.
-    Top-level queries only — the QUALIFY pass this feeds rewrites the
-    outermost query, so a DISTINCT ON inside a derived table still
-    errors (as it did before, with a different message)."""
+    Works at any nesting depth — the QUALIFY pass this feeds rewrites
+    every parenthesized subquery/CTE body too (r10)."""
     while True:
         states = _scan_states(sql)
         m = next(
@@ -1874,6 +1873,64 @@ _RANK_OVER_EMPTY_RE = re.compile(
     r"(\s*\([^()]*\)\s+OVER\s*\()\s*(\))",
     re.IGNORECASE,
 )
+
+
+_LAMBDA_IDX_FN_RE = re.compile(
+    r"\b(transform|filter|list_transform|list_filter|array_transform)"
+    r"\s*\(",
+    re.IGNORECASE,
+)
+_TWO_PARAM_LAMBDA_RE = re.compile(
+    r"^\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)\s*->\s*(.*)$",
+    re.DOTALL,
+)
+
+
+def _rewrite_lambda_index_base(sql: str) -> str:
+    """DuckDB's optional second lambda parameter in
+    ``list_transform``/``list_filter`` is the **1-based** element
+    index; Spark's ``transform``/``filter`` second parameter is
+    **0-based**.  Same syntax, silently different values — rewrite the
+    body so every use of the index reads ``(i + 1)``.  The parameter
+    is renamed to ``__ix1b_<name>`` so the pass never re-applies to
+    its own output."""
+    for _ in range(64):
+        states = _scan_states(sql)
+        changed = False
+        for m in _LAMBDA_IDX_FN_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            close = _find_matching_close(sql, m.end() - 1, states)
+            if close == -1:
+                continue
+            args = _split_top_level_args(sql[m.end() : close])
+            if len(args) != 2:
+                continue
+            lm = _TWO_PARAM_LAMBDA_RE.match(args[1].strip())
+            if lm is None:
+                continue
+            elem, idx, body = lm.group(1), lm.group(2), lm.group(3)
+            if idx.startswith("__ix1b_"):
+                continue  # already rewritten
+            fresh = f"__ix1b_{idx}"
+            body_states = _scan_states(body)
+            body2 = re.sub(
+                rf"\b{re.escape(idx)}\b",
+                lambda bm: bm.group(0)
+                if body_states[bm.start()] != 0
+                else f"({fresh} + 1)",
+                body,
+            )
+            new = (
+                f"{sql[m.start(1) : m.end(1)]}({args[0].strip()}, "
+                f"({elem}, {fresh}) -> {body2})"
+            )
+            sql = sql[: m.start()] + new + sql[close + 1 :]
+            changed = True
+            break
+        if not changed:
+            return sql
+    return sql
 
 
 def _rewrite_misc_calls(sql: str) -> str:
@@ -2428,6 +2485,47 @@ def _depth0_matches(sql: str, pattern: re.Pattern[str]) -> list[re.Match[str]]:
     return out
 
 
+def _rewrite_qualify_all(sql: str) -> str:
+    """Apply the QUALIFY rewrite at EVERY nesting depth: the outermost
+    query first (the pre-r10 behavior), then each remaining QUALIFY
+    inside a parenthesized subquery/CTE body by rewriting that paren
+    group's content in place (where its own QUALIFY is depth-0).  This
+    is what makes ``WITH x AS (SELECT … QUALIFY …)`` and derived-table
+    DISTINCT ON work — ``_rewrite_distinct_on`` lowers into QUALIFY at
+    any depth and relies on this pass."""
+    sql = _rewrite_qualify(sql)
+    for _ in range(32):  # nesting bound; each pass removes one QUALIFY
+        states = _scan_states(sql)
+        # innermost enclosing '(' for the first nested QUALIFY
+        target = None
+        for m in _QUALIFY_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            stack: list[int] = []
+            for i in range(m.start()):
+                if states[i] != 0:
+                    continue
+                if sql[i] == "(":
+                    stack.append(i)
+                elif sql[i] == ")" and stack:
+                    stack.pop()
+            if stack:
+                target = (m, stack[-1])
+                break
+        if target is None:
+            return sql
+        m, open_pos = target
+        close = _find_matching_close(sql, open_pos, states)
+        if close == -1:
+            return sql
+        inner = sql[open_pos + 1 : close]
+        new_inner = _rewrite_qualify(inner)
+        if new_inner == inner:
+            return sql  # not rewritable where it sits; leave for Spark
+        sql = sql[: open_pos + 1] + new_inner + sql[close:]
+    return sql
+
+
 def _rewrite_qualify(sql: str) -> str:
     """``… QUALIFY <pred> [ORDER BY …]`` → filter over a subquery.
 
@@ -2452,14 +2550,49 @@ def _rewrite_qualify(sql: str) -> str:
         if not froms:
             return sql
         f = froms[0]
+        # a trailing ORDER BY may reference SOURCE columns the select
+        # list does not project (legal in DuckDB/Postgres, and the
+        # normal case for DISTINCT ON) — inject each order key as a
+        # helper column so the outer sort resolves, and EXCEPT-drop
+        # the helpers with the qualify flag
+        helper_cols = ""
+        drop = ["__qualify__"]
+        tm = re.match(
+            r"\s*ORDER\s+BY\s+(.*?)(\s+(?:LIMIT|OFFSET|FETCH)\b.*)?$",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if tm:
+            items = _split_top_level_args(tm.group(1))
+            rewritten = []
+            mod_re = re.compile(
+                r"\s*(ASC|DESC)?\s*(NULLS\s+(?:FIRST|LAST))?\s*$",
+                re.IGNORECASE,
+            )
+            for k, item in enumerate(items):
+                mm = mod_re.search(item)
+                expr = item[: mm.start()].strip() if mm else item.strip()
+                mods = item[mm.start() :].strip() if mm else ""
+                if re.fullmatch(r"\d+", expr):
+                    rewritten.append(item.strip())  # positional: keep
+                    continue
+                name = f"__ob{k}__"
+                helper_cols += f", ({expr}) AS {name}"
+                drop.append(name)
+                rewritten.append(f"{name} {mods}".strip())
+            tail = (
+                " ORDER BY "
+                + ", ".join(rewritten)
+                + (tm.group(2) or "")
+            )
         inner = (
             body[: f.start()].rstrip()
-            + f", ({pred}) AS __qualify__ "
+            + f", ({pred}) AS __qualify__{helper_cols} "
             + body[f.start() :]
         )
         return (
-            f"SELECT * EXCEPT (__qualify__) FROM ({inner}) __qualify_sub "
-            f"WHERE __qualify__{tail}"
+            f"SELECT * EXCEPT ({', '.join(drop)}) FROM ({inner}) "
+            f"__qualify_sub WHERE __qualify__{tail}"
         )
     return f"SELECT * FROM ({body}) __qualify_sub WHERE {pred}{tail}"
 
@@ -2639,6 +2772,9 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # date_add interval form; 2-arg regexp_extract; rank OVER ().
     sql = _rewrite_misc_calls(sql)
 
+    # 2-param lambdas: DuckDB's index is 1-based, Spark's 0-based.
+    sql = _rewrite_lambda_index_base(sql)
+
     # sample-stat skew/kurtosis corrections; extract(epoch|dow|isodow);
     # 3-arg date_sub; time_bucket; 2-arg regexp_extract_all; format{};
     # to_base.
@@ -2647,8 +2783,8 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # ASOF [LEFT] JOIN → LATERAL top-1 subquery.
     sql, asof_pairs = _rewrite_asof_join(sql)
 
-    # QUALIFY → subquery filter.
-    sql = _rewrite_qualify(sql)
+    # QUALIFY → subquery filter (at every nesting depth).
+    sql = _rewrite_qualify_all(sql)
 
     # BOXPLOT macro.
     sql = _expand_boxplot(sql)

@@ -849,3 +849,109 @@ class TestFilterOverAnyAllIgnoreNulls:
             "SELECT last_value(x IGNORE NULLS) OVER (ORDER BY i) FROM t"
         ).sql
         assert "last_value(x) IGNORE NULLS OVER" in r
+
+
+def _has_qualify_clause(sql: str) -> bool:
+    """True if a bare QUALIFY keyword remains (the __qualify__ helper
+    identifiers do not count)."""
+    import re as _re
+
+    return bool(_re.search(r"(?<![_A-Za-z])QUALIFY(?![_A-Za-z])", sql, _re.I))
+
+
+class TestNestedQualifyDistinctOn:
+    """Batch-6 sweep: QUALIFY (and DISTINCT ON, which lowers into it)
+    now rewrites at every nesting depth, and a trailing ORDER BY may
+    reference source columns the select list does not project
+    (DuckDB/Postgres-legal; the rewrite injects them as dropped helper
+    columns). Differential-tested against DuckDB."""
+
+    def test_qualify_in_cte(self):
+        r = rewrite_statement(
+            "WITH r AS (SELECT a FROM t QUALIFY row_number()"
+            " OVER (ORDER BY a) <= 2) SELECT a FROM r"
+        )
+        assert not _has_qualify_clause(r.sql)
+        assert "__qualify__" in r.sql
+
+    def test_qualify_in_derived_table(self):
+        r = rewrite_statement(
+            "SELECT * FROM (SELECT a FROM t QUALIFY row_number()"
+            " OVER (ORDER BY a) <= 3) s"
+        )
+        assert not _has_qualify_clause(r.sql)
+
+    def test_two_sibling_nested_qualifies(self):
+        r = rewrite_statement(
+            "SELECT * FROM (SELECT a FROM t QUALIFY row_number() OVER"
+            " (ORDER BY a) <= 1) x JOIN (SELECT b FROM u QUALIFY"
+            " row_number() OVER (ORDER BY b) <= 1) y ON x.a = y.b"
+        )
+        assert not _has_qualify_clause(r.sql)
+        assert r.sql.count("__qualify__") >= 4  # both sides rewritten
+
+    def test_distinct_on_in_subquery(self):
+        r = rewrite_statement(
+            "SELECT c FROM (SELECT DISTINCT ON (g) g, c FROM t"
+            " ORDER BY g, x) s"
+        )
+        assert "DISTINCT ON" not in r.sql.upper()
+        assert not _has_qualify_clause(r.sql)
+
+    def test_order_by_unprojected_column_gets_helper(self):
+        r = rewrite_statement(
+            "SELECT DISTINCT ON (g) g FROM t ORDER BY g, other_col"
+        )
+        # other_col is not projected: it must ride as a dropped helper
+        assert "__ob1__" in r.sql
+        assert "EXCEPT (__qualify__, __ob0__, __ob1__)" in r.sql
+
+    def test_order_by_positional_kept(self):
+        r = rewrite_statement(
+            "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY a)"
+            " = 1 ORDER BY 1"
+        )
+        assert "ORDER BY 1" in r.sql
+
+
+class TestLambdaIndexBase:
+    """Batch-6 silent-wrong fix: DuckDB's optional second lambda param
+    in list_transform/list_filter is the 1-BASED index; Spark's is
+    0-based. Same syntax, different values — differential-tested."""
+
+    def test_transform_index_shifted(self):
+        r = rewrite_statement(
+            "SELECT list_transform([1,2,3], (x, i) -> x + i)"
+        )
+        assert "(__ix1b_i + 1)" in r.sql
+        assert "(x, __ix1b_i) ->" in r.sql
+
+    def test_filter_index_shifted(self):
+        r = rewrite_statement(
+            "SELECT list_filter([10,20], (v, pos) -> pos > 1)"
+        )
+        assert "(__ix1b_pos + 1) > 1" in r.sql
+
+    def test_one_param_lambda_untouched(self):
+        r = rewrite_statement("SELECT list_transform([1], x -> x * 2)")
+        assert "__ix1b" not in r.sql
+
+    def test_nested_lambdas_both_shifted(self):
+        r = rewrite_statement(
+            "SELECT list_transform([[1]], (x, i) ->"
+            " list_transform(x, (y, j) -> y + i + j))"
+        )
+        assert r.sql.count("__ix1b_") >= 4  # both params + both uses
+
+    def test_reduce_lambda_untouched(self):
+        # (acc, x) in reduce is NOT an index pair — must not shift
+        r = rewrite_statement(
+            "SELECT reduce(a, 0, (acc, x) -> acc + x) FROM t"
+        )
+        assert "__ix1b" not in r.sql
+
+    def test_filter_where_clause_untouched(self):
+        r = rewrite_statement(
+            "SELECT count(*) FILTER (WHERE x = 1) FROM t"
+        )
+        assert "__ix1b" not in r.sql
