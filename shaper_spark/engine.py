@@ -264,24 +264,184 @@ def _run_duck_pivot(spark: SparkSession, sql: str):
         r[0]
         for r in df.select(on).distinct().dropna().orderBy(on).limit(1000).collect()
     ]
+    # USING may list several aggregates with aliases
+    # ("USING count(*) AS c, max(x) AS m" → value_c, value_m columns,
+    # value-major — the same naming DuckDB's macro produces)
+    from .rewrite import _split_top_level_args
+
+    agg_items = []
+    for item in _split_top_level_args(using):
+        am = re.match(
+            r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$",
+            item.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            agg_items.append((am.group(1).strip(), am.group(2)))
+        else:
+            agg_items.append((item.strip(), None))
     if m.group("group"):
         group_cols = [c.strip() for c in m.group("group").split(",")]
     else:
         # DuckDB semantics: group by every remaining column not consumed
-        # by the ON column or the aggregate expression.
+        # by the ON column or the aggregate expressions.
         used = {on.lower()}
         for ident in re.findall(r"[A-Za-z_]\w*", using):
             used.add(ident.lower())
         group_cols = [c for c in df.columns if c.lower() not in used]
-    out = df.groupBy(*group_cols).pivot(on, values).agg(F.expr(using))
-    if using.lower().startswith("count"):
-        # DuckDB's pivot fills empty count cells with 0, Spark with NULL.
-        out = out.fillna(0, subset=[c for c in out.columns if c not in group_cols])
+    aggs = [
+        F.expr(e).alias(a) if a else F.expr(e) for e, a in agg_items
+    ]
+    out = df.groupBy(*group_cols).pivot(on, values).agg(*aggs)
+    # DuckDB's pivot fills empty count cells with 0, Spark with NULL.
+    count_fill = []
+    for e, a in agg_items:
+        if not e.lower().startswith("count"):
+            continue
+        if len(agg_items) == 1 and a is None:
+            count_fill = [c for c in out.columns if c not in group_cols]
+            break
+        suffix = f"_{a}" if a else f"_{e}"
+        count_fill.extend(
+            c
+            for c in out.columns
+            if c not in group_cols and c.endswith(suffix)
+        )
+    if count_fill:
+        out = out.fillna(0, subset=count_fill)
     if m.group("order"):
         out = out.orderBy(*[c.strip() for c in m.group("order").split(",")])
     if m.group("limit"):
         out = out.limit(int(m.group("limit")))
     return out
+
+
+def _expand_nested_pivots(spark: SparkSession, sql: str):
+    """Replace every parenthesized ``(PIVOT …)`` group (CTE body,
+    derived table) with a temp view over the executed sugar — DuckDB
+    macro-expands the same form before binding, so nesting it anywhere
+    a relation can appear is legal there. Returns (sql, used)."""
+    from .rewrite import _find_matching_close, _scan_states
+
+    used = False
+    for _ in range(16):
+        states = _scan_states(sql)
+        m = next(
+            (
+                mm
+                for mm in re.finditer(r"\(\s*PIVOT\b", sql, re.IGNORECASE)
+                if states[mm.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql, used
+        close = _find_matching_close(sql, m.start(), states)
+        if close == -1:
+            return sql, used
+        inner = sql[m.start() + 1 : close].strip()
+        df = _run_duck_pivot(spark, inner)
+        if df is None:
+            return sql, used
+        name = f"__pivot_{abs(hash(inner)) % 10**8}"
+        df.createOrReplaceTempView(name)
+        # keep the parens and wrap in a SELECT so the substitution is
+        # valid both as a derived table and as a CTE body
+        sql = (
+            sql[: m.start()]
+            + f"(SELECT * FROM {name})"
+            + sql[close + 1 :]
+        )
+        used = True
+    return sql, used
+
+
+_UNION_BY_NAME_RE = re.compile(
+    r"\bUNION\s+(ALL\s+)?BY\s+NAME\b", re.IGNORECASE
+)
+
+
+def _expand_union_by_name(spark: SparkSession, sql: str):
+    """DuckDB ``q1 UNION [ALL] BY NAME q2`` → positional UNION over
+    name-aligned projections.  Spark SQL has no BY NAME form, and a
+    text rewrite needs the sides' schemas — so each side is analyzed
+    into a temp view, the output column list is the first-appearance
+    union of the sides' columns (DuckDB's ordering), and each side
+    projects ``col`` or ``CAST(NULL AS <type>) AS col`` for names it
+    lacks (DuckDB fills missing with NULL).  A trailing ORDER BY /
+    LIMIT on the last side binds to the whole union, as in DuckDB.
+    Returns (sql, used)."""
+    from .rewrite import _scan_states, rewrite_statement
+
+    states = _scan_states(sql)
+    depth = 0
+    depths = {}
+    for i, c in enumerate(sql):
+        if states[i] == 0:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+        depths[i] = depth
+    cuts = [
+        m
+        for m in _UNION_BY_NAME_RE.finditer(sql)
+        if states[m.start()] == 0 and depths[m.start()] == 0
+    ]
+    if not cuts:
+        return sql, False
+    if sql.lstrip().upper().startswith("WITH"):
+        raise ValueError(
+            "UNION BY NAME under a WITH prefix is not supported: "
+            "move the BY NAME union inside a CTE body or drop the CTE"
+        )
+    distinct = any(not m.group(1) for m in cuts)
+    # split sides
+    sides = []
+    last = 0
+    for m in cuts:
+        sides.append(sql[last : m.start()])
+        last = m.end()
+    sides.append(sql[last:])
+    # the whole-union tail rides on the last side at depth 0
+    tail = ""
+    last_side = sides[-1]
+    ls_states = _scan_states(last_side)
+    d2 = 0
+    for i, c in enumerate(last_side):
+        if ls_states[i] != 0:
+            continue
+        if c == "(":
+            d2 += 1
+        elif c == ")":
+            d2 -= 1
+        elif d2 == 0 and re.match(
+            r"(ORDER\s+BY|LIMIT|OFFSET|FETCH)\b",
+            last_side[i:],
+            re.IGNORECASE,
+        ):
+            tail = " " + last_side[i:].strip()
+            sides[-1] = last_side[:i]
+            break
+    views = []
+    cols: list[tuple[str, str]] = []  # (name, spark type) first-seen
+    for k, side in enumerate(sides):
+        df = spark.sql(rewrite_statement(side.strip().strip(";")).sql)
+        name = f"__ubn_{abs(hash(sql)) % 10**8}_{k}"
+        df.createOrReplaceTempView(name)
+        views.append((name, {f.name: f for f in df.schema.fields}))
+        for f in df.schema.fields:
+            if all(n != f.name for n, _ in cols):
+                cols.append((f.name, f.dataType.simpleString()))
+    selects = []
+    for name, fields in views:
+        proj = ", ".join(
+            f"`{c}`" if c in fields else f"CAST(NULL AS {t}) AS `{c}`"
+            for c, t in cols
+        )
+        selects.append(f"SELECT {proj} FROM {name}")
+    op = " UNION " if distinct else " UNION ALL "
+    return op.join(selects) + tail, True
 
 
 def _run_summarize(spark: SparkSession, sql: str):
@@ -1329,6 +1489,13 @@ def _run_query(
 
         sub, used_tablefuncs = expand_table_functions(spark, sub)
         sub, used_filefuncs = expand_file_functions(spark, sub)
+        # DuckDB PIVOT sugar inside a CTE body or derived table:
+        # materialize each "(PIVOT …)" group as a temp view so the
+        # enclosing query reads it like any other relation (DuckDB
+        # expands the same sugar to a macro before binding).
+        sub, used_pivot = _expand_nested_pivots(spark, sub)
+        sub, used_ubn = _expand_union_by_name(spark, sub)
+        used_tablefuncs = used_tablefuncs or used_pivot or used_ubn
         used_tablefuncs = used_tablefuncs or used_filefuncs
         rw = rewrite_statement(sub)
         if rw.asof_joins:

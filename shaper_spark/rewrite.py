@@ -2141,7 +2141,87 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return None
         return f"({args[0].strip()})[{args[1].strip()}]"
 
+    def _fix_entropy(args: list[str]) -> str | None:
+        # DuckDB entropy(x): base-2 Shannon entropy of the value
+        # distribution in the group, NULLs excluded.  Emulated over
+        # collect_list via the identity H = log2(n) − Σ c·log2(c) / n
+        # (Spark dedups the identical collect_list agg expressions, so
+        # the group is buffered once; the HOFs are interpreted —
+        # dashboard-scale groups, not the corpus hot path).
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        if e.endswith("/*H*/"):
+            return None
+        L = f"collect_list({e} /*H*/)"
+        return (
+            f"(CASE WHEN size({L}) = 0 THEN NULL ELSE "
+            f"log2(CAST(size({L}) AS DOUBLE)) - aggregate("
+            f"transform(array_distinct({L}), v -> "
+            f"size(filter({L}, y -> y <=> v))), CAST(0 AS DOUBLE), "
+            f"(acc, c) -> acc + c * log2(CAST(c AS DOUBLE))) / "
+            f"size({L}) END)"
+        )
+
+    def _fix_histogram(args: list[str]) -> str | None:
+        # DuckDB histogram(x): MAP(value → count), keys sorted, NULLs
+        # excluded.  Same collect_list emulation as entropy.
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        if e.endswith("/*H*/"):
+            return None
+        L = f"collect_list({e} /*H*/)"
+        return (
+            f"map_from_entries(transform(array_sort(array_distinct({L})), "
+            f"v -> struct(v, CAST(size(filter({L}, y -> y <=> v)) "
+            f"AS BIGINT))))"
+        )
+
+    def _fix_scalar_range(args: list[str]) -> str | None:
+        # DuckDB's SCALAR range(): list with EXCLUSIVE end (Spark's
+        # sequence() is inclusive).  FROM-position range() is handled
+        # earlier by the table-function pass / Spark's own TVF — the
+        # dispatch loop below skips those via the FROM/JOIN guard.
+        if len(args) == 1:
+            n = f"CAST({args[0].strip()} AS BIGINT)"
+            return (
+                f"slice(sequence(0, greatest({n} - 1, 0)), 1, "
+                f"greatest({n}, 0))"
+            )
+        if len(args) == 2:
+            a = f"CAST({args[0].strip()} AS BIGINT)"
+            b = f"CAST({args[1].strip()} AS BIGINT)"
+            return (
+                f"slice(sequence({a}, greatest({b} - 1, {a})), 1, "
+                f"greatest({b} - {a}, 0))"
+            )
+        return None
+
+    def _fix_scalar_series(args: list[str]) -> str | None:
+        # scalar generate_series(): INCLUSIVE end — sequence() exactly
+        if len(args) in (2, 3):
+            return f"sequence({', '.join(a.strip() for a in args)})"
+        if len(args) == 1:
+            return f"sequence(0, CAST({args[0].strip()} AS BIGINT))"
+        return None
+
+    _fix_scalar_range.expr_position_only = True
+    _fix_scalar_series.expr_position_only = True
+
     for regex, fixer in (
+        (re.compile(r"\bentropy\s*\(", re.IGNORECASE), _fix_entropy),
+        (re.compile(r"\bhistogram\s*\(", re.IGNORECASE), _fix_histogram),
+        (
+            re.compile(r"(?<![\w.])range\s*\(", re.IGNORECASE),
+            _fix_scalar_range,
+        ),
+        (
+            re.compile(
+                r"(?<![\w.])generate_series\s*\(", re.IGNORECASE
+            ),
+            _fix_scalar_series,
+        ),
         (re.compile(r"\bskewness\s*\(", re.IGNORECASE), _fix_skew),
         (re.compile(r"\bkurtosis\s*\(", re.IGNORECASE), _fix_kurt),
         (re.compile(r"\bdate_sub\s*\(", re.IGNORECASE), _fix_date_sub3),
@@ -2171,6 +2251,12 @@ def _rewrite_fn_compat2(sql: str) -> str:
             for m in regex.finditer(sql):
                 if states[m.start()] != 0:
                     continue
+                if getattr(fixer, "expr_position_only", False):
+                    # FROM/JOIN-position calls are table functions
+                    # (handled earlier / natively) — leave them alone
+                    prev = sql[: m.start()].rstrip().rsplit(None, 1)
+                    if prev and prev[-1].upper() in ("FROM", "JOIN"):
+                        continue
                 close = _find_matching_close(sql, m.end() - 1, states)
                 if close == -1:
                     break
@@ -2182,7 +2268,11 @@ def _rewrite_fn_compat2(sql: str) -> str:
                 break
             if not changed:
                 break
-    sql = sql.replace(" /*G1*/", "").replace(" /*G2*/", "")
+    sql = (
+        sql.replace(" /*G1*/", "")
+        .replace(" /*G2*/", "")
+        .replace(" /*H*/", "")
+    )
 
     # extract(epoch|dow|isodow FROM e)
     while True:

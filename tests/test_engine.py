@@ -539,3 +539,66 @@ def test_hint_column_on_dropdown_multi(spark):
     q = r.sections[0].queries[0]
     assert q.render["type"] == "dropdownMulti"
     assert [c.tag for c in q.columns] == ["value", "hint"]
+
+
+def test_pivot_inside_cte_and_derived_table(spark):
+    # batch-6: "(PIVOT …)" as a CTE body / derived table materializes
+    # through a temp view (DuckDB macro-expands the same sugar)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pivot_src3 AS "
+        "SELECT * FROM VALUES ('a','x',1.0),('b','y',2.0) v(g, c, n)"
+    )
+    r = query_dashboard(
+        spark,
+        "WITH p AS (PIVOT pivot_src3 ON c USING sum(n) GROUP BY g) "
+        "SELECT g FROM p ORDER BY g",
+    )
+    assert r.sections[0].queries[0].rows == [["a"], ["b"]]
+    r = query_dashboard(
+        spark,
+        "SELECT count(*) AS n FROM "
+        "(PIVOT pivot_src3 ON c USING sum(n) GROUP BY g) t",
+    )
+    assert r.sections[0].queries[0].rows == [[2]]
+
+
+def test_pivot_multiple_using_aliases(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pivot_src4 AS "
+        "SELECT * FROM VALUES ('a','x',1.0),('a','x',3.0) v(g, c, n)"
+    )
+    r = query_dashboard(
+        spark,
+        "PIVOT pivot_src4 ON c USING count(*) AS cnt, sum(n) AS s "
+        "GROUP BY g ORDER BY g",
+    )
+    q = r.sections[0].queries[0]
+    assert [c.name for c in q.columns] == ["g", "x_cnt", "x_s"]
+    assert q.rows == [["a", 2, 4.0]]
+
+
+def test_union_by_name(spark):
+    r = query_dashboard(
+        spark,
+        "SELECT 1 AS a, 2 AS b UNION ALL BY NAME "
+        "SELECT 20 AS b, 10 AS a ORDER BY a",
+    )
+    assert r.sections[0].queries[0].rows == [[1, 2], [10, 20]]
+    # missing column fills with NULL; plain UNION BY NAME dedups
+    r = query_dashboard(
+        spark,
+        "SELECT 1 AS a UNION ALL BY NAME SELECT 2 AS b "
+        "ORDER BY a NULLS FIRST",
+    )
+    assert r.sections[0].queries[0].rows == [[None, 2], [1, None]]
+
+
+def test_union_by_name_with_cte_prefix_rejected(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="UNION BY NAME"):
+        query_dashboard(
+            spark,
+            "WITH c AS (SELECT 1 AS a) "
+            "SELECT a FROM c UNION BY NAME SELECT 2 AS a",
+        )

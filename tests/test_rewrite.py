@@ -331,11 +331,18 @@ class TestSeriesTableFunctions:
 
     def test_scalar_generate_series_renamed(self):
         r = rewrite_statement("SELECT generate_series(1,4) AS l")
-        assert r.sql == "SELECT sequence(1,4) AS l"
+        assert r.sql == "SELECT sequence(1, 4) AS l"
 
-    def test_scalar_range_untouched(self):
+    def test_scalar_range_exclusive_end(self):
+        # r10: DuckDB's scalar range() has an EXCLUSIVE end — rewrite
+        # to a sliced sequence (empty when start >= end, like DuckDB)
         r = rewrite_statement("SELECT range(1,4) AS l")
-        assert "range(1,4)" in r.sql
+        assert "slice(sequence(" in r.sql
+        assert "range(" not in r.sql
+
+    def test_from_range_untouched_by_scalar_fixer(self):
+        r = rewrite_statement("SELECT * FROM range(3)")
+        assert "slice(" not in r.sql
 
     def test_quoted_literal_untouched(self):
         q = "SELECT 'FROM range(3)' AS s"
@@ -955,3 +962,23 @@ class TestLambdaIndexBase:
             "SELECT count(*) FILTER (WHERE x = 1) FROM t"
         )
         assert "__ix1b" not in r.sql
+
+
+class TestEntropyHistogramEmulation:
+    """Batch-6: DuckDB's entropy()/histogram() aggregates emulated
+    over collect_list (differential-tested against DuckDB)."""
+
+    def test_entropy_rewritten(self):
+        r = rewrite_statement("SELECT entropy(x) FROM t GROUP BY g")
+        assert "entropy(" not in r.sql
+        assert "log2" in r.sql and "collect_list(x" in r.sql
+
+    def test_histogram_rewritten(self):
+        r = rewrite_statement("SELECT histogram(x) FROM t")
+        assert "histogram(" not in r.sql
+        assert "map_from_entries" in r.sql
+
+    def test_entropy_not_reapplied(self):
+        once = rewrite_statement("SELECT entropy(x) FROM t").sql
+        again = rewrite_statement(once).sql
+        assert again == once
