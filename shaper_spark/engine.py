@@ -356,6 +356,96 @@ def _expand_nested_pivots(spark: SparkSession, sql: str):
     return sql, used
 
 
+_COLUMNS_MACRO_RE = re.compile(r"\bCOLUMNS\s*\(", re.IGNORECASE)
+
+
+def _expand_columns_macro(spark: SparkSession, sql: str):
+    """DuckDB's ``COLUMNS('regex')`` / ``COLUMNS(*)`` star macro
+    (tuple_column_expressions): expands to the FROM relation's matching
+    columns, schema-resolved against the catalog — which is why this
+    runs at the ENGINE layer after file-function expansion (a
+    ``read_parquet(…)`` source is already a temp view here), not in
+    the text rewriter.  A directly wrapping single-argument call
+    distributes over the expansion (``min(COLUMNS(*))`` →
+    ``min(c1), min(c2), …``), DuckDB's macro semantics.  Single-
+    relation FROM only; lambda/EXCLUDE forms are unsupported and raise
+    a named error.  Returns (sql, used)."""
+    from .rewrite import _find_matching_close, _scan_states
+
+    used = False
+    for _ in range(32):
+        states = _scan_states(sql)
+        m = next(
+            (
+                mm
+                for mm in _COLUMNS_MACRO_RE.finditer(sql)
+                if states[mm.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql, used
+        close = _find_matching_close(sql, m.end() - 1, states)
+        if close == -1:
+            return sql, used
+        arg = sql[m.end() : close].strip()
+        # resolve the FROM relation AFTER this position
+        fm = next(
+            (
+                fmm
+                for fmm in re.finditer(r"\bFROM\s+", sql, re.IGNORECASE)
+                if states[fmm.start()] == 0 and fmm.start() > close
+            ),
+            None,
+        )
+        tm = (
+            re.match(r"([A-Za-z_][\w.]*)", sql[fm.end() :]) if fm else None
+        )
+        if tm is None:
+            raise ValueError(
+                "COLUMNS(...) needs a single named FROM relation to "
+                "resolve against (subquery/join sources unsupported)"
+            )
+        try:
+            all_cols = spark.table(tm.group(1)).columns
+        except Exception:
+            raise ValueError(
+                f"COLUMNS(...): cannot resolve relation "
+                f"{tm.group(1)!r} in the catalog"
+            )
+        if arg == "*":
+            cols = all_cols
+        elif arg.startswith("'") and arg.endswith("'"):
+            pat = re.compile(arg[1:-1])
+            cols = [c for c in all_cols if pat.search(c)]
+        else:
+            raise ValueError(
+                "COLUMNS(...) supports only a regex string literal or "
+                "* (lambda/EXCLUDE forms unsupported)"
+            )
+        if not cols:
+            raise ValueError(
+                f"COLUMNS({arg}) matched no columns of {tm.group(1)}"
+            )
+        # a directly-wrapping single-arg call distributes elementwise
+        head = sql[: m.start()].rstrip()
+        wrap = re.search(r"([A-Za-z_]\w*)\s*\($", head)
+        if wrap and sql[close + 1 :].lstrip().startswith(")"):
+            fn = wrap.group(1)
+            wclose = sql.index(")", close + 1)
+            repl = ", ".join(
+                f"{fn}(`{c}`) AS `{fn}({c})`" for c in cols
+            )
+            # head is a whitespace-stripped prefix of sql, so indices
+            # into head are indices into sql
+            sql = sql[: wrap.start(1)] + repl + sql[wclose + 1 :]
+        else:
+            repl = ", ".join(f"`{c}`" for c in cols)
+            sql = sql[: m.start()] + repl + sql[close + 1 :]
+        used = True
+    return sql, used
+
+
 _UNION_BY_NAME_RE = re.compile(
     r"\bUNION\s+(ALL\s+)?BY\s+NAME\b", re.IGNORECASE
 )
@@ -1495,7 +1585,10 @@ def _run_query(
         # expands the same sugar to a macro before binding).
         sub, used_pivot = _expand_nested_pivots(spark, sub)
         sub, used_ubn = _expand_union_by_name(spark, sub)
-        used_tablefuncs = used_tablefuncs or used_pivot or used_ubn
+        sub, used_colmacro = _expand_columns_macro(spark, sub)
+        used_tablefuncs = (
+            used_tablefuncs or used_pivot or used_ubn or used_colmacro
+        )
         used_tablefuncs = used_tablefuncs or used_filefuncs
         rw = rewrite_statement(sub)
         if rw.asof_joins:

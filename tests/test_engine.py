@@ -602,3 +602,35 @@ def test_union_by_name_with_cte_prefix_rejected(spark):
             "WITH c AS (SELECT 1 AS a) "
             "SELECT a FROM c UNION BY NAME SELECT 2 AS a",
         )
+
+
+def test_columns_macro_regex_and_star(spark):
+    # batch-6 / r9 verdict task #7: COLUMNS('re') and COLUMNS(*)
+    # expand schema-resolved against the catalog (filefuncs temp views
+    # included); a directly wrapping call distributes elementwise
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW colsrc AS "
+        "SELECT * FROM VALUES (1, 2.0, 'x'), (3, 4.0, 'y') v(ak, bn, cs)"
+    )
+    r = query_dashboard(
+        spark, "SELECT COLUMNS('^[ab]') FROM colsrc ORDER BY ak"
+    )
+    q = r.sections[0].queries[0]
+    assert [c.name for c in q.columns] == ["ak", "bn"]
+    assert q.rows == [[1, 2.0], [3, 4.0]]
+    r = query_dashboard(spark, "SELECT min(COLUMNS(*)) FROM colsrc")
+    q = r.sections[0].queries[0]
+    assert [c.name for c in q.columns] == ["min(ak)", "min(bn)", "min(cs)"]
+    assert q.rows == [[1, 2.0, "x"]]
+
+
+def test_columns_macro_no_match_and_no_from_error(spark):
+    import pytest as _pytest
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW colsrc2 AS SELECT 1 AS a"
+    )
+    with _pytest.raises(Exception, match="matched no columns"):
+        query_dashboard(spark, "SELECT COLUMNS('zzz') FROM colsrc2")
+    with _pytest.raises(Exception, match="FROM relation"):
+        query_dashboard(spark, "SELECT COLUMNS('a')")
