@@ -451,6 +451,46 @@ _UNION_BY_NAME_RE = re.compile(
 )
 
 
+def _reject_unsupported_duckisms(sql: str) -> str:
+    """Documented-divergence guard: DuckDB forms whose semantics Spark
+    cannot reproduce get a NAMED error with a workaround instead of an
+    opaque ParseException.  ``EXCLUDE NO OTHERS`` is the SQL default
+    and is simply dropped."""
+    from .rewrite import _scan_states
+
+    states = _scan_states(sql)
+    out = []
+    last = 0
+    for m in re.finditer(
+        r"\bEXCLUDE\s+NO\s+OTHERS\b", sql, re.IGNORECASE
+    ):
+        if states[m.start()] != 0:
+            continue
+        out.append(sql[last : m.start()])
+        last = m.end()
+    out.append(sql[last:])
+    sql = "".join(out)
+    states = _scan_states(sql)
+    for m in re.finditer(
+        r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\b", sql, re.IGNORECASE
+    ):
+        if states[m.start()] == 0:
+            raise ValueError(
+                f"window frame 'EXCLUDE {m.group(1).upper()}' is not "
+                "supported by Spark; for sum/count/avg subtract the "
+                "current row's contribution from a plain frame instead"
+            )
+    for m in re.finditer(r"\bPOSITIONAL\s+JOIN\b", sql, re.IGNORECASE):
+        if states[m.start()] == 0:
+            raise ValueError(
+                "POSITIONAL JOIN depends on physical row order, which "
+                "a distributed engine does not have; join on "
+                "row_number() OVER (ORDER BY <key>) computed on each "
+                "side instead"
+            )
+    return sql
+
+
 def _expand_union_by_name(spark: SparkSession, sql: str):
     """DuckDB ``q1 UNION [ALL] BY NAME q2`` → positional UNION over
     name-aligned projections.  Spark SQL has no BY NAME form, and a
@@ -1589,6 +1629,7 @@ def _run_query(
         used_tablefuncs = (
             used_tablefuncs or used_pivot or used_ubn or used_colmacro
         )
+        sub = _reject_unsupported_duckisms(sub)
         used_tablefuncs = used_tablefuncs or used_filefuncs
         rw = rewrite_statement(sub)
         if rw.asof_joins:

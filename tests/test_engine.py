@@ -634,3 +634,29 @@ def test_columns_macro_no_match_and_no_from_error(spark):
         query_dashboard(spark, "SELECT COLUMNS('zzz') FROM colsrc2")
     with _pytest.raises(Exception, match="FROM relation"):
         query_dashboard(spark, "SELECT COLUMNS('a')")
+
+
+def test_unsupported_duckisms_named_errors(spark):
+    import pytest as _pytest
+
+    # EXCLUDE NO OTHERS is the SQL default: dropped, query runs
+    r = query_dashboard(
+        spark,
+        "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW EXCLUDE NO OTHERS) AS s FROM "
+        "(SELECT 1 AS a UNION ALL SELECT 2) t ORDER BY s",
+    )
+    assert r.sections[0].queries[0].rows == [[1], [3]]
+    with _pytest.raises(Exception, match="EXCLUDE CURRENT ROW"):
+        query_dashboard(
+            spark,
+            "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM "
+            "(SELECT 1 AS a) t",
+        )
+    with _pytest.raises(Exception, match="POSITIONAL JOIN"):
+        query_dashboard(
+            spark,
+            "SELECT * FROM (SELECT 1 AS a) x POSITIONAL JOIN "
+            "(SELECT 2 AS b) y",
+        )
