@@ -35,6 +35,8 @@ __all__ = [
     "zipf_slope",
     "vocab_coverage_curve",
     "source_kl_matrix",
+    "source_jaccard_matrix",
+    "pmi_collocations",
     "quality_lm_correlation",
     "LANG_STOPWORDS",
 ]
@@ -1446,4 +1448,176 @@ def vocab_coverage_curve(
             ).alias("coverage"),
         )
         .orderBy("cutoff")
+    )
+
+
+def source_jaccard_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact pairwise k-gram Jaccard similarity between corpus groups
+    (sources, crawl snapshots): |grams(a) ∩ grams(b)| / |grams(a) ∪
+    grams(b)| for every unordered pair — the set-level companion to
+    :func:`source_kl_matrix` (token DISTRIBUTIONS) and the corpus-level
+    readout behind "how much does crawl B re-collect crawl A".  Returns
+    (group_a, group_b, n_inter, n_a, n_b, jaccard), group_a < group_b,
+    ordered.
+
+    Spark shape: ONE corpus-scale exchange — grams hash with xxhash64
+    (engine-internal: the output is counts, so the oracle's raw-gram
+    grouping sees the same sets) and ``groupBy(h)`` collects the ≤
+    |groups| member set per gram; set sizes and pair intersections
+    both derive from that bounded frame, so nothing downstream is
+    corpus-sized.  ``jaccard`` is a half-up BIGINT division rescaled
+    to double (engine-stable replay, the threshold-sweep rule)."""
+    from .dupspans import _positional_grams
+
+    grams = _positional_grams(
+        df, id_col, text_col, k, extra_cols=(group_col,),
+        hash_fn="xxhash64",
+    )
+    per_gram = grams.groupBy("h").agg(
+        F.array_sort(F.collect_set(group_col)).alias("gs")
+    )
+    sizes = (
+        per_gram.select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        per_gram.select(
+            F.explode("gs").alias("a"), F.col("gs")
+        )
+        .select("a", F.explode("gs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_a")),
+            pairs.a == sizes.g,
+        )
+        .drop("g")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("n", "n_b")),
+            pairs.b == sizes.g,
+        )
+        .drop("g")
+        .select(
+            F.col("a").alias("group_a"),
+            F.col("b").alias("group_b"),
+            "n_inter",
+            "n_a",
+            "n_b",
+            (
+                F.expr(
+                    "(n_inter * 2000000L + (n_a + n_b - n_inter)) DIV "
+                    "(2L * (n_a + n_b - n_inter))"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("jaccard"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual
+    information: PMI(a,b) = log2( (c_ab/N_bi) / ((c_a/N_uni)·
+    (c_b/N_uni)) ), bigrams below ``min_count`` dropped — the
+    phrase-mining pass behind tokenizer/vocab building (word2vec-style
+    phrase detection).  Returns (w1, w2, n_pair, n_w1, n_w2,
+    pmi_micro), ordered by (pmi_micro desc, w1, w2); ``pmi_micro`` is
+    the PMI in integer 1e-6 units (round-to-integer replays across
+    engines; a 6-dp double round does not).
+
+    Spark shape: unigrams and bigram POSITIONS stream from one
+    combined-index explode (the DSIR gram builder's shape — one corpus
+    scan), ONE hash-agg keyed on the gram makes both count tables;
+    unigram counts join back by word (keyed equi-joins — vocab-scale,
+    never corpus-scale); top-k plans as TakeOrderedAndProject."""
+    from ..session import spread_for_compute
+
+    df = spread_for_compute(df, min_bytes=64 * 1024)
+    arr = df.select(F.split(F.col(text_col), " ").alias("__ws"))
+    n = F.size("__ws")
+    stream = (
+        arr.select(
+            n.alias("__n"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(2 * n - 1, F.lit(1)))
+            ).alias("__i"),
+            "__ws",
+        )
+        .select(
+            F.when(
+                F.col("__i") <= F.col("__n"),
+                F.element_at("__ws", F.col("__i")),
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.element_at("__ws", F.col("__i") - F.col("__n")),
+                    F.element_at(
+                        "__ws", F.col("__i") - F.col("__n") + 1
+                    ),
+                )
+            ).alias("gram"),
+            (F.col("__i") <= F.col("__n")).alias("__isuni"),
+        )
+        .filter(F.length("gram") > 0)
+        .filter(F.col("__isuni") | ~F.col("gram").rlike("^ | $|^$"))
+    )
+    counts = stream.groupBy("__isuni", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    uni = counts.filter(F.col("__isuni")).select(
+        F.col("gram").alias("w"), F.col("c").alias("cw")
+    )
+    big = counts.filter(~F.col("__isuni")).select(
+        F.split("gram", " ").getItem(0).alias("w1"),
+        F.split("gram", " ").getItem(1).alias("w2"),
+        F.col("c").alias("n_pair"),
+    )
+    totals = counts.groupBy("__isuni").agg(F.sum("c").alias("t"))
+    n_uni = totals.filter(F.col("__isuni")).select(
+        F.col("t").alias("n_uni")
+    )
+    n_big = totals.filter(~F.col("__isuni")).select(
+        F.col("t").alias("n_big")
+    )
+    joined = (
+        big.filter(F.col("n_pair") >= int(min_count))
+        .join(uni.withColumnsRenamed({"w": "w1", "cw": "n_w1"}), "w1")
+        .join(uni.withColumnsRenamed({"w": "w2", "cw": "n_w2"}), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.log2(
+        (F.col("n_pair").cast("double") / F.col("n_big"))
+        / (
+            (F.col("n_w1").cast("double") / F.col("n_uni"))
+            * (F.col("n_w2").cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(pmi * 1000000).cast("bigint").alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(int(top_k))
     )

@@ -1030,3 +1030,72 @@ class TestNgramNoveltyCurve:
         out = ngram_novelty_curve(df, "doc_id", "text", "bucket", k=8).collect()
         assert [r["bucket"] for r in out] == [1]
         assert out[0]["n_gram_occurrences"] == 1
+
+
+class TestSourceJaccardMatrix:
+    def test_known_overlap(self, spark):
+        from shaper_spark.operators.text import source_jaccard_matrix
+
+        base = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # grams: 2 distinct 8-grams
+        df = spark.createDataFrame(
+            [
+                (1, base, "a"),
+                (2, base, "b"),  # b shares all of a's grams
+                (3, "x1 x2 x3 x4 x5 x6 x7 x8", "c"),  # disjoint
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            (r.group_a, r.group_b): r
+            for r in source_jaccard_matrix(
+                df, "doc_id", "text", "source"
+            ).collect()
+        }
+        ab = rows[("a", "b")]
+        assert ab.n_inter == ab.n_a == ab.n_b == 2
+        assert ab.jaccard == 1.0
+        # zero-intersection pairs are absent (like the SQL join)
+        assert ("a", "c") not in rows and ("b", "c") not in rows
+
+    def test_pair_order_canonical(self, spark):
+        from shaper_spark.operators.text import source_jaccard_matrix
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h", "z"), (2, "a b c d e f g h", "y")],
+            "doc_id long, text string, source string",
+        )
+        (r,) = source_jaccard_matrix(df, "doc_id", "text", "source").collect()
+        assert (r.group_a, r.group_b) == ("y", "z")  # a < b always
+
+
+class TestPmiCollocations:
+    def test_planted_collocation_ranks_first(self, spark):
+        from shaper_spark.operators.text import pmi_collocations
+
+        # "hong kong" always adjacent; fillers are independent
+        rows = [(i, "hong kong " + " ".join(
+            f"w{(i * 7 + j) % 5}" for j in range(6)
+        )) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = pmi_collocations(
+            df, "doc_id", "text", top_k=5, min_count=5
+        ).collect()
+        assert (out[0].w1, out[0].w2) == ("hong", "kong")
+        assert out[0].n_pair == 40
+        # PMI ordering is non-increasing in micro units
+        micros = [r.pmi_micro for r in out]
+        assert micros == sorted(micros, reverse=True)
+
+    def test_min_count_filters(self, spark):
+        from shaper_spark.operators.text import pmi_collocations
+
+        df = spark.createDataFrame(
+            [(1, "p q p q p q"), (2, "r s")],
+            "doc_id long, text string",
+        )
+        out = pmi_collocations(
+            df, "doc_id", "text", top_k=10, min_count=3
+        ).collect()
+        pairs = {(r.w1, r.w2) for r in out}
+        assert ("r", "s") not in pairs  # below min_count
+        assert ("p", "q") in pairs
