@@ -281,7 +281,6 @@ _FN_RENAMES = {
     "list_max": "array_max",
     "list_min": "array_min",
     "list_sum": "aggregate_sum_",  # handled below if ever needed
-    "list_unique": "array_distinct",
     "list_distinct": "array_distinct",
     "list_transform": "transform",
     "list_filter": "filter",
@@ -319,9 +318,6 @@ _FN_RENAMES = {
     "epoch": "unix_timestamp",
     "today": "current_date",
     "datepart": "date_part",
-    "string_split": "split",  # NB: Spark split is regex-based
-    "str_split": "split",
-    "string_to_array": "split",
     "array_to_string": "array_join",
     "list_contains": "array_contains",
     "regexp_matches": "rlike",
@@ -477,7 +473,9 @@ _CAST_AS_TYPE_RE = re.compile(
     re.IGNORECASE,
 )
 _ARRAY_SUFFIX_RE = re.compile(
-    r"(::\s*)([A-Za-z]+(?:\(\d+(?:\s*,\s*\d+)?\))?)\s*\[\s*\]"
+    # [] list suffix, or DuckDB's fixed-size ARRAY suffix [n] — Spark
+    # has no fixed-size array type, both map to ARRAY<T>
+    r"(::\s*)([A-Za-z]+(?:\(\d+(?:\s*,\s*\d+)?\))?)\s*\[\s*\d*\s*\]"
 )
 
 
@@ -1408,6 +1406,9 @@ def _rewrite_binary_op(
 # power spelling.  Exclude '^' that opens a regex anchor (inside
 # literals states handles it).
 _POWER_RE = re.compile(r"(?<![\^<>=!|*])(?:\^|\*\*)(?![\^=*])")
+
+# DuckDB starts-with operator: a ^@ b  →  startswith(a, b)
+_STARTS_WITH_OP_RE = re.compile(r"\^@")
 # binary '~' / '!~' are DuckDB regex match / not-match (RHS must be a
 # string literal to avoid the unary bitwise form)
 _TILDE_RE = re.compile(r"(!?)~(?![~*])")
@@ -1440,6 +1441,13 @@ def _rewrite_duck_operators(sql: str) -> str:
     sql = _rewrite_binary_op(
         sql, _JSON_ARROW_RE, _arrow, rhs_string_only=True,
         skip_lambda_lhs=True,
+    )
+    # '^@' (DuckDB starts-with operator) BEFORE the POWER pass, which
+    # would otherwise read its '^' as an exponent
+    sql = _rewrite_binary_op(
+        sql,
+        _STARTS_WITH_OP_RE,
+        lambda l, r, m: f"startswith({l}, {r})",
     )
     sql = _rewrite_binary_op(
         sql, _POWER_RE, lambda l, r, m: f"power({l}, {r})"
@@ -2209,9 +2217,177 @@ def _rewrite_fn_compat2(sql: str) -> str:
     _fix_scalar_range.expr_position_only = True
     _fix_scalar_series.expr_position_only = True
 
+    def _fix_literal_split(args: list[str]) -> str | None:
+        # DuckDB string_split/str_split/string_to_array take a LITERAL
+        # delimiter; Spark's split() is regex — '.' or '|' silently
+        # split every character.  Literal delimiters regex-escape
+        # inline; dynamic ones wrap in \\Q…\\E.
+        if len(args) != 2:
+            return None
+        src, d = args[0].strip(), args[1].strip()
+        if (
+            len(d) >= 2
+            and d.startswith("'")
+            and d.endswith("'")
+            and "'" not in d[1:-1]
+        ):
+            esc = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", d[1:-1])
+            return f"split({src}, '{esc}')"
+        return f"split({src}, concat('\\Q', {d}, '\\E'))"
+
+    def _fix_list_unique(args: list[str]) -> str | None:
+        # DuckDB list_unique/array_unique COUNT distinct non-NULL
+        # elements (BIGINT) — array_distinct alone silently returned
+        # an array
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"CAST(size(array_distinct(array_compact({e}))) AS BIGINT)"
+        )
+
+    def _fix_list_sort_dir(args: list[str]) -> str | None:
+        # list_sort(l, 'DESC' [, 'NULLS …']) → sort_array; the 1-arg
+        # form falls through to the array_sort rename
+        if len(args) not in (2, 3):
+            return None
+        d = args[1].strip().strip("'").upper()
+        if d not in ("ASC", "DESC"):
+            return None
+        return f"sort_array({args[0].strip()}, {str(d == 'ASC').lower()})"
+
+    def _fix_list_reverse_sort(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"sort_array({args[0].strip()}, false)"
+
+    def _fix_regexp_matches3(args: list[str]) -> str | None:
+        # 3-arg regexp_matches: DuckDB inline flags → (?flags) prefix
+        if len(args) != 3:
+            return None
+        f3 = args[2].strip()
+        if f3.startswith("'") and f3.endswith("'"):
+            flags = f3[1:-1].replace("g", "")
+            if not flags:
+                return f"rlike({args[0].strip()}, {args[1].strip()})"
+            return (
+                f"rlike({args[0].strip()}, concat('(?{flags})', "
+                f"{args[1].strip()}))"
+            )
+        return None
+
+    def _fix_date_part_list(args: list[str]) -> str | None:
+        # date_part(['year','month'], d) → STRUCT of the parts
+        if len(args) != 2:
+            return None
+        am = re.match(
+            r"^array\s*\((.*)\)$", args[0].strip(), re.IGNORECASE | re.DOTALL
+        )
+        if am is None:
+            return None
+        parts = [p.strip() for p in _split_top_level_args(am.group(1))]
+        if not all(p.startswith("'") and p.endswith("'") for p in parts):
+            return None
+        d = args[1].strip()
+        fields = ", ".join(
+            f"{p}, date_part({p}, {d})" for p in parts
+        )
+        return f"named_struct({fields})"
+
+    def _fix_map_extract(args: list[str]) -> str | None:
+        # DuckDB map_extract returns [v] or [] — never bare v
+        if len(args) != 2:
+            return None
+        m_, k_ = args[0].strip(), args[1].strip()
+        return (
+            f"(CASE WHEN map_contains_key({m_}, {k_}) THEN "
+            f"array(element_at({m_}, {k_})) ELSE array() END)"
+        )
+
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0 AS DOUBLE), (s, v) -> s + v)"
+        )
+
+    def _fix_array_cosine(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        a, b = args[0].strip(), args[1].strip()
+        sq = "aggregate(transform({0}, x -> x * x), CAST(0 AS DOUBLE), (s, v) -> s + v)"
+        return (
+            f"({_dot(a, b)} / (sqrt({sq.format(a)}) * "
+            f"sqrt({sq.format(b)})))"
+        )
+
+    def _fix_array_inner(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return f"({_dot(args[0].strip(), args[1].strip())})"
+
+    def _fix_array_distance(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        a, b = args[0].strip(), args[1].strip()
+        return (
+            f"sqrt(aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(x - y) * (x - y)), CAST(0 AS DOUBLE), (s, v) -> s + v))"
+        )
+
     for regex, fixer in (
         (re.compile(r"\bentropy\s*\(", re.IGNORECASE), _fix_entropy),
         (re.compile(r"\bhistogram\s*\(", re.IGNORECASE), _fix_histogram),
+        (
+            re.compile(
+                r"\b(?:string_split|str_split|string_to_array)\s*\(",
+                re.IGNORECASE,
+            ),
+            _fix_literal_split,
+        ),
+        (
+            re.compile(
+                r"\b(?:list_unique|array_unique)\s*\(", re.IGNORECASE
+            ),
+            _fix_list_unique,
+        ),
+        (
+            re.compile(r"\blist_sort\s*\(", re.IGNORECASE),
+            _fix_list_sort_dir,
+        ),
+        (
+            re.compile(r"\blist_reverse_sort\s*\(", re.IGNORECASE),
+            _fix_list_reverse_sort,
+        ),
+        (
+            re.compile(r"\bregexp_matches\s*\(", re.IGNORECASE),
+            _fix_regexp_matches3,
+        ),
+        (
+            re.compile(r"\bdate_part\s*\(", re.IGNORECASE),
+            _fix_date_part_list,
+        ),
+        (
+            re.compile(r"\bmap_extract\s*\(", re.IGNORECASE),
+            _fix_map_extract,
+        ),
+        (
+            re.compile(
+                r"\b(?:array|list)_cosine_similarity\s*\(", re.IGNORECASE
+            ),
+            _fix_array_cosine,
+        ),
+        (
+            re.compile(
+                r"\b(?:array|list)_inner_product\s*\(", re.IGNORECASE
+            ),
+            _fix_array_inner,
+        ),
+        (
+            re.compile(
+                r"\b(?:array|list)_distance\s*\(", re.IGNORECASE
+            ),
+            _fix_array_distance,
+        ),
         (
             re.compile(r"(?<![\w.])range\s*\(", re.IGNORECASE),
             _fix_scalar_range,
@@ -2798,6 +2974,19 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # BEFORE the bracket passes: a subscript on a struct literal
     # ("{'a': 5}['a']") must see ')' as its preceding char, not '}'.
     sql = _rewrite_brace_literals(sql)
+
+    # ::TYPE[] / ::TYPE[n] cast suffixes BEFORE the bracket passes —
+    # otherwise the subscript pass reads DuckDB's fixed-size-array
+    # suffix ("::FLOAT[2]") as an element access on the type name.
+    # The element type renames here too (VARCHAR→STRING, …): the later
+    # ::TYPE pass does not look inside ARRAY<>.
+    sql = _ARRAY_SUFFIX_RE.sub(
+        lambda m: (
+            f"{m.group(1)}ARRAY<"
+            f"{_TYPE_RENAMES.get(m.group(2).upper(), m.group(2))}>"
+        ),
+        sql,
+    )
 
     # [a, b] list literals → array(a, b)
     sql = _rewrite_bracket_literals(sql)

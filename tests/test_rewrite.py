@@ -982,3 +982,66 @@ class TestEntropyHistogramEmulation:
         once = rewrite_statement("SELECT entropy(x) FROM t").sql
         again = rewrite_statement(once).sql
         assert again == once
+
+
+class TestBatch7Sweep:
+    """Batch-7 differential fixes (verified against DuckDB in the
+    round-10 probe)."""
+
+    def test_literal_split_escapes_regex_specials(self):
+        # DuckDB string_split's delimiter is LITERAL; Spark split is
+        # regex — '.' silently split every character before
+        r = rewrite_statement("SELECT string_to_array('a.b', '.')")
+        assert r"split('a.b', '\.')" in r.sql.replace("\\\\", "\\")
+
+    def test_dynamic_split_quoted(self):
+        r = rewrite_statement("SELECT string_split(s, d) FROM t")
+        assert "\\Q" in r.sql and "\\E" in r.sql
+
+    def test_list_unique_counts(self):
+        # DuckDB list_unique COUNTS distinct non-NULL elements — the
+        # old array_distinct rename silently returned an array
+        r = rewrite_statement("SELECT list_unique([1,2,2])")
+        assert "size(array_distinct(array_compact(" in r.sql
+
+    def test_list_distinct_still_array(self):
+        r = rewrite_statement("SELECT list_distinct([1,2,2])")
+        assert "array_distinct(array(1,2,2))" in r.sql
+        assert "size(" not in r.sql
+
+    def test_list_sort_direction(self):
+        r = rewrite_statement("SELECT list_sort(l, 'DESC') FROM t")
+        assert "sort_array(l, false)" in r.sql
+        r = rewrite_statement("SELECT list_reverse_sort(l) FROM t")
+        assert "sort_array(l, false)" in r.sql
+
+    def test_regexp_matches_flags(self):
+        r = rewrite_statement("SELECT regexp_matches(s, p, 'i') FROM t")
+        assert "concat('(?i)', p)" in r.sql
+
+    def test_date_part_list_to_struct(self):
+        r = rewrite_statement(
+            "SELECT date_part(['year','month'], d) FROM t"
+        )
+        assert "named_struct('year', date_part('year', d)" in r.sql
+
+    def test_map_extract_list_result(self):
+        r = rewrite_statement("SELECT map_extract(m, 'k') FROM t")
+        assert "map_contains_key(m, 'k')" in r.sql
+        assert "array(element_at(m, 'k'))" in r.sql
+
+    def test_starts_with_operator(self):
+        r = rewrite_statement("SELECT a ^@ b, 2 ^ 3 FROM t")
+        assert "startswith(a, b)" in r.sql
+        assert "power(2, 3)" in r.sql
+
+    def test_fixed_size_array_type(self):
+        r = rewrite_statement("SELECT x::FLOAT[2] FROM t")
+        assert "ARRAY<FLOAT>" in r.sql
+        assert "try_element_at" not in r.sql
+
+    def test_array_similarity_kernels(self):
+        r = rewrite_statement("SELECT array_cosine_similarity(a, b) FROM t")
+        assert "zip_with(a, b, (x, y) -> x * y)" in r.sql
+        r = rewrite_statement("SELECT array_distance(a, b) FROM t")
+        assert "(x - y) * (x - y)" in r.sql
