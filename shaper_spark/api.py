@@ -89,9 +89,21 @@ class ShaperServer:
         port: int = 0,
         variables: dict[str, Any] | None = None,
         db_path: str | None = None,
+        no_tasks: bool = False,
+        no_edit: bool = False,
+        no_public_sharing: bool = False,
+        no_password_protected_sharing: bool = False,
+        sso_login_url: str = "",
     ):
         self.spark = spark
         self.variables = variables or {}
+        # feature flags surfaced by /api/system/config (reference
+        # main.go CLI flags --no-tasks/--no-edit/--no-public-sharing/…)
+        self.no_tasks = no_tasks
+        self.no_edit = no_edit
+        self.no_public_sharing = no_public_sharing
+        self.no_password_protected_sharing = no_password_protected_sharing
+        self.sso_login_url = sso_login_url
         self.store = Metastore(db_path)
         self.db_path = db_path
         if db_path:
@@ -412,6 +424,56 @@ class ShaperServer:
                             200,
                             {"loginRequired": outer.auth.login_required()},
                         )
+                    if parts == ["api", "system", "config"]:
+                        # public instance capabilities
+                        # (system.go:12-24): the SPA reads these before
+                        # any auth
+                        return self._json(
+                            200,
+                            {
+                                "loginRequired": outer.auth.login_required(),
+                                "tasksEnabled": not outer.no_tasks,
+                                "editEnabled": not outer.no_edit,
+                                "publicSharingEnabled": not outer.no_public_sharing,
+                                "passwordProtectedSharingEnabled": (
+                                    not outer.no_password_protected_sharing
+                                ),
+                                "ssoLoginUrl": outer.sso_login_url,
+                                # secrets here are metastore-generated,
+                                # never statically configured
+                                "jwtSecretStatic": False,
+                            },
+                        )
+                    if parts == ["api", "version"]:
+                        from . import __version__
+
+                        if self._gate() is None:
+                            return
+                        return self._json(200, {"version": __version__})
+                    if (
+                        len(parts) == 4
+                        and parts[:2] == ["api", "public"]
+                        and parts[3] == "status"
+                    ):
+                        # public share status (dashboard.go:857-880):
+                        # 404 for private/unknown or when the matching
+                        # sharing mode is disabled — never reveals
+                        # whether the id exists
+                        app = outer.store.get_app(parts[2])
+                        vis = (app or {}).get("visibility")
+                        if (
+                            app is None
+                            or vis in (None, "private")
+                            or (outer.no_public_sharing and vis == "public")
+                            or (
+                                outer.no_password_protected_sharing
+                                and vis == "password-protected"
+                            )
+                        ):
+                            return self._json(
+                                404, {"error": "Dashboard Not Found"}
+                            )
+                        return self._json(200, {"visibility": vis})
                     if parts == ["api", "auth", "me"]:
                         info = self._gate()
                         if info is None:
@@ -705,6 +767,16 @@ class ShaperServer:
                                 )
                         except AuthError as e:
                             return self._json(400, {"error": str(e)})
+                        return self._json(200, {"ok": True})
+                    if parts == ["api", "admin", "reset-jwt-secret"]:
+                        # rotate the shared signing secret
+                        # (auth.go:341-356): every outstanding JWT —
+                        # embed tokens included — stops verifying;
+                        # user sessions only, like the reference's
+                        # dashboardId-claim rejection
+                        if self._mgmt() is None:
+                            return
+                        outer.auth.reset_jwt_secret()
                         return self._json(200, {"ok": True})
                     if parts == ["api", "keys"]:
                         info = self._mgmt()

@@ -495,6 +495,12 @@ class AuthService:
             )
         return val.encode()
 
+    def reset_jwt_secret(self) -> None:
+        """Rotate the shared signing secret (reference ResetJWTSecret,
+        auth.go:341-356 → core auth.go:401-430): every outstanding JWT
+        — embed tokens included — stops verifying immediately."""
+        self.store.config_put(CONFIG_KEY_JWT_SECRET, secrets.token_hex(32))
+
     def mint_jwt(self, claims: dict[str, Any], exp_s: float | None = None) -> str:
         import base64
         import time

@@ -1175,3 +1175,96 @@ class TestMetricsEndpoint:
                 if ln.startswith("system_cpu_usage_percent ")
             ]
             assert 0.0 <= float(line.split()[-1]) <= 100.0
+
+
+class TestSystemRoutes:
+    """r10: the four remaining reference routes — /api/system/config,
+    /api/version, /api/public/:id/status, /api/admin/reset-jwt-secret
+    (routes.go:166,180-181,219; system.go:12-32; dashboard.go:857-880;
+    auth.go:341-356)."""
+
+    @pytest.fixture()
+    def ssrv(self, spark):
+        srv = ShaperServer(spark, no_tasks=True).start()
+        yield srv
+        srv.stop()
+
+    def _req(self, srv, method, path, payload=None, token=""):
+        headers = {"Content-Type": "application/json"}
+        if token:
+            headers["Authorization"] = f"Bearer {token}"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers=headers,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read() or b"{}")
+
+    def test_system_config_public(self, ssrv):
+        s, b = self._req(ssrv, "GET", "/api/system/config")
+        assert s == 200
+        assert b == {
+            "loginRequired": False,
+            "tasksEnabled": False,  # no_tasks=True above
+            "editEnabled": True,
+            "publicSharingEnabled": True,
+            "passwordProtectedSharingEnabled": True,
+            "ssoLoginUrl": "",
+            "jwtSecretStatic": False,
+        }
+
+    def test_version(self, ssrv):
+        import shaper_spark
+
+        s, b = self._req(ssrv, "GET", "/api/version")
+        assert (s, b) == (200, {"version": shaper_spark.__version__})
+
+    def test_public_status(self, ssrv):
+        s, b = self._req(
+            ssrv, "POST", "/api/dashboards",
+            {"id": "pubst1", "content": "SELECT 1 AS v"},
+        )
+        assert s == 200
+        did = "pubst1"
+        # private (default) → 404, like unknown ids
+        s, _ = self._req(ssrv, "GET", f"/api/public/{did}/status")
+        assert s == 404
+        s, _ = self._req(ssrv, "GET", "/api/public/nope/status")
+        assert s == 404
+        s, _ = self._req(
+            ssrv, "POST", f"/api/dashboards/{did}/visibility",
+            {"visibility": "public"},
+        )
+        assert s == 200
+        s, b = self._req(ssrv, "GET", f"/api/public/{did}/status")
+        assert (s, b) == (200, {"visibility": "public"})
+
+    def test_public_status_respects_disabled_sharing(self, spark):
+        srv = ShaperServer(spark, no_public_sharing=True).start()
+        try:
+            s, b = self._req(
+                srv, "POST", "/api/dashboards",
+                {"id": "pubst2", "content": "SELECT 1 AS v"},
+            )
+            did = "pubst2"
+            self._req(
+                srv, "POST", f"/api/dashboards/{did}/visibility",
+                {"visibility": "public"},
+            )
+            s, _ = self._req(srv, "GET", f"/api/public/{did}/status")
+            assert s == 404  # sharing mode disabled → uniform 404
+        finally:
+            srv.stop()
+
+    def test_reset_jwt_secret_invalidates_tokens(self, ssrv):
+        # mint an embed JWT, rotate, verify it stops working
+        tok = ssrv.auth.mint_jwt({"userId": "u1"})
+        assert ssrv.auth.verify_jwt(tok) is not None
+        s, b = self._req(ssrv, "POST", "/api/admin/reset-jwt-secret")
+        assert (s, b) == (200, {"ok": True})  # no-auth mode: open
+        assert ssrv.auth.verify_jwt(tok) is None
