@@ -297,6 +297,10 @@ _FN_RENAMES = {
     "array_has_any": "arrays_overlap",
     "array_concat": "concat",
     "strpos": "instr",
+    "week": "weekofyear",
+    "favg": "avg",
+    "fsum": "sum",
+    "json_keys": "json_object_keys",
     "starts_with": "startswith",
     "ends_with": "endswith",
     "prefix": "startswith",
@@ -1058,7 +1062,8 @@ def _rewrite_similar_to(sql: str) -> str:
 
 
 _AGG_ORDER_RE = re.compile(
-    r"\b(string_agg|listagg|array_agg|list)\s*\(", re.IGNORECASE
+    r"\b(string_agg|listagg|array_agg|list|first|last)\s*\(",
+    re.IGNORECASE
 )
 
 _ORDER_BY_TAIL_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
@@ -1112,6 +1117,19 @@ def _rewrite_agg_order_by(sql: str) -> str:
             repl = (
                 f"listagg({head}) WITHIN GROUP (ORDER BY {order})"
             )
+        elif fn in ("first", "last"):
+            # first(x ORDER BY k) = the x at the minimum k → min_by;
+            # last = max_by; DESC flips (single sort key only)
+            dm = re.match(
+                r"(.*?)\s+(ASC|DESC)\s*$", order,
+                re.IGNORECASE | re.DOTALL,
+            )
+            key = dm.group(1).strip() if dm else order
+            desc = bool(dm) and dm.group(2).upper() == "DESC"
+            pick = (
+                "max_by" if (fn == "last") != desc else "min_by"
+            )
+            repl = f"{pick}({head}, {key})"
         else:
             direction = ""
             om2 = re.match(
@@ -1657,13 +1675,14 @@ def _rewrite_array_slice_fn(sql: str) -> str:
         )
 
 
-_TRIM2_RE = re.compile(r"\b(ltrim|rtrim)\s*\(", re.IGNORECASE)
+_TRIM2_RE = re.compile(r"\b(ltrim|rtrim|trim|btrim)\s*\(", re.IGNORECASE)
 
 
 def _rewrite_trim_two_arg(sql: str) -> str:
-    """DuckDB ``ltrim(str, chars)`` / ``rtrim`` → Spark's argument
-    order is REVERSED (``ltrim(trimStr, str)``) — a silent wrong
-    answer, not an error.  One-arg forms pass through."""
+    """DuckDB ``ltrim/rtrim/trim/btrim(str, chars)`` → Spark's
+    argument order is REVERSED (``trim(trimStr, str)``) — a silent
+    wrong answer, not an error (r10: plain ``trim`` was missed when
+    the r9 sweep fixed ltrim/rtrim).  One-arg forms pass through."""
     while True:
         states = _scan_states(sql)
         hit = None
@@ -1683,8 +1702,10 @@ def _rewrite_trim_two_arg(sql: str) -> str:
             hit = (m.start(), end, m.group(1).lower(), [a.strip() for a in args])
             break
         if hit is None:
-            return sql.replace("/*swapped*/", "")
+            return sql.replace(" /*swapped*/", "")
         start, end, fn, (s, chars) = hit
+        if fn == "btrim":  # DuckDB's both-sides alias
+            fn = "trim"
         sql = (
             sql[:start]
             + f"{fn}({chars}, {s} /*swapped*/)"
@@ -2217,6 +2238,67 @@ def _rewrite_fn_compat2(sql: str) -> str:
     _fix_scalar_range.expr_position_only = True
     _fix_scalar_series.expr_position_only = True
 
+    def _fix_xor(args: list[str]) -> str | None:
+        # scalar xor(); cannot emit '^' — the POWER pass would read it
+        # as an exponent downstream
+        if len(args) != 2:
+            return None
+        a, b = args[0].strip(), args[1].strip()
+        return f"((({a}) | ({b})) & ~(({a}) & ({b})))"
+
+    def _fix_product(args: list[str]) -> str | None:
+        # product() aggregate over collect_list (exp(sum(ln)) breaks
+        # on zeros/negatives)
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        if e.endswith("/*P*/"):
+            return None
+        return (
+            f"aggregate(collect_list({e} /*P*/), CAST(1 AS DOUBLE), "
+            f"(s, v) -> s * v)"
+        )
+
+    def _fix_json_valid(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"(({e}) IS NOT NULL AND "
+            f"get_json_object({e}, '$') IS NOT NULL)"
+        )
+
+    def _mk_codec1(fn_name: str):
+        # DuckDB's 1-arg encode/decode are UTF-8 blob conversions;
+        # Spark's equivalents take an explicit charset
+        def fix(args: list[str]) -> str | None:
+            if len(args) != 1:
+                return None
+            return f"{fn_name}({args[0].strip()}, 'UTF-8')"
+
+        return fix
+
+    def _fix_format_bytes(args: list[str]) -> str | None:
+        # binary units with one decimal, like DuckDB
+        if len(args) != 1:
+            return None
+        n = f"CAST({args[0].strip()} AS DOUBLE)"
+        return (
+            f"(CASE WHEN {n} < 1024 THEN concat(CAST(CAST({n} AS BIGINT) AS STRING), ' bytes')"
+            f" WHEN {n} < 1048576 THEN concat(format_string('%.1f', {n} / 1024), ' KiB')"
+            f" WHEN {n} < 1073741824 THEN concat(format_string('%.1f', {n} / 1048576), ' MiB')"
+            f" WHEN {n} < 1099511627776 THEN concat(format_string('%.1f', {n} / 1073741824), ' GiB')"
+            f" ELSE concat(format_string('%.1f', {n} / 1099511627776), ' TiB') END)"
+        )
+
+    def _mk_to_unit(unit_expr: str):
+        def fix(args: list[str]) -> str | None:
+            if len(args) != 1:
+                return None
+            return unit_expr.format(n=args[0].strip())
+
+        return fix
+
     def _fix_literal_split(args: list[str]) -> str | None:
         # DuckDB string_split/str_split/string_to_array take a LITERAL
         # delimiter; Spark's split() is regex — '.' or '|' silently
@@ -2336,6 +2418,39 @@ def _rewrite_fn_compat2(sql: str) -> str:
 
     for regex, fixer in (
         (re.compile(r"\bentropy\s*\(", re.IGNORECASE), _fix_entropy),
+        (re.compile(r"\bxor\s*\(", re.IGNORECASE), _fix_xor),
+        (re.compile(r"\bproduct\s*\(", re.IGNORECASE), _fix_product),
+        (re.compile(r"\bjson_valid\s*\(", re.IGNORECASE), _fix_json_valid),
+        (re.compile(r"\bencode\s*\(", re.IGNORECASE), _mk_codec1("encode")),
+        (re.compile(r"\bdecode\s*\(", re.IGNORECASE), _mk_codec1("decode")),
+        (
+            re.compile(r"\bformat_bytes\s*\(", re.IGNORECASE),
+            _fix_format_bytes,
+        ),
+        (
+            re.compile(r"\bto_seconds\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_dt_interval(0, 0, 0, {n})"),
+        ),
+        (
+            re.compile(r"\bto_minutes\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_dt_interval(0, 0, {n}, 0)"),
+        ),
+        (
+            re.compile(r"\bto_hours\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_dt_interval(0, {n}, 0, 0)"),
+        ),
+        (
+            re.compile(r"\bto_days\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_dt_interval({n}, 0, 0, 0)"),
+        ),
+        (
+            re.compile(r"\bto_months\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_ym_interval(0, {n})"),
+        ),
+        (
+            re.compile(r"\bto_years\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_ym_interval({n}, 0)"),
+        ),
         (re.compile(r"\bhistogram\s*\(", re.IGNORECASE), _fix_histogram),
         (
             re.compile(
@@ -2448,6 +2563,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         sql.replace(" /*G1*/", "")
         .replace(" /*G2*/", "")
         .replace(" /*H*/", "")
+        .replace(" /*P*/", "")
     )
 
     # extract(epoch|dow|isodow FROM e)

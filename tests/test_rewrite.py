@@ -699,8 +699,8 @@ class TestDistinctOnAndFriends:
 
     def test_trim_arg_swap(self):
         r = rewrite_statement("SELECT ltrim(s, 'x'), rtrim(s, 'y') FROM t")
-        assert "ltrim('x', s )" in r.sql
-        assert "rtrim('y', s )" in r.sql
+        assert "ltrim('x', s)" in r.sql
+        assert "rtrim('y', s)" in r.sql
         assert "/*swapped*/" not in r.sql
 
     def test_trim_one_arg_untouched(self):
@@ -1045,3 +1045,61 @@ class TestBatch7Sweep:
         assert "zip_with(a, b, (x, y) -> x * y)" in r.sql
         r = rewrite_statement("SELECT array_distance(a, b) FROM t")
         assert "(x - y) * (x - y)" in r.sql
+
+
+class TestBatch8Sweep:
+    """Batch-8 differential fixes (verified against DuckDB in the
+    round-10 probe)."""
+
+    def test_two_arg_trim_swapped(self):
+        # the r9 sweep fixed ltrim/rtrim but missed plain trim — the
+        # same silent argument-order reversal
+        r = rewrite_statement("SELECT trim('xxhixx', 'x')")
+        assert "trim('x', 'xxhixx')" in r.sql
+
+    def test_btrim_maps_to_trim_swapped(self):
+        r = rewrite_statement("SELECT btrim(s, 'z') FROM t")
+        assert "trim('z', s)" in r.sql
+
+    def test_one_arg_trim_untouched(self):
+        r = rewrite_statement("SELECT trim('  y  ')")
+        assert "trim('  y  ')" in r.sql
+
+    def test_xor_never_becomes_power(self):
+        r = rewrite_statement("SELECT xor(a, b) FROM t")
+        assert "power" not in r.sql and "|" in r.sql and "&" in r.sql
+
+    def test_product_aggregate(self):
+        r = rewrite_statement("SELECT product(x) FROM t")
+        assert "aggregate(collect_list(x" in r.sql
+        assert "s * v" in r.sql
+
+    def test_first_last_order_by(self):
+        r = rewrite_statement("SELECT first(x ORDER BY k) FROM t")
+        assert "min_by(x, k)" in r.sql
+        r = rewrite_statement("SELECT last(x ORDER BY k) FROM t")
+        assert "max_by(x, k)" in r.sql
+        r = rewrite_statement("SELECT first(x ORDER BY k DESC) FROM t")
+        assert "max_by(x, k)" in r.sql
+
+    def test_first_plain_untouched(self):
+        r = rewrite_statement("SELECT first(x) FROM t")
+        assert "first(x)" in r.sql
+
+    def test_codec_one_arg_gets_charset(self):
+        r = rewrite_statement("SELECT decode(encode('hi'))")
+        assert "encode('hi', 'UTF-8')" in r.sql
+        assert r.sql.count("'UTF-8'") == 2
+
+    def test_unit_interval_constructors(self):
+        r = rewrite_statement("SELECT to_seconds(90), to_years(2)")
+        assert "make_dt_interval(0, 0, 0, 90)" in r.sql
+        assert "make_ym_interval(2, 0)" in r.sql
+
+    def test_format_bytes(self):
+        r = rewrite_statement("SELECT format_bytes(n) FROM t")
+        assert "' KiB'" in r.sql and "' bytes'" in r.sql
+
+    def test_json_valid(self):
+        r = rewrite_statement("SELECT json_valid(j) FROM t")
+        assert "get_json_object(j, '$') IS NOT NULL" in r.sql
