@@ -106,6 +106,9 @@ EXTRAS = [
     "dataset_card",
     "ccnet_quality_buckets",
     "ngram_novelty_curve",
+    # round 10
+    "source_jaccard_matrix",
+    "pmi_collocations",
 ]
 
 HEADLINE = [
