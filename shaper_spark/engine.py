@@ -451,6 +451,82 @@ _UNION_BY_NAME_RE = re.compile(
 )
 
 
+_STAR_REPLACE_ENGINE_RE = re.compile(
+    r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE
+)
+
+
+def _expand_star_replace_ordered(spark: SparkSession, sql: str):
+    """``SELECT * REPLACE (expr AS col) FROM t`` with a resolvable
+    single-relation FROM: expand to the full ordered column list with
+    the replacement IN PLACE — DuckDB keeps the column position, and
+    the text rewriter's ``* EXCEPT`` fallback (kept for join/subquery
+    sources) moves it to the end.  Returns (sql, used)."""
+    from .rewrite import _call_end, _scan_states, _split_top_level_args
+
+    used = False
+    for _ in range(8):
+        states = _scan_states(sql)
+        m = next(
+            (
+                mm
+                for mm in _STAR_REPLACE_ENGINE_RE.finditer(sql)
+                if states[mm.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql, used
+        open_paren = sql.index("(", m.start())
+        end = _call_end(sql, states, open_paren)
+        if end is None:
+            return sql, used
+        items = _split_top_level_args(sql[open_paren + 1 : end])
+        repl: dict[str, str] = {}
+        for it in items:
+            am = re.search(
+                r"^(.*)\bAS\s+[`\"]?(\w+)[`\"]?\s*$",
+                it.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if am is None:
+                return sql, used  # not the simple form: fallback
+            repl[am.group(2).lower()] = am.group(1).strip()
+        fm = next(
+            (
+                fmm
+                for fmm in re.finditer(r"\bFROM\s+", sql, re.IGNORECASE)
+                if states[fmm.start()] == 0 and fmm.start() > end
+            ),
+            None,
+        )
+        tm = re.match(r"([A-Za-z_][\w.]*)\s*$|([A-Za-z_][\w.]*)", sql[fm.end() :]) if fm else None
+        if tm is None:
+            return sql, used
+        name = tm.group(1) or tm.group(2)
+        # a join/second relation after the name → fallback to EXCEPT
+        rest = sql[fm.end() + tm.end() :].lstrip()
+        if rest[:1] == "," or re.match(
+            r"(JOIN|INNER|LEFT|RIGHT|FULL|CROSS|NATURAL|ASOF|POSITIONAL)\b",
+            rest,
+            re.IGNORECASE,
+        ):
+            return sql, used
+        try:
+            cols = spark.table(name).columns
+        except Exception:
+            return sql, used
+        if not all(c in {x.lower() for x in cols} for c in repl):
+            return sql, used
+        proj = ", ".join(
+            f"({repl[c.lower()]}) AS `{c}`" if c.lower() in repl else f"`{c}`"
+            for c in cols
+        )
+        sql = sql[: m.start()] + proj + sql[end + 1 :]
+        used = True
+    return sql, used
+
+
 def _reject_unsupported_duckisms(sql: str) -> str:
     """Documented-divergence guard: DuckDB forms whose semantics Spark
     cannot reproduce get a NAMED error with a workaround instead of an
@@ -1626,8 +1702,13 @@ def _run_query(
         sub, used_pivot = _expand_nested_pivots(spark, sub)
         sub, used_ubn = _expand_union_by_name(spark, sub)
         sub, used_colmacro = _expand_columns_macro(spark, sub)
+        sub, used_replace = _expand_star_replace_ordered(spark, sub)
         used_tablefuncs = (
-            used_tablefuncs or used_pivot or used_ubn or used_colmacro
+            used_tablefuncs
+            or used_pivot
+            or used_ubn
+            or used_colmacro
+            or used_replace
         )
         sub = _reject_unsupported_duckisms(sub)
         used_tablefuncs = used_tablefuncs or used_filefuncs

@@ -280,7 +280,6 @@ _FN_RENAMES = {
     "quantile": "percentile_approx",  # DuckDB: quantile == quantile_disc
     "list_max": "array_max",
     "list_min": "array_min",
-    "list_sum": "aggregate_sum_",  # handled below if ever needed
     "list_distinct": "array_distinct",
     "list_transform": "transform",
     "list_filter": "filter",
@@ -298,6 +297,11 @@ _FN_RENAMES = {
     "array_concat": "concat",
     "strpos": "instr",
     "week": "weekofyear",
+    "approx_quantile": "percentile_approx",
+    "row": "struct",
+    "epoch_us": "unix_micros",
+    "to_hex": "hex",
+    "list_element": "element_at",
     "favg": "avg",
     "fsum": "sum",
     "json_keys": "json_object_keys",
@@ -2291,6 +2295,37 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f" ELSE concat(format_string('%.1f', {n} / 1099511627776), ' TiB') END)"
         )
 
+    def _fix_list_sum(args: list[str]) -> str | None:
+        # the old rename emitted a placeholder name (broken); sum/avg
+        # over an array are HOF reductions
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"aggregate({e}, CAST(0 AS DOUBLE), (s, v) -> s + v)"
+        )
+
+    def _fix_list_avg(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"(aggregate({e}, CAST(0 AS DOUBLE), (s, v) -> s + v) / "
+            f"size(array_compact({e})))"
+        )
+
+    def _fix_isoyear(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"extract(YEAROFWEEK FROM {args[0].strip()})"
+
+    def _fix_century(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return (
+            f"CAST(ceil(year({args[0].strip()}) / 100.0) AS BIGINT)"
+        )
+
     def _mk_to_unit(unit_expr: str):
         def fix(args: list[str]) -> str | None:
             if len(args) != 1:
@@ -2419,6 +2454,10 @@ def _rewrite_fn_compat2(sql: str) -> str:
     for regex, fixer in (
         (re.compile(r"\bentropy\s*\(", re.IGNORECASE), _fix_entropy),
         (re.compile(r"\bxor\s*\(", re.IGNORECASE), _fix_xor),
+        (re.compile(r"\blist_sum\s*\(", re.IGNORECASE), _fix_list_sum),
+        (re.compile(r"\blist_avg\s*\(", re.IGNORECASE), _fix_list_avg),
+        (re.compile(r"\bisoyear\s*\(", re.IGNORECASE), _fix_isoyear),
+        (re.compile(r"\bcentury\s*\(", re.IGNORECASE), _fix_century),
         (re.compile(r"\bproduct\s*\(", re.IGNORECASE), _fix_product),
         (re.compile(r"\bjson_valid\s*\(", re.IGNORECASE), _fix_json_valid),
         (re.compile(r"\bencode\s*\(", re.IGNORECASE), _mk_codec1("encode")),
@@ -2493,7 +2532,8 @@ def _rewrite_fn_compat2(sql: str) -> str:
         ),
         (
             re.compile(
-                r"\b(?:array|list)_inner_product\s*\(", re.IGNORECASE
+                r"\b(?:array|list)_(?:inner|dot)_product\s*\(",
+                re.IGNORECASE
             ),
             _fix_array_inner,
         ),

@@ -660,3 +660,19 @@ def test_unsupported_duckisms_named_errors(spark):
             "SELECT * FROM (SELECT 1 AS a) x POSITIONAL JOIN "
             "(SELECT 2 AS b) y",
         )
+
+
+def test_star_replace_keeps_column_position(spark):
+    # r10: with a resolvable single-relation FROM, * REPLACE expands
+    # to the full ordered list with the replacement IN PLACE (DuckDB
+    # order); the EXCEPT fallback (joins/subqueries) still moves it
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sr_src AS "
+        "SELECT * FROM VALUES (1, 'x', 2.0) v(a, b, c)"
+    )
+    r = query_dashboard(
+        spark, "SELECT * REPLACE (b || '!' AS b) FROM sr_src"
+    )
+    q = r.sections[0].queries[0]
+    assert [col.name for col in q.columns] == ["a", "b", "c"]
+    assert q.rows == [[1, "x!", 2.0]]

@@ -1103,3 +1103,41 @@ class TestBatch8Sweep:
     def test_json_valid(self):
         r = rewrite_statement("SELECT json_valid(j) FROM t")
         assert "get_json_object(j, '$') IS NOT NULL" in r.sql
+
+
+class TestBatch9Sweep:
+    """Batch-9 differential fixes (round-10 probe, third pass)."""
+
+    def test_list_sum_no_longer_broken(self):
+        # the old rename emitted a placeholder fn name that could
+        # never resolve
+        r = rewrite_statement("SELECT list_sum(l) FROM t")
+        assert "aggregate_sum_" not in r.sql
+        assert "aggregate(l, CAST(0 AS DOUBLE), (s, v) -> s + v)" in r.sql
+
+    def test_list_avg(self):
+        r = rewrite_statement("SELECT list_avg(l) FROM t")
+        assert "/ size(array_compact(l))" in r.sql
+
+    def test_isoyear_and_century(self):
+        r = rewrite_statement("SELECT isoyear(d), century(d) FROM t")
+        assert "extract(YEAROFWEEK FROM d)" in r.sql
+        assert "ceil(year(d) / 100.0" in r.sql  # literal may gain a D suffix
+
+    def test_renames(self):
+        r = rewrite_statement(
+            "SELECT approx_quantile(x, 0.5), row(a, b), epoch_us(t),"
+            " to_hex(n), list_element(l, 2) FROM t"
+        )
+        for frag in (
+            "percentile_approx(x, 0.5)",
+            "struct(a, b)",
+            "unix_micros(t)",
+            "hex(n)",
+            "element_at(l, 2)",
+        ):
+            assert frag in r.sql
+
+    def test_dot_product_alias(self):
+        r = rewrite_statement("SELECT list_dot_product(a, b) FROM t")
+        assert "zip_with(a, b, (x, y) -> x * y)" in r.sql
