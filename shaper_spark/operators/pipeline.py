@@ -119,7 +119,11 @@ def _funnel_lazy(
     )
     arr = docs.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        F.md5(normalize_text_expr(F.col(text_col))).alias("__h"),
+        # xxhash64, not md5: the funnel's output is five counts — the
+        # dedup-group hash never crosses an engine boundary, so the
+        # JVM-native 64-bit hash (8-byte exchange key) groups the same
+        # normalized texts the oracle's md5 does
+        F.xxhash64(normalize_text_expr(F.col(text_col))).alias("__h"),
         n0.alias("__n"),
         cheap_violated.alias("__cv"),
         words.alias("__ws"),
