@@ -55,9 +55,14 @@ def test_prefix_50_covers_the_diverse_surface():
         # core families (one hash-checked representative each)
         "q5_region_revenue", "cte_share_pct", "stratified_sample_docs",
         "bigram_lm_scores", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "simhash_near_pairs", "embedding_top1", "embedding_neardup",
+        "embedding_top1", "embedding_neardup",
         "text_winnow", "pack_sequences_budget", "stream_rollup_daily",
-        "similarity_lsh_topk",
+        # round-10 NEW operators (enter immediately per policy,
+        # displacing simhash_near_pairs / similarity_lsh_topk — 9
+        # official greens EACH; the near-dup-hash family keeps
+        # dedup_minhash_lsh and similarity keeps ivf_index_probe /
+        # similarity_ivf_topk / minhash_est_error in the window)
+        "source_jaccard_matrix", "pmi_collocations",
     }
     missing = must_have - set(keys)
     assert not missing, f"prefix-50 lost entries: {missing}"
