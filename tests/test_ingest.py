@@ -589,3 +589,37 @@ class TestWalDurability:
         c = WalIngestQueue(wal_dir)
         got = sorted(e[2]["who"] for e in c.pending())
         assert got == ["b", "b2"]  # adopts the dead peers' unacked
+
+    def test_two_servers_one_metastore_no_wal_interference(
+        self, spark, tmp_path
+    ):
+        """The r9 ADVICE scenario end-to-end: two ShaperServer
+        instances on one metastore share the WAL directory; each
+        buffers its own publishes, neither's flush/ack can discard the
+        other's unflushed entries, and a dead instance's tail is
+        adopted by the next starting buffer."""
+        from shaper_spark.api import ShaperServer
+
+        _fresh(spark, "ing_two_srv")
+        db = str(tmp_path / "meta.sqlite")
+        a = ShaperServer(spark, db_path=db).start()
+        b = ShaperServer(spark, db_path=db).start()
+        try:
+            a.ingest.publish("ing_two_srv", {"who": "a1"})
+            b.ingest.publish("ing_two_srv", {"who": "b1"})
+            a.ingest.flush()  # a acks + truncates ITS segment only
+            assert [e[2] for e in b.ingest.wal.pending()] == [
+                {"who": "b1"}
+            ]
+            b.ingest.publish("ing_two_srv", {"who": "b2"})
+        finally:
+            a.stop()
+            b.stop()  # b dies with b1 (flushed? no) b1+b2 unacked
+        # b never flushed: a fresh buffer on the shared dir adopts
+        from shaper_spark.ingest import IngestBuffer
+
+        node = IngestBuffer(spark, batch_size=1000, wal_dir=db + ".ingest-wal")
+        node.flush()
+        rows = sorted(r["who"] for r in _rows(spark, "ing_two_srv"))
+        assert rows == ["a1", "b1", "b2"]
+        node.close()
