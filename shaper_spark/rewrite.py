@@ -611,7 +611,13 @@ def _double_mul_div_literals(sql: str) -> str:
             continue  # exponent literals are already double
         before = sql[:s].rstrip()[-1:] if sql[:s].rstrip() else ""
         after = sql[e:].lstrip()[:1] if sql[e:].lstrip() else ""
-        if before in ("*", "/") or after in ("*", "/"):
+        # '/' and '%' now spell try_divide()/try_mod() (the operator
+        # pass runs first), so a literal ARGUMENT of those calls is in
+        # division context too
+        in_div_call = before in ("(", ",") and _enclosing_call_name(
+            sql, states, s
+        ) in ("try_divide", "try_mod")
+        if before in ("*", "/") or after in ("*", "/") or in_div_call:
             out.append(sql[last:e])
             out.append("D")
             last = e
@@ -1436,6 +1442,10 @@ _STARTS_WITH_OP_RE = re.compile(r"\^@")
 _TILDE_RE = re.compile(r"(!?)~(?![~*])")
 _JSON_ARROW_RE = re.compile(r"->(>?)")
 _INT_DIV_RE = re.compile(r"(?<![/*])//(?![/*])")
+# a single '/' that is not part of '//' or a comment delimiter
+_SLASH_RE = re.compile(r"(?<![/*])/(?![/*=])")
+# a single '%' (string literals are state-protected by the caller)
+_PERCENT_RE = re.compile(r"%(?!=)")
 
 
 def _rewrite_duck_operators(sql: str) -> str:
@@ -1443,9 +1453,14 @@ def _rewrite_duck_operators(sql: str) -> str:
     reinterprets):
 
     * ``a ^ b`` / ``a ** b`` → ``power(a, b)`` — Spark's ``^`` is XOR.
-    * ``a // b`` → ``a DIV b`` (integer division; DuckDB truncates the
-      same way for positive operands — floor-vs-trunc differs on
-      negatives, documented).
+    * ``a // b`` → zero-guarded ``DIV`` — truncation matches DuckDB
+      1.0 exactly (negatives included) and a zero divisor yields NULL
+      instead of raising; exact 64-bit arithmetic preserved (r10).
+      DuckDB's ``double // double`` is plain division — documented,
+      DIV rejects doubles.
+    * ``a / b`` → ``try_divide``, ``a % b`` → ``try_mod`` — DuckDB
+      yields NULL on a zero divisor where ANSI Spark raises; identical
+      types and results elsewhere (r10).
     * ``s ~ 'p'`` / ``s !~ 'p'`` → ``[NOT] RLIKE`` (RHS must be a
       string literal, keeping unary bitwise ``~`` intact).
     * ``j -> 'k'`` / ``j ->> 'k'`` → ``get_json_object(j, '$.k')``
@@ -1480,17 +1495,28 @@ def _rewrite_duck_operators(sql: str) -> str:
         lambda l, r, m: f"{l} {'NOT ' if m.group(1) else ''}RLIKE {r}",
         rhs_string_only=True,
     )
-    states = _scan_states(sql)
-    out = []
-    last = 0
-    for m in _INT_DIV_RE.finditer(sql):
-        if states[m.start()] != 0:
-            continue
-        out.append(sql[last : m.start()])
-        out.append(" DIV ")
-        last = m.end()
-    out.append(sql[last:])
-    return "".join(out)
+    # a // b: DuckDB (1.0) TRUNCATES like DIV but returns NULL on a
+    # zero divisor where DIV raises — a CASE guard keeps DIV's exact
+    # 64-bit arithmetic (a float detour would lose precision past
+    # 2^53). DuckDB's double // stays plain division — documented,
+    # DIV rejects doubles either way.
+    sql = _rewrite_binary_op(
+        sql,
+        _INT_DIV_RE,
+        lambda l, r, m: (
+            f"(CASE WHEN ({r}) = 0 THEN NULL ELSE ({l}) DIV ({r}) END)"
+        ),
+    )
+    # a / b and a % b: DuckDB returns NULL on a zero divisor; ANSI
+    # Spark raises — try_divide/try_mod keep types and results
+    # identical elsewhere
+    sql = _rewrite_binary_op(
+        sql, _SLASH_RE, lambda l, r, m: f"try_divide({l}, {r})"
+    )
+    sql = _rewrite_binary_op(
+        sql, _PERCENT_RE, lambda l, r, m: f"try_mod({l}, {r})"
+    )
+    return sql
 
 
 _DISTINCT_ON_RE = re.compile(r"\bDISTINCT\s+ON\s*\(", re.IGNORECASE)
@@ -2189,11 +2215,11 @@ def _rewrite_fn_compat2(sql: str) -> str:
         L = f"collect_list({e} /*H*/)"
         return (
             f"(CASE WHEN size({L}) = 0 THEN NULL ELSE "
-            f"log2(CAST(size({L}) AS DOUBLE)) - aggregate("
+            f"log2(CAST(size({L}) AS DOUBLE)) - try_divide(aggregate("
             f"transform(array_distinct({L}), v -> "
             f"size(filter({L}, y -> y <=> v))), CAST(0 AS DOUBLE), "
-            f"(acc, c) -> acc + c * log2(CAST(c AS DOUBLE))) / "
-            f"size({L}) END)"
+            f"(acc, c) -> acc + c * log2(CAST(c AS DOUBLE))), "
+            f"size({L})) END)"
         )
 
     def _fix_histogram(args: list[str]) -> str | None:
@@ -2310,8 +2336,8 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return None
         e = args[0].strip()
         return (
-            f"(aggregate({e}, CAST(0 AS DOUBLE), (s, v) -> s + v) / "
-            f"size(array_compact({e})))"
+            f"try_divide(aggregate({e}, CAST(0 AS DOUBLE), "
+            f"(s, v) -> s + v), size(array_compact({e})))"
         )
 
     def _fix_isoyear(args: list[str]) -> str | None:
@@ -3155,7 +3181,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # bracket pass, which produces the array(…) form it keys on).
     sql = _rewrite_map_two_arrays(sql)
 
-    # DuckDB operator spellings: ^/** power, // integer division,
+    # DuckDB operator spellings: ^/** power, / % // try-variants,
     # ~ / !~ regex match, -> / ->> JSON extraction.
     sql = _rewrite_duck_operators(sql)
 
@@ -3228,7 +3254,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
     sql = _rename_functions(sql)
 
     # Decimal literals in * / arithmetic → double (DuckDB float-division
-    # result typing).
+    # result typing); division now spells try_divide()/try_mod().
     sql = _double_mul_div_literals(sql)
 
     # strftime %-codes inside date_format literals; regexp_replace 'g' flag.

@@ -646,7 +646,10 @@ class TestDuckOperators:
         assert "power((1+1), 3)" in rewrite_statement("SELECT (1+1) ^ 3").sql
 
     def test_int_div(self):
-        assert "7  DIV  2" in rewrite_statement("SELECT 7 // 2 AS v").sql
+        # r10: zero-guarded DIV — DuckDB 1.0 truncates like DIV but
+        # yields NULL on a zero divisor where DIV raises
+        out = rewrite_statement("SELECT 7 // 2 AS v").sql
+        assert "(7) DIV (2)" in out and "WHEN (2) = 0 THEN NULL" in out
 
     def test_tilde_regex(self):
         r = rewrite_statement("SELECT 1 WHERE s ~ 'a.c'")
@@ -1117,7 +1120,7 @@ class TestBatch9Sweep:
 
     def test_list_avg(self):
         r = rewrite_statement("SELECT list_avg(l) FROM t")
-        assert "/ size(array_compact(l))" in r.sql
+        assert "size(array_compact(l)))" in r.sql
 
     def test_isoyear_and_century(self):
         r = rewrite_statement("SELECT isoyear(d), century(d) FROM t")
@@ -1141,3 +1144,36 @@ class TestBatch9Sweep:
     def test_dot_product_alias(self):
         r = rewrite_statement("SELECT list_dot_product(a, b) FROM t")
         assert "zip_with(a, b, (x, y) -> x * y)" in r.sql
+
+
+class TestDivisionByZeroParity:
+    """Batch-10: DuckDB yields NULL on a zero divisor where ANSI Spark
+    raises — '/', '%', '//' all rewrite to try-variants (differential-
+    tested; '/' semantics identical elsewhere, '//' keeps DIV's exact
+    64-bit truncation under a zero guard)."""
+
+    def test_slash_to_try_divide(self):
+        r = rewrite_statement("SELECT a / b FROM t")
+        assert "try_divide(a, b)" in r.sql
+
+    def test_percent_to_try_mod(self):
+        r = rewrite_statement("SELECT a % b FROM t")
+        assert "try_mod(a, b)" in r.sql
+
+    def test_chained_division_left_assoc(self):
+        r = rewrite_statement("SELECT a / b / c FROM t")
+        assert "try_divide(try_divide(a, b), c)" in r.sql
+
+    def test_precedence_with_addition(self):
+        r = rewrite_statement("SELECT a + b / c FROM t")
+        assert "a + try_divide(b, c)" in r.sql
+
+    def test_strings_and_like_untouched(self):
+        r = rewrite_statement(
+            "SELECT 'a/b', '100%' FROM t WHERE x LIKE 'N%'"
+        )
+        assert "'a/b'" in r.sql and "'100%'" in r.sql and "'N%'" in r.sql
+
+    def test_divisor_literal_still_suffixed(self):
+        r = rewrite_statement("SELECT total / 2.5 FROM x")
+        assert "try_divide(total, 2.5D)" in r.sql
