@@ -27,7 +27,7 @@ import re
 
 from pyspark.sql import SparkSession, functions as F
 
-__all__ = ["try_execute_dml"]
+__all__ = ["try_execute_dml", "alter_rename_column"]
 
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*(.*)$",
@@ -127,10 +127,31 @@ def try_execute_dml(
     if m:
         table, rest = m.group(1), m.group(2).strip().rstrip(";").strip()
         cond = None
+        using = None
         if rest:
+            ui = _find_top_level_word(rest, "USING")
+            if ui == 0:
+                # DELETE FROM t USING u[, v] WHERE cond — DuckDB/
+                # Postgres join-delete: drop t rows for which ANY
+                # using-row satisfies cond (EXISTS semantics)
+                tail = rest[ui + len("USING") :]
+                wi = _find_top_level_word(tail, "WHERE")
+                if wi < 0:
+                    return None
+                using = tail[:wi].strip()
+                cond = tail[wi + len("WHERE") :].strip()
+                exists = f"EXISTS (SELECT 1 FROM {using} WHERE {cond})"
+                affected = spark.sql(
+                    f"SELECT count(*) FROM {table} WHERE {exists}"
+                ).collect()[0][0]
+                keep = spark.sql(
+                    f"SELECT {table}.* FROM {table} WHERE NOT {exists}"
+                )
+                _swap_in(spark, table, keep)
+                return ["Count"], [[affected]]
             wi = _find_top_level_word(rest, "WHERE")
             if wi != 0:
-                return None  # DELETE FROM t USING ... etc: unsupported shape
+                return None  # unsupported shape
             cond = rest[wi + len("WHERE") :].strip()
         src = spark.table(table)
         if cond is None:
@@ -146,10 +167,27 @@ def try_execute_dml(
     if m:
         table, rest = m.group(1), m.group(2).strip().rstrip(";").strip()
         cond = None
-        wi = _find_top_level_word(rest, "WHERE")
-        if wi >= 0:
-            cond = rest[wi + len("WHERE") :].strip()
-            rest = rest[:wi].strip()
+        from_tables = None
+        fi = _find_top_level_word(rest, "FROM")
+        if fi >= 0:
+            # UPDATE t SET c = expr FROM u WHERE cond (DuckDB/
+            # Postgres join-update): rows with a match take the
+            # expression evaluated against a matching u-row
+            # (correlated first() — an arbitrary one when several
+            # match, DuckDB leaves that undefined too); others keep
+            # their value
+            tail = rest[fi + len("FROM") :]
+            wi = _find_top_level_word(tail, "WHERE")
+            if wi < 0:
+                return None
+            from_tables = tail[:wi].strip()
+            cond = tail[wi + len("WHERE") :].strip()
+            rest = rest[:fi].strip()
+        else:
+            wi = _find_top_level_word(rest, "WHERE")
+            if wi >= 0:
+                cond = rest[wi + len("WHERE") :].strip()
+                rest = rest[:wi].strip()
         assignments: dict[str, str] = {}
         for part in _split_top_level(rest, ","):
             eq = part.find("=")
@@ -162,6 +200,31 @@ def try_execute_dml(
         for col in assignments:
             if col not in schema:
                 raise ValueError(f"UPDATE: no column {col!r} in {table}")
+        if from_tables is not None:
+            matched = f"EXISTS (SELECT 1 FROM {from_tables} WHERE {cond})"
+            cols_sql = []
+            for f in src.schema.fields:
+                expr = assignments.get(f.name.lower())
+                if expr is None:
+                    cols_sql.append(f"{table}.`{f.name}`")
+                else:
+                    sub = (
+                        f"(SELECT first(({expr})) FROM {from_tables} "
+                        f"WHERE {cond})"
+                    )
+                    cols_sql.append(
+                        f"CASE WHEN {matched} THEN CAST({sub} AS "
+                        f"{f.dataType.simpleString()}) ELSE "
+                        f"{table}.`{f.name}` END AS `{f.name}`"
+                    )
+            affected = spark.sql(
+                f"SELECT count(*) FROM {table} WHERE {matched}"
+            ).collect()[0][0]
+            new_df = spark.sql(
+                f"SELECT {', '.join(cols_sql)} FROM {table}"
+            )
+            _swap_in(spark, table, new_df)
+            return ["Count"], [[affected]]
         projected = []
         for f in src.schema.fields:
             expr = assignments.get(f.name.lower())
@@ -190,3 +253,40 @@ def try_execute_dml(
         return ["Count"], [[affected]]
 
     return None
+
+
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(`[^`]+`|[A-Za-z_][\w.]*)\s+RENAME\s+COLUMN\s+"
+    r"(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def alter_rename_column(spark: SparkSession, sql_string: str) -> None:
+    """``ALTER TABLE t RENAME COLUMN a TO b`` for v1 parquet catalog
+    tables (which reject the native command): copy-on-write through a
+    staging table, like UPDATE/DELETE — the staging write completes
+    before anything destructive touches the target."""
+    m = _RENAME_COL_RE.match(sql_string)
+    if m is None:
+        raise ValueError(f"unsupported ALTER RENAME form: {sql_string!r}")
+    table, old, new = m.group(1), m.group(2).strip("`"), m.group(3).strip("`")
+    src = spark.table(table)
+    if old not in src.columns:
+        raise ValueError(f"RENAME COLUMN: no column {old!r} in {table}")
+    df = src.withColumnRenamed(old, new)
+    if table.startswith("`"):
+        staging = f"`{table.strip('`')}__dml_staging`"
+    else:
+        staging = f"{table}__dml_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    df.write.saveAsTable(staging)
+    try:
+        # schema changes: the target is recreated, not overwritten
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.table(staging).write.saveAsTable(table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        from .plancache import bump
+
+        bump()

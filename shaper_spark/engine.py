@@ -1667,6 +1667,99 @@ def _run_query(
         return [
             Column(name="table_name", nullable=False, spark_type="string")
         ], [[t] for t in tables]
+    if upper.startswith(("INSERT OR REPLACE", "INSERT OR IGNORE")):
+        raise ValueError(
+            "INSERT OR REPLACE/IGNORE needs enforced keys, which "
+            "parquet tables do not have; run a DELETE for the keys "
+            "followed by a plain INSERT instead"
+        )
+    if upper.startswith("INSERT") and (
+        rm := re.match(
+            r"(.*)\bRETURNING\s+(.+?)\s*;?\s*$",
+            sql_string,
+            re.IGNORECASE | re.DOTALL,
+        )
+    ):
+        # DuckDB INSERT … RETURNING: run the insert, then evaluate the
+        # RETURNING projection over the just-inserted source rows
+        # (aliased to the target's column names)
+        im = re.match(
+            r"\s*INSERT\s+INTO\s+(`[^`]+`|[A-Za-z_][\w.]*)\s*"
+            r"(\(([^)]*)\))?\s*(.*)$",
+            rm.group(1),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if im is None or re.match(
+            r"\s*BY\s+NAME\b", im.group(4) or "", re.IGNORECASE
+        ):
+            raise ValueError(
+                "unsupported INSERT … RETURNING form (BY NAME with "
+                "RETURNING is not supported; split the statements)"
+            )
+        target, collist, source = im.group(1), im.group(3), im.group(4)
+        _run_query(spark, rm.group(1), vars_, macros, max_rows)
+        if collist:
+            names = [c.strip().strip("`") for c in collist.split(",")]
+        else:
+            names = spark.table(target).columns
+        alias_cols = ", ".join(f"`{n}`" for n in names)
+        return _run_query(
+            spark,
+            f"SELECT {rm.group(2)} FROM ({source}) AS "
+            f"__inserted({alias_cols})",
+            vars_,
+            macros,
+            max_rows,
+        )
+    if upper.startswith("CREATE OR REPLACE TABLE"):
+        # Spark's parquet catalog tables reject the v2 REPLACE op:
+        # DuckDB semantics are drop-then-create, so do exactly that
+        crm = re.match(
+            r"CREATE\s+OR\s+REPLACE\s+TABLE\s+(`[^`]+`|[A-Za-z_][\w.]*)",
+            sql_string.strip(),
+            re.IGNORECASE,
+        )
+        if crm:
+            spark.sql(f"DROP TABLE IF EXISTS {crm.group(1)}")
+            # the in-memory catalog resets per session while managed
+            # files persist: REPLACE semantics mean any stale
+            # directory from a previous session goes too
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir")
+            ).path
+            bare = crm.group(1).strip("`").split(".")[-1].lower()
+            shutil.rmtree(f"{wh}/{bare}", ignore_errors=True)
+            sql_string = re.sub(
+                r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\b",
+                "CREATE TABLE",
+                sql_string,
+                flags=re.IGNORECASE,
+            )
+            upper = sql_string.strip().upper()
+    if upper.startswith("TRUNCATE") and not upper.startswith(
+        "TRUNCATE TABLE"
+    ):
+        # DuckDB allows TRUNCATE <name> without the TABLE keyword
+        sql_string = re.sub(
+            r"^\s*TRUNCATE\b", "TRUNCATE TABLE", sql_string,
+            flags=re.IGNORECASE,
+        )
+        upper = sql_string.strip().upper()
+    if re.match(
+        r"\s*ALTER\s+TABLE\s+(`[^`]+`|[A-Za-z_][\w.]*)\s+RENAME\s+COLUMN\b",
+        sql_string,
+        re.IGNORECASE,
+    ):
+        # v1 parquet tables don't support RENAME COLUMN: copy-on-write
+        from .dml import alter_rename_column
+
+        alter_rename_column(spark, sql_string)
+        return [
+            Column(name="Success", nullable=False, spark_type="boolean")
+        ], [[True]]
     if upper.startswith(("UPDATE", "DELETE")):
         # Task DML on warehouse tables — copy-on-write rewrite (the
         # statement gate already confines these to tasks; reference

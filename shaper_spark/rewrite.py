@@ -487,6 +487,71 @@ _ARRAY_SUFFIX_RE = re.compile(
 )
 
 
+_CREATE_TABLE_COLS_RE = re.compile(
+    r"\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?:`[^`]+`|[A-Za-z_][\w.]*)\s*\(",
+    re.IGNORECASE,
+)
+_DDL_TYPE_STOPPERS = frozenset(
+    "PRIMARY NOT NULL DEFAULT UNIQUE CHECK REFERENCES".split()
+)
+
+
+def _rename_ddl_types(sql: str) -> str:
+    """Bare DuckDB type names in CREATE TABLE column lists → Spark
+    names (VARCHAR→STRING, INT8→BIGINT, …): Spark's DDL accepts
+    VARCHAR(n) but rejects length-less VARCHAR.  Only tokens in TYPE
+    position are touched (followed by ',', ')', or a constraint
+    keyword, preceded by the column identifier) so a column NAMED
+    'text' stays untouched."""
+    states = _scan_states(sql)
+    for m in _CREATE_TABLE_COLS_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        open_pos = m.end() - 1
+        close = _find_matching_close(sql, open_pos, states)
+        if close == -1:
+            continue
+        span = sql[open_pos + 1 : close]
+
+        def repl(tm: re.Match[str]) -> str:
+            name = tm.group(0)
+            new = _TYPE_RENAMES.get(name.upper())
+            if new is None:
+                return name
+            after = span[tm.end() :].lstrip()
+            nxt = after[:1]
+            nxt_word = re.match(r"[A-Za-z]+", after)
+            if not (
+                nxt in (",", ")", "")
+                or (
+                    nxt_word
+                    and nxt_word.group(0).upper() in _DDL_TYPE_STOPPERS
+                )
+            ):
+                return name  # not type position (e.g. VARCHAR(10))
+            before = span[: tm.start()].rstrip()
+            if not before or before[-1] in (",",):
+                return name  # column-name position
+            return new
+
+        new_span = re.sub(r"[A-Za-z_]\w*", repl, span)
+        # informational constraints: parquet tables reject CONSTRAINT
+        # clauses outright — strip the declaration (UNENFORCED, like
+        # most warehouses; INSERT OR REPLACE raises a named error
+        # elsewhere precisely because keys are not enforced here)
+        new_span = re.sub(
+            r"\s+PRIMARY\s+KEY\b|\s+UNIQUE\b",
+            "",
+            new_span,
+            flags=re.IGNORECASE,
+        )
+        if new_span != span:
+            sql = sql[: open_pos + 1] + new_span + sql[close:]
+            states = _scan_states(sql)
+    return sql
+
+
 def _rename_types(sql: str) -> str:
     states = _scan_states(sql)
 
@@ -3263,6 +3328,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # Type renames (::TIMESTAMPTZ, CAST(x AS VARCHAR), …).
     sql = _rename_types(sql)
+    sql = _rename_ddl_types(sql)
 
     # DuckDB literals treat backslash literally; Spark's parser
     # escapes it — double them (LAST, so injected literals are

@@ -627,3 +627,79 @@ class TestCopyFrom:
         r = execute_task(spark, f"COPY cpf_m FROM '{p}' (FORMAT csv);")
         assert not r.success
         spark.sql("DROP TABLE cpf_m")
+
+
+class TestTaskDmlForms:
+    """r10 batch-11: the DuckDB task-DML forms the probe found missing
+    — differential-tested against DuckDB."""
+
+    def test_create_or_replace_table(self, spark):
+        from shaper_spark.tasks import execute_task
+
+        r = execute_task(
+            spark,
+            "CREATE OR REPLACE TABLE corepl1 AS SELECT 1 AS x;"
+            "CREATE OR REPLACE TABLE corepl1 AS SELECT 2 AS x;"
+            "SELECT x FROM corepl1;",
+        )
+        assert r.success, [q.error for q in r.queries]
+        assert r.queries[-1].result_rows == [[2]]
+
+    def test_insert_by_name_and_returning(self, spark):
+        from shaper_spark.tasks import execute_task
+
+        r = execute_task(
+            spark,
+            "CREATE OR REPLACE TABLE tbn1 (a INT, b VARCHAR);"
+            "INSERT INTO tbn1 BY NAME SELECT 'x' AS b, 1 AS a;"
+            "INSERT INTO tbn1 VALUES (2, 'y') RETURNING a, upper(b) AS u;"
+            "SELECT * FROM tbn1 ORDER BY a;",
+        )
+        assert r.success, [q.error for q in r.queries]
+        assert r.queries[2].result_rows == [[2, "Y"]]
+        assert r.queries[3].result_rows == [[1, "x"], [2, "y"]]
+
+    def test_update_from_and_delete_using(self, spark):
+        from shaper_spark.tasks import execute_task
+
+        r = execute_task(
+            spark,
+            "CREATE OR REPLACE TABLE tuf1 (k INT, v INT);"
+            "INSERT INTO tuf1 VALUES (1, 10), (2, 20);"
+            "CREATE OR REPLACE TABLE tuf2 (k INT, nv INT);"
+            "INSERT INTO tuf2 VALUES (1, 99);"
+            "UPDATE tuf1 SET v = tuf2.nv FROM tuf2 WHERE tuf1.k = tuf2.k;"
+            "DELETE FROM tuf1 USING tuf2 WHERE tuf1.k = tuf2.k AND tuf1.v = 99;"
+            "SELECT * FROM tuf1 ORDER BY k;",
+        )
+        assert r.success, [q.error for q in r.queries]
+        assert r.queries[4].result_rows == [[1]]  # one row updated
+        assert r.queries[5].result_rows == [[1]]  # one row deleted
+        assert r.queries[6].result_rows == [[2, 20]]
+
+    def test_truncate_and_rename_column(self, spark):
+        from shaper_spark.tasks import execute_task
+
+        r = execute_task(
+            spark,
+            "CREATE OR REPLACE TABLE ttr1 AS SELECT 1 AS old_c;"
+            "ALTER TABLE ttr1 RENAME COLUMN old_c TO new_c;"
+            "SELECT new_c FROM ttr1;"
+            "TRUNCATE ttr1;"
+            "SELECT count(*) AS c FROM ttr1;",
+        )
+        assert r.success, [q.error for q in r.queries]
+        assert r.queries[2].result_rows == [[1]]
+        assert r.queries[4].result_rows == [[0]]
+
+    def test_primary_key_stripped_and_or_replace_named_error(self, spark):
+        from shaper_spark.tasks import execute_task
+
+        r = execute_task(
+            spark,
+            "CREATE OR REPLACE TABLE tpk1 (k INT PRIMARY KEY, v INT);"
+            "INSERT OR REPLACE INTO tpk1 VALUES (1, 10);",
+        )
+        assert not r.success
+        assert r.queries[0].error is None  # PK declaration stripped
+        assert "enforced keys" in (r.queries[1].error or "")
