@@ -297,6 +297,7 @@ _FN_RENAMES = {
     "array_concat": "concat",
     "strpos": "instr",
     "week": "weekofyear",
+    "unicode": "ascii",
     "approx_quantile": "percentile_approx",
     "row": "struct",
     "epoch_us": "unix_micros",
@@ -2417,6 +2418,57 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f"CAST(ceil(year({args[0].strip()}) / 100.0) AS BIGINT)"
         )
 
+    def _chars(e: str) -> str:
+        # character array of a string (drop split()'s empty artifacts)
+        return f"filter(split({e}, ''), c -> c <> '')"
+
+    def _fix_jaccard_str(args: list[str]) -> str | None:
+        # DuckDB jaccard(s1, s2): Jaccard similarity of the CHARACTER
+        # SETS — the quick fuzzy-match scalar
+        if len(args) != 2:
+            return None
+        a, b = _chars(args[0].strip()), _chars(args[1].strip())
+        return (
+            f"try_divide(CAST(size(array_intersect({a}, {b})) AS "
+            f"DOUBLE), size(array_union({a}, {b})))"
+        )
+
+    def _fix_hamming(args: list[str]) -> str | None:
+        # positionwise mismatch count over the character arrays
+        if len(args) != 2:
+            return None
+        a, b = _chars(args[0].strip()), _chars(args[1].strip())
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CASE WHEN "
+            f"x <=> y THEN 0 ELSE 1 END), 0, (s, v) -> s + v)"
+        )
+
+    def _fix_even(args: list[str]) -> str | None:
+        # round away from zero to the next EVEN number
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"(sign({e}) * ceil(abs(CAST({e} AS DOUBLE)) / 2) * 2)"
+        )
+
+    def _fix_isinf(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return (
+            f"(abs(CAST({args[0].strip()} AS DOUBLE)) = "
+            f"CAST('Infinity' AS DOUBLE))"
+        )
+
+    def _fix_isfinite(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        e = f"CAST({args[0].strip()} AS DOUBLE)"
+        return (
+            f"(NOT isnan({e}) AND abs({e}) <> "
+            f"CAST('Infinity' AS DOUBLE))"
+        )
+
     def _mk_to_unit(unit_expr: str):
         def fix(args: list[str]) -> str | None:
             if len(args) != 1:
@@ -2545,6 +2597,12 @@ def _rewrite_fn_compat2(sql: str) -> str:
     for regex, fixer in (
         (re.compile(r"\bentropy\s*\(", re.IGNORECASE), _fix_entropy),
         (re.compile(r"\bxor\s*\(", re.IGNORECASE), _fix_xor),
+        (re.compile(r"\bjaccard\s*\(", re.IGNORECASE), _fix_jaccard_str),
+        (re.compile(r"\bhamming\s*\(", re.IGNORECASE), _fix_hamming),
+        (re.compile(r"\bmismatches\s*\(", re.IGNORECASE), _fix_hamming),
+        (re.compile(r"\beven\s*\(", re.IGNORECASE), _fix_even),
+        (re.compile(r"\bisinf\s*\(", re.IGNORECASE), _fix_isinf),
+        (re.compile(r"\bisfinite\s*\(", re.IGNORECASE), _fix_isfinite),
         (re.compile(r"\blist_sum\s*\(", re.IGNORECASE), _fix_list_sum),
         (re.compile(r"\blist_avg\s*\(", re.IGNORECASE), _fix_list_avg),
         (re.compile(r"\bisoyear\s*\(", re.IGNORECASE), _fix_isoyear),

@@ -1177,3 +1177,28 @@ class TestDivisionByZeroParity:
     def test_divisor_literal_still_suffixed(self):
         r = rewrite_statement("SELECT total / 2.5 FROM x")
         assert "try_divide(total, 2.5D)" in r.sql
+
+
+class TestBatch12Sweep:
+    """Batch-12: string-distance and float-predicate scalars
+    (differential-tested against DuckDB)."""
+
+    def test_jaccard_char_sets(self):
+        r = rewrite_statement("SELECT jaccard(a, b) FROM t")
+        assert "array_intersect" in r.sql and "array_union" in r.sql
+
+    def test_hamming_and_mismatches(self):
+        r = rewrite_statement("SELECT hamming(a, b), mismatches(a, b) FROM t")
+        assert r.sql.count("zip_with") == 2
+
+    def test_even_isinf_isfinite(self):
+        r = rewrite_statement(
+            "SELECT even(x), isinf(x), isfinite(x) FROM t"
+        )
+        assert "ceil(abs(CAST(x AS DOUBLE)) " in r.sql
+        assert "CAST('Infinity' AS DOUBLE)" in r.sql
+        assert "NOT isnan" in r.sql
+
+    def test_unicode_rename(self):
+        r = rewrite_statement("SELECT unicode(s) FROM t")
+        assert "ascii(s)" in r.sql
