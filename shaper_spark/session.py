@@ -120,6 +120,12 @@ def get_spark(app_name: str = "shaper_spark", cpus: int | None = None) -> SparkS
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # DuckDB-parity scalar UDFs (string distances, Unicode
+    # normalization, path/URL helpers, special math) — slow-path by
+    # design, registered once per session like the reference's getenv
+    from .udfs import register_compat_udfs
+
+    register_compat_udfs(spark)
     return spark
 
 
