@@ -297,6 +297,9 @@ _FN_RENAMES = {
     "array_concat": "concat",
     "strpos": "instr",
     "week": "weekofyear",
+    "datetrunc": "date_trunc",
+    "strlen": "octet_length",
+    "ord": "ascii",
     "unicode": "ascii",
     "approx_quantile": "percentile_approx",
     "row": "struct",
@@ -1514,6 +1517,28 @@ _SLASH_RE = re.compile(r"(?<![/*])/(?![/*=])")
 _PERCENT_RE = re.compile(r"%(?!=)")
 
 
+_IN_VALUES_RE = re.compile(r"\bIN\s*\(\s*(VALUES\b)", re.IGNORECASE)
+
+
+def _rewrite_in_values(sql: str) -> str:
+    """``x IN (VALUES (…), …)`` → ``x IN (SELECT * FROM VALUES …)`` —
+    DuckDB accepts the bare VALUES list as a subquery, Spark needs the
+    SELECT."""
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                mm
+                for mm in _IN_VALUES_RE.finditer(sql)
+                if states[mm.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        sql = sql[: m.start(1)] + "SELECT * FROM " + sql[m.start(1) :]
+
+
 def _rewrite_duck_operators(sql: str) -> str:
     """Operator spellings DuckDB has and Spark lacks (or silently
     reinterprets):
@@ -2469,6 +2494,64 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f"CAST('Infinity' AS DOUBLE))"
         )
 
+    def _fix_list_reduce(args: list[str]) -> str | None:
+        # DuckDB list_reduce starts from the FIRST element (no init)
+        if len(args) != 2:
+            return None
+        l_, lam = args[0].strip(), args[1].strip()
+        return (
+            f"aggregate(slice({l_}, 2, greatest(size({l_}) - 1, 0)), "
+            f"try_element_at({l_}, 1), {lam})"
+        )
+
+    def _fix_list_where(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        l_, m_ = args[0].strip(), args[1].strip()
+        return (
+            f"transform(filter(zip_with({l_}, {m_}, "
+            f"(x, m) -> struct(x AS x, m AS m)), s -> s.m), s -> s.x)"
+        )
+
+    def _fix_list_select(args: list[str]) -> str | None:
+        # 1-based index selection, like DuckDB's try-semantics
+        if len(args) != 2:
+            return None
+        l_, ix = args[0].strip(), args[1].strip()
+        return (
+            f"transform({ix}, i -> try_element_at({l_}, CAST(i AS INT)))"
+        )
+
+    def _fix_list_grade_up(args: list[str]) -> str | None:
+        # positions each sorted element came from
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"transform(array_sort(zip_with({e}, sequence(1, size({e})), "
+            f"(v, i) -> struct(v AS v, i AS i))), s -> s.i)"
+        )
+
+    def _fix_dayofweek0(args: list[str]) -> str | None:
+        # DuckDB dayofweek/weekday: 0 = Sunday; Spark dayofweek is
+        # 1 = Sunday (and Spark weekday is 0 = Monday) — silent
+        # off-by-one both ways
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        if e.endswith("/*d0*/"):
+            return None
+        return f"(dayofweek({e} /*d0*/) - 1)"
+
+    def _fix_isodow_fn(args: list[str]) -> str | None:
+        # ISO day number, 1 = Monday … 7 = Sunday
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        if e.endswith("/*d0*/"):
+            return None
+        return f"(pmod(dayofweek({e} /*d0*/) + 5, 7) + 1)"
+
     def _mk_to_unit(unit_expr: str):
         def fix(args: list[str]) -> str | None:
             if len(args) != 1:
@@ -2597,6 +2680,29 @@ def _rewrite_fn_compat2(sql: str) -> str:
     for regex, fixer in (
         (re.compile(r"\bentropy\s*\(", re.IGNORECASE), _fix_entropy),
         (re.compile(r"\bxor\s*\(", re.IGNORECASE), _fix_xor),
+        (
+            re.compile(r"\blist_reduce\s*\(", re.IGNORECASE),
+            _fix_list_reduce,
+        ),
+        (
+            re.compile(r"\blist_where\s*\(", re.IGNORECASE),
+            _fix_list_where,
+        ),
+        (
+            re.compile(r"\blist_select\s*\(", re.IGNORECASE),
+            _fix_list_select,
+        ),
+        (
+            re.compile(r"\blist_grade_up\s*\(", re.IGNORECASE),
+            _fix_list_grade_up,
+        ),
+        (
+            re.compile(
+                r"\b(?:dayofweek|weekday)\s*\(", re.IGNORECASE
+            ),
+            _fix_dayofweek0,
+        ),
+        (re.compile(r"\bisodow\s*\(", re.IGNORECASE), _fix_isodow_fn),
         (re.compile(r"\bjaccard\s*\(", re.IGNORECASE), _fix_jaccard_str),
         (re.compile(r"\bhamming\s*\(", re.IGNORECASE), _fix_hamming),
         (re.compile(r"\bmismatches\s*\(", re.IGNORECASE), _fix_hamming),
@@ -2753,6 +2859,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         .replace(" /*G2*/", "")
         .replace(" /*H*/", "")
         .replace(" /*P*/", "")
+        .replace(" /*d0*/", "")
     )
 
     # extract(epoch|dow|isodow FROM e)
@@ -3306,6 +3413,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # DuckDB operator spellings: ^/** power, / % // try-variants,
     # ~ / !~ regex match, -> / ->> JSON extraction.
+    sql = _rewrite_in_values(sql)
     sql = _rewrite_duck_operators(sql)
 
     # SELECT DISTINCT ON (keys) → QUALIFY row_number() = 1 (the

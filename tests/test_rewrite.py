@@ -1202,3 +1202,43 @@ class TestBatch12Sweep:
     def test_unicode_rename(self):
         r = rewrite_statement("SELECT unicode(s) FROM t")
         assert "ascii(s)" in r.sql
+
+
+class TestBatch13Sweep:
+    """Batch-13 differential fixes."""
+
+    def test_dayofweek_zero_based(self):
+        # silent off-by-one: DuckDB dayofweek/weekday are 0=Sunday,
+        # Spark dayofweek is 1=Sunday (weekday is 0=MONDAY)
+        r = rewrite_statement("SELECT dayofweek(d), weekday(d) FROM t")
+        assert r.sql.count("(dayofweek(d) - 1)") == 2
+
+    def test_isodow(self):
+        r = rewrite_statement("SELECT isodow(d) FROM t")
+        assert "pmod(dayofweek(d) + 5, 7) + 1" in r.sql
+
+    def test_list_reduce_no_init(self):
+        r = rewrite_statement("SELECT list_reduce(l, (a, b) -> a + b) FROM t")
+        assert "slice(l, 2, greatest(size(l) - 1, 0))" in r.sql
+        assert "try_element_at(l, 1)" in r.sql
+
+    def test_list_where_select_grade(self):
+        r = rewrite_statement(
+            "SELECT list_where(l, m), list_select(l, ix),"
+            " list_grade_up(l) FROM t"
+        )
+        assert "s.m), s -> s.x)" in r.sql
+        assert "transform(ix, i -> try_element_at(l, CAST(i AS INT)))" in r.sql
+        assert "sequence(1, size(l))" in r.sql
+
+    def test_in_values(self):
+        r = rewrite_statement("SELECT 1 IN (VALUES (1), (2)) AS i")
+        assert "IN (SELECT * FROM VALUES (1), (2))" in r.sql
+
+    def test_renames(self):
+        r = rewrite_statement(
+            "SELECT datetrunc('month', d), strlen(s), ord(s) FROM t"
+        )
+        assert "date_trunc('month', d)" in r.sql
+        assert "octet_length(s)" in r.sql
+        assert "ascii(s)" in r.sql
