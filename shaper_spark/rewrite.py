@@ -2552,6 +2552,31 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return None
         return f"(pmod(dayofweek({e} /*d0*/) + 5, 7) + 1)"
 
+    def _fix_string_agg1(args: list[str]) -> str | None:
+        # DuckDB's default separator is ',' — Spark listagg's is ''
+        if len(args) != 1:
+            return None
+        return f"listagg({args[0].strip()}, ',')"
+
+    def _fix_array_agg_nulls(args: list[str]) -> str | None:
+        # DuckDB array_agg KEEPS NULL elements; collect_list drops
+        # them — wrap in a struct (never NULL) and unwrap after
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        if e.endswith("/*AG*/"):
+            return None
+        return (
+            f"transform(collect_list(struct(({e} /*AG*/) AS v)), "
+            f"s -> s.v)"
+        )
+
+    def _fix_any_value(args: list[str]) -> str | None:
+        # DuckDB any_value returns the first NON-NULL value
+        if len(args) != 1:
+            return None
+        return f"any_value({args[0].strip()}, true)"
+
     def _mk_to_unit(unit_expr: str):
         def fix(args: list[str]) -> str | None:
             if len(args) != 1:
@@ -2680,6 +2705,20 @@ def _rewrite_fn_compat2(sql: str) -> str:
     for regex, fixer in (
         (re.compile(r"\bentropy\s*\(", re.IGNORECASE), _fix_entropy),
         (re.compile(r"\bxor\s*\(", re.IGNORECASE), _fix_xor),
+        (
+            re.compile(
+                r"\b(?:string_agg|group_concat)\s*\(", re.IGNORECASE
+            ),
+            _fix_string_agg1,
+        ),
+        (
+            re.compile(r"\b(?:array_agg|list)\s*\(", re.IGNORECASE),
+            _fix_array_agg_nulls,
+        ),
+        (
+            re.compile(r"\bany_value\s*\(", re.IGNORECASE),
+            _fix_any_value,
+        ),
         (
             re.compile(r"\blist_reduce\s*\(", re.IGNORECASE),
             _fix_list_reduce,
@@ -2860,6 +2899,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         .replace(" /*H*/", "")
         .replace(" /*P*/", "")
         .replace(" /*d0*/", "")
+        .replace(" /*AG*/", "")
     )
 
     # extract(epoch|dow|isodow FROM e)

@@ -179,8 +179,7 @@ class TestFunctionRenames:
              "SELECT regexp_replace(x, '[0-9]', '') FROM t"),
             ("SELECT today() AS d", "SELECT current_date() AS d"),
             ("SELECT arg_max(x, y) FROM t", "SELECT max_by(x, y) FROM t"),
-            ("SELECT list(x) FROM t", "SELECT collect_list(x) FROM t"),
-            ("SELECT unnest([1,2]) AS v", "SELECT explode(array(1,2)) AS v"),
+                        ("SELECT unnest([1,2]) AS v", "SELECT explode(array(1,2)) AS v"),
             ("SELECT array_to_string(l, ',') FROM t",
              "SELECT array_join(l, ',') FROM t"),
             ("SELECT epoch(ts) FROM t", "SELECT unix_timestamp(ts) FROM t"),
@@ -604,9 +603,11 @@ class TestAggOrderBy:
             in r.sql
         )
 
-    def test_plain_aggs_untouched(self):
+    def test_plain_aggs_keep_nulls_via_struct_wrap(self):
+        # r10: plain array_agg must KEEP NULL elements like DuckDB —
+        # it rewrites onto the struct-wrapped collect_list
         r = rewrite_statement("SELECT array_agg(x) AS l FROM t")
-        assert "array_agg(x)" in r.sql
+        assert "collect_list(struct((x) AS v))" in r.sql
 
 
 class TestListAggregateAndComprehensions:
@@ -1242,3 +1243,33 @@ class TestBatch13Sweep:
         assert "date_trunc('month', d)" in r.sql
         assert "octet_length(s)" in r.sql
         assert "ascii(s)" in r.sql
+
+
+class TestBatch14AggregateEdges:
+    """Batch-14: aggregate NULL/default-separator semantics
+    (differential-tested — all three were silent wrong answers)."""
+
+    def test_string_agg_default_separator(self):
+        # DuckDB's 1-arg default separator is ','; Spark listagg's is ''
+        r = rewrite_statement("SELECT string_agg(x) FROM t")
+        assert "listagg(x, ',')" in r.sql
+        r = rewrite_statement("SELECT group_concat(x) FROM t")
+        assert "listagg(x, ',')" in r.sql
+
+    def test_string_agg_explicit_sep_untouched(self):
+        r = rewrite_statement("SELECT string_agg(x, '-') FROM t")
+        assert "listagg(x, '-')" in r.sql
+
+    def test_array_agg_keeps_nulls(self):
+        # collect_list drops NULL elements; DuckDB array_agg keeps them
+        r = rewrite_statement("SELECT array_agg(x) FROM t")
+        assert "collect_list(struct((x) AS v))" in r.sql
+        assert "s -> s.v" in r.sql
+
+    def test_array_agg_ordered_form_still_sorts(self):
+        r = rewrite_statement("SELECT array_agg(x ORDER BY x) FROM t")
+        assert "sort_array(collect_list(x), True)" in r.sql
+
+    def test_any_value_skips_nulls(self):
+        r = rewrite_statement("SELECT any_value(x) FROM t")
+        assert "any_value(x, true)" in r.sql
