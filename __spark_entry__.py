@@ -2530,20 +2530,31 @@ stop AS (
            ('the','and','of','to','a','in','is','that','for','it')) AS hits
   FROM tok GROUP BY doc_id
 ),
-q AS (
-  -- integer micro-units: round-to-INTEGER of score*1e6 is engine-
-  -- stable (a 6-dp DOUBLE round is not), so the >= t verdicts replay
-  -- bit-identically against the Spark operator
+counts AS (
   SELECT d.doc_id, d.source,
-         CAST(round((least(len(string_split(d.text, ' ')) / 50.0, 1.0) * 0.4
-               + least(coalesce(s.hits, 0) * 1.0
-                       / greatest(len(string_split(d.text, ' ')), 1) * 5,
-                       1.0) * 0.4
-               + (1 - least(length(regexp_replace(d.text,
-                                    '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-                            / greatest(length(d.text), 1) * 10, 1.0)) * 0.2)
-               * 1000000) AS BIGINT) AS qmicro
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+         CAST(length(d.text) AS BIGINT) AS nc,
+         CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
+              AS BIGINT) AS punct,
+         CAST(coalesce(s.hits, 0) AS BIGINT) AS nstop
   FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
+),
+q AS (
+  -- r11: the score is a rational of the four integer counts, so the
+  -- micro value is computed in PURE BIGINT arithmetic — identical on
+  -- every engine build, no double anywhere in the verdict path
+  -- (round(score*1e6) of a double was driver-divergent r9/r10):
+  -- N/D over D = 50*nw'*nc', half-up via (2N+D) // (2D)
+  SELECT doc_id, source,
+         (2 * (400000 * least(nw, 50) * greatest(nw, 1) * greatest(nc, 1)
+               + 400000 * least(5 * nstop, greatest(nw, 1)) * 50
+                 * greatest(nc, 1)
+               + 200000 * (greatest(nc, 1) - least(10 * punct,
+                                                   greatest(nc, 1)))
+                 * 50 * greatest(nw, 1))
+          + 50 * greatest(nw, 1) * greatest(nc, 1))
+         // (2 * 50 * greatest(nw, 1) * greatest(nc, 1)) AS qmicro
+  FROM counts
 ),
 wide AS (
   SELECT source, count(*) AS n_docs,
@@ -2565,6 +2576,60 @@ FROM (
   UNION ALL SELECT source, 0.6::DOUBLE, n_docs, s4 FROM wide
 )
 ORDER BY source, threshold
+"""
+
+
+def _q_threshold_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic companion to filter_threshold_sweep (r10 verdict
+    task #1): per-source BIGINT sums of the four integer counts the
+    quality score derives from, plus the sum of the pure-BIGINT
+    quality_micro. If any engine ever disagrees with the sweep, this
+    localizes the divergence — count sums differ → tokenizer/regex/
+    stopword inputs diverge; counts match but qmicro differs → the
+    arithmetic does (impossible once integer-only on both sides).
+    No reference counterpart; §2C diagnostics."""
+    from shaper_spark.operators.text import threshold_sweep_probe
+
+    _prep(spark, sf_dir)
+    return threshold_sweep_probe(
+        spark.table("documents"), "doc_id", "text", "source"
+    )
+
+
+THRESHOLD_PROBE_DUCK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stop AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE lower(w) IN
+           ('the','and','of','to','a','in','is','that','for','it')) AS hits
+  FROM tok GROUP BY doc_id
+),
+counts AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+         CAST(length(d.text) AS BIGINT) AS nc,
+         CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
+              AS BIGINT) AS punct,
+         CAST(coalesce(s.hits, 0) AS BIGINT) AS nstop
+  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(nw) AS sum_nw,
+       sum(nc) AS sum_nc,
+       sum(punct) AS sum_punct,
+       sum(nstop) AS sum_stop,
+       sum((2 * (400000 * least(nw, 50) * greatest(nw, 1) * greatest(nc, 1)
+                 + 400000 * least(5 * nstop, greatest(nw, 1)) * 50
+                   * greatest(nc, 1)
+                 + 200000 * (greatest(nc, 1) - least(10 * punct,
+                                                     greatest(nc, 1)))
+                   * 50 * greatest(nw, 1))
+            + 50 * greatest(nw, 1) * greatest(nc, 1))
+           // (2 * 50 * greatest(nw, 1) * greatest(nc, 1))) AS sum_qmicro
+FROM counts
+GROUP BY source
+ORDER BY source
 """
 
 
@@ -4594,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _sql(Q1_PRICING),
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
+        "threshold_sweep_probe": _q_threshold_probe,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4731,4 +4797,5 @@ def oracle_sql() -> dict[str, str]:
         "uniform_sample_docs": UNIFORM_SAMPLE_DUCK,
         "dedup_apply_counts": DEDUP_APPLY_DUCK,
         "stream_rollup_daily": STREAM_ROLLUP_DUCK,
+        "threshold_sweep_probe": THRESHOLD_PROBE_DUCK,
     }

@@ -285,8 +285,12 @@ def alter_rename_column(spark: SparkSession, sql_string: str) -> None:
         # schema changes: the target is recreated, not overwritten
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.table(staging).write.saveAsTable(table)
-    finally:
+        # only a SUCCESSFUL target write releases the staging copy —
+        # on failure the staging table survives as the data's sole
+        # remaining home (r11 ADVICE: the old finally-drop lost both
+        # copies when the write failed mid-flight)
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    finally:
         from .plancache import bump
 
         bump()

@@ -1720,18 +1720,61 @@ def _run_query(
             re.IGNORECASE,
         )
         if crm:
-            spark.sql(f"DROP TABLE IF EXISTS {crm.group(1)}")
-            # the in-memory catalog resets per session while managed
-            # files persist: REPLACE semantics mean any stale
-            # directory from a previous session goes too
+            import os
             import shutil
             from urllib.parse import urlparse
 
-            wh = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir")
-            ).path
-            bare = crm.group(1).strip("`").split(".")[-1].lower()
-            shutil.rmtree(f"{wh}/{bare}", ignore_errors=True)
+            name = crm.group(1)
+            # resolve the managed location from the CATALOG before the
+            # drop — deriving a path from the name text can hit a
+            # different table's directory (db.t → default.t) or, for a
+            # hostile backticked name, escape the warehouse (r11
+            # ADVICE)
+            loc = None
+            try:
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {name}"
+                ).collect():
+                    if (r[0] or "").strip().lower() == "location":
+                        loc = r[1]
+                        break
+            except Exception:
+                loc = None
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            # the in-memory catalog resets per session while managed
+            # files persist: REPLACE semantics mean any stale
+            # directory from a previous session goes too — but only
+            # ever delete a path proven to sit INSIDE the warehouse
+            wh = os.path.realpath(
+                urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            )
+            target_path = None
+            if loc:
+                target_path = os.path.realpath(urlparse(loc).path)
+            else:
+                # unknown to this session: reconstruct the managed
+                # path only for simple (optionally db-qualified)
+                # identifiers; anything else skips the cleanup
+                raw = name.strip("`") if name.startswith("`") else name
+                parts = raw.lower().split(".") if not name.startswith(
+                    "`"
+                ) else [raw.lower()]
+                if len(parts) <= 2 and all(
+                    re.fullmatch(r"[a-z_][a-z0-9_]*", p) for p in parts
+                ):
+                    if len(parts) == 2:
+                        db, tbl = parts
+                    else:
+                        db, tbl = (
+                            spark.catalog.currentDatabase().lower(),
+                            parts[0],
+                        )
+                    rel = tbl if db == "default" else f"{db}.db/{tbl}"
+                    target_path = os.path.realpath(
+                        os.path.join(wh, rel)
+                    )
+            if target_path and target_path.startswith(wh + os.sep):
+                shutil.rmtree(target_path, ignore_errors=True)
             sql_string = re.sub(
                 r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\b",
                 "CREATE TABLE",

@@ -99,6 +99,64 @@ def _stopword_hits(text_col: str, stopwords: list[str]) -> Column:
     return F.expr(f"regexp_count({text_col}, '{escaped}')")
 
 
+def _quality_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stage the four integer counts the quality score derives from —
+    word count, char count, punctuation chars, stopword hits — ONCE
+    per row (split + two regex passes), shared by
+    :func:`quality_score` and :func:`threshold_sweep_probe` so the
+    probe diagnoses exactly the counts the sweep consumed."""
+    from ..session import spread_for_compute
+
+    return spread_for_compute(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.size(F.split(F.col(text_col), " ")).alias("__nw"),
+        F.length(text_col).alias("__nc"),
+        F.expr(f"regexp_count({text_col}, '[^A-Za-z0-9\\\\s]')").alias(
+            "__punct"
+        ),
+        _stopword_hits(text_col, LANG_STOPWORDS["en"]).alias("__stop"),
+    )
+
+
+def _qmicro_sql(
+    nw: str = "__nw",
+    nc: str = "__nc",
+    punct: str = "__punct",
+    stop: str = "__stop",
+) -> str:
+    """The quality score in 1e-6 units as PURE BIGINT rational
+    arithmetic — no doubles anywhere, so every engine computes the
+    identical integer from the same four counts (r11; the r9/r10
+    double-then-round forms were driver-divergent).
+
+    score = 0.4·min(nw/50,1) + 0.4·min(5·stop/nw',1)
+          + 0.2·(1 − min(10·punct/nc',1))   with nw'=max(nw,1),
+    nc'=max(nc,1); over the common denominator D = 50·nw'·nc' the
+    numerator is
+    N = 400000·min(nw,50)·nw'·nc' + 400000·min(5·stop,nw')·50·nc'
+      + 200000·(nc'−min(10·punct,nc'))·50·nw'
+    and micro = round_half_up(N/D) = (2N+D) DIV (2D).  N stays below
+    ~1e16 for any realistic document — BIGINT-safe."""
+    nwb = f"CAST({nw} AS BIGINT)"
+    nwg = f"greatest({nwb}, 1L)"
+    ncg = f"greatest(CAST({nc} AS BIGINT), 1L)"
+    st = f"CAST({stop} AS BIGINT)"
+    pu = f"CAST({punct} AS BIGINT)"
+    num = (
+        f"(400000L * least({nwb}, 50L) * {nwg} * {ncg} + "
+        f"400000L * least(5L * {st}, {nwg}) * 50L * {ncg} + "
+        f"200000L * ({ncg} - least(10L * {pu}, {ncg})) * 50L * {nwg})"
+    )
+    den = f"(50L * {nwg} * {ncg})"
+    return f"(2L * {num} + {den}) DIV (2L * {den})"
+
+
 def quality_score(
     df: DataFrame,
     id_col: str,
@@ -113,31 +171,16 @@ def quality_score(
     consumers (threshold sweep, per-source calibration) avoid a doc-id
     join back to the source frame.
 
-    ``micro_units`` appends ``quality_micro`` — the score as a BIGINT
-    in 1e-6 units, ``CAST(round(score * 1e6) AS BIGINT)``. Round-to-
-    INTEGER of a double is engine-stable (binary doubles are never
-    half-way except exact .5, where every engine rounds away from
-    zero), unlike ``round(score, 6)`` whose 6-dp DOUBLE result depends
-    on the engine's decimal algorithm (Spark goes through BigDecimal's
-    shortest repr, DuckDB multiplies/rounds/divides) — comparisons
-    against thresholds must use the micro column to replay
-    bit-identically across engines."""
-    from ..session import spread_for_compute
-
-    # Stage the shared scans once (split for the word count, two
-    # regexp_count passes) so each expression runs a single time per row
-    # — the ratio/score arithmetic below reuses the staged columns
-    # instead of re-deriving the splits/regexes per output column.
-    staged = spread_for_compute(df).select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        F.size(F.split(F.col(text_col), " ")).alias("__nw"),
-        F.length(text_col).alias("__nc"),
-        F.expr(f"regexp_count({text_col}, '[^A-Za-z0-9\\\\s]')").alias(
-            "__punct"
-        ),
-        _stopword_hits(text_col, LANG_STOPWORDS["en"]).alias("__stop"),
-    )
+    ``micro_units`` appends ``quality_micro`` — the score in 1e-6
+    units as a BIGINT computed in PURE INTEGER arithmetic: the score
+    is a rational of the four integer counts (nw, nc, punct, stop), so
+    the micro value is a half-up integer division N/D of BIGINT
+    products (see ``_qmicro_sql``) with no double anywhere in the
+    path.  Any engine replaying the counts replays the verdicts
+    bit-identically — ``round(score·1e6)`` of a double almost always
+    agrees but is at the mercy of the engine build's float formatting/
+    rounding (r10 driver divergence; r11 makes it impossible)."""
+    staged = _quality_counts(df, id_col, text_col, keep_cols)
     length_score = F.least(F.col("__nw") / F.lit(50.0), F.lit(1.0))
     punct_ratio = F.col("__punct").cast("double") / F.greatest(
         F.col("__nc"), F.lit(1)
@@ -151,11 +194,7 @@ def quality_score(
         + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
     )
     micro = (
-        [
-            F.expr("CAST(round(__score * 1000000) AS BIGINT)").alias(
-                "quality_micro"
-            )
-        ]
+        [F.expr(_qmicro_sql()).alias("quality_micro")]
         if micro_units
         else []
     )
@@ -575,6 +614,35 @@ def filter_threshold_sweep(
             ).alias("survive_frac"),
         )
         .orderBy(group_col, "threshold")
+    )
+
+
+def threshold_sweep_probe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Diagnostic companion to :func:`filter_threshold_sweep` (r11
+    verdict): per-group BIGINT sums of the four integer counts the
+    quality score derives from (nw, nc, punct, stop) plus the sum of
+    the pure-BIGINT ``quality_micro`` itself.  If an engine ever
+    disagrees with the sweep, this localizes the divergence in one
+    look — count sums differ → the tokenizer/regex/stopword inputs
+    diverge; count sums match but qmicro sums differ → the arithmetic
+    does (impossible once both sides are integer-only)."""
+    c = _quality_counts(df, id_col, text_col, (group_col,))
+    return (
+        c.groupBy(F.col(group_col).alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__nw").cast("long")).alias("sum_nw"),
+            F.sum(F.col("__nc").cast("long")).alias("sum_nc"),
+            F.sum(F.col("__punct").cast("long")).alias("sum_punct"),
+            F.sum(F.col("__stop").cast("long")).alias("sum_stop"),
+            F.sum(F.expr(_qmicro_sql())).alias("sum_qmicro"),
+        )
+        .orderBy(group_col)
     )
 
 

@@ -489,6 +489,13 @@ _ARRAY_SUFFIX_RE = re.compile(
     # has no fixed-size array type, both map to ARRAY<T>
     r"(::\s*)([A-Za-z]+(?:\(\d+(?:\s*,\s*\d+)?\))?)\s*\[\s*\d*\s*\]"
 )
+# CAST(x AS T[]) / TRY_CAST(x AS T[n]) — the same array-type suffix in
+# explicit-CAST position (r11; ANY element type, renamed when needed)
+_CAST_ARRAY_TYPE_RE = re.compile(
+    r"(\bAS\s+)([A-Za-z]+(?:\(\d+(?:\s*,\s*\d+)?\))?)"
+    r"\s*\[\s*\d*\s*\](\s*\))",
+    re.IGNORECASE,
+)
 
 
 _CREATE_TABLE_COLS_RE = re.compile(
@@ -580,6 +587,14 @@ def _rename_types(sql: str) -> str:
         if close == -1 or close < last:
             continue
         span = sql[m.start() : close + 1]
+        span = _CAST_ARRAY_TYPE_RE.sub(
+            lambda mm: mm.group(1)
+            + "ARRAY<"
+            + _TYPE_RENAMES.get(mm.group(2).upper(), mm.group(2))
+            + ">"
+            + mm.group(3),
+            span,
+        )
         renamed = _CAST_AS_TYPE_RE.sub(
             lambda mm: mm.group(1)
             + _TYPE_RENAMES[mm.group(2).upper()]
@@ -1198,13 +1213,39 @@ def _rewrite_agg_order_by(sql: str) -> str:
             )
         elif fn in ("first", "last"):
             # first(x ORDER BY k) = the x at the minimum k → min_by;
-            # last = max_by; DESC flips (single sort key only)
-            dm = re.match(
-                r"(.*?)\s+(ASC|DESC)\s*$", order,
-                re.IGNORECASE | re.DOTALL,
+            # last = max_by; DESC flips.  r11 (ADVICE): NULLS
+            # FIRST/LAST modifiers are stripped (min_by/max_by skip
+            # NULL keys — DuckDB's default NULLS-LAST ASC agrees;
+            # explicit NULLS FIRST is a documented divergence), and a
+            # multi-key ORDER BY becomes a struct ordering key
+            # (lexicographic) when every key sorts the same direction
+            # — mixed directions raise a named error instead of
+            # emitting invalid min_by(x, a, b).
+            keys: list[str] = []
+            dirs: list[bool] = []
+            for part in _split_top_level_args(order):
+                part = re.sub(
+                    r"\s+NULLS\s+(FIRST|LAST)\s*$", "", part.strip(),
+                    flags=re.IGNORECASE,
+                )
+                dm = re.match(
+                    r"(.*?)\s+(ASC|DESC)\s*$", part,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                keys.append(dm.group(1).strip() if dm else part)
+                dirs.append(bool(dm) and dm.group(2).upper() == "DESC")
+            if len(set(dirs)) > 1:
+                raise ValueError(
+                    f"{fn}(expr ORDER BY …) with mixed ASC/DESC keys "
+                    "cannot be expressed as min_by/max_by; invert the "
+                    "DESC key's sign (or use a window row_number() "
+                    "pick) instead"
+                )
+            desc = dirs[0]
+            key = (
+                keys[0] if len(keys) == 1
+                else "struct(" + ", ".join(keys) + ")"
             )
-            key = dm.group(1).strip() if dm else order
-            desc = bool(dm) and dm.group(2).upper() == "DESC"
             pick = (
                 "max_by" if (fn == "last") != desc else "min_by"
             )
@@ -1438,11 +1479,20 @@ def _rewrite_binary_op(
     build: "Callable[[str, str, re.Match], str]",
     rhs_string_only: bool = False,
     skip_lambda_lhs: bool = False,
+    extend_mult_chain: bool = False,
 ) -> str:
     """Generic binary-operator rewrite: capture the left primary
     expression (backwards) and right primary expression (forwards)
     around each state-0 match of ``op_re`` and splice in
-    ``build(left, right, match)``."""
+    ``build(left, right, match)``.
+
+    ``extend_mult_chain`` (for ``/ % //``): multiplicative operators
+    are equal-precedence and left-associative, so ``7 * 3 % 5`` is
+    ``(7*3) % 5`` — the left capture must absorb the whole chain of
+    raw ``* / // %`` operators preceding the adjacent primary
+    (operators a prior pass already rewrote are calls, i.e. ordinary
+    primaries).  Without this, ``7 * 3 % 5`` became
+    ``7 * try_mod(3, 5)`` = 21 instead of 1 (r10 ADVICE, high)."""
     while True:
         states = _scan_states(sql)
         hit = None
@@ -1468,6 +1518,58 @@ def _rewrite_binary_op(
                 lstart = j
             else:
                 lstart = _expr_start(sql, states, k + 1)
+            if extend_mult_chain:
+                while True:
+                    p = lstart - 1
+                    while p >= 0 and sql[p].isspace():
+                        p -= 1
+                    # a sign with nothing primary-like before it is
+                    # unary — part of this operand, keep scanning
+                    if p >= 0 and states[p] == 0 and sql[p] in "+-":
+                        q = p - 1
+                        while q >= 0 and sql[q].isspace():
+                            q -= 1
+                        if q < 0 or not (
+                            sql[q].isalnum() or sql[q] in ")]'`_\""
+                        ):
+                            lstart = p
+                            continue
+                    if p < 0 or states[p] != 0:
+                        break
+                    if sql[p] == "*" and not (p > 0 and sql[p - 1] == "*"):
+                        op_at = p
+                    elif sql[p] == "%":
+                        op_at = p
+                    elif sql[p] == "/":
+                        op_at = p - 1 if p > 0 and sql[p - 1] == "/" else p
+                    else:
+                        break
+                    q = op_at - 1
+                    while q >= 0 and sql[q].isspace():
+                        q -= 1
+                    if q < 0:
+                        break
+                    if sql[q] == "'" and states[q] == 1:
+                        j = q - 1
+                        while j >= 0 and not (
+                            states[j] == 1
+                            and sql[j] == "'"
+                            and (j == 0 or states[j - 1] != 1)
+                        ):
+                            j -= 1
+                        new_start = j
+                    elif sql[q].isalnum() or sql[q] in ")]`_\"":
+                        new_start = _expr_start(sql, states, q + 1)
+                        tok = sql[new_start : q + 1].strip().upper()
+                        if tok in _SQL_KEYWORD_TAIL:
+                            # 'SELECT *' etc. — that '*' is a star,
+                            # not multiplication
+                            break
+                    else:
+                        break
+                    if new_start > q:
+                        break
+                    lstart = new_start
             left = sql[lstart : m.start()].strip()
             if not left:
                 continue
@@ -1597,15 +1699,18 @@ def _rewrite_duck_operators(sql: str) -> str:
         lambda l, r, m: (
             f"(CASE WHEN ({r}) = 0 THEN NULL ELSE ({l}) DIV ({r}) END)"
         ),
+        extend_mult_chain=True,
     )
     # a / b and a % b: DuckDB returns NULL on a zero divisor; ANSI
     # Spark raises — try_divide/try_mod keep types and results
     # identical elsewhere
     sql = _rewrite_binary_op(
-        sql, _SLASH_RE, lambda l, r, m: f"try_divide({l}, {r})"
+        sql, _SLASH_RE, lambda l, r, m: f"try_divide({l}, {r})",
+        extend_mult_chain=True,
     )
     sql = _rewrite_binary_op(
-        sql, _PERCENT_RE, lambda l, r, m: f"try_mod({l}, {r})"
+        sql, _PERCENT_RE, lambda l, r, m: f"try_mod({l}, {r})",
+        extend_mult_chain=True,
     )
     return sql
 
@@ -2414,12 +2519,19 @@ def _rewrite_fn_compat2(sql: str) -> str:
 
     def _fix_list_sum(args: list[str]) -> str | None:
         # the old rename emitted a placeholder name (broken); sum/avg
-        # over an array are HOF reductions
+        # over an array are HOF reductions.  DuckDB SKIPS NULL
+        # elements like the sum aggregate (list_sum([1,NULL,3]) = 4)
+        # and returns NULL for empty / all-NULL / NULL input —
+        # aggregate over array_compact, NULL-gated on compact size
+        # (r11 ADVICE: the old form NULL-propagated through the
+        # lambda).
         if len(args) != 1:
             return None
         e = args[0].strip()
         return (
-            f"aggregate({e}, CAST(0 AS DOUBLE), (s, v) -> s + v)"
+            f"CASE WHEN size(array_compact({e})) > 0 THEN "
+            f"aggregate(array_compact({e}), CAST(0 AS DOUBLE), "
+            f"(s, v) -> s + v) END"
         )
 
     def _fix_list_avg(args: list[str]) -> str | None:
@@ -2427,8 +2539,9 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return None
         e = args[0].strip()
         return (
-            f"try_divide(aggregate({e}, CAST(0 AS DOUBLE), "
-            f"(s, v) -> s + v), size(array_compact({e})))"
+            f"try_divide(aggregate(array_compact({e}), "
+            f"CAST(0 AS DOUBLE), (s, v) -> s + v), "
+            f"size(array_compact({e})))"
         )
 
     def _fix_isoyear(args: list[str]) -> str | None:

@@ -1117,7 +1117,13 @@ class TestBatch9Sweep:
         # never resolve
         r = rewrite_statement("SELECT list_sum(l) FROM t")
         assert "aggregate_sum_" not in r.sql
-        assert "aggregate(l, CAST(0 AS DOUBLE), (s, v) -> s + v)" in r.sql
+        # r11: NULL elements are skipped (aggregate over array_compact)
+        # and empty/all-NULL input yields NULL, matching DuckDB
+        assert (
+            "aggregate(array_compact(l), CAST(0 AS DOUBLE), "
+            "(s, v) -> s + v)" in r.sql
+        )
+        assert "CASE WHEN size(array_compact(l)) > 0" in r.sql
 
     def test_list_avg(self):
         r = rewrite_statement("SELECT list_avg(l) FROM t")
@@ -1178,6 +1184,39 @@ class TestDivisionByZeroParity:
     def test_divisor_literal_still_suffixed(self):
         r = rewrite_statement("SELECT total / 2.5 FROM x")
         assert "try_divide(total, 2.5D)" in r.sql
+
+    # r11 (ADVICE high): the dividend must absorb the whole left chain
+    # of equal-precedence multiplicative operators — '7 * 3 % 5' is
+    # '(7*3) % 5' = 1, not '7 * (3%5)' = 21.  All differential-tested
+    # vs DuckDB 1.0 (21-case arithmetic-chain probe).
+
+    def test_mult_chain_before_mod(self):
+        r = rewrite_statement("SELECT 7 * 3 % 5")
+        assert "try_mod(7 * 3, 5)" in r.sql
+
+    def test_mult_chain_before_intdiv(self):
+        r = rewrite_statement("SELECT 6 * 4 // 5")
+        assert "(6 * 4) DIV (5)" in r.sql
+
+    def test_mod_then_mult_right_assoc_unchanged(self):
+        r = rewrite_statement("SELECT 7 % 3 * 5")
+        assert "try_mod(7, 3) * 5" in r.sql
+
+    def test_unary_minus_in_chain(self):
+        r = rewrite_statement("SELECT 7 * -3 % 5")
+        assert "try_mod(7 * -3, 5)" in r.sql
+
+    def test_mod_chain_before_divide(self):
+        r = rewrite_statement("SELECT 9 % 2 / 3")
+        assert "try_divide(try_mod(9, 2), 3)" in r.sql
+
+    def test_lower_precedence_not_absorbed(self):
+        r = rewrite_statement("SELECT 1 - 7 * 3 % 5")
+        assert "1 - try_mod(7 * 3, 5)" in r.sql
+
+    def test_select_star_not_multiplication(self):
+        r = rewrite_statement("SELECT *, x % 3 FROM t")
+        assert "SELECT *, try_mod(x, 3)" in r.sql
 
 
 class TestBatch12Sweep:
