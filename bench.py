@@ -316,6 +316,38 @@ def main() -> None:
         for k in timings
         if duck.get(k, 0) >= 0.5 and timings[k] > 0
     }
+    # STEADY protocol for the heavy headline queries (r10 verdict #2 +
+    # #8): the in-bench fresh min is taken mid-JIT-warmup between ~80
+    # other plan shapes, which is where the r10 jaccard "drift"
+    # (1.08→1.36x with the operator byte-identical) lived.  Same
+    # min-of-3-consecutive protocol the extras get, PLUS the raw
+    # [min,max] band of the three reps so round-over-round movement is
+    # judged against the measured noise width, not a point sample.
+    heavy_steady: dict[str, float] = {}
+    heavy_noise_band: dict[str, list[float]] = {}
+    for name in sorted(heavy_ratios):
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        reps: list[float] = []
+        for _rep in range(3):
+            plancache.bump()
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).collect()
+            except Exception:
+                break
+            reps.append(time.perf_counter() - t0)
+        if reps:
+            heavy_steady[name] = round(min(reps), 4)
+            heavy_noise_band[name] = [
+                round(min(reps), 4), round(max(reps), 4)
+            ]
+    heavy_ratios_steady = {
+        k: round(v / duck[k], 3)
+        for k, v in heavy_steady.items()
+        if duck.get(k, 0) > 0
+    }
     light_residual = round(
         sum(v for k, v in timings.items() if 0 < duck.get(k, 1) < 0.5), 4
     )
@@ -343,7 +375,9 @@ def main() -> None:
             "NOT comparable to the re-executing DuckDB side); extras "
             "additionally carry steady_state=min of 3 consecutive fresh "
             "executions (JIT hot, plans re-built — see BENCH_DETAIL "
-            "extra_queries_steady)"
+            "extra_queries_steady); heavy headline queries carry the "
+            "same steady protocol plus the reps' [min,max] noise band "
+            "(heavy_ratios_steady is the ruled-gate reading)"
         ),
         "duckdb_total": round(sum(v for v in duck.values() if v > 0), 4),
         # Symmetric serving-mode comparison: one "render" = all headline
@@ -372,6 +406,11 @@ def main() -> None:
         # row groups and the scan stage parallelizes normally.
         "serial_scan_floor_sec": scan_floor,
         "heavy_ratios": heavy_ratios,
+        # ruled-gate reading for the heavies: steady min-of-3 ratio,
+        # with the reps' [min,max] band for drift adjudication
+        "heavy_ratios_steady": heavy_ratios_steady,
+        "heavy_steady_sec": heavy_steady,
+        "heavy_noise_band": heavy_noise_band,
         "light_residual_sec": light_residual,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail_file": "BENCH_DETAIL.json",
