@@ -96,7 +96,31 @@ def _funnel_lazy(
     # (same 6-dp rounds), so every verdict is identical —
     # tests/test_pipeline_ops.py pins the counts against running the
     # explicit operator chain.
-    par = max(2, docs.sparkSession.sparkContext.defaultParallelism)
+    # size-aware fan-out for the one pinned exchange (r11): AQE cannot
+    # coalesce a user-specified partition count, and at benchmark scale
+    # (sub-MB corpus) 32 reduce tasks per wave are pure dispatch floor.
+    # One partition per ~512 KB of input (parquet-file estimate, so
+    # decompressed bigram work per core stays bounded), capped at the
+    # core count — on a real cluster the estimate clears the cap and
+    # this is exactly the old defaultParallelism spread.
+    try:
+        est = int(
+            str(
+                docs._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        est = 1 << 40  # unknown: keep the historical full spread
+    par = max(
+        2,
+        min(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            est // (512 * 1024) + 1,
+        ),
+    )
     words = F.split(F.col(text_col), " ")
     n0 = F.size(words)
     # the three cheap Gopher rules (word count, avg word length,
@@ -147,9 +171,17 @@ def _funnel_lazy(
         "__h",
         "__n",
         "__cv",
+        # bigram identity as xxhash64 of the word PAIR (not a
+        # slice+concat string): the verdict only needs counts of equal
+        # bigrams, so the 8-byte key skips two allocations per
+        # position (same counts-only hashing rule as __h and the
+        # novelty grams, r10/r11)
         F.when(
             F.col("__i") > 0,
-            F.concat_ws(" ", F.slice("__ws", F.col("__i"), 2)),
+            F.xxhash64(
+                F.element_at("__ws", F.col("__i")),
+                F.element_at("__ws", F.col("__i") + 1),
+            ),
         ).alias("bigram"),
     )
     per_bigram = stream.groupBy("id", "bigram").agg(
@@ -192,10 +224,21 @@ def _funnel_lazy(
     # group — skew-safe (map-side combine absorbs giant dup groups,
     # which a window over __h would sort in one partition) and one
     # stage cheaper than window + per-row flag
-    groups = flags.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("__sz"),
-        F.min(F.struct("id", "__keep", "split")).alias("__w"),
-    ).persist()
+    # coalesce before the persist: cached plans bypass AQE, so without
+    # it the cache holds shuffle.partitions-many slivers and every
+    # downstream wave (counts agg, two broadcast builds) dispatches
+    # that many tasks over a kilobyte-scale frame — coalesce is a
+    # task-count cap, not a shuffle, and `par` already scales with
+    # input size (r11)
+    groups = (
+        flags.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__sz"),
+            F.min(F.struct("id", "__keep", "split")).alias("__w"),
+        )
+        .coalesce(par)
+        .persist()
+    )
     survivor = F.col("__w.__keep")
     train_ids = groups.filter(
         survivor & (F.col("__w.split") == "train")
@@ -300,9 +343,12 @@ def training_corpus_stages(
     counts["4_decontaminated"] = counts["3_train_split"] - counts.pop(
         "__contaminated"
     )
+    # rows are pre-sorted (python sorted == ORDER BY stage, ASCII) and
+    # createDataFrame preserves local-relation order — an orderBy here
+    # would add one more tiny job per call for nothing (r11)
     return spark.createDataFrame(
         sorted(counts.items()), "stage string, n_docs long"
-    ).orderBy("stage")
+    )
 
 
 def corpus_diff_report(
