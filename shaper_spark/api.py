@@ -94,9 +94,18 @@ class ShaperServer:
         no_public_sharing: bool = False,
         no_password_protected_sharing: bool = False,
         sso_login_url: str = "",
+        custom_css: str = "",
+        favicon: bytes | None = None,
+        downloads_ttl: float = 600.0,
     ):
         self.spark = spark
         self.variables = variables or {}
+        # serve-time branding (reference --custom-css / --favicon
+        # flags, frontend.go:144 + routes.go:246) and the keyed
+        # download-link TTL (reference DownloadsTTL, 10 min)
+        self.custom_css = custom_css
+        self.favicon = favicon
+        self.downloads_ttl = downloads_ttl
         # feature flags surfaced by /api/system/config (reference
         # main.go CLI flags --no-tasks/--no-edit/--no-public-sharing/…)
         self.no_tasks = no_tasks
@@ -404,12 +413,56 @@ class ShaperServer:
                         self.end_headers()
                         self.wfile.write(body)
                         return
+                    if parts == ["favicon.ico"]:
+                        # reference routes.go:246 (moderate caching);
+                        # operator-supplied bytes or the built-in icon
+                        body = outer.favicon or ui.default_favicon()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "image/x-icon")
+                        self.send_header(
+                            "Cache-Control", "public, max-age=86400"
+                        )
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
+                    if parts[:1] == ["embed"]:
+                        # GET /embed/shaper.js — the copy-paste script
+                        # loader (reference serveEmbedJS,
+                        # frontend.go:60: only shaper.js[.map] exist,
+                        # anything else 404s; base URL + custom CSS
+                        # injected per request)
+                        if parts[1:] != ["shaper.js"]:
+                            return self._json(
+                                404, {"error": "File not found"}
+                            )
+                        proto = self.headers.get(
+                            "X-Forwarded-Proto", "http"
+                        )
+                        host = self.headers.get(
+                            "Host", f"127.0.0.1:{outer.port}"
+                        )
+                        body = ui.embed_loader_js(
+                            f"{proto}://{host}", outer.custom_css
+                        )
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type",
+                            "text/javascript; charset=utf-8",
+                        )
+                        self.send_header(
+                            "Cache-Control", "public, max-age=86400"
+                        )
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     if parts[:1] != ["api"] and ui.is_ui_path(url.path):
                         # SPA fallback: the reference serves the built
                         # React bundle for every non-/api route
                         # (server/web/routes.go static handler); here
                         # the bundle is the self-contained ui.shell().
-                        body = ui.shell()
+                        body = ui.shell(outer.custom_css)
                         self.send_response(200)
                         self.send_header(
                             "Content-Type", "text/html; charset=utf-8"
@@ -517,6 +570,15 @@ class ShaperServer:
                         if self._gate("schema:read") is None:
                             return
                         return self._json(200, get_schema(outer.spark).to_dict())
+                    if len(parts) == 4 and parts[:2] == [
+                        "api",
+                        "download",
+                    ]:
+                        # keyed TTL download — deliberately BEFORE the
+                        # auth gate (reference routes.go:198 mounts
+                        # DownloadFileByKey with no middleware): the
+                        # minted key is the credential
+                        return self._download_by_key(parts[2], parts[3])
                     # every remaining GET surface is dashboard/task reads
                     if parts[:1] == ["api"] and self._gate(
                         "dashboard:read"
@@ -1305,6 +1367,77 @@ class ShaperServer:
                 jwt_vars, err = self._jwt_variables(did)
                 if err:
                     return
+                params = {
+                    k: v if len(v) > 1 else v[0]
+                    for k, v in parse_qs(url.query).items()
+                }
+                mode = params.pop("mode", "default")
+                if mode == "url":
+                    # keyed TTL download link (reference
+                    # dashboard.go:617-661 + the DownloadsKv TTL
+                    # bucket, main.go): mint an unguessable token,
+                    # persist the download intent — dashboard, params,
+                    # and the CALLER's JWT-scoped variables — in the
+                    # shared metastore KV with an expiry, and hand
+                    # back a URL a browser can GET with no auth
+                    # headers (navigations can't set Authorization)
+                    import secrets as _secrets
+
+                    token = _secrets.token_hex(32)
+                    intent = {
+                        "did": did,
+                        "filename": filename,
+                        "params": params,
+                        "variables": jwt_vars,
+                        "exp": time.time() + outer.downloads_ttl,
+                    }
+                    outer.store.config_put(
+                        "download:" + token, json.dumps(intent)
+                    )
+                    outer.sweep_download_keys()
+                    return self._json(
+                        200,
+                        {"url": f"/api/download/{token}/{filename}"},
+                    )
+                return self._stream_export(
+                    did, filename, params, jwt_vars
+                )
+
+            def _download_by_key(self, key: str, filename: str):
+                """GET /api/download/:key/:filename — NO auth
+                (routes.go:198): the short-lived key IS the
+                credential; missing, expired, or filename-mismatched
+                keys answer one uniform 404."""
+                raw = outer.store.config_get("download:" + key)
+                intent = None
+                if raw:
+                    try:
+                        intent = json.loads(raw)
+                    except ValueError:
+                        intent = None
+                if (
+                    not intent
+                    or intent.get("exp", 0) < time.time()
+                    or intent.get("filename") != filename
+                ):
+                    return self._json(
+                        404,
+                        {"error": "Download not found or expired"},
+                    )
+                return self._stream_export(
+                    intent["did"],
+                    filename,
+                    dict(intent.get("params") or {}),
+                    intent.get("variables") or {},
+                )
+
+            def _stream_export(
+                self,
+                did: str,
+                filename: str,
+                params: dict,
+                jwt_vars: dict,
+            ):
                 content = outer._dashboard_content(did)
                 if content is None:
                     return self._json(404, {"error": f"no dashboard {did}"})
@@ -1320,10 +1453,6 @@ class ShaperServer:
                     # tree to a real image/png snapshot (pngreport.py,
                     # mirroring StreamDashboardPng); ``.html`` keeps
                     # the printable HTML variant (htmlreport.py).
-                    params = {
-                        k: v if len(v) > 1 else v[0]
-                        for k, v in parse_qs(url.query).items()
-                    }
                     result = query_dashboard(
                         outer.spark,
                         content,
@@ -1365,10 +1494,6 @@ class ShaperServer:
                     return None
                 if fmt not in ("csv", "json", "xlsx"):
                     return self._json(400, {"error": f"unsupported format {fmt}"})
-                params = {
-                    k: v if len(v) > 1 else v[0]
-                    for k, v in parse_qs(url.query).items()
-                }
                 qid = int(params.pop("query_id", -1))
                 if fmt == "xlsx":
                     out: Any = io.BytesIO()
@@ -1416,6 +1541,30 @@ class ShaperServer:
         if app is None or app["type"] != "dashboard":
             return None
         return app["content"]
+
+    def sweep_download_keys(self) -> int:
+        """Drop expired keyed-download intents from the shared config
+        KV (the reference gets this for free from its KV bucket's
+        TTL; here each mint opportunistically sweeps).  Returns the
+        number removed."""
+        removed = 0
+        now = time.time()
+        try:
+            rows = self.store.query(
+                "SELECT key, value FROM config_kv"
+                " WHERE key LIKE 'download:%'"
+            )
+        except Exception:
+            return 0
+        for row in rows:
+            try:
+                exp = float(json.loads(row["value"]).get("exp", 0))
+            except (ValueError, TypeError):
+                exp = 0.0
+            if exp < now:
+                self.store.config_delete(row["key"])
+                removed += 1
+        return removed
 
     @property
     def port(self) -> int:

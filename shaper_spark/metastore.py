@@ -345,6 +345,12 @@ class Metastore:
             ).fetchone()
         return row["value"]
 
+    def config_delete(self, key: str) -> None:
+        with self._lock, self._db:
+            self._db.execute(
+                "DELETE FROM config_kv WHERE key = ?", (key,)
+            )
+
     # -- live-instance registry (push transport peers) ------------------
 
     def announce_instance(self, instance_id: str, base_url: str) -> None:

@@ -74,6 +74,10 @@ _UI_PREFIXES = (
     "/dashboards",
     "/tasks",
     "/admin",
+    # standalone share/embed view (reference routes.go:233 serves a
+    # dedicated view.html; here the same shell routes it client-side
+    # in forced-embed mode — r11)
+    "/view",
 )
 _UI_EXACT = (
     "/",
@@ -193,7 +197,11 @@ function svgEl(tag,attrs,...kids){
 async function api(path,opts){
   opts=opts||{};
   opts.headers=Object.assign({},opts.headers);
-  const t=getToken();
+  // a ?jwt= query param (embed/view links minted for third-party
+  // pages) outranks the stored session token: scoped render-only
+  // tokens must not be clobbered by a stale local login
+  const qj=new URLSearchParams(location.search).get('jwt');
+  const t=qj||getToken();
   if(t)opts.headers['Authorization']='Bearer '+t;
   if(opts.body&&typeof opts.body!=='string'){
     opts.body=JSON.stringify(opts.body);
@@ -753,8 +761,11 @@ async function pageNew(){
 }
 
 async function pageDashboard(id,edit){
-  const embed=getParams().get('embed');
-  const params=getParams();params.delete('embed');
+  // /view/:id is ALWAYS chrome-less (the standalone share/embed
+  // route); elsewhere ?embed=1 opts in
+  const embed=getParams().get('embed')
+    ||location.pathname.startsWith('/view/');
+  const params=getParams();params.delete('embed');params.delete('jwt');
   let data,info=null,error=null;
   try{
     data=await api('/api/dashboards/'+encodeURIComponent(id)
@@ -1005,14 +1016,17 @@ async function render(){
     if(p==='/signup')return await pageSignup();
     const info=await fetch('/api/auth/info').then(r=>r.json())
       .catch(()=>({loginRequired:false}));
-    if(info.loginRequired&&!getToken())
+    if(info.loginRequired&&!getToken()
+      &&!new URLSearchParams(location.search).get('jwt'))
       return nav('/login?next='+encodeURIComponent(p+location.search));
     if(p==='/'||p==='/index.html')return await pageHome();
     if(p==='/new')return await pageNew();
     if(p==='/settings')return await pageSettings();
     if(p==='/admin'||p==='/admin/keys')return await pageAdminKeys();
     if(p==='/admin/security')return await pageAdminSecurity();
-    let m=p.match(/^\/dashboards\/([^/]+)(\/edit)?$/);
+    let m=p.match(/^\/view\/([^/]+)$/);
+    if(m)return await pageDashboard(decodeURIComponent(m[1]),false);
+    m=p.match(/^\/dashboards\/([^/]+)(\/edit)?$/);
     if(m)return await pageDashboard(decodeURIComponent(m[1]),!!m[2]);
     m=p.match(/^\/tasks\/([^/]+)$/);
     if(m)return await pageTask(decodeURIComponent(m[1]));
@@ -1028,12 +1042,116 @@ document.addEventListener('DOMContentLoaded',render);
 """
 
 
-def shell() -> bytes:
-    """The single HTML document behind every UI route."""
+def shell(custom_css: str = "") -> bytes:
+    """The single HTML document behind every UI route.
+
+    ``custom_css`` is operator-supplied serve-time CSS, injected after
+    the built-in styles exactly like the reference's
+    ``indexHTMLWithCache(customCSS)`` replaces its empty ``<style>``
+    slot (frontend.go:144; r11)."""
     return (
         "<!doctype html><html><head><meta charset='utf-8'>"
         "<meta name='viewport' content='width=device-width,initial-scale=1'>"
         "<title>shaper-spark</title>"
-        f"<style>{_CSS}</style></head>"
+        f"<style>{_CSS}</style><style>{custom_css}</style></head>"
         f"<body><div id='app'></div><script>{_JS}</script></body></html>"
     ).encode()
+
+
+def default_favicon() -> bytes:
+    """A real 16×16 32-bpp ICO (the UI accent color with a lighter
+    center square), served at /favicon.ico like the reference's
+    bundled icon (routes.go:246) when the operator supplies none.
+    Pure stdlib bytes — header + directory entry + BITMAPINFOHEADER +
+    BGRA pixel rows (bottom-up) + AND mask."""
+    import struct
+
+    accent = (0xAD, 0x64, 0x44, 0xFF)  # BGRA of #4464ad
+    center = (0xF1, 0xE7, 0xD9, 0xFF)  # BGRA of a light fill
+    rows = []
+    for y in range(16):  # bottom-up per BMP convention
+        row = bytearray()
+        for x in range(16):
+            inner = 4 <= x < 12 and 4 <= (15 - y) < 12
+            row += bytes(center if inner else accent)
+        rows.append(bytes(row))
+    xor = b"".join(rows)
+    and_mask = b"\x00" * (4 * 16)  # fully opaque
+    bmp = struct.pack(
+        "<IiiHHIIiiII", 40, 16, 32, 1, 32, 0, len(xor) + len(and_mask),
+        0, 0, 0, 0,
+    ) + xor + and_mask
+    header = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack(
+        "<BBBBHHII", 16, 16, 0, 0, 1, 32, len(bmp), 6 + 16
+    )
+    return header + entry + bmp
+
+
+def embed_loader_js(default_base_url: str, custom_css: str = "") -> bytes:
+    """The copy-paste ``<script src=".../embed/shaper.js">`` loader
+    (reference serveEmbedJS, frontend.go:60-95): exposes
+    ``window.shaper`` with ``render({container, dashboardId, jwt,
+    params, width, height})`` which injects an iframe onto the
+    repo's standalone ``/view/:id`` route (forced-embed mode), and
+    auto-renders any ``[data-shaper-dashboard]`` element on load.
+    ``defaultBaseUrl`` / ``customCSS`` are appended exactly like the
+    reference's injection step (frontend.go:86)."""
+    import json as _json
+
+    js = r"""
+(function(){
+  'use strict';
+  var shaper = window.shaper = window.shaper || {};
+  shaper.render = function(opts){
+    opts = opts || {};
+    var el = typeof opts.container === 'string'
+      ? document.querySelector(opts.container)
+      : (opts.container
+         || (document.currentScript && document.currentScript.parentElement)
+         || document.body);
+    var base = String(opts.baseUrl || shaper.defaultBaseUrl || '')
+      .replace(/\/+$/, '');
+    var q = new URLSearchParams(opts.params || {});
+    if (opts.jwt) q.set('jwt', opts.jwt);
+    var qs = q.toString();
+    var f = document.createElement('iframe');
+    f.src = base + '/view/'
+      + encodeURIComponent(opts.dashboardId || opts.id || '')
+      + (qs ? '?' + qs : '');
+    f.style.width = opts.width || '100%';
+    f.style.height = opts.height || '600px';
+    f.style.border = '0';
+    f.setAttribute('title', 'shaper dashboard');
+    el.appendChild(f);
+    return f;
+  };
+  function auto(){
+    var nodes = document.querySelectorAll('[data-shaper-dashboard]');
+    for (var i = 0; i < nodes.length; i++){
+      var n = nodes[i];
+      if (n.__shaperRendered) continue;
+      n.__shaperRendered = true;
+      shaper.render({
+        container: n,
+        dashboardId: n.getAttribute('data-shaper-dashboard'),
+        jwt: n.getAttribute('data-shaper-jwt') || undefined,
+        height: n.getAttribute('data-shaper-height') || undefined
+      });
+    }
+  }
+  if (document.readyState === 'loading')
+    document.addEventListener('DOMContentLoaded', auto);
+  else auto();
+})();
+"""
+    # injected BEFORE the loader body: when the script is added to an
+    # already-loaded page, auto() runs synchronously and must see the
+    # base URL (the reference appends instead — frontend.go:86 — but
+    # its auto-render waits for a custom event, so order is moot there)
+    prelude = (
+        "window.shaper = window.shaper || {};\n"
+        f"window.shaper.defaultBaseUrl = {_json.dumps(default_base_url)};\n"
+        f"window.shaper.customCSS = {_json.dumps(custom_css)};\n"
+    )
+    return (prelude + js).encode()

@@ -1268,3 +1268,124 @@ class TestSystemRoutes:
         s, b = self._req(ssrv, "POST", "/api/admin/reset-jwt-secret")
         assert (s, b) == (200, {"ok": True})  # no-auth mode: open
         assert ssrv.auth.verify_jwt(tok) is None
+
+
+class TestBrandingRoutes:
+    """r11: favicon, custom CSS injection, the /embed/shaper.js
+    loader, and the explicit /view/:id contract (reference
+    routes.go:227,233,246 + frontend.go:60-144)."""
+
+    def test_favicon_default(self, server):
+        status, body = _get(server, "/favicon.ico")
+        assert status == 200
+        # valid ICO: reserved=0, type=1, count=1
+        assert body[:6] == b"\x00\x00\x01\x00\x01\x00"
+        assert len(body) > 100
+
+    def test_favicon_custom_bytes(self, spark):
+        srv = ShaperServer(spark, favicon=b"ICONBYTES").start()
+        try:
+            status, body = _get(srv, "/favicon.ico")
+            assert (status, body) == (200, b"ICONBYTES")
+        finally:
+            srv.stop()
+
+    def test_embed_loader(self, server):
+        status, body = _get(server, "/embed/shaper.js")
+        assert status == 200
+        js = body.decode()
+        assert "window.shaper" in js and "shaper.render" in js
+        # base URL + custom CSS injected like frontend.go:86
+        assert f"127.0.0.1:{server.port}" in js
+        assert "defaultBaseUrl" in js and "customCSS" in js
+
+    def test_embed_other_files_404(self, server):
+        status, _ = _get(server, "/embed/evil.js")
+        assert status == 404
+        status, _ = _get(server, "/embed/shaper.js.map")
+        assert status == 404  # no source map in this build
+
+    def test_view_route_serves_shell(self, server):
+        status, body = _get(server, "/view/anything")
+        assert status == 200
+        assert b"<div id='app'>" in body
+
+    def test_custom_css_injected_into_shell(self, spark):
+        srv = ShaperServer(spark, custom_css=".brand{color:red}").start()
+        try:
+            status, body = _get(srv, "/view/x")
+            assert status == 200 and b".brand{color:red}" in body
+            status, body = _get(srv, "/embed/shaper.js")
+            assert status == 200 and b".brand{color:red}" in body
+        finally:
+            srv.stop()
+
+
+class TestKeyedDownloads:
+    """r11: the two-step mint-then-GET download flow
+    (dashboard.go:617-661 RequestDashboardDownload mode=url +
+    DownloadFileByKey, routes.go:198 — the keyed GET carries no
+    auth; the key is the credential and expires)."""
+
+    @pytest.fixture()
+    def dsrv(self, spark):
+        srv = ShaperServer(spark, downloads_ttl=1.5).start()
+        srv.store.record(
+            "create_dashboard",
+            {
+                "id": "dl1",
+                "content": (
+                    "SELECT r_name, count(*) AS n FROM region"
+                    " GROUP BY 1 ORDER BY 1;"
+                ),
+                "name": "DL",
+            },
+        )
+        yield srv
+        srv.stop()
+
+    def test_mint_and_fetch_roundtrip(self, dsrv):
+        status, body = _get(
+            dsrv, "/api/dashboards/dl1/download/data.csv?mode=url"
+        )
+        assert status == 200
+        url = json.loads(body)["url"]
+        assert url.startswith("/api/download/")
+        token = url.split("/")[3]
+        assert len(token) == 64  # 32 random bytes, hex
+        status, body = _get(dsrv, url)
+        assert status == 200
+        assert body.decode().splitlines()[0] == "r_name,n"
+
+    def test_key_is_single_purpose(self, dsrv):
+        _, body = _get(
+            dsrv, "/api/dashboards/dl1/download/data.csv?mode=url"
+        )
+        url = json.loads(body)["url"]
+        # same key, different filename → uniform 404
+        status, body = _get(dsrv, url.rsplit("/", 1)[0] + "/other.csv")
+        assert status == 404
+        assert json.loads(body)["error"] == "Download not found or expired"
+
+    def test_key_expires(self, dsrv):
+        _, body = _get(
+            dsrv, "/api/dashboards/dl1/download/data.csv?mode=url"
+        )
+        url = json.loads(body)["url"]
+        time.sleep(1.8)
+        status, body = _get(dsrv, url)
+        assert status == 404
+        assert json.loads(body)["error"] == "Download not found or expired"
+        # opportunistic sweep clears the expired row from the KV
+        assert dsrv.sweep_download_keys() >= 1
+        assert dsrv.sweep_download_keys() == 0
+
+    def test_unknown_key_404(self, dsrv):
+        status, body = _get(dsrv, "/api/download/" + "0" * 64 + "/x.csv")
+        assert status == 404
+        assert json.loads(body)["error"] == "Download not found or expired"
+
+    def test_default_mode_still_streams(self, dsrv):
+        status, body = _get(dsrv, "/api/dashboards/dl1/download/data.csv")
+        assert status == 200
+        assert body.decode().splitlines()[0] == "r_name,n"

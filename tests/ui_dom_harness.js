@@ -81,6 +81,8 @@ class Element {
 function matches(el, sel) {
   if (sel.startsWith('#')) return el.attrs.id === sel.slice(1);
   if (sel.startsWith('.')) return el.classList.contains(sel.slice(1));
+  if (sel.startsWith('[') && sel.endsWith(']'))
+    return el.attrs[sel.slice(1, -1)] !== undefined;
   return el.tagName === sel.toUpperCase();
 }
 const document = {
@@ -221,6 +223,41 @@ async function visit(path) {
   for (const p of ['/new', '/admin/keys', '/admin/security', '/settings']) {
     root = await visit(p);
     expect(root.children.length > 0, p + ' renders');
+  }
+
+  // standalone /view/:id — same dashboard, forced-embed (no nav chrome)
+  root = await visit('/view/demo');
+  expect(!root.querySelector('nav'), '/view renders without nav chrome');
+  expect(root.querySelectorAll('svg').length >= 4,
+    '/view draws the dashboard charts');
+
+  // /embed/shaper.js loader: fetch from the live server, eval under
+  // the shim, assert auto-render and explicit render() both inject
+  // iframes onto /view/:id (r11, reference serveEmbedJS parity)
+  {
+    const res = await fetchShim('/embed/shaper.js');
+    expect(res.status === 200, 'embed loader served');
+    const loaderSrc = await res.text();
+    const host = new Element('div');
+    host.setAttribute('data-shaper-dashboard', 'demo');
+    document.body.appendChild(host);
+    document.querySelectorAll = sel => document.body.querySelectorAll(sel);
+    const lsandbox = { document, window, URLSearchParams, console };
+    vm.runInContext(loaderSrc, vm.createContext(lsandbox),
+      { filename: 'shaper.js' });
+    expect(window.shaper && window.shaper.defaultBaseUrl === baseUrl,
+      'defaultBaseUrl injected: ' + (window.shaper && window.shaper.defaultBaseUrl));
+    const auto = host.querySelector('iframe');
+    expect(auto, 'loader auto-renders [data-shaper-dashboard]');
+    expect(auto && String(auto.src).includes('/view/demo'),
+      'auto iframe targets /view/:id: ' + (auto && auto.src));
+    const el2 = new Element('div');
+    window.shaper.render({ container: el2, dashboardId: 'demo',
+      jwt: 'tok123' });
+    const f2 = el2.querySelector('iframe');
+    expect(f2 && String(f2.src).includes('jwt=tok123'),
+      'render() forwards the jwt param: ' + (f2 && f2.src));
+    host.remove();
   }
 
   if (failures.length) {
