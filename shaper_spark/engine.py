@@ -446,6 +446,155 @@ def _expand_columns_macro(spark: SparkSession, sql: str):
     return sql, used
 
 
+_UNNEST_CALL_RE = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+
+
+def _expand_recursive_unnest(spark: SparkSession, sql: str):
+    """DuckDB ``unnest(expr, recursive := true)`` (r11): fully flatten
+    nested lists and expand structs into one column per LEAF field
+    (DuckDB names output columns by leaf key —
+    ``unnest([{'x':1,'n':{'m':5}}], recursive := true)`` → columns
+    ``x, m``).  Schema-resolved at the engine layer like COLUMNS():
+    the expression's type is probed by analyzing the query with the
+    call replaced by the bare expression, then the call becomes
+
+    * nested lists of scalars → ``explode(flatten(…))``
+    * a list of structs → ``inline(…)`` (nested struct fields
+      pre-flattened inside a ``transform`` into a flat struct)
+    * a bare struct → its leaf-field projection
+
+    Struct leaves that are lists stay lists (DuckDB does the same).
+    ``recursive := false`` degrades to plain unnest;
+    ``max_depth :=`` raises a named error.  Returns (sql, used)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    from .rewrite import (
+        _find_matching_close,
+        _scan_states,
+        _split_top_level_args,
+        rewrite_statement,
+    )
+
+    def _leaves(prefix: str, dtype: StructType, out: list) -> None:
+        for f in dtype.fields:
+            child = f"{prefix}.`{f.name}`"
+            if isinstance(f.dataType, StructType):
+                _leaves(child, f.dataType, out)
+            else:
+                out.append((child, f.name))
+
+    used = False
+    for _ in range(16):
+        states = _scan_states(sql)
+        done = True
+        for m in _UNNEST_CALL_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            close = _find_matching_close(sql, m.end() - 1, states)
+            if close == -1:
+                continue
+            args = _split_top_level_args(sql[m.end() : close])
+            rec = next(
+                (
+                    a
+                    for a in args
+                    if re.match(r"\s*recursive\s*:=", a, re.IGNORECASE)
+                ),
+                None,
+            )
+            if rec is None:
+                continue
+            if any(
+                re.match(r"\s*max_depth\s*:=", a, re.IGNORECASE)
+                for a in args
+            ):
+                raise ValueError(
+                    "unnest(max_depth := …) is not supported; "
+                    "recursive := true flattens fully"
+                )
+            expr = args[0].strip()
+            if not re.match(
+                r"\s*recursive\s*:=\s*true\s*$", rec,
+                re.IGNORECASE | re.DOTALL,
+            ):
+                sql = (
+                    sql[: m.start()]
+                    + f"unnest({expr})"
+                    + sql[close + 1 :]
+                )
+                used, done = True, False
+                break
+            # optional trailing alias — kept for the scalar explode,
+            # dropped (multi-column output) otherwise
+            am = re.match(
+                r"\s+AS\s+(`[^`]+`|[A-Za-z_]\w*)", sql[close + 1 :],
+                re.IGNORECASE,
+            )
+            span_end = close + 1 + (am.end() if am else 0)
+            alias = am.group(1) if am else None
+            probe = (
+                sql[: m.start()]
+                + f"({expr}) AS __ru_probe"
+                + sql[span_end:]
+            )
+            try:
+                ptype = next(
+                    f.dataType
+                    for f in spark.sql(
+                        rewrite_statement(probe).sql
+                    ).schema.fields
+                    if f.name == "__ru_probe"
+                )
+            except Exception as e:
+                raise ValueError(
+                    "unnest(recursive := true): cannot resolve the "
+                    f"expression's type here ({e})"
+                ) from None
+            inner = expr
+            while isinstance(ptype, ArrayType) and isinstance(
+                ptype.elementType, ArrayType
+            ):
+                inner = f"flatten({inner})"
+                ptype = ptype.elementType
+            if isinstance(ptype, ArrayType) and isinstance(
+                ptype.elementType, StructType
+            ):
+                st = ptype.elementType
+                if any(
+                    isinstance(f.dataType, StructType) for f in st.fields
+                ):
+                    cols: list = []
+                    _leaves("__ru_s", st, cols)
+                    flat = ", ".join(
+                        f"{c} AS `{n}`" for c, n in cols
+                    )
+                    repl = (
+                        f"inline(transform({inner}, "
+                        f"__ru_s -> struct({flat})))"
+                    )
+                else:
+                    repl = f"inline({inner})"
+            elif isinstance(ptype, ArrayType):
+                repl = f"explode({inner})"
+                if alias:
+                    repl += f" AS {alias}"
+            elif isinstance(ptype, StructType):
+                cols = []
+                _leaves(f"({expr})", ptype, cols)
+                repl = ", ".join(f"{c} AS `{n}`" for c, n in cols)
+            else:
+                raise ValueError(
+                    "unnest(recursive := true) needs a LIST or STRUCT "
+                    f"expression, got {ptype.simpleString()}"
+                )
+            sql = sql[: m.start()] + repl + sql[span_end:]
+            used, done = True, False
+            break
+        if done:
+            return sql, used
+    return sql, used
+
+
 _UNION_BY_NAME_RE = re.compile(
     r"\bUNION\s+(ALL\s+)?BY\s+NAME\b", re.IGNORECASE
 )
@@ -692,30 +841,60 @@ def _run_summarize(spark: SparkSession, sql: str):
             )
     row = df.agg(*aggs).collect()[0].asDict()
     total = row["__total"] or 0
+
+    # DuckDB-style type spelling for the column_type column (r11
+    # shape-parity audit: names/order already matched; DuckDB prints
+    # 'BIGINT', 'VARCHAR', 'BIGINT[]' where simpleString says
+    # 'bigint', 'string', 'array<bigint>')
+    def _duck_type(t: str) -> str:
+        t = t.strip()
+        if t.startswith("array<") and t.endswith(">"):
+            return _duck_type(t[6:-1]) + "[]"
+        base = {
+            "string": "VARCHAR",
+            "int": "INTEGER",
+            "long": "BIGINT",
+            "short": "SMALLINT",
+            "byte": "TINYINT",
+            "binary": "BLOB",
+        }.get(t)
+        return base if base else t.upper()
+
     out = []
     for i, (name, typ) in enumerate(cols):
         cnt = row[f"cnt_{i}"] or 0
         q = row.get(f"q_{i}") or [None, None, None]
+        # DuckDB prints avg/std/quantiles as VARCHAR; integer-family
+        # quantiles print without a decimal point
+        is_int = typ.startswith(("int", "bigint", "smallint", "tinyint"))
+
+        def _s(v, as_int=False):
+            if v is None:
+                return None
+            if as_int and float(v) == int(float(v)):
+                return str(int(float(v)))
+            return str(float(v))
+
         out.append(
             (
                 name,
-                typ,
+                _duck_type(typ),
                 row[f"min_{i}"],
                 row[f"max_{i}"],
                 int(row[f"uniq_{i}"] or 0),
-                float(row[f"avg_{i}"]) if row.get(f"avg_{i}") is not None else None,
-                float(row[f"std_{i}"]) if row.get(f"std_{i}") is not None else None,
-                float(q[0]) if q[0] is not None else None,
-                float(q[1]) if q[1] is not None else None,
-                float(q[2]) if q[2] is not None else None,
+                _s(row.get(f"avg_{i}")),
+                _s(row.get(f"std_{i}")),
+                _s(q[0], is_int),
+                _s(q[1], is_int),
+                _s(q[2], is_int),
                 int(total),
                 round(100.0 * (total - cnt) / total, 2) if total else 0.0,
             )
         )
     schema = (
         "column_name string, column_type string, min string, max string, "
-        "approx_unique bigint, avg double, std double, q25 double, "
-        "q50 double, q75 double, count bigint, null_percentage double"
+        "approx_unique bigint, avg string, std string, q25 string, "
+        "q50 string, q75 string, count bigint, null_percentage double"
     )
     return spark.createDataFrame(out, schema=schema)
 
@@ -1839,12 +2018,14 @@ def _run_query(
         sub, used_ubn = _expand_union_by_name(spark, sub)
         sub, used_colmacro = _expand_columns_macro(spark, sub)
         sub, used_replace = _expand_star_replace_ordered(spark, sub)
+        sub, used_runnest = _expand_recursive_unnest(spark, sub)
         used_tablefuncs = (
             used_tablefuncs
             or used_pivot
             or used_ubn
             or used_colmacro
             or used_replace
+            or used_runnest
         )
         sub = _reject_unsupported_duckisms(sub)
         used_tablefuncs = used_tablefuncs or used_filefuncs

@@ -2517,6 +2517,18 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f" ELSE concat(format_string('%.1f', {n} / 1099511627776), ' TiB') END)"
         )
 
+    def _fix_json_merge_variadic(args: list[str]) -> str | None:
+        # DuckDB json_merge_patch is variadic; the compat UDF takes 2
+        # args — fold left: (a,b,c) → jmp(jmp(a,b),c).  2-arg calls
+        # pass through untouched (fixer output contains only 2-arg
+        # calls, so the pass is idempotent).
+        if len(args) <= 2:
+            return None
+        out = args[0].strip()
+        for a in args[1:]:
+            out = f"json_merge_patch({out}, {a.strip()})"
+        return out
+
     def _fix_list_sum(args: list[str]) -> str | None:
         # the old rename emitted a placeholder name (broken); sum/avg
         # over an array are HOF reductions.  DuckDB SKIPS NULL
@@ -2899,6 +2911,10 @@ def _rewrite_fn_compat2(sql: str) -> str:
         ),
         (re.compile(r"\bhistogram\s*\(", re.IGNORECASE), _fix_histogram),
         (
+            re.compile(r"\bjson_merge_patch\s*\(", re.IGNORECASE),
+            _fix_json_merge_variadic,
+        ),
+        (
             re.compile(
                 r"\b(?:string_split|str_split|string_to_array)\s*\(",
                 re.IGNORECASE,
@@ -3245,9 +3261,12 @@ def _split_top_level_args(arglist: str) -> list[str]:
     for i, c in enumerate(arglist):
         if states[i] != 0:
             continue
-        if c in "([":
+        if c in "([{":
+            # '{' counts too: DuckDB struct/map literals carry commas
+            # at brace depth (r11 — unnest({'a':1,...}, recursive)
+            # used to split mid-struct)
             depth += 1
-        elif c in ")]":
+        elif c in ")]}":
             depth -= 1
         elif c == "," and depth == 0:
             args.append(arglist[start:i])

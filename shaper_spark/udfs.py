@@ -184,6 +184,106 @@ def _signbit(x: float | None) -> bool | None:
     return math.copysign(1.0, x) < 0
 
 
+def _json_merge_patch(a: str | None, b: str | None) -> str | None:
+    """RFC 7386 JSON Merge Patch, DuckDB semantics (r11): null patch
+    values REMOVE keys, nested objects merge recursively, a non-object
+    patch replaces the target wholesale; SQL NULL patch → NULL, SQL
+    NULL target → the patch.  Variadic DuckDB calls are folded to
+    nested 2-arg calls by the rewriter.  Output is compact JSON like
+    DuckDB's printer (no spaces, keys in target-then-patch order)."""
+    import json as _json
+
+    if b is None:
+        return None
+
+    def merge(target, patch):
+        if not isinstance(patch, dict):
+            return patch
+        out = dict(target) if isinstance(target, dict) else {}
+        for k, v in patch.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    try:
+        patch = _json.loads(b)
+        target = None if a is None else _json.loads(a)
+    except ValueError:
+        return None
+    return _json.dumps(
+        merge(target, patch), separators=(",", ":"), ensure_ascii=False
+    )
+
+
+def _json_type_of(v):
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "UBIGINT" if v >= 0 else "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    if v is None:
+        return "NULL"
+    if isinstance(v, dict):
+        return {k: _json_type_of(x) for k, x in v.items()}
+    # list: unify the element structures like DuckDB (numeric
+    # widening, object key union, incompatible → "JSON")
+    elems = [_json_type_of(x) for x in v]
+    if not elems:
+        return ["NULL"]
+    u = elems[0]
+    for e in elems[1:]:
+        u = _unify_structure(u, e)
+    return [u]
+
+
+_NUM_ORDER = {"UBIGINT": 0, "BIGINT": 1, "DOUBLE": 2}
+
+
+def _unify_structure(a, b):
+    if a == b:
+        return a
+    if a == "NULL":
+        return b
+    if b == "NULL":
+        return a
+    if isinstance(a, str) and isinstance(b, str):
+        if a in _NUM_ORDER and b in _NUM_ORDER:
+            return a if _NUM_ORDER[a] >= _NUM_ORDER[b] else b
+        return "JSON"
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _unify_structure(out[k], v) if k in out else v
+        return out
+    if isinstance(a, list) and isinstance(b, list):
+        return [_unify_structure(a[0], b[0])]
+    return "JSON"
+
+
+def _json_structure(j: str | None) -> str | None:
+    """DuckDB ``json_structure``: the value's shape with DuckDB type
+    names in place of scalars — ``'{"a":1,"b":[1,2]}'`` →
+    ``'{"a":"UBIGINT","b":["UBIGINT"]}'``; arrays unify their element
+    structures (numeric widening, object key union), incompatible
+    elements collapse to ``"JSON"`` (r11, differential-tested)."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        v = _json.loads(j)
+    except ValueError:
+        return None
+    return _json.dumps(
+        _json_type_of(v), separators=(",", ":"), ensure_ascii=False
+    )
+
+
 _REGISTRY = [
     ("damerau_levenshtein", _damerau_levenshtein, "bigint"),
     ("jaro_similarity", _jaro_similarity, "double"),
@@ -198,6 +298,8 @@ _REGISTRY = [
     ("gamma", _gamma, "double"),
     ("lgamma", _lgamma, "double"),
     ("signbit", _signbit, "boolean"),
+    ("json_merge_patch", _json_merge_patch, "string"),
+    ("json_structure", _json_structure, "string"),
 ]
 
 
@@ -205,3 +307,27 @@ def register_compat_udfs(spark) -> None:
     """Idempotent per-session registration of the parity UDFs."""
     for name, fn, rtype in _REGISTRY:
         spark.udf.register(name, fn, rtype)
+    # mad(x) = median(|x - median(x)|) — DuckDB's median absolute
+    # deviation.  A two-pass aggregate no Spark expression composes
+    # (the inner median is per-GROUP), so it registers as an
+    # Arrow-batched grouped-agg pandas UDF: SQL `mad(x)` works in any
+    # GROUP BY; NULLs skipped like the DuckDB aggregate (r11).
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _mad(v):
+            s = pd.to_numeric(v, errors="coerce").dropna()
+            if s.empty:
+                return None
+            return float((s - s.median()).abs().median())
+
+        # annotation OBJECTS (not strings): pandas_udf resolves type
+        # hints via get_type_hints in the module globals, where a
+        # locally-imported pd would not exist
+        _mad.__annotations__ = {"v": pd.Series, "return": float}
+        spark.udf.register("mad", pandas_udf(_mad, "double"))
+    except Exception:
+        # pandas/arrow unavailable: the scalar registry above still
+        # loads; mad() stays an unknown function
+        pass

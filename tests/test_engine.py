@@ -676,3 +676,52 @@ def test_star_replace_keeps_column_position(spark):
     q = r.sections[0].queries[0]
     assert [col.name for col in q.columns] == ["a", "b", "c"]
     assert q.rows == [[1, "x!", 2.0]]
+
+
+def test_recursive_unnest_forms(spark):
+    """r11: unnest(recursive := true) — schema-resolved expansion
+    (lists flatten fully, structs expand to leaf-named columns);
+    differential-pinned against DuckDB 1.0 (7-case probe)."""
+    from shaper_spark.engine import query_dashboard
+
+    def run(stmt):
+        q = query_dashboard(spark, stmt + ";", dashboard_id="ru").to_dict()[
+            "sections"
+        ][0]["queries"][0]
+        return [c["name"] for c in q["columns"]], [
+            tuple(r) for r in q["rows"]
+        ]
+
+    cols, rows = run("SELECT unnest([[1,2],[3]], recursive := true) AS u")
+    assert cols == ["u"] and rows == [(1,), (2,), (3,)]
+    cols, rows = run(
+        "SELECT unnest({'a':1,'b':{'c':2}}, recursive := true)"
+    )
+    assert cols == ["a", "c"] and rows == [(1, 2)]
+    cols, rows = run(
+        "SELECT unnest([{'x':1,'n':{'m':5}}], recursive := true)"
+    )
+    assert cols == ["x", "m"] and rows == [(1, 5)]
+    cols, rows = run(
+        "SELECT unnest([[{'x':1}],[{'x':2}]], recursive := true)"
+    )
+    assert cols == ["x"] and rows == [(1,), (2,)]
+    # struct leaves that are lists stay lists (DuckDB parity)
+    cols, rows = run("SELECT unnest({'a':[1,2],'b':9}, recursive := true)")
+    assert cols == ["a", "b"] and rows == [([1, 2], 9)]
+    # recursive := false degrades to the plain form
+    cols, rows = run("SELECT unnest([1,2], recursive := false) AS q")
+    assert cols == ["q"] and rows == [(1,), (2,)]
+
+
+def test_recursive_unnest_named_errors(spark):
+    import pytest as _pytest
+
+    from shaper_spark.engine import query_dashboard
+
+    with _pytest.raises(Exception, match="max_depth"):
+        query_dashboard(
+            spark,
+            "SELECT unnest([[1]], recursive := true, max_depth := 2);",
+            dashboard_id="ru",
+        )
