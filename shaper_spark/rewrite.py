@@ -337,6 +337,11 @@ _FN_RENAMES = {
     "to_timestamp": "timestamp_seconds",
     "arg_max": "max_by",
     "arg_min": "min_by",
+    # editdist3 is DuckDB's Levenshtein alias; substring_grapheme
+    # counts grapheme clusters — identical on precomposed text, a
+    # documented divergence for combining sequences (r11 batch-16)
+    "editdist3": "levenshtein",
+    "substring_grapheme": "substring",
     "list": "collect_list",
     "group_concat": "listagg",
     "string_agg": "listagg",
@@ -1715,6 +1720,43 @@ def _rewrite_duck_operators(sql: str) -> str:
     return sql
 
 
+_DATEISH = (
+    r"(DATE\s*'[^']*'|current_date(?:\s*\(\s*\))?"
+    r"|(?:[A-Za-z_][\w.]*|'[^']*')::DATE\b"
+    r"|CAST\s*\([^()]*?\bAS\s+DATE\s*\))"
+)
+_DATE_MINUS_RE = re.compile(
+    _DATEISH + r"\s*-\s*" + _DATEISH, re.IGNORECASE
+)
+
+
+def _rewrite_date_minus(sql: str) -> str:
+    """DuckDB ``DATE - DATE`` yields INTEGER days; Spark yields a
+    day-time INTERVAL — silently different type and arithmetic.  Only
+    the textually-recognizable date forms are rewritten (DATE
+    literals, ``current_date``, ``x::DATE``, simple ``CAST(… AS
+    DATE)``); column-typed operands can't be seen from the text and
+    stay native — that divergence surfaces loudly (interval vs int
+    comparisons fail analysis), documented (r11 batch-16)."""
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                mm
+                for mm in _DATE_MINUS_RE.finditer(sql)
+                if states[mm.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        sql = (
+            sql[: m.start()]
+            + f"datediff({m.group(1)}, {m.group(2)})"
+            + sql[m.end() :]
+        )
+
+
 _DISTINCT_ON_RE = re.compile(r"\bDISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
@@ -1937,6 +1979,38 @@ def _rewrite_trim_two_arg(sql: str) -> str:
             + f"{fn}({chars}, {s} /*swapped*/)"
             + sql[end + 1 :]
         )
+
+
+_BARE_FILTER_RE = re.compile(r"\bFILTER\s*\(", re.IGNORECASE)
+
+
+def _normalize_bare_filter(sql: str) -> str:
+    """DuckDB accepts ``agg(x) FILTER (cond)`` without the WHERE
+    keyword; Spark's parser requires ``FILTER (WHERE cond)`` — insert
+    it (r11 batch-16 probe).  Only the aggregate-clause form is
+    touched: the previous non-space char must be the aggregate call's
+    ``)`` (the filter() HOF never follows one)."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _BARE_FILTER_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            p = m.start() - 1
+            while p >= 0 and sql[p].isspace():
+                p -= 1
+            if p < 0 or sql[p] != ")":
+                continue
+            j = m.end()
+            while j < len(sql) and sql[j].isspace():
+                j += 1
+            if re.match(r"WHERE\b", sql[j:], re.IGNORECASE):
+                continue
+            hit = m.end()
+            break
+        if hit is None:
+            return sql
+        sql = sql[:hit] + "WHERE " + sql[hit:]
 
 
 _FILTER_OVER_RE = re.compile(
@@ -2344,10 +2418,48 @@ def _rewrite_fn_compat2(sql: str) -> str:
         if not (fmt.startswith("'") and fmt.endswith("'")):
             return None
         inner = fmt[1:-1]
-        if re.search(r"\{[^}]", inner) or "%" in inner:
-            return None  # positional/spec'd slots: not the plain form
-        rest = ", ".join(a.strip() for a in args[1:])
-        converted = inner.replace("{}", "%s")
+        if "%" in inner:
+            return None  # printf-style text: not the brace form
+        # fmt-style slots → printf: '{}' → %s, '{:.2f}' → %.2f,
+        # '{:d}' → %d, '{:>8}'-style alignment unsupported (r11
+        # batch-16 extends the r9 plain-{} subset)
+        out_parts: list[str] = []
+        slots: list[str] = []  # per-slot cast ('' = none)
+        pos = 0
+        ok = True
+        for sm in re.finditer(r"\{([^{}]*)\}", inner):
+            out_parts.append(inner[pos : sm.start()])
+            spec = sm.group(1)
+            if spec == "":
+                out_parts.append("%s")
+                slots.append("")
+            elif re.fullmatch(r":\.(\d+)f", spec):
+                out_parts.append("%." + spec[2:-1] + "f")
+                slots.append("DOUBLE")  # %f rejects DECIMAL literals
+            elif spec == ":d":
+                out_parts.append("%d")
+                slots.append("BIGINT")
+            elif spec == ":s":
+                out_parts.append("%s")
+                slots.append("")
+            else:
+                ok = False
+                break
+            pos = sm.end()
+        if not ok:
+            return None
+        out_parts.append(inner[pos:])
+        converted = "".join(out_parts)
+        if re.search(r"\{|\}", converted):
+            return None  # stray braces: leave for the user to see
+        vals = [a.strip() for a in args[1:]]
+        cast_vals = [
+            f"CAST({v} AS {t})" if t and i < len(slots) else v
+            for i, (v, t) in enumerate(
+                zip(vals, slots + [""] * len(vals))
+            )
+        ]
+        rest = ", ".join(cast_vals)
         return (
             f"format_string('{converted}'"
             + (f", {rest}" if rest else "")
@@ -2516,6 +2628,123 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f" WHEN {n} < 1099511627776 THEN concat(format_string('%.1f', {n} / 1073741824), ' GiB')"
             f" ELSE concat(format_string('%.1f', {n} / 1099511627776), ' TiB') END)"
         )
+
+    _NONNEG_INT_RE = re.compile(r"\+?\d+$")
+
+    def _fix_left_neg(args: list[str]) -> str | None:
+        # DuckDB left(s, -n) = all but the LAST n chars; Spark returns
+        # '' (r11 batch-16). Non-negative integer literals (the common
+        # form) pass through untouched.
+        if len(args) != 2:
+            return None
+        s, n = args[0].strip(), args[1].strip()
+        if _NONNEG_INT_RE.fullmatch(n):
+            return None
+        return (
+            f"IF(({n}) IS NULL, NULL, substr({s}, 1, "
+            f"CASE WHEN ({n}) >= 0 THEN CAST({n} AS INT) "
+            f"ELSE greatest(CAST(length({s}) + ({n}) AS INT), 0) END))"
+        )
+
+    def _fix_right_neg(args: list[str]) -> str | None:
+        # DuckDB right(s, -n) = all but the FIRST n chars
+        if len(args) != 2:
+            return None
+        s, n = args[0].strip(), args[1].strip()
+        if _NONNEG_INT_RE.fullmatch(n):
+            return None
+        return (
+            f"IF(({n}) IS NULL, NULL, "
+            f"CASE WHEN ({n}) >= length({s}) THEN ({s}) "
+            f"WHEN ({n}) > 0 THEN substr({s}, -CAST({n} AS INT)) "
+            f"WHEN ({n}) < 0 THEN substr({s}, CAST(1 - ({n}) AS INT)) "
+            f"ELSE '' END)"
+        )
+
+    def _fix_substring_window(args: list[str]) -> str | None:
+        # DuckDB 3-arg substring: negative start counts from the END
+        # (start' = len+start+1), then the Postgres window clip applies
+        # — substring('abcde', 0, 3) = 'ab' (the window [0,3) shows 2
+        # chars) where Spark returns 'abc' (r11 batch-16).  Positive
+        # integer-literal starts (the common form) are already
+        # identical and pass through.
+        if len(args) != 3:
+            return None
+        s, st, ln = (a.strip() for a in args)
+        if re.fullmatch(r"\+?[1-9]\d*", st) or s.endswith("/*DW*/"):
+            return None
+        nst = (
+            f"(CASE WHEN ({st}) < 0 THEN length({s}) + ({st}) + 1 "
+            f"ELSE ({st}) END)"
+        )
+        return (
+            f"substr({s} /*DW*/, greatest({nst}, 1), "
+            f"greatest(({ln}) + least({nst} - 1, 0), 0))"
+        )
+
+    def _fix_trunc1(args: list[str]) -> str | None:
+        # numeric 1-arg trunc (toward zero); Spark's trunc is the
+        # 2-arg DATE form, so the 1-arg call never collides
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"(CASE WHEN ({e}) >= 0 THEN floor({e}) ELSE ceil({e}) END)"
+        )
+
+    def _fix_list_slice(args: list[str]) -> str | None:
+        # DuckDB list_slice(l, a, b[, step]): 1-based INCLUSIVE bounds,
+        # negatives count from the end. 2-arg list_slice does not
+        # exist in DuckDB 1.0; the bracket l[a:b] form has its own
+        # pass.
+        if len(args) not in (3, 4):
+            return None
+        l = args[0].strip()
+        a, b = args[1].strip(), args[2].strip()
+        na = f"(CASE WHEN ({a}) < 0 THEN size({l}) + ({a}) + 1 ELSE ({a}) END)"
+        nb = (
+            f"least(CASE WHEN ({b}) < 0 THEN size({l}) + ({b}) + 1 "
+            f"ELSE ({b}) END, size({l}))"
+        )
+        if len(args) == 3:
+            return (
+                f"slice({l}, greatest({na}, 1), "
+                f"greatest({nb} - greatest({na}, 1) + 1, 0))"
+            )
+        step = args[3].strip()
+        return (
+            f"transform(sequence(greatest({na}, 1), {nb}, {step}), "
+            f"__li -> element_at({l}, __li))"
+        )
+
+    def _fix_md5_number_half(upper: bool):
+        # DuckDB md5_number_lower/_upper: the md5 digest's second/
+        # first 8 BYTES as a little-endian unsigned 64-bit integer —
+        # byte-pair-reversed hex through conv(…,16,10), surfaced as
+        # DECIMAL(20,0) (Spark has no unsigned BIGINT)
+        off = 1 if upper else 17
+
+        def fix(args: list[str]) -> str | None:
+            if len(args) != 1:
+                return None
+            e = args[0].strip()
+            # md5() inlined per pair — Spark's subexpression
+            # elimination collapses the duplicates inside one project
+            pairs = "||".join(
+                f"substr(md5({e}), {off + 2 * i}, 2)"
+                for i in reversed(range(8))
+            )
+            return f"CAST(conv({pairs}, 16, 10) AS DECIMAL(20,0))"
+
+        return fix
+
+    def _fix_geomean(args: list[str]) -> str | None:
+        # DuckDB geomean/geometric_mean: exp of the mean log —
+        # NULLs skipped by avg on both sides (r11 batch-16 probe)
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return f"exp(avg(ln(CAST({e} AS DOUBLE))))"
 
     def _fix_json_merge_variadic(args: list[str]) -> str | None:
         # DuckDB json_merge_patch is variadic; the compat UDF takes 2
@@ -2913,6 +3142,31 @@ def _rewrite_fn_compat2(sql: str) -> str:
         (
             re.compile(r"\bjson_merge_patch\s*\(", re.IGNORECASE),
             _fix_json_merge_variadic,
+        ),
+        (
+            re.compile(
+                r"\b(?:geomean|geometric_mean)\s*\(", re.IGNORECASE
+            ),
+            _fix_geomean,
+        ),
+        (re.compile(r"\bleft\s*\(", re.IGNORECASE), _fix_left_neg),
+        (re.compile(r"\bright\s*\(", re.IGNORECASE), _fix_right_neg),
+        (
+            re.compile(r"\bsubstr(?:ing)?\s*\(", re.IGNORECASE),
+            _fix_substring_window,
+        ),
+        (re.compile(r"\btrunc\s*\(", re.IGNORECASE), _fix_trunc1),
+        (
+            re.compile(r"\blist_slice\s*\(", re.IGNORECASE),
+            _fix_list_slice,
+        ),
+        (
+            re.compile(r"\bmd5_number_lower\s*\(", re.IGNORECASE),
+            _fix_md5_number_half(upper=False),
+        ),
+        (
+            re.compile(r"\bmd5_number_upper\s*\(", re.IGNORECASE),
+            _fix_md5_number_half(upper=True),
         ),
         (
             re.compile(
@@ -3586,6 +3840,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # DuckDB operator spellings: ^/** power, / % // try-variants,
     # ~ / !~ regex match, -> / ->> JSON extraction.
     sql = _rewrite_in_values(sql)
+    sql = _rewrite_date_minus(sql)
     sql = _rewrite_duck_operators(sql)
 
     # SELECT DISTINCT ON (keys) → QUALIFY row_number() = 1 (the
@@ -3608,6 +3863,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
 
     # agg FILTER (WHERE c) OVER (…) → CASE'd agg; x = ANY(arr) etc;
     # in-paren IGNORE/RESPECT NULLS.
+    sql = _normalize_bare_filter(sql)
     sql = _rewrite_filter_over_window(sql)
     sql = _rewrite_any_all_array(sql)
     sql = _rewrite_ignore_nulls_position(sql)

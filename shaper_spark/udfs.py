@@ -184,6 +184,36 @@ def _signbit(x: float | None) -> bool | None:
     return math.copysign(1.0, x) < 0
 
 
+def _chr_unicode(n: int | None) -> str | None:
+    """DuckDB chr() takes any Unicode codepoint; Spark's builtin chr
+    wraps at 256 (chr(9731) = '\\x03' — silent wrong, r11 batch-16).
+    Registering this name shadows the builtin for SQL text."""
+    if n is None:
+        return None
+    try:
+        return chr(int(n))
+    except (ValueError, OverflowError):
+        return None
+
+
+def _gcd(a: int | None, b: int | None) -> int | None:
+    if a is None or b is None:
+        return None
+    return math.gcd(int(a), int(b))
+
+
+def _lcm(a: int | None, b: int | None) -> int | None:
+    if a is None or b is None:
+        return None
+    return math.lcm(int(a), int(b))
+
+
+def _nextafter(x: float | None, y: float | None) -> float | None:
+    if x is None or y is None:
+        return None
+    return math.nextafter(x, y)
+
+
 def _json_merge_patch(a: str | None, b: str | None) -> str | None:
     """RFC 7386 JSON Merge Patch, DuckDB semantics (r11): null patch
     values REMOVE keys, nested objects merge recursively, a non-object
@@ -300,6 +330,10 @@ _REGISTRY = [
     ("signbit", _signbit, "boolean"),
     ("json_merge_patch", _json_merge_patch, "string"),
     ("json_structure", _json_structure, "string"),
+    ("chr", _chr_unicode, "string"),
+    ("gcd", _gcd, "bigint"),
+    ("lcm", _lcm, "bigint"),
+    ("nextafter", _nextafter, "double"),
 ]
 
 

@@ -776,9 +776,13 @@ class TestFnCompat2:
         r = rewrite_statement("SELECT format('{} + {}', 1, 2)")
         assert "format_string('%s + %s', 1, 2)" in r.sql
 
-    def test_format_spec_slots_untouched(self):
+    def test_format_spec_slots_now_convert(self):
+        # r11: precision/d/s specs convert too (unknown specs like
+        # alignment still pass through untouched)
         r = rewrite_statement("SELECT format('{:.2f}', 1.5)")
-        assert "format('{:.2f}', 1.5)" in r.sql
+        assert "format_string('%.2f', CAST(1.5 AS DOUBLE))" in r.sql
+        r2 = rewrite_statement("SELECT format('{:>8}', x)")
+        assert "format_string" not in r2.sql
 
     def test_to_base_and_quantile(self):
         r = rewrite_statement("SELECT to_base(255, 16), quantile(x, 0.5) FROM t")
@@ -1312,3 +1316,89 @@ class TestBatch14AggregateEdges:
     def test_any_value_skips_nulls(self):
         r = rewrite_statement("SELECT any_value(x) FROM t")
         assert "any_value(x, true)" in r.sql
+
+
+class TestBatch16Sweep:
+    """r11 batch-16: aggregate-edge probe results (26 forms probed vs
+    DuckDB 1.0; bool_and/or, product, bit_*, sum(DISTINCT), count_if,
+    quantile lists, corr/covar, ROLLUP+grouping all already matched)."""
+
+    def test_geomean(self):
+        r = rewrite_statement("SELECT geomean(x) FROM t")
+        assert "exp(avg(ln(CAST(x AS DOUBLE))))" in r.sql
+
+    def test_geometric_mean_alias(self):
+        r = rewrite_statement("SELECT geometric_mean(x) FROM t")
+        assert "exp(avg(ln(" in r.sql
+
+    def test_bare_filter_gets_where(self):
+        r = rewrite_statement("SELECT avg(x) FILTER (b) FROM t")
+        assert "FILTER (WHERE b)" in r.sql
+
+    def test_bare_filter_with_expression(self):
+        r = rewrite_statement(
+            "SELECT count(*) FILTER (x > 1), sum(y) FILTER (x < 0) FROM t"
+        )
+        assert r.sql.count("FILTER (WHERE") == 2
+
+    def test_filter_where_untouched(self):
+        r = rewrite_statement("SELECT avg(x) FILTER (WHERE b) FROM t")
+        assert r.sql.count("WHERE") == 1
+
+    def test_hof_filter_untouched(self):
+        r = rewrite_statement("SELECT filter(l, y -> y > 1) FROM t")
+        assert "WHERE" not in r.sql
+
+    # r11 batch-16 continued: string/list/scalar edges (all
+    # differential-verified vs DuckDB 1.0 in the 26-case probe)
+
+    def test_left_right_negative(self):
+        r = rewrite_statement("SELECT left(s, -2), right(s, -2) FROM t")
+        # left emits one substr; right emits one per sign branch
+        assert r.sql.count("substr(") == 3
+        assert "left(" not in r.sql and "right(" not in r.sql
+        # non-negative literals stay native
+        r2 = rewrite_statement("SELECT left(s, 3), right(s, 2) FROM t")
+        assert "substr(" not in r2.sql
+
+    def test_substring_zero_start_window(self):
+        r = rewrite_statement("SELECT substring(s, 0, 3) FROM t")
+        assert "/*DW*/" in r.sql and "greatest(" in r.sql
+        # positive literal start untouched
+        r2 = rewrite_statement("SELECT substring(s, 2, 3) FROM t")
+        assert "/*DW*/" not in r2.sql
+
+    def test_trunc_one_arg(self):
+        r = rewrite_statement("SELECT trunc(x) FROM t")
+        assert "floor(x)" in r.sql and "ceil(x)" in r.sql
+        # the 2-arg date form stays native
+        r2 = rewrite_statement("SELECT trunc(d, 'MM') FROM t")
+        assert "floor" not in r2.sql
+
+    def test_list_slice_three_and_four_arg(self):
+        r = rewrite_statement("SELECT list_slice(l, 2, 4) FROM t")
+        assert "slice(l" in r.sql
+        r4 = rewrite_statement("SELECT list_slice(l, 1, 5, 2) FROM t")
+        assert "transform(sequence(" in r4.sql
+
+    def test_editdist3_and_grapheme_renames(self):
+        r = rewrite_statement(
+            "SELECT editdist3(a, b), substring_grapheme(s, 2, 2) FROM t"
+        )
+        assert "levenshtein(a, b)" in r.sql
+        assert "substring(s, 2, 2)" in r.sql
+
+    def test_md5_number_halves(self):
+        r = rewrite_statement("SELECT md5_number_lower(x) FROM t")
+        assert "conv(" in r.sql and "DECIMAL(20,0)" in r.sql
+
+    def test_date_literal_minus(self):
+        r = rewrite_statement(
+            "SELECT DATE '2024-03-01' - DATE '2024-02-01'"
+        )
+        assert "datediff(DATE '2024-03-01', DATE '2024-02-01')" in r.sql
+
+    def test_format_precision_spec(self):
+        r = rewrite_statement("SELECT format('{:.2f} {}', x, y)")
+        assert "format_string('%.2f %s'" in r.sql
+        assert "CAST(x AS DOUBLE)" in r.sql
