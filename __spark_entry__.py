@@ -435,6 +435,102 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-containment dup candidates
+    (shaper_spark/operators/dedup.py containment_pairs): Broder's
+    containment coefficient |A∩B|/min(|A|,|B|) over distinct 3-gram
+    sets via the same posting-list self-join as jaccard_pairs — the
+    truncation/extension dup family Jaccard under-scores (a verbatim
+    token-substring scores containment 1.0 with tiny Jaccard).  Score
+    is a half-up BIGINT micro-division, engine-replayable.  No
+    reference counterpart; §2C dedup family."""
+    from shaper_spark.operators.dedup import containment_pairs
+
+    _prep(spark, sf_dir)
+    return containment_pairs(
+        spark.table("documents"), "doc_id", "text", k=3, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+CONTAINMENT_DUCK = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         (inter * 2000000 + least(ca.c, cb.c))
+           // (2 * least(ca.c, cb.c)) AS cmicro
+  FROM pairs
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+)
+SELECT id_a, id_b, cmicro / 1000000.0 AS containment
+FROM scored WHERE cmicro >= 900000
+ORDER BY id_a, id_b
+"""
+
+
+def _q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII density readout
+    (shaper_spark/operators/pii.py pii_density_report): hit counts per
+    pattern, affected docs, hits per 1k tokens — the release gate read
+    BEFORE deciding which sources need the (corpus-rewrite) scrub.
+    One scan, one hash-agg; rates as half-up BIGINT micro-divisions.
+    No reference counterpart; §2C."""
+    from shaper_spark.operators.pii import pii_density_report
+
+    _prep(spark, sf_dir)
+    return pii_density_report(spark.table("documents"), "text", "source")
+
+
+def _pii_density_duck() -> str:
+    """Oracle generated from pii.PII_PATTERNS (same regex stack)."""
+    from shaper_spark.operators.pii import PII_PATTERNS
+
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS c_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    hit_sum = " + ".join(f"c_{name}" for name, _, _ in PII_PATTERNS)
+    sums = ",\n       ".join(
+        f"CAST(sum(c_{name}) AS BIGINT) AS n_{name}"
+        for name, _, _ in PII_PATTERNS
+    )
+    tot = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH c AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         {counts}
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS sum_tokens,
+       {sums},
+       CAST(sum(CASE WHEN {hit_sum} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, sum_tokens, n_email, n_ip, n_phone, docs_with_pii,
+       ((({tot}) * 2000000000 + greatest(sum_tokens, 1))
+         // (2 * greatest(sum_tokens, 1))) / 1000000.0
+         AS pii_per_1k_tokens
+FROM agg ORDER BY source
+"""
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shaper_spark.operators.dedup import lsh_candidate_pairs
 
@@ -4660,6 +4756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
         "threshold_sweep_probe": _q_threshold_probe,
+        "dedup_containment_pairs": _q_containment,
+        "pii_density_report": _q_pii_density,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4798,4 +4896,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply_counts": DEDUP_APPLY_DUCK,
         "stream_rollup_daily": STREAM_ROLLUP_DUCK,
         "threshold_sweep_probe": THRESHOLD_PROBE_DUCK,
+        "dedup_containment_pairs": CONTAINMENT_DUCK,
+        "pii_density_report": _pii_density_duck(),
     }

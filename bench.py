@@ -109,6 +109,9 @@ EXTRAS = [
     # round 10
     "source_jaccard_matrix",
     "pmi_collocations",
+    # round 11
+    "dedup_containment_pairs",
+    "pii_density_report",
 ]
 
 HEADLINE = [

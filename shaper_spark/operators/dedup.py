@@ -257,6 +257,72 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Substring-containment candidates (r11): pairs scored by
+    Broder's containment coefficient C = |A∩B| / min(|A|,|B|) over
+    distinct k-gram sets.  When the smaller document is a verbatim
+    token-substring of the larger (truncated wire copy, quote-inside-
+    article, extended re-post), every one of its k-grams appears in
+    the container, so C = 1.0 exactly — the dup family Jaccard
+    under-scores (a tweet quoted in an article has tiny |A∪B| overlap
+    but full containment).
+
+    Spark shape: the same posting-list self-join as
+    :func:`jaccard_pairs` (never all-pairs; ``max_df`` caps
+    stop-shingle postings), with the min-size denominator.  The score
+    is computed as a half-up BIGINT micro-division —
+    ``(inter·2e6 + m) DIV (2m) / 1e6`` — so thresholds and output
+    replay bit-identically on any engine (the threshold-sweep rule).
+    Returns (id_a, id_b, containment), id_a < id_b, C ≥ threshold."""
+    postings = _df_capped(shingle_tokens(df, id_col, text_col, k), max_df)
+    if persist:
+        from pyspark import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("ca"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("cb"))
+    t_micro = int(round(float(threshold) * 1_000_000))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "__cmicro",
+            F.expr(
+                "(inter * 2000000L + least(ca, cb)) "
+                "DIV (2L * least(ca, cb))"
+            ),
+        )
+        .filter(F.col("__cmicro") >= F.lit(t_micro))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__cmicro").cast("double") / F.lit(1000000.0)).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 def _portable_hash(col, seed: int):
     """32-bit hash from md5 — reproducible in any engine with md5+conv.
 

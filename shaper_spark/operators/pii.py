@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["PII_PATTERNS", "pii_scrub"]
+__all__ = ["PII_PATTERNS", "pii_scrub", "pii_density_report"]
 
 # Order matters: emails are redacted before IPs (an email's host part
 # may contain dotted digits), IPs before phones (disjoint anyway).
@@ -53,4 +53,68 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         *counts,
         clean.alias("clean_text"),
         F.length(clean).alias("n_chars_clean"),
+    )
+
+
+def pii_density_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group PII density (r11): hit counts for each PII_PATTERNS
+    shape, affected-document counts, and hits per 1k whitespace tokens
+    — the release-gate readout a pipeline reads BEFORE deciding which
+    sources need scrubbing at all (scrubbing is a full corpus rewrite;
+    the density scan is one aggregate).
+
+    Spark shape: ONE corpus scan → one hash-agg on the group key; the
+    per-1k rates are half-up BIGINT micro-divisions re-scaled to
+    double (engine-replayable, the threshold-sweep rule).  Returns
+    (group, n_docs, sum_tokens, n_email, n_ip, n_phone,
+    docs_with_pii, pii_per_1k_tokens), ordered by group."""
+    per_row = [
+        F.expr(f"regexp_count({text_col}, '{_sq(pat)}')").alias(
+            f"__c_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    staged = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(F.split(F.col(text_col), " ")).alias("__nw"),
+        *per_row,
+    )
+    total_hits = sum(
+        (F.col(f"__c_{name}") for name, _, _ in PII_PATTERNS),
+        F.lit(0),
+    )
+    agg = staged.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__nw").cast("long")).alias("sum_tokens"),
+        *[
+            F.sum(F.col(f"__c_{name}").cast("long")).alias(f"n_{name}")
+            for name, _, _ in PII_PATTERNS
+        ],
+        F.sum(F.when(total_hits > 0, 1).otherwise(0)).alias(
+            "docs_with_pii"
+        ),
+    )
+    hits_sql = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        agg.select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "sum_tokens",
+            *[F.col(f"n_{name}") for name, _, _ in PII_PATTERNS],
+            "docs_with_pii",
+            # hits·1000 per token as a half-up micro-division (µ-units
+            # of "per-1k" → ×1e6·1e3 = 2e9 doubling), re-scaled
+            (
+                F.expr(
+                    f"((({hits_sql}) * 2000000000L"
+                    " + greatest(sum_tokens, 1L))"
+                    " DIV (2L * greatest(sum_tokens, 1L)))"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("pii_per_1k_tokens"),
+        ).orderBy(group_col)
     )

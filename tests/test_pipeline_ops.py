@@ -1099,3 +1099,97 @@ class TestPmiCollocations:
         pairs = {(r.w1, r.w2) for r in out}
         assert ("r", "s") not in pairs  # below min_count
         assert ("p", "q") in pairs
+
+
+class TestContainmentPairs:
+    """r11: Broder containment over k-gram sets (operators/dedup.py
+    containment_pairs) — the truncation/extension dup family."""
+
+    def test_verbatim_substring_scores_one(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                # doc 2 = doc 1 with a prefix AND suffix added: every
+                # 3-gram of doc 1 appears in doc 2 → containment 1.0
+                (2, "intro alpha beta gamma delta epsilon zeta eta "
+                    "theta outro"),
+                (3, "totally unrelated words about something else"),
+            ],
+            "doc_id int, text string",
+        )
+        from shaper_spark.operators.dedup import containment_pairs
+
+        rows = {
+            (r.id_a, r.id_b): r.containment
+            for r in containment_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.9
+            ).collect()
+        }
+        assert rows == {(1, 2): 1.0}
+
+    def test_jaccard_would_miss_it(self, spark):
+        # the same pair under-scores on Jaccard (union is inflated by
+        # the container's extra grams)
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),
+                (2, "x1 x2 x3 x4 x5 x6 x7 x8 a b c d y1 y2 y3 y4 "
+                    "y5 y6 y7 y8"),
+            ],
+            "doc_id int, text string",
+        )
+        from shaper_spark.operators.dedup import (
+            containment_pairs,
+            jaccard_pairs,
+        )
+
+        c = containment_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.9
+        ).collect()
+        assert [(r.id_a, r.id_b, r.containment) for r in c] == [(1, 2, 1.0)]
+        j = jaccard_pairs(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+        assert j == []  # Jaccard ≈ 2/20 — far below any dedup cut
+
+    def test_threshold_filters(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d zzz")],
+            "doc_id int, text string",
+        )
+        from shaper_spark.operators.dedup import containment_pairs
+
+        # 3-grams of doc1: {abc,bcd,cde}; doc2: {abc,bcd,cdz*}: inter 2
+        # of min 3 → 0.666667 < 0.9
+        assert (
+            containment_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.9
+            ).count()
+            == 0
+        )
+
+
+class TestPiiDensityReport:
+    def test_density_counts_and_rate(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "contact me a@b.com and c@d.org please", "web"),
+                (2, "server at 10.0.0.1 works", "web"),
+                (3, "clean text no pii here at all", "books"),
+            ],
+            "doc_id int, text string, source string",
+        )
+        from shaper_spark.operators.pii import pii_density_report
+
+        rows = {
+            r.source: r
+            for r in pii_density_report(docs, "text", "source").collect()
+        }
+        assert rows["web"].n_email == 2
+        assert rows["web"].n_ip == 1
+        assert rows["web"].docs_with_pii == 2
+        assert rows["books"].docs_with_pii == 0
+        assert rows["books"].pii_per_1k_tokens == 0.0
+        # web: 3 hits over 10 tokens → 300 per 1k
+        assert rows["web"].sum_tokens == 10
+        assert rows["web"].pii_per_1k_tokens == 300.0
