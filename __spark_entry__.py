@@ -4148,11 +4148,13 @@ def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark, sf_dir)
     docs = spark.table("documents")
-    verdicts = gopher_quality_filter(docs, "doc_id", "text")
+    # the source key rides the verdict scan (keep_cols, r11) — no
+    # second docs scan, no doc-id join back
+    verdicts = gopher_quality_filter(
+        docs, "doc_id", "text", keep_cols=("source",)
+    )
     return (
-        verdicts.join(
-            docs.select(F.col("doc_id").alias("id"), "source"), "id"
-        )
+        verdicts
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -98,29 +98,12 @@ def _funnel_lazy(
     # explicit operator chain.
     # size-aware fan-out for the one pinned exchange (r11): AQE cannot
     # coalesce a user-specified partition count, and at benchmark scale
-    # (sub-MB corpus) 32 reduce tasks per wave are pure dispatch floor.
-    # One partition per ~512 KB of input (parquet-file estimate, so
-    # decompressed bigram work per core stays bounded), capped at the
-    # core count — on a real cluster the estimate clears the cap and
-    # this is exactly the old defaultParallelism spread.
-    try:
-        est = int(
-            str(
-                docs._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
-        )
-    except Exception:
-        est = 1 << 40  # unknown: keep the historical full spread
-    par = max(
-        2,
-        min(
-            docs.sparkSession.sparkContext.defaultParallelism,
-            est // (512 * 1024) + 1,
-        ),
-    )
+    # (sub-MB corpus) 32 reduce tasks per wave are pure dispatch floor —
+    # on a real cluster the size estimate clears the core-count cap and
+    # this is exactly the old defaultParallelism spread
+    from ..session import scaled_parallelism
+
+    par = scaled_parallelism(docs)
     words = F.split(F.col(text_col), " ")
     n0 = F.size(words)
     # the three cheap Gopher rules (word count, avg word length,

@@ -235,7 +235,12 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_exprs: "dict[str, Column] | None" = None,
+) -> DataFrame:
     """Gopher-style repetition metrics per document (Rae et al. 2021
     §A1.1 filters): ``dup_word_frac`` (1 − distinct/total words — the
     duplicate-token share) and ``top_bigram_frac`` (occurrences of the
@@ -259,19 +264,36 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     two-token-shuffle shape, and strictly fewer bytes on the wire at
     any scale (the corpus text crosses once; token-stream partials
     crossed ~2×).  No join, no countDistinct expand, no skew (documents
-    are bounded), codegen end-to-end, no Python."""
+    are bounded), codegen end-to-end, no Python.
+
+    ``extra_exprs`` (r11): extra per-document expressions evaluated on
+    the INPUT row and carried through both aggregations as
+    ``first()``s — callers that need sibling per-row stats
+    (gopher's avg-word-length, a group key for the report) fuse them
+    into this operator's single scan instead of paying a second scan
+    plus a doc-id join.
+
+    The exchange pins the FULL core count (not the funnel's size-aware
+    fan-out): this explode is ungated — every document emits its whole
+    bigram stream — so the post-exchange work is compute-bound even on
+    sub-MB corpora (r11 measured the narrow fan-out serializing it,
+    0.45 s → 1.5 s)."""
+    extra_exprs = extra_exprs or {}
     par = max(2, df.sparkSession.sparkContext.defaultParallelism)
     arr = df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("__ws"),
+        *[expr.alias(f"__x_{name}") for name, expr in extra_exprs.items()],
     )
     n = F.size("__ws")
+    extras = [f"__x_{name}" for name in extra_exprs]
     # index 0 = sentinel (carries the per-row word stats for EVERY doc);
     # indices 1..n-1 = bigram start positions (empty for n < 2)
     stream = arr.select(
         "id",
         n.alias("__n"),
         F.size(F.array_distinct("__ws")).alias("__nd"),
+        *extras,
         F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))).alias(
             "__i"
         ),
@@ -280,6 +302,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "id",
         "__n",
         "__nd",
+        *extras,
         F.when(
             F.col("__i") > 0,
             F.concat_ws(" ", F.slice("__ws", F.col("__i"), 2)),
@@ -289,10 +312,12 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("__c"),
         F.first("__n").alias("__n"),
         F.first("__nd").alias("__nd"),
+        *[F.first(c).alias(c) for c in extras],
     )
     per_doc = per_bigram.groupBy("id").agg(
         F.first("__n").alias("n_words"),
         F.first("__nd").alias("__nd"),
+        *[F.first(c).alias(c) for c in extras],
         F.coalesce(
             F.sum(F.when(F.col("bigram").isNotNull(), F.col("__c"))),
             F.lit(0),
@@ -313,6 +338,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / F.greatest(F.col("n_bigrams"), F.lit(1)),
             6,
         ).alias("top_bigram_frac"),
+        *[F.col(f"__x_{name}").alias(name) for name in extra_exprs],
     )
 
 
@@ -885,6 +911,7 @@ def gopher_quality_filter(
     max_avg_word_len: float = 10.0,
     max_dup_word_frac: float = 0.9,
     max_top_bigram_frac: float = 0.5,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Composite pretraining document filter: the Gopher §A1.1 rule set
     (Rae et al. 2021) as one verdict per document — the operator a
@@ -896,25 +923,27 @@ def gopher_quality_filter(
       dup_words      dup_word_frac > max_dup_word_frac
       top_bigram     top_bigram_frac > max_top_bigram_frac
 
-    Returns (id, n_words, keep, reasons) where ``reasons`` is a sorted
-    array of violated-rule names (empty when keep). Spark shape: one
-    ``repetition_stats`` pass (doc-id shuffles only) plus O(1)
-    arithmetic for the length rules — no new corpus-sized work beyond
-    the stats it reuses. Thresholds are parameters because real
-    pipelines tune them per corpus; defaults here are loosened from the
-    paper's web-text values so they exercise both outcomes on synthetic
-    word-soup data."""
+    Returns (id, n_words, keep, reasons[, keep_cols…]) where
+    ``reasons`` is a sorted array of violated-rule names (empty when
+    keep). Spark shape: ONE ``repetition_stats`` pass — the
+    avg-word-length and any ``keep_cols`` (a group key for downstream
+    reports) ride that scan as carried expressions (r11; previously a
+    second scan + doc-id join computed avg_word_len, and report
+    consumers joined back a third time for the group key). Thresholds
+    are parameters because real pipelines tune them per corpus;
+    defaults here are loosened from the paper's web-text values so
+    they exercise both outcomes on synthetic word-soup data."""
     words = F.split(F.col(text_col), " ")
     n_tokens = F.size(words)
     sum_word_len = F.length(text_col) - (n_tokens - F.lit(1))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.round(
+    extra = {
+        "avg_word_len": F.round(
             sum_word_len.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
-        ).alias("avg_word_len"),
-    )
-    rep = repetition_stats(df, id_col, text_col)
-    joined = rep.join(base, "id")
+        ),
+    }
+    for c in keep_cols:
+        extra[c] = F.col(c)
+    joined = repetition_stats(df, id_col, text_col, extra_exprs=extra)
     reasons = F.array_sort(
         F.array_compact(
             F.array(
@@ -944,6 +973,7 @@ def gopher_quality_filter(
         "n_words",
         (F.size(reasons) == 0).alias("keep"),
         reasons.alias("reasons"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

@@ -250,6 +250,33 @@ def load_parquet(spark: SparkSession, path: str, spread: bool = False):
     return _spread(spark, df, path) if spread else df
 
 
+def scaled_parallelism(df, chunk_bytes: int = 512 * 1024) -> int:
+    """Partition count proportional to the input's optimizer size
+    estimate, capped at the core count (r11): one partition per
+    ``chunk_bytes`` of input.  AQE cannot coalesce a user-specified
+    repartition count, so operators that pin an exchange fan-out
+    should pin one that scales — at benchmark scale (sub-MB corpora)
+    32 reduce tasks per wave are pure dispatch floor, while on a real
+    cluster the estimate clears the cap and this equals the full
+    spread."""
+    try:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return 2
+    try:
+        est = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return max(2, parallelism)
+    return max(2, min(parallelism, est // chunk_bytes + 1))
+
+
 def spread_for_compute(df, min_bytes: int = 4 * 1024 * 1024):
     """Ensure map-side parallelism for CPU-heavy per-row operators
     (regex scans, shingling, vector kernels).
