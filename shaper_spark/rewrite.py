@@ -2202,6 +2202,16 @@ _RANK_OVER_EMPTY_RE = re.compile(
     r"(\s*\([^()]*\)\s+OVER\s*\()\s*(\))",
     re.IGNORECASE,
 )
+# same rank family over PARTITION BY … with NO ORDER BY (r11):
+# DuckDB ranks in arbitrary order, Spark demands an ORDER BY —
+# inject the same (SELECT NULL) constant order.  The window body must
+# contain no parens (keeps simple partition keys; expression keys
+# with calls fall through untouched) and no ORDER/ROWS/RANGE keyword.
+_RANK_OVER_PARTITION_RE = re.compile(
+    r"\b(row_number|rank|dense_rank|percent_rank|cume_dist|ntile)"
+    r"(\s*\([^()]*\)\s+OVER\s*\(\s*PARTITION\s+BY\s+[^()]*?)(\))",
+    re.IGNORECASE,
+)
 
 
 _LAMBDA_IDX_FN_RE = re.compile(
@@ -2295,10 +2305,20 @@ def _rewrite_misc_calls(sql: str) -> str:
             if not changed:
                 break
     states = _scan_states(sql)
-    return _RANK_OVER_EMPTY_RE.sub(
+    sql = _RANK_OVER_EMPTY_RE.sub(
         lambda m: m.group(0)
         if states[m.start()] != 0
         else f"{m.group(1)}{m.group(2)}ORDER BY (SELECT NULL){m.group(3)}",
+        sql,
+    )
+    states = _scan_states(sql)
+    return _RANK_OVER_PARTITION_RE.sub(
+        lambda m: m.group(0)
+        if states[m.start()] != 0
+        or re.search(
+            r"\b(ORDER|ROWS|RANGE|GROUPS)\b", m.group(2), re.IGNORECASE
+        )
+        else f"{m.group(1)}{m.group(2)} ORDER BY (SELECT NULL){m.group(3)}",
         sql,
     )
 

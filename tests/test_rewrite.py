@@ -1402,3 +1402,30 @@ class TestBatch16Sweep:
         r = rewrite_statement("SELECT format('{:.2f} {}', x, y)")
         assert "format_string('%.2f %s'" in r.sql
         assert "CAST(x AS DOUBLE)" in r.sql
+
+
+class TestBatch17Windows:
+    """r11 batch-17: window-edge probe (16 forms vs DuckDB 1.0 —
+    lag(-n), lead defaults, nth_value, IGNORE NULLS, ntile,
+    percent_rank/cume_dist, named WINDOW clause, RANGE numeric frames
+    all already matched; GROUPS frames unsupported in DuckDB 1.0)."""
+
+    def test_rank_over_partition_without_order(self):
+        r = rewrite_statement(
+            "SELECT row_number() OVER (PARTITION BY g) FROM t"
+        )
+        assert "ORDER BY (SELECT NULL)" in r.sql
+
+    def test_rank_over_partition_with_order_untouched(self):
+        r = rewrite_statement(
+            "SELECT rank() OVER (PARTITION BY a, b ORDER BY c) FROM t"
+        )
+        assert "SELECT NULL" not in r.sql
+
+    def test_aggregate_over_partition_untouched(self):
+        # aggregates over an unordered partition are legal Spark — an
+        # injected ORDER BY would shrink their frame to running totals
+        r = rewrite_statement(
+            "SELECT sum(x) OVER (PARTITION BY g) FROM t"
+        )
+        assert "SELECT NULL" not in r.sql
