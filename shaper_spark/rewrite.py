@@ -1485,6 +1485,7 @@ def _rewrite_binary_op(
     rhs_string_only: bool = False,
     skip_lambda_lhs: bool = False,
     extend_mult_chain: bool = False,
+    rhs_int_ok: bool = False,
 ) -> str:
     """Generic binary-operator rewrite: capture the left primary
     expression (backwards) and right primary expression (forwards)
@@ -1595,7 +1596,10 @@ def _rewrite_binary_op(
             right = sql[m.end() : rend].strip()
             if not right:
                 continue
-            if rhs_string_only and not right.startswith("'"):
+            if rhs_string_only and not (
+                right.startswith("'")
+                or (rhs_int_ok and re.fullmatch(r"\d+", right))
+            ):
                 continue
             hit = (lstart, rend, left, right, m)
             break
@@ -1669,13 +1673,17 @@ def _rewrite_duck_operators(sql: str) -> str:
     """
     # '->' first: '-' would otherwise parse as part of a number/minus
     def _arrow(left: str, right: str, m: re.Match) -> str:
-        inner = right[1:-1]
-        path = inner if inner.startswith("$") else "$." + inner
+        if right.startswith("'"):
+            inner = right[1:-1]
+            path = inner if inner.startswith("$") else "$." + inner
+        else:
+            # integer rhs = JSON array index (duck '[5,6,7] -> 1')
+            path = f"$[{right}]"
         return f"get_json_object({left}, '{path}')"
 
     sql = _rewrite_binary_op(
         sql, _JSON_ARROW_RE, _arrow, rhs_string_only=True,
-        skip_lambda_lhs=True,
+        skip_lambda_lhs=True, rhs_int_ok=True,
     )
     # '^@' (DuckDB starts-with operator) BEFORE the POWER pass, which
     # would otherwise read its '^' as an exponent
@@ -2766,6 +2774,128 @@ def _rewrite_fn_compat2(sql: str) -> str:
         e = args[0].strip()
         return f"exp(avg(ln(CAST({e} AS DOUBLE))))"
 
+    def _jsonify(e: str) -> str:
+        # any scalar/complex value → its JSON text, NULL → 'null':
+        # to_json needs a struct wrapper; the value is the fixed-offset
+        # slice of '{"v":X}' (prefix 5 chars, suffix 1 — no regex)
+        tj = f"to_json(named_struct('v', {e}))"
+        return (
+            f"CASE WHEN ({e}) IS NULL THEN 'null' "
+            f"ELSE substr({tj}, 6, length({tj}) - 6) END"
+        )
+
+    def _json_path(p: str) -> str:
+        # a path literal: '$'-prefixed passes through, bare key gets it
+        if p.startswith("'") and not p[1:].startswith("$"):
+            return "'$." + p[1:]
+        return p
+
+    def _fix_json_quote(args: list[str]) -> str | None:
+        # duck json_quote: value → JSON text, SQL NULL → NULL (not
+        # 'null' — unlike elements inside json_array)
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        tj = f"to_json(named_struct('v', {e}))"
+        return (
+            f"CASE WHEN ({e}) IS NULL THEN NULL "
+            f"ELSE substr({tj}, 6, length({tj}) - 6) END"
+        )
+
+    def _fix_json_array_ctor(args: list[str]) -> str | None:
+        elems = ", ".join(_jsonify(a.strip()) for a in args)
+        return f"concat('[', concat_ws(',', {elems}), ']')"
+
+    def _fix_json_object_ctor(args: list[str]) -> str | None:
+        if len(args) % 2 != 0:
+            return None
+        pairs = ", ".join(
+            f"concat({_jsonify(args[i].strip())}, ':', "
+            f"{_jsonify(args[i + 1].strip())})"
+            for i in range(0, len(args), 2)
+        )
+        return f"concat('{{', concat_ws(',', {pairs}), '}}')"
+
+    def _fix_json_group_array(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return (
+            f"concat('[', concat_ws(',', "
+            f"collect_list({_jsonify(args[0].strip())})), ']')"
+        )
+
+    def _fix_json_group_object(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        k, v = args[0].strip(), args[1].strip()
+        return (
+            f"concat('{{', concat_ws(',', collect_list(concat("
+            f"{_jsonify(k)}, ':', {_jsonify(v)}))), '}}')"
+        )
+
+    def _fix_json_type(args: list[str]) -> str | None:
+        # 1-arg → the compat UDF; 2-arg extracts the path first (duck
+        # accepts bare keys, get_json_object needs the '$.' prefix)
+        if len(args) == 2:
+            return (
+                f"json_type(get_json_object({args[0].strip()}, "
+                f"{_json_path(args[1].strip())}))"
+            )
+        return None
+
+    def _fix_json_array_length2(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        return (
+            f"json_array_length(get_json_object({args[0].strip()}, "
+            f"{_json_path(args[1].strip())}))"
+        )
+
+    def _duck_structure_to_ddl(spec) -> str | None:
+        scalar = {
+            "UBIGINT": "BIGINT", "BIGINT": "BIGINT",
+            "UINTEGER": "BIGINT", "INTEGER": "INT",
+            "VARCHAR": "STRING", "DOUBLE": "DOUBLE",
+            "FLOAT": "FLOAT", "BOOLEAN": "BOOLEAN",
+            "HUGEINT": "DECIMAL(38,0)", "NULL": "STRING",
+            "JSON": "STRING",
+        }
+        if isinstance(spec, str):
+            return scalar.get(spec.upper())
+        if isinstance(spec, list) and len(spec) == 1:
+            inner = _duck_structure_to_ddl(spec[0])
+            return f"ARRAY<{inner}>" if inner else None
+        if isinstance(spec, dict):
+            fields = []
+            for k, v in spec.items():
+                inner = _duck_structure_to_ddl(v)
+                if inner is None:
+                    return None
+                fields.append(f"`{k}`: {inner}")
+            return "STRUCT<" + ", ".join(fields) + ">"
+        return None
+
+    def _fix_from_json_structure(args: list[str]) -> str | None:
+        # duck from_json/json_transform take a JSON type-structure
+        # literal; Spark's native from_json wants a DDL schema —
+        # convert literal structures at rewrite time, pass everything
+        # else through (a DDL string second arg is already Spark form)
+        if len(args) != 2:
+            return None
+        spec = args[1].strip()
+        if not (spec.startswith("'") and spec.endswith("'")):
+            return None
+        import json as _json
+
+        try:
+            parsed = _json.loads(spec[1:-1])
+        except ValueError:
+            return None
+        ddl = _duck_structure_to_ddl(parsed)
+        if ddl is None:
+            return None
+        return f"from_json({args[0].strip()}, '{ddl}')"
+
     def _fix_json_merge_variadic(args: list[str]) -> str | None:
         # DuckDB json_merge_patch is variadic; the compat UDF takes 2
         # args — fold left: (a,b,c) → jmp(jmp(a,b),c).  2-arg calls
@@ -3162,6 +3292,40 @@ def _rewrite_fn_compat2(sql: str) -> str:
         (
             re.compile(r"\bjson_merge_patch\s*\(", re.IGNORECASE),
             _fix_json_merge_variadic,
+        ),
+        (
+            re.compile(r"\bjson_quote\s*\(", re.IGNORECASE),
+            _fix_json_quote,
+        ),
+        (
+            re.compile(r"\bjson_array\s*\(", re.IGNORECASE),
+            _fix_json_array_ctor,
+        ),
+        (
+            re.compile(r"\bjson_object\s*\(", re.IGNORECASE),
+            _fix_json_object_ctor,
+        ),
+        (
+            re.compile(r"\bjson_group_array\s*\(", re.IGNORECASE),
+            _fix_json_group_array,
+        ),
+        (
+            re.compile(r"\bjson_group_object\s*\(", re.IGNORECASE),
+            _fix_json_group_object,
+        ),
+        (
+            re.compile(r"\bjson_type\s*\(", re.IGNORECASE),
+            _fix_json_type,
+        ),
+        (
+            re.compile(r"\bjson_array_length\s*\(", re.IGNORECASE),
+            _fix_json_array_length2,
+        ),
+        (
+            re.compile(
+                r"\b(?:from_json|json_transform)\s*\(", re.IGNORECASE
+            ),
+            _fix_from_json_structure,
         ),
         (
             re.compile(

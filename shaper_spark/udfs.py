@@ -295,6 +295,54 @@ def _unify_structure(a, b):
     return "JSON"
 
 
+def _json_type(j: str | None) -> str | None:
+    """DuckDB ``json_type``: the top-level JSON type name — OBJECT,
+    ARRAY, VARCHAR, UBIGINT/BIGINT (by sign), DOUBLE, BOOLEAN, NULL.
+    The 2-arg path form is rewritten to
+    ``json_type(get_json_object(…))`` before this runs (r11)."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        v = _json.loads(j)
+    except ValueError:
+        # a bare extracted string (get_json_object unquotes) — DuckDB
+        # would have typed the original scalar; treat as VARCHAR
+        return "VARCHAR"
+    if isinstance(v, dict):
+        return "OBJECT"
+    if isinstance(v, list):
+        return "ARRAY"
+    t = _json_type_of(v)
+    return t if isinstance(t, str) else "JSON"
+
+
+def _json_contains(h: str | None, n: str | None) -> bool | None:
+    """DuckDB ``json_contains(haystack, needle)``: structural
+    membership anywhere in the haystack (r11)."""
+    import json as _json
+
+    if h is None or n is None:
+        return None
+    try:
+        hay = _json.loads(h)
+        needle = _json.loads(n)
+    except ValueError:
+        return None
+
+    def walk(v) -> bool:
+        if v == needle:
+            return True
+        if isinstance(v, dict):
+            return any(walk(x) for x in v.values())
+        if isinstance(v, list):
+            return any(walk(x) for x in v)
+        return False
+
+    return walk(hay)
+
+
 def _json_structure(j: str | None) -> str | None:
     """DuckDB ``json_structure``: the value's shape with DuckDB type
     names in place of scalars — ``'{"a":1,"b":[1,2]}'`` →
@@ -330,6 +378,8 @@ _REGISTRY = [
     ("signbit", _signbit, "boolean"),
     ("json_merge_patch", _json_merge_patch, "string"),
     ("json_structure", _json_structure, "string"),
+    ("json_type", _json_type, "string"),
+    ("json_contains", _json_contains, "boolean"),
     ("chr", _chr_unicode, "string"),
     ("gcd", _gcd, "bigint"),
     ("lcm", _lcm, "bigint"),
