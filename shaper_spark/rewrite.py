@@ -324,7 +324,8 @@ _FN_RENAMES = {
     "json_extract_string": "get_json_object",
     "json_extract_path": "get_json_object",
     "json_extract_path_text": "get_json_object",
-    "len": "length",
+    # "len" is handled by _fix_len (polymorphic: size() for
+    # syntactically-array args, length() otherwise — r11 batch-18)
     "strftime": "date_format",  # format codes converted below
     "epoch_ms": "unix_millis",
     "epoch": "unix_timestamp",
@@ -342,6 +343,10 @@ _FN_RENAMES = {
     # documented divergence for combining sequences (r11 batch-16)
     "editdist3": "levenshtein",
     "substring_grapheme": "substring",
+    # r11 batch-18 aliases
+    "array_zip": "arrays_zip",
+    "list_pack": "array",
+    "array_cat": "concat",
     "list": "collect_list",
     "group_concat": "listagg",
     "string_agg": "listagg",
@@ -2790,6 +2795,69 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return "'$." + p[1:]
         return p
 
+    def _fix_list_resize(args: list[str]) -> str | None:
+        # duck list_resize(l, n[, fill]): truncate or pad; default pad
+        # is a typed NULL (try_element_at(l, 0) — index 0 is invalid,
+        # the try_ form yields NULL of the ELEMENT type)
+        if len(args) not in (2, 3):
+            return None
+        l, n = args[0].strip(), args[1].strip()
+        # default pad = a typed NULL: a never-taken CASE branch types
+        # the NULL as the element type (try_element_at(l, 0) raises —
+        # index 0 is invalid even in the try_ form)
+        fill = (
+            args[2].strip() if len(args) == 3
+            else f"CASE WHEN false THEN try_element_at({l}, 1) END"
+        )
+        return (
+            f"CASE WHEN size({l}) >= ({n}) THEN slice({l}, 1, {n}) "
+            f"ELSE concat({l}, transform(sequence(1, ({n}) - "
+            f"size({l})), __lr -> {fill})) END"
+        )
+
+    def _fix_pop_front(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        l = args[0].strip()
+        return f"slice({l}, 2, greatest(size({l}) - 1, 0))"
+
+    def _fix_pop_back(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        l = args[0].strip()
+        return f"slice({l}, 1, greatest(size({l}) - 1, 0))"
+
+    def _fix_list_any_value(args: list[str]) -> str | None:
+        # first non-NULL element (duck list_any_value); empty/all-NULL
+        # input → NULL via the try_ form
+        if len(args) != 1:
+            return None
+        return f"try_element_at(array_compact({args[0].strip()}), 1)"
+
+    _ARRAY_HEADS = re.compile(
+        r"\s*(\[|array\s*\(|array_|split\s*\(|sequence\s*\(|"
+        r"collect_list\s*\(|collect_set\s*\(|transform\s*\(|"
+        r"filter\s*\(|flatten\s*\(|slice\s*\(|map_keys\s*\(|"
+        r"map_values\s*\(|string_split|string_to_array|"
+        r"regexp_extract_all\s*\(|list_)",
+        re.IGNORECASE,
+    )
+
+    def _fix_len(args: list[str]) -> str | None:
+        # duck len() is polymorphic (strings AND lists); Spark splits
+        # it into length()/size() with no common spelling.  Textual
+        # heuristic: an argument that SYNTACTICALLY produces an array
+        # (list literal, array_*/split/sequence/transform/… head) →
+        # size(); anything else (columns included) → length().
+        # Documented limit: a list-typed COLUMN passed to len() still
+        # becomes length() — use array_length/size for those.
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        if _ARRAY_HEADS.match(e):
+            return f"size({e})"
+        return f"length({e})"
+
     def _fix_json_quote(args: list[str]) -> str | None:
         # duck json_quote: value → JSON text, SQL NULL → NULL (not
         # 'null' — unlike elements inside json_array)
@@ -3297,6 +3365,27 @@ def _rewrite_fn_compat2(sql: str) -> str:
             re.compile(r"\bjson_quote\s*\(", re.IGNORECASE),
             _fix_json_quote,
         ),
+        (
+            re.compile(r"\blist_resize\s*\(", re.IGNORECASE),
+            _fix_list_resize,
+        ),
+        (
+            re.compile(
+                r"\b(?:array|list)_pop_front\s*\(", re.IGNORECASE
+            ),
+            _fix_pop_front,
+        ),
+        (
+            re.compile(
+                r"\b(?:array|list)_pop_back\s*\(", re.IGNORECASE
+            ),
+            _fix_pop_back,
+        ),
+        (
+            re.compile(r"\blist_any_value\s*\(", re.IGNORECASE),
+            _fix_list_any_value,
+        ),
+        (re.compile(r"\blen\s*\(", re.IGNORECASE), _fix_len),
         (
             re.compile(r"\bjson_array\s*\(", re.IGNORECASE),
             _fix_json_array_ctor,

@@ -1492,3 +1492,45 @@ class TestBatch17Json:
             """SELECT json_transform(j, '{"a":"VARCHAR"}') FROM t"""
         )
         assert "from_json(j, 'STRUCT<`a`: STRING>')" in r.sql
+
+
+class TestBatch18Lists:
+    """r11 batch-18: list/map tail (22-form probe; map_keys/values,
+    cardinality, map_entries, element_at, struct_extract, flatten,
+    list_has_all, string_split_regex already matched; map value reprs
+    and arrays_zip field names are documented divergences)."""
+
+    def test_aliases(self):
+        r = rewrite_statement(
+            "SELECT array_zip(a, b), list_pack(1,2), array_cat(x, y)"
+            " FROM t"
+        )
+        assert "arrays_zip(a, b)" in r.sql
+        assert "array(1,2)" in r.sql
+        assert "concat(x, y)" in r.sql
+
+    def test_list_resize(self):
+        r = rewrite_statement("SELECT list_resize(l, 4, 9) FROM t")
+        assert "slice(l, 1, 4)" in r.sql and "sequence(1, (4) - size(l))" in r.sql
+        # 2-arg pads with a TYPED null (never-taken CASE branch)
+        r2 = rewrite_statement("SELECT list_resize(l, 4) FROM t")
+        assert "CASE WHEN false THEN try_element_at(l, 1) END" in r2.sql
+
+    def test_pop_front_back(self):
+        r = rewrite_statement(
+            "SELECT array_pop_front(l), list_pop_back(l) FROM t"
+        )
+        assert "slice(l, 2, greatest(size(l) - 1, 0))" in r.sql
+        assert "slice(l, 1, greatest(size(l) - 1, 0))" in r.sql
+
+    def test_list_any_value(self):
+        r = rewrite_statement("SELECT list_any_value(l) FROM t")
+        assert "try_element_at(array_compact(l), 1)" in r.sql
+
+    def test_len_polymorphic_heuristic(self):
+        # array-producing heads → size(); everything else → length()
+        r = rewrite_statement("SELECT len([1,2,3]), len(s) FROM t")
+        assert "size(array(1,2,3))" in r.sql
+        assert "length(s)" in r.sql
+        r2 = rewrite_statement("SELECT len(split(s, ',')) FROM t")
+        assert "size(split(s, ','))" in r2.sql
