@@ -4615,7 +4615,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     official greens EACH, the most-recorded entries in the window; the
     similarity family keeps ivf_topk/ivf_index_probe/minhash_est_error
     in-window and the dedup family keeps jaccard/minhash/apply/
-    clusters/incremental)."""
+    clusters/incremental).
+    Round 11: the two NEW operators ``dedup_containment_pairs``
+    (Broder containment — the truncation/extension dup family) and
+    ``pii_density_report`` (per-source PII density release gate)
+    enter the prefix immediately, displacing ``date_spine_fill`` and
+    ``canary_scan`` (2 official greens each; the dialect family keeps
+    ``cte_share_pct``/``asof_sql_syntax`` and the text-scan family
+    keeps ``bm25_relevance``/``boilerplate_grams`` in-window).  The
+    r11 diagnostic ``threshold_sweep_probe`` enters at the TAIL by
+    design (the r10 verdict prescribed it as a tail diagnostic, not a
+    window entry)."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -4666,12 +4676,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff_report": _q_corpus_diff,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
-        "date_spine_fill": _dialect(DATE_SPINE_DUCK),
+        # r11 NEW operators enter the official window per policy,
+        # displacing date_spine_fill / canary_scan (2 official greens
+        # each; the dialect and text-scan families keep hash-checked
+        # representatives in the prefix)
+        "dedup_containment_pairs": _q_containment,
         "psi_drift_matrix": _q_psi_matrix,
         "filter_threshold_sweep": _q_threshold_sweep,
         "boilerplate_grams": _q_boilerplate,
         "key_skew_report": _q_key_skew,
-        "canary_scan": _q_canary_scan,
+        "pii_density_report": _q_pii_density,
         "bm25_relevance": _q_bm25,
         "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
         "ivf_index_probe": _q_ivf_index_probe,
@@ -4758,8 +4772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
         "threshold_sweep_probe": _q_threshold_probe,
-        "dedup_containment_pairs": _q_containment,
-        "pii_density_report": _q_pii_density,
+        # rotated out of the window r11 (>=2 greens each)
+        "date_spine_fill": _dialect(DATE_SPINE_DUCK),
+        "canary_scan": _q_canary_scan,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;

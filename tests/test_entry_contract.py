@@ -46,10 +46,13 @@ def test_prefix_50_covers_the_diverse_surface():
         "dedup_sig_incremental", "semdedup_report", "source_kl_matrix",
         "embedding_outlier_report", "quality_lm_correlation",
         "corpus_diff_report", "dsir_weights", "dsir_select",
-        "date_spine_fill", "psi_drift_matrix", "filter_threshold_sweep",
-        "boilerplate_grams", "key_skew_report", "canary_scan",
+        "psi_drift_matrix", "filter_threshold_sweep",
+        "boilerplate_grams", "key_skew_report",
         "bm25_relevance", "asof_sql_syntax", "ivf_index_probe",
         "dataset_card",
+        # round-11 NEW operators (enter immediately per policy,
+        # displacing date_spine_fill / canary_scan, 2 greens each)
+        "dedup_containment_pairs", "pii_density_report",
         # perf-watch entries stay officially recorded while >2x
         "remove_dup_spans", "pipeline_stage_counts",
         # core families (one hash-checked representative each)
