@@ -285,7 +285,8 @@ _FN_RENAMES = {
     "list_filter": "filter",
     "list_sort": "array_sort",
     "list_append": "array_append",
-    "list_concat": "concat",
+    # list_concat/array_concat/array_cat: fixers (emit /*ARR*/-marked
+    # Spark array concat so the varchar concat NULL-skip pass skips them)
     "list_value": "array",
     "list_extract": "element_at",
     "array_extract": "element_at",
@@ -294,7 +295,6 @@ _FN_RENAMES = {
     "list_intersect": "array_intersect",
     "list_has_any": "arrays_overlap",
     "array_has_any": "arrays_overlap",
-    "array_concat": "concat",
     "strpos": "instr",
     "week": "weekofyear",
     "datetrunc": "date_trunc",
@@ -346,7 +346,6 @@ _FN_RENAMES = {
     # r11 batch-18 aliases
     "array_zip": "arrays_zip",
     "list_pack": "array",
-    "array_cat": "concat",
     "list": "collect_list",
     "group_concat": "listagg",
     "string_agg": "listagg",
@@ -364,6 +363,8 @@ _FN_RENAMES = {
     # is single-pass (the produced to_timestamp is not re-mapped) and
     # _convert_strftime_literals translates the %-codes afterwards.
     "strptime": "to_timestamp",
+    # NULL-on-failure variant (r11); %-codes convert the same way
+    "try_strptime": "try_to_timestamp",
     # scalar (list-returning) form; the FROM-position table form is
     # consumed earlier by _rewrite_series_tablefuncs. Both are
     # inclusive of the stop. Scalar range() is NOT renamed (exclusive
@@ -2811,7 +2812,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         )
         return (
             f"CASE WHEN size({l}) >= ({n}) THEN slice({l}, 1, {n}) "
-            f"ELSE concat({l}, transform(sequence(1, ({n}) - "
+            f"ELSE concat({l} /*ARR*/, transform(sequence(1, ({n}) - "
             f"size({l})), __lr -> {fill})) END"
         )
 
@@ -2857,6 +2858,40 @@ def _rewrite_fn_compat2(sql: str) -> str:
         if _ARRAY_HEADS.match(e):
             return f"size({e})"
         return f"length({e})"
+
+    def _fix_array_concat(args: list[str]) -> str | None:
+        # list_concat/array_concat/array_cat → Spark's array concat,
+        # /*ARR*/-marked so the varchar NULL-skip pass below leaves it
+        if not args or args[0].rstrip().endswith("/*ARR*/"):
+            return None
+        rest = ", ".join(a.strip() for a in args[1:])
+        return (
+            f"concat({args[0].strip()} /*ARR*/"
+            + (f", {rest}" if rest else "")
+            + ")"
+        )
+
+    def _fix_concat_nullskip(args: list[str]) -> str | None:
+        # DuckDB concat() is VARCHAR-only and SKIPS NULL arguments
+        # (concat('a', NULL) = 'a', lists stringify); Spark's concat
+        # NULL-propagates and doubles as array concat — silent wrong
+        # (r11 batch-19).  Args are cast to STRING and joined with
+        # concat_ws('') (which skips NULLs).  /*ARR*/-marked calls
+        # (our own array-concat emissions) and syntactically-array
+        # args stay native Spark array concat — DuckDB users
+        # concatenating list-PRODUCING expressions through concat()
+        # get Spark array semantics instead of DuckDB's stringify
+        # (documented).
+        if not args:
+            return None
+        if any("/*ARR*/" in a for a in args):
+            return None
+        if any(_ARRAY_HEADS.match(a.strip()) for a in args):
+            return None
+        casted = ", ".join(
+            f"CAST({a.strip()} AS STRING)" for a in args
+        )
+        return f"concat_ws('', {casted})"
 
     def _fix_json_quote(args: list[str]) -> str | None:
         # duck json_quote: value → JSON text, SQL NULL → NULL (not
@@ -3364,6 +3399,17 @@ def _rewrite_fn_compat2(sql: str) -> str:
         (
             re.compile(r"\bjson_quote\s*\(", re.IGNORECASE),
             _fix_json_quote,
+        ),
+        (
+            re.compile(
+                r"\b(?:list_concat|array_concat|array_cat)\s*\(",
+                re.IGNORECASE,
+            ),
+            _fix_array_concat,
+        ),
+        (
+            re.compile(r"\bconcat\s*\(", re.IGNORECASE),
+            _fix_concat_nullskip,
         ),
         (
             re.compile(r"\blist_resize\s*\(", re.IGNORECASE),

@@ -803,7 +803,7 @@ class TestFnCompat3:
         for frag in ("instr(s,'x')", "startswith(s,'a')", "endswith(s,'b')",
                      "startswith(s,'a')", "endswith(s,'b')",
                      "array_intersect(l, m)", "arrays_overlap(l, m)",
-                     "concat(l, m)", "uuid()"):
+                     "concat(l /*ARR*/, m)", "uuid()"):
             assert frag in r, frag
 
     def test_day_month_names(self):
@@ -1507,7 +1507,7 @@ class TestBatch18Lists:
         )
         assert "arrays_zip(a, b)" in r.sql
         assert "array(1,2)" in r.sql
-        assert "concat(x, y)" in r.sql
+        assert "concat(x /*ARR*/, y)" in r.sql  # marked: skips the varchar NULL-skip pass
 
     def test_list_resize(self):
         r = rewrite_statement("SELECT list_resize(l, 4, 9) FROM t")
@@ -1534,3 +1534,27 @@ class TestBatch18Lists:
         assert "length(s)" in r.sql
         r2 = rewrite_statement("SELECT len(split(s, ',')) FROM t")
         assert "size(split(s, ','))" in r2.sql
+
+
+class TestConcatNullSkip:
+    """r11 batch-19: DuckDB concat() is varchar-only and SKIPS NULL
+    arguments; Spark's NULL-propagates (and doubles as array concat) —
+    silent wrong answer (differential-verified, 12-case probe)."""
+
+    def test_varchar_concat_becomes_concat_ws(self):
+        r = rewrite_statement("SELECT concat(a, NULL, b) FROM t")
+        assert "concat_ws('', CAST(a AS STRING), CAST(NULL AS STRING), " in r.sql
+
+    def test_array_concat_functions_stay_arrays(self):
+        r = rewrite_statement("SELECT list_concat(l, m) FROM t")
+        assert "concat(l /*ARR*/, m)" in r.sql
+        # and the marked call is NOT re-written to concat_ws
+        assert "concat_ws" not in r.sql
+
+    def test_array_producing_args_stay_native(self):
+        r = rewrite_statement("SELECT concat(split(s, ','), l) FROM t")
+        assert "concat_ws" not in r.sql
+
+    def test_try_strptime(self):
+        r = rewrite_statement("SELECT try_strptime(s, '%Y-%m-%d') FROM t")
+        assert "try_to_timestamp(s, 'yyyy-MM-dd')" in r.sql
