@@ -358,6 +358,7 @@ _FN_RENAMES = {
     "array_length": "size",
     "list_count": "size",
     "string_split_regex": "split",
+    "str_split_regex": "split",
     "regexp_split_to_array": "split",
     # strptime(str, '%Y-…') → to_timestamp(str, 'yyyy-…'): the rename
     # is single-pass (the produced to_timestamp is not re-mapped) and
@@ -1167,7 +1168,7 @@ def _rewrite_similar_to(sql: str) -> str:
 
 
 _AGG_ORDER_RE = re.compile(
-    r"\b(string_agg|listagg|array_agg|list|first|last)\s*\(",
+    r"\b(string_agg|listagg|array_agg|list|first|last|any_value)\s*\(",
     re.IGNORECASE
 )
 
@@ -1222,7 +1223,7 @@ def _rewrite_agg_order_by(sql: str) -> str:
             repl = (
                 f"listagg({head}) WITHIN GROUP (ORDER BY {order})"
             )
-        elif fn in ("first", "last"):
+        elif fn in ("first", "last", "any_value"):
             # first(x ORDER BY k) = the x at the minimum k → min_by;
             # last = max_by; DESC flips.  r11 (ADVICE): NULLS
             # FIRST/LAST modifiers are stripped (min_by/max_by skip
@@ -1260,6 +1261,13 @@ def _rewrite_agg_order_by(sql: str) -> str:
             pick = (
                 "max_by" if (fn == "last") != desc else "min_by"
             )
+            if fn == "any_value":
+                # duck ordered any_value = first NON-NULL in order:
+                # NULLing the key on NULL values makes min_by/max_by
+                # skip those rows (they ignore NULL keys) — r11
+                key = (
+                    f"CASE WHEN ({head}) IS NOT NULL THEN {key} END"
+                )
             repl = f"{pick}({head}, {key})"
         else:
             direction = ""
@@ -1770,6 +1778,19 @@ def _rewrite_date_minus(sql: str) -> str:
             + sql[m.end() :]
         )
 
+
+# r11 batch-20 statement edges
+_LIMIT_PERCENT_RE = re.compile(
+    r"\bLIMIT\s+\d+(?:\.\d+)?\s*%", re.IGNORECASE
+)
+# duck 'GROUP BY ()' = grand total; Spark rejects the empty list
+_GROUP_BY_EMPTY_RE = re.compile(
+    r"\bGROUP\s+BY\s*\(\s*\)", re.IGNORECASE
+)
+# duck typed literal 'BOOLEAN <str>'; Spark has no BOOLEAN literal form
+_BOOLEAN_LITERAL_RE = re.compile(
+    r"\bBOOLEAN\s+'([^']*)'", re.IGNORECASE
+)
 
 _DISTINCT_ON_RE = re.compile(r"\bDISTINCT\s+ON\s*\(", re.IGNORECASE)
 
@@ -4159,6 +4180,26 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # DuckDB operator spellings: ^/** power, / % // try-variants,
     # ~ / !~ regex match, -> / ->> JSON extraction.
     sql = _rewrite_in_values(sql)
+    # r11 batch-20 statement edges — BEFORE the operator pass ('%'
+    # after a LIMIT count would otherwise be read as modulo):
+    states = _scan_states(sql)
+    for m in _LIMIT_PERCENT_RE.finditer(sql):
+        if states[m.start()] == 0:
+            raise ValueError(
+                "LIMIT n% (percentage limit) needs a computed row "
+                "count; use USING SAMPLE n% / TABLESAMPLE (n PERCENT) "
+                "or an explicit LIMIT"
+            )
+    sql = _GROUP_BY_EMPTY_RE.sub(
+        lambda m: m.group(0) if states[m.start()] != 0 else " ", sql
+    )
+    states = _scan_states(sql)
+    sql = _BOOLEAN_LITERAL_RE.sub(
+        lambda m: m.group(0)
+        if states[m.start()] != 0
+        else f"CAST('{m.group(1)}' AS BOOLEAN)",
+        sql,
+    )
     sql = _rewrite_date_minus(sql)
     sql = _rewrite_duck_operators(sql)
 

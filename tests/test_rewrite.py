@@ -1558,3 +1558,36 @@ class TestConcatNullSkip:
     def test_try_strptime(self):
         r = rewrite_statement("SELECT try_strptime(s, '%Y-%m-%d') FROM t")
         assert "try_to_timestamp(s, 'yyyy-MM-dd')" in r.sql
+
+
+class TestBatch20Statements:
+    """r11 batch-20: statement edges (20-form probe; ORDER BY ALL
+    DESC, GROUPING SETS, ILIKE, LIKE ESCAPE, ucase/lcase, prefix/
+    suffix already matched)."""
+
+    def test_group_by_empty_is_grand_total(self):
+        r = rewrite_statement("SELECT count(*) FROM t GROUP BY ()")
+        assert "GROUP BY" not in r.sql.upper()
+
+    def test_boolean_typed_literal(self):
+        r = rewrite_statement("SELECT BOOLEAN '1', BOOLEAN 'false'")
+        assert "CAST('1' AS BOOLEAN)" in r.sql
+        assert "CAST('false' AS BOOLEAN)" in r.sql
+
+    def test_limit_percent_named_error(self):
+        import pytest as _p
+
+        with _p.raises(ValueError, match="LIMIT n%"):
+            rewrite_statement("SELECT i FROM t LIMIT 50%")
+
+    def test_str_split_regex_alias(self):
+        r = rewrite_statement("SELECT str_split_regex(s, '[0-9]') FROM t")
+        assert "split(s, '[0-9]')" in r.sql
+
+    def test_any_value_order_by_skips_nulls(self):
+        r = rewrite_statement(
+            "SELECT any_value(s ORDER BY k DESC) FROM t"
+        )
+        # first NON-NULL in order: NULL values NULL the ordering key
+        # so max_by skips them
+        assert "max_by(s, CASE WHEN (s) IS NOT NULL THEN k END)" in r.sql
