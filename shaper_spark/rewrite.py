@@ -346,6 +346,12 @@ _FN_RENAMES = {
     # r11 batch-18 aliases
     "array_zip": "arrays_zip",
     "list_pack": "array",
+    # r11 batch-21 aliases (grapheme forms: cluster==char for
+    # precomposed text, documented like substring_grapheme)
+    "right_grapheme": "right",
+    "left_grapheme": "left",
+    "least_common_multiple": "lcm",
+    "greatest_common_divisor": "gcd",
     "list": "collect_list",
     "group_concat": "listagg",
     "string_agg": "listagg",
@@ -1635,6 +1641,35 @@ _STARTS_WITH_OP_RE = re.compile(r"\^@")
 # string literal to avoid the unary bitwise form)
 _TILDE_RE = re.compile(r"(!?)~(?![~*])")
 _JSON_ARROW_RE = re.compile(r"->(>?)")
+_GLOB_RE = re.compile(r"\bGLOB\b", re.IGNORECASE)
+
+
+def _glob_to_regex(pat: str) -> str:
+    """GLOB wildcard pattern → anchored regex: ``*`` → ``.*``, ``?``
+    → ``.``, ``[...]`` classes pass through, other specials escape.
+    Emitted with SINGLE backslashes — the literal-backslash pass at
+    the end of rewrite_statement doubles them for Spark."""
+    out = []
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = pat.find("]", i + 1)
+            if j == -1:
+                out.append("\\[")
+            else:
+                out.append(pat[i : j + 1])
+                i = j
+        elif c in ".^$+(){}|\\":
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "^" + "".join(out) + "$"
 _INT_DIV_RE = re.compile(r"(?<![/*])//(?![/*])")
 # a single '/' that is not part of '//' or a comment delimiter
 _SLASH_RE = re.compile(r"(?<![/*])/(?![/*=])")
@@ -1713,6 +1748,16 @@ def _rewrite_duck_operators(sql: str) -> str:
         sql,
         _TILDE_RE,
         lambda l, r, m: f"{l} {'NOT ' if m.group(1) else ''}RLIKE {r}",
+        rhs_string_only=True,
+    )
+    # s GLOB 'pat' (literal pattern): * → .*, ? → ., [...] classes
+    # kept, everything else regex-escaped, anchored (r11 batch-21)
+    sql = _rewrite_binary_op(
+        sql,
+        _GLOB_RE,
+        lambda l, r, m: (
+            f"{l} RLIKE '{_glob_to_regex(r[1:-1])}'"
+        ),
         rhs_string_only=True,
     )
     # a // b: DuckDB (1.0) TRUNCATES like DIV but returns NULL on a
@@ -2880,6 +2925,28 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return f"size({e})"
         return f"length({e})"
 
+    def _fix_regexp_full_match(args: list[str]) -> str | None:
+        # duck regexp_full_match = anchored match of the WHOLE string
+        if len(args) != 2:
+            return None
+        s, p = args[0].strip(), args[1].strip()
+        return f"({s} RLIKE ('^(?:' || ({p}) || ')$'))"
+
+    def _mk_like_escape(op: str, neg: bool):
+        # duck like_escape/ilike_escape/not_*_escape scalar forms →
+        # the LIKE … ESCAPE clause (ILIKE via lower() on both sides —
+        # the escape char is a symbol, unaffected)
+        def fix(args: list[str]) -> str | None:
+            if len(args) != 3:
+                return None
+            s, p, e = (a.strip() for a in args)
+            if op == "ilike":
+                s, p = f"lower({s})", f"lower({p})"
+            n = "NOT " if neg else ""
+            return f"({s} {n}LIKE {p} ESCAPE {e})"
+
+        return fix
+
     def _fix_array_concat(args: list[str]) -> str | None:
         # list_concat/array_concat/array_cat → Spark's array concat,
         # /*ARR*/-marked so the varchar NULL-skip pass below leaves it
@@ -3427,6 +3494,26 @@ def _rewrite_fn_compat2(sql: str) -> str:
                 re.IGNORECASE,
             ),
             _fix_array_concat,
+        ),
+        (
+            re.compile(r"\bregexp_full_match\s*\(", re.IGNORECASE),
+            _fix_regexp_full_match,
+        ),
+        (
+            re.compile(r"\blike_escape\s*\(", re.IGNORECASE),
+            _mk_like_escape("like", neg=False),
+        ),
+        (
+            re.compile(r"\bilike_escape\s*\(", re.IGNORECASE),
+            _mk_like_escape("ilike", neg=False),
+        ),
+        (
+            re.compile(r"\bnot_like_escape\s*\(", re.IGNORECASE),
+            _mk_like_escape("like", neg=True),
+        ),
+        (
+            re.compile(r"\bnot_ilike_escape\s*\(", re.IGNORECASE),
+            _mk_like_escape("ilike", neg=True),
         ),
         (
             re.compile(r"\bconcat\s*\(", re.IGNORECASE),

@@ -184,6 +184,17 @@ def _signbit(x: float | None) -> bool | None:
     return math.copysign(1.0, x) < 0
 
 
+def _regexp_escape(s: str | None) -> str | None:
+    """DuckDB regexp_escape = RE2 QuoteMeta: escape every char except
+    [A-Za-z0-9_] — exactly Python's re.escape (differential-verified
+    incl. space, '-', '#', '$' and backslash doubling, r11)."""
+    if s is None:
+        return None
+    import re as _re
+
+    return _re.escape(s)
+
+
 def _chr_unicode(n: int | None) -> str | None:
     """DuckDB chr() takes any Unicode codepoint; Spark's builtin chr
     wraps at 256 (chr(9731) = '\\x03' — silent wrong, r11 batch-16).
@@ -380,6 +391,7 @@ _REGISTRY = [
     ("json_structure", _json_structure, "string"),
     ("json_type", _json_type, "string"),
     ("json_contains", _json_contains, "boolean"),
+    ("regexp_escape", _regexp_escape, "string"),
     ("chr", _chr_unicode, "string"),
     ("gcd", _gcd, "bigint"),
     ("lcm", _lcm, "bigint"),

@@ -1591,3 +1591,36 @@ class TestBatch20Statements:
         # first NON-NULL in order: NULL values NULL the ordering key
         # so max_by skips them
         assert "max_by(s, CASE WHEN (s) IS NOT NULL THEN k END)" in r.sql
+
+
+class TestBatch21Regex:
+    """r11 batch-21: regex/pattern tail (22-form probe; bitwise
+    <</>>/&/|, xor(), ~, bin, hex/unhex, factorial, sha2 family,
+    to_hex(-1) already matched)."""
+
+    def test_regexp_full_match_anchors(self):
+        r = rewrite_statement("SELECT regexp_full_match(s, p) FROM t")
+        assert "RLIKE ('^(?:' || (p) || ')$')" in r.sql
+
+    def test_glob_literal_translation(self):
+        r = rewrite_statement("SELECT s GLOB 'a*.[ch]?' FROM t")
+        # the end-of-rewrite literal pass doubles the backslash for
+        # Spark's escaped-string parser (literal regex '\.')
+        assert r.sql == r"SELECT s RLIKE '^a.*\\.[ch].$' FROM t"
+
+    def test_like_escape_family(self):
+        r = rewrite_statement("SELECT like_escape(s, p, '$') FROM t")
+        assert "(s LIKE p ESCAPE '$')" in r.sql
+        r2 = rewrite_statement("SELECT ilike_escape(s, p, '$') FROM t")
+        assert "(lower(s) LIKE lower(p) ESCAPE '$')" in r2.sql
+        r3 = rewrite_statement(
+            "SELECT not_like_escape(s, p, '$') FROM t"
+        )
+        assert "NOT LIKE" in r3.sql
+
+    def test_grapheme_and_gcd_aliases(self):
+        r = rewrite_statement(
+            "SELECT right_grapheme(s, 2), least_common_multiple(a, b),"
+            " greatest_common_divisor(a, b) FROM t"
+        )
+        assert "lcm(a, b)" in r.sql and "gcd(a, b)" in r.sql
