@@ -288,10 +288,10 @@ _FN_RENAMES = {
     # list_concat/array_concat/array_cat: fixers (emit /*ARR*/-marked
     # Spark array concat so the varchar concat NULL-skip pass skips them)
     "list_value": "array",
-    "list_extract": "element_at",
-    "array_extract": "element_at",
-    "list_contains": "array_contains",
-    "list_has": "array_contains",
+    # OOB index → NULL like DuckDB (element_at raises; r11 batch-22)
+    "list_extract": "try_element_at",
+    "array_extract": "try_element_at",
+    # list_contains/list_has: fixer (NULL-handling parity, batch-22)
     "list_intersect": "array_intersect",
     "list_has_any": "arrays_overlap",
     "array_has_any": "arrays_overlap",
@@ -305,9 +305,8 @@ _FN_RENAMES = {
     "row": "struct",
     "epoch_us": "unix_micros",
     "to_hex": "hex",
-    "list_element": "element_at",
-    "favg": "avg",
-    "fsum": "sum",
+    "list_element": "try_element_at",
+    # favg/fsum: fixers (DOUBLE result like DuckDB's Kahan forms)
     "json_keys": "json_object_keys",
     "starts_with": "startswith",
     "ends_with": "endswith",
@@ -332,7 +331,6 @@ _FN_RENAMES = {
     "today": "current_date",
     "datepart": "date_part",
     "array_to_string": "array_join",
-    "list_contains": "array_contains",
     "regexp_matches": "rlike",
     "json_extract_string": "get_json_object",
     "to_timestamp": "timestamp_seconds",
@@ -429,25 +427,74 @@ def _convert_strftime_literals(sql: str) -> str:
     return "".join(out)
 
 
-def _drop_regexp_replace_gflag(sql: str) -> str:
-    """DuckDB ``regexp_replace(x, p, r, 'g')`` replaces all matches; Spark
-    always does and takes no flag — drop it."""
-    states = _scan_states(sql)
-    out = []
-    last = 0
-    for m in _REGEXP_REPLACE_CALL_RE.finditer(sql):
-        if states[m.start()] != 0 or m.start() < last:
-            continue
-        close = _find_matching_close(sql, m.end() - 1, states)
-        if close == -1:
-            continue
-        args = _split_top_level_args(sql[m.end() : close])
-        if len(args) == 4 and args[3].strip().lower() in ("'g'", "'gi'", "'ig'"):
-            out.append(sql[last : m.end()])
-            out.append(", ".join(args[:3]))
-            last = close
-    out.append(sql[last:])
-    return "".join(out)
+def _fix_regexp_replace_semantics(sql: str) -> str:
+    """DuckDB ``regexp_replace`` replaces only the FIRST match unless the
+    ``'g'`` flag is given; Spark always replaces all (batch-22 — silent
+    wrong answers for plain 3-arg calls).
+
+    * 4-arg with a flags literal containing ``g`` → plain Spark
+      ``regexp_replace`` (all matches); an ``i`` flag becomes a ``(?i)``
+      prefix on the pattern (``c`` = case-sensitive default is dropped).
+    * 3-arg (or 4-arg without ``g``) → first-match-only splice:
+      replace inside the prefix of ``s`` ending at the first match's end
+      (which contains exactly one match), concat the untouched tail.
+      Backreferences in the replacement survive because the real
+      ``regexp_replace`` still performs the substitution.  The source
+      expression is repeated 5×, so deeply nested non-g calls grow the
+      text multiplicatively — correct, and bounded in practice.
+    * Unknown flag letters or a non-literal flags argument: left
+      untouched (Spark's 4th arg is a position integer — a loud type
+      error, not a silent divergence)."""
+    guard = 0
+    while guard < 512:
+        guard += 1
+        states = _scan_states(sql)
+        hit = None
+        for m in _REGEXP_REPLACE_CALL_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            close = _find_matching_close(sql, m.end() - 1, states)
+            if close == -1:
+                continue
+            args = _split_top_level_args(sql[m.end() : close])
+            if args and args[0].rstrip().endswith("/*RR*/"):
+                continue
+            if len(args) == 3:
+                flags = ""
+            elif len(args) == 4:
+                f4 = args[3].strip()
+                if not (
+                    f4.startswith("'")
+                    and f4.endswith("'")
+                    and set(f4[1:-1].lower()) <= set("gic")
+                ):
+                    continue
+                flags = f4[1:-1].lower()
+            else:
+                continue
+            hit = (m, close, args, flags)
+            break
+        if hit is None:
+            break
+        m, close, args, flags = hit
+        s = args[0].strip()
+        p = args[1].strip()
+        r = args[2].strip()
+        if "i" in flags:
+            p = f"concat('(?i)', {p})"
+        if "g" in flags:
+            new = f"regexp_replace({s} /*RR*/, {p}, {r})"
+        else:
+            first = f"regexp_instr({s}, {p})"
+            end = f"({first} + length(regexp_extract({s}, {p}, 0)))"
+            new = (
+                f"(CASE WHEN {first} = 0 THEN {s} "
+                f"ELSE concat(regexp_replace("
+                f"substr({s}, 1, {end} - 1) /*RR*/, {p}, {r}), "
+                f"substr({s}, {end})) END)"
+            )
+        sql = sql[: m.start()] + new + sql[close + 1 :]
+    return sql.replace(" /*RR*/", "")
 
 _COUNT_EMPTY_RE = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 # DuckDB's query_table('t') TVF (used by the reference's ingest path,
@@ -579,6 +626,144 @@ def _rename_ddl_types(sql: str) -> str:
             sql = sql[: open_pos + 1] + new_span + sql[close:]
             states = _scan_states(sql)
     return sql
+
+
+# Integer-family cast targets (DuckDB + Spark spellings).  DuckDB
+# casts non-integer numerics to integers by ROUNDING (half away from
+# zero for DECIMAL/VARCHAR, half-even for DOUBLE); Spark TRUNCATES —
+# CAST(2.7 AS INT) is 3 vs 2, a silent wrong answer (batch-22).  A
+# DECIMAL(38,0) intermediate gives Spark HALF_UP rounding with exact
+# 64-bit arithmetic preserved (doubles' half-even ties documented).
+# (HUGEINT is absent: its rename target DECIMAL(38,0) already rounds)
+_INT_CAST_TARGETS = (
+    "TINYINT|SMALLINT|INTEGER|BIGINT|SIGNED|"
+    "INT1|INT2|INT4|INT8|INT|SHORT|LONG|BYTE"
+)
+_INT_CAST_AS_RE = re.compile(
+    r"\s+AS\s+(" + _INT_CAST_TARGETS + r")\s*$", re.IGNORECASE
+)
+_INT_COLONCOLON_RE = re.compile(
+    r"::\s*(" + _INT_CAST_TARGETS + r")\b(?!\s*[\[(])", re.IGNORECASE
+)
+# operand heads that already produce integers (or integral doubles) —
+# wrapping would only add per-row DECIMAL cost in hot paths
+_INT_SAFE_HEAD_RE = re.compile(
+    r"^\s*\(*\s*(?:-?\d+\s*\)*\s*$|(?:round|floor|ceil|ceiling|trunc|"
+    r"year|month|day|hour|minute|second|quarter|dayofweek|dayofmonth|"
+    r"dayofyear|weekday|weekofyear|datediff|date_diff|length|size|"
+    r"char_length|octet_length|instr|strpos|position|levenshtein|"
+    r"unix_micros|unix_millis|unix_seconds|unix_timestamp|xxhash64|"
+    r"count|row_number|rank|dense_rank|ntile|ascii|bit_count|"
+    r"array_position|greatest|least|if|coalesce|ifnull|nullif|abs)"
+    r"\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _round_int_casts(sql: str) -> str:
+    """Wrap integer-target casts in a rounding DECIMAL(38,0) step so
+    fractional inputs round like DuckDB instead of truncating.  Casts
+    whose operand head provably yields integers are left bare (exact
+    and cheaper); greatest/least/if/coalesce heads are conservative
+    skips — their arguments were already DuckDB-cast-shaped upstream."""
+    guard = 0
+    while guard < 256:
+        guard += 1
+        states = _scan_states(sql)
+        hit = None
+        for m in _CAST_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            close = _find_matching_close(sql, m.end() - 1, states)
+            if close == -1:
+                continue
+            inner = sql[m.end() : close]
+            am = _INT_CAST_AS_RE.search(inner)
+            if am is None:
+                continue
+            operand = inner[: am.start()]
+            if "/*RI*/" in operand or _INT_SAFE_HEAD_RE.match(operand):
+                continue
+            kw = m.group(1).upper()
+            hit = (m.start(), close, kw, operand.strip(), am.group(1))
+            break
+        if hit is None:
+            break
+        start, close, kw, operand, target = hit
+        inner_kw = "TRY_CAST" if kw == "TRY_CAST" else "CAST"
+        sql = (
+            sql[:start]
+            + f"{kw}({inner_kw}(({operand}) /*RI*/ AS DECIMAL(38,0)) "
+            + f"AS {target})"
+            + sql[close + 1 :]
+        )
+    # '::INT' postfix form: capture the left primary (quoted literal or
+    # expression) exactly like the binary-operator pass does
+    guard = 0
+    while guard < 256:
+        guard += 1
+        states = _scan_states(sql)
+        hit = None
+        for m in _INT_COLONCOLON_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            k = m.start() - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k < 0:
+                continue
+            if sql[k] == "'" and states[k] == 1:
+                j = k - 1
+                while j >= 0 and not (
+                    states[j] == 1
+                    and sql[j] == "'"
+                    and (j == 0 or states[j - 1] != 1)
+                ):
+                    j -= 1
+                lstart = j
+            else:
+                lstart = _expr_start(sql, states, k + 1)
+            operand = sql[lstart : m.start()].strip()
+            if (
+                not operand
+                or "/*RI*/" in operand
+                or _INT_SAFE_HEAD_RE.match(operand)
+                or operand.upper() in _SQL_KEYWORD_TAIL
+            ):
+                continue
+            hit = (lstart, m.end(), operand, m.group(1))
+            break
+        if hit is None:
+            break
+        lstart, mend, operand, target = hit
+        sql = (
+            sql[:lstart]
+            + f"CAST(CAST(({operand}) /*RI*/ AS DECIMAL(38,0)) "
+            + f"AS {target})"
+            + sql[mend:]
+        )
+    return sql.replace(" /*RI*/", "")
+
+
+_LOOSE_DATE_LIT_RE = re.compile(
+    r"'(\d{4})/(\d{1,2})/(\d{1,2})'"
+    r"(?=\s*::\s*(?:DATE|TIMESTAMP)\b|\s+AS\s+(?:DATE|TIMESTAMP)\b)",
+    re.IGNORECASE,
+)
+
+
+def _normalize_loose_date_literals(sql: str) -> str:
+    """DuckDB's DATE parser accepts '/' separators ('2024/01/02');
+    Spark's is strict — normalize slash-dated literals that are being
+    cast to DATE/TIMESTAMP (literal forms only; batch-22)."""
+    states = _scan_states(sql)
+    return _LOOSE_DATE_LIT_RE.sub(
+        lambda m: m.group(0)
+        if states[m.start()] not in (0, 1)
+        else "'%s-%02d-%02d'"
+        % (m.group(1), int(m.group(2)), int(m.group(3))),
+        sql,
+    )
 
 
 def _rename_types(sql: str) -> str:
@@ -1009,9 +1194,9 @@ def _rewrite_subscripts(sql: str) -> str:
                 and base[-1] not in ")]`\""
             ):
                 continue
-            # find the matching ']' and any top-level ':'
+            # find the matching ']' and any top-level ':'s
             depth = 0
-            colon = None
+            colons: list[int] = []
             end = None
             for j in range(i, len(sql)):
                 if states[j] != 0:
@@ -1027,7 +1212,8 @@ def _rewrite_subscripts(sql: str) -> str:
                 elif cj == ":" and depth == 1:
                     if j + 1 < len(sql) and sql[j + 1] == ":":
                         break  # '::' cast inside — leave this bracket
-                    colon = j
+                    colons.append(j)
+            colon = colons[0] if len(colons) == 1 else None
             if end is None:
                 continue
             content = sql[i + 1 : end]
@@ -1036,6 +1222,23 @@ def _rewrite_subscripts(sql: str) -> str:
             stripped = content.strip()
             if stripped.startswith("'"):
                 continue  # string subscript: Spark brackets already match
+            if len(colons) == 2:
+                # stepped slice l[a:b:s] (batch-22): positive literal
+                # steps lower onto the 4-arg list_slice fixer; open
+                # ends default to 1 / size(base)
+                lo = sql[i + 1 : colons[0]].strip()
+                hi = sql[colons[0] + 1 : colons[1]].strip()
+                st = sql[colons[1] + 1 : end].strip()
+                if (
+                    (lo and not _INT_LIT_RE.match(lo))
+                    or (hi and not _INT_LIT_RE.match(hi))
+                    or not re.fullmatch(r"\d+", st)
+                ):
+                    continue
+                lo = lo or "1"
+                hi = hi or f"size({base})"
+                target = (start, i, end, "lslice", lo, (hi, st), base)
+                break
             if colon is not None:
                 lo = sql[i + 1 : colon].strip()
                 hi = sql[colon + 1 : end].strip()
@@ -1054,6 +1257,8 @@ def _rewrite_subscripts(sql: str) -> str:
         start, i, end, kind, a, b, base = target
         if kind == "idx":
             repl = f"try_element_at({base}, {a})"
+        elif kind == "lslice":
+            repl = f"list_slice({base}, {a}, {b[0]}, {b[1]})"
         elif not a:  # [:b]
             repl = f"slice({base}, 1, {b})"
         elif not b:  # [a:]
@@ -2410,9 +2615,30 @@ def _fix_date_add(args: list[str]) -> str | None:
 
 
 def _fix_regexp_extract(args: list[str]) -> str | None:
-    if len(args) != 2:
-        return None
-    return f"regexp_extract({args[0].strip()}, {args[1].strip()}, 0)"
+    if len(args) == 2:
+        return f"regexp_extract({args[0].strip()}, {args[1].strip()}, 0)"
+    if len(args) == 3:
+        # name-list form (batch-22): regexp_extract(s, p, ['a','b'])
+        # → STRUCT with one field per capture group
+        am = re.match(
+            r"^(?:\[|array\s*\()(.*?)[\])]$",
+            args[2].strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am is None:
+            return None
+        names = [n.strip() for n in _split_top_level_args(am.group(1))]
+        if not names or not all(
+            n.startswith("'") and n.endswith("'") for n in names
+        ):
+            return None
+        s, p = args[0].strip(), args[1].strip()
+        fields = ", ".join(
+            f"{n}, regexp_extract({s}, {p}, {i + 1})"
+            for i, n in enumerate(names)
+        )
+        return f"named_struct({fields})"
+    return None
 
 
 _INTERVAL_LIT_RE = re.compile(
@@ -2431,7 +2657,9 @@ _TIME_BUCKET_ORIGIN = 946857600
 
 
 _EXTRACT_COMPAT_RE = re.compile(
-    r"\bextract\s*\(\s*(epoch|dow|isodow)\s+FROM\b", re.IGNORECASE
+    r"\bextract\s*\(\s*(epoch|dow|isodow|microseconds|milliseconds"
+    r"|decade|century|millennium)\s+FROM\b",
+    re.IGNORECASE,
 )
 
 
@@ -2511,6 +2739,109 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f"regexp_extract_all({args[0].strip()}, {args[1].strip()}, 0)"
         )
 
+    # ---- batch-22 fixers (r11 third probe, 212 cases) ----
+
+    def _fix_log(args: list[str]) -> str | None:
+        # DuckDB's 1-arg log() is LOG BASE 10; Spark's is ln —
+        # a silent numeric wrong answer.  2-arg log(b, x) agrees.
+        if len(args) != 1:
+            return None
+        return f"log10({args[0].strip()})"
+
+    def _fix_list_contains(args: list[str]) -> str | None:
+        # DuckDB: FALSE when absent even if the list has NULLs (Spark's
+        # array_contains yields NULL there); NULL when either the list
+        # or the needle is NULL.
+        if len(args) != 2:
+            return None
+        l, v = args[0].strip(), args[1].strip()
+        return (
+            f"(CASE WHEN ({l}) IS NULL OR ({v}) IS NULL THEN "
+            f"CAST(NULL AS BOOLEAN) "
+            f"ELSE coalesce(array_contains({l}, {v}), false) END)"
+        )
+
+    def _fix_sha256(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"sha2({args[0].strip()}, 256)"
+
+    def _fix_favg(args: list[str]) -> str | None:
+        # Kahan-compensated forms return DOUBLE in DuckDB regardless of
+        # input type (avg over DECIMAL stays DECIMAL in Spark)
+        if len(args) != 1:
+            return None
+        return f"avg(CAST({args[0].strip()} AS DOUBLE))"
+
+    def _fix_fsum(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"sum(CAST({args[0].strip()} AS DOUBLE))"
+
+    def _fix_kurtosis_pop(args: list[str]) -> str | None:
+        # DuckDB kurtosis_pop = population excess kurtosis = Spark's
+        # kurtosis exactly (the /*G2*/ tag stops the sample-correction
+        # fixer from re-correcting it)
+        if len(args) != 1 or args[0].rstrip().endswith("/*G2*/"):
+            return None
+        return f"kurtosis({args[0].strip()} /*G2*/)"
+
+    def _fix_timezone_fn(args: list[str]) -> str | None:
+        # timezone(tz, ts): interpret the naive ts in tz, render in the
+        # session zone (UTC) — to_utc_timestamp semantics
+        if len(args) != 2:
+            return None
+        return (
+            f"to_utc_timestamp({args[1].strip()}, {args[0].strip()})"
+        )
+
+    def _fix_epoch_ms_poly(args: list[str]) -> str | None:
+        # epoch_ms is overloaded: BIGINT → TIMESTAMP, TIMESTAMP →
+        # BIGINT ms.  Integer literals dispatch statically; everything
+        # else falls through to the unix_millis rename.
+        if len(args) == 1 and re.fullmatch(r"-?\d+", args[0].strip()):
+            return f"timestamp_millis({args[0].strip()})"
+        return None
+
+    def _fix_epoch_us_poly(args: list[str]) -> str | None:
+        if len(args) == 1 and re.fullmatch(r"-?\d+", args[0].strip()):
+            return f"timestamp_micros({args[0].strip()})"
+        return None
+
+    def _fix_hash_fn(args: list[str]) -> str | None:
+        # DuckDB hash() returns UBIGINT (non-negative); Spark's hash()
+        # is 32-bit.  Values are engine-specific either way (nobody
+        # gets cross-engine hash equality) — what code relies on is
+        # hash(x) % N staying non-negative and 64-bit-distributed.
+        if not args or args[0].rstrip().endswith("/*HH*/"):
+            return None
+        inner = ", ".join(a.strip() for a in args)
+        return f"(xxhash64({inner} /*HH*/) & 9223372036854775807)"
+
+    def _fix_typeof(args: list[str]) -> str | None:
+        # Spark type names → DuckDB spellings via the compat UDF
+        if len(args) != 1 or args[0].rstrip().endswith("/*TY*/"):
+            return None
+        return f"duckdb_typename(typeof({args[0].strip()} /*TY*/))"
+
+    def _fix_printf_args(args: list[str]) -> str | None:
+        # Spark's format_string/printf rejects DECIMAL for %f/%d and
+        # bare decimal literals parse as DECIMAL — suffix them to
+        # DOUBLE (batch-22; expression-nested literals are covered by
+        # the division pass, bare value args were not)
+        changed = False
+        out = [args[0].strip()] if args else []
+        for a in args[1:]:
+            a = a.strip()
+            if re.fullmatch(r"-?\d+\.\d+", a):
+                out.append(a + "D")
+                changed = True
+            else:
+                out.append(a)
+        if not changed:
+            return None
+        return f"format_string({', '.join(out)})"
+
     def _fix_format(args: list[str]) -> str | None:
         if not args:
             return None
@@ -2533,14 +2864,39 @@ def _rewrite_fn_compat2(sql: str) -> str:
             if spec == "":
                 out_parts.append("%s")
                 slots.append("")
-            elif re.fullmatch(r":\.(\d+)f", spec):
-                out_parts.append("%." + spec[2:-1] + "f")
-                slots.append("DOUBLE")  # %f rejects DECIMAL literals
-            elif spec == ":d":
-                out_parts.append("%d")
+                pos = sm.end()
+                continue
+            # ':[0][width][.prec][,][dfxXos]' (batch-22 widens the
+            # batch-16 subset; alignment/fill specs still bail)
+            gm = re.fullmatch(
+                r":(0?)(\d*)(?:\.(\d+))?(,?)([dfxXos]?)", spec
+            )
+            if gm is None:
+                ok = False
+                break
+            zero, width, prec, comma, conv = gm.groups()
+            if comma and conv in ("", "d"):
+                # '{:,}' → Java's grouped decimal
+                out_parts.append(f"%{zero}{width},d")
                 slots.append("BIGINT")
-            elif spec == ":s":
-                out_parts.append("%s")
+            elif conv == "d" or (conv == "" and (zero or width)):
+                out_parts.append(f"%{zero}{width}d")
+                slots.append("BIGINT")
+            elif conv == "f":
+                out_parts.append(
+                    f"%{zero}{width}.{prec if prec else '6'}f"
+                )
+                slots.append("DOUBLE")
+            elif conv in ("x", "X", "o"):
+                out_parts.append(f"%{zero}{width}{conv}")
+                slots.append("BIGINT")
+            elif conv == "s" or conv == "":
+                if prec or comma:
+                    ok = False
+                    break
+                # fmt left-aligns strings by default; Java '%Ns'
+                # right-aligns — '-' flips it
+                out_parts.append(f"%-{width}s" if width else "%s")
                 slots.append("")
             else:
                 ok = False
@@ -2663,12 +3019,41 @@ def _rewrite_fn_compat2(sql: str) -> str:
                 f"slice(sequence({a}, greatest({b} - 1, {a})), 1, "
                 f"greatest({b} - {a}, 0))"
             )
+        if len(args) == 3:
+            # 3-arg with signed step (batch-22): exclusive stop via a
+            # filter; a direction/step mismatch is [] in DuckDB where
+            # sequence() raises — guard it (step 0 still raises, loud
+            # on both engines)
+            a = f"CAST({args[0].strip()} AS BIGINT)"
+            b = f"CAST({args[1].strip()} AS BIGINT)"
+            s = f"CAST({args[2].strip()} AS BIGINT)"
+            return (
+                f"(CASE WHEN (({s}) > 0 AND ({a}) >= ({b})) "
+                f"OR (({s}) < 0 AND ({a}) <= ({b})) "
+                f"THEN array() "
+                f"ELSE filter(sequence({a}, {b}, {s}), "
+                f"__rg -> CASE WHEN ({s}) > 0 THEN __rg < ({b}) "
+                f"ELSE __rg > ({b}) END) END)"
+            )
         return None
 
     def _fix_scalar_series(args: list[str]) -> str | None:
-        # scalar generate_series(): INCLUSIVE end — sequence() exactly
-        if len(args) in (2, 3):
-            return f"sequence({', '.join(a.strip() for a in args)})"
+        # scalar generate_series(): INCLUSIVE end — sequence()
+        # exactly; 3-arg adds DuckDB's empty-list-on-mismatch (Spark
+        # raises; batch-22).  Interval steps pass through unguarded
+        # (the numeric comparison below would not type-check).
+        if len(args) == 2:
+            return f"sequence({args[0].strip()}, {args[1].strip()})"
+        if len(args) == 3:
+            a, b, s = (x.strip() for x in args)
+            if re.search(r"\bINTERVAL\b", s, re.IGNORECASE):
+                return f"sequence({a}, {b}, {s})"
+            return (
+                f"(CASE WHEN (({s}) > 0 AND ({a}) > ({b})) "
+                f"OR (({s}) < 0 AND ({a}) < ({b})) "
+                f"THEN array() "
+                f"ELSE sequence({a}, {b}, {s}) END)"
+            )
         if len(args) == 1:
             return f"sequence(0, CAST({args[0].strip()} AS BIGINT))"
         return None
@@ -2906,6 +3291,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         r"collect_list\s*\(|collect_set\s*\(|transform\s*\(|"
         r"filter\s*\(|flatten\s*\(|slice\s*\(|map_keys\s*\(|"
         r"map_values\s*\(|string_split|string_to_array|"
+        r"regexp_split_to_array\s*\(|str_split|"
         r"regexp_extract_all\s*\(|list_)",
         re.IGNORECASE,
     )
@@ -3340,11 +3726,33 @@ def _rewrite_fn_compat2(sql: str) -> str:
         return None
 
     def _fix_date_part_list(args: list[str]) -> str | None:
-        # date_part(['year','month'], d) → STRUCT of the parts
+        # date_part(['year','month'], d) → STRUCT of the parts;
+        # scalar fields Spark's extract lacks or counts differently
+        # (batch-22): dow 0=Sunday, isodow 1=Monday, epoch fractional
+        # seconds, micro/milliseconds of the minute, decade/century/
+        # millennium.
         if len(args) != 2:
             return None
+        f0 = args[0].strip()
+        if f0.startswith("'") and f0.endswith("'"):
+            field = f0[1:-1].lower()
+            e = args[1].strip()
+            us = f"pmod(unix_micros(CAST({e} AS TIMESTAMP)), 60000000)"
+            special = {
+                "dow": f"(dayofweek({e}) - 1)",
+                "isodow": f"(weekday({e}) + 1)",
+                "epoch": (
+                    f"(unix_micros(CAST({e} AS TIMESTAMP)) / 1000000.0)"
+                ),
+                "microseconds": us,
+                "milliseconds": f"({us} DIV 1000)",
+                "decade": f"(year({e}) DIV 10)",
+                "century": f"(((year({e}) - 1) DIV 100) + 1)",
+                "millennium": f"(((year({e}) - 1) DIV 1000) + 1)",
+            }
+            return special.get(field)
         am = re.match(
-            r"^array\s*\((.*)\)$", args[0].strip(), re.IGNORECASE | re.DOTALL
+            r"^array\s*\((.*)\)$", f0, re.IGNORECASE | re.DOTALL
         )
         if am is None:
             return None
@@ -3658,7 +4066,39 @@ def _rewrite_fn_compat2(sql: str) -> str:
             _fix_scalar_series,
         ),
         (re.compile(r"\bskewness\s*\(", re.IGNORECASE), _fix_skew),
+        (
+            re.compile(r"\bkurtosis_pop\s*\(", re.IGNORECASE),
+            _fix_kurtosis_pop,
+        ),
         (re.compile(r"\bkurtosis\s*\(", re.IGNORECASE), _fix_kurt),
+        (re.compile(r"(?<![\w.])log\s*\(", re.IGNORECASE), _fix_log),
+        (
+            re.compile(r"\b(?:list_contains|list_has)\s*\(", re.IGNORECASE),
+            _fix_list_contains,
+        ),
+        (re.compile(r"\bsha256\s*\(", re.IGNORECASE), _fix_sha256),
+        (re.compile(r"\bfavg\s*\(", re.IGNORECASE), _fix_favg),
+        (re.compile(r"\bfsum\s*\(", re.IGNORECASE), _fix_fsum),
+        (
+            re.compile(r"(?<![\w.])timezone\s*\(", re.IGNORECASE),
+            _fix_timezone_fn,
+        ),
+        (
+            re.compile(r"\bepoch_ms\s*\(", re.IGNORECASE),
+            _fix_epoch_ms_poly,
+        ),
+        (
+            re.compile(r"\bepoch_us\s*\(", re.IGNORECASE),
+            _fix_epoch_us_poly,
+        ),
+        (re.compile(r"(?<![\w.])hash\s*\(", re.IGNORECASE), _fix_hash_fn),
+        (re.compile(r"\btypeof\s*\(", re.IGNORECASE), _fix_typeof),
+        (
+            re.compile(
+                r"\b(?:printf|format_string)\s*\(", re.IGNORECASE
+            ),
+            _fix_printf_args,
+        ),
         (re.compile(r"\bdate_sub\s*\(", re.IGNORECASE), _fix_date_sub3),
         (re.compile(r"\btime_bucket\s*\(", re.IGNORECASE), _fix_time_bucket),
         (
@@ -3710,6 +4150,8 @@ def _rewrite_fn_compat2(sql: str) -> str:
         .replace(" /*P*/", "")
         .replace(" /*d0*/", "")
         .replace(" /*AG*/", "")
+        .replace(" /*HH*/", "")
+        .replace(" /*TY*/", "")
     )
 
     # extract(epoch|dow|isodow FROM e)
@@ -3731,12 +4173,17 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return sql
         e = sql[m.end() : close].strip()
         field = m.group(1).lower()
-        if field == "epoch":
-            repl = f"(unix_micros(CAST({e} AS TIMESTAMP)) / 1000000.0)"
-        elif field == "dow":
-            repl = f"(dayofweek({e}) - 1)"
-        else:  # isodow
-            repl = f"(weekday({e}) + 1)"
+        us = f"pmod(unix_micros(CAST({e} AS TIMESTAMP)), 60000000)"
+        repl = {
+            "epoch": f"(unix_micros(CAST({e} AS TIMESTAMP)) / 1000000.0)",
+            "dow": f"(dayofweek({e}) - 1)",
+            "isodow": f"(weekday({e}) + 1)",
+            "microseconds": us,
+            "milliseconds": f"({us} DIV 1000)",
+            "decade": f"(year({e}) DIV 10)",
+            "century": f"(((year({e}) - 1) DIV 100) + 1)",
+            "millennium": f"(((year({e}) - 1) DIV 1000) + 1)",
+        }[field]
         sql = sql[: m.start()] + repl + sql[close + 1 :]
 
 
@@ -4260,6 +4707,12 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # slices → slice().  Must follow the literal pass.
     sql = _rewrite_subscripts(sql)
 
+    # integer-target casts round like DuckDB (batch-22).  EARLY, so
+    # only user-written casts are wrapped — later fixers emit their
+    # own integer casts whose operands are already integral.
+    sql = _round_int_casts(sql)
+    sql = _normalize_loose_date_literals(sql)
+
     # two-array map(array(…), array(…)) → map_from_arrays (after the
     # bracket pass, which produces the array(…) form it keys on).
     sql = _rewrite_map_two_arrays(sql)
@@ -4363,9 +4816,10 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # result typing); division now spells try_divide()/try_mod().
     sql = _double_mul_div_literals(sql)
 
-    # strftime %-codes inside date_format literals; regexp_replace 'g' flag.
+    # strftime %-codes inside date_format literals; regexp_replace
+    # first-only default + flag embedding (batch-22).
     sql = _convert_strftime_literals(sql)
-    sql = _drop_regexp_replace_gflag(sql)
+    sql = _fix_regexp_replace_semantics(sql)
 
     # Type renames (::TIMESTAMPTZ, CAST(x AS VARCHAR), …).
     sql = _rename_types(sql)

@@ -373,7 +373,138 @@ def _json_structure(j: str | None) -> str | None:
     )
 
 
+_BAR_EIGHTHS = " ▏▎▍▌▋▊▉"
+
+
+def _bar(x, lo, hi, width=80):
+    """DuckDB bar(): (x-lo)/(hi-lo)·width as full blocks plus an
+    eighth-width partial block, right-padded with spaces to ``width``
+    UTF-8 BYTES (a block is 3 bytes — DuckDB pads on byte length, a
+    quirk pinned against DuckDB 1.0 outputs)."""
+    if x is None or lo is None or hi is None or width is None:
+        return None
+    lo, hi, width = float(lo), float(hi), float(width)
+    if hi <= lo or width <= 0:
+        return ""
+    frac = min(max((float(x) - lo) / (hi - lo), 0.0), 1.0)
+    w = frac * width
+    full = int(w)
+    eighth = int((w - full) * 8 + 0.5)
+    if eighth >= 8:
+        full += 1
+        eighth = 0
+    out = "█" * full + (_BAR_EIGHTHS[eighth] if eighth else "")
+    pad = int(width) - len(out.encode("utf-8"))
+    return out + " " * max(0, pad)
+
+
+def _length_grapheme(s):
+    """Extended-grapheme-cluster count: combining marks, ZWJ
+    sequences, variation selectors, and regional-indicator pairs
+    attach to the previous cluster (approximates DuckDB's ICU
+    clustering; exact on the precomposed/emoji text probed)."""
+    if s is None:
+        return None
+    import unicodedata
+
+    n = 0
+    prev_zwj = False
+    prev_ri = False
+    for ch in s:
+        if unicodedata.combining(ch) or ch in "\ufe0e\ufe0f":
+            continue
+        if ch == "\u200d":
+            prev_zwj = True
+            continue
+        is_ri = 0x1F1E6 <= ord(ch) <= 0x1F1FF
+        if prev_zwj or (is_ri and prev_ri):
+            prev_zwj = False
+            prev_ri = False
+            continue
+        n += 1
+        prev_zwj = False
+        prev_ri = is_ri
+    return n
+
+
+_TYPENAME_SCALARS = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "bigint": "BIGINT",
+    "string": "VARCHAR",
+    "varchar": "VARCHAR",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "binary": "BLOB",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "void": '"NULL"',
+    "null": '"NULL"',
+    "interval": "INTERVAL",
+    "interval day to second": "INTERVAL",
+    "interval year to month": "INTERVAL",
+}
+
+
+def _duckdb_typename(t):
+    """Spark typeof() spelling → the DuckDB spelling (typeof parity;
+    nested array/map/struct recurse, unknown names upper-case)."""
+    if t is None:
+        return None
+    t = t.strip()
+    low = t.lower()
+    if low in _TYPENAME_SCALARS:
+        return _TYPENAME_SCALARS[low]
+    if low.startswith("decimal(") and low.endswith(")"):
+        return "DECIMAL" + t[7:]
+    if low.startswith("array<") and low.endswith(">"):
+        return _duckdb_typename(t[6:-1]) + "[]"
+    if low.startswith("map<") and low.endswith(">"):
+        inner = t[4:-1]
+        depth = 0
+        for i, c in enumerate(inner):
+            if c == "<":
+                depth += 1
+            elif c == ">":
+                depth -= 1
+            elif c == "," and depth == 0:
+                return (
+                    "MAP("
+                    + _duckdb_typename(inner[:i])
+                    + ", "
+                    + _duckdb_typename(inner[i + 1 :])
+                    + ")"
+                )
+    if low.startswith("struct<") and low.endswith(">"):
+        inner = t[7:-1]
+        parts = []
+        depth = 0
+        last = 0
+        for i, c in enumerate(inner + ","):
+            if c == "<":
+                depth += 1
+            elif c == ">":
+                depth -= 1
+            elif c == "," and depth == 0:
+                field = inner[last:i] if i <= len(inner) else inner[last:]
+                last = i + 1
+                if ":" in field:
+                    name, ft = field.split(":", 1)
+                    parts.append(
+                        name.strip() + " " + _duckdb_typename(ft)
+                    )
+        return "STRUCT(" + ", ".join(parts) + ")"
+    return t.upper()
+
+
 _REGISTRY = [
+    ("bar", _bar, "string"),
+    ("length_grapheme", _length_grapheme, "bigint"),
+    ("duckdb_typename", _duckdb_typename, "string"),
     ("damerau_levenshtein", _damerau_levenshtein, "bigint"),
     ("jaro_similarity", _jaro_similarity, "double"),
     ("jaro_winkler_similarity", _jaro_winkler, "double"),

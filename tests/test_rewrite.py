@@ -31,9 +31,13 @@ def test_cast_syntax():
 
 
 def test_non_custom_cast_untouched():
-    # plain SQL casts keep no tags; DuckDB-only type names map to Spark's
+    # plain SQL casts keep no tags; DuckDB-only type names map to
+    # Spark's (integer targets gain the batch-22 rounding step)
     r = rewrite_statement("SELECT x::INT, y::VARCHAR FROM t")
-    assert r.sql == "SELECT x::INT, y::STRING FROM t"
+    assert r.sql == (
+        "SELECT CAST(CAST((x) AS DECIMAL(38,0)) AS INT), "
+        "y::STRING FROM t"
+    )
     assert r.column_tags == {}
 
 
@@ -184,7 +188,8 @@ class TestFunctionRenames:
              "SELECT array_join(l, ',') FROM t"),
             ("SELECT epoch(ts) FROM t", "SELECT unix_timestamp(ts) FROM t"),
             ("SELECT string_agg(x, ', ') FROM t", "SELECT listagg(x, ', ') FROM t"),
-            ("SELECT list_extract(l, 1) FROM t", "SELECT element_at(l, 1) FROM t"),
+            # try_ variant: DuckDB yields NULL out of bounds (batch-22)
+            ("SELECT list_extract(l, 1) FROM t", "SELECT try_element_at(l, 1) FROM t"),
         ],
     )
     def test_renames(self, duck, spark_sql):
@@ -416,7 +421,10 @@ class TestBraceLiterals:
 
     def test_cast_value_keeps_double_colon_safe(self):
         r = rewrite_statement("SELECT {'c': x::INT} AS s FROM t")
-        assert "named_struct('c', x::INT)" in r.sql
+        assert (
+            "named_struct('c', CAST(CAST((x) AS DECIMAL(38,0)) AS INT))"
+            in r.sql
+        )
 
     def test_escaped_quote_key_value(self):
         r = rewrite_statement("SELECT {'q': 'it''s'} AS s")
@@ -1624,3 +1632,156 @@ class TestBatch21Regex:
             " greatest_common_divisor(a, b) FROM t"
         )
         assert "lcm(a, b)" in r.sql and "gcd(a, b)" in r.sql
+
+
+class TestBatch22Sweep:
+    """r11 batch-22 differential fixes (212-case probe, 38 findings):
+    log() base, regexp_replace first-only default, rounding integer
+    casts, date_part scalar fields, NULL-parity list functions, and
+    the compat-UDF tail (bar, length_grapheme, duckdb_typename)."""
+
+    def test_log_one_arg_is_log10(self):
+        r = rewrite_statement("SELECT log(100), log(2, 8) FROM t")
+        assert "log10(100)" in r.sql
+        assert "log(2, 8)" in r.sql  # 2-arg log agrees across engines
+
+    def test_regexp_replace_first_only_default(self):
+        r = rewrite_statement("SELECT regexp_replace(s, 'a', 'b') FROM t")
+        assert "regexp_instr(s, 'a')" in r.sql
+        assert "regexp_extract(s, 'a', 0)" in r.sql
+
+    def test_regexp_replace_gflag_replaces_all(self):
+        r = rewrite_statement(
+            "SELECT regexp_replace(s, 'a', 'b', 'g') FROM t"
+        )
+        assert r.sql == "SELECT regexp_replace(s, 'a', 'b') FROM t"
+
+    def test_regexp_replace_iflag_embeds(self):
+        r = rewrite_statement(
+            "SELECT regexp_replace(s, 'a', 'b', 'gi') FROM t"
+        )
+        assert "concat('(?i)', 'a')" in r.sql
+
+    def test_int_cast_rounds_via_decimal(self):
+        r = rewrite_statement("SELECT CAST(x AS INT) FROM t")
+        assert "CAST(CAST((x) AS DECIMAL(38,0)) AS INT)" in r.sql
+        r2 = rewrite_statement("SELECT TRY_CAST(x AS BIGINT) FROM t")
+        assert (
+            "TRY_CAST(TRY_CAST((x) AS DECIMAL(38,0)) AS BIGINT)" in r2.sql
+        )
+
+    def test_int_cast_skips_integral_heads(self):
+        r = rewrite_statement(
+            "SELECT CAST(round(x * 1e6) AS BIGINT) FROM t"
+        )
+        assert "DECIMAL(38,0)" not in r.sql
+        r2 = rewrite_statement("SELECT CAST(42 AS INT) FROM t")
+        assert "DECIMAL(38,0)" not in r2.sql
+
+    def test_date_part_scalar_fields(self):
+        r = rewrite_statement("SELECT date_part('dow', d) FROM t")
+        assert "(dayofweek(d) - 1)" in r.sql
+        r2 = rewrite_statement("SELECT date_part('isodow', d) FROM t")
+        assert "(weekday(d) + 1)" in r2.sql
+        r3 = rewrite_statement("SELECT date_part('epoch', ts) FROM t")
+        assert "unix_micros(CAST(ts AS TIMESTAMP)) / 1000000.0" in r3.sql
+        r4 = rewrite_statement(
+            "SELECT date_part('microseconds', ts) FROM t"
+        )
+        assert "pmod(unix_micros(CAST(ts AS TIMESTAMP)), 60000000)" in r4.sql
+        r5 = rewrite_statement("SELECT date_part('century', d) FROM t")
+        assert "(((year(d) - 1) DIV 100) + 1)" in r5.sql
+
+    def test_extract_extended_fields(self):
+        r = rewrite_statement("SELECT extract(decade FROM d) FROM t")
+        assert "(year(d) DIV 10)" in r.sql
+        r2 = rewrite_statement(
+            "SELECT extract(milliseconds FROM ts) FROM t"
+        )
+        assert "DIV 1000" in r2.sql
+
+    def test_list_contains_null_parity(self):
+        r = rewrite_statement("SELECT list_contains(l, 2) FROM t")
+        assert "coalesce(array_contains(l, 2), false)" in r.sql
+        assert "(l) IS NULL OR (2) IS NULL" in r.sql
+
+    def test_list_extract_try_variant(self):
+        r = rewrite_statement("SELECT list_extract(l, 9) FROM t")
+        assert "try_element_at(l, 9)" in r.sql
+
+    def test_sha256_maps_to_sha2(self):
+        r = rewrite_statement("SELECT sha256(s) FROM t")
+        assert "sha2(s, 256)" in r.sql
+
+    def test_favg_fsum_double(self):
+        r = rewrite_statement("SELECT favg(x), fsum(x) FROM t")
+        assert "avg(CAST(x AS DOUBLE))" in r.sql
+        assert "sum(CAST(x AS DOUBLE))" in r.sql
+
+    def test_kurtosis_pop_is_spark_kurtosis(self):
+        r = rewrite_statement("SELECT kurtosis_pop(x) FROM t")
+        assert r.sql == "SELECT kurtosis(x) FROM t"
+
+    def test_timezone_fn(self):
+        r = rewrite_statement(
+            "SELECT timezone('America/New_York', ts) FROM t"
+        )
+        assert "to_utc_timestamp(ts, 'America/New_York')" in r.sql
+
+    def test_epoch_ms_integer_literal(self):
+        r = rewrite_statement("SELECT epoch_ms(1704067200000) FROM t")
+        assert "timestamp_millis(1704067200000)" in r.sql
+        r2 = rewrite_statement("SELECT epoch_ms(ts) FROM t")
+        assert "unix_millis(ts)" in r2.sql
+
+    def test_hash_maps_to_masked_xxhash64(self):
+        r = rewrite_statement("SELECT hash(s) % 10 FROM t")
+        assert "xxhash64(s) & 9223372036854775807" in r.sql
+
+    def test_typeof_wraps_compat_udf(self):
+        r = rewrite_statement("SELECT typeof(x) FROM t")
+        assert "duckdb_typename(typeof(x))" in r.sql
+
+    def test_scalar_range_negative_step(self):
+        r = rewrite_statement("SELECT range(5, 1, -2) FROM t")
+        assert "filter(sequence(" in r.sql and "array()" in r.sql
+
+    def test_generate_series_mismatch_guard(self):
+        r = rewrite_statement("SELECT generate_series(1, 5, -1) FROM t")
+        assert "THEN array()" in r.sql
+
+    def test_slice_with_step(self):
+        r = rewrite_statement("SELECT l[1:5:2] FROM t")
+        assert "transform(sequence(" in r.sql
+        # the sequence is bounds-clamped, so element_at never sees an
+        # out-of-range index
+        assert "element_at(l, __li)" in r.sql
+
+    def test_len_of_regexp_split(self):
+        r = rewrite_statement(
+            "SELECT len(regexp_split_to_array(s, '[0-9]')) FROM t"
+        )
+        assert r.sql.startswith("SELECT size(")
+
+    def test_regexp_extract_name_list(self):
+        r = rewrite_statement(
+            "SELECT regexp_extract(s, p, ['y', 'm']) FROM t"
+        )
+        assert (
+            "named_struct('y', regexp_extract(s, p, 1), "
+            "'m', regexp_extract(s, p, 2))" in r.sql
+        )
+
+    def test_printf_decimal_literal_arg(self):
+        r = rewrite_statement("SELECT printf('%.2f', 1.5) FROM t")
+        assert "1.5D" in r.sql
+
+    def test_format_width_specs(self):
+        r = rewrite_statement("SELECT format('{:04d}', 42) FROM t")
+        assert "format_string('%04d', CAST(42 AS BIGINT))" in r.sql
+        r2 = rewrite_statement("SELECT format('{:x}', 255) FROM t")
+        assert "'%x'" in r2.sql
+
+    def test_loose_date_literal(self):
+        r = rewrite_statement("SELECT '2024/01/02'::DATE FROM t")
+        assert "'2024-01-02'" in r.sql

@@ -134,3 +134,46 @@ class TestJsonAndMadUdfs:
             "SELECT mad(x) FROM (VALUES (1),(NULL),(2),(4)) t(x)"
         )[0][0]
         assert got == 1.0
+
+
+class TestBatch22Udfs:
+    """bar(), length_grapheme(), duckdb_typename() (r11 batch-22)."""
+
+    def test_bar_matches_duckdb(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        for args in ["3, 0, 10, 10", "3.3, 0, 10, 10", "7, 0, 10, 4",
+                     "0, 0, 10, 10", "10, 0, 10, 5", "15, 0, 10, 5",
+                     "1, 0, 10, 10", "0.9, 0, 10, 10", "-5, 0, 10, 10",
+                     "5, 0, 10, 7.5", "0.05, 0, 10, 10"]:
+            want = con.execute(f"SELECT bar({args})").fetchall()[0][0]
+            got = sql(f"SELECT bar({args})")[0][0]
+            assert got == want, args
+
+    def test_length_grapheme_matches_duckdb(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        for s in ["ab€", "héllo", "abc", ""]:
+            want = con.execute(
+                f"SELECT length_grapheme('{s}')"
+            ).fetchall()[0][0]
+            got = sql(f"SELECT length_grapheme('{s}')")[0][0]
+            assert got == want, s
+
+    def test_typeof_duck_spellings(self, spark):
+        from shaper_spark.rewrite import rewrite_statement
+
+        for expr, want in [
+            ("1", "INTEGER"),
+            ("1::BIGINT", "BIGINT"),
+            ("'x'", "VARCHAR"),
+            ("1.5e0", "DOUBLE"),
+            ("true", "BOOLEAN"),
+            ("DATE '2024-01-01'", "DATE"),
+            ("[1, 2]", "INTEGER[]"),
+        ]:
+            rw = rewrite_statement(f"SELECT typeof({expr}) AS v")
+            got = spark.sql(rw.sql).collect()[0][0]
+            assert got == want, (expr, got)
