@@ -752,6 +752,81 @@ _LOOSE_DATE_LIT_RE = re.compile(
 )
 
 
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_ORDER_CLAUSE_END_KWS = {
+    "LIMIT", "OFFSET", "FETCH", "RANGE", "ROWS", "GROUPS", "UNION",
+    "INTERSECT", "EXCEPT", "FOR", "WINDOW", "QUALIFY",
+}
+_NULLS_MOD_TAIL_RE = re.compile(
+    r"\bNULLS\s+(?:FIRST|LAST)\s*$", re.IGNORECASE
+)
+_DESC_TAIL_RE = re.compile(r"\bDESC\s*$", re.IGNORECASE)
+_WORD_RE = re.compile(r"[A-Za-z_][\w]*")
+
+
+def _default_nulls_last(sql: str) -> str:
+    """DuckDB's default null ordering is NULLS LAST for BOTH
+    directions; Spark's ascending default is NULLS FIRST — silently
+    different rows under LIMIT and different ranks in ordered windows
+    (batch-23).  Append NULLS LAST to every ORDER BY sort item that
+    carries no explicit NULLS modifier and is not DESC (descending
+    defaults already agree).  Applies uniformly: statement clauses,
+    window specs, WITHIN GROUP — Spark parses the modifier in all of
+    them (ordinals and ORDER BY ALL included)."""
+    states = _scan_states(sql)
+    inserts: list[int] = []
+    for m in _ORDER_BY_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        i = m.end()
+        depth = 0
+        item_start = i
+        item_ends: list[int] = []
+
+        def close_item(pos: int) -> None:
+            item = sql[item_start:pos].strip()
+            if not item:
+                return
+            if _NULLS_MOD_TAIL_RE.search(item) or _DESC_TAIL_RE.search(
+                item
+            ):
+                return
+            # end of the trimmed item in absolute offsets
+            end = pos
+            while end > item_start and sql[end - 1].isspace():
+                end -= 1
+            item_ends.append(end)
+
+        while i < len(sql):
+            c = sql[i]
+            if states[i] != 0:
+                i += 1
+                continue
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    break  # enclosing paren: window spec / subquery end
+                depth -= 1
+            elif c == ";" and depth == 0:
+                break
+            elif c == "," and depth == 0:
+                close_item(i)
+                item_start = i + 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                w = _WORD_RE.match(sql, i)
+                if w and w.group(0).upper() in _ORDER_CLAUSE_END_KWS:
+                    break
+                i = w.end() if w else i + 1
+                continue
+            i += 1
+        close_item(i)
+        inserts.extend(item_ends)
+    for pos in sorted(inserts, reverse=True):
+        sql = sql[:pos] + " NULLS LAST" + sql[pos:]
+    return sql
+
+
 def _normalize_loose_date_literals(sql: str) -> str:
     """DuckDB's DATE parser accepts '/' separators ('2024/01/02');
     Spark's is strict — normalize slash-dated literals that are being
@@ -4815,6 +4890,11 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # Decimal literals in * / arithmetic → double (DuckDB float-division
     # result typing); division now spells try_divide()/try_mod().
     sql = _double_mul_div_literals(sql)
+
+    # ascending ORDER BY items default to NULLS LAST like DuckDB
+    # (batch-23) — after the function fixers, so inline aggregate
+    # ORDER BYs (first/last/any_value) are already lowered.
+    sql = _default_nulls_last(sql)
 
     # strftime %-codes inside date_format literals; regexp_replace
     # first-only default + flag embedding (batch-22).

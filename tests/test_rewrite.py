@@ -71,7 +71,7 @@ def test_from_first_with_projection():
     r = rewrite_statement("FROM lineitem SELECT l_orderkey WHERE l_orderkey > 3 ORDER BY 1")
     assert (
         r.sql
-        == "SELECT l_orderkey FROM lineitem WHERE l_orderkey > 3 ORDER BY 1"
+        == "SELECT l_orderkey FROM lineitem WHERE l_orderkey > 3 ORDER BY 1 NULLS LAST"
     )
 
 
@@ -468,7 +468,7 @@ class TestBackslashAndMiscFixups:
 
     def test_rank_over_empty_gets_order(self):
         r = rewrite_statement("SELECT row_number() OVER () AS rn FROM t")
-        assert "OVER (ORDER BY (SELECT NULL))" in r.sql
+        assert "OVER (ORDER BY (SELECT NULL) NULLS LAST)" in r.sql
 
     def test_aggregate_over_empty_untouched(self):
         q = "SELECT sum(x) OVER () AS s FROM t"
@@ -511,7 +511,7 @@ class TestAsofJoinSql:
         r = rewrite_statement(
             "SELECT 1 FROM a ASOF JOIN b ON a.k = b.k AND a.t <= b.t"
         )
-        assert "ORDER BY b.t ASC LIMIT 1" in r.sql
+        assert "ORDER BY b.t ASC NULLS LAST LIMIT 1" in r.sql
 
     def test_flipped_operands(self):
         r = rewrite_statement(
@@ -594,7 +594,7 @@ class TestSimilarTo:
 class TestAggOrderBy:
     def test_string_agg_within_group(self):
         r = rewrite_statement("SELECT string_agg(x, ',' ORDER BY x) FROM t")
-        assert "listagg(x, ',') WITHIN GROUP (ORDER BY x)" in r.sql
+        assert "listagg(x, ',') WITHIN GROUP (ORDER BY x NULLS LAST)" in r.sql
 
     def test_array_agg_self_order(self):
         r = rewrite_statement("SELECT array_agg(x ORDER BY x) FROM t")
@@ -694,7 +694,7 @@ class TestDistinctOnAndFriends:
             "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v"
         )
         assert "DISTINCT ON" not in r.sql.upper()
-        assert "PARTITION BY k ORDER BY k, v" in r.sql
+        assert "PARTITION BY k ORDER BY k NULLS LAST, v NULLS LAST" in r.sql
         assert "QUALIFY" not in r.sql.upper() or "row_number" in r.sql
 
     def test_star_replace(self):
@@ -842,7 +842,7 @@ class TestFilterOverAnyAllIgnoreNulls:
         r = rewrite_statement(
             "SELECT count(*) FILTER (WHERE x > 1) OVER (ORDER BY x) FROM t"
         ).sql
-        assert "count(CASE WHEN x > 1 THEN 1 END) OVER (ORDER BY x)" in r
+        assert "count(CASE WHEN x > 1 THEN 1 END) OVER (ORDER BY x NULLS LAST)" in r
 
     def test_filter_over_sum(self):
         r = rewrite_statement(
@@ -1785,3 +1785,59 @@ class TestBatch22Sweep:
     def test_loose_date_literal(self):
         r = rewrite_statement("SELECT '2024/01/02'::DATE FROM t")
         assert "'2024-01-02'" in r.sql
+
+
+class TestBatch23NullOrdering:
+    """r11 batch-23: DuckDB's default null ordering is NULLS LAST in
+    BOTH directions; Spark's ascending default is NULLS FIRST — a
+    silent row-set change under LIMIT and different ranks in ordered
+    windows (differential-verified on VALUES tables)."""
+
+    def test_plain_order_by_gets_nulls_last(self):
+        r = rewrite_statement("SELECT a FROM t ORDER BY a LIMIT 5")
+        assert "ORDER BY a NULLS LAST LIMIT 5" in r.sql
+
+    def test_desc_untouched(self):
+        r = rewrite_statement("SELECT a FROM t ORDER BY a DESC")
+        assert r.sql == "SELECT a FROM t ORDER BY a DESC"
+
+    def test_mixed_items(self):
+        r = rewrite_statement("SELECT a FROM t ORDER BY a, b DESC, c ASC")
+        assert (
+            "ORDER BY a NULLS LAST, b DESC, c ASC NULLS LAST" in r.sql
+        )
+
+    def test_explicit_nulls_modifier_kept(self):
+        r = rewrite_statement("SELECT a FROM t ORDER BY a NULLS FIRST")
+        assert r.sql == "SELECT a FROM t ORDER BY a NULLS FIRST"
+
+    def test_window_order_by(self):
+        r = rewrite_statement(
+            "SELECT rank() OVER (PARTITION BY g ORDER BY x) FROM t"
+        )
+        assert "ORDER BY x NULLS LAST)" in r.sql
+
+    def test_window_frame_stops_item(self):
+        r = rewrite_statement(
+            "SELECT sum(v) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING"
+            " AND CURRENT ROW) FROM t"
+        )
+        assert "ORDER BY x NULLS LAST ROWS BETWEEN" in r.sql
+
+    def test_order_by_all(self):
+        r = rewrite_statement("SELECT a, b FROM t ORDER BY ALL")
+        assert "ORDER BY ALL NULLS LAST" in r.sql
+
+    def test_subquery_and_outer(self):
+        r = rewrite_statement(
+            "SELECT a FROM (SELECT a FROM t ORDER BY a LIMIT 3) s"
+            " ORDER BY a"
+        )
+        assert r.sql.count("NULLS LAST") == 2
+
+    def test_string_literal_untouched(self):
+        r = rewrite_statement(
+            "SELECT a FROM t WHERE s = 'ORDER BY x' ORDER BY a"
+        )
+        assert "'ORDER BY x'" in r.sql
+        assert r.sql.rstrip().endswith("ORDER BY a NULLS LAST")
