@@ -2500,6 +2500,100 @@ LIMIT 20
 """
 
 
+_BLOCKLIST = ["dup", "spark", "batch", "stream"]
+
+
+def _q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity report (shaper_spark/operators/
+    text.py lexical_diversity): distinct-1/distinct-2 ratios,
+    type-token ratio, hapax fraction — the templated-text /
+    model-generated-text detectors. ONE posexplode streams words AND
+    following-bigram hashes (no second corpus scan); both count
+    exchanges are vocab-bounded. Ratios are half-up BIGINT
+    micro-divisions. No reference counterpart; §2C."""
+    from shaper_spark.operators.text import lexical_diversity
+
+    _prep(spark, sf_dir)
+    return lexical_diversity(
+        spark.table("documents"), "doc_id", "text", "source"
+    )
+
+
+LEXDIV_DUCK = """
+WITH w AS (
+  SELECT source AS g, doc_id, string_split(text, ' ') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT g, sum(c) AS n_tokens, count(*) AS n_types,
+         count(*) FILTER (WHERE c = 1) AS n_hapax
+  FROM (
+    SELECT g, w, count(*) AS c
+    FROM (SELECT g, unnest(ws) AS w FROM w) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+bg AS (
+  SELECT g, sum(c) AS n_bigrams, count(*) AS n_bigram_types
+  FROM (
+    SELECT g, b, count(*) AS c FROM (
+      SELECT g, ws[i] || ' ' || ws[i + 1] AS b
+      FROM (SELECT g, ws, unnest(range(1, len(ws))) AS i FROM w)
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+d AS (SELECT g, count(*) AS n_docs FROM w GROUP BY 1)
+SELECT d.g AS "group", n_docs, n_tokens, n_types, n_bigrams,
+       n_bigram_types,
+       ((n_types * 2000000 + n_tokens) // (2 * n_tokens))
+         / 1000000.0 AS ttr,
+       ((n_hapax * 2000000 + n_types) // (2 * n_types))
+         / 1000000.0 AS hapax_frac,
+       ((n_bigram_types * 2000000 + n_bigrams) // (2 * n_bigrams))
+         / 1000000.0 AS distinct2
+FROM d JOIN uni ON uni.g = d.g JOIN bg ON bg.g = d.g
+ORDER BY 1
+"""
+
+
+def _q_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist audit (shaper_spark/operators/text.py
+    blocklist_report): per source — docs containing a blocklisted
+    token, total hits, flagged fraction, hits per 1k tokens. One
+    token explode with a constant-folded IN-set (no join); per-doc
+    partials combine map-side. No reference counterpart; §2C."""
+    from shaper_spark.operators.text import blocklist_report
+
+    _prep(spark, sf_dir)
+    return blocklist_report(
+        spark.table("documents"), "doc_id", "text", "source", _BLOCKLIST
+    )
+
+
+BLOCKLIST_DUCK = """
+WITH per_doc AS (
+  SELECT source AS g, doc_id, count(*) AS n_tok,
+         count(*) FILTER (WHERE w IN ('dup', 'spark', 'batch',
+                                      'stream')) AS n_hit
+  FROM (
+    SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT g AS "group", n_docs, docs_flagged, total_hits,
+       ((docs_flagged * 2000000 + n_docs) // (2 * n_docs))
+         / 1000000.0 AS flagged_frac,
+       ((total_hits * 2000000000 + n_tokens) // (2 * n_tokens))
+         / 1000000.0 AS hits_per_1k
+FROM (
+  SELECT g, count(*) AS n_docs,
+         count(*) FILTER (WHERE n_hit > 0) AS docs_flagged,
+         sum(n_hit) AS total_hits, sum(n_tok) AS n_tokens
+  FROM per_doc GROUP BY 1
+)
+ORDER BY 1
+"""
+
+
 _CANARIES = ["batch batch", "spark window", "canary-absent-xyz"]
 
 
@@ -4775,6 +4869,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the window r11 (>=2 greens each)
         "date_spine_fill": _dialect(DATE_SPINE_DUCK),
         "canary_scan": _q_canary_scan,
+        # r11 late additions (tail: enter the official window after a
+        # full oracle-checked round per rotation policy)
+        "lexical_diversity": _q_lexical_diversity,
+        "blocklist_report": _q_blocklist_report,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4915,4 +5013,6 @@ def oracle_sql() -> dict[str, str]:
         "threshold_sweep_probe": THRESHOLD_PROBE_DUCK,
         "dedup_containment_pairs": CONTAINMENT_DUCK,
         "pii_density_report": _pii_density_duck(),
+        "lexical_diversity": LEXDIV_DUCK,
+        "blocklist_report": BLOCKLIST_DUCK,
     }

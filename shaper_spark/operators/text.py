@@ -37,6 +37,8 @@ __all__ = [
     "source_kl_matrix",
     "source_jaccard_matrix",
     "pmi_collocations",
+    "lexical_diversity",
+    "blocklist_report",
     "quality_lm_correlation",
     "LANG_STOPWORDS",
 ]
@@ -1718,4 +1720,148 @@ def pmi_collocations(
         )
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(int(top_k))
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group lexical-diversity report: distinct-1 / distinct-2
+    ratios (the distinct-n diversity metrics used to detect templated
+    or model-generated text), type-token ratio, and hapax fraction
+    (vocabulary-richness: share of word types occurring exactly once).
+    Returns (group, n_docs, n_tokens, n_types, n_bigrams,
+    n_bigram_types, ttr, hapax_frac, distinct2), ordered by group.
+
+    Spark shape: ONE posexplode streams each position's word AND its
+    following-bigram hash (the funnel's combined-emission pattern —
+    no second corpus scan for bigrams); two keyed count exchanges are
+    each bounded by the vocab/bigram-type count, never corpus-sized.
+    Ratios are half-up BIGINT micro-divisions rescaled to double
+    (engine-stable replay, the threshold-sweep rule).  No reference
+    counterpart; training-pipeline §2C."""
+    words = F.split(F.col(text_col), " ")
+    stream = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(words).alias("__i", "w"),
+        F.when(
+            F.col("__i") < F.size(words) - 1,
+            F.xxhash64(
+                F.element_at(words, F.col("__i") + 1),
+                F.element_at(words, F.col("__i") + 2),
+            ),
+        ).alias("bg"),
+    )
+    uni = (
+        stream.groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.count_if(F.col("c") == 1).alias("n_hapax"),
+        )
+    )
+    big = (
+        stream.filter(F.col("bg").isNotNull())
+        .groupBy("g", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_bigram_types"),
+        )
+    )
+    docs = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+    def _micro(num: str, den: str) -> Column:
+        return (
+            F.expr(f"({num} * 2000000L + {den}) DIV (2L * {den})")
+            .cast("double")
+            / F.lit(1000000.0)
+        )
+
+    return (
+        docs.join(uni, "g")
+        .join(big, "g")
+        .select(
+            F.col("g").alias("group"),
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            "n_bigrams",
+            "n_bigram_types",
+            _micro("n_types", "n_tokens").alias("ttr"),
+            _micro("n_hapax", "n_types").alias("hapax_frac"),
+            _micro("n_bigram_types", "n_bigrams").alias("distinct2"),
+        )
+        .orderBy("group")
+    )
+
+
+def blocklist_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    blocklist: list[str],
+) -> DataFrame:
+    """C4-style blocklist audit: for each group, how many documents
+    contain at least one blocklisted token, the total hit count, and
+    hit density — the decision report behind word-filter rules
+    (C4's badwords pass) before committing to dropping documents.
+    Returns (group, n_docs, docs_flagged, total_hits, flagged_frac,
+    hits_per_1k), ordered by group.
+
+    Spark shape: one token posexplode; the blocklist is a literal
+    IN-set (broadcast by constant folding — membership stays inside
+    whole-stage codegen, no join).  Per-document partial counts
+    combine map-side; the group frame is |groups|-bounded.  Ratios in
+    half-up BIGINT micro-units.  No reference counterpart; §2C."""
+    flagged = F.col("w").isin(*blocklist)
+    per_doc = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .groupBy("g", "id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count_if(flagged).alias("n_hit"),
+        )
+    )
+    return (
+        per_doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("n_hit") > 0).alias("docs_flagged"),
+            F.sum("n_hit").alias("total_hits"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            F.col("g").alias("group"),
+            "n_docs",
+            "docs_flagged",
+            "total_hits",
+            (
+                F.expr(
+                    "(docs_flagged * 2000000L + n_docs) DIV (2L * n_docs)"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("flagged_frac"),
+            (
+                F.expr(
+                    "(total_hits * 2000000000L + n_tokens) DIV "
+                    "(2L * n_tokens)"
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("hits_per_1k"),
+        )
+        .orderBy("group")
     )

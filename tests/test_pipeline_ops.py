@@ -1193,3 +1193,82 @@ class TestPiiDensityReport:
         # web: 3 hits over 10 tokens → 300 per 1k
         assert rows["web"].sum_tokens == 10
         assert rows["web"].pii_per_1k_tokens == 300.0
+
+
+class TestLexicalDiversity:
+    def test_hand_counted_ratios(self, spark):
+        from shaper_spark.operators.text import lexical_diversity
+
+        # group a: "x x y" + "y z" → tokens 5, types 3 (x:2,y:2,z:1),
+        # hapax 1 (z); bigrams: (x,x),(x,y),(y,z) → 3 tokens, 3 types
+        df = spark.createDataFrame(
+            [(1, "x x y", "a"), (2, "y z", "a"), (3, "q q q q", "b")],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r.group: r
+            for r in lexical_diversity(
+                df, "doc_id", "text", "source"
+            ).collect()
+        }
+        a = rows["a"]
+        assert (a.n_docs, a.n_tokens, a.n_types) == (2, 5, 3)
+        assert (a.n_bigrams, a.n_bigram_types) == (3, 3)
+        assert a.ttr == 0.6
+        assert a.hapax_frac == 0.333333
+        assert a.distinct2 == 1.0
+        # group b: all-repeat doc → minimal diversity
+        b = rows["b"]
+        assert (b.n_tokens, b.n_types, b.n_bigram_types) == (4, 1, 1)
+        assert b.ttr == 0.25 and b.distinct2 == 0.333333
+
+    def test_single_word_docs_have_no_bigrams(self, spark):
+        from shaper_spark.operators.text import lexical_diversity
+
+        df = spark.createDataFrame(
+            [(1, "solo", "a"), (2, "a b", "a")],
+            "doc_id long, text string, source string",
+        )
+        (r,) = lexical_diversity(df, "doc_id", "text", "source").collect()
+        assert r.n_bigrams == 1  # only from the 2-word doc
+
+
+class TestBlocklistReport:
+    def test_hand_counted(self, spark):
+        from shaper_spark.operators.text import blocklist_report
+
+        df = spark.createDataFrame(
+            [
+                (1, "bad word bad", "a"),
+                (2, "clean text here", "a"),
+                (3, "bad", "b"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r.group: r
+            for r in blocklist_report(
+                df, "doc_id", "text", "source", ["bad"]
+            ).collect()
+        }
+        a = rows["a"]
+        assert (a.n_docs, a.docs_flagged, a.total_hits) == (2, 1, 2)
+        assert a.flagged_frac == 0.5
+        # 2 hits / 6 tokens * 1000 = 333.333333 per 1k
+        assert a.hits_per_1k == 333.333333
+        b = rows["b"]
+        assert (b.docs_flagged, b.total_hits) == (1, 1)
+        assert b.flagged_frac == 1.0 and b.hits_per_1k == 1000.0
+
+    def test_no_hits_group_present(self, spark):
+        from shaper_spark.operators.text import blocklist_report
+
+        df = spark.createDataFrame(
+            [(1, "clean only", "a")],
+            "doc_id long, text string, source string",
+        )
+        (r,) = blocklist_report(
+            df, "doc_id", "text", "source", ["bad"]
+        ).collect()
+        assert (r.docs_flagged, r.total_hits) == (0, 0)
+        assert r.flagged_frac == 0.0 and r.hits_per_1k == 0.0
