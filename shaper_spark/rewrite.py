@@ -1824,6 +1824,22 @@ def _rewrite_binary_op(
                 lstart = j
             else:
                 lstart = _expr_start(sql, states, k + 1)
+                # 'INTERVAL 3 HOUR / 2': the primary scan stops at the
+                # unit keyword — absorb the whole interval literal
+                # (batch-24)
+                if _INTERVAL_UNIT_WORD_RE.fullmatch(
+                    sql[lstart : k + 1].strip()
+                ):
+                    p = lstart - 1
+                    while p >= 0 and sql[p].isspace():
+                        p -= 1
+                    if p >= 0:
+                        qs = _expr_start(sql, states, p + 1)
+                        r = qs - 1
+                        while r >= 0 and sql[r].isspace():
+                            r -= 1
+                        if r >= 7 and sql[r - 7 : r + 1].upper() == "INTERVAL":
+                            lstart = r - 7
             if extend_mult_chain:
                 while True:
                     p = lstart - 1
@@ -1957,7 +1973,105 @@ _SLASH_RE = re.compile(r"(?<![/*])/(?![/*=])")
 _PERCENT_RE = re.compile(r"%(?!=)")
 
 
+_INTERVAL_UNIT_WORD_RE = re.compile(
+    r"(?:SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR"
+    r"|MILLISECOND|MICROSECOND)S?",
+    re.IGNORECASE,
+)
+
 _IN_VALUES_RE = re.compile(r"\bIN\s*\(\s*(VALUES\b)", re.IGNORECASE)
+
+
+_QUANTIFIED_CMP_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_quantified_comparisons(sql: str) -> str:
+    """Quantified subquery comparisons (batch-24 — Spark has no
+    ANY/ALL/SOME operator syntax):
+
+    * ``x = ANY (sub)`` / SOME → ``x IN (sub)``;
+      ``x <> ALL (sub)`` → ``x NOT IN (sub)``.
+    * ordered ops lower onto a scalar min/max subquery
+      (``x < ANY`` ≡ ``x < max``, ``x < ALL`` ≡ ``x < min``, …);
+      ALL additionally coalesces with a NOT EXISTS arm so the
+      empty-subquery case stays TRUE like DuckDB.  NULL elements:
+      WHERE-position behavior matches (both reject the row); the bare
+      SELECT-value corner (NULL vs false) is documented.
+    * ``= ALL`` / ``<> ANY`` are left untouched (loud parse error) —
+      their empty/NULL algebra doesn't reduce to one scalar agg."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _QUANTIFIED_CMP_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            close = _find_matching_close(sql, m.end() - 1, states)
+            if close == -1:
+                continue
+            sub = sql[m.end() : close].strip()
+            if not re.match(r"(?:SELECT|WITH|VALUES)\b", sub, re.IGNORECASE):
+                continue
+            op = m.group(1)
+            quant = m.group(2).upper()
+            if quant == "SOME":
+                quant = "ANY"
+            if op == "=" and quant == "ANY":
+                pass
+            elif op in ("<>", "!=") and quant == "ALL":
+                pass
+            elif op in ("<", "<=", ">", ">="):
+                pass
+            else:
+                continue
+            # left operand: primary expression (quoted literal aware)
+            k = m.start() - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k < 0:
+                continue
+            if sql[k] == "'" and states[k] == 1:
+                j = k - 1
+                while j >= 0 and not (
+                    states[j] == 1
+                    and sql[j] == "'"
+                    and (j == 0 or states[j - 1] != 1)
+                ):
+                    j -= 1
+                lstart = j
+            else:
+                lstart = _expr_start(sql, states, k + 1)
+            left = sql[lstart : m.start()].strip()
+            if not left:
+                continue
+            hit = (lstart, close, left, op, quant, sub)
+            break
+        if hit is None:
+            return sql
+        lstart, close, left, op, quant, sub = hit
+        if op == "=":
+            new = f"{left} IN ({sub})"
+        elif op in ("<>", "!="):
+            new = f"{left} NOT IN ({sub})"
+        else:
+            want_max = (quant == "ANY") == (op in ("<", "<="))
+            agg = "max" if want_max else "min"
+            cmp_ = (
+                f"{left} {op} "
+                f"(SELECT {agg}(__qc) FROM ({sub}) AS __q(__qc))"
+            )
+            if quant == "ALL":
+                new = (
+                    f"coalesce({cmp_}, "
+                    f"NOT EXISTS (SELECT 1 FROM ({sub}) AS __qe))"
+                )
+            else:
+                new = cmp_
+        sql = sql[:lstart] + new + sql[close + 1 :]
+
+
+_LIMIT_NULL_RE = re.compile(r"\bLIMIT\s+NULL\b", re.IGNORECASE)
 
 
 def _rewrite_in_values(sql: str) -> str:
@@ -2898,6 +3012,14 @@ def _rewrite_fn_compat2(sql: str) -> str:
         if len(args) != 1 or args[0].rstrip().endswith("/*TY*/"):
             return None
         return f"duckdb_typename(typeof({args[0].strip()} /*TY*/))"
+
+    def _fix_grouping_multi(args: list[str]) -> str | None:
+        # DuckDB's grouping(a, b, …) returns the combined bitmask;
+        # Spark splits that into grouping_id(a, b, …) (batch-24,
+        # same bit order — high bit = first argument)
+        if len(args) < 2:
+            return None
+        return f"grouping_id({', '.join(a.strip() for a in args)})"
 
     def _fix_printf_args(args: list[str]) -> str | None:
         # Spark's format_string/printf rejects DECIMAL for %f/%d and
@@ -4169,6 +4291,10 @@ def _rewrite_fn_compat2(sql: str) -> str:
         (re.compile(r"(?<![\w.])hash\s*\(", re.IGNORECASE), _fix_hash_fn),
         (re.compile(r"\btypeof\s*\(", re.IGNORECASE), _fix_typeof),
         (
+            re.compile(r"(?<![\w.])grouping\s*\(", re.IGNORECASE),
+            _fix_grouping_multi,
+        ),
+        (
             re.compile(
                 r"\b(?:printf|format_string)\s*\(", re.IGNORECASE
             ),
@@ -4791,6 +4917,15 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # two-array map(array(…), array(…)) → map_from_arrays (after the
     # bracket pass, which produces the array(…) form it keys on).
     sql = _rewrite_map_two_arrays(sql)
+
+    # ANY/ALL/SOME quantified comparisons → IN / scalar agg subqueries
+    # (batch-24); LIMIT NULL = no limit in DuckDB.
+    sql = _rewrite_quantified_comparisons(sql)
+    states_ln = _scan_states(sql)
+    sql = _LIMIT_NULL_RE.sub(
+        lambda m: m.group(0) if states_ln[m.start()] != 0 else "",
+        sql,
+    )
 
     # DuckDB operator spellings: ^/** power, / % // try-variants,
     # ~ / !~ regex match, -> / ->> JSON extraction.

@@ -863,9 +863,10 @@ class TestFilterOverAnyAllIgnoreNulls:
         assert "exists(arr, __e -> x < __e)" in r
         assert "forall(arr, __e -> x < __e)" in r
 
-    def test_any_subquery_untouched(self):
+    def test_any_subquery_lowers_to_in(self):
+        # batch-24 supersedes the old leave-untouched behavior
         r = rewrite_statement("SELECT x = ANY(SELECT y FROM u) FROM t").sql
-        assert "ANY(SELECT y FROM u)" in r
+        assert "x IN (SELECT y FROM u)" in r
 
     def test_ignore_nulls_moves_out(self):
         r = rewrite_statement(
@@ -1841,3 +1842,53 @@ class TestBatch23NullOrdering:
         )
         assert "'ORDER BY x'" in r.sql
         assert r.sql.rstrip().endswith("ORDER BY a NULLS LAST")
+
+
+class TestBatch24Quantified:
+    """r11 batch-24: statement/clause semantics (61-case probe) —
+    quantified ANY/ALL/SOME comparisons, multi-arg grouping(),
+    LIMIT NULL, interval-literal dividends."""
+
+    def test_eq_any_is_in(self):
+        r = rewrite_statement("SELECT x = ANY (SELECT y FROM s) FROM t")
+        assert "x IN (SELECT y FROM s)" in r.sql
+
+    def test_ne_all_is_not_in(self):
+        r = rewrite_statement("SELECT x <> ALL (SELECT y FROM s) FROM t")
+        assert "x NOT IN (SELECT y FROM s)" in r.sql
+
+    def test_lt_any_is_lt_max(self):
+        r = rewrite_statement("SELECT * FROM t WHERE x < ANY (SELECT y FROM s)")
+        assert "x < (SELECT max(__qc) FROM (SELECT y FROM s) AS __q(__qc))" in r.sql
+
+    def test_gt_all_has_empty_guard(self):
+        # x > ALL ⟺ x > max(sub); empty subquery coalesces to TRUE
+        r = rewrite_statement("SELECT * FROM t WHERE x > ALL (SELECT y FROM s)")
+        assert "x > (SELECT max(__qc)" in r.sql
+        assert "NOT EXISTS (SELECT 1 FROM (SELECT y FROM s) AS __qe)" in r.sql
+
+    def test_some_is_any(self):
+        r = rewrite_statement("SELECT x = SOME (SELECT y FROM s) FROM t")
+        assert "x IN (SELECT y FROM s)" in r.sql
+
+    def test_eq_all_left_untouched(self):
+        r = rewrite_statement("SELECT x = ALL (SELECT y FROM s) FROM t")
+        assert "= ALL" in r.sql  # loud parse error, not silent
+
+    def test_grouping_multi_arg(self):
+        r = rewrite_statement(
+            "SELECT grouping(g, s) FROM t GROUP BY CUBE (g, s)"
+        )
+        assert "grouping_id(g, s)" in r.sql
+        r2 = rewrite_statement(
+            "SELECT grouping(g) FROM t GROUP BY ROLLUP (g)"
+        )
+        assert "grouping(g)" in r2.sql  # 1-arg form already matches
+
+    def test_limit_null_stripped(self):
+        r = rewrite_statement("SELECT x FROM t ORDER BY x LIMIT NULL")
+        assert "LIMIT" not in r.sql.upper()
+
+    def test_interval_literal_dividend(self):
+        r = rewrite_statement("SELECT INTERVAL 3 HOUR / 2 AS v")
+        assert "try_divide(INTERVAL 3 HOUR, 2)" in r.sql
