@@ -112,6 +112,8 @@ EXTRAS = [
     # round 11
     "dedup_containment_pairs",
     "pii_density_report",
+    "lexical_diversity",
+    "blocklist_report",
 ]
 
 HEADLINE = [

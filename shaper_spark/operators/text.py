@@ -1736,44 +1736,54 @@ def lexical_diversity(
     Returns (group, n_docs, n_tokens, n_types, n_bigrams,
     n_bigram_types, ttr, hapax_frac, distinct2), ordered by group.
 
-    Spark shape: ONE posexplode streams each position's word AND its
-    following-bigram hash (the funnel's combined-emission pattern —
-    no second corpus scan for bigrams); two keyed count exchanges are
-    each bounded by the vocab/bigram-type count, never corpus-sized.
-    Ratios are half-up BIGINT micro-divisions rescaled to double
-    (engine-stable replay, the threshold-sweep rule).  No reference
-    counterpart; training-pipeline §2C."""
+    Spark shape: ONE posexplode emits each position's word-hash AND
+    its following-bigram hash as kind-tagged keys, so unigram and
+    bigram statistics ride a SINGLE corpus scan and a single
+    (g, kind, key) count exchange (map-side combine; the frame after
+    it is vocab-bounded, never corpus-sized).  Hashes are xxhash64 —
+    counts-only rule, the oracle's raw-string grouping sees the same
+    sets.  Ratios are half-up BIGINT micro-divisions rescaled to
+    double (engine-stable replay, the threshold-sweep rule).  No
+    reference counterpart; training-pipeline §2C."""
     words = F.split(F.col(text_col), " ")
-    stream = df.select(
-        F.col(group_col).alias("g"),
-        F.posexplode(words).alias("__i", "w"),
-        F.when(
-            F.col("__i") < F.size(words) - 1,
-            F.xxhash64(
-                F.element_at(words, F.col("__i") + 1),
-                F.element_at(words, F.col("__i") + 2),
-            ),
-        ).alias("bg"),
-    )
-    uni = (
-        stream.groupBy("g", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("g")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_types"),
-            F.count_if(F.col("c") == 1).alias("n_hapax"),
+    kv = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(words).alias("__i", "w"),
+            F.when(
+                F.col("__i") < F.size(words) - 1,
+                F.xxhash64(
+                    F.element_at(words, F.col("__i") + 1),
+                    F.element_at(words, F.col("__i") + 2),
+                ),
+            ).alias("bg"),
         )
-    )
-    big = (
-        stream.filter(F.col("bg").isNotNull())
-        .groupBy("g", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("g")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_bigram_types"),
+        .select(
+            "g",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("kind"),
+                        F.xxhash64("w").alias("key"),
+                    ),
+                    F.struct(F.lit(1).alias("kind"), F.col("bg").alias("key")),
+                )
+            ).alias("e"),
         )
+        .select("g", F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
+        .filter(F.col("key").isNotNull())
+    )
+    counts = kv.groupBy("g", "kind", "key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    uni_big = counts.groupBy("g").agg(
+        F.sum(F.when(F.col("kind") == 0, F.col("c"))).alias("n_tokens"),
+        F.count_if(F.col("kind") == 0).alias("n_types"),
+        F.count_if((F.col("kind") == 0) & (F.col("c") == 1)).alias(
+            "n_hapax"
+        ),
+        F.sum(F.when(F.col("kind") == 1, F.col("c"))).alias("n_bigrams"),
+        F.count_if(F.col("kind") == 1).alias("n_bigram_types"),
     )
     docs = df.groupBy(F.col(group_col).alias("g")).agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -1787,8 +1797,10 @@ def lexical_diversity(
         )
 
     return (
-        docs.join(uni, "g")
-        .join(big, "g")
+        docs.join(uni_big, "g")
+        # a group whose docs are all single-word has no bigram stats —
+        # dropped, matching the oracle's inner join
+        .filter(F.col("n_bigrams").isNotNull())
         .select(
             F.col("g").alias("group"),
             "n_docs",
