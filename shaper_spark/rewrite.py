@@ -380,6 +380,21 @@ _FN_RENAMES = {
 # DuckDB strftime %-codes → Java datetime pattern letters (applied to
 # literal format arguments of date_format after the rename).
 _STRFTIME_CODES = {
+    # no-pad '-' variants first (Java single letters emit min-width)
+    "%-d": "d",
+    "%-m": "M",
+    "%-H": "H",
+    "%-M": "m",
+    "%-S": "s",
+    "%-I": "h",
+    "%-j": "D",
+    # composite codes (batch-25)
+    "%c": "yyyy-MM-dd HH:mm:ss",
+    "%x": "yyyy-MM-dd",
+    "%X": "HH:mm:ss",
+    "%T": "HH:mm:ss",
+    "%R": "HH:mm",
+    "%Z": "",  # DuckDB prints '' for naive timestamps
     "%Y": "yyyy",
     "%y": "yy",
     "%m": "MM",
@@ -400,13 +415,20 @@ _STRFTIME_CODES = {
 }
 
 _DATE_FORMAT_CALL_RE = re.compile(
-    r"\b(?:date_format|to_timestamp|try_to_timestamp)\s*\(", re.IGNORECASE
+    r"\b(date_format|to_timestamp|try_to_timestamp)\s*\(", re.IGNORECASE
 )
 _REGEXP_REPLACE_CALL_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
 
+# parse-direction overrides: Java's 'DDD' demands exactly 3 digits
+# when PARSING where DuckDB's %j accepts 1-3 ('2024 60'); 'D' parses
+# 1-3 digits and still formats unpadded, so only strptime paths use it
+_STRPTIME_OVERRIDES = {"%j": "D"}
+
 
 def _convert_strftime_literals(sql: str) -> str:
-    """Rewrite %-style format literals inside date_format(...) calls."""
+    """Rewrite %-style format literals inside date_format(...) /
+    to_timestamp(...) calls (parse-direction overrides applied for the
+    to_timestamp forms, batch-25)."""
     states = _scan_states(sql)
     out = []
     last = 0
@@ -418,6 +440,9 @@ def _convert_strftime_literals(sql: str) -> str:
             continue
         span = sql[m.end() : close]
         if "%" in span:
+            if m.group(1).lower() != "date_format":
+                for code, java in _STRPTIME_OVERRIDES.items():
+                    span = span.replace(code, java)
             for code, java in _STRFTIME_CODES.items():
                 span = span.replace(code, java)
         out.append(sql[last : m.end()])
@@ -824,6 +849,44 @@ def _default_nulls_last(sql: str) -> str:
         inserts.extend(item_ends)
     for pos in sorted(inserts, reverse=True):
         sql = sql[:pos] + " NULLS LAST" + sql[pos:]
+    return sql
+
+
+_LIKE_OP_WORD_RE = re.compile(r"\bI?LIKE\b", re.IGNORECASE)
+
+
+def _fix_like_backslash_literal(sql: str) -> str:
+    """DuckDB's LIKE has NO default escape character — a backslash in
+    the pattern is a literal backslash ('50%' LIKE '50\\%' is FALSE);
+    Spark defaults to backslash-escaping (TRUE) — batch-25 silent
+    wrong.  Double backslashes inside LIKE/ILIKE pattern literals that
+    carry no explicit ESCAPE clause, so they stay literal in Spark
+    (the end-of-rewrite literal pass doubles once more for the string
+    parser)."""
+    states = _scan_states(sql)
+    edits: list[tuple[int, int, str]] = []
+    for m in _LIKE_OP_WORD_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        i = m.end()
+        while i < len(sql) and sql[i].isspace():
+            i += 1
+        if i >= len(sql) or sql[i] != "'":
+            continue
+        j = i + 1
+        while j < len(sql) and states[j] == 1:
+            j += 1
+        content = sql[i + 1 : j]
+        if "\\" not in content:
+            continue
+        k = j + 1
+        while k < len(sql) and sql[k].isspace():
+            k += 1
+        if sql[k : k + 6].upper() == "ESCAPE":
+            continue
+        edits.append((i + 1, j, content.replace("\\", "\\\\")))
+    for start, end, new in sorted(edits, reverse=True):
+        sql = sql[:start] + new + sql[end:]
     return sql
 
 
@@ -3013,6 +3076,90 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return None
         return f"duckdb_typename(typeof({args[0].strip()} /*TY*/))"
 
+    def _fix_strftime_computed(args: list[str]) -> str | None:
+        # %V/%G/%u/%w/%U/%W/%n have no Spark pattern letters (week-
+        # based Java fields are disabled in Spark 3+) — split the
+        # format into date_format chunks + computed expressions,
+        # concat'd back together (batch-25)
+        if len(args) != 2:
+            return None
+        e = args[0].strip()
+        fmt = args[1].strip()
+        if not (fmt.startswith("'") and fmt.endswith("'")):
+            return None
+        inner = fmt[1:-1]
+        computed = {
+            "%V": f"lpad(CAST(weekofyear({e}) AS STRING), 2, '0')",
+            "%G": f"CAST(extract(YEAROFWEEK FROM {e}) AS STRING)",
+            "%u": f"CAST(weekday({e}) + 1 AS STRING)",
+            "%w": f"CAST(dayofweek({e}) - 1 AS STRING)",
+            "%U": (
+                f"lpad(CAST((dayofyear({e}) + 6 - (dayofweek({e}) - 1))"
+                f" DIV 7 AS STRING), 2, '0')"
+            ),
+            "%W": (
+                f"lpad(CAST((dayofyear({e}) + 6 - weekday({e}))"
+                f" DIV 7 AS STRING), 2, '0')"
+            ),
+            "%n": (
+                f"lpad(CAST(pmod(unix_micros(CAST({e} AS TIMESTAMP)), "
+                f"1000000) * 1000 AS STRING), 9, '0')"
+            ),
+        }
+        if not any(c in inner for c in computed):
+            return None
+        parts: list[str] = []
+        buf = ""
+        i = 0
+        while i < len(inner):
+            two = inner[i : i + 2]
+            if two in computed:
+                if buf:
+                    parts.append(
+                        f"date_format({e}, '{buf}')"
+                        if "%" in buf
+                        else f"'{buf}'"
+                    )
+                    buf = ""
+                parts.append(computed[two])
+                i += 2
+            elif two == "%%":
+                buf += "%%"
+                i += 2
+            else:
+                buf += inner[i]
+                i += 1
+        if buf:
+            parts.append(
+                f"date_format({e}, '{buf}')" if "%" in buf else f"'{buf}'"
+            )
+        return "concat(" + ", ".join(parts) + ")"
+
+    def _fix_strptime_list(args: list[str]) -> str | None:
+        # strptime(s, [f1, f2, …]): DuckDB tries each format in order
+        # (batch-25) → coalesce of try_to_timestamp attempts; a
+        # no-format-matches input is NULL here vs DuckDB's error
+        # (documented)
+        if len(args) != 2:
+            return None
+        am = re.match(
+            r"^(?:\[|array\s*\()(.*?)[\])]$",
+            args[1].strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am is None:
+            return None
+        fmts = [f.strip() for f in _split_top_level_args(am.group(1))]
+        if not fmts or not all(
+            f.startswith("'") and f.endswith("'") for f in fmts
+        ):
+            return None
+        s = args[0].strip()
+        attempts = ", ".join(
+            f"try_to_timestamp({s}, {f})" for f in fmts
+        )
+        return f"coalesce({attempts})"
+
     def _fix_grouping_multi(args: list[str]) -> str | None:
         # DuckDB's grouping(a, b, …) returns the combined bitmask;
         # Spark splits that into grouping_id(a, b, …) (batch-24,
@@ -3353,15 +3500,22 @@ def _rewrite_fn_compat2(sql: str) -> str:
         if len(args) != 3:
             return None
         s, st, ln = (a.strip() for a in args)
-        if re.fullmatch(r"\+?[1-9]\d*", st) or s.endswith("/*DW*/"):
+        neg_len = re.fullmatch(r"-\d+", ln) is not None
+        if (
+            re.fullmatch(r"\+?[1-9]\d*", st) and not neg_len
+        ) or s.endswith("/*DW*/"):
             return None
         nst = (
             f"(CASE WHEN ({st}) < 0 THEN length({s}) + ({st}) + 1 "
             f"ELSE ({st}) END)"
         )
+        # negative length opens the window BACKWARD from start
+        # (batch-25): unified window [min(st, st+len), max(st, st+len))
+        lo = f"least({nst}, {nst} + ({ln}))"
+        hi = f"greatest({nst}, {nst} + ({ln}))"
         return (
-            f"substr({s} /*DW*/, greatest({nst}, 1), "
-            f"greatest(({ln}) + least({nst} - 1, 0), 0))"
+            f"substr({s} /*DW*/, greatest({lo}, 1), "
+            f"greatest({hi} - greatest({lo}, 1), 0))"
         )
 
     def _fix_trunc1(args: list[str]) -> str | None:
@@ -4295,6 +4449,14 @@ def _rewrite_fn_compat2(sql: str) -> str:
             _fix_grouping_multi,
         ),
         (
+            re.compile(r"\bstrftime\s*\(", re.IGNORECASE),
+            _fix_strftime_computed,
+        ),
+        (
+            re.compile(r"\bstrptime\s*\(", re.IGNORECASE),
+            _fix_strptime_list,
+        ),
+        (
             re.compile(
                 r"\b(?:printf|format_string)\s*\(", re.IGNORECASE
             ),
@@ -5039,6 +5201,12 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # Type renames (::TIMESTAMPTZ, CAST(x AS VARCHAR), …).
     sql = _rename_types(sql)
     sql = _rename_ddl_types(sql)
+
+    # LIKE patterns: DuckDB has no default escape char — backslashes
+    # in un-ESCAPEd LIKE/ILIKE pattern literals stay literal
+    # (batch-25; BEFORE the global doubling below, which covers the
+    # string-parser level).
+    sql = _fix_like_backslash_literal(sql)
 
     # DuckDB literals treat backslash literally; Spark's parser
     # escapes it — double them (LAST, so injected literals are

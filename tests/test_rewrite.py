@@ -1892,3 +1892,55 @@ class TestBatch24Quantified:
     def test_interval_literal_dividend(self):
         r = rewrite_statement("SELECT INTERVAL 3 HOUR / 2 AS v")
         assert "try_divide(INTERVAL 3 HOUR, 2)" in r.sql
+
+
+class TestBatch25Formats:
+    """r11 batch-25: strftime/strptime code tail, LIKE backslash
+    semantics, negative substring lengths (71-case probe, all fixes
+    execution-differential-verified against DuckDB)."""
+
+    def test_composite_codes(self):
+        r = rewrite_statement("SELECT strftime(ts, '%x %X') FROM t")
+        assert "date_format(ts, 'yyyy-MM-dd HH:mm:ss')" in r.sql
+
+    def test_no_pad_dash_codes(self):
+        r = rewrite_statement("SELECT strftime(ts, '%-m/%-d/%y') FROM t")
+        assert "date_format(ts, 'M/d/yy')" in r.sql
+
+    def test_iso_week_computed(self):
+        r = rewrite_statement("SELECT strftime(ts, '%G-W%V-%u') FROM t")
+        assert "extract(YEAROFWEEK FROM ts)" in r.sql
+        assert "lpad(CAST(weekofyear(ts) AS STRING), 2, '0')" in r.sql
+        assert "weekday(ts) + 1" in r.sql
+
+    def test_sunday_monday_weeks_computed(self):
+        r = rewrite_statement("SELECT strftime(d, 'wk %U/%W') FROM t")
+        assert "dayofyear(d)" in r.sql and "DIV 7" in r.sql
+
+    def test_strptime_day_of_year_parses_loose(self):
+        r = rewrite_statement("SELECT strptime('2024 60', '%Y %j')")
+        assert "'yyyy D'" in r.sql  # 'D' parses 1-3 digits, DDD needs 3
+
+    def test_strptime_format_list(self):
+        r = rewrite_statement(
+            "SELECT strptime(s, ['%Y-%m-%d', '%m/%d/%Y']) FROM t"
+        )
+        assert (
+            "coalesce(try_to_timestamp(s, 'yyyy-MM-dd'), "
+            "try_to_timestamp(s, 'MM/dd/yyyy'))" in r.sql
+        )
+
+    def test_like_backslash_stays_literal(self):
+        r = rewrite_statement(r"SELECT '50%' LIKE '50\%' AS v")
+        # pattern-level doubling + string-parser doubling = 4
+        assert r"'50\\\\%'" in r.sql
+
+    def test_like_with_escape_clause_untouched(self):
+        r = rewrite_statement(
+            r"SELECT '50%' LIKE '50\%' ESCAPE '\' AS v"
+        )
+        assert r"'50\\%'" in r.sql  # only the string-parser doubling
+
+    def test_substring_negative_length(self):
+        r = rewrite_statement("SELECT substring(s, 4, -2) FROM t")
+        assert "least(" in r.sql and "greatest(" in r.sql
