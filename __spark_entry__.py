@@ -2594,6 +2594,29 @@ ORDER BY 1
 """
 
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source discrete length quantiles (shaper_spark/
+    operators/text.py length_quantiles): p50/p90/p99 of n_chars with
+    DuckDB's quantile_disc rank convention, built from a value
+    histogram + cumulative counts — no per-group sort of raw rows, no
+    percentile() memory blowup. Sequence-length planning for packing
+    budgets. No reference counterpart; §2C."""
+    from shaper_spark.operators.text import length_quantiles
+
+    _prep(spark, sf_dir)
+    return length_quantiles(spark.table("documents"), "source", "n_chars")
+
+
+LENGTH_QUANTILES_DUCK = """
+SELECT source AS "group", count(*) AS n_docs, min(n_chars) AS min_val,
+       quantile_disc(n_chars, 0.5) AS q_5,
+       quantile_disc(n_chars, 0.9) AS q_9,
+       quantile_disc(n_chars, 0.99) AS q_99,
+       max(n_chars) AS max_val
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 _CANARIES = ["batch batch", "spark window", "canary-absent-xyz"]
 
 
@@ -4873,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full oracle-checked round per rotation policy)
         "lexical_diversity": _q_lexical_diversity,
         "blocklist_report": _q_blocklist_report,
+        "length_quantiles": _q_length_quantiles,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -5015,4 +5039,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_density_report": _pii_density_duck(),
         "lexical_diversity": LEXDIV_DUCK,
         "blocklist_report": BLOCKLIST_DUCK,
+        "length_quantiles": LENGTH_QUANTILES_DUCK,
     }

@@ -114,6 +114,7 @@ EXTRAS = [
     "pii_density_report",
     "lexical_diversity",
     "blocklist_report",
+    "length_quantiles",
 ]
 
 HEADLINE = [

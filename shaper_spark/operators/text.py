@@ -39,6 +39,7 @@ __all__ = [
     "pmi_collocations",
     "lexical_diversity",
     "blocklist_report",
+    "length_quantiles",
     "quality_lm_correlation",
     "LANG_STOPWORDS",
 ]
@@ -1875,5 +1876,76 @@ def blocklist_report(
                 / F.lit(1000000.0)
             ).alias("hits_per_1k"),
         )
+        .orderBy("group")
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group discrete quantiles of an integer column
+    (sequence-length planning for packing/truncation budgets).
+    Returns (group, n_docs, min_val, q_50, q_90, q_99, max_val) with
+    DuckDB's ``quantile_disc`` rank convention: the
+    ``ceil(n·p)``-th order statistic (pinned against DuckDB 1.0 at
+    n ∈ {4, 5, 10, 20, 25, 100}; both engines compute n·p in IEEE
+    doubles, so the rank replays identically).
+
+    Spark shape: built from a VALUE HISTOGRAM — groupBy(group, value)
+    counts (map-side combine; the frame after it is bounded by the
+    distinct-value count, never row count), then a per-group
+    cumulative sum picks each quantile as the first value whose
+    cumulative count reaches the target rank.  No per-group sort of
+    raw rows, no percentile() memory blowup — the 100 TB-safe exact
+    form.  Hash-stable: pure integer selection, no interpolation."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(
+            F.col(group_col).alias("g"), F.col(value_col).alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("g")
+    cum = counts.select(
+        "g",
+        "v",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    rank = {
+        p: F.greatest(
+            F.ceil(F.col("n") * F.lit(p)).cast("bigint"), F.lit(1)
+        )
+        for p in probs
+    }
+    picked = [
+        F.min(
+            F.when(
+                (F.col("cum") >= rank[p])
+                & (F.col("cum") - F.col("c") < rank[p]),
+                F.col("v"),
+            )
+        ).alias(f"q_{str(p)[2:]}")
+        for p in probs
+    ]
+    return (
+        cum.groupBy("g")
+        .agg(
+            F.first("n").alias("n_docs"),
+            F.min("v").alias("min_val"),
+            *picked,
+            F.max("v").alias("max_val"),
+        )
+        .withColumnRenamed("g", "group")
         .orderBy("group")
     )

@@ -1272,3 +1272,39 @@ class TestBlocklistReport:
         ).collect()
         assert (r.docs_flagged, r.total_hits) == (0, 0)
         assert r.flagged_frac == 0.0 and r.hits_per_1k == 0.0
+
+
+class TestLengthQuantiles:
+    def test_matches_duckdb_disc_convention(self, spark):
+        import duckdb
+
+        from shaper_spark.operators.text import length_quantiles
+
+        rows = [(i % 3, v) for i, v in enumerate(range(1, 26))]
+        df = spark.createDataFrame(rows, "g int, v int")
+        got = {
+            r.group: (r.n_docs, r.min_val, r.q_5, r.q_9, r.q_99, r.max_val)
+            for r in length_quantiles(df, "g", "v").collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                    + ",".join(f"({g},{v})" for g, v in rows)
+                    + ") x(g, v)")
+        want = {
+            r[0]: tuple(r[1:])
+            for r in con.execute(
+                "SELECT g, count(*), min(v), quantile_disc(v, 0.5), "
+                "quantile_disc(v, 0.9), quantile_disc(v, 0.99), max(v) "
+                "FROM t GROUP BY 1"
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_duplicate_values_pick_first_reaching_rank(self, spark):
+        from shaper_spark.operators.text import length_quantiles
+
+        df = spark.createDataFrame(
+            [(1, 5)] * 9 + [(1, 100)], "g int, v int"
+        )
+        (r,) = length_quantiles(df, "g", "v").collect()
+        assert r.q_5 == 5 and r.q_9 == 5 and r.q_99 == 100
