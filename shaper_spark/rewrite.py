@@ -288,6 +288,29 @@ _FN_RENAMES = {
     # list_concat/array_concat/array_cat: fixers (emit /*ARR*/-marked
     # Spark array concat so the varchar concat NULL-skip pass skips them)
     "list_value": "array",
+    # batch-26 alias audit (duckdb_functions() diff)
+    "array_value": "array",
+    # arbitrary keeps NULLs (first value in arrival order), unlike
+    # the NULL-skipping any_value
+    "arbitrary": "first",
+    "array_transform": "transform",
+    "array_apply": "transform",
+    "list_apply": "transform",
+    "apply": "transform",
+    "array_filter": "filter",
+    "array_indexof": "array_position",
+    "argmax": "max_by",
+    "argmin": "min_by",
+    "from_base64": "unbase64",
+    "to_base64": "base64",
+    "from_hex": "unhex",
+    "error": "raise_error",
+    "make_timestamptz": "make_timestamp",
+    "current_localtimestamp": "localtimestamp",
+    "get_current_timestamp": "current_timestamp",
+    "transaction_timestamp": "current_timestamp",
+    "row_to_json": "to_json",
+    "array_to_json": "to_json",
     # OOB index → NULL like DuckDB (element_at raises; r11 batch-22)
     "list_extract": "try_element_at",
     "array_extract": "try_element_at",
@@ -1640,7 +1663,8 @@ def _rewrite_agg_order_by(sql: str) -> str:
 
 
 _LIST_AGGREGATE_RE = re.compile(
-    r"\b(list_aggregate|array_aggregate|list_aggr)\s*\(", re.IGNORECASE
+    r"\b(list_aggregate|array_aggregate|list_aggr|array_aggr)\s*\(",
+    re.IGNORECASE
 )
 
 _LIST_AGG_FNS = {
@@ -2860,8 +2884,18 @@ def _rewrite_misc_calls(sql: str) -> str:
     )
 
 
+_INTERVAL_PRODUCER_RE = re.compile(
+    r"^(?:INTERVAL\b|make_(?:dt_|ym_)?interval\s*\(|to_(?:seconds|"
+    r"minutes|hours|days|weeks|months|quarters|years|decades|"
+    r"centuries|millennia|milliseconds|microseconds)\s*\()",
+    re.IGNORECASE,
+)
+
+
 def _fix_date_add(args: list[str]) -> str | None:
-    if len(args) != 2 or not args[1].strip().upper().startswith("INTERVAL"):
+    # interval 2nd arg (literal or producer call, batch-26) → '+';
+    # Spark's own integer-day form passes through
+    if len(args) != 2 or not _INTERVAL_PRODUCER_RE.match(args[1].strip()):
         return None
     return f"({args[0].strip()} + {args[1].strip()})"
 
@@ -3159,6 +3193,109 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f"try_to_timestamp({s}, {f})" for f in fmts
         )
         return f"coalesce({attempts})"
+
+    # ---- batch-26 alias-audit fixers (duckdb_functions() diff) ----
+
+    def _fix_count_star(args: list[str]) -> str | None:
+        if args and any(a.strip() for a in args):
+            return None
+        return "count(*)"
+
+    def _fix_sem(args: list[str]) -> str | None:
+        # standard error of the mean — DuckDB uses the POPULATION
+        # stddev over √n (pinned: sem([1,2,4]) = 0.720082…)
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return f"(stddev_pop({e}) / sqrt(count({e})))"
+
+    def _fix_constant_or_null(args: list[str]) -> str | None:
+        # constant_or_null(v, x): v unless x IS NULL
+        if len(args) != 2:
+            return None
+        v, x = args[0].strip(), args[1].strip()
+        return f"(CASE WHEN ({x}) IS NULL THEN NULL ELSE ({v}) END)"
+
+    def _fix_reservoir_quantile(args: list[str]) -> str | None:
+        # approximate by contract — percentile_approx, sample-size
+        # argument dropped
+        if len(args) not in (2, 3):
+            return None
+        return (
+            f"percentile_approx({args[0].strip()}, {args[1].strip()})"
+        )
+
+    def _fix_julian(args: list[str]) -> str | None:
+        # julian day number: unix days + 2440588 (midnight = .0,
+        # pinned against DuckDB 1.0)
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"(unix_micros(CAST({e} AS TIMESTAMP)) / 86400000000.0 "
+            f"+ 2440588.0)"
+        )
+
+    def _fix_epoch_ns(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"(unix_micros({args[0].strip()}) * 1000)"
+
+    def _fix_era(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"(CASE WHEN year({args[0].strip()}) > 0 THEN 1 ELSE 0 END)"
+
+    def _mk_const_fn(value: str):
+        # functions that are a session constant here (tz pinned UTC)
+        def fix(args: list[str]) -> str | None:
+            return value if len(args) == 1 else None
+
+        return fix
+
+    def _fix_decade_fn(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"(year({args[0].strip()}) DIV 10)"
+
+    def _fix_millennium_fn(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        return f"(((year({args[0].strip()}) - 1) DIV 1000) + 1)"
+
+    def _fix_microsecond_fn(args: list[str]) -> str | None:
+        # µs within the MINUTE, like date_part('microseconds')
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return f"pmod(unix_micros(CAST({e} AS TIMESTAMP)), 60000000)"
+
+    def _fix_millisecond_fn(args: list[str]) -> str | None:
+        if len(args) != 1:
+            return None
+        e = args[0].strip()
+        return (
+            f"(pmod(unix_micros(CAST({e} AS TIMESTAMP)), 60000000) "
+            f"DIV 1000)"
+        )
+
+    def _fix_divide_fn(args: list[str]) -> str | None:
+        # DuckDB's divide(a, b) is the // operator (integer DIV on
+        # integers), not float division
+        if len(args) != 2:
+            return None
+        a, b = args[0].strip(), args[1].strip()
+        return (
+            f"(CASE WHEN ({b}) = 0 THEN NULL ELSE ({a}) DIV ({b}) END)"
+        )
+
+    def _mk_binop_fn(op: str):
+        def fix(args: list[str]) -> str | None:
+            if len(args) != 2:
+                return None
+            return f"(({args[0].strip()}) {op} ({args[1].strip()}))"
+
+        return fix
 
     def _fix_grouping_multi(args: list[str]) -> str | None:
         # DuckDB's grouping(a, b, …) returns the combined bitmask;
@@ -4174,19 +4311,19 @@ def _rewrite_fn_compat2(sql: str) -> str:
             _fix_any_value,
         ),
         (
-            re.compile(r"\blist_reduce\s*\(", re.IGNORECASE),
+            re.compile(r"\b(?:list|array)_reduce\s*\(", re.IGNORECASE),
             _fix_list_reduce,
         ),
         (
-            re.compile(r"\blist_where\s*\(", re.IGNORECASE),
+            re.compile(r"\b(?:list|array)_where\s*\(", re.IGNORECASE),
             _fix_list_where,
         ),
         (
-            re.compile(r"\blist_select\s*\(", re.IGNORECASE),
+            re.compile(r"\b(?:list|array)_select\s*\(", re.IGNORECASE),
             _fix_list_select,
         ),
         (
-            re.compile(r"\blist_grade_up\s*\(", re.IGNORECASE),
+            re.compile(r"\b(?:list_|array_)?grade_up\s*\(", re.IGNORECASE),
             _fix_list_grade_up,
         ),
         (
@@ -4238,6 +4375,35 @@ def _rewrite_fn_compat2(sql: str) -> str:
             re.compile(r"\bto_years\s*\(", re.IGNORECASE),
             _mk_to_unit("make_ym_interval({n}, 0)"),
         ),
+        # batch-26: the rest of the to_* interval makers
+        (
+            re.compile(r"\bto_weeks\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_dt_interval(({n}) * 7, 0, 0, 0)"),
+        ),
+        (
+            re.compile(r"\bto_quarters\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_ym_interval(0, ({n}) * 3)"),
+        ),
+        (
+            re.compile(r"\bto_decades\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_ym_interval(({n}) * 10, 0)"),
+        ),
+        (
+            re.compile(r"\bto_centuries\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_ym_interval(({n}) * 100, 0)"),
+        ),
+        (
+            re.compile(r"\bto_millennia\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_ym_interval(({n}) * 1000, 0)"),
+        ),
+        (
+            re.compile(r"\bto_milliseconds\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_dt_interval(0, 0, 0, ({n}) / 1000.0)"),
+        ),
+        (
+            re.compile(r"\bto_microseconds\s*\(", re.IGNORECASE),
+            _mk_to_unit("make_dt_interval(0, 0, 0, ({n}) / 1000000.0)"),
+        ),
         (re.compile(r"\bhistogram\s*\(", re.IGNORECASE), _fix_histogram),
         (
             re.compile(r"\bjson_merge_patch\s*\(", re.IGNORECASE),
@@ -4249,7 +4415,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         ),
         (
             re.compile(
-                r"\b(?:list_concat|array_concat|array_cat)\s*\(",
+                r"\b(?:list_concat|array_concat|array_cat|list_cat)\s*\(",
                 re.IGNORECASE,
             ),
             _fix_array_concat,
@@ -4279,7 +4445,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
             _fix_concat_nullskip,
         ),
         (
-            re.compile(r"\blist_resize\s*\(", re.IGNORECASE),
+            re.compile(r"\b(?:list|array)_resize\s*\(", re.IGNORECASE),
             _fix_list_resize,
         ),
         (
@@ -4325,7 +4491,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         ),
         (
             re.compile(
-                r"\b(?:from_json|json_transform)\s*\(", re.IGNORECASE
+                r"\b(?:from_json|from_json_strict|json_transform|json_transform_strict)\s*\(", re.IGNORECASE
             ),
             _fix_from_json_structure,
         ),
@@ -4372,7 +4538,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
             _fix_list_sort_dir,
         ),
         (
-            re.compile(r"\blist_reverse_sort\s*\(", re.IGNORECASE),
+            re.compile(r"\b(?:list|array)_reverse_sort\s*\(", re.IGNORECASE),
             _fix_list_reverse_sort,
         ),
         (
@@ -4424,12 +4590,12 @@ def _rewrite_fn_compat2(sql: str) -> str:
         (re.compile(r"\bkurtosis\s*\(", re.IGNORECASE), _fix_kurt),
         (re.compile(r"(?<![\w.])log\s*\(", re.IGNORECASE), _fix_log),
         (
-            re.compile(r"\b(?:list_contains|list_has)\s*\(", re.IGNORECASE),
+            re.compile(r"\b(?:list_contains|list_has|array_has)\s*\(", re.IGNORECASE),
             _fix_list_contains,
         ),
         (re.compile(r"\bsha256\s*\(", re.IGNORECASE), _fix_sha256),
         (re.compile(r"\bfavg\s*\(", re.IGNORECASE), _fix_favg),
-        (re.compile(r"\bfsum\s*\(", re.IGNORECASE), _fix_fsum),
+        (re.compile(r"\b(?:fsum|kahan_sum|sumkahan)\s*\(", re.IGNORECASE), _fix_fsum),
         (
             re.compile(r"(?<![\w.])timezone\s*\(", re.IGNORECASE),
             _fix_timezone_fn,
@@ -4448,6 +4614,59 @@ def _rewrite_fn_compat2(sql: str) -> str:
             re.compile(r"(?<![\w.])grouping\s*\(", re.IGNORECASE),
             _fix_grouping_multi,
         ),
+        (re.compile(r"\bcount_star\s*\(", re.IGNORECASE), _fix_count_star),
+        (re.compile(r"(?<![\w.])sem\s*\(", re.IGNORECASE), _fix_sem),
+        (
+            re.compile(r"\bconstant_or_null\s*\(", re.IGNORECASE),
+            _fix_constant_or_null,
+        ),
+        (
+            re.compile(r"\breservoir_quantile\s*\(", re.IGNORECASE),
+            _fix_reservoir_quantile,
+        ),
+        (re.compile(r"(?<![\w.])julian\s*\(", re.IGNORECASE), _fix_julian),
+        (re.compile(r"\bepoch_ns\s*\(", re.IGNORECASE), _fix_epoch_ns),
+        (re.compile(r"(?<![\w.])era\s*\(", re.IGNORECASE), _fix_era),
+        (
+            re.compile(r"\btimezone_hour\s*\(", re.IGNORECASE),
+            _mk_const_fn("0"),
+        ),
+        (
+            re.compile(r"\btimezone_minute\s*\(", re.IGNORECASE),
+            _mk_const_fn("0"),
+        ),
+        (
+            re.compile(r"(?<![\w.])decade\s*\(", re.IGNORECASE),
+            _fix_decade_fn,
+        ),
+        (
+            re.compile(r"\bmillennium\s*\(", re.IGNORECASE),
+            _fix_millennium_fn,
+        ),
+        (
+            re.compile(r"\bmicrosecond\s*\(", re.IGNORECASE),
+            _fix_microsecond_fn,
+        ),
+        (
+            re.compile(r"\bmillisecond\s*\(", re.IGNORECASE),
+            _fix_millisecond_fn,
+        ),
+        (
+            re.compile(r"(?<![\w.])divide\s*\(", re.IGNORECASE),
+            _fix_divide_fn,
+        ),
+        (
+            re.compile(r"(?<![\w.])multiply\s*\(", re.IGNORECASE),
+            _mk_binop_fn("*"),
+        ),
+        (
+            re.compile(r"(?<![\w.])add\s*\(", re.IGNORECASE),
+            _mk_binop_fn("+"),
+        ),
+        (
+            re.compile(r"(?<![\w.])subtract\s*\(", re.IGNORECASE),
+            _mk_binop_fn("-"),
+        ),
         (
             re.compile(r"\bstrftime\s*\(", re.IGNORECASE),
             _fix_strftime_computed,
@@ -4462,7 +4681,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
             ),
             _fix_printf_args,
         ),
-        (re.compile(r"\bdate_sub\s*\(", re.IGNORECASE), _fix_date_sub3),
+        (re.compile(r"\b(?:date_sub|datesub)\s*\(", re.IGNORECASE), _fix_date_sub3),
         (re.compile(r"\btime_bucket\s*\(", re.IGNORECASE), _fix_time_bucket),
         (
             re.compile(r"\bregexp_extract_all\s*\(", re.IGNORECASE),

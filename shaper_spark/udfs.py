@@ -373,6 +373,28 @@ def _json_structure(j: str | None) -> str | None:
     )
 
 
+def _hamming(a: str | None, b: str | None) -> int | None:
+    """DuckDB hamming/mismatches: count of differing positions;
+    errors on unequal lengths like DuckDB (loud, not silent)."""
+    if a is None or b is None:
+        return None
+    if len(a) != len(b):
+        raise ValueError("hamming: strings must be of equal length")
+    return sum(1 for x, y in zip(a, b) if x != y)
+
+
+def _parse_dirpath(s: str | None) -> str | None:
+    """Path minus the final component (DuckDB parse_dirpath,
+    default '/' separator)."""
+    if s is None:
+        return None
+    trimmed = s.rstrip("/")
+    if "/" not in trimmed:
+        return ""
+    head = trimmed.rsplit("/", 1)[0]
+    return head if head else "/"
+
+
 _BAR_EIGHTHS = " ▏▎▍▌▋▊▉"
 
 
@@ -511,6 +533,9 @@ _REGISTRY = [
     ("strip_accents", _strip_accents, "string"),
     ("nfc_normalize", _nfc_normalize, "string"),
     ("parse_dirname", _parse_dirname, "string"),
+    ("parse_dirpath", _parse_dirpath, "string"),
+    ("hamming", _hamming, "bigint"),
+    ("mismatches", _hamming, "bigint"),
     ("parse_filename", _parse_filename, "string"),
     ("parse_path", _parse_path, "array<string>"),
     ("url_encode", _url_encode, "string"),

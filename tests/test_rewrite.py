@@ -1944,3 +1944,82 @@ class TestBatch25Formats:
     def test_substring_negative_length(self):
         r = rewrite_statement("SELECT substring(s, 4, -2) FROM t")
         assert "least(" in r.sql and "greatest(" in r.sql
+
+
+class TestBatch26AliasAudit:
+    """r11 batch-26: systematic duckdb_functions() coverage diff —
+    aliases, operator-function forms, and the to_* interval tail
+    (execution-differential-verified; 23/26 value-exact, 3 in
+    documented type/text classes)."""
+
+    def test_operator_functions(self):
+        r = rewrite_statement("SELECT divide(7, 2), multiply(3, 4), add(1, 2), subtract(5, 3)")
+        assert "(7) DIV (2)" in r.sql  # divide is the // operator
+        assert "(3) * (4)" in r.sql and "(1) + (2)" in r.sql
+
+    def test_count_star(self):
+        r = rewrite_statement("SELECT count_star() FROM t")
+        assert "count(*)" in r.sql
+
+    def test_sem_is_pop_stddev_over_sqrt_n(self):
+        r = rewrite_statement("SELECT sem(x) FROM t")
+        assert "(stddev_pop(x) / sqrt(count(x)))" in r.sql
+
+    def test_constant_or_null(self):
+        r = rewrite_statement("SELECT constant_or_null(v, x) FROM t")
+        assert "CASE WHEN (x) IS NULL THEN NULL ELSE (v) END" in r.sql
+
+    def test_julian_day(self):
+        r = rewrite_statement("SELECT julian(d) FROM t")
+        assert "86400000000.0D + 2440588.0" in r.sql
+
+    def test_scalar_date_parts(self):
+        r = rewrite_statement(
+            "SELECT decade(d), millennium(d), era(d), epoch_ns(ts),"
+            " microsecond(ts), millisecond(ts) FROM t"
+        )
+        assert "(year(d) DIV 10)" in r.sql
+        assert "unix_micros(ts) * 1000" in r.sql
+        assert "pmod(unix_micros(CAST(ts AS TIMESTAMP)), 60000000)" in r.sql
+
+    def test_timezone_parts_are_zero_under_utc(self):
+        r = rewrite_statement("SELECT timezone_hour(ts), timezone_minute(ts) FROM t")
+        assert r.sql == "SELECT 0, 0 FROM t"
+
+    def test_to_interval_tail(self):
+        r = rewrite_statement("SELECT to_weeks(2), to_quarters(q), to_millennia(1) FROM t")
+        assert "make_dt_interval((2) * 7, 0, 0, 0)" in r.sql
+        assert "make_ym_interval(0, (q) * 3)" in r.sql
+        assert "make_ym_interval((1) * 1000, 0)" in r.sql
+
+    def test_date_add_interval_producer(self):
+        r = rewrite_statement("SELECT date_add(d, to_quarters(3)) FROM t")
+        assert "(d + make_ym_interval(0, (3) * 3))" in r.sql
+
+    def test_array_aliases(self):
+        r = rewrite_statement(
+            "SELECT array_apply(l, x -> x), array_filter(l, x -> x > 1),"
+            " array_indexof(l, 3), array_value(1, 2), list_cat(a, b) FROM t"
+        )
+        assert "transform(l, x -> x)" in r.sql
+        assert "filter(l, x -> x > 1)" in r.sql
+        assert "array_position(l, 3)" in r.sql
+        assert "array(1, 2)" in r.sql
+        assert "concat(a /*ARR*/, b)" in r.sql
+
+    def test_base64_hex_renames(self):
+        r = rewrite_statement("SELECT from_base64(s), to_base64(b), from_hex(h) FROM t")
+        assert "unbase64(s)" in r.sql and "base64(b)" in r.sql
+        assert "unhex(h)" in r.sql
+
+    def test_kahan_aliases_double(self):
+        r = rewrite_statement("SELECT kahan_sum(x), sumkahan(x) FROM t")
+        assert r.sql.count("sum(CAST(x AS DOUBLE))") == 2
+
+    def test_reservoir_quantile_drops_size(self):
+        r = rewrite_statement("SELECT reservoir_quantile(x, 0.5, 100) FROM t")
+        assert "percentile_approx(x, 0.5)" in r.sql
+
+    def test_arbitrary_keeps_nulls(self):
+        r = rewrite_statement("SELECT arbitrary(x) FROM t")
+        assert "first(x)" in r.sql
