@@ -67,8 +67,11 @@ _SET_SEARCH_PATH_RE = re.compile(
 _RESET_SEARCH_PATH_RE = re.compile(
     r"^\s*RESET\s+search_path\s*;?\s*$", re.IGNORECASE
 )
+# TEMP is optional (batch-26: tasks may CREATE MACRO without it — the
+# dashboard gate still admits only the TEMP forms, like the reference)
 _CREATE_MACRO_RE = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP|TEMPORARY)\s+(?:MACRO|FUNCTION)\s+"
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:(?:TEMP|TEMPORARY)\s+)?"
+    r"(?:MACRO|FUNCTION)\s+"
     r"(?:IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\(([^)]*)\)\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -171,6 +174,11 @@ def _parse_macro(sql: str) -> _Macro | None:
     if not m:
         return None
     name, paramlist, body = m.group(1), m.group(2), m.group(3).strip()
+    # TABLE macro (CREATE MACRO t(n) AS TABLE SELECT …): the stripped
+    # body is a subquery — the expander's parenthesis wrap makes the
+    # FROM-position call a derived table (batch-26)
+    if re.match(r"TABLE\b", body, re.IGNORECASE):
+        body = body[5:].lstrip()
     params: list[str] = []
     defaults: dict[str, str] = {}
     for p in paramlist.split(","):

@@ -725,3 +725,41 @@ def test_recursive_unnest_named_errors(spark):
             "SELECT unnest([[1]], recursive := true, max_depth := 2);",
             dashboard_id="ru",
         )
+
+
+class TestTableMacros:
+    """CREATE [TEMP] MACRO … AS TABLE (batch-26): the stripped body
+    inlines as a derived table at FROM-position call sites; TEMP is
+    optional outside dashboards (the gate still requires it there)."""
+
+    def test_table_macro_from_position(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(spark, """
+CREATE TEMP MACRO rng(n) AS TABLE SELECT unnest(range(1, n + 1)) AS x;
+SELECT sum(x) AS s FROM rng(4);
+""", dashboard_id="tmacro1")
+        rows = r.sections[-1].queries[-1].rows
+        assert rows == [[10]]
+
+    def test_table_macro_with_default(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(spark, """
+CREATE TEMP MACRO firstn(n := 2) AS TABLE
+  SELECT unnest(range(n)) AS i;
+SELECT count(*) AS c FROM firstn();
+SELECT count(*) AS c2 FROM firstn(n := 5);
+""", dashboard_id="tmacro2")
+        qs = [q for s in r.sections for q in s.queries]
+        assert qs[0].rows == [[2]] and qs[1].rows == [[5]]
+
+    def test_non_temp_macro_parses(self):
+        from shaper_spark.engine import _parse_macro
+
+        m = _parse_macro("CREATE MACRO sm(a, b) AS a + b")
+        assert m is not None and m.params == ["a", "b"]
+        t = _parse_macro(
+            "CREATE OR REPLACE MACRO tm(n) AS TABLE SELECT n AS v"
+        )
+        assert t is not None and t.body == "SELECT n AS v"
