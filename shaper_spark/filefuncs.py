@@ -88,7 +88,22 @@ _OPT_MAP = {
     "ignore_errors": ("mode", lambda v: "DROPMALFORMED"),
     "all_varchar": ("inferSchema", lambda v: "false"),
     "auto_detect": ("inferSchema", lambda v: v),
+    # r11 batch-26 tail: the remaining commonly-pasted read_csv args.
+    # Format values arrive in DuckDB's %-code dialect — convert to
+    # Java patterns with the shared strftime table.
+    "dateformat": ("dateFormat", lambda v: _strf_to_java(v)),
+    "timestampformat": ("timestampFormat", lambda v: _strf_to_java(v)),
+    "decimal_separator": ("locale", lambda v: "de-DE" if v == "," else "en-US"),
+    "comment": ("comment", lambda v: v),
 }
+
+
+def _strf_to_java(fmt: str) -> str:
+    from .rewrite import _STRFTIME_CODES
+
+    for code, java in _STRFTIME_CODES.items():
+        fmt = fmt.replace(code, java)
+    return fmt
 
 
 class FileFunctionError(ValueError):
