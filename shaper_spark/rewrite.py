@@ -693,19 +693,52 @@ _INT_CAST_AS_RE = re.compile(
 _INT_COLONCOLON_RE = re.compile(
     r"::\s*(" + _INT_CAST_TARGETS + r")\b(?!\s*[\[(])", re.IGNORECASE
 )
-# operand heads that already produce integers (or integral doubles) —
-# wrapping would only add per-row DECIMAL cost in hot paths
-_INT_SAFE_HEAD_RE = re.compile(
-    r"^\s*\(*\s*(?:-?\d+\s*\)*\s*$|(?:round|floor|ceil|ceiling|trunc|"
-    r"year|month|day|hour|minute|second|quarter|dayofweek|dayofmonth|"
-    r"dayofyear|weekday|weekofyear|datediff|date_diff|length|size|"
-    r"char_length|octet_length|instr|strpos|position|levenshtein|"
-    r"unix_micros|unix_millis|unix_seconds|unix_timestamp|xxhash64|"
-    r"count|row_number|rank|dense_rank|ntile|ascii|bit_count|"
-    r"array_position|greatest|least|if|coalesce|ifnull|nullif|abs)"
-    r"\s*\()",
-    re.IGNORECASE,
+# functions that PROVABLY produce integers (or integral doubles) for
+# ANY argument types — wrapping their casts would only add per-row
+# DECIMAL cost in hot paths.  Pass-through functions (coalesce/
+# greatest/if/abs/…) are deliberately ABSENT: they inherit their
+# arguments' types, which can be fractional (the r11 fuzzer caught
+# CAST(coalesce(sqrt(…), …) AS INT) truncating); round/trunc are
+# integral ONLY in their 1-arg forms (round(x, 2) keeps fraction).
+_INT_SAFE_FNS = frozenset(
+    "floor ceil ceiling year month day hour minute second quarter "
+    "dayofweek dayofmonth dayofyear weekday weekofyear datediff "
+    "date_diff length size char_length octet_length instr strpos "
+    "position levenshtein unix_micros unix_millis unix_seconds "
+    "unix_timestamp xxhash64 count row_number rank dense_rank ntile "
+    "ascii bit_count array_position".split()
 )
+_ROUND_1ARG_FNS = frozenset(("round", "trunc", "bround"))
+
+
+def _int_safe_operand(operand: str) -> bool:
+    """True when the cast operand PROVABLY yields an integral value:
+    an integer literal, or a single integral-function call spanning
+    the whole (paren-stripped) operand — a call that is merely the
+    head of a larger expression (``length(s) / 2``) is NOT safe
+    (r11 fuzzer finding)."""
+    s = operand.strip()
+    while s.startswith("(") and s.endswith(")"):
+        states = _scan_states(s)
+        if _find_matching_close(s, 0, states) == len(s) - 1:
+            s = s[1:-1].strip()
+        else:
+            break
+    if re.fullmatch(r"-?\d+", s):
+        return True
+    m = re.match(r"([A-Za-z_]\w*)\s*\(", s)
+    if m is None:
+        return False
+    states = _scan_states(s)
+    close = _find_matching_close(s, s.index("(", m.end(1)), states)
+    if close != len(s) - 1:
+        return False
+    fn = m.group(1).lower()
+    if fn in _INT_SAFE_FNS:
+        return True
+    if fn in _ROUND_1ARG_FNS:
+        return len(_split_top_level_args(s[s.index("(", m.end(1)) + 1 : close])) == 1
+    return False
 
 
 def _round_int_casts(sql: str) -> str:
@@ -730,7 +763,7 @@ def _round_int_casts(sql: str) -> str:
             if am is None:
                 continue
             operand = inner[: am.start()]
-            if "/*RI*/" in operand or _INT_SAFE_HEAD_RE.match(operand):
+            if "/*RI*/" in operand or _int_safe_operand(operand):
                 continue
             kw = m.group(1).upper()
             hit = (m.start(), close, kw, operand.strip(), am.group(1))
@@ -775,7 +808,7 @@ def _round_int_casts(sql: str) -> str:
             if (
                 not operand
                 or "/*RI*/" in operand
-                or _INT_SAFE_HEAD_RE.match(operand)
+                or _int_safe_operand(operand)
                 or operand.upper() in _SQL_KEYWORD_TAIL
             ):
                 continue

@@ -1,0 +1,219 @@
+"""Grammar-based dialect fuzzer: random DuckDB-dialect expressions
+evaluated on DuckDB AND (through the rewriter) on Spark, values
+compared.  The systematic companion to the hand-curated probe batches
+— it explores COMPOSITIONS the single-function probes never hit
+(nested arithmetic over mixed types, functions over function results,
+CASE/COALESCE weaving, list pipelines).
+
+Usage: python tests/dialect_fuzz.py [n_cases] [seed]
+
+Every mismatch prints the expression and both values; exit code 1 if
+any mismatch survived the documented-divergence filter.  Deterministic
+for a given (n_cases, seed).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --- expression grammar -----------------------------------------------------
+
+INT_LITS = ["0", "1", "2", "3", "7", "10", "42", "-1", "-5", "100"]
+DBL_LITS = ["0.5", "1.5", "2.75", "-0.5", "3.25", "10.0"]
+STR_LITS = ["'a'", "'abc'", "'Hello World'", "''", "'a,b,c'", "'  pad  '"]
+BOOL_LITS = ["true", "false"]
+
+
+def g_int(r: random.Random, d: int) -> str:
+    if d <= 0:
+        return r.choice(INT_LITS)
+    c = r.randrange(10)
+    if c < 4:
+        return r.choice(INT_LITS)
+    if c == 4:
+        return f"({g_int(r, d - 1)} + {g_int(r, d - 1)})"
+    if c == 5:
+        return f"({g_int(r, d - 1)} * {g_int(r, d - 1)})"
+    if c == 6:
+        return f"abs({g_int(r, d - 1)})"
+    if c == 7:
+        return f"length({g_str(r, d - 1)})"
+    if c == 8:
+        pick = r.randrange(4)
+        if pick == 0:
+            return f"({g_int(r, d - 1)} % {r.choice(['2', '3', '5', '0'])})"
+        if pick == 1:
+            return f"({g_int(r, d - 1)} // {r.choice(['2', '3', '0'])})"
+        if pick == 2:
+            # +0.001 keeps the fuzz off exact-.5 DOUBLE ties, where
+            # DuckDB rounds half-even and the DECIMAL(38,0) wrap
+            # rounds half-up — a documented divergence, not a bug
+            return f"CAST(({g_dbl(r, d - 1)} + 0.001) AS INT)"
+        return f"greatest({g_int(r, d - 1)}, {g_int(r, d - 1)})"
+    return f"(CASE WHEN {g_bool(r, d - 1)} THEN {g_int(r, d - 1)} ELSE {g_int(r, d - 1)} END)"
+
+
+def g_dbl(r: random.Random, d: int) -> str:
+    if d <= 0:
+        return r.choice(DBL_LITS)
+    c = r.randrange(8)
+    if c < 3:
+        return r.choice(DBL_LITS)
+    if c == 3:
+        return f"({g_dbl(r, d - 1)} + {g_dbl(r, d - 1)})"
+    if c == 4:
+        return f"round({g_dbl(r, d - 1)}, {r.randrange(3)})"
+    if c == 5:
+        return f"sqrt(abs({g_dbl(r, d - 1)}))"
+    if c == 6:
+        return f"({g_int(r, d - 1)} / {r.choice(['2', '4', '5'])})"
+    return f"coalesce({g_dbl(r, d - 1)}, {g_dbl(r, d - 1)})"
+
+
+def g_str(r: random.Random, d: int) -> str:
+    if d <= 0:
+        return r.choice(STR_LITS)
+    c = r.randrange(10)
+    if c < 3:
+        return r.choice(STR_LITS)
+    if c == 3:
+        return f"upper({g_str(r, d - 1)})"
+    if c == 4:
+        return f"lower({g_str(r, d - 1)})"
+    if c == 5:
+        return f"trim({g_str(r, d - 1)})"
+    if c == 6:
+        return f"concat({g_str(r, d - 1)}, {g_str(r, d - 1)})"
+    if c == 7:
+        return f"substring({g_str(r, d - 1)}, {r.randrange(1, 4)}, {r.randrange(1, 5)})"
+    if c == 8:
+        pick = r.randrange(3)
+        if pick == 0:
+            return f"replace({g_str(r, d - 1)}, 'a', 'z')"
+        if pick == 1:
+            return f"regexp_replace({g_str(r, d - 1)}, '[lo]', '_')"
+        return (
+            f"strftime(DATE '2024-03-{r.randrange(1, 29):02d}', "
+            f"'{r.choice(['%Y-%m-%d', '%-m/%-d/%y', '%a %d %b', '%j', '%x'])}')"
+        )
+    return f"reverse({g_str(r, d - 1)})"
+
+
+def g_bool(r: random.Random, d: int) -> str:
+    if d <= 0:
+        return r.choice(BOOL_LITS)
+    c = r.randrange(8)
+    if c < 2:
+        return r.choice(BOOL_LITS)
+    if c == 2:
+        return f"({g_int(r, d - 1)} > {g_int(r, d - 1)})"
+    if c == 3:
+        return f"({g_str(r, d - 1)} = {g_str(r, d - 1)})"
+    if c == 4:
+        return f"({g_bool(r, d - 1)} AND {g_bool(r, d - 1)})"
+    if c == 5:
+        return f"({g_bool(r, d - 1)} OR {g_bool(r, d - 1)})"
+    if c == 6:
+        return f"(NOT {g_bool(r, d - 1)})"
+    pick = r.randrange(3)
+    if pick == 0:
+        return (
+            f"({g_str(r, d - 1)} LIKE "
+            f"'{r.choice(['%a%', 'a_c', '%', 'He%', '%d'])}')"
+        )
+    if pick == 1:
+        return f"({g_int(r, d - 1)} IN ({g_int(r, 0)}, {g_int(r, 0)}, NULL))"
+    return f"contains({g_str(r, d - 1)}, 'a')"
+
+
+def g_list(r: random.Random, d: int) -> str:
+    if d <= 0 or r.randrange(4) == 0:
+        n = r.randrange(1, 4)
+        return "[" + ", ".join(g_int(r, 0) for _ in range(n)) + "]"
+    c = r.randrange(6)
+    if c == 0:
+        return f"list_sort({g_list(r, d - 1)})"
+    if c == 1:
+        # list_distinct is deliberately ABSENT: DuckDB's element order
+        # is unspecified (hash-based) — any order-sensitive consumer
+        # (slice, transform-by-index) legitimately diverges; documented
+        return f"list_sort(list_distinct({g_list(r, d - 1)}))"
+    if c == 2:
+        return f"array_slice({g_list(r, d - 1)}, 1, 2)"
+    if c == 3:
+        return f"list_append({g_list(r, d - 1)}, {g_int(r, 0)})"
+    if c == 4:
+        return f"list_transform({g_list(r, d - 1)}, x -> x + 1)"
+    return f"list_filter({g_list(r, d - 1)}, x -> x > 1)"
+
+
+def g_expr(r: random.Random, d: int) -> str:
+    return r.choice([g_int, g_dbl, g_str, g_bool, g_list])(r, d)
+
+
+# list results compare element-wise; list_distinct ORDER is unspecified
+# in DuckDB (hash-based) — sort list values before comparing
+def norm(rows):
+    import datetime as dt
+    from decimal import Decimal
+
+    def c(v):
+        if isinstance(v, Decimal):
+            v = float(v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            if math.isinf(v):
+                return "Inf" if v > 0 else "-Inf"
+            return round(v, 9)
+        if isinstance(v, (dt.datetime, dt.date)):
+            return str(v)[:26]
+        if isinstance(v, (list, tuple)):
+            return tuple(sorted((c(x) for x in v), key=lambda z: (z is None, str(z))))
+        return v
+
+    return [tuple(c(x) for x in r) for r in rows]
+
+
+def main() -> int:
+    import duckdb
+
+    from shaper_spark.rewrite import rewrite_statement
+    from shaper_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 11
+    r = random.Random(seed)
+    spark = get_spark("dialect_fuzz", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "4")))
+    con = duckdb.connect()
+
+    mismatches = 0
+    checked = 0
+    for i in range(n):
+        expr = g_expr(r, r.randrange(2, 5))
+        sql = f"SELECT {expr} AS v"
+        try:
+            want = con.execute(sql).fetchall()
+        except Exception:
+            continue  # invalid in DuckDB: nothing to be compatible with
+        try:
+            got = [tuple(row) for row in spark.sql(rewrite_statement(sql).sql).collect()]
+        except Exception as e:
+            mismatches += 1
+            print(f"[{i}] SPARK-ERR {sql}\n    duck={want!r}\n    err={str(e).splitlines()[0][:120]}")
+            continue
+        checked += 1
+        if norm(want) != norm(got):
+            mismatches += 1
+            print(f"[{i}] VALUE {sql}\n    duck={want!r}\n    spark={got!r}")
+    print(f"\n{checked} compared, {mismatches} mismatches (n={n}, seed={seed})")
+    return 1 if mismatches else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

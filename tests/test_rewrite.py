@@ -2023,3 +2023,29 @@ class TestBatch26AliasAudit:
     def test_arbitrary_keeps_nulls(self):
         r = rewrite_statement("SELECT arbitrary(x) FROM t")
         assert "first(x)" in r.sql
+
+
+class TestIntCastSafety:
+    """r11 fuzzer findings: the integer-cast rounding skip must only
+    fire for PROVABLY integral operands — whole-span calls of
+    integral functions, 1-arg round/trunc, or integer literals."""
+
+    def test_two_arg_round_is_wrapped(self):
+        r = rewrite_statement("SELECT CAST(round(-0.5, 2) AS INT)")
+        assert "DECIMAL(38,0)" in r.sql
+
+    def test_passthrough_head_is_wrapped(self):
+        r = rewrite_statement("SELECT CAST(coalesce(a, b) AS INT) FROM t")
+        assert "DECIMAL(38,0)" in r.sql
+
+    def test_compound_after_safe_head_is_wrapped(self):
+        r = rewrite_statement("SELECT CAST((length(s) / 2) AS INT) FROM t")
+        assert "DECIMAL(38,0)" in r.sql
+
+    def test_one_arg_round_stays_bare(self):
+        r = rewrite_statement("SELECT CAST(round(x * 1e6) AS BIGINT) FROM t")
+        assert "DECIMAL(38,0)" not in r.sql
+
+    def test_floor_stays_bare(self):
+        r = rewrite_statement("SELECT CAST(floor(x) AS INT) FROM t")
+        assert "DECIMAL(38,0)" not in r.sql
