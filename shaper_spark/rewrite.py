@@ -1673,7 +1673,20 @@ def _rewrite_agg_order_by(sql: str) -> str:
                 key = (
                     f"CASE WHEN ({head}) IS NOT NULL THEN {key} END"
                 )
-            repl = f"{pick}({head}, {key})"
+            # /*AM*/ keeps the batch-27 arg_max NULL-skip fixer off
+            # these emissions: duck first/last KEEP NULL values
+            repl = f"{pick}({head} /*AM*/, {key})"
+            if fn == "last" and len(keys) == 1:
+                # duck's default NULLS-LAST ordering puts NULL keys at
+                # the END in both directions, so last() returns a
+                # NULL-key row's value whenever one exists (r11
+                # aggregate fuzzer: last(i ORDER BY i) with a NULL i
+                # is NULL in DuckDB); min_by/max_by skip NULL keys
+                repl = (
+                    f"(CASE WHEN count({key}) < count(*) THEN "
+                    f"max(CASE WHEN ({key}) IS NULL THEN {head} END) "
+                    f"ELSE {repl} END)"
+                )
         else:
             direction = ""
             om2 = re.match(
@@ -3006,12 +3019,15 @@ def _rewrite_fn_compat2(sql: str) -> str:
     """
 
     def _fix_skew(args: list[str]) -> str | None:
+        # try_divide: n ≤ 2 is NULL in DuckDB where a bare '/' would
+        # raise ANSI DIVIDE_BY_ZERO (r11 aggregate fuzzer)
         if len(args) != 1 or args[0].rstrip().endswith("/*G1*/"):
             return None
         e = args[0].strip()
         n = f"count({e})"
         return (
-            f"(skewness({e} /*G1*/) * sqrt({n} * ({n} - 1)) / ({n} - 2))"
+            f"try_divide(skewness({e} /*G1*/) * sqrt({n} * ({n} - 1)), "
+            f"{n} - 2)"
         )
 
     def _fix_kurt(args: list[str]) -> str | None:
@@ -3020,7 +3036,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         e = args[0].strip()
         n = f"count({e})"
         return (
-            f"((({n} - 1) / (({n} - 2) * ({n} - 3))) * "
+            f"(try_divide({n} - 1, ({n} - 2) * ({n} - 3)) * "
             f"(({n} + 1) * kurtosis({e} /*G2*/) + 6))"
         )
 
@@ -3228,6 +3244,22 @@ def _rewrite_fn_compat2(sql: str) -> str:
         return f"coalesce({attempts})"
 
     # ---- batch-26 alias-audit fixers (duckdb_functions() diff) ----
+
+    def _mk_argminmax(pick: str):
+        # DuckDB arg_max/max_by SKIP rows whose ARG is NULL (and rows
+        # whose key is NULL); Spark's max_by returns the NULL arg
+        # (r11 aggregate fuzzer) — NULLing the key on NULL args makes
+        # Spark skip them the same way
+        def fix(args: list[str]) -> str | None:
+            if len(args) != 2 or args[0].rstrip().endswith("/*AM*/"):
+                return None
+            a, v = args[0].strip(), args[1].strip()
+            return (
+                f"{pick}({a} /*AM*/, "
+                f"CASE WHEN ({a}) IS NOT NULL THEN {v} END)"
+            )
+
+        return fix
 
     def _fix_count_star(args: list[str]) -> str | None:
         if args and any(a.strip() for a in args):
@@ -4648,6 +4680,14 @@ def _rewrite_fn_compat2(sql: str) -> str:
             _fix_grouping_multi,
         ),
         (re.compile(r"\bcount_star\s*\(", re.IGNORECASE), _fix_count_star),
+        (
+            re.compile(r"\b(?:arg_max|argmax|max_by)\s*\(", re.IGNORECASE),
+            _mk_argminmax("max_by"),
+        ),
+        (
+            re.compile(r"\b(?:arg_min|argmin|min_by)\s*\(", re.IGNORECASE),
+            _mk_argminmax("min_by"),
+        ),
         (re.compile(r"(?<![\w.])sem\s*\(", re.IGNORECASE), _fix_sem),
         (
             re.compile(r"\bconstant_or_null\s*\(", re.IGNORECASE),
@@ -4767,6 +4807,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         .replace(" /*AG*/", "")
         .replace(" /*HH*/", "")
         .replace(" /*TY*/", "")
+        .replace(" /*AM*/", "")
     )
 
     # extract(epoch|dow|isodow FROM e)

@@ -156,6 +156,47 @@ def g_expr(r: random.Random, d: int) -> str:
     return r.choice([g_int, g_dbl, g_str, g_bool, g_list])(r, d)
 
 
+# --- aggregate-query mode ----------------------------------------------------
+# A fixed inline table with a group key, ints (with NULLs), doubles,
+# and strings; random aggregate expressions composed over it.
+
+_AGG_TABLE = (
+    "(VALUES (1, 1, 0.5, 'a'), (1, 2, 1.5, 'bb'), (1, NULL, 2.5, 'a'),"
+    " (2, 4, -0.5, 'ccc'), (2, 5, 3.25, NULL), (3, 7, 0.25, 'dd'))"
+    " t(g, i, d, s)"
+)
+
+_AGGS = [
+    "sum(i)", "sum(d)", "avg(i)", "avg(CAST(d AS DOUBLE))", "min(i)",
+    "max(d)", "count(*)", "count(i)", "count(DISTINCT s)",
+    "stddev_pop(CAST(d AS DOUBLE))", "var_samp(CAST(d AS DOUBLE))",
+    "median(i)", "bool_and(i > 0)", "bool_or(i > 4)",
+    "count_if(i > 2)", "arg_min(s, i)", "arg_max(s, i)",
+    "first(i ORDER BY i)", "last(i ORDER BY i)",
+    "string_agg(s, '|' ORDER BY s)", "sum(i) FILTER (WHERE i > 1)",
+    "bit_and(i)", "bit_or(i)", "geomean(CAST(abs(d) + 1 AS DOUBLE))",
+    "entropy(s)", "skewness(CAST(d AS DOUBLE))",
+    "kurtosis(CAST(d AS DOUBLE))", "product(CAST(i AS DOUBLE))",
+    "quantile_disc(i, 0.5)", "sem(CAST(d AS DOUBLE))",
+    "favg(d)", "fsum(d)",
+    # mad() is ABSENT: it is a grouped-agg pandas UDF, and Spark cannot
+    # mix those with JVM aggregates in one projection (loud
+    # INVALID_PANDAS_UDF_PLACEMENT, documented in SURVEY)
+]
+
+
+def g_agg_query(r: random.Random) -> str:
+    n = r.randrange(1, 4)
+    aggs = ", ".join(
+        f"{r.choice(_AGGS)} AS a{k}" for k in range(n)
+    )
+    if r.randrange(3) == 0:
+        return f"SELECT {aggs} FROM {_AGG_TABLE}"
+    return (
+        f"SELECT g, {aggs} FROM {_AGG_TABLE} GROUP BY g ORDER BY g"
+    )
+
+
 # list results compare element-wise; list_distinct ORDER is unspecified
 # in DuckDB (hash-based) — sort list values before comparing
 def norm(rows):
@@ -195,8 +236,10 @@ def main() -> int:
     mismatches = 0
     checked = 0
     for i in range(n):
-        expr = g_expr(r, r.randrange(2, 5))
-        sql = f"SELECT {expr} AS v"
+        if r.randrange(4) == 0:
+            sql = g_agg_query(r)
+        else:
+            sql = f"SELECT {g_expr(r, r.randrange(2, 5))} AS v"
         try:
             want = con.execute(sql).fetchall()
         except Exception:

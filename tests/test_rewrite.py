@@ -182,7 +182,12 @@ class TestFunctionRenames:
             ("SELECT regexp_replace(x, '[0-9]', '', 'g') FROM t",
              "SELECT regexp_replace(x, '[0-9]', '') FROM t"),
             ("SELECT today() AS d", "SELECT current_date() AS d"),
-            ("SELECT arg_max(x, y) FROM t", "SELECT max_by(x, y) FROM t"),
+            (
+                "SELECT arg_max(x, y) FROM t",
+                # NULL-arg skip (r11): DuckDB's arg_max ignores rows
+                # whose arg is NULL
+                "SELECT max_by(x, CASE WHEN (x) IS NOT NULL THEN y END) FROM t",
+            ),
                         ("SELECT unnest([1,2]) AS v", "SELECT explode(array(1,2)) AS v"),
             ("SELECT array_to_string(l, ',') FROM t",
              "SELECT array_join(l, ',') FROM t"),
@@ -735,7 +740,11 @@ class TestFnCompat2:
 
     def test_skewness_sample_correction(self):
         r = rewrite_statement("SELECT skewness(x) FROM t")
-        assert "skewness(x) * sqrt(count(x) * (count(x) - 1)) / (count(x) - 2)" in r.sql
+        # try_divide: n <= 2 is NULL like DuckDB (r11 fuzzer)
+        assert (
+            "try_divide(skewness(x) * sqrt(count(x) * (count(x) - 1)), "
+            "count(x) - 2)" in r.sql
+        )
         assert "/*G1*/" not in r.sql
 
     def test_kurtosis_sample_correction(self):
@@ -2049,3 +2058,40 @@ class TestIntCastSafety:
     def test_floor_stays_bare(self):
         r = rewrite_statement("SELECT CAST(floor(x) AS INT) FROM t")
         assert "DECIMAL(38,0)" not in r.sql
+
+
+class TestBatch27AggregateFuzz:
+    """r11 aggregate-fuzzer findings (tests/dialect_fuzz.py agg mode):
+    small-group statistics NULL like DuckDB instead of raising,
+    arg_max/min skip NULL args, last() honors NULLS-LAST keys."""
+
+    def test_skew_kurt_small_groups_null(self, spark):
+        out = spark.sql(rewrite_statement(
+            "SELECT skewness(x) AS s, kurtosis(x) AS k "
+            "FROM (VALUES (1.0), (2.0)) t(x)"
+        ).sql).collect()[0]
+        assert out.s is None and out.k is None
+
+    def test_arg_max_skips_null_args(self, spark):
+        out = spark.sql(rewrite_statement(
+            "SELECT arg_max(s, i) AS v "
+            "FROM (VALUES (4, 'c'), (5, NULL)) t(i, s)"
+        ).sql).collect()[0]
+        assert out.v == "c"
+
+    def test_max_by_same_semantics(self):
+        r = rewrite_statement("SELECT max_by(a, v) FROM t")
+        assert "CASE WHEN (a) IS NOT NULL THEN v END" in r.sql
+
+    def test_last_ordered_returns_null_key_row(self, spark):
+        out = spark.sql(rewrite_statement(
+            "SELECT last(i ORDER BY i) AS v, first(i ORDER BY i) AS f "
+            "FROM (VALUES (1), (NULL), (7)) t(i)"
+        ).sql).collect()[0]
+        assert out.v is None and out.f == 1
+
+    def test_last_without_nulls_unchanged(self, spark):
+        out = spark.sql(rewrite_statement(
+            "SELECT last(i ORDER BY i) AS v FROM (VALUES (1), (7)) t(i)"
+        ).sql).collect()[0]
+        assert out.v == 7
