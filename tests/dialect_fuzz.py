@@ -185,6 +185,54 @@ _AGGS = [
 ]
 
 
+# --- window-query mode -------------------------------------------------------
+
+_WINS = [
+    "row_number()",
+    "rank()",
+    "dense_rank()",
+    "percent_rank()",
+    "cume_dist()",
+    "ntile(2)",
+    "lag(i)",
+    "lag(i, 2, -1)",
+    "lead(i)",
+    "first_value(i)",
+    "last_value(i)",
+    "nth_value(i, 2)",
+    "sum(i)",
+    "avg(CAST(d AS DOUBLE))",
+    "min(i)",
+    "max(d)",
+    "count(*)",
+]
+
+_FRAMES = [
+    "",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+]
+
+
+def g_window_query(r: random.Random) -> str:
+    fn = r.choice(_WINS)
+    part = r.choice(["", "PARTITION BY g "])
+    # deterministic total order: i is unique (ties would make peer
+    # rows' rank/frame behavior order-dependent on NULL-free i only)
+    order = f"ORDER BY i {r.choice(['', 'DESC'])}"
+    frame = r.choice(_FRAMES)
+    if fn in ("row_number()", "rank()", "dense_rank()", "percent_rank()",
+              "cume_dist()", "ntile(2)", "lag(i)", "lag(i, 2, -1)",
+              "lead(i)"):
+        frame = ""  # ranking/offset functions take no frame
+    return (
+        f"SELECT g, i, {fn} OVER ({part}{order}{frame}) AS w "
+        f"FROM {_AGG_TABLE} WHERE i IS NOT NULL ORDER BY g, i"
+    )
+
+
 def g_agg_query(r: random.Random) -> str:
     n = r.randrange(1, 4)
     aggs = ", ".join(
@@ -236,8 +284,11 @@ def main() -> int:
     mismatches = 0
     checked = 0
     for i in range(n):
-        if r.randrange(4) == 0:
+        pick = r.randrange(8)
+        if pick < 2:
             sql = g_agg_query(r)
+        elif pick == 2:
+            sql = g_window_query(r)
         else:
             sql = f"SELECT {g_expr(r, r.randrange(2, 5))} AS v"
         try:
