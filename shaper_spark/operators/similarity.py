@@ -543,6 +543,7 @@ def ann_recall(
     dim: int = 64,
     seed: int = 42,
     tables: int = 1,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k audit of the LSH ANN against exact brute-force cosine:
     per query, how many of the TRUE top-k neighbors the approximate
@@ -559,9 +560,13 @@ def ann_recall(
     frames, trivially broadcastable — and the rollup groups by query.
     Deterministic end-to-end (seeded hyperplanes, id tiebreaks), so the
     whole report replays in the DuckDB oracle."""
-    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k).select(
-        "query_id", "neighbor_id"
-    )
+    # the exact side is configuration-independent — callers sweeping
+    # ANN settings pass one precomputed (persisted) frame instead of
+    # paying the brute-force matmul per setting (r11 bench lever)
+    if exact is None:
+        exact = cosine_topk(corpus, queries, id_col, vec_col, k=k).select(
+            "query_id", "neighbor_id"
+        )
     approx = lsh_topk(
         corpus, queries, id_col, vec_col, k=k,
         planes=planes, dim=dim, seed=seed, tables=tables,
