@@ -3261,6 +3261,24 @@ def _rewrite_fn_compat2(sql: str) -> str:
 
         return fix
 
+    def _fix_date_trunc_type(args: list[str]) -> str | None:
+        # DuckDB's date_trunc returns DATE (not midnight TIMESTAMP)
+        # for day-or-coarser parts — statically known from the part
+        # literal (r11 date fuzzer)
+        if len(args) != 2 or args[0].rstrip().endswith("/*DT*/"):
+            return None
+        p = args[0].strip()
+        if not (p.startswith("'") and p.endswith("'")):
+            return None
+        if p[1:-1].lower() not in (
+            "day", "week", "month", "quarter", "year", "decade",
+            "century", "millennium", "isoyear",
+        ):
+            return None
+        return (
+            f"CAST(date_trunc({p} /*DT*/, {args[1].strip()}) AS DATE)"
+        )
+
     def _fix_count_star(args: list[str]) -> str | None:
         if args and any(a.strip() for a in args):
             return None
@@ -4681,6 +4699,10 @@ def _rewrite_fn_compat2(sql: str) -> str:
         ),
         (re.compile(r"\bcount_star\s*\(", re.IGNORECASE), _fix_count_star),
         (
+            re.compile(r"\bdate_trunc\s*\(", re.IGNORECASE),
+            _fix_date_trunc_type,
+        ),
+        (
             re.compile(r"\b(?:arg_max|argmax|max_by)\s*\(", re.IGNORECASE),
             _mk_argminmax("max_by"),
         ),
@@ -4808,6 +4830,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         .replace(" /*HH*/", "")
         .replace(" /*TY*/", "")
         .replace(" /*AM*/", "")
+        .replace(" /*DT*/", "")
     )
 
     # extract(epoch|dow|isodow FROM e)
@@ -4967,8 +4990,8 @@ def _rewrite_date_diff(sql: str) -> str:
         lpart = unit.lower()
         sql = (
             sql[:start]
-            + f"timestampdiff({unit}, date_trunc('{lpart}', {a}), "
-            f"date_trunc('{lpart}', {b}))"
+            + f"timestampdiff({unit}, date_trunc('{lpart}' /*DT*/, {a}), "
+            f"date_trunc('{lpart}' /*DT*/, {b}))"
             + sql[close + 1 :]
         )
 

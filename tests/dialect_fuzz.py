@@ -152,8 +152,66 @@ def g_list(r: random.Random, d: int) -> str:
     return f"list_filter({g_list(r, d - 1)}, x -> x > 1)"
 
 
+DATE_LITS = [
+    "DATE '2024-01-15'", "DATE '2024-02-29'", "DATE '2023-12-31'",
+    "DATE '2024-07-04'",
+]
+TS_LITS = [
+    "TIMESTAMP '2024-03-05 07:08:09'",
+    "TIMESTAMP '2024-01-01 00:00:00.5'",
+    "TIMESTAMP '2023-12-31 23:59:59'",
+]
+INTERVAL_LITS = [
+    "INTERVAL 1 DAY", "INTERVAL 3 HOUR", "INTERVAL 90 MINUTE",
+    "INTERVAL 2 MONTH", "INTERVAL 1 YEAR",
+]
+_DATE_PARTS = ["year", "month", "day", "quarter", "dow", "isodow",
+               "doy", "week", "decade"]
+
+
+def g_date(r: random.Random, d: int) -> str:
+    if d <= 0:
+        return r.choice(DATE_LITS)
+    c = r.randrange(6)
+    if c < 2:
+        return r.choice(DATE_LITS)
+    if c == 2:
+        return f"({g_date(r, d - 1)} + {r.randrange(1, 40)})"
+    if c == 3:
+        return f"CAST(date_trunc('month', {g_date(r, d - 1)}) AS DATE)"
+    if c == 4:
+        return f"last_day({g_date(r, d - 1)})"
+    return f"greatest({g_date(r, 0)}, {g_date(r, 0)})"
+
+
+def g_date_expr(r: random.Random, d: int) -> str:
+    c = r.randrange(6)
+    if c == 0:
+        return f"date_part('{r.choice(_DATE_PARTS)}', {g_date(r, d)})"
+    if c == 1:
+        return (
+            f"date_diff('{r.choice(['day', 'month', 'year', 'week'])}', "
+            f"{g_date(r, d)}, {g_date(r, d)})"
+        )
+    if c == 2:
+        return (
+            f"CAST({r.choice(TS_LITS)} + {r.choice(INTERVAL_LITS)} "
+            f"AS VARCHAR)"
+        )
+    if c == 3:
+        return f"monthname({g_date(r, d)})"
+    if c == 4:
+        return f"CAST({g_date(r, d)} AS VARCHAR)"
+    return (
+        f"date_trunc('{r.choice(['week', 'month', 'quarter', 'year'])}',"
+        f" {r.choice(TS_LITS)})"
+    )
+
+
 def g_expr(r: random.Random, d: int) -> str:
-    return r.choice([g_int, g_dbl, g_str, g_bool, g_list])(r, d)
+    return r.choice(
+        [g_int, g_dbl, g_str, g_bool, g_list, g_date_expr]
+    )(r, d)
 
 
 # --- aggregate-query mode ----------------------------------------------------
@@ -219,17 +277,18 @@ _FRAMES = [
 def g_window_query(r: random.Random) -> str:
     fn = r.choice(_WINS)
     part = r.choice(["", "PARTITION BY g "])
-    # deterministic total order: i is unique (ties would make peer
-    # rows' rank/frame behavior order-dependent on NULL-free i only)
+    # i is unique (single NULL): total order is deterministic, and the
+    # NULL-keyed variant exercises the NULLS-LAST default in windows
     order = f"ORDER BY i {r.choice(['', 'DESC'])}"
     frame = r.choice(_FRAMES)
     if fn in ("row_number()", "rank()", "dense_rank()", "percent_rank()",
               "cume_dist()", "ntile(2)", "lag(i)", "lag(i, 2, -1)",
               "lead(i)"):
         frame = ""  # ranking/offset functions take no frame
+    where = r.choice(["WHERE i IS NOT NULL ", ""])
     return (
         f"SELECT g, i, {fn} OVER ({part}{order}{frame}) AS w "
-        f"FROM {_AGG_TABLE} WHERE i IS NOT NULL ORDER BY g, i"
+        f"FROM {_AGG_TABLE} {where}ORDER BY g, i"
     )
 
 

@@ -2095,3 +2095,20 @@ class TestBatch27AggregateFuzz:
             "SELECT last(i ORDER BY i) AS v FROM (VALUES (1), (7)) t(i)"
         ).sql).collect()[0]
         assert out.v == 7
+
+
+class TestDateTruncType:
+    """r11 date fuzzer: DuckDB's date_trunc returns DATE for
+    day-or-coarser parts (Spark always returns TIMESTAMP)."""
+
+    def test_coarse_parts_cast_to_date(self):
+        r = rewrite_statement("SELECT date_trunc('week', ts) FROM t")
+        assert "CAST(date_trunc('week', ts) AS DATE)" in r.sql
+
+    def test_fine_parts_untouched(self):
+        r = rewrite_statement("SELECT date_trunc('hour', ts) FROM t")
+        assert r.sql == "SELECT date_trunc('hour', ts) FROM t"
+
+    def test_non_literal_part_untouched(self):
+        r = rewrite_statement("SELECT date_trunc(p, ts) FROM t")
+        assert "CAST" not in r.sql
