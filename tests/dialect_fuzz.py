@@ -292,6 +292,47 @@ def g_window_query(r: random.Random) -> str:
     )
 
 
+# --- statement-sugar mode ----------------------------------------------------
+# DuckDB statement forms (FROM-first, BY ALL, QUALIFY, DISTINCT ON,
+# star modifiers) over the same inline table.
+
+
+def g_stmt_query(r: random.Random) -> str:
+    c = r.randrange(7)
+    if c == 0:
+        return f"FROM {_AGG_TABLE} SELECT g, i WHERE i > 2 ORDER BY g, i"
+    if c == 1:
+        return (
+            f"SELECT g, sum(i) AS s FROM {_AGG_TABLE} "
+            f"GROUP BY ALL ORDER BY ALL"
+        )
+    if c == 2:
+        return (
+            f"SELECT g, i FROM {_AGG_TABLE} WHERE i IS NOT NULL "
+            f"QUALIFY row_number() OVER (PARTITION BY g ORDER BY i) = 1 "
+            f"ORDER BY g"
+        )
+    if c == 3:
+        return (
+            f"SELECT DISTINCT ON (g) g, i FROM {_AGG_TABLE} "
+            f"WHERE i IS NOT NULL ORDER BY g, i"
+        )
+    if c == 4:
+        return (
+            f"SELECT * EXCLUDE (d, s) FROM {_AGG_TABLE} "
+            f"WHERE i IS NOT NULL ORDER BY g, i"
+        )
+    if c == 5:
+        return (
+            f"SELECT * REPLACE (i * 10 AS i) FROM {_AGG_TABLE} "
+            f"WHERE i IS NOT NULL ORDER BY g, i"
+        )
+    return (
+        f"SELECT g, count(*) AS c FROM {_AGG_TABLE} "
+        f"GROUP BY g HAVING count(*) > 1 ORDER BY g"
+    )
+
+
 def g_agg_query(r: random.Random) -> str:
     n = r.randrange(1, 4)
     aggs = ", ".join(
@@ -348,19 +389,34 @@ def main() -> int:
             sql = g_agg_query(r)
         elif pick == 2:
             sql = g_window_query(r)
+        elif pick == 3:
+            sql = g_stmt_query(r)
         else:
             sql = f"SELECT {g_expr(r, r.randrange(2, 5))} AS v"
         try:
-            want = con.execute(sql).fetchall()
+            cur = con.execute(sql)
+            want_cols = [c[0] for c in cur.description]
+            want = cur.fetchall()
         except Exception:
             continue  # invalid in DuckDB: nothing to be compatible with
         try:
-            got = [tuple(row) for row in spark.sql(rewrite_statement(sql).sql).collect()]
+            df = spark.sql(rewrite_statement(sql).sql)
+            got_cols = list(df.columns)
+            got = [tuple(row) for row in df.collect()]
         except Exception as e:
             mismatches += 1
             print(f"[{i}] SPARK-ERR {sql}\n    duck={want!r}\n    err={str(e).splitlines()[0][:120]}")
             continue
         checked += 1
+        # column-ORDER-insensitive like the driver's correctness gate
+        # (sort columns by name): the engine-layer star expansion puts
+        # * REPLACE columns in place, but the bare-rewrite fallback
+        # appends them — a documented presentation difference
+        if sorted(want_cols) == sorted(got_cols) and want_cols != got_cols:
+            worder = sorted(range(len(want_cols)), key=lambda j: want_cols[j])
+            gorder = sorted(range(len(got_cols)), key=lambda j: got_cols[j])
+            want = [tuple(row[j] for j in worder) for row in want]
+            got = [tuple(row[j] for j in gorder) for row in got]
         if norm(want) != norm(got):
             mismatches += 1
             print(f"[{i}] VALUE {sql}\n    duck={want!r}\n    spark={got!r}")
