@@ -1758,6 +1758,53 @@ def _run_query(
             _bump_attach()
             return [], []
         raise ValueError(f"Unsupported ATTACH/DETACH syntax: {sql_string!r}")
+    if re.fullmatch(r"SHOW\s+(?:ALL\s+)?TABLES\s*;?", upper):
+        # DuckDB's SHOW TABLES shape: one 'name' column, sorted
+        # (Spark's is namespace/tableName/isTemporary — r11)
+        names = sorted(
+            r.tableName for r in spark.sql("SHOW TABLES").collect()
+        )
+        return (
+            [Column(name="name", nullable=False, spark_type="string")],
+            [[n] for n in names],
+        )
+    if upper.startswith(("DESCRIBE ", "DESC ")):
+        # DuckDB's DESCRIBE shape: (column_name, column_type, null,
+        # key, default, extra) with DuckDB type spellings — pasted
+        # dashboards key on those names (r11; Spark's native DESC
+        # returns col_name/data_type/comment).  rewrite_statement is
+        # the module-level import — a local import here would shadow
+        # it for the whole function scope.
+        from .udfs import _duckdb_typename
+
+        body = re.sub(
+            r"^(?:DESCRIBE|DESC)\s+", "",
+            vars_.substitute(sql_string).strip(),
+            flags=re.IGNORECASE,
+        ).rstrip(";").strip()
+        if re.match(r"(?:SELECT|WITH|FROM|VALUES)\b", body, re.IGNORECASE):
+            schema = spark.sql(rewrite_statement(body).sql).schema
+        else:
+            schema = spark.table(body).schema
+        cols = [
+            Column(name=n, nullable=True, spark_type="string")
+            for n in (
+                "column_name", "column_type", "null", "key",
+                "default", "extra",
+            )
+        ]
+        rows = [
+            [
+                f.name,
+                _duckdb_typename(f.dataType.simpleString()),
+                "YES" if f.nullable else "NO",
+                None,
+                None,
+                None,
+            ]
+            for f in schema.fields
+        ]
+        return cols, rows
     if upper.startswith("CHECKPOINT"):
         # DuckDB CHECKPOINT flushes the WAL into the single database
         # file (reference restore.go:229 issues it after IMPORT).  A

@@ -763,3 +763,42 @@ SELECT count(*) AS c2 FROM firstn(n := 5);
             "CREATE OR REPLACE MACRO tm(n) AS TABLE SELECT n AS v"
         )
         assert t is not None and t.body == "SELECT n AS v"
+
+
+class TestIntrospectionShapes:
+    """DuckDB-shaped DESCRIBE and SHOW TABLES output (r11): pasted
+    dashboards key on DuckDB's column names and type spellings."""
+
+    def test_describe_select_duck_shape(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(
+            spark, "DESCRIBE SELECT r_regionkey, r_name FROM region;",
+            dashboard_id="ishape1",
+        )
+        q = r.sections[0].queries[0]
+        assert [c.name for c in q.columns] == [
+            "column_name", "column_type", "null", "key", "default",
+            "extra",
+        ]
+        assert q.rows[0][:3] == ["r_regionkey", "INTEGER", "YES"]
+        assert q.rows[1][1] == "VARCHAR"
+
+    def test_describe_table_form(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(
+            spark, "DESC region;", dashboard_id="ishape2"
+        )
+        assert r.sections[0].queries[0].rows[0][0] == "r_regionkey"
+
+    def test_show_tables_single_name_column(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(
+            spark, "SHOW TABLES;", dashboard_id="ishape3"
+        )
+        q = r.sections[0].queries[0]
+        assert [c.name for c in q.columns] == ["name"]
+        names = [row[0] for row in q.rows]
+        assert "region" in names and names == sorted(names)
