@@ -1758,6 +1758,42 @@ def _run_query(
             _bump_attach()
             return [], []
         raise ValueError(f"Unsupported ATTACH/DETACH syntax: {sql_string!r}")
+    if upper.startswith("EXPLAIN"):
+        # DuckDB's EXPLAIN shape: (explain_key, explain_value) — one
+        # row with the plan tree (r11; Spark returns a single 'plan'
+        # column).  The plan TEXT is engine-specific by nature.
+        from .rewrite import rewrite_statement as _rw
+
+        body = re.sub(
+            r"^EXPLAIN\s+(ANALYZE\s+)?", "",
+            vars_.substitute(sql_string).strip(),
+            flags=re.IGNORECASE,
+        ).rstrip(";")
+        analyze = bool(
+            re.match(r"EXPLAIN\s+ANALYZE\b", upper)
+        )
+        inner = spark.sql(_rw(body).sql)
+        plan = inner._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        if analyze:
+            inner.collect()  # execute like DuckDB's ANALYZE
+        key = "analyzed_plan" if analyze else "physical_plan"
+        return (
+            [
+                Column(
+                    name="explain_key", nullable=False,
+                    spark_type="string",
+                ),
+                Column(
+                    name="explain_value", nullable=False,
+                    spark_type="string",
+                ),
+            ],
+            [[key, plan]],
+        )
     if re.fullmatch(r"SHOW\s+(?:ALL\s+)?TABLES\s*;?", upper):
         # DuckDB's SHOW TABLES shape: one 'name' column, sorted
         # (Spark's is namespace/tableName/isTemporary — r11)

@@ -802,3 +802,17 @@ class TestIntrospectionShapes:
         assert [c.name for c in q.columns] == ["name"]
         names = [row[0] for row in q.rows]
         assert "region" in names and names == sorted(names)
+
+    def test_explain_duck_shape(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(
+            spark, "EXPLAIN SELECT count(*) FROM region;",
+            dashboard_id="ishape4",
+        )
+        q = r.sections[0].queries[0]
+        assert [c.name for c in q.columns] == [
+            "explain_key", "explain_value",
+        ]
+        assert q.rows[0][0] == "physical_plan"
+        assert "Physical Plan" in q.rows[0][1]
