@@ -2097,9 +2097,14 @@ def _run_query(
         sub = vars_.substitute(sql_string)
         sub = _expand_macros(sub, macros)
         from .filefuncs import expand_file_functions
-        from .tablefuncs import expand_table_functions
+        from .tablefuncs import (
+            expand_information_schema,
+            expand_table_functions,
+        )
 
         sub, used_tablefuncs = expand_table_functions(spark, sub)
+        sub, used_infoschema = expand_information_schema(spark, sub)
+        used_tablefuncs = used_tablefuncs or used_infoschema
         sub, used_filefuncs = expand_file_functions(spark, sub)
         # DuckDB PIVOT sugar inside a CTE body or derived table:
         # materialize each "(PIVOT …)" group as a temp view so the

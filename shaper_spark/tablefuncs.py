@@ -232,3 +232,111 @@ def _materialize(spark: SparkSession, name: str) -> None:
     spark.createDataFrame(rows, schema).createOrReplaceTempView(
         f"__duckdb_{name}"
     )
+
+
+# information_schema.{tables,columns,schemata} (r11): ANSI
+# introspection DuckDB exposes and pasted dashboards query.  Same
+# per-statement snapshot-view mechanism; the commonly-queried leading
+# columns are provided (the exotic ANSI tail — identity/collation/
+# UDT columns — is omitted, a loud absence rather than silent NULLs).
+_INFO_SCHEMA_RE = re.compile(
+    r"\binformation_schema\s*\.\s*(tables|columns|schemata)\b",
+    re.IGNORECASE,
+)
+
+
+def _materialize_info_schema(spark: SparkSession, name: str) -> None:
+    from .introspect import get_schema
+
+    tree = get_schema(spark)
+    if name == "schemata":
+        rows = [
+            (d.name, s.name, None)
+            for d in tree.databases
+            for s in d.schemas
+        ]
+        schema = "catalog_name string, schema_name string, schema_owner string"
+    elif name == "tables":
+        rows = []
+        for d in tree.databases:
+            for s in d.schemas:
+                # a temp view appears in both introspection lists —
+                # information_schema lists each relation ONCE (as VIEW)
+                view_names = {v.name for v in s.views}
+                for t in s.tables:
+                    if t.name in view_names:
+                        continue
+                    rows.append(
+                        (d.name, s.name, t.name, "BASE TABLE", "YES",
+                         "NO", t.comment or None)
+                    )
+                for v in s.views:
+                    rows.append(
+                        (d.name, s.name, v.name, "VIEW", "NO", "NO",
+                         v.comment or None)
+                    )
+        schema = (
+            "table_catalog string, table_schema string, "
+            "table_name string, table_type string, "
+            "is_insertable_into string, is_typed string, "
+            "TABLE_COMMENT string"
+        )
+    else:  # columns
+        from .udfs import _duckdb_typename
+
+        rows = [
+            (
+                d.name,
+                s.name,
+                t.name,
+                c.name,
+                i,
+                c.default,
+                "YES" if c.nullable else "NO",
+                _duckdb_typename(c.type),
+                c.comment or None,
+            )
+            for d in tree.databases
+            for s in d.schemas
+            for t in s.tables
+            for i, c in enumerate(t.columns, start=1)
+        ]
+        schema = (
+            "table_catalog string, table_schema string, "
+            "table_name string, column_name string, "
+            "ordinal_position int, column_default string, "
+            "is_nullable string, data_type string, "
+            "COLUMN_COMMENT string"
+        )
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        f"__info_schema_{name}"
+    )
+
+
+def expand_information_schema(
+    spark: SparkSession, sql: str
+) -> tuple[str, bool]:
+    """Replace ``information_schema.<view>`` references with freshly
+    materialized ``__info_schema_<view>`` snapshot views."""
+    spans = _quoted_spans(sql)
+
+    def literal(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
+    names: set[str] = set()
+    out: list[str] = []
+    last = 0
+    for m in _INFO_SCHEMA_RE.finditer(sql):
+        if literal(m.start()):
+            continue
+        name = m.group(1).lower()
+        names.add(name)
+        out.append(sql[last : m.start()])
+        out.append(f"__info_schema_{name}")
+        last = m.end()
+    if not names:
+        return sql, False
+    out.append(sql[last:])
+    for name in names:
+        _materialize_info_schema(spark, name)
+    return "".join(out), True

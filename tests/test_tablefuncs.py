@@ -128,3 +128,47 @@ class TestDuckdbTableFunctions:
         sql = "SELECT 'it''s duckdb_views() here' AS s"
         rewritten, used = expand_table_functions(spark, sql)
         assert rewritten == sql and used is False
+
+
+class TestInformationSchema:
+    """information_schema.{tables,columns,schemata} (r11): ANSI
+    introspection with DuckDB shapes — each relation listed once,
+    DuckDB type spellings."""
+
+    def test_tables_lists_each_relation_once(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(
+            spark,
+            "SELECT table_name, table_type FROM information_schema.tables"
+            " WHERE table_name = 'region';",
+            dashboard_id="is1",
+        )
+        rows = r.sections[0].queries[0].rows
+        assert len(rows) == 1 and rows[0][1] in ("VIEW", "BASE TABLE")
+
+    def test_columns_duck_spellings(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(
+            spark,
+            "SELECT column_name, data_type, is_nullable, ordinal_position"
+            " FROM information_schema.columns WHERE table_name = 'region'"
+            " ORDER BY ordinal_position;",
+            dashboard_id="is2",
+        )
+        rows = r.sections[0].queries[0].rows
+        assert rows[0] == ["r_regionkey", "INTEGER", "YES", 1]
+        assert rows[1][1] == "VARCHAR"
+
+    def test_string_literal_untouched(self, spark):
+        from shaper_spark.engine import query_dashboard
+
+        r = query_dashboard(
+            spark,
+            "SELECT 'information_schema.tables' AS s;",
+            dashboard_id="is3",
+        )
+        assert r.sections[0].queries[0].rows == [
+            ["information_schema.tables"]
+        ]
