@@ -1726,6 +1726,36 @@ _LIST_AGG_FNS = {
     "min": "array_min({l})",
     "max": "array_max({l})",
     "count": "size(filter({l}, x -> x IS NOT NULL))",
+    # r11 tail (pinned against DuckDB 1.0): median interpolates and
+    # returns DOUBLE with NULL elements skipped; product skips NULLs;
+    # first/last KEEP a NULL end element; string_agg skips NULLs with
+    # the ',' default; stddev is the sample statistic
+    "median": (
+        "(CASE WHEN size(array_compact({l})) = 0 THEN NULL "
+        "WHEN size(array_compact({l})) % 2 = 1 THEN "
+        "CAST(element_at(array_sort(array_compact({l})), "
+        "CAST((size(array_compact({l})) + 1) DIV 2 AS INT)) AS DOUBLE) "
+        "ELSE (CAST(element_at(array_sort(array_compact({l})), "
+        "CAST(size(array_compact({l})) DIV 2 AS INT)) AS DOUBLE) "
+        "+ element_at(array_sort(array_compact({l})), "
+        "CAST(size(array_compact({l})) DIV 2 + 1 AS INT))) / 2 END)"
+    ),
+    "product": (
+        "aggregate(array_compact({l}), CAST(1 AS DOUBLE), "
+        "(acc, x) -> acc * x)"
+    ),
+    "first": "try_element_at({l}, 1)",
+    "last": "try_element_at({l}, -1)",
+    "string_agg": "array_join({l}, ',')",
+    "stddev": (
+        "sqrt(try_divide("
+        "aggregate(array_compact({l}), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x) "
+        "- size(array_compact({l})) * power(try_divide("
+        "aggregate(array_compact({l}), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x), size(array_compact({l}))), 2), "
+        "size(array_compact({l})) - 1))"
+    ),
 }
 
 

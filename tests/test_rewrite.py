@@ -2112,3 +2112,36 @@ class TestDateTruncType:
     def test_non_literal_part_untouched(self):
         r = rewrite_statement("SELECT date_trunc(p, ts) FROM t")
         assert "CAST" not in r.sql
+
+
+class TestListAggregateTail:
+    """r11: list_aggregate reducer tail (median/product/first/last/
+    string_agg/stddev) — all differential-verified against DuckDB."""
+
+    def test_median_interpolates(self, spark):
+        r = rewrite_statement("SELECT list_aggregate([1,2,3,10], 'median') AS v")
+        assert spark.sql(r.sql).collect()[0].v == 2.5
+
+    def test_median_skips_nulls(self, spark):
+        r = rewrite_statement("SELECT list_aggregate([1,NULL,3], 'median') AS v")
+        assert spark.sql(r.sql).collect()[0].v == 2.0
+
+    def test_first_last_keep_null_ends(self, spark):
+        r = rewrite_statement(
+            "SELECT list_aggregate([NULL,2], 'first') AS a,"
+            " list_aggregate([2,NULL], 'last') AS b"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert row.a is None and row.b is None
+
+    def test_string_agg_skips_nulls(self, spark):
+        r = rewrite_statement(
+            "SELECT list_aggregate(['a',NULL,'b'], 'string_agg') AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == "a,b"
+
+    def test_stddev_sample(self, spark):
+        r = rewrite_statement(
+            "SELECT round(list_aggregate([1,2,3,10], 'stddev'), 6) AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == 4.082483
