@@ -4751,14 +4751,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keeps ``bm25_relevance``/``boilerplate_grams`` in-window).  The
     r11 diagnostic ``threshold_sweep_probe`` enters at the TAIL by
     design (the r10 verdict prescribed it as a tail diagnostic, not a
-    window entry)."""
+    window entry).
+    Round 12 (r11 verdict task 1): ``threshold_sweep_probe`` rotates
+    INTO the official window — the driver gate reads exactly the
+    first-50 prefix, so the tail placement meant the decisive
+    ``filter_threshold_sweep`` diagnostic never produced a driver
+    record.  It displaces ``cte_share_pct`` (11 official greens, the
+    most-recorded identical-SQL entry; verdict-named).  The three r11
+    late additions enter per the standing new-operator policy:
+    ``lexical_diversity`` displaces ``asof_sql_syntax`` (3 greens,
+    identical-SQL, verdict-named alternative), ``blocklist_report``
+    displaces ``multimodal_audio`` (9 greens; the multimodal family
+    keeps ``multimodal_meta`` in-window), ``length_quantiles``
+    displaces ``bigram_lm_scores`` (8 greens; the LM family keeps
+    ``quality_lm_correlation`` in-window).  All displaced entries
+    remain in the tail under ``tests/oracle_check.py``."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
-        "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
+        # r12 rotation: threshold_sweep_probe replaces cte_share_pct
+        # (11 greens) so the sweep diagnostic finally gets a driver
+        # record next to the 3-round-red filter_threshold_sweep.
+        "threshold_sweep_probe": _q_threshold_probe,
         "remove_dup_spans": _q_remove_dup_spans,
         "pipeline_stage_counts": _q_pipeline_stages,
-        "bigram_lm_scores": _q_bigram_lm,
+        # r12 rotation: length_quantiles (r11 late addition) replaces
+        # bigram_lm_scores (8 greens; LM family keeps
+        # quality_lm_correlation in-window).
+        "length_quantiles": _q_length_quantiles,
         "dedup_jaccard_pairs": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "stream_rollup_daily": _q_stream_rollup,
@@ -4772,7 +4792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_report": _q_incremental_dedup,
         "pmi_collocations": _q_pmi_collocations,  # r10 rotation: displaces simhash_near_pairs (9 official greens)
         "multimodal_meta": _q_multimodal_meta,
-        "multimodal_audio": _q_multimodal_audio,
+        # r12 rotation: blocklist_report (r11 late addition) replaces
+        # multimodal_audio (9 greens; family keeps multimodal_meta).
+        "blocklist_report": _q_blocklist_report,
         "similarity_ivf_topk": _q_ivf_topk,
         "range_join_windows": _q_range_join,
         "minhash_est_error": _q_minhash_est,
@@ -4813,7 +4835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": _q_key_skew,
         "pii_density_report": _q_pii_density,
         "bm25_relevance": _q_bm25,
-        "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
+        # r12 rotation: lexical_diversity (r11 late addition) replaces
+        # asof_sql_syntax (3 greens, identical-SQL; ASOF family keeps
+        # asof_last_click oracle-checked in the tail).
+        "lexical_diversity": _q_lexical_diversity,
         "ivf_index_probe": _q_ivf_index_probe,
         "dataset_card": _q_dataset_card,
         "similarity_lsh_topk": _q_lsh_topk,  # rotated out of the window r10 (9 greens)
@@ -4897,15 +4922,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _sql(Q1_PRICING),
         "dedup_simhash": _q_simhash,
         "text_token_stats": _q_token_stats,
-        "threshold_sweep_probe": _q_threshold_probe,
         # rotated out of the window r11 (>=2 greens each)
         "date_spine_fill": _dialect(DATE_SPINE_DUCK),
         "canary_scan": _q_canary_scan,
-        # r11 late additions (tail: enter the official window after a
-        # full oracle-checked round per rotation policy)
-        "lexical_diversity": _q_lexical_diversity,
-        "blocklist_report": _q_blocklist_report,
-        "length_quantiles": _q_length_quantiles,
+        # rotated out of the window r12 (see docstring; each >=3
+        # official greens, family representatives kept in-window)
+        "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
+        "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
+        "multimodal_audio": _q_multimodal_audio,
+        "bigram_lm_scores": _q_bigram_lm,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;

@@ -28,7 +28,7 @@ def test_prefix_50_covers_the_diverse_surface():
     keys = list(entry.queries())[:50]
     must_have = {
         # previously-unchecked entries the round-2 verdict flagged
-        "multimodal_meta", "multimodal_audio", "similarity_ivf_topk",
+        "multimodal_meta", "similarity_ivf_topk",
         # round-5/6 operators holding their window seats
         "bpe_pair_counts", "dedup_apply_counts",
         "range_join_windows", "text_repetition", "pii_scrub_customers",
@@ -48,7 +48,7 @@ def test_prefix_50_covers_the_diverse_surface():
         "corpus_diff_report", "dsir_weights", "dsir_select",
         "psi_drift_matrix", "filter_threshold_sweep",
         "boilerplate_grams", "key_skew_report",
-        "bm25_relevance", "asof_sql_syntax", "ivf_index_probe",
+        "bm25_relevance", "ivf_index_probe",
         "dataset_card",
         # round-11 NEW operators (enter immediately per policy,
         # displacing date_spine_fill / canary_scan, 2 greens each)
@@ -56,8 +56,8 @@ def test_prefix_50_covers_the_diverse_surface():
         # perf-watch entries stay officially recorded while >2x
         "remove_dup_spans", "pipeline_stage_counts",
         # core families (one hash-checked representative each)
-        "q5_region_revenue", "cte_share_pct", "stratified_sample_docs",
-        "bigram_lm_scores", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+        "q5_region_revenue", "stratified_sample_docs",
+        "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "embedding_top1", "embedding_neardup",
         "text_winnow", "pack_sequences_budget", "stream_rollup_daily",
         # round-10 NEW operators (enter immediately per policy,
@@ -66,6 +66,13 @@ def test_prefix_50_covers_the_diverse_surface():
         # dedup_minhash_lsh and similarity keeps ivf_index_probe /
         # similarity_ivf_topk / minhash_est_error in the window)
         "source_jaccard_matrix", "pmi_collocations",
+        # round-12 rotation (r11 verdict task 1 + new-operator policy):
+        # threshold_sweep_probe displaces cte_share_pct (11 greens);
+        # lexical_diversity / blocklist_report / length_quantiles
+        # displace asof_sql_syntax / multimodal_audio /
+        # bigram_lm_scores (3/9/8 greens, families kept in-window)
+        "threshold_sweep_probe", "lexical_diversity",
+        "blocklist_report", "length_quantiles",
     }
     missing = must_have - set(keys)
     assert not missing, f"prefix-50 lost entries: {missing}"

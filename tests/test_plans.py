@@ -567,3 +567,17 @@ class TestRound5OperatorPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BroadcastExchange" in plan  # |groups|×dim centroid
+
+    def test_lexical_diversity_splits_text_exactly_once(self, spark):
+        # r11 verdict: referencing the split() EXPRESSION from both the
+        # generator and per-row element_at lookups re-evaluated it per
+        # token row (O(n²)/doc).  The array must be materialized in a
+        # Project below the Generate: exactly ONE split( in the
+        # optimized plan.
+        from shaper_spark.operators.text import lexical_diversity
+
+        out = lexical_diversity(
+            spark.table("documents"), "doc_id", "text", "source"
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, plan
