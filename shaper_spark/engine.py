@@ -1779,7 +1779,16 @@ def _run_query(
             )
         )
         if analyze:
-            inner.collect()  # execute like DuckDB's ANALYZE
+            # Execute like DuckDB's ANALYZE but never materialize the
+            # result on the driver (r11 verdict: a full collect() here
+            # was an unbounded driver-side sink reachable from any
+            # dashboard).  The noop sink runs the whole plan
+            # executor-side and discards rows; count() is the fallback
+            # (also executor-side, one long to the driver).
+            try:
+                inner.write.format("noop").mode("overwrite").save()
+            except Exception:
+                inner.count()
         key = "analyzed_plan" if analyze else "physical_plan"
         return (
             [

@@ -816,3 +816,31 @@ class TestIntrospectionShapes:
         ]
         assert q.rows[0][0] == "physical_plan"
         assert "Physical Plan" in q.rows[0][1]
+
+    def test_explain_analyze_no_driver_collect(self, spark, monkeypatch):
+        # r11 verdict: ANALYZE used to collect() the full result to the
+        # driver — the classic unbounded driver sink, reachable from
+        # any dashboard.  It must execute via the executor-side noop
+        # sink; a collect()/toLocalIterator on the inner frame is a
+        # regression.
+        from pyspark.sql import DataFrame
+
+        from shaper_spark.engine import query_dashboard
+
+        def _boom(self, *a, **k):  # pragma: no cover - trip wire
+            raise AssertionError("EXPLAIN ANALYZE collected driver-side")
+
+        monkeypatch.setattr(DataFrame, "collect", _boom)
+        monkeypatch.setattr(DataFrame, "toLocalIterator", _boom)
+        try:
+            r = query_dashboard(
+                spark, "EXPLAIN ANALYZE SELECT l_orderkey, l_quantity FROM lineitem;",
+                dashboard_id="ishape5",
+            )
+        finally:
+            monkeypatch.undo()
+        q = r.sections[0].queries[0]
+        assert [c.name for c in q.columns] == [
+            "explain_key", "explain_value",
+        ]
+        assert q.rows[0][0] == "analyzed_plan"
