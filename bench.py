@@ -231,10 +231,12 @@ def main() -> None:
     # number in BENCH_DETAIL; the in-bench number stays in
     # extra_queries for series continuity.
     extra_steady: dict[str, float] = {}
+    extra_steady_band: dict[str, list[float]] = {}
     for name in EXTRAS:
         fn = queries.get(name)
         if fn is None:
             continue
+        reps: list[float] = []
         for _rep in range(3):
             plancache.bump()
             t0 = time.perf_counter()
@@ -242,11 +244,14 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
             except Exception:
                 extra_steady[name] = -1.0
+                reps = []
                 break
-            dt_ = time.perf_counter() - t0
-            prev = extra_steady.get(name)
-            if prev is None or (prev > 0 and dt_ < prev):
-                extra_steady[name] = dt_
+            reps.append(time.perf_counter() - t0)
+        if reps:
+            extra_steady[name] = min(reps)
+            extra_steady_band[name] = [
+                round(min(reps), 4), round(max(reps), 4)
+            ]
     extra_steady = {k: round(v, 4) for k, v in extra_steady.items()}
 
     # WARMPLAN protocol: analyzed-plan cache warm (hits rebuild a fresh
@@ -308,7 +313,10 @@ def main() -> None:
     # parquet (best of 3, matching the Spark min-of-3) — so the record
     # carries its own baseline and a stalled host can't silently
     # masquerade as a slow plan.
-    duck = _duckdb_reference(entrymod, sf_dir)
+    duck_reps = _duckdb_reference_reps(entrymod, sf_dir)
+    duck = {
+        k: (round(min(v), 4) if v else -1.0) for k, v in duck_reps.items()
+    }
 
     # Itemized floor decomposition: Spark's fixed per-query cost
     # (plan + schedule + 1-shuffle job on a warm session) measured
@@ -364,7 +372,46 @@ def main() -> None:
     # the 20 headline per-query timings fit in well under 2 KB; every
     # other per-query table goes to BENCH_DETAIL.json next to this
     # script (and, for human eyes, to stderr).
-    extra_duck = _duckdb_reference(entrymod, sf_dir, EXTRAS)
+    extra_duck_reps = _duckdb_reference_reps(entrymod, sf_dir, EXTRAS)
+    extra_duck = {
+        k: (round(min(v), 4) if v else -1.0)
+        for k, v in extra_duck_reps.items()
+    }
+
+    # RULED GATE (r11 judge ruling, recorded in BASELINE.md): gate
+    # eligibility = DuckDB median-of-3 >= 0.3 s; the ratio = Spark
+    # steady min-of-3 / DuckDB median-of-3, both sides measured in this
+    # same session.  Single-run duck point timings with ±15% host swing
+    # were flipping queries in and out of the gate round-over-round;
+    # this makes each entry's pass-or-weak reading definitive.
+    gate: dict[str, dict[str, Any]] = {}
+    all_duck_reps = dict(extra_duck_reps)
+    all_duck_reps.update(duck_reps)
+    all_spark_steady = dict(extra_steady)
+    all_spark_steady.update(heavy_steady)
+    all_spark_band = dict(extra_steady_band)
+    all_spark_band.update(heavy_noise_band)
+    for name, steady in sorted(all_spark_steady.items()):
+        reps = all_duck_reps.get(name)
+        if not reps or steady <= 0:
+            continue
+        med = _median3(reps)
+        eligible = med >= 0.3
+        gate[name] = {
+            "duck_median3": round(med, 4),
+            "duck_band": [round(min(reps), 4), round(max(reps), 4)],
+            "spark_steady_min3": round(steady, 4),
+            "spark_band": all_spark_band.get(name),
+            "eligible": eligible,
+            "ratio": round(steady / med, 3) if med > 0 else None,
+        }
+    gate_ratios = {
+        k: v["ratio"] for k, v in gate.items() if v["eligible"]
+    }
+    gate_weak = sorted(
+        k for k, r in gate_ratios.items() if r is not None and r > 2.0
+    )
+
     record = {
         "metric": "headline_total_fresh",
         "value": round(total, 4),
@@ -373,18 +420,11 @@ def main() -> None:
         "fresh_headline_sec": round(total, 4),
         "warmplan_headline_sec": warm_total,
         "serving_headline_sec": serving_total,
-        "protocols": (
-            "fresh=bump-before-every-execution (nothing reused; the "
-            "official number); warmplan=analyzed-plan cache warm, fresh "
-            "Dataset+full execution per call; serving=re-collect of the "
-            "same DataFrame (computed-stage reuse over unchanged data — "
-            "NOT comparable to the re-executing DuckDB side); extras "
-            "additionally carry steady_state=min of 3 consecutive fresh "
-            "executions (JIT hot, plans re-built — see BENCH_DETAIL "
-            "extra_queries_steady); heavy headline queries carry the "
-            "same steady protocol plus the reps' [min,max] noise band "
-            "(heavy_ratios_steady is the ruled-gate reading)"
-        ),
+        # The full protocol prose lives in BENCH_DETAIL.json
+        # ("protocols"): the driver's stdout tail capture is 2000
+        # chars and the r11 compact line overflowed it ("parsed":
+        # null) — every byte here costs record durability.
+        "protocols": "see BENCH_DETAIL.json protocols",
         "duckdb_total": round(sum(v for v in duck.values() if v > 0), 4),
         # Symmetric serving-mode comparison: one "render" = all headline
         # results served once. Spark serves from its computed-stage
@@ -411,15 +451,22 @@ def main() -> None:
         # scan+aggregate, best-of-5). Deployment-scale files carry many
         # row groups and the scan stage parallelizes normally.
         "serial_scan_floor_sec": scan_floor,
-        "heavy_ratios": heavy_ratios,
-        # ruled-gate reading for the heavies: steady min-of-3 ratio,
-        # with the reps' [min,max] band for drift adjudication
+        # ruled-gate reading for the heavies: steady min-of-3 ratio
+        # (bands + legacy point ratios in BENCH_DETAIL)
         "heavy_ratios_steady": heavy_ratios_steady,
-        "heavy_steady_sec": heavy_steady,
-        "heavy_noise_band": heavy_noise_band,
         "light_residual_sec": light_residual,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail_file": "BENCH_DETAIL.json",
+        # r11-ruled gate: eligibility = duck median-of-3 >= 0.3 s;
+        # ratio = spark steady min-of-3 / duck median-of-3, same
+        # session.  Full per-query bands in BENCH_DETAIL "gate".
+        # KEPT LAST so a tail-truncated capture still shows them.
+        "gate_protocol": (
+            "eligible=duck med3>=0.3s; ratio=spark steady min3/duck "
+            "med3 (r11 ruling)"
+        ),
+        "gate_ratios": gate_ratios,
+        "gate_weak": gate_weak,
     }
     # engine versions ride every record (r9 verdict #10): the one
     # driver-vs-local hash divergence seen so far was a DuckDB version
@@ -434,6 +481,23 @@ def main() -> None:
     record["engines"] = engines
     detail = dict(
         record,
+        protocols=(
+            "fresh=bump-before-every-execution (nothing reused; the "
+            "official number); warmplan=analyzed-plan cache warm, fresh "
+            "Dataset+full execution per call; serving=re-collect of the "
+            "same DataFrame (computed-stage reuse over unchanged data — "
+            "NOT comparable to the re-executing DuckDB side); extras "
+            "additionally carry steady_state=min of 3 consecutive fresh "
+            "executions (JIT hot, plans re-built — see "
+            "extra_queries_steady); heavy headline queries carry the "
+            "same steady protocol plus the reps' [min,max] noise band; "
+            "gate = the r11 ruling (eligible iff duckdb median-of-3 "
+            ">= 0.3s; ratio = spark steady min-of-3 / duckdb "
+            "median-of-3, same session; see the per-query gate dict)"
+        ),
+        heavy_ratios=heavy_ratios,
+        heavy_steady_sec=heavy_steady,
+        heavy_noise_band=heavy_noise_band,
         duckdb_ref=duck,
         extra_queries=extra_timings,
         # dual record (r8 verdict #3): in_bench = min over the 5
@@ -444,7 +508,11 @@ def main() -> None:
         # in-bench series stays for round-over-round continuity.
         extra_queries_in_bench=extra_timings,
         extra_queries_steady=extra_steady,
+        extra_queries_steady_band=extra_steady_band,
         extra_duckdb=extra_duck,
+        gate=gate,
+        duckdb_reps=duck_reps,
+        extra_duckdb_reps=extra_duck_reps,
         warmplan_queries=warm_timings,
         serving_queries=serving_timings,
     )
@@ -457,7 +525,17 @@ def main() -> None:
     except OSError as e:
         print(f"bench: could not write BENCH_DETAIL.json: {e}", file=sys.stderr)
     print(json.dumps(detail, indent=1), file=sys.stderr)
-    print(json.dumps(record))
+    # Durability guard: the driver's stdout tail capture is 2000 chars
+    # — a longer line loses the whole parsed record (r11).  Shed the
+    # bulkiest redundant fields (all duplicated in BENCH_DETAIL.json)
+    # until the line fits.
+    line = json.dumps(record)
+    for shed in ("heavy_ratios_steady", "queries", "gate_ratios"):
+        if len(line) <= 1900:
+            break
+        record[shed] = f"see BENCH_DETAIL.json {shed}"
+        line = json.dumps(record)
+    print(line)
 
 
 def _measure_floor(spark) -> float:
@@ -494,9 +572,13 @@ def _measure_scan_floor(spark) -> float:
     return round(best, 4)
 
 
-def _duckdb_reference(
+def _duckdb_reference_reps(
     entrymod, sf_dir: str, names: list[str] | None = None
-) -> dict[str, float]:
+) -> dict[str, list[float]]:
+    """Per-query DuckDB rep times (up to 5 consecutive executions in
+    ONE session).  Callers derive min-of-5 (series continuity) and the
+    r11-ruled gate statistics (median-of-3 eligibility) from the same
+    samples."""
     try:
         import duckdb
     except Exception:
@@ -511,26 +593,42 @@ def _duckdb_reference(
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-    out: dict[str, float] = {}
+    out: dict[str, list[float]] = {}
     for name in names if names is not None else HEADLINE:
         sql = oracles.get(name)
         if sql is None:
             continue
-        best = -1.0
+        reps: list[float] = []
         for _ in range(5):  # min-of-5, symmetric with the Spark side
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
             except Exception:
-                best = -1.0
+                reps = []
                 break
-            dt_ = time.perf_counter() - t0
-            if best < 0 or dt_ < best:
-                best = dt_
-            if dt_ > 5.0:
+            reps.append(time.perf_counter() - t0)
+            if reps[-1] > 5.0:
                 break  # long queries: one sample, don't 5x the wall
-        out[name] = round(best, 4)
+        out[name] = [round(r, 4) for r in reps]
     return out
+
+
+def _median3(reps: list[float]) -> float:
+    """Median of the FIRST three reps (the gate's median-of-3; with
+    fewer samples, median of what exists)."""
+    s = sorted(reps[:3])
+    if not s:
+        return -1.0
+    return s[len(s) // 2]
+
+
+def _duckdb_reference(
+    entrymod, sf_dir: str, names: list[str] | None = None
+) -> dict[str, float]:
+    reps = _duckdb_reference_reps(entrymod, sf_dir, names)
+    return {
+        k: (round(min(v), 4) if v else -1.0) for k, v in reps.items()
+    }
 
 
 if __name__ == "__main__":
