@@ -1002,30 +1002,21 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB."""
     from pyspark.sql import functions as F
 
-    from shaper_spark.operators.similarity import ann_recall, cosine_topk
+    from shaper_spark.operators.similarity import ann_recall_sweep
 
     _prep(spark, sf_dir)
     emb = spark.table("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter("vec_id < 20")
-    # the exact ground truth is table-count-independent: compute the
-    # brute-force side ONCE and share it across both sweep settings
-    # (persisted — ~100 rows; without it each union branch re-runs the
-    # corpus matmul)
-    exact = (
-        cosine_topk(emb, queries, "vec_id", "embedding", k=5)
-        .select("query_id", "neighbor_id")
-        .persist()
+    # ONE plan for the whole sweep (r11 verdict task 5): shared keyed
+    # exchange, one bucket join/scoring pass/window, exact ground
+    # truth computed once and settings-exploded before a single
+    # semi-join + rollup — bit-identical to the per-setting loop.
+    return ann_recall_sweep(
+        emb, queries, "vec_id", "embedding", k=5, planes=4,
+        tables_list=(1, 3),
     )
-    out = None
-    for n_tables in (1, 3):
-        r = ann_recall(
-            emb, queries, "vec_id", "embedding", k=5, planes=4,
-            tables=n_tables, exact=exact,
-        ).select(F.lit(n_tables).alias("tables"), "*")
-        out = r if out is None else out.unionAll(r)
-    return out.orderBy("tables", "query_id")
 
 
 def _ann_recall_duck_one(

@@ -23,6 +23,7 @@ __all__ = [
     "pair_cosine",
     "hyperplane_bucket",
     "hyperplane_buckets",
+    "hyperplane_bucket_tables",
 ]
 
 
@@ -104,6 +105,33 @@ def hyperplane_bucket(col, hyperplanes):
         return pd.Series((bits @ powers).astype("int32"))
 
     return _bucket(col)
+
+
+def hyperplane_bucket_tables(col, hyperplane_list):
+    """One bucket id per hash table (array<int>) from a LIST of
+    per-table (planes, dim) matrices — e.g. the lsh_topk convention of
+    table ``t`` seeded ``seed + t``.  The matrices are vstacked so one
+    Arrow transfer + one matmul covers every table (vs one pandas-UDF
+    invocation per table, which re-ships the vector column each
+    time)."""
+    import numpy as np
+
+    mats = [np.asarray(h, dtype=np.float64) for h in hyperplane_list]
+    planes = mats[0].shape[0]
+    tables = len(mats)
+    H = np.vstack(mats)  # (tables*planes, dim)
+    powers = (2 ** np.arange(planes)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(vs):
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        bits = ((_mat(vs) @ H.T) >= 0).reshape(-1, tables, planes)
+        return pd.Series(list((bits @ powers).astype("int32")))
+
+    return _buckets(col)
 
 
 def hyperplane_buckets(col, tables: int, planes: int, seed: int):
