@@ -935,7 +935,10 @@ def _fix_like_backslash_literal(sql: str) -> str:
         content = sql[i + 1 : j]
         if "\\" not in content:
             continue
-        k = j + 1
+        # j is already one past the closing quote — start the ESCAPE
+        # lookahead there, or `LIKE '50\%'ESCAPE '\'` (no space)
+        # misses its explicit escape clause.
+        k = j
         while k < len(sql) and sql[k].isspace():
             k += 1
         if sql[k : k + 6].upper() == "ESCAPE":
@@ -2158,10 +2161,11 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
       ``x <> ALL (sub)`` → ``x NOT IN (sub)``.
     * ordered ops lower onto a scalar min/max subquery
       (``x < ANY`` ≡ ``x < max``, ``x < ALL`` ≡ ``x < min``, …);
-      ALL additionally coalesces with a NOT EXISTS arm so the
-      empty-subquery case stays TRUE like DuckDB.  NULL elements:
-      WHERE-position behavior matches (both reject the row); the bare
-      SELECT-value corner (NULL vs false) is documented.
+      ALL lowers to a full three-valued CASE (empty → TRUE, definite
+      failing element → FALSE, NULL left/element → NULL, else TRUE) —
+      exact DuckDB semantics incl. NULL elements (batch-28).  ANY with
+      NULL elements: WHERE-position behavior matches (FALSE vs NULL
+      both reject); the bare SELECT-value corner is documented.
     * ``= ALL`` / ``<> ANY`` are left untouched (loud parse error) —
       their empty/NULL algebra doesn't reduce to one scalar agg."""
     while True:
@@ -2225,9 +2229,20 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
                 f"(SELECT {agg}(__qc) FROM ({sub}) AS __q(__qc))"
             )
             if quant == "ALL":
+                # Three-valued ALL (batch-28): empty → TRUE; any
+                # definite failing element → FALSE; otherwise a NULL
+                # left side or a NULL element makes the result NULL
+                # (DuckDB keeps the NULL, rejecting the row in WHERE);
+                # only then TRUE.  The bare min/max coalesce form
+                # returned TRUE over NULL elements — wrong in DuckDB.
                 new = (
-                    f"coalesce({cmp_}, "
-                    f"NOT EXISTS (SELECT 1 FROM ({sub}) AS __qe))"
+                    f"CASE WHEN NOT EXISTS "
+                    f"(SELECT 1 FROM ({sub}) AS __qe) THEN TRUE "
+                    f"WHEN NOT ({cmp_}) THEN FALSE "
+                    f"WHEN ({left}) IS NULL OR EXISTS "
+                    f"(SELECT 1 FROM ({sub}) AS __qn(__qnc) "
+                    f"WHERE __qnc IS NULL) THEN NULL "
+                    f"ELSE TRUE END"
                 )
             else:
                 new = cmp_
@@ -2737,7 +2752,12 @@ def _rewrite_any_all_array(sql: str) -> str:
             op = m.group(1)
             kind = m.group(2).upper()
             if op == "=" and kind == "ANY":
-                repl = f"array_contains({inner}, {left})"
+                # /*LC*/ marker: DuckDB's `= ANY(arr)` keeps SQL
+                # quantified NULL semantics (absent + NULL element →
+                # NULL) — exactly Spark's raw array_contains — so the
+                # array_contains alias fixer (which imposes DuckDB's
+                # list_contains absent→FALSE) must skip this emission.
+                repl = f"array_contains /*LC*/({inner}, {left})"
             else:
                 hof = "exists" if kind == "ANY" else "forall"
                 repl = f"{hof}({inner}, __e -> {left} {op} __e)"
@@ -3116,14 +3136,17 @@ def _rewrite_fn_compat2(sql: str) -> str:
     def _fix_list_contains(args: list[str]) -> str | None:
         # DuckDB: FALSE when absent even if the list has NULLs (Spark's
         # array_contains yields NULL there); NULL when either the list
-        # or the needle is NULL.
+        # or the needle is NULL.  Null-safe-equality exists() instead
+        # of array_contains: the lambda's <=> coerces an untyped NULL
+        # literal needle (array_contains rejects it at analysis) and
+        # NULL elements compare FALSE, matching DuckDB's absent→FALSE.
         if len(args) != 2:
             return None
         l, v = args[0].strip(), args[1].strip()
         return (
             f"(CASE WHEN ({l}) IS NULL OR ({v}) IS NULL THEN "
             f"CAST(NULL AS BOOLEAN) "
-            f"ELSE coalesce(array_contains({l}, {v}), false) END)"
+            f"ELSE exists({l}, __lc_e -> __lc_e <=> ({v})) END)"
         )
 
     def _fix_sha256(args: list[str]) -> str | None:
@@ -4703,7 +4726,11 @@ def _rewrite_fn_compat2(sql: str) -> str:
         (re.compile(r"\bkurtosis\s*\(", re.IGNORECASE), _fix_kurt),
         (re.compile(r"(?<![\w.])log\s*\(", re.IGNORECASE), _fix_log),
         (
-            re.compile(r"\b(?:list_contains|list_has|array_has)\s*\(", re.IGNORECASE),
+            re.compile(
+                r"\b(?:list_contains|list_has|array_has"
+                r"|array_contains)\s*\(",
+                re.IGNORECASE,
+            ),
             _fix_list_contains,
         ),
         (re.compile(r"\bsha256\s*\(", re.IGNORECASE), _fix_sha256),
@@ -4861,6 +4888,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         .replace(" /*TY*/", "")
         .replace(" /*AM*/", "")
         .replace(" /*DT*/", "")
+        .replace(" /*LC*/", "")
     )
 
     # extract(epoch|dow|isodow FROM e)

@@ -489,9 +489,9 @@ def _duckdb_typename(t):
         inner = t[4:-1]
         depth = 0
         for i, c in enumerate(inner):
-            if c == "<":
+            if c in "<(":
                 depth += 1
-            elif c == ">":
+            elif c in ">)":
                 depth -= 1
             elif c == "," and depth == 0:
                 return (
@@ -506,10 +506,12 @@ def _duckdb_typename(t):
         parts = []
         depth = 0
         last = 0
+        # '(' / ')' depth counts too: DECIMAL(10,2) field types carry
+        # a comma that must not split the struct field list.
         for i, c in enumerate(inner + ","):
-            if c == "<":
+            if c in "<(":
                 depth += 1
-            elif c == ">":
+            elif c in ">)":
                 depth -= 1
             elif c == "," and depth == 0:
                 field = inner[last:i] if i <= len(inner) else inner[last:]

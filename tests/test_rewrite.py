@@ -1712,7 +1712,7 @@ class TestBatch22Sweep:
 
     def test_list_contains_null_parity(self):
         r = rewrite_statement("SELECT list_contains(l, 2) FROM t")
-        assert "coalesce(array_contains(l, 2), false)" in r.sql
+        assert "exists(l, __lc_e -> __lc_e <=> (2))" in r.sql
         assert "(l) IS NULL OR (2) IS NULL" in r.sql
 
     def test_list_extract_try_variant(self):
@@ -2145,3 +2145,62 @@ class TestListAggregateTail:
             "SELECT round(list_aggregate([1,2,3,10], 'stddev'), 6) AS v"
         )
         assert spark.sql(r.sql).collect()[0].v == 4.082483
+
+
+class TestBatch28AdviceFixes:
+    """r12 advisor fixes (each verified live against DuckDB):
+    quantified ALL three-valued NULL semantics, duckdb_typename
+    DECIMAL(p,s) commas inside struct/map fields, LIKE…ESCAPE
+    no-space lookahead, array_contains alias NULL parity."""
+
+    def test_all_null_element_yields_null(self, spark):
+        # DuckDB: 1 < ALL (2, NULL) is NULL, not TRUE — the old
+        # min/max coalesce lowering silently kept the row.
+        r = rewrite_statement("SELECT 1 < ALL (VALUES (2),(NULL)) AS r")
+        assert "WHERE __qnc IS NULL) THEN NULL" in r.sql
+        assert "ELSE TRUE END" in r.sql
+        assert spark.sql(r.sql).collect()[0].r is None
+
+    def test_all_definite_false_beats_null(self, spark):
+        r = rewrite_statement("SELECT 5 < ALL (VALUES (2),(NULL)) AS r")
+        assert spark.sql(r.sql).collect()[0].r is False
+
+    def test_all_null_left_yields_null(self, spark):
+        r = rewrite_statement("SELECT NULL < ALL (VALUES (2),(3)) AS r")
+        assert spark.sql(r.sql).collect()[0].r is None
+
+    def test_all_empty_still_true(self, spark):
+        r = rewrite_statement(
+            "SELECT 1 < ALL (SELECT * FROM (VALUES (2)) t(v)"
+            " WHERE v > 10) AS r"
+        )
+        assert spark.sql(r.sql).collect()[0].r is True
+
+    def test_like_escape_no_space_detected(self):
+        # `'50\%'ESCAPE` (no space) must still see the ESCAPE clause —
+        # the lookahead previously skipped the first post-literal char.
+        r = rewrite_statement(r"SELECT '50%' LIKE '50\%'ESCAPE '\' AS v")
+        assert r"'50\\%'" in r.sql  # only the string-parser doubling
+
+    def test_array_contains_alias_null_parity(self):
+        r = rewrite_statement("SELECT array_contains(l, 2) FROM t")
+        assert "exists(l, __lc_e -> __lc_e <=> (2))" in r.sql
+        assert "(l) IS NULL OR (2) IS NULL" in r.sql
+
+    def test_array_contains_untyped_null_needle(self, spark):
+        # array_contains(…, NULL) fails Spark analysis; the exists
+        # lowering coerces the untyped NULL and returns NULL like
+        # DuckDB.
+        r = rewrite_statement("SELECT array_contains(array(1,2), NULL) AS v")
+        assert spark.sql(r.sql).collect()[0].v is None
+
+    def test_typename_decimal_inside_struct_and_map(self):
+        from shaper_spark.udfs import _duckdb_typename
+        assert (
+            _duckdb_typename("struct<a:decimal(10,2),b:int>")
+            == "STRUCT(a DECIMAL(10,2), b INTEGER)"
+        )
+        assert (
+            _duckdb_typename("map<string,decimal(12,3)>")
+            == "MAP(VARCHAR, DECIMAL(12,3))"
+        )
