@@ -3154,6 +3154,64 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return None
         return f"sha2({args[0].strip()}, 256)"
 
+    def _fix_age(args: list[str]) -> str | None:
+        # DuckDB age(): symbolic year/month/day interval — lowered
+        # onto the duckdb_age compat UDF which renders DuckDB's
+        # VARCHAR form (r12; divergence: VARCHAR, not INTERVAL).  The
+        # 1-arg form measures from the current timestamp (DuckDB uses
+        # the transaction timestamp, not current_date).
+        if len(args) == 1:
+            return (
+                f"duckdb_age(CAST(now() AS TIMESTAMP), "
+                f"CAST({args[0].strip()} AS TIMESTAMP))"
+            )
+        if len(args) == 2:
+            return (
+                f"duckdb_age(CAST({args[0].strip()} AS TIMESTAMP), "
+                f"CAST({args[1].strip()} AS TIMESTAMP))"
+            )
+        return None
+
+    def _fix_struct_insert(args: list[str]) -> str | None:
+        # struct_insert(s, n := e, …): append fields to a struct.  Two
+        # statically-resolvable shapes (r12): an identifier/field-path
+        # base expands via Spark's struct-star (`struct(s.*, e AS n)`),
+        # a named_struct(…) literal base merges textually.  Anything
+        # else passes through to a loud Spark error (documented).
+        # Divergence: DuckDB raises on a duplicate field name; the
+        # star expansion would emit a duplicate-named field instead.
+        if len(args) < 2:
+            return None
+        base = args[0].strip()
+        fields = []
+        for a in args[1:]:
+            mm = re.match(
+                r'^\s*([A-Za-z_][A-Za-z0-9_]*|"[^"]+")\s*:=\s*(.+)$',
+                a.strip(),
+                re.DOTALL,
+            )
+            if not mm:
+                return None
+            fields.append((mm.group(1).strip('"'), mm.group(2).strip()))
+        if re.match(
+            r'^(?:[A-Za-z_][A-Za-z0-9_]*|"[^"]+")'
+            r'(?:\.(?:[A-Za-z_][A-Za-z0-9_]*|"[^"]+"))*$',
+            base,
+        ):
+            tail = ", ".join(f"{e} AS `{n}`" for n, e in fields)
+            return f"struct({base}.*, {tail})"
+        if re.match(r"named_struct\s*\(", base, re.IGNORECASE) and (
+            base.endswith(")")
+        ):
+            inner = base[base.index("(") + 1 : -1].strip()
+            tail = ", ".join(f"'{n}', {e}" for n, e in fields)
+            return (
+                f"named_struct({inner}, {tail})"
+                if inner
+                else f"named_struct({tail})"
+            )
+        return None
+
     def _fix_favg(args: list[str]) -> str | None:
         # Kahan-compensated forms return DOUBLE in DuckDB regardless of
         # input type (avg over DECIMAL stays DECIMAL in Spark)
@@ -4734,6 +4792,11 @@ def _rewrite_fn_compat2(sql: str) -> str:
             _fix_list_contains,
         ),
         (re.compile(r"\bsha256\s*\(", re.IGNORECASE), _fix_sha256),
+        (re.compile(r"(?<![\w.])age\s*\(", re.IGNORECASE), _fix_age),
+        (
+            re.compile(r"\bstruct_insert\s*\(", re.IGNORECASE),
+            _fix_struct_insert,
+        ),
         (re.compile(r"\bfavg\s*\(", re.IGNORECASE), _fix_favg),
         (re.compile(r"\b(?:fsum|kahan_sum|sumkahan)\s*\(", re.IGNORECASE), _fix_fsum),
         (

@@ -13,6 +13,7 @@ All implementations are stdlib-only and deterministic.
 
 from __future__ import annotations
 
+import calendar
 import math
 import unicodedata
 from urllib.parse import quote, unquote
@@ -472,6 +473,59 @@ _TYPENAME_SCALARS = {
 }
 
 
+def _duckdb_age(a, b):
+    """DuckDB ``age(later, earlier)`` → the symbolic-interval VARCHAR
+    rendering ('2 years 1 month 26 days 02:30:00').  Algorithm matches
+    DuckDB (differential-probed r12): subtract the year/month/day/time
+    fields, borrow time from days (86400 s), days from the EARLIER
+    timestamp's month length, months from years; a later < earlier
+    pair negates every component.  Rendering: plural per |component|,
+    zero components omitted, time omitted when zero unless everything
+    is zero ('00:00:00'), fractional seconds with trailing zeros
+    trimmed.  Divergence (documented): DuckDB's age returns INTERVAL;
+    this returns its VARCHAR rendering (Spark has no mixed
+    month-day-time interval in SQL results)."""
+    if a is None or b is None:
+        return None
+    sign = 1
+    if a < b:
+        a, b = b, a
+        sign = -1
+    y = a.year - b.year
+    m = a.month - b.month
+    d = a.day - b.day
+    us = (
+        (a.hour * 3600 + a.minute * 60 + a.second) * 1_000_000
+        + a.microsecond
+        - (b.hour * 3600 + b.minute * 60 + b.second) * 1_000_000
+        - b.microsecond
+    )
+    if us < 0:
+        us += 86_400_000_000
+        d -= 1
+    if d < 0:
+        d += calendar.monthrange(b.year, b.month)[1]
+        m -= 1
+    if m < 0:
+        m += 12
+        y -= 1
+    parts = []
+    for v, unit in ((y, "year"), (m, "month"), (d, "day")):
+        if v:
+            parts.append(
+                f"{sign * v} {unit}" + ("s" if abs(v) != 1 else "")
+            )
+    if us or not parts:
+        h, rem = divmod(us, 3_600_000_000)
+        mm, rem = divmod(rem, 60_000_000)
+        ss, micro = divmod(rem, 1_000_000)
+        t = f"{h:02d}:{mm:02d}:{ss:02d}"
+        if micro:
+            t += "." + f"{micro:06d}".rstrip("0")
+        parts.append(("-" if sign < 0 else "") + t)
+    return " ".join(parts)
+
+
 def _duckdb_typename(t):
     """Spark typeof() spelling → the DuckDB spelling (typeof parity;
     nested array/map/struct recurse, unknown names upper-case)."""
@@ -529,6 +583,7 @@ _REGISTRY = [
     ("bar", _bar, "string"),
     ("length_grapheme", _length_grapheme, "bigint"),
     ("duckdb_typename", _duckdb_typename, "string"),
+    ("duckdb_age", _duckdb_age, "string"),
     ("damerau_levenshtein", _damerau_levenshtein, "bigint"),
     ("jaro_similarity", _jaro_similarity, "double"),
     ("jaro_winkler_similarity", _jaro_winkler, "double"),

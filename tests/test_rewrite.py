@@ -2204,3 +2204,56 @@ class TestBatch28AdviceFixes:
             _duckdb_typename("map<string,decimal(12,3)>")
             == "MAP(VARCHAR, DECIMAL(12,3))"
         )
+
+
+class TestAgeAndStructInsert:
+    """r12: age() via the duckdb_age compat UDF (400-pair random
+    differential vs DuckDB clean) and struct_insert via struct-star /
+    named_struct merge."""
+
+    def test_age_two_arg_lowering(self):
+        r = rewrite_statement("SELECT age(a, b) FROM t")
+        assert (
+            "duckdb_age(CAST(a AS TIMESTAMP), CAST(b AS TIMESTAMP))"
+            in r.sql
+        )
+
+    def test_age_one_arg_uses_now(self):
+        r = rewrite_statement("SELECT age(ts) FROM t")
+        assert "duckdb_age(CAST(now() AS TIMESTAMP)" in r.sql
+
+    def test_age_values(self, spark):
+        r = rewrite_statement(
+            "SELECT age(TIMESTAMP '2024-03-15 10:30:00',"
+            " TIMESTAMP '2022-01-20 08:00:00') AS a,"
+            " age(TIMESTAMP '2022-01-20', TIMESTAMP '2024-03-15') AS b,"
+            " age(TIMESTAMP '2024-03-30', TIMESTAMP '2024-01-31') AS c,"
+            " age(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01') AS d,"
+            " age(TIMESTAMP '2024-01-01 05:00:00',"
+            " TIMESTAMP '2024-01-01 02:30:15.5') AS e"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert row.a == "2 years 1 month 26 days 02:30:00"
+        assert row.b == "-2 years -1 month -26 days"
+        assert row.c == "1 month 30 days"
+        assert row.d == "00:00:00"
+        assert row.e == "02:29:44.5"
+
+    def test_struct_insert_column_base(self, spark):
+        r = rewrite_statement(
+            "SELECT struct_insert(s, c := s.a + 1) AS r"
+            " FROM (SELECT {'a': 1, 'b': 2} AS s)"
+        )
+        assert "struct(s.*, s.a + 1 AS `c`)" in r.sql
+        assert spark.sql(r.sql).collect()[0].r.asDict() == {
+            "a": 1, "b": 2, "c": 2,
+        }
+
+    def test_struct_insert_literal_base(self, spark):
+        r = rewrite_statement(
+            "SELECT struct_insert({'a': 1}, b := 'x') AS r"
+        )
+        assert "named_struct('a', 1, 'b', 'x')" in r.sql
+        assert spark.sql(r.sql).collect()[0].r.asDict() == {
+            "a": 1, "b": "x",
+        }
