@@ -200,6 +200,15 @@ def try_execute_dml(
         for col in assignments:
             if col not in schema:
                 raise ValueError(f"UPDATE: no column {col!r} in {table}")
+        # enum-typed columns get the membership guard (enums.py): an
+        # unregistered value raise_error()s before the swap commits,
+        # matching DuckDB's cast-to-enum conversion error.
+        from .enums import enum_guard_for_column
+
+        for col, expr in list(assignments.items()):
+            guarded = enum_guard_for_column(spark, table, col, expr)
+            if guarded is not None:
+                assignments[col] = guarded
         if from_tables is not None:
             matched = f"EXISTS (SELECT 1 FROM {from_tables} WHERE {cond})"
             cols_sql = []

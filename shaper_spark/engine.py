@@ -1758,6 +1758,21 @@ def _run_query(
             _bump_attach()
             return [], []
         raise ValueError(f"Unsupported ATTACH/DETACH syntax: {sql_string!r}")
+    if re.match(
+        r"\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?TYPE|DROP\s+TYPE)\b",
+        sql_string,
+        re.IGNORECASE,
+    ):
+        # DuckDB user types: ENUMs are emulated via the warehouse
+        # registry (enums.py; reference duckdb_schema.go:124-161);
+        # task scripts create them, dashboards only consume them.
+        from .enums import try_execute_type_ddl
+        from .plancache import bump as _bump_type
+
+        if try_execute_type_ddl(spark, vars_.substitute(sql_string)):
+            _bump_type()
+            return [], []
+        raise ValueError(f"Unsupported type DDL: {sql_string!r}")
     if upper.startswith("EXPLAIN"):
         # DuckDB's EXPLAIN shape: (explain_key, explain_value) — one
         # row with the plan tree (r11; Spark returns a single 'plan'
@@ -2105,6 +2120,9 @@ def _run_query(
     else:
         sub = vars_.substitute(sql_string)
         sub = _expand_macros(sub, macros)
+        from .enums import expand_enum_surface
+
+        sub = expand_enum_surface(spark, sub)
         from .filefuncs import expand_file_functions
         from .tablefuncs import (
             expand_information_schema,

@@ -168,6 +168,16 @@ def get_schema(
         if should_ignore(catalog_name, ns.name, "", ignore):
             continue
         schema = SchemaInfo(name=ns.name)
+        if ns.name == current_db:
+            # emulated ENUM types (enums.py registry; the reference
+            # fills the same per-schema list from duckdb_types() +
+            # enum_range — duckdb_schema.go:124-161)
+            from .enums import list_enums
+
+            schema.enums = [
+                {"name": n, "values": vs}
+                for n, vs in list_enums(spark).items()
+            ]
         for t in spark.catalog.listTables(ns.name):
             if should_ignore(catalog_name, ns.name, t.name, ignore):
                 continue
