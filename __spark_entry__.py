@@ -1547,6 +1547,68 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_describe_duckshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (verdict task 10): DESCRIBE through the engine's r11
+    DuckDB-shaped statement handler (engine._run_query → 6-column
+    ``column_name/column_type/null/key/default/extra`` shape with
+    DuckDB type spellings), so the driver exercises the dashboard
+    route end-to-end.  DuckDB's own DESCRIBE is the oracle."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from shaper_spark import engine as _eng
+
+    _prep(spark, sf_dir)
+    cols, rows = _eng._run_query(
+        spark, "DESCRIBE nation", _eng._VarState({}), {}, 3000
+    )
+    schema = StructType(
+        [StructField(c.name, StringType(), True) for c in cols]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("column_name")
+
+
+def _q_show_tables_duckshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (verdict task 10): SHOW TABLES through the engine's r11
+    DuckDB-shaped handler (single sorted ``name`` column), filtered to
+    the canonical sf tables so temp views from other entries don't
+    leak into the comparison."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from shaper_spark import engine as _eng
+
+    _prep(spark, sf_dir)
+    cols, rows = _eng._run_query(
+        spark, "SHOW TABLES", _eng._VarState({}), {}, 100000
+    )
+    schema = StructType(
+        [StructField(c.name, StringType(), True) for c in cols]
+    )
+    return (
+        spark.createDataFrame(rows, schema)
+        .filter(F.col("name").isin(_SF_TABLES.split()))
+        .orderBy("name")
+    )
+
+
+def _q_summarize_duckshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12 (verdict task 10): SUMMARIZE through the engine statement
+    route, full 12-column DuckDB shape (r11 parity work) — rows-only
+    by nature (approx_unique / q25/q50/q75 are approximation-specific
+    per engine; ``summarize_table`` keeps the exact-column subset
+    hash-checked in the tail)."""
+    from shaper_spark import engine as _eng
+
+    _prep(spark, sf_dir)
+    cols, rows = _eng._run_query(
+        spark, "SUMMARIZE nation", _eng._VarState({}), {}, 3000
+    )
+    return spark.createDataFrame(
+        [[None if v is None else str(v) for v in row] for row in rows],
+        schema=" ".join(f"`{c.name}` string," for c in cols).rstrip(","),
+    )
+
+
 def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation — result is identical to the plain
     GROUP BY (the oracle), only the shuffle shape differs
@@ -4922,6 +4984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
         "multimodal_audio": _q_multimodal_audio,
         "bigram_lm_scores": _q_bigram_lm,
+        # r12 (verdict task 10): the engine's DuckDB-shaped
+        # introspection routes, exercised end-to-end — DESCRIBE and
+        # SHOW TABLES are oracle-bearing (shape AND values), SUMMARIZE
+        # is rows-only (approximation-specific columns).
+        "describe_duckshape": _q_describe_duckshape,
+        "show_tables_duckshape": _q_show_tables_duckshape,
+        "summarize_duckshape": _q_summarize_duckshape,
     }
     # Serve every read-only entry from the interactive profile (see
     # _serving): _sql/_dialect entries already route there internally;
@@ -4996,6 +5065,13 @@ def oracle_sql() -> dict[str, str]:
         "pivot_duck_sugar": PIVOT_SUGAR_DUCK,
         "describe_table": DESCRIBE_DUCK,
         "show_tables": SHOW_TABLES_DUCK,
+        # r12 end-to-end introspection shapes (DESCRIBE/SHOW TABLES
+        # through the engine statement route; summarize_duckshape is
+        # rows-only by nature and carries no oracle)
+        "describe_duckshape": (
+            "SELECT * FROM (DESCRIBE nation) ORDER BY column_name"
+        ),
+        "show_tables_duckshape": SHOW_TABLES_DUCK,
         "attach_federation": ATTACH_FEDERATION_DUCK,
         "setop_fetch": SETOP_FETCH_DUCK,
         "range_join_windows": RANGE_JOIN_DUCK,

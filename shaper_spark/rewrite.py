@@ -350,7 +350,9 @@ _FN_RENAMES = {
     # syntactically-array args, length() otherwise — r11 batch-18)
     "strftime": "date_format",  # format codes converted below
     "epoch_ms": "unix_millis",
-    "epoch": "unix_timestamp",
+    # "epoch" is NOT a rename: unix_timestamp truncates to whole
+    # seconds where DuckDB's epoch() keeps the fraction (r12 temporal
+    # fuzz find) — it lowers via _fix_epoch_fn instead.
     "today": "current_date",
     "datepart": "date_part",
     "array_to_string": "array_join",
@@ -442,37 +444,81 @@ _DATE_FORMAT_CALL_RE = re.compile(
 )
 _REGEXP_REPLACE_CALL_RE = re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE)
 
-# parse-direction overrides: Java's 'DDD' demands exactly 3 digits
-# when PARSING where DuckDB's %j accepts 1-3 ('2024 60'); 'D' parses
-# 1-3 digits and still formats unpadded, so only strptime paths use it
-_STRPTIME_OVERRIDES = {"%j": "D"}
+# parse-direction overrides: Java's padded two-letter patterns demand
+# exactly that many digits when PARSING where DuckDB accepts unpadded
+# ('Mar 5 2024' with %d); the single letters parse 1-2 digits and the
+# strftime direction keeps the padded spellings (r12 temporal fuzz
+# find; %j was the batch-25 original).
+_STRPTIME_OVERRIDES = {
+    "%j": "D",
+    "%d": "d",
+    "%m": "M",
+    "%H": "H",
+    "%I": "h",
+    "%M": "m",
+    "%S": "s",
+}
+# day-of-week codes are unparseable in Spark (EEE is format-only under
+# the corrected parser) — those formats fall back to the Python
+# duckdb_strptime compat UDF, which takes the %-codes verbatim.
+_STRPTIME_PYFALLBACK_RE = re.compile(r"%-?[aA]")
 
 
 def _convert_strftime_literals(sql: str) -> str:
-    """Rewrite %-style format literals inside date_format(...) /
-    to_timestamp(...) calls (parse-direction overrides applied for the
-    to_timestamp forms, batch-25)."""
-    states = _scan_states(sql)
-    out = []
-    last = 0
-    for m in _DATE_FORMAT_CALL_RE.finditer(sql):
-        if states[m.start()] != 0 or m.start() < last:
-            continue
+    """Rewrite the %-style FORMAT-ARGUMENT literal of date_format(...)
+    / to_timestamp(...) calls (parse-direction overrides applied for
+    the to_timestamp forms, batch-25).  Per-argument, not per-span:
+    a strftime(strptime(…)) nesting carries a parse-direction format
+    INSIDE the outer format call, and the old whole-span replacement
+    gave the inner literal the output-direction codes (r12 temporal
+    fuzz find).  %a/%A formats reroute to the Python strptime compat
+    UDF (format-only codes under Spark's corrected parser)."""
+    pos = 0
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                mm
+                for mm in _DATE_FORMAT_CALL_RE.finditer(sql, pos)
+                if states[mm.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
         close = _find_matching_close(sql, m.end() - 1, states)
         if close == -1:
+            pos = m.end()
             continue
-        span = sql[m.end() : close]
-        if "%" in span:
-            if m.group(1).lower() != "date_format":
+        args = [a for a in _split_top_level_args(sql[m.end() : close])]
+        fn = m.group(1).lower()
+        fmt = args[1].strip() if len(args) >= 2 else ""
+        if not (
+            fmt.startswith("'") and fmt.endswith("'") and "%" in fmt
+        ):
+            pos = m.end()
+            continue
+        if fn != "date_format" and _STRPTIME_PYFALLBACK_RE.search(fmt):
+            name = (
+                "duckdb_try_strptime"
+                if fn == "try_to_timestamp"
+                else "duckdb_strptime"
+            )
+        else:
+            name = m.group(1)
+            if fn != "date_format":
                 for code, java in _STRPTIME_OVERRIDES.items():
-                    span = span.replace(code, java)
+                    fmt = fmt.replace(code, java)
             for code, java in _STRFTIME_CODES.items():
-                span = span.replace(code, java)
-        out.append(sql[last : m.end()])
-        out.append(span)
-        last = close
-    out.append(sql[last:])
-    return "".join(out)
+                fmt = fmt.replace(code, java)
+        newargs = [a.strip() for a in args]
+        newargs[1] = fmt
+        new = name + "(" + ", ".join(newargs) + ")"
+        sql = sql[: m.start()] + new + sql[close + 1 :]
+        # resume just past the (possibly renamed) function name so
+        # calls nested inside the arguments are still visited, while
+        # this call (now %-free or a UDF) is not re-matched
+        pos = m.start() + len(name) + 1
 
 
 def _fix_regexp_replace_semantics(sql: str) -> str:
@@ -3039,10 +3085,20 @@ _TIME_BUCKET_ORIGIN = 946857600
 
 
 _EXTRACT_COMPAT_RE = re.compile(
-    r"\bextract\s*\(\s*(epoch|dow|isodow|microseconds|milliseconds"
-    r"|decade|century|millennium)\s+FROM\b",
+    r"\bextract\s*\(\s*(epoch|dow|isodow|microseconds?|milliseconds?"
+    r"|decades?|century|centuries|millenniums?|millennia|millennium"
+    r"|seconds?|secs?|us|ms|s)\s+FROM\b",
     re.IGNORECASE,
 )
+#: DuckDB part-name aliases → the canonical spelling the compat maps use
+_EXTRACT_FIELD_ALIASES = {
+    "microsecond": "microseconds", "us": "microseconds",
+    "millisecond": "milliseconds", "ms": "milliseconds",
+    "seconds": "second", "sec": "second", "secs": "second",
+    "s": "second",
+    "decades": "decade", "centuries": "century",
+    "millenniums": "millennium", "millennia": "millennium",
+}
 
 
 def _rewrite_fn_compat2(sql: str) -> str:
@@ -3112,9 +3168,14 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return None
         ts = args[1].strip()
         o = _TIME_BUCKET_ORIGIN
+        # pmod, not DIV: DIV truncates toward zero, so timestamps
+        # BEFORE the 2000-01-03 origin rounded toward the origin
+        # instead of flooring to the bucket start (r12 temporal fuzz
+        # find: 1969-07-20 20:17:40 bucketed to 20:20 instead of
+        # 20:15).  pmod's non-negative remainder floors for any sign.
         return (
-            f"timestamp_seconds({o} + ((unix_timestamp({ts}) - {o}) "
-            f"DIV {secs}) * {secs})"
+            f"timestamp_seconds(unix_timestamp({ts}) - "
+            f"pmod(unix_timestamp({ts}) - {o}, {secs}))"
         )
 
     def _fix_rex_all(args: list[str]) -> str | None:
@@ -3241,18 +3302,34 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f"to_utc_timestamp({args[1].strip()}, {args[0].strip()})"
         )
 
+    def _fix_epoch_fn(args: list[str]) -> str | None:
+        # DuckDB epoch(ts) → DOUBLE seconds WITH the fraction
+        # (unix_timestamp truncates — r12 temporal fuzz find).
+        if len(args) != 1:
+            return None
+        a = args[0].strip()
+        return f"(unix_micros(CAST(({a}) AS TIMESTAMP)) / 1000000.0)"
+
     def _fix_epoch_ms_poly(args: list[str]) -> str | None:
         # epoch_ms is overloaded: BIGINT → TIMESTAMP, TIMESTAMP →
         # BIGINT ms.  Integer literals dispatch statically; everything
-        # else falls through to the unix_millis rename.
-        if len(args) == 1 and re.fullmatch(r"-?\d+", args[0].strip()):
-            return f"timestamp_millis({args[0].strip()})"
-        return None
+        # else is treated as a timestamp, CAST first so DATE-typed
+        # operands (date_trunc('month', …) returns DATE, r11) resolve
+        # (r12 temporal fuzz find).
+        if len(args) != 1:
+            return None
+        a = args[0].strip()
+        if re.fullmatch(r"-?\d+", a):
+            return f"timestamp_millis({a})"
+        return f"unix_millis(CAST(({a}) AS TIMESTAMP))"
 
     def _fix_epoch_us_poly(args: list[str]) -> str | None:
-        if len(args) == 1 and re.fullmatch(r"-?\d+", args[0].strip()):
-            return f"timestamp_micros({args[0].strip()})"
-        return None
+        if len(args) != 1:
+            return None
+        a = args[0].strip()
+        if re.fullmatch(r"-?\d+", a):
+            return f"timestamp_micros({a})"
+        return f"unix_micros(CAST(({a}) AS TIMESTAMP))"
 
     def _fix_hash_fn(args: list[str]) -> str | None:
         # DuckDB hash() returns UBIGINT (non-negative); Spark's hash()
@@ -4418,6 +4495,8 @@ def _rewrite_fn_compat2(sql: str) -> str:
         f0 = args[0].strip()
         if f0.startswith("'") and f0.endswith("'"):
             field = f0[1:-1].lower()
+            # DuckDB accepts singular and abbreviated part spellings
+            field = _EXTRACT_FIELD_ALIASES.get(field, field)
             e = args[1].strip()
             us = f"pmod(unix_micros(CAST({e} AS TIMESTAMP)), 60000000)"
             special = {
@@ -4428,6 +4507,10 @@ def _rewrite_fn_compat2(sql: str) -> str:
                 ),
                 "microseconds": us,
                 "milliseconds": f"({us} DIV 1000)",
+                # DuckDB's second part is a whole BIGINT; Spark's
+                # extract(SECOND) keeps the fraction as DECIMAL(8,6)
+                # (r12 temporal fuzz find)
+                "second": f"({us} DIV 1000000)",
                 "decade": f"(year({e}) DIV 10)",
                 "century": f"(((year({e}) - 1) DIV 100) + 1)",
                 "millennium": f"(((year({e}) - 1) DIV 1000) + 1)",
@@ -4841,6 +4924,10 @@ def _rewrite_fn_compat2(sql: str) -> str:
         ),
         (re.compile(r"(?<![\w.])julian\s*\(", re.IGNORECASE), _fix_julian),
         (re.compile(r"\bepoch_ns\s*\(", re.IGNORECASE), _fix_epoch_ns),
+        (
+            re.compile(r"(?<![\w.])epoch\s*\(", re.IGNORECASE),
+            _fix_epoch_fn,
+        ),
         (re.compile(r"(?<![\w.])era\s*\(", re.IGNORECASE), _fix_era),
         (
             re.compile(r"\btimezone_hour\s*\(", re.IGNORECASE),
@@ -4973,6 +5060,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
             return sql
         e = sql[m.end() : close].strip()
         field = m.group(1).lower()
+        field = _EXTRACT_FIELD_ALIASES.get(field, field)
         us = f"pmod(unix_micros(CAST({e} AS TIMESTAMP)), 60000000)"
         repl = {
             "epoch": f"(unix_micros(CAST({e} AS TIMESTAMP)) / 1000000.0)",
@@ -4980,6 +5068,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
             "isodow": f"(weekday({e}) + 1)",
             "microseconds": us,
             "milliseconds": f"({us} DIV 1000)",
+            "second": f"({us} DIV 1000000)",
             "decade": f"(year({e}) DIV 10)",
             "century": f"(((year({e}) - 1) DIV 100) + 1)",
             "millennium": f"(((year({e}) - 1) DIV 1000) + 1)",
@@ -5050,6 +5139,9 @@ def _rewrite_brace_literals(sql: str) -> str:
 _EXCLUDE_RE = re.compile(r"(\*\s*)EXCLUDE(\s*\()", re.IGNORECASE)
 
 _DATE_DIFF_RE = re.compile(r"\b(date_diff|datediff)\s*\(", re.IGNORECASE)
+_INTERVAL_QUARTER_RE = re.compile(
+    r"\bINTERVAL\s+'?(\d+)'?\s+QUARTERS?\b", re.IGNORECASE
+)
 
 # DuckDB date part names → Spark timestampdiff unit keywords
 _DATE_PARTS = {
@@ -5061,6 +5153,10 @@ _DATE_PARTS = {
     "hour": "HOUR", "hours": "HOUR", "h": "HOUR",
     "minute": "MINUTE", "minutes": "MINUTE", "min": "MINUTE",
     "second": "SECOND", "seconds": "SECOND", "s": "SECOND",
+    "millisecond": "MILLISECOND", "milliseconds": "MILLISECOND",
+    "ms": "MILLISECOND",
+    "microsecond": "MICROSECOND", "microseconds": "MICROSECOND",
+    "us": "MICROSECOND",
 }
 
 
@@ -5597,6 +5693,16 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # * EXCLUDE (cols) → * EXCEPT (cols); boundary-counting date_diff.
     sql = _rewrite_exclude_star(sql)
     sql = _rewrite_date_diff(sql)
+
+    # INTERVAL n QUARTER → months (Spark has no QUARTER interval unit;
+    # r12 temporal fuzz find)
+    states_q = _scan_states(sql)
+    sql = _INTERVAL_QUARTER_RE.sub(
+        lambda m: m.group(0)
+        if states_q[m.start()] != 0
+        else f"INTERVAL {3 * int(m.group(1))} MONTH",
+        sql,
+    )
 
     # date_add interval form; 2-arg regexp_extract; rank OVER ().
     sql = _rewrite_misc_calls(sql)

@@ -526,6 +526,28 @@ def _duckdb_age(a, b):
     return " ".join(parts)
 
 
+def _duckdb_strptime(s, fmt):
+    """strptime fallback for formats the JVM parser rejects (day-of-
+    week codes %a/%A are format-only in Spark's corrected parser).
+    Python's C-locale strptime matches DuckDB's English names; the
+    no-pad '-' modifiers are dropped (Python parses unpadded digits
+    with the plain directives anyway).  Raises on a mismatch, like
+    DuckDB's strptime."""
+    if s is None or fmt is None:
+        return None
+    import datetime as _dt
+    import re as _re
+
+    return _dt.datetime.strptime(s, _re.sub(r"%-(\w)", r"%\1", fmt))
+
+
+def _duckdb_try_strptime(s, fmt):
+    try:
+        return _duckdb_strptime(s, fmt)
+    except (ValueError, TypeError):
+        return None
+
+
 def _duckdb_typename(t):
     """Spark typeof() spelling → the DuckDB spelling (typeof parity;
     nested array/map/struct recurse, unknown names upper-case)."""
@@ -584,6 +606,8 @@ _REGISTRY = [
     ("length_grapheme", _length_grapheme, "bigint"),
     ("duckdb_typename", _duckdb_typename, "string"),
     ("duckdb_age", _duckdb_age, "string"),
+    ("duckdb_strptime", _duckdb_strptime, "timestamp"),
+    ("duckdb_try_strptime", _duckdb_try_strptime, "timestamp"),
     ("damerau_levenshtein", _damerau_levenshtein, "bigint"),
     ("jaro_similarity", _jaro_similarity, "double"),
     ("jaro_winkler_similarity", _jaro_winkler, "double"),

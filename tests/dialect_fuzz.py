@@ -214,6 +214,135 @@ def g_expr(r: random.Random, d: int) -> str:
     )(r, d)
 
 
+# --- temporal mode (r12) ------------------------------------------------------
+# Dates/intervals/timestamps and strftime/strptime round-trips — the
+# surface that got the most r11 hand-patching (batches 22/25/26), so
+# the highest residual-bug density.  Deliberately ABSENT (documented
+# divergences, not bugs): to_timestamp()/timezone() (TIMESTAMPTZ
+# renders '+00' in DuckDB), bare INTERVAL-valued results (DuckDB
+# renders '01:30:00', Spark 'INTERVAL 90 MINUTE'), TIME type.
+
+_TS_LITS2 = TS_LITS + [
+    "TIMESTAMP '2024-02-29 23:59:59.999999'",
+    "TIMESTAMP '1969-07-20 20:17:40'",
+    "TIMESTAMP '2000-01-01 00:00:00'",
+    "TIMESTAMP '2024-12-31 12:00:00.25'",
+]
+_IVAL_LITS2 = INTERVAL_LITS + [
+    "INTERVAL 36 HOUR", "INTERVAL 1 WEEK", "INTERVAL 45 SECOND",
+    "INTERVAL 500 MILLISECOND", "INTERVAL 7 QUARTER",
+    "INTERVAL 18 MONTH",
+]
+_TS_PARTS = [
+    "year", "quarter", "month", "day", "hour", "minute", "second",
+    "millisecond", "microsecond", "dow", "isodow", "doy", "week",
+    "epoch", "decade", "century", "millennium",
+]
+_DIFF_UNITS = [
+    "year", "quarter", "month", "week", "day", "hour", "minute",
+    "second", "millisecond", "microsecond",
+]
+_STRF_FMTS = [
+    "%Y-%m-%d", "%Y-%m-%d %H:%M:%S", "%H:%M", "%I %p", "%j", "%U",
+    "%W", "%w", "%a %A", "%b %B", "%d/%m/%Y", "%m/%d/%y", "%f", "%g",
+    "%-d %-m %y", "%Y%m%d%H%M%S", "%% %Y",
+]
+_STRP_PAIRS = [
+    ("05/03/2024 07:08", "%d/%m/%Y %H:%M"),
+    ("2024-03-05", "%Y-%m-%d"),
+    ("Mar 5 2024", "%b %d %Y"),
+    ("2024-03-05 07:08:09", "%Y-%m-%d %H:%M:%S"),
+    ("07:08:09 2024-03-05", "%H:%M:%S %Y-%m-%d"),
+    ("5 March 2024", "%d %B %Y"),
+    ("24-03-05", "%y-%m-%d"),
+    ("2024-03-05 07:08:09.123456", "%Y-%m-%d %H:%M:%S.%f"),
+    ("Tue, 05 Mar 2024", "%a, %d %b %Y"),
+    ("2024-03-05 07:08 PM", "%Y-%m-%d %I:%M %p"),
+]
+
+
+def g_ts(r: random.Random, d: int) -> str:
+    if d <= 0:
+        return r.choice(_TS_LITS2)
+    c = r.randrange(9)
+    if c < 2:
+        return r.choice(_TS_LITS2)
+    if c == 2:
+        return f"({g_ts(r, d - 1)} + {r.choice(_IVAL_LITS2)})"
+    if c == 3:
+        return f"({g_ts(r, d - 1)} - {r.choice(_IVAL_LITS2)})"
+    if c == 4:
+        part = r.choice(
+            ["hour", "day", "minute", "month", "week", "year",
+             "quarter", "second"]
+        )
+        # CAST: day-or-coarser date_trunc returns DATE on both engines,
+        # and DATE ± INTERVAL diverges in result TYPE only (DuckDB →
+        # TIMESTAMP, Spark keeps DATE under year-month intervals) — a
+        # documented rendering divergence, so the grammar normalizes
+        return f"CAST(date_trunc('{part}', {g_ts(r, d - 1)}) AS TIMESTAMP)"
+    if c == 5:
+        return f"greatest({g_ts(r, 0)}, {g_ts(r, 0)})"
+    if c == 6:
+        s, f = r.choice(_STRP_PAIRS)
+        return f"strptime('{s}', '{f}')"
+    if c == 7:
+        return (
+            f"make_timestamp(2024, {r.randrange(1, 13)}, "
+            f"{r.randrange(1, 29)}, {r.randrange(24)}, "
+            f"{r.randrange(60)}, {r.randrange(60)})"
+        )
+    return f"date_add({g_ts(r, d - 1)}, {r.choice(_IVAL_LITS2)})"
+
+
+def g_temporal_query(r: random.Random) -> str:
+    d = r.randrange(1, 3)
+    c = r.randrange(11)
+    if c == 0:
+        return (
+            f"SELECT date_part('{r.choice(_TS_PARTS)}', {g_ts(r, d)}) AS v"
+        )
+    if c == 1:
+        return (
+            f"SELECT strftime({g_ts(r, d)}, "
+            f"'{r.choice(_STRF_FMTS)}') AS v"
+        )
+    if c == 2:
+        s, f = r.choice(_STRP_PAIRS)
+        return f"SELECT strftime(strptime('{s}', '{f}'), '{f}') AS v"
+    if c == 3:
+        return f"SELECT CAST({g_ts(r, d)} AS VARCHAR) AS v"
+    if c == 4:
+        return (
+            f"SELECT date_diff('{r.choice(_DIFF_UNITS)}', "
+            f"{g_ts(r, d)}, {g_ts(r, d)}) AS v"
+        )
+    if c == 5:
+        return (
+            f"SELECT CAST(age({g_ts(r, d)}, {g_ts(r, d)}) AS VARCHAR)"
+            f" AS v"
+        )
+    if c == 6:
+        fn = r.choice(["epoch", "epoch_ms", "epoch_us"])
+        return f"SELECT {fn}({g_ts(r, d)}) AS v"
+    if c == 7:
+        fn = r.choice(["dayname", "monthname", "last_day"])
+        return f"SELECT {fn}(CAST({g_ts(r, d)} AS DATE))::VARCHAR AS v"
+    if c == 8:
+        return (
+            f"SELECT CAST(time_bucket(INTERVAL "
+            f"{r.choice([5, 15, 30, 90])} MINUTE, {g_ts(r, d)}) "
+            f"AS VARCHAR) AS v"
+        )
+    if c == 9:
+        op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
+        return f"SELECT ({g_ts(r, d)} {op} {g_ts(r, d)}) AS v"
+    return (
+        f"SELECT ({g_ts(r, d)} BETWEEN {g_ts(r, 0)} AND {g_ts(r, 0)})"
+        f" AS v"
+    )
+
+
 # --- aggregate-query mode ----------------------------------------------------
 # A fixed inline table with a group key, ints (with NULLs), doubles,
 # and strings; random aggregate expressions composed over it.
@@ -384,13 +513,15 @@ def main() -> int:
     mismatches = 0
     checked = 0
     for i in range(n):
-        pick = r.randrange(8)
+        pick = r.randrange(10)
         if pick < 2:
             sql = g_agg_query(r)
         elif pick == 2:
             sql = g_window_query(r)
         elif pick == 3:
             sql = g_stmt_query(r)
+        elif pick in (4, 5):
+            sql = g_temporal_query(r)
         else:
             sql = f"SELECT {g_expr(r, r.randrange(2, 5))} AS v"
         try:

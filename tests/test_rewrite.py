@@ -191,7 +191,9 @@ class TestFunctionRenames:
                         ("SELECT unnest([1,2]) AS v", "SELECT explode(array(1,2)) AS v"),
             ("SELECT array_to_string(l, ',') FROM t",
              "SELECT array_join(l, ',') FROM t"),
-            ("SELECT epoch(ts) FROM t", "SELECT unix_timestamp(ts) FROM t"),
+            ("SELECT epoch(ts) FROM t",
+             "SELECT (unix_micros(CAST((ts) AS TIMESTAMP)) / 1000000.0D)"
+             " FROM t"),  # fractional seconds kept (r12)
             ("SELECT string_agg(x, ', ') FROM t", "SELECT listagg(x, ', ') FROM t"),
             # try_ variant: DuckDB yields NULL out of bounds (batch-22)
             ("SELECT list_extract(l, 1) FROM t", "SELECT try_element_at(l, 1) FROM t"),
@@ -483,7 +485,8 @@ class TestBackslashAndMiscFixups:
         r = rewrite_statement(
             "SELECT strptime(s, '%Y-%m-%d %H:%M') FROM t"
         )
-        assert r.sql == "SELECT to_timestamp(s, 'yyyy-MM-dd HH:mm') FROM t"
+        # parse direction uses lenient single-letter widths (r12)
+        assert r.sql == "SELECT to_timestamp(s, 'yyyy-M-d H:m') FROM t"
 
     def test_new_list_renames(self):
         assert (
@@ -776,7 +779,8 @@ class TestFnCompat2:
         r = rewrite_statement(
             "SELECT time_bucket(INTERVAL 15 MINUTE, ts) FROM t"
         )
-        assert "DIV 900) * 900" in r.sql
+        # pmod floors pre-origin timestamps too (r12 temporal fuzz find)
+        assert "pmod(unix_timestamp(ts) - 946857600, 900)" in r.sql
         assert "946857600" in r.sql  # the 2000-01-03 Monday origin
 
     def test_time_bucket_month_untouched(self):
@@ -1164,7 +1168,7 @@ class TestBatch9Sweep:
         for frag in (
             "percentile_approx(x, 0.5)",
             "struct(a, b)",
-            "unix_micros(t)",
+            "unix_micros(CAST((t) AS TIMESTAMP))",
             "hex(n)",
             "element_at(l, 2)",
         ):
@@ -1575,7 +1579,7 @@ class TestConcatNullSkip:
 
     def test_try_strptime(self):
         r = rewrite_statement("SELECT try_strptime(s, '%Y-%m-%d') FROM t")
-        assert "try_to_timestamp(s, 'yyyy-MM-dd')" in r.sql
+        assert "try_to_timestamp(s, 'yyyy-M-d')" in r.sql
 
 
 class TestBatch20Statements:
@@ -1742,7 +1746,7 @@ class TestBatch22Sweep:
         r = rewrite_statement("SELECT epoch_ms(1704067200000) FROM t")
         assert "timestamp_millis(1704067200000)" in r.sql
         r2 = rewrite_statement("SELECT epoch_ms(ts) FROM t")
-        assert "unix_millis(ts)" in r2.sql
+        assert "unix_millis(CAST((ts) AS TIMESTAMP))" in r2.sql
 
     def test_hash_maps_to_masked_xxhash64(self):
         r = rewrite_statement("SELECT hash(s) % 10 FROM t")
@@ -1935,8 +1939,8 @@ class TestBatch25Formats:
             "SELECT strptime(s, ['%Y-%m-%d', '%m/%d/%Y']) FROM t"
         )
         assert (
-            "coalesce(try_to_timestamp(s, 'yyyy-MM-dd'), "
-            "try_to_timestamp(s, 'MM/dd/yyyy'))" in r.sql
+            "coalesce(try_to_timestamp(s, 'yyyy-M-d'), "
+            "try_to_timestamp(s, 'M/d/yyyy'))" in r.sql
         )
 
     def test_like_backslash_stays_literal(self):
@@ -2257,3 +2261,92 @@ class TestAgeAndStructInsert:
         assert spark.sql(r.sql).collect()[0].r.asDict() == {
             "a": 1, "b": "x",
         }
+
+
+class TestTemporalFuzzFinds:
+    """r12: the temporal fuzzer mode's real-bug pins (each verified
+    against DuckDB; the mode runs ~400 temporal cases per 2k-case
+    sweep, clean after these fixes)."""
+
+    def test_time_bucket_pre_origin_floors(self, spark):
+        # DIV truncated toward zero: 1969-07-20 20:17:40 bucketed to
+        # 20:20 instead of flooring to 20:15 (origin 2000-01-03)
+        r = rewrite_statement(
+            "SELECT CAST(time_bucket(INTERVAL 5 MINUTE,"
+            " TIMESTAMP '1969-07-20 20:17:40') AS VARCHAR) AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == "1969-07-20 20:15:00"
+
+    def test_epoch_keeps_fraction(self, spark):
+        r = rewrite_statement(
+            "SELECT epoch(TIMESTAMP '2024-12-31 12:00:00.25') AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == 1735646400.25
+
+    def test_date_part_second_is_whole(self, spark):
+        r = rewrite_statement(
+            "SELECT date_part('second',"
+            " TIMESTAMP '2024-02-29 23:59:59.999999') AS s1,"
+            " extract(second FROM"
+            " TIMESTAMP '2024-02-29 23:59:59.999999') AS s2"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert row.s1 == 59 and row.s2 == 59
+
+    def test_date_part_singular_subsecond(self, spark):
+        r = rewrite_statement(
+            "SELECT date_part('microsecond',"
+            " TIMESTAMP '2024-03-05 07:08:09') AS us,"
+            " date_part('millisecond',"
+            " TIMESTAMP '2024-03-05 07:08:09.25') AS ms"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert row.us == 9000000 and row.ms == 9250
+
+    def test_interval_quarter_to_months(self, spark):
+        r = rewrite_statement(
+            "SELECT CAST((TIMESTAMP '2024-12-31 12:00:00'"
+            " + INTERVAL 7 QUARTER) AS VARCHAR) AS v"
+        )
+        assert "INTERVAL 21 MONTH" in r.sql
+        assert spark.sql(r.sql).collect()[0].v == "2026-09-30 12:00:00"
+
+    def test_date_diff_subsecond_units(self, spark):
+        r = rewrite_statement(
+            "SELECT date_diff('millisecond', TIMESTAMP '2024-01-01',"
+            " TIMESTAMP '2024-01-01 00:00:01.5') AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == 1500
+
+    def test_epoch_ms_of_date_typed_expr(self, spark):
+        # date_trunc('month', …) returns DATE (r11); epoch_ms must
+        # CAST before unix_millis
+        r = rewrite_statement(
+            "SELECT epoch_ms(date_trunc('month',"
+            " TIMESTAMP '2024-03-05 07:08:09')) AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == 1709251200000
+
+    def test_strptime_unpadded_day(self, spark):
+        r = rewrite_statement(
+            "SELECT CAST(strptime('Mar 5 2024', '%b %d %Y')"
+            " AS VARCHAR) AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == "2024-03-05 00:00:00"
+
+    def test_strptime_weekday_via_python_udf(self, spark):
+        r = rewrite_statement(
+            "SELECT strftime(strptime('Tue, 05 Mar 2024',"
+            " '%a, %d %b %Y'), '%a, %d %b %Y') AS v"
+        )
+        assert "duckdb_strptime(" in r.sql
+        assert spark.sql(r.sql).collect()[0].v == "Tue, 05 Mar 2024"
+
+    def test_nested_format_directions_independent(self, spark):
+        # outer strftime format stays padded, inner strptime format
+        # goes lenient — the whole-span conversion got this wrong
+        r = rewrite_statement(
+            "SELECT strftime(strptime('5 March 2024', '%d %B %Y'),"
+            " '%d %B %Y') AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == "05 March 2024"

@@ -703,3 +703,75 @@ class TestTaskDmlForms:
         assert not r.success
         assert r.queries[0].error is None  # PK declaration stripped
         assert "enforced keys" in (r.queries[1].error or "")
+
+
+class TestTransactionDivergence:
+    """Documented divergence (SURVEY §7, MIGRATION.md Tasks): the
+    reference wraps a task script in ONE DuckDB transaction and rolls
+    everything back on a mid-script failure (run_task.go:67-258); a
+    parquet warehouse has per-statement atomicity only.  These pins
+    make the behavior explicit: a failed STATEMENT never half-writes,
+    but successful earlier statements stay committed."""
+
+    def test_mid_script_failure_keeps_prior_statements(self, spark):
+        spark.sql("DROP TABLE IF EXISTS tx_probe")
+        r = execute_task(
+            spark,
+            """
+            CREATE OR REPLACE TABLE tx_probe AS SELECT 1 AS v;
+            INSERT INTO tx_probe VALUES (2);
+            SELECT raise_error('boom');
+            INSERT INTO tx_probe VALUES (3);
+            """,
+        )
+        assert not r.success
+        # reference would roll tx_probe back entirely; here the two
+        # statements BEFORE the failure are committed, the one after
+        # never ran
+        vals = sorted(
+            x.v for x in spark.sql("SELECT v FROM tx_probe").collect()
+        )
+        assert vals == [1, 2]
+        spark.sql("DROP TABLE IF EXISTS tx_probe")
+
+    def test_failed_statement_is_atomic(self, spark):
+        # the failing UPDATE itself leaves the table untouched (CoW
+        # staging completes before any destructive change)
+        spark.sql("DROP TABLE IF EXISTS tx_probe2")
+        execute_task(
+            spark,
+            "CREATE OR REPLACE TABLE tx_probe2 AS "
+            "SELECT * FROM (VALUES (1), (2)) t(v);",
+        )
+        r = execute_task(
+            spark,
+            "UPDATE tx_probe2 SET v = raise_error('mid-write');",
+        )
+        assert not r.success
+        vals = sorted(
+            x.v for x in spark.sql("SELECT v FROM tx_probe2").collect()
+        )
+        assert vals == [1, 2]
+        spark.sql("DROP TABLE IF EXISTS tx_probe2")
+
+    def test_staging_swap_pattern_is_all_or_nothing(self, spark):
+        # the MIGRATION.md-documented workaround: stage, then flip as
+        # the last statement — a failure before the flip leaves the
+        # live table untouched
+        spark.sql("DROP TABLE IF EXISTS tx_live")
+        execute_task(
+            spark,
+            "CREATE OR REPLACE TABLE tx_live AS SELECT 'old' AS v;",
+        )
+        r = execute_task(
+            spark,
+            """
+            CREATE OR REPLACE TABLE tx_live_staging AS SELECT 'new' AS v;
+            SELECT raise_error('pre-flip failure');
+            CREATE OR REPLACE TABLE tx_live AS FROM tx_live_staging;
+            """,
+        )
+        assert not r.success
+        assert spark.sql("SELECT v FROM tx_live").collect()[0].v == "old"
+        spark.sql("DROP TABLE IF EXISTS tx_live")
+        spark.sql("DROP TABLE IF EXISTS tx_live_staging")
