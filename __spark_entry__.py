@@ -1547,6 +1547,80 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_filter_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpSet-style filter interaction audit
+    (shaper_spark/operators/text.py filter_interaction_matrix): which
+    COMBINATIONS of the short/punct-heavy/low-stopword filters flag
+    which documents — overlap decides whether each filter earns its
+    keep.  One corpus scan, integer flags, hash-agg to ≤8 rows;
+    shares in micro units via the same round-half-up BIGINT rational
+    convention as the quality score.  No reference counterpart (their
+    engine has no training-pipeline layer)."""
+    from shaper_spark.operators.text import filter_interaction_matrix
+
+    _prep(spark, sf_dir)
+    return filter_interaction_matrix(
+        spark.table("documents"), "doc_id", "text"
+    )
+
+
+FILTER_INTERACTIONS_DUCK = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+stop AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE lower(w) IN
+           ('the','and','of','to','a','in','is','that','for','it')) AS hits
+  FROM tok GROUP BY doc_id
+),
+counts AS (
+  SELECT CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+         CAST(length(d.text) AS BIGINT) AS nc,
+         CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
+              AS BIGINT) AS punct,
+         CAST(coalesce(s.hits, 0) AS BIGINT) AS nstop
+  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
+),
+agg AS (
+  SELECT (nw < 50) AS f_short, (punct * 10 > nc) AS f_punct,
+         (nstop * 5 < nw) AS f_lowstop, count(*) AS n_docs
+  FROM counts GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN combo = '' THEN 'none' ELSE combo END AS combo,
+       n_docs,
+       (2 * 1000000 * n_docs + sum(n_docs) OVER ())
+         // (2 * sum(n_docs) OVER ()) AS pct_micro
+FROM (
+  SELECT concat_ws('+',
+           CASE WHEN f_short THEN 'short' END,
+           CASE WHEN f_punct THEN 'punct' END,
+           CASE WHEN f_lowstop THEN 'lowstop' END) AS combo,
+         n_docs
+  FROM agg
+)
+ORDER BY combo
+"""
+
+
+def _q_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution
+    (shaper_spark/operators/graph.py cluster_size_histogram): the
+    release-report view of a dedup pass — n_removable is exactly the
+    row count apply_dedup would drop.  One tiny hash-agg over the
+    already-bounded component labeling; the oracle replays the
+    closure with the same recursive CTE as ``dedup_clusters`` and
+    groups by size."""
+    from shaper_spark.operators.dedup import jaccard_pairs
+    from shaper_spark.operators.graph import cluster_size_histogram
+
+    _prep(spark, sf_dir)
+    pairs = jaccard_pairs(
+        spark.table("documents"), "doc_id", "text", k=3, threshold=0.5
+    )
+    return cluster_size_histogram(pairs, "id_a", "id_b").orderBy(
+        "cluster_size"
+    )
+
+
 def _q_describe_duckshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12 (verdict task 10): DESCRIBE through the engine's r11
     DuckDB-shaped statement handler (engine._run_query → 6-column
@@ -4817,8 +4891,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displaces ``multimodal_audio`` (9 greens; the multimodal family
     keeps ``multimodal_meta`` in-window), ``length_quantiles``
     displaces ``bigram_lm_scores`` (8 greens; the LM family keeps
-    ``quality_lm_correlation`` in-window).  All displaced entries
-    remain in the tail under ``tests/oracle_check.py``."""
+    ``quality_lm_correlation`` in-window).  The two NEW r12 operators
+    enter per the standing policy: ``filter_interaction_matrix``
+    (UpSet filter-overlap audit) displaces ``dsir_weights`` (5 greens;
+    the DSIR family keeps ``dsir_select``), ``cluster_size_histogram``
+    (dup-family size distribution) displaces ``source_overlap_matrix``
+    (5 greens; the drift/overlap family keeps the kl/psi/jaccard
+    matrices in-window).  All displaced entries remain in the tail
+    under ``tests/oracle_check.py``."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -4864,7 +4944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_ngrams": _q_decontam,
         "dedup_clusters": _q_dedup_clusters,
         "vocab_coverage_curve": _q_vocab_coverage,
-        "source_overlap_matrix": _q_source_overlap,
+        # r12 new-operator rotation: cluster_size_histogram enters,
+        # displacing source_overlap_matrix (5 greens; the drift/overlap
+        # family keeps kl/psi/jaccard matrices in-window).
+        "cluster_size_histogram": _q_cluster_size_hist,
         "embedding_covariance": _q_embedding_cov,
         # -- round-9 rotation: the 18 round-7 operators enter the
         # official 50-window (each oracle-checked at sf0.001+sf0.01 and
@@ -4875,7 +4958,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outlier_report": _q_embedding_outliers,
         "quality_lm_correlation": _q_quality_lm_corr,
         "corpus_diff_report": _q_corpus_diff,
-        "dsir_weights": _q_dsir_weights,
+        # r12 new-operator rotation: filter_interaction_matrix enters,
+        # displacing dsir_weights (5 greens; the DSIR family keeps
+        # dsir_select — the entry that consumes the weights —
+        # in-window).
+        "filter_interaction_matrix": _q_filter_interactions,
         "dsir_select": _q_dsir_select,
         # r11 NEW operators enter the official window per policy,
         # displacing date_spine_fill / canary_scan (2 official greens
@@ -4984,6 +5071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
         "multimodal_audio": _q_multimodal_audio,
         "bigram_lm_scores": _q_bigram_lm,
+        "source_overlap_matrix": _q_source_overlap,
+        "dsir_weights": _q_dsir_weights,
         # r12 (verdict task 10): the engine's DuckDB-shaped
         # introspection routes, exercised end-to-end — DESCRIBE and
         # SHOW TABLES are oracle-bearing (shape AND values), SUMMARIZE
@@ -5065,6 +5154,15 @@ def oracle_sql() -> dict[str, str]:
         "pivot_duck_sugar": PIVOT_SUGAR_DUCK,
         "describe_table": DESCRIBE_DUCK,
         "show_tables": SHOW_TABLES_DUCK,
+        # r12 new operators
+        "filter_interaction_matrix": FILTER_INTERACTIONS_DUCK,
+        "cluster_size_histogram": (
+            "SELECT n_members AS cluster_size, count(*) AS n_clusters,"
+            " n_members * count(*) AS n_docs,"
+            " (n_members - 1) * count(*) AS n_removable"
+            " FROM (" + DEDUP_CLUSTERS_DUCK + ")"
+            " GROUP BY n_members ORDER BY cluster_size"
+        ),
         # r12 end-to-end introspection shapes (DESCRIBE/SHOW TABLES
         # through the engine statement route; summarize_duckshape is
         # rows-only by nature and carries no oracle)

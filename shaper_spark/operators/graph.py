@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "apply_dedup"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "apply_dedup",
+    "cluster_size_histogram",
+]
 
 # Driver fast-path cutoff: candidate pair lists are post-threshold and
 # typically ORDERS OF MAGNITUDE smaller than the corpus, so when the
@@ -172,6 +177,35 @@ def dedup_clusters(
     return cc.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("keep_id"),
+    )
+
+
+def cluster_size_histogram(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Duplicate-family size distribution — the release-report view of
+    a dedup pass: ``(cluster_size, n_clusters, n_docs, n_removable)``
+    where ``n_removable = (size-1)·n_clusters`` is exactly the row
+    count :func:`apply_dedup` would drop.  How concentrated the
+    duplication is (many pairs vs a few giant families) decides
+    whether near-dup removal is worth its cost on a corpus.
+
+    Spark shape: one extra TINY hash-agg over the component labeling
+    (already bounded by documents appearing in any candidate pair) —
+    no additional corpus scan, no shuffle beyond the labeling's own.
+    Exact integers throughout."""
+    comps = dedup_clusters(pairs, id_a, id_b)
+    return (
+        comps.groupBy("n_members")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("n_members").alias("cluster_size"),
+            "n_clusters",
+            (F.col("n_members") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("n_members") - 1) * F.col("n_clusters")).alias(
+                "n_removable"
+            ),
+        )
     )
 
 

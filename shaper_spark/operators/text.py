@@ -40,6 +40,7 @@ __all__ = [
     "lexical_diversity",
     "blocklist_report",
     "length_quantiles",
+    "filter_interaction_matrix",
     "quality_lm_correlation",
     "LANG_STOPWORDS",
 ]
@@ -1961,4 +1962,63 @@ def length_quantiles(
         )
         .withColumnRenamed("g", "group")
         .orderBy("group")
+    )
+
+
+def filter_interaction_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+) -> DataFrame:
+    """UpSet-style filter interaction audit: which COMBINATIONS of
+    quality filters flag which documents.  Marginal removal counts
+    (one row per filter) hide overlap — a release decision needs to
+    know whether the short-document filter and the low-stopword
+    filter remove the SAME documents (cheap: keep one filter) or
+    disjoint sets (both earn their keep).  The three flags reuse the
+    exact staged integer counts of :func:`quality_score` /
+    ``threshold_sweep_probe``:
+
+    * ``short``   — ``nw < min_words``
+    * ``punct``   — ``10·punct > nc``   (punctuation ratio > 0.1)
+    * ``lowstop`` — ``5·stop < nw``     (stopword ratio < 0.2)
+
+    Returns one row per OBSERVED combination: ``(combo, n_docs,
+    pct_micro)`` with ``combo`` a ``+``-joined flag list (``none``
+    for clean documents) and ``pct_micro`` the corpus share in 1e-6
+    units, round-half-up — pure integer arithmetic end to end.
+
+    Spark shape: ONE corpus scan (the staged counts), integer flag
+    projection, one map-side-combining hash-agg to ≤8 rows; the share
+    window runs over the 8-row aggregate, not the corpus.  No joins,
+    no second scan — the 100 TB form of an UpSet plot."""
+    c = _quality_counts(df, id_col, text_col)
+    flags = c.select(
+        (F.col("__nw") < min_words).alias("f_short"),
+        (F.col("__punct") * 10 > F.col("__nc")).alias("f_punct"),
+        (F.col("__stop") * 5 < F.col("__nw")).alias("f_lowstop"),
+    )
+    agg = flags.groupBy("f_short", "f_punct", "f_lowstop").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    combo = F.concat_ws(
+        "+",
+        F.when(F.col("f_short"), F.lit("short")),
+        F.when(F.col("f_punct"), F.lit("punct")),
+        F.when(F.col("f_lowstop"), F.lit("lowstop")),
+    )
+    return (
+        agg.select(
+            F.when(combo == "", F.lit("none")).otherwise(combo).alias(
+                "combo"
+            ),
+            "n_docs",
+            F.expr(
+                "(2L * 1000000L * n_docs + "
+                "sum(n_docs) OVER ()) DIV "
+                "(2L * sum(n_docs) OVER ())"
+            ).alias("pct_micro"),
+        )
+        .orderBy("combo")
     )

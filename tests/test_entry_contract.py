@@ -21,7 +21,16 @@ def test_oracle_keys_subset_of_queries():
     # merge loop is driver-local over the bounded word-freq table by
     # design and pytest-pinned — its corpus-side reduction is
     # hash-checked via bpe_pair_counts)
-    assert q - o == {"explain_plan", "hll_distinct_users", "bpe_merges"}
+    assert q - o == {
+        "explain_plan",
+        "hll_distinct_users",
+        "bpe_merges",
+        # r12: full 12-column SUMMARIZE shape through the engine route —
+        # approx_unique / q25/q50/q75 are approximation-specific per
+        # engine; the exact-column subset stays hash-checked via
+        # summarize_table
+        "summarize_duckshape",
+    }
 
 
 def test_prefix_50_covers_the_diverse_surface():
@@ -33,7 +42,7 @@ def test_prefix_50_covers_the_diverse_surface():
         "bpe_pair_counts", "dedup_apply_counts",
         "range_join_windows", "text_repetition", "pii_scrub_customers",
         "decontam_ngrams", "dedup_clusters",
-        "vocab_coverage_curve", "source_overlap_matrix",
+        "vocab_coverage_curve",
         "embedding_covariance", "dedup_incremental_report",
         "minhash_est_error",
         # round-9 NEW operators (enter immediately per policy,
@@ -45,7 +54,7 @@ def test_prefix_50_covers_the_diverse_surface():
         # hash-checked family representative in the prefix)
         "dedup_sig_incremental", "semdedup_report", "source_kl_matrix",
         "embedding_outlier_report", "quality_lm_correlation",
-        "corpus_diff_report", "dsir_weights", "dsir_select",
+        "corpus_diff_report", "dsir_select",
         "psi_drift_matrix", "filter_threshold_sweep",
         "boilerplate_grams", "key_skew_report",
         "bm25_relevance", "ivf_index_probe",

@@ -144,3 +144,42 @@ def test_distributed_path_matches_driver_fast_path(spark, monkeypatch):
         for r in graph.connected_components(df).collect()
     }
     assert fast == dist
+
+
+class TestClusterSizeHistogram:
+    """r12: dup-family size distribution over the component labeling."""
+
+    def test_histogram_counts(self, spark):
+        from shaper_spark.operators.graph import cluster_size_histogram
+
+        # components: {1,2,3} (via 1-2, 2-3), {10,11}, {20} isolated
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 20)],
+            "id_a long, id_b long",
+        )
+        rows = {
+            r.cluster_size: (r.n_clusters, r.n_docs, r.n_removable)
+            for r in cluster_size_histogram(pairs).collect()
+        }
+        assert rows[3] == (1, 3, 2)
+        assert rows[2] == (1, 2, 1)
+        assert rows[1] == (1, 1, 0)
+
+    def test_removable_matches_apply_dedup(self, spark):
+        from shaper_spark.operators.graph import (
+            apply_dedup,
+            cluster_size_histogram,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+        )
+        hist = cluster_size_histogram(pairs)
+        removable = sum(
+            r.n_removable for r in hist.collect()
+        )
+        kept = apply_dedup(docs, pairs, "doc_id").count()
+        assert docs.count() - kept == removable

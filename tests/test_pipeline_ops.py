@@ -1308,3 +1308,36 @@ class TestLengthQuantiles:
         )
         (r,) = length_quantiles(df, "g", "v").collect()
         assert r.q_5 == 5 and r.q_9 == 5 and r.q_99 == 100
+
+
+class TestFilterInteractionMatrix:
+    """r12: UpSet-style filter-overlap audit (one scan, integer flags)."""
+
+    def test_combos_and_shares(self, spark):
+        from shaper_spark.operators.text import filter_interaction_matrix
+
+        docs = spark.createDataFrame(
+            [
+                # 60 words, all stopwords, no punct → none
+                (1, " ".join(["the"] * 60)),
+                # 3 words, stopword-rich → short only
+                (2, "the and of"),
+                # 3 rare words → short+lowstop
+                (3, "zx qy wv"),
+                # long, no stopwords, punct-heavy → punct+lowstop
+                (4, " ".join(["!!!!!!!!!!"] * 60)),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.combo: (r.n_docs, r.pct_micro)
+            for r in filter_interaction_matrix(
+                docs, "doc_id", "text"
+            ).collect()
+        }
+        assert rows == {
+            "none": (1, 250000),
+            "short": (1, 250000),
+            "short+lowstop": (1, 250000),
+            "punct+lowstop": (1, 250000),
+        }
