@@ -16,9 +16,10 @@ the same reason.
 
 Catalog mapping: DuckDB's database → the current Spark catalog name;
 DuckDB's schema → the Spark database (namespace); temp views belong to
-the current namespace, mirroring introspect.get_schema.  ``types``/
+the current namespace, mirroring introspect.get_schema; ``types``
+serves the emulated ENUM registry (enums.py, r12).  ``types``/
 ``constraints`` exist with the reference's column shapes but are
-empty — Spark has no enum types or table constraints (documented in
+empty for constraints — Spark has no table constraints (documented in
 MIGRATION.md; the reference handler tolerates empty result sets).
 ``secrets`` serves the live redacted registry from ``secrets.py``
 (CREATE SECRET → Hadoop/s3a credentials), and ``extensions`` reports
@@ -117,6 +118,19 @@ def expand_table_functions(spark: SparkSession, sql: str) -> tuple[str, bool]:
 
 
 def _materialize(spark: SparkSession, name: str) -> None:
+    if name == "types":
+        # registered ENUM emulations (enums.py) — the rows the
+        # reference's introspection reads (duckdb_schema.go:127-133:
+        # type_name WHERE logical_type = 'ENUM' AND NOT internal)
+        from .enums import list_enums
+
+        cur = spark.catalog.currentDatabase()
+        cat = spark.catalog.currentCatalog()
+        spark.createDataFrame(
+            [(cat, cur, n, "ENUM", False) for n in list_enums(spark)],
+            _EMPTY_SCHEMAS["types"],
+        ).createOrReplaceTempView(f"__duckdb_{name}")
+        return
     if name in _EMPTY_SCHEMAS:
         spark.createDataFrame(
             [], _EMPTY_SCHEMAS[name]

@@ -127,3 +127,13 @@ def test_non_enum_create_type_is_loud(spark):
     )
     assert not r.success
     assert "only ENUM" in r.queries[0].error
+
+
+def test_duckdb_types_lists_enums(spark, mood):
+    r = execute_task(
+        spark,
+        "SELECT type_name FROM duckdb_types() "
+        "WHERE logical_type = 'ENUM' AND NOT internal "
+        "AND type_name = 't_mood';",
+    )
+    assert r.success and r.queries[0].result_rows == [["t_mood"]]
