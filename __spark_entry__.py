@@ -1547,6 +1547,20 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding calibration planner
+    (shaper_spark/operators/dedup.py lsh_parameter_plan): collision
+    probability 1−(1−s^r)^b for every power-of-two (bands, rows)
+    split of 64 hashes × candidate thresholds, in 1e-6 FIXED-POINT
+    BIGINT squaring chains — bit-identical on any engine (no libm
+    pow in the verdict path).  The planning step run BEFORE
+    minhash_signatures/lsh_candidate_pairs; the post-hoc companion is
+    minhash_est_error.  No corpus access by design."""
+    from shaper_spark.operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(spark)
+
+
 def _q_filter_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UpSet-style filter interaction audit
     (shaper_spark/operators/text.py filter_interaction_matrix): which
@@ -4891,14 +4905,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displaces ``multimodal_audio`` (9 greens; the multimodal family
     keeps ``multimodal_meta`` in-window), ``length_quantiles``
     displaces ``bigram_lm_scores`` (8 greens; the LM family keeps
-    ``quality_lm_correlation`` in-window).  The two NEW r12 operators
-    enter per the standing policy: ``filter_interaction_matrix``
-    (UpSet filter-overlap audit) displaces ``dsir_weights`` (5 greens;
-    the DSIR family keeps ``dsir_select``), ``cluster_size_histogram``
-    (dup-family size distribution) displaces ``source_overlap_matrix``
-    (5 greens; the drift/overlap family keeps the kl/psi/jaccard
-    matrices in-window).  All displaced entries remain in the tail
-    under ``tests/oracle_check.py``."""
+    ``quality_lm_correlation`` in-window).  The three NEW r12
+    operators enter per the standing policy:
+    ``filter_interaction_matrix`` (UpSet filter-overlap audit)
+    displaces ``dsir_weights`` (5 greens; the DSIR family keeps
+    ``dsir_select``), ``cluster_size_histogram`` (dup-family size
+    distribution) displaces ``source_overlap_matrix`` (5 greens; the
+    drift/overlap family keeps the kl/psi/jaccard matrices in-window),
+    and ``lsh_parameter_plan`` (fixed-point banding calibration)
+    displaces ``pii_scrub_customers`` (9 greens; the PII family keeps
+    ``pii_density_report``).  All displaced entries remain in the
+    tail under ``tests/oracle_check.py``."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
@@ -4940,7 +4957,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_quality_buckets": _q_ccnet_buckets,
         "ngram_novelty_curve": _q_ngram_novelty,
         "text_repetition": _q_repetition,
-        "pii_scrub_customers": _q_pii_scrub,
+        # r12 new-operator rotation: lsh_parameter_plan enters,
+        # displacing pii_scrub_customers (9 greens; the PII family
+        # keeps pii_density_report in-window).
+        "lsh_parameter_plan": _q_lsh_plan,
         "decontam_ngrams": _q_decontam,
         "dedup_clusters": _q_dedup_clusters,
         "vocab_coverage_curve": _q_vocab_coverage,
@@ -5073,6 +5093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_scores": _q_bigram_lm,
         "source_overlap_matrix": _q_source_overlap,
         "dsir_weights": _q_dsir_weights,
+        "pii_scrub_customers": _q_pii_scrub,
         # r12 (verdict task 10): the engine's DuckDB-shaped
         # introspection routes, exercised end-to-end — DESCRIBE and
         # SHOW TABLES are oracle-bearing (shape AND values), SUMMARIZE
@@ -5093,6 +5114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from shaper_spark.operators.dedup import lsh_parameter_plan_sql
+
     return {
         "q1_pricing_summary": Q1_PRICING,
         "q3_shipping_priority": Q3_SHIPPING,
@@ -5156,6 +5179,7 @@ def oracle_sql() -> dict[str, str]:
         "show_tables": SHOW_TABLES_DUCK,
         # r12 new operators
         "filter_interaction_matrix": FILTER_INTERACTIONS_DUCK,
+        "lsh_parameter_plan": lsh_parameter_plan_sql(int_div="//"),
         "cluster_size_histogram": (
             "SELECT n_members AS cluster_size, count(*) AS n_clusters,"
             " n_members * count(*) AS n_docs,"

@@ -35,6 +35,8 @@ __all__ = [
     "minhash_estimate_report",
     "signature_records",
     "incremental_sig_dedup",
+    "lsh_parameter_plan",
+    "lsh_parameter_plan_sql",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -1028,4 +1030,79 @@ def minhash_estimate_report(
             ).alias("abs_err"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+def lsh_parameter_plan_sql(
+    n_hashes: int = 64,
+    thresholds_micro: tuple[int, ...] = (
+        300000, 500000, 700000, 800000, 900000,
+    ),
+    int_div: str = "DIV",
+) -> str:
+    """SQL for :func:`lsh_parameter_plan`, parameterized on the
+    integer-division spelling (Spark ``DIV`` / DuckDB ``//``) so the
+    oracle is the IDENTICAL computation on both engines."""
+    if n_hashes < 2 or n_hashes & (n_hashes - 1):
+        raise ValueError("lsh_parameter_plan: n_hashes must be a power of 2")
+    for t in thresholds_micro:
+        if not (0 < t < 1_000_000):
+            raise ValueError("thresholds_micro must be in (0, 1e6)")
+
+    def sq(e: str) -> str:
+        return f"((({e}) * ({e}) + 500000) {int_div} 1000000)"
+
+    vals = ", ".join(f"({t})" for t in thresholds_micro)
+    selects = []
+    b = 1
+    while b <= n_hashes:
+        r = n_hashes // b
+        s = "CAST(t_micro AS BIGINT)"
+        k = r.bit_length() - 1  # r = 2^k
+        for _ in range(k):
+            s = sq(s)
+        u = f"(1000000 - {s})"
+        m = b.bit_length() - 1  # b = 2^m
+        for _ in range(m):
+            u = sq(u)
+        selects.append(
+            f"SELECT {n_hashes} AS n_hashes, {b} AS bands, "
+            f"{r} AS rows_per_band, CAST(t_micro AS BIGINT) AS t_micro, "
+            f"CAST(1000000 - {u} AS BIGINT) AS p_collide_micro "
+            f"FROM (VALUES {vals}) AS __t(t_micro)"
+        )
+        b *= 2
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY bands, t_micro"
+    )
+
+
+def lsh_parameter_plan(
+    spark,
+    n_hashes: int = 64,
+    thresholds_micro: tuple[int, ...] = (
+        300000, 500000, 700000, 800000, 900000,
+    ),
+) -> DataFrame:
+    """MinHash-LSH banding calibration table: for every power-of-two
+    split of ``n_hashes`` into (bands b, rows-per-band r) and every
+    candidate Jaccard threshold, the candidate-pair collision
+    probability ``p = 1 − (1 − s^r)^b`` — the planning step that picks
+    (b, r) BEFORE running ``minhash_signatures``/
+    ``lsh_candidate_pairs`` over a corpus (companion to the post-hoc
+    ``minhash_estimate_report``). A good split puts p ≈ 1 above the
+    target threshold and ≈ 0 below it.
+
+    Determinism: computed in 1e-6 FIXED-POINT BIGINT arithmetic —
+    every exponent is a power of two, so ``s^r`` and ``(1−s^r)^b``
+    are explicit squaring chains with half-up rescaling at each step
+    (``(x·x + 5e5) DIV 1e6``). Pure integer ops ⇒ bit-identical on
+    any engine, immune to libm pow() last-ulp differences (the
+    quantization error vs the real-valued curve is < 1e-4 — harmless
+    for a planning table). No corpus access; O(log₂ n_hashes ·
+    #splits · #thresholds) constant work."""
+    return spark.sql(
+        lsh_parameter_plan_sql(n_hashes, thresholds_micro, int_div="DIV")
     )

@@ -40,7 +40,7 @@ def test_prefix_50_covers_the_diverse_surface():
         "multimodal_meta", "similarity_ivf_topk",
         # round-5/6 operators holding their window seats
         "bpe_pair_counts", "dedup_apply_counts",
-        "range_join_windows", "text_repetition", "pii_scrub_customers",
+        "range_join_windows", "text_repetition",
         "decontam_ngrams", "dedup_clusters",
         "vocab_coverage_curve",
         "embedding_covariance", "dedup_incremental_report",

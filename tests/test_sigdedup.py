@@ -197,3 +197,49 @@ class TestSigDedupStream:
         )
         for t in ("sg_corpus", "sg_sigs", "sg_rejects"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestLshParameterPlan:
+    """r12: fixed-point banding calibration (engine-bit-identical)."""
+
+    def test_shape_and_monotonicity(self, spark):
+        from shaper_spark.operators.dedup import lsh_parameter_plan
+
+        rows = lsh_parameter_plan(spark).collect()
+        assert len(rows) == 35  # 7 power-of-two splits x 5 thresholds
+        by_split = {}
+        for r in rows:
+            assert r.bands * r.rows_per_band == 64
+            assert 0 <= r.p_collide_micro <= 1_000_000
+            by_split.setdefault(r.bands, []).append(
+                (r.t_micro, r.p_collide_micro)
+            )
+        # p is non-decreasing in the threshold for every split
+        for pts in by_split.values():
+            ps = [p for _, p in sorted(pts)]
+            assert ps == sorted(ps)
+        # the classic b=16,r=4 split: steep S-curve around ~0.5
+        s16 = dict(by_split[16])
+        assert s16[300000] < 200000 < 800000 < s16[900000]
+
+    def test_matches_duckdb_bit_for_bit(self, spark):
+        import duckdb
+
+        from shaper_spark.operators.dedup import (
+            lsh_parameter_plan,
+            lsh_parameter_plan_sql,
+        )
+
+        got = sorted(tuple(r) for r in lsh_parameter_plan(spark).collect())
+        want = sorted(
+            duckdb.sql(lsh_parameter_plan_sql(int_div="//")).fetchall()
+        )
+        assert got == want
+
+    def test_rejects_non_power_of_two(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.dedup import lsh_parameter_plan
+
+        with _pytest.raises(ValueError):
+            lsh_parameter_plan(spark, n_hashes=48)
