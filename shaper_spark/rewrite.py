@@ -5172,14 +5172,33 @@ def _rewrite_exclude_star(sql: str) -> str:
     )
 
 
+_DATE_DIFF_EPOCH_US = {
+    "HOUR": 3_600_000_000,
+    "MINUTE": 60_000_000,
+    "SECOND": 1_000_000,
+    "MILLISECOND": 1_000,
+    "MICROSECOND": 1,
+}
+
+
 def _rewrite_date_diff(sql: str) -> str:
     """DuckDB ``date_diff('part', a, b)`` counts partition BOUNDARIES
     crossed; Spark's ``timestampdiff(PART, a, b)`` counts COMPLETE
     elapsed units. Truncating both operands to the part first makes
     Spark count boundaries too:
     ``timestampdiff(PART, date_trunc('part', a), date_trunc('part', b))``.
-    Calls whose first argument isn't a recognized part literal are
-    left untouched (Spark's own 2-arg datediff stays valid)."""
+    Sub-day parts (hour…microsecond) instead replay DuckDB's ACTUAL
+    arithmetic — epoch-microsecond integer division with C
+    truncation-toward-zero — because for PRE-EPOCH operands DuckDB 1.0
+    buckets toward zero rather than flooring (probed r12:
+    ``date_diff('hour', '1969-… 23:00', '1969-… 23:59')`` is 1 in
+    DuckDB); Spark ``DIV`` truncates identically.  ``week`` keeps the
+    true Monday-boundary count: DuckDB 1.0's pre-epoch week diff is
+    internally inconsistent (Mon→Mon across the epoch counts 0,
+    Sun→Mon before it counts 1) — documented divergence for pre-1970
+    operands, identical from 1970 on.  Calls whose first argument
+    isn't a recognized part literal are left untouched (Spark's own
+    2-arg datediff stays valid)."""
     while True:
         states = _scan_states(sql)
         hit = None
@@ -5204,13 +5223,19 @@ def _rewrite_date_diff(sql: str) -> str:
         if hit is None:
             return sql
         start, close, unit, a, b = hit
-        lpart = unit.lower()
-        sql = (
-            sql[:start]
-            + f"timestampdiff({unit}, date_trunc('{lpart}' /*DT*/, {a}), "
-            f"date_trunc('{lpart}' /*DT*/, {b}))"
-            + sql[close + 1 :]
-        )
+        us = _DATE_DIFF_EPOCH_US.get(unit)
+        if us is not None:
+            repl = (
+                f"((unix_micros(CAST(({b}) AS TIMESTAMP)) DIV {us}) - "
+                f"(unix_micros(CAST(({a}) AS TIMESTAMP)) DIV {us}))"
+            )
+        else:
+            lpart = unit.lower()
+            repl = (
+                f"timestampdiff({unit}, date_trunc('{lpart}' /*DT*/, {a}), "
+                f"date_trunc('{lpart}' /*DT*/, {b}))"
+            )
+        sql = sql[:start] + repl + sql[close + 1 :]
 
 
 _SERIES_TF_RE = re.compile(

@@ -313,10 +313,15 @@ def g_temporal_query(r: random.Random) -> str:
     if c == 3:
         return f"SELECT CAST({g_ts(r, d)} AS VARCHAR) AS v"
     if c == 4:
-        return (
-            f"SELECT date_diff('{r.choice(_DIFF_UNITS)}', "
-            f"{g_ts(r, d)}, {g_ts(r, d)}) AS v"
-        )
+        unit = r.choice(_DIFF_UNITS)
+        a, b = g_ts(r, d), g_ts(r, d)
+        if unit == "week":
+            # DuckDB 1.0's pre-epoch week diff is internally
+            # inconsistent (documented divergence in
+            # _rewrite_date_diff) — clamp week operands to post-epoch
+            a = f"greatest({a}, TIMESTAMP '1970-01-05 00:00:00')"
+            b = f"greatest({b}, TIMESTAMP '1970-01-05 00:00:00')"
+        return f"SELECT date_diff('{unit}', {a}, {b}) AS v"
     if c == 5:
         return (
             f"SELECT CAST(age({g_ts(r, d)}, {g_ts(r, d)}) AS VARCHAR)"

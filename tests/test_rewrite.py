@@ -2350,3 +2350,42 @@ class TestTemporalFuzzFinds:
             " '%d %B %Y') AS v"
         )
         assert spark.sql(r.sql).collect()[0].v == "05 March 2024"
+
+
+class TestDateDiffSubDayEpochDiv:
+    """r12 fuzz (seed 99): DuckDB 1.0 computes sub-day date_diff as
+    epoch-microsecond integer division with trunc-toward-zero — for
+    PRE-EPOCH operands that buckets toward zero, not down.  The
+    lowering replays the same arithmetic (Spark DIV truncates
+    identically)."""
+
+    def test_subday_uses_epoch_division(self):
+        r = rewrite_statement("SELECT date_diff('hour', a, b) FROM t")
+        assert "DIV 3600000000" in r.sql and "unix_micros" in r.sql
+
+    def test_pre_epoch_hour_matches_duck_trunc(self, spark):
+        # duck: 1 (trunc-toward-zero artifact), NOT the boundary count 0
+        r = rewrite_statement(
+            "SELECT date_diff('hour', TIMESTAMP '1969-07-20 23:00:00',"
+            " TIMESTAMP '1969-07-20 23:59:00') AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == 1
+
+    def test_epoch_crossing_minute_is_zero(self, spark):
+        r = rewrite_statement(
+            "SELECT date_diff('minute',"
+            " TIMESTAMP '1969-12-31 23:59:30',"
+            " TIMESTAMP '1970-01-01 00:00:30') AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == 0
+
+    def test_post_epoch_hour_boundary(self, spark):
+        r = rewrite_statement(
+            "SELECT date_diff('hour', TIMESTAMP '2024-01-01 10:59:59',"
+            " TIMESTAMP '2024-01-01 11:00:00') AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v == 1
+
+    def test_day_keeps_calendar_lowering(self):
+        r = rewrite_statement("SELECT date_diff('day', a, b) FROM t")
+        assert "timestampdiff(DAY" in r.sql
