@@ -324,6 +324,155 @@ def _run_duck_pivot(spark: SparkSession, sql: str):
     return out
 
 
+_POSJOIN_RE = re.compile(r"\bPOSITIONAL\s+JOIN\b", re.IGNORECASE)
+_POSJOIN_STOP_KW = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY", "UNION",
+    "INTERSECT", "EXCEPT", "POSITIONAL", "JOIN", "LEFT", "RIGHT",
+    "FULL", "INNER", "CROSS", "ON", "USING", "OFFSET", "FETCH",
+    "WINDOW", "SELECT",
+}
+_POSJOIN_SEQ = [0]
+
+
+def _parse_relation_forward(sql: str, i: int, states) -> int:
+    """End index (exclusive) of a relation starting at ``i``:
+    ``(subquery) [AS] alias [(cols)]`` or ``ident[.ident]* [alias]``."""
+    from .rewrite import _find_matching_close
+
+    n = len(sql)
+    while i < n and sql[i].isspace():
+        i += 1
+    if i < n and sql[i] == "(":
+        close = _find_matching_close(sql, i, states)
+        if close == -1:
+            return -1
+        j = close + 1
+    else:
+        m = re.match(r'[A-Za-z_][\w.]*|"[^"]+"', sql[i:])
+        if not m:
+            return -1
+        j = i + m.end()
+    k = j
+    while k < n and sql[k].isspace():
+        k += 1
+    am = re.match(r"(?:AS\s+)?([A-Za-z_]\w*)", sql[k:], re.IGNORECASE)
+    if am and am.group(1).upper() not in _POSJOIN_STOP_KW:
+        j = k + am.end()
+        k = j
+        while k < n and sql[k].isspace():
+            k += 1
+        if k < n and sql[k] == "(":  # alias column list
+            close = _find_matching_close(sql, k, states)
+            if close != -1:
+                j = close + 1
+    return j
+
+
+def _expand_positional_joins(spark: SparkSession, sql: str):
+    """DuckDB ``a POSITIONAL JOIN b``: pair rows by position, pad the
+    shorter side with NULLs (sql_validation parity gap closed r12).
+    Spark has no row-position concept, so each side is evaluated and
+    indexed with ``rdd.zipWithIndex()`` — order-preserving within and
+    across partitions, i.e. file order for single-file parquet and
+    literal order for VALUES — then full-outer-joined on the index
+    into a temp view that replaces the pair in the FROM clause
+    (chained positional joins fold left through the loop).
+
+    Documented limits: column references qualified by the ORIGINAL
+    relation aliases don't resolve through the combined view (loud
+    analysis error — use unqualified names), and multi-file tables
+    take Spark's file listing order.  Scale note: positional joins
+    are order-DEFINED operations; the zipWithIndex pass is one extra
+    traversal per side and the join shuffles on the row index — the
+    honest distributed cost of an order-based join."""
+    from .rewrite import _scan_states, rewrite_statement
+
+    used = False
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                mm
+                for mm in _POSJOIN_RE.finditer(sql)
+                if states[mm.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql, used
+        # right relation
+        rend = _parse_relation_forward(sql, m.end(), states)
+        if rend == -1:
+            return sql, used
+        right = sql[m.end() : rend].strip()
+        # left relation: back to the governing FROM (same paren depth),
+        # then the LAST top-level comma piece before the keyword
+        depth = 0
+        depths = []
+        for i, c in enumerate(sql):
+            if states[i] == 0:
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+            depths.append(depth)
+        from_m = None
+        for fm in re.finditer(r"\bFROM\b", sql[: m.start()], re.IGNORECASE):
+            if states[fm.start()] == 0 and depths[fm.start()] == depths[
+                m.start()
+            ]:
+                from_m = fm
+        if from_m is None:
+            return sql, used
+        between = sql[from_m.end() : m.start()]
+        bstates = _scan_states(between)
+        bdepth = 0
+        last_comma = -1
+        for i, c in enumerate(between):
+            if bstates[i] == 0:
+                if c == "(":
+                    bdepth += 1
+                elif c == ")":
+                    bdepth -= 1
+                elif c == "," and bdepth == 0:
+                    last_comma = i
+        left = between[last_comma + 1 :].strip()
+        if not left:
+            return sql, used
+        prefix_rels = between[: last_comma + 1]
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        def indexed(rel: str, tag: str):
+            df = spark.sql(rewrite_statement(f"SELECT * FROM {rel}").sql)
+            schema = StructType(
+                list(df.schema.fields)
+                + [StructField(f"__pos_{tag}", LongType(), False)]
+            )
+            rdd = df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+            return spark.createDataFrame(rdd, schema)
+
+        li = indexed(left, "l")
+        ri = indexed(right, "r")
+        joined = (
+            li.join(ri, li["__pos_l"] == ri["__pos_r"], "full_outer")
+            .orderBy(F.coalesce(li["__pos_l"], ri["__pos_r"]))
+            .drop("__pos_l", "__pos_r")
+        )
+        _POSJOIN_SEQ[0] += 1
+        vname = f"__posjoin_{_POSJOIN_SEQ[0]}"
+        joined.createOrReplaceTempView(vname)
+        sql = (
+            sql[: from_m.end()]
+            + prefix_rels
+            + " "
+            + vname
+            + sql[rend:]
+        )
+        used = True
+
+
 def _expand_nested_pivots(spark: SparkSession, sql: str):
     """Replace every parenthesized ``(PIVOT …)`` group (CTE body,
     derived table) with a temp view over the executed sugar — DuckDB
@@ -713,14 +862,9 @@ def _reject_unsupported_duckisms(sql: str) -> str:
                 "supported by Spark; for sum/count/avg subtract the "
                 "current row's contribution from a plain frame instead"
             )
-    for m in re.finditer(r"\bPOSITIONAL\s+JOIN\b", sql, re.IGNORECASE):
-        if states[m.start()] == 0:
-            raise ValueError(
-                "POSITIONAL JOIN depends on physical row order, which "
-                "a distributed engine does not have; join on "
-                "row_number() OVER (ORDER BY <key>) computed on each "
-                "side instead"
-            )
+    # POSITIONAL JOIN is no longer rejected here: r12 implements it
+    # via _expand_positional_joins (zipWithIndex full-outer), which
+    # runs BEFORE this gate.
     return sql
 
 
@@ -2133,6 +2277,8 @@ def _run_query(
         sub, used_infoschema = expand_information_schema(spark, sub)
         used_tablefuncs = used_tablefuncs or used_infoschema
         sub, used_filefuncs = expand_file_functions(spark, sub)
+        sub, used_posjoin = _expand_positional_joins(spark, sub)
+        used_filefuncs = used_filefuncs or used_posjoin
         # DuckDB PIVOT sugar inside a CTE body or derived table:
         # materialize each "(PIVOT …)" group as a temp view so the
         # enclosing query reads it like any other relation (DuckDB

@@ -654,12 +654,14 @@ def test_unsupported_duckisms_named_errors(spark):
             "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM "
             "(SELECT 1 AS a) t",
         )
-    with _pytest.raises(Exception, match="POSITIONAL JOIN"):
-        query_dashboard(
-            spark,
-            "SELECT * FROM (SELECT 1 AS a) x POSITIONAL JOIN "
-            "(SELECT 2 AS b) y",
-        )
+    # POSITIONAL JOIN is implemented r12 (zipWithIndex full-outer)
+    r2 = query_dashboard(
+        spark,
+        "SELECT * FROM (SELECT 1 AS a) x POSITIONAL JOIN "
+        "(SELECT 2 AS b) y",
+        dashboard_id="pj0",
+    )
+    assert r2.sections[0].queries[0].rows == [[1, 2]]
 
 
 def test_star_replace_keeps_column_position(spark):
@@ -844,3 +846,34 @@ class TestIntrospectionShapes:
             "explain_key", "explain_value",
         ]
         assert q.rows[0][0] == "analyzed_plan"
+
+
+def test_positional_join_shapes(spark):
+    """r12: DuckDB POSITIONAL JOIN — pair by row position, NULL-pad
+    the shorter side (verified against DuckDB 1.0 live)."""
+    r = query_dashboard(
+        spark,
+        "SELECT * FROM (VALUES (1),(2),(3)) a(x) "
+        "POSITIONAL JOIN (VALUES ('a')) b(y);",
+        dashboard_id="pj1",
+    )
+    assert r.sections[0].queries[0].rows == [
+        [1, "a"], [2, None], [3, None],
+    ]
+    # chained
+    r2 = query_dashboard(
+        spark,
+        "SELECT * FROM (VALUES (1),(2)) a(x) "
+        "POSITIONAL JOIN (VALUES (10),(20)) b(y) "
+        "POSITIONAL JOIN (VALUES ('u'),('v')) c(z);",
+        dashboard_id="pj2",
+    )
+    assert r2.sections[0].queries[0].rows == [[1, 10, "u"], [2, 20, "v"]]
+    # table operands + WHERE
+    r3 = query_dashboard(
+        spark,
+        "SELECT r_regionkey, n_nationkey FROM region "
+        "POSITIONAL JOIN nation WHERE n_nationkey < 3;",
+        dashboard_id="pj3",
+    )
+    assert len(r3.sections[0].queries[0].rows) == 3
