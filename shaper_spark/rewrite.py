@@ -2199,12 +2199,58 @@ _QUANTIFIED_CMP_RE = re.compile(
 )
 
 
+_ARITH_STOP_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE",
+    "CASE", "END", "ON", "BY", "HAVING", "RETURN", "SET", "IN",
+    "LIKE", "BETWEEN", "FROM", "AS", "IS", "ALL", "ANY", "SOME",
+    "VALUES", "LIMIT", "OFFSET", "DISTINCT", "UNION", "EXCEPT",
+    "INTERSECT", "JOIN", "QUALIFY",
+}
+
+
+def _extend_arith_left(sql: str, states: list[int], lstart: int) -> int:
+    """Extend a captured primary left operand across an arithmetic
+    chain and a leading unary sign: a quantified comparison binds
+    looser than ``+-*/%``, so ``-5 <= ALL (…)`` and ``a - 5 < ANY (…)``
+    both compare the FULL arithmetic expression (r12 fuzz find — the
+    primary-only capture emitted ``-CASE …``, negating a boolean)."""
+    while True:
+        p = lstart - 1
+        while p >= 0 and sql[p].isspace():
+            p -= 1
+        if p < 0 or states[p] != 0 or sql[p] not in "+-*/%":
+            return lstart
+        q = p - 1
+        while q >= 0 and sql[q].isspace():
+            q -= 1
+        unary_pos = (
+            q < 0 or (states[q] == 0 and sql[q] in "(,+-*/%<>=")
+        )
+        if not unary_pos:
+            # word before the sign: keyword ⇒ the sign is unary;
+            # otherwise it's a binary operator — pull in the operand
+            wm = re.search(r"([A-Za-z_]\w*)$", sql[: q + 1])
+            if wm and wm.group(1).upper() in _ARITH_STOP_KEYWORDS:
+                unary_pos = True
+        if unary_pos:
+            if sql[p] in "+-":
+                lstart = p
+                continue
+            return lstart
+        new_start = _expr_start(sql, states, q + 1)
+        if new_start >= q + 1:
+            return lstart
+        lstart = new_start
+
+
 def _rewrite_quantified_comparisons(sql: str) -> str:
     """Quantified subquery comparisons (batch-24 — Spark has no
     ANY/ALL/SOME operator syntax):
 
-    * ``x = ANY (sub)`` / SOME → ``x IN (sub)``;
-      ``x <> ALL (sub)`` → ``x NOT IN (sub)``.
+    * ``x = ANY (sub)`` / SOME and ``x <> ALL (sub)`` → three-valued
+      membership CASEs over ``IN (sub)`` (r12: Spark's IN-subquery
+      returns FALSE where SQL keeps NULL — absent needle with NULL
+      elements, or NULL needle vs non-empty set).
     * ordered ops lower onto a scalar min/max subquery
       (``x < ANY`` ≡ ``x < max``, ``x < ALL`` ≡ ``x < min``, …);
       ALL lowers to a full three-valued CASE (empty → TRUE, definite
@@ -2255,6 +2301,7 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
                 lstart = j
             else:
                 lstart = _expr_start(sql, states, k + 1)
+            lstart = _extend_arith_left(sql, states, lstart)
             left = sql[lstart : m.start()].strip()
             if not left:
                 continue
@@ -2264,9 +2311,32 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
             return sql
         lstart, close, left, op, quant, sub = hit
         if op == "=":
-            new = f"{left} IN ({sub})"
+            # Three-valued membership (r12 fuzz find): Spark's
+            # IN-(subquery) returns FALSE where SQL (and DuckDB) keep
+            # NULL when the needle is absent but the set has NULLs, or
+            # the needle itself is NULL against a non-empty set.  The
+            # CASE reinstates the NULL; empty set stays FALSE.
+            new = (
+                f"CASE WHEN NOT EXISTS "
+                f"(SELECT 1 FROM ({sub}) AS __qe) THEN FALSE "
+                f"WHEN {left} IN ({sub}) THEN TRUE "
+                f"WHEN ({left}) IS NULL OR EXISTS "
+                f"(SELECT 1 FROM ({sub}) AS __qn(__qnc) "
+                f"WHERE __qnc IS NULL) THEN NULL "
+                f"ELSE FALSE END"
+            )
         elif op in ("<>", "!="):
-            new = f"{left} NOT IN ({sub})"
+            # the negation of the membership CASE above (Spark NOT IN
+            # has the same FALSE-for-NULL quirk in SELECT position)
+            new = (
+                f"CASE WHEN NOT EXISTS "
+                f"(SELECT 1 FROM ({sub}) AS __qe) THEN TRUE "
+                f"WHEN {left} IN ({sub}) THEN FALSE "
+                f"WHEN ({left}) IS NULL OR EXISTS "
+                f"(SELECT 1 FROM ({sub}) AS __qn(__qnc) "
+                f"WHERE __qnc IS NULL) THEN NULL "
+                f"ELSE TRUE END"
+            )
         else:
             want_max = (quant == "ANY") == (op in ("<", "<="))
             agg = "max" if want_max else "min"

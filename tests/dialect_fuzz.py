@@ -120,7 +120,7 @@ def g_bool(r: random.Random, d: int) -> str:
         return f"({g_bool(r, d - 1)} OR {g_bool(r, d - 1)})"
     if c == 6:
         return f"(NOT {g_bool(r, d - 1)})"
-    pick = r.randrange(3)
+    pick = r.randrange(4)
     if pick == 0:
         return (
             f"({g_str(r, d - 1)} LIKE "
@@ -128,6 +128,29 @@ def g_bool(r: random.Random, d: int) -> str:
         )
     if pick == 1:
         return f"({g_int(r, d - 1)} IN ({g_int(r, 0)}, {g_int(r, 0)}, NULL))"
+    if pick == 2:
+        # quantified subquery comparisons (batch-24/28).  Grammar
+        # constraints mirror the documented surface: `= ALL`/`<> ANY`
+        # are left-untouched loud errors; ordered ANY with NULL
+        # elements diverges FALSE-vs-NULL in bare SELECT position
+        # (WHERE-equivalent, documented) so its subquery stays
+        # NULL-free; ordered ALL is exact three-valued incl. NULLs.
+        kind = r.randrange(3)
+        vals = [g_int(r, 0), g_int(r, 0)]
+        if kind == 0:  # ordered ALL, NULLs allowed
+            op = r.choice(["<", "<=", ">", ">="])
+            quant = "ALL"
+            if r.randrange(2):
+                vals.append("NULL")
+        elif kind == 1:  # ordered ANY/SOME, no NULL elements
+            op = r.choice(["<", "<=", ">", ">="])
+            quant = r.choice(["ANY", "SOME"])
+        else:  # membership forms, NULLs allowed
+            op, quant = r.choice([("=", "ANY"), ("<>", "ALL")])
+            if r.randrange(2):
+                vals.append("NULL")
+        rows = ", ".join(f"({v})" for v in vals)
+        return f"({g_int(r, 0)} {op} {quant} (VALUES {rows}))"
     return f"contains({g_str(r, d - 1)}, 'a')"
 
 

@@ -1865,10 +1865,14 @@ class TestBatch24Quantified:
     def test_eq_any_is_in(self):
         r = rewrite_statement("SELECT x = ANY (SELECT y FROM s) FROM t")
         assert "x IN (SELECT y FROM s)" in r.sql
+        # r12: three-valued membership (Spark IN-subquery FALSE quirk)
+        assert "WHERE __qnc IS NULL) THEN NULL" in r.sql
 
     def test_ne_all_is_not_in(self):
         r = rewrite_statement("SELECT x <> ALL (SELECT y FROM s) FROM t")
-        assert "x NOT IN (SELECT y FROM s)" in r.sql
+        # r12: negated three-valued membership CASE (not bare NOT IN)
+        assert "WHEN x IN (SELECT y FROM s) THEN FALSE" in r.sql
+        assert "THEN TRUE" in r.sql
 
     def test_lt_any_is_lt_max(self):
         r = rewrite_statement("SELECT * FROM t WHERE x < ANY (SELECT y FROM s)")
@@ -2389,3 +2393,34 @@ class TestDateDiffSubDayEpochDiv:
     def test_day_keeps_calendar_lowering(self):
         r = rewrite_statement("SELECT date_diff('day', a, b) FROM t")
         assert "timestampdiff(DAY" in r.sql
+
+
+class TestQuantifiedFuzzFinds:
+    """r12 quantified-comparison fuzz arm finds (verified vs DuckDB):
+    arithmetic left operands and Spark's IN-subquery NULL quirk."""
+
+    def test_unary_minus_left_operand(self, spark):
+        r = rewrite_statement("SELECT (-5 <= ALL (VALUES (42), (42))) AS v")
+        assert spark.sql(r.sql).collect()[0].v is True
+
+    def test_binary_arith_left_operand(self, spark):
+        r = rewrite_statement(
+            "SELECT x FROM (VALUES (1),(7)) t(x) "
+            "WHERE x - 5 <= ALL (VALUES (0), (2))"
+        )
+        assert [row.x for row in spark.sql(r.sql).collect()] == [1]
+
+    def test_eq_any_null_element_yields_null(self, spark):
+        r = rewrite_statement(
+            "SELECT (100 = ANY (VALUES (-5), (1), (NULL))) AS v"
+        )
+        assert spark.sql(r.sql).collect()[0].v is None
+
+    def test_ne_all_null_semantics(self, spark):
+        r = rewrite_statement(
+            "SELECT (100 <> ALL (VALUES (-5), (NULL))) AS a,"
+            " (2 <> ALL (VALUES (2), (NULL))) AS b,"
+            " (1 <> ALL (VALUES (2), (3))) AS c"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert row.a is None and row.b is False and row.c is True
