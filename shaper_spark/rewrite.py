@@ -4250,11 +4250,28 @@ def _rewrite_fn_compat2(sql: str) -> str:
         return None
 
     def _fix_json_array_length2(args: list[str]) -> str | None:
+        # DuckDB returns 0 for any EXISTING non-array value where
+        # Spark returns NULL (r12 JSON fuzz); SQL-NULL input and a
+        # missing path stay NULL.  Residual corner (documented): a
+        # JSON null AT the path is 0 in DuckDB but indistinguishable
+        # from a missing path through get_json_object, so it stays
+        # NULL here.  The /*JA*/ marker blocks fixer re-entry.
+        if len(args) == 1:
+            a = args[0].strip()
+            if a.rstrip().endswith("/*JA*/"):
+                return None
+            return (
+                f"(CASE WHEN ({a}) IS NULL THEN CAST(NULL AS INT) "
+                f"ELSE coalesce(json_array_length({a} /*JA*/), 0) END)"
+            )
         if len(args) != 2:
             return None
+        x, p = args[0].strip(), _json_path(args[1].strip())
+        g = f"get_json_object({x}, {p})"
         return (
-            f"json_array_length(get_json_object({args[0].strip()}, "
-            f"{_json_path(args[1].strip())}))"
+            f"(CASE WHEN ({x}) IS NULL OR {g} IS NULL "
+            f"THEN CAST(NULL AS INT) "
+            f"ELSE coalesce(json_array_length({g} /*JA*/), 0) END)"
         )
 
     def _duck_structure_to_ddl(spec) -> str | None:
@@ -5109,6 +5126,7 @@ def _rewrite_fn_compat2(sql: str) -> str:
         .replace(" /*AM*/", "")
         .replace(" /*DT*/", "")
         .replace(" /*LC*/", "")
+        .replace(" /*JA*/", "")
     )
 
     # extract(epoch|dow|isodow FROM e)

@@ -232,7 +232,10 @@ def _json_merge_patch(a: str | None, b: str | None) -> str | None:
     patch replaces the target wholesale; SQL NULL patch → NULL, SQL
     NULL target → the patch.  Variadic DuckDB calls are folded to
     nested 2-arg calls by the rewriter.  Output is compact JSON like
-    DuckDB's printer (no spaces, keys in target-then-patch order)."""
+    DuckDB's printer — including its key ORDER: unpatched target keys
+    first (original order), every patched key re-appended at the end
+    in patch order, recursively (r12 JSON fuzz find; the previous
+    in-place update kept patched keys at their original position)."""
     import json as _json
 
     if b is None:
@@ -241,12 +244,12 @@ def _json_merge_patch(a: str | None, b: str | None) -> str | None:
     def merge(target, patch):
         if not isinstance(patch, dict):
             return patch
-        out = dict(target) if isinstance(target, dict) else {}
+        told = target if isinstance(target, dict) else {}
+        out = {k: v for k, v in told.items() if k not in patch}
         for k, v in patch.items():
             if v is None:
-                out.pop(k, None)
-            else:
-                out[k] = merge(out.get(k), v)
+                continue
+            out[k] = merge(told.get(k), v)
         return out
 
     try:
@@ -254,8 +257,15 @@ def _json_merge_patch(a: str | None, b: str | None) -> str | None:
         target = None if a is None else _json.loads(a)
     except ValueError:
         return None
+    if not isinstance(target, dict):
+        # DuckDB quirk (r12 JSON fuzz): a non-object TOP-LEVEL target
+        # takes the patch VERBATIM — null values survive, no removal
+        # (removal still applies at nested levels of a real merge).
+        result = patch
+    else:
+        result = merge(target, patch)
     return _json.dumps(
-        merge(target, patch), separators=(",", ":"), ensure_ascii=False
+        result, separators=(",", ":"), ensure_ascii=False
     )
 
 
@@ -271,6 +281,10 @@ def _json_type_of(v):
     if v is None:
         return "NULL"
     if isinstance(v, dict):
+        if not v:
+            # DuckDB collapses an EMPTY object to "JSON" (r12 fuzz),
+            # at any nesting depth
+            return "JSON"
         return {k: _json_type_of(x) for k, x in v.items()}
     # list: unify the element structures like DuckDB (numeric
     # widening, object key union, incompatible → "JSON")

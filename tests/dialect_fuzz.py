@@ -231,9 +231,61 @@ def g_date_expr(r: random.Random, d: int) -> str:
     )
 
 
+_JSON_LITS = [
+    """'{"a": 1, "b": [1, 2, 3], "c": {"d": "x"}}'""",
+    """'[10, 20, {"k": "v"}]'""",
+    """'{"a": null, "b": "s"}'""",
+    "'[]'", "'{}'", "'null'", "'3.5'", '\'"s"\'',
+]
+_JSON_KEYS = ["a", "b", "c", "d", "k", "zz"]
+
+
+def g_json_expr(r: random.Random, d: int) -> str:
+    """JSON compositions (r12) — the batch-17 surface, fuzz-composed.
+    json_merge_patch key ORDER and chained arrow extraction are the
+    shapes the hand probes never combined."""
+    j = r.choice(_JSON_LITS)
+    c = r.randrange(9)
+    if c == 0:
+        expr = j
+        for _ in range(r.randrange(1, 3)):
+            arrow = r.choice(["->", "->>"])
+            key = r.choice(
+                [f"'{r.choice(_JSON_KEYS)}'", str(r.randrange(4))]
+            )
+            expr = f"({expr} {arrow} {key})"
+        return expr
+    if c == 1:
+        path = r.choice(["$.a", "$.b[1]", "$.c.d", "$.b", "$.zz"])
+        fn = r.choice(["json_extract", "json_extract_string"])
+        return f"{fn}({j}, '{path}')"
+    if c == 2:
+        return f"json_array_length({j})"
+    if c == 3:
+        return f"json_array_length({j}, '{r.choice(['b', '$.b'])}')"
+    if c == 4:
+        return (
+            f"json_type({j})"
+            if r.randrange(2)
+            else f"json_type({j}, '{r.choice(_JSON_KEYS)}')"
+        )
+    if c == 5:
+        return f"json_structure({j})"
+    if c == 6:
+        patch = r.choice(
+            ['\'{"a": 9}\'', '\'{"a": null}\'', '\'{"z": [1]}\'',
+             '\'{"c": {"d": null, "e": 2}}\'', "'7'"]
+        )
+        return f"json_merge_patch({j}, {patch})"
+    if c == 7:
+        needle = r.choice(["1", "20", '"s"'])
+        return f"json_contains({j}, '{needle}')"
+    return f"json_valid({j})"
+
+
 def g_expr(r: random.Random, d: int) -> str:
     return r.choice(
-        [g_int, g_dbl, g_str, g_bool, g_list, g_date_expr]
+        [g_int, g_dbl, g_str, g_bool, g_list, g_date_expr, g_json_expr]
     )(r, d)
 
 

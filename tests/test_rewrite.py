@@ -2424,3 +2424,50 @@ class TestQuantifiedFuzzFinds:
         )
         row = spark.sql(r.sql).collect()[0]
         assert row.a is None and row.b is False and row.c is True
+
+
+class TestJsonFuzzFinds:
+    """r12 JSON fuzz arm finds (verified vs DuckDB)."""
+
+    def test_json_array_length_nonarray_is_zero(self, spark):
+        r = rewrite_statement(
+            "SELECT json_array_length('{}') AS a,"
+            " json_array_length('3.5') AS b,"
+            " json_array_length('[1,2,3]') AS c,"
+            " json_array_length(NULL) AS d,"
+            ''' json_array_length('{"b": "s"}', 'b') AS e,'''
+            ''' json_array_length('{"b": [1,2]}', 'b') AS f,'''
+            ''' json_array_length('{"b": 1}', 'zz') AS g'''
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (0, 0, 3, None)
+        assert (row.e, row.f, row.g) == (0, 2, None)
+
+    def test_merge_patch_duck_key_order(self, spark):
+        from shaper_spark.udfs import _json_merge_patch
+
+        assert (
+            _json_merge_patch('{"a": 1, "b": 2}', '{"a": 9}')
+            == '{"b":2,"a":9}'
+        )
+
+    def test_merge_patch_nonobject_target_verbatim(self):
+        from shaper_spark.udfs import _json_merge_patch
+
+        # non-object top-level target: patch verbatim, nulls kept
+        assert (
+            _json_merge_patch('"s"', '{"c": {"d": null}}')
+            == '{"c":{"d":null}}'
+        )
+        assert _json_merge_patch("[]", '{"a": null}') == '{"a":null}'
+        # real merge still removes nulls at nested levels
+        assert (
+            _json_merge_patch('{"a": 1}', '{"c": {"d": null, "e": 2}}')
+            == '{"a":1,"c":{"e":2}}'
+        )
+
+    def test_json_structure_empty_object(self):
+        from shaper_spark.udfs import _json_structure
+
+        assert _json_structure("{}") == '"JSON"'
+        assert _json_structure('{"a": {}}') == '{"a":"JSON"}'
