@@ -711,22 +711,16 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(spark.table("documents"), "doc_id", "text")
 
 
-QUALITY_DUCK = """
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-stop AS (
-  SELECT doc_id,
-         count(*) FILTER (WHERE lower(w) IN
-           ('the','and','of','to','a','in','is','that','for','it')) AS hits
-  FROM tok GROUP BY doc_id
-),
+def _quality_duck() -> str:
+    # counts CTE from the shared generator (r12 task 1); the ratio
+    # columns stay the historical 6-dp doubles — this tail entry's
+    # contract — but their INPUTS are now engine-proof.
+    return f"""
+WITH counts AS ({_duck_quality_counts('doc_id')}),
 base AS (
-  SELECT d.doc_id,
-         len(string_split(d.text, ' ')) AS nw,
-         greatest(len(string_split(d.text, ' ')), 1) AS nw1,
-         greatest(length(d.text), 1) AS nc1,
-         length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS punct,
-         coalesce(s.hits, 0) AS hits
-  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
+  SELECT doc_id, nw, greatest(nw, 1) AS nw1, greatest(nc, 1) AS nc1,
+         punct, nstop AS hits
+  FROM counts
 )
 SELECT doc_id,
        round(least(nw / 50.0, 1.0), 6) AS length_score,
@@ -765,39 +759,45 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_filter_sql(lang: str) -> str:
-    from shaper_spark.operators.text import LANG_STOPWORDS
-
-    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
-    return f"count(*) FILTER (WHERE w IN ({words})) AS score_{lang}"
-
-
 def _lang_id_duck() -> str:
-    scores = ",\n         ".join(_lang_filter_sql(lang) for lang in _LANGS)
+    # Byte-identical to the Spark operator (r12 task 1): ONE staged
+    # folded_padded string, per-language replace-count stopword hits —
+    # no lower(), no regex, no engine-specific token semantics.
+    from shaper_spark.operators.text import (
+        LANG_STOPWORDS,
+        folded_padded_sql,
+        stopword_count_sql,
+    )
+
+    scores = ",\n         ".join(
+        f"{stopword_count_sql('__pad', LANG_STOPWORDS[lang], '//')} "
+        f"AS score_{lang}"
+        for lang in _LANGS
+    )
     greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
     cases = "\n           ".join(
         f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in _LANGS
     )
     return f"""
-WITH tok AS (
-  SELECT doc_id, lower(unnest(string_split(text, ' '))) AS w FROM documents
+WITH padded AS (
+  SELECT doc_id, lang, {folded_padded_sql('text')} AS __pad FROM documents
 ),
 sc AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          {scores}
-  FROM tok GROUP BY doc_id
+  FROM padded
 ),
 pred AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          CASE WHEN {greatest} = 0 THEN 'und'
            {cases}
          END AS lang_pred
   FROM sc
 )
-SELECT d.lang, count(*) AS n_docs,
-       CAST(sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-FROM documents d JOIN pred p USING (doc_id)
-GROUP BY d.lang ORDER BY d.lang
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM pred
+GROUP BY lang ORDER BY lang
 """
 
 
@@ -1578,23 +1578,12 @@ def _q_filter_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FILTER_INTERACTIONS_DUCK = """
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-stop AS (
-  SELECT doc_id,
-         count(*) FILTER (WHERE lower(w) IN
-           ('the','and','of','to','a','in','is','that','for','it')) AS hits
-  FROM tok GROUP BY doc_id
-),
-counts AS (
-  SELECT CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
-         CAST(length(d.text) AS BIGINT) AS nc,
-         CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
-              AS BIGINT) AS punct,
-         CAST(coalesce(s.hits, 0) AS BIGINT) AS nstop
-  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
-),
-agg AS (
+def _filter_interactions_duck() -> str:
+    # counts CTE generated by the same quality_counts_from_sql as the
+    # Spark operator (r12 task 1 — engine-proof, byte-identical)
+    return f"""
+WITH counts AS ({_duck_quality_counts('doc_id')}),
+agg AS (""" + """
   SELECT (nw < 50) AS f_short, (punct * 10 > nc) AS f_punct,
          (nstop * 5 < nw) AS f_lowstop, count(*) AS n_docs
   FROM counts GROUP BY 1, 2, 3
@@ -2694,12 +2683,10 @@ bg AS (
 d AS (SELECT g, count(*) AS n_docs FROM w GROUP BY 1)
 SELECT d.g AS "group", n_docs, n_tokens, n_types, n_bigrams,
        n_bigram_types,
-       ((n_types * 2000000 + n_tokens) // (2 * n_tokens))
-         / 1000000.0 AS ttr,
-       ((n_hapax * 2000000 + n_types) // (2 * n_types))
-         / 1000000.0 AS hapax_frac,
+       ((n_types * 2000000 + n_tokens) // (2 * n_tokens)) AS ttr_micro,
+       ((n_hapax * 2000000 + n_types) // (2 * n_types)) AS hapax_micro,
        ((n_bigram_types * 2000000 + n_bigrams) // (2 * n_bigrams))
-         / 1000000.0 AS distinct2
+         AS distinct2_micro
 FROM d JOIN uni ON uni.g = d.g JOIN bg ON bg.g = d.g
 ORDER BY 1
 """
@@ -2731,9 +2718,9 @@ WITH per_doc AS (
 )
 SELECT g AS "group", n_docs, docs_flagged, total_hits,
        ((docs_flagged * 2000000 + n_docs) // (2 * n_docs))
-         / 1000000.0 AS flagged_frac,
+         AS flagged_micro,
        ((total_hits * 2000000000 + n_tokens) // (2 * n_tokens))
-         / 1000000.0 AS hits_per_1k
+         AS hits_per_1k_micro
 FROM (
   SELECT g, count(*) AS n_docs,
          count(*) FILTER (WHERE n_hit > 0) AS docs_flagged,
@@ -2885,60 +2872,55 @@ def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-THRESHOLD_SWEEP_DUCK = """
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-stop AS (
-  SELECT doc_id,
-         count(*) FILTER (WHERE lower(w) IN
-           ('the','and','of','to','a','in','is','that','for','it')) AS hits
-  FROM tok GROUP BY doc_id
-),
-counts AS (
-  SELECT d.doc_id, d.source,
-         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
-         CAST(length(d.text) AS BIGINT) AS nc,
-         CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
-              AS BIGINT) AS punct,
-         CAST(coalesce(s.hits, 0) AS BIGINT) AS nstop
-  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
-),
-q AS (
-  -- r11: the score is a rational of the four integer counts, so the
-  -- micro value is computed in PURE BIGINT arithmetic — identical on
-  -- every engine build, no double anywhere in the verdict path
-  -- (round(score*1e6) of a double was driver-divergent r9/r10):
-  -- N/D over D = 50*nw'*nc', half-up via (2N+D) // (2D)
-  SELECT doc_id, source,
-         (2 * (400000 * least(nw, 50) * greatest(nw, 1) * greatest(nc, 1)
-               + 400000 * least(5 * nstop, greatest(nw, 1)) * 50
-                 * greatest(nc, 1)
-               + 200000 * (greatest(nc, 1) - least(10 * punct,
-                                                   greatest(nc, 1)))
-                 * 50 * greatest(nw, 1))
-          + 50 * greatest(nw, 1) * greatest(nc, 1))
-         // (2 * 50 * greatest(nw, 1) * greatest(nc, 1)) AS qmicro
-  FROM counts
-),
+def _duck_quality_counts(id_cols: str) -> str:
+    """The staged engine-proof counts CTE body for every DuckDB oracle
+    in the quality family — generated by the SAME
+    ``quality_counts_from_sql`` the Spark operators use (r12 verdict
+    task 1: byte-identical computation, parameterized only on the
+    int-div and split-length spellings; no regex class, no case fold,
+    no engine ``\\s`` anywhere)."""
+    from shaper_spark.operators.text import quality_counts_from_sql
+
+    return quality_counts_from_sql(
+        "documents",
+        id_cols,
+        int_div="//",
+        split_len="len(string_split({t}, ' '))",
+    )
+
+
+def _duck_qmicro(int_div: str = "//") -> str:
+    from shaper_spark.operators.text import _qmicro_sql
+
+    return _qmicro_sql("nw", "nc", "punct", "nstop", int_div=int_div)
+
+
+def _threshold_sweep_duck() -> str:
+    # r12 task 2: BIGINT-only contract — threshold_micro and
+    # survive_micro replace the DOUBLE threshold/survive_frac columns.
+    grid = "\n  UNION ALL ".join(
+        f"SELECT source, CAST({t} AS BIGINT) AS threshold_micro, "
+        f"n_docs, s{i} AS n_survive FROM wide"
+        for i, t in enumerate((200000, 300000, 400000, 500000, 600000))
+    )
+    cases = ",\n         ".join(
+        f"sum(CASE WHEN qmicro >= {t} THEN 1 ELSE 0 END) AS s{i}"
+        for i, t in enumerate((200000, 300000, 400000, 500000, 600000))
+    )
+    return f"""
+WITH counts AS ({_duck_quality_counts('doc_id, source')}),
+q AS (SELECT doc_id, source, {_duck_qmicro()} AS qmicro FROM counts),
 wide AS (
   SELECT source, count(*) AS n_docs,
-         sum(CASE WHEN qmicro >= 200000 THEN 1 ELSE 0 END) AS s0,
-         sum(CASE WHEN qmicro >= 300000 THEN 1 ELSE 0 END) AS s1,
-         sum(CASE WHEN qmicro >= 400000 THEN 1 ELSE 0 END) AS s2,
-         sum(CASE WHEN qmicro >= 500000 THEN 1 ELSE 0 END) AS s3,
-         sum(CASE WHEN qmicro >= 600000 THEN 1 ELSE 0 END) AS s4
+         {cases}
   FROM q GROUP BY source
 )
-SELECT source, threshold, n_docs, n_survive,
-       ((n_survive * 2000000 + n_docs) // (2 * n_docs)) / 1000000.0
-         AS survive_frac
+SELECT source, threshold_micro, n_docs, n_survive,
+       ((n_survive * 2000000 + n_docs) // (2 * n_docs)) AS survive_micro
 FROM (
-  SELECT source, 0.2::DOUBLE AS threshold, n_docs, s0 AS n_survive FROM wide
-  UNION ALL SELECT source, 0.3::DOUBLE, n_docs, s1 FROM wide
-  UNION ALL SELECT source, 0.4::DOUBLE, n_docs, s2 FROM wide
-  UNION ALL SELECT source, 0.5::DOUBLE, n_docs, s3 FROM wide
-  UNION ALL SELECT source, 0.6::DOUBLE, n_docs, s4 FROM wide
+  {grid}
 )
-ORDER BY source, threshold
+ORDER BY source, threshold_micro
 """
 
 
@@ -2959,40 +2941,66 @@ def _q_threshold_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-THRESHOLD_PROBE_DUCK = """
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-stop AS (
-  SELECT doc_id,
-         count(*) FILTER (WHERE lower(w) IN
-           ('the','and','of','to','a','in','is','that','for','it')) AS hits
-  FROM tok GROUP BY doc_id
-),
-counts AS (
-  SELECT d.doc_id, d.source,
-         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
-         CAST(length(d.text) AS BIGINT) AS nc,
-         CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g'))
-              AS BIGINT) AS punct,
-         CAST(coalesce(s.hits, 0) AS BIGINT) AS nstop
-  FROM documents d LEFT JOIN stop s ON s.doc_id = d.doc_id
-)
+def _threshold_probe_duck() -> str:
+    return f"""
+WITH counts AS ({_duck_quality_counts('doc_id, source')})
 SELECT source,
        count(*) AS n_docs,
        sum(nw) AS sum_nw,
        sum(nc) AS sum_nc,
        sum(punct) AS sum_punct,
        sum(nstop) AS sum_stop,
-       sum((2 * (400000 * least(nw, 50) * greatest(nw, 1) * greatest(nc, 1)
-                 + 400000 * least(5 * nstop, greatest(nw, 1)) * 50
-                   * greatest(nc, 1)
-                 + 200000 * (greatest(nc, 1) - least(10 * punct,
-                                                     greatest(nc, 1)))
-                   * 50 * greatest(nw, 1))
-            + 50 * greatest(nw, 1) * greatest(nc, 1))
-           // (2 * 50 * greatest(nw, 1) * greatest(nc, 1))) AS sum_qmicro
+       sum({_duck_qmicro()}) AS sum_qmicro
 FROM counts
 GROUP BY source
 ORDER BY source
+"""
+
+
+def _q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-cause probe (r12 verdict task 3a — shaper_spark/
+    operators/text.py corpus_fingerprint): per-source BIGINT doc/char/
+    token totals with NO regex, NO translate, NO case fold, NO
+    division.  Red here ⇒ the driver's two engines read DIFFERENT
+    DATA (or disagree on length/split primitives) — rules corpus
+    drift in or out independent of every class-count definition."""
+    from shaper_spark.operators.text import corpus_fingerprint
+
+    _prep(spark, sf_dir)
+    return corpus_fingerprint(spark.table("documents"), "text", "source")
+
+
+CORPUS_FINGERPRINT_DUCK = """
+SELECT source,
+       count(*) AS n_docs,
+       sum(CAST(length(text) AS BIGINT)) AS sum_nc,
+       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_nw
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _q_class_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-cause probe (r12 verdict task 3b — shaper_spark/
+    operators/text.py quality_class_probe): per-source sums of ONLY
+    the two class-derived counts (punct chars, stopword hits), the
+    complement of ``corpus_fingerprint`` — a red names the diverging
+    column family in one driver round."""
+    from shaper_spark.operators.text import quality_class_probe
+
+    _prep(spark, sf_dir)
+    return quality_class_probe(
+        spark.table("documents"), "doc_id", "text", "source"
+    )
+
+
+def _class_probe_duck() -> str:
+    return f"""
+WITH counts AS ({_duck_quality_counts('doc_id, source')})
+SELECT source,
+       count(*) AS n_docs,
+       sum(punct) AS sum_punct,
+       sum(nstop) AS sum_stop
+FROM counts GROUP BY source ORDER BY source
 """
 
 
@@ -4923,6 +4931,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (11 greens) so the sweep diagnostic finally gets a driver
         # record next to the 3-round-red filter_threshold_sweep.
         "threshold_sweep_probe": _q_threshold_probe,
+        # r13 (r12 verdict task 3): single-cause probes enter the
+        # prefix — corpus_fingerprint (data/primitives only) and
+        # quality_class_probe (punct/stop class counts only) bracket
+        # the quality family so any residual red names its cause in
+        # one driver round.  Displaced: minhash_est_error (9 greens;
+        # dedup family keeps jaccard/minhash/apply/clusters/
+        # containment/sig_incremental/lsh_plan/size_histogram) and
+        # embedding_covariance (4 greens; embedding family keeps
+        # top1/neardup/outlier_report/semdedup).
+        "corpus_fingerprint": _q_corpus_fingerprint,
+        "quality_class_probe": _q_class_probe,
         "remove_dup_spans": _q_remove_dup_spans,
         "pipeline_stage_counts": _q_pipeline_stages,
         # r12 rotation: length_quantiles (r11 late addition) replaces
@@ -4947,7 +4966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_report": _q_blocklist_report,
         "similarity_ivf_topk": _q_ivf_topk,
         "range_join_windows": _q_range_join,
-        "minhash_est_error": _q_minhash_est,
         # -- round-9 NEW operators (enter the prefix immediately per
         # the rotation policy, displacing quant_report (4 official
         # greens; embedding family keeps top1/neardup/covariance/
@@ -4968,7 +4986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displacing source_overlap_matrix (5 greens; the drift/overlap
         # family keeps kl/psi/jaccard matrices in-window).
         "cluster_size_histogram": _q_cluster_size_hist,
-        "embedding_covariance": _q_embedding_cov,
         # -- round-9 rotation: the 18 round-7 operators enter the
         # official 50-window (each oracle-checked at sf0.001+sf0.01 and
         # independently re-verified by the r8 judge, 0 failures) --
@@ -5087,6 +5104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canary_scan": _q_canary_scan,
         # rotated out of the window r12 (see docstring; each >=3
         # official greens, family representatives kept in-window)
+        # rotated out of the window r13 (9 and 4 official greens;
+        # families keep in-window representatives — see prefix
+        # comment at corpus_fingerprint)
+        "minhash_est_error": _q_minhash_est,
+        "embedding_covariance": _q_embedding_cov,
         "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
         "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
         "multimodal_audio": _q_multimodal_audio,
@@ -5148,7 +5170,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": MINHASH_LSH_DUCK,
         "dedup_simhash": SIMHASH_DUCK,
         "text_token_stats": TOKEN_STATS_DUCK,
-        "text_quality": QUALITY_DUCK,
+        "text_quality": _quality_duck(),
         "text_lang_id": _lang_id_duck(),
         "text_fingerprint": FINGERPRINT_DUCK,
         "text_winnow": TEXT_WINNOW_DUCK,
@@ -5178,7 +5200,7 @@ def oracle_sql() -> dict[str, str]:
         "describe_table": DESCRIBE_DUCK,
         "show_tables": SHOW_TABLES_DUCK,
         # r12 new operators
-        "filter_interaction_matrix": FILTER_INTERACTIONS_DUCK,
+        "filter_interaction_matrix": _filter_interactions_duck(),
         "lsh_parameter_plan": lsh_parameter_plan_sql(int_div="//"),
         "cluster_size_histogram": (
             "SELECT n_members AS cluster_size, count(*) AS n_clusters,"
@@ -5215,7 +5237,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": DSIR_SELECT_DUCK,
         "date_spine_fill": DATE_SPINE_DUCK,
         "psi_drift_matrix": PSI_MATRIX_DUCK,
-        "filter_threshold_sweep": THRESHOLD_SWEEP_DUCK,
+        "filter_threshold_sweep": _threshold_sweep_duck(),
         "boilerplate_grams": BOILERPLATE_DUCK,
         "key_skew_report": KEY_SKEW_DUCK,
         "canary_scan": _canary_duck(),
@@ -5257,7 +5279,9 @@ def oracle_sql() -> dict[str, str]:
         "uniform_sample_docs": UNIFORM_SAMPLE_DUCK,
         "dedup_apply_counts": DEDUP_APPLY_DUCK,
         "stream_rollup_daily": STREAM_ROLLUP_DUCK,
-        "threshold_sweep_probe": THRESHOLD_PROBE_DUCK,
+        "threshold_sweep_probe": _threshold_probe_duck(),
+        "corpus_fingerprint": CORPUS_FINGERPRINT_DUCK,
+        "quality_class_probe": _class_probe_duck(),
         "dedup_containment_pairs": CONTAINMENT_DUCK,
         "pii_density_report": _pii_density_duck(),
         "lexical_diversity": LEXDIV_DUCK,

@@ -43,8 +43,7 @@ def test_prefix_50_covers_the_diverse_surface():
         "range_join_windows", "text_repetition",
         "decontam_ngrams", "dedup_clusters",
         "vocab_coverage_curve",
-        "embedding_covariance", "dedup_incremental_report",
-        "minhash_est_error",
+        "dedup_incremental_report",
         # round-9 NEW operators (enter immediately per policy,
         # displacing quant_report / ann_recall_report, 4 and 3 greens)
         "ccnet_quality_buckets", "ngram_novelty_curve",
@@ -82,6 +81,12 @@ def test_prefix_50_covers_the_diverse_surface():
         # bigram_lm_scores (3/9/8 greens, families kept in-window)
         "threshold_sweep_probe", "lexical_diversity",
         "blocklist_report", "length_quantiles",
+        # round-13 single-cause probes (r12 verdict task 3): displace
+        # minhash_est_error (9 greens) and embedding_covariance (4
+        # greens); dedup keeps 8 reps, embedding keeps top1/neardup/
+        # outlier_report/semdedup in-window
+        "corpus_fingerprint", "quality_class_probe",
+        "filter_interaction_matrix",
     }
     missing = must_have - set(keys)
     assert not missing, f"prefix-50 lost entries: {missing}"

@@ -688,13 +688,15 @@ class TestFilterThresholdSweep:
         for r in out:
             by_src.setdefault(r.source, []).append(r)
         for rows in by_src.values():
-            rows.sort(key=lambda r: r.threshold)
+            rows.sort(key=lambda r: r.threshold_micro)
             survives = [r.n_survive for r in rows]
             # survival is non-increasing in the threshold
             assert survives == sorted(survives, reverse=True)
             for r in rows:
                 assert 0 <= r.n_survive <= r.n_docs
-                assert abs(r.survive_frac - r.n_survive / r.n_docs) < 1e-6
+                assert r.survive_micro == (
+                    r.n_survive * 2000000 + r.n_docs
+                ) // (2 * r.n_docs)
 
     def test_threshold_zero_keeps_everything(self, spark):
         from shaper_spark.operators.text import filter_threshold_sweep
@@ -706,7 +708,7 @@ class TestFilterThresholdSweep:
         (r,) = filter_threshold_sweep(
             df, "doc_id", "text", "source", thresholds=(0.0,)
         ).collect()
-        assert r.n_survive == r.n_docs == 2 and r.survive_frac == 1.0
+        assert r.n_survive == r.n_docs == 2 and r.survive_micro == 1000000
 
     def test_single_hash_agg_no_grid_explode(self, spark, sf_dir):
         from shaper_spark.operators.text import filter_threshold_sweep
@@ -1214,13 +1216,13 @@ class TestLexicalDiversity:
         a = rows["a"]
         assert (a.n_docs, a.n_tokens, a.n_types) == (2, 5, 3)
         assert (a.n_bigrams, a.n_bigram_types) == (3, 3)
-        assert a.ttr == 0.6
-        assert a.hapax_frac == 0.333333
-        assert a.distinct2 == 1.0
+        assert a.ttr_micro == 600000
+        assert a.hapax_micro == 333333
+        assert a.distinct2_micro == 1000000
         # group b: all-repeat doc → minimal diversity
         b = rows["b"]
         assert (b.n_tokens, b.n_types, b.n_bigram_types) == (4, 1, 1)
-        assert b.ttr == 0.25 and b.distinct2 == 0.333333
+        assert b.ttr_micro == 250000 and b.distinct2_micro == 333333
 
     def test_single_word_docs_have_no_bigrams(self, spark):
         from shaper_spark.operators.text import lexical_diversity
@@ -1253,12 +1255,12 @@ class TestBlocklistReport:
         }
         a = rows["a"]
         assert (a.n_docs, a.docs_flagged, a.total_hits) == (2, 1, 2)
-        assert a.flagged_frac == 0.5
+        assert a.flagged_micro == 500000
         # 2 hits / 6 tokens * 1000 = 333.333333 per 1k
-        assert a.hits_per_1k == 333.333333
+        assert a.hits_per_1k_micro == 333333333
         b = rows["b"]
         assert (b.docs_flagged, b.total_hits) == (1, 1)
-        assert b.flagged_frac == 1.0 and b.hits_per_1k == 1000.0
+        assert b.flagged_micro == 1000000 and b.hits_per_1k_micro == 1000000000
 
     def test_no_hits_group_present(self, spark):
         from shaper_spark.operators.text import blocklist_report
@@ -1271,7 +1273,7 @@ class TestBlocklistReport:
             df, "doc_id", "text", "source", ["bad"]
         ).collect()
         assert (r.docs_flagged, r.total_hits) == (0, 0)
-        assert r.flagged_frac == 0.0 and r.hits_per_1k == 0.0
+        assert r.flagged_micro == 0 and r.hits_per_1k_micro == 0
 
 
 class TestLengthQuantiles:
