@@ -15,6 +15,7 @@ the reference does client-side.
 from __future__ import annotations
 
 import base64
+import hashlib
 import datetime as dt
 import json
 import re
@@ -331,7 +332,6 @@ _POSJOIN_STOP_KW = {
     "FULL", "INNER", "CROSS", "ON", "USING", "OFFSET", "FETCH",
     "WINDOW", "SELECT",
 }
-_POSJOIN_SEQ = [0]
 
 
 def _parse_relation_forward(sql: str, i: int, states) -> int:
@@ -460,8 +460,15 @@ def _expand_positional_joins(spark: SparkSession, sql: str):
             .orderBy(F.coalesce(li["__pos_l"], ri["__pos_r"]))
             .drop("__pos_l", "__pos_r")
         )
-        _POSJOIN_SEQ[0] += 1
-        vname = f"__posjoin_{_POSJOIN_SEQ[0]}"
+        # View name = content hash of the (left, right) pair (r12
+        # ADVICE): a dashboard re-rendering the same POSITIONAL JOIN
+        # reuses ONE view name instead of leaking a numbered view per
+        # render — createOrReplaceTempView re-binds the fresh plan, so
+        # data stays current while the catalog stays bounded.
+        digest = hashlib.md5(
+            (left + "\x1f" + right).encode("utf-8")
+        ).hexdigest()[:12]
+        vname = f"__posjoin_{digest}"
         joined.createOrReplaceTempView(vname)
         sql = (
             sql[: from_m.end()]

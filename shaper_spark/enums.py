@@ -188,12 +188,31 @@ def try_execute_type_ddl(spark, sql: str) -> bool:
 
 def _guard(expr: str, name: str, values: list[str]) -> str:
     vals = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
-    e = f"CAST(({expr}) AS STRING)"
+    if re.fullmatch(r"[\w`\".]+", expr.strip()):
+        # simple column/identifier reference: referencing it three
+        # times is free and stays whole-stage-codegen'd
+        e = f"CAST(({expr}) AS STRING)"
+        return (
+            f"(CASE WHEN {e} IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {e} IN ({vals}) THEN {e} "
+            f"ELSE raise_error(concat('Conversion Error: Could not convert "
+            f"string ''', {e}, ''' to {name}')) END)"
+        )
+    # Compound expression (r12 ADVICE): bind ONCE via a single-element
+    # transform() so a nondeterministic or expensive expression is
+    # evaluated exactly once — the membership check, the returned
+    # value, and the error message all read the same computed value.
+    # Interpreted-lambda cost is irrelevant here: guards run on DML
+    # statements, never in scan-shaped operator paths.
+    body = (
+        f"CASE WHEN __ev IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN __ev IN ({vals}) THEN __ev "
+        f"ELSE CAST(raise_error(concat('Conversion Error: Could not "
+        f"convert string ''', __ev, ''' to {name}')) AS STRING) END"
+    )
     return (
-        f"(CASE WHEN {e} IS NULL THEN CAST(NULL AS STRING) "
-        f"WHEN {e} IN ({vals}) THEN {e} "
-        f"ELSE raise_error(concat('Conversion Error: Could not convert "
-        f"string ''', {e}, ''' to {name}')) END)"
+        f"element_at(transform(array(CAST(({expr}) AS STRING)), "
+        f"__ev -> {body}), 1)"
     )
 
 
@@ -387,12 +406,57 @@ def expand_enum_surface(spark, sql: str) -> str:
     if m is not None:
         table = _norm(m.group(1))
         colmap = data["table_cols"].get(table, {})
-        rest = sql[m.end() :].strip().rstrip(";")
-        if colmap and not re.match(r"BY\s+NAME\b", rest, re.IGNORECASE):
-            if m.group(2):
+        g2 = m.group(2)
+        if g2 is not None and re.match(
+            r"\(\s*(?:SELECT|VALUES|FROM|WITH|TABLE)\b", g2, re.IGNORECASE
+        ):
+            # `INSERT INTO t (SELECT …)` — a parenthesized SOURCE
+            # QUERY, not a column list (r12 ADVICE: the garbage
+            # "names" matched no enum column and the guard was
+            # silently skipped).  Re-anchor rest at the '(' so the
+            # full source (which may hold nested parens past the
+            # regex's [^)]* span) is guarded positionally.
+            g2 = None
+            head_end = m.start(2)
+            rest = sql[head_end:].strip().rstrip(";")
+        else:
+            head_end = m.end()
+            rest = sql[head_end:].strip().rstrip(";")
+        by_name = re.match(r"BY\s+NAME\b", rest, re.IGNORECASE)
+        if colmap and by_name:
+            # BY NAME maps source columns to table columns by NAME
+            # (r12 ADVICE: previously unguarded).  Analyze the source
+            # to learn its column names; keep them as aliases so the
+            # name mapping survives the guard projection.  Analysis
+            # failure (dialect source) falls back to unguarded —
+            # exactly the pre-fix behavior.
+            src = rest[by_name.end() :].strip()
+            try:
+                fields = spark.sql(src).schema.fields
+            except Exception:
+                fields = []
+            sel = []
+            hit = False
+            for f in fields:
+                q = "`" + f.name.replace("`", "``") + "`"
+                enum = colmap.get(f.name.lower())
+                if enum and enum in enums:
+                    sel.append(_guard(q, enum, enums[enum]) + f" AS {q}")
+                    hit = True
+                else:
+                    sel.append(q)
+            if hit:
+                sql = (
+                    sql[:head_end]
+                    + "BY NAME SELECT "
+                    + ", ".join(sel)
+                    + f" FROM ({src}) AS __enumins"
+                )
+        elif colmap:
+            if g2:
                 names = [
                     c.strip().strip('"').strip("`").lower()
-                    for c in m.group(2)[1:-1].split(",")
+                    for c in g2[1:-1].split(",")
                 ]
             else:
                 try:
@@ -414,7 +478,7 @@ def expand_enum_surface(spark, sql: str) -> str:
                         )
                     else:
                         sel.append(gen[i])
-                head = sql[: m.end()]
+                head = sql[:head_end]
                 sql = (
                     head
                     + "SELECT "

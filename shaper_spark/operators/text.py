@@ -993,6 +993,10 @@ def zipf_slope(df: DataFrame, text_col: str, min_tf: int = 1) -> DataFrame:
     )
 
 
+# At most one persisted bigram-LM model frame (r12 ADVICE)
+_BIGRAM_MODEL_LIVE: list = []
+
+
 def bigram_lm_scores(
     df: DataFrame,
     id_col: str,
@@ -1070,6 +1074,16 @@ def bigram_lm_scores(
         )
         .persist()
     )
+    # r12 ADVICE: cap storage-memory growth in long-lived sessions —
+    # at most ONE persisted model lives at a time; the previous
+    # invocation's frame is unpersisted here (any still-lazy consumer
+    # of it simply recomputes — correctness unaffected).
+    while _BIGRAM_MODEL_LIVE:
+        try:
+            _BIGRAM_MODEL_LIVE.pop().unpersist(False)
+        except Exception:
+            pass
+    _BIGRAM_MODEL_LIVE.append(p_full)
     fits = p_full.count() <= broadcast_max_rows
     model = F.broadcast(p_full) if fits else p_full
     p_uni_join = F.broadcast(p_uni) if fits else p_uni

@@ -2208,37 +2208,91 @@ _ARITH_STOP_KEYWORDS = {
 }
 
 
+def _pull_primary_left(sql: str, states: list[int], endpos: int) -> int:
+    """Start index of the primary expression whose last character is at
+    ``endpos`` — like :func:`_expr_start` but also walks a single-quoted
+    string literal (``'a' || x = ANY (…)`` pulls in ``'a'``)."""
+    if sql[endpos] == "'" and states[endpos] == 1:
+        j = endpos - 1
+        while j >= 0 and not (
+            states[j] == 1
+            and sql[j] == "'"
+            and (j == 0 or states[j - 1] != 1)
+        ):
+            j -= 1
+        return j
+    return _expr_start(sql, states, endpos + 1)
+
+
 def _extend_arith_left(sql: str, states: list[int], lstart: int) -> int:
-    """Extend a captured primary left operand across an arithmetic
-    chain and a leading unary sign: a quantified comparison binds
-    looser than ``+-*/%``, so ``-5 <= ALL (…)`` and ``a - 5 < ANY (…)``
-    both compare the FULL arithmetic expression (r12 fuzz find — the
-    primary-only capture emitted ``-CASE …``, negating a boolean)."""
+    """Extend a captured primary left operand across every binary
+    operator that binds TIGHTER than a comparison — arithmetic
+    ``+-*/%``, power ``^``/``**``, concat ``||``, bitwise ``&``/``|``,
+    shifts ``<<``/``>>`` — plus a leading unary sign: a quantified
+    comparison binds looser than all of these, so ``-5 <= ALL (…)``,
+    ``a - 5 < ANY (…)`` and ``first || ' ' || last = ANY (…)`` all
+    compare the FULL left expression (r12 fuzz find; the ``||`` case
+    is the r12 ADVICE find — the primary-only capture left ``a || ``
+    OUTSIDE the membership CASE, concatenating a boolean)."""
     while True:
         p = lstart - 1
         while p >= 0 and sql[p].isspace():
             p -= 1
-        if p < 0 or states[p] != 0 or sql[p] not in "+-*/%":
+        if p < 0 or states[p] != 0:
             return lstart
-        q = p - 1
+        ch = sql[p]
+        doubled = p > 0 and states[p - 1] == 0 and sql[p - 1] == ch
+        if ch in "<>":
+            # '<<' / '>>' shifts are binary and tighter than the
+            # comparison; a single '<' / '>' is the comparison itself
+            if not doubled:
+                return lstart
+            oplen, binary = 2, True
+        elif ch == "|":
+            # '||' concat or bitwise '|' — both tighter than comparison
+            oplen, binary = (2 if doubled else 1), True
+        elif ch in "&^":
+            oplen, binary = 1, True
+        elif ch in "*/":
+            # '**' power / '//' int-div are 2-char binary operators;
+            # single '*' and '/' keep the unary-sign analysis below
+            oplen, binary = (2, True) if doubled else (1, False)
+        elif ch == "%":
+            oplen, binary = 1, False
+        elif ch in "+-":
+            oplen, binary = 1, False
+        else:
+            return lstart
+        if not binary:
+            q = p - 1
+            while q >= 0 and sql[q].isspace():
+                q -= 1
+            unary_pos = (
+                q < 0 or (states[q] == 0 and sql[q] in "(,+-*/%<>=")
+            )
+            if not unary_pos:
+                # word before the sign: keyword ⇒ the sign is unary;
+                # otherwise it's binary — pull in the operand
+                wm = re.search(r"([A-Za-z_]\w*)$", sql[: q + 1])
+                if wm and wm.group(1).upper() in _ARITH_STOP_KEYWORDS:
+                    unary_pos = True
+            if unary_pos:
+                if ch in "+-":
+                    lstart = p
+                    continue
+                return lstart
+            new_start = _pull_primary_left(sql, states, q)
+            if new_start > q:
+                return lstart
+            lstart = new_start
+            continue
+        q = p - oplen
         while q >= 0 and sql[q].isspace():
             q -= 1
-        unary_pos = (
-            q < 0 or (states[q] == 0 and sql[q] in "(,+-*/%<>=")
-        )
-        if not unary_pos:
-            # word before the sign: keyword ⇒ the sign is unary;
-            # otherwise it's a binary operator — pull in the operand
-            wm = re.search(r"([A-Za-z_]\w*)$", sql[: q + 1])
-            if wm and wm.group(1).upper() in _ARITH_STOP_KEYWORDS:
-                unary_pos = True
-        if unary_pos:
-            if sql[p] in "+-":
-                lstart = p
-                continue
+        if q < 0:
             return lstart
-        new_start = _expr_start(sql, states, q + 1)
-        if new_start >= q + 1:
+        new_start = _pull_primary_left(sql, states, q)
+        if new_start > q:
             return lstart
         lstart = new_start
 
@@ -2290,17 +2344,7 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
                 k -= 1
             if k < 0:
                 continue
-            if sql[k] == "'" and states[k] == 1:
-                j = k - 1
-                while j >= 0 and not (
-                    states[j] == 1
-                    and sql[j] == "'"
-                    and (j == 0 or states[j - 1] != 1)
-                ):
-                    j -= 1
-                lstart = j
-            else:
-                lstart = _expr_start(sql, states, k + 1)
+            lstart = _pull_primary_left(sql, states, k)
             lstart = _extend_arith_left(sql, states, lstart)
             left = sql[lstart : m.start()].strip()
             if not left:
@@ -2315,11 +2359,17 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
             # IN-(subquery) returns FALSE where SQL (and DuckDB) keep
             # NULL when the needle is absent but the set has NULLs, or
             # the needle itself is NULL against a non-empty set.  The
-            # CASE reinstates the NULL; empty set stays FALSE.
+            # CASE reinstates the NULL; empty set stays FALSE.  The
+            # membership subquery is wrapped ``SELECT * FROM (…)``:
+            # Spark's parser mis-reads ``IN (SELECT 'str')`` — a bare
+            # string-literal subquery head — as a typed literal
+            # (``SELECT`` taken as the type name); the ``*`` pins the
+            # query alternative (r13 ADVICE-regression find).
             new = (
                 f"CASE WHEN NOT EXISTS "
                 f"(SELECT 1 FROM ({sub}) AS __qe) THEN FALSE "
-                f"WHEN {left} IN ({sub}) THEN TRUE "
+                f"WHEN {left} IN (SELECT * FROM ({sub}) AS __qv) "
+                f"THEN TRUE "
                 f"WHEN ({left}) IS NULL OR EXISTS "
                 f"(SELECT 1 FROM ({sub}) AS __qn(__qnc) "
                 f"WHERE __qnc IS NULL) THEN NULL "
@@ -2331,7 +2381,8 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
             new = (
                 f"CASE WHEN NOT EXISTS "
                 f"(SELECT 1 FROM ({sub}) AS __qe) THEN TRUE "
-                f"WHEN {left} IN ({sub}) THEN FALSE "
+                f"WHEN {left} IN (SELECT * FROM ({sub}) AS __qv) "
+                f"THEN FALSE "
                 f"WHEN ({left}) IS NULL OR EXISTS "
                 f"(SELECT 1 FROM ({sub}) AS __qn(__qnc) "
                 f"WHERE __qnc IS NULL) THEN NULL "
@@ -4240,12 +4291,14 @@ def _rewrite_fn_compat2(sql: str) -> str:
         )
 
     def _fix_json_type(args: list[str]) -> str | None:
-        # 1-arg → the compat UDF; 2-arg extracts the path first (duck
-        # accepts bare keys, get_json_object needs the '$.' prefix)
+        # 1-arg → the compat UDF; 2-arg → the path-walking UDF, which
+        # keeps DuckDB's JSON-null-at-path = 'NULL' vs missing-path =
+        # SQL NULL distinction (r13 fuzz find — get_json_object
+        # erases it)
         if len(args) == 2:
             return (
-                f"json_type(get_json_object({args[0].strip()}, "
-                f"{_json_path(args[1].strip())}))"
+                f"json_type2({args[0].strip()}, "
+                f"{_json_path(args[1].strip())})"
             )
         return None
 

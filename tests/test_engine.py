@@ -877,3 +877,29 @@ def test_positional_join_shapes(spark):
         dashboard_id="pj3",
     )
     assert len(r3.sections[0].queries[0].rows) == 3
+
+
+def test_positional_join_views_do_not_leak_per_render(spark):
+    """r12 ADVICE: re-rendering the same POSITIONAL JOIN must reuse
+    ONE content-hashed temp view, not leak a numbered view per
+    render."""
+    q = (
+        "SELECT * FROM (VALUES (1),(2)) a(x) "
+        "POSITIONAL JOIN (VALUES (7),(8)) b(y);"
+    )
+
+    def posjoin_views():
+        return {
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("__posjoin_")
+        }
+
+    query_dashboard(spark, q, dashboard_id="pjleak")
+    first = posjoin_views()
+    for _ in range(3):
+        query_dashboard(spark, q, dashboard_id="pjleak")
+    assert posjoin_views() == first
+    # and the view still serves fresh, correct rows
+    r = query_dashboard(spark, q, dashboard_id="pjleak")
+    assert r.sections[0].queries[0].rows == [[1, 7], [2, 8]]

@@ -137,3 +137,66 @@ def test_duckdb_types_lists_enums(spark, mood):
         "AND type_name = 't_mood';",
     )
     assert r.success and r.queries[0].result_rows == [["t_mood"]]
+
+
+def test_insert_parenthesized_source_query_is_guarded(spark, mood):
+    """r12 ADVICE: `INSERT INTO t (SELECT …)` — the paren group is a
+    SOURCE QUERY, not a column list; the guard must fire positionally."""
+    execute_task(
+        spark,
+        "CREATE OR REPLACE TABLE t_feelings (who VARCHAR, m t_mood);",
+    )
+    bad = execute_task(
+        spark, "INSERT INTO t_feelings (SELECT 'eve', 'angry');"
+    )
+    assert not bad.success
+    assert "Could not convert" in bad.queries[0].error
+    ok = execute_task(
+        spark, "INSERT INTO t_feelings (SELECT 'eve', 'happy');"
+    )
+    assert ok.success, [q.error for q in ok.queries]
+    assert spark.table("t_feelings").count() == 1
+
+
+def test_insert_by_name_is_guarded(spark, mood):
+    """r12 ADVICE: INSERT … BY NAME maps by column NAME — enum columns
+    found in the source schema get the membership guard."""
+    execute_task(
+        spark,
+        "CREATE OR REPLACE TABLE t_feelings (who VARCHAR, m t_mood);",
+    )
+    bad = execute_task(
+        spark,
+        "INSERT INTO t_feelings BY NAME "
+        "SELECT 'angry' AS m, 'eve' AS who;",
+    )
+    assert not bad.success
+    assert "Could not convert" in bad.queries[0].error
+    ok = execute_task(
+        spark,
+        "INSERT INTO t_feelings BY NAME SELECT 'ok' AS m, 'eve' AS who;",
+    )
+    assert ok.success, [q.error for q in ok.queries]
+    row = spark.table("t_feelings").collect()[0]
+    assert (row.who, row.m) == ("eve", "ok")
+
+
+def test_guard_evaluates_compound_expression_once(spark, mood):
+    """r12 ADVICE: a nondeterministic expression must be bound once —
+    the value checked IS the value stored (and the eval count is 1)."""
+    from shaper_spark.enums import _guard
+
+    spark.sql("DROP TABLE IF EXISTS t_evalcount")
+    spark.sql("CREATE TABLE t_evalcount (n INT) USING parquet")
+    spark.sql("INSERT INTO t_evalcount VALUES (0)")
+    # a guarded expression that flips per evaluation: if the guard
+    # evaluated it more than once, the membership branch could pass
+    # on one value and return/store another
+    expr = "element_at(array('sad', 'ok'), 1 + CAST(rand() < 2 AS INT))"
+    g = _guard(expr, "t_mood", ["sad", "ok", "happy"])
+    vals = {spark.sql(f"SELECT {g} AS v").collect()[0].v for _ in range(5)}
+    assert vals <= {"sad", "ok"}
+    # single evaluation is structural: exactly one occurrence of the
+    # expression text in the guard SQL
+    assert g.count("rand()") == 1
+    spark.sql("DROP TABLE IF EXISTS t_evalcount")

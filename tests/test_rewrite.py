@@ -879,7 +879,7 @@ class TestFilterOverAnyAllIgnoreNulls:
     def test_any_subquery_lowers_to_in(self):
         # batch-24 supersedes the old leave-untouched behavior
         r = rewrite_statement("SELECT x = ANY(SELECT y FROM u) FROM t").sql
-        assert "x IN (SELECT y FROM u)" in r
+        assert "x IN (SELECT * FROM (SELECT y FROM u) AS __qv)" in r
 
     def test_ignore_nulls_moves_out(self):
         r = rewrite_statement(
@@ -1468,7 +1468,7 @@ class TestBatch17Json:
 
     def test_json_type_path_form(self):
         r = rewrite_statement("SELECT json_type(j, 'a') FROM t")
-        assert "json_type(get_json_object(j, '$.a'))" in r.sql
+        assert "json_type2(j, '$.a')" in r.sql
         # 1-arg resolves to the compat UDF untouched
         r1 = rewrite_statement("SELECT json_type(j) FROM t")
         assert "json_type(j)" in r1.sql
@@ -1864,14 +1864,17 @@ class TestBatch24Quantified:
 
     def test_eq_any_is_in(self):
         r = rewrite_statement("SELECT x = ANY (SELECT y FROM s) FROM t")
-        assert "x IN (SELECT y FROM s)" in r.sql
+        assert "x IN (SELECT * FROM (SELECT y FROM s) AS __qv)" in r.sql
         # r12: three-valued membership (Spark IN-subquery FALSE quirk)
         assert "WHERE __qnc IS NULL) THEN NULL" in r.sql
 
     def test_ne_all_is_not_in(self):
         r = rewrite_statement("SELECT x <> ALL (SELECT y FROM s) FROM t")
         # r12: negated three-valued membership CASE (not bare NOT IN)
-        assert "WHEN x IN (SELECT y FROM s) THEN FALSE" in r.sql
+        assert (
+            "WHEN x IN (SELECT * FROM (SELECT y FROM s) AS __qv) "
+            "THEN FALSE" in r.sql
+        )
         assert "THEN TRUE" in r.sql
 
     def test_lt_any_is_lt_max(self):
@@ -1886,7 +1889,7 @@ class TestBatch24Quantified:
 
     def test_some_is_any(self):
         r = rewrite_statement("SELECT x = SOME (SELECT y FROM s) FROM t")
-        assert "x IN (SELECT y FROM s)" in r.sql
+        assert "x IN (SELECT * FROM (SELECT y FROM s) AS __qv)" in r.sql
 
     def test_eq_all_left_untouched(self):
         r = rewrite_statement("SELECT x = ALL (SELECT y FROM s) FROM t")
@@ -2425,9 +2428,61 @@ class TestQuantifiedFuzzFinds:
         row = spark.sql(r.sql).collect()[0]
         assert row.a is None and row.b is False and row.c is True
 
+    def test_concat_left_operand(self, spark):
+        """r12 ADVICE find: `a || b = ANY (sub)` must pull the FULL
+        concat chain into the membership CASE — the primary-only
+        capture left `a || ` outside, concatenating a boolean."""
+        r = rewrite_statement(
+            "SELECT ('a' || 'b' = ANY (SELECT 'ab')) AS v,"
+            " ('a' || 'b' || 'c' <> ALL (SELECT 'x')) AS w,"
+            " (NULL || 'b' = ANY (SELECT 'x')) AS n"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert row.v is True and row.w is True and row.n is None
+
+    def test_tight_binary_operator_left_operands(self, spark):
+        """Every operator tighter than a comparison pulls its left
+        operand: shifts, bitwise and/or, int-div `//`, power `**`."""
+        r = rewrite_statement(
+            "SELECT (1 << 2 = ANY (SELECT 4)) AS a,"
+            " (5 & 3 = ANY (SELECT 1)) AS b,"
+            " (5 | 2 = ANY (SELECT 7)) AS c,"
+            " (4 // 2 = ANY (SELECT 2)) AS d,"
+            " (2 ** 3 = ANY (SELECT 8)) AS e"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert (row.a, row.b, row.c, row.d, row.e) == (True,) * 5
+
+    def test_string_literal_subquery_head_parses(self, spark):
+        """Spark mis-parses `IN (SELECT 'str')` as a typed literal;
+        the membership CASE wraps the subquery in SELECT * FROM (…)
+        so a string-literal head stays a query."""
+        r = rewrite_statement(
+            "SELECT ('q' = ANY (SELECT 'q' UNION ALL SELECT NULL)) AS a,"
+            " ('z' = ANY (SELECT 'q' UNION ALL SELECT NULL)) AS b"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert row.a is True and row.b is None
+
 
 class TestJsonFuzzFinds:
     """r12 JSON fuzz arm finds (verified vs DuckDB)."""
+
+    def test_json_type_null_at_path_vs_missing_path(self, spark):
+        """r13 fuzz find: a JSON null AT the path types as 'NULL';
+        a MISSING path is SQL NULL — get_json_object erases the
+        distinction, so the 2-arg form walks the path in Python."""
+        r = rewrite_statement(
+            """SELECT json_type('{"a": null, "b": "s"}', 'a') AS a,"""
+            """ json_type('{"a": null}', 'zz') AS b,"""
+            """ json_type('{"a": {"b": null}}', '$.a.b') AS c,"""
+            """ json_type('[1, null]', '$[1]') AS d,"""
+            """ json_type('[1, null]', '$[9]') AS e,"""
+            """ json_type('{"a": -3}', 'a') AS f"""
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert (row.a, row.b, row.c) == ("NULL", None, "NULL")
+        assert (row.d, row.e, row.f) == ("NULL", None, "BIGINT")
 
     def test_json_array_length_nonarray_is_zero(self, spark):
         r = rewrite_statement(
