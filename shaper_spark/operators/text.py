@@ -1771,9 +1771,14 @@ def source_jaccard_matrix(
     (engine-internal: the output is counts, so the oracle's raw-gram
     grouping sees the same sets) and ``groupBy(h)`` collects the ≤
     |groups| member set per gram; set sizes and pair intersections
-    both derive from that bounded frame, so nothing downstream is
-    corpus-sized.  ``jaccard`` is a half-up BIGINT division rescaled
-    to double (engine-stable replay, the threshold-sweep rule)."""
+    both derive from ONE further (a, b) exchange (r12 verdict task 5:
+    the pair explode also emits a ``(a, NULL)`` marker row per member,
+    so per-group gram counts ride the SAME shuffle instead of a second
+    explode + second exchange over ``per_gram`` — Spark's
+    ReuseExchange then serves all three consumers from one shuffle,
+    one stage wave shorter).  Nothing downstream is corpus-sized.
+    ``jaccard`` is a half-up BIGINT division rescaled to double
+    (engine-stable replay, the threshold-sweep rule)."""
     from .dupspans import _positional_grams
 
     grams = _positional_grams(
@@ -1783,19 +1788,29 @@ def source_jaccard_matrix(
     per_gram = grams.groupBy("h").agg(
         F.array_sort(F.collect_set(group_col)).alias("gs")
     )
-    sizes = (
-        per_gram.select(F.explode("gs").alias("g"))
-        .groupBy("g")
+    elem_t = per_gram.schema["gs"].dataType.elementType
+    # one explode pass: per (gram, member a) emit the size marker
+    # (a, NULL) plus every ordered pair (a, b>a); one (a, b) hash-agg
+    # covers both statistics
+    stats = (
+        per_gram.select(F.explode("gs").alias("a"), F.col("gs"))
+        .select(
+            "a",
+            F.explode(
+                F.concat(
+                    F.array(F.lit(None).cast(elem_t)), F.col("gs")
+                )
+            ).alias("b"),
+        )
+        .filter(F.col("b").isNull() | (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    pairs = (
-        per_gram.select(
-            F.explode("gs").alias("a"), F.col("gs")
-        )
-        .select("a", F.explode("gs").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sizes = stats.filter(F.col("b").isNull()).select(
+        F.col("a").alias("g"), F.col("n")
+    )
+    pairs = stats.filter(F.col("b").isNotNull()).select(
+        "a", "b", F.col("n").alias("n_inter")
     )
     return (
         pairs.join(
