@@ -876,15 +876,57 @@ def _reject_unsupported_duckisms(sql: str) -> str:
 
 
 def _expand_union_by_name(spark: SparkSession, sql: str):
+    """Apply the BY NAME expansion at EVERY nesting depth (r13
+    statement-composition fuzz find: ``SELECT * FROM ((q1) UNION ALL
+    BY NAME (q2))`` and 3-way chains left the sugar for Spark's
+    parser): the depth-0 pass first, then each remaining BY NAME
+    inside its innermost enclosing paren group, expanded in place —
+    the ``_rewrite_qualify_all`` recursion pattern."""
+    from .rewrite import _find_matching_close, _scan_states
+
+    sql, used = _expand_union_by_name_level(spark, sql)
+    for _ in range(16):  # nesting bound; each pass clears one group
+        states = _scan_states(sql)
+        target = None
+        for m in _UNION_BY_NAME_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            stack: list[int] = []
+            for i in range(m.start()):
+                if states[i] != 0:
+                    continue
+                if sql[i] == "(":
+                    stack.append(i)
+                elif sql[i] == ")" and stack:
+                    stack.pop()
+            if stack:
+                target = (m, stack[-1])
+                break
+        if target is None:
+            return sql, used
+        m, open_pos = target
+        close = _find_matching_close(sql, open_pos, states)
+        if close == -1:
+            return sql, used
+        inner = sql[open_pos + 1 : close]
+        new_inner, u2 = _expand_union_by_name_level(spark, inner)
+        if not u2:
+            return sql, used  # not expandable where it sits
+        sql = sql[: open_pos + 1] + new_inner + sql[close:]
+        used = True
+    return sql, used
+
+
+def _expand_union_by_name_level(spark: SparkSession, sql: str):
     """DuckDB ``q1 UNION [ALL] BY NAME q2`` → positional UNION over
-    name-aligned projections.  Spark SQL has no BY NAME form, and a
-    text rewrite needs the sides' schemas — so each side is analyzed
-    into a temp view, the output column list is the first-appearance
-    union of the sides' columns (DuckDB's ordering), and each side
-    projects ``col`` or ``CAST(NULL AS <type>) AS col`` for names it
-    lacks (DuckDB fills missing with NULL).  A trailing ORDER BY /
-    LIMIT on the last side binds to the whole union, as in DuckDB.
-    Returns (sql, used)."""
+    name-aligned projections, for BY NAME at depth 0 of ``sql``.
+    Spark SQL has no BY NAME form, and a text rewrite needs the
+    sides' schemas — so each side is analyzed into a temp view, the
+    output column list is the first-appearance union of the sides'
+    columns (DuckDB's ordering), and each side projects ``col`` or
+    ``CAST(NULL AS <type>) AS col`` for names it lacks (DuckDB fills
+    missing with NULL).  A trailing ORDER BY / LIMIT on the last side
+    binds to the whole union, as in DuckDB.  Returns (sql, used)."""
     from .rewrite import _scan_states, rewrite_statement
 
     states = _scan_states(sql)
@@ -1924,6 +1966,21 @@ def _run_query(
             _bump_type()
             return [], []
         raise ValueError(f"Unsupported type DDL: {sql_string!r}")
+    if re.match(
+        r"\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE|DROP\s+SEQUENCE)\b",
+        sql_string,
+        re.IGNORECASE,
+    ):
+        # DuckDB sequences: warehouse-registry emulation (sequences.py,
+        # r13 — the enums.py pattern); task scripts create them,
+        # nextval/currval deal from the registry under a file lock.
+        from .plancache import bump as _bump_seq
+        from .sequences import try_execute_sequence_ddl
+
+        if try_execute_sequence_ddl(spark, vars_.substitute(sql_string)):
+            _bump_seq()
+            return [], []
+        raise ValueError(f"Unsupported sequence DDL: {sql_string!r}")
     if upper.startswith("EXPLAIN"):
         # DuckDB's EXPLAIN shape: (explain_key, explain_value) — one
         # row with the plan tree (r11; Spark returns a single 'plan'
@@ -2286,6 +2343,12 @@ def _run_query(
         sub, used_filefuncs = expand_file_functions(spark, sub)
         sub, used_posjoin = _expand_positional_joins(spark, sub)
         used_filefuncs = used_filefuncs or used_posjoin
+        # nextval/currval deal MUTABLE registry state per evaluation —
+        # the used flag bypasses analysis memoization like file reads
+        from .sequences import expand_sequence_calls
+
+        sub, used_seq = expand_sequence_calls(spark, sub)
+        used_filefuncs = used_filefuncs or used_seq
         # DuckDB PIVOT sugar inside a CTE body or derived table:
         # materialize each "(PIVOT …)" group as a temp view so the
         # enclosing query reads it like any other relation (DuckDB

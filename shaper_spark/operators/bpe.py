@@ -185,7 +185,7 @@ def bpe_encode_corpus(
 
     from ..session import spread_for_compute
 
-    out = spread_for_compute(df.select(id_col, text_col)).mapInPandas(
+    out = spread_for_compute(df.select(id_col, text_col), heavy=True).mapInPandas(
         batches, out_schema
     )
     return out.select(

@@ -152,7 +152,7 @@ def shingle_tokens(
     extras = list(extra_cols)
     if k >= 5:
         arr = (
-            spread_for_compute(df)
+            spread_for_compute(df, heavy=True)
             .select(
                 F.col(id_col).alias("id"),
                 *[F.col(c) for c in extras],
@@ -179,7 +179,7 @@ def shingle_tokens(
             .distinct()
         )
 
-    toks = spread_for_compute(df).select(
+    toks = spread_for_compute(df, heavy=True).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extras],
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
@@ -444,7 +444,7 @@ def simhash(
     from ..session import spread_for_compute
 
     tokens = (
-        spread_for_compute(df)
+        spread_for_compute(df, heavy=True)
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -576,7 +576,8 @@ def embedding_near_dups(
     from ..session import spread_for_compute
 
     side = spread_for_compute(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        heavy=True,
     )
 
     def score(pairs: DataFrame) -> DataFrame:

@@ -61,7 +61,7 @@ def _positional_grams(
     from ..session import spread_for_compute
 
     arr = (
-        spread_for_compute(df, min_bytes=64 * 1024)
+        spread_for_compute(df, min_bytes=64 * 1024, heavy=True)
         .select(
             F.col(id_col).alias("id"),
             *[F.col(c) for c in extra_cols],
@@ -206,7 +206,7 @@ def remove_duplicated_spans(
     id); nothing is ever n²."""
     from ..session import spread_for_compute
 
-    base = spread_for_compute(df).select(
+    base = spread_for_compute(df, heavy=True).select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("__ws"),
     )

@@ -586,7 +586,7 @@ def dsir_importance_weights(
     # 64 KB here: a single-row-group file would otherwise run the
     # whole hash stage on 1-2 scan tasks (interleaved A/B at sf0.1,
     # serving profile: 4.3 s pinned → 1.6-2.0 s spread).
-    df = spread_for_compute(df, min_bytes=64 * 1024)
+    df = spread_for_compute(df, min_bytes=64 * 1024, heavy=True)
     arr = df.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),

@@ -634,7 +634,7 @@ def boilerplate_grams(
 
     # per-gram md5 is the heavy stage — low spread gate, the DSIR rule
     # (FLOOR.md: gate by bytes × per-byte work, not bytes)
-    df = spread_for_compute(df, min_bytes=64 * 1024)
+    df = spread_for_compute(df, min_bytes=64 * 1024, heavy=True)
     words = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("id"),
@@ -1550,7 +1550,7 @@ def tfidf_top_terms(
 
     from ..session import spread_for_compute
 
-    toks = spread_for_compute(df).select(
+    toks = spread_for_compute(df, heavy=True).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.length("term") > 0)
@@ -1864,7 +1864,7 @@ def pmi_collocations(
     never corpus-scale); top-k plans as TakeOrderedAndProject."""
     from ..session import spread_for_compute
 
-    df = spread_for_compute(df, min_bytes=64 * 1024)
+    df = spread_for_compute(df, min_bytes=64 * 1024, heavy=True)
     arr = df.select(F.split(F.col(text_col), " ").alias("__ws"))
     n = F.size("__ws")
     stream = (

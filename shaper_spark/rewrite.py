@@ -342,10 +342,10 @@ _FN_RENAMES = {
     "list_reverse": "reverse",
     "list_prepend": "array_prepend",
     "array_reverse": "reverse",
-    "json_extract": "get_json_object",
-    "json_extract_string": "get_json_object",
-    "json_extract_path": "get_json_object",
-    "json_extract_path_text": "get_json_object",
+    "json_extract": "json_extract_json",
+    "json_extract_string": "json_extract_text",
+    "json_extract_path": "json_extract_json",
+    "json_extract_path_text": "json_extract_text",
     # "len" is handled by _fix_len (polymorphic: size() for
     # syntactically-array args, length() otherwise — r11 batch-18)
     "strftime": "date_format",  # format codes converted below
@@ -357,7 +357,7 @@ _FN_RENAMES = {
     "datepart": "date_part",
     "array_to_string": "array_join",
     "regexp_matches": "rlike",
-    "json_extract_string": "get_json_object",
+    "json_extract_string": "json_extract_text",
     "to_timestamp": "timestamp_seconds",
     "arg_max": "max_by",
     "arg_min": "min_by",
@@ -2453,11 +2453,13 @@ def _rewrite_duck_operators(sql: str) -> str:
       types and results elsewhere (r10).
     * ``s ~ 'p'`` / ``s !~ 'p'`` → ``[NOT] RLIKE`` (RHS must be a
       string literal, keeping unary bitwise ``~`` intact).
-    * ``j -> 'k'`` / ``j ->> 'k'`` → ``get_json_object(j, '$.k')``
-      ('$'-prefixed paths pass through; chained arrows nest through
-      the loop).  Both arrows return STRING here (Spark has one JSON
-      extractor); DuckDB's ``->`` returns a JSON value — same text for
-      scalars, a documented divergence for extracted objects.
+    * ``j ->> 'k'`` → ``get_json_object(j, '$.k')`` (text result);
+      ``j -> 'k'`` → ``json_extract_json(j, '$.k')`` (JSON result —
+      r13 fuzz find: DuckDB's ``->``/``json_extract`` keep the JSON
+      quotes on string values and render objects compactly, and a
+      JSON null at the path extracts to SQL NULL; the path-walking
+      UDF replays all three).  '$'-prefixed paths pass through;
+      chained arrows nest through the loop.
     """
     # '->' first: '-' would otherwise parse as part of a number/minus
     def _arrow(left: str, right: str, m: re.Match) -> str:
@@ -2467,7 +2469,8 @@ def _rewrite_duck_operators(sql: str) -> str:
         else:
             # integer rhs = JSON array index (duck '[5,6,7] -> 1')
             path = f"$[{right}]"
-        return f"get_json_object({left}, '{path}')"
+        fn = "get_json_object" if m.group(1) else "json_extract_json"
+        return f"{fn}({left}, '{path}')"
 
     sql = _rewrite_binary_op(
         sql, _JSON_ARROW_RE, _arrow, rhs_string_only=True,
@@ -5613,8 +5616,13 @@ def _rewrite_qualify(sql: str) -> str:
                 mm = mod_re.search(item)
                 expr = item[: mm.start()].strip() if mm else item.strip()
                 mods = item[mm.start() :].strip() if mm else ""
-                if re.fullmatch(r"\d+", expr):
-                    rewritten.append(item.strip())  # positional: keep
+                if re.fullmatch(r"\d+", expr) or expr.upper() == "ALL":
+                    # positional ordinal / ORDER BY ALL: both resolve
+                    # against the OUTER wrapped query's output (post-
+                    # EXCEPT columns), so keep them verbatim — a
+                    # helper column `(ALL) AS __ob0__` is unresolvable
+                    # (r13 statement-composition fuzz find)
+                    rewritten.append(item.strip())
                     continue
                 name = f"__ob{k}__"
                 helper_cols += f", ({expr}) AS {name}"

@@ -277,26 +277,36 @@ def scaled_parallelism(df, chunk_bytes: int = 512 * 1024) -> int:
     return max(2, min(parallelism, est // chunk_bytes + 1))
 
 
-def spread_for_compute(df, min_bytes: int = 4 * 1024 * 1024):
+def spread_for_compute(df, min_bytes: int = 256 * 1024, heavy: bool = False):
     """Ensure map-side parallelism for CPU-heavy per-row operators
-    (regex scans, shingling, vector kernels).
+    (string scans, shingling, vector kernels).
 
     Parquet splits at row-group granularity, so a single-row-group file
     runs its entire map side in ONE task no matter how many cores exist
-    — measured: 3 regex passes over the documents fixture pinned one
+    — measured: 3 string passes over the documents fixture pinned one
     core while 31 idled. A round-robin repartition costs one shuffle of
-    the input but divides the per-row compute by the core count; for
+    the input but divides the per-row compute by the fan-out; for
     operators whose per-row work dominates scan cost that trade wins by
     an order of magnitude. On a real cluster inputs have ≥ parallelism
     splits and this is a no-op.
 
-    Size-gated: below ``min_bytes`` (Catalyst's sizeInBytes estimate,
-    i.e. file bytes for a parquet scan) the per-row work is milliseconds
-    and the exchange is pure overhead — interleaved A/B at sf0.1
-    (594 KB documents): token_stats 0.45→0.29 s, quality 0.40→0.33 s
-    without the repartition, while the genuinely heavy ops were flat.
-    Inputs big enough for the serial map side to matter clear 4 MB by
-    orders of magnitude."""
+    Width-PROPORTIONAL (r13): the r11 all-or-nothing form (full
+    ``parallelism`` fan-out above a 4 MB gate) made small inputs pick
+    between a serial map side and a 32-way exchange whose dispatch
+    overhead exceeded the win — interleaved A/B at sf0.1 (594 KB
+    documents, ~25 MB decompressed text): 32-way spread REGRESSED
+    token_stats 0.38→0.59 s while 8-way beat both (no-spread 0.44 /
+    8-way 0.38; quality 0.65→0.45, lang_id 0.71→0.39, threshold sweep
+    0.77→0.50). Fan-out scales with the input estimate (~64 KB of
+    compressed input per task ≈ 2.5 MB decompressed text), capped at
+    ``parallelism``; below ``min_bytes`` the per-row work is
+    milliseconds and any exchange is pure overhead.
+
+    ``heavy=True`` keeps the full-``parallelism`` fan-out regardless of
+    the size estimate — for operators whose per-row work is an order
+    above a string pass (shingling, minhash banks, vector kernels);
+    interleaved A/B at sf0.1: the dedup heavies lost ~25 % at the
+    size-proportional 9-way that the cheap scans prefer."""
     try:
         spark = df.sparkSession
         parallelism = spark.sparkContext.defaultParallelism
@@ -312,9 +322,17 @@ def spread_for_compute(df, min_bytes: int = 4 * 1024 * 1024):
                 )
             )
         except Exception:
-            est = min_bytes  # unknown size: keep the historical spread
+            est = None
+        if est is None:
+            return df.repartition(parallelism)  # unknown: historical
         if est >= min_bytes:
-            return df.repartition(parallelism)
+            width = (
+                parallelism
+                if heavy
+                else min(parallelism, max(2, est // (64 * 1024)))
+            )
+            if width > df.rdd.getNumPartitions():
+                return df.repartition(width)
     except Exception:
         pass
     return df

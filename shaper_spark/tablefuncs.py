@@ -45,6 +45,7 @@ TABLE_FUNCTIONS = (
     "constraints",
     "extensions",
     "secrets",
+    "sequences",
 )
 
 _CALL_RE = re.compile(
@@ -129,6 +130,30 @@ def _materialize(spark: SparkSession, name: str) -> None:
         spark.createDataFrame(
             [(cat, cur, n, "ENUM", False) for n in list_enums(spark)],
             _EMPTY_SCHEMAS["types"],
+        ).createOrReplaceTempView(f"__duckdb_{name}")
+        return
+    if name == "sequences":
+        # the registered sequence emulations (sequences.py, r13) in
+        # DuckDB 1.0's duckdb_sequences() projection
+        from .sequences import list_sequences
+
+        cur = spark.catalog.currentDatabase()
+        cat = spark.catalog.currentCatalog()
+        rows = []
+        for n, s in list_sequences(spark).items():
+            rows.append(
+                (
+                    cat, cur, n, False, s["start"], s["min"], s["max"],
+                    s["increment"], s["cycle"],
+                    s["last"] if s["last"] is not None else None,
+                )
+            )
+        spark.createDataFrame(
+            rows,
+            "database_name string, schema_name string, sequence_name "
+            "string, temporary boolean, start_value long, min_value "
+            "long, max_value long, increment_by long, cycle boolean, "
+            "last_value long",
         ).createOrReplaceTempView(f"__duckdb_{name}")
         return
     if name in _EMPTY_SCHEMAS:

@@ -344,40 +344,57 @@ def _json_type(j: str | None) -> str | None:
     return t if isinstance(t, str) else "JSON"
 
 
+def _json_walk(j: str | None, p: str | None):
+    """Parse ``j`` and walk a DuckDB-style path ``p``: '$'-prefixed
+    JSONPath ('.key' / '[idx]'), '/'-separated JSON pointer, or a
+    bare single KEY (DuckDB treats 'c.d' as one key — pinned live).
+    Returns (found, value)."""
+    import json as _json
+    import re as _re
+
+    if j is None or p is None:
+        return False, None
+    try:
+        v = _json.loads(j)
+    except ValueError:
+        return False, None
+
+    def step(val, key: str, idx: str):
+        if key:
+            if isinstance(val, dict) and key in val:
+                return True, val[key]
+            if isinstance(val, list) and key.isdigit():
+                i = int(key)
+                if 0 <= i < len(val):
+                    return True, val[i]
+            return False, None
+        i = int(idx)
+        if isinstance(val, list) and 0 <= i < len(val):
+            return True, val[i]
+        return False, None
+
+    if p.startswith("$"):
+        segs = _re.findall(r"\.([^.\[\]]+)|\[(\d+)\]", p[1:])
+    elif p.startswith("/"):
+        segs = [(k, "") for k in p[1:].split("/") if k != ""]
+    else:
+        segs = [(p, "")]
+    for key, idx in segs:
+        ok, v = step(v, key, idx)
+        if not ok:
+            return False, None
+    return True, v
+
+
 def _json_type2(j: str | None, p: str | None) -> str | None:
     """DuckDB 2-arg ``json_type(json, path)`` (r13 fuzz find): walk
     the path in Python so a JSON ``null`` AT the path returns the
     string ``'NULL'`` while a MISSING path returns SQL NULL — the
     distinction ``get_json_object`` erases (it yields SQL NULL for
-    both).  Accepts the '$'-prefixed JSONPath the rewriter's
-    ``_json_path`` emits ('.key' / '[idx]' segments) or a bare key."""
-    import json as _json
-    import re as _re
-
-    if j is None or p is None:
+    both)."""
+    found, v = _json_walk(j, p)
+    if not found:
         return None
-    try:
-        v = _json.loads(j)
-    except ValueError:
-        return None
-    if p.startswith("$"):
-        for key, idx in _re.findall(r"\.([^.\[\]]+)|\[(\d+)\]", p[1:]):
-            if key:
-                if isinstance(v, dict) and key in v:
-                    v = v[key]
-                else:
-                    return None
-            else:
-                i = int(idx)
-                if isinstance(v, list) and 0 <= i < len(v):
-                    v = v[i]
-                else:
-                    return None
-    else:
-        if isinstance(v, dict) and p in v:
-            v = v[p]
-        else:
-            return None
     if v is None:
         return "NULL"
     if isinstance(v, dict):
@@ -386,6 +403,35 @@ def _json_type2(j: str | None, p: str | None) -> str | None:
         return "ARRAY"
     t = _json_type_of(v)
     return t if isinstance(t, str) else "JSON"
+
+
+def _json_extract_json(j: str | None, p: str | None) -> str | None:
+    """DuckDB ``json_extract``/``->`` (JSON-typed result, r13 fuzz
+    find): a string value keeps its JSON quotes (``'"x"'``) where
+    ``get_json_object`` unquotes; compact object/array rendering;
+    JSON null at the path AND a missing path both yield SQL NULL
+    (pinned against DuckDB 1.0.0 live)."""
+    import json as _json
+
+    found, v = _json_walk(j, p)
+    if not found or v is None:
+        return None
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+def _json_extract_text(j: str | None, p: str | None) -> str | None:
+    """DuckDB ``json_extract_string``/``json_extract_path_text``
+    (r13): like :func:`_json_extract_json` but a string value comes
+    back UNQUOTED; supports the bare-key and JSON-pointer paths
+    ``get_json_object`` cannot resolve (pinned live)."""
+    import json as _json
+
+    found, v = _json_walk(j, p)
+    if not found or v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return _json.dumps(v, separators=(",", ":"), ensure_ascii=False)
 
 
 def _json_contains(h: str | None, n: str | None) -> bool | None:
@@ -686,6 +732,8 @@ _REGISTRY = [
     ("json_structure", _json_structure, "string"),
     ("json_type", _json_type, "string"),
     ("json_type2", _json_type2, "string"),
+    ("json_extract_json", _json_extract_json, "string"),
+    ("json_extract_text", _json_extract_text, "string"),
     ("json_contains", _json_contains, "boolean"),
     ("regexp_escape", _regexp_escape, "string"),
     ("chr", _chr_unicode, "string"),

@@ -542,6 +542,98 @@ def g_stmt_query(r: random.Random) -> str:
     )
 
 
+# --- statement-composition mode (r13, verdict task 9) ------------------------
+# Nested set operations (incl. BY NAME and 3-way chains), QUALIFY /
+# DISTINCT ON / FROM-first inside CTE chains, and recursive CTEs —
+# statement-level COMPOSITION the per-form probes never exercise.
+
+
+def g_setop_query(r: random.Random) -> str:
+    def filt() -> str:
+        return r.choice(
+            ["i > 2", "i <= 3", "i IS NOT NULL", "d > 1.0", "TRUE", "g = 'x'"]
+        )
+
+    a = f"SELECT g, i FROM {_AGG_TABLE} WHERE {filt()}"
+    flipped = r.randrange(2)
+    b_cols = "i, g" if flipped else "g, i"
+    by = " BY NAME" if (flipped or r.randrange(2)) else ""
+    ops = (
+        ["UNION", "UNION ALL"]
+        if by
+        else ["UNION", "UNION ALL", "EXCEPT", "INTERSECT", "EXCEPT ALL",
+              "INTERSECT ALL"]
+    )
+    op = r.choice(ops)
+    b = f"SELECT {b_cols} FROM {_AGG_TABLE} WHERE {filt()}"
+    q = f"({a}) {op}{by} ({b})"
+    if r.randrange(2):
+        c = f"SELECT g, i FROM {_AGG_TABLE} WHERE {filt()}"
+        op2 = r.choice(["EXCEPT", "INTERSECT", "UNION", "UNION ALL"])
+        by2 = " BY NAME" if (op2.startswith("UNION") and r.randrange(2)) else ""
+        q = f"({q}) {op2}{by2} ({c})"
+    return f"SELECT * FROM ({q}) ORDER BY ALL"
+
+
+def g_cte_chain_query(r: random.Random) -> str:
+    q1 = f"SELECT g, i, d FROM {_AGG_TABLE} WHERE i IS NOT NULL"
+    if r.randrange(2):
+        q1 += " QUALIFY row_number() OVER (PARTITION BY g ORDER BY i) <= 2"
+    mid = r.choice(
+        [
+            "SELECT g, sum(i) AS s FROM c1 GROUP BY ALL",
+            "SELECT g, i AS s, i - lag(i) OVER (PARTITION BY g ORDER BY i)"
+            " AS dl FROM c1",
+            "SELECT DISTINCT ON (g) g, i AS s FROM c1 ORDER BY g, i DESC",
+            "FROM c1 SELECT g, i AS s WHERE i > 1",
+            "SELECT g, count(*) AS s FROM c1 GROUP BY g"
+            " HAVING count(*) >= 1",
+        ]
+    )
+    final = r.choice(
+        [
+            "SELECT * FROM c2 ORDER BY ALL",
+            "SELECT count(*) AS n, sum(s) AS t FROM c2",
+            "SELECT g, s FROM c2 QUALIFY"
+            " rank() OVER (ORDER BY s, g) <= 3 ORDER BY ALL",
+        ]
+    )
+    return f"WITH c1 AS ({q1}), c2 AS ({mid}) {final}"
+
+
+def g_recursive_query(r: random.Random) -> str:
+    k = r.randrange(3, 9)
+    v = r.randrange(3)
+    if v == 0:
+        inc = r.choice(["n + 1", "n + 2"])
+        return (
+            f"WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+            f"SELECT {inc} FROM t WHERE n < {k}) "
+            f"SELECT count(*) AS c, sum(n) AS s FROM t"
+        )
+    if v == 1:
+        return (
+            f"WITH RECURSIVE t(n, s) AS (SELECT 1, 'a' UNION ALL "
+            f"SELECT n + 1, s || 'b' FROM t WHERE n < {k}) "
+            f"SELECT * FROM t ORDER BY n"
+        )
+    return (
+        f"WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        f"SELECT n + 1 FROM t WHERE n < {k}) "
+        f"SELECT a.n AS x, b.n AS y FROM t a JOIN t b ON b.n = a.n + 1 "
+        f"ORDER BY 1, 2"
+    )
+
+
+def g_compose_query(r: random.Random) -> str:
+    c = r.randrange(3)
+    if c == 0:
+        return g_setop_query(r)
+    if c == 1:
+        return g_cte_chain_query(r)
+    return g_recursive_query(r)
+
+
 def g_agg_query(r: random.Random) -> str:
     n = r.randrange(1, 4)
     aggs = ", ".join(
@@ -602,6 +694,8 @@ def main() -> int:
             sql = g_stmt_query(r)
         elif pick in (4, 5):
             sql = g_temporal_query(r)
+        elif pick == 6:
+            sql = g_compose_query(r)
         else:
             sql = f"SELECT {g_expr(r, r.randrange(2, 5))} AS v"
         try:
@@ -611,7 +705,14 @@ def main() -> int:
         except Exception:
             continue  # invalid in DuckDB: nothing to be compatible with
         try:
-            df = spark.sql(rewrite_statement(sql).sql)
+            sub = sql
+            if "BY NAME" in sub.upper():
+                # BY NAME set ops expand at the ENGINE layer (schema
+                # analysis needed) — mirror the statement pipeline
+                from shaper_spark.engine import _expand_union_by_name
+
+                sub, _ = _expand_union_by_name(spark, sub)
+            df = spark.sql(rewrite_statement(sub).sql)
             got_cols = list(df.columns)
             got = [tuple(row) for row in df.collect()]
         except Exception as e:
