@@ -145,6 +145,133 @@ def _get_schedule_column(
     return schedule_type, ok
 
 
+_TABLE_REF = r"(`[^`]+`|\"[^\"]+\"|[\w.]+)"
+_MUTATION_RES = [
+    re.compile(
+        rf"^\s*INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO\s+{_TABLE_REF}",
+        re.IGNORECASE,
+    ),
+    re.compile(rf"^\s*UPDATE\s+{_TABLE_REF}", re.IGNORECASE),
+    re.compile(rf"^\s*DELETE\s+FROM\s+{_TABLE_REF}", re.IGNORECASE),
+    re.compile(
+        rf"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(?:IF\s+NOT\s+EXISTS\s+)?{_TABLE_REF}",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        rf"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_TABLE_REF}",
+        re.IGNORECASE,
+    ),
+    re.compile(
+        rf"^\s*TRUNCATE\s+(?:TABLE\s+)?{_TABLE_REF}", re.IGNORECASE
+    ),
+    re.compile(rf"^\s*ALTER\s+TABLE\s+{_TABLE_REF}", re.IGNORECASE),
+]
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+.*\bRENAME\s+TO\b", re.IGNORECASE | re.DOTALL
+)
+
+
+def _norm_table_ref(name: str) -> str:
+    return name.strip().strip('`"').lower()
+
+
+def _mutation_statement_target(sql: str) -> str | None:
+    for rx in _MUTATION_RES:
+        m = rx.match(sql)
+        if m:
+            return _norm_table_ref(m.group(1))
+    return None
+
+
+def _script_tx_target(statements: list[str]) -> str | None:
+    """The single warehouse table a script mutates, or None when the
+    script is read-only, multi-table, or contains a table RENAME
+    (target identity would shift mid-script) — the scope of the r13
+    single-table rollback (reference run_task.go:67-258 wraps the
+    whole script in one DuckDB transaction; multi-table scripts keep
+    the pinned per-statement-atomicity divergence)."""
+    targets: set[str] = set()
+    first_mut: int | None = None
+    stmts = [s for s in statements if s.strip()]
+    for i, s in enumerate(stmts):
+        if _ALTER_RENAME_RE.match(s):
+            return None
+        t = _mutation_statement_target(s)
+        if t is not None:
+            targets.add(t)
+            if first_mut is None:
+                first_mut = i
+    if len(targets) != 1:
+        return None
+    # when the only mutation IS the final statement, nothing after it
+    # can fail — per-statement atomicity already equals the reference's
+    # transaction, so skip the backup copy (the common append-only
+    # ingest task stays O(batch), never O(table))
+    if first_mut == len(stmts) - 1:
+        return None
+    return next(iter(targets))
+
+
+class _TableTxGuard:
+    """Single-table task-transaction emulation (r12 verdict task 8):
+    before the first mutating statement runs, the target table's rows
+    are copied to a ``__tx_backup`` staging table; a mid-script
+    failure restores the table (or drops it, if it did not exist) and
+    a successful run drops the backup.  One extra CoW copy per
+    mutating task run — the price of the reference's rollback
+    semantics on a parquet warehouse."""
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark = spark
+        self.table = table
+        parts = table.split(".")
+        bparts = parts[:-1] + [parts[-1] + "__tx_backup"]
+        self.backup = ".".join(bparts)
+        self.backup_q = ".".join(f"`{p}`" for p in bparts)
+        self.qtable = ".".join(f"`{p}`" for p in parts)
+        self.existed = False
+        self.active = False
+
+    def begin(self) -> None:
+        if self.active:
+            return
+        try:
+            self.existed = self.spark.catalog.tableExists(self.table)
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.backup_q}")
+            if self.existed:
+                self.spark.table(self.qtable).write.saveAsTable(
+                    self.backup
+                )
+            self.active = True
+        except Exception:
+            # backup unavailable (view target, exotic source): fall
+            # back to the documented per-statement atomicity
+            self.active = False
+
+    def rollback(self) -> None:
+        if not self.active:
+            return
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.qtable}")
+            if self.existed:
+                self.spark.table(self.backup_q).write.saveAsTable(
+                    self.table
+                )
+        finally:
+            self.cleanup()
+
+    def cleanup(self) -> None:
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.backup_q}")
+        except Exception:
+            pass
+        self.active = False
+        from .plancache import bump
+
+        bump()
+
+
 def execute_task(
     spark: SparkSession,
     content: str,
@@ -153,7 +280,12 @@ def execute_task(
 ) -> TaskResult:
     """Run a task script: ordered statements, per-statement timing and
     results, stop on error or on a single 1×1 ``false`` result, extract
-    the SCHEDULE column into next_run_at (run_task.go:67-258)."""
+    the SCHEDULE column into next_run_at (run_task.go:67-258).
+
+    Single-table scripts get the reference's transaction-rollback
+    semantics via :class:`_TableTxGuard`; multi-table scripts keep the
+    documented per-statement-atomicity divergence
+    (tests/test_tasks.py::TestTransactionDivergence)."""
     result = TaskResult(started_at=int(time.time() * 1000))
     clean = sqltool.strip_sql_comments(content)
     statements = sqltool.split_sql_queries(clean)
@@ -162,6 +294,9 @@ def execute_task(
     vars_ = _VarState(variables)
     macros: dict[str, _Macro] = {}
     success = True
+
+    tx_target = _script_tx_target([s.strip() for s in statements])
+    guard = _TableTxGuard(spark, tx_target) if tx_target else None
 
     for sql_string in statements:
         sql_string = sql_string.strip()
@@ -176,6 +311,16 @@ def execute_task(
             success = False
             result.queries.append(qres)
             break
+
+        if (
+            guard is not None
+            and not guard.active
+            and _mutation_statement_target(sql_string) is not None
+        ):
+            # snapshot lazily, right before the FIRST mutation — a
+            # script failing in its read-only prefix never pays the
+            # copy (and needs no restore)
+            guard.begin()
 
         start = time.monotonic()
         try:
@@ -220,6 +365,11 @@ def execute_task(
         if not success or qres.stop_execution:
             break
 
+    if guard is not None:
+        if success:
+            guard.cleanup()
+        else:
+            guard.rollback()
     result.success = success
     return result
 

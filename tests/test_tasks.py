@@ -706,14 +706,16 @@ class TestTaskDmlForms:
 
 
 class TestTransactionDivergence:
-    """Documented divergence (SURVEY §7, MIGRATION.md Tasks): the
-    reference wraps a task script in ONE DuckDB transaction and rolls
-    everything back on a mid-script failure (run_task.go:67-258); a
-    parquet warehouse has per-statement atomicity only.  These pins
-    make the behavior explicit: a failed STATEMENT never half-writes,
-    but successful earlier statements stay committed."""
+    """r13 narrows the r12-documented divergence: SINGLE-TABLE scripts
+    now get the reference's whole-script rollback (run_task.go:67-258)
+    via the _TableTxGuard backup/restore; MULTI-TABLE scripts keep the
+    documented per-statement-atomicity divergence (a parquet warehouse
+    has no cross-table transaction)."""
 
-    def test_mid_script_failure_keeps_prior_statements(self, spark):
+    def test_single_table_mid_script_failure_rolls_back(self, spark):
+        # r12 verdict task 8: the table did not exist before the
+        # script → a mid-script failure removes it entirely, exactly
+        # the reference's transaction rollback
         spark.sql("DROP TABLE IF EXISTS tx_probe")
         r = execute_task(
             spark,
@@ -725,14 +727,69 @@ class TestTransactionDivergence:
             """,
         )
         assert not r.success
-        # reference would roll tx_probe back entirely; here the two
-        # statements BEFORE the failure are committed, the one after
-        # never ran
+        assert not spark.catalog.tableExists("tx_probe")
+
+    def test_single_table_rollback_restores_prior_rows(self, spark):
+        spark.sql("DROP TABLE IF EXISTS tx_probe")
+        execute_task(
+            spark, "CREATE OR REPLACE TABLE tx_probe AS SELECT 1 AS v;"
+        )
+        r = execute_task(
+            spark,
+            """
+            INSERT INTO tx_probe VALUES (2);
+            INSERT INTO tx_probe VALUES (3);
+            SELECT raise_error('boom');
+            """,
+        )
+        assert not r.success
+        # the reference rolls the whole script back: only the
+        # pre-script row survives
+        vals = sorted(
+            x.v for x in spark.sql("SELECT v FROM tx_probe").collect()
+        )
+        assert vals == [1]
+        # the backup staging table never leaks
+        assert not spark.catalog.tableExists("tx_probe__tx_backup")
+        spark.sql("DROP TABLE IF EXISTS tx_probe")
+
+    def test_single_table_success_drops_backup(self, spark):
+        spark.sql("DROP TABLE IF EXISTS tx_probe")
+        r = execute_task(
+            spark,
+            """
+            CREATE OR REPLACE TABLE tx_probe AS SELECT 1 AS v;
+            INSERT INTO tx_probe VALUES (2);
+            SELECT count(*) FROM tx_probe;
+            """,
+        )
+        assert r.success
         vals = sorted(
             x.v for x in spark.sql("SELECT v FROM tx_probe").collect()
         )
         assert vals == [1, 2]
+        assert not spark.catalog.tableExists("tx_probe__tx_backup")
         spark.sql("DROP TABLE IF EXISTS tx_probe")
+
+    def test_multi_table_failure_keeps_prior_statements(self, spark):
+        # the REMAINING documented divergence: two tables mutated →
+        # no cross-table transaction; statements before the failure
+        # stay committed where the reference would roll both back
+        spark.sql("DROP TABLE IF EXISTS tx_a")
+        spark.sql("DROP TABLE IF EXISTS tx_b")
+        r = execute_task(
+            spark,
+            """
+            CREATE OR REPLACE TABLE tx_a AS SELECT 1 AS v;
+            CREATE OR REPLACE TABLE tx_b AS SELECT 2 AS v;
+            SELECT raise_error('boom');
+            """,
+        )
+        assert not r.success
+        assert spark.catalog.tableExists("tx_a")
+        assert spark.catalog.tableExists("tx_b")
+        spark.sql("DROP TABLE IF EXISTS tx_a")
+        spark.sql("DROP TABLE IF EXISTS tx_b")
 
     def test_failed_statement_is_atomic(self, spark):
         # the failing UPDATE itself leaves the table untouched (CoW
