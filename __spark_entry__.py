@@ -435,6 +435,62 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_dedup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional duplicate-flow matrix (shaper_spark/operators/
+    dedup.py dedup_flow_matrix, NEW r13): per (group_kept,
+    group_dropped) pair — near-dup pairs whose min-id keeper lands in
+    group_kept, plus the flow's share of all duplicate pairs in BIGINT
+    micro units.  The release-report view of WHERE dedup losses land
+    (crawl-B-re-crawls-A vs within-source duplication).  Candidate
+    generation is the banded posting-list self-join; the report adds
+    two keyed joins + a |groups|²-bounded agg.  No reference
+    counterpart; §2C dedup family."""
+    from shaper_spark.operators.dedup import dedup_flow_matrix
+
+    _prep(spark, sf_dir)
+    return dedup_flow_matrix(
+        spark.table("documents"), "doc_id", "text", "source",
+        k=3, threshold=0.5,
+    )
+
+
+DEDUP_FLOW_DUCK = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE inter * 1.0 / (ca.c + cb.c - inter) >= 0.5
+),
+fl AS (
+  SELECT da.source AS group_kept, db.source AS group_dropped,
+         count(*) AS n_pairs
+  FROM jp
+  JOIN documents da ON da.doc_id = jp.id_a
+  JOIN documents db ON db.doc_id = jp.id_b
+  GROUP BY 1, 2
+)
+SELECT group_kept, group_dropped, n_pairs,
+       (n_pairs * 2000000 + sum(n_pairs) OVER ())
+         // (2 * sum(n_pairs) OVER ()) AS flow_micro
+FROM fl ORDER BY group_kept, group_dropped
+"""
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-containment dup candidates
     (shaper_spark/operators/dedup.py containment_pairs): Broder's
@@ -4958,7 +5014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jaccard_matrix": _q_source_jaccard,  # r10 rotation: displaces similarity_lsh_topk (9 official greens)
         "bpe_pair_counts": _q_bpe_pairs,
         "pack_sequences_budget": _q_pack_sequences,
-        "dedup_incremental_report": _q_incremental_dedup,
+        # r13 new-operator rotation: dedup_flow_matrix enters,
+        # displacing dedup_incremental_report (many greens; the
+        # incremental family keeps dedup_sig_incremental in-window)
+        "dedup_flow_matrix": _q_dedup_flow,
         "pmi_collocations": _q_pmi_collocations,  # r10 rotation: displaces simhash_near_pairs (9 official greens)
         "multimodal_meta": _q_multimodal_meta,
         # r12 rotation: blocklist_report (r11 late addition) replaces
@@ -5108,6 +5167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # families keep in-window representatives — see prefix
         # comment at corpus_fingerprint)
         "minhash_est_error": _q_minhash_est,
+        "dedup_incremental_report": _q_incremental_dedup,
         "embedding_covariance": _q_embedding_cov,
         "cte_share_pct": _dialect(CTE_RECURSIVE_STYLE),
         "asof_sql_syntax": _dialect(ASOF_SQL_DUCK),
@@ -5282,6 +5342,7 @@ def oracle_sql() -> dict[str, str]:
         "threshold_sweep_probe": _threshold_probe_duck(),
         "corpus_fingerprint": CORPUS_FINGERPRINT_DUCK,
         "quality_class_probe": _class_probe_duck(),
+        "dedup_flow_matrix": DEDUP_FLOW_DUCK,
         "dedup_containment_pairs": CONTAINMENT_DUCK,
         "pii_density_report": _pii_density_duck(),
         "lexical_diversity": LEXDIV_DUCK,

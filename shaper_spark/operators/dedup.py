@@ -37,6 +37,7 @@ __all__ = [
     "incremental_sig_dedup",
     "lsh_parameter_plan",
     "lsh_parameter_plan_sql",
+    "dedup_flow_matrix",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -1107,3 +1108,57 @@ def lsh_parameter_plan(
     return spark.sql(
         lsh_parameter_plan_sql(n_hashes, thresholds_micro, int_div="DIV")
     )
+
+
+def dedup_flow_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional duplicate-flow report between corpus groups (r13):
+    for every near-duplicate candidate pair (:func:`jaccard_pairs`,
+    ``jaccard >= threshold``) the KEPT side is the min-id document —
+    exactly :func:`apply_dedup`'s keep rule — so each pair contributes
+    one ``(group_kept, group_dropped)`` flow.  The release-report view
+    of WHERE dedup losses land: a matrix heavy on one row means that
+    source is mostly re-collecting the others (crawl-B-re-crawls-A),
+    heavy on the diagonal means within-source duplication.
+
+    Returns (group_kept, group_dropped, n_pairs, flow_micro) ordered;
+    ``flow_micro`` is the flow's share of all duplicate pairs as a
+    half-up BIGINT micro-division (engine-replayable, the
+    threshold-sweep rule).
+
+    Spark shape: the banded/blocked candidate generation does all the
+    heavy lifting (never all-pairs); the pair frame then takes two
+    KEYED equi-joins against the (id → group) projection — never a
+    broadcast of the corpus — and one hash-agg bounded by |groups|²;
+    the share window runs over that bounded aggregate.  No reference
+    counterpart; training-pipeline §2C dedup family."""
+    pairs = jaccard_pairs(
+        df, id_col, text_col, k, threshold=threshold, max_df=max_df
+    )
+    src = df.select(
+        F.col(id_col).alias("__fid"), F.col(group_col).alias("__fg")
+    )
+    flows = (
+        pairs.join(src, pairs.id_a == src.__fid)
+        .select("id_b", F.col("__fg").alias("group_kept"))
+        .join(src, F.col("id_b") == src.__fid)
+        .select("group_kept", F.col("__fg").alias("group_dropped"))
+        .groupBy("group_kept", "group_dropped")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return flows.select(
+        "group_kept",
+        "group_dropped",
+        "n_pairs",
+        F.expr(
+            "(n_pairs * 2000000 + sum(n_pairs) OVER ()) DIV "
+            "(2 * sum(n_pairs) OVER ())"
+        ).alias("flow_micro"),
+    ).orderBy("group_kept", "group_dropped")

@@ -2438,6 +2438,54 @@ def _rewrite_in_values(sql: str) -> str:
         sql = sql[: m.start(1)] + "SELECT * FROM " + sql[m.start(1) :]
 
 
+def _rewrite_postfix_factorial(sql: str) -> str:
+    """DuckDB postfix factorial ``n!`` → ``duckdb_factorial(n)``
+    (batch-21 residue closed r13; pinned vs DuckDB 1.0 live:
+    ``(2+3)!``/``5 !`` work, ``5!=3`` is the != operator, ``3!!`` and
+    ``3! + 1`` are errors THERE too, n < 2 → 1, 34! out of range).
+    Applies only where an operand precedes the ``!`` and no ``=``/``~``
+    follows (``!=``, ``!~``, ``!~~`` untouched); prefix-NOT uses keep
+    working through the keyword guard."""
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for i, c in enumerate(sql):
+            if c != "!" or states[i] != 0:
+                continue
+            if i + 1 < len(sql) and sql[i + 1] in "=~!":
+                continue
+            k = i - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k < 0 or states[k] != 0:
+                continue
+            if not (sql[k].isalnum() or sql[k] in ")]_`\""):
+                continue
+            start = _pull_primary_left(sql, states, k)
+            if start > k:
+                continue
+            # duck's postfix ! binds LOOSER than arithmetic (pinned:
+            # `1-3!` = factorial(-2) = 1, `2*-3!` = factorial(-6)) —
+            # pull the full chain like a quantified comparison would
+            start = _extend_arith_left(sql, states, start)
+            operand = sql[start : k + 1]
+            wm = re.fullmatch(r"[A-Za-z_]\w*", operand)
+            if wm and operand.upper() in _ARITH_STOP_KEYWORDS | {
+                "TRUE", "FALSE", "NULL", "EXISTS", "INTERVAL",
+            }:
+                continue  # `WHERE !x` prefix-NOT, not a postfix call
+            hit = (start, i, operand)
+            break
+        if hit is None:
+            return sql
+        start, bang, operand = hit
+        sql = (
+            sql[:start]
+            + f"duckdb_factorial({operand})"
+            + sql[bang + 1 :]
+        )
+
+
 def _rewrite_duck_operators(sql: str) -> str:
     """Operator spellings DuckDB has and Spark lacks (or silently
     reinterprets):
@@ -5820,6 +5868,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
         sql,
     )
     sql = _rewrite_date_minus(sql)
+    sql = _rewrite_postfix_factorial(sql)
     sql = _rewrite_duck_operators(sql)
 
     # SELECT DISTINCT ON (keys) → QUALIFY row_number() = 1 (the

@@ -344,6 +344,23 @@ def _json_type(j: str | None) -> str | None:
     return t if isinstance(t, str) else "JSON"
 
 
+def _duckdb_factorial(n: int | None) -> int | None:
+    """DuckDB ``factorial``/postfix ``!`` (r13): n < 2 (negatives
+    included) → 1; result is HUGEINT there, DECIMAL(38,0) here — both
+    overflow at 34! ('Out of Range'), pinned vs DuckDB 1.0 live."""
+    if n is None:
+        return None
+    import math as _math
+
+    n = int(n)
+    v = 1 if n < 2 else _math.factorial(n)
+    if v >= 10**38:
+        raise ValueError("Out of Range Error: Value out of range")
+    from decimal import Decimal
+
+    return Decimal(v)  # DecimalType needs Decimal, not int
+
+
 def _json_walk(j: str | None, p: str | None):
     """Parse ``j`` and walk a DuckDB-style path ``p``: '$'-prefixed
     JSONPath ('.key' / '[idx]'), '/'-separated JSON pointer, or a
@@ -733,6 +750,7 @@ _REGISTRY = [
     ("json_type", _json_type, "string"),
     ("json_type2", _json_type2, "string"),
     ("json_extract_json", _json_extract_json, "string"),
+    ("duckdb_factorial", _duckdb_factorial, "decimal(38,0)"),
     ("json_extract_text", _json_extract_text, "string"),
     ("json_contains", _json_contains, "boolean"),
     ("regexp_escape", _regexp_escape, "string"),

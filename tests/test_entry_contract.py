@@ -43,7 +43,10 @@ def test_prefix_50_covers_the_diverse_surface():
         "range_join_windows", "text_repetition",
         "decontam_ngrams", "dedup_clusters",
         "vocab_coverage_curve",
-        "dedup_incremental_report",
+        # round-13 NEW operator (enters immediately per policy,
+        # displacing dedup_incremental_report — many greens; the
+        # incremental family keeps dedup_sig_incremental in-window)
+        "dedup_flow_matrix",
         # round-9 NEW operators (enter immediately per policy,
         # displacing quant_report / ann_recall_report, 4 and 3 greens)
         "ccnet_quality_buckets", "ngram_novelty_curve",

@@ -2468,6 +2468,23 @@ class TestQuantifiedFuzzFinds:
 class TestJsonFuzzFinds:
     """r12 JSON fuzz arm finds (verified vs DuckDB)."""
 
+    def test_postfix_factorial(self, spark):
+        """r13: DuckDB postfix `n!` (batch-21 residue). Binding pinned
+        live: ! binds LOOSER than arithmetic (`1-3!` = factorial(-2)
+        = 1, `2*-3!` = factorial(-6) = 1) and tighter than comparison
+        (`5! = 120`); `5!=3` stays the != operator; n < 2 → 1; 21!+
+        exceeds BIGINT (DECIMAL(38,0) here, HUGEINT there)."""
+        r = rewrite_statement(
+            "SELECT 5! AS a, -3! AS b, 1-3! AS c, (2+3)! AS d,"
+            " (5! = 120) AS e, (5!=3) AS f, 21! AS g"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert (int(row.a), int(row.b), int(row.c), int(row.d)) == (
+            120, 1, 1, 120,
+        )
+        assert row.e is True and row.f is True
+        assert int(row.g) == 51090942171709440000
+
     def test_json_extract_keeps_json_quoting(self, spark):
         """r13 fuzz find: json_extract / -> return JSON (string values
         quoted, objects compact, JSON null → SQL NULL); the _string /
