@@ -113,6 +113,14 @@ TEXT_FAMILY = [
     "text_token_stats",
     "length_quantiles",
     "canary_scan",
+    # split/md5-primitive entries: engine-stable by construction, in
+    # the arm to pin that they STAY so on non-ASCII/control-char text
+    "text_repetition",
+    "boilerplate_grams",
+    "heavy_hitter_tokens",
+    "pmi_collocations",
+    "doc_length_histogram",
+    "text_fingerprint",
 ]
 
 
