@@ -3273,6 +3273,72 @@ _EXTRACT_FIELD_ALIASES = {
 }
 
 
+def _bit_cast_guard(e: str) -> str:
+    """``expr::BIT`` validation (r13): BIT is emulated as a '0'/'1'
+    string; any other character raises DuckDB's exact conversion
+    error, NULL passes through."""
+    bad = f"substring(translate({e}, '01', ''), 1, 1)"
+    return (
+        f"(CASE WHEN ({e}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN length(translate({e}, '01', '')) = 0 THEN ({e}) "
+        f"ELSE raise_error(concat('Conversion Error: Invalid character "
+        f"encountered in string -> bit conversion: ''', {bad}, "
+        f"'''')) END)"
+    )
+
+
+_BIT_CAST_RE = re.compile(r"::\s*BIT\b|\bAS\s+BIT\s*\)", re.IGNORECASE)
+
+
+def _rewrite_bit_casts(sql: str) -> str:
+    """Every remaining ``expr::BIT`` / ``CAST(expr AS BIT)`` →
+    :func:`_bit_cast_guard` (r13).  Runs AFTER the function fixers so
+    their textual '::BIT' markers have already dispatched the
+    polymorphic bit_count/bit_length/octet_length forms."""
+    while True:
+        states = _scan_states(sql)
+        m = next(
+            (
+                mm
+                for mm in _BIT_CAST_RE.finditer(sql)
+                if states[mm.start()] == 0
+            ),
+            None,
+        )
+        if m is None:
+            return sql
+        if m.group(0).lstrip().upper().startswith("AS"):
+            # CAST(expr AS BIT): locate the matching CAST( open paren
+            close = m.end() - 1
+            open_pos = _find_matching_open(sql, close, states)
+            if open_pos == -1:
+                return sql
+            cm = re.search(
+                r"(?:TRY_)?CAST\s*\($", sql[: open_pos + 1],
+                re.IGNORECASE,
+            )
+            if cm is None:
+                return sql
+            inner = sql[open_pos + 1 : m.start()].strip()
+            sql = (
+                sql[: cm.start()]
+                + _bit_cast_guard(inner)
+                + sql[m.end() :]
+            )
+            continue
+        # expr::BIT — pull the primary operand left
+        k = m.start() - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k < 0:
+            return sql
+        start = _pull_primary_left(sql, states, k)
+        if start > k:
+            return sql
+        operand = sql[start : k + 1]
+        sql = sql[:start] + _bit_cast_guard(operand) + sql[m.end() :]
+
+
 def _rewrite_fn_compat2(sql: str) -> str:
     """Round-9 differential-sweep fixups (each form verified against
     DuckDB):
@@ -4341,6 +4407,89 @@ def _rewrite_fn_compat2(sql: str) -> str:
             f"{_jsonify(k)}, ':', {_jsonify(v)}))), '}}')"
         )
 
+    # ---- r13 bitstring family (BIT emulated as a '0'/'1' string;
+    # every behavior pinned vs DuckDB 1.0 live — see test_rewrite
+    # TestBitstrings).  Functions run BEFORE the ::BIT cast pass, so
+    # the textual '::BIT' marker still distinguishes BIT operands of
+    # the polymorphic bit_count/bit_length/octet_length. ----
+
+    def _is_bit_marked(a: str) -> bool:
+        u = re.sub(r"\s+", "", a.upper())
+        return "::BIT" in u or "ASBIT)" in u or "BITSTRING(" in u
+
+    def _fix_bitstring(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        s, n = args[0].strip(), args[1].strip()
+        return (
+            f"(CASE WHEN length({s}) > ({n}) THEN "
+            f"raise_error('Invalid Input Error: Length must be equal "
+            f"or larger than input string') "
+            f"ELSE lpad({_bit_cast_guard(s)}, ({n}), '0') END)"
+        )
+
+    def _fix_get_bit(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        b, i = args[0].strip(), args[1].strip()
+        oob = (
+            f"raise_error(concat('Out of Range Error: bit index ', "
+            f"CAST(({i}) AS STRING), ' out of valid range (0..', "
+            f"CAST(length({b}) - 1 AS STRING), ')'))"
+        )
+        return (
+            f"(CASE WHEN ({i}) < 0 OR ({i}) >= length({b}) THEN "
+            f"CAST({oob} AS INT) "
+            f"ELSE CAST(substring({b}, ({i}) + 1, 1) AS INT) END)"
+        )
+
+    def _fix_set_bit(args: list[str]) -> str | None:
+        if len(args) != 3:
+            return None
+        b, i, v = (a.strip() for a in args)
+        oob = (
+            f"raise_error(concat('Out of Range Error: bit index ', "
+            f"CAST(({i}) AS STRING), ' out of valid range (0..', "
+            f"CAST(length({b}) - 1 AS STRING), ')'))"
+        )
+        return (
+            f"(CASE WHEN ({v}) NOT IN (0, 1) THEN "
+            f"raise_error('Invalid Input Error: The new bit must be "
+            f"1 or 0') "
+            f"WHEN ({i}) < 0 OR ({i}) >= length({b}) THEN "
+            f"CAST({oob} AS STRING) "
+            f"ELSE concat(substring({b}, 1, ({i})), "
+            f"CAST(({v}) AS STRING), substring({b}, ({i}) + 2)) END)"
+        )
+
+    def _fix_bit_position(args: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        sub, hay = args[0].strip(), args[1].strip()
+        return f"CAST(instr({hay}, {sub}) AS INT)"
+
+    def _fix_bit_count(args: list[str]) -> str | None:
+        # BIT operand (textual marker) → count of '1' chars; integer
+        # operand keeps Spark's builtin popcount (identical to duck)
+        if len(args) != 1 or not _is_bit_marked(args[0]):
+            return None
+        a = args[0].strip()
+        return (
+            f"CAST(length({a}) - length(replace({a}, '1', '')) "
+            f"AS BIGINT)"
+        )
+
+    def _fix_bit_length(args: list[str]) -> str | None:
+        if len(args) != 1 or not _is_bit_marked(args[0]):
+            return None
+        return f"CAST(length({args[0].strip()}) AS BIGINT)"
+
+    def _fix_octet_length(args: list[str]) -> str | None:
+        if len(args) != 1 or not _is_bit_marked(args[0]):
+            return None
+        a = args[0].strip()
+        return f"CAST((length({a}) + 7) DIV 8 AS BIGINT)"
+
     def _fix_json_type(args: list[str]) -> str | None:
         # 1-arg → the compat UDF; 2-arg → the path-walking UDF, which
         # keeps DuckDB's JSON-null-at-path = 'NULL' vs missing-path =
@@ -4952,6 +5101,28 @@ def _rewrite_fn_compat2(sql: str) -> str:
         (
             re.compile(r"\bjson_type\s*\(", re.IGNORECASE),
             _fix_json_type,
+        ),
+        (
+            re.compile(r"\bbitstring\s*\(", re.IGNORECASE),
+            _fix_bitstring,
+        ),
+        (re.compile(r"\bget_bit\s*\(", re.IGNORECASE), _fix_get_bit),
+        (re.compile(r"\bset_bit\s*\(", re.IGNORECASE), _fix_set_bit),
+        (
+            re.compile(r"\bbit_position\s*\(", re.IGNORECASE),
+            _fix_bit_position,
+        ),
+        (
+            re.compile(r"\bbit_count\s*\(", re.IGNORECASE),
+            _fix_bit_count,
+        ),
+        (
+            re.compile(r"\bbit_length\s*\(", re.IGNORECASE),
+            _fix_bit_length,
+        ),
+        (
+            re.compile(r"\boctet_length\s*\(", re.IGNORECASE),
+            _fix_octet_length,
         ),
         (
             re.compile(r"\bjson_array_length\s*\(", re.IGNORECASE),
@@ -5963,6 +6134,10 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # first-only default + flag embedding (batch-22).
     sql = _convert_strftime_literals(sql)
     sql = _fix_regexp_replace_semantics(sql)
+
+    # ::BIT casts → validated '0'/'1' strings (r13; after the fn
+    # fixers so their textual BIT markers have dispatched).
+    sql = _rewrite_bit_casts(sql)
 
     # Type renames (::TIMESTAMPTZ, CAST(x AS VARCHAR), …).
     sql = _rename_types(sql)

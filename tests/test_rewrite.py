@@ -2468,6 +2468,44 @@ class TestQuantifiedFuzzFinds:
 class TestJsonFuzzFinds:
     """r12 JSON fuzz arm finds (verified vs DuckDB)."""
 
+    def test_bitstring_family(self, spark):
+        """r13: BIT emulated as a '0'/'1' string — casts validate with
+        DuckDB's exact wording, functions pinned live (bit_count by
+        marker stays polymorphic with integer popcount)."""
+        r = rewrite_statement(
+            "SELECT '0101'::BIT AS a, bit_count('0111'::BIT) AS b,"
+            " bit_count(7) AS c, bit_length('0101'::BIT) AS d,"
+            " octet_length('01011'::BIT) AS e,"
+            " get_bit('0101'::BIT, 1) AS f,"
+            " set_bit('0101'::BIT, 0, 1) AS g,"
+            " bit_position('010'::BIT, '11010'::BIT) AS h,"
+            " bitstring('0101', 8) AS i,"
+            " CAST('01' AS BIT) AS j, bit_length('abc') AS k"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert (row.a, row.b, row.c, row.d, row.e) == ("0101", 3, 3, 4, 1)
+        assert (row.f, row.g, row.h) == (1, "1101", 3)
+        assert (row.i, row.j, row.k) == ("00000101", "01", 24)
+
+    def test_bitstring_errors_match_duckdb(self, spark):
+        for sql, want in [
+            ("SELECT '012'::BIT",
+             "Invalid character encountered in string -> bit "
+             "conversion: '2'"),
+            ("SELECT get_bit('0101'::BIT, 9)",
+             "bit index 9 out of valid range (0..3)"),
+            ("SELECT set_bit('0101'::BIT, 1, 2)",
+             "The new bit must be 1 or 0"),
+            ("SELECT bitstring('0101', 3)",
+             "Length must be equal or larger than input string"),
+        ]:
+            with pytest.raises(Exception, match=".*"):
+                try:
+                    spark.sql(rewrite_statement(sql).sql).collect()
+                except Exception as e:
+                    assert want in str(e)
+                    raise
+
     def test_postfix_factorial(self, spark):
         """r13: DuckDB postfix `n!` (batch-21 residue). Binding pinned
         live: ! binds LOOSER than arithmetic (`1-3!` = factorial(-2)
