@@ -917,6 +917,35 @@ def _expand_union_by_name(spark: SparkSession, sql: str):
     return sql, used
 
 
+def _cte_prefix_end(sql: str, states: list[int]) -> int | None:
+    """End index of a leading ``WITH [RECURSIVE]`` CTE list — the
+    position where the main query begins — or None when the prefix
+    doesn't parse (r13, for BY-NAME-under-WITH side replication)."""
+    from .rewrite import _find_matching_close
+
+    m = re.match(r"\s*WITH\s+(?:RECURSIVE\s+)?", sql, re.IGNORECASE)
+    if m is None:
+        return None
+    cte_head = re.compile(
+        r'\s*("[^"]+"|`[^`]+`|[A-Za-z_]\w*)\s*(\([^()]*\)\s*)?'
+        r"AS\s+(?:NOT\s+MATERIALIZED\s+|MATERIALIZED\s+)?\(",
+        re.IGNORECASE,
+    )
+    i = m.end()
+    while True:
+        mm = cte_head.match(sql, i)
+        if mm is None:
+            return None
+        close = _find_matching_close(sql, mm.end() - 1, states)
+        if close == -1:
+            return None
+        i = close + 1
+        cm = re.compile(r"\s*,").match(sql, i)
+        if cm is None:
+            return i
+        i = cm.end()
+
+
 def _expand_union_by_name_level(spark: SparkSession, sql: str):
     """DuckDB ``q1 UNION [ALL] BY NAME q2`` → positional UNION over
     name-aligned projections, for BY NAME at depth 0 of ``sql``.
@@ -946,11 +975,38 @@ def _expand_union_by_name_level(spark: SparkSession, sql: str):
     ]
     if not cuts:
         return sql, False
+    cte_prefix = ""
     if sql.lstrip().upper().startswith("WITH"):
-        raise ValueError(
-            "UNION BY NAME under a WITH prefix is not supported: "
-            "move the BY NAME union inside a CTE body or drop the CTE"
-        )
+        # r13 (closes the r12 loud-unsupported): a WITH prefix over a
+        # BY NAME union — replicate the CTE list into EACH side so the
+        # sides analyze standalone (non-recursive CTEs recompute per
+        # side; semantics unchanged, the CTE is a pure subquery).
+        end = _cte_prefix_end(sql, states)
+        if end is None:
+            raise ValueError(
+                "UNION BY NAME under an unparseable WITH prefix: "
+                "move the BY NAME union inside a CTE body"
+            )
+        cte_prefix = sql[:end].rstrip() + " "
+        sql = sql[end:]
+        # recompute scan state for the stripped text
+        states = _scan_states(sql)
+        depth = 0
+        depths = {}
+        for i, c in enumerate(sql):
+            if states[i] == 0:
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+            depths[i] = depth
+        cuts = [
+            m
+            for m in _UNION_BY_NAME_RE.finditer(sql)
+            if states[m.start()] == 0 and depths[m.start()] == 0
+        ]
+        if not cuts:
+            return cte_prefix + sql, False
     distinct = any(not m.group(1) for m in cuts)
     # split sides
     sides = []
@@ -982,8 +1038,9 @@ def _expand_union_by_name_level(spark: SparkSession, sql: str):
     views = []
     cols: list[tuple[str, str]] = []  # (name, spark type) first-seen
     for k, side in enumerate(sides):
-        df = spark.sql(rewrite_statement(side.strip().strip(";")).sql)
-        name = f"__ubn_{abs(hash(sql)) % 10**8}_{k}"
+        body = cte_prefix + side.strip().strip(";")
+        df = spark.sql(rewrite_statement(body).sql)
+        name = f"__ubn_{abs(hash(cte_prefix + sql)) % 10**8}_{k}"
         df.createOrReplaceTempView(name)
         views.append((name, {f.name: f for f in df.schema.fields}))
         for f in df.schema.fields:

@@ -596,6 +596,9 @@ def g_cte_chain_query(r: random.Random) -> str:
             "SELECT count(*) AS n, sum(s) AS t FROM c2",
             "SELECT g, s FROM c2 QUALIFY"
             " rank() OVER (ORDER BY s, g) <= 3 ORDER BY ALL",
+            # r13: BY NAME under a WITH prefix (CTE-replicating path)
+            "SELECT g, s FROM c2 UNION ALL BY NAME"
+            " SELECT s, g FROM c2 ORDER BY ALL",
         ]
     )
     return f"WITH c1 AS ({q1}), c2 AS ({mid}) {final}"

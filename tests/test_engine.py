@@ -593,15 +593,34 @@ def test_union_by_name(spark):
     assert r.sections[0].queries[0].rows == [[None, 2], [1, None]]
 
 
-def test_union_by_name_with_cte_prefix_rejected(spark):
-    import pytest as _pytest
+def test_union_by_name_under_with_prefix(spark):
+    """r13 (closes the r12 loud-unsupported): the CTE list replicates
+    into each BY NAME side so the sides analyze standalone."""
+    r = query_dashboard(
+        spark,
+        "WITH c AS (SELECT 1 AS a, 2 AS b) "
+        "SELECT a, b FROM c UNION ALL BY NAME "
+        "SELECT b, a FROM c ORDER BY a",
+    )
+    assert r.sections[0].queries[0].rows == [[1, 2], [1, 2]]
+    r2 = query_dashboard(
+        spark,
+        "WITH c AS (SELECT 1 AS a, 2 AS b), d AS (SELECT 3 AS a) "
+        "SELECT a, b FROM c UNION BY NAME SELECT a FROM d "
+        "ORDER BY a",
+    )
+    assert r2.sections[0].queries[0].rows == [[1, 2], [3, None]]
 
-    with _pytest.raises(Exception, match="UNION BY NAME"):
-        query_dashboard(
-            spark,
-            "WITH c AS (SELECT 1 AS a) "
-            "SELECT a FROM c UNION BY NAME SELECT 2 AS a",
-        )
+
+def test_union_by_name_nested_in_derived_table(spark):
+    """r13 statement-composition fuzz find: BY NAME expands at every
+    nesting depth (derived tables, chained set ops)."""
+    r = query_dashboard(
+        spark,
+        "SELECT * FROM ((SELECT 1 AS a, 2 AS b) UNION ALL BY NAME "
+        "(SELECT 20 AS b, 10 AS a)) ORDER BY a",
+    )
+    assert r.sections[0].queries[0].rows == [[1, 2], [10, 20]]
 
 
 def test_columns_macro_regex_and_star(spark):
