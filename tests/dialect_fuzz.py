@@ -628,12 +628,40 @@ def g_recursive_query(r: random.Random) -> str:
     )
 
 
+def g_join_query(r: random.Random) -> str:
+    def filt() -> str:
+        return r.choice(
+            ["i > 2", "i IS NOT NULL", "d > 1.0", "TRUE", "g <> 2"]
+        )
+
+    jt = r.choice(
+        ["JOIN", "LEFT JOIN", "FULL JOIN", "SEMI JOIN", "ANTI JOIN",
+         "CROSS JOIN"]
+    )
+    a = f"(SELECT g, i FROM {_AGG_TABLE} WHERE {filt()}) a"
+    b = f"(SELECT g AS h, i AS j FROM {_AGG_TABLE} WHERE {filt()}) b"
+    if jt == "CROSS JOIN":
+        cond = ""
+    else:
+        cond = " " + r.choice(
+            ["ON a.g = b.h", "ON a.i = b.j",
+             "ON a.g = b.h AND a.i < b.j"]
+        )
+    if jt in ("SEMI JOIN", "ANTI JOIN"):
+        sel = "a.g, a.i"
+    else:
+        sel = "a.g AS ag, a.i AS ai, b.h AS bh, b.j AS bj"
+    return f"SELECT {sel} FROM {a} {jt} {b}{cond} ORDER BY ALL"
+
+
 def g_compose_query(r: random.Random) -> str:
-    c = r.randrange(3)
+    c = r.randrange(4)
     if c == 0:
         return g_setop_query(r)
     if c == 1:
         return g_cte_chain_query(r)
+    if c == 2:
+        return g_join_query(r)
     return g_recursive_query(r)
 
 
