@@ -121,6 +121,12 @@ TEXT_FAMILY = [
     "pmi_collocations",
     "doc_length_histogram",
     "text_fingerprint",
+    # lower()-using entries: Spark ICU lower vs DuckDB lower agree on
+    # these corpora (İ/K/NUL probed) — pinned so a regression shows
+    "dedup_normalized",
+    "pipeline_stage_counts",
+    "corpus_diff_report",
+    "dataset_card",
 ]
 
 
