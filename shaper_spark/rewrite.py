@@ -2438,6 +2438,52 @@ def _rewrite_in_values(sql: str) -> str:
         sql = sql[: m.start(1)] + "SELECT * FROM " + sql[m.start(1) :]
 
 
+_COLLATE_RE = re.compile(
+    r'\bCOLLATE\s+("(?:[^"]+)"|[A-Za-z_][\w.]*)', re.IGNORECASE
+)
+
+
+def _rewrite_collate_names(sql: str) -> str:
+    """DuckDB collation names → Spark 4 ICU collation names (r13 —
+    closes the documented-unsupported collation class: Spark 4.1 has
+    native ICU collations, verified live to order/compare exactly like
+    DuckDB's icu extension for locale collations).  ``NOCASE`` →
+    ``UNICODE_CI``, ``NOACCENT`` → ``UNICODE_AI``, dot-chains combine
+    (``NOCASE.NOACCENT`` → ``UNICODE_CI_AI``; ``de.NOCASE`` →
+    ``de_CI``); bare locale names pass through natively.  ``NFC``
+    (normalize-before-compare) has no Spark collation — loud error."""
+    states = _scan_states(sql)
+    out = []
+    last = 0
+    for m in _COLLATE_RE.finditer(sql):
+        if states[m.start()] != 0:
+            continue
+        raw = m.group(1).strip('"')
+        parts = raw.split(".")
+        kws = {p.upper() for p in parts}
+        locales = [p for p in parts if p.upper() not in
+                   ("NOCASE", "NOACCENT", "NFC")]
+        if "NFC" in kws:
+            raise ValueError(
+                "COLLATE NFC (normalize-before-compare) is not "
+                "supported by Spark collations; normalize with "
+                "nfc_normalize() and compare plainly instead"
+            )
+        if not (kws & {"NOCASE", "NOACCENT"}):
+            continue  # bare locale: Spark takes it natively
+        base = locales[0] if locales else "UNICODE"
+        name = base
+        if "NOCASE" in kws:
+            name += "_CI"
+        if "NOACCENT" in kws:
+            name += "_AI"
+        out.append(sql[last : m.start()])
+        out.append(f"COLLATE {name}")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _rewrite_postfix_factorial(sql: str) -> str:
     """DuckDB postfix factorial ``n!`` → ``duckdb_factorial(n)``
     (batch-21 residue closed r13; pinned vs DuckDB 1.0 live:
@@ -6039,6 +6085,7 @@ def rewrite_statement(sql: str) -> RewriteResult:
         sql,
     )
     sql = _rewrite_date_minus(sql)
+    sql = _rewrite_collate_names(sql)
     sql = _rewrite_postfix_factorial(sql)
     sql = _rewrite_duck_operators(sql)
 

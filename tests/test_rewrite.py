@@ -2468,6 +2468,35 @@ class TestQuantifiedFuzzFinds:
 class TestJsonFuzzFinds:
     """r12 JSON fuzz arm finds (verified vs DuckDB)."""
 
+    def test_collation_names(self, spark):
+        """r13 (closes the documented-unsupported collation class):
+        Spark 4.1's native ICU collations verified live to match
+        DuckDB's icu extension — NOCASE→UNICODE_CI,
+        NOACCENT→UNICODE_AI, chains combine, locales pass through."""
+        r = rewrite_statement(
+            "SELECT ('Ä' = 'ä' COLLATE NOCASE) AS a,"
+            " ('ä' = 'a' COLLATE NOACCENT) AS b,"
+            " ('Ä' = 'a' COLLATE NOCASE.NOACCENT) AS c"
+        )
+        row = spark.sql(r.sql).collect()[0]
+        assert (row.a, row.b, row.c) == (True, True, True)
+        r2 = rewrite_statement(
+            "SELECT c FROM (VALUES ('B'), ('a'), ('C')) t(c) "
+            "ORDER BY c COLLATE NOCASE"
+        )
+        assert [x.c for x in spark.sql(r2.sql).collect()] == [
+            "a", "B", "C",
+        ]
+        r3 = rewrite_statement(
+            "SELECT c FROM (VALUES ('ä'), ('z'), ('a')) t(c) "
+            "ORDER BY c COLLATE de"
+        )
+        assert [x.c for x in spark.sql(r3.sql).collect()] == [
+            "a", "ä", "z",
+        ]
+        with pytest.raises(ValueError, match="COLLATE NFC"):
+            rewrite_statement("SELECT 'a' = 'a' COLLATE NFC")
+
     def test_bitstring_family(self, spark):
         """r13: BIT emulated as a '0'/'1' string — casts validate with
         DuckDB's exact wording, functions pinned live (bit_count by
