@@ -4979,7 +4979,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and ``lsh_parameter_plan`` (fixed-point banding calibration)
     displaces ``pii_scrub_customers`` (9 greens; the PII family keeps
     ``pii_density_report``).  All displaced entries remain in the
-    tail under ``tests/oracle_check.py``."""
+    tail under ``tests/oracle_check.py``.
+
+    Round 13 (r12 verdict tasks 3 + new-operator policy): the two
+    single-cause probes ``corpus_fingerprint`` (data/primitives only —
+    red ⇒ the driver's engines read different data) and
+    ``quality_class_probe`` (punct/stop class counts only) enter next
+    to ``threshold_sweep_probe``, displacing ``minhash_est_error``
+    (9 greens) and ``embedding_covariance`` (4 greens); NEW
+    ``dedup_flow_matrix`` (directional duplicate-flow report) enters,
+    displacing ``dedup_incremental_report`` (many greens; the
+    incremental family keeps ``dedup_sig_incremental`` in-window)."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
         "stratified_sample_docs": _q_stratified_sample,
