@@ -3060,6 +3060,158 @@ FROM counts GROUP BY source ORDER BY source
 """
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression-rate report (shaper_spark/
+    operators/text.py tokenizer_fertility, NEW r13): per source, the
+    subword-piece count a fixed-width tokenizer proxy emits (every
+    word → ceil(len/4) pieces) plus fertility (pieces per word) and
+    compression (chars per piece) as half-up BIGINT micro-divisions.
+    The tokenizer-budget audit a corpus mix is costed with.  One
+    hash-agg; the per-word ceil folds inside a higher-order
+    ``aggregate`` lambda — no explode, the exchange is
+    |sources|-bounded.  No reference counterpart; §2C."""
+    from shaper_spark.operators.text import tokenizer_fertility
+
+    _prep(spark, sf_dir)
+    return tokenizer_fertility(spark.table("documents"), "text", "source")
+
+
+TOKENIZER_FERTILITY_DUCK = """
+WITH wide AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(CAST(length(text) AS BIGINT)) AS sum_chars,
+         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_words,
+         sum(CAST(list_sum(list_transform(string_split(text, ' '),
+                  w -> (length(w) + 3) // 4)) AS BIGINT)) AS sum_pieces
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, sum_chars, sum_words, sum_pieces,
+       (2 * 1000000 * sum_pieces + greatest(sum_words, 1))
+         // (2 * greatest(sum_words, 1)) AS fertility_micro,
+       (2 * 1000000 * sum_chars + greatest(sum_pieces, 1))
+         // (2 * greatest(sum_pieces, 1)) AS chars_per_piece_micro
+FROM wide ORDER BY source
+"""
+
+
+def _q_quality_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-audit exemplar sampler (shaper_spark/operators/text.py
+    quality_exemplars, NEW r13): the 3 highest- and 3 lowest-quality
+    documents per source by the engine-proof quality micro-score,
+    ties broken on doc_id — the human-review companion to
+    filter_threshold_sweep.  One quality pass; both directions rank
+    through a SINGLE row_number window over one (source, kind)
+    exchange via a 2-element kind/sort-key explode.  No reference
+    counterpart; §2C quality family."""
+    from shaper_spark.operators.text import quality_exemplars
+
+    _prep(spark, sf_dir)
+    return quality_exemplars(
+        spark.table("documents"), "doc_id", "text", "source", k=3
+    )
+
+
+def _quality_exemplars_duck() -> str:
+    return f"""
+WITH counts AS ({_duck_quality_counts('doc_id, source')}),
+q AS (SELECT doc_id, source, {_duck_qmicro()} AS quality_micro FROM counts),
+tagged AS (
+  SELECT source, doc_id, quality_micro, 'top' AS kind,
+         -quality_micro AS skey FROM q
+  UNION ALL
+  SELECT source, doc_id, quality_micro, 'bottom' AS kind,
+         quality_micro AS skey FROM q
+),
+ranked AS (
+  SELECT source, kind, doc_id, quality_micro,
+         row_number() OVER (PARTITION BY source, kind
+                            ORDER BY skey, doc_id) AS rank
+  FROM tagged
+)
+SELECT source, kind, CAST(rank AS INTEGER) AS rank, doc_id, quality_micro
+FROM ranked WHERE rank <= 3 ORDER BY source, kind, rank
+"""
+
+
+def _q_jaccard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical dedup-threshold survival curve (shaper_spark/
+    operators/dedup.py jaccard_threshold_curve, NEW r13): per Jaccard
+    cutoff in 50–90 %, the flagged near-dup pairs and the docs the
+    min-id-keeper rule drops — the empirical companion to the analytic
+    lsh_parameter_plan.  Integer (inter, union) pair stats once from
+    the posting-list join; the grid folds into conditional sums via
+    the cross-multiplied predicate 100·inter ≥ t·union (no double
+    jaccard anywhere).  No reference counterpart; §2C dedup family."""
+    from shaper_spark.operators.dedup import jaccard_threshold_curve
+
+    _prep(spark, sf_dir)
+    return jaccard_threshold_curve(
+        spark.table("documents"), "doc_id", "text", k=3,
+        thresholds_pct=(50, 60, 70, 80, 90),
+    )
+
+
+def _jaccard_curve_duck() -> str:
+    grid = (50, 60, 70, 80, 90)
+    pw = ",\n  ".join(
+        f"coalesce(sum(CASE WHEN 100 * inter >= {t} * uni THEN 1 ELSE 0 "
+        f"END), 0) AS p{i}"
+        for i, t in enumerate(grid)
+    )
+    ld = ",\n  ".join(
+        f"max(CASE WHEN 100 * inter >= {t} * uni THEN 1 ELSE 0 END) AS d{i}"
+        for i, t in enumerate(grid)
+    )
+    dw = ", ".join(f"coalesce(sum(d{i}), 0) AS s{i}" for i in range(len(grid)))
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {t} AS t, p{i} AS dup_pairs, s{i} AS docs_dropped "
+        "FROM pw, dw"
+        for i, t in enumerate(grid)
+    )
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT id_a, id_b, inter, ca.c + cb.c - inter AS uni
+  FROM pairs
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE 100 * inter >= 50 * (ca.c + cb.c - inter)
+),
+pw AS (SELECT
+  {pw}
+  FROM st),
+ld AS (SELECT id_b,
+  {ld}
+  FROM st GROUP BY id_b),
+dw AS (SELECT {dw} FROM ld),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+grid AS (
+  {rows}
+)
+SELECT CAST(t AS BIGINT) AS threshold_pct,
+       CAST(dup_pairs AS BIGINT) AS dup_pairs,
+       CAST(docs_dropped AS BIGINT) AS docs_dropped,
+       n_docs,
+       (2 * 1000000 * CAST(docs_dropped AS BIGINT) + n_docs)
+         // (2 * n_docs) AS drop_micro
+FROM grid, tot ORDER BY threshold_pct
+"""
+
+
 def _q_psi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise PSI drift matrix over doc-length buckets
     (shaper_spark/operators/text.py psi_drift_matrix): the standard
@@ -5028,12 +5180,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displacing dedup_incremental_report (many greens; the
         # incremental family keeps dedup_sig_incremental in-window)
         "dedup_flow_matrix": _q_dedup_flow,
+        # r13 late new-operator rotation: jaccard_threshold_curve
+        # (empirical dedup-threshold survival curve), displacing
+        # dedup_clusters (9 official greens; the dedup family keeps
+        # jaccard/minhash/apply/flow/containment/sig_incremental/
+        # size_histogram in-window).
+        "jaccard_threshold_curve": _q_jaccard_curve,
+        # r13 late: tokenizer_fertility (subword fertility/compression
+        # audit), displacing similarity_ivf_topk (10 official greens;
+        # the similarity family keeps ivf_index_probe in-window).
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        # r13 late: quality_exemplars (top/bottom-k filter-audit
+        # sampler), displacing ccnet_quality_buckets (4 official
+        # greens; the quality family keeps sweep/probe/interaction/
+        # lm_correlation in-window).
+        "quality_exemplars": _q_quality_exemplars,
         "pmi_collocations": _q_pmi_collocations,  # r10 rotation: displaces simhash_near_pairs (9 official greens)
         "multimodal_meta": _q_multimodal_meta,
         # r12 rotation: blocklist_report (r11 late addition) replaces
         # multimodal_audio (9 greens; family keeps multimodal_meta).
         "blocklist_report": _q_blocklist_report,
-        "similarity_ivf_topk": _q_ivf_topk,
         "range_join_windows": _q_range_join,
         # -- round-9 NEW operators (enter the prefix immediately per
         # the rotation policy, displacing quant_report (4 official
@@ -5041,7 +5207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outlier/quantized-IVF) and ann_recall_report (3 greens;
         # similarity family keeps lsh_topk/ivf_topk/ivf_index_probe/
         # minhash_est_error) to the tail) --
-        "ccnet_quality_buckets": _q_ccnet_buckets,
         "ngram_novelty_curve": _q_ngram_novelty,
         "text_repetition": _q_repetition,
         # r12 new-operator rotation: lsh_parameter_plan enters,
@@ -5049,7 +5214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps pii_density_report in-window).
         "lsh_parameter_plan": _q_lsh_plan,
         "decontam_ngrams": _q_decontam,
-        "dedup_clusters": _q_dedup_clusters,
         "vocab_coverage_curve": _q_vocab_coverage,
         # r12 new-operator rotation: cluster_size_histogram enters,
         # displacing source_overlap_matrix (5 greens; the drift/overlap
@@ -5089,6 +5253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": _q_dataset_card,
         "similarity_lsh_topk": _q_lsh_topk,  # rotated out of the window r10 (9 greens)
         "simhash_near_pairs": _q_simhash_pairs,  # rotated out of the window r10 (9 greens)
+        # r13 late rotated out (≥4 official greens each; families keep
+        # hash-checked representatives in the prefix):
+        "dedup_clusters": _q_dedup_clusters,
+        "similarity_ivf_topk": _q_ivf_topk,
+        "ccnet_quality_buckets": _q_ccnet_buckets,
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -5353,6 +5522,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_fingerprint": CORPUS_FINGERPRINT_DUCK,
         "quality_class_probe": _class_probe_duck(),
         "dedup_flow_matrix": DEDUP_FLOW_DUCK,
+        "jaccard_threshold_curve": _jaccard_curve_duck(),
+        "tokenizer_fertility": TOKENIZER_FERTILITY_DUCK,
+        "quality_exemplars": _quality_exemplars_duck(),
         "dedup_containment_pairs": CONTAINMENT_DUCK,
         "pii_density_report": _pii_density_duck(),
         "lexical_diversity": LEXDIV_DUCK,

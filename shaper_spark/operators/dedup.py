@@ -38,6 +38,7 @@ __all__ = [
     "lsh_parameter_plan",
     "lsh_parameter_plan_sql",
     "dedup_flow_matrix",
+    "jaccard_threshold_curve",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -1162,3 +1163,114 @@ def dedup_flow_matrix(
             "(2 * sum(n_pairs) OVER ())"
         ).alias("flow_micro"),
     ).orderBy("group_kept", "group_dropped")
+
+
+def jaccard_threshold_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    thresholds_pct: tuple[int, ...] = (50, 60, 70, 80, 90),
+    max_df: int | None = None,
+) -> DataFrame:
+    """Empirical dedup-threshold survival curve (r13): for every
+    Jaccard cutoff in the grid, how many near-duplicate pairs the
+    cutoff flags and how many documents the min-id-keeper rule
+    (:func:`apply_dedup`) would drop.  The EMPIRICAL companion to
+    :func:`lsh_parameter_plan`, which answers the same question
+    analytically from the banding S-curve: the planner picks
+    bands×rows for a target threshold, this measures what each
+    threshold actually does to THIS corpus.  Returns
+    (threshold_pct, dup_pairs, docs_dropped, n_docs, drop_micro),
+    ordered — BIGINT end to end: the threshold compare is the
+    cross-multiplied integer predicate ``100·inter ≥ t·union`` (exact
+    rational comparison, no double jaccard anywhere in the contract)
+    and ``drop_micro`` is the half-up micro-division.
+
+    Spark shape: the posting-list self-join produces integer
+    (inter, union) pair stats ONCE, pre-filtered at the grid minimum;
+    the grid then folds into conditional sums over that single
+    exchange (never pairs × grid): one global agg counts flagged
+    pairs per cutoff, one loser-keyed agg ORs each dropped doc's flag
+    per cutoff (a doc is dropped at t iff ANY pair where it is the
+    larger id crosses t) — both wide single/bounded rows, unstacked
+    with ``stack`` and crossed with the 1-row corpus count.  100 TB:
+    everything after the pair join is |pairs|-bounded then
+    |grid|-bounded; the three tiny frames broadcast."""
+    grid = [int(t) for t in thresholds_pct]
+    if not grid or any(t <= 0 or t > 100 for t in grid):
+        raise ValueError(
+            "jaccard_threshold_curve: thresholds_pct must be in (0, 100]"
+        )
+    tmin = min(grid)
+    postings = _df_capped(shingle_tokens(df, id_col, text_col, k), max_df)
+    from pyspark import StorageLevel
+
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = postings.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("ca"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("cb"))
+    st = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("ca") + F.col("cb") - F.col("inter"))
+            .cast("long")
+            .alias("uni"),
+        )
+        .filter(F.lit(100) * F.col("inter") >= F.lit(tmin) * F.col("uni"))
+    )
+    flag = lambda t: F.when(  # noqa: E731 — grid-folded predicate
+        F.lit(100) * F.col("inter") >= F.lit(t) * F.col("uni"), 1
+    ).otherwise(0)
+    pairs_wide = st.agg(
+        *[F.sum(flag(t)).alias(f"__p{i}") for i, t in enumerate(grid)]
+    )
+    drops_wide = (
+        st.groupBy(F.col("id_b").alias("doc"))
+        .agg(*[F.max(flag(t)).alias(f"__d{i}") for i, t in enumerate(grid)])
+        .agg(*[F.sum(f"__d{i}").alias(f"__s{i}") for i in range(len(grid))])
+    )
+    total = df.select(F.count(F.lit(1)).alias("n_docs"))
+    stack = ", ".join(
+        f"CAST({t} AS BIGINT), coalesce(CAST(__p{i} AS BIGINT), 0L), "
+        f"coalesce(CAST(__s{i} AS BIGINT), 0L)"
+        for i, t in enumerate(grid)
+    )
+    return (
+        pairs_wide.crossJoin(drops_wide)
+        .crossJoin(total)
+        .select(
+            F.expr(
+                f"stack({len(grid)}, {stack}) "
+                "AS (threshold_pct, dup_pairs, docs_dropped)"
+            ),
+            "n_docs",
+        )
+        .select(
+            "threshold_pct",
+            "dup_pairs",
+            "docs_dropped",
+            "n_docs",
+            F.expr(
+                "(2L * 1000000L * docs_dropped + n_docs) DIV (2L * n_docs)"
+            ).alias("drop_micro"),
+        )
+        .orderBy("threshold_pct")
+    )

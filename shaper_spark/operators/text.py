@@ -44,6 +44,8 @@ __all__ = [
     "quality_lm_correlation",
     "corpus_fingerprint",
     "quality_class_probe",
+    "tokenizer_fertility",
+    "quality_exemplars",
     "punct_count_sql",
     "folded_padded_sql",
     "stopword_count_sql",
@@ -838,6 +840,146 @@ def quality_class_probe(
             F.sum("__stop").alias("sum_stop"),
         )
         .orderBy(group_col)
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    chunk: int = 4,
+) -> DataFrame:
+    """Tokenizer fertility / compression-rate report (r13): per group,
+    how many subword pieces a fixed-width tokenizer proxy would emit —
+    every whitespace word contributes ceil(len/chunk) pieces, the
+    deterministic stand-in for a learned BPE vocab whose piece counts
+    depend on merge history — plus the two ratios a tokenizer audit
+    reads before committing a vocab to a corpus mix: fertility
+    (pieces per word; high fertility on a source means the tokenizer
+    fragments it, inflating its effective token cost) and compression
+    (chars per piece).  Returns (group, n_docs, sum_chars, sum_words,
+    sum_pieces, fertility_micro, chars_per_piece_micro), ordered —
+    BIGINT end to end, ratios as the half-up micro-division
+    ``(2·1e6·N + D) DIV (2·D)`` (the quality-family contract; no
+    DOUBLE anywhere, so no engine float-rendering class can diverge).
+
+    Spark shape: ONE scan — ``posexplode`` emits the word rows and the
+    doc-level totals ride the pos==0 row as conditional sums, so a
+    single codegen hash-agg (map-side partials) produces all four
+    counts; the exchange after the partial agg is |groups|-bounded.
+    A higher-order ``aggregate`` lambda would avoid the explode but is
+    interpreted, not codegen — measured 1.7× slower at sf0.1 (the
+    session-documented HOF trap); the generate+partial-agg shape stays
+    whole-stage-compiled.  100 TB: scan → generate → partial agg →
+    |groups| rows; nothing corpus-sized crosses the wire.  No
+    reference counterpart; training-pipeline §2C (the DuckDB oracle
+    replays the arithmetic via ``list_sum(list_transform(...))`` —
+    vectorized there, so each engine takes its fast path)."""
+    if chunk <= 0:
+        raise ValueError("tokenizer_fertility: chunk must be positive")
+    from ..session import spread_for_compute
+
+    ex = spread_for_compute(df).select(
+        F.col(group_col).alias("g"),
+        F.length(text_col).cast("long").alias("__nc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__w"),
+    )
+    wide = ex.groupBy("g").agg(
+        F.sum(F.when(F.col("__pos") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(F.when(F.col("__pos") == 0, F.col("__nc")).otherwise(0))
+        .cast("long")
+        .alias("sum_chars"),
+        F.count(F.lit(1)).alias("sum_words"),
+        F.sum(
+            F.expr(f"CAST((length(__w) + {chunk - 1}) DIV {chunk} AS BIGINT)")
+        ).alias("sum_pieces"),
+    )
+    return (
+        wide.select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "sum_chars",
+            "sum_words",
+            "sum_pieces",
+            F.expr(
+                "(2L * 1000000L * sum_pieces + greatest(sum_words, 1L)) "
+                "DIV (2L * greatest(sum_words, 1L))"
+            ).alias("fertility_micro"),
+            F.expr(
+                "(2L * 1000000L * sum_chars + greatest(sum_pieces, 1L)) "
+                "DIV (2L * greatest(sum_pieces, 1L))"
+            ).alias("chars_per_piece_micro"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def quality_exemplars(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Filter-audit exemplar sampler (r13): the k highest- and k
+    lowest-quality documents per group by the engine-proof quality
+    micro-score, deterministic tie-break on document id — the
+    human-review companion to ``filter_threshold_sweep``: before
+    committing a cutoff you read WHAT the filter keeps and drops at
+    the extremes, not just how many.  Returns
+    (group, kind 'top'|'bottom', rank, doc_id, quality_micro).
+
+    Spark shape: one quality pass; each doc emits its two (kind,
+    signed-sort-key) rows via a 2-element array explode so a SINGLE
+    row_number window over ONE (group, kind) exchange ranks both
+    directions — not two windows over two sorts of the corpus.
+    100 TB: the window sorts within (group, kind) partitions only and
+    the rank≤k filter keeps the output at groups × 2k rows (a rank-k
+    top-k could replace the full sort via groupBy + min_by arrays if a
+    group's partition ever outgrew an executor)."""
+    if k <= 0:
+        raise ValueError("quality_exemplars: k must be positive")
+    q = quality_score(
+        df, id_col, text_col, keep_cols=(group_col,), micro_units=True
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("doc"),
+        "quality_micro",
+    )
+    tagged = q.select(
+        "g",
+        "doc",
+        "quality_micro",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("top").alias("kind"),
+                    (-F.col("quality_micro")).alias("skey"),
+                ),
+                F.struct(
+                    F.lit("bottom").alias("kind"),
+                    F.col("quality_micro").alias("skey"),
+                ),
+            )
+        ).alias("t"),
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("g", "t.kind").orderBy(
+        F.col("t.skey").asc(), F.col("doc").asc()
+    )
+    return (
+        tagged.select(
+            F.col("g").alias(group_col),
+            F.col("t.kind").alias("kind"),
+            F.row_number().over(win).alias("rank"),
+            F.col("doc").alias("doc_id"),
+            "quality_micro",
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy(group_col, "kind", "rank")
     )
 
 

@@ -110,6 +110,12 @@ TEXT_FAMILY = [
     "lexical_diversity",
     "text_quality",
     "text_lang_id",
+    # r13 late entries: length/split/aggregate-lambda (fertility) and
+    # the qmicro window rank (exemplars) must stay engine-stable on
+    # control chars / non-ASCII / NUL / empty texts
+    "tokenizer_fertility",
+    "quality_exemplars",
+    "jaccard_threshold_curve",
     "text_token_stats",
     "length_quantiles",
     "canary_scan",

@@ -37,11 +37,11 @@ def test_prefix_50_covers_the_diverse_surface():
     keys = list(entry.queries())[:50]
     must_have = {
         # previously-unchecked entries the round-2 verdict flagged
-        "multimodal_meta", "similarity_ivf_topk",
+        "multimodal_meta",
         # round-5/6 operators holding their window seats
         "bpe_pair_counts", "dedup_apply_counts",
         "range_join_windows", "text_repetition",
-        "decontam_ngrams", "dedup_clusters",
+        "decontam_ngrams",
         "vocab_coverage_curve",
         # round-13 NEW operator (enters immediately per policy,
         # displacing dedup_incremental_report — many greens; the
@@ -49,7 +49,14 @@ def test_prefix_50_covers_the_diverse_surface():
         "dedup_flow_matrix",
         # round-9 NEW operators (enter immediately per policy,
         # displacing quant_report / ann_recall_report, 4 and 3 greens)
-        "ccnet_quality_buckets", "ngram_novelty_curve",
+        "ngram_novelty_curve",
+        # round-13 late NEW operators (enter immediately per policy,
+        # displacing dedup_clusters / similarity_ivf_topk /
+        # ccnet_quality_buckets — 9/10/4 official greens; dedup keeps
+        # 7 reps, similarity keeps ivf_index_probe, quality keeps
+        # sweep/probe/interaction/lm_correlation in-window)
+        "jaccard_threshold_curve", "tokenizer_fertility",
+        "quality_exemplars",
         # round-9 rotation: ALL 18 round-7 operators entered the
         # official window (they were judge-green only through r8; the
         # displaced entries each held >=2 official greens and keep a

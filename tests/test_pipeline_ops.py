@@ -1343,3 +1343,172 @@ class TestFilterInteractionMatrix:
             "short+lowstop": (1, 250000),
             "punct+lowstop": (1, 250000),
         }
+
+
+class TestTokenizerFertility:
+    def test_hand_computed_counts(self, spark):
+        from shaper_spark.operators.text import tokenizer_fertility
+
+        docs = spark.createDataFrame(
+            # "hello world": 2 words of len 5 -> 2 pieces each;
+            # "abcdefgh": 1 word of len 8 -> 2 pieces
+            [(1, "hello world", "s"), (2, "abcdefgh", "s")],
+            "doc_id long, text string, source string",
+        )
+        (r,) = tokenizer_fertility(docs, "text", "source").collect()
+        assert (r.n_docs, r.sum_chars, r.sum_words, r.sum_pieces) == (
+            2, 19, 3, 6
+        )
+        # 6/3 words and 19/6 chars-per-piece, half-up micro
+        assert r.fertility_micro == 2000000
+        assert r.chars_per_piece_micro == (2 * 1000000 * 19 + 6) // 12
+
+    def test_single_scan_codegen_plan(self, spark, sf_dir):
+        from shaper_spark.operators.text import tokenizer_fertility
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        df = tokenizer_fertility(spark.table("documents"), "text", "source")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # one scan, one generate, all four counts in one hash-agg —
+        # no interpreted HOF lambda (the session-noted trap) and no
+        # second pass over the corpus for the doc-level totals
+        assert final.count("Generate") == 1
+        assert "aggregate(" not in final  # no higher-order lambda
+        assert final.count("Scan parquet") <= 1
+
+    def test_chunk_validated(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.text import tokenizer_fertility
+
+        df = spark.createDataFrame(
+            [(1, "x", "s")], "doc_id long, text string, source string"
+        )
+        with _pytest.raises(ValueError):
+            tokenizer_fertility(df, "text", "source", chunk=0)
+
+
+class TestQualityExemplars:
+    def test_matches_quality_score_extremes(self, spark, sf_dir):
+        from shaper_spark.operators.text import (
+            quality_exemplars,
+            quality_score,
+        )
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        docs = spark.table("documents").filter("doc_id < 200")
+        out = quality_exemplars(docs, "doc_id", "text", "source", k=2)
+        got = {}
+        for r in out.collect():
+            got.setdefault((r.source, r.kind), []).append(
+                (r.rank, r.doc_id, r.quality_micro)
+            )
+        q = {
+            r.source: []
+            for r in quality_score(
+                docs, "doc_id", "text", keep_cols=("source",),
+                micro_units=True,
+            ).collect()
+        }
+        for r in quality_score(
+            docs, "doc_id", "text", keep_cols=("source",), micro_units=True
+        ).collect():
+            q[r.source].append((r.quality_micro, r.doc_id))
+        for src, vals in q.items():
+            top = sorted(vals, key=lambda t: (-t[0], t[1]))[:2]
+            bot = sorted(vals, key=lambda t: (t[0], t[1]))[:2]
+            assert got[(src, "top")] == [
+                (i + 1, d, m) for i, (m, d) in enumerate(top)
+            ]
+            assert got[(src, "bottom")] == [
+                (i + 1, d, m) for i, (m, d) in enumerate(bot)
+            ]
+
+    def test_group_smaller_than_k_keeps_all(self, spark):
+        from shaper_spark.operators.text import quality_exemplars
+
+        df = spark.createDataFrame(
+            [(1, "the and of it", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = quality_exemplars(df, "doc_id", "text", "source", k=3).collect()
+        assert {(r.kind, r.rank) for r in rows} == {("top", 1), ("bottom", 1)}
+
+    def test_k_validated(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.text import quality_exemplars
+
+        df = spark.createDataFrame(
+            [(1, "x", "s")], "doc_id long, text string, source string"
+        )
+        with _pytest.raises(ValueError):
+            quality_exemplars(df, "doc_id", "text", "source", k=0)
+
+
+class TestJaccardThresholdCurve:
+    def test_hand_computed_curve(self, spark):
+        from shaper_spark.operators.dedup import jaccard_threshold_curve
+
+        # doc1 == doc2 (jaccard 1.0); doc3 shares 3 of its 4 shingles
+        # with them (jaccard 3/5 = 60%); doc4 disjoint.
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f", "s"),
+                (2, "a b c d e f", "s"),
+                (3, "a b c d e x y", "s"),
+                (4, "p q r s t u", "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            r.threshold_pct: r
+            for r in jaccard_threshold_curve(
+                docs, "doc_id", "text", k=3,
+                thresholds_pct=(50, 60, 70, 100),
+            ).collect()
+        }
+        # pairs: (1,2) j=1.0; (1,3) and (2,3) j=3/(4+5-3)=0.5
+        assert rows[50].dup_pairs == 3 and rows[50].docs_dropped == 2
+        assert rows[60].dup_pairs == 1 and rows[60].docs_dropped == 1
+        assert rows[70].dup_pairs == 1 and rows[70].docs_dropped == 1
+        assert rows[100].dup_pairs == 1 and rows[100].docs_dropped == 1
+        for r in rows.values():
+            assert r.n_docs == 4
+            assert r.drop_micro == (
+                2 * 1000000 * r.docs_dropped + 4
+            ) // 8
+
+    def test_no_duplicates_yields_zero_rows_not_empty(self, spark):
+        from shaper_spark.operators.dedup import jaccard_threshold_curve
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "s"), (2, "x y z w", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = jaccard_threshold_curve(
+            docs, "doc_id", "text", k=3, thresholds_pct=(50, 90)
+        ).collect()
+        assert [(r.threshold_pct, r.dup_pairs, r.docs_dropped) for r in rows] == [
+            (50, 0, 0),
+            (90, 0, 0),
+        ]
+
+    def test_grid_validated(self, spark):
+        import pytest as _pytest
+
+        from shaper_spark.operators.dedup import jaccard_threshold_curve
+
+        df = spark.createDataFrame(
+            [(1, "x", "s")], "doc_id long, text string, source string"
+        )
+        with _pytest.raises(ValueError):
+            jaccard_threshold_curve(df, "doc_id", "text", thresholds_pct=())
+        with _pytest.raises(ValueError):
+            jaccard_threshold_curve(
+                df, "doc_id", "text", thresholds_pct=(0,)
+            )
