@@ -1190,13 +1190,15 @@ def jaccard_threshold_curve(
     Spark shape: the posting-list self-join produces integer
     (inter, union) pair stats ONCE, pre-filtered at the grid minimum;
     the grid then folds into conditional sums over that single
-    exchange (never pairs × grid): one global agg counts flagged
-    pairs per cutoff, one loser-keyed agg ORs each dropped doc's flag
-    per cutoff (a doc is dropped at t iff ANY pair where it is the
-    larger id crosses t) — both wide single/bounded rows, unstacked
-    with ``stack`` and crossed with the 1-row corpus count.  100 TB:
-    everything after the pair join is |pairs|-bounded then
-    |grid|-bounded; the three tiny frames broadcast."""
+    exchange (never pairs × grid) in ONE pass: the loser-keyed agg
+    computes per doc both the pair count (``sum(flag)``) and the
+    dropped bit (``max(flag)``) per cutoff — every pair has exactly
+    one loser, so the global re-aggregate of the sums IS the flagged
+    pair count, and of the maxes the drop count; the pair join is
+    never evaluated twice.  The wide single row unstacks with
+    ``stack`` and crosses the 1-row corpus count.  100 TB: everything
+    after the pair join is |pairs|-bounded, then |docs|-bounded, then
+    one row; the tiny frames broadcast."""
     grid = [int(t) for t in thresholds_pct]
     if not grid or any(t <= 0 or t > 100 for t in grid):
         raise ValueError(
@@ -1239,13 +1241,19 @@ def jaccard_threshold_curve(
     flag = lambda t: F.when(  # noqa: E731 — grid-folded predicate
         F.lit(100) * F.col("inter") >= F.lit(t) * F.col("uni"), 1
     ).otherwise(0)
-    pairs_wide = st.agg(
-        *[F.sum(flag(t)).alias(f"__p{i}") for i, t in enumerate(grid)]
-    )
-    drops_wide = (
+    # one pass: per loser doc, the flagged-pair count AND the dropped
+    # bit per cutoff; the global re-aggregate yields both curve
+    # columns without evaluating the pair join twice
+    wide = (
         st.groupBy(F.col("id_b").alias("doc"))
-        .agg(*[F.max(flag(t)).alias(f"__d{i}") for i, t in enumerate(grid)])
-        .agg(*[F.sum(f"__d{i}").alias(f"__s{i}") for i in range(len(grid))])
+        .agg(
+            *[F.sum(flag(t)).alias(f"__pp{i}") for i, t in enumerate(grid)],
+            *[F.max(flag(t)).alias(f"__dd{i}") for i, t in enumerate(grid)],
+        )
+        .agg(
+            *[F.sum(f"__pp{i}").alias(f"__p{i}") for i in range(len(grid))],
+            *[F.sum(f"__dd{i}").alias(f"__s{i}") for i in range(len(grid))],
+        )
     )
     total = df.select(F.count(F.lit(1)).alias("n_docs"))
     stack = ", ".join(
@@ -1254,8 +1262,7 @@ def jaccard_threshold_curve(
         for i, t in enumerate(grid)
     )
     return (
-        pairs_wide.crossJoin(drops_wide)
-        .crossJoin(total)
+        wide.crossJoin(total)
         .select(
             F.expr(
                 f"stack({len(grid)}, {stack}) "
