@@ -379,6 +379,26 @@ SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type AS category
 FROM events GROUP BY ALL ORDER BY ALL
 """
 
+# Window-frame EXCLUDE (r13 — shaper_spark/rewrite.py
+# _rewrite_window_exclude): DuckDB runs the EXCLUDE natively; Spark
+# gets the windowed-arithmetic rewrite (peer-window subtraction for
+# GROUP under RANGE, current-row subtraction and least/greatest split
+# frames for CURRENT ROW under ROWS).  BIGINT columns only — window
+# sums of integers replay exactly on any engine.
+WINDOW_EXCLUDE_FRAMES = """
+SELECT event_id,
+       sum(user_id) OVER (PARTITION BY event_type ORDER BY ts
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         EXCLUDE GROUP) AS s_group,
+       count(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+         EXCLUDE CURRENT ROW) AS c_cr,
+       min(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+         EXCLUDE CURRENT ROW) AS m_cr
+FROM events ORDER BY event_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (Spark = shaper_spark.operators;
@@ -5208,7 +5228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity family keeps lsh_topk/ivf_topk/ivf_index_probe/
         # minhash_est_error) to the tail) --
         "ngram_novelty_curve": _q_ngram_novelty,
-        "text_repetition": _q_repetition,
+        # r13 late: window_exclude_frames (the r13 EXCLUDE rewrite
+        # through the engine path vs DuckDB's native EXCLUDE) enters,
+        # displacing text_repetition (9 official greens; the text
+        # family keeps 10+ reps in-window).
+        "window_exclude_frames": _dialect(WINDOW_EXCLUDE_FRAMES),
         # r12 new-operator rotation: lsh_parameter_plan enters,
         # displacing pii_scrub_customers (9 greens; the PII family
         # keeps pii_density_report in-window).
@@ -5258,6 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "similarity_ivf_topk": _q_ivf_topk,
         "ccnet_quality_buckets": _q_ccnet_buckets,
+        "text_repetition": _q_repetition,
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -5404,6 +5429,8 @@ def oracle_sql() -> dict[str, str]:
         "big_customers_having": BIG_CUSTOMERS_HAVING,
         "cte_share_pct": CTE_RECURSIVE_STYLE,
         "dashboard_weekly": DASHBOARD_WEEKLY_DUCK,
+        # DuckDB runs the window EXCLUDE natively — same SQL text
+        "window_exclude_frames": WINDOW_EXCLUDE_FRAMES,
         "dedup_exact_groups": DEDUP_EXACT_DUCK,
         "dedup_jaccard_pairs": JACCARD_DUCK,
         "dedup_minhash_lsh": MINHASH_LSH_DUCK,

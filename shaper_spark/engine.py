@@ -859,16 +859,10 @@ def _reject_unsupported_duckisms(sql: str) -> str:
         last = m.end()
     out.append(sql[last:])
     sql = "".join(out)
-    states = _scan_states(sql)
-    for m in re.finditer(
-        r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\b", sql, re.IGNORECASE
-    ):
-        if states[m.start()] == 0:
-            raise ValueError(
-                f"window frame 'EXCLUDE {m.group(1).upper()}' is not "
-                "supported by Spark; for sum/count/avg subtract the "
-                "current row's contribution from a plain frame instead"
-            )
+    # window-frame EXCLUDE CURRENT ROW/GROUP/TIES is no longer
+    # rejected here: r13 implements the sum/count/avg/min/max subset
+    # via _rewrite_window_exclude (rewrite.py), which raises the named
+    # error itself for the residual combinations.
     # POSITIONAL JOIN is no longer rejected here: r12 implements it
     # via _expand_positional_joins (zipWithIndex full-outer), which
     # runs BEFORE this gate.

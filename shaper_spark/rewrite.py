@@ -2983,6 +2983,416 @@ def _rewrite_filter_over_window(sql: str) -> str:
         sql = sql[:astart] + new_agg + sql[close + 1 :]
 
 
+_WINDOW_EXCLUDE_RE = re.compile(
+    r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\b", re.IGNORECASE
+)
+_WINDOW_NO_OTHERS_RE = re.compile(
+    r"\s*\bEXCLUDE\s+NO\s+OTHERS\b", re.IGNORECASE
+)
+
+
+def _top_level_depths(s: str, states: list[int]) -> list[int]:
+    """Paren/bracket depth BEFORE each char (string/comment chars keep
+    the surrounding depth) — for finding top-level keywords inside an
+    already-extracted paren group."""
+    out = []
+    d = 0
+    for i, c in enumerate(s):
+        out.append(d)
+        if states[i] == 0:
+            if c in "([":
+                d += 1
+            elif c in ")]":
+                d -= 1
+    return out
+
+
+def _parse_over_spec(spec: str):
+    """Split a window spec (the inside of ``OVER (...)``) into
+    (partition_text, order_text, frame_mode, frame_text) — any part
+    may be None.  Keyword scan is top-level only, so function calls in
+    the partition/order expressions don't confuse it."""
+    states = _scan_states(spec)
+    depths = _top_level_depths(spec, states)
+
+    def find(pat):
+        for m in re.finditer(pat, spec, re.IGNORECASE):
+            if states[m.start()] == 0 and depths[m.start()] == 0:
+                return m
+        return None
+
+    pm = find(r"\bPARTITION\s+BY\b")
+    om = find(r"\bORDER\s+BY\b")
+    fm = find(r"\b(ROWS|RANGE|GROUPS)\b")
+    ends = sorted(
+        [m.start() for m in (om, fm) if m is not None] + [len(spec)]
+    )
+    part = None
+    if pm is not None:
+        stop = min(e for e in ends if e >= pm.end())
+        part = spec[pm.end() : stop].strip()
+    order = None
+    if om is not None:
+        stop = fm.start() if fm is not None else len(spec)
+        order = spec[om.end() : stop].strip()
+    mode = frame = None
+    if fm is not None:
+        mode = fm.group(1).upper()
+        frame = spec[fm.end() :].strip()
+    return part, order, mode, frame
+
+
+def _bound_includes_current(bound: str, is_lower: bool):
+    """Whether a frame bound admits offset 0 (the current row/peer
+    value).  Returns True/False, or None when it cannot be decided
+    statically (expression magnitudes)."""
+    t = re.sub(r"\s+", " ", bound.strip()).upper()
+    if t == "CURRENT ROW":
+        return True
+    if t == "UNBOUNDED PRECEDING":
+        return True if is_lower else None  # as upper bound: never ≥0
+    if t == "UNBOUNDED FOLLOWING":
+        return True if not is_lower else False
+    m = re.fullmatch(r"(\d+)(?:\.\d+)?\s+(PRECEDING|FOLLOWING)", t)
+    if m:
+        n, direction = int(m.group(1)), m.group(2)
+        if direction == "PRECEDING":
+            return True if is_lower else n == 0
+        return n == 0 if is_lower else True
+    # expression bound (interval, column ref): sign known, size not
+    if t.endswith("PRECEDING"):
+        return True if is_lower else None
+    if t.endswith("FOLLOWING"):
+        return None if is_lower else True
+    return None
+
+
+def _strip_order_direction(order_text: str) -> list[str]:
+    """ORDER BY list → bare key expressions (ASC/DESC/NULLS dropped),
+    for use as the peer-group partition keys."""
+    keys = []
+    for item in _split_top_level_args(order_text):
+        e = re.sub(
+            r"\s+(ASC|DESC)\s*$", "", item.strip(), flags=re.IGNORECASE
+        )
+        e = re.sub(
+            r"\s+NULLS\s+(FIRST|LAST)\s*$", "", e, flags=re.IGNORECASE
+        )
+        e = re.sub(
+            r"\s+(ASC|DESC)\s*$", "", e, flags=re.IGNORECASE
+        )
+        keys.append(e.strip())
+    return keys
+
+
+def _inline_named_exclude_windows(sql: str) -> str:
+    """``WINDOW w AS (spec … EXCLUDE …)`` → inline ``OVER (spec …)``
+    at each ``OVER w`` usage, so the main EXCLUDE rewrite sees the
+    spec in place; definitions without EXCLUDE stay named (Spark
+    supports WINDOW clauses natively).  A name defined by more than
+    one WINDOW clause in the statement is ambiguous textually — the
+    named error fires instead of guessing scopes."""
+    for _ in range(16):  # each pass inlines one definition
+        states = _scan_states(sql)
+        defs = []  # (name, def_start, open, close, list_start, kw_start)
+        for m in re.finditer(r"\bWINDOW\s+", sql, re.IGNORECASE):
+            if states[m.start()] != 0:
+                continue
+            pos = m.end()
+            first = True
+            while True:
+                dm = re.match(
+                    r"\s*([A-Za-z_]\w*)\s+AS\s*\(", sql[pos:], re.IGNORECASE
+                )
+                if dm is None:
+                    break
+                op = pos + dm.end() - 1
+                cl = _find_matching_close(sql, op, states)
+                if cl == -1:
+                    break
+                defs.append(
+                    (dm.group(1), pos + dm.start(1), op, cl, m.start(), first)
+                )
+                first = False
+                nxt = cl + 1
+                cm = re.match(r"\s*,", sql[nxt:])
+                if cm is None:
+                    break
+                pos = nxt + cm.end()
+        target = None
+        for name, dstart, op, cl, kw, first in defs:
+            spec = sql[op + 1 : cl]
+            sstates = _scan_states(spec)
+            if any(
+                sstates[em.start()] == 0
+                for em in _WINDOW_EXCLUDE_RE.finditer(spec)
+            ):
+                target = (name, dstart, op, cl, kw, first)
+                break
+        if target is None:
+            return sql
+        name, dstart, op, cl, kw, first = target
+        if sum(1 for d in defs if d[0].lower() == name.lower()) > 1:
+            raise ValueError(
+                f"window frame EXCLUDE inside named window {name!r}: "
+                "the name is defined by more than one WINDOW clause — "
+                "inline the window spec into each OVER (...) instead"
+            )
+        spec = sql[op + 1 : cl].strip()
+        # drop the definition from its WINDOW list (and the keyword if
+        # it was the only definition)
+        after = cl + 1
+        cm = re.match(r"\s*,\s*", sql[after:])
+        if cm is not None:
+            cut_start, cut_end = dstart, after + cm.end()
+        else:
+            prev = sql[:dstart]
+            pm = re.search(r",\s*$", prev)
+            if pm is not None and not first:
+                cut_start, cut_end = pm.start(), after
+            else:
+                cut_start, cut_end = kw, after
+        sql = sql[:cut_start] + sql[cut_end:]
+        # inline every OVER <name> usage
+        states = _scan_states(sql)
+        usage = re.compile(
+            rf"\bOVER\s+{re.escape(name)}\b", re.IGNORECASE
+        )
+        out = []
+        last = 0
+        for um in usage.finditer(sql):
+            if states[um.start()] != 0:
+                continue
+            out.append(sql[last : um.start()])
+            out.append(f"OVER ({spec})")
+            last = um.end()
+        out.append(sql[last:])
+        sql = "".join(out)
+    return sql
+
+
+def _rewrite_window_exclude(sql: str) -> str:
+    """DuckDB window-frame ``EXCLUDE CURRENT ROW | GROUP | TIES``
+    (DuckDB 1.0 accepts these with an explicit frame; Spark has no
+    EXCLUDE) → windowed arithmetic over the same frame:
+
+    - ``sum/count/avg … EXCLUDE CURRENT ROW`` (ROWS or RANGE):
+      subtract the current row's contribution; NULL when nothing
+      remains (SQL empty-set aggregate).
+    - ``sum/count/avg … EXCLUDE GROUP | TIES`` (RANGE only): subtract
+      the whole peer group's aggregate — in RANGE mode a frame that
+      admits distance 0 always contains the ENTIRE peer group, so
+      ``f() OVER (PARTITION BY part, order-keys)`` is exactly the
+      in-frame peer contribution (TIES adds the current row back).
+      ROWS mode can cut a peer group at the frame edge — statically
+      undecidable, loud-unsupported.
+    - ``min/max … EXCLUDE CURRENT ROW`` (ROWS only): least/greatest
+      over the two side frames (Spark's least/greatest skip NULLs, so
+      an empty side degrades correctly).
+    - A frame that provably never contains the current row/peer group
+      makes EXCLUDE a no-op — stripped.
+    - ``EXCLUDE NO OTHERS`` is the SQL default — stripped here too so
+      the bare-rewrite path (fuzzers, spark.sql callers) matches the
+      engine gate.
+
+    Named ``WINDOW w AS (… EXCLUDE …)`` definitions are inlined into
+    their ``OVER w`` usages first (:func:`_inline_named_exclude_windows`).
+    Unsupported combinations (other aggregates; GROUP/TIES under
+    ROWS; undecidable expression bounds) raise the named error with a
+    workaround."""
+    if _WINDOW_EXCLUDE_RE.search(sql):
+        sql = _inline_named_exclude_windows(sql)
+    states0 = _scan_states(sql)
+    out = []
+    last = 0
+    for m in _WINDOW_NO_OTHERS_RE.finditer(sql):
+        if states0[m.start()] != 0:
+            continue
+        out.append(sql[last : m.start()])
+        last = m.end()
+    out.append(sql[last:])
+    sql = "".join(out)
+    while True:
+        states = _scan_states(sql)
+        hit = None
+        for m in _WINDOW_EXCLUDE_RE.finditer(sql):
+            if states[m.start()] != 0:
+                continue
+            kind = re.sub(r"\s+", " ", m.group(1).upper())
+            # innermost enclosing OVER ( … ) group
+            over_open = over_close = -1
+            for om in re.finditer(r"\bOVER\s*\(", sql, re.IGNORECASE):
+                if states[om.start()] != 0:
+                    continue
+                op = om.end() - 1
+                cl = _find_matching_close(sql, op, states)
+                if cl != -1 and op < m.start() < cl:
+                    if op > over_open:
+                        over_open, over_close = op, cl
+                        over_kw = om.start()
+            if over_open == -1:
+                raise ValueError(
+                    f"window frame 'EXCLUDE {kind}' inside a named "
+                    "WINDOW clause is not supported by Spark; inline "
+                    "the window spec into the OVER (...) of each "
+                    "function that uses it"
+                )
+            # the window-function call preceding OVER
+            k = over_kw - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k < 0 or sql[k] != ")":
+                raise ValueError(
+                    f"window frame 'EXCLUDE {kind}': cannot locate the "
+                    "window function call before OVER"
+                )
+            astart = _expr_start(sql, states, k + 1)
+            agg = sql[astart : k + 1]
+            am = re.match(r"([\w.]+)\s*\((.*)\)$", agg, re.DOTALL)
+            if am is None:
+                raise ValueError(
+                    f"window frame 'EXCLUDE {kind}': cannot parse the "
+                    f"window function call {agg!r}"
+                )
+            fn = am.group(1).lower()
+            arg = am.group(2).strip()
+            spec = sql[over_open + 1 : over_close]
+            # drop the EXCLUDE clause from the spec
+            rel = m.start() - (over_open + 1)
+            spec_no_ex = (spec[:rel] + spec[rel + (m.end() - m.start()) :]).strip()
+            new_expr = _build_exclude_expr(fn, arg, kind, spec_no_ex)
+            hit = (astart, over_close, new_expr)
+            break
+        if hit is None:
+            return sql
+        astart, over_close, new_expr = hit
+        sql = sql[:astart] + new_expr + sql[over_close + 1 :]
+
+
+def _build_exclude_expr(
+    fn: str, arg: str, kind: str, spec: str
+) -> str:
+    """The Spark expression replacing ``fn(arg) OVER (spec EXCLUDE
+    kind)`` — see :func:`_rewrite_window_exclude` for the algebra."""
+    supported = {"sum", "count", "avg", "min", "max"}
+    named_err = (
+        f"window frame 'EXCLUDE {kind}' is supported for "
+        "sum/count/avg (ROWS or RANGE; GROUP/TIES need RANGE) and "
+        "min/max (EXCLUDE CURRENT ROW under ROWS); for other "
+        "aggregates subtract the excluded rows' contribution from a "
+        "plain frame instead"
+    )
+    if fn not in supported:
+        raise ValueError(named_err)
+    part, order, mode, frame = _parse_over_spec(spec)
+    if mode is None or frame is None or mode == "GROUPS":
+        # DuckDB itself requires an explicit ROWS/RANGE frame before
+        # EXCLUDE (and rejects GROUPS mode outright)
+        raise ValueError(named_err)
+    bm = re.match(
+        r"^BETWEEN\s+(.+?)\s+AND\s+(.+)$", frame, re.IGNORECASE | re.DOTALL
+    )
+    if bm:
+        lo_text, hi_text = bm.group(1).strip(), bm.group(2).strip()
+    else:
+        lo_text, hi_text = frame.strip(), "CURRENT ROW"
+    lo_inc = _bound_includes_current(lo_text, is_lower=True)
+    hi_inc = _bound_includes_current(hi_text, is_lower=False)
+    if lo_inc is None or hi_inc is None:
+        raise ValueError(
+            f"window frame 'EXCLUDE {kind}': the frame bounds' "
+            "inclusion of the current row cannot be decided "
+            "statically; use literal ROWS offsets or CURRENT "
+            "ROW/UNBOUNDED bounds"
+        )
+    base = f"OVER ({spec})"
+    if not (lo_inc and hi_inc):
+        # the frame never contains the current row; in RANGE mode the
+        # peer group (same order value, distance 0) is out with it —
+        # EXCLUDE is a no-op for every kind we accept here
+        if mode == "ROWS" and kind != "CURRENT ROW":
+            raise ValueError(named_err)
+        return f"{fn}({arg}) {base}"
+    is_star = fn == "count" and arg in ("*", "1")
+    cur_cnt = (
+        "1" if is_star else f"(CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)"
+    )
+    cnt_base = f"count({'*' if is_star else arg}) {base}"
+    if kind == "CURRENT ROW":
+        if fn in ("min", "max"):
+            if mode != "ROWS":
+                raise ValueError(named_err)
+            cmb = "least" if fn == "min" else "greatest"
+            prefix = " ".join(
+                p
+                for p in (
+                    f"PARTITION BY {part}" if part else "",
+                    f"ORDER BY {order}" if order else "",
+                )
+                if p
+            )
+            sides = []
+            if not re.fullmatch(
+                r"0\s+(PRECEDING|FOLLOWING)|CURRENT\s+ROW",
+                re.sub(r"\s+", " ", lo_text.upper()),
+            ):
+                sides.append(
+                    f"{fn}({arg}) OVER ({prefix} ROWS BETWEEN "
+                    f"{lo_text} AND 1 PRECEDING)"
+                )
+            if not re.fullmatch(
+                r"0\s+(PRECEDING|FOLLOWING)|CURRENT\s+ROW",
+                re.sub(r"\s+", " ", hi_text.upper()),
+            ):
+                sides.append(
+                    f"{fn}({arg}) OVER ({prefix} ROWS BETWEEN "
+                    f"1 FOLLOWING AND {hi_text})"
+                )
+            if not sides:
+                # frame is exactly the current row: empty after EXCLUDE
+                return f"(CASE WHEN FALSE THEN {fn}({arg}) {base} END)"
+            if len(sides) == 1:
+                return f"({sides[0]})"
+            return f"{cmb}({sides[0]}, {sides[1]})"
+        rem = f"({cnt_base} - {cur_cnt})"
+        if fn == "count":
+            return rem
+        sum_expr = f"(sum({arg}) {base} - coalesce(({arg}), 0))"
+        if fn == "sum":
+            return f"(CASE WHEN {rem} = 0 THEN NULL ELSE {sum_expr} END)"
+        return f"(CASE WHEN {rem} = 0 THEN NULL ELSE {sum_expr} / {rem} END)"
+    # GROUP / TIES: the peer-group aggregate must equal the in-frame
+    # peer contribution — guaranteed in RANGE mode only
+    if mode != "RANGE":
+        raise ValueError(named_err)
+    if fn in ("min", "max"):
+        raise ValueError(named_err)
+    if not order:
+        raise ValueError(named_err)
+    peer_keys = _strip_order_direction(order)
+    peer_part = ", ".join(
+        ([part] if part else []) + peer_keys
+    )
+    peer = f"OVER (PARTITION BY {peer_part})"
+    cnt_peer = f"count({'*' if is_star else arg}) {peer}"
+    if kind == "GROUP":
+        rem = f"({cnt_base} - {cnt_peer})"
+        delta = f"coalesce(sum({arg}) {peer}, 0)"
+        sum_expr = f"(sum({arg}) {base} - {delta})"
+    else:  # TIES: peers out, current row back in
+        rem = f"({cnt_base} - {cnt_peer} + {cur_cnt})"
+        if not is_star:
+            delta = (
+                f"(coalesce(sum({arg}) {peer}, 0) - coalesce(({arg}), 0))"
+            )
+            sum_expr = f"(sum({arg}) {base} - {delta})"
+    if fn == "count":
+        return rem
+    if fn == "sum":
+        return f"(CASE WHEN {rem} = 0 THEN NULL ELSE {sum_expr} END)"
+    return f"(CASE WHEN {rem} = 0 THEN NULL ELSE {sum_expr} / {rem} END)"
+
+
 _ANY_ALL_RE = re.compile(
     r"(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL)\s*\(", re.IGNORECASE
 )
@@ -6111,6 +6521,9 @@ def rewrite_statement(sql: str) -> RewriteResult:
     # in-paren IGNORE/RESPECT NULLS.
     sql = _normalize_bare_filter(sql)
     sql = _rewrite_filter_over_window(sql)
+    # window-frame EXCLUDE CURRENT ROW/GROUP/TIES → windowed
+    # arithmetic (after FILTER folding so the agg text is final).
+    sql = _rewrite_window_exclude(sql)
     sql = _rewrite_any_all_array(sql)
     sql = _rewrite_ignore_nulls_position(sql)
 

@@ -483,7 +483,46 @@ _FRAMES = [
 ]
 
 
+_EXCLUDE_FNS = ["sum(i)", "avg(CAST(d AS DOUBLE))", "count(*)", "count(i)"]
+_EXCLUDE_FRAMES = [
+    " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING",
+    " ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING",
+    " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    " RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+]
+
+
 def g_window_query(r: random.Random) -> str:
+    if r.randrange(4) == 0:
+        # window-frame EXCLUDE arm (r13): sum/count/avg over the
+        # supported frame × kind grid, min/max EXCLUDE CURRENT ROW
+        # under ROWS (the _rewrite_window_exclude subset)
+        part = r.choice(["", "PARTITION BY g "])
+        frame = r.choice(_EXCLUDE_FRAMES)
+        if r.randrange(4) == 0 and frame.strip().startswith("ROWS"):
+            fn = r.choice(["min(i)", "max(d)"])
+            kind = "CURRENT ROW"
+        else:
+            fn = r.choice(_EXCLUDE_FNS)
+            kind = r.choice(
+                ["CURRENT ROW", "GROUP", "GROUP", "TIES", "TIES"]
+                if frame.strip().startswith("RANGE")
+                else ["CURRENT ROW"]
+            )
+        if kind in ("GROUP", "TIES"):
+            # peers need duplicate order keys; RANGE frames are
+            # value-based so ties stay deterministic
+            order = f"ORDER BY (i % 3) {r.choice(['', 'DESC'])}"
+        else:
+            # unique i: ROWS frames need a total order to replay
+            order = f"ORDER BY i {r.choice(['', 'DESC'])}"
+        return (
+            f"SELECT g, i, {fn} OVER ({part}{order}{frame} "
+            f"EXCLUDE {kind}) AS w "
+            f"FROM {_AGG_TABLE} ORDER BY g, i"
+        )
     fn = r.choice(_WINS)
     part = r.choice(["", "PARTITION BY g "])
     # i is unique (single NULL): total order is deterministic, and the

@@ -666,11 +666,21 @@ def test_unsupported_duckisms_named_errors(spark):
         "(SELECT 1 AS a UNION ALL SELECT 2) t ORDER BY s",
     )
     assert r.sections[0].queries[0].rows == [[1], [3]]
-    with _pytest.raises(Exception, match="EXCLUDE CURRENT ROW"):
+    # EXCLUDE CURRENT ROW is SUPPORTED as of r13 (sum/count/avg/min/
+    # max via _rewrite_window_exclude); the residual combos still
+    # raise the named error through the rewriter
+    r_ex = query_dashboard(
+        spark,
+        "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM "
+        "(SELECT 1 AS a UNION ALL SELECT 2) t ORDER BY s",
+    )
+    assert r_ex.sections[0].queries[0].rows == [[1], [2]]
+    with _pytest.raises(Exception, match="EXCLUDE GROUP"):
         query_dashboard(
             spark,
             "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING "
-            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM "
+            "AND 1 FOLLOWING EXCLUDE GROUP) FROM "
             "(SELECT 1 AS a) t",
         )
     # POSITIONAL JOIN is implemented r12 (zipWithIndex full-outer)

@@ -40,7 +40,7 @@ def test_prefix_50_covers_the_diverse_surface():
         "multimodal_meta",
         # round-5/6 operators holding their window seats
         "bpe_pair_counts", "dedup_apply_counts",
-        "range_join_windows", "text_repetition",
+        "range_join_windows",
         "decontam_ngrams",
         "vocab_coverage_curve",
         # round-13 NEW operator (enters immediately per policy,
@@ -57,6 +57,10 @@ def test_prefix_50_covers_the_diverse_surface():
         # sweep/probe/interaction/lm_correlation in-window)
         "jaccard_threshold_curve", "tokenizer_fertility",
         "quality_exemplars",
+        # round-13 late: the window-EXCLUDE rewrite vs DuckDB's native
+        # EXCLUDE, displacing text_repetition (9 greens; the text
+        # family keeps 10+ reps in-window)
+        "window_exclude_frames",
         # round-9 rotation: ALL 18 round-7 operators entered the
         # official window (they were judge-green only through r8; the
         # displaced entries each held >=2 official greens and keep a

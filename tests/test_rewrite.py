@@ -2630,3 +2630,172 @@ class TestJsonFuzzFinds:
 
         assert _json_structure("{}") == '"JSON"'
         assert _json_structure('{"a": {}}') == '{"a":"JSON"}'
+
+
+class TestWindowExclude:
+    """r13: window-frame EXCLUDE CURRENT ROW/GROUP/TIES — DuckDB 1.0
+    accepts these with an explicit frame (the r12 parity note that it
+    rejects them was wrong); the rewriter re-expresses the
+    sum/count/avg/min/max subset as windowed arithmetic.  Every pinned
+    value below was produced by DuckDB 1.0.0 on the same rows."""
+
+    def _rows(self, spark, sql):
+        from shaper_spark.rewrite import rewrite_statement
+
+        return [tuple(r) for r in spark.sql(rewrite_statement(sql).sql).collect()]
+
+    def test_sum_exclude_current_row_rows_frame(self, spark):
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s "
+            "FROM VALUES (1),(2),(3) t(x) ORDER BY x",
+        )
+        assert got == [(1, 2), (2, 4), (3, 2)]
+
+    def test_sum_exclude_group_range_frame(self, spark):
+        # DuckDB: [(1,4),(2,4),(2,4),(3,4)]
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE GROUP) AS s "
+            "FROM VALUES (1),(2),(2),(3) t(x) ORDER BY x",
+        )
+        assert got == [(1, 4), (2, 4), (2, 4), (3, 4)]
+
+    def test_sum_exclude_ties_range_frame(self, spark):
+        # DuckDB: [(1,5),(2,6),(2,6),(3,7)]
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE TIES) AS s "
+            "FROM VALUES (1),(2),(2),(3) t(x) ORDER BY x",
+        )
+        assert got == [(1, 5), (2, 6), (2, 6), (3, 7)]
+
+    def test_min_exclude_current_row_split_frames(self, spark):
+        # DuckDB: [(1,2),(2,1),(3,2)]
+        got = self._rows(
+            spark,
+            "SELECT x, min(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s "
+            "FROM VALUES (1),(2),(3) t(x) ORDER BY x",
+        )
+        assert got == [(1, 2), (2, 1), (3, 2)]
+
+    def test_count_star_exclude_current(self, spark):
+        got = self._rows(
+            spark,
+            "SELECT x, count(*) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s "
+            "FROM VALUES (1),(2),(3) t(x) ORDER BY x",
+        )
+        assert got == [(1, 1), (2, 2), (3, 1)]
+
+    def test_single_bound_frame_sugar(self, spark):
+        # ROWS 2 PRECEDING == BETWEEN 2 PRECEDING AND CURRENT ROW;
+        # DuckDB: [(1,None),(2,1),(3,3)]
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER (ORDER BY x ROWS 2 PRECEDING "
+            "EXCLUDE CURRENT ROW) AS s "
+            "FROM VALUES (1),(2),(3) t(x) ORDER BY x",
+        )
+        assert got == [(1, None), (2, 1), (3, 3)]
+
+    def test_frame_without_current_row_is_noop(self, spark):
+        # frame 3 PRECEDING..1 PRECEDING never holds the current row —
+        # EXCLUDE CURRENT ROW strips to the plain frame
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 3 PRECEDING "
+            "AND 1 PRECEDING EXCLUDE CURRENT ROW) AS s "
+            "FROM VALUES (1),(2),(3) t(x) ORDER BY x",
+        )
+        assert got == [(1, None), (2, 1), (3, 3)]
+
+    def test_sum_null_when_nothing_remains(self, spark):
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN CURRENT ROW "
+            "AND CURRENT ROW EXCLUDE CURRENT ROW) AS s "
+            "FROM VALUES (1),(2) t(x) ORDER BY x",
+        )
+        assert got == [(1, None), (2, None)]
+
+    def test_avg_exclude_group_with_nulls(self, spark):
+        # peers of x=2 include a NULL y; rem counts non-null only.
+        # DuckDB 1.0.0: [(1, 25.0), (2, 15.0), (2, 15.0), (3, 20.0)]
+        got = self._rows(
+            spark,
+            "SELECT x, avg(y) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED "
+            "PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS s "
+            "FROM VALUES (1, 10.0), (2, 30.0), (2, CAST(NULL AS DOUBLE)), "
+            "(3, 20.0) t(x, y) ORDER BY x, y",
+        )
+        assert [(x, float(s)) for x, s in got] == [
+            (1, 25.0), (2, 15.0), (2, 15.0), (3, 20.0),
+        ]
+
+    def test_exclude_no_others_stripped(self, spark):
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s "
+            "FROM VALUES (1),(2),(3) t(x) ORDER BY x",
+        )
+        assert got == [(1, 3), (2, 6), (3, 5)]
+
+    def test_unsupported_combos_raise_named_error(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        for sql in (
+            # GROUP under ROWS: peer group can straddle the frame edge
+            "SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE GROUP) FROM t",
+            # min under RANGE EXCLUDE CURRENT ROW: not decomposable
+            "SELECT min(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t",
+            # non-decomposable aggregate
+            "SELECT string_agg(s, ',') OVER (ORDER BY x ROWS BETWEEN 1 "
+            "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t",
+        ):
+            with pytest.raises(ValueError, match="EXCLUDE"):
+                rewrite_statement(sql)
+
+    def test_named_window_exclude_inlined(self, spark):
+        # DuckDB: [(1, 2, 1), (2, 4, 2), (3, 2, 1)]
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER w AS s, count(*) OVER w AS c "
+            "FROM VALUES (1),(2),(3) t(x) "
+            "WINDOW w AS (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 "
+            "FOLLOWING EXCLUDE CURRENT ROW) ORDER BY x",
+        )
+        assert got == [(1, 2, 1), (2, 4, 2), (3, 2, 1)]
+
+    def test_named_window_mixed_defs_keep_plain_named(self, spark):
+        # the EXCLUDE def inlines; the plain def stays a named window
+        # (Spark supports WINDOW clauses natively).
+        # DuckDB: [(1, 2, 1), (2, 4, 1), (3, 2, 2)]
+        got = self._rows(
+            spark,
+            "SELECT x, sum(x) OVER w AS s, min(x) OVER v AS m "
+            "FROM VALUES (1),(2),(3) t(x) "
+            "WINDOW w AS (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 "
+            "FOLLOWING EXCLUDE CURRENT ROW), "
+            "v AS (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) "
+            "ORDER BY x",
+        )
+        assert got == [(1, 2, 1), (2, 4, 1), (3, 2, 2)]
+
+    def test_named_window_duplicate_name_raises(self):
+        from shaper_spark.rewrite import rewrite_statement
+
+        with pytest.raises(ValueError, match="more than one WINDOW"):
+            rewrite_statement(
+                "SELECT (SELECT sum(x) OVER w FROM u WINDOW w AS "
+                "(ORDER BY x ROWS 1 PRECEDING EXCLUDE CURRENT ROW)) "
+                "FROM t WINDOW w AS (ORDER BY y ROWS 1 PRECEDING "
+                "EXCLUDE CURRENT ROW)"
+            )
