@@ -640,3 +640,80 @@ class TestAttributionJoinStream:
         )
         q.awaitTermination(120)
         assert spark.table("attrib_guard").count() == 1  # self-pair
+
+
+class TestLateDataMonitor:
+    def _run(self, spark, tmp_path, name):
+        import time
+
+        from shaper_spark.streaming import start_late_data_monitor_stream
+
+        src = tmp_path / "late_src"
+        src.mkdir()
+        # batch 0: advances max event time to 12:00 (wm -> 11:50)
+        _write_jsonl(
+            src / "a.jsonl",
+            [
+                {"ts": "2024-01-01T10:00:00", "v": 1},
+                {"ts": "2024-01-01T12:00:00", "v": 2},
+            ],
+        )
+        time.sleep(1.1)
+        # batch 1: 10:00 window state evicted at batch end (wm 11:50)
+        _write_jsonl(src / "b.jsonl", [{"ts": "2024-01-01T12:30:00", "v": 4}])
+        time.sleep(1.1)
+        # batch 2: 10:05 arrives AFTER its window's state is gone
+        _write_jsonl(
+            src / "c.jsonl",
+            [
+                {"ts": "2024-01-01T10:05:00", "v": 3},
+                {"ts": "2024-01-01T12:40:00", "v": 5},
+            ],
+        )
+        events = (
+            spark.readStream.schema("ts timestamp, v long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = start_late_data_monitor_stream(
+            events,
+            "ts",
+            grain="1 hour",
+            watermark="10 minutes",
+            query_name=name,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return q
+
+    def test_dropped_only_after_state_eviction(self, spark, tmp_path):
+        from shaper_spark.streaming import watermark_audit_report
+
+        q = self._run(spark, tmp_path, "late_mon1")
+        audit = {
+            r.batch_id: r
+            for r in watermark_audit_report(q, spark).collect()
+        }
+        # the late 10:05 row lands in batch 2, AFTER the 10:00 window
+        # state was evicted — exactly one genuinely-lost row
+        assert audit[2].late_rows_dropped == 1
+        # earlier batches merged or evicted without loss
+        assert audit[0].late_rows_dropped == 0
+        assert audit[1].late_rows_dropped == 0
+        # watermark telemetry rides along
+        assert audit[2].watermark.startswith("2024-01-01T12:20")
+        # total loss across the run
+        total = sum(r.late_rows_dropped for r in audit.values())
+        assert total == 1
+
+    def test_counts_exclude_only_lost_rows(self, spark, tmp_path):
+        q = self._run(spark, tmp_path, "late_mon2")
+        rows = spark.table("late_mon2").collect()
+        # update-mode sink: take the LAST emission per bucket
+        last = {}
+        for r in rows:
+            last[str(r.bucket)] = r.n
+        # 10:00 bucket keeps only the on-time row; the evicted-late
+        # 10:05 row is lost (that is what the audit counts)
+        assert last["2024-01-01 10:00:00"] == 1
+        assert last["2024-01-01 12:00:00"] == 3  # 12:00, 12:30, 12:40
