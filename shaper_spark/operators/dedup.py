@@ -39,6 +39,7 @@ __all__ = [
     "lsh_parameter_plan_sql",
     "dedup_flow_matrix",
     "jaccard_threshold_curve",
+    "split_leakage_report",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -1163,6 +1164,63 @@ def dedup_flow_matrix(
             "(2 * sum(n_pairs) OVER ())"
         ).alias("flow_micro"),
     ).orderBy("group_kept", "group_dropped")
+
+
+def split_leakage_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: dict[str, float],
+    k: int = 3,
+    threshold: float = 0.5,
+    seed: str = "split",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-split near-duplicate contamination audit (r13): after the
+    deterministic hash split (:func:`sampling.hash_split`), count the
+    near-duplicate pairs (:func:`jaccard_pairs`, ``jaccard ≥
+    threshold``) that STRADDLE splits — the test-set contamination a
+    dedup-before-split pipeline exists to prevent: a train/test
+    near-dup pair means the eval set leaks into training however clean
+    the split hash is.  Returns (split_a, split_b, n_pairs,
+    leak_docs), ordered — the unordered split pair (name-min,
+    name-max), straddling-pair count, and the distinct higher-id docs
+    involved (the ones ``apply_dedup``'s min-id rule would have
+    removed); diagonal rows give the within-split base rate.
+
+    Spark shape: the banded posting-list join generates candidates
+    (never all-pairs); the pair frame takes two KEYED equi-joins to
+    the (id → split) projection — never a corpus broadcast — and one
+    |splits|²-bounded agg (count-distinct is pairs-bounded).  100 TB:
+    identical to dedup_flow_matrix's audited shape with the split
+    label in place of the source group."""
+    pairs = jaccard_pairs(
+        df, id_col, text_col, k, threshold=threshold, max_df=max_df
+    )
+    from .sampling import hash_split
+
+    s = hash_split(
+        df.select(F.col(id_col)), id_col, fractions, seed=seed
+    ).select(F.col(id_col).alias("__sid"), F.col("split").alias("__sp"))
+    j = (
+        pairs.join(s, pairs.id_a == s.__sid)
+        .select("id_a", "id_b", F.col("__sp").alias("sp_a"))
+        .join(s, F.col("id_b") == s.__sid)
+        .select("id_b", "sp_a", F.col("__sp").alias("sp_b"))
+    )
+    return (
+        j.select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+            "id_b",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_b").alias("leak_docs"),
+        )
+        .orderBy("split_a", "split_b")
+    )
 
 
 def jaccard_threshold_curve(

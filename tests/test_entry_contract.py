@@ -39,7 +39,11 @@ def test_prefix_50_covers_the_diverse_surface():
         # previously-unchecked entries the round-2 verdict flagged
         "multimodal_meta",
         # round-5/6 operators holding their window seats
-        "bpe_pair_counts", "dedup_apply_counts",
+        "bpe_pair_counts",
+        # round-13 late: split_leakage_report (cross-split near-dup
+        # contamination) displaces dedup_apply_counts (9 greens; the
+        # min-id keeper rule stays exercised by flow matrix + curve)
+        "split_leakage_report",
         "range_join_windows",
         "decontam_ngrams",
         "vocab_coverage_curve",

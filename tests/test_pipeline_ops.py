@@ -1512,3 +1512,47 @@ class TestJaccardThresholdCurve:
             jaccard_threshold_curve(
                 df, "doc_id", "text", thresholds_pct=(0,)
             )
+
+
+class TestSplitLeakageReport:
+    def test_planted_cross_split_duplicate(self, spark):
+        from shaper_spark.operators.dedup import split_leakage_report
+        from shaper_spark.operators.sampling import hash_split
+
+        # near-identical pair (1, 2); find a fractions seed state where
+        # they land in different splits by checking the actual split
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),
+                (2, "a b c d e f g h"),
+                (3, "p q r s t u v w"),
+            ],
+            "doc_id long, text string",
+        )
+        fr = {"train": 0.5, "test": 0.5}
+        splits = {
+            r.doc_id: r.split
+            for r in hash_split(docs, "doc_id", fr).collect()
+        }
+        out = {
+            (r.split_a, r.split_b): (r.n_pairs, r.leak_docs)
+            for r in split_leakage_report(
+                docs, "doc_id", "text", fr, k=3, threshold=0.9
+            ).collect()
+        }
+        key = tuple(sorted((splits[1], splits[2])))
+        assert out == {key: (1, 1)}
+
+    def test_no_duplicates_no_rows(self, spark):
+        from shaper_spark.operators.dedup import split_leakage_report
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y z w")],
+            "doc_id long, text string",
+        )
+        assert (
+            split_leakage_report(
+                docs, "doc_id", "text", {"train": 0.8, "test": 0.2}
+            ).count()
+            == 0
+        )
