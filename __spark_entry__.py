@@ -3294,6 +3294,72 @@ GROUP BY 1, 2 ORDER BY split_a, split_b
 """
 
 
+def _q_dedup_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor-bias audit (shaper_spark/operators/dedup.py
+    dedup_quality_shift, NEW r13): per source, mean engine-proof
+    quality micro BEFORE vs AFTER near-dedup under the pair-local
+    min-id rule — whether dedup doubles as a quality filter (spam is
+    duplicated) or removes canonical texts (re-crawled most).  One
+    quality pass + pair-bounded drop set + one conditional-sum agg.
+    No reference counterpart; §2C dedup/quality family."""
+    from shaper_spark.operators.dedup import dedup_quality_shift
+
+    _prep(spark, sf_dir)
+    return dedup_quality_shift(
+        spark.table("documents"), "doc_id", "text", "source",
+        k=3, threshold=0.5,
+    )
+
+
+def _dedup_quality_shift_duck() -> str:
+    return f"""
+WITH counts AS ({_duck_quality_counts('doc_id, source')}),
+q AS (SELECT doc_id, source, {_duck_qmicro()} AS qmicro FROM counts),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM pairs
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE inter * 1.0 / (ca.c + cb.c - inter) >= 0.5
+),
+marked AS (
+  SELECT q.source, q.qmicro, d.doc_id IS NULL AS kept
+  FROM q LEFT JOIN dropped d ON d.doc_id = q.doc_id
+),
+wide AS (
+  SELECT source,
+         count(*) AS n_before,
+         CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         CAST(sum(qmicro) AS BIGINT) AS sq_before,
+         CAST(sum(CASE WHEN kept THEN qmicro ELSE 0 END) AS BIGINT)
+           AS sq_after
+  FROM marked GROUP BY source
+)
+SELECT source, n_before, n_after,
+       (2 * sq_before + n_before) // (2 * n_before) AS mean_q_before_micro,
+       CASE WHEN n_after = 0 THEN NULL ELSE
+         (2 * sq_after + n_after) // (2 * n_after) END AS mean_q_after_micro,
+       CASE WHEN n_after = 0 THEN NULL ELSE
+         (2 * sq_after + n_after) // (2 * n_after) END
+         - (2 * sq_before + n_before) // (2 * n_before) AS shift_micro
+FROM wide ORDER BY source
+"""
+
+
 def _q_psi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise PSI drift matrix over doc-length buckets
     (shaper_spark/operators/text.py psi_drift_matrix): the standard
@@ -5282,7 +5348,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens; the quality family keeps sweep/probe/interaction/
         # lm_correlation in-window).
         "quality_exemplars": _q_quality_exemplars,
-        "pmi_collocations": _q_pmi_collocations,  # r10 rotation: displaces simhash_near_pairs (9 official greens)
+        # r13 late: dedup_quality_shift (survivor-bias audit) enters,
+        # displacing pmi_collocations (3 official greens; the
+        # word-statistics family keeps lexical_diversity /
+        # blocklist_report / boilerplate_grams in-window).
+        "dedup_quality_shift": _q_dedup_quality_shift,
         "multimodal_meta": _q_multimodal_meta,
         # r12 rotation: blocklist_report (r11 late addition) replaces
         # multimodal_audio (9 greens; family keeps multimodal_meta).
@@ -5351,6 +5421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_quality_buckets": _q_ccnet_buckets,
         "text_repetition": _q_repetition,
         "dedup_apply_counts": _q_dedup_apply,
+        "pmi_collocations": _q_pmi_collocations,  # rotated out r13 late (3 greens)
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -5619,6 +5690,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_flow_matrix": DEDUP_FLOW_DUCK,
         "jaccard_threshold_curve": _jaccard_curve_duck(),
         "split_leakage_report": SPLIT_LEAKAGE_DUCK,
+        "dedup_quality_shift": _dedup_quality_shift_duck(),
         "tokenizer_fertility": TOKENIZER_FERTILITY_DUCK,
         "quality_exemplars": _quality_exemplars_duck(),
         "dedup_containment_pairs": CONTAINMENT_DUCK,

