@@ -184,33 +184,29 @@ def _mutation_statement_target(sql: str) -> str | None:
     return None
 
 
-def _script_tx_target(statements: list[str]) -> str | None:
-    """The single warehouse table a script mutates, or None when the
-    script is read-only, multi-table, or contains a table RENAME
-    (target identity would shift mid-script) — the scope of the r13
-    single-table rollback (reference run_task.go:67-258 wraps the
-    whole script in one DuckDB transaction; multi-table scripts keep
-    the pinned per-statement-atomicity divergence)."""
-    targets: set[str] = set()
-    first_mut: int | None = None
+def _script_tx_tables(statements: list[str]) -> set[str] | None:
+    """The warehouse tables a script mutates BEFORE its final statement
+    (each needs a pre-mutation snapshot for whole-script rollback), or
+    None when the script needs no guard: read-only, or every mutation
+    is the final statement (nothing after it can fail — per-statement
+    atomicity already equals the reference's transaction, so the common
+    append-only ingest task stays O(batch), never O(table)), or the
+    script contains a table RENAME (target identity would shift
+    mid-script; pinned per-statement-atomicity divergence).
+
+    Reference run_task.go:67-258 wraps the whole script in one DuckDB
+    transaction; r13 emulates it per mutated table via backup/restore
+    (single-table since task 8, multi-table since this revision)."""
     stmts = [s for s in statements if s.strip()]
+    first_mut: dict[str, int] = {}
     for i, s in enumerate(stmts):
         if _ALTER_RENAME_RE.match(s):
             return None
         t = _mutation_statement_target(s)
-        if t is not None:
-            targets.add(t)
-            if first_mut is None:
-                first_mut = i
-    if len(targets) != 1:
-        return None
-    # when the only mutation IS the final statement, nothing after it
-    # can fail — per-statement atomicity already equals the reference's
-    # transaction, so skip the backup copy (the common append-only
-    # ingest task stays O(batch), never O(table))
-    if first_mut == len(stmts) - 1:
-        return None
-    return next(iter(targets))
+        if t is not None and t not in first_mut:
+            first_mut[t] = i
+    need = {t for t, i in first_mut.items() if i < len(stmts) - 1}
+    return need or None
 
 
 class _TableTxGuard:
@@ -272,6 +268,53 @@ class _TableTxGuard:
         bump()
 
 
+class _ScriptTxGuard:
+    """Whole-script transaction emulation over EVERY table the script
+    mutates (reference run_task.go:67-258 wraps the script in one
+    DuckDB transaction).  Each guarded table snapshots lazily right
+    before its own first mutation; a mid-script failure restores all
+    snapshotted tables.  If any snapshot itself fails (view target,
+    exotic source) the WHOLE guard degrades to the documented
+    per-statement atomicity — a partial cross-table restore would be a
+    third semantics neither engine has."""
+
+    def __init__(self, spark: SparkSession, tables: set[str]):
+        self.spark = spark
+        self.tables = tables
+        self.guards: list[_TableTxGuard] = []
+        self.begun: set[str] = set()
+        self.degraded = False
+
+    def ensure(self, table: str | None) -> None:
+        if (
+            table is None
+            or self.degraded
+            or table not in self.tables
+            or table in self.begun
+        ):
+            return
+        g = _TableTxGuard(self.spark, table)
+        g.begin()
+        self.begun.add(table)
+        if g.active:
+            self.guards.append(g)
+        else:
+            self.degraded = True
+
+    def rollback(self) -> None:
+        if self.degraded:
+            self.cleanup()
+            return
+        for g in reversed(self.guards):
+            g.rollback()
+        self.guards = []
+
+    def cleanup(self) -> None:
+        for g in self.guards:
+            g.cleanup()
+        self.guards = []
+
+
 def execute_task(
     spark: SparkSession,
     content: str,
@@ -282,9 +325,10 @@ def execute_task(
     results, stop on error or on a single 1×1 ``false`` result, extract
     the SCHEDULE column into next_run_at (run_task.go:67-258).
 
-    Single-table scripts get the reference's transaction-rollback
-    semantics via :class:`_TableTxGuard`; multi-table scripts keep the
-    documented per-statement-atomicity divergence
+    Mutating scripts get the reference's transaction-rollback
+    semantics via :class:`_ScriptTxGuard` (per-table snapshot/restore,
+    single- and multi-table); scripts containing a table RENAME keep
+    the documented per-statement-atomicity divergence
     (tests/test_tasks.py::TestTransactionDivergence)."""
     result = TaskResult(started_at=int(time.time() * 1000))
     clean = sqltool.strip_sql_comments(content)
@@ -295,8 +339,8 @@ def execute_task(
     macros: dict[str, _Macro] = {}
     success = True
 
-    tx_target = _script_tx_target([s.strip() for s in statements])
-    guard = _TableTxGuard(spark, tx_target) if tx_target else None
+    tx_tables = _script_tx_tables([s.strip() for s in statements])
+    guard = _ScriptTxGuard(spark, tx_tables) if tx_tables else None
 
     for sql_string in statements:
         sql_string = sql_string.strip()
@@ -312,15 +356,11 @@ def execute_task(
             result.queries.append(qres)
             break
 
-        if (
-            guard is not None
-            and not guard.active
-            and _mutation_statement_target(sql_string) is not None
-        ):
-            # snapshot lazily, right before the FIRST mutation — a
-            # script failing in its read-only prefix never pays the
-            # copy (and needs no restore)
-            guard.begin()
+        if guard is not None:
+            # snapshot lazily, right before each table's FIRST
+            # mutation — a script failing in its read-only prefix
+            # never pays a copy (and needs no restore)
+            guard.ensure(_mutation_statement_target(sql_string))
 
         start = time.monotonic()
         try:

@@ -706,11 +706,13 @@ class TestTaskDmlForms:
 
 
 class TestTransactionDivergence:
-    """r13 narrows the r12-documented divergence: SINGLE-TABLE scripts
-    now get the reference's whole-script rollback (run_task.go:67-258)
-    via the _TableTxGuard backup/restore; MULTI-TABLE scripts keep the
-    documented per-statement-atomicity divergence (a parquet warehouse
-    has no cross-table transaction)."""
+    """r13 closes the r12-documented divergence: mutating scripts —
+    single- AND multi-table — get the reference's whole-script
+    rollback (run_task.go:67-258) via per-table _TableTxGuard
+    backup/restore under _ScriptTxGuard.  The remaining documented
+    divergence is scripts containing a table RENAME (target identity
+    shifts mid-script) and snapshot-failure degradation, both of which
+    fall back to per-statement atomicity."""
 
     def test_single_table_mid_script_failure_rolls_back(self, spark):
         # r12 verdict task 8: the table did not exist before the
@@ -771,10 +773,10 @@ class TestTransactionDivergence:
         assert not spark.catalog.tableExists("tx_probe__tx_backup")
         spark.sql("DROP TABLE IF EXISTS tx_probe")
 
-    def test_multi_table_failure_keeps_prior_statements(self, spark):
-        # the REMAINING documented divergence: two tables mutated →
-        # no cross-table transaction; statements before the failure
-        # stay committed where the reference would roll both back
+    def test_multi_table_failure_rolls_both_back(self, spark):
+        # r13: multi-table scripts get the reference's whole-script
+        # rollback too — both tables created mid-script vanish on
+        # failure, exactly run_task.go's transaction abort
         spark.sql("DROP TABLE IF EXISTS tx_a")
         spark.sql("DROP TABLE IF EXISTS tx_b")
         r = execute_task(
@@ -786,10 +788,72 @@ class TestTransactionDivergence:
             """,
         )
         assert not r.success
-        assert spark.catalog.tableExists("tx_a")
-        assert spark.catalog.tableExists("tx_b")
+        assert not spark.catalog.tableExists("tx_a")
+        assert not spark.catalog.tableExists("tx_b")
+
+    def test_multi_table_rollback_restores_prior_rows(self, spark):
+        # pre-existing tables are restored to their pre-script rows;
+        # no backup staging table leaks
         spark.sql("DROP TABLE IF EXISTS tx_a")
         spark.sql("DROP TABLE IF EXISTS tx_b")
+        execute_task(spark, "CREATE OR REPLACE TABLE tx_a AS SELECT 1 AS v;")
+        execute_task(spark, "CREATE OR REPLACE TABLE tx_b AS SELECT 10 AS v;")
+        r = execute_task(
+            spark,
+            """
+            INSERT INTO tx_a VALUES (2);
+            INSERT INTO tx_b VALUES (20);
+            SELECT raise_error('boom');
+            """,
+        )
+        assert not r.success
+        assert [x.v for x in spark.sql("SELECT v FROM tx_a").collect()] == [1]
+        assert [x.v for x in spark.sql("SELECT v FROM tx_b").collect()] == [10]
+        assert not spark.catalog.tableExists("tx_a__tx_backup")
+        assert not spark.catalog.tableExists("tx_b__tx_backup")
+        spark.sql("DROP TABLE IF EXISTS tx_a")
+        spark.sql("DROP TABLE IF EXISTS tx_b")
+
+    def test_multi_table_success_drops_backups(self, spark):
+        spark.sql("DROP TABLE IF EXISTS tx_a")
+        spark.sql("DROP TABLE IF EXISTS tx_b")
+        r = execute_task(
+            spark,
+            """
+            CREATE OR REPLACE TABLE tx_a AS SELECT 1 AS v;
+            CREATE OR REPLACE TABLE tx_b AS SELECT 2 AS v;
+            INSERT INTO tx_a VALUES (3);
+            SELECT count(*) FROM tx_a;
+            """,
+        )
+        assert r.success
+        assert sorted(
+            x.v for x in spark.sql("SELECT v FROM tx_a").collect()
+        ) == [1, 3]
+        assert [x.v for x in spark.sql("SELECT v FROM tx_b").collect()] == [2]
+        assert not spark.catalog.tableExists("tx_a__tx_backup")
+        assert not spark.catalog.tableExists("tx_b__tx_backup")
+        spark.sql("DROP TABLE IF EXISTS tx_a")
+        spark.sql("DROP TABLE IF EXISTS tx_b")
+
+    def test_rename_script_keeps_per_statement_divergence(self, spark):
+        # the REMAINING documented divergence: a RENAME shifts target
+        # identity mid-script, so the guard stands down — statements
+        # before the failure stay committed
+        spark.sql("DROP TABLE IF EXISTS tx_r1")
+        spark.sql("DROP TABLE IF EXISTS tx_r2")
+        r = execute_task(
+            spark,
+            """
+            CREATE OR REPLACE TABLE tx_r1 AS SELECT 1 AS v;
+            ALTER TABLE tx_r1 RENAME TO tx_r2;
+            SELECT raise_error('boom');
+            """,
+        )
+        assert not r.success
+        assert spark.catalog.tableExists("tx_r2")
+        spark.sql("DROP TABLE IF EXISTS tx_r1")
+        spark.sql("DROP TABLE IF EXISTS tx_r2")
 
     def test_failed_statement_is_atomic(self, spark):
         # the failing UPDATE itself leaves the table untouched (CoW
