@@ -649,6 +649,126 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-method agreement audit (shaper_spark/operators/
+    dedup.py method_agreement_report, NEW r13): MinHash-LSH vs
+    SimHash candidates over the same corpus, cross-checked against
+    exact n-gram Jaccard — per agreement cell (both / minhash_only /
+    simhash_only) the pair count, true-pair count at the integer
+    cross-multiplied 0.5 cutoff, mean exact Jaccard and true share in
+    half-up BIGINT micro.  The cross-method companion to
+    minhash_est_error: which dup families each blocking scheme
+    misses.  Bounded to doc_id < 200 like the simhash entries (the
+    32-bit explode is the cost); both generators keep their blocked
+    equi-join shapes, exact stats ride ONE posting self-join.  No
+    reference counterpart; §2C dedup family."""
+    from shaper_spark.operators.dedup import method_agreement_report
+
+    _prep(spark, sf_dir)
+    df = spark.table("documents").filter("doc_id < 200")
+    return method_agreement_report(
+        df, "doc_id", "text", k=3, num_hashes=8, bands=4, bits=32,
+        max_hamming=3,
+    )
+
+
+def _method_agreement_duck() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM docs),
+shg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM shg WHERE len(shingle) > 0),
+sig AS (
+  SELECT doc_id,
+  {_MINHASH_MINS}
+  FROM sh2 GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+mh AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  FROM tok WHERE len(tok) > 0
+),
+bitsum AS (
+  SELECT doc_id, j.j,
+         sum(CASE WHEN CAST(floor(h / pow(2, j.j)) AS BIGINT) % 2 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT range AS j FROM range(32)) j
+  GROUP BY doc_id, j.j
+),
+ssig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, simhash, c.c AS ci,
+         CAST(floor(simhash / pow(2, c.c * 8)) AS BIGINT) % 256 AS cv
+  FROM ssig CROSS JOIN (SELECT range AS c FROM range(4)) c
+),
+shp AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+),
+sh_pairs AS (
+  SELECT id_a, id_b FROM shp WHERE bit_count(xor(ha, hb)) <= 3
+),
+cand AS (
+  SELECT coalesce(m.id_a, s.id_a) AS id_a,
+         coalesce(m.id_b, s.id_b) AS id_b,
+         m.id_a IS NOT NULL AS in_m, s.id_a IS NOT NULL AS in_s
+  FROM mh m FULL OUTER JOIN sh_pairs s
+    ON m.id_a = s.id_a AND m.id_b = s.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT CASE WHEN in_m AND in_s THEN 'both'
+              WHEN in_m THEN 'minhash_only'
+              ELSE 'simhash_only' END AS method,
+         CAST(coalesce(i.i, 0) AS BIGINT) AS i,
+         CAST(coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+              - coalesce(i.i, 0) AS BIGINT) AS u
+  FROM cand c
+  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+  LEFT JOIN sizes sa ON c.id_a = sa.doc_id
+  LEFT JOIN sizes sb ON c.id_b = sb.doc_id
+),
+cells AS (
+  SELECT method, count(*) AS n_pairs,
+         CAST(sum(CASE WHEN u > 0 AND 100 * i >= 50 * u
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+         CAST(sum((2 * 1000000 * i + greatest(u, 1))
+              // (2 * greatest(u, 1))) AS BIGINT) AS sj
+  FROM stats GROUP BY method
+)
+SELECT method, n_pairs, n_true_pairs,
+       (2 * sj + n_pairs) // (2 * n_pairs) AS mean_jaccard_micro,
+       (2 * 1000000 * n_true_pairs + n_pairs) // (2 * n_pairs)
+         AS true_frac_micro
+FROM cells ORDER BY method
+"""
+
+
 def _q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimate-vs-exact calibration
     (shaper_spark/operators/dedup.py): per LSH candidate pair, the
@@ -3115,6 +3235,352 @@ FROM wide ORDER BY source
 """
 
 
+def _q_charclass_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition profile (shaper_spark/operators/
+    text.py charclass_composition, NEW r13): per source, the micro
+    shares of ASCII letters / digits / whitespace / punctuation /
+    control chars (residue = non-ASCII + NUL as ``other``) — the
+    encoding-damage alarm upstream of every translate-based count.
+    Every class is an explicit alphabet counted via translate/length
+    arithmetic (engine-proof; no regex, no locale); ONE scan → one
+    |sources|-bounded hash-agg.  No reference counterpart; §2C."""
+    from shaper_spark.operators.text import charclass_composition
+
+    _prep(spark, sf_dir)
+    return charclass_composition(spark.table("documents"), "text", "source")
+
+
+def _charclass_duck() -> str:
+    from shaper_spark.operators.text import (
+        _ASCII_LOWER,
+        _ASCII_PUNCT_CODES,
+        _ASCII_UPPER,
+        _CTRL_CODES_NONWS,
+        _WS_CODES,
+        _chr_alphabet_sql,
+        _share_micro_sql,
+        class_count_sql,
+    )
+
+    classes = (
+        ("slet", f"'{_ASCII_UPPER}{_ASCII_LOWER}'"),
+        ("sdig", "'0123456789'"),
+        ("sws", "' ' || " + _chr_alphabet_sql(_WS_CODES)),
+        ("spun", _chr_alphabet_sql(_ASCII_PUNCT_CODES)),
+        ("sctl", _chr_alphabet_sql(_CTRL_CODES_NONWS)),
+    )
+    sums = ",\n         ".join(
+        f"sum(CAST({class_count_sql('text', alpha)} AS BIGINT)) AS {name}"
+        for name, alpha in classes
+    )
+
+    def sh(cnt: str) -> str:
+        return _share_micro_sql(cnt, "n_chars", "//")
+
+    other = "(n_chars - slet - sdig - sws - spun - sctl)"
+    return f"""
+WITH wide AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CAST(length(text) AS BIGINT)) AS n_chars,
+         {sums}
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_chars,
+       {sh('slet')} AS letters_micro,
+       {sh('sdig')} AS digits_micro,
+       {sh('sws')} AS ws_micro,
+       {sh('spun')} AS punct_micro,
+       {sh('sctl')} AS ctrl_micro,
+       {sh(other)} AS other_micro
+FROM wide ORDER BY source
+"""
+
+
+def _q_unicode_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode anomaly audit (shaper_spark/operators/text.py
+    unicode_anomaly_report, NEW r13): per source, occurrence and
+    affected-doc counts of mojibake/scraper-damage codepoint classes
+    (non-ws control, NBSP, U+FFFD, zero-width, bidi marks) — the
+    detector for exactly the corpus-content class that made
+    non-byte-explicit counts diverge between engines in r12.  Each
+    class is an explicit alphabet via translate/length arithmetic;
+    ONE scan → |sources|-bounded hash-agg → 5-row stack unpivot.
+    No reference counterpart; §2C."""
+    from shaper_spark.operators.text import unicode_anomaly_report
+
+    _prep(spark, sf_dir)
+    return unicode_anomaly_report(spark.table("documents"), "text", "source")
+
+
+def _unicode_anomaly_duck() -> str:
+    from shaper_spark.operators.text import (
+        _ANOMALY_CLASSES,
+        _share_micro_sql,
+        class_count_sql,
+    )
+
+    sums = []
+    for name, alpha in _ANOMALY_CLASSES:
+        c = class_count_sql("text", alpha)
+        sums.append(f"sum(CAST({c} AS BIGINT)) AS s_{name}")
+        sums.append(f"sum(CASE WHEN {c} > 0 THEN 1 ELSE 0 END) AS d_{name}")
+    joined = ",\n         ".join(sums)
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT source, '{name}' AS anomaly, s_{name} AS n_hits, "
+        f"CAST(d_{name} AS BIGINT) AS n_docs_affected, "
+        f"{_share_micro_sql(f's_{name}', 'snc', '//')} AS hits_per_char_micro "
+        f"FROM wide"
+        for name, _ in _ANOMALY_CLASSES
+    )
+    return f"""
+WITH wide AS (
+  SELECT source, sum(CAST(length(text) AS BIGINT)) AS snc,
+         {joined}
+  FROM documents GROUP BY source
+)
+{rows}
+ORDER BY source, anomaly
+"""
+
+
+def _q_boilerplate_affixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/footer boilerplate detector (shaper_spark/operators/
+    text.py boilerplate_affixes, NEW r13): top shared fixed-width
+    document prefixes and suffixes by reach — license banners and nav
+    crumbs live at document EDGES where interior shingles dilute
+    boilerplate_grams.  ONE scan emits (kind, affix) via a 2-row
+    stack; one bounded-key hash-agg; the min_docs floor bounds the
+    ranked frame before the per-kind row_number.  Deterministic
+    tie-breaks replay in any engine.  No reference counterpart; §2C."""
+    from shaper_spark.operators.text import boilerplate_affixes
+
+    _prep(spark, sf_dir)
+    return boilerplate_affixes(spark.table("documents"), "text")
+
+
+BOILERPLATE_AFFIXES_DUCK = """
+WITH pairs AS (
+  SELECT 'prefix' AS kind, substring(text, 1, 24) AS affix FROM documents
+  UNION ALL
+  SELECT 'suffix' AS kind,
+         substring(text, greatest(length(text) - 23, 1), 24) AS affix
+  FROM documents
+),
+agg AS (
+  SELECT kind, affix, count(*) AS n_docs FROM pairs
+  GROUP BY kind, affix HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT kind, affix, n_docs,
+         row_number() OVER (PARTITION BY kind
+                            ORDER BY n_docs DESC, affix) AS rnk
+  FROM agg
+)
+SELECT kind, affix, n_docs, rnk FROM ranked WHERE rnk <= 20
+ORDER BY kind, rnk
+"""
+
+
+def _q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (shaper_spark/operators/
+    text.py heaps_law_fit, NEW r13): per ordered corpus bucket
+    (id-order eighths as in ngram_novelty_curve), token and new-vocab
+    counts, their cumulatives, and the global log-log regression
+    (beta, r2) — natural corpora sit at β≈0.4–0.6; drift toward 1 =
+    unbounded junk vocabulary, toward 0 = crawl saturation.  ONE
+    explode + (bucket, word-hash) hash-agg; first-bucket via
+    groupBy min (no per-word window); everything after is
+    |buckets|-bounded.  No reference counterpart; §2C."""
+    from pyspark.sql import functions as F
+
+    from shaper_spark.operators.text import heaps_law_fit
+
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    mx = docs.agg(F.max("doc_id").alias("__mx"))
+    bucketed = docs.crossJoin(F.broadcast(mx)).select(
+        "text",
+        F.expr("CAST((doc_id * 8) DIV (__mx + 1) AS INT)").alias("bucket"),
+    )
+    return heaps_law_fit(bucketed, "text", "bucket")
+
+
+HEAPS_LAW_DUCK = """
+WITH mxv AS (SELECT max(doc_id) AS mx FROM documents),
+d AS (
+  SELECT text, CAST((doc_id * 8) // (mx + 1) AS INT) AS bucket
+  FROM documents, mxv
+),
+w AS (SELECT bucket, unnest(string_split(text, ' ')) AS word FROM d),
+w2 AS (SELECT bucket, word FROM w WHERE len(word) > 0),
+bw AS (SELECT bucket, word, count(*) AS c FROM w2 GROUP BY 1, 2),
+fb AS (SELECT word, min(bucket) AS fbk FROM bw GROUP BY 1),
+per AS (
+  SELECT b.bucket,
+         CAST(sum(c) AS BIGINT) AS bucket_tokens,
+         CAST(sum(CASE WHEN f.fbk = b.bucket THEN 1 ELSE 0 END)
+              AS BIGINT) AS new_vocab
+  FROM bw b JOIN fb f ON b.word = f.word GROUP BY 1
+),
+cum AS (
+  SELECT bucket, bucket_tokens, new_vocab,
+         CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(new_vocab) OVER (ORDER BY bucket) AS BIGINT)
+           AS cum_vocab
+  FROM per
+),
+fit AS (
+  SELECT CASE WHEN var_samp(ln(cum_vocab)) > 1E-12 THEN
+           round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) END AS beta,
+         CASE WHEN var_samp(ln(cum_vocab)) > 1E-12 THEN
+           round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 6) END AS r2
+  FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+)
+SELECT bucket, bucket_tokens, new_vocab, cum_tokens, cum_vocab, beta, r2
+FROM cum, fit ORDER BY bucket
+"""
+
+
+def _q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy (shaper_spark/operators/
+    text.py source_entropy_report, NEW r13): H = ln T − Σ c·ln c / T
+    nats plus the ln V-normalized form — the one-number
+    distribution-health readout beside source_kl_matrix (pairwise)
+    and zipf_slope (rank-frequency).  ONE explode → (source, word)
+    hash-agg → vocab-bounded per-source fold; 6-dp rounded doubles
+    from natively mergeable aggregates.  No reference counterpart;
+    §2C."""
+    from shaper_spark.operators.text import source_entropy_report
+
+    _prep(spark, sf_dir)
+    return source_entropy_report(spark.table("documents"), "text", "source")
+
+
+SOURCE_ENTROPY_DUCK = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+w2 AS (SELECT source, word FROM w WHERE len(word) > 0),
+c AS (SELECT source, word, count(*) AS c FROM w2 GROUP BY 1, 2),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         sum(c * ln(c)) AS s
+  FROM c GROUP BY source
+)
+SELECT source, n_tokens, n_distinct,
+       round(ln(n_tokens) - s / n_tokens, 6) AS entropy_nats,
+       round(CASE WHEN n_distinct > 1
+             THEN (ln(n_tokens) - s / n_tokens) / ln(n_distinct)
+             END, 6) AS norm_entropy
+FROM agg ORDER BY source
+"""
+
+
+def _q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over hourly event rates
+    (shaper_spark/operators/timeseries.py rolling_anomaly_bands, NEW
+    r13): per (event_type, hour), the trailing-24h integer baseline
+    and the cross-multiplied BIGINT z² predicate (|z|>3) — no
+    floating-point mean/stddev anywhere, so the flag set replays in
+    any ANSI engine.  ONE hash-agg to (group, bucket) counts; the
+    window sorts only each group's bucket frame.  The monitoring
+    readout the reference's dashboards stop short of; §2C."""
+    from shaper_spark.operators.timeseries import rolling_anomaly_bands
+
+    _prep(spark, sf_dir)
+    return rolling_anomaly_bands(
+        spark.table("events"), "ts", "event_type",
+        grain="hour", window=24, min_periods=8,
+    )
+
+
+EVENTS_RATE_ANOMALY_DUCK = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, bucket_ts, n_events,
+         CAST(count(*) OVER wnd AS BIGINT) AS h,
+         CAST(coalesce(sum(n_events) OVER wnd, 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(n_events * n_events) OVER wnd, 0) AS BIGINT)
+           AS q
+  FROM c
+  WINDOW wnd AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_ts, n_events, h AS hist_n,
+       CASE WHEN h > 0 THEN (2 * 1000000 * s + h) // (2 * h) END
+         AS hist_mean_micro,
+       CASE WHEN h >= 8 THEN
+         (h * n_events - s) * (h * n_events - s) * (h - 1)
+           > 9 * h * (h * q - s * s) END AS is_anomaly
+FROM h ORDER BY event_type, bucket_ts
+"""
+
+
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view → click → purchase
+    (shaper_spark/operators/timeseries.py event_funnel, NEW r13):
+    greedy-earliest qualifying timestamps per user per step (the
+    unordered-min funnel overcounts when a later step precedes the
+    first), conversions as half-up BIGINT micro.  Per-step user-keyed
+    join+agg, co-partitioned after the first exchange; the conversion
+    window runs over ≤|steps| rows.  The canonical product-analytics
+    readout; §2C."""
+    from shaper_spark.operators.timeseries import event_funnel
+
+    _prep(spark, sf_dir)
+    return event_funnel(
+        spark.table("events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+EVENTS_FUNNEL_DUCK = """
+WITH ev AS (
+  SELECT user_id AS u, ts AS t, event_type AS et FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+l0 AS (SELECT u, min(t) AS st FROM ev WHERE et = 'view' GROUP BY u),
+l1 AS (
+  SELECT e.u, min(e.t) AS st FROM ev e
+  JOIN l0 ON e.u = l0.u AND e.t >= l0.st
+  WHERE e.et = 'click' GROUP BY e.u
+),
+l2 AS (
+  SELECT e.u, min(e.t) AS st FROM ev e
+  JOIN l1 ON e.u = l1.u AND e.t >= l1.st
+  WHERE e.et = 'purchase' GROUP BY e.u
+),
+counts AS (
+  SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM l0
+  UNION ALL SELECT 1, 'click', count(*) FROM l1
+  UNION ALL SELECT 2, 'purchase', count(*) FROM l2
+),
+wf AS (
+  SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+         CAST(lag(n_users) OVER (ORDER BY step_idx) AS BIGINT) AS pn,
+         CAST(first_value(n_users) OVER (ORDER BY step_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS fn
+  FROM counts
+)
+SELECT step_idx, step, n_users,
+       CASE WHEN step_idx = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE (2 * 1000000 * n_users + greatest(pn, 1))
+                   // (2 * greatest(pn, 1)) END AS conv_from_prev_micro,
+       CASE WHEN step_idx = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE (2 * 1000000 * n_users + greatest(fn, 1))
+                   // (2 * greatest(fn, 1)) END AS conv_from_first_micro
+FROM wf ORDER BY step_idx
+"""
+
+
 def _q_quality_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-audit exemplar sampler (shaper_spark/operators/text.py
     quality_exemplars, NEW r13): the 3 highest- and 3 lowest-quality
@@ -5292,7 +5758,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     incremental family keeps ``dedup_sig_incremental`` in-window)."""
     d = {
         "q5_region_revenue": _sql(Q5_REGION_REVENUE),
-        "stratified_sample_docs": _q_stratified_sample,
+        # r13 late: dedup_method_agreement (MinHash-LSH vs SimHash
+        # blocking agreement vs exact Jaccard) enters, displacing
+        # stratified_sample_docs (9 official greens; the
+        # deterministic-hash-split semantics stay exercised in-window
+        # by split_leakage_report's id→split projection).
+        "dedup_method_agreement": _q_method_agreement,
         # r12 rotation: threshold_sweep_probe replaces cte_share_pct
         # (11 greens) so the sweep diagnostic finally gets a driver
         # record next to the 3-round-red filter_threshold_sweep.
@@ -5314,7 +5785,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bigram_lm_scores (8 greens; LM family keeps
         # quality_lm_correlation in-window).
         "length_quantiles": _q_length_quantiles,
-        "dedup_jaccard_pairs": _q_jaccard,
+        # r13 late: charclass_composition (per-source character-class
+        # profile — the encoding-damage alarm upstream of every
+        # translate-based count) enters, displacing dedup_jaccard_pairs
+        # (11 official greens; the dedup family keeps minhash_lsh,
+        # containment, flow_matrix, threshold_curve, quality_shift,
+        # sig_incremental and the leakage/split audits in-window).
+        "charclass_composition": _q_charclass_composition,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "stream_rollup_daily": _q_stream_rollup,
         # r13 late: split_leakage_report (cross-split near-dup
@@ -5323,8 +5800,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the min-id keeper rule stays exercised by
         # dedup_flow_matrix and jaccard_threshold_curve).
         "split_leakage_report": _q_split_leakage,
-        "text_winnow": _q_text_winnow,
-        "embedding_top1": _q_embedding_top1,
+        # r13 late: unicode_anomaly_report (mojibake/scraper-damage
+        # codepoint classes — the detector for the exact corpus class
+        # behind the r12 engine-divergence reds) enters, displacing
+        # text_winnow (11 official greens; doc_fingerprint semantics
+        # stay pytest-pinned and the text family keeps 10+ reps);
+        # boilerplate_affixes (header/footer edge boilerplate by
+        # reach) enters, displacing embedding_top1 (11 official
+        # greens; the embedding family keeps neardup, outlier_report,
+        # semdedup_report and ivf_index_probe in-window).
+        "unicode_anomaly_report": _q_unicode_anomaly,
+        "boilerplate_affixes": _q_boilerplate_affixes,
         "embedding_neardup": _q_embedding_neardup,
         "source_jaccard_matrix": _q_source_jaccard,  # r10 rotation: displaces similarity_lsh_topk (9 official greens)
         "bpe_pair_counts": _q_bpe_pairs,
@@ -5385,10 +5871,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # independently re-verified by the r8 judge, 0 failures) --
         "dedup_sig_incremental": _q_sig_incremental,
         "semdedup_report": _q_semdedup,
-        "source_kl_matrix": _q_source_kl,
+        # r13 late: source_entropy_report (per-source unigram Shannon
+        # entropy) enters, displacing source_kl_matrix (4 official
+        # greens; the distribution-drift family keeps psi_drift_matrix
+        # and source_jaccard_matrix in-window).
+        "source_entropy_report": _q_source_entropy,
         "embedding_outlier_report": _q_embedding_outliers,
-        "quality_lm_correlation": _q_quality_lm_corr,
-        "corpus_diff_report": _q_corpus_diff,
+        # r13 late: events_funnel_ordered (greedy-earliest funnel
+        # conversion) enters, displacing quality_lm_correlation (4
+        # official greens; the quality family keeps sweep, both
+        # probes, interaction matrix, exemplars and quality_shift
+        # in-window).
+        "events_funnel_ordered": _q_events_funnel,
+        # r13 late: heaps_law_fit (vocabulary-growth curve + log-log
+        # fit) enters, displacing corpus_diff_report (4 official
+        # greens; the pipeline family keeps pipeline_stage_counts and
+        # dataset_card in-window).
+        "heaps_law_fit": _q_heaps_law,
         # r12 new-operator rotation: filter_interaction_matrix enters,
         # displacing dsir_weights (5 greens; the DSIR family keeps
         # dsir_select — the entry that consumes the weights —
@@ -5402,7 +5901,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_pairs": _q_containment,
         "psi_drift_matrix": _q_psi_matrix,
         "filter_threshold_sweep": _q_threshold_sweep,
-        "boilerplate_grams": _q_boilerplate,
+        # r13 late: events_rate_anomaly (integer rolling-z² hourly rate
+        # monitor) enters, displacing boilerplate_grams (4 official
+        # greens; the word-stats family keeps lexical_diversity,
+        # blocklist_report and the new boilerplate_affixes in-window).
+        "events_rate_anomaly": _q_events_rate_anomaly,
         "key_skew_report": _q_key_skew,
         "pii_density_report": _q_pii_density,
         "bm25_relevance": _q_bm25,
@@ -5422,6 +5925,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_repetition,
         "dedup_apply_counts": _q_dedup_apply,
         "pmi_collocations": _q_pmi_collocations,  # rotated out r13 late (3 greens)
+        # r13 late rotated out (11 greens each) for charclass /
+        # unicode-anomaly / boilerplate-affixes:
+        "dedup_jaccard_pairs": _q_jaccard,
+        "text_winnow": _q_text_winnow,
+        "embedding_top1": _q_embedding_top1,
+        "stratified_sample_docs": _q_stratified_sample,  # rotated out r13 late (9 greens) for dedup_method_agreement
+        "source_kl_matrix": _q_source_kl,  # rotated out r13 late (4 greens) for source_entropy_report
+        "corpus_diff_report": _q_corpus_diff,  # rotated out r13 late (4 greens) for heaps_law_fit
+        "boilerplate_grams": _q_boilerplate,  # rotated out r13 late (4 greens) for events_rate_anomaly
+        "quality_lm_correlation": _q_quality_lm_corr,  # rotated out r13 late (4 greens) for events_funnel_ordered
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -5693,6 +6206,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_quality_shift": _dedup_quality_shift_duck(),
         "tokenizer_fertility": TOKENIZER_FERTILITY_DUCK,
         "quality_exemplars": _quality_exemplars_duck(),
+        "dedup_method_agreement": _method_agreement_duck(),
+        "heaps_law_fit": HEAPS_LAW_DUCK,
+        "events_rate_anomaly": EVENTS_RATE_ANOMALY_DUCK,
+        "events_funnel_ordered": EVENTS_FUNNEL_DUCK,
+        "source_entropy_report": SOURCE_ENTROPY_DUCK,
+        "charclass_composition": _charclass_duck(),
+        "unicode_anomaly_report": _unicode_anomaly_duck(),
+        "boilerplate_affixes": BOILERPLATE_AFFIXES_DUCK,
         "dedup_containment_pairs": CONTAINMENT_DUCK,
         "pii_density_report": _pii_density_duck(),
         "lexical_diversity": LEXDIV_DUCK,

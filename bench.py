@@ -115,6 +115,27 @@ EXTRAS = [
     "lexical_diversity",
     "blocklist_report",
     "length_quantiles",
+    # round 12
+    "filter_interaction_matrix",
+    "cluster_size_histogram",
+    "lsh_parameter_plan",
+    # round 13
+    "dedup_flow_matrix",
+    "jaccard_threshold_curve",
+    "tokenizer_fertility",
+    "quality_exemplars",
+    "dedup_quality_shift",
+    "split_leakage_report",
+    "corpus_fingerprint",
+    "quality_class_probe",
+    "charclass_composition",
+    "unicode_anomaly_report",
+    "boilerplate_affixes",
+    "dedup_method_agreement",
+    "heaps_law_fit",
+    "source_entropy_report",
+    "events_rate_anomaly",
+    "events_funnel_ordered",
 ]
 
 HEADLINE = [

@@ -41,6 +41,7 @@ __all__ = [
     "jaccard_threshold_curve",
     "split_leakage_report",
     "dedup_quality_shift",
+    "method_agreement_report",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -1427,3 +1428,121 @@ def jaccard_threshold_curve(
         )
         .orderBy("threshold_pct")
     )
+
+
+def method_agreement_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    bits: int = 32,
+    max_hamming: int = 3,
+    jaccard_pct: int = 50,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Blocking-method agreement audit (r13): MinHash-LSH vs SimHash
+    candidate generation over the same corpus, cross-checked against
+    the exact n-gram Jaccard — which dup families does each method
+    find that the other misses, and how real are they?  The
+    cross-METHOD companion to :func:`minhash_estimate_report` (which
+    calibrates one method against ground truth): per agreement cell
+    (``both`` / ``minhash_only`` / ``simhash_only``) the pair count,
+    the count whose exact Jaccard clears ``jaccard_pct`` (the integer
+    cross-multiplied predicate ``100·inter ≥ t·union`` — no double
+    jaccard), the mean exact Jaccard and the true-pair share, both as
+    half-up BIGINT micro.  A large ``simhash_only`` cell with high
+    mean Jaccard means the LSH banding is tuned too tight (see
+    :func:`lsh_parameter_plan`); a large low-Jaccard ``both`` cell
+    means the shingle width k is too small for the corpus.
+
+    Spark shape: both candidate generators keep their native blocked
+    join shapes (band/bucket equi-join; chunk pigeonhole equi-join —
+    never all-pairs); the exact stats come from ONE posting-list
+    self-join LEFT-joined to the candidate union, so a band-collision
+    pair sharing no shingle reports Jaccard 0 instead of dropping
+    out.  Everything md5-derived and integer-arithmetic, so the whole
+    report replays in a DuckDB oracle."""
+    mh = (
+        lsh_candidate_pairs(
+            df, id_col, text_col, k, num_hashes, bands, max_df
+        )
+        .select("id_a", "id_b")
+        .withColumn("__m", F.lit(1))
+    )
+    sh = (
+        simhash_near_dups(df, id_col, text_col, bits, max_hamming)
+        .select("id_a", "id_b")
+        .withColumn("__s", F.lit(1))
+    )
+    cand = mh.join(sh, ["id_a", "id_b"], "full_outer")
+
+    postings = _df_capped(shingle_tokens(df, id_col, text_col, k), max_df)
+    from pyspark import StorageLevel
+
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = postings.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(
+        F.col("id").alias("id_a"), F.col("n_shingles").alias("__ca")
+    )
+    sb = sizes.select(
+        F.col("id").alias("id_b"), F.col("n_shingles").alias("__cb")
+    )
+    stats = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .select(
+            F.when(F.col("__m").isNotNull() & F.col("__s").isNotNull(), "both")
+            .when(F.col("__m").isNotNull(), "minhash_only")
+            .otherwise("simhash_only")
+            .alias("method"),
+            F.coalesce(F.col("__inter"), F.lit(0)).cast("long").alias("i"),
+            (
+                F.coalesce(F.col("__ca"), F.lit(0))
+                + F.coalesce(F.col("__cb"), F.lit(0))
+                - F.coalesce(F.col("__inter"), F.lit(0))
+            ).cast("long").alias("u"),
+        )
+        .select(
+            "method",
+            F.expr(
+                f"CASE WHEN u > 0 AND 100 * i >= {int(jaccard_pct)} * u "
+                "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            ).alias("istrue"),
+            F.expr(
+                "(2 * 1000000 * i + greatest(u, CAST(1 AS BIGINT))) "
+                "DIV (2 * greatest(u, CAST(1 AS BIGINT)))"
+            ).alias("jmicro"),
+        )
+    )
+    agg = stats.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("istrue").alias("n_true_pairs"),
+        F.sum("jmicro").alias("__sj"),
+    )
+    return agg.select(
+        "method",
+        "n_pairs",
+        "n_true_pairs",
+        F.expr(
+            "(2 * __sj + n_pairs) DIV (2 * n_pairs)"
+        ).alias("mean_jaccard_micro"),
+        F.expr(
+            "(2 * 1000000 * n_true_pairs + n_pairs) DIV (2 * n_pairs)"
+        ).alias("true_frac_micro"),
+    ).orderBy("method")

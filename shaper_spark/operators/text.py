@@ -46,6 +46,11 @@ __all__ = [
     "quality_class_probe",
     "tokenizer_fertility",
     "quality_exemplars",
+    "charclass_composition",
+    "unicode_anomaly_report",
+    "boilerplate_affixes",
+    "heaps_law_fit",
+    "source_entropy_report",
     "punct_count_sql",
     "folded_padded_sql",
     "stopword_count_sql",
@@ -840,6 +845,242 @@ def quality_class_probe(
             F.sum("__stop").alias("sum_stop"),
         )
         .orderBy(group_col)
+    )
+
+
+# ASCII punctuation (the 32 printable non-alnum non-space chars) and
+# the non-whitespace control codes, both spelled as chr() chains so no
+# quote-escaping or raw control byte ever appears in the SQL text —
+# the literal parses identically on every engine.
+_ASCII_PUNCT_CODES = (
+    tuple(range(33, 48))
+    + tuple(range(58, 65))
+    + tuple(range(91, 97))
+    + tuple(range(123, 127))
+)
+_CTRL_CODES_NONWS = tuple(range(1, 9)) + tuple(range(14, 32)) + (127,)
+
+
+def _chr_alphabet_sql(codes: tuple[int, ...]) -> str:
+    return " || ".join(f"chr({c})" for c in codes)
+
+
+def class_count_sql(text: str, alphabet_sql: str) -> str:
+    """Count of characters of ``text`` belonging to an explicit
+    alphabet: delete them with ``translate`` and diff the lengths.
+    The engine-proof complement of :func:`punct_count_sql` — an
+    explicit character list has one possible meaning in any engine."""
+    return (
+        f"(length({text}) - length(translate({text}, "
+        f"{alphabet_sql}, '')))"
+    )
+
+
+def _share_micro_sql(cnt: str, tot: str, int_div: str = "DIV") -> str:
+    """Half-up BIGINT micro share ``round(1e6·cnt/tot)`` with a
+    guarded denominator — pure integer arithmetic, engine-identical."""
+    g = f"greatest(CAST({tot} AS BIGINT), CAST(1 AS BIGINT))"
+    return (
+        f"((2 * 1000000 * CAST({cnt} AS BIGINT) + {g}) "
+        f"{int_div} (2 * {g}))"
+    )
+
+
+def charclass_composition(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group character-class composition profile — the corpus
+    "what is this text made of" audit (ASCII letters / digits /
+    whitespace / punctuation / control, with the residue = non-ASCII
+    plus NUL as ``other``).  A crawl source whose ``other_micro``
+    or ``ctrl_micro`` jumps between releases changed encoding or
+    picked up binary junk — the upstream alarm for every
+    translate-based count downstream.
+
+    Engine-proof by construction (r13): every class is an EXPLICIT
+    alphabet counted via translate/length arithmetic (no regex, no
+    locale), shares are half-up BIGINT micro.  ONE scan → one
+    |groups|-bounded hash-agg with map-side partials; scale-ready at
+    any corpus size.  No reference counterpart; §2C."""
+    letters = f"'{_ASCII_UPPER}{_ASCII_LOWER}'"
+    digits = "'0123456789'"
+    ws = "' ' || " + _chr_alphabet_sql(_WS_CODES)
+    punct = _chr_alphabet_sql(_ASCII_PUNCT_CODES)
+    ctrl = _chr_alphabet_sql(_CTRL_CODES_NONWS)
+    staged = df.select(
+        F.col(group_col),
+        F.length(text_col).cast("long").alias("__nc"),
+        *[
+            F.expr(class_count_sql(text_col, alpha))
+            .cast("long")
+            .alias(name)
+            for name, alpha in (
+                ("__let", letters),
+                ("__dig", digits),
+                ("__ws", ws),
+                ("__pun", punct),
+                ("__ctl", ctrl),
+            )
+        ],
+    )
+    agg = staged.groupBy(F.col(group_col).alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nc").alias("n_chars"),
+        F.sum("__let").alias("__slet"),
+        F.sum("__dig").alias("__sdig"),
+        F.sum("__ws").alias("__sws"),
+        F.sum("__pun").alias("__spun"),
+        F.sum("__ctl").alias("__sctl"),
+    )
+    other = "(n_chars - __slet - __sdig - __sws - __spun - __sctl)"
+    return agg.select(
+        F.col(group_col),
+        "n_docs",
+        "n_chars",
+        F.expr(_share_micro_sql("__slet", "n_chars")).alias(
+            "letters_micro"
+        ),
+        F.expr(_share_micro_sql("__sdig", "n_chars")).alias(
+            "digits_micro"
+        ),
+        F.expr(_share_micro_sql("__sws", "n_chars")).alias("ws_micro"),
+        F.expr(_share_micro_sql("__spun", "n_chars")).alias(
+            "punct_micro"
+        ),
+        F.expr(_share_micro_sql("__sctl", "n_chars")).alias(
+            "ctrl_micro"
+        ),
+        F.expr(_share_micro_sql(other, "n_chars")).alias("other_micro"),
+    ).orderBy(group_col)
+
+
+# Unicode anomaly classes: codepoints that should essentially never
+# appear in clean training text.  Non-ASCII members are emitted into
+# the SQL text as UTF-8 string literals built with Python chr() (this
+# source file stays ASCII; identical literal bytes parse identically
+# in any engine); control codes go through SQL chr() chains.
+def _uliteral(*codepoints: int) -> str:
+    return "'" + "".join(chr(c) for c in codepoints) + "'"
+
+
+_ANOMALY_CLASSES: tuple[tuple[str, str], ...] = (
+    ("control", _chr_alphabet_sql(_CTRL_CODES_NONWS)),
+    ("nbsp", _uliteral(0xA0)),
+    ("replacement_char", _uliteral(0xFFFD)),
+    ("zero_width", _uliteral(0x200B, 0x200C, 0x200D, 0xFEFF)),
+    (
+        "bidi_marks",
+        _uliteral(0x200E, 0x200F, 0x202A, 0x202B, 0x202C, 0x202D, 0x202E),
+    ),
+)
+
+
+def unicode_anomaly_report(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group Unicode anomaly audit — occurrences and affected-doc
+    counts of the codepoint classes that mark mojibake and scraper
+    damage (non-whitespace control chars, NBSP, U+FFFD replacement
+    chars, zero-width chars, bidi override marks).  This is exactly
+    the corpus-content class that made byte-UNexplicit counts diverge
+    between engines (r12 verdict): the detector for the inputs the
+    engine-proof rewrite defends against.
+
+    Each class is an explicit alphabet counted with translate/length
+    arithmetic (control codes via chr() chains, the rest as raw UTF-8
+    literals — no regex, no locale); rates are half-up BIGINT micro
+    per character.  ONE scan → one |groups|-bounded hash-agg, then a
+    ``stack`` unpivot of the ≤|groups|×5 frame.  No reference
+    counterpart; §2C."""
+    staged = df.select(
+        F.col(group_col),
+        F.length(text_col).cast("long").alias("__nc"),
+        *[
+            F.expr(class_count_sql(text_col, alpha))
+            .cast("long")
+            .alias(f"__h_{name}")
+            for name, alpha in _ANOMALY_CLASSES
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nc").alias("__snc"),
+    ]
+    for name, _ in _ANOMALY_CLASSES:
+        aggs.append(F.sum(f"__h_{name}").alias(f"__s_{name}"))
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"__h_{name}") > 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"__d_{name}")
+        )
+    agg = staged.groupBy(F.col(group_col).alias(group_col)).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __s_{name}, __d_{name}" for name, _ in _ANOMALY_CLASSES
+    )
+    stacked = agg.select(
+        F.col(group_col),
+        F.col("__snc"),
+        F.expr(
+            f"stack({len(_ANOMALY_CLASSES)}, {stack_args}) "
+            "AS (anomaly, n_hits, n_docs_affected)"
+        ),
+    )
+    return stacked.select(
+        F.col(group_col),
+        "anomaly",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_docs_affected").cast("long").alias("n_docs_affected"),
+        F.expr(_share_micro_sql("n_hits", "__snc")).alias(
+            "hits_per_char_micro"
+        ),
+    ).orderBy(group_col, "anomaly")
+
+
+def boilerplate_affixes(
+    df: DataFrame,
+    text_col: str,
+    affix_len: int = 24,
+    min_docs: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top shared document prefixes and suffixes by document reach —
+    the header/footer boilerplate detector (license banners, nav
+    crumbs, cookie notices live at document EDGES, where
+    :func:`boilerplate_grams` must compete with every interior
+    shingle).  A fixed-width affix is an exact-match key, so the scan
+    emits one (kind, affix) pair per side per document via a 2-row
+    ``stack`` — ONE corpus scan, one hash-agg on bounded ≤affix_len
+    keys.  The ``min_docs`` floor (boilerplate means SHARED) bounds
+    the ranked frame far below corpus size before the per-kind
+    row_number window; ties break on the affix text so top-n replays
+    deterministically in any engine.  No reference counterpart; §2C."""
+    from pyspark.sql.window import Window
+
+    suffix_start = f"greatest(length({text_col}) - {affix_len - 1}, 1)"
+    staged = df.select(
+        F.expr(
+            f"stack(2, 'prefix', substring({text_col}, 1, {affix_len}), "
+            f"'suffix', substring({text_col}, {suffix_start}, "
+            f"{affix_len})) AS (kind, affix)"
+        )
+    )
+    agg = (
+        staged.groupBy("kind", "affix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    w = Window.partitionBy("kind").orderBy(
+        F.col("n_docs").desc(), F.col("affix")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("kind", "affix", "n_docs", "rnk")
+        .orderBy("kind", "rnk")
     )
 
 
@@ -2394,3 +2635,128 @@ def filter_interaction_matrix(
         )
         .orderBy("combo")
     )
+
+
+def heaps_law_fit(
+    df: DataFrame, text_col: str, bucket_col: str
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β over ordered
+    corpus buckets (crawl snapshots, ingest days, shard indexes).
+    Natural-language corpora grow vocabulary at β ≈ 0.4–0.6; a β
+    drifting toward 1 means unbounded novel "vocabulary" (hash junk,
+    IDs, mojibake), toward 0 means the crawl is re-collecting the
+    same text — the vocabulary-side twin of
+    :func:`ngram_novelty_curve`'s gram-side saturation signal.
+
+    Returns per-bucket rows (bucket, bucket_tokens, new_vocab,
+    cum_tokens, cum_vocab) with the global log-log fit (beta, r2)
+    repeated on each row — `regr_slope(ln V, ln N)` over the ≤|buckets|
+    cumulative points, both native mergeable aggregates, so the whole
+    report replays in ANSI SQL.
+
+    Spark shape: ONE token explode → (bucket, word-hash) hash-agg
+    with map-side partials (xxhash64, not the word string: the output
+    is counts only, so the 8-byte engine-internal key never crosses an
+    engine boundary); word first-bucket is ONE groupBy(h) min — never
+    a per-word window (a stopword's occurrence list would be an
+    unsplittable skew partition).  Everything after is
+    |buckets|-bounded; the cumulative window and the regression run on
+    that tiny frame."""
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(bucket_col).alias("__b"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    ).filter(F.length("__w") > 0)
+    hashed = words.select("__b", F.xxhash64("__w").alias("__h"))
+    bw = (
+        hashed.repartition("__h")
+        .groupBy("__b", "__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    first = bw.groupBy("__h").agg(F.min("__b").alias("__fb"))
+    per = (
+        bw.join(first, "__h")
+        .groupBy("__b")
+        .agg(
+            F.sum("__c").cast("long").alias("bucket_tokens"),
+            F.sum(
+                F.when(F.col("__b") == F.col("__fb"), 1).otherwise(0)
+            ).cast("long").alias("new_vocab"),
+        )
+    )
+    w = Window.orderBy("__b")
+    cum = per.select(
+        F.col("__b").alias(bucket_col),
+        "bucket_tokens",
+        "new_vocab",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_vocab").over(w).cast("long").alias("cum_vocab"),
+    )
+    # Degenerate-fit guard: with zero variance in ln V (a saturated or
+    # single-bucket corpus) regr_r2 is 0/0 and ENGINE-DEFINED (Spark
+    # returns 1, DuckDB 0.36…), and regr_slope returns a signed zero —
+    # emit NULL for both instead, identically in any engine.
+    guard = "var_samp(ln(cum_vocab)) > 1E-12"
+    fit = cum.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).agg(
+        F.expr(
+            f"CASE WHEN {guard} THEN "
+            "round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) END"
+        ).alias("beta"),
+        F.expr(
+            f"CASE WHEN {guard} THEN "
+            "round(regr_r2(ln(cum_vocab), ln(cum_tokens)), 6) END"
+        ).alias("r2"),
+    )
+    return cum.crossJoin(F.broadcast(fit)).orderBy(bucket_col)
+
+
+def source_entropy_report(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group unigram Shannon entropy — the one-number
+    distribution-health readout beside :func:`source_kl_matrix`'s
+    pairwise view and :func:`zipf_slope`'s rank-frequency fit.
+    H = ln T − (Σ c·ln c)/T nats over the group's token counts;
+    norm_entropy = H / ln V (the fraction of the V-symbol maximum, 1.0
+    = uniform) — a source whose entropy collapses between releases got
+    template-flooded; one climbing toward ln V picked up random junk.
+
+    Returns (group, n_tokens, n_distinct, entropy_nats, norm_entropy),
+    6-dp rounded doubles via natively mergeable aggregates (the
+    zipf_slope precedent), ANSI-replayable.  Spark shape: ONE token
+    explode → (group, word) hash-agg with map-side partials → a
+    vocab-bounded per-group fold; nothing is corpus² and no windows
+    anywhere."""
+    words = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__w"),
+    ).filter(F.length("__w") > 0)
+    counts = words.groupBy("__g", "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = counts.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))
+        ).alias("__s"),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("__s") / F.col(
+        "n_tokens"
+    ).cast("double")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 6).alias("entropy_nats"),
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1,
+                h / F.log(F.col("n_distinct").cast("double")),
+            ),
+            6,
+        ).alias("norm_entropy"),
+    ).orderBy(group_col)

@@ -55,6 +55,8 @@ ADVERSARIAL_TEXTS = [
     "Ⅻ ⅛ the ② and",  # numeric-like unicode
     "ẖ ṫ the ʼn and",  # combining-char casefold edge
     "the. and, of; to: a!",  # punctuation glued to stopwords
+    "bad�decode the zero​width and b‮idi",  # U+FFFD / ZWSP / RLO
+    "bom﻿mark the joiner‍‌ and nbsp",  # BOM / ZWJ / ZWNJ / NBSP
 ]
 
 
@@ -116,6 +118,13 @@ TEXT_FAMILY = [
     "tokenizer_fertility",
     "quality_exemplars",
     "jaccard_threshold_curve",
+    # r13 late entries built FOR this corpus class: explicit-alphabet
+    # translate counts (charclass/anomaly) and fixed-width affix keys
+    # must replay bit-identically on control chars / NBSP / zero-width
+    # / NUL / empty texts
+    "charclass_composition",
+    "unicode_anomaly_report",
+    "boilerplate_affixes",
     "text_token_stats",
     "length_quantiles",
     "canary_scan",

@@ -69,11 +69,20 @@ def test_prefix_50_covers_the_diverse_surface():
         # official window (they were judge-green only through r8; the
         # displaced entries each held >=2 official greens and keep a
         # hash-checked family representative in the prefix)
-        "dedup_sig_incremental", "semdedup_report", "source_kl_matrix",
-        "embedding_outlier_report", "quality_lm_correlation",
-        "corpus_diff_report", "dsir_select",
+        # r13 late: source_entropy_report / heaps_law_fit displace
+        # source_kl_matrix / corpus_diff_report (4 greens each; the
+        # drift family keeps psi+jaccard matrices, pipeline keeps
+        # stage_counts+dataset_card in-window)
+        "dedup_sig_incremental", "semdedup_report",
+        "source_entropy_report", "heaps_law_fit",
+        # r13 late: events_rate_anomaly / events_funnel_ordered
+        # displace boilerplate_grams / quality_lm_correlation (4
+        # greens each; word-stats keeps lexdiv/blocklist/affixes,
+        # quality keeps sweep/probes/interaction/exemplars/shift)
+        "embedding_outlier_report", "events_funnel_ordered",
+        "dsir_select", "events_rate_anomaly",
         "psi_drift_matrix", "filter_threshold_sweep",
-        "boilerplate_grams", "key_skew_report",
+        "key_skew_report",
         "bm25_relevance", "ivf_index_probe",
         "dataset_card",
         # round-11 NEW operators (enter immediately per policy,
@@ -81,11 +90,20 @@ def test_prefix_50_covers_the_diverse_surface():
         "dedup_containment_pairs", "pii_density_report",
         # perf-watch entries stay officially recorded while >2x
         "remove_dup_spans", "pipeline_stage_counts",
-        # core families (one hash-checked representative each)
-        "q5_region_revenue", "stratified_sample_docs",
-        "dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "embedding_top1", "embedding_neardup",
-        "text_winnow", "pack_sequences_budget", "stream_rollup_daily",
+        # core families (one hash-checked representative each).
+        # r13 late: dedup_jaccard_pairs / text_winnow / embedding_top1
+        # (11 greens each) rotated out for charclass_composition /
+        # unicode_anomaly_report / boilerplate_affixes — dedup keeps
+        # minhash_lsh + 7 more reps, embeddings keep neardup/outlier/
+        # semdedup, fingerprints stay pytest-pinned
+        # r13 late: dedup_method_agreement (cross-method blocking
+        # audit) displaces stratified_sample_docs (9 greens; the hash
+        # split stays exercised by split_leakage_report in-window)
+        "q5_region_revenue", "dedup_method_agreement",
+        "dedup_minhash_lsh", "embedding_neardup",
+        "pack_sequences_budget", "stream_rollup_daily",
+        "charclass_composition", "unicode_anomaly_report",
+        "boilerplate_affixes",
         # round-10 NEW operators (enter immediately per policy,
         # displacing simhash_near_pairs / similarity_lsh_topk — 9
         # official greens EACH; the near-dup-hash family keeps

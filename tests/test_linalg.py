@@ -348,6 +348,63 @@ class TestMinhashEstimateReport:
             assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 2e-6
 
 
+class TestMethodAgreementReport:
+    def test_identical_pair_lands_in_both_at_full_jaccard(self, spark):
+        from shaper_spark.operators.dedup import method_agreement_report
+
+        txt = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        df = spark.createDataFrame(
+            [(1, txt), (2, txt), (3, "q1 q2 q3 q4 q5 q6 q7 q8")],
+            "doc_id long, text string",
+        )
+        rows = method_agreement_report(df, "doc_id", "text").collect()
+        by = {r.method: r for r in rows}
+        # the identical pair is found by BOTH methods (LSH: equal
+        # signatures; simhash: hamming 0) and scores exact jaccard 1
+        assert "both" in by
+        b = by["both"]
+        assert b.n_pairs >= 1 and b.n_true_pairs >= 1
+        assert b.mean_jaccard_micro >= 500000
+
+    def test_cells_partition_the_candidate_union(self, spark):
+        from shaper_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            method_agreement_report,
+            simhash_near_dups,
+        )
+
+        docs = spark.table("documents").filter("doc_id < 150")
+        mh = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(
+                docs, "doc_id", "text", 3, 8, 4
+            ).collect()
+        }
+        sh = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_dups(
+                docs, "doc_id", "text", 32, 3
+            ).collect()
+        }
+        rows = method_agreement_report(
+            docs, "doc_id", "text", k=3, num_hashes=8, bands=4,
+            bits=32, max_hamming=3,
+        ).collect()
+        by = {r.method: r.n_pairs for r in rows}
+        assert by.get("both", 0) == len(mh & sh)
+        assert by.get("minhash_only", 0) == len(mh - sh)
+        assert by.get("simhash_only", 0) == len(sh - mh)
+
+    def test_true_pairs_never_exceed_pairs(self, spark):
+        from shaper_spark.operators.dedup import method_agreement_report
+
+        docs = spark.table("documents").filter("doc_id < 150")
+        for r in method_agreement_report(docs, "doc_id", "text").collect():
+            assert 0 <= r.n_true_pairs <= r.n_pairs
+            assert 0 <= r.true_frac_micro <= 1000000
+            assert 0 <= r.mean_jaccard_micro <= 1000000
+
+
 class TestPca:
     def test_components_orthonormal_and_variance_ordered(self, spark):
         import numpy as np

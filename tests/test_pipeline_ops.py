@@ -1606,3 +1606,215 @@ class TestDedupQualityShift:
         ).collect()
         assert (r.n_before, r.n_after) == (2, 1)
         assert r.mean_q_after_micro is not None
+
+
+class TestCharclassComposition:
+    def test_hand_computed_shares(self, spark):
+        from shaper_spark.operators.text import charclass_composition
+
+        docs = spark.createDataFrame(
+            # "Ab1 !": 2 letters, 1 digit, 1 space, 1 punct
+            # "a\x01X": 1 letter, 1 control, 1 non-ASCII residue
+            [(1, "Ab1 !", "s"), (2, "a\x01é", "s")],
+            "doc_id long, text string, source string",
+        )
+        (r,) = charclass_composition(docs, "text", "source").collect()
+        assert (r.n_docs, r.n_chars) == (2, 8)
+        assert r.letters_micro == 375000  # 3/8
+        assert r.digits_micro == 125000
+        assert r.ws_micro == 125000
+        assert r.punct_micro == 125000
+        assert r.ctrl_micro == 125000
+        assert r.other_micro == 125000
+
+    def test_tab_and_vtab_count_as_whitespace_not_control(self, spark):
+        from shaper_spark.operators.text import charclass_composition
+
+        docs = spark.createDataFrame(
+            [(1, "a\tb\x0bc", "s")],
+            "doc_id long, text string, source string",
+        )
+        (r,) = charclass_composition(docs, "text", "source").collect()
+        # \t and \x0B are whitespace (Java-\s parity), NOT control
+        assert r.ws_micro == 400000  # 2/5
+        assert r.ctrl_micro == 0
+        assert r.other_micro == 0
+
+    def test_empty_text_is_all_zero_shares(self, spark):
+        from shaper_spark.operators.text import charclass_composition
+
+        docs = spark.createDataFrame(
+            [(1, "", "s")], "doc_id long, text string, source string"
+        )
+        (r,) = charclass_composition(docs, "text", "source").collect()
+        assert r.n_chars == 0
+        assert r.letters_micro == 0 and r.other_micro == 0
+
+
+class TestUnicodeAnomalyReport:
+    def test_hand_computed_hits(self, spark):
+        from shaper_spark.operators.text import unicode_anomaly_report
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a\xa0b", "s"),  # NBSP
+                (2, "x\u200by\ufffd", "s"),  # ZWSP + replacement char
+                (3, "plain", "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = unicode_anomaly_report(docs, "text", "source").collect()
+        by = {r.anomaly: r for r in rows}
+        assert sorted(by) == [
+            "bidi_marks", "control", "nbsp", "replacement_char",
+            "zero_width",
+        ]
+        assert (by["nbsp"].n_hits, by["nbsp"].n_docs_affected) == (1, 1)
+        assert by["replacement_char"].n_hits == 1
+        assert by["zero_width"].n_hits == 1
+        assert by["control"].n_hits == 0
+        assert by["bidi_marks"].n_docs_affected == 0
+        # 1 hit in 12 chars -> half-up micro 83333
+        assert by["nbsp"].hits_per_char_micro == 83333
+
+    def test_multiple_hits_in_one_doc(self, spark):
+        from shaper_spark.operators.text import unicode_anomaly_report
+
+        docs = spark.createDataFrame(
+            [(1, "\u202a\u202b\u202c", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = unicode_anomaly_report(docs, "text", "source").collect()
+        by = {r.anomaly: r for r in rows}
+        assert (by["bidi_marks"].n_hits, by["bidi_marks"].n_docs_affected) == (
+            3, 1,
+        )
+        assert by["bidi_marks"].hits_per_char_micro == 1000000
+
+
+class TestBoilerplateAffixes:
+    def test_shared_prefix_detected(self, spark):
+        from shaper_spark.operators.text import boilerplate_affixes
+
+        docs = spark.createDataFrame(
+            [(1, "HEADER one", "s"), (2, "HEADER two", "s"),
+             (3, "unique", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = boilerplate_affixes(docs, "text", affix_len=6).collect()
+        assert [(r.kind, r.affix, r.n_docs, r.rnk) for r in rows] == [
+            ("prefix", "HEADER", 2, 1)
+        ]
+
+    def test_shared_suffix_detected(self, spark):
+        from shaper_spark.operators.text import boilerplate_affixes
+
+        docs = spark.createDataFrame(
+            [(1, "x COPYRIGHT", "s"), (2, "yy COPYRIGHT", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = boilerplate_affixes(docs, "text", affix_len=9).collect()
+        assert [(r.kind, r.affix, r.n_docs) for r in rows] == [
+            ("suffix", "COPYRIGHT", 2)
+        ]
+
+    def test_short_text_affix_is_whole_text(self, spark):
+        from shaper_spark.operators.text import boilerplate_affixes
+
+        docs = spark.createDataFrame(
+            [(1, "tiny", "s"), (2, "tiny", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = boilerplate_affixes(docs, "text", affix_len=24).collect()
+        got = {(r.kind, r.affix, r.n_docs) for r in rows}
+        assert got == {("prefix", "tiny", 2), ("suffix", "tiny", 2)}
+
+    def test_tie_break_is_deterministic(self, spark):
+        from shaper_spark.operators.text import boilerplate_affixes
+
+        docs = spark.createDataFrame(
+            [(1, "bbb x"), (2, "bbb y"), (3, "aaa x"), (4, "aaa y")],
+            "doc_id long, text string",
+        )
+        rows = boilerplate_affixes(docs, "text", affix_len=3).collect()
+        pref = [(r.affix, r.rnk) for r in rows if r.kind == "prefix"]
+        assert pref == [("aaa", 1), ("bbb", 2)]
+
+
+class TestHeapsLawFit:
+    def test_perfect_linear_growth_fits_beta_one(self, spark):
+        from shaper_spark.operators.text import heaps_law_fit
+
+        # bucket b contributes 2^b brand-new words: cum_vocab ==
+        # cum_tokens at every point, so ln V = ln N exactly -> beta 1
+        rows = [
+            (b, " ".join(f"w{b}_{i}" for i in range(2 ** b)))
+            for b in range(4)
+        ]
+        df = spark.createDataFrame(rows, "bucket int, text string")
+        out = heaps_law_fit(df, "text", "bucket").collect()
+        assert [r.bucket_tokens for r in out] == [1, 2, 4, 8]
+        assert [r.cum_vocab for r in out] == [1, 3, 7, 15]
+        assert [r.cum_tokens for r in out] == [1, 3, 7, 15]
+        assert out[0].beta == 1.0
+        assert out[0].r2 == 1.0
+
+    def test_saturated_vocab_fit_is_null(self, spark):
+        from shaper_spark.operators.text import heaps_law_fit
+
+        # same single word everywhere: ln V has zero variance, the
+        # 0/0 r2 is engine-defined -> the guard emits NULL
+        df = spark.createDataFrame(
+            [(b, "w w w") for b in range(4)], "bucket int, text string"
+        )
+        out = heaps_law_fit(df, "text", "bucket").collect()
+        assert [r.cum_vocab for r in out] == [1, 1, 1, 1]
+        assert out[0].beta is None and out[0].r2 is None
+
+    def test_sublinear_growth_beta_below_one(self, spark):
+        from shaper_spark.operators.text import heaps_law_fit
+
+        # repeated words dilute growth: beta must land strictly
+        # inside (0, 1)
+        rows = [
+            (b, " ".join([f"new{b}_{i}" for i in range(b + 1)]
+                         + ["the"] * (3 * b + 1)))
+            for b in range(5)
+        ]
+        df = spark.createDataFrame(rows, "bucket int, text string")
+        out = heaps_law_fit(df, "text", "bucket").collect()
+        assert 0.0 < out[0].beta < 1.0
+        assert out[0].r2 is not None
+
+
+class TestSourceEntropyReport:
+    def test_hand_computed_entropy(self, spark):
+        import math
+
+        from shaper_spark.operators.text import source_entropy_report
+
+        df = spark.createDataFrame(
+            [(1, "a a b b", "s"), (2, "c c c", "t")],
+            "doc_id long, text string, source string",
+        )
+        rows = source_entropy_report(df, "text", "source").collect()
+        by = {r.source: r for r in rows}
+        s = by["s"]
+        assert (s.n_tokens, s.n_distinct) == (4, 2)
+        assert abs(s.entropy_nats - math.log(2)) < 1e-6
+        assert s.norm_entropy == 1.0
+        t = by["t"]
+        assert (t.n_tokens, t.n_distinct) == (3, 1)
+        assert t.entropy_nats == 0.0
+        assert t.norm_entropy is None  # single-symbol: ln V == 0
+
+    def test_uniform_beats_skewed(self, spark):
+        from shaper_spark.operators.text import source_entropy_report
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "uni"), (2, "a a a d", "skew")],
+            "doc_id long, text string, source string",
+        )
+        rows = source_entropy_report(df, "text", "source").collect()
+        by = {r.source: r.entropy_nats for r in rows}
+        assert by["uni"] > by["skew"]

@@ -1,0 +1,139 @@
+"""Unit tests for operators/timeseries.py — rolling integer-z² anomaly
+bands and ordered funnel conversion (hand-computed fixtures; the
+engine differential runs via the events_rate_anomaly /
+events_funnel_ordered entries in tests/oracle_check.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from shaper_spark.operators.timeseries import (
+    event_funnel,
+    rolling_anomaly_bands,
+)
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _hour(i: int) -> dt.datetime:
+    return BASE + dt.timedelta(hours=i)
+
+
+class TestRollingAnomalyBands:
+    def _mk(self, spark, counts):
+        rows = []
+        for i, c in enumerate(counts):
+            rows += [("g", _hour(i)) for _ in range(c)]
+        return spark.createDataFrame(rows, "grp string, ts timestamp")
+
+    def test_spike_over_flat_history_flags(self, spark):
+        df = self._mk(spark, [10, 10, 10, 10, 100])
+        out = rolling_anomaly_bands(
+            df, "ts", "grp", window=4, min_periods=2
+        ).collect()
+        assert [r.n_events for r in out] == [10, 10, 10, 10, 100]
+        # rows 0-1: not enough history -> NULL
+        assert out[0].is_anomaly is None
+        assert out[1].is_anomaly is None
+        # rows 2-3: flat history, on-mean value -> not anomalous
+        assert out[2].is_anomaly is False
+        assert out[3].is_anomaly is False
+        # the spike: zero-variance history, any deviation flags
+        assert out[4].is_anomaly is True
+        assert out[4].hist_n == 4
+        assert out[4].hist_mean_micro == 10_000_000
+
+    def test_mild_wiggle_does_not_flag(self, spark):
+        df = self._mk(spark, [10, 12, 9, 11, 10, 12])
+        out = rolling_anomaly_bands(
+            df, "ts", "grp", window=4, min_periods=3
+        ).collect()
+        flagged = [r.bucket_ts for r in out if r.is_anomaly]
+        assert flagged == []
+
+    def test_baseline_excludes_current_bucket(self, spark):
+        # history of the spike row must be the 4 PRECEDING buckets
+        # only: mean stays 10 even though the current row is 100
+        df = self._mk(spark, [10, 10, 10, 10, 100])
+        out = rolling_anomaly_bands(
+            df, "ts", "grp", window=4, min_periods=2
+        ).collect()
+        assert out[4].hist_mean_micro == 10_000_000
+
+    def test_validates_params(self, spark):
+        df = self._mk(spark, [1])
+        with pytest.raises(ValueError):
+            rolling_anomaly_bands(df, "ts", "grp", window=1)
+        with pytest.raises(ValueError):
+            rolling_anomaly_bands(df, "ts", "grp", min_periods=1)
+
+
+class TestEventFunnel:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, BASE + dt.timedelta(seconds=s), t) for u, s, t in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+
+    def test_ordered_semantics(self, spark):
+        df = self._mk(spark, [
+            (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+            # u2's only click PRECEDES the view: ordered funnel must
+            # NOT count it (the unordered-min funnel would)
+            (2, 1, "click"), (2, 2, "view"),
+            (3, 1, "view"), (3, 2, "purchase"),  # skips click
+        ])
+        out = event_funnel(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+        assert [(r.step_idx, r.step, r.n_users) for r in out] == [
+            (0, "view", 3), (1, "click", 1), (2, "purchase", 1),
+        ]
+        assert out[0].conv_from_prev_micro == 1_000_000
+        assert out[1].conv_from_prev_micro == 333333  # half-up 1/3
+        assert out[2].conv_from_prev_micro == 1_000_000
+        assert out[2].conv_from_first_micro == 333333
+
+    def test_same_timestamp_counts(self, spark):
+        # at-or-after: a click at exactly the view's timestamp counts
+        df = self._mk(spark, [(1, 5, "view"), (1, 5, "click")])
+        out = event_funnel(
+            df, "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+        assert [r.n_users for r in out] == [1, 1]
+
+    def test_within_seconds_bounds_each_hop(self, spark):
+        df = self._mk(spark, [
+            (1, 0, "view"), (1, 3, "click"),
+            (2, 0, "view"), (2, 60, "click"),
+        ])
+        out = event_funnel(
+            df, "user_id", "ts", "event_type", ["view", "click"],
+            within_seconds=5,
+        ).collect()
+        assert [r.n_users for r in out] == [2, 1]
+
+    def test_greedy_earliest_chains(self, spark):
+        # u1: view@0, click@1, purchase@2 BUT also click@10 — greedy
+        # takes click@1 so purchase@2 qualifies
+        df = self._mk(spark, [
+            (1, 0, "view"), (1, 1, "click"), (1, 10, "click"),
+            (1, 2, "purchase"),
+        ])
+        out = event_funnel(
+            df, "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        ).collect()
+        assert [r.n_users for r in out] == [1, 1, 1]
+
+    def test_validates_steps(self, spark):
+        df = self._mk(spark, [(1, 0, "view")])
+        with pytest.raises(ValueError):
+            event_funnel(df, "user_id", "ts", "event_type", ["view"])
+        with pytest.raises(ValueError):
+            event_funnel(
+                df, "user_id", "ts", "event_type", ["view", "view"]
+            )
