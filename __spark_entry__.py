@@ -3581,6 +3581,49 @@ FROM wf ORDER BY step_idx
 """
 
 
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (shaper_spark/operators/
+    timeseries.py retention_cohorts, NEW r13): users bucketed by the
+    week of their first event; per (cohort, week offset) the count
+    still active and the half-up BIGINT micro retention share — the
+    canonical growth-dashboard triangle.  Offsets are exact integer
+    day-diffs of truncated week boundaries DIV 7; one user-keyed
+    min-agg + one (user, week) distinct + one co-partitioned join,
+    then |cohorts|×|offsets|-bounded aggregates.  §2C."""
+    from shaper_spark.operators.timeseries import retention_cohorts
+
+    _prep(spark, sf_dir)
+    return retention_cohorts(spark.table("events"), "user_id", "ts")
+
+
+RETENTION_COHORTS_DUCK = """
+WITH firstv AS (
+  SELECT user_id AS u, date_trunc('week', min(ts)) AS cw
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS aw FROM events
+),
+j AS (
+  SELECT f.cw,
+         CAST(date_diff('day', f.cw, a.aw) // 7 AS BIGINT) AS "offset"
+  FROM act a JOIN firstv f ON a.u = f.u
+),
+ret AS (
+  SELECT cw, "offset", CAST(count(*) AS BIGINT) AS active_n
+  FROM j GROUP BY 1, 2
+),
+size AS (
+  SELECT cw, CAST(count(*) AS BIGINT) AS cohort_n FROM firstv GROUP BY 1
+)
+SELECT r.cw AS cohort, r."offset", s.cohort_n, r.active_n,
+       (2 * 1000000 * r.active_n + s.cohort_n) // (2 * s.cohort_n)
+         AS retention_micro
+FROM ret r JOIN size s ON r.cw = s.cw
+ORDER BY cohort, "offset"
+"""
+
+
 def _q_quality_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-audit exemplar sampler (shaper_spark/operators/text.py
     quality_exemplars, NEW r13): the 3 highest- and 3 lowest-quality
@@ -5861,7 +5904,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps pii_density_report in-window).
         "lsh_parameter_plan": _q_lsh_plan,
         "decontam_ngrams": _q_decontam,
-        "vocab_coverage_curve": _q_vocab_coverage,
+        # r13 late: events_retention_cohorts (weekly cohort retention
+        # triangle) enters, displacing vocab_coverage_curve (7
+        # official greens; the vocabulary family keeps heaps_law_fit
+        # in-window).
+        "events_retention_cohorts": _q_retention_cohorts,
         # r12 new-operator rotation: cluster_size_histogram enters,
         # displacing source_overlap_matrix (5 greens; the drift/overlap
         # family keeps kl/psi/jaccard matrices in-window).
@@ -5935,6 +5982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff_report": _q_corpus_diff,  # rotated out r13 late (4 greens) for heaps_law_fit
         "boilerplate_grams": _q_boilerplate,  # rotated out r13 late (4 greens) for events_rate_anomaly
         "quality_lm_correlation": _q_quality_lm_corr,  # rotated out r13 late (4 greens) for events_funnel_ordered
+        "vocab_coverage_curve": _q_vocab_coverage,  # rotated out r13 late (7 greens) for events_retention_cohorts
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -6209,6 +6257,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_method_agreement": _method_agreement_duck(),
         "heaps_law_fit": HEAPS_LAW_DUCK,
         "events_rate_anomaly": EVENTS_RATE_ANOMALY_DUCK,
+        "events_retention_cohorts": RETENTION_COHORTS_DUCK,
         "events_funnel_ordered": EVENTS_FUNNEL_DUCK,
         "source_entropy_report": SOURCE_ENTROPY_DUCK,
         "charclass_composition": _charclass_duck(),

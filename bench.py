@@ -136,6 +136,7 @@ EXTRAS = [
     "source_entropy_report",
     "events_rate_anomaly",
     "events_funnel_ordered",
+    "events_retention_cohorts",
 ]
 
 HEADLINE = [

@@ -2,10 +2,11 @@
 
 The dashboards the reference serves (get_dashboard.go renders
 time-bucketed aggregates; §2B rows 7-13) stop at plain grouped counts;
-these operators add the two readouts a monitoring dashboard is
+these operators add the readouts a monitoring/growth dashboard is
 actually built from — rolling anomaly detection over bucketed event
-rates and ordered funnel conversion — both engine-proof by
-construction so they differential-test against any ANSI engine.
+rates, ordered funnel conversion, and cohort retention — all
+engine-proof by construction so they differential-test against any
+ANSI engine.
 
 Scale notes (100 TB):
 - ``rolling_anomaly_bands``: ONE corpus-scale hash-agg to
@@ -23,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_anomaly_bands", "event_funnel"]
+__all__ = ["rolling_anomaly_bands", "event_funnel", "retention_cohorts"]
 
 
 def rolling_anomaly_bands(
@@ -210,3 +211,66 @@ def event_funnel(
             " DIV (2 * greatest(__fn, CAST(1 AS BIGINT))) END"
         ).alias("conv_from_first_micro"),
     ).orderBy("step_idx")
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — users bucketed by the ``grain`` of
+    their FIRST event, then per (cohort, offset) the count still
+    active that many grains later: the canonical "week-0 100 %,
+    week-1 X %" retention triangle every growth dashboard renders.
+
+    Engine-proof: offsets are exact integer day-diffs of
+    ``date_trunc``'ed boundaries (week diffs are always multiples of
+    7, so the integer division is exact), retention is the half-up
+    BIGINT micro share — no floats anywhere.
+
+    Returns (cohort, offset, cohort_n, active_n, retention_micro),
+    ordered; the offset-0 row is always 1000000 by construction.
+
+    Spark shape: one user-keyed min-agg (cohort), one corpus-scale
+    (user, bucket) distinct, one user-keyed join co-partitioned with
+    the distinct's exchange; everything after is bounded by
+    |cohorts| × |offsets|.  Nothing is events² and no windows."""
+    divisors = {"week": 7, "day": 1}
+    if grain not in divisors:
+        raise ValueError(
+            "retention_cohorts: grain must be 'week' or 'day'"
+        )
+    div = divisors[grain]
+    firstv = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc(grain, F.min(ts_col)).alias("cw")
+    )
+    act = df.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(grain, F.col(ts_col)).alias("aw"),
+    ).distinct()
+    joined = act.join(firstv, "u").select(
+        "cw",
+        (F.datediff(F.col("aw"), F.col("cw")).cast("long") / F.lit(div))
+        .cast("long")
+        .alias("offset"),
+    )
+    ret = joined.groupBy("cw", "offset").agg(
+        F.count(F.lit(1)).cast("long").alias("active_n")
+    )
+    size = firstv.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_n")
+    )
+    return (
+        ret.join(size, "cw")
+        .select(
+            F.col("cw").alias("cohort"),
+            "offset",
+            "cohort_n",
+            "active_n",
+            F.expr(
+                "(2 * 1000000 * active_n + cohort_n) DIV (2 * cohort_n)"
+            ).alias("retention_micro"),
+        )
+        .orderBy("cohort", "offset")
+    )

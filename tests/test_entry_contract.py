@@ -46,7 +46,10 @@ def test_prefix_50_covers_the_diverse_surface():
         "split_leakage_report",
         "range_join_windows",
         "decontam_ngrams",
-        "vocab_coverage_curve",
+        # r13 late: events_retention_cohorts displaces
+        # vocab_coverage_curve (7 greens; vocabulary family keeps
+        # heaps_law_fit in-window)
+        "events_retention_cohorts",
         # round-13 NEW operator (enters immediately per policy,
         # displacing dedup_incremental_report — many greens; the
         # incremental family keeps dedup_sig_incremental in-window)

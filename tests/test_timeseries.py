@@ -137,3 +137,56 @@ class TestEventFunnel:
             event_funnel(
                 df, "user_id", "ts", "event_type", ["view", "view"]
             )
+
+
+class TestRetentionCohorts:
+    def _mk(self, spark, rows):
+        # BASE (2024-01-01) is a Monday, so week k = BASE + 7k days
+        return spark.createDataFrame(
+            [(u, BASE + dt.timedelta(days=d), "e") for u, d in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+
+    def test_hand_computed_triangle(self, spark):
+        from shaper_spark.operators.timeseries import retention_cohorts
+
+        df = self._mk(spark, [
+            (1, 0), (1, 7),        # cohort W0, active W0+W1
+            (2, 1),                # cohort W0, active W0 only
+            (3, 8), (3, 15),       # cohort W1, active W1+W2
+        ])
+        out = retention_cohorts(df, "user_id", "ts").collect()
+        w0 = BASE
+        w1 = BASE + dt.timedelta(days=7)
+        got = {
+            (r.cohort, r.offset): (r.cohort_n, r.active_n, r.retention_micro)
+            for r in out
+        }
+        assert got == {
+            (w0, 0): (2, 2, 1_000_000),
+            (w0, 1): (2, 1, 500_000),
+            (w1, 0): (1, 1, 1_000_000),
+            (w1, 1): (1, 1, 1_000_000),
+        }
+
+    def test_mid_week_events_truncate_to_same_cohort(self, spark):
+        from shaper_spark.operators.timeseries import retention_cohorts
+
+        # events on Tue and Sun of the same week are one bucket
+        df = self._mk(spark, [(1, 1), (1, 6)])
+        out = retention_cohorts(df, "user_id", "ts").collect()
+        assert len(out) == 1 and out[0].offset == 0
+
+    def test_day_grain(self, spark):
+        from shaper_spark.operators.timeseries import retention_cohorts
+
+        df = self._mk(spark, [(1, 0), (1, 2)])
+        out = retention_cohorts(df, "user_id", "ts", grain="day").collect()
+        assert [(r.offset, r.active_n) for r in out] == [(0, 1), (2, 1)]
+
+    def test_validates_grain(self, spark):
+        from shaper_spark.operators.timeseries import retention_cohorts
+
+        df = self._mk(spark, [(1, 0)])
+        with pytest.raises(ValueError):
+            retention_cohorts(df, "user_id", "ts", grain="month")
