@@ -387,3 +387,72 @@ class TestIncrementalDedupProperties:
             ).collect()
         }
         assert got == _ref_incremental(corpus, batch)
+
+
+class TestCharclassProperties:
+    @staticmethod
+    def _ref(texts):
+        import string as _string
+
+        letters = set(_string.ascii_letters)
+        digits = set("0123456789")
+        ws = set(" \t\n\x0b\x0c\r")
+        punct = {chr(c) for r in ((33, 48), (58, 65), (91, 97), (123, 127))
+                 for c in range(*r)}
+        ctrl = {chr(c) for c in list(range(1, 9)) + list(range(14, 32))
+                + [127]}
+        tot = {"let": 0, "dig": 0, "ws": 0, "pun": 0, "ctl": 0, "oth": 0,
+               "nc": 0}
+        for t in texts:
+            for ch in t:
+                tot["nc"] += 1
+                if ch in letters:
+                    tot["let"] += 1
+                elif ch in digits:
+                    tot["dig"] += 1
+                elif ch in ws:
+                    tot["ws"] += 1
+                elif ch in punct:
+                    tot["pun"] += 1
+                elif ch in ctrl:
+                    tot["ctl"] += 1
+                else:
+                    tot["oth"] += 1
+        return tot
+
+    @staticmethod
+    def _micro(cnt, tot):
+        g = max(tot, 1)
+        return (2 * 1000000 * cnt + g) // (2 * g)
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=1, max_codepoint=0x2FF,
+                    # surrogate-free plane-0 chunk incl. control chars,
+                    # NBSP, latin-1 letters
+                ),
+                max_size=25,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_pure_python_reference(self, spark, texts):
+        from shaper_spark.operators.text import charclass_composition
+
+        df = spark.createDataFrame(
+            [(i, t, "s") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        )
+        (r,) = charclass_composition(df, "text", "source").collect()
+        ref = self._ref(texts)
+        assert r.n_chars == ref["nc"]
+        assert r.letters_micro == self._micro(ref["let"], ref["nc"])
+        assert r.digits_micro == self._micro(ref["dig"], ref["nc"])
+        assert r.ws_micro == self._micro(ref["ws"], ref["nc"])
+        assert r.punct_micro == self._micro(ref["pun"], ref["nc"])
+        assert r.ctrl_micro == self._micro(ref["ctl"], ref["nc"])
+        assert r.other_micro == self._micro(ref["oth"], ref["nc"])

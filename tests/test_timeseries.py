@@ -190,3 +190,137 @@ class TestRetentionCohorts:
         df = self._mk(spark, [(1, 0)])
         with pytest.raises(ValueError):
             retention_cohorts(df, "user_id", "ts", grain="month")
+
+
+# ---------------------------------------------------------------------------
+# Property tests vs pure-Python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_STEPS = ["view", "click", "purchase"]
+
+
+def _ref_funnel(events, steps):
+    cur = {}
+    for u, t, et in events:
+        if et == steps[0] and (u not in cur or t < cur[u]):
+            cur[u] = t
+    counts = [len(cur)]
+    for s in steps[1:]:
+        nxt = {}
+        for u, t, et in events:
+            if et == s and u in cur and t >= cur[u]:
+                if u not in nxt or t < nxt[u]:
+                    nxt[u] = t
+        cur = nxt
+        counts.append(len(cur))
+    return counts
+
+
+class TestFunnelProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(1, 3),
+                st.integers(0, 20),
+                st.sampled_from(_STEPS + ["error"]),
+            ),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_reference(self, spark, events):
+        df = spark.createDataFrame(
+            [
+                (u, BASE + dt.timedelta(seconds=s), et)
+                for u, s, et in events
+            ],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = event_funnel(
+            df, "user_id", "ts", "event_type", _STEPS
+        ).collect()
+        assert [r.n_users for r in out] == _ref_funnel(events, _STEPS)
+
+
+def _ref_bands(counts, window, min_periods, z2):
+    flags = []
+    for i, n in enumerate(counts):
+        hist = counts[max(0, i - window):i]
+        h = len(hist)
+        if h < min_periods:
+            flags.append(None)
+            continue
+        s, q = sum(hist), sum(x * x for x in hist)
+        flags.append((h * n - s) ** 2 * (h - 1) > z2 * h * (h * q - s * s))
+    return flags
+
+
+class TestAnomalyBandsProperties:
+    @given(
+        st.lists(st.integers(1, 40), min_size=1, max_size=15),
+        st.integers(2, 6),
+        st.integers(2, 4),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_reference(self, spark, counts, window, min_periods):
+        rows = []
+        for i, c in enumerate(counts):
+            rows += [("g", BASE + dt.timedelta(hours=i))] * c
+        df = spark.createDataFrame(rows, "grp string, ts timestamp")
+        out = rolling_anomaly_bands(
+            df, "ts", "grp", window=window, min_periods=min_periods
+        ).collect()
+        assert [r.is_anomaly for r in out] == _ref_bands(
+            counts, window, min_periods, 9
+        )
+        assert [r.n_events for r in out] == counts
+
+
+def _ref_retention(events):
+    first = {}
+    for u, d in events:
+        w = (d // 7) * 7
+        if u not in first or w < first[u]:
+            first[u] = w
+    act = {(u, (d // 7) * 7) for u, d in events}
+    from collections import Counter
+
+    size = Counter(first.values())
+    ret = Counter((first[u], (w - first[u]) // 7) for u, w in act)
+    return {
+        (cw, off): (size[cw], n) for (cw, off), n in sorted(ret.items())
+    }
+
+
+class TestRetentionProperties:
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 4), st.integers(0, 27)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_reference(self, spark, events):
+        from shaper_spark.operators.timeseries import retention_cohorts
+
+        df = spark.createDataFrame(
+            [
+                (u, BASE + dt.timedelta(days=d), "e")
+                for u, d in events
+            ],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = retention_cohorts(df, "user_id", "ts").collect()
+        got = {
+            (
+                (r.cohort - BASE).days,
+                r.offset,
+            ): (r.cohort_n, r.active_n)
+            for r in out
+        }
+        assert got == _ref_retention(events)
