@@ -3523,6 +3523,100 @@ FROM h ORDER BY event_type, bucket_ts
 """
 
 
+def _q_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-rate anomaly monitor (shaper_spark/streaming.py
+    start_rate_anomaly_stream, NEW r13): readStream file source over
+    events.parquet → per-batch (group, hour) counts appended to a
+    counts table → the SAME cross-multiplied BIGINT z² scoring as
+    rolling_anomaly_bands over the accumulated counts, alert rows per
+    touched bucket.  On a finite source in one ``availableNow`` batch
+    the alert set equals the batch operator exactly, so the streaming
+    family gets a second full hash-checked oracle (the incremental
+    multi-batch baseline behavior is pytest-pinned).  §2C."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from shaper_spark.session import _nanos_timestamp_columns
+    from shaper_spark.streaming import start_rate_anomaly_stream
+
+    _prep(spark, sf_dir)
+    for name, ddl in (
+        ("ra_counts_entry", "grp STRING, bucket_ts TIMESTAMP, n_events BIGINT"),
+        (
+            "ra_alerts_entry",
+            "batch_id BIGINT, grp STRING, bucket_ts TIMESTAMP, "
+            "n_events BIGINT, hist_n BIGINT, is_anomaly BOOLEAN",
+        ),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a previous PROCESS may have left the managed location behind
+        # (its in-memory catalog died with it, so DROP above no-ops)
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        spark.sql(f"CREATE TABLE {name} ({ddl}) USING parquet")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in _nanos_timestamp_columns(path):
+        stream = stream.withColumn(
+            c, F.expr(f"timestamp_micros(CAST({c} AS BIGINT) DIV 1000)")
+        )
+    q = start_rate_anomaly_stream(
+        stream, "ts", "event_type", "ra_counts_entry", "ra_alerts_entry",
+        grain="hour", window=24, min_periods=8,
+        checkpoint=tempfile.mkdtemp(prefix="ra_entry_ck"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table("ra_alerts_entry")
+        .select(
+            "batch_id",
+            F.col("grp").alias("event_type"),
+            "bucket_ts",
+            "n_events",
+            "hist_n",
+            "is_anomaly",
+        )
+        .orderBy("event_type", "bucket_ts")
+    )
+
+
+STREAM_RATE_ANOMALY_DUCK = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, bucket_ts, n_events,
+         CAST(count(*) OVER wnd AS BIGINT) AS h,
+         CAST(coalesce(sum(n_events) OVER wnd, 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(n_events * n_events) OVER wnd, 0) AS BIGINT)
+           AS q
+  FROM c
+  WINDOW wnd AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(0 AS BIGINT) AS batch_id, event_type, bucket_ts, n_events,
+       h AS hist_n,
+       CASE WHEN h >= 8 THEN
+         (h * n_events - s) * (h * n_events - s) * (h - 1)
+           > 9 * h * (h * q - s * s) END AS is_anomaly
+FROM h ORDER BY event_type, bucket_ts
+"""
+
+
 def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion view → click → purchase
     (shaper_spark/operators/timeseries.py event_funnel, NEW r13):
@@ -5961,7 +6055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asof_last_click oracle-checked in the tail).
         "lexical_diversity": _q_lexical_diversity,
         "ivf_index_probe": _q_ivf_index_probe,
-        "dataset_card": _q_dataset_card,
+        # r13 late: stream_rate_anomaly (streaming z² rate monitor,
+        # single-batch == batch operator so it hash-checks) enters,
+        # displacing dataset_card (4 official greens; the pipeline
+        # family keeps pipeline_stage_counts in-window).
+        "stream_rate_anomaly": _q_stream_rate_anomaly,
         "similarity_lsh_topk": _q_lsh_topk,  # rotated out of the window r10 (9 greens)
         "simhash_near_pairs": _q_simhash_pairs,  # rotated out of the window r10 (9 greens)
         # r13 late rotated out (≥4 official greens each; families keep
@@ -5983,6 +6081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_grams": _q_boilerplate,  # rotated out r13 late (4 greens) for events_rate_anomaly
         "quality_lm_correlation": _q_quality_lm_corr,  # rotated out r13 late (4 greens) for events_funnel_ordered
         "vocab_coverage_curve": _q_vocab_coverage,  # rotated out r13 late (7 greens) for events_retention_cohorts
+        "dataset_card": _q_dataset_card,  # rotated out r13 late (4 greens) for stream_rate_anomaly
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -6258,6 +6357,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law_fit": HEAPS_LAW_DUCK,
         "events_rate_anomaly": EVENTS_RATE_ANOMALY_DUCK,
         "events_retention_cohorts": RETENTION_COHORTS_DUCK,
+        "stream_rate_anomaly": STREAM_RATE_ANOMALY_DUCK,
         "events_funnel_ordered": EVENTS_FUNNEL_DUCK,
         "source_entropy_report": SOURCE_ENTROPY_DUCK,
         "charclass_composition": _charclass_duck(),

@@ -137,6 +137,7 @@ EXTRAS = [
     "events_rate_anomaly",
     "events_funnel_ordered",
     "events_retention_cohorts",
+    "stream_rate_anomaly",
 ]
 
 HEADLINE = [

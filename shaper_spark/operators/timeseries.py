@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_anomaly_bands", "event_funnel", "retention_cohorts"]
+__all__ = [
+    "rolling_anomaly_bands",
+    "anomaly_flags_from_counts",
+    "event_funnel",
+    "retention_cohorts",
+]
 
 
 def rolling_anomaly_bands(
@@ -61,8 +66,6 @@ def rolling_anomaly_bands(
     Returns (group, bucket_ts, n_events, hist_n, hist_mean_micro,
     is_anomaly), ordered; is_anomaly is NULL until ``min_periods``
     history exists."""
-    from pyspark.sql.window import Window
-
     if window <= 1 or min_periods < 2:
         raise ValueError(
             "rolling_anomaly_bands: window must be > 1, min_periods >= 2"
@@ -71,6 +74,32 @@ def rolling_anomaly_bands(
         F.col(group_col).alias("grp"),
         F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return anomaly_flags_from_counts(
+        counts, window, min_periods, z2_threshold
+    ).select(
+        F.col("grp").alias(group_col),
+        "bucket_ts",
+        "n_events",
+        "hist_n",
+        "hist_mean_micro",
+        "is_anomaly",
+    ).orderBy(group_col, "bucket_ts")
+
+
+def anomaly_flags_from_counts(
+    counts: DataFrame,
+    window: int = 24,
+    min_periods: int = 8,
+    z2_threshold: int = 9,
+) -> DataFrame:
+    """The scoring half of :func:`rolling_anomaly_bands` over an
+    already-bucketed (grp, bucket_ts, n_events) frame — shared with
+    the streaming monitor (``streaming.start_rate_anomaly_stream``),
+    whose counts table accumulates across micro-batches.  Same
+    cross-multiplied BIGINT z² predicate; input column names are the
+    contract (grp, bucket_ts, n_events)."""
+    from pyspark.sql.window import Window
+
     w = (
         Window.partitionBy("grp")
         .orderBy("bucket_ts")
@@ -79,7 +108,7 @@ def rolling_anomaly_bands(
     hist = counts.select(
         "grp",
         "bucket_ts",
-        "n_events",
+        F.col("n_events").cast("long").alias("n_events"),
         F.count(F.lit(1)).over(w).cast("long").alias("__h"),
         F.coalesce(F.sum("n_events").over(w), F.lit(0))
         .cast("long")
@@ -95,7 +124,7 @@ def rolling_anomaly_bands(
     )
     rhs = f"{int(z2_threshold)} * __h * (__h * __q - __s * __s)"
     return hist.select(
-        F.col("grp").alias(group_col),
+        "grp",
         "bucket_ts",
         "n_events",
         F.col("__h").alias("hist_n"),
@@ -107,7 +136,7 @@ def rolling_anomaly_bands(
             f"CASE WHEN __h >= {int(min_periods)} "
             f"THEN {lhs} > {rhs} END"
         ).alias("is_anomaly"),
-    ).orderBy(group_col, "bucket_ts")
+    )
 
 
 def event_funnel(

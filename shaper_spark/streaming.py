@@ -40,6 +40,7 @@ __all__ = [
     "bootstrap_signature_table",
     "start_corpus_sig_dedup_stream",
     "start_drift_monitor_stream",
+    "start_rate_anomaly_stream",
     "attribution_join_stream",
     "start_late_data_monitor_stream",
     "watermark_audit_report",
@@ -686,6 +687,100 @@ def start_drift_monitor_stream(
         ).insertInto(alerts_table)
         for s in (spark, caller):
             try:
+                s.catalog.refreshTable(alerts_table)
+            except Exception:
+                pass
+
+    writer = stream_df.writeStream.foreachBatch(body).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_rate_anomaly_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    counts_table: str,
+    alerts_table: str,
+    grain: str = "hour",
+    window: int = 24,
+    min_periods: int = 8,
+    z2_threshold: int = 9,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Continuous event-rate anomaly monitoring — the streaming
+    sibling of :func:`operators.timeseries.rolling_anomaly_bands`.
+    Every micro-batch (1) aggregates to (group, grain-bucket) counts
+    and APPENDS them to ``counts_table`` (append-only partial counts:
+    a bucket's true count is the SUM of its rows, so no upsert is
+    needed on a parquet warehouse and a replayed batch only inflates
+    history it already contributed to), then (2) re-scores the
+    accumulated counts with the SAME cross-multiplied BIGINT z²
+    predicate and appends one alert row per bucket THIS batch touched
+    (batch_id, grp, bucket_ts, n_events, hist_n, is_anomaly) to
+    ``alerts_table`` — the "error rates spiked while the stream was
+    live" alarm.
+
+    Scale shape: the per-batch work is one batch-sized hash-agg, one
+    bounded append, and the scoring window over the counts table —
+    |groups| × |buckets| rows, NOT raw events (a year of hourly
+    buckets is 8 760 rows per group).  On a finite source processed
+    in one ``availableNow`` batch the alert rows equal the batch
+    operator's flags exactly (pytest-pinned), so the streaming entry
+    hash-checks against the rolling_anomaly_bands oracle.
+
+    Returns the StreamingQuery."""
+    from .operators.timeseries import anomaly_flags_from_counts
+
+    if window <= 1 or min_periods < 2:
+        raise ValueError(
+            "start_rate_anomaly_stream: window must be > 1, "
+            "min_periods >= 2"
+        )
+    caller = stream_df.sparkSession
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_counts = batch_df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        batch_counts.select(
+            *spark.table(counts_table).columns
+        ).write.mode("append").insertInto(counts_table)
+        spark.catalog.refreshTable(counts_table)
+        total = (
+            spark.table(counts_table)
+            .groupBy("grp", "bucket_ts")
+            .agg(F.sum("n_events").cast("long").alias("n_events"))
+        )
+        flags = anomaly_flags_from_counts(
+            total, window, min_periods, z2_threshold
+        )
+        touched = batch_counts.select("grp", "bucket_ts")
+        alerts = (
+            flags.join(touched, ["grp", "bucket_ts"], "left_semi")
+            .select(
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                "grp",
+                "bucket_ts",
+                "n_events",
+                "hist_n",
+                "is_anomaly",
+            )
+        )
+        alerts.select(*spark.table(alerts_table).columns).write.mode(
+            "append"
+        ).insertInto(alerts_table)
+        for s in (spark, caller):
+            try:
+                s.catalog.refreshTable(counts_table)
                 s.catalog.refreshTable(alerts_table)
             except Exception:
                 pass

@@ -87,7 +87,9 @@ def test_prefix_50_covers_the_diverse_surface():
         "psi_drift_matrix", "filter_threshold_sweep",
         "key_skew_report",
         "bm25_relevance", "ivf_index_probe",
-        "dataset_card",
+        # r13 late: stream_rate_anomaly displaces dataset_card (4
+        # greens; the pipeline family keeps pipeline_stage_counts)
+        "stream_rate_anomaly",
         # round-11 NEW operators (enter immediately per policy,
         # displacing date_spine_fill / canary_scan, 2 greens each)
         "dedup_containment_pairs", "pii_density_report",

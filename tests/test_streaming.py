@@ -557,6 +557,131 @@ class TestDriftMonitorStream:
             start_drift_monitor_stream(stream, ref, "v", "t")
 
 
+class TestRateAnomalyStream:
+    def _setup_tables(self, spark, cname, aname):
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for name, ddl in (
+            (cname, "grp STRING, bucket_ts TIMESTAMP, n_events BIGINT"),
+            (
+                aname,
+                "batch_id BIGINT, grp STRING, bucket_ts TIMESTAMP, "
+                "n_events BIGINT, hist_n BIGINT, is_anomaly BOOLEAN",
+            ),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+            spark.sql(f"CREATE TABLE {name} ({ddl}) USING parquet")
+
+    @staticmethod
+    def _write_events(path, counts, start_hour=0):
+        import json as _json
+
+        lines = []
+        for i, (g, c) in enumerate(counts):
+            for _ in range(c):
+                lines.append(_json.dumps({
+                    "grp": g,
+                    "ts": f"2024-01-01 {start_hour + i:02d}:30:00",
+                }))
+        path.write_text("\n".join(lines))
+
+    def _stream(self, spark, src, max_files=None):
+        reader = spark.readStream.schema("grp string, ts timestamp")
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        return reader.json(str(src))
+
+    def test_single_batch_equals_batch_operator(self, spark, tmp_path):
+        from shaper_spark.operators.timeseries import rolling_anomaly_bands
+        from shaper_spark.streaming import start_rate_anomaly_stream
+
+        self._setup_tables(spark, "ra_counts1", "ra_alerts1")
+        src = tmp_path / "src"
+        src.mkdir()
+        counts = [("g", 10), ("g", 10), ("g", 10), ("g", 10), ("g", 95)]
+        self._write_events(src / "b0.jsonl", counts)
+
+        q = start_rate_anomaly_stream(
+            self._stream(spark, src), "ts", "grp",
+            "ra_counts1", "ra_alerts1",
+            window=4, min_periods=2,
+            checkpoint=str(tmp_path / "ck1"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+        raw = spark.createDataFrame(
+            [(g, f"2024-01-01 {i:02d}:30:00") for i, (g, c) in
+             enumerate(counts) for _ in range(c)],
+            "grp string, ts_s string",
+        ).selectExpr("grp", "CAST(ts_s AS TIMESTAMP) AS ts")
+        expected = {
+            (r.grp, r.bucket_ts): (r.n_events, r.hist_n, r.is_anomaly)
+            for r in rolling_anomaly_bands(
+                raw, "ts", "grp", window=4, min_periods=2
+            ).collect()
+        }
+        got = {
+            (r.grp, r.bucket_ts): (r.n_events, r.hist_n, r.is_anomaly)
+            for r in spark.table("ra_alerts1").collect()
+        }
+        assert got == expected
+        assert {r.batch_id for r in spark.table("ra_alerts1").collect()} == {0}
+        # the spike hour is flagged
+        spike = [v for v in got.values() if v[0] == 95]
+        assert spike and spike[0][2] is True
+        spark.sql("DROP TABLE ra_counts1")
+        spark.sql("DROP TABLE ra_alerts1")
+
+    def test_second_batch_baseline_includes_first(self, spark, tmp_path):
+        from shaper_spark.streaming import start_rate_anomaly_stream
+
+        self._setup_tables(spark, "ra_counts2", "ra_alerts2")
+        src = tmp_path / "src2"
+        src.mkdir()
+        # batch 0: four flat hours; batch 1: one spike hour
+        self._write_events(
+            src / "a_first.jsonl", [("g", 10), ("g", 10), ("g", 10), ("g", 10)]
+        )
+        self._write_events(src / "b_second.jsonl", [("g", 80)], start_hour=4)
+
+        q = start_rate_anomaly_stream(
+            self._stream(spark, src, max_files=1), "ts", "grp",
+            "ra_counts2", "ra_alerts2",
+            window=4, min_periods=2,
+            checkpoint=str(tmp_path / "ck2"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+
+        alerts = {
+            (r.batch_id, r.n_events): (r.hist_n, r.is_anomaly)
+            for r in spark.table("ra_alerts2").collect()
+        }
+        # the spike arrived in its own batch, scored against the
+        # PRIOR batch's four flat buckets
+        spike = [v for (b, n), v in alerts.items() if n == 80]
+        assert spike and spike[0] == (4, True)
+        spark.sql("DROP TABLE ra_counts2")
+        spark.sql("DROP TABLE ra_alerts2")
+
+    def test_validates_params(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from shaper_spark.streaming import start_rate_anomaly_stream
+
+        stream = spark.readStream.schema("grp string, ts timestamp").json(
+            str(tmp_path)
+        )
+        with _pytest.raises(ValueError):
+            start_rate_anomaly_stream(
+                stream, "ts", "grp", "t1", "t2", window=1
+            )
+
+
 class TestAttributionJoinStream:
     def _write_events(self, d, name, rows):
         (d / name).write_text(
