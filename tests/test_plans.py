@@ -581,3 +581,100 @@ class TestRound5OperatorPlans:
         )
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(") == 1, plan
+
+
+class TestR13LateOpPlanShapes:
+    """Scale-shape pins for the r13-late operators: single-scan
+    single-exchange aggregates stay that way, candidate joins stay
+    blocked, and the funnel/retention chains stay user-keyed."""
+
+    def test_charclass_single_scan_single_exchange(self, spark):
+        from shaper_spark.operators.text import charclass_composition
+
+        df = charclass_composition(spark.table("documents"), "text", "source")
+        plan = _executed(df)
+        # one partial+final hash-agg exchange plus the orderBy range
+        # exchange — nothing else (each node prints twice in the
+        # formatted AQE plan: tree + details)
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert plan.count("Exchange rangepartitioning") <= 1, plan
+        assert "CartesianProduct" not in plan
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("Relation") <= 1
+
+    def test_unicode_anomaly_single_exchange(self, spark):
+        from shaper_spark.operators.text import unicode_anomaly_report
+
+        df = unicode_anomaly_report(spark.table("documents"), "text", "source")
+        plan = _executed(df)
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert plan.count("Exchange rangepartitioning") <= 1, plan
+        assert "CartesianProduct" not in plan
+
+    def test_boilerplate_affixes_no_corpus_window(self, spark):
+        from shaper_spark.operators.text import boilerplate_affixes
+
+        df = boilerplate_affixes(spark.table("documents"), "text")
+        plan = _executed(df)
+        # the row_number window must run AFTER the min_docs-filtered
+        # aggregate, never over the raw (kind, affix) stream: the
+        # aggregate sits BELOW the window in the tree (root-first
+        # print => the window's index precedes the aggregate's last)
+        assert "CartesianProduct" not in plan
+        assert plan.index("Window") < plan.rindex("HashAggregate"), plan
+
+    def test_method_agreement_no_cartesian(self, spark):
+        from shaper_spark.operators.dedup import method_agreement_report
+
+        df = method_agreement_report(
+            spark.table("documents").filter("doc_id < 60"),
+            "doc_id",
+            "text",
+        )
+        plan = _executed(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_heaps_no_per_word_window(self, spark):
+        from shaper_spark.operators.text import heaps_law_fit
+        from pyspark.sql import functions as F
+
+        docs = spark.table("documents").select(
+            "text", (F.col("doc_id") % 4).alias("bucket")
+        )
+        df = heaps_law_fit(docs, "text", "bucket")
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        # first-bucket is a groupBy min, never a per-word window; the
+        # only Window nodes are the |buckets|-bounded cumulative (it
+        # appears once per branch of the fit cross-join)
+        assert 1 <= opt.count("Window ") <= 2, opt
+        # and no window partitioned by the word hash
+        assert "windowspecdefinition(__h" not in opt, opt
+
+    def test_funnel_joins_are_keyed(self, spark):
+        from shaper_spark.operators.timeseries import event_funnel
+
+        df = event_funnel(
+            spark.table("events"), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"],
+        )
+        plan = _executed(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_retention_joins_are_keyed(self, spark):
+        from shaper_spark.operators.timeseries import retention_cohorts
+
+        df = retention_cohorts(spark.table("events"), "user_id", "ts")
+        plan = _executed(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_anomaly_bands_window_is_partitioned(self, spark):
+        from shaper_spark.operators.timeseries import rolling_anomaly_bands
+
+        df = rolling_anomaly_bands(spark.table("events"), "ts", "event_type")
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        # the rolling window is PARTITIONED by group (never a global
+        # single-partition sort of all buckets)
+        assert "windowspecdefinition(grp" in opt or "partitionBy" in opt.lower() or "grp#" in opt.split("Window")[1][:200], opt
