@@ -997,6 +997,95 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (shaper_spark/operators/text.py
+    langid_confusion, NEW r13): the stopword-voting classifier scored
+    against the corpus lang label per (label, predicted) cell with
+    within-label micro shares — keeps WHICH languages absorb the
+    errors, which the text_lang_id accuracy rollup collapses.  One
+    staged-fold classifier pass + user-keyed label join +
+    |labels|²-bounded agg; votes are the byte-explicit counts so the
+    matrix replays exactly.  §2C."""
+    from shaper_spark.operators.text import langid_confusion
+
+    _prep(spark, sf_dir)
+    return langid_confusion(spark.table("documents"), "doc_id", "text", "lang")
+
+
+def _langid_confusion_duck() -> str:
+    from shaper_spark.operators.text import (
+        LANG_STOPWORDS,
+        folded_padded_sql,
+        stopword_count_sql,
+    )
+
+    scores = ",\n         ".join(
+        f"{stopword_count_sql('__pad', LANG_STOPWORDS[lang], '//')} "
+        f"AS score_{lang}"
+        for lang in _LANGS
+    )
+    greatest = (
+        "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS) + ")"
+    )
+    cases = "\n           ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in _LANGS
+    )
+    return f"""
+WITH padded AS (
+  SELECT doc_id, lang, {folded_padded_sql('text')} AS __pad FROM documents
+),
+sc AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM padded
+),
+pred AS (
+  SELECT doc_id, lang AS label,
+         CASE WHEN {greatest} = 0 THEN 'und'
+           {cases}
+         END AS lang_pred
+  FROM sc
+),
+cells AS (
+  SELECT label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT label, lang_pred, n_docs,
+       CAST((2 * 1000000 * n_docs + t) // (2 * t) AS BIGINT)
+         AS share_micro
+FROM (SELECT label, lang_pred, n_docs,
+             sum(n_docs) OVER (PARTITION BY label) AS t FROM cells)
+ORDER BY label, lang_pred
+"""
+
+
+def _q_mix_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-temperature sweep (shaper_spark/operators/sampling.py
+    mix_temperature_sweep, NEW r13): the whole alpha grid of
+    source_mix_weights in ONE pass — per (source, alpha) the
+    normalized count^alpha weight, the side-by-side view a data-mix
+    temperature is actually chosen from.  One corpus hash-agg; the
+    grid explode and per-alpha normalizers live on the
+    |sources|×|alphas| bounded frame.  §2C."""
+    from shaper_spark.operators.sampling import mix_temperature_sweep
+
+    _prep(spark, sf_dir)
+    return mix_temperature_sweep(spark.table("documents"), "source")
+
+
+MIX_SWEEP_DUCK = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+g AS (
+  SELECT source, n_docs, CAST(a.alpha AS DOUBLE) AS alpha
+  FROM c CROSS JOIN (VALUES (0.3), (0.5), (0.7), (1.0)) a(alpha)
+),
+p AS (SELECT source, n_docs, alpha, pow(n_docs, alpha) AS p FROM g)
+SELECT source, alpha, n_docs,
+       round(p / sum(p) OVER (PARTITION BY alpha), 6) AS weight
+FROM p ORDER BY source, alpha
+"""
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shaper_spark.operators.text import doc_fingerprint
 
@@ -6047,9 +6136,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens; the word-stats family keeps lexical_diversity,
         # blocklist_report and the new boilerplate_affixes in-window).
         "events_rate_anomaly": _q_events_rate_anomaly,
-        "key_skew_report": _q_key_skew,
+        # r13 late: mix_temperature_sweep (whole alpha grid in one
+        # pass) enters, displacing key_skew_report (4 official greens;
+        # the skew family's salted_agg/salted_join stay pytest-pinned
+        # and the advisory stays full-set checked).
+        "mix_temperature_sweep": _q_mix_sweep,
         "pii_density_report": _q_pii_density,
-        "bm25_relevance": _q_bm25,
+        # r13 late: langid_confusion (full label×prediction matrix —
+        # supersedes the accuracy-only rollup's information) enters,
+        # displacing bm25_relevance (4 official greens; stays in the
+        # full oracle_check set + bench EXTRAS).
+        "langid_confusion": _q_langid_confusion,
         # r12 rotation: lexical_diversity (r11 late addition) replaces
         # asof_sql_syntax (3 greens, identical-SQL; ASOF family keeps
         # asof_last_click oracle-checked in the tail).
@@ -6082,6 +6179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lm_correlation": _q_quality_lm_corr,  # rotated out r13 late (4 greens) for events_funnel_ordered
         "vocab_coverage_curve": _q_vocab_coverage,  # rotated out r13 late (7 greens) for events_retention_cohorts
         "dataset_card": _q_dataset_card,  # rotated out r13 late (4 greens) for stream_rate_anomaly
+        "bm25_relevance": _q_bm25,  # rotated out r13 late (4 greens) for langid_confusion
+        "key_skew_report": _q_key_skew,  # rotated out r13 late (4 greens) for mix_temperature_sweep
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -6358,6 +6457,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rate_anomaly": EVENTS_RATE_ANOMALY_DUCK,
         "events_retention_cohorts": RETENTION_COHORTS_DUCK,
         "stream_rate_anomaly": STREAM_RATE_ANOMALY_DUCK,
+        "langid_confusion": _langid_confusion_duck(),
+        "mix_temperature_sweep": MIX_SWEEP_DUCK,
         "events_funnel_ordered": EVENTS_FUNNEL_DUCK,
         "source_entropy_report": SOURCE_ENTROPY_DUCK,
         "charclass_composition": _charclass_duck(),

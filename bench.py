@@ -138,6 +138,8 @@ EXTRAS = [
     "events_funnel_ordered",
     "events_retention_cohorts",
     "stream_rate_anomaly",
+    "langid_confusion",
+    "mix_temperature_sweep",
 ]
 
 HEADLINE = [

@@ -22,6 +22,7 @@ __all__ = [
     "hash_split",
     "stratified_exact_sample",
     "source_mix_weights",
+    "mix_temperature_sweep",
     "weighted_sample",
     "shard_assign",
     "write_training_shards",
@@ -724,4 +725,45 @@ def dsir_select(
         .orderBy(F.col("__k").desc(), F.col(id_col).asc())
         .limit(n)
         .drop("__k")
+    )
+
+
+def mix_temperature_sweep(
+    df: DataFrame,
+    group_col: str,
+    alphas: tuple[float, ...] = (0.3, 0.5, 0.7, 1.0),
+) -> DataFrame:
+    """Temperature sweep for :func:`source_mix_weights` — the whole
+    alpha grid in ONE pass, the way :func:`filter_threshold_sweep`
+    grids quality cutoffs: before committing to a sampling
+    temperature, see every candidate's per-source weights side by
+    side (α=1 is proportional, α→0 is uniform; the mT5/XLM-R tuning
+    knob).  Returns (group, alpha, n_docs, weight), ordered.
+
+    Spark shape: one corpus hash-agg to |groups| counts; the grid
+    explode and per-alpha normalizers live entirely on that bounded
+    frame (|groups|×|alphas| rows — the totals broadcast back).
+    Nothing downstream of the first aggregate touches corpus scale."""
+    if not alphas or any(a <= 0 for a in alphas):
+        raise ValueError("mix_temperature_sweep: alphas must be > 0")
+    counts = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    grid = counts.select(
+        group_col,
+        "n_docs",
+        F.explode(
+            F.array(*[F.lit(float(a)) for a in alphas])
+        ).alias("alpha"),
+    ).withColumn("__p", F.pow(F.col("n_docs"), F.col("alpha")))
+    totals = grid.groupBy("alpha").agg(F.sum("__p").alias("__tot"))
+    return (
+        grid.join(F.broadcast(totals), "alpha")
+        .select(
+            F.col(group_col),
+            "alpha",
+            "n_docs",
+            F.round(F.col("__p") / F.col("__tot"), 6).alias("weight"),
+        )
+        .orderBy(group_col, "alpha")
     )

@@ -50,6 +50,7 @@ __all__ = [
     "unicode_anomaly_report",
     "boilerplate_affixes",
     "heaps_law_fit",
+    "langid_confusion",
     "source_entropy_report",
     "punct_count_sql",
     "folded_padded_sql",
@@ -2760,3 +2761,46 @@ def source_entropy_report(
             6,
         ).alias("norm_entropy"),
     ).orderBy(group_col)
+
+
+def langid_confusion(
+    df: DataFrame, id_col: str, text_col: str, label_col: str
+) -> DataFrame:
+    """Language-ID confusion matrix — the heuristic classifier
+    (:func:`language_id`) scored against the corpus's label column:
+    per (label, predicted) cell the doc count and the within-label
+    share in half-up BIGINT micro.  The per-label accuracy rollup the
+    ``text_lang_id`` entry reports collapses exactly the information
+    this matrix keeps: WHICH languages absorb the errors (a de→en
+    column says the stopword lists overlap; an und row says the docs
+    are too short to vote).
+
+    Spark shape: the classifier's one staged-fold pass + a user-keyed
+    join back to the labels, then a |labels|²-bounded hash-agg; the
+    per-label totals broadcast back.  Engine-proof by construction —
+    the votes are the byte-explicit stopword counts, ties and the
+    'und' floor replay identically in the oracle."""
+    pred = language_id(df, id_col, text_col).select(
+        F.col(id_col), F.col("lang_pred")
+    )
+    labeled = df.select(
+        F.col(id_col), F.col(label_col).alias("label")
+    ).join(pred, id_col)
+    cells = labeled.groupBy("label", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = cells.groupBy("label").agg(
+        F.sum("n_docs").alias("__tot")
+    )
+    return (
+        cells.join(F.broadcast(totals), "label")
+        .select(
+            "label",
+            "lang_pred",
+            "n_docs",
+            F.expr(
+                "(2 * 1000000 * n_docs + __tot) DIV (2 * __tot)"
+            ).alias("share_micro"),
+        )
+        .orderBy("label", "lang_pred")
+    )

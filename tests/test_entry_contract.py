@@ -85,8 +85,11 @@ def test_prefix_50_covers_the_diverse_surface():
         "embedding_outlier_report", "events_funnel_ordered",
         "dsir_select", "events_rate_anomaly",
         "psi_drift_matrix", "filter_threshold_sweep",
-        "key_skew_report",
-        "bm25_relevance", "ivf_index_probe",
+        # r13 late: langid_confusion / mix_temperature_sweep displace
+        # bm25_relevance / key_skew_report (4 greens each; both stay
+        # full-set checked + in bench EXTRAS)
+        "langid_confusion", "mix_temperature_sweep",
+        "ivf_index_probe",
         # r13 late: stream_rate_anomaly displaces dataset_card (4
         # greens; the pipeline family keeps pipeline_stage_counts)
         "stream_rate_anomaly",

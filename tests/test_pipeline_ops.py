@@ -1818,3 +1818,84 @@ class TestSourceEntropyReport:
         rows = source_entropy_report(df, "text", "source").collect()
         by = {r.source: r.entropy_nats for r in rows}
         assert by["uni"] > by["skew"]
+
+
+class TestMixTemperatureSweep:
+    def test_hand_computed_grid(self, spark):
+        from shaper_spark.operators.sampling import mix_temperature_sweep
+
+        docs = spark.createDataFrame(
+            [(i, "a" if i == 0 else "b") for i in range(5)],
+            "doc_id long, source string",
+        )
+        rows = mix_temperature_sweep(
+            docs, "source", alphas=(0.5, 1.0)
+        ).collect()
+        got = {(r.source, r.alpha): (r.n_docs, r.weight) for r in rows}
+        assert got == {
+            ("a", 0.5): (1, round(1 / 3, 6)),
+            ("a", 1.0): (1, 0.2),
+            ("b", 0.5): (4, round(2 / 3, 6)),
+            ("b", 1.0): (4, 0.8),
+        }
+
+    def test_weights_sum_to_one_per_alpha(self, spark):
+        from shaper_spark.operators.sampling import mix_temperature_sweep
+
+        rows = mix_temperature_sweep(
+            spark.table("documents"), "source"
+        ).collect()
+        from collections import defaultdict
+
+        s = defaultdict(float)
+        for r in rows:
+            s[r.alpha] += r.weight
+        for a, tot in s.items():
+            assert abs(tot - 1.0) < 1e-4, (a, tot)
+
+    def test_validates_alphas(self, spark):
+        from shaper_spark.operators.sampling import mix_temperature_sweep
+
+        with pytest.raises(ValueError):
+            mix_temperature_sweep(spark.table("documents"), "source", alphas=())
+        with pytest.raises(ValueError):
+            mix_temperature_sweep(
+                spark.table("documents"), "source", alphas=(0.5, -1.0)
+            )
+
+
+class TestLangidConfusion:
+    def test_confusion_cells(self, spark):
+        from shaper_spark.operators.text import langid_confusion
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of it", "en"),   # en predicted
+                (2, "der hund und die katze das", "en"),  # de predicted, en label
+                (3, "der und die das ist nicht", "de"),   # de predicted
+                (4, "zzz qqq xxx", "de"),                 # no votes -> und
+            ],
+            "doc_id long, text string, lang string",
+        )
+        rows = langid_confusion(docs, "doc_id", "text", "lang").collect()
+        got = {(r.label, r.lang_pred): (r.n_docs, r.share_micro) for r in rows}
+        assert got == {
+            ("en", "en"): (1, 500000),
+            ("en", "de"): (1, 500000),
+            ("de", "de"): (1, 500000),
+            ("de", "und"): (1, 500000),
+        }
+
+    def test_shares_sum_to_one_per_label(self, spark):
+        from shaper_spark.operators.text import langid_confusion
+
+        rows = langid_confusion(
+            spark.table("documents"), "doc_id", "text", "lang"
+        ).collect()
+        from collections import defaultdict
+
+        s = defaultdict(int)
+        for r in rows:
+            s[r.label] += r.share_micro
+        for label, tot in s.items():
+            assert abs(tot - 1_000_000) <= len(rows), (label, tot)
