@@ -125,6 +125,9 @@ TEXT_FAMILY = [
     "charclass_composition",
     "unicode_anomaly_report",
     "boilerplate_affixes",
+    "langid_confusion",
+    "source_entropy_report",
+    "heaps_law_fit",
     "text_token_stats",
     "length_quantiles",
     "canary_scan",

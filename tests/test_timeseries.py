@@ -1,7 +1,10 @@
-"""Unit tests for operators/timeseries.py — rolling integer-z² anomaly
-bands and ordered funnel conversion (hand-computed fixtures; the
-engine differential runs via the events_rate_anomaly /
-events_funnel_ordered entries in tests/oracle_check.py)."""
+"""Unit + property tests for operators/timeseries.py — rolling
+integer-z² anomaly bands, ordered funnel conversion, and cohort
+retention (hand-computed fixtures plus hypothesis arms vs pure-Python
+references; the engine differential runs via the events_rate_anomaly /
+events_funnel_ordered / events_retention_cohorts entries in
+tests/oracle_check.py, and the streaming sibling via
+test_streaming.TestRateAnomalyStream)."""
 
 from __future__ import annotations
 
