@@ -140,6 +140,7 @@ EXTRAS = [
     "stream_rate_anomaly",
     "langid_confusion",
     "mix_temperature_sweep",
+    "ivf_recall_curve",
 ]
 
 HEADLINE = [

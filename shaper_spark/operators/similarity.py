@@ -36,6 +36,9 @@ __all__ = [
     "ann_recall",
     "build_ivf_index",
     "ivf_index_probe",
+    "ivf_recall_curve",
+    "seeded_unit_centroids",
+    "chain_dot_sql",
 ]
 
 # Driver-local strategy cutoff for cosine_topk, mirroring
@@ -925,4 +928,160 @@ def ivf_index_probe(
             (F.round("cosine", 6) + F.lit(0.0)).alias("cosine"),
             "rank",
         )
+    )
+
+
+def chain_dot_sql(vec_sql: str, lits, elem_fmt: str) -> str:
+    """An explicit left-to-right ``v[1]*c1 + v[2]*c2 + …`` dot-product
+    chain with the centroid embedded as repr'd double literals —
+    identical SQL text (modulo the element-accessor spelling) parses
+    and evaluates to the identical IEEE double sequence in Spark and
+    DuckDB, which array/list dot-product builtins do NOT guarantee
+    (vectorized summation orders differ per engine).  The
+    cross-engine contract for every cell-similarity comparison in
+    :func:`ivf_recall_curve`."""
+    terms = [
+        f"{elem_fmt.format(v=vec_sql, i=i + 1)} * {float(x)!r}"
+        for i, x in enumerate(lits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def seeded_unit_centroids(n_cells: int, dim: int, seed: int):
+    """Data-independent coarse quantizer: seeded standard-normal rows
+    normalized to unit length.  Used by the oracle-replayable entry
+    (k-means centroids are data-dependent and cannot be embedded in a
+    scale-factor-agnostic oracle); pass k-means centroids from
+    :func:`_train_quantizer` for production quality."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_recall_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """Empirical IVF recall-vs-n_probe curve — the similarity-family
+    analog of the dedup family's ``lsh_parameter_plan`` (analytic) +
+    ``jaccard_threshold_curve`` (empirical) pair: before fixing an
+    IVF probe width, measure what every candidate n_probe actually
+    recalls on THIS corpus.  Key identity: an exact top-k neighbor is
+    recalled at probe width p iff the CELL RANK of its cell in the
+    query's centroid-similarity ordering is ≤ p (rerank among probed
+    candidates is exact, and a true top-k neighbor outranks every
+    candidate) — so the whole grid folds into conditional sums over
+    ONE exact-pairs ⋈ cell-rank frame, never a per-p probe loop.
+    ``recall@n_cells = 1`` by construction (the exactness proof
+    ``ivf_index_probe`` pins, read off the same curve).
+
+    Returns (n_probe, n_exact, n_hit, recall_micro), ordered —
+    recall_micro half-up BIGINT.  Cell similarities are explicit
+    literal-embedded dot chains (:func:`chain_dot_sql`) on BOTH
+    engines, so the curve replays in the DuckDB oracle when
+    ``centroids`` is data-independent (default:
+    :func:`seeded_unit_centroids`).
+
+    Scale shape: exact side is ``cosine_topk``'s per-partition matmul
+    (queries broadcast); the corpus pays one codegen projection of
+    n_cells dot chains + argmax (scan-local, no shuffle beyond the
+    exact side's); ranks live on the query-sized frame; the grid agg
+    is one |pairs|-bounded pass."""
+    if centroids is None:
+        centroids = seeded_unit_centroids(n_cells, dim, seed)
+    n_cells = len(centroids)
+    elem = "element_at({v}, {i})"
+    sims = [
+        chain_dot_sql(vec_col, centroids[c], elem) for c in range(n_cells)
+    ]
+
+    exact = cosine_topk(corpus, queries, id_col, vec_col, k=k).select(
+        "query_id", "neighbor_id"
+    )
+
+    # corpus → cell: Arrow numpy argmax (the scale path — the
+    # 16×64-literal SQL chains blow past janino's method limit and
+    # fall back to interpreted eval, measured 10× slower on the
+    # corpus-sized side).  numpy's float64 matmul and the oracle's
+    # sequential chain can differ in the last ulp, which flips the
+    # argmax only on a near-exact cell tie — measure-zero for
+    # continuous embeddings, and the oracle differential plus the
+    # pytest chain-vs-numpy pin would surface it.  Query-side sims
+    # and the rank comparisons stay literal chains (query-sized).
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_mat = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _nearest(vs):
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        return pd.Series((mat @ cent_mat.T).argmax(axis=1))
+
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _nearest(F.col(vec_col)).alias("__ncell"),
+    )
+
+    qsims = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[F.expr(s).alias(f"__s{c}") for c, s in enumerate(sims)],
+    )
+
+    sn = (
+        "CASE __ncell "
+        + " ".join(f"WHEN {c} THEN __s{c}" for c in range(n_cells))
+        + " END"
+    )
+    rank_terms = " + ".join(
+        f"(CASE WHEN __s{c} > __sn OR (__s{c} = __sn AND {c} < __ncell) "
+        "THEN 1 ELSE 0 END)"
+        for c in range(n_cells)
+    )
+    ranked = (
+        exact.join(cells, "neighbor_id")
+        .join(qsims, "query_id")
+        .withColumn("__sn", F.expr(sn))
+        .select(F.expr(f"1 + {rank_terms}").alias("__r"))
+    )
+    wide = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[
+            F.sum(F.when(F.col("__r") <= p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__h{p}")
+            for p in range(1, n_cells + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{p}, __h{p}" for p in range(1, n_cells + 1)
+    )
+    return (
+        wide.select(
+            F.col("__n"),
+            F.expr(
+                f"stack({n_cells}, {stack_args}) AS (n_probe, n_hit)"
+            ),
+        )
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            F.col("__n").alias("n_exact"),
+            "n_hit",
+            F.expr(
+                "CASE WHEN __n > 0 THEN "
+                "(2 * 1000000 * n_hit + __n) DIV (2 * __n) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("recall_micro"),
+        )
+        .orderBy("n_probe")
     )

@@ -488,3 +488,65 @@ class TestPca:
         ])
         var = proj.var(axis=0)
         np.testing.assert_allclose(var, np.ones(3), rtol=0.05)
+
+
+class TestIvfRecallCurve:
+    def test_monotone_and_exact_at_full_probe(self, spark):
+        from shaper_spark.operators.similarity import ivf_recall_curve
+
+        emb = spark.table("embeddings")
+        rows = ivf_recall_curve(
+            emb, emb.filter("vec_id < 10"), k=3, n_cells=8
+        ).collect()
+        assert [r.n_probe for r in rows] == list(range(1, 9))
+        hits = [r.n_hit for r in rows]
+        assert hits == sorted(hits)  # monotone non-decreasing
+        assert rows[-1].recall_micro == 1_000_000  # exact at n_probe=n_cells
+        assert all(r.n_exact == rows[0].n_exact for r in rows)
+
+    def test_numpy_argmax_matches_literal_chain_argmax(self, spark):
+        # the corpus side assigns cells with a numpy float64 matmul;
+        # the oracle evaluates explicit literal dot chains.  Pin that
+        # both argmaxes agree on the real corpus (a disagreement means
+        # a near-exact cell tie crossed the summation-order ulp).
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators.similarity import (
+            chain_dot_sql,
+            seeded_unit_centroids,
+        )
+        import numpy as np
+
+        cents = seeded_unit_centroids(16, 64, 42)
+        emb = spark.table("embeddings")
+        elem = "element_at({v}, {i})"
+        sims = [chain_dot_sql("embedding", c, elem) for c in cents]
+        arr = "array(" + ", ".join(sims) + ")"
+        chain = {
+            r.vec_id: r.cell
+            for r in emb.select(
+                "vec_id",
+                (
+                    F.expr(f"array_position({arr}, array_max({arr}))") - 1
+                ).alias("cell"),
+            ).collect()
+        }
+        rows = emb.select("vec_id", "embedding").collect()
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        npx = dict(
+            zip((r.vec_id for r in rows), (mat @ cents.T).argmax(axis=1))
+        )
+        diffs = {k for k in chain if chain[k] != npx[k]}
+        assert not diffs, sorted(diffs)[:5]
+
+    def test_seeded_centroids_unit_norm_deterministic(self, spark):
+        import numpy as np
+
+        from shaper_spark.operators.similarity import seeded_unit_centroids
+
+        a = seeded_unit_centroids(16, 64, 42)
+        b = seeded_unit_centroids(16, 64, 42)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(
+            np.linalg.norm(a, axis=1), np.ones(16), atol=1e-12
+        )
