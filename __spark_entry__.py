@@ -1187,6 +1187,59 @@ ORDER BY n_probe
 """
 
 
+def _q_markup_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup/entity residue audit (shaper_spark/operators/text.py
+    markup_residue_report, NEW r13): per source, occurrences and
+    affected docs of fixed leaked-tag/entity/template markers — the
+    extraction-quality alarm between the crawler and every text
+    operator downstream.  Exact non-overlapping substring arithmetic
+    (length−replace over quote-free literals, exact integer
+    division); ONE scan → |sources|-bounded hash-agg → |markers|-row
+    stack.  §2C."""
+    from shaper_spark.operators.text import markup_residue_report
+
+    _prep(spark, sf_dir)
+    return markup_residue_report(spark.table("documents"), "text", "source")
+
+
+def _markup_residue_duck() -> str:
+    from shaper_spark.operators.text import (
+        MARKUP_MARKERS,
+        _share_micro_sql,
+    )
+
+    def cnt(m: str) -> str:
+        return (
+            f"((length(text) - length(replace(text, '{m}', ''))) "
+            f"// {len(m)})"
+        )
+
+    sums = []
+    for i, m in enumerate(MARKUP_MARKERS):
+        sums.append(f"CAST(sum({cnt(m)}) AS BIGINT) AS s{i}")
+        sums.append(
+            f"CAST(sum(CASE WHEN {cnt(m)} > 0 THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS d{i}"
+        )
+    joined = ",\n         ".join(sums)
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT source, '{m}' AS marker, s{i} AS n_hits, "
+        f"d{i} AS n_docs_affected, "
+        f"{_share_micro_sql(f's{i}', 'snc', '//')} AS hits_per_char_micro "
+        f"FROM wide"
+        for i, m in enumerate(MARKUP_MARKERS)
+    )
+    return f"""
+WITH wide AS (
+  SELECT source, CAST(sum(length(text)) AS BIGINT) AS snc,
+         {joined}
+  FROM documents GROUP BY source
+)
+{rows}
+ORDER BY source, marker
+"""
+
+
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shaper_spark.operators.text import doc_fingerprint
 
@@ -6207,7 +6260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greens; the distribution-drift family keeps psi_drift_matrix
         # and source_jaccard_matrix in-window).
         "source_entropy_report": _q_source_entropy,
-        "embedding_outlier_report": _q_embedding_outliers,
+        # r13 late: markup_residue_report (extraction-quality residue
+        # audit) enters, displacing embedding_outlier_report (4
+        # official greens; the embedding family keeps neardup,
+        # semdedup_report and the new ivf_recall_curve in-window).
+        "markup_residue_report": _q_markup_residue,
         # r13 late: events_funnel_ordered (greedy-earliest funnel
         # conversion) enters, displacing quality_lm_correlation (4
         # official greens; the quality family keeps sweep, both
@@ -6289,6 +6346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_relevance": _q_bm25,  # rotated out r13 late (4 greens) for langid_confusion
         "key_skew_report": _q_key_skew,  # rotated out r13 late (4 greens) for mix_temperature_sweep
         "ivf_index_probe": _q_ivf_index_probe,  # rotated out r13 late (4 greens) for ivf_recall_curve
+        "embedding_outlier_report": _q_embedding_outliers,  # rotated out r13 late (4 greens) for markup_residue_report
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -6568,6 +6626,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": _langid_confusion_duck(),
         "mix_temperature_sweep": MIX_SWEEP_DUCK,
         "ivf_recall_curve": _ivf_recall_curve_duck(),
+        "markup_residue_report": _markup_residue_duck(),
         "events_funnel_ordered": EVENTS_FUNNEL_DUCK,
         "source_entropy_report": SOURCE_ENTROPY_DUCK,
         "charclass_composition": _charclass_duck(),

@@ -141,6 +141,7 @@ EXTRAS = [
     "langid_confusion",
     "mix_temperature_sweep",
     "ivf_recall_curve",
+    "markup_residue_report",
 ]
 
 HEADLINE = [

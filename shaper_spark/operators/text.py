@@ -51,6 +51,8 @@ __all__ = [
     "boilerplate_affixes",
     "heaps_law_fit",
     "langid_confusion",
+    "markup_residue_report",
+    "MARKUP_MARKERS",
     "source_entropy_report",
     "punct_count_sql",
     "folded_padded_sql",
@@ -2804,3 +2806,83 @@ def langid_confusion(
         )
         .orderBy("label", "lang_pred")
     )
+
+
+# Extraction-residue markers: fixed substrings whose presence in a
+# "clean text" corpus means the HTML→text extractor leaked markup or
+# entities.  Quote-free literals so the SQL embeds them verbatim.
+MARKUP_MARKERS: tuple[str, ...] = (
+    "<p>",
+    "<div",
+    "</div>",
+    "<br",
+    "<span",
+    "&nbsp;",
+    "&amp;",
+    "&lt;",
+    "&gt;",
+    "&#",
+    "{{",
+    "}}",
+)
+
+
+def markup_residue_report(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group markup/entity residue audit — occurrences and
+    affected-doc counts of the fixed :data:`MARKUP_MARKERS` substrings
+    (leaked tags, HTML entities, template braces): the
+    extraction-quality alarm between the crawler and every text
+    operator downstream.  A source whose ``&nbsp;`` rate jumps
+    between releases changed its extractor, not its content.
+
+    Engine-proof: each marker count is exact non-overlapping
+    substring arithmetic ``(length − length(replace)) / len(marker)``
+    (the division is exact, so integer division replays
+    bit-identically); rates are half-up BIGINT micro per character.
+    ONE scan → |groups|-bounded hash-agg → |markers|-row stack
+    unpivot — the same shape as :func:`unicode_anomaly_report`."""
+    def cnt(m: str) -> str:
+        return (
+            f"((length({text_col}) - length(replace({text_col}, "
+            f"'{m}', ''))) DIV {len(m)})"
+        )
+
+    staged = df.select(
+        F.col(group_col),
+        F.length(text_col).cast("long").alias("__nc"),
+        *[
+            F.expr(cnt(m)).cast("long").alias(f"__h{i}")
+            for i, m in enumerate(MARKUP_MARKERS)
+        ],
+    )
+    aggs = [F.sum("__nc").alias("__snc")]
+    for i in range(len(MARKUP_MARKERS)):
+        aggs.append(F.sum(f"__h{i}").alias(f"__s{i}"))
+        aggs.append(
+            F.sum(F.when(F.col(f"__h{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__d{i}")
+        )
+    agg = staged.groupBy(F.col(group_col).alias(group_col)).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{m}', __s{i}, __d{i}" for i, m in enumerate(MARKUP_MARKERS)
+    )
+    stacked = agg.select(
+        F.col(group_col),
+        F.col("__snc"),
+        F.expr(
+            f"stack({len(MARKUP_MARKERS)}, {stack_args}) "
+            "AS (marker, n_hits, n_docs_affected)"
+        ),
+    )
+    return stacked.select(
+        F.col(group_col),
+        "marker",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_docs_affected").cast("long").alias("n_docs_affected"),
+        F.expr(_share_micro_sql("n_hits", "__snc")).alias(
+            "hits_per_char_micro"
+        ),
+    ).orderBy(group_col, "marker")

@@ -126,6 +126,7 @@ TEXT_FAMILY = [
     "unicode_anomaly_report",
     "boilerplate_affixes",
     "langid_confusion",
+    "markup_residue_report",
     "source_entropy_report",
     "heaps_law_fit",
     "text_token_stats",

@@ -82,7 +82,7 @@ def test_prefix_50_covers_the_diverse_surface():
         # displace boilerplate_grams / quality_lm_correlation (4
         # greens each; word-stats keeps lexdiv/blocklist/affixes,
         # quality keeps sweep/probes/interaction/exemplars/shift)
-        "embedding_outlier_report", "events_funnel_ordered",
+        "markup_residue_report", "events_funnel_ordered",
         "dsir_select", "events_rate_anomaly",
         "psi_drift_matrix", "filter_threshold_sweep",
         # r13 late: langid_confusion / mix_temperature_sweep displace

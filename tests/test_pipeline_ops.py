@@ -1899,3 +1899,41 @@ class TestLangidConfusion:
             s[r.label] += r.share_micro
         for label, tot in s.items():
             assert abs(tot - 1_000_000) <= len(rows), (label, tot)
+
+
+class TestMarkupResidueReport:
+    def test_hand_computed_counts(self, spark):
+        from shaper_spark.operators.text import markup_residue_report
+
+        docs = spark.createDataFrame(
+            [
+                (1, "clean text here", "s"),
+                (2, "bad &nbsp;&nbsp; entity <p> tag", "s"),
+                (3, "tpl {{name}} residue", "s"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = markup_residue_report(docs, "text", "source").collect()
+        by = {r.marker: (r.n_hits, r.n_docs_affected) for r in rows}
+        assert by["&nbsp;"] == (2, 1)
+        assert by["<p>"] == (1, 1)
+        assert by["{{"] == (1, 1)
+        assert by["}}"] == (1, 1)
+        assert by["<div"] == (0, 0)
+        # one row per marker per group
+        from shaper_spark.operators.text import MARKUP_MARKERS
+
+        assert len(rows) == len(MARKUP_MARKERS)
+
+    def test_overlapping_prefix_markers_count_independently(self, spark):
+        from shaper_spark.operators.text import markup_residue_report
+
+        # "&lt;" contains no "&gt;", "&#" is its own marker: each
+        # marker counts its own occurrences on the ORIGINAL text
+        docs = spark.createDataFrame(
+            [(1, "&lt;&gt;&#39;", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = markup_residue_report(docs, "text", "source").collect()
+        by = {r.marker: r.n_hits for r in rows}
+        assert by["&lt;"] == 1 and by["&gt;"] == 1 and by["&#"] == 1
