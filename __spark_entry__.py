@@ -455,6 +455,63 @@ ORDER BY id_a, id_b
 """
 
 
+def _q_dedup_pair_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair exemplar sampler (shaper_spark/operators/dedup.py
+    dedup_pair_exemplars, NEW r13): the 5 highest- and 5 lowest-
+    Jaccard candidate pairs — the eyeball check that turns
+    jaccard_threshold_curve's counts into a defensible cutoff (review
+    pairs just above and below before deleting).  Integer pair stats
+    once from the posting self-join; both directions rank through ONE
+    row_number window via the 2-element kind explode
+    (quality_exemplars' pattern on the pairs frame).  §2C."""
+    from shaper_spark.operators.dedup import dedup_pair_exemplars
+
+    _prep(spark, sf_dir)
+    return dedup_pair_exemplars(spark.table("documents"), "doc_id", "text")
+
+
+PAIR_EXEMPLARS_DUCK = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                i -> array_to_string(w[i+1:i+3], ' ')))) AS shingle
+  FROM words
+),
+sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         CAST(ca.c + cb.c - inter AS BIGINT) AS union_,
+         CAST((2 * 1000000 * inter + greatest(ca.c + cb.c - inter, 1))
+              // (2 * greatest(ca.c + cb.c - inter, 1)) AS BIGINT)
+           AS jaccard_micro
+  FROM pairs
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+),
+tagged AS (
+  SELECT *, 'top' AS kind, -jaccard_micro AS skey FROM st
+  UNION ALL
+  SELECT *, 'bottom' AS kind, jaccard_micro AS skey FROM st
+),
+ranked AS (
+  SELECT kind,
+         row_number() OVER (PARTITION BY kind
+                            ORDER BY skey, id_a, id_b) AS rank,
+         id_a, id_b, inter, union_, jaccard_micro
+  FROM tagged
+)
+SELECT kind, rank, id_a, id_b, inter, union_, jaccard_micro
+FROM ranked WHERE rank <= 5 ORDER BY kind, rank
+"""
+
+
 def _q_dedup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional duplicate-flow matrix (shaper_spark/operators/
     dedup.py dedup_flow_matrix, NEW r13): per (group_kept,
@@ -6287,7 +6344,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each; the dialect and text-scan families keep hash-checked
         # representatives in the prefix)
         "dedup_containment_pairs": _q_containment,
-        "psi_drift_matrix": _q_psi_matrix,
+        # r13 late: dedup_pair_exemplars (the pair-level eyeball check
+        # behind the threshold curve) enters, displacing
+        # psi_drift_matrix (4 official greens; the drift family keeps
+        # source_entropy_report and source_jaccard_matrix in-window,
+        # and the PSI body stays exercised by the streaming drift
+        # monitor's pytest parity).
+        "dedup_pair_exemplars": _q_dedup_pair_exemplars,
         "filter_threshold_sweep": _q_threshold_sweep,
         # r13 late: events_rate_anomaly (integer rolling-z² hourly rate
         # monitor) enters, displacing boilerplate_grams (4 official
@@ -6347,6 +6410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": _q_key_skew,  # rotated out r13 late (4 greens) for mix_temperature_sweep
         "ivf_index_probe": _q_ivf_index_probe,  # rotated out r13 late (4 greens) for ivf_recall_curve
         "embedding_outlier_report": _q_embedding_outliers,  # rotated out r13 late (4 greens) for markup_residue_report
+        "psi_drift_matrix": _q_psi_matrix,  # rotated out r13 late (4 greens) for dedup_pair_exemplars
         # -- tail (entries 51+, outside the driver's official 50-entry
         # window but still checked by tests/oracle_check.py): every entry
         # here has passed the official gate in a prior round --
@@ -6627,6 +6691,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_temperature_sweep": MIX_SWEEP_DUCK,
         "ivf_recall_curve": _ivf_recall_curve_duck(),
         "markup_residue_report": _markup_residue_duck(),
+        "dedup_pair_exemplars": PAIR_EXEMPLARS_DUCK,
         "events_funnel_ordered": EVENTS_FUNNEL_DUCK,
         "source_entropy_report": SOURCE_ENTROPY_DUCK,
         "charclass_composition": _charclass_duck(),

@@ -142,6 +142,7 @@ EXTRAS = [
     "mix_temperature_sweep",
     "ivf_recall_curve",
     "markup_residue_report",
+    "dedup_pair_exemplars",
 ]
 
 HEADLINE = [

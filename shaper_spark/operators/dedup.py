@@ -42,6 +42,7 @@ __all__ = [
     "split_leakage_report",
     "dedup_quality_shift",
     "method_agreement_report",
+    "dedup_pair_exemplars",
 ]
 
 # Small-corpus strategy cutoff for embedding_near_dups: take the
@@ -1546,3 +1547,105 @@ def method_agreement_report(
             "(2 * 1000000 * n_true_pairs + n_pairs) DIV (2 * n_pairs)"
         ).alias("true_frac_micro"),
     ).orderBy("method")
+
+
+def dedup_pair_exemplars(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Human-review sample of near-duplicate pairs: the ``n``
+    highest- and ``n`` lowest-scoring candidate pairs by exact n-gram
+    Jaccard over the posting-list candidates — the pair-level
+    companion to :func:`text.quality_exemplars` (docs) and the
+    eyeball check that turns :func:`jaccard_threshold_curve`'s counts
+    into a defensible cutoff: look at pairs just above and just below
+    before deleting anything.
+
+    Returns (kind, rank, id_a, id_b, inter, union_, jaccard_micro),
+    ordered — kind ``top`` (most similar first) / ``bottom`` (least
+    similar candidate pairs), BIGINT micro scores, (score, id_a,
+    id_b) tie-breaks so the sample replays in any engine.
+
+    Spark shape: integer pair stats once from the posting self-join
+    (never all-pairs); each pair emits its two (kind, signed-key)
+    rows via a 2-element explode so a SINGLE row_number window over
+    ONE kind-keyed exchange ranks both directions — the
+    quality_exemplars pattern on the pairs frame."""
+    postings = _df_capped(shingle_tokens(df, id_col, text_col, k), max_df)
+    from pyspark import StorageLevel
+
+    postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("ca"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("cb"))
+    st = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("ca") + F.col("cb") - F.col("inter"))
+            .cast("long")
+            .alias("union_"),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.expr(
+                "(2 * 1000000 * inter + greatest(union_, CAST(1 AS BIGINT)))"
+                " DIV (2 * greatest(union_, CAST(1 AS BIGINT)))"
+            ),
+        )
+    )
+    tagged = st.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "union_",
+        "jaccard_micro",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("top").alias("kind"),
+                    (-F.col("jaccard_micro")).alias("skey"),
+                ),
+                F.struct(
+                    F.lit("bottom").alias("kind"),
+                    F.col("jaccard_micro").alias("skey"),
+                ),
+            )
+        ).alias("t"),
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("t.kind").orderBy(
+        F.col("t.skey").asc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        tagged.select(
+            F.col("t.kind").alias("kind"),
+            F.row_number().over(win).alias("rank"),
+            "id_a",
+            "id_b",
+            "inter",
+            "union_",
+            "jaccard_micro",
+        )
+        .filter(F.col("rank") <= n)
+        .orderBy("kind", "rank")
+    )

@@ -84,7 +84,7 @@ def test_prefix_50_covers_the_diverse_surface():
         # quality keeps sweep/probes/interaction/exemplars/shift)
         "markup_residue_report", "events_funnel_ordered",
         "dsir_select", "events_rate_anomaly",
-        "psi_drift_matrix", "filter_threshold_sweep",
+        "dedup_pair_exemplars", "filter_threshold_sweep",
         # r13 late: langid_confusion / mix_temperature_sweep displace
         # bm25_relevance / key_skew_report (4 greens each; both stay
         # full-set checked + in bench EXTRAS)

@@ -1937,3 +1937,42 @@ class TestMarkupResidueReport:
         rows = markup_residue_report(docs, "text", "source").collect()
         by = {r.marker: r.n_hits for r in rows}
         assert by["&lt;"] == 1 and by["&gt;"] == 1 and by["&#"] == 1
+
+
+class TestDedupPairExemplars:
+    def test_top_and_bottom_samples(self, spark):
+        from shaper_spark.operators.dedup import dedup_pair_exemplars
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),
+                (2, "a b c d e f g h"),          # exact dup of 1
+                (3, "a b c d x y z w"),          # partial overlap
+                (4, "q r s t u v w2 x2"),        # no overlap
+            ],
+            "doc_id long, text string",
+        )
+        rows = dedup_pair_exemplars(docs, "doc_id", "text", n=2).collect()
+        top = [(r.id_a, r.id_b, r.jaccard_micro) for r in rows
+               if r.kind == "top"]
+        # the exact-dup pair ranks first at jaccard 1.0
+        assert top[0] == (1, 2, 1_000_000)
+        bottom = [r for r in rows if r.kind == "bottom"]
+        assert bottom and bottom[0].jaccard_micro <= top[0][2]
+        # ranks are 1..n per kind
+        assert [r.rank for r in rows if r.kind == "top"] == [1, 2]
+
+    def test_union_is_inclusion_exclusion(self, spark):
+        from shaper_spark.operators.dedup import dedup_pair_exemplars
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "c d e f g")],
+            "doc_id long, text string",
+        )
+        (r0, r1) = sorted(
+            dedup_pair_exemplars(docs, "doc_id", "text", n=1).collect(),
+            key=lambda r: r.kind,
+        )
+        # 3-shingles: each doc has 3, sharing exactly 1 ("c d e")
+        assert (r0.inter, r0.union_) == (1, 5)
+        assert r0.jaccard_micro == 200000
