@@ -154,6 +154,18 @@ async function visit(path) {
   return appRoot;
 }
 
+// Poll until the app root's text contains `needle` (fire-and-forget
+// fetches land whenever the server answers — a fixed settle races a
+// loaded host). Resolves early on match; gives up after `ms`.
+async function waitForText(needle, ms = 8000) {
+  const t0 = Date.now();
+  while (Date.now() - t0 < ms) {
+    if (appRoot.textContent.includes(needle)) return true;
+    await new Promise(r => setTimeout(r, 100));
+  }
+  return appRoot.textContent.includes(needle);
+}
+
 (async () => {
   if (authEmail) {
     // login-required instance: / redirects to /login; the form mints a
@@ -208,8 +220,9 @@ async function visit(path) {
     expect(rows.length >= 1, 'filtered barchartHorizontal rendered');
   }
 
-  // task page: content + run-now button
+  // task page: content + run-now button (async fetch — poll, don't race)
   root = await visit('/tasks/t-demo');
+  await waitForText('Count docs');
   txt = root.textContent;
   expect(txt.includes('Count docs'), 'task page title');
   expect(txt.includes('Run now'), 'run-now button');
