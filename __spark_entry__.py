@@ -2769,10 +2769,17 @@ def _q_sig_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"), "doc_id", {"corpus": 0.8, "batch": 0.2},
         seed="sig",
     )
+    # The operator scans the store twice (exact-hash rule + band
+    # explode).  A production store is a persisted parquet table where
+    # two scans are two cheap columnar reads; HERE it is derived on the
+    # fly from corpus text, so persist the narrow (id, h, sig) frame to
+    # run that derivation once (r13-opt, guide §2.4).
+    from pyspark import StorageLevel
+
     store = signature_records(
         docs.filter(F.col("split") == "corpus"), "doc_id", "text",
         k=3, num_hashes=8,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return incremental_sig_dedup(
         store,
         docs.filter(F.col("split") == "batch"),

@@ -242,6 +242,15 @@ def jaccard_pairs(
         from pyspark import StorageLevel
 
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+    return _jaccard_from_postings(postings, threshold)
+
+
+def _jaccard_from_postings(
+    postings: DataFrame, threshold: float
+) -> DataFrame:
+    """Pair scores from an existing (id, shingle) postings frame — the
+    seam composite reports share so the postings pipeline (and its
+    persist) runs once per report, not once per consumer."""
     sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = postings.alias("a")
@@ -355,6 +364,14 @@ def minhash_signatures(
     One explode over shingles × num_hashes min-aggregates (all partial,
     map-side combinable): sig[i] = min over shingles of H_i(shingle)."""
     postings = _df_capped(shingle_tokens(df, id_col, text_col, k), max_df)
+    return _sig_from_postings(postings, num_hashes)
+
+
+def _sig_from_postings(postings: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) from an existing (id, shingle) postings frame — the
+    seam that lets composite reports (minhash_estimate_report) derive
+    signatures from ONE shared postings scan instead of re-running the
+    whole shingle pipeline per consumer."""
     aggs = [
         F.min(_portable_hash(F.col("shingle"), i)).alias(f"h{i}")
         for i in range(num_hashes)
@@ -770,10 +787,22 @@ def incremental_dedup(
     itself shuffle-scale and the join reverts to keyed exchanges
     (measured ~17% faster at sf0.1; the win grows with the
     corpus:batch ratio)."""
+    from pyspark import StorageLevel
+
+    # Shared-frame persists (r13-opt, guide §2.4): before this, every
+    # consumer re-derived its input pipeline from the corpus scan —
+    # b_hash fed three rules (3× the batch normalize+md5 pass), bp fed
+    # the join AND the batch sizes (2× the batch shingle pipeline), cp
+    # fed the join AND the corpus sizes (2× the CORPUS shingle
+    # pipeline, the expensive one).  All three frames are narrow
+    # (id+hash / id+shingle — never the text), and Spark's CacheManager
+    # dedupes identical canonical plans, so repeated calls share one
+    # entry.  At 100 TB the corpus postings spill to local disk
+    # (MEMORY_AND_DISK), the same trade jaccard_pairs documents.
     b_hash = batch.select(
         F.col(id_col).alias("id"),
         F.md5(normalize_text_expr(F.col(text_col))).alias("__h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     c_hash = corpus.select(
         F.md5(normalize_text_expr(F.col(text_col))).alias("__h")
     ).distinct()
@@ -786,8 +815,12 @@ def incremental_dedup(
     )
 
     maybe_b = F.broadcast if broadcast_batch else (lambda df: df)
-    bp = shingle_tokens(batch, id_col, text_col, k)
-    cp = _df_capped(shingle_tokens(corpus, id_col, text_col, k), max_df)
+    bp = shingle_tokens(batch, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cp = _df_capped(
+        shingle_tokens(corpus, id_col, text_col, k), max_df
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     b_sizes = bp.groupBy("id").agg(F.count(F.lit(1)).alias("__nb"))
     c_sizes = cp.groupBy("id").agg(F.count(F.lit(1)).alias("__nc"))
     inter = (
@@ -896,9 +929,16 @@ def incremental_sig_dedup(
     exactly one scan of the store per rule and zero corpus-text reads.
     Pass ``broadcast_batch=False`` if a single window is itself
     shuffle-scale."""
+    from pyspark import StorageLevel
+
+    # The batch records feed THREE rules (store-hash join, batch-winner
+    # rule, band explode) — persist the narrow batch-sized frame so the
+    # batch text pipeline runs once per call, not three times
+    # (r13-opt, guide §2.4).  An ingest window is small by nature, so
+    # the cache cost is bounded at any corpus scale.
     recs = signature_records(
         batch, id_col, text_col, k, num_hashes, max_df
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     maybe_b = F.broadcast if broadcast_batch else (lambda d: d)
 
     exact_corpus = (
@@ -996,10 +1036,35 @@ def minhash_estimate_report(
     no shingle) report exact 0 instead of dropping out.  Everything is
     md5-derived and deterministic, so the whole report replays in the
     DuckDB oracle."""
-    cands = lsh_candidate_pairs(
-        df, id_col, text_col, k, num_hashes, bands, max_df
+    from pyspark import StorageLevel
+
+    # ONE shared postings frame and ONE shared signature frame feed all
+    # three sub-reports (LSH candidates, signature estimate, exact
+    # Jaccard).  Before r13-opt each sub-report re-ran the whole
+    # shingle (and minhash) pipeline from the corpus scan — four
+    # full text pipelines per execution, two of them behind a plan
+    # too wide for whole-stage codegen (Janino compile failure observed
+    # at sf0.001, falling back to interpreted eval).  Guide §2.4:
+    # share the exchange/scan, don't repeat it.
+    postings = _df_capped(
+        shingle_tokens(df, id_col, text_col, k), max_df
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _sig_from_postings(postings, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes, max_df)
+    buckets = _sig_band_buckets(sig, num_hashes, bands)
+    a_ = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cands = (
+        a_.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
     matches = None
@@ -1017,9 +1082,9 @@ def minhash_estimate_report(
             (matches.cast("double") / F.lit(num_hashes)).alias("__est"),
         )
     )
-    exact = jaccard_pairs(
-        df, id_col, text_col, k, threshold=0.0, max_df=max_df
-    ).select("id_a", "id_b", F.col("jaccard").alias("__ex"))
+    exact = _jaccard_from_postings(postings, threshold=0.0).select(
+        "id_a", "id_b", F.col("jaccard").alias("__ex")
+    )
     return (
         est.join(exact, ["id_a", "id_b"], "left")
         .select(

@@ -110,6 +110,17 @@ def get_spark(app_name: str = "shaper_spark", cpus: int | None = None) -> SparkS
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # Janino-compiled classes are cached per generated-source text,
+        # but the cache is capped at 100 entries (static conf) — below
+        # the plan-shape population of a serving session (this repo's
+        # bench alone cycles ~112 queries × several codegen units
+        # each), so every pass re-pays Janino compilation AND a fresh
+        # C2 warm-up for every query (r13-opt measured the same plan
+        # 2.1× slower steady inside the full bench session than in a
+        # dedicated one).  Sized to the query population like the code
+        # cache above; entries are weak-referenced class handles, not
+        # bytecode copies, so the footprint is small.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # The synthetic test parquet uses TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as int64 nanos and convert in
         # register_sf_tables.
