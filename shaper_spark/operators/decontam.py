@@ -51,6 +51,11 @@ def ngram_decontaminate(
         "id", "eval_id"
     )
     if max_df is not None:
+        # two consumers of the train gram pipeline (cap agg + join):
+        # persist so it runs once (r13-opt, guide §2.4)
+        from pyspark import StorageLevel
+
+        tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
         keep = (
             tr.groupBy("shingle")
             .agg(F.countDistinct("train_id").alias("__df"))
@@ -100,6 +105,15 @@ def ngram_decontaminate_presplit(
         F.col("id").alias("eval_id"), "shingle"
     )
     if max_df is not None:
+        # the df cap makes TRAIN grams a two-consumer frame (the cap
+        # aggregate + the join side): persist it so the train-side gram
+        # pipeline — ~the whole corpus — runs once per execution, not
+        # twice (r13-opt, guide §2.4; same trade as jaccard_pairs'
+        # postings persist, MEMORY_AND_DISK spills at scale). The eval
+        # side stays lazy: single consumer, nothing to share.
+        from pyspark import StorageLevel
+
+        tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
         keep = (
             tr.groupBy("shingle")
             .agg(F.countDistinct("train_id").alias("__df"))

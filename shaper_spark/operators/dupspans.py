@@ -110,6 +110,7 @@ def duplicated_span_stats(
     text_col: str,
     k: int = 8,
     by: str | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Per document: total k-gram positions, positions whose k-gram
     appears in ≥1 other document, and the duplicated fraction.
@@ -129,6 +130,16 @@ def duplicated_span_stats(
     grams = _positional_grams(
         df, id_col, text_col, k, extra_cols=(by,) if by else ()
     ).select(*keep, "h")
+    if persist:
+        # the gram stream feeds BOTH the dup-set aggregate and the
+        # flag-back join — persist so the explode+md5 pipeline (the
+        # dominant per-byte cost) runs once per execution, not twice
+        # (r13-opt, guide §2.4). Same trade as jaccard_pairs' postings
+        # persist: disable when the positional gram stream exceeds
+        # cluster storage and recompute is the cheaper currency.
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     # TWO corpus shuffles, zero windows: "gram h occurs in >1 document"
     # is exactly min(id) != max(id) over its occurrences, so the dup
     # flag comes from ONE groupBy(h) with min/max aggregates — map-side
@@ -211,6 +222,12 @@ def remove_duplicated_spans(
         F.split(F.col(text_col), " ").alias("__ws"),
     )
     grams = _positional_grams(df, id_col, text_col, k)
+    # NOT persisted (r13-opt, measured): caching base+grams here read
+    # flat at sf0.1 (steady 1.52→1.56 s) — the removal tail's keyed
+    # union exchange dominates, and caching corpus-scale position
+    # frames is the wrong storage trade at 100 TB for a zero win.
+    # duplicated_span_stats (two gram consumers, no removal tail) DOES
+    # persist its grams — measured 1.68×→1.04× there.
     dup_set = (
         grams.groupBy("h")
         .agg(F.min("id").alias("__a"), F.max("id").alias("__b"))
