@@ -220,9 +220,14 @@ async function waitForText(needle, ms = 8000) {
     expect(rows.length >= 1, 'filtered barchartHorizontal rendered');
   }
 
-  // task page: content + run-now button (async fetch — poll, don't race)
-  root = await visit('/tasks/t-demo');
-  await waitForText('Count docs');
+  // task page: content + run-now button (async fetch — poll AND re-visit:
+  // a starved host can slow or drop the fire-and-forget fetch entirely,
+  // so re-dispatch it rather than just waiting longer)
+  let taskOk = false;
+  for (let i = 0; i < 6 && !taskOk; i++) {
+    root = await visit('/tasks/t-demo');
+    taskOk = await waitForText('Count docs', 10000);
+  }
   txt = root.textContent;
   expect(txt.includes('Count docs'), 'task page title');
   expect(txt.includes('Run now'), 'run-now button');
