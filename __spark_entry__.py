@@ -2466,6 +2466,10 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shaper_spark.operators.pii import pii_scrub
 
     _prep(spark, sf_dir)
+    # r13-opt audit: the 6-regex map side measures 0.08 s warm over the
+    # single-task scan — a spread_for_compute exchange read NEUTRAL
+    # (0.077 vs 0.080 s) and was reverted; the entry's residual is
+    # plan+JIT warm-up, not map-side compute.
     base = spark.table("customer").select(
         "c_custkey",
         "c_nationkey",
