@@ -947,6 +947,26 @@ def chain_dot_sql(vec_sql: str, lits, elem_fmt: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def fold_dot_sql(vec_sql: str, lits) -> str:
+    """The Spark-side compile-sized spelling of :func:`chain_dot_sql`:
+    ``aggregate(zip_with(v, array(c…), (x, y) -> x * y), 0D,
+    (acc, t) -> acc + t)`` — a loop the codegen emits in O(1) source
+    instead of O(dim) unrolled terms (16 chains × 64 literal terms
+    blow Janino's 64 KB method limit: the whole span fell back to
+    interpreted AND re-paid the failed 17k-line compile on every
+    execution).  The fold is the same left-to-right IEEE sequence as
+    the chain: products in index order, sums left-associated; the only
+    difference is the ``0.0`` seed, and ``0.0 + t == t`` for every
+    double except ``-0.0`` → ``+0.0``, which no comparison can
+    distinguish (the sims feed only ``>`` / ``=`` — pinned by
+    tests/test_linalg.py's fold-vs-chain equality check)."""
+    arr = "array(" + ", ".join(repr(float(x)) for x in lits) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+        "0D, (acc, t) -> acc + t)"
+    )
+
+
 def seeded_unit_centroids(n_cells: int, dim: int, seed: int):
     """Data-independent coarse quantizer: seeded standard-normal rows
     normalized to unit length.  Used by the oracle-replayable entry
@@ -999,10 +1019,11 @@ def ivf_recall_curve(
     if centroids is None:
         centroids = seeded_unit_centroids(n_cells, dim, seed)
     n_cells = len(centroids)
-    elem = "element_at({v}, {i})"
-    sims = [
-        chain_dot_sql(vec_col, centroids[c], elem) for c in range(n_cells)
-    ]
+    # fold spelling, not the unrolled chain: same IEEE sequence, but
+    # codegen-sized (the 16×64-term chains exceeded Janino's 64 KB
+    # method limit — interpreted fallback + a failed 17k-line compile
+    # per execution; see fold_dot_sql)
+    sims = [fold_dot_sql(vec_col, centroids[c]) for c in range(n_cells)]
 
     exact = cosine_topk(corpus, queries, id_col, vec_col, k=k).select(
         "query_id", "neighbor_id"

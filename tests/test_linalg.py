@@ -539,6 +539,36 @@ class TestIvfRecallCurve:
         diffs = {k for k in chain if chain[k] != npx[k]}
         assert not diffs, sorted(diffs)[:5]
 
+    def test_fold_dot_equals_literal_chain(self, spark):
+        # the query side evaluates fold_dot_sql (aggregate/zip_with
+        # loop — codegen-sized) where the oracle evaluates the
+        # unrolled literal chain.  Pin value equality for every
+        # (vector, centroid) pair on the real corpus: the fold is the
+        # same left-to-right IEEE sequence, differing only in the 0.0
+        # seed (±0.0, comparison-invisible).
+        from pyspark.sql import functions as F
+
+        from shaper_spark.operators.similarity import (
+            chain_dot_sql,
+            fold_dot_sql,
+            seeded_unit_centroids,
+        )
+
+        cents = seeded_unit_centroids(16, 64, 42)
+        emb = spark.table("embeddings")
+        elem = "element_at({v}, {i})"
+        bad = emb.select(
+            "vec_id",
+            *[
+                (
+                    F.expr(chain_dot_sql("embedding", c, elem))
+                    != F.expr(fold_dot_sql("embedding", c))
+                ).alias(f"d{i}")
+                for i, c in enumerate(cents)
+            ],
+        ).filter(" OR ".join(f"d{i}" for i in range(len(cents))))
+        assert bad.count() == 0
+
     def test_seeded_centroids_unit_norm_deterministic(self, spark):
         import numpy as np
 
