@@ -557,8 +557,12 @@ def main() -> None:
     # — a longer line loses the whole parsed record (r11).  Shed the
     # bulkiest redundant fields (all duplicated in BENCH_DETAIL.json)
     # until the line fits.
+    # queries is shed LAST: the driver contract requires the
+    # {"name": sec} map in the printed line, so the redundant ratio
+    # tables go first (r13 — with both shed the line is ~1.4k chars,
+    # so the map survives in practice).
     line = json.dumps(record)
-    for shed in ("heavy_ratios_steady", "queries", "gate_ratios"):
+    for shed in ("heavy_ratios_steady", "gate_ratios", "queries"):
         if len(line) <= 1900:
             break
         record[shed] = f"see BENCH_DETAIL.json {shed}"
