@@ -317,15 +317,21 @@ def curriculum_phases(
 
       1. ``repartitionByRange`` on (score, id) — ordered, contiguous
          range partitions (a real range-partitioned sort shuffle);
-      2. per-partition row counts → driver (bounded by the partition
-         COUNT, never row count) → broadcast cumulative offsets;
-      3. global rank = partition offset + per-partition ``row_number``
-         (a window PARTITIONED by the range-partition id);
+      2. per-partition row counts as a ≤nparts-row aggregate whose
+         cumulative offsets broadcast-join back (ONE plan: the range
+         exchange materializes once and is served to both consumers
+         by AQE/ReuseExchange — no driver collect, no second job);
+      3. global rank = partition offset + local row index
+         (``monotonically_increasing_id``'s lower 33 bits above a
+         ``sortWithinPartitions`` — zero further exchanges; a window
+         PARTITIONED by the range-partition id would re-shuffle every
+         row by ``__pid`` even though the data already IS partitioned
+         that way);
       4. ntile arithmetic on the rank: with n rows and k phases the
          first ``n mod k`` phases get ``⌈n/k⌉`` rows, the rest
          ``⌊n/k⌋`` — bit-identical to the SQL ``ntile``.
 
-    The only driver materialization is one count per range partition."""
+    Nothing is ever materialized on the driver."""
     if n_phases <= 0:
         raise ValueError("curriculum_phases: n_phases must be > 0")
     spark = scored.sparkSession
@@ -342,23 +348,23 @@ def curriculum_phases(
     ranged = base.repartitionByRange(
         nparts, F.col("score").asc(), F.col("id").asc()
     ).withColumn("__pid", F.spark_partition_id())
-    # Persist so the partition-count pass and the ranking pass see the
-    # SAME physical partitioning (range boundaries come from sampling).
-    # Default is NO persist: the count pass and the ranking pass
-    # recompute the same range shuffle, and RangePartitioner's
-    # reservoir sampling is seeded per partition index (byteswap32), so
-    # both passes see IDENTICAL boundaries and partition ids for a
-    # deterministic source (verified empirically: two jobs over the
-    # same repartitionByRange agree on every (row, pid) assignment).
-    # That argument is VOID for nondeterministic upstream lineage
-    # (rand()/sample()/unordered limit — r5 advice): the two passes
-    # would see different rows and silently assign wrong phases, so
-    # such lineage is detected on the analyzed plan (views inlined) and
-    # auto-upgraded to the persisted path.  ``cache=True`` persists the
-    # ranged frame; the cached frame rides on the returned DataFrame as
-    # ``result._cached`` so derived frames can't outlive the persist —
-    # release it explicitly (``result._cached.unpersist()``) after the
-    # last action, or let it live until session stop.
+    # Both consumers below (the counts aggregate and the ranking join)
+    # normally read ONE materialization of this exchange
+    # (AQE/ReuseExchange — plan-pinned by tests/test_plans.py).  If
+    # reuse ever failed to fire the exchange would recompute, which is
+    # still CORRECT for deterministic lineage: RangePartitioner's
+    # reservoir sampling is seeded per partition index (byteswap32),
+    # so two executions see IDENTICAL boundaries and partition ids
+    # (verified empirically).  That fallback argument is VOID for
+    # nondeterministic upstream lineage (rand()/sample()/unordered
+    # limit — r5 advice): such lineage is detected on the analyzed
+    # plan (views inlined) and auto-upgraded to the persisted path,
+    # where the cache pins one materialization outright.  ``cache=
+    # True`` persists the ranged frame; the cached frame rides on the
+    # returned DataFrame as ``result._cached`` so derived frames
+    # can't outlive the persist — release it explicitly
+    # (``result._cached.unpersist()``) after the last action, or let
+    # it live until session stop.
     release_on_gc = False
     if not cache and _plan_is_nondeterministic(scored):
         cache = True
@@ -367,48 +373,77 @@ def curriculum_phases(
         release_on_gc = True
     if cache:
         ranged = ranged.persist()
-    counts = {
-        r["__pid"]: r["c"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    n_total = sum(counts.values())
-    if n_total == 0:
-        return ranged.select(
-            "id", "score", F.lit(1).cast("int").alias("phase"), "order_key"
-        ).limit(0)
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "__pid int, __off long")
+    # Offsets and the total as a ONE-PLAN broadcast aggregate (r13):
+    # the old per-partition-count collect() ran a SEPARATE job whose
+    # re-planned lineage recomputed the ENTIRE upstream (corpus-scale
+    # for the LM-scored entry: 2.69 s → 1.3 s steady at sf0.1) plus
+    # the range shuffle a second time — separate actions never share
+    # shuffle map outputs.  In one plan the range exchange
+    # materializes ONCE and AQE/ReuseExchange serves both consumers.
+    # The cumulative offset is a triangular conditional sum over a
+    # broadcast CROSS join of the ≤nparts-row counts frame with
+    # itself — nparts² tiny rows, and (unlike a partitionless window
+    # or a scalar aggregate) no Exchange SinglePartition anywhere in
+    # the plan, which tests/test_plans.py pins for this operator.
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    cb = counts.select(
+        F.col("__pid").alias("__pid_b"), F.col("__c").alias("__c_b")
     )
-    w = Window.partitionBy("__pid").orderBy(
-        F.col("score").asc(), F.col("id").asc()
-    )
-    rank = (F.row_number().over(w) + F.col("__off")).alias("__rank")
-    small, rem = divmod(n_total, n_phases)
-    big = small + 1
-    cut = rem * big  # ranks 1..cut live in the ⌈n/k⌉-sized phases
-    r = F.col("__rank")
-    phase = (
-        F.when(r <= F.lit(cut), ((r - 1) / F.lit(big)).cast("long") + 1)
-        .otherwise(
-            # past the cut every phase has ⌊n/k⌋ rows (small ≥ 1
-            # whenever any rank exceeds cut, since cut = rem·(small+1)
-            # < n_total forces small > 0)
-            F.lit(rem)
-            + ((r - 1 - F.lit(cut)) / F.lit(max(small, 1))).cast("long")
-            + 1
+    offs = (
+        counts.crossJoin(F.broadcast(cb))
+        .groupBy("__pid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__pid_b") < F.col("__pid"), F.col("__c_b")
+                ).otherwise(F.lit(0))
+            ).alias("__off"),
+            F.sum("__c_b").alias("__n"),
         )
-        .cast("int")
+    )
+    # Per-partition row number WITHOUT a window: a window PARTITIONED
+    # by __pid would hash-exchange every corpus row into ≤nparts
+    # reducers even though the data is ALREADY partitioned by __pid by
+    # construction (one range partition per pid — Catalyst just can't
+    # know that).  Instead sort within the (reused) range partitions
+    # and read ``monotonically_increasing_id``'s documented layout —
+    # partition index in the upper 31 bits, record number within the
+    # partition in the lower 33 — so the local index costs ZERO
+    # exchanges.  Evaluated directly above the sort in the same stage,
+    # the record number follows sort order; bound: ≤2³³ (~8.6e9) rows
+    # per range partition.  Exact ntile equality is pinned by
+    # tests/test_plans.py::test_curriculum_phases_matches_ntile.
+    loc = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    # ntile arithmetic on the rank, in exact BIGINT column form (same
+    # values as the old Python-side divmod: with n rows and k phases
+    # the first n % k phases get ⌈n/k⌉ rows, the rest ⌊n/k⌋;
+    # greatest(…, 1) covers the cut = n case exactly like the old
+    # max(small, 1))
+    k = n_phases
+    phase_sql = (
+        f"CAST(CASE WHEN __r <= (__n % {k}) * ((__n DIV {k}) + 1) "
+        f"THEN (__r - 1) DIV ((__n DIV {k}) + 1) "
+        f"ELSE (__n % {k}) + (__r - 1 - (__n % {k}) * ((__n DIV {k}) + 1)) "
+        f"DIV greatest(__n DIV {k}, 1) END + 1 AS INT)"
     )
     result = (
-        ranged.join(off_df, "__pid")
-        .select("id", "score", rank, "order_key")
-        .select("id", "score", phase.alias("phase"), "order_key")
+        ranged.sortWithinPartitions(
+            F.col("score").asc(), F.col("id").asc()
+        )
+        .select("id", "score", "order_key", "__pid", loc.alias("__loc"))
+        .join(F.broadcast(offs), "__pid")
+        .select(
+            "id",
+            "score",
+            (F.col("__loc") + F.col("__off") + 1).alias("__r"),
+            "__n",
+            "order_key",
+        )
+        .select(
+            "id", "score", F.expr(phase_sql).alias("phase"), "order_key"
+        )
     )
     if release_on_gc:
         # Tie the persisted frame's lifetime to the returned frame with
@@ -462,17 +497,19 @@ def global_rank(
 ) -> DataFrame:
     """Exact dense 1-based global rank by ``order_cols`` WITHOUT a
     partitionless window — the same textbook construction as
-    curriculum_phases (range-partition sort shuffle → per-partition
-    ``row_number`` → broadcast cumulative offsets), factored out for
+    curriculum_phases (range-partition sort shuffle → local row index
+    → broadcast cumulative offsets), factored out for
     any operator that needs a total order at corpus scale (e.g. the
-    vocabulary coverage curve ranks token counts).  The only driver
-    materialization is one count per range partition.
+    vocabulary coverage curve ranks token counts).  Nothing is
+    materialized on the driver — the offsets ride a one-plan
+    broadcast aggregate (the range exchange is AQE-reused, never
+    recomputed).
 
     ``order_cols``: list of Column expressions (with asc/desc already
     applied) defining the total order; make it a TOTAL order (include a
     tiebreaker) or equal rows receive an arbitrary but deterministic
-    relative rank.  Deterministic input lineage is required for the
-    default no-persist two-pass (see curriculum_phases' determinism
+    relative rank.  Deterministic input lineage is required only as
+    the reuse-failure fallback (see curriculum_phases' determinism
     note); aggregated/grouped inputs — the common case — qualify."""
     spark = df.sparkSession
     nparts = rank_partitions or max(
@@ -481,28 +518,42 @@ def global_rank(
     ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    counts = {
-        r["__pid"]: r["c"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    if not counts:
-        return df.withColumn(rank_name, F.lit(1).cast("long")).limit(0)
-    offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "__pid int, __off long")
+    # one-plan offsets (r13, same construction as curriculum_phases):
+    # the cumulative offset is a triangular conditional sum over a
+    # broadcast cross join of the ≤nparts-row counts frame with
+    # itself, so the range exchange materializes once (AQE reuse) and
+    # the old collect()'s second job — which re-ran the entire
+    # upstream lineage — is gone; no SinglePartition node anywhere
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    cb = counts.select(
+        F.col("__pid").alias("__pid_b"), F.col("__c").alias("__c_b")
     )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
-        ranged.join(off_df, "__pid")
-        .withColumn(
-            rank_name, F.row_number().over(w) + F.col("__off")
+    offs = (
+        counts.crossJoin(F.broadcast(cb))
+        .groupBy("__pid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__pid_b") < F.col("__pid"), F.col("__c_b")
+                ).otherwise(F.lit(0))
+            ).alias("__off")
         )
-        .drop("__pid", "__off")
+    )
+    # local row number via monotonically_increasing_id's lower 33 bits
+    # above a sortWithinPartitions — no window, so no corpus-scale
+    # hash(__pid) exchange (the data is already partitioned by __pid
+    # by construction; see curriculum_phases for the full rationale)
+    loc = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    return (
+        ranged.sortWithinPartitions(*order_cols)
+        .withColumn("__loc", loc)
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(
+            rank_name, F.col("__loc") + F.col("__off") + F.lit(1)
+        )
+        .drop("__pid", "__off", "__loc")
     )
 
 

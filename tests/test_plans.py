@@ -462,7 +462,27 @@ class TestRound5OperatorPlans:
         assert "rangepartitioning" in plan.lower()
         assert "BroadcastExchange" in plan  # the offset table
 
-    def test_curriculum_phases_matches_ntile(self, spark):
+    def test_curriculum_phases_one_plan_reused_range_exchange(self, spark):
+        """r13: the per-partition counts ride the SAME plan as the
+        ranking (broadcast offsets aggregate), so the range exchange
+        materializes once (ReusedExchange) and there is no second
+        driver-collect job — the old design re-ran the entire upstream
+        lineage (corpus-scale for the LM-scored entry) per call."""
+        from shaper_spark.operators.sampling import curriculum_phases
+
+        docs = spark.table("documents").select(
+            "doc_id", F.col("n_chars").cast("double").alias("difficulty")
+        )
+        df = curriculum_phases(docs, "doc_id", "difficulty", n_phases=4)
+        df.collect()  # AQE reuse shows in the FINAL adaptive plan
+        plan = _executed(df)
+        assert "isFinalPlan=true" in plan
+        # the counts consumers read the range exchange via
+        # ReusedExchange — it materialized exactly once
+        assert "ReusedExchange" in plan
+        # no driver-side offsets table (the old collect() path planned
+        # a Scan ExistingRDD over a createDataFrame local relation)
+        assert "ExistingRDD" not in plan
         """The distributed rank must reproduce ANSI ntile bit-for-bit,
         including the uneven n % k case and score ties."""
         from pyspark.sql import Window

@@ -220,8 +220,12 @@ class TestCurriculumPhases:
         before = jsc.getPersistentRDDs().size()
         df = spark.range(30).selectExpr("id", "rand() AS d")
         out = curriculum_phases(df, "id", "d", n_phases=3)
-        assert jsc.getPersistentRDDs().size() > before  # guard persisted
         derived = out.filter("phase = 1")
+        # r13 one-plan restructure: no action runs inside the operator
+        # any more, so the guard cache fills at the FIRST caller action
+        # (not at construction) — materialize through the derived frame
+        assert derived.count() == 10
+        assert jsc.getPersistentRDDs().size() > before  # guard persisted
         cached = out._cached
         del out
         gc.collect()
