@@ -518,12 +518,24 @@ def bm25_scores(
         raise ValueError("bm25_scores: query_terms must be non-empty")
     if top_k <= 0:
         raise ValueError("bm25_scores: top_k must be > 0")
+    from pyspark import StorageLevel
+
     terms = sorted(set(query_terms))
     base = df.select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("__ws"),
     )
-    lens = base.select("id", F.size("__ws").alias("len"))
+    # lens (one narrow row per doc) and tf (≤ docs × |terms| rows) are
+    # the lightweight proxies every downstream decision reads — both
+    # persisted because each has TWO lazy consumers (lens: the global
+    # stats aggregate + the score join; tf: the df-count aggregate +
+    # the score rollup).  Without the materialization the corpus is
+    # scanned FOUR times per call, twice with the full token explode
+    # (r13-measured: 4 Scan/2 Generate pipelines in the plan; the
+    # caches leave one of each).
+    lens = base.select("id", F.size("__ws").alias("len")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = lens.agg(
         F.count(F.lit(1)).alias("N"), F.avg("len").alias("avg_len")
     )
@@ -531,7 +543,11 @@ def bm25_scores(
         base.select("id", F.explode("__ws").alias("tok"))
         .filter(F.col("tok").isin(terms))
     )
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     k1_, b_ = F.lit(float(k1)), F.lit(float(b))
     idf = F.log(
@@ -1656,12 +1672,28 @@ def source_kl_matrix(
     plus one counts⋈counts equi-join on the word for the a∩b terms,
     and the (V − |a∪b|) remainder is O(1) arithmetic. Source count is
     small by nature, so the stats frames broadcast; nothing scales
-    with vocab × pairs."""
+    with vocab × pairs.
+
+    The (src, tok, c) counts frame is persisted: it has SEVEN lazy
+    consumers (totals, the global-vocab distinct, and the p/ln p
+    projections on both sides of the pair join and in the per-source
+    stats), and without materialization the optimizer column-prunes
+    the vocab path down to ``distinct(tok)`` over the BASE SCAN — a
+    second corpus-scale explode that ReuseExchange cannot unify
+    (r13-measured: 2 Generate/Scan pipelines in the plan; the cache
+    leaves one).  The frame is vocab × sources, never corpus-sized —
+    the same narrow-shared-frame trade as the dedup-family persists."""
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(source_col).alias("src"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    counts = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        toks.groupBy("src", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = counts.groupBy("src").agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("vs")
     )
@@ -1823,8 +1855,18 @@ def ccnet_quality_buckets(
     — and the interpolated thresholds round to 9 dp, which absorbs
     ulp-level interpolation-formula differences while staying three
     orders finer than any gap between distinct 6 dp bit values."""
-    bits = unigram_lm_scores(df, id_col, text_col).select(
-        "id", "bits_per_token"
+    from pyspark import StorageLevel
+
+    # persisted: (id, bits) is one narrow row per document — the
+    # lightweight proxy of guide-§8 — and it has TWO lazy consumers
+    # (the per-source percentile aggregate and the bucketing join);
+    # without the materialization the ENTIRE unigram-LM pipeline
+    # (corpus token explode + model join-back) runs twice per call
+    # (r13-measured: 2 Generate/Scan pipelines in the plan)
+    bits = (
+        unigram_lm_scores(df, id_col, text_col)
+        .select("id", "bits_per_token")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     src = df.select(
         F.col(id_col).alias("id"), F.col(source_col).alias("source")
@@ -2180,11 +2222,18 @@ def source_jaccard_matrix(
     both derive from ONE further (a, b) exchange (r12 verdict task 5:
     the pair explode also emits a ``(a, NULL)`` marker row per member,
     so per-group gram counts ride the SAME shuffle instead of a second
-    explode + second exchange over ``per_gram`` — Spark's
-    ReuseExchange then serves all three consumers from one shuffle,
-    one stage wave shorter).  Nothing downstream is corpus-sized.
-    ``jaccard`` is a half-up BIGINT division rescaled to double
-    (engine-stable replay, the threshold-sweep rule)."""
+    explode + second exchange over ``per_gram``).  ``stats`` is
+    persisted: it is ≤ |groups|² + |groups| rows, and without the
+    materialization the optimizer pushes the ``b IS NULL`` /
+    ``IS NOT NULL`` consumer filters through the (a, b) aggregate,
+    splitting it into TWO distinct exchanges that each re-run the
+    pair explode over the gram exchange (r13-measured: 2 Generate
+    pipelines above the reused per-gram shuffle; the cache leaves
+    one).  Nothing downstream is corpus-sized.  ``jaccard`` is a
+    half-up BIGINT division rescaled to double (engine-stable replay,
+    the threshold-sweep rule)."""
+    from pyspark import StorageLevel
+
     from .dupspans import _positional_grams
 
     grams = _positional_grams(
@@ -2211,6 +2260,7 @@ def source_jaccard_matrix(
         .filter(F.col("b").isNull() | (F.col("a") < F.col("b")))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = stats.filter(F.col("b").isNull()).select(
         F.col("a").alias("g"), F.col("n")
@@ -2299,8 +2349,18 @@ def pmi_collocations(
         .filter(F.length("gram") > 0)
         .filter(F.col("__isuni") | ~F.col("gram").rlike("^ | $|^$"))
     )
-    counts = stream.groupBy("__isuni", "gram").agg(
-        F.count(F.lit(1)).alias("c")
+    # persisted: vocab+bigram-vocab-scale, never corpus-scale, with
+    # FOUR lazy consumers (uni, big, and the two totals) — without the
+    # materialization each consumer re-reads the corpus-scale gram
+    # exchange's partial counts and re-runs the final aggregate
+    # (r13-measured: the plan re-aggregates the reused exchange once
+    # per consumer; the cache reads the finished counts once)
+    from pyspark import StorageLevel
+
+    counts = (
+        stream.groupBy("__isuni", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     uni = counts.filter(F.col("__isuni")).select(
         F.col("gram").alias("w"), F.col("c").alias("cw")
