@@ -562,8 +562,8 @@ fl AS (
   GROUP BY 1, 2
 )
 SELECT group_kept, group_dropped, n_pairs,
-       (n_pairs * 2000000 + sum(n_pairs) OVER ())
-         // (2 * sum(n_pairs) OVER ()) AS flow_micro
+       CAST((n_pairs * 2000000 + sum(n_pairs) OVER ())
+         // (2 * sum(n_pairs) OVER ()) AS BIGINT) AS flow_micro
 FROM fl ORDER BY group_kept, group_dropped
 """
 
@@ -2086,8 +2086,8 @@ agg AS (""" + """
 )
 SELECT CASE WHEN combo = '' THEN 'none' ELSE combo END AS combo,
        n_docs,
-       (2 * 1000000 * n_docs + sum(n_docs) OVER ())
-         // (2 * sum(n_docs) OVER ()) AS pct_micro
+       CAST((2 * 1000000 * n_docs + sum(n_docs) OVER ())
+         // (2 * sum(n_docs) OVER ()) AS BIGINT) AS pct_micro
 FROM (
   SELECT concat_ws('+',
            CASE WHEN f_short THEN 'short' END,
@@ -3171,7 +3171,7 @@ WITH w AS (
   FROM documents
 ),
 uni AS (
-  SELECT g, sum(c) AS n_tokens, count(*) AS n_types,
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
          count(*) FILTER (WHERE c = 1) AS n_hapax
   FROM (
     SELECT g, w, count(*) AS c
@@ -3179,7 +3179,7 @@ uni AS (
   ) GROUP BY 1
 ),
 bg AS (
-  SELECT g, sum(c) AS n_bigrams, count(*) AS n_bigram_types
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_bigram_types
   FROM (
     SELECT g, b, count(*) AS c FROM (
       SELECT g, ws[i] || ' ' || ws[i + 1] AS b
@@ -3231,7 +3231,8 @@ SELECT g AS "group", n_docs, docs_flagged, total_hits,
 FROM (
   SELECT g, count(*) AS n_docs,
          count(*) FILTER (WHERE n_hit > 0) AS docs_flagged,
-         sum(n_hit) AS total_hits, sum(n_tok) AS n_tokens
+         CAST(sum(n_hit) AS BIGINT) AS total_hits,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
   FROM per_doc GROUP BY 1
 )
 ORDER BY 1
@@ -3407,7 +3408,7 @@ def _threshold_sweep_duck() -> str:
     # survive_micro replace the DOUBLE threshold/survive_frac columns.
     grid = "\n  UNION ALL ".join(
         f"SELECT source, CAST({t} AS BIGINT) AS threshold_micro, "
-        f"n_docs, s{i} AS n_survive FROM wide"
+        f"n_docs, CAST(s{i} AS BIGINT) AS n_survive FROM wide"
         for i, t in enumerate((200000, 300000, 400000, 500000, 600000))
     )
     cases = ",\n         ".join(
@@ -3453,11 +3454,11 @@ def _threshold_probe_duck() -> str:
 WITH counts AS ({_duck_quality_counts('doc_id, source')})
 SELECT source,
        count(*) AS n_docs,
-       sum(nw) AS sum_nw,
-       sum(nc) AS sum_nc,
-       sum(punct) AS sum_punct,
-       sum(nstop) AS sum_stop,
-       sum({_duck_qmicro()}) AS sum_qmicro
+       CAST(sum(nw) AS BIGINT) AS sum_nw,
+       CAST(sum(nc) AS BIGINT) AS sum_nc,
+       CAST(sum(punct) AS BIGINT) AS sum_punct,
+       CAST(sum(nstop) AS BIGINT) AS sum_stop,
+       CAST(sum({_duck_qmicro()}) AS BIGINT) AS sum_qmicro
 FROM counts
 GROUP BY source
 ORDER BY source
@@ -3480,8 +3481,9 @@ def _q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_FINGERPRINT_DUCK = """
 SELECT source,
        count(*) AS n_docs,
-       sum(CAST(length(text) AS BIGINT)) AS sum_nc,
-       sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_nw
+       CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_nc,
+       CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+         AS BIGINT) AS sum_nw
 FROM documents GROUP BY source ORDER BY source
 """
 
@@ -3505,8 +3507,8 @@ def _class_probe_duck() -> str:
 WITH counts AS ({_duck_quality_counts('doc_id, source')})
 SELECT source,
        count(*) AS n_docs,
-       sum(punct) AS sum_punct,
-       sum(nstop) AS sum_stop
+       CAST(sum(punct) AS BIGINT) AS sum_punct,
+       CAST(sum(nstop) AS BIGINT) AS sum_stop
 FROM counts GROUP BY source ORDER BY source
 """
 
@@ -3531,10 +3533,12 @@ TOKENIZER_FERTILITY_DUCK = """
 WITH wide AS (
   SELECT source,
          count(*) AS n_docs,
-         sum(CAST(length(text) AS BIGINT)) AS sum_chars,
-         sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS sum_words,
-         sum(CAST(list_sum(list_transform(string_split(text, ' '),
-                  w -> (length(w) + 3) // 4)) AS BIGINT)) AS sum_pieces
+         CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars,
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+           AS BIGINT) AS sum_words,
+         CAST(sum(CAST(list_sum(list_transform(string_split(text, ' '),
+                  w -> (length(w) + 3) // 4)) AS BIGINT))
+           AS BIGINT) AS sum_pieces
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, sum_chars, sum_words, sum_pieces,
@@ -3592,7 +3596,7 @@ def _charclass_duck() -> str:
     return f"""
 WITH wide AS (
   SELECT source, count(*) AS n_docs,
-         sum(CAST(length(text) AS BIGINT)) AS n_chars,
+         CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
          {sums}
   FROM documents GROUP BY source
 )
@@ -3637,7 +3641,8 @@ def _unicode_anomaly_duck() -> str:
         sums.append(f"sum(CASE WHEN {c} > 0 THEN 1 ELSE 0 END) AS d_{name}")
     joined = ",\n         ".join(sums)
     rows = "\n  UNION ALL\n".join(
-        f"  SELECT source, '{name}' AS anomaly, s_{name} AS n_hits, "
+        f"  SELECT source, '{name}' AS anomaly, "
+        f"CAST(s_{name} AS BIGINT) AS n_hits, "
         f"CAST(d_{name} AS BIGINT) AS n_docs_affected, "
         f"{_share_micro_sql(f's_{name}', 'snc', '//')} AS hits_per_char_micro "
         f"FROM wide"
