@@ -1528,6 +1528,7 @@ class ShaperServer:
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
+        self._flusher_thread: threading.Thread | None = None
         # Restart recovery: stored tasks re-arm their schedules
         # (reference re-derives schedules on boot, schedule_task.go).
         for app in self.store.list_apps("task"):
@@ -1589,7 +1590,8 @@ class ShaperServer:
                 except Exception:
                     pass
 
-        threading.Thread(target=flush_loop, daemon=True).start()
+        self._flusher_thread = threading.Thread(target=flush_loop, daemon=True)
+        self._flusher_thread.start()
         return self
 
     def stop(self) -> None:
@@ -1598,6 +1600,12 @@ class ShaperServer:
         self._server.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        if self._flusher_thread:
+            # Drain an in-flight background flush: its insertInto shares
+            # the table's _temporary staging dir with any writer that
+            # starts after stop() returns; committing concurrently rips
+            # that dir out from under the later write.
+            self._flusher_thread.join(timeout=30)
         # release the WAL segment lock so the next instance on this
         # directory adopts anything left unacked
         self.ingest.close()
