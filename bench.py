@@ -11,10 +11,14 @@ collect of each query.
 Three explicitly-labeled headline protocols (the r5 audit found the
 single-protocol record conflated them):
 
-- ``fresh`` (the official ``value``): ``plancache.bump()`` before EVERY
-  execution — full parse + analysis + optimization + execution, nothing
-  reused across calls.  Symmetric with the DuckDB side, which also
-  re-plans and re-executes every call.
+- ``fresh`` (the official ``value``): ``spark.catalog.clearCache()`` +
+  ``plancache.bump()`` before EVERY execution — full parse + analysis +
+  optimization + execution, nothing reused across calls (neither
+  analyzed plans nor CacheManager-materialized persists; the latter
+  half is new in r14 — earlier rounds' fresh numbers let passes 2+ of a
+  persisting query serve pass-1's materialized intermediates).
+  Symmetric with the DuckDB side, which also re-plans and re-executes
+  every call.
 - ``warmplan``: the analyzed-plan cache stays warm — hits rebuild a
   fresh Dataset from the memoized analyzed plan (full execution, new
   shuffle IDs; only parse+analysis skipped).  This is what a long-lived
@@ -209,6 +213,16 @@ def main() -> None:
             # execution so nothing — parse, analysis, optimization,
             # stages — carries over between calls (the r5 judge's
             # bump-between-passes protocol, now the official number).
+            # r14 (VERDICT r13 #3): ALSO drop every materialized
+            # persist.  plancache.bump() clears only the builder's
+            # analyzed-plan memo; Spark's CacheManager matches
+            # canonical plans, so without this, passes 2+ of a
+            # persisting query served pass-1's materialized
+            # intermediates and "fresh" was warmer than the
+            # re-executing DuckDB side.  CacheManager lives in
+            # SharedState, so this also clears the serving child
+            # session's persists.
+            spark.catalog.clearCache()
             plancache.bump()
             t0 = time.perf_counter()
             try:
@@ -231,6 +245,7 @@ def main() -> None:
             fn = queries.get(name)
             if fn is None:
                 continue
+            spark.catalog.clearCache()  # fresh protocol (r14): see above
             plancache.bump()
             t0 = time.perf_counter()
             try:
@@ -264,6 +279,12 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
+        # One cache flush per QUERY (not per rep): reps 2-3 keep the
+        # query's own persisted intermediates warm (the steady
+        # protocol's stated point), but accumulated persists from
+        # OTHER queries are released so storage-pool eviction thrash
+        # can't contaminate the reading (r13 run-12 pathology).
+        spark.catalog.clearCache()
         reps: list[float] = []
         for _rep in range(3):
             plancache.bump()
@@ -371,6 +392,7 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
+        spark.catalog.clearCache()  # per-query flush, as in extras steady
         reps: list[float] = []
         for _rep in range(3):
             plancache.bump()
@@ -510,14 +532,18 @@ def main() -> None:
     detail = dict(
         record,
         protocols=(
-            "fresh=bump-before-every-execution (nothing reused; the "
-            "official number); warmplan=analyzed-plan cache warm, fresh "
+            "fresh=clearCache+bump before every execution (nothing "
+            "reused — analyzed plans AND materialized persists both "
+            "dropped, r14; the official number); "
+            "warmplan=analyzed-plan cache warm, fresh "
             "Dataset+full execution per call; serving=re-collect of the "
             "same DataFrame (computed-stage reuse over unchanged data — "
             "NOT comparable to the re-executing DuckDB side); extras "
             "additionally carry steady_state=min of 3 consecutive fresh "
-            "executions (JIT hot, plans re-built — see "
-            "extra_queries_steady); heavy headline queries carry the "
+            "executions (JIT hot, plans re-built, the query's own "
+            "persisted intermediates warm across reps; caches are "
+            "flushed between QUERIES — see extra_queries_steady); "
+            "heavy headline queries carry the "
             "same steady protocol plus the reps' [min,max] noise band; "
             "gate = the r11 ruling (eligible iff duckdb median-of-3 "
             ">= 0.3s; ratio = spark steady min-of-3 / duckdb "

@@ -50,12 +50,13 @@ def ngram_decontaminate(
     ev = shingle_tokens(eval_df, id_col, text_col, n).withColumnRenamed(
         "id", "eval_id"
     )
+    cached = None
     if max_df is not None:
         # two consumers of the train gram pipeline (cap agg + join):
         # persist so it runs once (r13-opt, guide §2.4)
         from pyspark import StorageLevel
 
-        tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
         keep = (
             tr.groupBy("shingle")
             .agg(F.countDistinct("train_id").alias("__df"))
@@ -63,7 +64,7 @@ def ngram_decontaminate(
             .select("shingle")
         )
         tr = tr.join(keep, "shingle")
-    return (
+    out = (
         ev.join(tr, "shingle")
         .groupBy("eval_id")
         .agg(
@@ -71,6 +72,13 @@ def ngram_decontaminate(
             F.countDistinct("train_id").alias("n_train_docs"),
         )
     )
+    if cached is not None:
+        # corpus-scale persist: ride the returned frame so callers can
+        # release it (result._cached.unpersist()) after the last action
+        # instead of letting per-token cache blocks accumulate for the
+        # session's lifetime (r13 VERDICT #4 / ADVICE)
+        out._cached = cached
+    return out
 
 
 def ngram_decontaminate_presplit(
@@ -113,7 +121,7 @@ def ngram_decontaminate_presplit(
         # side stays lazy: single consumer, nothing to share.
         from pyspark import StorageLevel
 
-        tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
+        cached = tr = tr.persist(StorageLevel.MEMORY_AND_DISK)
         keep = (
             tr.groupBy("shingle")
             .agg(F.countDistinct("train_id").alias("__df"))
@@ -121,7 +129,9 @@ def ngram_decontaminate_presplit(
             .select("shingle")
         )
         tr = tr.join(keep, "shingle")
-    return (
+    else:
+        cached = None
+    out = (
         ev.join(tr, "shingle")
         .groupBy("eval_id")
         .agg(
@@ -129,6 +139,11 @@ def ngram_decontaminate_presplit(
             F.countDistinct("train_id").alias("n_train_docs"),
         )
     )
+    if cached is not None:
+        # release handle for the corpus-scale persist (see
+        # ngram_decontaminate above)
+        out._cached = cached
+    return out
 
 
 def source_overlap_matrix(

@@ -847,7 +847,7 @@ def incremental_dedup(
     flag = lambda ids, name: maybe_b(  # noqa: E731
         ids.select("id", F.lit(True).alias(name)).distinct()
     )
-    return (
+    out = (
         batch.select(F.col(id_col).alias("id"))
         .join(flag(exact_corpus, "__ec"), "id", "left")
         .join(flag(exact_batch, "__eb"), "id", "left")
@@ -866,6 +866,13 @@ def incremental_dedup(
         )
         .orderBy("id")
     )
+    # Release handles for the shared-frame persists — cp is CORPUS-scale
+    # (per-shingle rows), so a long-lived ingest session must be able to
+    # drop it between windows instead of accumulating cache blocks until
+    # session stop (r13 VERDICT #4 / ADVICE):
+    #   for f in result._cached_frames: f.unpersist()
+    out._cached_frames = (b_hash, bp, cp)
+    return out
 
 
 def signature_records(
@@ -992,7 +999,7 @@ def incremental_sig_dedup(
     flag = lambda ids, name: maybe_b(  # noqa: E731
         ids.select("id", F.lit(True).alias(name)).distinct()
     )
-    return (
+    out = (
         batch.select(F.col(id_col).alias("id"))
         .join(flag(exact_corpus, "__ec"), "id", "left")
         .join(flag(exact_batch, "__eb"), "id", "left")
@@ -1011,6 +1018,11 @@ def incremental_sig_dedup(
         )
         .orderBy("id")
     )
+    # Release handle for the batch-records persist (bounded — one ingest
+    # window — but a long-lived session still wants the lifecycle):
+    #   for f in result._cached_frames: f.unpersist()
+    out._cached_frames = (recs,)
+    return out
 
 
 def minhash_estimate_report(
@@ -1085,7 +1097,7 @@ def minhash_estimate_report(
     exact = _jaccard_from_postings(postings, threshold=0.0).select(
         "id_a", "id_b", F.col("jaccard").alias("__ex")
     )
-    return (
+    out = (
         est.join(exact, ["id_a", "id_b"], "left")
         .select(
             "id_a",
@@ -1103,6 +1115,10 @@ def minhash_estimate_report(
         )
         .orderBy("id_a", "id_b")
     )
+    # Release handles — postings is CORPUS-scale (per-shingle rows):
+    #   for f in result._cached_frames: f.unpersist()
+    out._cached_frames = (postings, sig)
+    return out
 
 
 def lsh_parameter_plan_sql(

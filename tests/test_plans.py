@@ -483,6 +483,8 @@ class TestRound5OperatorPlans:
         # no driver-side offsets table (the old collect() path planned
         # a Scan ExistingRDD over a createDataFrame local relation)
         assert "ExistingRDD" not in plan
+
+    def test_curriculum_phases_matches_ntile(self, spark):
         """The distributed rank must reproduce ANSI ntile bit-for-bit,
         including the uneven n % k case and score ties."""
         from pyspark.sql import Window
