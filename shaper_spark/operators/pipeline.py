@@ -213,11 +213,42 @@ def _funnel_lazy(
     # that many tasks over a kilobyte-scale frame — coalesce is a
     # task-count cap, not a shuffle, and `par` already scales with
     # input size (r11)
+    # r14: the winner struct is bit-packed into ONE bigint before the
+    # min — min(struct) is declarative but its struct buffer falls off
+    # HashAggregateExec's primitive-buffer fast path, so the planner
+    # emitted SortAggregate with a map-side AND reduce-side sort of
+    # the per-doc frame (measured in the r14 funnel plan).  enc =
+    # id·4 + keep·2 + is_train is strictly monotone in the unique id
+    # (ids are unique per hash group), so min(enc) picks the same
+    # winner row; the flags decode back losslessly (two's-complement
+    # shifts keep negative ids exact; |id| < 2^61 bounds the pack).
+    enc = (
+        F.col("id") * F.lit(4)
+        + F.col("__keep").cast("long") * F.lit(2)
+        + (F.col("split") == "train").cast("long")
+    )
     groups = (
         flags.groupBy("__h")
         .agg(
             F.count(F.lit(1)).alias("__sz"),
-            F.min(F.struct("id", "__keep", "split")).alias("__w"),
+            F.min(enc).alias("__e"),
+        )
+        .select(
+            "__h",
+            "__sz",
+            F.struct(
+                F.shiftright("__e", 2).alias("id"),
+                (
+                    F.shiftright("__e", 1).bitwiseAND(F.lit(1))
+                    == F.lit(1)
+                ).alias("__keep"),
+                F.when(
+                    F.col("__e").bitwiseAND(F.lit(1)) == F.lit(1),
+                    F.lit("train"),
+                )
+                .otherwise(F.lit("test"))
+                .alias("split"),
+            ).alias("__w"),
         )
         .coalesce(par)
         .persist()
@@ -328,9 +359,17 @@ def training_corpus_stages(
     )
     # rows are pre-sorted (python sorted == ORDER BY stage, ASCII) and
     # createDataFrame preserves local-relation order — an orderBy here
-    # would add one more tiny job per call for nothing (r11)
+    # would add one more tiny job per call for nothing (r11).
+    # pandas, not tuples (r14): the tuple path goes through RDD
+    # conversion (~0.5 s of driver overhead for 5 rows — the
+    # _merge_topk measurement); the pandas path goes through Arrow.
+    import pandas as pd
+
     return spark.createDataFrame(
-        sorted(counts.items()), "stage string, n_docs long"
+        pd.DataFrame(
+            sorted(counts.items()), columns=["stage", "n_docs"]
+        ),
+        schema="stage string, n_docs long",
     )
 
 

@@ -56,6 +56,8 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    _qpdf=None,
+    _cpdf=None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -70,10 +72,20 @@ def cosine_topk(
     ever materialized (the join formulation transferred both vectors per
     pair — the dominant cost). The bounded partitions × |q| × k
     candidate set then merges driver-side into the global ranking.
-    Zero-norm vectors have no defined cosine and never rank."""
+    Zero-norm vectors have no defined cosine and never rank.
+
+    ``_qpdf``/``_cpdf`` (r14, internal): callers that already collected
+    the query/corpus frames (``ann_recall_sweep``'s driver-local path)
+    pass them in so the exact side doesn't re-run the collect jobs —
+    ``_cpdf`` must be the ``limit(max_rows + 1)`` projection this
+    function would have built itself."""
     import numpy as np
 
-    qpdf = queries.select(id_col, vec_col).toPandas()
+    qpdf = (
+        _qpdf
+        if _qpdf is not None
+        else queries.select(id_col, vec_col).toPandas()
+    )
     qid_t = dict(queries.dtypes)[id_col]
     cid_t = dict(corpus.dtypes)[id_col]
     out_schema = f"query_id {qid_t}, neighbor_id {cid_t}, cosine double"
@@ -99,9 +111,13 @@ def cosine_topk(
         min(TOPK_ROW_CAP, TOPK_BYTES_BUDGET // (dim * 8)) if dim else 0
     )
     cpdf = (
-        corpus.select(id_col, vec_col).limit(max_rows + 1).toPandas()
-        if max_rows
-        else None
+        _cpdf
+        if _cpdf is not None
+        else (
+            corpus.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+            if max_rows
+            else None
+        )
     )
     if cpdf is not None and len(cpdf) <= max_rows and len(cpdf):
         C = np.vstack(cpdf[vec_col].to_numpy()).astype(np.float64)
@@ -606,6 +622,113 @@ def ann_recall(
     )
 
 
+def _sweep_local(
+    spark,
+    qpdf,
+    cpdf,
+    id_col,
+    vec_col,
+    qid_t,
+    settings,
+    k,
+    hypers,
+    exact_pairs,
+):
+    """Driver-side numpy replay of the distributed sweep below —
+    SAME arithmetic in the SAME order: bucket bits from one float64
+    vstacked-hyperplane matmul (``hyperplane_bucket_tables``), pair
+    cosine as ``einsum / (norm·norm)`` (``pair_cosine``), candidate =
+    min colliding table < setting, rank by (cosine DESC with NaN
+    first — Spark's double ordering — then neighbor id), top-k, hits
+    vs the exact pair set.  ``recall``'s round() and the division run
+    in Spark on the returned local relation, so the output is
+    bit-identical by construction (pinned by
+    test_ann_recall_sweep_paths_agree)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.vstack(cpdf[vec_col].to_numpy()).astype(np.float64)
+    cids = cpdf[id_col].to_numpy()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qids = qpdf[id_col].to_numpy()
+    planes = hypers[0].shape[0]
+    max_t = len(hypers)
+    H = np.vstack([np.asarray(h, dtype=np.float64) for h in hypers])
+    powers = (2 ** np.arange(planes)).astype(np.int64)
+    cb = ((C @ H.T) >= 0).reshape(len(C), max_t, planes) @ powers
+    qb = ((Q @ H.T) >= 0).reshape(len(Q), max_t, planes) @ powers
+
+    # collision pairs + first colliding table (the sweep's __mt);
+    # self-pairs excluded by ID like the distributed filter
+    eq = cb[:, None, :] == qb[None, :, :]  # (corpus, queries, tables)
+    mask = eq.any(axis=2) & (cids[:, None] != qids[None, :])
+    ii, jj = np.nonzero(mask)
+    mt = (
+        eq[ii, jj].argmax(axis=1)
+        if len(ii)
+        else np.zeros(0, dtype=np.int64)
+    )
+    # pair_cosine's exact arithmetic, chunked to bound the gather
+    cos = np.empty(len(ii), dtype=np.float64)
+    _CHUNK = 262_144
+    for s0 in range(0, len(ii), _CHUNK):
+        sl = slice(s0, s0 + _CHUNK)
+        ma, mb = Q[jj[sl]], C[ii[sl]]
+        denom = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos[sl] = np.einsum("ij,ij->i", ma, mb) / denom
+    # Spark orders doubles with NaN greater than anything: DESC puts
+    # NaN first — replicate via -inf on the ascending primary key
+    order_key = np.where(np.isnan(cos), -np.inf, -cos)
+
+    exact_by_q: dict = {}
+    for q, n in exact_pairs:
+        exact_by_q.setdefault(int(q), set()).add(int(n))
+    rows = []
+    for L in settings:
+        sel = np.nonzero(mt < L)[0]
+        by_query: dict = {}
+        for idx in sel:
+            by_query.setdefault(int(qids[jj[idx]]), []).append(idx)
+        for qid in sorted(exact_by_q):
+            ex = exact_by_q[qid]
+            cand = by_query.get(qid, [])
+            if cand:
+                cand = np.asarray(cand)
+                order = np.lexsort(
+                    (cids[ii[cand]], order_key[cand])
+                )[:k]
+                approx_ids = {int(cids[ii[cand[o]]]) for o in order}
+            else:
+                approx_ids = set()
+            rows.append(
+                (L, qid, len(ex), len(ex & approx_ids))
+            )
+    full_schema = (
+        f"tables int, query_id {qid_t}, k int, "
+        "n_exact bigint, n_hit bigint, recall double"
+    )
+    if not rows:
+        return spark.createDataFrame([], full_schema)
+    mpdf = pd.DataFrame(
+        rows, columns=["tables", "query_id", "n_exact", "n_hit"]
+    )
+    base = spark.createDataFrame(
+        mpdf,
+        schema=f"tables int, query_id {qid_t}, "
+        "n_exact bigint, n_hit bigint",
+    )
+    # rows pre-sorted by (tables, query_id) — no orderBy job (r11)
+    return base.select(
+        "tables",
+        "query_id",
+        F.lit(k).alias("k"),
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+    )
+
+
 def ann_recall_sweep(
     corpus: DataFrame,
     queries: DataFrame,
@@ -645,6 +768,89 @@ def ann_recall_sweep(
         np.random.RandomState(seed + t).standard_normal((planes, dim))
         for t in range(max_t)
     ]
+
+    # Driver-local path (r14, the cosine_topk recipe): below the SAME
+    # byte budget the whole sweep is a 200-row report over matrices
+    # numpy holds comfortably — the distributed plan's 4 exchange
+    # waves + 3 Arrow stages are pure dispatch at that size (measured
+    # 1.15 s vs ~0.1 s of arithmetic at sf0.1).  Both sides collect
+    # ONCE (CollectLimit, never a full scan past the budget) and the
+    # exact side reuses the frames via cosine_topk's _qpdf/_cpdf seam.
+    # Bit-identity with the distributed path is pinned by
+    # tests/test_plans.py::test_ann_recall_sweep_paths_agree: the
+    # bucket bits, pair cosines and (−cosine, id) ordering replicate
+    # the UDF arithmetic exactly (same float64 matmul/einsum, NaN
+    # ordered first like Spark's DESC), and recall's round() runs in
+    # Spark on the local relation.
+    local = None
+    max_rows = min(TOPK_ROW_CAP, TOPK_BYTES_BUDGET // (dim * 8))
+    if (
+        exact is None
+        and max_rows
+        and dict(corpus.dtypes).get(id_col)
+        == dict(queries.dtypes).get(id_col)
+        and dict(corpus.dtypes).get(vec_col)
+        == dict(queries.dtypes).get(vec_col)
+    ):
+        # ONE collect job for both sides (the two separate toPandas
+        # dispatches were ~0.55 s of the 1.15 s driver-path total):
+        # the corpus branch keeps its CollectLimit budget (``dim`` is
+        # a declared parameter — the hyperplane matmul requires it —
+        # so max_rows needs no data probe), the query side is
+        # "assumed small" exactly as cosine_topk documents.
+        both = (
+            corpus.select(
+                F.lit(0).alias("__q"),
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+            )
+            .limit(max_rows + 1)
+            .unionByName(
+                queries.select(
+                    F.lit(1).alias("__q"),
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("v"),
+                )
+            )
+        )
+        pdf = both.toPandas()
+        qpdf0 = (
+            pdf[pdf["__q"] == 1][["id", "v"]]
+            .rename(columns={"id": id_col, "v": vec_col})
+            .reset_index(drop=True)
+        )
+        cpdf0 = (
+            pdf[pdf["__q"] == 0][["id", "v"]]
+            .rename(columns={"id": id_col, "v": vec_col})
+            .reset_index(drop=True)
+        )
+        # second guard: the collision matrix is (n·q·t) bytes — a
+        # large query set must stay on the distributed path
+        if (
+            len(cpdf0) <= max_rows
+            and len(cpdf0)
+            and len(qpdf0)
+            and len(cpdf0) * len(qpdf0) * max_t <= (1 << 28)
+        ):
+            local = (qpdf0, cpdf0)
+    if local is not None:
+        qpdf0, cpdf0 = local
+        exact_rows = cosine_topk(
+            corpus, queries, id_col, vec_col, k=k,
+            _qpdf=qpdf0, _cpdf=cpdf0,
+        ).select("query_id", "neighbor_id").collect()
+        return _sweep_local(
+            corpus.sparkSession,
+            qpdf0,
+            cpdf0,
+            id_col,
+            vec_col,
+            dict(queries.dtypes)[id_col],
+            settings,
+            k,
+            hypers,
+            [(r[0], r[1]) for r in exact_rows],
+        )
 
     def keyed(df, out_id, vname):
         # ONE stacked-matmul pandas UDF emits all per-table buckets
@@ -712,8 +918,13 @@ def ann_recall_sweep(
     )
     # One LEFT join marks hits, one rollup counts them — replacing the
     # semi-join + two groupBys + re-join shape (three fewer stages).
+    # Broadcast the approx side: ≤ |settings|·|queries|·k rows by the
+    # rank filter, but it sits above a window whose size estimate is
+    # unknown, so the planner falls back to a SortMergeJoin (two
+    # exchanges + two sorts over query-count-sized frames — r14
+    # measured plan).  guide §3.1.
     merged = exact_tagged.join(
-        approx.withColumn("__hit", F.lit(1)),
+        F.broadcast(approx.withColumn("__hit", F.lit(1))),
         ["tables", "query_id", "neighbor_id"],
         "left",
     )

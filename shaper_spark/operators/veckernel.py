@@ -131,7 +131,13 @@ def hyperplane_bucket_tables(col, hyperplane_list):
         bits = ((_mat(vs) @ H.T) >= 0).reshape(-1, tables, planes)
         return pd.Series(list((bits @ powers).astype("int32")))
 
-    return _buckets(col)
+    # asNondeterministic: a downstream bucket equi-join infers
+    # IsNotNull(bucket), which pushed below the posexplode re-derives
+    # as size(__bs)>0 and re-evaluates this UDF a SECOND time per row
+    # (two ArrowEvalPython nodes per side — the optimizer copies, not
+    # moves, the expression).  The function is pure; the marker only
+    # forbids the optimizer from duplicating/reordering it.
+    return _buckets.asNondeterministic()(col)
 
 
 def hyperplane_buckets(col, tables: int, planes: int, seed: int):

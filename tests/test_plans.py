@@ -264,6 +264,28 @@ class TestVectorKernelPlanShapes:
         }
         assert small == big and small
 
+    def test_ann_recall_sweep_paths_agree(self, spark, monkeypatch):
+        """r14 driver-local sweep replay must equal the distributed
+        plan bit-for-bit — counts AND the 6-dp recall doubles."""
+        from shaper_spark.operators import similarity as S
+
+        emb = self._emb(spark)
+        queries = emb.filter("vec_id < 20")
+        local = {
+            tuple(r)
+            for r in S.ann_recall_sweep(
+                emb, queries, k=5, planes=4, tables_list=(1, 3)
+            ).collect()
+        }
+        monkeypatch.setattr(S, "TOPK_BYTES_BUDGET", 0)
+        dist = {
+            tuple(r)
+            for r in S.ann_recall_sweep(
+                emb, queries, k=5, planes=4, tables_list=(1, 3)
+            ).collect()
+        }
+        assert local == dist and local
+
     def test_neardup_small_corpus_is_local_result(self, spark):
         """Below the byte cutoff the whole LSH recipe runs in one
         driver-side numpy pass over the already-probed matrix: the
