@@ -434,21 +434,36 @@ def repetition_stats(
         "__n",
         "__nd",
         *extras,
+        # string bigram identity KEPT (r14 measured-and-rejected): the
+        # funnel's xxhash64(word-pair) spelling A/B'd FLAT here
+        # (noop-sink min-of-6, same session: string 0.411 s vs hash
+        # 0.393 s at sf0.1) — the allocation isn't the bottleneck at
+        # this explode volume, and the string key keeps zero collision
+        # surface on an output that counts equal bigrams directly.
         F.when(
             F.col("__i") > 0,
             F.concat_ws(" ", F.slice("__ws", F.col("__i"), 2)),
         ).alias("bigram"),
     )
-    per_bigram = stream.groupBy("id", "bigram").agg(
+    # extras ride the GROUPING KEY, not first() aggregates (r14): each
+    # input row is one document, so every extra is constant per id and
+    # the groups are identical either way — but first() over a STRING
+    # extra gives the aggregate a non-primitive buffer, which knocks
+    # the whole aggregation off HashAggregateExec onto SortAggregate
+    # with a map- AND reduce-side sort of the corpus-scale bigram
+    # stream (measured: gopher_filter_report planned 4 SortAggregates
+    # + a Sort of the exploded stream; text_repetition, carrying only
+    # longs, planned HashAggregates).  hashpartitioning(id) still
+    # satisfies the clustered distribution (id ⊆ keys), so no new
+    # exchange appears.
+    per_bigram = stream.groupBy("id", "bigram", *extras).agg(
         F.count(F.lit(1)).alias("__c"),
         F.first("__n").alias("__n"),
         F.first("__nd").alias("__nd"),
-        *[F.first(c).alias(c) for c in extras],
     )
-    per_doc = per_bigram.groupBy("id").agg(
+    per_doc = per_bigram.groupBy("id", *extras).agg(
         F.first("__n").alias("n_words"),
         F.first("__nd").alias("__nd"),
-        *[F.first(c).alias(c) for c in extras],
         F.coalesce(
             F.sum(F.when(F.col("bigram").isNotNull(), F.col("__c"))),
             F.lit(0),

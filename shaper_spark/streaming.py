@@ -744,13 +744,35 @@ def start_rate_anomaly_stream(
     caller = stream_df.sparkSession
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         spark = batch_df.sparkSession
-        batch_counts = batch_df.groupBy(
-            F.col(group_col).alias("grp"),
-            F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
-        ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        # ONE batch job pins the (grp, bucket) counts driver-side —
+        # they are |groups|×|buckets touched| rows, the same bound the
+        # scoring pass already relies on (a year of hourly buckets is
+        # 8 760 rows per group).  This replaces the r13 shape's THREE
+        # batch-scan jobs — the isEmpty() probe, the counts-write
+        # aggregation, and the alerts job re-aggregating the batch for
+        # ``touched`` — with one; the write and the semi-join probe
+        # both serve from the local relation (r14, entry steady
+        # 2.4 s → measured below).
+        rows = (
+            batch_df.groupBy(
+                F.col(group_col).alias("grp"),
+                F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .collect()
+        )
+        if not rows:
+            return
+        import pandas as pd
+
+        batch_counts = spark.createDataFrame(
+            pd.DataFrame(
+                ((r[0], r[1], r[2]) for r in rows),
+                columns=["grp", "bucket_ts", "n_events"],
+            ),
+            schema="grp string, bucket_ts timestamp, n_events long",
+        )
         batch_counts.select(
             *spark.table(counts_table).columns
         ).write.mode("append").insertInto(counts_table)
@@ -763,7 +785,9 @@ def start_rate_anomaly_stream(
         flags = anomaly_flags_from_counts(
             total, window, min_periods, z2_threshold
         )
-        touched = batch_counts.select("grp", "bucket_ts")
+        # local relation — broadcast explicitly so the AQE-off serving
+        # profile never shuffles the flags side for this probe
+        touched = F.broadcast(batch_counts.select("grp", "bucket_ts"))
         alerts = (
             flags.join(touched, ["grp", "bucket_ts"], "left_semi")
             .select(
