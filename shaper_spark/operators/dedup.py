@@ -1617,7 +1617,7 @@ def method_agreement_report(
         F.sum("istrue").alias("n_true_pairs"),
         F.sum("jmicro").alias("__sj"),
     )
-    return agg.select(
+    out = agg.select(
         "method",
         "n_pairs",
         "n_true_pairs",
@@ -1628,6 +1628,10 @@ def method_agreement_report(
             "(2 * 1000000 * n_true_pairs + n_pairs) DIV (2 * n_pairs)"
         ).alias("true_frac_micro"),
     ).orderBy("method")
+    # corpus-scale persist release handle (r14 lifecycle convention):
+    #   for f in result._cached_frames: f.unpersist()
+    out._cached_frames = (postings,)
+    return out
 
 
 def dedup_pair_exemplars(

@@ -696,9 +696,13 @@ def boilerplate_grams(
     # two-level distinct instead of two countDistincts on the raw gram
     # stream: Spark plans multi-column countDistinct as an EXPAND that
     # doubles every gram row pre-shuffle; deduping (h, id) first (one
-    # doc has one source, so first(src) is exact) shrinks the frame to
-    # per-document reach before the single remaining countDistinct.
-    per_doc = hashed.groupBy("h", "id").agg(F.first("src").alias("src"))
+    # doc has one source, so src can ride the GROUP KEY — groups are
+    # identical) shrinks the frame to per-document reach before the
+    # single remaining countDistinct.  src as a key, not first(src)
+    # (r14): the string first() buffer knocked both layers onto
+    # SortAggregate with map- and reduce-side sorts of the
+    # corpus-scale gram-hash stream (the repetition_stats fix).
+    per_doc = hashed.select("h", "id", "src").distinct()
     winners = (
         per_doc.groupBy("h")
         .agg(
