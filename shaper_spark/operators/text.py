@@ -2024,8 +2024,20 @@ def tfidf_top_terms(
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # tf is unique on (id, term), so a plain count per term IS the
     # document frequency — countDistinct here would add a whole
-    # dedup-expand aggregate phase for the same number
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # dedup-expand aggregate phase for the same number.  The count
+    # deliberately references tf's VALUE (tf = count(1) ≥ 1, so the
+    # WHEN never fires null and df is bit-identical): with count(1)
+    # here, column pruning drops tf from this branch, the tf aggregate
+    # degenerates to a distinct, and the subtree is no longer
+    # canonically identical to the scored branch's — so ReuseExchange
+    # could not fire and the whole corpus explode + gram aggregation
+    # ran a SECOND time (the dsir isNotNull idiom, same reason;
+    # plans/r14/tfidf_top_terms_{audit,after}.txt: 2 Generates → 1).
+    # count(tf) alone does not survive: Catalyst rewrites count over a
+    # provably non-null column back to count(1).
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df")
+    )
     n_docs = df.agg(F.countDistinct(F.col(id_col)).alias("__n"))
     scored = (
         tf.join(dfreq, "term")

@@ -193,6 +193,25 @@ class TestTfidf:
         # shared term scores ln(1)+1 = 1.0 per occurrence
         assert b2["tfidf"] == pytest.approx(1.0)
 
+    def test_gram_exchange_shared_with_df_branch(self, spark, sf_dir):
+        # the document-frequency branch must REUSE the (id, term)
+        # gram-aggregation exchange, not re-explode the corpus — the
+        # count(when(tf >= 1, 1)) spelling keeps the subtrees
+        # canonically identical (the dsir isNotNull idiom; a plain
+        # count(1) lets column pruning degrade the tf aggregate to a
+        # distinct and the explode runs twice)
+        from shaper_spark.operators.text import tfidf_top_terms
+        from shaper_spark.session import register_sf_tables
+
+        register_sf_tables(spark, sf_dir)
+        out = tfidf_top_terms(spark.table("documents"), "doc_id", "text")
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        assert final.count("ReusedExchange") >= 1
+        # one corpus explode: tf and df both stream from it
+        assert final.count("Generate") == 1
+
     def test_top_k_limit_and_tiebreak(self, spark):
         from shaper_spark.operators.text import tfidf_top_terms
 
