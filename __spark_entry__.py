@@ -930,10 +930,17 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shaper_spark.operators.text import token_stats
 
     _prep(spark, sf_dir)
-    stats = token_stats(spark.table("documents"), "doc_id", "text")
-    docs = spark.table("documents").select("doc_id", "lang")
+    # lang rides through token_stats (exact-integer aggregates below,
+    # so the shape change cannot move any value): the old
+    # stats ⋈ documents self-join on doc_id re-scanned the corpus and
+    # hash-built one full side just to look up a column every row
+    # already had — 2 scans + a corpus-wide BroadcastExchange → 1 scan,
+    # 0 joins (plans/r14/text_token_stats_{before,after}.txt).
+    stats = token_stats(
+        spark.table("documents"), "doc_id", "text", extra_cols=("lang",)
+    )
     return (
-        stats.join(docs, "doc_id")
+        stats
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

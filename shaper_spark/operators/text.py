@@ -62,14 +62,27 @@ __all__ = [
 ]
 
 
-def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document token statistics: n_tokens (whitespace), n_chars,
     n_pieces (BPE-ish regex: letter runs + digit runs + punctuation),
     avg_word_len.
 
     avg_word_len uses the identity Σ len(word) = len(text) − (n−1) for a
     single-space split — O(1) arithmetic instead of an interpreted
-    aggregate() over the words array."""
+    aggregate() over the words array.
+
+    ``extra_cols`` pass through unchanged (the repetition_stats
+    ``extra_exprs`` idiom): a caller that wants stats grouped by a
+    document attribute carries it HERE instead of joining the stats
+    back to the corpus on the id — the join shape re-scanned the whole
+    table and (in the AQE-off serving profile) hash-built one full
+    side (r14-measured on text_token_stats: 2 corpus scans + a
+    corpus-wide broadcast for a lang lookup the row already had)."""
     from ..session import spread_for_compute
 
     df = spread_for_compute(df)
@@ -92,6 +105,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             sum_word_len.cast("double") / F.greatest(n_tokens, F.lit(1)),
             6,
         ).alias("avg_word_len"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -1837,6 +1851,16 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "tok",
         (F.col("tf").cast("double") / F.col("__total")).alias("__p"),
     )
+    # NOTE (r14 audit, measured-and-rejected): in the AQE-off serving
+    # profile the planner's statistics build the JOIN's hash relation
+    # over the exploded (id, tok) STREAM (Generate underestimates its
+    # output), not the vocab-sized probs side.  An explicit
+    # F.broadcast(probs) A/B'd FLAT at sf0.1 on the serving path
+    # (doc_lm 0.656 vs 0.661 s, quality_lm_corr 0.959 vs 0.995 s,
+    # interleaved min-of-6) and would force a broadcast of an
+    # unbounded vocabulary at 100 TB (8 GB relation cap), so the
+    # unhinted spelling stays: the batch profile's AQE picks the build
+    # side from runtime sizes, which is the at-scale-correct behavior.
     return (
         toks.join(probs, "tok")
         .groupBy("id")

@@ -169,6 +169,34 @@ class TestWeightedSample:
         assert "TakeOrderedAndProject" in plan  # no global sort shuffle
 
 
+class TestTokenStats:
+    def test_extra_cols_pass_through_unchanged(self, spark):
+        # extra_cols carries attribute columns through the stats
+        # projection (the join-free grouping shape text_token_stats
+        # uses); the stat values must be byte-identical to the default
+        # call's
+        from shaper_spark.operators.text import token_stats
+
+        df = spark.createDataFrame(
+            [(1, "a bb ccc", "en"), (2, "x", "de")],
+            ["id", "text", "lang"],
+        )
+        plain = {
+            r["id"]: r.asDict()
+            for r in token_stats(df, "id", "text").collect()
+        }
+        extra = {
+            r["id"]: r.asDict()
+            for r in token_stats(
+                df, "id", "text", extra_cols=("lang",)
+            ).collect()
+        }
+        assert extra[1].pop("lang") == "en"
+        assert extra[2].pop("lang") == "de"
+        assert extra == plain
+        assert plain[1]["n_tokens"] == 3 and plain[1]["n_chars"] == 8
+
+
 class TestTfidf:
     def test_known_values(self, spark):
         import math
