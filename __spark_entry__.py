@@ -1002,10 +1002,14 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark, sf_dir)
     docs = spark.table("documents")
-    pred = language_id(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    # lang rides through the classifier (token_stats idiom, r14): the
+    # old join-back on doc_id re-scanned the corpus just to attach the
+    # label; exact-integer aggregates, results identical.
+    pred = language_id(docs, "doc_id", "text", extra_cols=("lang",)).select(
+        "doc_id", "lang_pred", "lang"
+    )
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        pred
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

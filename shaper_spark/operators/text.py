@@ -342,7 +342,12 @@ def quality_score(
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def language_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Stopword-voting language ID: count stopword hits per language,
     take the argmax (ties break by language code order). Score columns
     included so downstream filters can threshold confidence.
@@ -351,13 +356,20 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ONE staged :func:`folded_padded_sql` string shared by all five
     languages (explicit ASCII fold — a non-ASCII uppercase stopword
     form like ``FÜR`` intentionally does NOT fold; that is the defined,
-    engine-portable semantics, mirrored verbatim in the oracle)."""
+    engine-portable semantics, mirrored verbatim in the oracle).
+
+    ``extra_cols`` pass through unchanged (the token_stats idiom): the
+    accuracy/confusion callers carry the ground-truth label HERE
+    instead of joining the predictions back to the corpus on the id —
+    the join shape re-scanned the table and broadcast-built the whole
+    per-doc prediction side in the stats-based serving profile."""
     from ..session import spread_for_compute
 
     langs = sorted(LANG_STOPWORDS)
     staged = spread_for_compute(df).select(
         F.col(id_col),
         F.expr(folded_padded_sql(text_col)).alias("__pad"),
+        *[F.col(c) for c in extra_cols],
     )
     out = staged.select(
         F.col(id_col),
@@ -367,6 +379,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).cast("long").alias(f"score_{lang}")
             for lang in langs
         ],
+        *[F.col(c) for c in extra_cols],
     )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.lit(None).cast("string")
@@ -377,6 +390,7 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         pred.alias("lang_pred"),
         *[F.col(f"score_{lang}") for lang in langs],
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -2892,17 +2906,21 @@ def langid_confusion(
     column says the stopword lists overlap; an und row says the docs
     are too short to vote).
 
-    Spark shape: the classifier's one staged-fold pass + a user-keyed
-    join back to the labels, then a |labels|²-bounded hash-agg; the
-    per-label totals broadcast back.  Engine-proof by construction —
-    the votes are the byte-explicit stopword counts, ties and the
-    'und' floor replay identically in the oracle."""
-    pred = language_id(df, id_col, text_col).select(
-        F.col(id_col), F.col("lang_pred")
+    Spark shape: the classifier's one staged-fold pass with the label
+    riding through as an ``extra_cols`` passthrough (the former
+    join-back on the id re-scanned the corpus and broadcast-built the
+    whole per-doc prediction side — r14, 2 scans → 1, 0 joins on the
+    corpus), then a |labels|²-bounded hash-agg; the per-label totals
+    broadcast back.  Engine-proof by construction — the votes are the
+    byte-explicit stopword counts, ties and the 'und' floor replay
+    identically in the oracle."""
+    labeled = language_id(
+        df, id_col, text_col, extra_cols=(label_col,)
+    ).select(
+        F.col(id_col),
+        F.col("lang_pred"),
+        F.col(label_col).alias("label"),
     )
-    labeled = df.select(
-        F.col(id_col), F.col(label_col).alias("label")
-    ).join(pred, id_col)
     cells = labeled.groupBy("label", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )

@@ -1933,6 +1933,36 @@ class TestLangidConfusion:
             ("de", "und"): (1, 500000),
         }
 
+    def test_language_id_extra_cols_pass_through(self, spark):
+        # extra_cols carries the ground-truth label through the
+        # classifier projection (the join-free confusion/accuracy
+        # shape); predictions and scores must be identical to the
+        # default call's
+        from shaper_spark.operators.text import language_id
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat and the dog", "en"),
+                (2, "zzz qqq", "xx"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        plain = {
+            r["doc_id"]: r.asDict()
+            for r in language_id(docs, "doc_id", "text").collect()
+        }
+        extra = {
+            r["doc_id"]: r.asDict()
+            for r in language_id(
+                docs, "doc_id", "text", extra_cols=("lang",)
+            ).collect()
+        }
+        assert extra[1].pop("lang") == "en"
+        assert extra[2].pop("lang") == "xx"
+        assert extra == plain
+        assert plain[1]["lang_pred"] == "en"
+        assert plain[2]["lang_pred"] == "und"
+
     def test_shares_sum_to_one_per_label(self, spark):
         from shaper_spark.operators.text import langid_confusion
 
